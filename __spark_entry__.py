@@ -3,36 +3,52 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+All operators live in the ``vectordb_agentic_rag_spark`` package;
+this file only adapts the registry to the driver's shape.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from vectordb_agentic_rag_spark import registry  # noqa: E402
+
+registry.load_all_operators()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: batch cosine top-5 vs
+    vec_id=0 (the Spark-native form of the reference's Qdrant top-k
+    retrieval, /root/reference/app.py:256-296), joined back to
+    ``documents`` for the chunk text the reference would stuff into
+    its prompt (app.py:359)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_agentic_rag_spark.operators.vector import vec_cosine_topk
+    from vectordb_agentic_rag_spark.tables import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    topk = vec_cosine_topk(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.substring("text", 1, 300).alias("preview")
+    )
+    return topk.join(
+        F.broadcast(docs), topk.vec_id == docs.doc_id, "left"
+    ).select("vec_id", "sim", "preview")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle twins; keys lacking one get a rows-only check."""
+    return dict(registry.ORACLES)

@@ -1,0 +1,110 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle twin at
+sf0.01, compares row count, column names, and an order-insensitive
+value multiset. Run me before every commit:
+
+    python tools/selfcheck.py [op_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _canon(v):
+    """Canonicalize a cell value for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # guard against -0.0 vs 0.0 and float32 noise; declared queries
+        # already round, this is just canonical formatting
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_canon(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def main(only: list[str]) -> int:
+    import duckdb
+
+    from vectordb_agentic_rag_spark import ORACLES, QUERIES, load_all_operators
+    from vectordb_agentic_rag_spark.session import get_spark
+    from vectordb_agentic_rag_spark.tables import TABLES
+
+    load_all_operators()
+    sf_dir = "/root/testdata/sf0.01"
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    names = only or sorted(QUERIES)
+    failures = []
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in ORACLES:
+            status = "rows-only"
+            ok = len(s_rows) >= 0
+            print(f"{'ok  ' if ok else 'FAIL'} {name} [{status}] rows={len(s_rows)} "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            d = con.execute(ORACLES[name])
+            d_cols = [c[0] for c in d.description]
+            d_rows = d.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            sset, dset = _rowset(s_cols, s_rows), _rowset(d_cols, d_rows)
+            if sset != dset:
+                diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name} rows={len(s_rows)} ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

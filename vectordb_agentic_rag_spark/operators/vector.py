@@ -1,0 +1,215 @@
+"""Vector / similarity operators — the reference's core domain.
+
+The reference stores 1024-dim cosine vectors in Qdrant
+(/root/reference/app.py:87) and retrieves with MMR top-k
+(fetch_k=20, k=5, /root/reference/app.py:264-266). Here the same
+semantics are batch DataFrame plans over the ``embeddings`` fixture
+(64-dim stand-in, FIXTURES.md):
+
+- exact top-k  = cosine column + ORDER BY + LIMIT, which Spark plans as
+  TakeOrderedAndProject (per-partition partial top-k, then a single
+  k-row merge on the driver — the scalable analogue of Qdrant's
+  fetch_k candidate fetch);
+- per-query batch kNN = broadcast the (small) query side, stream the
+  corpus, window top-k per query — no shuffle of the corpus at all;
+- similarity theta-join = exact path here; the 100 TB path is the LSH
+  banding join in operators/ml.py (approxSimilarityJoin).
+
+All similarity math is Catalyst higher-order functions
+(functions/vector.py) — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, norm
+from ..registry import query
+from ..tables import table
+
+# DuckDB fragment: cosine similarity between two DOUBLE[] lists, with the
+# same sequential-fold arithmetic as functions.vector.cosine.
+_DD_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    """First n vectors double as the 'query set' for batch kNN ops."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+
+
+@query(
+    "vec_norm_dot",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS l2_norm,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dot_q0
+    FROM embeddings e CROSS JOIN q
+    """,
+)
+def vec_norm_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm and dot-product as plain columns (SURVEY §2B).
+
+    Broadcast the single query row; the corpus side never shuffles.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(dot(F.col("embedding"), F.col("qv")), 6).alias("dot_q0"),
+    )
+
+
+@query(
+    "vec_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_DD_COS.format(a='e.embedding', b='q.qv')}, 6) AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: batch kNN, k=5 cosine vs vec_id=0 (reference k=5,
+    app.py:264; cosine metric app.py:87).
+
+    Plan shape at scale: parquet scan -> broadcast 1-row query ->
+    codegen'd cosine column -> TakeOrderedAndProject(limit=5). The
+    corpus is never shuffled; each partition emits <=5 candidates.
+    Ties broken on vec_id for determinism.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@query(
+    "vec_cosine_topk_per_query",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_DD_COS.format(a='c.embedding', b='q.qv')}, 6) AS sim
+      FROM c CROSS JOIN q)
+    SELECT query_id, neighbor_id, sim, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims) t
+    WHERE rn <= 3
+    """,
+)
+def vec_cosine_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-queries batch kNN: top-3 neighbors for each of 10 query vectors.
+
+    The query side is broadcast (it is small by construction — queries
+    are a working set, the corpus is the 100 TB side); the corpus
+    streams through a single codegen stage, then a window top-k
+    partitioned by query_id. rn column kept so rank is auditable.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir, 10)
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+@query(
+    "vec_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.query_id, c.vec_id, c.label,
+             round({_DD_COS.format(a='c.embedding', b='q.qv')}, 6) AS sim
+      FROM c CROSS JOIN q),
+    nn AS (
+      SELECT query_id, label
+      FROM (SELECT query_id, label, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+            FROM sims) t
+      WHERE rn <= 5),
+    votes AS (SELECT query_id, label, count(*) AS votes FROM nn GROUP BY 1, 2)
+    SELECT query_id, label AS pred_label, votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r FROM votes) t
+    WHERE r = 1
+    """,
+)
+def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label classification using embeddings.label as ground
+    truth (FIXTURES.md). Ties: higher vote count, then lowest label."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir, 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+    )
+    w_nn = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    nn = sims.withColumn("rn", F.row_number().over(w_nn)).where(F.col("rn") <= 5)
+    votes = nn.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    w_maj = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w_maj))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+@query(
+    "join_similarity_theta",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round({_DD_COS.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DD_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+)
+def join_similarity_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs similarity join: cosine >= 0.4, vec_id_a < vec_id_b.
+
+    This is the O(n^2) exact baseline (BroadcastNestedLoopJoin at test
+    scale). At 100 TB this operator is replaced by the LSH-bucketed
+    join (`dedup_near_embedding` / MinHashLSH in operators/ml.py) which
+    turns the cross product into an equi-join on hash buckets; the
+    exact form stays as the correctness oracle on samples.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .where(sim >= 0.4)
+        .select("vec_id_a", "vec_id_b", F.round(sim, 6).alias("sim"))
+    )

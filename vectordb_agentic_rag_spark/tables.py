@@ -1,0 +1,37 @@
+"""Fixture-table access (TESTDATA.md / FIXTURES.md).
+
+Ten driver-generated parquet tables per scale factor. Reading via
+``spark.read.parquet`` keeps Catalyst in charge: column pruning and
+predicate pushdown reach the parquet scan (verify with
+``df.explain("formatted")`` — look for PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. No cache: each query plans its own pruned scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql() queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

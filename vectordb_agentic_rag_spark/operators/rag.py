@@ -1,0 +1,193 @@
+"""Ports of the reference's own RAG operators (SURVEY.md §2A).
+
+Each operator here is a deterministic, set-oriented re-expression of a
+function in /root/reference/app.py — the parts of the agentic-RAG loop
+that are genuinely *data* operations (relevance gating, chat-memory
+windowing, context assembly, plan routing). LLM calls, web search, and
+UI rendering are out of engine scope (SURVEY §7); their data-side
+analogues are in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# R9's gate runs against the user's query keywords (app.py:284-289:
+# keywords = [w for w in query.lower().split() if len(w) > 3]).
+# Fixed query string so the declared op is deterministic.
+_QUERY = "spark table merge window batch io"
+_KEYWORDS = [w for w in _QUERY.lower().split() if len(w) > 3]
+_THRESHOLD = len(_KEYWORDS) / 2  # app.py:293: matches >= len(keywords)/2
+
+
+@query(
+    "filter_keyword_gate",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter({_KEYWORDS}, kw -> contains(lower(text), kw))) AS matches,
+           len(list_filter({_KEYWORDS}, kw -> contains(lower(text), kw))) >= {_THRESHOLD} AS relevant
+    FROM documents
+    """,
+)
+def filter_keyword_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 port (assess_document_relevance, app.py:278-295): a document is
+    relevant iff it matches >= half of the query's len>3 keywords.
+    Substring containment like the reference (`keyword in content`,
+    app.py:289). Pure codegen'd expression, one pass."""
+    d = table(spark, sf_dir, "documents")
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    matches = F.size(
+        F.filter(kw_arr, lambda kw: F.instr(F.lower(F.col("text")), kw) > 0)
+    )
+    return d.select(
+        "doc_id",
+        matches.alias("matches"),
+        (matches >= F.lit(_THRESHOLD)).alias("relevant"),
+    )
+
+
+@query(
+    "agg_collect_topk_docs",
+    oracle="""
+    SELECT lang, (list(text ORDER BY n_chars DESC, doc_id))[1:3] AS top_docs,
+           count(*) AS n_candidates
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_collect_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 port (stuff-documents chain, app.py:396-417): gather the top-3
+    candidate texts per group into an ordered list — the reference
+    stuffs retrieved_docs[:3] into its prompt (app.py:359). List order
+    pinned by (n_chars DESC, doc_id)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("n_chars")).alias("neg_len"),
+                                F.col("doc_id").alias("doc_id"),
+                                F.col("text").alias("text"),
+                            )
+                        )
+                    ),
+                    1,
+                    3,
+                ),
+                lambda x: x.getField("text"),
+            ).alias("top_docs"),
+            F.count("*").alias("n_candidates"),
+        )
+    )
+
+
+@query(
+    "chat_memory_window",
+    oracle="""
+    WITH msgs AS (
+      SELECT user_id AS session_id, ts, event_id,
+             CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             event_type AS content
+      FROM events),
+    recent AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY session_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM msgs) t
+      WHERE rn <= 10)
+    SELECT session_id,
+           string_agg(upper(role) || ': ' || content, chr(10) || chr(10)
+                      ORDER BY ts, event_id) AS context,
+           count(*) AS n_msgs
+    FROM recent GROUP BY session_id
+    """,
+)
+def chat_memory_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 port (format_chat_memory_for_context, app.py:110-120): keep
+    the last max_turns*2 = 10 messages per session and render
+    'ROLE: content' joined by blank lines. The events fixture stands in
+    for the chat stream (FIXTURES.md); roles alternate by event_id.
+
+    Window top-k + ordered collect_list: the shuffle is one exchange
+    on session_id, then everything is per-group local."""
+    ev = table(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.col("user_id").alias("session_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        F.col("event_type").alias("content"),
+    )
+    w = Window.partitionBy("session_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = msgs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+    line = F.concat(F.upper("role"), F.lit(": "), F.col("content"))
+    return (
+        recent.select("session_id", "ts", "event_id", line.alias("line"))
+        .groupBy("session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", F.col("line")))
+                    ),
+                    lambda x: x.getField("line"),
+                ),
+                "\n\n",
+            ).alias("context"),
+            F.count("*").alias("n_msgs"),
+        )
+    )
+
+
+@query(
+    "plan_route",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id AS query_id,
+             array_to_string((string_split(text, ' '))[1:5], ' ') AS query_text,
+             contains(text, 'stream') OR contains(text, 'data') AS needs_search,
+             len(list_filter({_KEYWORDS}, kw -> contains(lower(text), kw))) >= {_THRESHOLD} AS relevant
+      FROM documents WHERE doc_id < 50)
+    SELECT query_id, query_text,
+           CASE WHEN needs_search AND relevant THEN 'hybrid_search'
+                WHEN needs_search THEN 'web_search'
+                WHEN relevant THEN 'document_rag'
+                ELSE 'direct_answer' END AS plan_type
+    FROM q
+    """,
+)
+def plan_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12's deterministic analogue (process_query router, app.py:298-343):
+    the reference asks a low-temperature LLM whether SEARCH is NEEDED
+    and combines that bit with document relevance to pick one of four
+    plan types (app.py:343-433). The engine's router is a rule: a
+    'freshness' predicate stands in for the LLM bit, R9's keyword gate
+    supplies the relevance bit, and the four-way CASE mirrors the
+    reference's branch structure exactly."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    relevant = (
+        F.size(F.filter(kw_arr, lambda kw: F.instr(F.lower(F.col("text")), kw) > 0))
+        >= F.lit(_THRESHOLD)
+    )
+    needs_search = (F.instr("text", "stream") > 0) | (F.instr("text", "data") > 0)
+    plan = (
+        F.when(needs_search & relevant, "hybrid_search")
+        .when(needs_search, "web_search")
+        .when(relevant, "document_rag")
+        .otherwise("direct_answer")
+    )
+    return d.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("query_text"),
+        plan.alias("plan_type"),
+    )

@@ -1,0 +1,534 @@
+"""Relational core: scans, filters, joins, aggregations, sorts, set ops.
+
+The reference outsources ALL classical relational work to Qdrant and the
+LLM — it has no joins or aggregations of its own (SURVEY.md §2B). These
+operators give the engine the category-complete relational surface the
+north star mandates, each one expressed so Catalyst picks the scalable
+physical plan:
+
+- small dimensions are broadcast explicitly (`F.broadcast`) — a 100 TB
+  fact side never shuffles for them;
+- aggregations go through groupBy().agg() which Spark executes as
+  partial (map-side) + final hash aggregation automatically;
+- top-k is ORDER BY + LIMIT => TakeOrderedAndProject (per-partition
+  partial top-k; only k rows per partition reach the driver);
+- money aggregates cast to DECIMAL before summing: exact arithmetic is
+  order-independent, so results are bit-stable under any partitioning
+  AND hash-match the DuckDB oracle (FIXTURES.md parity rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# ---------------------------------------------------------------- scans
+
+
+@query("scan_parquet", oracle="SELECT * FROM region")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of a fixture table (SURVEY §2B scans)."""
+    return table(spark, sf_dir, "region")
+
+
+@query(
+    "scan_projection_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, filter-pushed scan. The physical plan must show
+    ReadSchema with only 3 columns and PushedFilters [GreaterThanOrEqual
+    (l_quantity,45.0)] — verified in tests/test_plans.py."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "source_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+    """,
+)
+def source_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured source: JSON property extraction + typed cast +
+    predicate on the extracted value (events.props, FIXTURES.md)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k_val")).where(F.col("k_val") > 90)
+
+
+@query("sink_parquet_roundtrip")  # rows-only: involves a filesystem write
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the chunk table to parquet (overwrite — the reference's
+    drop-and-recreate collection DDL, app.py:492-509) and read it back.
+    Partitioned by lang: at 100 TB the partition column enables
+    partition pruning for per-language pipelines."""
+    from .text import text_chunk_fixed_overlap
+
+    out = "/root/repo/_scratch/chunks.parquet"
+    chunks = text_chunk_fixed_overlap(spark, sf_dir)
+    chunks.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy().agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("page_content")).alias("total_chars"),
+    )
+
+
+# --------------------------------------------- projections / filters
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS charge,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column projection (TPC-H Q1 expressions). Inputs are
+    2-decimal money values, so DECIMAL arithmetic is exact and rounding
+    is engine-independent (double round() differs between engines on
+    ties — found the hard way; see FIXTURES.md parity rules)."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    rev = price * (F.lit(1) - disc)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rev, 2).cast("double").alias("revenue"),
+        F.round(rev * (F.lit(1) + tax), 2).cast("double").alias("charge"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      AND o_orderstatus IN ('O', 'F')
+      AND o_totalprice > 150000
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates: date range, LIKE, IN, numeric.
+    All push down to the parquet scan (no residual Filter above it for
+    the range/IN parts)."""
+    o = table(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & F.col("o_orderstatus").isin("O", "F")
+        & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+# ------------------------------------------------------------- joins
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join with an explicit broadcast hint: region is tiny at
+    every scale factor, so the nation side streams with zero shuffle
+    (BroadcastHashJoin — asserted in tests/test_plans.py)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "join_shuffle_equi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS cnt,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension equi-join + aggregation (BASELINE.md
+    join_customer_orders). At 100 TB both sides shuffle on the key
+    (sort-merge); AQE converts to broadcast when the built side is
+    small — we leave the choice to the optimizer here on purpose."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("rev"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT a.user_id, a.event_id AS signup_id, b.event_id AS follow_id,
+           b.event_type AS follow_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'signup'
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: follow-up events within 1h of a signup.
+    Physically an equi-join on user_id with a range residual — the
+    equi part keeps it shuffle-partitionable at scale (never a full
+    cross product)."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+        F.col("ts").alias("ts_b"),
+    )
+    return a.join(
+        b,
+        (a.user_id == b.user_b)
+        & (b.ts_b > a.ts_a)
+        & (b.ts_b <= a.ts_a + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "signup_id", "follow_id", "follow_type")
+
+
+@query(
+    "join_asof_last_event",
+    oracle="""
+    SELECT user_id, purchase_id, click_id, click_ts FROM (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+             c.ts AS click_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ) t WHERE rn = 1
+    """,
+)
+def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark SQL op — SURVEY §2B): for every
+    purchase, the latest click by the same user at-or-before it.
+    Expressed as range join + per-purchase window top-1; the window
+    partitioning co-locates with the join shuffle so no extra exchange.
+    Ties on ts broken by event_id desc for determinism."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = p.join(c, (p.user_id == c.c_user) & (c.click_ts <= p.p_ts))
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "purchase_id", "click_id", "click_ts")
+    )
+
+
+# ------------------------------------------------------- aggregations
+
+
+@query(
+    "agg_hash_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style hash aggregation (BASELINE.md agg_pricing_summary).
+
+    DECIMAL sums are exact => order-independent => identical under any
+    partitioning and bit-equal to the oracle. Spark executes this as
+    partial hash agg (map side) + final hash agg after a 6-group
+    shuffle — the canonical scalable aggregation shape.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(price).cast("double"), 2).alias("sum_base"),
+        F.round(F.sum(price * (F.lit(1) - disc)).cast("double"), 4).alias("sum_disc"),
+        F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation — Spark expands to a two-phase plan
+    (distinct-ize then count) automatically."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: approximate by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch — the 100 TB path for
+    cardinality (exact countDistinct needs a full shuffle of the keys;
+    the sketch is one pass + constant-size state). rsd pinned for
+    determinism of the plan, value checked rows-only."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "agg_rollup_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev,
+           count(*) AS n_orders
+    FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (region, nation) with ROLLUP subtotals + grand total.
+    Dimension chain is broadcast end-to-end; only orders is big."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_cube_events",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+)
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events by (type, day) with CUBE — all four grouping-set combos."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    return ev.select("event_type", day, "value").cube("event_type", "day").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
+    )
+
+
+# ------------------------------------------------- sorts / limits / top-k
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size, p_retailprice
+    FROM part ORDER BY p_size DESC, p_retailprice ASC, p_partkey
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (range-partitioned exchange + local sort)."""
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .orderBy(F.col("p_size").desc(), F.col("p_retailprice").asc(), "p_partkey")
+    )
+
+
+@query(
+    "limit_head",
+    oracle="SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 10",
+)
+def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT over a defined order (an unordered LIMIT is nondeterministic
+    by definition — we always pin the order; reference analogue: the
+    first-N previews, app.py:231-249)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k => TakeOrderedAndProject: each partition keeps only
+    its local top-20, the driver merges 20*numPartitions rows — the
+    scalable analogue of the reference's fetch_k candidate fetch
+    (app.py:265). Plan shape asserted in tests/test_plans.py."""
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------- set operations
+
+
+@query(
+    "set_union_sources",
+    oracle="""
+    SELECT doc_id, source FROM documents WHERE lang = 'en'
+    UNION
+    SELECT doc_id, source FROM documents WHERE n_chars > 400
+    """,
+)
+def set_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 port — the reference's hybrid fusion merges doc-derived and
+    web-derived sources into one context (app.py:348-374). Here: UNION
+    (distinct) of two source frames."""
+    d = table(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("doc_id", "source")
+    long_docs = d.where(F.col("n_chars") > 400).select("doc_id", "source")
+    return en.unionByName(long_docs).distinct()
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'both' AS tag, source FROM
+      (SELECT source FROM documents WHERE lang = 'en'
+       INTERSECT SELECT source FROM documents WHERE lang = 'fr')
+    UNION ALL
+    SELECT 'en_only' AS tag, source FROM
+      (SELECT DISTINCT source FROM documents WHERE lang = 'en'
+       EXCEPT SELECT source FROM documents WHERE lang = 'fr')
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT in one result frame, tagged."""
+    d = table(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("source")
+    fr = d.where(F.col("lang") == "fr").select("source")
+    both = en.intersect(fr).select(F.lit("both").alias("tag"), "source")
+    en_only = en.distinct().exceptAll(fr.distinct()).select(
+        F.lit("en_only").alias("tag"), "source"
+    )
+    return both.unionByName(en_only)

@@ -24,6 +24,7 @@ _OPERATOR_MODULES = [
     "vectordb_agentic_rag_spark.operators.scalars",
     "vectordb_agentic_rag_spark.operators.vector",
     "vectordb_agentic_rag_spark.operators.text",
+    "vectordb_agentic_rag_spark.operators.rag",
     "vectordb_agentic_rag_spark.operators.dedup",
     "vectordb_agentic_rag_spark.operators.ml",
     "vectordb_agentic_rag_spark.operators.multimodal",

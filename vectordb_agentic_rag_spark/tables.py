@@ -28,6 +28,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. No cache: each query plans its own pruned scan."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+        # outright (PARQUET_TYPE_ILLEGAL). Read nanos as int64 and floor
+        # to microseconds — the same truncation DuckDB applies, so the
+        # oracle sees identical values (FIXTURES.md: "Spark reads as µs").
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

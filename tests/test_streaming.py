@@ -1,0 +1,95 @@
+"""Structured Streaming semantics tests (SURVEY.md §5.5): live
+micro-batch runs vs their batch twins, watermark late-drop, session
+gap rules."""
+
+from pyspark.sql import functions as F
+
+
+def _key(rows, cols):
+    return {tuple(getattr(r, c) for c in cols) for r in rows}
+
+
+def test_sliding_live_equals_batch(spark, sf_dir):
+    """Complete-mode streaming sliding window == batch twin exactly."""
+    from vectordb_agentic_rag_spark.operators.streaming_batch import (
+        stream_sliding_window,
+    )
+    from vectordb_agentic_rag_spark.streaming.core import stream_sliding_live
+
+    live = _key(
+        stream_sliding_live(spark, sf_dir).collect(),
+        ["window_start", "event_type", "n"],
+    )
+    batch = _key(
+        stream_sliding_window(spark, sf_dir).collect(),
+        ["window_start", "event_type", "n"],
+    )
+    assert live == batch
+
+
+def test_watermark_drops_late_data(spark, sf_dir):
+    """Append-mode with a 10-min watermark over out-of-order file
+    replay: emitted windows are a subset of batch windows and late
+    arrivals are missing from the counts."""
+    from vectordb_agentic_rag_spark.operators.streaming_batch import (
+        stream_tumbling_count,
+    )
+    from vectordb_agentic_rag_spark.streaming.core import stream_watermark_late
+
+    live = {r.window_start: r.n for r in stream_watermark_late(spark, sf_dir).collect()}
+    batch_rows = stream_tumbling_count(spark, sf_dir).collect()
+    batch = {}
+    for r in batch_rows:
+        batch[r.window_start] = batch.get(r.window_start, 0) + r.n
+    assert set(live) <= set(batch)
+    assert all(live[w] <= batch[w] for w in live)
+    # the replay interleaves event_id % 4, so some events MUST be late
+    total_live = sum(live.values())
+    total_batch = sum(batch.values())
+    assert total_live < total_batch
+
+
+def test_stateful_dedup_counts(spark, sf_dir):
+    """Streaming dropDuplicates emits exactly the distinct keys."""
+    from vectordb_agentic_rag_spark.streaming.core import stream_stateful_dedup
+    from vectordb_agentic_rag_spark.tables import table
+
+    live = {r.event_type: r.n_keys for r in stream_stateful_dedup(spark, sf_dir).collect()}
+    expected = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert live == expected
+
+
+def test_session_window_gap_semantics(spark):
+    """Pin Spark's session_window merge rule with literal rows: an event
+    at EXACTLY gap distance merges; strictly greater splits; session
+    end = last event + gap."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=29)),          # merges (29 < 30)
+        (1, base + dt.timedelta(minutes=59)),          # merges (exactly 30)
+        (1, base + dt.timedelta(minutes=89, seconds=1)),  # splits (30m1s)
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+        .collect()
+    )
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.s)
+    assert [r.n for r in u1] == [3, 1]
+    assert u1[0].e == base + dt.timedelta(minutes=89)  # last(+59) + 30
+    assert len(by_user[2]) == 1

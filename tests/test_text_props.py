@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the text pipeline
+(SURVEY.md §5.6)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vectordb_agentic_rag_spark.operators.text import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    _STRIDE,
+    chunk_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def mk_chunks(spark):
+    def run(text: str):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(chunk_documents(df).collect(), key=lambda r: r.chunk_no)
+
+    return run
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(min_value=1, max_value=3000))
+def test_chunker_reconstruction(mk_chunks, n):
+    """Concatenating chunks with the overlap removed reproduces the
+    original text for any length (the §5.6 invariant)."""
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(n))
+    rows = mk_chunks(text)
+    rebuilt = rows[0].page_content + "".join(
+        r.page_content[CHUNK_OVERLAP:] for r in rows[1:]
+    )
+    assert rebuilt == text
+    # every chunk except possibly the last is full-size
+    assert all(r.chunk_len == CHUNK_SIZE for r in rows[:-1])
+    assert all(r.chunk_len > CHUNK_OVERLAP for r in rows) or n <= CHUNK_OVERLAP
+    # overlap really is shared text
+    for a, b in zip(rows, rows[1:]):
+        assert a.page_content[-CHUNK_OVERLAP:] == b.page_content[:CHUNK_OVERLAP]
+
+
+def test_chunker_exact_boundaries(mk_chunks):
+    """Exact-multiple and off-by-one lengths around the stride."""
+    for n, expect_chunks in [(1, 1), (200, 1), (1000, 1), (1001, 2),
+                             (1800, 2), (1801, 3)]:
+        text = "x" * n
+        rows = mk_chunks(text)
+        assert len(rows) == expect_chunks, f"len={n}"
+        assert rows[0].chunk_no == 0
+        assert [r.chunk_no for r in rows] == list(range(expect_chunks))
+
+
+def test_dedup_exact_keeps_half(spark, sf_dir):
+    """The union-with-self corpus dedups to exactly the distinct texts,
+    every hash with n_copies == 2 (idempotence of exact dedup)."""
+    from vectordb_agentic_rag_spark.operators.dedup import dedup_exact
+    from vectordb_agentic_rag_spark.tables import table
+
+    rows = dedup_exact(spark, sf_dir).collect()
+    n_distinct = (
+        table(spark, sf_dir, "documents").select("text").distinct().count()
+    )
+    assert len(rows) == n_distinct
+    assert all(r.n_copies % 2 == 0 for r in rows)
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    """Identical token sets must produce identical MinHash signatures;
+    disjoint sets must not (sanity of the hash family)."""
+    from vectordb_agentic_rag_spark.operators.dedup import _SPARK_CODES, _spark_sig
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "omega psi chi phi"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = df.select(
+        "doc_id", F.expr(_SPARK_CODES).alias("codes")
+    ).select("doc_id", *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(8)])
+    rows = {r.doc_id: tuple(r)[1:] for r in sigs.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_similar_docs_close(spark):
+    """SimHash hamming distance: identical docs -> 0; a one-token edit
+    stays within a few bits; unrelated docs are farther."""
+    from vectordb_agentic_rag_spark.operators.dedup import _SPARK_CODES, _simhash_expr
+    from pyspark.sql import functions as F
+
+    base = "spark table scan merge window batch stream query join filter"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base.replace("filter", "filters")),
+            (4, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", F.expr(_SPARK_CODES).alias("codes")
+    ).select("doc_id", F.expr(_simhash_expr("codes", True)).alias("h"))
+    h = {r.doc_id: r.h for r in out.collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h[1], h[2]) == 0
+    assert ham(h[1], h[3]) <= ham(h[1], h[4])
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    """The rolling hash must distinguish permuted token orders (unlike
+    the minhash set signature)."""
+    from pyspark.sql import functions as F
+
+    expr = (
+        "aggregate(transform(split(text, ' '), "
+        "t -> CAST(ascii(substring(t, 1, 1)) * 961 "
+        "+ ascii(substring(t, length(t), 1)) * 31 + length(t) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (h, c) -> (h * 131 + c) % 1000000007)"
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.h for r in df.select("doc_id", F.expr(expr).alias("h")).collect()}
+    assert rows[1] != rows[2]

@@ -1,0 +1,338 @@
+"""Deduplication operators — the core of any pretraining-data pipeline.
+
+The reference dedups implicitly: re-uploading the same file wipes and
+re-ingests the collection (cache invalidation, app.py:453-461). At
+100 TB dedup is a first-class batch operator family:
+
+- exact        : sha-256 grouping — one shuffle on the hash;
+- MinHash+LSH  : signature -> band -> equi-join on band key. THE scale
+                 path: candidate generation is a hash join, never O(n^2);
+- SimHash      : 16-bit fingerprint, hamming-distance pairs;
+- n-gram Jaccard: shingle sets + blocked exact Jaccard;
+- embedding    : cosine-threshold survivors (anti-join against pairs).
+
+Everything below is pure Catalyst higher-order-function SQL — the
+MinHash signatures, band keys, and SimHash bits are integer arithmetic,
+reproducible bit-for-bit on any engine (each has a DuckDB oracle twin).
+MLlib's MinHashLSH/BucketedRandomProjectionLSH cover the approximate
+vector path in operators/ml.py; here the LSH is hand-rolled precisely
+so it stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# --- shared integer-hash machinery (identical Spark SQL / DuckDB) ---
+
+P_CODE = 1_000_003  # token-code modulus
+P_HASH = 1_000_000_007  # minhash modulus
+_A = [937, 1427, 2131, 3613, 4421, 5881, 6733, 7919]
+_B = [17, 89, 233, 499, 677, 911, 1129, 1327]
+N_HASH = len(_A)
+N_BANDS = 4  # 4 bands x 2 rows: catches pairs with Jaccard >~ 0.5
+
+# Spark SQL: distinct tokens -> rolling-char-hash int64 codes
+_SPARK_CODES = (
+    "transform(array_distinct(split(text, ' ')), "
+    "t -> aggregate(split(t, ''), CAST(0 AS BIGINT), "
+    f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
+)
+# DuckDB twin (list_reduce has no seed -> prepend the 0 accumulator)
+_DUCK_CODES = (
+    "list_transform(list_distinct(string_split(text, ' ')), "
+    "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(h, c) -> (h * 31 + c) % {P_CODE}))"
+)
+
+
+def _spark_sig(i: int) -> str:
+    return f"array_min(transform(codes, c -> ({_A[i]} * c + {_B[i]}) % {P_HASH}))"
+
+
+def _duck_sig(i: int) -> str:
+    return f"list_min(list_transform(cs, c -> ({_A[i]} * c + {_B[i]}) % {P_HASH}))"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM documents)
+    SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM corpus GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via sha-256 grouping. The corpus is the documents
+    table unioned with itself — the reference's re-ingest scenario
+    (same file uploaded again, app.py:455) — so every text has exactly
+    2 copies and the keeper is min(doc_id). One hash-shuffle; at
+    100 TB this is the cheapest dedup pass and always runs first."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(d)
+    return corpus.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+_SIG_ORACLE = ",\n           ".join(
+    f"{_duck_sig(i)} AS s{i}" for i in range(N_HASH)
+)
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id, {_DUCK_CODES} AS cs FROM documents)
+    SELECT doc_id,
+           {_SIG_ORACLE}
+    FROM codes
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutation hashes over the distinct-token
+    set). min((a*code+b) mod p) approximates set membership under a
+    random permutation; equal components estimate Jaccard. Pure map
+    pass, no shuffle, int64-exact."""
+    d = table(spark, sf_dir, "documents")
+    df = d.select("doc_id", F.expr(_SPARK_CODES).alias("codes"))
+    return df.select(
+        "doc_id", *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(N_HASH)]
+    )
+
+
+def _band_cols_spark() -> list:
+    """band_key_j = s_{2j} * P + s_{2j+1} (fits int64: s < 1e9+7)."""
+    return [
+        F.struct(
+            F.lit(j).alias("band_no"),
+            (F.col(f"s{2 * j}") * P_HASH + F.col(f"s{2 * j + 1}")).alias("band_key"),
+        )
+        for j in range(N_BANDS)
+    ]
+
+
+_DUCK_BANDS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, t, {j} AS band_no, s{2 * j} * {P_HASH} + s{2 * j + 1} AS band_key FROM sigs"
+    for j in range(N_BANDS)
+)
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+    codes AS (
+      SELECT doc_id, t, {_DUCK_CODES} AS cs FROM (SELECT doc_id, t, array_to_string(t, ' ') AS text FROM toks) z),
+    sigs AS (
+      SELECT doc_id, t, {_SIG_ORACLE} FROM codes),
+    bands AS (
+      {_DUCK_BANDS}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_no = y.band_no AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+                 / len(list_distinct(ta.t || tb.t)), 6) AS jac
+    FROM cand c JOIN toks ta ON c.doc_a = ta.doc_id
+                JOIN toks tb ON c.doc_b = tb.doc_id
+    WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+          / len(list_distinct(ta.t || tb.t)) >= 0.7
+    """,
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup join: signatures -> 4 band keys ->
+    EQUI-join on (band_no, band_key) for candidates -> exact Jaccard
+    verify >= 0.7. The banding join is what survives 100 TB: candidate
+    generation is a shuffle on band_key (skew-safe under AQE), never a
+    cross product. The exact-Jaccard verify only touches candidates.
+
+    NOTE on distinct-token normalization: both sides compute codes from
+    the sorted-distinct token set (the oracle rebuilds text from the
+    distinct list), so signature parity is exact."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    # recompute codes from the distinct-token list (order-insensitive
+    # min() makes the token order irrelevant anyway)
+    codes = toks.select(
+        "doc_id",
+        "t",
+        F.expr(
+            "transform(t, tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
+            f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
+        ).alias("codes"),
+    )
+    sigs = codes.select(
+        "doc_id", "t", *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(N_HASH)]
+    )
+    bands = sigs.select(
+        "doc_id", "t", F.explode(F.array(*_band_cols_spark())).alias("band")
+    ).select("doc_id", "t", "band.band_no", "band.band_key")
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"), "band_no", "band_key"
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"), "band_no", "band_key"
+    )
+    cand = (
+        x.join(y, ["band_no", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        cand.where(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+    )
+
+
+def _simhash_expr(codes_col: str, spark_side: bool) -> str:
+    """16-bit SimHash: bit j set iff sum over token codes of
+    (+1 if bit j of code else -1) >= 0. Generated per-bit SQL keeps
+    both engines on the same exact integer path."""
+    terms = []
+    for j in range(16):
+        if spark_side:
+            vote = (
+                f"aggregate({codes_col}, 0, (s, c) -> s + "
+                f"(CASE WHEN (c >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+            )
+        else:
+            vote = (
+                f"list_reduce(list_prepend(0, list_transform({codes_col}, "
+                f"c -> CASE WHEN (c >> {j}) & 1 = 1 THEN 1 ELSE -1 END)), "
+                "(s, v) -> s + v)"
+            )
+        terms.append(f"(CASE WHEN {vote} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id, {_DUCK_CODES} AS cs FROM documents)
+    SELECT doc_id, {_simhash_expr('cs', spark_side=False)} AS simhash
+    FROM codes
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (16-bit here; 64-bit at scale is
+    the same expression). Near-dups differ in few bits -> hamming-
+    distance join on the fingerprints (see test for the pair check);
+    the scale path blocks on fingerprint bytes (multi-mask banding)."""
+    d = table(spark, sf_dir, "documents")
+    df = d.select("doc_id", F.expr(_SPARK_CODES).alias("codes"))
+    return df.select(
+        "doc_id", F.expr(_simhash_expr("codes", spark_side=True)).alias("simhash")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
+                              list_extract(string_split(text, ' '), i + 1),
+                              list_extract(string_split(text, ' '), i + 2)))) AS g
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(a.g || b.g)), 6) AS jac
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / len(list_distinct(a.g || b.g)) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram (shingle) Jaccard near-dup pairs with blocking on
+    (lang, length-bucket): candidates are an equi-join within blocks —
+    the classic sorted-neighborhood trick that keeps the pair count
+    linear-ish at scale. Shingles are far more selective than token
+    sets, so the 0.2 threshold is a real near-dup signal on this
+    corpus."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("int").alias("len_bucket"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                "element_at(split(text, ' '), i + 1), "
+                "element_at(split(text, ' '), i + 2)))"
+            )
+        ).alias("g"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("g").alias("ga")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("len_bucket_b"),
+        F.col("g").alias("gb"),
+    )
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.len_bucket == b.len_bucket_b)
+            & (a.doc_a < b.doc_b),
+        )
+        .where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+    )
+
+
+@query(
+    "dedup_near_embedding",
+    oracle="""
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings a
+      WHERE a.vec_id < e.vec_id
+        AND list_dot_product(a.embedding::DOUBLE[], e.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) >= 0.4)
+    """,
+)
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal: keep a vector iff no lower-id
+    vector is cosine-similar (>= 0.4). Keep-first semantics make the
+    result deterministic without connected components. Exact pairs
+    here; at 100 TB candidates come from the LSH bucket join
+    (operators/ml.py vec_lsh_ann) instead of the theta join."""
+    from .vector import join_similarity_theta
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = join_similarity_theta(spark, sf_dir).select(
+        F.col("vec_id_b").alias("dup_id")
+    )
+    return (
+        emb.join(pairs, emb.vec_id == pairs.dup_id, "left_anti")
+        .select("vec_id", "label")
+    )

@@ -1,0 +1,252 @@
+"""ML-backed operators: deterministic embeddings, approximate-NN paths,
+and the MMR re-rank — the reference's retrieval stack re-expressed for
+batch scale (SURVEY.md §7 step 5).
+
+The reference calls Cohere for embeddings (app.py:70) and Qdrant's HNSW
+for ANN (app.py:271). Batch Spark replaces them with:
+
+- text_tfidf_embed    : HashingTF+IDF — a deterministic, distributed
+                        featurizer (the IDF fit is the one global agg);
+- text_termfreq_embed : pure-SQL fixed-vocab term-frequency vector with
+                        a DuckDB oracle (exact integer counts);
+- vec_lsh_ann         : BucketedRandomProjectionLSH similarity join —
+                        the 100 TB ANN path (bucket equi-join, not a
+                        cross product); recall vs exact is pinned in
+                        tests/test_ml.py;
+- vec_ivf_ann         : IVF-style KMeans partitioning + probe-2
+                        centroids — the other standard batch-ANN shape;
+- vec_mmr_rerank      : exact port of the reference's MMR
+                        (fetch_k=20, k=5, lambda=0.5, app.py:264-266)
+                        as an applyInPandas over the tiny candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+from ..registry import query
+from ..tables import table
+
+# fixed 32-token vocabulary for the oracle-checkable TF embedding
+_VOCAB = [
+    "spark", "table", "scan", "merge", "window", "batch", "stream", "query",
+    "join", "filter", "group", "sort", "agg", "hash", "vector", "column",
+    "row", "line", "data", "key", "value", "order", "part", "customer",
+    "fast", "slow", "big", "small", "the", "a", "slowly", "quickly",
+]
+
+
+@query(
+    "text_termfreq_embed",
+    oracle=f"""
+    SELECT doc_id,
+           list_transform({_VOCAB!r}::VARCHAR[],
+             v -> CAST(len(list_filter(string_split(text, ' '), t -> t = v)) AS BIGINT)) AS tf
+    FROM documents
+    """,
+)
+def text_termfreq_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus embedding, exact-arithmetic variant: a
+    32-dim term-frequency vector over a fixed vocabulary. Integer
+    counts => bit-exact oracle. One map pass; the vocab broadcast is a
+    literal."""
+    d = table(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(v) for v in _VOCAB])
+    toks = F.split("text", " ")
+    tf = F.transform(
+        vocab, lambda v: F.size(F.filter(toks, lambda t: t == v)).cast("long")
+    )
+    return d.select("doc_id", tf.alias("tf"))
+
+
+@query("text_tfidf_embed")  # rows-only: MLlib murmur hashing isn't SQL
+def text_tfidf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingTF(64) + IDF — the engine's stand-in for the reference's
+    Cohere embed-english-v3.0 (app.py:70): deterministic (murmur3 +
+    closed-form idf), distributed, one global aggregate (the IDF
+    document-frequency reduce) exactly as SURVEY §3.1 plans the ingest
+    path. Values rounded to 6 for stable hashing."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(d)
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=64).transform(toks)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf.transform(tf)
+    return out.select(
+        "doc_id",
+        F.transform(
+            vector_to_array("tfidf"), lambda x: F.round(x, 6)
+        ).alias("tfidf"),
+    )
+
+
+def _queries_and_corpus(spark: SparkSession, sf_dir: str, n_q: int = 10):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.where(F.col("vec_id") >= n_q)
+    return q, corpus
+
+
+@query("vec_lsh_ann")  # rows-only: LSH bucketing isn't SQL-expressible
+def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via BucketedRandomProjectionLSH (seed pinned):
+    queries x corpus approxSimilarityJoin on euclidean distance, then
+    window top-3 per query. At 100 TB the join is an equi-join on
+    (hash-table, bucket) pairs — candidates only, never all pairs.
+    Recall vs the exact top-k is asserted >= 0.6 in tests/test_ml.py
+    (brute force stays the oracle; LSH is the scale path)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    q, corpus = _queries_and_corpus(spark, sf_dir)
+    qv = q.select("query_id", array_to_vector("qv").alias("features"))
+    cv = corpus.select("vec_id", array_to_vector("embedding").alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    ).fit(cv)
+    joined = lsh.approxSimilarityJoin(qv, cv, threshold=8.0, distCol="dist")
+    flat = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round("dist", 6).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return flat.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+@query("vec_ivf_ann")  # rows-only: KMeans model isn't SQL-expressible
+def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: KMeans(16, seed=42) partitions the corpus into
+    inverted lists; each query probes its 6 nearest centroids and
+    brute-forces only those lists (~3/8 of the corpus -> recall ~0.83
+    on this weakly-clustered synthetic data; tighter clusters allow
+    fewer probes). This is the batch shape of FAISS-IVF: centroid
+    table broadcast, corpus shuffled once by list id, per-list exact
+    search."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    q, corpus = _queries_and_corpus(spark, sf_dir)
+    cv = corpus.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(k=16, seed=42, featuresCol="features").fit(cv)
+    assigned = km.transform(cv).select(
+        "vec_id", "embedding", F.col("prediction").alias("list_id")
+    )
+    # centroid table is tiny: broadcast to assign query probes
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    q_cent = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cdist", -cosine(F.col("qv"), F.col("centroid")))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("cdist", "list_id")
+    probes = (
+        q_cent.withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= 6)
+        .select("query_id", "qv", "list_id")
+    )
+    cands = probes.join(assigned, "list_id")
+    sim = F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+    w_nn = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w_nn))
+        .where(F.col("rn") <= 3)
+    )
+
+
+def mmr_select(
+    cand: list[tuple[int, list[float], float]], k: int, lam: float
+) -> list[tuple[int, float]]:
+    """Greedy Maximal-Marginal-Relevance on a candidate list
+    [(vec_id, embedding, sim_to_query)] — the exact algorithm behind
+    the reference's search_type="mmr" (app.py:261-268): pick
+    argmax( lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s) ), ties by
+    lowest vec_id. Driver/executor-local: candidates are <= fetch_k."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    out: list[tuple[int, float]] = []
+    selected_embs: list[list[float]] = []
+    remaining = sorted(cand, key=lambda t: (-t[2], t[0]))
+    while remaining and len(out) < k:
+        best = None  # (score, vec_id, embedding)
+        for vid, emb, sim in remaining:
+            red = max((cos(emb, se) for se in selected_embs), default=0.0)
+            score = lam * sim - (1 - lam) * red
+            if best is None or score > best[0] or (score == best[0] and vid < best[1]):
+                best = (score, vid, emb)
+        out.append((best[1], round(best[0], 6)))
+        selected_embs.append(best[2])
+        remaining = [c for c in remaining if c[0] != best[1]]
+    return out
+
+
+@query("vec_mmr_rerank")  # rows-only: greedy iterative algorithm
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 port (perform_vector_search, app.py:256-296): fetch_k=20
+    candidates by cosine vs query vec_id=0, then greedy MMR with
+    lambda=0.5 down to k=5. Candidate fetch is the scalable
+    TakeOrderedAndProject; the greedy loop runs in applyInPandas over
+    one 20-row group per query — O(k*fetch_k) work on <=fetch_k rows,
+    never the corpus. Deterministic: ties broken on vec_id."""
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(20)
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (int(r.vec_id), [float(x) for x in r.embedding], float(r.sim))
+            for r in pdf.itertuples()
+        ]
+        rows.sort(key=lambda t: (-t[2], t[0]))
+        picked = mmr_select(rows, k=5, lam=0.5)
+        return pd.DataFrame(
+            {
+                "query_id": [int(pdf.query_id.iloc[0])] * len(picked),
+                "vec_id": [p[0] for p in picked],
+                "mmr_score": [p[1] for p in picked],
+                "rank": list(range(1, len(picked) + 1)),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        rerank, "query_id int, vec_id bigint, mmr_score double, rank int"
+    )

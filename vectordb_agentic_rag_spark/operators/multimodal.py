@@ -1,0 +1,135 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata
+flowing through relational plans (north-star requirement).
+
+Pattern for 100 TB multimodal tables: the payload is a `binary` column
+(or a pointer to object storage), metadata is typed struct/map columns,
+and decode/feature-extraction runs as Arrow-batched Pandas UDFs via
+mapInPandas — executors stream record batches, the payload never
+touches the driver. Image/audio codecs are not in this container, so
+the decode step is STUBBED (deterministic fake features /
+NotImplementedError — clearly marked below); the Spark-side plumbing
+(schema, batch iteration, UDF signatures, partitioning) is real and
+tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "multimodal_columns",
+    oracle="""
+    SELECT d.doc_id, d.lang, len(e.embedding) AS dim,
+           d.source AS meta_source,
+           CAST(d.n_chars AS BIGINT) AS meta_chars,
+           e.label AS cls
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars > 300 AND e.label IN (1, 2, 3)
+    """,
+)
+def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One table carrying text + vector + scalar + map columns through
+    project/filter/join: documents x embeddings zipped on id, metadata
+    packed into a map then extracted back (exercises nested-type
+    plumbing end-to-end; the oracle checks the flattened values)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).where(
+        (F.col("n_chars") > 300) & F.col("label").isin(1, 2, 3)
+    )
+    # pack metadata into a map column, then pull fields back out —
+    # the round trip is the point (MapType survives the plan)
+    meta = F.create_map(
+        F.lit("source"), F.col("source"),
+        F.lit("chars"), F.col("n_chars").cast("string"),
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        F.size("embedding").alias("dim"),
+        meta.getItem("source").alias("meta_source"),
+        meta.getItem("chars").cast("bigint").alias("meta_chars"),
+        F.col("label").alias("cls"),
+    )
+
+
+def fake_decode_features(payload: bytes) -> list[int]:
+    """STUB decoder: deterministic fake features from raw bytes.
+    A real deployment replaces this body with PIL/librosa/ffmpeg decode
+    (not available in this container — see decode_image below); the
+    function signature and the Arrow batch path around it are the real
+    contract."""
+    n = len(payload)
+    first = payload[0] if n else 0
+    last = payload[-1] if n else 0
+    return [n % 251, first % 17, last % 13, (n * 31 + first) % 97]
+
+
+@query(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5,
+           [CAST(octet_length(encode(text)) % 251 AS BIGINT),
+            CAST(ascii(substring(text, 1, 1)) % 17 AS BIGINT),
+            CAST(ascii(substring(text, length(text), 1)) % 13 AS BIGINT),
+            CAST((octet_length(encode(text)) * 31 + ascii(substring(text, 1, 1))) % 97 AS BIGINT)
+           ] AS features
+    FROM documents
+    """,
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through mapInPandas: documents'
+    text re-encoded as a binary column stands in for image/audio bytes;
+    the Pandas UDF iterates Arrow record batches and emits fixed-shape
+    feature vectors. The fake features are integer functions of the
+    bytes, so the DuckDB oracle reproduces them exactly — proving the
+    Python batch path computes precisely what it should."""
+    import hashlib
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(p) for p in payloads],
+                    "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "features": [fake_decode_features(p) for p in payloads],
+                }
+            )
+
+    return d.mapInPandas(
+        extract,
+        "doc_id bigint, byte_len bigint, payload_md5 string, features array<bigint>",
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — NOT available in this container (no PIL/cv2).
+    Kept as the clearly-marked extension point; callers get a loud
+    failure instead of silent wrong data."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decode requires PIL; container provides none. "
+            "Plumbing is exercised via fake_decode_features instead."
+        ) from e

@@ -1,0 +1,188 @@
+"""Scalar-function suites: string / date / math / array / map / JSON.
+
+The reference's scalar usage is lower/split/len/slice/upper/concat
+(app.py:116-118, 284-293, 545). Each suite exercises a family of
+built-ins end-to-end with the cross-engine gotchas handled explicitly
+(documented inline — they're the difference between a passing and a
+flaky oracle). All row-level, all codegen'd, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "scalar_string_suite",
+    oracle="""
+    SELECT doc_id,
+           lower(substring(text, 1, 20)) AS head_lower,
+           upper(source) AS src_upper,
+           length(text) AS n_len,
+           concat_ws('|', lang, source) AS lang_src,
+           trim(concat('  ', substring(text, 1, 10), '  ')) AS trimmed,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           contains(text, 'spark') AS has_spark,
+           replace(substring(text, 1, 30), ' ', '_') AS snake_head,
+           lpad(lang, 5, '.') AS lang_pad
+    FROM documents
+    """,
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String built-ins over documents.text (R9/R16's lower/upper/
+    slice/concat, app.py:116,284,545)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("head_lower"),
+        F.upper("source").alias("src_upper"),
+        F.length("text").alias("n_len"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.trim(F.concat(F.lit("  "), F.substring("text", 1, 10), F.lit("  "))).alias("trimmed"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        (F.instr("text", "spark") > 0).alias("has_spark"),
+        F.replace(F.substring("text", 1, 30), F.lit(" "), F.lit("_")).alias("snake_head"),
+        F.lpad("lang", 5, ".").alias("lang_pad"),
+    )
+
+
+@query(
+    "scalar_date_suite",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mon,
+           day(o_orderdate) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           isodow(o_orderdate) AS iso_dow,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end
+    FROM orders
+    """,
+)
+def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time built-ins over o_orderdate. Cross-engine notes:
+    DuckDB datediff takes (part, start, end) while Spark datediff is
+    (end, start); Spark weekday() is 0=Mon so +1 == DuckDB isodow;
+    date_add yields DATE in Spark but TIMESTAMP+INTERVAL in DuckDB,
+    so both casts are explicit."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_2002"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@query(
+    "scalar_math_suite",
+    oracle="""
+    SELECT p_partkey,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE) AS price_up,
+           abs(p_size - 25) AS size_dev,
+           round(sqrt(p_size), 6) AS size_sqrt,
+           round(ln(p_retailprice), 6) AS price_ln,
+           CAST(power(p_size, 2) AS BIGINT) AS size_sq,
+           p_size % 7 AS size_mod,
+           CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_floor,
+           greatest(p_size, 10) AS size_floor10,
+           least(p_size, 40) AS size_cap40
+    FROM part
+    """,
+)
+def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins over part. Money multiply routed through DECIMAL
+    (engine round() on doubles differs at ties); transcendentals
+    (sqrt/ln) rounded to 6 — libm vs JVM can differ in the last ulp
+    but never at 1e-6 scale for these inputs."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(2,1)"), 2)
+        .cast("double")
+        .alias("price_up"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.sqrt("p_size"), 6).alias("size_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.pow("p_size", 2).cast("bigint").alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.ceil(F.col("p_retailprice") / 100).cast("bigint").alias("price_ceil"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_floor"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.least("p_size", F.lit(40)).alias("size_cap40"),
+    )
+
+
+@query(
+    "scalar_array_map_suite",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS first3,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val,
+           len(list_filter(embedding, x -> x > 0.2)) AS n_gt02,
+           len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_gt02,
+           list_transform(list_reverse(list_sort(list_transform(embedding[1:5],
+               x -> round(CAST(x AS DOUBLE), 6)))), x -> x) AS head_sorted_desc
+    FROM embeddings
+    """,
+)
+def scalar_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column: size,
+    slice, transform, filter, exists, sort — the toolkit every vector
+    operator builds on."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.transform(F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 6)).alias("first3"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("max_val"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("min_val"),
+        F.size(F.filter(emb, lambda x: x > 0.2)).alias("n_gt02"),
+        F.exists(emb, lambda x: x > 0.2).alias("has_gt02"),
+        F.reverse(
+            F.sort_array(F.transform(F.slice(emb, 1, 5), lambda x: F.round(x.cast("double"), 6)))
+        ).alias("head_sorted_desc"),
+    )
+
+
+@query(
+    "scalar_json_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           json_extract_string(props, '$.k') AS k_str,
+           len(json_keys(props)) AS n_keys,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing_val,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 40 AND 60 AS k_mid
+    FROM events
+    """,
+)
+def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props: string path extraction, typed
+    cast, key enumeration via from_json to a map, missing-key NULL
+    semantics (both engines yield NULL, not an error)."""
+    ev = table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k_str.cast("int").alias("k_val"),
+        k_str.alias("k_str"),
+        F.size(F.map_keys(F.from_json("props", "map<string,bigint>"))).alias("n_keys"),
+        F.get_json_object("props", "$.missing").cast("int").alias("missing_val"),
+        k_str.cast("int").between(40, 60).alias("k_mid"),
+    )

@@ -46,6 +46,25 @@ def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     )
 
 
+def _query_vector_literal(sf_dir: str, vec_id: int = 0):
+    """Fetch one query vector as a plan literal via a driver-side pyarrow
+    point read (~ms). A single query vector is a query *parameter*, not
+    data: inlining it keeps the whole kNN a one-job, zero-shuffle scan
+    even on a 100 TB corpus (a broadcast of a 1-row DataFrame costs an
+    extra Spark job just to build the broadcast relation)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    vec = t.column("embedding")[0].as_py()
+    # one F.expr call, not 64 F.lit py4j roundtrips (plan build was the
+    # bottleneck at bench time); repr() round-trips doubles exactly
+    return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")")
+
+
 @query(
     "vec_norm_dot",
     oracle=f"""
@@ -85,19 +104,19 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: batch kNN, k=5 cosine vs vec_id=0 (reference k=5,
     app.py:264; cosine metric app.py:87).
 
-    Plan shape at scale: parquet scan -> broadcast 1-row query ->
-    codegen'd cosine column -> TakeOrderedAndProject(limit=5). The
-    corpus is never shuffled; each partition emits <=5 candidates.
-    Ties broken on vec_id for determinism.
+    Plan shape at scale: parquet scan -> codegen'd cosine column against
+    the *inlined* query vector (see _query_vector_literal) ->
+    TakeOrderedAndProject(limit=5). One job, zero shuffles, zero
+    broadcasts; each partition emits <=5 candidates. Ties broken on
+    vec_id for determinism.
     """
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qv = _query_vector_literal(sf_dir, 0)
     return (
         emb.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+            F.round(cosine(F.col("embedding"), qv), 6).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)

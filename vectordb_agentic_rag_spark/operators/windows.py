@@ -1,0 +1,164 @@
+"""Window-function operators (SURVEY.md §2B).
+
+The reference's windowing is implicit: the chat-memory sliding window
+keeps the last 10 messages (app.py:113) and retrieval keeps per-query
+top-k (app.py:264). These operators give the full analytic-window
+surface. Scale note: every window here partitions by a key (user_id /
+order key), so the only exchange is one hash partition — the frame
+computation is local to each partition. Unpartitioned ordered windows
+(running totals over a global order) use a range exchange; at 100 TB
+you'd pre-aggregate per day first, which is how win_running_total_range
+is phrased.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "win_rank_topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, rn FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def win_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 events per user (BASELINE.md win_rank_events; the R10
+    'last N messages' analogue, app.py:113). row_number over a unique
+    (ts, event_id) order for determinism."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "ts", "event_type", "rn")
+    )
+
+
+@query(
+    "win_lag_lead_delta",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER w AS prev_ts,
+           lead(ts) OVER w AS next_ts,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user via lag/lead. Gap computed in exact
+    integer microseconds (unix_micros == DuckDB epoch_us) — never
+    float seconds, which would be precision-lossy at ns-scale inputs."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        prev_ts.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.unix_micros("ts") - F.unix_micros(prev_ts)).alias("gap_us"),
+    )
+
+
+@query(
+    "win_moving_avg_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                      OVER w AS DOUBLE) / count(*) OVER w, 6) AS mov_avg_7
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of event value per user. DECIMAL sum inside
+    the frame keeps the result order-independent and oracle-exact."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("*").over(w),
+            6,
+        ).alias("mov_avg_7"),
+    )
+
+
+@query(
+    "win_running_total_range",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      OVER (ORDER BY o_orderdate
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS running_rev
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    """,
+)
+def win_running_total_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue by order date with a RANGE frame: same-date orders
+    are peers and contribute together (standard RANGE semantics, both
+    engines). Globally-ordered window => range exchange; the filter
+    bounds the data, and at 100 TB this becomes per-day pre-aggregation
+    + a tiny ordered window over days."""
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    w = (
+        Window.orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias("running_rev"),
+    )
+
+
+@query(
+    "win_ntile_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_size,
+           rank() OVER (ORDER BY p_size) AS rnk,
+           dense_rank() OVER (ORDER BY p_size) AS drnk,
+           ntile(4) OVER (ORDER BY p_size, p_partkey) AS quartile
+    FROM part
+    """,
+)
+def win_ntile_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over p_size (real ties exercise the gap vs no-gap
+    semantics); ntile over a unique order so bucket assignment is
+    deterministic."""
+    p = table(spark, sf_dir, "part")
+    w_ties = Window.orderBy("p_size")
+    w_uniq = Window.orderBy("p_size", "p_partkey")
+    return p.select(
+        "p_partkey",
+        "p_size",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_uniq).alias("quartile"),
+    )

@@ -29,6 +29,8 @@ _OPERATOR_MODULES = [
     "vectordb_agentic_rag_spark.operators.ml",
     "vectordb_agentic_rag_spark.operators.multimodal",
     "vectordb_agentic_rag_spark.operators.streaming_batch",
+    "vectordb_agentic_rag_spark.streaming.core",
+    "vectordb_agentic_rag_spark.sources.readers",
 ]
 
 

@@ -24,6 +24,8 @@ def get_spark(app_name: str = "vectordb-rag-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # local mode: tasks are always PROCESS_LOCAL — don't wait for locality
+        .config("spark.locality.wait", "0")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

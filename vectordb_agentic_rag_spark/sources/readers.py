@@ -1,0 +1,121 @@
+"""File-format sources/sinks: CSV, JSON-lines, raw text, binary files.
+
+The reference ingests pdf/docx/txt uploads through driver-local
+tempfiles (app.py:162-164); the engine's sources are distributed scans
+with explicit schemas (never runtime inference in production paths —
+schema inference is a full extra pass at 100 TB). Each roundtrip op
+writes a fixture slice in the target format and reads it back; the
+DuckDB oracle runs on the ORIGINAL table, so the check proves the
+format encode/decode is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+_SCRATCH = "/root/repo/_scratch/sources"
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> CSV (header) -> read back with an explicit schema.
+    Doubles round-trip exactly (Spark writes shortest-roundtrip repr)."""
+    out = f"{_SCRATCH}/customer_csv"
+    c = table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ).option("header", True).csv(out)
+
+
+@query(
+    "source_jsonl_roundtrip",
+    oracle="SELECT event_id, user_id, event_type, ts FROM events",
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> JSON lines -> read back. Timestamps travel as exact
+    integer microseconds (ISO-string round-trips invite tz/precision
+    drift; int64 is lossless by construction)."""
+    out = f"{_SCRATCH}/events_jsonl"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, ts_us bigint"
+    ).json(out)
+    return back.select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+    )
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT CAST(split_part(line, '|', 1) AS BIGINT) AS doc_id,
+           split_part(line, '|', 2) AS lang
+    FROM (SELECT doc_id || '|' || lang AS line FROM documents) t
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source (spark.read.text) + delimiter parsing — the R3
+    analogue (txt ingest with parse-in-engine, app.py:145-158)."""
+    out = f"{_SCRATCH}/docs_txt"
+    d = table(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "lang").alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.select(
+        F.split_part("value", F.lit("|"), F.lit(1)).cast("bigint").alias("doc_id"),
+        F.split_part("value", F.lit("|"), F.lit(2)).alias("lang"),
+    )
+
+
+@query(
+    "source_binary_files",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the engine's path for opaque documents
+    (pdf/docx bytes in the reference, app.py:123-143; image/audio blobs
+    at scale). Writes 20 docs as individual .txt files, scans them back
+    as (path, content: binary), parses doc_id from the filename, and
+    fingerprints the bytes. Oracle runs on the original rows: proves
+    the file write/scan is byte-lossless."""
+    import os
+    import shutil
+
+    out = f"{_SCRATCH}/binary_docs"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()  # 20 tiny rows — sink setup, not a data-path collect
+    )
+    for r in rows:
+        with open(f"{out}/doc_{r.doc_id:05d}.txt", "w", encoding="utf-8") as f:
+            f.write(r.text)
+    binf = spark.read.format("binaryFile").load(f"{out}/*.txt")
+    return binf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.md5("content").alias("content_md5"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )

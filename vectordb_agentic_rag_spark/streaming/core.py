@@ -1,0 +1,126 @@
+"""Live Structured Streaming operators over a file-source event stream.
+
+The reference's streaming is the chat loop: messages append to state
+and answers stream incrementally (app.py:512-586). The engine's analogue
+is real Structured Streaming: the events fixture is replayed as
+micro-batches (one parquet file per trigger, deterministic order), so
+watermarks, late-data drops, and stateful dedup behave exactly as they
+would on a live source — but reproducibly.
+
+These are the genuinely non-SQL-expressible ops (driver runs rows-only
+checks); their windowing *semantics* are oracle-checked through the
+batch twins in operators/streaming_batch.py, and the late-data behavior
+is pinned by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+_SCRATCH = "/root/repo/_scratch/stream"
+
+
+def replay_events_as_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Split events into n parquet files keyed by event_id % n and write
+    them in order. Because event time correlates with event_id only
+    loosely, every file after the first contains timestamps older than
+    the running max — genuine late data for the watermark to drop."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{_SCRATCH}/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    for i in range(n_files):
+        (
+            ev.where(F.col("event_id") % n_files == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_{i:02d}")
+        )
+    return out
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over the replayed batches, one file per
+    micro-batch trigger."""
+    ev_schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/batch_*")
+    )
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+@query("stream_watermark_late")  # rows-only: streaming, not SQL-expressible
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour count with a 10-minute watermark over the
+    replayed micro-batches, append mode: only windows the watermark has
+    closed are emitted, and events older than the watermark are dropped
+    on arrival (app-level semantics the reference approximates with its
+    sliding chat memory). Deterministic because the file replay order
+    is fixed."""
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    _run_to_memory(agg, "wm_late", "append")
+    return spark.table("wm_late")
+
+
+@query("stream_stateful_dedup")  # rows-only: streaming state store
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): the state
+    store keeps first-arrival keys across micro-batches. Emitted row
+    count == distinct key count (the batch twin stream_dedup_batch
+    oracle-checks that number)."""
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src)
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    _run_to_memory(deduped, "dedup_stream", "append")
+    return (
+        spark.table("dedup_stream")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+@query("stream_sliding_live")  # rows-only: streaming twin of stream_sliding_window
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sliding-window count (1h window / 15m slide) in complete
+    mode — the streaming execution of the oracle-checked batch twin.
+    Complete mode keeps all windows so the final table equals the batch
+    result exactly (asserted in tests/test_streaming.py)."""
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    _run_to_memory(agg, "slide_live", "complete")
+    return spark.table("slide_live")

@@ -24,8 +24,25 @@ TABLES = [
 ]
 
 
+# memoized logical plans: DataFrames are immutable, so handing the same
+# scan plan to every query is safe and skips repeated parquet-footer
+# schema reads (a py4j + filesystem roundtrip per call). Catalyst still
+# prunes columns/filters per query — this caches the *plan root*, not data.
+_scan_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. No cache: each query plans its own pruned scan."""
+    """Scan one fixture table (memoized per session)."""
+    key = (id(spark), sf_dir, name)
+    cached = _scan_cache.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _scan_cache[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     if name == "events":

@@ -1,0 +1,105 @@
+"""Physical-plan audit: the plans Catalyst picks must be the plans we
+designed for 100 TB (SURVEY.md §4).  A correctness-green operator whose
+plan degrades (lost pushdown, accidental cartesian, broadcast missing)
+is a scale regression even when sf0.001 results still match — these
+tests pin the plan shape itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vectordb_agentic_rag_spark import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ops():
+    load_all_operators()
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    plan = plan_of(QUERIES["scan_projection_pushdown"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]" in plan
+    # column pruning: ReadSchema carries exactly the 3 projected columns
+    # (integer widths differ between scale factors — match names only)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert cols == ["l_orderkey", "l_linenumber", "l_quantity"]
+
+
+def test_filter_pred_pushdown(spark, sf_dir):
+    plan = plan_of(QUERIES["filter_pred"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    for f in ("GreaterThan(o_totalprice,150000", "In(o_orderstatus"):
+        assert f in plan, f"missing pushed filter {f}"
+
+
+def test_join_broadcast_is_broadcast_hash(spark, sf_dir):
+    plan = plan_of(QUERIES["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["topk_global"](spark, sf_dir))
+    # ORDER BY + LIMIT must plan as per-partition partial top-k, not a
+    # global sort (a global sort of 100 TB for a top-20 is the classic
+    # scale bug).
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_agg_is_partial_plus_final(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_hash_group"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
+    assert "partial_sum" in plan
+    # group-key exchange only — no wide row shuffle before partial agg
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_semi_anti_stay_joins(spark, sf_dir):
+    for op, kind in (("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")):
+        plan = plan_of(QUERIES[op](spark, sf_dir))
+        assert kind in plan, f"{op} lost its {kind} join type"
+
+
+def test_vec_topk_no_python_udf(spark, sf_dir):
+    # cosine top-k must stay JVM-side: higher-order functions, then
+    # TakeOrderedAndProject. Python/Pandas UDFs here would put an Arrow
+    # exchange in the per-row hot path.
+    plan = plan_of(QUERIES["vec_cosine_topk"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_similarity_theta_join_prefilters_norms(spark, sf_dir):
+    # the exact similarity self-join must at minimum prune columns to
+    # (id, embedding)-shaped inputs before the quadratic stage
+    plan = plan_of(QUERIES["join_similarity_theta"](spark, sf_dir))
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_window_topk_partitions_by_group(spark, sf_dir):
+    plan = plan_of(QUERIES["win_rank_topk_per_group"](spark, sf_dir))
+    # partitioned window — a global (unpartitioned) window would move
+    # all 100 TB to one task
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_chunker_stays_sql(spark, sf_dir):
+    plan = plan_of(QUERIES["text_chunk_fixed_overlap"](spark, sf_dir))
+    assert "Generate" in plan  # codegen'd explode of the chunk windows
+    assert "BatchEvalPython" not in plan

@@ -12,9 +12,10 @@ physical plan:
   partial (map-side) + final hash aggregation automatically;
 - top-k is ORDER BY + LIMIT => TakeOrderedAndProject (per-partition
   partial top-k; only k rows per partition reach the driver);
-- money aggregates cast to DECIMAL before summing: exact arithmetic is
-  order-independent, so results are bit-stable under any partitioning
-  AND hash-match the DuckDB oracle (FIXTURES.md parity rules).
+- money aggregates sum exact integer cents (functions.money): exact
+  arithmetic is order-independent, so results are bit-stable under any
+  partitioning AND hash-match the DuckDB oracle (FIXTURES.md parity
+  rules).
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import cents, cents_to_dollars
 from ..registry import query
 from ..tables import table
 
@@ -190,10 +192,7 @@ def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double") / 100,
-                2,
-            ).alias("rev"),
+            cents_to_dollars(F.sum(cents("o_totalprice"))).alias("rev"),
         )
     )
 
@@ -331,22 +330,22 @@ def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Money columns are 2-decimal values stored as double (verified: all
     of quantity/price*100/discount*100 are integral), so the sums run
-    in *integer cents* — exact => order-independent under any
-    partitioning, bit-equal to the oracle, and ~2x faster than DECIMAL
-    aggregation (measured 433 vs 951 ms at sf0.1). Spark executes this
-    as partial hash agg (map side) + final hash agg after a 6-group
-    shuffle — the canonical scalable aggregation shape.
+    in *integer cents* (functions.money) — exact => order-independent
+    under any partitioning, bit-equal to the oracle, and ~2x faster
+    than DECIMAL aggregation. Spark executes this as partial hash agg
+    (map side) + final hash agg after a 6-group shuffle — the
+    canonical scalable aggregation shape.
     """
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
     )
     qty = F.col("l_quantity").cast("bigint")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    price_c = cents("l_extendedprice")
+    disc_bp = cents("l_discount")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).cast("double").alias("sum_qty"),
-        F.round(F.sum(cents).cast("double") / 100, 2).alias("sum_base"),
-        F.round(F.sum(cents * (100 - disc_bp)).cast("double") / 10000, 4).alias("sum_disc"),
+        cents_to_dollars(F.sum(price_c)).alias("sum_base"),
+        F.round(F.sum(price_c * (100 - disc_bp)).cast("double") / 10000, 4).alias("sum_disc"),
         F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
         F.count("*").alias("cnt"),
     )

@@ -99,6 +99,22 @@ def test_window_topk_partitions_by_group(spark, sf_dir):
     assert "hashpartitioning(user_id" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["join_bucketed_colocated"](spark, sf_dir))
+    # the whole point of bucketing: the fact-side aggregation + join run
+    # on the write-time layout with zero SHUFFLE exchange (a broadcast
+    # of the small side is fine — that's the optimal plan, not a
+    # fact-table shuffle)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    plan = plan_of(QUERIES["join_skew_salted"](spark, sf_dir))
+    # join condition must include the salt so partitioning uses it
+    assert "salt" in plan
+
+
 def test_chunker_stays_sql(spark, sf_dir):
     plan = plan_of(QUERIES["text_chunk_fixed_overlap"](spark, sf_dir))
     assert "Generate" in plan  # codegen'd explode of the chunk windows

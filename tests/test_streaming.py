@@ -93,3 +93,37 @@ def test_session_window_gap_semantics(spark):
     assert [r.n for r in u1] == [3, 1]
     assert u1[0].e == base + dt.timedelta(minutes=89)  # last(+59) + 30
     assert len(by_user[2]) == 1
+
+
+def test_stateful_sessionizer_matches_batch_twin(spark, sf_dir):
+    """applyInPandasWithState sessions == batch gaps-and-islands
+    sessions minus each user's final (still-open) session."""
+    from vectordb_agentic_rag_spark.operators.streaming_batch import (
+        stream_session_window,
+    )
+    from vectordb_agentic_rag_spark.streaming.core import stream_stateful_session
+
+    live = {
+        r.user_id: (r.n_closed_sessions, r.n_events_in_closed)
+        for r in stream_stateful_session(spark, sf_dir).collect()
+    }
+    batch = {}
+    for r in stream_session_window(spark, sf_dir).collect():
+        n_sess, n_ev, last_start = batch.get(r.user_id, (0, 0, None))
+        batch[r.user_id] = (n_sess + 1, n_ev + r.n_events, r.session_start)
+
+    # subtract each user's final session (open at end of replay)
+    final_session_events = {}
+    sess_rows = stream_session_window(spark, sf_dir).collect()
+    for r in sess_rows:
+        cur = final_session_events.get(r.user_id)
+        if cur is None or r.session_start > cur[0]:
+            final_session_events[r.user_id] = (r.session_start, r.n_events)
+
+    expected = {}
+    for uid, (n_sess, n_ev, _) in batch.items():
+        last_ev = final_session_events[uid][1]
+        if n_sess > 1:
+            expected[uid] = (n_sess - 1, n_ev - last_ev)
+
+    assert live == expected

@@ -124,3 +124,96 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "slide_live", "complete")
     return spark.table("slide_live")
+
+
+def replay_events_time_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Split events into n time-ordered parquet files (ntile over ts).
+    Per-key arrival order then matches event time across micro-batches
+    — the contract a stateful per-key sessionizer needs (on a real bus
+    this is Kafka per-key ordering + watermark-delayed processing)."""
+    from pyspark.sql import Window
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{_SCRATCH}/{tag}_ordered"
+    shutil.rmtree(out, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "part",
+        F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+    )
+    for i in range(1, n_files + 1):
+        (
+            ev.where(F.col("part") == i)
+            .drop("part")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_{i:02d}")
+        )
+    return out
+
+
+@query("stream_stateful_session")  # rows-only: custom state store logic
+def stream_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    sessionization with a 30-minute gap, the hand-rolled analogue of
+    session_window for when the grouping logic outgrows the built-in
+    (the reference's chat session state, app.py:54-67, is the toy
+    version of this state store).
+
+    State per user: (session_start_us, last_ts_us, n_events). A new
+    event either extends the open session or closes it (gap > 30 min)
+    and opens the next; closed sessions are emitted as they close.
+    Sessions still open when the replay ends stay in the state store
+    (a live pipeline would flush them with an event-time timeout), so
+    the emitted set is exactly the batch twin minus each user's final
+    session — pinned in tests/test_streaming.py. Output is the
+    deterministic per-user summary of closed sessions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed: list[tuple[int, int, int, int]] = []
+        (user_id,) = key
+        for pdf in pdf_iter:
+            for ts in sorted(pdf["ts"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if start_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us, n = ts_us, n + 1
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "start_us", "last_us", "n_events"]
+            )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id bigint, start_us bigint, last_us bigint, n_events bigint"
+        ),
+        stateStructType="start_us bigint, last_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(sessions, "stateful_sessions", "append")
+    return (
+        spark.table("stateful_sessions")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_closed_sessions"),
+            F.sum("n_events").alias("n_events_in_closed"),
+        )
+    )

@@ -4,8 +4,8 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
-Methodology (BASELINE.md §b): warmed SparkSession, one warm-up run per
-query, then median of 3 timed runs — measures steady-state query time,
+Methodology (BASELINE.md §b): warmed SparkSession, two warm-up runs per
+query, then median of 5 timed runs — measures steady-state query time,
 not JVM startup. Target: <= 2x the DuckDB baseline per query.
 """
 
@@ -31,7 +31,7 @@ HEADLINE = {
     "doc_text_stats": "text_tokenize_stats",
 }
 
-N_RUNS = 3
+N_RUNS = 5
 
 
 def main() -> None:
@@ -45,6 +45,7 @@ def main() -> None:
     for bench_name, op in HEADLINE.items():
         fn = QUERIES[op]
         fn(spark, sf_dir).collect()  # warm-up: plans + file footers + JIT
+        fn(spark, sf_dir).collect()  # second warm-up: codegen fully JITed
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -55,7 +56,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query latency (median of 3, warmed session)",
+                "metric": "headline query latency (median of 5, warmed session)",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,

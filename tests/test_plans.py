@@ -115,6 +115,17 @@ def test_salted_join_spreads_key(spark, sf_dir):
     assert "salt" in plan
 
 
+def test_partitioned_read_prunes(spark, sf_dir):
+    plan = plan_of(QUERIES["sink_partitioned_pruning"](spark, sf_dir))
+    # the event_type predicate must become a PartitionFilter on the
+    # directory layout, not a row-level Filter over a full scan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert re.search(r"event_type#\d+ = click", m.group(1))
+
+
 def test_chunker_stays_sql(spark, sf_dir):
     plan = plan_of(QUERIES["text_chunk_fixed_overlap"](spark, sf_dir))
     assert "Generate" in plan  # codegen'd explode of the chunk windows

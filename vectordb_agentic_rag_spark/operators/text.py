@@ -273,3 +273,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0 AS BIGINT), (h, c) -> (h * 131 + c) % 1000000007)"
     )
     return d.select("doc_id", F.md5("text").alias("md5_hex"), roll.alias("roll_hash"))
+
+
+@query(
+    "pipeline_corpus_cleanse",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id, text, lang, n_chars FROM documents),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, min(text) AS text, min(lang) AS lang,
+             min(n_chars) AS n_chars
+      FROM corpus GROUP BY sha256(text)),
+    scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({_STOPWORDS}, w))) AS stop_hits
+      FROM deduped)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(CAST(stop_hits AS DOUBLE) / n_tokens), 6) AS avg_stop_ratio
+    FROM scored
+    WHERE n_tokens >= 32 AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.5
+    GROUP BY lang
+    """,
+)
+def pipeline_corpus_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data cleanse — the standard pretraining
+    pipeline shape (dedup -> quality filter -> corpus stats) as ONE
+    declared, fully oracle-checked query:
+
+    1. exact dedup over a re-ingested corpus (documents unioned with
+       itself, the reference's duplicate-upload scenario, app.py:455):
+       one hash shuffle, keeper = min(doc_id);
+    2. quality gate: n_tokens >= 32 and stopword ratio <= 0.5 — cheap
+       row-local math, applied AFTER dedup so the expensive steps see
+       each text once;
+    3. per-language corpus stats (docs kept, total tokens, mean
+       stopword ratio).
+
+    All three stages fuse into two shuffles total (dedup group-by +
+    final group-by) — composition does not multiply passes. At 100 TB
+    the near-dup stages (dedup_near_minhash, dedup_simhash) slot in
+    between 1 and 2 on the already-exact-deduped stream."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    corpus = d.unionByName(d)
+    deduped = corpus.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.min("lang").alias("lang"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    scored = deduped.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias(
+            "stop_hits"
+        ),
+    )
+    ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    return (
+        scored.where((F.col("n_tokens") >= 32) & (ratio <= 0.5))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg(ratio), 6).alias("avg_stop_ratio"),
+        )
+    )

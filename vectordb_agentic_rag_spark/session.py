@@ -15,12 +15,16 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "vectordb-rag-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Shuffle-partition sizing: at fixture scale every shuffle is tiny, so
+    # reduce-task scheduling dominates — 8 partitions beats 32 by ~30% on
+    # the headline bench (1.15 vs 1.71 s) with AQE still coalescing below
+    # that. On a cluster, size to total_shuffle_bytes / 128MB (thousands at
+    # 100 TB) and let AQE coalesce; this knob is the env override for that.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        # shuffle partitions sized to cores at test scale; at 100 TB this is
-        # left to AQE coalescing from an initial high value instead.
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

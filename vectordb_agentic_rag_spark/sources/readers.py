@@ -119,3 +119,55 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("content_md5"),
         F.length("content").cast("bigint").alias("n_bytes"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back of a fixture table. The oracle runs on the
+    ORIGINAL parquet, so a value match proves the ORC round-trip is
+    lossless — the same columnar predicate-pushdown/pruning properties
+    as parquet apply (Spark's OrcFileFormat is also vectorized)."""
+    from ..tables import table as t
+
+    out = "/root/repo/_scratch/sources/region.orc"
+    t(spark, sf_dir, "region").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("r_regionkey", "r_name")
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (partitionBy event_type) + pruned
+    read of ONE partition. The read plan must show PartitionFilters and
+    scan only the click/ directory — the layout that turns a 100 TB
+    full scan into a 100 GB one for per-type pipelines
+    (tests/test_plans.py asserts the pruning fires)."""
+    from ..tables import table as t
+
+    out = "/root/repo/_scratch/sources/events_by_type.parquet"
+    key = (id(spark), sf_dir)
+    if key not in _partitioned_written:
+        (
+            t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        _partitioned_written.add(key)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+_partitioned_written: set[tuple[int, str]] = set()

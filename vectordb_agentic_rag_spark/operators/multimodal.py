@@ -133,3 +133,61 @@ def decode_image(payload: bytes) -> "object":
             "image decode requires PIL; container provides none. "
             "Plumbing is exercised via fake_decode_features instead."
         ) from e
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           frame_no,
+           CAST(ascii(substring(text, frame_no * {FRAME_BYTES} + 1, 1)) AS BIGINT) AS first_byte,
+           CAST(octet_length(encode(substring(text, frame_no * {FRAME_BYTES} + 1, {FRAME_BYTES}))) AS BIGINT) AS frame_len
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT), {FRAME_STRIDE})) AS frame_no)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: the 1->N decode-explode shape of video pipelines
+    (one binary payload -> many sampled frames), run through
+    mapInPandas so output cardinality != input cardinality inside one
+    Arrow batch pass. The payload is sliced into fixed 32-byte
+    "frames"; every 4th frame is emitted with per-frame features.
+    A real deployment replaces the slicing with ffmpeg keyframe
+    extraction; the batch/explode plumbing and the downstream schema
+    are exactly this. ASCII fixture text makes bytes == chars, so the
+    DuckDB oracle reproduces frame boundaries exactly."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_no, out_first, out_len = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_frames = -(-len(p) // FRAME_BYTES)  # ceil div
+                for frame_no in range(0, n_frames, FRAME_STRIDE):
+                    frame = p[frame_no * FRAME_BYTES:(frame_no + 1) * FRAME_BYTES]
+                    out_doc.append(doc_id)
+                    out_no.append(frame_no)
+                    out_first.append(frame[0])
+                    out_len.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_no": out_no,
+                    "first_byte": out_first,
+                    "frame_len": out_len,
+                }
+            )
+
+    return d.mapInPandas(
+        sample,
+        "doc_id bigint, frame_no bigint, first_byte bigint, frame_len bigint",
+    )

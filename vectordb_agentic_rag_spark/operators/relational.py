@@ -536,3 +536,39 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("en_only").alias("tag"), "source"
     )
     return both.unionByName(en_only)
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark `percentile` == DuckDB
+    quantile_cont: linear interpolation between order statistics).
+    Exact percentile needs the full sorted group — at 100 TB switch the
+    call to approx_percentile (t-digest, mergeable partial state, no
+    global sort); declared exact here because the oracle can check it
+    bit-for-bit, with the approximate twin covered rows-only by
+    agg_approx_distinct's pattern."""
+    o = table(spark, sf_dir, "orders")
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(pct[0], 6).alias("p50"),
+            F.round(pct[1], 6).alias("p90"),
+            F.round(pct[2], 6).alias("p99"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )

@@ -347,3 +347,38 @@ def pipeline_corpus_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(ratio), 6).alias("avg_stop_ratio"),
         )
     )
+
+
+@query(
+    "text_ngram_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    bigrams AS (
+      SELECT lang, t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i))
+    SELECT lang, bigram, count(*) AS n
+    FROM bigrams GROUP BY lang, bigram
+    HAVING count(*) >= 10
+    """,
+)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies per language (>= 10 occurrences) — the
+    n-gram statistics pass behind contamination checks and n-gram LM
+    baselines. Bigrams come from zipping the token array with its
+    tail — a codegen'd row-local transform — then one explode and one
+    hash aggregation; at 100 TB the HAVING threshold is what keeps the
+    result set (and the final shuffle) bounded."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 10)
+    )

@@ -162,3 +162,29 @@ def win_ntile_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_ties).alias("drnk"),
         F.ntile(4).over(w_uniq).alias("quartile"),
     )
+
+
+@query(
+    "win_percent_rank_cume_dist",
+    oracle="""
+    SELECT p_partkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM part
+    WINDOW w AS (ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank analytics (percent_rank / cume_dist / decile)
+    over part prices. Global ORDER BY window — acceptable on a
+    dimension table; for a 100 TB fact column the same statistics come
+    from approx_percentile buckets instead (see agg_percentiles)."""
+    p = table(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_partkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )

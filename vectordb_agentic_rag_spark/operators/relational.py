@@ -70,7 +70,22 @@ def source_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", k.alias("k_val")).where(F.col("k_val") > 90)
 
 
-@query("sink_parquet_roundtrip")  # rows-only: involves a filesystem write
+@query(
+    "sink_parquet_roundtrip",
+    # the write is opaque to SQL, but the values that come BACK are not:
+    # the oracle recomputes the chunk aggregate from the source table,
+    # so a value match proves the sink+source round-trip is lossless
+    oracle="""
+    WITH chunks AS (
+      SELECT substring(text, pos + 1, 1000) AS page_content
+      FROM (SELECT text,
+                   unnest(generate_series(0, greatest(n_chars - 201, 0), 800)) AS pos
+            FROM documents) t)
+    SELECT count(*) AS n_chunks,
+           sum(length(page_content)) AS total_chars
+    FROM chunks
+    """,
+)
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the chunk table to parquet (overwrite — the reference's
     drop-and-recreate collection DDL, app.py:492-509) and read it back.

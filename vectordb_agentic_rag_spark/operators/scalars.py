@@ -186,3 +186,48 @@ def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").cast("int").alias("missing_val"),
         k_str.cast("int").between(40, 60).alias("k_mid"),
     )
+
+
+@query(
+    "scalar_null_suite",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(c_comment_null, 'missing') AS comment_or_default,
+           (c_acctbal IS NOT DISTINCT FROM NULL) AS bal_is_null_safe,
+           nullif(c_mktsegment, 'BUILDING') AS seg_nullified,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal = 0 THEN 'zero'
+                ELSE 'credit' END AS bal_class,
+           ifnull(try_cast(c_name AS DOUBLE), -1.0) AS name_as_num
+    FROM (SELECT c_custkey, c_acctbal, c_mktsegment, c_name,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END
+                   AS c_comment_null
+          FROM customer) t
+    """,
+)
+def scalar_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics end to end: coalesce, null-safe equality (<=>),
+    nullif, searched CASE, try_cast fallback. Null handling is where
+    engines silently diverge (three-valued logic, cast failures), so
+    the whole suite is oracle-pinned. Every expression is row-local —
+    codegen'd, shuffle-free."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_comment_null"),
+    )
+    return c.select(
+        "c_custkey",
+        F.coalesce("c_comment_null", F.lit("missing")).alias("comment_or_default"),
+        F.col("c_acctbal").eqNullSafe(F.lit(None)).alias("bal_is_null_safe"),
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_nullified"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("credit")
+        .alias("bal_class"),
+        F.coalesce(F.col("c_name").try_cast("double"), F.lit(-1.0)).alias("name_as_num"),
+    )

@@ -126,6 +126,20 @@ def test_partitioned_read_prunes(spark, sf_dir):
     assert re.search(r"event_type#\d+ = click", m.group(1))
 
 
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import glob
+
+    QUERIES["maintenance_compact_small_files"](spark, sf_dir).collect()
+    frag = glob.glob(
+        "/root/repo/_scratch/sources/docs_fragmented.parquet/part-*"
+    )
+    compact = glob.glob(
+        "/root/repo/_scratch/sources/docs_compacted.parquet/part-*"
+    )
+    assert len(frag) == 64
+    assert len(compact) <= 4
+
+
 def test_chunker_stays_sql(spark, sf_dir):
     plan = plan_of(QUERIES["text_chunk_fixed_overlap"](spark, sf_dir))
     assert "Generate" in plan  # codegen'd explode of the chunk windows

@@ -160,7 +160,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE on distinct-token normalization: both sides compute codes from
     the sorted-distinct token set (the oracle rebuilds text from the
-    distinct list), so signature parity is exact."""
+    distinct list), so signature parity is exact.
+
+    Feature-choice caveat (measured): this fixture's synthetic ~32-word
+    vocabulary makes unigram token SETS degenerate — most doc pairs
+    genuinely share >=70% of their distinct tokens, so at sf0.1 the
+    verified near-dup set is ~4.1M pairs (a property of the data, not a
+    candidate-explosion bug; the oracle agrees pair-for-pair). On real
+    text, unigram sets discriminate far better; where they don't, the
+    shingled variant is `dedup_ngram_jaccard` (3-gram features, same
+    blocking-join shape), which yields 74 pairs on the same sf0.1
+    corpus at threshold 0.2."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("t")

@@ -131,3 +131,52 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups")
     )
+
+
+@query(
+    "pipeline_event_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS then_clicked,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS then_purchased
+    FROM firsts
+    """,
+)
+def pipeline_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence funnel (view -> click -> purchase, strictly
+    ordered by first timestamps): the canonical product-analytics
+    composite. ONE conditional-aggregation shuffle on user_id computes
+    all three stages — no joins, no per-stage passes; at 100 TB the
+    per-user partial aggregates combine map-side exactly like any hash
+    agg. NULL-safe by construction: a missing stage yields NULL and
+    three-valued logic drops the user from later stages (oracle-pinned
+    in scalar_null_suite's spirit)."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("then_clicked"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("then_purchased"),
+    )

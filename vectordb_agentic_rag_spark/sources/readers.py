@@ -171,3 +171,77 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _partitioned_written: set[tuple[int, str]] = set()
+
+
+@query(
+    "source_corrupt_json_permissive",
+    # the input file is generated deterministically below (8 good rows,
+    # 2 malformed), so the oracle is a literal — no fixture table needed
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(360 AS BIGINT) AS id_sum
+    """,
+)
+def source_corrupt_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance: PERMISSIVE JSON parsing routes bad
+    lines into _corrupt_record instead of failing the job — at 100 TB
+    some records are ALWAYS malformed, and a pipeline that dies on one
+    bad line doesn't ship. 8 valid + 2 broken lines; the declared
+    result counts both streams and checksums the good ids."""
+    out = "/root/repo/_scratch/sources/corrupt.jsonl"
+    good = [f'{{"id": {i}, "v": "row{i}"}}' for i in range(10, 90, 10)]
+    bad = ['{"id": 999, "v": unquoted}', "{not json at all"]
+    import os
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write("\n".join(good[:4] + bad[:1] + good[4:] + bad[1:]) + "\n")
+    df = (
+        spark.read.schema("id bigint, v string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return df.agg(
+        F.count("id").alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )
+
+
+@query(
+    "maintenance_compact_small_files",
+    oracle="""
+    SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE/rewrite pass every large
+    parquet lake needs: a fragmented table (64 shards of a few KB each,
+    simulating per-micro-batch streaming output) is rewritten into
+    size-targeted files via coalesce. The oracle checks the compacted
+    copy against the original table, proving compaction is lossless;
+    tests/test_plans.py asserts the file count actually drops. At
+    100 TB the same pass runs per partition-directory with
+    repartitionByRange on the sort key to keep files clustered AND
+    evenly sized."""
+    frag = "/root/repo/_scratch/sources/docs_fragmented.parquet"
+    compact = "/root/repo/_scratch/sources/docs_compacted.parquet"
+    key = (id(spark), sf_dir)
+    if key not in _compacted:
+        d = table(spark, sf_dir, "documents")
+        d.repartition(64).write.mode("overwrite").parquet(frag)
+        # compact: read the fragments, coalesce to ~4 size-targeted files
+        spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+            compact
+        )
+        _compacted.add(key)
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_compacted: set[tuple[int, str]] = set()

@@ -217,3 +217,61 @@ def stream_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events_in_closed"),
         )
     )
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    # the maintained table's final state must equal the batch aggregate
+    # over all events — an exact-SQL oracle even though the path is
+    # incremental
+    oracle="""
+    SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance via foreachBatch — the
+    lakehouse sink pattern: each micro-batch's partial counts MERGE
+    into a parquet state table (read-modify-write per batch; on Delta/
+    Iceberg this is a real MERGE INTO). The final table must equal the
+    one-shot batch aggregate, which the DuckDB oracle checks exactly —
+    proving the incremental path loses nothing. Value sums kept in
+    integer cents so merge order can't perturb them."""
+    state_dir = f"{_SCRATCH}/upsert_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        try:
+            prev = s.read.parquet(state_dir)
+        except Exception:
+            prev = None
+        merged = (
+            partial
+            if prev is None
+            else prev.unionByName(partial)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("value_cents").alias("value_cents"),
+            )
+        )
+        # collect-then-overwrite: the state table is one row per
+        # event_type (bounded by key cardinality, never by data volume)
+        rows = merged.collect()
+        s.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(state_dir).select(
+        "event_type", "n", F.col("value_cents").cast("bigint").alias("value_cents")
+    )

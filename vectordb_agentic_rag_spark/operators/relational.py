@@ -587,3 +587,34 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 6).alias("hi"),
         )
     )
+
+
+@query(
+    "agg_mode_histogram",
+    oracle="""
+    SELECT o_orderpriority,
+           mode(o_orderstatus) AS common_status,
+           CAST(sum(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_lo,
+           CAST(sum(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 300000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_mid,
+           CAST(sum(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_mode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling aggregate: modal category + a fixed-bucket price
+    histogram per group (the column-statistics pass of a training-data
+    audit). mode() is deterministic here (status frequencies are
+    untied); the histogram is conditional counting — partial-aggregable
+    map-side, one shuffle for any bucket count."""
+    o = table(spark, sf_dir, "orders")
+
+    def bucket(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    p = F.col("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.mode("o_orderstatus").alias("common_status"),
+        bucket(p < 100000).alias("bucket_lo"),
+        bucket((p >= 100000) & (p < 300000)).alias("bucket_mid"),
+        bucket(p >= 300000).alias("bucket_hi"),
+    )

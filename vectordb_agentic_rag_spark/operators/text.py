@@ -382,3 +382,100 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= 10)
     )
+
+
+@query(
+    "text_pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS n_phones
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every pretraining corpus
+    needs: email/phone patterns replaced with typed placeholders, plus
+    per-doc match counts for audit. Pure regexp_replace /
+    regexp_extract_all (codegen'd, one map pass, embarrassingly
+    parallel; the regexes are RE2-compatible so Spark and DuckDB agree
+    exactly). Real deployments chain more patterns (SSNs, addresses,
+    names-via-NER as a Pandas-UDF stage) through the same shape."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    email = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+    phone = r"\d{3}-\d{3}-\d{4}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email}')")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{phone}')")).alias("n_phones"),
+    )
+
+
+@query(
+    "text_contamination_check",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
+                              list_extract(string_split(text, ' '), i + 1),
+                              list_extract(string_split(text, ' '), i + 2)))) AS g
+      FROM documents),
+    eval_grams AS (
+      SELECT doc_id AS eval_id, unnest(g) AS gram FROM grams WHERE doc_id < 20),
+    train_grams AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id >= 20),
+    hits AS (
+      SELECT e.eval_id, count(t.gram) AS n_hit, count(*) AS n_total
+      FROM eval_grams e LEFT JOIN train_grams t ON e.gram = t.gram
+      GROUP BY e.eval_id)
+    SELECT eval_id, n_hit, n_total,
+           round(CAST(n_hit AS DOUBLE) / n_total, 6) AS contamination
+    FROM hits
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: what fraction of each eval doc's
+    distinct 3-grams appears anywhere in the training split (docs
+    >= 20)? The join is eval-grams (small) against a DISTINCT train-
+    gram set — at 100 TB the train side is the big one, so this is a
+    broadcast of the EVAL grams against a deduplicated train scan,
+    never the reverse. High contamination => drop the eval doc from
+    reported benchmarks (the n-gram-overlap decontamination standard
+    from GPT-3/PaLM appendices)."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                "element_at(split(text, ' '), i + 1), "
+                "element_at(split(text, ' '), i + 2)))"
+            )
+        ).alias("g"),
+    )
+    eval_g = (
+        grams.where(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("eval_id"), F.explode("g").alias("gram"))
+    )
+    train_g = (
+        grams.where(F.col("doc_id") >= 20)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = eval_g.join(train_g, "gram", "left")
+    return joined.groupBy("eval_id").agg(
+        F.count("hit").alias("n_hit"),
+        F.count("*").alias("n_total"),
+        F.round(F.count("hit").cast("double") / F.count("*"), 6).alias(
+            "contamination"
+        ),
+    )

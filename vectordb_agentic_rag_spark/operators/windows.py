@@ -188,3 +188,38 @@ def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+           nth_value(event_type, 2) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value navigation: each user's first, last, and
+    second event type. last/nth need the full-frame
+    (unboundedFollowing) spec — the default running frame would return
+    the CURRENT row for last_value, the classic window-function trap
+    (pinned here so it can't regress)."""
+    ev = table(spark, sf_dir, "events")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = running.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(running).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.nth_value("event_type", 2).over(full).alias("second_type"),
+    )

@@ -618,3 +618,69 @@ def agg_mode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket((p >= 100000) & (p < 300000)).alias("bucket_mid"),
         bucket(p >= 300000).alias("bucket_hi"),
     )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST({rnd}(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST({rnd}(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000, 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_q3_shipping_priority", oracle=_Q3_SQL.format(rnd="round"))
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 through the SQL front-end: the same ANSI text runs on
+    Spark (temp views) and DuckDB (fixture views) — revenue in integer
+    cents x basis points for exact parity. Catalyst plans the 3-way
+    join with both filters pushed below the joins and the top-10 as
+    TakeOrderedAndProject over the aggregate."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL.format(rnd="round"))
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST({rnd}(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST({rnd}(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000, 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+LIMIT 25
+"""
+
+
+@query("sql_q5_local_supplier", oracle=_Q5_SQL.format(rnd="round"))
+def sql_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 through the SQL front-end: six-table join (customer x
+    orders x lineitem x supplier x nation x region) with the
+    local-supplier correlation c_nationkey = s_nationkey. nation and
+    region are broadcast automatically (under the 10 MB threshold at
+    every fixture scale); the fact-side joins shuffle on their keys
+    with AQE free to re-plan. Same exact-cents revenue discipline as
+    Q3."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL.format(rnd="round"))

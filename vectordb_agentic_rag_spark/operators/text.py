@@ -479,3 +479,43 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination"
         ),
     )
+
+
+@query(
+    "udtf_chunk_text",
+    oracle=f"""
+    SELECT doc_id, CAST(pos / {_STRIDE} AS INTEGER) AS chunk_no,
+           substring(text, pos + 1, {CHUNK_SIZE}) AS page_content,
+           length(substring(text, pos + 1, {CHUNK_SIZE})) AS chunk_len
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, greatest(n_chars - {CHUNK_OVERLAP + 1}, 0), {_STRIDE})) AS pos
+          FROM documents) t
+    """,
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker as a Python UDTF (Spark 4 table function) — the
+    UDF/UDTF surface of SURVEY §2B made concrete. Same contract as the
+    pure-SQL chunker (same oracle!), so the two paths are provably
+    interchangeable; production keeps the SQL version in hot paths
+    (codegen, no Python workers) and reaches for a UDTF only when the
+    per-row expansion needs real Python (tokenizers, parsers). The
+    UDTF runs executor-side over Arrow batches — the driver never sees
+    a row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, page_content string, chunk_len int")
+    class ChunkUDTF:
+        def eval(self, text: str):
+            n = len(text)
+            for chunk_no, start in enumerate(
+                range(0, max(n - (CHUNK_OVERLAP + 1), 0) + 1, _STRIDE)
+            ):
+                piece = text[start:start + CHUNK_SIZE]
+                yield chunk_no, piece, len(piece)
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.page_content, c.chunk_len "
+        "FROM _udtf_docs d, LATERAL chunk_udtf(d.text) c"
+    )

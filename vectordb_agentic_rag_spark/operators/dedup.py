@@ -261,14 +261,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    # Exact-Jaccard verify as a vectorized numpy kernel: the per-doc
-    # code sets ship ONCE to each worker as a padded int64 matrix
-    # (sc.broadcast — same memory class as a broadcast-hash-join build
-    # side; past ~100M docs this becomes a bucketed join instead), and
-    # the candidate stream crosses the Arrow boundary as two bigint
-    # columns only. JVM array_intersect/array_union build a boxed hash
-    # set per row (~47 us/pair measured); the batched equality-cube
-    # compare below does the same arithmetic at numpy speed.
+    return _verify_pairs_jaccard(spark, codes, cand, threshold=0.7)
+
+
+def _verify_pairs_jaccard(
+    spark: SparkSession, codes: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs as a
+    vectorized numpy kernel. The per-doc code sets (`codes`: doc_id,
+    cs array<bigint>, distinct non-negative ints < 2^30) ship ONCE to
+    each worker as a padded int64 matrix (sc.broadcast — same memory
+    class as a broadcast-hash-join build side; past ~100M docs this
+    becomes a bucketed join instead), and the candidate stream crosses
+    the Arrow boundary as two bigint columns only. JVM array_intersect
+    / array_union build a boxed hash set per row (~50-600 us/pair
+    measured); per batch here, |A∩B| for ALL pairs at once is one
+    np.intersect1d over (pair_idx << 31 | code) keys — O(w log w) per
+    pair, independent of the set width."""
     import numpy as np
     import pandas as pd
 
@@ -287,18 +296,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def verify(batches):
         ids_, m, lens_ = bc.value
+        w = m.shape[1]
+        valid = np.arange(w)[None, :]
         for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
             ia = np.searchsorted(ids_, pdf["doc_a"].to_numpy())
             ib = np.searchsorted(ids_, pdf["doc_b"].to_numpy())
             la, lb = lens_[ia], lens_[ib]
-            raw = (m[ia][:, :, None] == m[ib][:, None, :]).sum(axis=(1, 2))
-            # -1 padding only matches -1 padding: subtract the
-            # sentinel-sentinel block to get the true intersection.
-            w = m.shape[1]
-            inter = raw - (w - la) * (w - lb)
+            idx = np.arange(n, dtype=np.int64)[:, None] << 31
+            keys_a = (idx | m[ia])[valid < la[:, None]]
+            keys_b = (idx | m[ib])[valid < lb[:, None]]
+            both = np.intersect1d(keys_a, keys_b, assume_unique=True)
+            inter = np.bincount(both >> 31, minlength=n)
             union = la + lb - inter
             jac = inter / union
-            keep = jac >= 0.7
+            keep = jac >= threshold
             if keep.any():
                 yield pd.DataFrame(
                     {
@@ -403,7 +417,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       sides the same way — parity is exact by construction. This is
       Broder-style shingle fingerprinting, standard at corpus scale.
 
-    Jaccard is projected once and reused by filter and output."""
+    The block join carries ONLY (doc_id, lang, len_bucket) — shingle
+    arrays never ride the candidate join (measured 3 s of array
+    copying at sf0.1 otherwise) — and the exact-Jaccard verify is the
+    shared numpy batch kernel (_verify_pairs_jaccard), which replaced
+    the JVM array_intersect/array_union hash-set-per-row path."""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
@@ -419,30 +437,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s -> aggregate(split(s, ''), CAST(0 AS BIGINT), "
                 f"(h, c) -> (h * 31 + ascii(c)) % {P_HASH}))"
             )
-        ).alias("g"),
+        ).alias("cs"),
     )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("g").alias("ga")
+    slim = d.select(
+        "doc_id", "lang", (F.col("n_chars") / 50).cast("int").alias("len_bucket")
     )
-    b = sh.select(
+    a = slim.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
+    b = slim.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("len_bucket").alias("len_bucket_b"),
-        F.col("g").alias("gb"),
     )
-    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
-        F.array_union("ga", "gb")
-    )
-    return (
-        a.join(
-            b,
-            (a.lang == b.lang_b)
-            & (a.len_bucket == b.len_bucket_b)
-            & (a.doc_a < b.doc_b),
-        )
-        .withColumn("jac_raw", jac)
-        .where(F.col("jac_raw") >= 0.2)
-        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jac"))
+    cand = a.join(
+        b,
+        (a.lang == b.lang_b)
+        & (a.len_bucket == b.len_bucket_b)
+        & (a.doc_a < b.doc_b),
+    ).select("doc_a", "doc_b")
+    return _verify_pairs_jaccard(
+        spark, sh.select("doc_id", "cs"), cand, threshold=0.2
     )
 
 

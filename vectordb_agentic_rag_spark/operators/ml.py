@@ -124,51 +124,82 @@ def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("vec_ivf_ann")  # rows-only: KMeans model isn't SQL-expressible
 def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: KMeans(16, seed=42) partitions the corpus into
-    inverted lists; each query probes its 6 nearest centroids and
-    brute-forces only those lists (~3/8 of the corpus -> recall ~0.83
-    on this weakly-clustered synthetic data; tighter clusters allow
-    fewer probes). This is the batch shape of FAISS-IVF: centroid
-    table broadcast, corpus shuffled once by list id, per-list exact
-    search."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
+    """IVF-style ANN, the FAISS batch shape end to end: the coarse
+    quantizer (KMeans k=16, seed 42) trains driver-side in numpy on a
+    BOUNDED sample (4096 vectors — FAISS trains on ~256/list), the
+    centroids broadcast, list assignment is ONE mapInPandas GEMM pass
+    over the corpus (argmax of x.c - |c|^2/2 == nearest-euclidean),
+    each query probes its 6 nearest centroids and brute-forces only
+    those lists (~3/8 of the corpus -> recall ~0.8 on this weakly-
+    clustered synthetic data). vs the MLlib fit: no iterative scans of
+    the corpus, no per-iteration job overhead — the corpus is touched
+    exactly twice (assign, search)."""
+    import numpy as np
+    import pandas as pd
 
     q, corpus = _queries_and_corpus(spark, sf_dir)
-    cv = corpus.select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in corpus.select("embedding").orderBy("vec_id").limit(4096).collect()
+        ],
+        dtype=np.float64,
     )
-    km = KMeans(k=16, seed=42, featuresCol="features").fit(cv)
-    assigned = km.transform(cv).select(
-        "vec_id", "embedding", F.col("prediction").alias("list_id")
+    rng = np.random.RandomState(42)
+    cents = sample[rng.choice(len(sample), size=16, replace=False)].copy()
+    for _ in range(8):  # Lloyd on the sample; coarse lists, not convergence
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for c in range(16):
+            pts = sample[lab == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        c = bc.value
+        half = (c * c).sum(axis=1) / 2.0
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["list_id"] = (x @ c.T - half).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    assigned = corpus.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, embedding array<float>, list_id int"
     )
-    # centroid table is tiny: broadcast to assign query probes
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
-        "list_id int, centroid array<double>",
+    # probe lists for the (bounded, tiny) query set, driver-side; the
+    # query matrix broadcasts so candidate rows never carry qv copies
+    q_rows = q.collect()
+    qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    qsim = (qmat @ cents.T) / (
+        np.linalg.norm(qmat, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
     )
-    q_cent = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("cdist", -cosine(F.col("qv"), F.col("centroid")))
-    )
-    w_probe = Window.partitionBy("query_id").orderBy("cdist", "list_id")
-    probes = (
-        q_cent.withColumn("pr", F.row_number().over(w_probe))
-        .where(F.col("pr") <= 6)
-        .select("query_id", "qv", "list_id")
-    )
-    cands = probes.join(assigned, "list_id")
-    sim = F.round(cosine(F.col("embedding"), F.col("qv")), 6)
-    w_nn = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        cands.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+    probe_rows = [
+        (int(qid), int(l))
+        for qid, sims in zip(qids, qsim)
+        for l in np.argsort(-sims)[:6]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, list_id int")
+    bq = spark.sparkContext.broadcast((qids, qmat))
+    cands = assigned.join(F.broadcast(probes), "list_id")
+
+    def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm = bq.value
+        qv = qm[int(np.searchsorted(qids_, key[0]))]
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        sims = (x @ qv) / (np.linalg.norm(x, axis=1) * np.linalg.norm(qv))
+        nid = pdf["vec_id"].to_numpy()
+        order = np.lexsort((nid, -sims))[:3]
+        return pd.DataFrame(
+            {"query_id": key[0], "neighbor_id": nid[order], "sim_raw": sims[order]}
         )
-        .withColumn("rn", F.row_number().over(w_nn))
-        .where(F.col("rn") <= 3)
+
+    return (
+        cands.groupBy("query_id")
+        .applyInPandas(topk, "query_id bigint, neighbor_id bigint, sim_raw double")
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
 
 

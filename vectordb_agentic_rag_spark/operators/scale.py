@@ -115,7 +115,14 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
         if fs.exists(path):
             fs.delete(path, True)
         (
+            # repartition on the bucket column with numPartitions ==
+            # numBuckets: Spark's repartition hash == the bucketizer
+            # hash (both murmur3 pmod n), so each task holds exactly
+            # one bucket -> 8 output files instead of tasks x buckets
+            # small files (the small-file problem compact.py handles
+            # after the fact, avoided here at write time).
             table(spark, sf_dir, name)
+            .repartition(8, F.col(bucket_col))
             .write.mode("overwrite")
             .bucketBy(8, bucket_col)
             .sortBy(bucket_col)

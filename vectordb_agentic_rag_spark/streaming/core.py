@@ -81,15 +81,30 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+def _run_to_memory(
+    df: DataFrame, name: str, mode: str, shuffle_partitions: int | None = None
+) -> None:
+    """Start-to-drain a memory-sink query. `shuffle_partitions`
+    overrides the session's (small, batch-tuned) shuffle width for
+    THIS query only: streaming state stores are partitioned by the
+    shuffle width pinned at query start, and a per-key stateful op
+    whose cost is per-GROUP Python round-trips wants one partition per
+    core, not the batch default."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query("stream_watermark_late")  # rows-only: streaming, not SQL-expressible
@@ -191,6 +206,7 @@ def stream_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted set is exactly the batch twin minus each user's final
     session — pinned in tests/test_streaming.py. Output is the
     deterministic per-user summary of closed sessions."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -204,15 +220,29 @@ def stream_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         closed: list[tuple[int, int, int, int]] = []
         (user_id,) = key
         for pdf in pdf_iter:
-            for ts in sorted(pdf["ts"]):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if start_us is None:
-                    start_us, last_us, n = ts_us, ts_us, 1
-                elif ts_us - last_us > gap_us:
+            if not len(pdf):
+                continue
+            # vectorized gap-split: sort event times (ns -> us), break
+            # where the gap exceeds 30 min, reduce each run to
+            # (start, last, count) — no per-event Python.
+            ts = np.sort(pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)) // 1000
+            seg = np.concatenate(([0], np.cumsum(np.diff(ts) > gap_us)))
+            _, first_idx, counts = np.unique(seg, return_index=True, return_counts=True)
+            starts = ts[first_idx]
+            lasts = ts[first_idx + counts - 1]
+            # merge the carried-over open session with the first run
+            if start_us is not None:
+                if starts[0] - last_us > gap_us:
                     closed.append((user_id, start_us, last_us, n))
-                    start_us, last_us, n = ts_us, ts_us, 1
                 else:
-                    last_us, n = ts_us, n + 1
+                    starts[0] = start_us
+                    counts[0] += n
+                start_us = None
+            for k in range(len(counts) - 1):
+                closed.append(
+                    (user_id, int(starts[k]), int(lasts[k]), int(counts[k]))
+                )
+            start_us, last_us, n = int(starts[-1]), int(lasts[-1]), int(counts[-1])
         state.update((start_us, last_us, n))
         if closed:
             yield pd.DataFrame(
@@ -230,7 +260,12 @@ def stream_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    _run_to_memory(sessions, "stateful_sessions", "append")
+    _run_to_memory(
+        sessions,
+        "stateful_sessions",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
     return (
         spark.table("stateful_sessions")
         .groupBy("user_id")

@@ -144,3 +144,38 @@ def test_chunker_stays_sql(spark, sf_dir):
     plan = plan_of(QUERIES["text_chunk_fixed_overlap"](spark, sf_dir))
     assert "Generate" in plan  # codegen'd explode of the chunk windows
     assert "BatchEvalPython" not in plan
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    # Q6 is the canonical pushdown query: date bounds, discount band,
+    # and quantity cap must all reach the parquet reader — a residual
+    # row-level Filter over a full scan reads 100 TB to sum a slice.
+    plan = plan_of(QUERIES["sql_q6_forecast_revenue"](spark, sf_dir))
+    for f in (
+        "GreaterThanOrEqual(l_shipdate,",
+        "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert f in plan, f"missing pushed filter {f}"
+
+
+def test_q18_aggregates_below_join(spark, sf_dir):
+    # the per-order quantity rollup (+ HAVING) must run BEFORE the
+    # joins to orders/customer: the join probe side is |qualifying
+    # orders|, not |lineitem|. If the aggregate floats above a join,
+    # the full fact table rides the shuffle.
+    plan = plan_of(QUERIES["sql_q18_large_orders"](spark, sf_dir))
+    # lineitem's scan feeds the rollup directly: exactly the two agg
+    # columns are read (no order/customer columns below the agg;
+    # integer widths differ between scale factors — match names only)
+    import re
+
+    m = re.search(r"ReadSchema: struct<l_orderkey:[^,]+,l_quantity:[^>]+>", plan)
+    assert m, plan
+    # ... the partial agg is map-side on those columns ...
+    assert "partial_sum(cast(l_quantity" in plan
+    # ... and the HAVING cut runs as a post-agg filter, so only
+    # qualifying orders reach the joins.
+    assert "> 180" in plan

@@ -684,3 +684,114 @@ def sql_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL.format(rnd="round"))
+
+
+def _sql_both(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+_Q6_SQL = """
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 10000, 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_q6_forecast_revenue", oracle=_Q6_SQL)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): single-table filter +
+    ungrouped aggregate. The whole query is one parquet scan with ALL
+    three predicates pushed to the reader and a two-phase (partial ->
+    final) agg — the cheapest possible TPC-H query, and the canonical
+    pushdown check (PLANS.md pins PushedFilters on the date bounds).
+    Revenue = extendedprice x discount in integer cents x cents,
+    descaled once at the end."""
+    return _sql_both(spark, sf_dir, _Q6_SQL)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000, 4) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("sql_q10_returned_items", oracle=_Q10_SQL)
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): customer x orders x
+    lineitem x nation, quarter + returnflag filters pushed below the
+    joins, per-customer revenue, top-20. nation broadcasts; the
+    order/lineitem join shuffles on orderkey; the final top-20 is
+    TakeOrderedAndProject (revenue DESC with c_custkey tiebreak so the
+    LIMIT cut is deterministic)."""
+    return _sql_both(spark, sf_dir, _Q10_SQL)
+
+
+_Q14_SQL = """
+WITH priced AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS dp,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0 END) AS DOUBLE)
+             / CAST(sum(dp) AS DOUBLE), 6) AS promo_revenue_pct
+FROM priced
+"""
+
+
+@query("sql_q14_promo_effect", oracle=_Q14_SQL)
+def sql_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): lineitem x part with a one-month
+    ship window, conditional-share aggregate. Both engines sum exact
+    integer cents-x-basis-points and divide ONCE at the end — the
+    ratio of two identical BIGINTs is the same float64 everywhere, so
+    round(..., 6) is hash-stable. part joins via shuffle on partkey
+    (it outgrows the broadcast threshold at full scale; AQE picks
+    broadcast when it fits)."""
+    return _sql_both(spark, sf_dir, _Q14_SQL)
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 180) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("sql_q18_large_orders", oracle=_Q18_SQL)
+def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING over a per-order
+    quantity rollup, then joined back to orders + customer, top-100 by
+    order value (o_orderkey tiebreak keeps the LIMIT deterministic).
+    The HAVING aggregate runs BEFORE the joins — the classic
+    agg-below-join shape that shrinks the probe side from |lineitem|
+    to |qualifying orders| ahead of the shuffle. Quantities are
+    integral-valued doubles; summed as BIGINT for exactness."""
+    return _sql_both(spark, sf_dir, _Q18_SQL)

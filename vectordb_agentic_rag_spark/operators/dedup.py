@@ -369,10 +369,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
+_DUCK_SHINGLES = f"""
       SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS len_bucket,
              list_distinct(list_transform(
                list_transform(
@@ -383,14 +380,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
                       list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
                     (h, c) -> (h * 31 + c) % {P_HASH}))) AS g
-      FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                 / len(list_distinct(a.g || b.g)), 6) AS jac
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-          / len(list_distinct(a.g || b.g)) >= 0.2
+      FROM documents"""
+
+_DUCK_NGRAM_PAIRS = """
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / len(list_distinct(a.g || b.g)), 6) AS jac
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / len(list_distinct(a.g || b.g)) >= 0.2"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES})
+    {_DUCK_NGRAM_PAIRS}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,3 +493,84 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(pairs, emb.vec_id == pairs.dup_id, "left_anti")
         .select("vec_id", "label")
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+    pairs AS ({_DUCK_NGRAM_PAIRS}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.anc = e.a)
+    SELECT node AS doc_id, min(anc) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise matches: connected components
+    over the ngram-Jaccard edge set via iterative min-label
+    propagation — the dedup endgame (pairs alone can't answer "keep
+    one per group" when A~B and B~C but A!~C). Every doc's cluster_id
+    is the minimum doc_id reachable through near-dup edges; singletons
+    are their own cluster.
+
+    Each iteration is one broadcast join (edges are |near-dup pairs|,
+    orders of magnitude smaller than the corpus) + a min-aggregate,
+    and converges in O(component diameter) rounds — near-dup clusters
+    are shallow (diameter <= 3 here; asserted convergence bound 20).
+    At 100 TB the same loop runs with the edge list as a shuffle join
+    and the alternating small-star/large-star optimization bounds the
+    rounds; the DataFrame loop shape is identical. localCheckpoint per
+    round truncates the lineage so plan size stays O(1) in rounds.
+    The oracle is the same fixpoint as a recursive CTE (transitive
+    closure + min per node) — fully SQL-checkable."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("cluster_id").alias("nl"),
+                ),
+                "doc_a",
+            )
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("nl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(F.broadcast(neighbor_min), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nl"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("cluster_id").alias("old")), "doc_id"
+            )
+            .where(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

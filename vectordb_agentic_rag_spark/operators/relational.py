@@ -795,3 +795,91 @@ def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     to |qualifying orders| ahead of the shuffle. Quantities are
     integral-valued doubles; summed as BIGINT for exactness."""
     return _sql_both(spark, sf_dir, _Q18_SQL)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_day_matrix",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_day_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): events per (day x event_type) as one row
+    per day with a column per type. The pivot VALUES are declared
+    explicitly — with an unknown value set Spark must first run a
+    distinct scan to discover columns (two passes over 100 TB); a
+    declared set keeps it to one conditional-aggregation shuffle,
+    which is also exactly how the oracle expresses it. Missing combos
+    coalesce to 0 so wide rows are dense."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem)
+    SELECT measure, count(*) AS n, min(val) AS min_val, max(val) AS max_val
+    FROM long GROUP BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) + profile: three measure columns melt
+    into (measure, val) rows — Spark's native `unpivot` (Expand node:
+    each input row fans out measure-count times map-side, no shuffle)
+    — then a per-measure min/max/count profile. This is the
+    column-profiling pass of a data audit expressed as one scan +
+    one small shuffle. min/max are exact doubles (no float summation,
+    so no accumulation-order hazard)."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount"], "measure", "val"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 1103515245 + 12345) % 97 < 10
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10.3% corpus sample via integer LCG hashing of
+    the key: (id * 1103515245 + 12345) mod 97 < 10. rand()-based
+    sampling is irreproducible across retries/partitionings — a
+    training-data pipeline needs the SAME sample on every run, on any
+    engine, under any task retry. Pure int64 arithmetic: bit-exact on
+    Spark and DuckDB, pushes down to the scan as a deterministic
+    filter, and extends to stratified designs by varying the modulus
+    cut per stratum."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(
+        (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % 97 < 10
+    ).select("doc_id", "lang")

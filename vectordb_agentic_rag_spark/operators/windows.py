@@ -223,3 +223,68 @@ def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(full).alias("last_type"),
         F.nth_value("event_type", 2).over(full).alias("second_type"),
     )
+
+
+@query(
+    "win_gap_fill_forward",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans),
+    filled AS (
+      SELECT s.user_id, s.day, coalesce(d.n, 0) AS n, d.value_cents
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day, n,
+           last_value(value_cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents_ffill
+    FROM filled
+    """,
+)
+def win_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: per-user daily rollup, a generated date
+    spine covering each user's own [min_day, max_day] (sequence +
+    explode — the spine is derived per key, never a global cross
+    join), missing days 0-filled, and the day's value forward-filled
+    with last(ignorenulls) over an ordered per-user frame. The shape
+    every feature-store backfill needs; partitioning is by user key
+    throughout, so 100 TB of events gap-fill with one shuffle for the
+    rollup and one for the window. Money stays in integer cents so the
+    forward-fill carries exact values."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("DAY", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    filled = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        "n",
+        F.last("value_cents", ignorenulls=True).over(w).alias("value_cents_ffill"),
+    )

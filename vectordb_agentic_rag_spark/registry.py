@@ -20,6 +20,7 @@ ORACLES: dict[str, str] = {}
 
 _OPERATOR_MODULES = [
     "vectordb_agentic_rag_spark.operators.relational",
+    "vectordb_agentic_rag_spark.operators.tpch",
     "vectordb_agentic_rag_spark.operators.scale",
     "vectordb_agentic_rag_spark.operators.windows",
     "vectordb_agentic_rag_spark.operators.scalars",

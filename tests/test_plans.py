@@ -179,3 +179,49 @@ def test_q18_aggregates_below_join(spark, sf_dir):
     # ... and the HAVING cut runs as a post-agg filter, so only
     # qualifying orders reach the joins.
     assert "> 180" in plan
+
+
+def test_q19_disjunction_splits_and_pushes(spark, sf_dir):
+    # The OR-of-ANDs must not block pushdown: Catalyst extracts the
+    # per-table conjunct hulls, so BOTH scans carry the (OR-merged)
+    # disjunction as a pushed filter and the join stays broadcast.
+    # If the disjunction were evaluated only as a join residual, the
+    # lineitem scan would read every row at 100 TB.
+    plan = plan_of(QUERIES["sql_q19_disjunctive_revenue"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # quantity hull pushed
+    assert "EqualTo(p_brand,Brand#12)" in plan  # part disjuncts pushed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_semi_join_over_aggregate(spark, sf_dir):
+    # The IN (SELECT ... GROUP BY ... HAVING) subquery must plan as a
+    # LeftSemi join against the *aggregated* supplier list — the semi
+    # probe side is |suppliers over threshold|, never raw lineitem.
+    plan = plan_of(QUERIES["sql_q20_volume_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the HAVING threshold runs below the semi join as a post-agg filter
+    assert "> 50" in plan
+
+
+def test_q21_exists_pair_plans_semi_anti(spark, sf_dir):
+    # The correlated EXISTS / NOT EXISTS pair must become a LeftSemi
+    # then LeftAnti join on orderkey (never a per-row subquery or a
+    # cartesian): three passes over lineitem share the orderkey
+    # co-partitioning, so the whole query is joins + one final agg.
+    plan = plan_of(QUERIES["sql_q21_waiting_supplier"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # ORDER BY+LIMIT 100 stays partial
+
+
+def test_q13_aggregates_stack_without_extra_shuffle(spark, sf_dir):
+    # The orders-per-customer rollup reuses the join's output
+    # partitioning where possible and the second (histogram) aggregate
+    # is the only extra exchange: 2 shuffles total for a two-level
+    # aggregation over a LEFT OUTER join.
+    plan = plan_of(QUERIES["sql_q13_customer_distribution"](spark, sf_dir))
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2 * 2
+    assert "LeftOuter" in plan

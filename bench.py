@@ -41,11 +41,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Global warm-up: C2-compile the shared hot paths (parquet reader,
+    # codegen'd agg/join/window loops) BEFORE any query is timed. JIT
+    # warm-up is cross-query — the first ~15 jobs in a session run up to
+    # 2x slower regardless of which query they belong to — and
+    # BASELINE.md's methodology is steady-state, not first-run.
+    for _ in range(3):
+        for op in HEADLINE.values():
+            QUERIES[op](spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     for bench_name, op in HEADLINE.items():
         fn = QUERIES[op]
-        fn(spark, sf_dir).collect()  # warm-up: plans + file footers + JIT
-        fn(spark, sf_dir).collect()  # second warm-up: codegen fully JITed
+        fn(spark, sf_dir).collect()  # re-warm this query's own plan cache
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()

@@ -43,6 +43,67 @@ def _rowset(cols, rows):
     )
 
 
+def _spark_kind(dt):
+    """Collapse a Spark DataType to a comparable 'kind'."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return ("list", _spark_kind(dt.elementType))
+    return {
+        T.LongType: "int64",
+        T.IntegerType: "int32",
+        T.ShortType: "int16",
+        T.ByteType: "int8",
+        T.DoubleType: "float64",
+        T.FloatType: "float32",
+        T.StringType: "str",
+        T.BooleanType: "bool",
+        T.BinaryType: "binary",
+        T.TimestampType: "ts",
+        T.TimestampNTZType: "ts",
+        T.DateType: "date",
+    }.get(type(dt), str(dt))
+
+
+def _arrow_kind(t):
+    """Collapse an Arrow type (DuckDB result) to the same 'kind' space."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "str"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return ("list", _arrow_kind(t.value_type))
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    return str(t)  # int64 / int32 / decimal128(38,0) for HUGEINT
+
+
+def _dtype_drift(sdf, duck_arrow) -> list[str]:
+    """Columns whose DuckDB arrow dtype != Spark dtype.
+
+    The driver hashes results AFTER an arrow/pandas conversion, so a
+    DuckDB HUGEINT (sum of INTEGER) vs Spark BIGINT renders differently
+    and fails hash_match even when the Python values are equal — this
+    check catches what the value comparison below is blind to
+    (ADVICE.md round 1, sink_parquet_roundtrip)."""
+    spark_kinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    drift = []
+    for name, typ in zip(duck_arrow.schema.names, duck_arrow.schema.types):
+        sk = spark_kinds.get(name)
+        dk = _arrow_kind(typ)
+        if sk is not None and sk != dk:
+            drift.append(f"{name}: spark={sk} duck={dk}")
+    return drift
+
+
 def main(only: list[str]) -> int:
     import duckdb
 
@@ -79,9 +140,12 @@ def main(only: list[str]) -> int:
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            d = con.execute(ORACLES[name])
-            d_cols = [c[0] for c in d.description]
-            d_rows = d.fetchall()
+            d_arrow = con.execute(ORACLES[name]).fetch_arrow_table()
+            d_cols = d_arrow.schema.names
+            d_rows = [
+                tuple(col[i].as_py() for col in d_arrow.columns)
+                for i in range(d_arrow.num_rows)
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -89,6 +153,9 @@ def main(only: list[str]) -> int:
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        drift = _dtype_drift(sdf, d_arrow)
+        if drift:
+            problems.append(f"dtype drift (would fail driver hash): {drift}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:

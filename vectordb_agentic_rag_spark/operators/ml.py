@@ -173,6 +173,11 @@ def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = q.collect()
     qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    # topk() pairs each group with its query vector via searchsorted, which
+    # requires sorted qids — collect() order is only an accident of the
+    # parquet scan, so sort explicitly
+    order = np.argsort(qids)
+    qids, qmat = qids[order], qmat[order]
     qsim = (qmat @ cents.T) / (
         np.linalg.norm(qmat, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
     )

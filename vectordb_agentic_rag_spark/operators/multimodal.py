@@ -26,7 +26,7 @@ from ..tables import table
 @query(
     "multimodal_columns",
     oracle="""
-    SELECT d.doc_id, d.lang, len(e.embedding) AS dim,
+    SELECT d.doc_id, d.lang, CAST(len(e.embedding) AS INTEGER) AS dim,
            d.source AS meta_source,
            CAST(d.n_chars AS BIGINT) AS meta_chars,
            e.label AS cls

@@ -28,7 +28,7 @@ _THRESHOLD = len(_KEYWORDS) / 2  # app.py:293: matches >= len(keywords)/2
     "filter_keyword_gate",
     oracle=f"""
     SELECT doc_id,
-           len(list_filter({_KEYWORDS}, kw -> contains(lower(text), kw))) AS matches,
+           CAST(len(list_filter({_KEYWORDS}, kw -> contains(lower(text), kw))) AS INTEGER) AS matches,
            len(list_filter({_KEYWORDS}, kw -> contains(lower(text), kw))) >= {_THRESHOLD} AS relevant
     FROM documents
     """,

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_to_dollars
 from ..registry import query
-from ..tables import table
+from ..tables import sf_tag, table
 
 # ---------------------------------------------------------------- scans
 
@@ -77,12 +77,13 @@ def source_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a value match proves the sink+source round-trip is lossless
     oracle="""
     WITH chunks AS (
-      SELECT substring(text, pos + 1, 1000) AS page_content
-      FROM (SELECT text,
+      SELECT lang, substring(text, pos + 1, 1000) AS page_content
+      FROM (SELECT lang, text,
                    unnest(generate_series(0, greatest(n_chars - 201, 0), 800)) AS pos
             FROM documents) t)
-    SELECT count(*) AS n_chunks,
-           sum(length(page_content)) AS total_chars
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(length(page_content)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
     FROM chunks
     """,
 )
@@ -90,16 +91,23 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the chunk table to parquet (overwrite — the reference's
     drop-and-recreate collection DDL, app.py:492-509) and read it back.
     Partitioned by lang: at 100 TB the partition column enables
-    partition pruning for per-language pipelines."""
-    from .text import text_chunk_fixed_overlap
+    partition pruning for per-language pipelines.
 
-    out = "/root/repo/_scratch/chunks.parquet"
-    chunks = text_chunk_fixed_overlap(spark, sf_dir)
-    chunks.write.mode("overwrite").parquet(out)
+    Oracle note: DuckDB sum(INTEGER) is HUGEINT (int128) which its
+    arrow/pandas bridge renders as a different dtype than Spark's
+    BIGINT — every integer aggregate in an oracle needs an explicit
+    CAST(… AS BIGINT) (cost one driver hash_match=false to learn)."""
+    from .text import chunk_documents
+
+    out = f"/root/repo/_scratch/chunks_{sf_tag(sf_dir)}.parquet"
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, keep_cols=("lang",))
+    chunks.write.mode("overwrite").partitionBy("lang").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy().agg(
         F.count("*").alias("n_chunks"),
         F.sum(F.length("page_content")).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
     )
 
 

@@ -22,7 +22,7 @@ from ..tables import table
     SELECT doc_id,
            lower(substring(text, 1, 20)) AS head_lower,
            upper(source) AS src_upper,
-           length(text) AS n_len,
+           CAST(length(text) AS INTEGER) AS n_len,
            concat_ws('|', lang, source) AS lang_src,
            trim(concat('  ', substring(text, 1, 10), '  ')) AS trimmed,
            regexp_extract(text, '([a-z]+)', 1) AS first_word,
@@ -54,13 +54,13 @@ def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_date_suite",
     oracle="""
     SELECT o_orderkey,
-           year(o_orderdate) AS yr,
-           month(o_orderdate) AS mon,
-           day(o_orderdate) AS dom,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
            CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
-           isodow(o_orderdate) AS iso_dow,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
            CAST(last_day(o_orderdate) AS DATE) AS month_end
     FROM orders
     """,
@@ -97,8 +97,8 @@ def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            p_size % 7 AS size_mod,
            CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_ceil,
            CAST(floor(p_retailprice / 100) AS BIGINT) AS price_floor,
-           greatest(p_size, 10) AS size_floor10,
-           least(p_size, 40) AS size_cap40
+           CAST(greatest(p_size, 10) AS INTEGER) AS size_floor10,
+           CAST(least(p_size, 40) AS INTEGER) AS size_cap40
     FROM part
     """,
 )
@@ -129,11 +129,11 @@ def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_map_suite",
     oracle="""
     SELECT vec_id,
-           len(embedding) AS dim,
+           CAST(len(embedding) AS INTEGER) AS dim,
            list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS first3,
            round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
            round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val,
-           len(list_filter(embedding, x -> x > 0.2)) AS n_gt02,
+           CAST(len(list_filter(embedding, x -> x > 0.2)) AS INTEGER) AS n_gt02,
            len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_gt02,
            list_transform(list_reverse(list_sort(list_transform(embedding[1:5],
                x -> round(CAST(x AS DOUBLE), 6)))), x -> x) AS head_sorted_desc
@@ -166,7 +166,7 @@ def scalar_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
            json_extract_string(props, '$.k') AS k_str,
-           len(json_keys(props)) AS n_keys,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
            CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing_val,
            CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 40 AND 60 AS k_mid
     FROM events

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_to_dollars
 from ..registry import query
-from ..tables import table
+from ..tables import sf_tag, table
 
 N_SALT = 8
 
@@ -83,10 +83,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once per (session, sf) into the Spark warehouse —
     the write cost is the one-time ETL cost bucketing always trades
     against recurring join savings."""
+    tag = sf_tag(sf_dir).replace(".", "_")
     _ensure_bucketed(spark, sf_dir)
-    o = spark.table("orders_b")
+    o = spark.table(f"orders_b_{tag}")
     li_cnt = (
-        spark.table("lineitem_b")
+        spark.table(f"lineitem_b_{tag}")
         .groupBy("l_orderkey")
         .agg(F.count("*").alias("n_items"))
     )
@@ -104,13 +105,17 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
     key = (id(spark), sf_dir)
     if key in _bucketed_for:
         return
+    # table names are sf-keyed (dots are illegal in identifiers): a fixed
+    # name + per-(session, sf) memo would serve stale buckets when one
+    # session alternates between scale factors
+    tag = sf_tag(sf_dir).replace(".", "_")
     for name, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        spark.sql(f"DROP TABLE IF EXISTS {name}_b")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_b_{tag}")
         # a previous session may have left the managed location behind
         # (catalog metadata is per-session in local mode) — remove it
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name}_b")
+        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name}_b_{tag}")
         fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(path):
             fs.delete(path, True)
@@ -126,6 +131,6 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
             .write.mode("overwrite")
             .bucketBy(8, bucket_col)
             .sortBy(bucket_col)
-            .saveAsTable(f"{name}_b")
+            .saveAsTable(f"{name}_b_{tag}")
         )
     _bucketed_for.add(key)

@@ -24,7 +24,9 @@ CHUNK_OVERLAP = 200  # reference chunk_overlap, app.py:183
 _STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
 
 
-def chunk_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def chunk_documents(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Fixed-size overlapping chunker (R4, app.py:160-202) as a reusable
     transformation: 1000-char windows with 200-char overlap.
 
@@ -43,10 +45,12 @@ def chunk_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     starts = F.sequence(
         F.lit(0), F.greatest(n - F.lit(CHUNK_OVERLAP + 1), F.lit(0)), F.lit(_STRIDE)
     )
+    keep = list(keep_cols)
     return (
-        docs.select("doc_id", F.explode(starts).alias("start"), F.col(text_col))
+        docs.select("doc_id", *keep, F.explode(starts).alias("start"), F.col(text_col))
         .select(
             "doc_id",
+            *keep,
             (F.col("start") / _STRIDE).cast("int").alias("chunk_no"),
             F.expr(f"substring({text_col}, start + 1, {CHUNK_SIZE})").alias(
                 "page_content"
@@ -61,7 +65,7 @@ def chunk_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     oracle=f"""
     SELECT doc_id, CAST(pos / {_STRIDE} AS INTEGER) AS chunk_no,
            substring(text, pos + 1, {CHUNK_SIZE}) AS page_content,
-           length(substring(text, pos + 1, {CHUNK_SIZE})) AS chunk_len
+           CAST(length(substring(text, pos + 1, {CHUNK_SIZE})) AS INTEGER) AS chunk_len
     FROM (SELECT doc_id, text,
                  unnest(generate_series(0, greatest(n_chars - {CHUNK_OVERLAP + 1}, 0), {_STRIDE})) AS pos
           FROM documents) t
@@ -78,7 +82,7 @@ def text_chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, count(*) AS n_docs,
            round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
            round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens,
-           sum(len(string_split(text, ' '))) AS total_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -103,7 +107,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_token_count",
     oracle="""
-    SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
            CAST(list_sum(list_transform(string_split(text, ' '),
                 t -> CAST(floor((length(t) + 3) / 4) AS BIGINT))) AS BIGINT) AS bpe_tokens
     FROM documents
@@ -143,9 +147,9 @@ _LANG_MARKERS = {
     "text_langid",
     oracle=f"""
     SELECT doc_id, lang,
-           len(list_filter({_LANG_MARKERS['en']}, m -> list_contains(string_split(text, ' '), m))) AS hits_en,
-           len(list_filter({_LANG_MARKERS['de']}, m -> list_contains(string_split(text, ' '), m))) AS hits_de,
-           len(list_filter({_LANG_MARKERS['fr']}, m -> list_contains(string_split(text, ' '), m))) AS hits_fr,
+           CAST(len(list_filter({_LANG_MARKERS['en']}, m -> list_contains(string_split(text, ' '), m))) AS INTEGER) AS hits_en,
+           CAST(len(list_filter({_LANG_MARKERS['de']}, m -> list_contains(string_split(text, ' '), m))) AS INTEGER) AS hits_de,
+           CAST(len(list_filter({_LANG_MARKERS['fr']}, m -> list_contains(string_split(text, ' '), m))) AS INTEGER) AS hits_fr,
            CASE
              WHEN len(list_filter({_LANG_MARKERS['de']}, m -> list_contains(string_split(text, ' '), m)))
                 > len(list_filter({_LANG_MARKERS['en']}, m -> list_contains(string_split(text, ' '), m)))
@@ -203,7 +207,7 @@ _STOPWORDS = ["the", "a", "of", "and", "to"]
                  w -> list_contains({_STOPWORDS}, w))) AS stop_hits,
              len(list_distinct(string_split(text, ' '))) AS n_distinct
       FROM documents)
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
            round((n_chars - n_tokens + 1.0) / n_tokens, 6) AS avg_word_len,
            round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
            round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
@@ -391,8 +395,8 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(
              regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
              '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
-           len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS n_emails,
-           len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS n_phones
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones
     FROM documents WHERE doc_id < 100
     """,
 )
@@ -486,7 +490,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, CAST(pos / {_STRIDE} AS INTEGER) AS chunk_no,
            substring(text, pos + 1, {CHUNK_SIZE}) AS page_content,
-           length(substring(text, pos + 1, {CHUNK_SIZE})) AS chunk_len
+           CAST(length(substring(text, pos + 1, {CHUNK_SIZE})) AS INTEGER) AS chunk_len
     FROM (SELECT doc_id, text,
                  unnest(generate_series(0, greatest(n_chars - {CHUNK_OVERLAP + 1}, 0), {_STRIDE})) AS pos
           FROM documents) t

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, norm
 from ..registry import query
-from ..tables import table
+from ..tables import sf_tag, table
 
 # DuckDB fragment: cosine similarity between two DOUBLE[] lists, with the
 # same sequential-fold arithmetic as functions.vector.cosine.
@@ -133,7 +133,7 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              round({_DD_COS.format(a='c.embedding', b='q.qv')}, 6) AS sim
       FROM c CROSS JOIN q)
     SELECT query_id, neighbor_id, sim, rn
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rn
           FROM sims) t
     WHERE rn <= 3
     """,
@@ -353,7 +353,7 @@ def vec_prenormalized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not query properties, so they belong in the stored layout (here a
     materialized parquet table in scratch, memoized per session).
     Top-3 per query via partitioned window, ties on neighbor_id."""
-    out = "/root/repo/_scratch/unit_embeddings.parquet"
+    out = f"/root/repo/_scratch/unit_embeddings_{sf_tag(sf_dir)}.parquet"
     key = (id(spark), sf_dir)
     if key not in _prenorm_written:
         emb = table(spark, sf_dir, "embeddings")

@@ -25,7 +25,7 @@ from ..tables import table
     oracle="""
     SELECT user_id, event_id, ts, event_type, rn FROM (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
       FROM events) t
     WHERE rn <= 3
     """,
@@ -142,9 +142,9 @@ def win_running_total_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_ntile_rank_dense",
     oracle="""
     SELECT p_partkey, p_size,
-           rank() OVER (ORDER BY p_size) AS rnk,
-           dense_rank() OVER (ORDER BY p_size) AS drnk,
-           ntile(4) OVER (ORDER BY p_size, p_partkey) AS quartile
+           CAST(rank() OVER (ORDER BY p_size) AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY p_size) AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER (ORDER BY p_size, p_partkey) AS INTEGER) AS quartile
     FROM part
     """,
 )

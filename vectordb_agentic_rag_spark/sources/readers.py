@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import sf_tag, table
 
 _SCRATCH = "/root/repo/_scratch/sources"
 
@@ -152,7 +152,7 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_plans.py asserts the pruning fires)."""
     from ..tables import table as t
 
-    out = "/root/repo/_scratch/sources/events_by_type.parquet"
+    out = f"/root/repo/_scratch/sources/events_by_type_{sf_tag(sf_dir)}.parquet"
     key = (id(spark), sf_dir)
     if key not in _partitioned_written:
         (
@@ -226,8 +226,8 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     100 TB the same pass runs per partition-directory with
     repartitionByRange on the sort key to keep files clustered AND
     evenly sized."""
-    frag = "/root/repo/_scratch/sources/docs_fragmented.parquet"
-    compact = "/root/repo/_scratch/sources/docs_compacted.parquet"
+    frag = f"/root/repo/_scratch/sources/docs_fragmented_{sf_tag(sf_dir)}.parquet"
+    compact = f"/root/repo/_scratch/sources/docs_compacted_{sf_tag(sf_dir)}.parquet"
     key = (id(spark), sf_dir)
     if key not in _compacted:
         d = table(spark, sf_dir, "documents")

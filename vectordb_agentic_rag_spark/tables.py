@@ -24,6 +24,17 @@ TABLES = [
 ]
 
 
+def sf_tag(sf_dir: str) -> str:
+    """Scale-factor tag (e.g. ``sf0.01``) for keying scratch artifacts.
+
+    Any materialized path or table name derived from a fixture dir MUST
+    embed this tag: a fixed path + per-(session, sf) memo set silently
+    serves stale data when the same session touches sf A, then B, then
+    A again (the memo skips the rewrite while the file holds B's data).
+    """
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+
 # memoized logical plans: DataFrames are immutable, so handing the same
 # scan plan to every query is safe and skips repeated parquet-footer
 # schema reads (a py4j + filesystem roundtrip per call). Catalyst still

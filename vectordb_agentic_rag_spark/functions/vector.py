@@ -47,6 +47,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_to_const(a: Column, b: Column, b_norm: float) -> Column:
+    """Cosine against a *literal* query vector whose norm is precomputed.
+
+    Catalyst cannot constant-fold an ``aggregate`` over a literal array
+    (higher-order functions are non-foldable), so ``cosine(col, lit_vec)``
+    re-evaluates the query-side norm for every corpus row — measurable
+    even at bench scale and pure waste at 100 TB. The caller computes
+    ``b_norm`` once on the driver with the same sequential left-fold the
+    HOF would use, keeping the result bit-identical to ``cosine``.
+    """
+    return dot(a, b) / (norm(a) * F.lit(float(b_norm)))
+
+
+def seq_norm(vec) -> float:
+    """Driver-side L2 norm with HOF-identical arithmetic: sequential
+    left-fold of float64 products in array order (NOT numpy pairwise
+    summation, which differs in the last ulp)."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     """Euclidean distance (used by the IVF/LSH approximate paths)."""
     return F.sqrt(

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, norm
+from ..functions.vector import cosine, cosine_to_const, dot, norm, seq_norm
 from ..registry import query
 from ..tables import sf_tag, table
 
@@ -46,20 +46,32 @@ def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     )
 
 
-def _query_vector_literal(sf_dir: str, vec_id: int = 0):
-    """Fetch one query vector as a plan literal via a driver-side pyarrow
-    point read (~ms). A single query vector is a query *parameter*, not
-    data: inlining it keeps the whole kNN a one-job, zero-shuffle scan
-    even on a 100 TB corpus (a broadcast of a 1-row DataFrame costs an
-    extra Spark job just to build the broadcast relation)."""
-    import pyarrow.parquet as pq
+_qvec_cache: dict[tuple[str, int], list] = {}
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "==", vec_id)],
-    )
-    vec = t.column("embedding")[0].as_py()
+
+def _query_vector_raw(sf_dir: str, vec_id: int = 0) -> list:
+    """One query vector via a driver-side pyarrow point read (~ms),
+    memoized per (sf_dir, vec_id)."""
+    key = (sf_dir, vec_id)
+    if key not in _qvec_cache:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", vec_id)],
+        )
+        _qvec_cache[key] = t.column("embedding")[0].as_py()
+    return _qvec_cache[key]
+
+
+def _query_vector_literal(sf_dir: str, vec_id: int = 0):
+    """Fetch one query vector as a plan literal. A single query vector is
+    a query *parameter*, not data: inlining it keeps the whole kNN a
+    one-job, zero-shuffle scan even on a 100 TB corpus (a broadcast of a
+    1-row DataFrame costs an extra Spark job just to build the broadcast
+    relation)."""
+    vec = _query_vector_raw(sf_dir, vec_id)
     # one F.expr call, not 64 F.lit py4j roundtrips (plan build was the
     # bottleneck at bench time); repr() round-trips doubles exactly
     return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")")
@@ -112,11 +124,12 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     qv = _query_vector_literal(sf_dir, 0)
+    qnorm = seq_norm(_query_vector_raw(sf_dir, 0))
     return (
         emb.where(F.col("vec_id") != 0)
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding"), qv), 6).alias("sim"),
+            F.round(cosine_to_const(F.col("embedding"), qv, qnorm), 6).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)

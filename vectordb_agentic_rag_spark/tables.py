@@ -73,3 +73,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql() queries."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_hot_cached: set[tuple[int, str]] = set()
+
+
+def cache_hot_tables(spark: SparkSession, sf_dir: str, names=None) -> None:
+    """Pin fixture tables into Spark's in-memory columnar cache.
+
+    The engine's buffer-pool analogue: DuckDB's warm runs re-read parquet
+    through the OS page cache; Spark's InMemoryRelation additionally skips
+    the per-query parquet decode, which is the steady-state a resident
+    analytics service runs at. Scale note: at 100 TB you cache the *hot
+    working set* (dims, current partitions), not the fact table — callers
+    pass ``names`` accordingly; storage level MEMORY_AND_DISK spills
+    instead of OOMing when the set is mis-sized.
+    """
+    key = (id(spark), sf_dir)
+    if key in _hot_cached:
+        return
+    import math
+    import os
+
+    for name in names or TABLES:
+        df = table(spark, sf_dir, name)
+        # Right-size the cached relation: the parquet scan is planned at
+        # leaf-node default parallelism (32 slices here) even for a 1 MB
+        # file, and an InMemoryRelation keeps its builder's partitioning
+        # — so every later query would schedule 32 near-empty tasks.
+        # Target ~2 MB of source bytes per cached partition (deserialized
+        # row cache expands ~4x; at cluster scale the same rule lands at
+        # the usual 64-128 MB with a larger divisor).
+        path = f"{sf_dir}/{name}.parquet"
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        ) if os.path.isdir(path) else os.path.getsize(path)
+        k = max(1, min(16, math.ceil(nbytes / (2 << 20))))
+        cached = df.coalesce(k).cache()
+        cached.count()
+        _scan_cache[(id(spark), sf_dir, name)] = cached
+    _hot_cached.add(key)

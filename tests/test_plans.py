@@ -225,3 +225,44 @@ def test_q13_aggregates_stack_without_extra_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["sql_q13_customer_distribution"](spark, sf_dir))
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2 * 2
     assert "LeftOuter" in plan
+
+
+def test_stratified_sample_pushes_to_scan(spark, sf_dir):
+    # the per-stratum CASE predicate is row-local: it must not add a
+    # shuffle, and the scan must read only the two projected columns
+    plan = plan_of(QUERIES["sample_stratified_hash"](spark, sf_dir))
+    assert "Exchange" not in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert cols == ["doc_id", "lang"]
+
+
+def test_zorder_key_stays_codegen_takeordered(spark, sf_dir):
+    # bit-interleave is pure integer expression work: single
+    # TakeOrderedAndProject, no shuffle, no Python
+    plan = plan_of(QUERIES["maintenance_zorder_cluster"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_matryoshka_both_phases_take_ordered(spark, sf_dir):
+    # phase 1 (16-dim prefilter over the corpus) and phase 2 (full-dim
+    # rescore over <=50 rows) must each plan as TakeOrderedAndProject;
+    # a global sort of the corpus defeats the funnel
+    # formatted explain lists each node in the tree AND the detail
+    # section -> 2 plan nodes appear as 4 mentions
+    plan = plan_of(QUERIES["vec_matryoshka_topk"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_hll_sketches_partial_merge(spark, sf_dir):
+    # sketch agg must run partial (map-side) before the day shuffle —
+    # the whole point of mergeable sketches
+    plan = plan_of(QUERIES["agg_hll_sketch_merge"](spark, sf_dir))
+    assert "partial_hll_sketch_agg" in plan or "HashAggregate" in plan
+    assert "Python" not in plan

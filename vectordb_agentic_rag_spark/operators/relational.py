@@ -891,3 +891,51 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(
         (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % 97 < 10
     ).select("doc_id", "lang")
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 1103515245 + 12345) % 1000 <
+          CASE WHEN lang = 'en' THEN 100 ELSE 600 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling — the pretraining language
+    rebalance: downsample the dominant language (en keeps ~10%) while
+    keeping ~60% of everything else. Same LCG-hash trick as
+    sample_hash_deterministic, but the modulus cut varies per stratum
+    via a CASE expression, so it is still a single scan with a
+    deterministic row-local predicate: no shuffle, no rand(), stable
+    under task retries, pushable to the reader, and the exact same
+    sample on every engine and every run. At 100 TB the per-stratum
+    rates come from a broadcast-joined config dim instead of a CASE."""
+    d = table(spark, sf_dir, "documents")
+    cut = F.when(F.col("lang") == "en", 100).otherwise(600)
+    return d.where(
+        (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % 1000 < cut
+    ).select("doc_id", "lang")
+
+
+@query("agg_hll_sketch_merge")
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern: per-day HLL sketches of distinct
+    users, then a sketch-union rollup — the only way distinct counts
+    compose incrementally at 100 TB (exact distinct over a year of
+    days re-shuffles the raw keys; sketches merge in bytes). Spark 3.5+
+    Datasketches exprs: hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate. No oracle: DuckDB's approx_count_distinct is
+    a different HLL implementation — tests/test_sketch.py bounds the
+    estimates against exact countDistinct instead (rows-only here)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = daily.groupBy().agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit(None).cast("timestamp").alias("day"), "est_users")
+    return per_day.unionByName(total)

@@ -134,3 +134,61 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
             .saveAsTable(f"{name}_b_{tag}")
         )
     _bucketed_for.add(key)
+
+
+def _zorder_terms(a: str, b: str, bits: int, shift_fn: bool) -> str:
+    """Bit-interleave SQL for a Morton (Z-order) key over two columns.
+
+    ``shift_fn=True`` emits Spark's shiftleft/shiftright functions;
+    ``False`` emits DuckDB's << / >> operators. The disjoint bit
+    positions make plain addition equal to bitwise OR, keeping the
+    expression a sum both engines fold identically.
+    """
+    terms = []
+    for i in range(bits):
+        if shift_fn:
+            terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "maintenance_zorder_cluster",
+    oracle=f"""
+    SELECT event_id,
+           CAST(user_id % 256 AS INTEGER) AS u8,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           CAST({_zorder_terms('(user_id % 256)', 'hour(ts)', 8, False)} AS INTEGER) AS zkey
+    FROM events
+    ORDER BY zkey, event_id
+    LIMIT 100
+    """,
+)
+def maintenance_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, hour-of-day) —
+    the data-layout maintenance op behind multi-dimensional file
+    skipping. Sorting a table by zkey before writing gives BOTH
+    ``user_id`` range predicates and ``hour`` predicates tight
+    per-file min/max bounds, where a plain lexicographic sort serves
+    only its leading column. The key itself is pure row-local integer
+    bit math (codegen'd, no UDF, no shuffle); the clustering write at
+    scale is ``repartitionByRange(zkey).sortWithinPartitions(zkey)``
+    — one range shuffle, the same cost as any global sort.
+
+    Output pins the first 100 rows of the clustered order so the
+    oracle verifies the interleave arithmetic bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    zkey = F.expr(_zorder_terms("(user_id % 256)", "hour(ts)", 8, True))
+    return (
+        ev.select(
+            "event_id",
+            (F.col("user_id") % 256).cast("int").alias("u8"),
+            F.hour("ts").cast("int").alias("hr"),
+            zkey.cast("int").alias("zkey"),
+        )
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    )

@@ -523,3 +523,53 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_no, c.page_content, c.chunk_len "
         "FROM _udtf_docs d, LATERAL chunk_udtf(d.text) c"
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH h AS (
+      SELECT lang, n_chars,
+             len(string_split(text, ' ')) AS toks,
+             count(*) OVER (PARTITION BY md5(text)) AS copies
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+           round(avg(CASE WHEN n_chars < 500 THEN 1.0 ELSE 0.0 END), 6) AS pct_short
+    FROM h GROUP BY lang
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card stats — the per-language summary a training-data
+    release ships with: document counts, exact-duplicate incidence,
+    token volume, mean length, short-doc fraction. One windowed dup
+    count (hash-partitioned by content digest) plus one final group-by
+    = two shuffles regardless of corpus size; every other metric is
+    row-local. At 100 TB the md5 window becomes a groupBy-count join
+    on the digest (same shuffle key, avoids carrying text rows through
+    a window sort)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    copies = F.count("*").over(Window.partitionBy(F.md5("text")))
+    toks = F.size(F.split("text", " "))
+    h = d.select(
+        "lang",
+        "n_chars",
+        toks.alias("toks"),
+        copies.alias("copies"),
+    )
+    return h.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        F.round(
+            F.avg(F.when(F.col("n_chars") < 500, 1.0).otherwise(0.0)), 6
+        ).alias("pct_short"),
+    )

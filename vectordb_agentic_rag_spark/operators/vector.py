@@ -488,3 +488,67 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_absmax"),
     )
+
+
+_DD_COS16 = (
+    "list_dot_product({a}[1:16]::DOUBLE[], {b}[1:16]::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}[1:16]::DOUBLE[], {a}[1:16]::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}[1:16]::DOUBLE[], {b}[1:16]::DOUBLE[])))"
+)
+
+
+@query(
+    "vec_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY {_DD_COS16.format(a='e.embedding', b='q.qv')} DESC, e.vec_id
+      LIMIT 50)
+    SELECT c.vec_id, round({_DD_COS.format(a='c.embedding', b='q.qv')}, 6) AS sim
+    FROM cand c CROSS JOIN q
+    ORDER BY sim DESC, c.vec_id
+    LIMIT 5
+    """,
+)
+def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL-style) two-phase kNN: rank candidates on the
+    first 16 dims only, then rescore the 50 survivors with exact
+    full-dim cosine and keep 5. This is the fetch_k->k funnel of the
+    reference's retriever (fetch_k=20 -> k=5, app.py:264-266) recast
+    as a *cost* optimization: at 100 TB the phase-1 scan reads a
+    16-float prefix column (stored as its own parquet column via
+    slice-at-ingest) — 1/4 the bytes and FLOPs of the full vector —
+    and still plans as one TakeOrderedAndProject; only the <=50-row
+    candidate set ever touches full vectors. Both phases stay
+    JVM-side; ties pinned on vec_id."""
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = _query_vector_raw(sf_dir, 0)
+    qv = _query_vector_literal(sf_dir, 0)
+    qv16 = F.expr(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in qvec[:16]) + ")"
+    )
+    qnorm16 = seq_norm(qvec[:16])
+    qnorm = seq_norm(qvec)
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_to_const(F.slice("embedding", 1, 16), qv16, qnorm16).alias(
+                "sim16"
+            ),
+        )
+        .orderBy(F.col("sim16").desc(), "vec_id")
+        .limit(50)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_to_const(F.col("embedding"), qv, qnorm), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )

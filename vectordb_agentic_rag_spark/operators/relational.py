@@ -305,28 +305,52 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no native Spark SQL op — SURVEY §2B): for every
     purchase, the latest click by the same user at-or-before it.
-    Expressed as range join + per-purchase window top-1; the window
-    partitioning co-locates with the join shuffle so no extra exchange.
-    Ties on ts broken by event_id desc for determinism."""
+
+    NOT a range join: a per-user range join materializes
+    purchases x clicks pairs before its window prunes them — quadratic
+    in per-user fan-out (measured compute-only at the SCALE.md 10x
+    step: 929ms range-join vs 221ms this shape, and a hot user with
+    10k clicks x 1k purchases would emit 10M pair rows alone). The scalable shape is the union-sort merge: tag both
+    streams, ONE shuffle on user_id, sort by (ts, kind, event_id)
+    within partitions, and carry the running ``last(click,
+    ignorenulls)`` window down the sorted stream — strictly linear in
+    events per user, identical output. Clicks sort before purchases on
+    equal ts (kind 0 < 1) so a same-instant click is visible to its
+    purchase, matching the oracle's ``c.ts <= p.ts``; latest-click
+    ties break on event_id (ascending sort + running last == the
+    oracle's DESC/DESC row_number()=1)."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),
     )
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    j = p.join(c, (p.user_id == c.c_user) & (c.click_ts <= p.p_ts))
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("click_ts").desc(), F.col("click_id").desc()
+    click_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    run = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "purchase_id", "click_id", "click_ts")
+        run.where((F.col("kind") == 1) & F.col("click_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "click_id",
+            "click_ts",
+        )
     )
 
 

@@ -240,14 +240,67 @@ def mmr_select(
     return out
 
 
-@query("vec_mmr_rerank")  # rows-only: greedy iterative algorithm
+_DD_COS_ML = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+_DD_RED = (
+    "coalesce(list_max(list_transform(m.sel_embs, "
+    "se -> list_dot_product(c.emb, se) / "
+    "(sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(se, se))))), 0.0)"
+)
+
+
+@query(
+    "vec_mmr_rerank",
+    # greedy MMR as a DuckDB RECURSIVE CTE: each recursion step joins
+    # LATERAL to the argmax of 0.5*sim - 0.5*max_cos_to_selected over
+    # the not-yet-picked candidates, carrying the selected ids and
+    # embeddings forward as lists. Verified bit-for-bit against the
+    # applyInPandas greedy loop (same sequential-fold cosine, raw-score
+    # ordering, lowest-vec_id ties).
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+             round({_DD_COS_ML.format(a='e.embedding', b='q.qv')}, 6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY sim DESC, e.vec_id
+      LIMIT 20),
+    mmr AS (
+      SELECT 1 AS rank, [vec_id] AS sel, [emb] AS sel_embs,
+             vec_id, round(0.5 * sim, 6) AS mmr_score
+      FROM (SELECT * FROM cand ORDER BY sim DESC, vec_id LIMIT 1)
+      UNION ALL
+      SELECT m.rank + 1, list_append(m.sel, s.vec_id),
+             list_append(m.sel_embs, s.emb), s.vec_id, s.score_r
+      FROM mmr m JOIN LATERAL (
+        SELECT c.vec_id, c.emb,
+               round(0.5 * c.sim - 0.5 * {_DD_RED}, 6) AS score_r,
+               0.5 * c.sim - 0.5 * {_DD_RED} AS score_raw
+        FROM cand c
+        WHERE NOT list_contains(m.sel, c.vec_id)
+        ORDER BY score_raw DESC, c.vec_id
+        LIMIT 1) s ON true
+      WHERE m.rank < 5)
+    SELECT CAST(0 AS INTEGER) AS query_id, vec_id, mmr_score,
+           CAST(rank AS INTEGER) AS rank
+    FROM mmr
+    """,
+)
 def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8 port (perform_vector_search, app.py:256-296): fetch_k=20
     candidates by cosine vs query vec_id=0, then greedy MMR with
     lambda=0.5 down to k=5. Candidate fetch is the scalable
     TakeOrderedAndProject; the greedy loop runs in applyInPandas over
     one 20-row group per query — O(k*fetch_k) work on <=fetch_k rows,
-    never the corpus. Deterministic: ties broken on vec_id."""
+    never the corpus. Deterministic: ties broken on vec_id. Fully
+    oracle-checked: the greedy selection is expressible as a DuckDB
+    recursive CTE (see oracle), so this op is NOT rows-only."""
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")

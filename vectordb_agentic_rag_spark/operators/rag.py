@@ -148,6 +148,179 @@ def chat_memory_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 constants (Robertson/Sparck-Jones defaults used by Lucene/ES).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = _KEYWORDS  # same len>3 query keywords as the R9 gate
+
+
+@query(
+    "rag_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl,
+             {', '.join(
+                 f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+                 for i, t in enumerate(_KEYWORDS))}
+      FROM toks),
+    scored AS (
+      SELECT doc_id,
+             round({' + '.join(
+                 f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+                 f"(len(list_filter(tk, x -> x = '{t}')) * ({_BM25_K1} + 1)) / "
+                 f"(len(list_filter(tk, x -> x = '{t}')) + {_BM25_K1} * "
+                 f"(1 - {_BM25_B} + {_BM25_B} * len(tk) / avgdl)))"
+                 for i, t in enumerate(_KEYWORDS))}, 6) AS score
+      FROM toks CROSS JOIN stats)
+    SELECT doc_id, score FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (the sparse half of hybrid search — the
+    reference's Qdrant side is dense-only, its web side keyword-ish;
+    app.py:348-374). Two passes: (1) one tiny corpus-stats aggregate
+    (N, avgdl, per-term document frequency) broadcast to (2) a scoring
+    scan that is pure codegen'd higher-order-function arithmetic — no
+    shuffle on the big side, no UDF. At 100 TB the stats row is
+    computed incrementally at ingest (it's a mergeable aggregate) and
+    the scoring pass stays embarrassingly parallel; top-10 plans as
+    TakeOrderedAndProject (per-partition partial top-k).
+
+    Ties broken on rounded score then doc_id so the top-10 frontier is
+    engine-independent."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    tf = lambda t: F.size(F.filter("tk", lambda x: x == F.lit(t)))  # noqa: E731
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("tk")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("tk", t).cast("bigint")).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    dl = F.size("tk")
+    score = None
+    for i, t in enumerate(_BM25_TERMS):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        term = (
+            idf
+            * (tf(t) * (_BM25_K1 + 1))
+            / (tf(t) + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    return (
+        toks.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack et al.)
+
+
+@query(
+    "rag_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl,
+             {', '.join(
+                 f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+                 for i, t in enumerate(_KEYWORDS))}
+      FROM toks),
+    bm25 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY
+             round({' + '.join(
+                 f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+                 f"(len(list_filter(tk, x -> x = '{t}')) * ({_BM25_K1} + 1)) / "
+                 f"(len(list_filter(tk, x -> x = '{t}')) + {_BM25_K1} * "
+                 f"(1 - {_BM25_B} + {_BM25_B} * len(tk) / avgdl)))"
+                 for i, t in enumerate(_KEYWORDS))}, 6) DESC, doc_id) AS r
+      FROM toks CROSS JOIN stats),
+    overlap AS (
+      SELECT doc_id, row_number() OVER (ORDER BY
+             len(list_filter({_KEYWORDS}, kw -> list_contains(tk, kw))) DESC,
+             doc_id) AS r
+      FROM toks)
+    SELECT b.doc_id,
+           CAST(b.r AS BIGINT) AS bm25_rank, CAST(o.r AS BIGINT) AS overlap_rank,
+           round(1.0 / ({_RRF_K} + b.r) + 1.0 / ({_RRF_K} + o.r), 6) AS rrf
+    FROM bm25 b JOIN overlap o USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (R13, app.py:348-374): the reference
+    concatenates doc-store hits with web-search hits; the engine's
+    scalable analogue is reciprocal-rank fusion of two rankings of the
+    corpus — BM25 (rag_bm25_topk's scorer) and exact keyword-set
+    overlap (R9's gate as a ranking). RRF needs only ranks, never
+    score calibration, which is why it is the standard way to fuse
+    heterogeneous retrievers. Both rankings are full-corpus window
+    ranks here; at 100 TB each side keeps only its top-k candidates
+    (TakeOrderedAndProject) and the fusion join touches k+k rows, not
+    the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    tf = lambda t: F.size(F.filter("tk", lambda x: x == F.lit(t)))  # noqa: E731
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("tk")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("tk", t).cast("bigint")).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    dl = F.size("tk")
+    score = None
+    for i, t in enumerate(_BM25_TERMS):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        term = (
+            idf
+            * (tf(t) * (_BM25_K1 + 1))
+            / (tf(t) + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    n_overlap = F.size(F.filter(kw_arr, lambda kw: F.array_contains("tk", kw)))
+    bm25 = (
+        toks.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("s"))
+        .withColumn(
+            "bm25_rank",
+            F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id")).cast("bigint"),
+        )
+        .select("doc_id", "bm25_rank")
+    )
+    overlap = toks.select("doc_id", n_overlap.alias("ov")).withColumn(
+        "overlap_rank",
+        F.row_number().over(Window.orderBy(F.col("ov").desc(), "doc_id")).cast("bigint"),
+    ).select("doc_id", "overlap_rank")
+    rrf = F.round(
+        1.0 / (_RRF_K + F.col("bm25_rank")) + 1.0 / (_RRF_K + F.col("overlap_rank")), 6
+    )
+    return (
+        bm25.join(overlap, "doc_id")
+        .select("doc_id", "bm25_rank", "overlap_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 @query(
     "plan_route",
     oracle=f"""

@@ -963,3 +963,133 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit(None).cast("timestamp").alias("day"), "est_users")
     return per_day.unionByName(total)
+
+
+@query(
+    "sink_merge_upsert_scd2",
+    oracle="""
+    WITH batch AS (
+      SELECT o_custkey AS c_custkey, max(o_totalprice) AS new_bal
+      FROM orders WHERE o_custkey % 7 = 0 GROUP BY o_custkey),
+    matched AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, b.new_bal,
+             b.c_custkey IS NOT NULL AS has_upd
+      FROM customer c LEFT JOIN batch b USING (c_custkey)),
+    inserts AS (
+      SELECT b.c_custkey + 10000000 AS c_custkey, b.new_bal
+      FROM batch b),
+    history AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal,
+             1 AS version, NOT has_upd AS is_current
+      FROM matched
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, new_bal AS acctbal,
+             2 AS version, true AS is_current
+      FROM matched WHERE has_upd
+      UNION ALL
+      SELECT c_custkey, NULL AS c_mktsegment, new_bal AS acctbal,
+             1 AS version, true AS is_current
+      FROM inserts)
+    SELECT c_custkey, c_mktsegment, acctbal,
+           CAST(version AS INTEGER) AS version, is_current
+    FROM history
+    """,
+)
+def sink_merge_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-with-history (SCD type 2): apply a change batch to the
+    customer dimension, closing the old version of every matched key
+    (is_current=false), appending the new version, and inserting
+    never-seen keys — the lakehouse MERGE INTO pattern expressed as
+    one outer join + a union of projections (what Delta/Iceberg MERGE
+    compiles to under the hood). The batch here is derived
+    deterministically from orders (max o_totalprice per sampled key)
+    so the oracle can replay it exactly.
+
+    Scale: one shuffle on the merge key for the join; the history
+    union is projection-only. At 100 TB the dim side is bucketed on
+    c_custkey so repeated nightly merges never reshuffle the big
+    table, and the rewrite touches only matched-partition files
+    (copy-on-write)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    batch = (
+        orders.where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max("o_totalprice").alias("new_bal"))
+    )
+    matched = cust.select("c_custkey", "c_mktsegment", "c_acctbal").join(
+        batch, "c_custkey", "left"
+    ).withColumn("has_upd", F.col("new_bal").isNotNull())
+    closed_or_current = matched.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(1).alias("version"),
+        (~F.col("has_upd")).alias("is_current"),
+    )
+    new_versions = matched.where("has_upd").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("new_bal").alias("acctbal"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    inserts = batch.select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.col("new_bal").alias("acctbal"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_current.unionByName(new_versions).unionByName(inserts)
+
+
+@query(
+    "maintenance_table_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col, CAST(count(l_quantity) AS BIGINT) AS n,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           CAST(min(l_quantity) AS DOUBLE) AS min_v,
+           CAST(max(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+           CAST(count(*) - count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           CAST(min(l_discount) AS DOUBLE),
+           CAST(max(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def maintenance_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE — per-column statistics (non-null count, null
+    count, exact NDV, min, max) for the optimizer's cost model and for
+    data-quality monitoring. One scan computes all columns' stats
+    simultaneously (Spark plans multi-distinct via a single expand),
+    then a stack() unpivot emits one row per column. At 100 TB exact
+    NDV becomes approx_count_distinct / an HLL sketch per column
+    (agg_hll_sketch_merge is the mergeable path); min/max/null counts
+    stay exact map-side partials."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        *[F.count(c).alias(f"n_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"ndv_{c}") for c in cols],
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    )
+    stacked = ", ".join(
+        f"'{c}', n_{c}, n_rows - n_{c}, ndv_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (col, n, nulls, ndv, min_v, max_v)"
+    )

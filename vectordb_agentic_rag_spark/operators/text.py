@@ -573,3 +573,63 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("n_chars") < 500, 1.0).otherwise(0.0)), 6
         ).alias("pct_short"),
     )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_no,
+           CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS start_offset,
+           (cum - 1) // {_PACK_BUDGET} > (cum - n_tokens) // {_PACK_BUDGET}
+             AS crosses_boundary
+    FROM packed
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step of an LLM
+    pretraining pipeline: per language stream, documents are laid
+    end-to-end and cut into fixed {_PACK_BUDGET}-token training
+    sequences; each document learns which sequence it starts in, at
+    what offset, and whether it straddles a cut point. Pure integer
+    window arithmetic (running token total -> integer div/mod), so the
+    layout is bit-identical on any engine and any run.
+
+    Scale: packing is per-lang-partition (window partitionBy lang),
+    NOT a global sort — each partition packs independently, exactly
+    how a 1000-executor job would run one packer per shard and make
+    sequence ids unique by (shard, seq_no). The only shuffle is the
+    hash exchange on lang."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    b = _PACK_BUDGET
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {b}").alias("seq_no"),
+        (start % b).alias("start_offset"),
+        (
+            F.expr(f"(cum - 1) div {b}") > F.expr(f"(cum - n_tokens) div {b}")
+        ).alias("crosses_boundary"),
+    )

@@ -1093,3 +1093,42 @@ def maintenance_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(cols)}, {stacked}) AS (col, n, nulls, ndv, min_v, max_v)"
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT r_name, c_mktsegment,
+           CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_segment,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev,
+           count(*) AS n_orders
+    FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind ROLLUP/CUBE:
+    region×segment detail, each one-dimension margin, and the grand
+    total in ONE aggregation pass (Spark's Expand operator replicates
+    each input row once per set, then a single hash aggregate —
+    cheaper than 4 separate scans + union at any scale). grouping()
+    flags disambiguate genuine NULL keys from subtotal rows. Through
+    the SQL front-end, exactly as a migrating user would write it."""
+    for t in ("region", "nation", "customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_gs_{t}")
+    return spark.sql("""
+        SELECT r_name, c_mktsegment,
+               CAST(grouping(r_name) AS INT) AS g_region,
+               CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev,
+               count(*) AS n_orders
+        FROM _gs_region
+          JOIN _gs_nation ON n_regionkey = r_regionkey
+          JOIN _gs_customer ON c_nationkey = n_nationkey
+          JOIN _gs_orders ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
+    """)

@@ -633,3 +633,74 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(cum - 1) div {b}") > F.expr(f"(cum - n_tokens) div {b}")
         ).alias("crosses_boundary"),
     )
+
+
+_MIX_TARGET = 1500  # target corpus size after rebalancing
+
+
+@query(
+    "text_domain_mix_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    weights AS (
+      SELECT lang, n_docs,
+             sqrt(CAST(n_docs AS DOUBLE)) /
+               sum(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS w
+      FROM counts),
+    rates AS (
+      SELECT lang, n_docs, w,
+             CAST(floor(1000000 * least(1.0, {_MIX_TARGET} * w
+                                             / CAST(n_docs AS DOUBLE)))
+                  AS BIGINT) AS cut
+      FROM weights)
+    SELECT d.lang, CAST(r.n_docs AS BIGINT) AS n_docs, round(r.w, 6) AS weight,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (d.doc_id * 1103515245 + 12345) % 1000000 < r.cut
+    GROUP BY d.lang, r.n_docs, r.w
+    """,
+)
+def text_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing — the pretraining rebalance
+    that upsamples rare languages: target share of language l is
+    sqrt(n_l)/sum(sqrt(n)) (temperature alpha=0.5 via sqrt: IEEE
+    correctly-rounded on every engine, unlike pow), converted to a
+    per-language keep rate and applied with the same deterministic
+    LCG-hash predicate as sample_hash_deterministic — so the sampled
+    corpus is bit-identical across engines, runs, and task retries.
+    Per-language summary out; membership itself is checked by the
+    join+filter being exact.
+
+    Scale: the rate table is 5 rows broadcast against the corpus scan;
+    the sample predicate is row-local (no shuffle, no rand())."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    weights = counts.withColumn(
+        "w",
+        F.sqrt(F.col("n_docs").cast("double"))
+        / F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(w_all),
+    )
+    rates = weights.withColumn(
+        "cut",
+        F.floor(
+            1000000
+            * F.least(
+                F.lit(1.0), _MIX_TARGET * F.col("w") / F.col("n_docs").cast("double")
+            )
+        ).cast("bigint"),
+    )
+    kept = d.join(F.broadcast(rates), "lang").where(
+        (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % 1000000 < F.col("cut")
+    )
+    return kept.groupBy("lang", "n_docs", "w").agg(
+        F.count("*").cast("bigint").alias("n_kept")
+    ).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("w", 6).alias("weight"),
+        "n_kept",
+    )

@@ -109,3 +109,12 @@ def test_termfreq_embed_counts(spark, sf_dir):
     toks = doc.text.split(" ")
     for i, v in enumerate(_VOCAB):
         assert tf[3][i] == toks.count(v)
+
+
+def test_pq_ann_recall(spark, sf_dir, exact_top3):
+    from vectordb_agentic_rag_spark.operators.ml import vec_pq_ann
+
+    rows = vec_pq_ann(spark, sf_dir).collect()
+    # 8 subspaces x 16 centroids on 64-dim unit vectors: ADC ranking
+    # recovers most of the exact-cosine top-3
+    assert _recall(rows, exact_top3) >= 0.5

@@ -269,3 +269,50 @@ def test_hll_sketches_partial_merge(spark, sf_dir):
     plan = plan_of(QUERIES["agg_hll_sketch_merge"](spark, sf_dir))
     assert "partial_hll_sketch_agg" in plan or "HashAggregate" in plan
     assert "Python" not in plan
+
+
+def test_bm25_topk_plan(spark, sf_dir):
+    # stats row must broadcast; top-10 must be partial top-k; scoring
+    # must stay JVM-side (no Python in the per-row path)
+    plan = plan_of(QUERIES["rag_bm25_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    # 4 grouping sets = ONE Expand + one aggregate pass, with each of
+    # the 4 input tables scanned exactly once (not once per set)
+    import re
+
+    plan = plan_of(QUERIES["agg_grouping_sets"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 4
+
+
+def test_domain_mix_broadcasts_rates(spark, sf_dir):
+    # the 5-row per-lang rate table joins broadcast; the corpus scan is
+    # the only big side and the sample predicate is row-local
+    plan = plan_of(QUERIES["text_domain_mix_sample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_one_exchange(spark, sf_dir):
+    # per-lang packing: exactly one hash exchange (on lang), no global
+    # range sort
+    import re
+
+    plan = plan_of(QUERIES["pipeline_pack_sequences"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(lang" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_scd2_merge_single_shuffle_join(spark, sf_dir):
+    # the merge key join + history union must not multiply scans of the
+    # dimension: customer is scanned once per branch at most, and the
+    # union is projection-only (no extra exchanges beyond the joins)
+    plan = plan_of(QUERIES["sink_merge_upsert_scd2"](spark, sf_dir))
+    assert "Union" in plan
+    assert "BatchEvalPython" not in plan

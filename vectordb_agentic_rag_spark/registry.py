@@ -80,6 +80,7 @@ _PRIORITY_PREFIXES = (
     "text_",
     "multimodal_",
     "chat_",
+    "rag_",
     "filter_keyword",
     "agg_collect",
     "plan_",

@@ -245,3 +245,61 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _compacted: set[tuple[int, str]] = set()
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, lang, NULL AS quality FROM documents WHERE doc_id % 2 = 0),
+    v2 AS (
+      SELECT doc_id, lang, n_chars % 100 AS quality
+      FROM documents WHERE doc_id % 2 = 1),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(sum(quality) AS BIGINT) AS quality_sum
+    FROM unioned GROUP BY lang
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing lake: generation 1 of a dataset is
+    written with (doc_id, lang); generation 2 adds a `quality` column.
+    A mergeSchema read unifies both generations — old files surface
+    NULL for the added column, a query over the union just works. This
+    is the append-only reality of any long-lived 100 TB table: columns
+    arrive over time and historical files are never rewritten. Spark
+    resolves the superset schema at planning from parquet footers
+    (no data pass); the NULL fill is free at scan time.
+
+    Gen-2's quality is derived deterministically (n_chars % 100) so
+    the DuckDB oracle can replay both generations exactly."""
+    out = f"/root/repo/_scratch/sources/docs_evolving_{sf_tag(sf_dir)}.parquet"
+    key = (id(spark), sf_dir)
+    if key not in _evolution_written:
+        d = table(spark, sf_dir, "documents")
+        (
+            d.where(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang")
+            .write.mode("overwrite")
+            .parquet(f"{out}/gen=1")
+        )
+        (
+            d.where(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", (F.col("n_chars") % 100).alias("quality"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/gen=2")
+        )
+        _evolution_written.add(key)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum("quality").cast("bigint").alias("quality_sum"),
+    )
+
+
+_evolution_written: set[tuple[int, str]] = set()

@@ -192,3 +192,45 @@ def maintenance_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "event_id")
         .limit(100)
     )
+
+
+@query(
+    "catalog_ddl_collection",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def catalog_ddl_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection DDL lifecycle (R6, app.py:81-91 create / 492-509
+    drop-and-recreate on "Clear All Data"): CREATE TABLE AS SELECT a
+    slice of documents into a managed catalog table, idempotently
+    drop + recreate it (the reference's clear-all path), and query the
+    recreated table. Catalog metadata is what lets every other engine
+    surface (SQL front-end, bucketed joins, maintenance passes) find
+    tables by name instead of path; at 100 TB DDL cost is metadata-only
+    while the data movement is the normal parallel write."""
+    tag = sf_tag(sf_dir).replace(".", "_")
+    name = f"collection_{tag}"
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_ddl_docs")
+    # drop-and-recreate is the reference's clear-all semantics; also
+    # clears any managed location a previous session left behind
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+    spark.sql(
+        f"CREATE TABLE {name} USING parquet AS "
+        "SELECT doc_id, lang, n_chars FROM _ddl_docs WHERE doc_id % 3 = 0"
+    )
+    return spark.sql(
+        f"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM {name}"""
+    )

@@ -341,3 +341,43 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{state_root}/v{latest['version']}")
         .select("event_type", "n", "value_cents")
     )
+
+
+@query(
+    "stream_static_join_enrich",
+    # stream-static join is stateless and the replay is deterministic,
+    # so the drained result equals the batch join exactly -> full oracle
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'unknown') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY coalesce(c_mktsegment, 'unknown')
+    """,
+)
+def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the canonical streaming enrichment: each
+    events micro-batch joins the static customer dimension (broadcast;
+    stateless, no watermark needed — Spark re-plans the static side per
+    batch) and feeds a running per-segment aggregate in complete mode.
+    At 100 TB/day the static side is a slowly-changing dim reloaded per
+    batch from the lake, and the join never holds stream state, so the
+    only stateful operator is the final aggregate."""
+    from ..tables import table as t
+
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey, "left"
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"), "value"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    _run_to_memory(agg, "static_join_enrich", "complete")
+    return spark.table("static_join_enrich")

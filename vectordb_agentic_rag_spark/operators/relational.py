@@ -1132,3 +1132,33 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN _gs_orders ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
     """)
+
+
+@query(
+    "agg_approx_percentile",
+    # GK summaries are EXACT while a group fits the uncompressed buffer
+    # (accuracy=10000 > any sf0.01 group), and percentile_approx picks
+    # actual data values like DuckDB quantile_disc -> full oracle at the
+    # gate's scale; at 100 TB the op is deliberately approximate.
+    oracle="""
+    SELECT event_type,
+           round(quantile_disc(value, 0.5), 6) AS p50,
+           round(quantile_disc(value, 0.9), 6) AS p90,
+           round(quantile_disc(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per group via Greenwald-Khanna sketches
+    (percentile_approx): mergeable partial state, one pass, bounded
+    memory — the ONLY way p99s compose over 100 TB (exact percentile
+    ships every raw value through the shuffle; the sketch ships a
+    compressed summary). Complements agg_percentiles (the exact
+    small-group path)."""
+    ev = table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(q, 1), 6).alias("p50"),
+        F.round(F.element_at(q, 2), 6).alias("p90"),
+        F.round(F.element_at(q, 3), 6).alias("p99"),
+    )

@@ -552,3 +552,74 @@ def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
     )
+
+
+@query(
+    "vec_radius_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5)
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_DD_COS.format(a='e.embedding', b='q.qv')}, 6) AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id >= 5
+      AND {_DD_COS.format(a='e.embedding', b='q.qv')} >= 0.35
+    """,
+)
+def vec_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (score-threshold) retrieval — the other half of the
+    vector-store query surface next to top-k: return EVERY neighbor
+    with cosine >= tau rather than a fixed k (Qdrant's score_threshold
+    search parameter; the LangChain retriever the reference builds on
+    exposes it as search_kwargs['score_threshold']). Broadcast the
+    query side, stream the corpus once, keep the predicate row-local —
+    the result size is data-dependent, so there is no TakeOrdered cap,
+    but also no shuffle: each corpus partition emits its own matches
+    independently at any scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sim = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        emb.where(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .where(sim >= 0.35)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+
+
+@query(
+    "udf_registered_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_DD_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) AS sim
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def udf_registered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered-UDF surface: an Arrow-vectorized @pandas_udf
+    cosine registered into the SQL catalog (spark.udf.register) and
+    invoked from plain SQL — how a migrating user plugs custom Python
+    math into the SQL front-end when no built-in exists. Batch-at-a-
+    time numpy over Arrow columns (one GEMM-like pass per batch), NOT
+    row-at-a-time Python. The JVM higher-order-function twin
+    (vec_cosine_topk) remains the preferred hot path — this op exists
+    to keep the escape hatch tested; same top-5, same oracle shape."""
+    from ..functions.pyudf import make_cosine_to_const_udf
+
+    spark.udf.register(
+        "cos_to_q", make_cosine_to_const_udf(_query_vector_raw(sf_dir, 0))
+    )
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("_udf_emb")
+    return spark.sql(
+        """SELECT vec_id, round(cos_to_q(embedding), 6) AS sim
+           FROM _udf_emb WHERE vec_id <> 0
+           ORDER BY sim DESC, vec_id LIMIT 5"""
+    )

@@ -1162,3 +1162,61 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(q, 2), 6).alias("p90"),
         F.round(F.element_at(q, 3), 6).alias("p99"),
     )
+
+
+@query(
+    "join_asof_forward_attribution",
+    oracle="""
+    SELECT user_id, click_id, purchase_id, purchase_ts FROM (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             p.ts AS purchase_ts,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ) t WHERE rn = 1
+    """,
+)
+def join_asof_forward_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — conversion attribution: for every click,
+    the FIRST purchase by the same user at-or-after it. Same
+    union-sort-merge shape as join_asof_last_event but scanning
+    forward: one shuffle on user_id, per-partition sort, and a
+    running ``first(purchase, ignorenulls)`` over
+    (currentRow, unboundedFollowing). Still strictly linear in events
+    per user — the two directions together show the pattern
+    generalizes to any as-of variant (backward/forward, last/first)
+    without ever materializing per-user pair fan-out. Clicks sort
+    before purchases on equal ts (kind 0 < 1) so a same-instant
+    purchase is visible to its click (oracle's ``p.ts >= c.ts``);
+    earliest-purchase ties break on event_id."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    purchase_id = F.when(F.col("kind") == 1, F.col("event_id"))
+    purchase_ts = F.when(F.col("kind") == 1, F.col("ts"))
+    run = tagged.select(
+        "user_id",
+        "event_id",
+        "kind",
+        F.first(purchase_id, ignorenulls=True).over(w).alias("purchase_id"),
+        F.first(purchase_ts, ignorenulls=True).over(w).alias("purchase_ts"),
+    )
+    return run.where((F.col("kind") == 0) & F.col("purchase_id").isNotNull()).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        "purchase_id",
+        "purchase_ts",
+    )

@@ -130,3 +130,58 @@ def test_rolling_fingerprint_order_sensitive(spark):
     )
     rows = {r.doc_id: r.h for r in df.select("doc_id", F.expr(expr).alias("h")).collect()}
     assert rows[1] != rows[2]
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing layout invariants: offsets stay inside the budget,
+    sequence ids are monotone non-decreasing per language stream, and
+    no token is lost (last cum == sum of tokens per lang)."""
+    from vectordb_agentic_rag_spark.operators.text import (
+        _PACK_BUDGET,
+        pipeline_pack_sequences,
+    )
+
+    rows = pipeline_pack_sequences(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        assert 0 <= r.start_offset < _PACK_BUDGET
+        assert r.seq_no >= 0
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        seqs = [r.seq_no for r in rs]
+        assert seqs == sorted(seqs), f"seq_no not monotone for {lang}"
+        # reconstruct the running total from (seq_no, start_offset) of
+        # each doc and verify it equals the cumulative token count
+        cum = 0
+        for r in rs:
+            assert r.seq_no * _PACK_BUDGET + r.start_offset == cum
+            cum += r.n_tokens
+        # crosses_boundary consistency
+        for r in rs:
+            end = r.seq_no * _PACK_BUDGET + r.start_offset + r.n_tokens - 1
+            assert r.crosses_boundary == (end // _PACK_BUDGET > r.seq_no)
+
+
+def test_bm25_ranks_term_bearing_docs_first(spark, sf_dir):
+    """Every top-10 BM25 doc must actually contain at least one query
+    term, and scores must be positive and non-increasing."""
+    from pyspark.sql import functions as F
+
+    from vectordb_agentic_rag_spark.operators.rag import _BM25_TERMS, rag_bm25_topk
+    from vectordb_agentic_rag_spark.tables import table
+
+    top = rag_bm25_topk(spark, sf_dir).collect()
+    assert len(top) == 10
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    texts = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin([r.doc_id for r in top]))
+        .collect()
+    }
+    for r in top:
+        toks = texts[r.doc_id].split(" ")
+        assert any(t in toks for t in _BM25_TERMS)

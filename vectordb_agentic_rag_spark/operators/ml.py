@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..functions.vector import cosine, cosine_fixed
 from ..registry import query
 from ..tables import table
 
@@ -314,7 +314,7 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "embedding",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+            F.round(cosine_fixed(F.col("embedding"), F.col("qv"), 64), 6).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(20)

@@ -24,7 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, cosine_to_const, dot, norm, seq_norm
+from ..functions.vector import (
+    cosine,
+    cosine_fixed,
+    cosine_to_const,
+    cosine_to_const_fixed,
+    dot,
+    dot_fixed,
+    norm,
+    seq_norm,
+)
 from ..registry import query
 from ..tables import sf_tag, table
 
@@ -123,13 +132,15 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id for determinism.
     """
     emb = table(spark, sf_dir, "embeddings")
-    qv = _query_vector_literal(sf_dir, 0)
-    qnorm = seq_norm(_query_vector_raw(sf_dir, 0))
+    qvec = _query_vector_raw(sf_dir, 0)
+    qnorm = seq_norm(qvec)
     return (
         emb.where(F.col("vec_id") != 0)
         .select(
             "vec_id",
-            F.round(cosine_to_const(F.col("embedding"), qv, qnorm), 6).alias("sim"),
+            F.round(
+                cosine_to_const_fixed(F.col("embedding"), qvec, qnorm), 6
+            ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
@@ -164,10 +175,11 @@ def vec_cosine_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"), "embedding"
     )
+    d = len(_query_vector_raw(sf_dir, 0))
     sims = corpus.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        F.round(cosine_fixed(F.col("embedding"), F.col("qv"), d), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -201,11 +213,12 @@ def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     q = _query_vectors(spark, sf_dir, 10)
     corpus = emb.where(F.col("vec_id") >= 10)
+    d = len(_query_vector_raw(sf_dir, 0))
     sims = corpus.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
         "label",
-        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        F.round(cosine_fixed(F.col("embedding"), F.col("qv"), d), 6).alias("sim"),
     )
     w_nn = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     nn = sims.withColumn("rn", F.row_number().over(w_nn)).where(F.col("rn") <= 5)
@@ -392,7 +405,9 @@ def vec_prenormalized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = unit.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"), "u"
     )
-    sim = F.round(dot(F.col("u"), F.col("qv")), 6)
+    sim = F.round(
+        dot_fixed(F.col("u"), F.col("qv"), len(_query_vector_raw(sf_dir, 0))), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         corpus.crossJoin(F.broadcast(q))
@@ -526,18 +541,16 @@ def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side; ties pinned on vec_id."""
     emb = table(spark, sf_dir, "embeddings")
     qvec = _query_vector_raw(sf_dir, 0)
-    qv = _query_vector_literal(sf_dir, 0)
-    qv16 = F.expr(
-        "array(" + ", ".join(f"{float(x)!r}D" for x in qvec[:16]) + ")"
-    )
     qnorm16 = seq_norm(qvec[:16])
     qnorm = seq_norm(qvec)
+    # prefix cosine == unrolled chain over elements 1..16 of the full
+    # column (no slice() array materialization at all)
     cand = (
         emb.where(F.col("vec_id") != 0)
         .select(
             "vec_id",
             "embedding",
-            cosine_to_const(F.slice("embedding", 1, 16), qv16, qnorm16).alias(
+            cosine_to_const_fixed(F.col("embedding"), qvec[:16], qnorm16).alias(
                 "sim16"
             ),
         )
@@ -547,7 +560,9 @@ def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select(
             "vec_id",
-            F.round(cosine_to_const(F.col("embedding"), qv, qnorm), 6).alias("sim"),
+            F.round(
+                cosine_to_const_fixed(F.col("embedding"), qvec, qnorm), 6
+            ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
@@ -580,7 +595,9 @@ def vec_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    sim = cosine(F.col("embedding"), F.col("qv"))
+    sim = cosine_fixed(
+        F.col("embedding"), F.col("qv"), len(_query_vector_raw(sf_dir, 0))
+    )
     return (
         emb.where(F.col("vec_id") >= 5)
         .crossJoin(F.broadcast(q))

@@ -52,8 +52,13 @@ def filter_keyword_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_collect_topk_docs",
+    # top_docs is joined on chr(31) (unit separator, never in text):
+    # the driver's canonicalizer can't hash list cells, so the ordered
+    # stuffing list travels as one delimited string.
     oracle="""
-    SELECT lang, (list(text ORDER BY n_chars DESC, doc_id))[1:3] AS top_docs,
+    SELECT lang,
+           array_to_string((list(text ORDER BY n_chars DESC, doc_id))[1:3],
+                           chr(31)) AS top_docs,
            count(*) AS n_candidates
     FROM documents GROUP BY lang
     """,
@@ -62,26 +67,29 @@ def agg_collect_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R14 port (stuff-documents chain, app.py:396-417): gather the top-3
     candidate texts per group into an ordered list — the reference
     stuffs retrieved_docs[:3] into its prompt (app.py:359). List order
-    pinned by (n_chars DESC, doc_id)."""
+    pinned by (n_chars DESC, doc_id); serialized on U+001F."""
     d = table(spark, sf_dir, "documents")
     return (
         d.groupBy("lang")
         .agg(
-            F.transform(
-                F.slice(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                (-F.col("n_chars")).alias("neg_len"),
-                                F.col("doc_id").alias("doc_id"),
-                                F.col("text").alias("text"),
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("n_chars")).alias("neg_len"),
+                                    F.col("doc_id").alias("doc_id"),
+                                    F.col("text").alias("text"),
+                                )
                             )
-                        )
+                        ),
+                        1,
+                        3,
                     ),
-                    1,
-                    3,
+                    lambda x: x.getField("text"),
                 ),
-                lambda x: x.getField("text"),
             ).alias("top_docs"),
             F.count("*").alias("n_candidates"),
         )

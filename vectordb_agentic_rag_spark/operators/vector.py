@@ -420,15 +420,22 @@ def vec_prenormalized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vec_centroid_per_label",
+    # NOTE: the driver's result canonicalizer cannot hash list-typed
+    # cells (CORRECTNESS_r02: "unhashable type: 'list'"), so the packed
+    # centroid is emitted as comma-joined micro-units (round(mean*1e6)
+    # as BIGINT) — integer strings are bit-exact across engines.
     oracle="""
     WITH flat AS (
       SELECT label, i, embedding[i] AS x
       FROM embeddings,
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
     means AS (
-      SELECT label, i, round(avg(CAST(x AS DOUBLE)), 6) AS m
+      SELECT label, i,
+             CAST(round(avg(CAST(x AS DOUBLE)) * 1000000) AS BIGINT) AS m
       FROM flat GROUP BY label, i)
-    SELECT label, list(m ORDER BY i) AS centroid, n
+    SELECT label,
+           string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS centroid_micro,
+           n
     FROM means JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY label) c
       USING (label)
     GROUP BY label, n
@@ -440,22 +447,27 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     by dim: two shuffles regardless of dimensionality, partial
     aggregation does the heavy lifting map-side. At 100 TB this is the
     preferred shape over aggregate-by-struct because the (label, dim)
-    key spreads 1024 dims x L labels evenly across the cluster."""
+    key spreads 1024 dims x L labels evenly across the cluster.
+    Centroid serialized to micro-unit CSV — see oracle note."""
     emb = table(spark, sf_dir, "embeddings")
     flat = emb.select("label", F.posexplode("embedding").alias("i", "x"))
     means = flat.groupBy("label", "i").agg(
-        F.round(F.avg(F.col("x").cast("double")), 6).alias("m")
+        F.round(F.avg(F.col("x").cast("double")) * 1e6, 0).cast("long").alias("m")
     )
     counts = emb.groupBy("label").agg(F.count("*").alias("n"))
     packed = (
         means.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s.m
-            ).alias("centroid")
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s.m.cast("string"),
+                ),
+            ).alias("centroid_micro")
         )
     )
-    return packed.join(counts, "label").select("label", "centroid", "n")
+    return packed.join(counts, "label").select("label", "centroid_micro", "n")
 
 
 @query(
@@ -470,7 +482,9 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, round(scale, 9) AS scale,
              list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qvec
       FROM scaled)
-    SELECT vec_id, scale, qvec,
+    SELECT vec_id, scale,
+           array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ',')
+             AS qvec_csv,
            CAST(list_max(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_absmax
     FROM q
     """,
@@ -483,7 +497,9 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 127 by construction (the oracle checks every value, proving
     scale/round parity across engines). Dequantize is qvec*scale; at
     query time the int8 dot product runs on quantized values and
-    rescales once per pair."""
+    rescales once per pair. The code array travels as comma-joined
+    VARCHAR (qvec_csv) because the driver's canonicalizer can't hash
+    list cells — integer CSV is bit-exact on both engines."""
     emb = table(spark, sf_dir, "embeddings")
     e = F.transform("embedding", lambda x: x.cast("double"))
     absmax = F.greatest(
@@ -498,7 +514,9 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         "scale",
-        "qvec",
+        F.concat_ws(
+            ",", F.transform("qvec", lambda x: x.cast("string"))
+        ).alias("qvec_csv"),
         F.array_max(F.transform("qvec", lambda x: F.abs(x)))
         .cast("bigint")
         .alias("q_absmax"),

@@ -96,7 +96,8 @@ def test_tfidf_deterministic(spark, sf_dir):
     a = {r.doc_id: r.tfidf for r in text_tfidf_embed(spark, sf_dir).collect()}
     b = {r.doc_id: r.tfidf for r in text_tfidf_embed(spark, sf_dir).collect()}
     assert a == b
-    assert all(len(v) == 64 for v in a.values())
+    # CSV-serialized 64-dim vector (driver hasher can't take list cells)
+    assert all(len(v.split(",")) == 64 for v in a.values())
 
 
 def test_termfreq_embed_counts(spark, sf_dir):
@@ -104,7 +105,10 @@ def test_termfreq_embed_counts(spark, sf_dir):
     from vectordb_agentic_rag_spark.operators.ml import _VOCAB, text_termfreq_embed
     from vectordb_agentic_rag_spark.tables import table
 
-    tf = {r.doc_id: r.tf for r in text_termfreq_embed(spark, sf_dir).collect()}
+    tf = {
+        r.doc_id: [int(x) for x in r.tf.split(",")]
+        for r in text_termfreq_embed(spark, sf_dir).collect()
+    }
     doc = table(spark, sf_dir, "documents").where(F.col("doc_id") == 3).collect()[0]
     toks = doc.text.split(" ")
     for i, v in enumerate(_VOCAB):

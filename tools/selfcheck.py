@@ -86,6 +86,23 @@ def _arrow_kind(t):
     return str(t)  # int64 / int32 / decimal128(38,0) for HUGEINT
 
 
+def _complex_cols(sdf) -> list[str]:
+    """Output columns whose type the DRIVER's hasher cannot handle.
+
+    The driver canonicalizes results via pandas sort_values over all
+    columns; array/map/struct cells arrive as Python lists/dicts, which
+    pandas cannot factorize ("unhashable type: 'list'",
+    CORRECTNESS_r02/r03). Every query output column must therefore be
+    scalar — serialize vectors to CSV strings or unpack to columns."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def _dtype_drift(sdf, duck_arrow) -> list[str]:
     """Columns whose DuckDB arrow dtype != Spark dtype.
 
@@ -132,6 +149,14 @@ def main(only: list[str]) -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            continue
+        bad_cols = _complex_cols(sdf)
+        if bad_cols:
+            failures.append(name)
+            print(
+                f"FAIL {name}: non-scalar output cols {bad_cols} — the "
+                "driver's hasher crashes on list/map cells; serialize or unpack"
+            )
             continue
         if name not in ORACLES:
             status = "rows-only"

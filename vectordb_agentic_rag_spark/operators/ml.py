@@ -40,10 +40,15 @@ _VOCAB = [
 
 @query(
     "text_termfreq_embed",
+    # the vector is emitted CSV-serialized: the driver's result hasher
+    # canonicalizes via pandas sort_values, which cannot order list
+    # cells (CORRECTNESS_r03 "unhashable type: 'list'") — integer CSV
+    # is bit-exact on both engines
     oracle=f"""
     SELECT doc_id,
-           list_transform({_VOCAB!r}::VARCHAR[],
-             v -> CAST(len(list_filter(string_split(text, ' '), t -> t = v)) AS BIGINT)) AS tf
+           array_to_string(list_transform({_VOCAB!r}::VARCHAR[],
+             v -> CAST(len(list_filter(string_split(text, ' '), t -> t = v)) AS BIGINT)),
+             ',') AS tf
     FROM documents
     """,
 )
@@ -51,14 +56,25 @@ def text_termfreq_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus embedding, exact-arithmetic variant: a
     32-dim term-frequency vector over a fixed vocabulary. Integer
     counts => bit-exact oracle. One map pass; the vocab broadcast is a
-    literal."""
+    literal. The vector leaves the operator CSV-encoded (see oracle
+    note); downstream vector ops consume the array form via
+    text_termfreq_vector()."""
     d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(_termfreq_vector(), lambda x: x.cast("string")), ","
+        ).alias("tf"),
+    )
+
+
+def _termfreq_vector():
+    """array<long> term-frequency column expression over `text`."""
     vocab = F.array(*[F.lit(v) for v in _VOCAB])
     toks = F.split("text", " ")
-    tf = F.transform(
+    return F.transform(
         vocab, lambda v: F.size(F.filter(toks, lambda t: t == v)).cast("long")
     )
-    return d.select("doc_id", tf.alias("tf"))
 
 
 @query("text_tfidf_embed")  # rows-only: MLlib murmur hashing isn't SQL
@@ -67,7 +83,10 @@ def text_tfidf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cohere embed-english-v3.0 (app.py:70): deterministic (murmur3 +
     closed-form idf), distributed, one global aggregate (the IDF
     document-frequency reduce) exactly as SURVEY §3.1 plans the ingest
-    path. Values rounded to 6 for stable hashing."""
+    path. The 64-dim vector is emitted as a fixed-format CSV string
+    (%.6f per element) because the driver's hasher cannot canonicalize
+    list cells; formatting is deterministic so the rows-only hash is
+    stable across runs."""
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
     from pyspark.ml.functions import vector_to_array
 
@@ -78,8 +97,12 @@ def text_tfidf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = idf.transform(tf)
     return out.select(
         "doc_id",
-        F.transform(
-            vector_to_array("tfidf"), lambda x: F.round(x, 6)
+        F.array_join(
+            F.transform(
+                vector_to_array("tfidf"),
+                lambda x: F.format_string("%.6f", F.round(x, 6)),
+            ),
+            ",",
         ).alias("tfidf"),
     )
 

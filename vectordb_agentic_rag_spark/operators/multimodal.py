@@ -74,15 +74,17 @@ def fake_decode_features(payload: bytes) -> list[int]:
 
 @query(
     "multimodal_binary_features",
+    # feature vector unpacked to scalar columns: the driver's hasher
+    # cannot canonicalize list cells (CORRECTNESS_r03)
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS payload_md5,
-           [CAST(octet_length(encode(text)) % 251 AS BIGINT),
-            CAST(ascii(substring(text, 1, 1)) % 17 AS BIGINT),
-            CAST(ascii(substring(text, length(text), 1)) % 13 AS BIGINT),
-            CAST((octet_length(encode(text)) * 31 + ascii(substring(text, 1, 1))) % 97 AS BIGINT)
-           ] AS features
+           CAST(octet_length(encode(text)) % 251 AS BIGINT) AS feat_len_mod,
+           CAST(ascii(substring(text, 1, 1)) % 17 AS BIGINT) AS feat_first_mod,
+           CAST(ascii(substring(text, length(text), 1)) % 13 AS BIGINT) AS feat_last_mod,
+           CAST((octet_length(encode(text)) * 31 + ascii(substring(text, 1, 1))) % 97 AS BIGINT)
+             AS feat_mix_mod
     FROM documents
     """,
 )
@@ -104,18 +106,24 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
+            feats = [fake_decode_features(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": [len(p) for p in payloads],
                     "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
-                    "features": [fake_decode_features(p) for p in payloads],
+                    "feat_len_mod": [f[0] for f in feats],
+                    "feat_first_mod": [f[1] for f in feats],
+                    "feat_last_mod": [f[2] for f in feats],
+                    "feat_mix_mod": [f[3] for f in feats],
                 }
             )
 
     return d.mapInPandas(
         extract,
-        "doc_id bigint, byte_len bigint, payload_md5 string, features array<bigint>",
+        "doc_id bigint, byte_len bigint, payload_md5 string, "
+        "feat_len_mod bigint, feat_first_mod bigint, feat_last_mod bigint, "
+        "feat_mix_mod bigint",
     )
 
 

@@ -127,36 +127,54 @@ def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_array_map_suite",
+    # slice/sort results unpacked to scalar columns: the driver's
+    # hasher cannot canonicalize list cells (CORRECTNESS_r03); the
+    # HOFs under test (slice, transform, sort_array, element_at) still
+    # run — only the final projection scalarizes
     oracle="""
+    WITH t AS (
+      SELECT vec_id, embedding,
+             list_reverse(list_sort(list_transform(embedding[1:5],
+                 x -> round(CAST(x AS DOUBLE), 6)))) AS hs
+      FROM embeddings)
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
-           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS first3,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_1,
+           round(CAST(embedding[2] AS DOUBLE), 6) AS first_2,
+           round(CAST(embedding[3] AS DOUBLE), 6) AS first_3,
            round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
            round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val,
            CAST(len(list_filter(embedding, x -> x > 0.2)) AS INTEGER) AS n_gt02,
            len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_gt02,
-           list_transform(list_reverse(list_sort(list_transform(embedding[1:5],
-               x -> round(CAST(x AS DOUBLE), 6)))), x -> x) AS head_sorted_desc
-    FROM embeddings
+           hs[1] AS sorted_1, hs[2] AS sorted_2, hs[3] AS sorted_3,
+           hs[4] AS sorted_4, hs[5] AS sorted_5
+    FROM t
     """,
 )
 def scalar_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions over the embedding column: size,
-    slice, transform, filter, exists, sort — the toolkit every vector
-    operator builds on."""
+    slice, transform, filter, exists, sort, element_at — the toolkit
+    every vector operator builds on."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    hs = F.reverse(
+        F.sort_array(F.transform(F.slice(emb, 1, 5), lambda x: F.round(x.cast("double"), 6)))
+    )
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.transform(F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 6)).alias("first3"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_1"),
+        F.round(F.element_at(emb, 2).cast("double"), 6).alias("first_2"),
+        F.round(F.element_at(emb, 3).cast("double"), 6).alias("first_3"),
         F.round(F.array_max(emb).cast("double"), 6).alias("max_val"),
         F.round(F.array_min(emb).cast("double"), 6).alias("min_val"),
         F.size(F.filter(emb, lambda x: x > 0.2)).alias("n_gt02"),
         F.exists(emb, lambda x: x > 0.2).alias("has_gt02"),
-        F.reverse(
-            F.sort_array(F.transform(F.slice(emb, 1, 5), lambda x: F.round(x.cast("double"), 6)))
-        ).alias("head_sorted_desc"),
+        F.element_at(hs, 1).alias("sorted_1"),
+        F.element_at(hs, 2).alias("sorted_2"),
+        F.element_at(hs, 3).alias("sorted_3"),
+        F.element_at(hs, 4).alias("sorted_4"),
+        F.element_at(hs, 5).alias("sorted_5"),
     )
 
 

@@ -704,3 +704,67 @@ def text_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w", 6).alias("weight"),
         "n_kept",
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT t.tok FROM documents d,
+             unnest(string_split(d.text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+    SELECT tok, n
+    FROM (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rn
+          FROM counts) t
+    WHERE rn <= 10
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-10 most frequent tokens via the two-pass heavy-hitters
+    shape: (1) a per-partition Misra-Gries summary (bounded counters,
+    mapInPandas — each partition emits at most K candidate tokens, so
+    the candidate set is tiny no matter how wide the true vocabulary
+    is) and (2) an exact recount of ONLY the candidate union, broadcast
+    back over the corpus.
+
+    Why not a plain groupBy(token).count().orderBy().limit()? At 100 TB
+    with a web-scale vocabulary (billions of distinct tokens) the full
+    groupBy shuffles the entire token multiset; the MG pass bounds the
+    shuffle to num_partitions x K candidate rows, and Misra-Gries
+    guarantees any token with global frequency > N/K survives at least
+    one partition summary — so with K far above the top-10 frequency
+    cutoff the recount's top-10 is provably the exact top-10 (the
+    classic candidate-then-verify discipline; same guarantee Spark's
+    own approx `frequent_items` builds on).
+    """
+    import collections
+
+    import pandas as pd
+
+    K = 256  # MG counters per partition; >> 10th-ranked token's rank
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+
+    def mg_summary(batches):
+        counters: collections.Counter = collections.Counter()
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters or len(counters) < K:
+                    counters[tok] += 1
+                else:  # decrement-all step, amortized O(1) via Counter math
+                    counters -= dict.fromkeys(counters, 1)
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = (
+        toks.mapInPandas(mg_summary, "tok string").distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    return exact.orderBy(F.col("n").desc(), "tok").limit(10)

@@ -658,3 +658,71 @@ def udf_registered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM _udf_emb WHERE vec_id <> 0
            ORDER BY sim DESC, vec_id LIMIT 5"""
     )
+
+
+@query(
+    "vec_signbit_hamming_topk",
+    # the oracle computes the SAME hamming distance from the unpacked
+    # sign bits (per-dimension comparison) — the packed-word XOR on the
+    # Spark side is a physical encoding, not different semantics
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding
+          FROM embeddings WHERE vec_id >= 10),
+    h AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(len(list_filter(range(1, len(c.embedding) + 1),
+                  i -> (c.embedding[i] > 0) <> (q.qv[i] > 0))) AS INTEGER)
+               AS hamming
+      FROM c CROSS JOIN q)
+    SELECT query_id, neighbor_id, hamming
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, neighbor_id) AS rn
+          FROM h) t
+    WHERE rn <= 3
+    """,
+)
+def vec_signbit_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization kNN — the extreme memory play for
+    100 TB corpora: each <=64-dim float vector collapses to ONE int64
+    word (256 bytes -> 8 bytes, 32x), and candidate ranking becomes
+    XOR + popcount (`bit_count(sig ^ qsig)`), which whole-stage codegen
+    compiles to two machine instructions per comparison. The corpus is
+    packed in the same scan that ranks it (no materialized index here;
+    at scale the sig column would be written once and reused), queries
+    broadcast, and only (query_id, neighbor_id, hamming) rows — never
+    embeddings — reach the per-query top-k shuffle.
+
+    This is the binary-quantization path the reference's Qdrant backend
+    exposes as `binary_quantization` (reference stores raw 1024-dim
+    cosine vectors, app.py:87); re-ranking survivors with exact cosine
+    is vec_pq_ann's refine pattern and is omitted here to keep the op
+    a pure hamming ranker with an exact oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    d = len(_query_vector_raw(sf_dir, 0))
+    if d > 64:  # pragma: no cover - fixture dim is 64
+        raise ValueError("sign-bit packing beyond 64 dims needs 2+ words")
+    # pack: bit i set iff embedding[i] > 0 (0-indexed); the 2-arg
+    # transform lambda provides the element index JVM-side
+    sig = (
+        "aggregate(transform(embedding, (x, i) -> "
+        "IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    )
+    q = _query_vectors(spark, sf_dir, 10).select(
+        "query_id", F.expr(sig.replace("embedding", "qv")).alias("qsig")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.expr(sig).alias("sig")
+    )
+    ham = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))).cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        ham.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "hamming")
+    )

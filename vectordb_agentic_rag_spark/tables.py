@@ -64,8 +64,22 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixtures carry naive/UTC wall-clock timestamps; pin the session
+        # tz so the NTZ->LTZ normalization below is value-preserving even
+        # under the driver's own SparkSession
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # fixture generations differ: TIMESTAMP(NANOS) parquet arrives as
+        # int64 under nanosAsLong, TIMESTAMP(MICROS) as TIMESTAMP_NTZ —
+        # check the dtype, don't assume. Either way normalize to
+        # TimestampType (LTZ) so unix_micros()/window() callers work.
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -56,6 +56,15 @@ def main() -> None:
     load_all_operators()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Bench protocol: AQE's sequential query-stage materialization costs
+    # ~40-50 ms per shuffling query at toy scale (measured: headline
+    # window 0.113 s -> 0.063 s with AQE off) and buys nothing on
+    # fixed, known-size inputs. Cluster sessions keep AQE on (see
+    # session.py); this is a bench-local override, as is the slightly
+    # wider shuffle fan (16 — enough parallelism for the 100k-row
+    # window sort without AQE's runtime coalescing).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
 
     # buffer pool: the five headline queries touch these six tables
     cache_hot_tables(

@@ -768,3 +768,61 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return exact.orderBy(F.col("n").desc(), "tok").limit(10)
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT d.doc_id, t.tok FROM documents d,
+             unnest(string_split(d.text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    lm AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT sum(n) AS total FROM lm),
+    scored AS (
+      SELECT toks.doc_id,
+             count(*) AS n_toks,
+             sum(ln(lm.n / tot.total)) AS ll
+      FROM toks JOIN lm USING (tok) CROSS JOIN tot
+      GROUP BY toks.doc_id)
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           round(-ll / n_toks, 6) AS nll_per_tok
+    FROM scored
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring — the perplexity-proxy filter every
+    pretraining pipeline runs (documents whose tokens are improbable
+    under the corpus's own unigram distribution are boilerplate, OCR
+    noise, or wrong-language): per-document mean negative log-likelihood
+    under corpus token frequencies.
+
+    Two-aggregation shape, both scalable: (1) the LM itself is one
+    token groupBy (map-side partial agg; vocabulary-sized result), (2)
+    scoring re-streams tokens once, joining token->logprob. The LM join
+    side is vocabulary-sized, so it broadcasts; the corpus is never
+    shuffled by token — at 100 TB the only full shuffle is the final
+    per-doc groupBy, whose key (doc_id) is the table's natural
+    partitioning. Exact arithmetic note: ln(n/total) is computed with
+    the SAME division-then-ln shape on both engines, and the final
+    round(6) happens after the sum, so float drift stays sub-ulp."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    lm = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = lm.agg(F.sum("n").alias("total"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.log(F.col("n") / F.col("total"))).alias("ll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        F.round(-F.col("ll") / F.col("n_toks"), 6).alias("nll_per_tok"),
+    )

@@ -303,3 +303,57 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _evolution_written: set[tuple[int, str]] = set()
+
+
+@query(
+    "pipeline_incremental_ingest",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id < 400),
+    incoming AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id >= 300)
+    SELECT i.doc_id, i.h AS content_sha,
+           CASE WHEN e.h IS NOT NULL THEN 'skipped_duplicate'
+                ELSE 'appended' END AS status
+    FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    """,
+)
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent incremental ingest — the engine's R17 (app.py:453-484:
+    re-upload detection + re-ingest) at pipeline scale: an already-
+    ingested corpus lives in the warehouse keyed by content hash; an
+    incoming batch (here: doc_id >= 300, overlapping the existing
+    doc_id < 400 slice to simulate a partial re-upload) is admitted
+    only where its sha-256 is unseen. Re-running the ingest is a no-op
+    by construction — content addressing, not filename/mtime heuristics
+    (the reference's `last_file_name` check, app.py:455, misses
+    renamed duplicates).
+
+    Scale shape: the dedup probe is a LEFT join against the hash index
+    (a slim (hash) projection of the corpus — bucketable by hash range
+    at 100 TB so the probe co-locates; broadcast is deliberately NOT
+    forced here because a real corpus index outgrows broadcast). The
+    incoming batch streams once; the write path (scratch parquet) is
+    exercised for the existing-corpus index to keep this a real
+    source->sink pipeline, not a self-join dressed up."""
+    out = f"{_SCRATCH}/ingested_hash_index_{sf_tag(sf_dir)}"
+    d = table(spark, sf_dir, "documents")
+    existing = (
+        d.where(F.col("doc_id") < 400)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+    )
+    existing.write.mode("overwrite").parquet(out)
+    index = spark.read.schema("h string").parquet(out)
+    incoming = d.where(F.col("doc_id") >= 300).select(
+        "doc_id", F.sha2("text", 256).alias("content_sha")
+    )
+    return incoming.join(
+        index, incoming.content_sha == index.h, "left"
+    ).select(
+        "doc_id",
+        "content_sha",
+        F.when(F.col("h").isNotNull(), F.lit("skipped_duplicate"))
+        .otherwise(F.lit("appended"))
+        .alias("status"),
+    )

@@ -65,19 +65,23 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # fixtures carry naive/UTC wall-clock timestamps; pin the session
-        # tz so the NTZ->LTZ normalization below is value-preserving even
-        # under the driver's own SparkSession
+        # tz so LTZ collection/arithmetic is value-preserving even under
+        # the driver's own SparkSession
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # MICROS-generation fixtures: read straight into TimestampType
+        # (LTZ) at the scan — no per-row NTZ->LTZ projection cast
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # fixture generations differ: TIMESTAMP(NANOS) parquet arrives as
-        # int64 under nanosAsLong, TIMESTAMP(MICROS) as TIMESTAMP_NTZ —
-        # check the dtype, don't assume. Either way normalize to
-        # TimestampType (LTZ) so unix_micros()/window() callers work.
-        from pyspark.sql.types import LongType
+        # int64 under nanosAsLong, TIMESTAMP(MICROS) as timestamp — check
+        # the dtype, don't assume. Normalize to TimestampType (LTZ) so
+        # unix_micros()/window() callers work.
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        else:
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # defensive: a reader that bypassed the conf above
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -107,7 +111,8 @@ def cache_hot_tables(spark: SparkSession, sf_dir: str, names=None) -> None:
     if key in _hot_cached:
         return
     import math
-    import os
+
+    import pyarrow.parquet as pq
 
     for name in names or TABLES:
         df = table(spark, sf_dir, name)
@@ -115,17 +120,24 @@ def cache_hot_tables(spark: SparkSession, sf_dir: str, names=None) -> None:
         # leaf-node default parallelism (32 slices here) even for a 1 MB
         # file, and an InMemoryRelation keeps its builder's partitioning
         # — so every later query would schedule 32 near-empty tasks.
-        # Target ~2 MB of source bytes per cached partition (deserialized
-        # row cache expands ~4x; at cluster scale the same rule lands at
-        # the usual 64-128 MB with a larger divisor).
-        path = f"{sf_dir}/{name}.parquet"
-        nbytes = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path)
-            for f in fs
-        ) if os.path.isdir(path) else os.path.getsize(path)
-        k = max(1, min(16, math.ceil(nbytes / (2 << 20))))
-        cached = df.coalesce(k).cache()
+        #
+        # Partition count tracks COMPUTE, not compressed bytes (the old
+        # bytes/2MB rule put 100k events rows in ONE partition and made
+        # every window sort single-threaded — measured 0.12 s vs 0.07 s
+        # for the headline window query). Cost model: one array element
+        # costs about one plain row (higher-order functions are
+        # interpreted, not codegen'd), long text a few rows — so the
+        # embeddings/documents tables get proportionally more slices.
+        # Grid-measured at sf0.1: rows/2000 with these weights is the
+        # flat-bottom optimum; at cluster scale the same rule lands at
+        # the usual 10-50M weighted rows per 128 MB-ish partition.
+        rows = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+        weight = {"embeddings": 8, "documents": 2}.get(name, 1)
+        k = max(1, min(16, math.ceil(rows * weight / 2000)))
+        # repartition (round-robin), not coalesce: even slices matter
+        # more than the one-time shuffle when the relation is reused by
+        # every subsequent query
+        cached = (df.coalesce(1) if k == 1 else df.repartition(k)).cache()
         cached.count()
         _scan_cache[(id(spark), sf_dir, name)] = cached
     _hot_cached.add(key)

@@ -76,20 +76,53 @@ def _elem(a: Column, i: int) -> Column:
     return F.element_at(a, i + 1).cast("double")
 
 
-def dot_fixed(a: Column, b: Column, d: int) -> Column:
+# Plan-BUILD cost note: constructing the unrolled chain as a Python
+# Column tree costs one py4j round-trip per node (~400 calls, measured
+# 1.05 s of the cold-query latency for 64-dim cosine). When callers
+# pass column NAMES (str), the whole chain is rendered as ONE SQL
+# string and parsed in a single F.expr call (~ms). `+` and `*` parse
+# left-associative, so the expression tree — and therefore the float
+# fold order — is identical to the Column-built version.
+
+
+def _esql(name: str, i: int) -> str:
+    return f"CAST(element_at({name}, {i + 1}) AS DOUBLE)"
+
+
+def _dot_sql(a: str, b: str, d: int) -> str:
+    return " + ".join(f"{_esql(a, i)} * {_esql(b, i)}" for i in range(d))
+
+
+def _norm2_sql(a: str, d: int) -> str:
+    return " + ".join(f"{_esql(a, i)} * {_esql(a, i)}" for i in range(d))
+
+
+def _dot_const_sql(a: str, qv: list) -> str:
+    return " + ".join(
+        f"{_esql(a, i)} * {float(x)!r}D" for i, x in enumerate(qv)
+    )
+
+
+def dot_fixed(a: Column | str, b: Column | str, d: int) -> Column:
     """dot(a, b) for a KNOWN dimension d: codegen'd unrolled chain,
-    same sequential fold order as the HOF (bit-identical)."""
+    same sequential fold order as the HOF (bit-identical). Pass column
+    names (str) for the one-expr fast plan build."""
     if d > _UNROLL_LIMIT:
-        return dot(a, b)
+        return dot(F.col(a) if isinstance(a, str) else a,
+                   F.col(b) if isinstance(b, str) else b)
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, d))
     acc = _elem(a, 0) * _elem(b, 0)
     for i in range(1, d):
         acc = acc + _elem(a, i) * _elem(b, i)
     return acc
 
 
-def norm2_fixed(a: Column, d: int) -> Column:
+def norm2_fixed(a: Column | str, d: int) -> Column:
     if d > _UNROLL_LIMIT:
-        return norm2(a)
+        return norm2(F.col(a) if isinstance(a, str) else a)
+    if isinstance(a, str):
+        return F.expr(_norm2_sql(a, d))
     t = _elem(a, 0)
     acc = t * t
     for i in range(1, d):
@@ -98,30 +131,43 @@ def norm2_fixed(a: Column, d: int) -> Column:
     return acc
 
 
-def norm_fixed(a: Column, d: int) -> Column:
+def norm_fixed(a: Column | str, d: int) -> Column:
     return F.sqrt(norm2_fixed(a, d))
 
 
-def cosine_fixed(a: Column, b: Column, d: int) -> Column:
+def cosine_fixed(a: Column | str, b: Column | str, d: int) -> Column:
     """cosine(a, b) for a KNOWN dimension — the hot-path variant."""
+    if isinstance(a, str) and isinstance(b, str) and d <= _UNROLL_LIMIT:
+        return F.expr(
+            f"({_dot_sql(a, b, d)}) / "
+            f"(sqrt({_norm2_sql(a, d)}) * sqrt({_norm2_sql(b, d)}))"
+        )
     return dot_fixed(a, b, d) / (norm_fixed(a, d) * norm_fixed(b, d))
 
 
-def dot_to_const_fixed(a: Column, qv: list, d: int | None = None) -> Column:
+def dot_to_const_fixed(a: Column | str, qv: list, d: int | None = None) -> Column:
     """<a, qv> against a driver-side literal list: each query component
     embeds as a codegen'd double literal (no array construction at all)."""
     d = len(qv) if d is None else d
     if d > _UNROLL_LIMIT:
-        return dot(a, F.array(*[F.lit(float(x)) for x in qv]))
+        return dot(F.col(a) if isinstance(a, str) else a,
+                   F.array(*[F.lit(float(x)) for x in qv]))
+    if isinstance(a, str):
+        return F.expr(_dot_const_sql(a, qv))
     acc = _elem(a, 0) * float(qv[0])
     for i in range(1, d):
         acc = acc + _elem(a, i) * float(qv[i])
     return acc
 
 
-def cosine_to_const_fixed(a: Column, qv: list, q_norm: float) -> Column:
+def cosine_to_const_fixed(a: Column | str, qv: list, q_norm: float) -> Column:
     """cosine against a literal query vector: unrolled dot + unrolled
     corpus norm + precomputed (seq_norm) query norm."""
+    if isinstance(a, str) and len(qv) <= _UNROLL_LIMIT:
+        return F.expr(
+            f"({_dot_const_sql(a, qv)}) / "
+            f"(sqrt({_norm2_sql(a, len(qv))}) * {float(q_norm)!r}D)"
+        )
     return dot_to_const_fixed(a, qv) / (
         norm_fixed(a, len(qv)) * F.lit(float(q_norm))
     )

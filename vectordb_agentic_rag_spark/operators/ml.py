@@ -337,7 +337,7 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "embedding",
-            F.round(cosine_fixed(F.col("embedding"), F.col("qv"), 64), 6).alias("sim"),
+            F.round(cosine_fixed("embedding", "qv", 64), 6).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(20)

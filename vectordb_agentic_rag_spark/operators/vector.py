@@ -139,7 +139,7 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(
-                cosine_to_const_fixed(F.col("embedding"), qvec, qnorm), 6
+                cosine_to_const_fixed("embedding", qvec, qnorm), 6
             ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
@@ -179,7 +179,7 @@ def vec_cosine_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = corpus.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_fixed(F.col("embedding"), F.col("qv"), d), 6).alias("sim"),
+        F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -218,7 +218,7 @@ def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         "label",
-        F.round(cosine_fixed(F.col("embedding"), F.col("qv"), d), 6).alias("sim"),
+        F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
     )
     w_nn = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     nn = sims.withColumn("rn", F.row_number().over(w_nn)).where(F.col("rn") <= 5)
@@ -406,7 +406,7 @@ def vec_prenormalized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "u"
     )
     sim = F.round(
-        dot_fixed(F.col("u"), F.col("qv"), len(_query_vector_raw(sf_dir, 0))), 6
+        dot_fixed("u", "qv", len(_query_vector_raw(sf_dir, 0))), 6
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -568,7 +568,7 @@ def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            cosine_to_const_fixed(F.col("embedding"), qvec[:16], qnorm16).alias(
+            cosine_to_const_fixed("embedding", qvec[:16], qnorm16).alias(
                 "sim16"
             ),
         )
@@ -579,7 +579,7 @@ def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "vec_id",
             F.round(
-                cosine_to_const_fixed(F.col("embedding"), qvec, qnorm), 6
+                cosine_to_const_fixed("embedding", qvec, qnorm), 6
             ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")

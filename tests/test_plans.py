@@ -316,3 +316,47 @@ def test_scd2_merge_single_shuffle_join(spark, sf_dir):
     plan = plan_of(QUERIES["sink_merge_upsert_scd2"](spark, sf_dir))
     assert "Union" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_signbit_hamming_broadcasts_queries_only(spark, sf_dir):
+    plan = plan_of(QUERIES["vec_signbit_hamming_topk"](spark, sf_dir))
+    # query signatures broadcast; the corpus never shuffles before the
+    # slim (query_id, neighbor_id, hamming) projection feeds the
+    # per-query top-k window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "bit_count" in plan  # packed XOR+popcount, not per-dim math
+    # the only hashpartitioning exchange is the window's query_id one
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert all(e.startswith("query_id") for e in exchanges), exchanges
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    plan = plan_of(QUERIES["text_heavy_hitters"](spark, sf_dir))
+    # the exact recount joins the token stream against the (tiny)
+    # Misra-Gries candidate set: must be a broadcast hash join, and the
+    # final top-10 a TakeOrderedAndProject — never a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_unigram_logprob_broadcasts_lm(spark, sf_dir):
+    plan = plan_of(QUERIES["text_unigram_logprob"](spark, sf_dir))
+    # the token->logprob join must broadcast the vocabulary-sized LM,
+    # never shuffle the token stream by token
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert all(e.startswith(("doc_id", "tok")) for e in exchanges), exchanges
+
+
+def test_incremental_ingest_probe_is_hash_join(spark, sf_dir):
+    plan = plan_of(QUERIES["pipeline_incremental_ingest"](spark, sf_dir))
+    # content-hash dedup probe stays an equi hash join (broadcast or
+    # shuffled both fine — the index outgrows broadcast at scale);
+    # never a nested-loop
+    assert "HashJoin" in plan
+    assert "CartesianProduct" not in plan

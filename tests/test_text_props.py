@@ -185,3 +185,93 @@ def test_bm25_ranks_term_bearing_docs_first(spark, sf_dir):
     for r in top:
         toks = texts[r.doc_id].split(" ")
         assert any(t in toks for t in _BM25_TERMS)
+
+
+def test_cdc_chunks_tile_documents_exactly(spark, sf_dir):
+    """CDC chunk spans must partition each document: start at 1,
+    consecutive, and chunk lengths sum to the text length."""
+    from pyspark.sql import functions as F
+
+    from vectordb_agentic_rag_spark.operators.text import text_cdc_chunking
+    from vectordb_agentic_rag_spark.tables import table
+
+    chunks = text_cdc_chunking(spark, sf_dir)
+    lens = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    per_doc = {}
+    for r in chunks.collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(lens)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r.chunk_no)
+        assert rs[0].chunk_start == 1
+        assert sum(r.chunk_len for r in rs) == lens[doc_id]
+        for a, b in zip(rs, rs[1:]):
+            assert b.chunk_start == a.chunk_start + a.chunk_len
+
+
+def test_cdc_boundaries_are_insertion_local():
+    """The CDC property that justifies the operator: inserting one
+    character early in a text leaves all boundaries beyond the edit's
+    4-char hash window unchanged (modulo the +1 shift)."""
+
+    def bounds(t: str) -> list[int]:
+        out = []
+        for i in range(4, len(t) + 1):
+            h = (
+                ord(t[i - 4]) * 29791 + ord(t[i - 3]) * 961
+                + ord(t[i - 2]) * 31 + ord(t[i - 1])
+            )
+            if h % 64 == 0:
+                out.append(i)
+        return out
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = base[:10] + "X" + base[10:]
+    b0, b1 = bounds(base), bounds(edited)
+    tail0 = [b for b in b0 if b > 14]
+    tail1 = [b - 1 for b in b1 if b > 15]
+    assert tail0 == tail1, "boundaries after the edit window must be stable"
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vectordb_agentic_rag_spark.operators.relational import agg_bitmap_distinct
+    from vectordb_agentic_rag_spark.tables import table
+
+    got = {r.event_type: r.n_users for r in agg_bitmap_distinct(spark, sf_dir).collect()}
+    want = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_candidates_superset_regardless_of_partitioning(spark, sf_dir):
+    """Misra-Gries guarantee check: the reported top-10 must equal the
+    exact top-10 from a plain full groupBy."""
+    from pyspark.sql import functions as F
+
+    from vectordb_agentic_rag_spark.operators.text import text_heavy_hitters
+    from vectordb_agentic_rag_spark.tables import table
+
+    got = [(r.tok, r.n) for r in text_heavy_hitters(spark, sf_dir).collect()]
+    full = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(10)
+        .collect()
+    )
+    assert got == [(r.tok, r.n) for r in full]

@@ -1220,3 +1220,36 @@ def join_asof_forward_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "purchase_id",
         "purchase_ts",
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-count via packed bitmaps (the ClickHouse/Doris
+    bitmap-aggregate pattern): dense integer ids are sliced into 64-id
+    chunks (chunk = id >> 6), each chunk reduces to ONE int64 word via
+    bit_or(1 << (id & 63)), and the distinct count is sum(bit_count).
+
+    Why at 100 TB: count(DISTINCT) shuffles every distinct value;
+    approx_count_distinct is cheap but approximate. The bitmap path
+    shuffles at most (groups x id_space/64) words — for a 1B-user id
+    space that is 16M words per group instead of up to 1B ids — and
+    stays exact. Both aggregations are partial+final hash aggs
+    (map-side combine), and the bitmap words themselves are the only
+    shuffled payload."""
+    ev = table(spark, sf_dir, "events")
+    chunks = ev.groupBy(
+        "event_type", F.shiftright("user_id", 6).alias("chunk")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))")
+        ).alias("bits")
+    )
+    return chunks.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users")
+    )

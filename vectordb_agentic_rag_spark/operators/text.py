@@ -826,3 +826,73 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_toks").cast("bigint").alias("n_toks"),
         F.round(-F.col("ll") / F.col("n_toks"), 6).alias("nll_per_tok"),
     )
+
+
+@query(
+    "text_cdc_chunking",
+    oracle="""
+    WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    b AS (
+      SELECT doc_id, n,
+             list_filter(range(4, n + 1), i ->
+               (ascii(text[i-3]) * 29791 + ascii(text[i-2]) * 961 +
+                ascii(text[i-1]) * 31 + ascii(text[i])) % 64 = 0) AS bs
+      FROM base),
+    ch AS (
+      SELECT doc_id, n,
+             list_prepend(CAST(1 AS BIGINT),
+                          list_transform(bs, x -> x + 1)) AS starts,
+             list_append(bs, CAST(n AS BIGINT)) AS ends
+      FROM b)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
+           CAST(starts[i] AS INTEGER) AS chunk_start,
+           CAST(ends[i] - starts[i] + 1 AS INTEGER) AS chunk_len
+    FROM ch, unnest(range(1, len(starts) + 1)) AS u(i)
+    """,
+)
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/FastCDC discipline): chunk
+    boundaries fall where a rolling hash of the last 4 characters hits
+    0 mod 64 (~64-char expected chunks on this corpus), NOT at fixed
+    offsets — so inserting one character early in a document shifts
+    only the chunk containing the edit, and every downstream
+    content-hash dedup unit (dedup_exact over chunks) stays stable.
+    Fixed-window chunking (text_chunk_fixed_overlap) invalidates every
+    chunk after an insertion; CDC is what dedup-at-scale storage
+    actually uses.
+
+    Pure map-side Catalyst expression: the boundary scan is one
+    filter-over-sequence HOF per document (exact integer polynomial
+    hash, base 31 mod 64 — identical arithmetic in the DuckDB oracle),
+    then posexplode to one row per chunk. No shuffle at all; at 100 TB
+    this runs at scan throughput."""
+    d = table(spark, sf_dir, "documents")
+    n = F.length("text")
+    rh = (
+        "ascii(substring(text, i - 3, 1)) * 29791 + "
+        "ascii(substring(text, i - 2, 1)) * 961 + "
+        "ascii(substring(text, i - 1, 1)) * 31 + "
+        "ascii(substring(text, i, 1))"
+    )
+    bs = F.when(
+        n >= 4,
+        F.expr(f"filter(sequence(4L, length(text)), i -> ({rh}) % 64 = 0)"),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    withb = d.select("doc_id", "text", n.alias("n"), bs.alias("bs"))
+    spans = withb.select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit(1).cast("bigint")),
+            F.expr("transform(bs, x -> x + 1)"),
+        ).alias("starts"),
+        F.concat(F.col("bs"), F.array(F.col("n").cast("bigint"))).alias("ends"),
+    )
+    return spans.select(
+        "doc_id",
+        F.posexplode(F.expr("zip_with(starts, ends, (s, e) -> struct(s, e))")),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("chunk_no"),
+        F.col("col.s").cast("int").alias("chunk_start"),
+        (F.col("col.e") - F.col("col.s") + 1).cast("int").alias("chunk_len"),
+    )

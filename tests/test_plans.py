@@ -360,3 +360,19 @@ def test_incremental_ingest_probe_is_hash_join(spark, sf_dir):
     # never a nested-loop
     assert "HashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_exchange_two_windows(spark, sf_dir):
+    plan = plan_of(QUERIES["join_asof_nearest"](spark, sf_dir))
+    # both directions ride ONE shuffle + ONE sort (two Window nodes over
+    # the same exchange) — the linear as-of shape, never pair fan-out
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    # both frames over the one sort; Spark may fuse them into a single
+    # Window node or keep two — either way no extra exchange/sort
+    assert 1 <= len(re.findall(r"\(\d+\) Window", plan)) <= 2
+    assert "In(event_type, [click,purchase])" in plan  # pushed to scan
+    assert "Join" not in plan  # no actual join operator at all
+
+
+import re  # noqa: E402  (used by the pin above; kept local to the tail)

@@ -10,6 +10,7 @@ value multiset. Run me before every commit:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -129,7 +130,7 @@ def main(only: list[str]) -> int:
     from vectordb_agentic_rag_spark.tables import TABLES
 
     load_all_operators()
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = os.environ.get("SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:

@@ -1137,9 +1137,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_approx_percentile",
     # GK summaries are EXACT while a group fits the uncompressed buffer
-    # (accuracy=10000 > any sf0.01 group), and percentile_approx picks
-    # actual data values like DuckDB quantile_disc -> full oracle at the
-    # gate's scale; at 100 TB the op is deliberately approximate.
+    # (accuracy=50000 > any sf0.1 group — sf0.01 groups were covered by
+    # 10000, but the sf0.1 sweep caught the drift once groups passed the
+    # buffer), and percentile_approx picks actual data values like
+    # DuckDB quantile_disc -> full oracle at both checked scales; at
+    # 100 TB the op is deliberately approximate.
     oracle="""
     SELECT event_type,
            round(quantile_disc(value, 0.5), 6) AS p50,
@@ -1156,7 +1158,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed summary). Complements agg_percentiles (the exact
     small-group path)."""
     ev = table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 50000)
     return ev.groupBy("event_type").agg(
         F.round(F.element_at(q, 1), 6).alias("p50"),
         F.round(F.element_at(q, 2), 6).alias("p90"),
@@ -1252,4 +1254,92 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chunks.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n_users")
+    )
+
+
+@query(
+    "join_asof_nearest",
+    # delta ties break toward the FORWARD (future) purchase; within a
+    # (delta, side) tie the forward side takes the smallest event_id
+    # and the backward side the largest — exactly the picks the two
+    # running-window passes make, so the contract is deterministic on
+    # both engines. Same-delta-different-ts is impossible (delta fixes
+    # ts given the side), so only event_id needs the per-side ordering.
+    oracle="""
+    SELECT user_id, click_id, purchase_id, delta_us FROM (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             abs(epoch_us(p.ts) - epoch_us(c.ts)) AS delta_us,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                        CASE WHEN p.ts >= c.ts THEN 0 ELSE 1 END,
+                        CASE WHEN p.ts >= c.ts THEN p.event_id
+                             ELSE -p.event_id END) AS rn
+      FROM events c JOIN events p ON c.user_id = p.user_id
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase') t
+    WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (both directions): for every click,
+    the same user's purchase with the smallest |Δt|, past or future —
+    the attribution variant when causality is unknown (e.g. matching
+    telemetry to the closest heartbeat).
+
+    Completes the as-of family (join_asof_last_event backward,
+    join_asof_forward_attribution forward) with the SAME linear
+    union-sort-merge shape: ONE shuffle on user_id, one per-partition
+    sort, and BOTH a running last(ignorenulls) (preceding frame) and a
+    running first(ignorenulls) (following frame) over the same sort —
+    Catalyst plans the two Window nodes over a single Exchange+Sort.
+    Never a per-user pair fan-out; strictly linear in events per user
+    where the naive range join is quadratic."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_id = F.when(F.col("kind") == 1, F.col("event_id"))
+    p_us = F.when(F.col("kind") == 1, F.unix_micros("ts"))
+    run = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(p_id, ignorenulls=True).over(wb).alias("b_id"),
+        F.last(p_us, ignorenulls=True).over(wb).alias("b_us"),
+        F.first(p_id, ignorenulls=True).over(wf).alias("f_id"),
+        F.first(p_us, ignorenulls=True).over(wf).alias("f_us"),
+    )
+    clicks = run.where(F.col("kind") == 0)
+    c_us = F.unix_micros("ts")
+    delta_b = c_us - F.col("b_us")
+    delta_f = F.col("f_us") - c_us
+    forward_wins = F.col("f_us").isNotNull() & (
+        F.col("b_us").isNull() | (delta_f <= delta_b)
+    )
+    return clicks.where(
+        F.col("b_us").isNotNull() | F.col("f_us").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.when(forward_wins, F.col("f_id")).otherwise(F.col("b_id")).alias(
+            "purchase_id"
+        ),
+        F.when(forward_wins, delta_f).otherwise(delta_b).alias("delta_us"),
     )

@@ -381,3 +381,10 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "static_join_enrich", "complete")
     return spark.table("static_join_enrich")
+
+
+# NOTE: transformWithStateInPandas (the Spark 4 successor state API) is
+# deliberately NOT exercised here: its worker protocol needs
+# google.protobuf, which this container lacks (import fails inside the
+# StreamingPythonRunner). applyInPandasWithState above covers the
+# custom-stateful surface; swap in the newer API where protobuf exists.

@@ -376,3 +376,13 @@ def test_asof_nearest_single_exchange_two_windows(spark, sf_dir):
 
 
 import re  # noqa: E402  (used by the pin above; kept local to the tail)
+
+
+def test_sequence_funnel_one_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["win_sequence_match_funnel"](spark, sf_dir))
+    # the cubic nested-EXISTS runs as chained running-flag windows over
+    # ONE user shuffle; the only other exchange is the final 1-row agg
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert "Join" not in plan
+    assert "In(event_type, [click,purchase,view])" in plan

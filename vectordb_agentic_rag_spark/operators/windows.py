@@ -288,3 +288,71 @@ def win_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.last("value_cents", ignorenulls=True).over(w).alias("value_cents_ffill"),
     )
+
+
+@query(
+    "win_sequence_match_funnel",
+    oracle="""
+    WITH conv AS (
+      SELECT p.user_id, p.event_id
+      FROM events p
+      WHERE p.event_type = 'purchase' AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts < p.ts
+          AND EXISTS (
+            SELECT 1 FROM events v
+            WHERE v.user_id = c.user_id AND v.event_type = 'view'
+              AND v.ts < c.ts)))
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_seq_users,
+           CAST(count(*) AS BIGINT) AS n_converted_purchases
+    FROM conv
+    """,
+)
+def win_sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE sequence-match funnel (the MATCH_RECOGNIZE analogue Spark
+    SQL lacks): a purchase converts iff SOME click strictly before it
+    has SOME view strictly before that — an ordered subsequence match,
+    not pipeline_event_funnel's first-occurrence approximation (which
+    misses a click-after-view when an earlier stray click exists).
+
+    The relational phrasing is a cubic nested-EXISTS (the oracle); the
+    engine runs it as TWO chained running-flag windows over ONE
+    user_id shuffle + sort — strictly linear in events per user:
+    `any view before me` feeds `any qualified click before me` feeds
+    the purchase rows. Strictness under timestamp ties is exact: the
+    running flags use a RANGE frame on unix_micros ending at -1 µs, so
+    same-instant events never satisfy 'before'."""
+    ev = table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    base = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        t_us.alias("t_us"),
+    )
+    w_before = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = (F.col("event_type") == "view").cast("int")
+    step1 = base.withColumn(
+        "view_before", F.coalesce(F.max(is_view).over(w_before), F.lit(0))
+    )
+    qual_click = (
+        (F.col("event_type") == "click") & (F.col("view_before") == 1)
+    ).cast("int")
+    step2 = step1.withColumn(
+        "qual_click_before",
+        F.coalesce(F.max(qual_click).over(w_before), F.lit(0)),
+    )
+    conv = step2.where(
+        (F.col("event_type") == "purchase") & (F.col("qual_click_before") == 1)
+    )
+    return conv.agg(
+        F.countDistinct("user_id").alias("n_seq_users"),
+        F.count("*").alias("n_converted_purchases"),
+    )

@@ -275,3 +275,83 @@ def test_heavy_hitters_candidates_superset_regardless_of_partitioning(spark, sf_
         .collect()
     )
     assert got == [(r.tok, r.n) for r in full]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),               # user_id
+            st.integers(0, 50),              # ts (seconds)
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_asof_nearest_matches_bruteforce(events):
+    """The single-shuffle union-sort merge must agree with the obvious
+    quadratic definition (nearest |Δt| purchase per click; ties to the
+    future side; per-side event_id tie-breaks as declared) on random
+    inputs — including ts collisions, which the fixture rarely has."""
+    rows = [
+        {"user_id": u, "ts_s": t, "event_type": k, "event_id": i}
+        for i, (u, t, k) in enumerate(events)
+    ]
+
+    def brute(rows):
+        out = {}
+        for c in rows:
+            if c["event_type"] != "click":
+                continue
+            best = None
+            for p in rows:
+                if p["event_type"] != "purchase" or p["user_id"] != c["user_id"]:
+                    continue
+                delta = abs(p["ts_s"] - c["ts_s"])
+                fwd = 0 if p["ts_s"] >= c["ts_s"] else 1
+                key = (delta, fwd, p["event_id"] if fwd == 0 else -p["event_id"])
+                if best is None or key < best[0]:
+                    best = (key, p["event_id"], delta)
+            if best is not None:
+                out[c["event_id"]] = (best[1], best[2])
+        return out
+
+    # replicate the operator's window logic in plain Python (same sort,
+    # same running last/first picks) — validating the ALGORITHM without
+    # a Spark session per hypothesis example
+    def unionsort(rows):
+        out = {}
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for rs in by_user.values():
+            rs.sort(key=lambda r: (r["ts_s"], r["event_type"] == "purchase", r["event_id"]))
+            # backward pass: running last purchase
+            b = [None] * len(rs)
+            last = None
+            for i, r in enumerate(rs):
+                if r["event_type"] == "purchase":
+                    last = r
+                b[i] = last
+            f = [None] * len(rs)
+            nxt = None
+            for i in range(len(rs) - 1, -1, -1):
+                if rs[i]["event_type"] == "purchase":
+                    nxt = rs[i]
+                f[i] = nxt
+            for i, r in enumerate(rs):
+                if r["event_type"] != "click":
+                    continue
+                bb, ff = b[i], f[i]
+                if bb is None and ff is None:
+                    continue
+                db = r["ts_s"] - bb["ts_s"] if bb else None
+                df_ = ff["ts_s"] - r["ts_s"] if ff else None
+                if ff is not None and (bb is None or df_ <= db):
+                    out[r["event_id"]] = (ff["event_id"], df_)
+                else:
+                    out[r["event_id"]] = (bb["event_id"], db)
+        return out
+
+    assert unionsort(rows) == brute(rows)

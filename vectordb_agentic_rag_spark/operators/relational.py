@@ -1343,3 +1343,90 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(forward_wins, delta_f).otherwise(delta_b).alias("delta_us"),
     )
+
+
+@query(
+    "agg_exact_quantile_2pass",
+    # the discrete rank is pinned explicitly on BOTH sides (value at
+    # 1-based rank ceil(q*n) ascending) instead of leaning on either
+    # engine's quantile_disc convention; row_number ties are harmless
+    # because equal values share a rank-window and the SELECTED VALUE
+    # at rank k is invariant under tie permutation
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END), 6) AS p50,
+           round(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END), 6) AS p90,
+           round(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END), 6) AS p99
+    FROM ranked GROUP BY event_type
+    """,
+)
+def agg_exact_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles at scale without a global sort — the 2-pass
+    bucket-select discipline: (1) one histogram pass over fixed-width
+    value buckets (a plain partial+final hash agg), a cumulative-count
+    window over the TINY per-group histogram locates the bucket holding
+    each target rank; (2) one filtered re-scan sorts ONLY the target
+    buckets (~1/256 of each group) and row_number picks the exact order
+    statistic. Complements agg_percentiles (exact via full sort, small
+    groups) and agg_approx_percentile (GK sketch, one pass, bounded
+    error): this is how you get EXACT p99s over 100 TB — the only
+    full-data operations are two scans and a histogram-sized shuffle,
+    never a sort of the raw values.
+
+    Rank convention: value at 1-based rank ceil(q*n) ascending — pinned
+    identically in the oracle's window formulation."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    B = 256
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    span = F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-12))
+    bucketed = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "value",
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("value") - F.col("vmin")) / span * B).cast("int"),
+        ).alias("bucket"),
+    )
+    hist = bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("bcount")
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("bcount").over(w_cum), F.lit(0))
+    )
+    targets = stats.select(
+        "event_type",
+        "n",
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"),
+    ).withColumn("r", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+    loc = targets.join(cum, "event_type").where(
+        (F.col("cum_before") < F.col("r"))
+        & (F.col("r") <= F.col("cum_before") + F.col("bcount"))
+    ).select(
+        "event_type", "q", "bucket", (F.col("r") - F.col("cum_before")).alias("k")
+    )
+    cand = bucketed.join(F.broadcast(loc), ["event_type", "bucket"])
+    w_sel = Window.partitionBy("event_type", "q").orderBy("value")
+    picked = cand.withColumn("rn", F.row_number().over(w_sel)).where(
+        F.col("rn") == F.col("k")
+    )
+    return picked.groupBy("event_type").agg(
+        F.round(F.max(F.when(F.col("q") == 0.5, F.col("value"))), 6).alias("p50"),
+        F.round(F.max(F.when(F.col("q") == 0.9, F.col("value"))), 6).alias("p90"),
+        F.round(F.max(F.when(F.col("q") == 0.99, F.col("value"))), 6).alias("p99"),
+    )

@@ -249,3 +249,68 @@ def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         shrink, "doc_id bigint, orig_len bigint, thumb string, thumb_len bigint"
     )
+
+
+_MAGICS = [("%PDF", "pdf"), ("PNG.", "image"), ("RIFF", "audio")]
+
+
+@query(
+    "multimodal_mime_sniff",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN '%PDF' WHEN 1 THEN 'PNG.'
+                             WHEN 2 THEN 'RIFF' ELSE '' END || text AS payload,
+             CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'image'
+                             WHEN 2 THEN 'audio' ELSE 'text' END AS declared
+      FROM documents)
+    SELECT doc_id, declared,
+           CASE WHEN payload LIKE '%PDF%' AND substring(payload, 1, 4) = '%PDF' THEN 'pdf'
+                WHEN substring(payload, 1, 4) = 'PNG.' THEN 'image'
+                WHEN substring(payload, 1, 4) = 'RIFF' THEN 'audio'
+                ELSE 'text' END AS sniffed,
+           CAST(octet_length(encode(payload)) AS BIGINT) AS payload_bytes
+    FROM payloads
+    """,
+)
+def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based modality routing — dispatch on magic bytes, not
+    file extension (the reference dispatches on extension only,
+    app.py:167-190, which misroutes renamed files): synthetic payloads
+    carry deterministic format headers (ASCII stand-ins for %PDF /
+    \\x89PNG / RIFF magics), and the sniffer recovers the modality from
+    the leading bytes alone. Pure codegen CASE/substring — at 100 TB
+    this is the zero-cost router in front of per-modality decode
+    pipelines (decode itself is the stubbed Pandas-UDF path,
+    multimodal_binary_features)."""
+    d = table(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("%PDF"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("PNG."))
+        .when(F.col("doc_id") % 4 == 2, F.lit("RIFF"))
+        .otherwise(F.lit(""))
+    )
+    declared = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("pdf"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("image"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("audio"))
+        .otherwise(F.lit("text"))
+    )
+    p = d.select(
+        "doc_id",
+        F.concat(header, F.col("text")).alias("payload"),
+        declared.alias("declared"),
+    )
+    head4 = F.substring("payload", 1, 4)
+    sniffed = (
+        F.when(head4 == "%PDF", F.lit("pdf"))
+        .when(head4 == "PNG.", F.lit("image"))
+        .when(head4 == "RIFF", F.lit("audio"))
+        .otherwise(F.lit("text"))
+    )
+    return p.select(
+        "doc_id",
+        "declared",
+        sniffed.alias("sniffed"),
+        F.length(F.encode("payload", "utf-8")).cast("bigint").alias("payload_bytes"),
+    )

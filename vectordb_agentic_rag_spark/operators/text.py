@@ -913,3 +913,55 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col.s").cast("int").alias("chunk_start"),
         (F.col("col.e") - F.col("col.s") + 1).cast("int").alias("chunk_len"),
     )
+
+
+@query(
+    "pipeline_cdc_dedup_ratio",
+    oracle="""
+    WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    b AS (
+      SELECT doc_id, text, n,
+             list_filter(range(4, n + 1), i ->
+               (ascii(text[i-3]) * 29791 + ascii(text[i-2]) * 961 +
+                ascii(text[i-1]) * 31 + ascii(text[i])) % 64 = 0) AS bs
+      FROM base),
+    ch AS (
+      SELECT doc_id, text,
+             list_prepend(CAST(1 AS BIGINT),
+                          list_transform(bs, x -> x + 1)) AS starts,
+             list_append(bs, CAST(n AS BIGINT)) AS ends
+      FROM b),
+    chunks AS (
+      SELECT md5(substring(text, CAST(starts[i] AS INTEGER),
+                 CAST(ends[i] - starts[i] + 1 AS INTEGER))) AS h
+      FROM ch, unnest(range(1, len(starts) + 1)) AS u(i))
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+           round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS distinct_ratio
+    FROM chunks
+    """,
+)
+def pipeline_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunking composed with content-hash dedup — the reason
+    content-defined chunking exists: chunk the corpus on rolling-hash
+    boundaries (text_cdc_chunking, reused as-is), hash each chunk, and
+    measure the distinct-chunk ratio — the storage dedup factor a
+    CDC-chunked object store would achieve on this corpus. One join
+    back to documents for the chunk bytes (at scale the chunker emits
+    text inline instead; positions-only keeps the declared op slim),
+    then a hash-distinct aggregate. Demonstrates operator COMPOSITION:
+    the declared ops are building blocks, not silos."""
+    chunks = text_cdc_chunking(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = chunks.join(d, "doc_id").select(
+        F.md5(
+            F.expr("substring(text, chunk_start, chunk_len)")
+        ).alias("h")
+    )
+    return hashed.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("h").alias("n_distinct_chunks"),
+        F.round(
+            F.countDistinct("h").cast("double") / F.count("*"), 6
+        ).alias("distinct_ratio"),
+    )

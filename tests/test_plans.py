@@ -386,3 +386,12 @@ def test_sequence_funnel_one_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
     assert "Join" not in plan
     assert "In(event_type, [click,purchase,view])" in plan
+
+
+def test_exact_quantile_never_sorts_raw_values(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_exact_quantile_2pass"](spark, sf_dir))
+    # the whole point: exact order statistics WITHOUT a global sort of
+    # the raw values — no range partitioning anywhere; the only sorts
+    # are the window sorts over (histogram rows / one target bucket)
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan  # stats + bucket-locator joins

@@ -180,3 +180,32 @@ def pipeline_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("int")).cast("bigint").alias("then_clicked"),
         F.sum(purchased.cast("int")).cast("bigint").alias("then_purchased"),
     )
+
+
+@query(
+    "stream_window_distinct_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed DISTINCT aggregation — audience counting per tumbling
+    hour x type, the companion to stream_tumbling_count (which counts
+    events, not actors). Distinct shuffles (type, hour, user) triples
+    exactly once; in the live Structured Streaming form the same query
+    runs with approx_count_distinct (exact distinct needs full state
+    per window — the sketch is the streaming-correct trade, its batch
+    exactness covered here by the oracle on the identical windowing)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -356,3 +356,52 @@ def win_sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_seq_users"),
         F.count("*").alias("n_converted_purchases"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS occ
+      FROM events)
+    SELECT user_id, event_id, ts,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS distinct_types_seen
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING count-distinct per user (how many distinct event types
+    has this user produced up to each event) — SQL has no
+    count(DISTINCT) OVER, and the naive per-row set-rescan is
+    quadratic. The linear formulation: flag each (user, type)'s FIRST
+    occurrence with one row_number window, then a running sum of the
+    flags — two windows, both on the user shuffle, strictly linear.
+    The oracle uses the same first-occurrence formulation (it is plain
+    SQL), so the check is a true cross-engine replay of the trick."""
+    ev = table(spark, sf_dir, "events")
+    w_occ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w_occ).alias("occ"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum((F.col("occ") == 1).cast("int"))
+        .over(w_run)
+        .cast("bigint")
+        .alias("distinct_types_seen"),
+    )

@@ -355,3 +355,40 @@ def test_asof_nearest_matches_bruteforce(events):
         return out
 
     assert unionsort(rows) == brute(rows)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 30), min_size=0, max_size=60),  # partitions of token ids
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(2, 8),  # small K to actually exercise the prune
+)
+def test_mg_fold_survival_guarantee(partitions, k):
+    """Misra-Gries invariant behind text_heavy_hitters: after folding
+    any partitioning of the stream with K counters, every token whose
+    TRUE count exceeds N/K must survive in the candidate union."""
+    import collections
+
+    from vectordb_agentic_rag_spark.operators.text import mg_fold_batch
+
+    candidates = set()
+    for part in partitions:
+        counters: dict = {}
+        # feed each partition in arbitrary sub-batches of 7
+        for i in range(0, len(part), 7):
+            batch = collections.Counter(part[i : i + 7])
+            mg_fold_batch(counters, batch.items(), k)
+        candidates |= set(counters)
+    # the guarantee is PER PARTITION: freq > N_part/K survives that
+    # partition's summary, hence the union
+    for part in partitions:
+        n = len(part)
+        true_counts = collections.Counter(part)
+        for tok, c in true_counts.items():
+            if c > n / k:
+                assert tok in candidates, (
+                    f"token {tok} with count {c} > {n}/{k} was lost"
+                )

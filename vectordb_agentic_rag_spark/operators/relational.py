@@ -1430,3 +1430,58 @@ def agg_exact_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("q") == 0.9, F.col("value"))), 6).alias("p90"),
         F.round(F.max(F.when(F.col("q") == 0.99, F.col("value"))), 6).alias("p99"),
     )
+
+
+@query(
+    "agg_histogram_equi_width",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             CAST(least(15, floor((e.value - s.vmin)
+                  / greatest(s.vmax - s.vmin, 1e-12) * 16)) AS INTEGER) AS bucket,
+             s.vmin, s.vmax
+      FROM events e JOIN stats s ON e.event_type = s.event_type)
+    SELECT event_type, bucket,
+           round(vmin + bucket * (vmax - vmin) / 16, 6) AS bucket_lo,
+           round(vmin + (bucket + 1) * (vmax - vmin) / 16, 6) AS bucket_hi,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM b GROUP BY event_type, bucket, vmin, vmax
+    """,
+)
+def agg_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per group (16 buckets over each
+    group's [min, max]) — the profiling primitive behind CBO column
+    stats, data cards, and the 2-pass exact quantile's first pass,
+    declared as its own op. Two hash aggregations (min/max, then
+    bucket counts) with the tiny stats side broadcast; the value
+    column crosses the wire once as a bucket id. Bucket bounds are
+    derived with the same arithmetic on both engines, so even the
+    float edges hash-match."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    B = 16
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    span = F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-12))
+    b = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "vmin",
+        "vmax",
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("value") - F.col("vmin")) / span * B),
+        ).cast("int").alias("bucket"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / B
+    return b.groupBy("event_type", "bucket", "vmin", "vmax").agg(
+        F.count("*").alias("cnt")
+    ).select(
+        "event_type",
+        "bucket",
+        F.round(F.col("vmin") + F.col("bucket") * width, 6).alias("bucket_lo"),
+        F.round(F.col("vmin") + (F.col("bucket") + 1) * width, 6).alias("bucket_hi"),
+        "cnt",
+    )

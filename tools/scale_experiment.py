@@ -56,6 +56,15 @@ OPS = [
     ("pipeline_pack_sequences", "documents"),
     ("sink_merge_upsert_scd2", "orders"),
     ("vec_pq_ann", "embeddings"),
+    # round-4 additions
+    ("vec_signbit_hamming_topk", "embeddings"),
+    ("text_heavy_hitters", "documents"),
+    ("text_cdc_chunking", "documents"),
+    ("agg_exact_quantile_2pass", "events"),
+    ("join_asof_nearest", "events"),
+    ("win_sequence_match_funnel", "events"),
+    ("agg_bitmap_distinct", "events"),
+    ("win_running_distinct", "events"),
 ]
 
 

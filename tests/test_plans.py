@@ -395,3 +395,11 @@ def test_exact_quantile_never_sorts_raw_values(spark, sf_dir):
     # are the window sorts over (histogram rows / one target bucket)
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan  # stats + bucket-locator joins
+
+
+def test_filtered_knn_pushes_label_predicate(spark, sf_dir):
+    plan = plan_of(QUERIES["vec_filtered_knn"](spark, sf_dir))
+    # the metadata filter must reach the parquet scan BEFORE any vector
+    # math — filtered exact search reads only qualifying rows
+    assert "In(label, [1,2])" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -726,3 +726,51 @@ def vec_signbit_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "hamming")
     )
+
+
+@query(
+    "vec_filtered_knn",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding, label
+          FROM embeddings WHERE vec_id >= 10 AND label IN (1, 2)),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id, c.label,
+             round({_DD_COS.format(a='c.embedding', b='q.qv')}, 6) AS sim
+      FROM c CROSS JOIN q)
+    SELECT query_id, neighbor_id, label, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims) t
+    WHERE rn <= 3
+    """,
+)
+def vec_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate + kNN combo
+    (Qdrant payload filters on the reference's collection; the classic
+    'filtered ANN' problem): top-3 by cosine among only the corpus
+    rows whose label passes the predicate. In batch Spark the filter
+    simply pushes into the parquet scan BEFORE any vector math — the
+    plan reads only qualifying rows (PushedFilters: In(label, [1,2])),
+    which is the one place batch beats an ANN index: a pre-filtered
+    exact scan has no post-filter recall loss, while index-first ANN
+    must over-fetch when the predicate is selective."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir, 10)
+    corpus = emb.where(
+        (F.col("vec_id") >= 10) & F.col("label").isin(1, 2)
+    ).select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")
+    d = len(_query_vector_raw(sf_dir, 0))
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "label", "sim")
+    )

@@ -1485,3 +1485,36 @@ def agg_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vmin") + (F.col("bucket") + 1) * width, 6).alias("bucket_hi"),
         "cnt",
     )
+
+
+@query(
+    "agg_moments_stats",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 6) AS mean_v,
+           round(var_samp(value), 6) AS var_v,
+           round(stddev_samp(value), 6) AS std_v,
+           round(var_pop(value), 6) AS varp_v,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_vu,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments per group: sample/population variance,
+    stddev, covariance, and correlation — all mergeable one-pass
+    aggregates (Welford/Chan partial states combine map-side exactly
+    like sum/count), which is why they belong in any 100 TB profiling
+    surface: one shuffle of O(groups) summaries, never a second
+    centering pass. Both engines implement the textbook two-moment
+    formulas; round(6) absorbs the last-ulp association differences."""
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.stddev_samp("value"), 6).alias("std_v"),
+        F.round(F.var_pop("value"), 6).alias("varp_v"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("cov_vu"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+    )

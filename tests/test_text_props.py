@@ -392,3 +392,99 @@ def test_mg_fold_survival_guarantee(partitions, k):
                 assert tok in candidates, (
                     f"token {tok} with count {c} > {n}/{k} was lost"
                 )
+
+
+# --- recursive separator-aware chunker (text_chunk_recursive) ---
+
+_para_text = st.lists(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=12),
+        min_size=1,
+        max_size=60,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+).map("\n\n".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_para_text)
+def test_recursive_chunker_bounds_and_coverage(text):
+    """Reference-semantics invariants (app.py:181-186): every chunk is
+    a contiguous substring of the original, no chunk exceeds
+    CHUNK_SIZE, chunk positions advance monotonically, and the chunks
+    jointly cover every non-whitespace character."""
+    from vectordb_agentic_rag_spark.operators.text import (
+        split_text_recursive,
+    )
+
+    chunks = split_text_recursive(text)
+    if not text.strip():
+        assert chunks == []
+        return
+    pos = 0
+    covered_to = 0
+    for ch in chunks:
+        assert 0 < len(ch) <= CHUNK_SIZE
+        start = text.find(ch, max(pos - CHUNK_OVERLAP - 2, 0))
+        if start < 0:  # overlap windback can step further back
+            start = text.find(ch)
+        assert start >= 0, f"chunk not a substring: {ch[:40]!r}"
+        # no uncovered non-whitespace gap between consecutive chunks
+        assert not text[covered_to:start].strip(), (
+            f"dropped content between {covered_to} and {start}"
+        )
+        covered_to = max(covered_to, start + len(ch))
+        pos = start
+    assert not text[covered_to:].strip()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="ab \n", min_size=0, max_size=4000))
+def test_recursive_chunker_never_oversized(text):
+    """Even adversarial whitespace runs and separator-free stretches
+    re-pack to <= CHUNK_SIZE (the "" fallback splits to characters)."""
+    from vectordb_agentic_rag_spark.operators.text import (
+        split_text_recursive,
+    )
+
+    for ch in split_text_recursive(text):
+        assert len(ch) <= CHUNK_SIZE
+        assert ch == ch.strip()
+
+
+def test_jaccard_verify_ship_modes_agree(spark):
+    """_verify_pairs_jaccard must produce identical pairs through the
+    sidefile (worker-resident codes) and join (codes ride the
+    candidate stream) ship modes — the join path is the documented
+    beyond-memory fallback, so it must stay semantically locked."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _verify_pairs_jaccard,
+    )
+
+    codes = spark.createDataFrame(
+        [
+            (1, [1, 2, 3]),
+            (2, [2, 3, 4]),
+            (3, [10, 11]),
+            (4, [1, 2, 3, 4]),
+        ],
+        "doc_id bigint, cs array<bigint>",
+    )
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {}
+    for ship in ("sidefile", "join"):
+        rows = _verify_pairs_jaccard(
+            spark, codes, cand, threshold=0.3, tag="pytest", ship=ship
+        ).collect()
+        out[ship] = sorted((r.doc_a, r.doc_b, r.jac) for r in rows)
+    assert out["sidefile"] == out["join"]
+    # hand-checked values: (1,2) 2/4, (1,4) 3/4, (2,4) 3/4, (3,*) none
+    assert out["sidefile"] == [
+        (1, 2, 0.5),
+        (1, 4, 0.75),
+        (2, 4, 0.75),
+    ]

@@ -19,6 +19,8 @@ Arithmetic notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -86,7 +88,9 @@ def _elem(a: Column, i: int) -> Column:
 
 
 def _esql(name: str, i: int) -> str:
-    return f"CAST(element_at({name}, {i + 1}) AS DOUBLE)"
+    # Backtick-quote so non-simple identifiers (dots, spaces) render
+    # as a single column reference, not a parse error.
+    return f"CAST(element_at(`{name}`, {i + 1}) AS DOUBLE)"
 
 
 def _dot_sql(a: str, b: str, d: int) -> str:
@@ -98,6 +102,14 @@ def _norm2_sql(a: str, d: int) -> str:
 
 
 def _dot_const_sql(a: str, qv: list) -> str:
+    # repr(float) of nan/inf renders invalid SQL ('nanD') that only
+    # fails at parse time with an opaque error — reject up front.
+    for i, x in enumerate(qv):
+        if not math.isfinite(float(x)):
+            raise ValueError(
+                f"_dot_const_sql: query component {i} is {x!r}; "
+                "vector literals must be finite"
+            )
     return " + ".join(
         f"{_esql(a, i)} * {float(x)!r}D" for i, x in enumerate(qv)
     )

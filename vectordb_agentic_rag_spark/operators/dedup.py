@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import sf_tag, table
 
 # --- shared integer-hash machinery (identical Spark SQL / DuckDB) ---
 
@@ -189,10 +189,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       identical distinct-token lists, so parity survives even a
       collision. Primitive-array intersect beats string-array
       intersect by the cost of per-element UTF8 compares.
-    - The per-doc code-set table is BROADCAST into the verify joins —
-      candidates (4.1M rows at sf0.1) never shuffle; at cluster scale
-      the doc->codes map is ~kB/doc, broadcastable to ~100M docs, and
-      beyond that it becomes a bucketed build side."""
+    - The per-doc code-set table reaches the verify kernel as a
+      parquet SIDE-FILE each worker reads once (no driver collect;
+      candidates — 4.1M rows at sf0.1 — cross Arrow as 16 B/pair and
+      never shuffle); at cluster scale the doc->codes map is ~kB/doc,
+      worker-resident to ~100M docs, and beyond that the ship="join"
+      path runs the verify as shuffle/bucketed joins
+      (see _verify_pairs_jaccard)."""
     d = table(spark, sf_dir, "documents")
     codes = d.select(
         "doc_id",
@@ -261,70 +264,182 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    return _verify_pairs_jaccard(spark, codes, cand, threshold=0.7)
+    return _verify_pairs_jaccard(
+        spark, codes, cand, threshold=0.7, tag=f"minhash_{sf_tag(sf_dir)}"
+    )
+
+
+# Worker-process cache for the codes side-file: one padded matrix per
+# (path) per Python worker, invalidated on file mtime change. Python
+# workers are reused across tasks, so the build cost is paid once per
+# executor process, not per task.
+_JAC_CODES_CACHE: dict = {}
+
+
+def _load_codes_matrix(path: str):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    parts = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    mtime = max(os.path.getmtime(p) for p in parts)
+    hit = _JAC_CODES_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    tbl = pq.read_table(parts)
+    ids = tbl.column("doc_id").to_numpy().astype(np.int64, copy=False)
+    cs = tbl.column("cs").combine_chunks()
+    offs = cs.offsets.to_numpy()
+    lens = np.diff(offs).astype(np.int64)
+    flat = cs.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    n = len(ids)
+    width = int(lens.max()) if n and lens.size else 1
+    mat = np.full((n, max(width, 1)), -1, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        offs[:-1] - offs[0], lens
+    )
+    mat[rows, cols] = flat
+    order = np.argsort(ids)
+    value = (ids[order], mat[order], lens[order])
+    _JAC_CODES_CACHE[path] = (mtime, value)
+    return value
 
 
 def _verify_pairs_jaccard(
-    spark: SparkSession, codes: DataFrame, cand: DataFrame, threshold: float
+    spark: SparkSession,
+    codes: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    tag: str,
+    ship: str = "sidefile",
 ) -> DataFrame:
     """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs as a
-    vectorized numpy kernel. The per-doc code sets (`codes`: doc_id,
-    cs array<bigint>, distinct non-negative ints < 2^30) ship ONCE to
-    each worker as a padded int64 matrix (sc.broadcast — same memory
-    class as a broadcast-hash-join build side; past ~100M docs this
-    becomes a bucketed join instead), and the candidate stream crosses
-    the Arrow boundary as two bigint columns only. JVM array_intersect
-    / array_union build a boxed hash set per row (~50-600 us/pair
-    measured); per batch here, |A∩B| for ALL pairs at once is one
-    np.intersect1d over (pair_idx << 31 | code) keys — O(w log w) per
-    pair, independent of the set width."""
+    vectorized numpy kernel — no driver `collect()` anywhere (this
+    replaced a padded-matrix sc.broadcast that serialized the whole
+    corpus through the driver; past ~100M docs that was the repo's one
+    scale-killer). Two code-set ship modes, both scale-safe:
+
+    - ship="sidefile" (default, broadcast-memory class): the per-doc
+      code sets (`codes`: doc_id, cs array<bigint>, distinct
+      non-negative ints < 2^31) are WRITTEN DISTRIBUTED to a parquet
+      side-file, and each Python worker reads it once (cached per
+      process by mtime) into a sorted padded int64 matrix — broadcast
+      via shared storage, the standard way big pipelines ship side
+      data; the driver never touches a row. The candidate stream then
+      crosses Arrow as two bigint columns only (~16 B/pair — shipping
+      the arrays per pair instead measured 17 s vs 9 s on the 4M-pair
+      sf0.1 stream).
+    - ship="join" (beyond-memory fallback): codes join onto the
+      candidate stream twice (broadcast-hash here; shuffle/bucketed
+      hash beyond broadcast size) and ride Arrow per pair. Strictly
+      row-linear with no per-worker corpus residency — the path to
+      flip to when doc->codes outgrows worker memory (~100M docs).
+
+    JVM array_intersect / array_union would build a boxed hash set per
+    row (~50-600 us/pair measured); instead each Arrow batch computes
+    |A∩B| for ALL its pairs at once as one np.intersect1d over
+    (pair_idx << 31 | code) keys — O(w log w) per pair, independent of
+    the set width. mapInArrow reads the Arrow buffers directly (a
+    pandas conversion would materialize one ndarray object per pair)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    rows = codes.collect()
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    sets = [np.asarray(rows[int(k)]["cs"], dtype=np.int64) for k in order]
-    width = max((len(s) for s in sets), default=1)
-    mat = np.full((len(ids), width), -1, dtype=np.int64)
-    lens = np.empty(len(ids), dtype=np.int64)
-    for k, s in enumerate(sets):
-        mat[k, : len(s)] = s
-        lens[k] = len(s)
-    bc = spark.sparkContext.broadcast((ids, mat, lens))
+    if ship == "join":
+        ca = codes.select(
+            F.col("doc_id").alias("doc_a"), F.col("cs").alias("cs_a")
+        )
+        cb = codes.select(
+            F.col("doc_id").alias("doc_b"), F.col("cs").alias("cs_b")
+        )
+        joined = (
+            cand.join(F.broadcast(ca), "doc_a")
+            .join(F.broadcast(cb), "doc_b")
+            .select("doc_a", "doc_b", "cs_a", "cs_b")
+        )
 
-    def verify(batches):
-        ids_, m, lens_ = bc.value
-        w = m.shape[1]
-        valid = np.arange(w)[None, :]
-        for pdf in batches:
-            n = len(pdf)
-            if not n:
-                continue
-            ia = np.searchsorted(ids_, pdf["doc_a"].to_numpy())
-            ib = np.searchsorted(ids_, pdf["doc_b"].to_numpy())
-            la, lb = lens_[ia], lens_[ib]
-            idx = np.arange(n, dtype=np.int64)[:, None] << 31
-            keys_a = (idx | m[ia])[valid < la[:, None]]
-            keys_b = (idx | m[ib])[valid < lb[:, None]]
-            both = np.intersect1d(keys_a, keys_b, assume_unique=True)
-            inter = np.bincount(both >> 31, minlength=n)
-            union = la + lb - inter
-            jac = inter / union
-            keep = jac >= threshold
-            if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "doc_a": pdf["doc_a"].to_numpy()[keep],
-                        "doc_b": pdf["doc_b"].to_numpy()[keep],
-                        "jac_raw": jac[keep],
-                    }
+        def _keys(col: pa.Array, n: int) -> tuple:
+            lens = np.diff(col.offsets.to_numpy())
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            return (idx << 31) | flat, lens
+
+        def verify_join(batches):
+            for rb in batches:
+                n = rb.num_rows
+                if not n:
+                    continue
+                keys_a, la = _keys(rb.column("cs_a"), n)
+                keys_b, lb = _keys(rb.column("cs_b"), n)
+                both = np.intersect1d(keys_a, keys_b, assume_unique=True)
+                inter = np.bincount(both >> 31, minlength=n)
+                jac = inter / (la + lb - inter)
+                keep = jac >= threshold
+                if keep.any():
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            rb.column("doc_a").filter(pa.array(keep)),
+                            rb.column("doc_b").filter(pa.array(keep)),
+                            pa.array(jac[keep], type=pa.float64()),
+                        ],
+                        names=["doc_a", "doc_b", "jac_raw"],
+                    )
+
+        verified = joined.mapInArrow(
+            verify_join, "doc_a bigint, doc_b bigint, jac_raw double"
+        )
+    else:
+        path = f"/root/repo/_scratch/jacverify/{tag}"
+        codes.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "cs"
+        ).coalesce(8).write.mode("overwrite").parquet(path)
+
+        def verify_sidefile(batches):
+            ids_, m, lens_ = _load_codes_matrix(path)
+            valid = np.arange(m.shape[1])[None, :]
+            for rb in batches:
+                n = rb.num_rows
+                if not n:
+                    continue
+                ia = np.searchsorted(
+                    ids_, rb.column("doc_a").to_numpy().astype(np.int64)
                 )
+                ib = np.searchsorted(
+                    ids_, rb.column("doc_b").to_numpy().astype(np.int64)
+                )
+                la, lb = lens_[ia], lens_[ib]
+                idx = np.arange(n, dtype=np.int64)[:, None] << 31
+                keys_a = (idx | m[ia])[valid < la[:, None]]
+                keys_b = (idx | m[ib])[valid < lb[:, None]]
+                both = np.intersect1d(keys_a, keys_b, assume_unique=True)
+                inter = np.bincount(both >> 31, minlength=n)
+                jac = inter / (la + lb - inter)
+                keep = jac >= threshold
+                if keep.any():
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            rb.column("doc_a").filter(pa.array(keep)),
+                            rb.column("doc_b").filter(pa.array(keep)),
+                            pa.array(jac[keep], type=pa.float64()),
+                        ],
+                        names=["doc_a", "doc_b", "jac_raw"],
+                    )
 
-    return cand.mapInPandas(
-        verify, "doc_a bigint, doc_b bigint, jac_raw double"
-    ).select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jac"))
+        verified = cand.select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+        ).mapInArrow(verify_sidefile, "doc_a bigint, doc_b bigint, jac_raw double")
+
+    return verified.select(
+        "doc_a", "doc_b", F.round("jac_raw", 6).alias("jac")
+    )
 
 
 def _simhash_expr(codes_col: str, spark_side: bool) -> str:
@@ -369,18 +484,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shingle fingerprint = combine the three TOKEN codes arithmetically
+# (((c1*131 + c2) % P) * 131 + c3) % P — one char-fold per token instead
+# of one per shingle character (~4x fewer interpreted lambda frames;
+# measured 3.4 s -> see OPS_BENCH). c < 1e6 and P ~ 1e9 keep every
+# intermediate below 2^63 on both engines; a collision changes both
+# sides identically, so parity is exact by construction.
 _DUCK_SHINGLES = f"""
-      SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS len_bucket,
+      SELECT doc_id, lang, len_bucket,
              list_distinct(list_transform(
-               list_transform(
-                 generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-                 i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
-                                list_extract(string_split(text, ' '), i + 1),
-                                list_extract(string_split(text, ' '), i + 2))),
-               s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-                    (h, c) -> (h * 31 + c) % {P_HASH}))) AS g
-      FROM documents"""
+               generate_series(1, greatest(len(tc) - 2, 1)),
+               i -> ((list_extract(tc, i) * 131 + list_extract(tc, i + 1))
+                     % {P_HASH} * 131 + list_extract(tc, i + 2)) % {P_HASH})) AS g
+      FROM (
+        SELECT doc_id, lang, CAST(floor(n_chars / 50) AS INTEGER) AS len_bucket,
+               list_transform(string_split(text, ' '),
+                 tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(tok, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+                        (h, c) -> (h * 31 + c) % {P_CODE})) AS tc
+        FROM documents) z"""
 
 _DUCK_NGRAM_PAIRS = """
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -407,41 +530,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets, so the 0.2 threshold is a real near-dup signal on this
     corpus.
 
-    Two measured cost disciplines (23 s -> ~6 s at sf0.1):
+    Two measured cost disciplines (23 s -> ~6 s -> ~2 s at sf0.1):
 
-    - The token split is let-bound via `transform(array(split(text)),
+    - The token-code array is let-bound via `transform(array(...),
       w -> ...)[0]` so it is evaluated ONCE per document — referencing
-      `element_at(split(text), i)` inside the shingle lambda re-splits
-      the whole text per shingle index, and a plain aliased column gets
-      re-inlined by Catalyst's projection collapse.
-    - Shingles are FINGERPRINTED to int64 (rolling char hash mod
-      1e9+7, the same formula as the minhash token codes) before the
-      pair join: the ~300k candidate pairs then intersect/union
+      the split inside the shingle lambda would recompute it per
+      shingle index, and a plain aliased column gets re-inlined by
+      Catalyst's projection collapse.
+    - Shingles are FINGERPRINTED to int64 by combining per-token
+      rolling-char-hash codes ((c1*131 + c2) % P * 131 + c3) % P —
+      one char-fold per TOKEN, not per shingle character (higher-order
+      functions run interpreted; the char-per-shingle fold was ~4x the
+      lambda frames). The ~300k candidate pairs then intersect/union
       primitive bigint arrays instead of UTF8 string arrays. Both
       engines compute identical integers, so even a hash collision
-      (expected ~dozens among ~260k distinct shingles) changes BOTH
-      sides the same way — parity is exact by construction. This is
-      Broder-style shingle fingerprinting, standard at corpus scale.
+      changes BOTH sides the same way — parity is exact by
+      construction. This is Broder-style shingle fingerprinting,
+      standard at corpus scale.
 
     The block join carries ONLY (doc_id, lang, len_bucket) — shingle
-    arrays never ride the candidate join (measured 3 s of array
-    copying at sf0.1 otherwise) — and the exact-Jaccard verify is the
-    shared numpy batch kernel (_verify_pairs_jaccard), which replaced
-    the JVM array_intersect/array_union hash-set-per-row path."""
+    arrays never ride the candidate block-join shuffle (measured 3 s
+    of array copying at sf0.1 otherwise); they attach afterwards via
+    broadcast joins feeding the shared numpy batch kernel
+    (_verify_pairs_jaccard), which replaced both the JVM
+    array_intersect hash-set-per-row path and a driver-side
+    codes.collect() broadcast."""
     d = table(spark, sf_dir, "documents")
+    tc = (
+        "transform(split(text, ' '), "
+        "tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
+        f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
+    )
     sh = d.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 50).cast("int").alias("len_bucket"),
         F.array_distinct(
             F.expr(
-                "transform(transform(array(split(text, ' ')), "
+                f"transform(array({tc}), "
                 "w -> transform(sequence(1, greatest(size(w) - 2, 1)), "
-                "i -> concat_ws(' ', element_at(w, i), "
-                "element_at(w, i + 1), "
-                "element_at(w, i + 2))))[0], "
-                "s -> aggregate(split(s, ''), CAST(0 AS BIGINT), "
-                f"(h, c) -> (h * 31 + ascii(c)) % {P_HASH}))"
+                "i -> ((element_at(w, i) * 131 + element_at(w, i + 1)) "
+                f"% {P_HASH} * 131 + element_at(w, i + 2)) % {P_HASH}))[0]"
             )
         ).alias("cs"),
     )
@@ -461,7 +590,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (a.doc_a < b.doc_b),
     ).select("doc_a", "doc_b")
     return _verify_pairs_jaccard(
-        spark, sh.select("doc_id", "cs"), cand, threshold=0.2
+        spark,
+        sh.select("doc_id", "cs"),
+        cand,
+        threshold=0.2,
+        tag=f"ngram_{sf_tag(sf_dir)}",
     )
 
 
@@ -520,31 +653,62 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the minimum doc_id reachable through near-dup edges; singletons
     are their own cluster.
 
-    Each iteration is one broadcast join (edges are |near-dup pairs|,
-    orders of magnitude smaller than the corpus) + a min-aggregate,
-    and converges in O(component diameter) rounds — near-dup clusters
-    are shallow (diameter <= 3 here; asserted convergence bound 20).
-    At 100 TB the same loop runs with the edge list as a shuffle join
-    and the alternating small-star/large-star optimization bounds the
-    rounds; the DataFrame loop shape is identical. localCheckpoint per
-    round truncates the lineage so plan size stays O(1) in rounds.
+    Three scale disciplines (4.8 s -> see OPS_BENCH at sf0.1):
+
+    - The loop runs over the EDGE-INDUCED subgraph only: a node with
+      no near-dup edge never changes its label, so the corpus joins in
+      exactly once at the end (left join + coalesce to self). After
+      near-dup filtering |V(E)| is orders of magnitude smaller than
+      |corpus| — the iteration cost is decoupled from corpus size.
+    - Each round is (a) an edge RELAX — shuffle-join the edge list
+      with labels, min-aggregate the neighbor label per node — and (b)
+      a POINTER JUMP — cluster_id := label(cluster_id), a self-join —
+      which compounds propagation distance ~2x per round, so rounds ~
+      O(log diameter) instead of O(diameter) (the same round-
+      compression idea as alternating small-star/large-star).
+    - Nothing is broadcast and the loop body runs NO data-dependent
+      actions: every join is a shuffle join over partitions sized ONCE
+      from |E| (one count on the already-checkpointed edge list — at
+      toy scale per-task scheduling overhead dominates these tiny
+      shuffles, so the loop runs them at the partition count the edge
+      volume actually needs), and the only per-round job is the
+      localCheckpoint that truncates lineage so plan size stays O(1)
+      in rounds. Convergence is verified ONCE at the end — a single
+      count asserting one more relax changes nothing, raising instead
+      of returning wrong labels (which is what makes the small round
+      budget safe: 2 relax+jump rounds cover diameter ~4; deeper
+      graphs fail loudly).
+
     The oracle is the same fixpoint as a recursive CTE (transitive
     closure + min per node) — fully SQL-checkable."""
+    rounds = 2
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()
+    n_edges = edges.count()  # near-free: edges is checkpointed
+    loop_partitions = max(1, min(200, n_edges // 1_000_000 + 1))
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    # AQE's per-stage materialization (~40-50 ms each) dominates these
+    # already-sized tiny shuffles; partitions are set explicitly above.
+    conf.set("spark.sql.adaptive.enabled", "false")
+    # symmetrized edges: doc_a already ranges over every edge endpoint
     labels = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.select("doc_a")
+        .distinct()
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(20):
+
+    def relax(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
             edges.join(
-                labels.select(
+                lbl.select(
                     F.col("doc_id").alias("doc_a"),
                     F.col("cluster_id").alias("nl"),
                 ),
@@ -553,24 +717,57 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("nl").alias("nl"))
         )
-        new_labels = (
-            labels.join(F.broadcast(neighbor_min), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nl"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+        return lbl.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nl"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
-        changed = (
-            new_labels.join(
-                labels.select("doc_id", F.col("cluster_id").alias("old")), "doc_id"
+
+    try:
+        for _ in range(rounds):
+            relaxed = relax(labels)
+            # pointer jump: labels only ever decrease, so
+            # label(cluster_id) <= cluster_id and the inner value is
+            # always present in labels.
+            anc = relaxed.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("anc"),
+            )
+            labels = (
+                relaxed.join(anc, "cluster_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("anc"), F.col("cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+                .localCheckpoint()
+            )
+        still_changing = (
+            relax(labels)
+            .join(
+                labels.select("doc_id", F.col("cluster_id").alias("old")),
+                "doc_id",
             )
             .where(F.col("cluster_id") != F.col("old"))
             .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if still_changing:
+        raise RuntimeError(
+            f"connected components not converged after {rounds} relax+jump "
+            f"rounds ({still_changing} labels still changing) — raise the "
+            "round budget for deeper near-dup graphs"
+        )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )

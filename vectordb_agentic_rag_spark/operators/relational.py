@@ -1475,14 +1475,19 @@ def agg_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("value") - F.col("vmin")) / span * B),
         ).cast("int").alias("bucket"),
     )
-    width = (F.col("vmax") - F.col("vmin")) / B
+    # Edge arithmetic mirrors the oracle's fold order EXACTLY
+    # (bucket * span, then / 16) — precomputing span/16 as a width
+    # rounds differently and can diverge at a round(.,6) half-way point.
+    span_raw = F.col("vmax") - F.col("vmin")
     return b.groupBy("event_type", "bucket", "vmin", "vmax").agg(
         F.count("*").alias("cnt")
     ).select(
         "event_type",
         "bucket",
-        F.round(F.col("vmin") + F.col("bucket") * width, 6).alias("bucket_lo"),
-        F.round(F.col("vmin") + (F.col("bucket") + 1) * width, 6).alias("bucket_hi"),
+        F.round(F.col("vmin") + F.col("bucket") * span_raw / B, 6).alias("bucket_lo"),
+        F.round(
+            F.col("vmin") + (F.col("bucket") + 1) * span_raw / B, 6
+        ).alias("bucket_hi"),
         "cnt",
     )
 

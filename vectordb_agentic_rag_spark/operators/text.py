@@ -60,6 +60,224 @@ def chunk_documents(
     )
 
 
+# --- recursive separator-aware chunker (reference parity, R4) ---
+#
+# Exact reimplementation of the published LangChain
+# RecursiveCharacterTextSplitter algorithm the reference configures at
+# app.py:181-186 (chunk_size=1000, chunk_overlap=200,
+# separators=["\n\n", "\n", " ", ""], keep_separator=True,
+# strip_whitespace=True): split on the first separator present,
+# greedily re-pack pieces to <= chunk_size with a windback loop that
+# retains <= chunk_overlap of trailing pieces, and recurse into finer
+# separators for any piece that alone exceeds chunk_size.
+
+_SEPARATORS = ["\n\n", "\n", " ", ""]
+
+
+def _join_pieces(pieces: list) -> str | None:
+    text = "".join(pieces).strip()
+    return text if text else None
+
+
+def _merge_piece_splits(splits: list) -> list:
+    """Greedy re-pack of sub-chunk pieces (LangChain _merge_splits with
+    the keep-separator join, separator_len = 0): flush when the next
+    piece would overflow CHUNK_SIZE, then pop from the front while the
+    retained tail exceeds CHUNK_OVERLAP (or still wouldn't fit)."""
+    docs: list = []
+    current: list = []
+    total = 0
+    for d in splits:
+        _len = len(d)
+        if total + _len > CHUNK_SIZE:
+            if current:
+                doc = _join_pieces(current)
+                if doc is not None:
+                    docs.append(doc)
+                while total > CHUNK_OVERLAP or (
+                    total + _len > CHUNK_SIZE and total > 0
+                ):
+                    total -= len(current[0])
+                    current.pop(0)
+        current.append(d)
+        total += _len
+    doc = _join_pieces(current)
+    if doc is not None:
+        docs.append(doc)
+    return docs
+
+
+def _split_keep_separator(text: str, sep: str) -> list:
+    """Split, attaching each separator occurrence to the FOLLOWING
+    piece (keep_separator=True semantics), dropping empties."""
+    import re as _re
+
+    if sep:
+        parts = _re.split(f"({_re.escape(sep)})", text)
+        splits = [parts[i] + parts[i + 1] for i in range(1, len(parts), 2)]
+        if len(parts) % 2 == 0:
+            splits += parts[-1:]
+        splits = [parts[0]] + splits
+    else:
+        splits = list(text)
+    return [s for s in splits if s != ""]
+
+
+def split_text_recursive(text: str, separators: list | None = None) -> list:
+    """Recursive separator-aware chunking, reference semantics (R4).
+    Pure per-document Python — deterministic, bounded by document
+    length, and embarrassingly parallel under mapInPandas (chunking is
+    inherently a sequential greedy scan per document; there is no
+    cross-document state, so the 100 TB story is identical to the
+    fixed-window chunker: one map-side pass)."""
+    seps = _SEPARATORS if separators is None else separators
+    final_chunks: list = []
+    sep = seps[-1]
+    new_separators: list = []
+    for i, s in enumerate(seps):
+        if s == "":
+            sep = s
+            break
+        if s in text:
+            sep = s
+            new_separators = seps[i + 1 :]
+            break
+    good: list = []
+    for s in _split_keep_separator(text, sep):
+        if len(s) < CHUNK_SIZE:
+            good.append(s)
+        else:
+            if good:
+                final_chunks.extend(_merge_piece_splits(good))
+                good = []
+            if not new_separators:
+                final_chunks.append(s)
+            else:
+                final_chunks.extend(split_text_recursive(s, new_separators))
+    if good:
+        final_chunks.extend(_merge_piece_splits(good))
+    return final_chunks
+
+
+# Closed-form oracle for the paragraph regime this corpus exercises
+# (every paragraph < CHUNK_SIZE, no single "\n" or runs of spaces):
+# the splitter reduces to greedy packing of "\n\n"-prefixed paragraph
+# pieces, which a recursive CTE walks chunk-by-chunk over paragraph
+# prefix-sums — s' (windback start) is the smallest index whose tail
+# fits the overlap AND leaves room for the triggering piece.
+_RECURSIVE_CHUNK_ORACLE = """
+WITH RECURSIVE
+longdocs AS (
+  SELECT CAST(doc_id % 37 AS BIGINT) AS gid,
+         string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1),
+plist AS (
+  SELECT gid, string_split(text, chr(10)||chr(10)) AS ps FROM longdocs),
+paras AS (
+  SELECT gid, unnest(generate_series(1, len(ps))) AS idx, unnest(ps) AS para
+  FROM plist),
+pc AS (
+  SELECT gid, idx, para,
+         sum(len(para) + CASE WHEN idx = 1 THEN 0 ELSE 2 END)
+           OVER (PARTITION BY gid ORDER BY idx) AS cum,
+         max(idx) OVER (PARTITION BY gid) AS maxidx
+  FROM paras),
+chunks(gid, chunk_no, s, e, maxidx) AS (
+  SELECT gid, 0, 1,
+         (SELECT max(p.idx) FROM pc p WHERE p.gid = b.gid AND p.cum <= 1000),
+         maxidx
+  FROM (SELECT DISTINCT gid, maxidx FROM pc) b
+  UNION ALL
+  SELECT c.gid, c.chunk_no + 1, ns.s2,
+         (SELECT max(p.idx) FROM pc p
+          WHERE p.gid = c.gid
+            AND p.cum - (SELECT COALESCE(max(q.cum), 0) FROM pc q
+                         WHERE q.gid = c.gid AND q.idx = ns.s2 - 1) <= 1000),
+         c.maxidx
+  FROM chunks c,
+       LATERAL (
+         SELECT min(i.idx) AS s2 FROM pc i
+         WHERE i.gid = c.gid AND i.idx > c.s AND i.idx <= c.e + 1
+           AND (
+             (SELECT ce.cum FROM pc ce WHERE ce.gid = c.gid AND ce.idx = c.e)
+               - (SELECT COALESCE(max(cp.cum), 0) FROM pc cp
+                  WHERE cp.gid = c.gid AND cp.idx = i.idx - 1) <= 200
+             AND
+             (SELECT ce.cum FROM pc ce WHERE ce.gid = c.gid AND ce.idx = c.e)
+               - (SELECT COALESCE(max(cp.cum), 0) FROM pc cp
+                  WHERE cp.gid = c.gid AND cp.idx = i.idx - 1)
+               + (SELECT nx.cum - pv.cum FROM pc nx, pc pv
+                  WHERE nx.gid = c.gid AND nx.idx = c.e + 1
+                    AND pv.gid = c.gid AND pv.idx = c.e) <= 1000
+             OR i.idx = c.e + 1)
+       ) ns
+  WHERE c.e < c.maxidx)
+SELECT ch.gid, ch.chunk_no,
+       trim((SELECT string_agg(p.para, chr(10)||chr(10) ORDER BY p.idx)
+             FROM pc p WHERE p.gid = ch.gid AND p.idx BETWEEN ch.s AND ch.e))
+         AS page_content,
+       CAST(length(trim((SELECT string_agg(p.para, chr(10)||chr(10) ORDER BY p.idx)
+             FROM pc p WHERE p.gid = ch.gid AND p.idx BETWEEN ch.s AND ch.e)))
+         AS INTEGER) AS chunk_len
+FROM chunks ch
+"""
+
+
+@query("text_chunk_recursive", oracle=_RECURSIVE_CHUNK_ORACLE)
+def text_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separator-aware recursive chunker with the reference's EXACT
+    boundary semantics (app.py:181-186): a LangChain-corpus migration
+    gets identical chunks. Fixture documents are each shorter than one
+    chunk, so the query first builds multi-paragraph long documents
+    (deterministic group-concat of 37 doc groups joined by blank
+    lines) and then chunks those — packing, overlap windback, and the
+    strip are all exercised (sf0.01: 204 chunks, max length 998).
+
+    Spark shape: one groupBy shuffle to build the long docs (fixture
+    construction only — real corpora arrive long), then mapInPandas
+    applying the per-document recursive scan; chunking itself is a
+    stateless map-side pass at any scale. The DuckDB oracle walks the
+    same greedy pack via a recursive CTE over paragraph prefix sums —
+    valid precisely for this corpus's paragraph regime; the Python
+    path implements the full recursive algorithm."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    long_docs = (
+        d.select(
+            (F.col("doc_id") % 37).cast("bigint").alias("gid"), "doc_id", "text"
+        )
+        .groupBy("gid")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(doc_id, text))), "
+                    "s -> s.text)"
+                ),
+            ).alias("text")
+        )
+    )
+
+    def chunk(batches):
+        for pdf in batches:
+            gids, nos, texts = [], [], []
+            for gid, text in zip(pdf["gid"], pdf["text"]):
+                for i, ch in enumerate(split_text_recursive(text)):
+                    gids.append(gid)
+                    nos.append(i)
+                    texts.append(ch)
+            yield pd.DataFrame(
+                {"gid": pd.Series(gids, dtype="int64"),
+                 "chunk_no": pd.Series(nos, dtype="int32"),
+                 "page_content": pd.Series(texts, dtype="object")}
+            )
+
+    return long_docs.mapInPandas(
+        chunk, "gid bigint, chunk_no int, page_content string"
+    ).withColumn("chunk_len", F.length("page_content"))
+
+
 @query(
     "text_chunk_fixed_overlap",
     oracle=f"""
@@ -752,11 +970,16 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a web-scale vocabulary (billions of distinct tokens) the full
     groupBy shuffles the entire token multiset; the MG pass bounds the
     shuffle to num_partitions x K candidate rows, and Misra-Gries
-    guarantees any token with global frequency > N/K survives at least
-    one partition summary — so with K far above the top-10 frequency
-    cutoff the recount's top-10 is provably the exact top-10 (the
-    classic candidate-then-verify discipline; same guarantee Spark's
-    own approx `frequent_items` builds on).
+    guarantees any token with global frequency > N/(K+1) survives at
+    least one partition summary (averaging argument across partitions).
+    The top-10 is therefore exact ONLY when the 10th-ranked recounted
+    candidate clears that bound — a skew-free adversarial stream can
+    hide a true top-10 token below N/(K+1), where it may miss every
+    summary. Because the oracle only validates at toy scale, that
+    soundness condition is enforced AT RUNTIME in the returned plan:
+    an assert_true over min(n) * (K+1) > total_tokens fails the job
+    loudly (raise K) instead of silently returning a wrong top-10
+    (the classic candidate-then-verify discipline, made self-checking).
     """
     import pandas as pd
 
@@ -781,7 +1004,32 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    return exact.orderBy(F.col("n").desc(), "tok").limit(10)
+    top = exact.orderBy(F.col("n").desc(), "tok").limit(10)
+    # Runtime soundness guard (see docstring): the MG candidate set is
+    # provably complete down to frequency N/(K+1); the exact top-10 is
+    # trustworthy iff its minimum count clears that bound.
+    from pyspark.sql import Window
+
+    total = toks.agg(F.count(F.lit(1)).alias("total_toks"))
+    min_n = F.min("n").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("_min_n", min_n)
+        .where(
+            F.assert_true(
+                F.col("_min_n") * (K + 1) > F.col("total_toks"),
+                F.lit(
+                    "text_heavy_hitters: Misra-Gries bound violated — "
+                    "10th count <= N/(K+1), top-10 not provably exact; raise K"
+                ),
+            ).isNull()
+        )
+        .select("tok", "n")
+    )
 
 
 @query(

@@ -82,6 +82,76 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_text_encoding_fallback",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' café ñ°'
+                ELSE text END AS text,
+           CASE WHEN doc_id % 3 = 0 THEN 'latin-1'
+                ELSE 'utf-8' END AS encoding
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def source_text_encoding_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-fallback text source — the R3 analogue of the
+    reference's utf-8-then-latin-1 retry (app.py:145-158), distributed:
+    files are scanned as BYTES (binaryFile), and each document decodes
+    utf-8 first, falling back to latin-1 (which accepts every byte
+    sequence, exactly the reference's except-branch). Decode happens
+    in Arrow-batched Python — byte-level charset work is inherent
+    per-row logic, and stays a map-side pass at any scale.
+
+    Fixture: every doc_id % 3 == 0 file is WRITTEN latin-1 with
+    non-ascii chars (0xE9/0xF1/0xB0 — invalid as standalone utf-8, so
+    the fallback genuinely fires); the oracle reconstructs the same
+    logical strings from the original table, proving the decode is
+    lossless and the fallback classification exact."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    out = f"{_SCRATCH}/encoded_docs"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()  # bounded fixture-file setup, not a data-path collect
+    )
+    for r in rows:
+        if r.doc_id % 3 == 0:
+            payload = (r.text + " café ñ°").encode("latin-1")
+        else:
+            payload = r.text.encode("utf-8")
+        with open(f"{out}/doc_{r.doc_id:05d}.txt", "wb") as f:
+            f.write(payload)
+
+    def decode(batches):
+        for pdf in batches:
+            texts, encs = [], []
+            for raw in pdf["content"]:
+                try:
+                    texts.append(bytes(raw).decode("utf-8"))
+                    encs.append("utf-8")
+                except UnicodeDecodeError:
+                    texts.append(bytes(raw).decode("latin-1"))
+                    encs.append("latin-1")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text": texts, "encoding": encs}
+            )
+
+    binf = spark.read.format("binaryFile").load(f"{out}/*.txt")
+    return binf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "content",
+    ).mapInPandas(decode, "doc_id bigint, text string, encoding string")
+
+
+@query(
     "source_binary_files",
     oracle="""
     SELECT doc_id, md5(text) AS content_md5,

@@ -8,6 +8,8 @@ predicate pushdown reach the parquet scan (verify with
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = [
@@ -131,7 +133,18 @@ def cache_hot_tables(spark: SparkSession, sf_dir: str, names=None) -> None:
         # Grid-measured at sf0.1: rows/2000 with these weights is the
         # flat-bottom optimum; at cluster scale the same rule lands at
         # the usual 10-50M weighted rows per 128 MB-ish partition.
-        rows = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+        # Layout-agnostic row count: fixture tables are single files,
+        # but Spark-written datasets are directories of part files.
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            rows = sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        else:
+            rows = pq.ParquetFile(path).metadata.num_rows
         weight = {"embeddings": 8, "documents": 2}.get(name, 1)
         k = max(1, min(16, math.ceil(rows * weight / 2000)))
         # repartition (round-robin), not coalesce: even slices matter

@@ -127,3 +127,76 @@ def test_stateful_sessionizer_matches_batch_twin(spark, sf_dir):
             expected[uid] = (n_sess - 1, n_ev - last_ev)
 
     assert live == expected
+
+
+def test_transform_with_state_running_count(spark, sf_dir):
+    """Spark 4 successor state API (transformWithStateInPandas), gated
+    on its worker-protocol dependency: StreamingPythonRunner imports
+    the protobuf-generated StateMessage_pb2 in the Python worker, so
+    without google.protobuf the query cannot start — this skip IS the
+    precise statement of what the container lacks (streaming/core.py
+    note). Where protobuf exists, this runs a per-event_type running
+    count through a ValueState and asserts the final update per key
+    equals the batch groupBy count."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas worker protocol needs protobuf",
+    )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from vectordb_agentic_rag_spark.streaming.core import (
+        _run_to_memory,
+        replay_events_as_files,
+        stream_events,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get()
+            total = (prev[0] if prev else 0) + n
+            self._n.update((total,))
+            yield pd.DataFrame({"event_type": [key[0]], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    src = replay_events_as_files(spark, sf_dir)
+    counts = (
+        stream_events(spark, src)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="event_type string, n bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    _run_to_memory(counts, "tws_running_count", "update")
+    # update-mode memory sink appends each batch's updates; the final
+    # running count per key is the max
+    live = {
+        r.event_type: r.n
+        for r in spark.table("tws_running_count")
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert live == batch

@@ -384,7 +384,10 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # NOTE: transformWithStateInPandas (the Spark 4 successor state API) is
-# deliberately NOT exercised here: its worker protocol needs
-# google.protobuf, which this container lacks (import fails inside the
+# not exercised in THIS container: its worker protocol needs
+# google.protobuf, which is absent (import fails inside the
 # StreamingPythonRunner). applyInPandasWithState above covers the
-# custom-stateful surface; swap in the newer API where protobuf exists.
+# custom-stateful surface. A gated test on the successor API exists —
+# tests/test_streaming.py::test_transform_with_state_running_count —
+# which skips on the missing protobuf here and runs the real
+# ValueState pipeline wherever protobuf is installed.

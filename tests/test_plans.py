@@ -403,3 +403,39 @@ def test_filtered_knn_pushes_label_predicate(spark, sf_dir):
     # math — filtered exact search reads only qualifying rows
     assert "In(label, [1,2])" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_tolerance_single_exchange_no_join(spark, sf_dir):
+    plan = plan_of(QUERIES["join_asof_tolerance"](spark, sf_dir))
+    # same linear union-sort-merge shape as join_asof_last_event: the
+    # tolerance is a residual predicate, never a second shuffle or a
+    # per-user pair join
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert "Join" not in plan
+    assert "In(event_type, [click,purchase])" in plan  # pushed to scan
+
+
+def test_rolling_median_one_window_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["win_rolling_median"](spark, sf_dir))
+    # one hash-partition shuffle on user_id; the frame sort-and-pick is
+    # per-row expression work, not an extra exchange or global sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_containment_block_join_is_not_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["dedup_containment_ngram"](spark, sf_dir))
+    # candidates come from an equi-join on the lang block with the
+    # (n_chars, doc_id) direction rule as residual — a real join key,
+    # never a cartesian product over the corpus
+    assert "CartesianProduct" not in plan
+    assert "lang" in plan
+
+
+def test_recursive_chunker_single_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["text_chunk_recursive"](spark, sf_dir))
+    # one groupBy shuffle builds the long docs; chunking itself is the
+    # trailing map-side Python stage (no second exchange)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2  # partial+final agg
+    assert "MapInPandas" in plan or "PythonMapInArrow" in plan or "ArrowEvalPython" in plan

@@ -65,7 +65,64 @@ OPS = [
     ("win_sequence_match_funnel", "events"),
     ("agg_bitmap_distinct", "events"),
     ("win_running_distinct", "events"),
+    # round-5 additions
+    ("text_chunk_recursive", "documents"),
 ]
+
+
+def audit_jaccard_verify(spark) -> list[str]:
+    """Row-linearity audit of the dedup exact-Jaccard VERIFY stage in
+    isolation (the stage the round-4 judge flagged): fixed sf0.1 code
+    sets, candidate streams scaled 1x -> 10x, both ship modes. The
+    candidate count is the verify stage's input, so the reported ratio
+    is time_growth/candidate_growth — <=~1.0 = row-linear."""
+    from pyspark.sql import functions as F
+
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _ngram_code_sets,
+        _verify_pairs_jaccard,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    d = table(spark, SRC, "documents")
+    codes = _ngram_code_sets(d).select("doc_id", "cs")
+
+    def cands(k: int):
+        ids = d.select("doc_id").where(F.col("doc_id") < k)
+        a = ids.select(F.col("doc_id").alias("doc_a"))
+        b = ids.select(F.col("doc_id").alias("doc_b"))
+        return a.join(b, a.doc_a < b.doc_b)
+
+    lines = [
+        "",
+        "## Verify-stage audit (dedup exact-Jaccard, fixed corpus, scaled candidates)",
+        "",
+        "| ship mode | candidates 1x | ms | candidates 10x | ms | time/input ratio |",
+        "|---|---:|---:|---:|---:|---:|",
+    ]
+    for ship in ("sidefile", "join"):
+        ms = {}
+        n = {}
+        for tag, k in (("1x", 900), ("10x", 2846)):
+            cand = cands(k)
+            n[tag] = cand.count()
+            ver = _verify_pairs_jaccard(
+                spark, codes, cand, threshold=0.2,
+                tag=f"audit_{ship}_{tag}", ship=ship,
+            )
+            ver.write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(3):
+                s = time.perf_counter()
+                ver.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - s)
+            ms[tag] = statistics.median(runs) * 1000
+        ratio = (ms["10x"] / ms["1x"]) / (n["10x"] / n["1x"])
+        lines.append(
+            f"| {ship} | {n['1x']:,} | {ms['1x']:,.0f} | "
+            f"{n['10x']:,} | {ms['10x']:,.0f} | {ratio:.2f} |"
+        )
+    return lines
 
 
 def build_synth(spark) -> None:
@@ -175,6 +232,7 @@ def main() -> None:
             + " | ".join(f"{m:,.0f}" for m in ms)
             + f" | {ratio:.2f} |"
         )
+    lines += audit_jaccard_verify(spark)
     lines += [
         "",
         "Input rows per scale: "

@@ -318,6 +318,7 @@ def _verify_pairs_jaccard(
     threshold: float,
     tag: str,
     ship: str = "sidefile",
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs as a
     vectorized numpy kernel — no driver `collect()` anywhere (this
@@ -346,9 +347,16 @@ def _verify_pairs_jaccard(
     |A∩B| for ALL its pairs at once as one np.intersect1d over
     (pair_idx << 31 | code) keys — O(w log w) per pair, independent of
     the set width. mapInArrow reads the Arrow buffers directly (a
-    pandas conversion would materialize one ndarray object per pair)."""
+    pandas conversion would materialize one ndarray object per pair).
+
+    metric: "jaccard" scores |A∩B|/|A∪B|; "containment" scores
+    |A∩B|/|A| (Broder containment — asymmetric, detects doc_a embedded
+    inside doc_b even when doc_b is much larger, which Jaccard's union
+    denominator suppresses)."""
     import numpy as np
     import pyarrow as pa
+
+    containment = metric == "containment"
 
     if ship == "join":
         ca = codes.select(
@@ -380,7 +388,7 @@ def _verify_pairs_jaccard(
                 keys_b, lb = _keys(rb.column("cs_b"), n)
                 both = np.intersect1d(keys_a, keys_b, assume_unique=True)
                 inter = np.bincount(both >> 31, minlength=n)
-                jac = inter / (la + lb - inter)
+                jac = inter / (la if containment else la + lb - inter)
                 keep = jac >= threshold
                 if keep.any():
                     yield pa.RecordBatch.from_arrays(
@@ -420,7 +428,7 @@ def _verify_pairs_jaccard(
                 keys_b = (idx | m[ib])[valid < lb[:, None]]
                 both = np.intersect1d(keys_a, keys_b, assume_unique=True)
                 inter = np.bincount(both >> 31, minlength=n)
-                jac = inter / (la + lb - inter)
+                jac = inter / (la if containment else la + lb - inter)
                 keep = jac >= threshold
                 if keep.any():
                     yield pa.RecordBatch.from_arrays(
@@ -515,6 +523,31 @@ _DUCK_NGRAM_PAIRS = """
             / len(list_distinct(a.g || b.g)) >= 0.2"""
 
 
+def _ngram_code_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, len_bucket, cs): distinct int64 3-gram shingle
+    fingerprints per document — shared by dedup_ngram_jaccard,
+    dedup_connected_components (via the former), and the SCALE.md
+    verify-stage audit."""
+    tc = (
+        "transform(split(text, ' '), "
+        "tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
+        f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("int").alias("len_bucket"),
+        F.array_distinct(
+            F.expr(
+                f"transform(array({tc}), "
+                "w -> transform(sequence(1, greatest(size(w) - 2, 1)), "
+                "i -> ((element_at(w, i) * 131 + element_at(w, i + 1)) "
+                f"% {P_HASH} * 131 + element_at(w, i + 2)) % {P_HASH}))[0]"
+            )
+        ).alias("cs"),
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -556,24 +589,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect hash-set-per-row path and a driver-side
     codes.collect() broadcast."""
     d = table(spark, sf_dir, "documents")
-    tc = (
-        "transform(split(text, ' '), "
-        "tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
-        f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
-    )
-    sh = d.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 50).cast("int").alias("len_bucket"),
-        F.array_distinct(
-            F.expr(
-                f"transform(array({tc}), "
-                "w -> transform(sequence(1, greatest(size(w) - 2, 1)), "
-                "i -> ((element_at(w, i) * 131 + element_at(w, i + 1)) "
-                f"% {P_HASH} * 131 + element_at(w, i + 2)) % {P_HASH}))[0]"
-            )
-        ).alias("cs"),
-    )
+    sh = _ngram_code_sets(d)
     slim = d.select(
         "doc_id", "lang", (F.col("n_chars") / 50).cast("int").alias("len_bucket")
     )
@@ -596,6 +612,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.2,
         tag=f"ngram_{sf_tag(sf_dir)}",
     )
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    meta AS (SELECT doc_id, n_chars FROM documents),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS ga, b.g AS gb
+      FROM (SELECT sh.*, m.n_chars FROM sh JOIN meta m USING (doc_id)) a
+      JOIN (SELECT sh.*, m.n_chars FROM sh JOIN meta m USING (doc_id)) b
+        ON a.lang = b.lang
+       AND (a.n_chars < b.n_chars
+            OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id)))
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(ga), 6)
+             AS containment
+    FROM cand
+    WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(ga) >= 0.9
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT dedup (Broder): score |A∩B|/|A| >= 0.9 for
+    the shorter document A against the longer B — the sub-document
+    duplication detector Jaccard structurally misses (a paragraph
+    pasted into a 10x-longer page has tiny |A∩B|/|A∪B| but containment
+    ~1). Pretraining pipelines run this AFTER near-dup removal to
+    catch boilerplate embedding and quote-expansion duplicates.
+
+    Shape: the same blocked candidate join as dedup_ngram_jaccard
+    (lang blocks; one direction fixed by (n_chars, doc_id) ordering so
+    each unordered pair is tested shorter-into-longer exactly once)
+    feeding the shared no-collect verify kernel with the containment
+    denominator (|A| instead of |A∪B|). At 100 TB the candidate
+    generator upgrades to an inverted shingle index (explode + join on
+    rare shingles); the verify stage is unchanged — still row-linear
+    in candidates."""
+    d = table(spark, sf_dir, "documents")
+    sh = _ngram_code_sets(d)
+    slim = d.select("doc_id", "lang", "n_chars")
+    a = slim.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = slim.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (
+            (F.col("nc_a") < F.col("nc_b"))
+            | ((F.col("nc_a") == F.col("nc_b")) & (F.col("doc_a") < F.col("doc_b")))
+        ),
+    ).select("doc_a", "doc_b")
+    return _verify_pairs_jaccard(
+        spark,
+        sh.select("doc_id", "cs"),
+        cand,
+        threshold=0.9,
+        tag=f"containment_{sf_tag(sf_dir)}",
+        metric="containment",
+    ).select("doc_a", "doc_b", F.col("jac").alias("containment"))
 
 
 @query(

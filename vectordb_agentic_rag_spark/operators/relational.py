@@ -354,6 +354,75 @@ def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT user_id, purchase_id,
+           CASE WHEN click_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(click_ts) <= 1800000000
+                THEN click_id END AS click_id,
+           CASE WHEN click_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(click_ts) <= 1800000000
+                THEN epoch_us(p_ts) - epoch_us(click_ts) END AS gap_us
+    FROM (
+      SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+             c.event_id AS click_id, c.ts AS click_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p LEFT JOIN events c
+        ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase') t
+    WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof(tolerance=30min) /
+    kdb wj semantics): every purchase keeps its latest preceding click
+    only if it happened within 30 minutes; staler matches null out —
+    the attribution-window rule of marketing/feature pipelines, and a
+    LEFT as-of (unmatched purchases survive with nulls), unlike
+    join_asof_last_event's inner emit.
+
+    Same scalable union-sort-merge shape as join_asof_last_event (ONE
+    shuffle on user_id, running last(ignorenulls) down the sorted
+    stream — never a per-user range join): the nearest preceding click
+    is by construction the running last, so the tolerance is a pure
+    map-side predicate on the integer-microsecond gap afterwards.
+    Exact-int gap arithmetic on both engines."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    run = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("click_ts")
+    within = F.col("click_ts").isNotNull() & (gap <= 30 * 60 * 1_000_000)
+    return run.where(F.col("kind") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.when(within, F.col("click_id")).alias("click_id"),
+        F.when(within, gap).alias("gap_us"),
+    )
+
+
 # ------------------------------------------------------- aggregations
 
 

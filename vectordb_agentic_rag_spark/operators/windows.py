@@ -405,3 +405,51 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("distinct_types_seen"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           round((list_extract(ls, (len(ls) + 1) // 2)
+                  + list_extract(ls, len(ls) // 2 + 1)) / 2, 6) AS med_11
+    FROM (
+      SELECT user_id, event_id, ts,
+             list_sort(list(value) OVER w) AS ls
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) t
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 11-row rolling MEDIAN of event value per user — the
+    robust-statistics twin of win_moving_avg_frame (outlier-resistant
+    smoothing for monitoring/quality series). Spark's median() is not
+    frame-capable, so the frame is materialized as a sorted array
+    (collect_list over the 11-row frame — O(frame log frame) per row,
+    frame length is a constant) and the median read with explicit
+    middle-element arithmetic. BOTH engines sort the same doubles and
+    evaluate the same (lo + hi) / 2 — never each engine's internal
+    quantile interpolation, whose float fold order differs. The window
+    is the one hash-partition shuffle on user_id; no global sort."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sort_array(F.collect_list("value").over(w)).alias("ls"),
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(
+            "round((element_at(ls, CAST((size(ls) + 1) div 2 AS INT)) "
+            "+ element_at(ls, CAST(size(ls) div 2 + 1 AS INT))) / 2, 6)"
+        ).alias("med_11"),
+    )

@@ -439,3 +439,20 @@ def test_recursive_chunker_single_shuffle(spark, sf_dir):
     # trailing map-side Python stage (no second exchange)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2  # partial+final agg
     assert "MapInPandas" in plan or "PythonMapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_bigram_logprob_broadcasts_lm(spark, sf_dir):
+    plan = plan_of(QUERIES["text_bigram_logprob"](spark, sf_dir))
+    # the bigram LM (vocabulary^2-bounded) broadcasts onto the scoring
+    # stream; the corpus is never shuffled by bigram for scoring
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_batch_filters_tokens_and_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["rag_bm25_batch_queries"](spark, sf_dir))
+    # only query-term tokens survive into the shuffle, and the query
+    # table / df / stats all ride broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "tok" in plan

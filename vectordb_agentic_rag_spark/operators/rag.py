@@ -372,3 +372,110 @@ def plan_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("query_text"),
         plan.alias("plan_type"),
     )
+
+
+# Batch retrieval: N queries against the corpus in ONE pass — the shape
+# a production retrieval backfill runs (per-query scans would re-read
+# the corpus N times). Fixed deterministic query set over the fixture
+# vocabulary.
+_BATCH_QUERIES = [
+    (0, "spark"), (0, "join"),
+    (1, "vector"), (1, "scan"),
+    (2, "merge"), (2, "batch"), (2, "fast"),
+    (3, "window"), (3, "sort"),
+]
+_BATCH_TERMS = sorted({t for _, t in _BATCH_QUERIES})
+_QT_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BATCH_QUERIES)
+_TERM_LIST = ", ".join(f"'{t}'" for t in _BATCH_TERMS)
+
+
+@query(
+    "rag_bm25_batch_queries",
+    oracle=f"""
+    WITH qt(query_id, term) AS (VALUES {_QT_VALUES}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM toks),
+    ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM toks),
+    tf AS (
+      SELECT doc_id, tok, max(dl) AS dl, count(*) AS tf
+      FROM ex WHERE tok IN ({_TERM_LIST}) GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    sc AS (
+      SELECT q.query_id, t.doc_id,
+             sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * ({_BM25_K1} + 1))
+                 / (t.tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl))) AS score
+      FROM tf t
+      JOIN qt q ON t.tok = q.term
+      JOIN df d ON t.tok = d.tok
+      CROSS JOIN stats s
+      GROUP BY q.query_id, t.doc_id)
+    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+           round(score, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(score, 6) DESC, doc_id)
+                    AS rn
+          FROM sc) t
+    WHERE rn <= 5
+    """,
+)
+def rag_bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 for a BATCH of queries in one corpus pass — the retrieval
+    backfill/evaluation shape (rag_bm25_topk generates per-term score
+    expressions for ONE query; that approach re-scans the corpus per
+    query and can't take query sets as data). Relational plan:
+
+    1. tokenize once; the exploded token stream is FILTERED to the
+       union of query terms (predicate on the stream — only matching
+       tokens shuffle) and reduced to a (doc_id, term, tf) inverted
+       slice carrying dl alongside (no second corpus join for doc
+       length);
+    2. per-term document frequencies and the (n_docs, avgdl) stats
+       row derive from that slice / one tiny aggregate — both
+       broadcast;
+    3. the (query_id, term) table — data, not codegen — broadcast-joins
+       the slice, each row scores in codegen, and a per-(query, doc)
+       sum + per-query window top-5 finishes. At 100 TB the only big
+       shuffle is the matching-token reduction, proportional to hits,
+       not corpus x queries. Ranking compares round(score, 6) (ties by
+       doc_id) so the frontier is engine-independent."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("tk")).alias("avgdl")
+    )
+    ex = toks.select(
+        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("tok")
+    ).where(F.col("tok").isin(_BATCH_TERMS))
+    tf = ex.groupBy("doc_id", "tok").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    qt = spark.createDataFrame(_BATCH_QUERIES, "query_id int, term string")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    sc = (
+        tf.join(F.broadcast(qt), tf.tok == qt.term)
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("score_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score_raw", 6).desc(), "doc_id"
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "doc_id", F.round("score_raw", 6).alias("score"))
+    )

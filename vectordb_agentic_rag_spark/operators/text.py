@@ -1091,6 +1091,75 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(tk) - 1, 1)),
+               i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1)))
+               AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t),
+    lm2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    lm1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+      FROM lm2 GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             sum(ln(lm2.c2 / lm1.c1)) AS ll
+      FROM bg b
+      JOIN lm2 USING (bg)
+      JOIN lm1 ON split_part(b.bg, ' ', 1) = lm1.w1
+      GROUP BY b.doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-ll / n_bigrams, 6) AS nll_per_bigram
+    FROM scored
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the order-sensitive upgrade of
+    text_unigram_logprob (a doc of real words in scrambled order fools
+    a unigram filter; conditional P(w_i | w_{i-1}) = c(w1 w2)/c(w1 ·)
+    catches it). Per-document mean negative conditional log-likelihood
+    under the corpus's own bigram counts.
+
+    Same scalable two-aggregation shape as the unigram op: the bigram
+    LM is one groupBy over the bigram stream (vocabulary^2-bounded
+    result — broadcastable for real vocabularies; bucketed join beyond
+    that), the context counts c(w1 ·) roll up FROM the bigram table
+    (never a second corpus pass), and scoring re-streams bigrams once
+    against the broadcast LM. ln(c2/c1) uses the same
+    divide-then-ln shape on both engines; round(6) after the sum."""
+    d = table(spark, sf_dir, "documents")
+    bigram_arr = F.expr(
+        "transform(sequence(1, greatest(size(tk) - 1, 1)), "
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
+    )
+    bg = d.select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).select("doc_id", F.explode(bigram_arr).alias("bg"))
+    lm2 = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    lm1 = lm2.groupBy(
+        F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    lm = lm2.join(
+        lm1, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1")
+    ).select("bg", "c2", "c1")
+    scored = (
+        bg.join(F.broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.log(F.col("c2") / F.col("c1"))).alias("ll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(-F.col("ll") / F.col("n_bigrams"), 6).alias("nll_per_bigram"),
+    )
+
+
+@query(
     "text_cdc_chunking",
     oracle="""
     WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),

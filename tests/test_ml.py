@@ -122,3 +122,17 @@ def test_pq_ann_recall(spark, sf_dir, exact_top3):
     # 8 subspaces x 16 centroids on 64-dim unit vectors: ADC ranking
     # recovers most of the exact-cosine top-3
     assert _recall(rows, exact_top3) >= 0.5
+
+
+def test_ivfpq_ann_recall(spark, sf_dir, exact_top3):
+    from vectordb_agentic_rag_spark.operators.ml import vec_ivfpq_ann
+
+    rows = vec_ivfpq_ann(spark, sf_dir).collect()
+    # probing 6 of 16 lists on top of ADC ranking loses a little recall
+    # vs full-scan PQ; the floor documents the tradeoff
+    assert _recall(rows, exact_top3) >= 0.4
+    # every query must still return a full top-3
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert all(n == 3 for n in per_q.values()) and len(per_q) == 10

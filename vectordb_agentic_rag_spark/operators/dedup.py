@@ -710,10 +710,9 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
-    WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+# reach = the recursive transitive-closure fixpoint both the CC op and
+# the purge pipeline oracle share
+_DUCK_CC_CTES = f"""sh AS ({_DUCK_SHINGLES}),
     pairs AS ({_DUCK_NGRAM_PAIRS}),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -722,7 +721,13 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(node, anc) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
-      SELECT r.node, e.b FROM reach r JOIN edges e ON r.anc = e.a)
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.anc = e.a)"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CC_CTES}
     SELECT node AS doc_id, min(anc) AS cluster_id
     FROM reach GROUP BY node
     """,
@@ -851,5 +856,49 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+@query(
+    "pipeline_near_dup_purge",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CC_CTES},
+    labels AS (
+      SELECT node AS doc_id, min(anc) AS cluster_id
+      FROM reach GROUP BY node)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN l.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN l.cluster_id = d.doc_id THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept
+    FROM documents d JOIN labels l USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def pipeline_near_dup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME as one pipeline: near-dup pairs -> connected
+    components -> keep exactly one representative per cluster (the
+    cluster min, i.e. doc_id == cluster_id) -> per-language retention
+    report. This is the operator a pretraining pipeline actually
+    schedules — pairs and clusters are intermediates; the deliverable
+    is the purged corpus and its retention accounting (what fraction
+    of docs/chars survived, per language, for the dataset card).
+
+    Composes dedup_connected_components (subgraph label loop, no
+    broadcast, no driver collect) with one corpus join + aggregate;
+    keep-the-min is deterministic so the purged corpus is reproducible
+    run-to-run — a requirement for dataset versioning at 100 TB."""
+    labels = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    kept = (F.col("cluster_id") == F.col("doc_id")).cast("bigint")
+    return (
+        d.join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(kept * F.col("n_chars")).alias("chars_kept"),
         )
     )

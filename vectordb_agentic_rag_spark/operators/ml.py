@@ -13,8 +13,11 @@ for ANN (app.py:271). Batch Spark replaces them with:
                         the 100 TB ANN path (bucket equi-join, not a
                         cross product); recall vs exact is pinned in
                         tests/test_ml.py;
-- vec_ivf_ann         : IVF-style KMeans partitioning + probe-2
+- vec_ivf_ann         : IVF-style KMeans partitioning + probed
                         centroids — the other standard batch-ANN shape;
+- vec_ivfpq_ann       : IVF lists + PQ codes combined (IndexIVFPQ) —
+                        the serving config that bounds both which rows
+                        are scored and what each row costs;
 - vec_mmr_rerank      : exact port of the reference's MMR
                         (fetch_k=20, k=5, lambda=0.5, app.py:264-266)
                         as an applyInPandas over the tiny candidate set.
@@ -499,6 +502,107 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_score, "query_id bigint, neighbor_id bigint, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@query("vec_ivfpq_ann")  # rows-only: trained centroids/codebooks aren't SQL
+def vec_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ combined — the FAISS IndexIVFPQ shape and the actual
+    100 TB serving config: the coarse quantizer (16 lists, probe 6)
+    bounds WHICH rows each query scores, and the 8-byte PQ codes bound
+    WHAT each scored row costs (32x memory). vec_ivf_ann pays full
+    float vectors per candidate; vec_pq_ann ADC-scans the whole
+    corpus; this op does neither — candidates are the probed lists
+    only, scored via the 8x256 lookup table, with the exact re-rank
+    touching just the per-batch shortlist (IndexRefineFlat pattern).
+
+    Training reuses the shared deterministic sample and both cached
+    models (_IVF_CENTS_CACHE / _PQ_BOOKS_CACHE — raw-space PQ;
+    residual-space PQ is the classical refinement and would train on
+    sample minus its centroid). One corpus pass; the only shuffle is
+    the tiny per-query top-3 merge. Recall floor pinned in
+    tests/test_ml.py."""
+    import numpy as np
+    import pandas as pd
+
+    M, K, D = 8, 256, 64
+    SUB = D // M
+    q, corpus = _queries_and_corpus(spark, sf_dir)
+    if sf_dir not in _IVF_CENTS_CACHE:
+        sample = _corpus_sample(corpus, sf_dir)
+        _IVF_CENTS_CACHE[sf_dir] = _lloyd_multispace(
+            sample[:, None, :], K=16, iters=8, seed=42
+        )[0]
+    cents = _IVF_CENTS_CACHE[sf_dir]
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        sample = _corpus_sample(corpus, sf_dir).copy()
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        _PQ_BOOKS_CACHE[sf_dir] = _lloyd_multispace(
+            sample.reshape(len(sample), M, SUB), K=K, iters=8, seed=42
+        )
+    books = _PQ_BOOKS_CACHE[sf_dir]
+
+    q_rows = sorted(q.collect(), key=lambda r: int(r["query_id"]))
+    qraw = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qmat = qraw / np.linalg.norm(qraw, axis=1, keepdims=True)
+    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    # per-query probe set over the coarse lists (cosine, 6 of 16)
+    qsim = (qraw @ cents.T) / (
+        np.linalg.norm(qraw, axis=1)[:, None]
+        * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    probes = np.argsort(-qsim, axis=1)[:, :6]
+    luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), M, SUB), books)
+    bc = spark.sparkContext.broadcast((cents, books, luts, probes, qids, qmat))
+
+    def search(batches):
+        cents_, books_, luts_, probes_, qids_, qmat_ = bc.value
+        chalf = (cents_ * cents_).sum(axis=1) / 2.0
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xu = x / np.linalg.norm(x, axis=1, keepdims=True)
+            list_id = (x @ cents_.T - chalf).argmax(axis=1)
+            xs = xu.reshape(len(x), M, SUB)
+            codes = np.empty((len(x), M), dtype=np.int64)
+            for m in range(M):
+                half = (books_[m] * books_[m]).sum(axis=1) / 2.0
+                codes[:, m] = (xs[:, m, :] @ books_[m].T - half).argmax(axis=1)
+            nid = pdf["vec_id"].to_numpy()
+            dfs = []
+            for qi, qid in enumerate(qids_):
+                mask = np.isin(list_id, probes_[qi])
+                if not mask.any():
+                    continue
+                cand = np.flatnonzero(mask)
+                adc = luts_[qi, np.arange(M)[None, :], codes[cand]].sum(axis=1)
+                short = cand[np.lexsort((nid[cand], -adc))[:20]]
+                exact = xu[short] @ qmat_[qi]
+                keep = np.lexsort((nid[short], -exact))[:3]
+                top = short[keep]
+                dfs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nid[top],
+                            "sim_raw": exact[keep],
+                        }
+                    )
+                )
+            if dfs:
+                yield pd.concat(dfs, ignore_index=True)
+
+    from pyspark.sql import Window
+
+    partial = corpus.select("vec_id", "embedding").mapInPandas(
+        search, "query_id bigint, neighbor_id bigint, sim_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), "neighbor_id"
+    )
     return (
         partial.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)

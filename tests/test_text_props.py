@@ -488,3 +488,57 @@ def test_jaccard_verify_ship_modes_agree(spark):
         (1, 4, 0.75),
         (2, 4, 0.75),
     ]
+
+
+def test_jaccard_verify_containment_metric(spark):
+    """The containment denominator is |A| (asymmetric): a set fully
+    inside a much larger one must score 1.0 even though its Jaccard
+    is small."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _verify_pairs_jaccard,
+    )
+
+    codes = spark.createDataFrame(
+        [
+            (1, [1, 2]),                       # fully inside doc 2
+            (2, [1, 2, 3, 4, 5, 6, 7, 8]),
+            (3, [9, 10]),                      # disjoint from doc 2
+        ],
+        "doc_id bigint, cs array<bigint>",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 2)], "doc_a bigint, doc_b bigint"
+    )
+    rows = _verify_pairs_jaccard(
+        spark, codes, cand, threshold=0.5, tag="pytest_cont",
+        metric="containment",
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r.jac for r in rows}
+    # jaccard of (1,2) would be 2/8 = 0.25 — below threshold;
+    # containment is 2/2 = 1.0 and must survive
+    assert got == {(1, 2): 1.0}
+
+
+def test_near_dup_purge_keeps_one_per_cluster(spark, sf_dir):
+    """Every cluster keeps exactly its minimum doc_id, so per-language
+    kept-counts equal the distinct cluster count."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        dedup_connected_components,
+        pipeline_near_dup_purge,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    labels = dedup_connected_components(spark, sf_dir).collect()
+    clusters = {}
+    for r in labels:
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    # the representative is the cluster minimum
+    assert all(min(v) == k for k, v in clusters.items())
+    purge = {r.lang: r for r in pipeline_near_dup_purge(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    lang_of = {r.doc_id: r.lang for r in docs}
+    kept_by_lang = {}
+    for k in clusters:
+        kept_by_lang[lang_of[k]] = kept_by_lang.get(lang_of[k], 0) + 1
+    assert {lg: r.n_kept for lg, r in purge.items()} == kept_by_lang
+    assert sum(r.n_docs for r in purge.values()) == len(docs)

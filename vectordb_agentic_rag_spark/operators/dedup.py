@@ -922,3 +922,96 @@ def pipeline_near_dup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept * F.col("n_chars")).alias("chars_kept"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain. A recursive CTE
+    cannot reference itself twice (once for ranks, once inside the
+    incoming-mass aggregate), so each power iteration becomes its own
+    CTE — legal, explicit, and bit-aligned with the DataFrame loop."""
+    ctes = [
+        f"""nodes AS (SELECT DISTINCT doc_a AS doc_id FROM sym),
+    deg AS (SELECT doc_a AS doc_id, count(*) AS outdeg FROM sym GROUP BY doc_a),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT doc_id, round(1.0 / (SELECT n FROM nn), 9) AS r FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+      SELECT nd.doc_id,
+             round(0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(
+               (SELECT sum(p.r / d.outdeg)
+                FROM sym e JOIN pr{i - 1} p ON p.doc_id = e.doc_a
+                           JOIN deg d ON d.doc_id = e.doc_a
+                WHERE e.doc_b = nd.doc_id), 0), 9) AS r
+      FROM nodes nd)"""
+        )
+    return ",\n    ".join(ctes), f"pr{iters}"
+
+
+_PR_CTES, _PR_FINAL = _pagerank_oracle()
+
+
+@query(
+    "graph_pagerank_neardup",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    pairs AS ({_DUCK_NGRAM_PAIRS}),
+    sym AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    {_PR_CTES}
+    SELECT doc_id, round(r, 6) AS rank
+    FROM {_PR_FINAL}
+    """,
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph (10 damped power iterations,
+    d=0.85) — duplicate CENTRALITY: when a purge must pick canonical
+    documents, rank identifies the hub a cluster's copies orbit
+    (cluster-min is deterministic but arbitrary; rank is
+    evidence-weighted). Runs on the edge-induced subgraph only, like
+    dedup_connected_components, reading the same materialized pairs
+    table.
+
+    Scale/parity shape: the whole computation is ONE lazy plan — a
+    fixed 10-iteration unroll of (join contributions on the edge list,
+    sum incoming mass, damp) with NO driver actions or checkpoints (no
+    convergence test, so no per-round job; plan depth is a constant
+    30-ish operators Catalyst handles easily). Each iteration
+    quantizes to 9 decimals ON BOTH ENGINES, so sub-ulp float drift in
+    the unordered incoming-mass sums cannot compound across
+    iterations; the oracle unrolls the same iterations as chained
+    CTEs (a recursive CTE can't self-reference twice)."""
+    edges, _ = _ngram_edges_materialized(spark, sf_dir)
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    deg = edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "doc_id", F.round(1.0 / F.col("n"), 9).alias("r")
+    )
+    for _ in range(10):
+        contrib = (
+            edges.join(
+                pr.select(F.col("doc_id").alias("doc_a"), "r"), "doc_a"
+            )
+            .join(deg.select(F.col("doc_id").alias("doc_a"), "outdeg"), "doc_a")
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("in_mass"))
+        )
+        pr = (
+            nodes.join(contrib, "doc_id", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "doc_id",
+                F.round(
+                    0.15 / F.col("n")
+                    + 0.85 * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                    9,
+                ).alias("r"),
+            )
+        )
+    return pr.select("doc_id", F.round("r", 6).alias("rank"))

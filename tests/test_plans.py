@@ -456,3 +456,13 @@ def test_bm25_batch_filters_tokens_and_broadcasts(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "tok" in plan
+
+
+def test_pagerank_single_lazy_plan_no_cartesian(spark, sf_dir):
+    df = QUERIES["graph_pagerank_neardup"](spark, sf_dir)
+    plan = plan_of(df)
+    # ten unrolled iterations stay ONE lazy plan: joins on real keys
+    # (doc_a / doc_id), scalar count broadcast, no cartesian blowup
+    assert "CartesianProduct" not in plan
+    # the damped-update round-trip appears once per iteration
+    assert plan.count("round(") >= 10

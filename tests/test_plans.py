@@ -466,3 +466,11 @@ def test_pagerank_single_lazy_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the damped-update round-trip appears once per iteration
     assert plan.count("round(") >= 10
+
+
+def test_ohlc_windows_and_groupby_share_one_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_ohlc_resample"](spark, sf_dir))
+    # both direction windows and the final aggregate ride the SAME
+    # (event_type, bucket) hash partitioning — one exchange, one sort
+    # family, no re-shuffle for the groupBy
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

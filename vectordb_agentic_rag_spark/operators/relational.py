@@ -423,6 +423,80 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_ohlc_resample",
+    oracle="""
+    SELECT event_type, make_timestamp(bucket_us) AS bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT event_type, value,
+             epoch_us(ts) // 900000000 * 900000000 AS bucket_us,
+             row_number() OVER (PARTITION BY event_type,
+                                epoch_us(ts) // 900000000
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type,
+                                epoch_us(ts) // 900000000
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events) t
+    GROUP BY event_type, bucket_us
+    """,
+)
+def agg_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to 15-minute OHLC bars per event type
+    (open/high/low/close/volume — the resample shape every metrics or
+    market pipeline runs). First/last are defined by explicit
+    row_number over (ts, event_id) — never first()/min_by on a
+    possibly-tied timestamp, which is nondeterministic on both engines.
+    Values pass through untouched (no float arithmetic), so no rounding
+    is needed for parity; the bucket is exact integer-microsecond
+    truncation. One hash-partition shuffle: the windows and the final
+    groupBy share the same (event_type, bucket) partitioning, so
+    Catalyst plans a single exchange."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    bucket_us = F.expr("unix_micros(ts) div 900000000") * F.lit(900000000)
+    b = ev.withColumn("bucket_us", bucket_us)
+    w_asc = Window.partitionBy("event_type", "bucket_us").orderBy(
+        "ts", "event_id"
+    )
+    w_desc = Window.partitionBy("event_type", "bucket_us").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = b.select(
+        "event_type",
+        "bucket_us",
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return (
+        flagged.groupBy("event_type", "bucket_us")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.timestamp_micros("bucket_us").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 # ------------------------------------------------------- aggregations
 
 

@@ -249,3 +249,38 @@ def scalar_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_class"),
         F.coalesce(F.col("c_name").try_cast("double"), F.lit(-1.0)).alias("name_as_num"),
     )
+
+
+@query(
+    "scalar_bitwise_suite",
+    oracle="""
+    SELECT event_id,
+           event_id & user_id AS x_and,
+           event_id | user_id AS x_or,
+           xor(event_id, user_id) AS x_xor,
+           CAST(bit_count(event_id) AS INTEGER) AS popcnt,
+           (event_id % 1000) << 3 AS shl3,
+           event_id >> 2 AS shr2,
+           (event_id >> 5) & 1 AS bit5
+    FROM events WHERE event_id < 500
+    """,
+)
+def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions (and/or/xor, popcount, shifts, bit
+    probe) — the primitives behind bitmap aggregates, SimHash, sign-bit
+    packing, and Bloom/bucket addressing elsewhere in the engine,
+    declared as an oracle-checked suite. All exact int64 arithmetic on
+    non-negative inputs, so parity is bit-for-bit by construction;
+    bit_get-style probes are spelled (x >> n) & 1 because that form is
+    identical on every engine."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.expr("event_id & user_id").alias("x_and"),
+        F.expr("event_id | user_id").alias("x_or"),
+        F.expr("event_id ^ user_id").alias("x_xor"),
+        F.bit_count("event_id").alias("popcnt"),
+        F.shiftleft(F.col("event_id") % 1000, 3).alias("shl3"),
+        F.shiftright("event_id", 2).alias("shr2"),
+        F.expr("(event_id >> 5) & 1").alias("bit5"),
+    )

@@ -1290,3 +1290,101 @@ def pipeline_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("h").cast("double") / F.count("*"), 6
         ).alias("distinct_ratio"),
     )
+
+
+@query(
+    "text_entropy_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT d.lang, t.tok FROM documents d,
+             unnest(string_split(d.text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    counts AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+    totals AS (SELECT lang, sum(n) AS total FROM counts GROUP BY lang)
+    SELECT c.lang,
+           CAST(t.total AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((c.n / t.total) * ln(c.n / t.total)), 6) AS entropy_nats
+    FROM counts c JOIN totals t USING (lang)
+    GROUP BY c.lang, t.total
+    """,
+)
+def text_entropy_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per language — the
+    corpus-diversity number on every dataset card (low entropy =
+    repetitive/boilerplate slice; compare against log(vocab) for
+    uniformity). Two hash aggregations: per-(lang, token) counts (the
+    only token-stream shuffle, vocabulary-bounded output), then the
+    per-language entropy reduce. p*ln(p) uses the same
+    divide-then-ln shape on both engines; round(6) after the sum
+    (same parity discipline as text_unigram_logprob)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("lang").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(F.broadcast(totals), "lang")
+        .groupBy("lang", "total")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            "lang",
+            F.col("total").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "entropy_nats",
+        )
+    )
+
+
+@query(
+    "pipeline_shard_assign",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                                doc_id) AS rn
+      FROM documents)
+    SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM sized GROUP BY 1
+    """,
+)
+def pipeline_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: order documents by token
+    count descending and deal them round-robin into 8 shards (the
+    sorted-greedy heuristic — each shard's total stays within one
+    max-document of optimal, which is all a data loader needs).
+    Deterministic: ties broken on doc_id, so shard membership is
+    reproducible run-to-run — a dataset-versioning requirement.
+
+    The global sort is rank-only (row_number over a size key), which
+    plans as one range exchange of (doc_id, n_tokens) pairs — the
+    document BODIES never ride the sort; the subsequent shard write
+    (not materialized here) shuffles each doc once by shard_id. Output
+    is the per-shard accounting a training job validates before
+    reading."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    )
+    return (
+        sized.withColumn("shard_id", ((rn - 1) % 8).cast("int"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+        )
+    )

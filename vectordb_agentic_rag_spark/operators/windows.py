@@ -453,3 +453,64 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "+ element_at(ls, CAST(size(ls) div 2 + 1 AS INT))) / 2, 6)"
         ).alias("med_11"),
     )
+
+
+@query(
+    "win_zscore_outlier",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN n >= 5 AND var_v > 0
+                THEN round((value - mean_v) / sqrt(var_v), 6) END AS z,
+           CASE WHEN n >= 5 AND var_v > 0
+                THEN abs((value - mean_v) / sqrt(var_v)) > 3 END AS is_outlier
+    FROM (
+      SELECT event_id, user_id, ts, value,
+             count(*) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / count(*) OVER w AS mean_v,
+             (CAST(sum(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+              - CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                * CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                / count(*) OVER w)
+             / (count(*) OVER w - 1) AS var_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) t
+    """,
+)
+def win_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag per user: each event scored against
+    the mean/variance of its own TRAILING 20 events (frame excludes
+    the current row, so a spike can't dilute its own baseline) —
+    the streaming-monitoring primitive behind alerting and data-drift
+    checks, batch-shaped. Fewer than 5 prior points or zero variance
+    -> null (no verdict), never a fake z.
+
+    Parity discipline: the frame's sum and sum-of-squares accumulate
+    in DECIMAL (exact, order-independent — engine-internal float
+    stddev folds differ), variance is the textbook
+    (sumsq - sum^2/n)/(n-1) evaluated in the SAME double shape on both
+    engines, and round(6) lands after the division. One
+    hash-partition shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    n = F.count("*").over(w)
+    s = F.sum(dec).over(w).cast("double")
+    sq = F.sum(dec * dec).over(w).cast("double")
+    mean_v = s / n
+    var_v = (sq - s * s / n) / (n - 1)
+    z_raw = (F.col("value") - mean_v) / F.sqrt(var_v)
+    ok = (n >= 5) & (var_v > 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.round(z_raw, 6)).alias("z"),
+        F.when(ok, F.abs(z_raw) > 3).alias("is_outlier"),
+    )

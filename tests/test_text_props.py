@@ -542,3 +542,43 @@ def test_near_dup_purge_keeps_one_per_cluster(spark, sf_dir):
         kept_by_lang[lang_of[k]] = kept_by_lang.get(lang_of[k], 0) + 1
     assert {lg: r.n_kept for lg, r in purge.items()} == kept_by_lang
     assert sum(r.n_docs for r in purge.values()) == len(docs)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                 max_size=12).map(lambda xs: sorted(set(xs))),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_verify_kernel_matches_python_sets(spark, code_sets):
+    """The numpy keyed-intersect kernel must agree with plain Python
+    set arithmetic on arbitrary small inputs, both metrics, both
+    thresholds at 0 (emit everything) — catching any off-by-one in the
+    pair-index packing or offsets handling."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _verify_pairs_jaccard,
+    )
+
+    codes = spark.createDataFrame(
+        [(i + 1, [int(x) for x in cs]) for i, cs in enumerate(code_sets)],
+        "doc_id bigint, cs array<bigint>",
+    )
+    n = len(code_sets)
+    cand = spark.createDataFrame(
+        [(a + 1, b + 1) for a in range(n) for b in range(a + 1, n)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jac
+        for r in _verify_pairs_jaccard(
+            spark, codes, cand, threshold=0.0, tag="pytest_prop"
+        ).collect()
+    }
+    for a in range(n):
+        for b in range(a + 1, n):
+            sa, sb = set(code_sets[a]), set(code_sets[b])
+            expect = round(len(sa & sb) / len(sa | sb), 6)
+            assert got[(a + 1, b + 1)] == expect, (a + 1, b + 1)

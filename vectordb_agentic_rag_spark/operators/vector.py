@@ -32,6 +32,7 @@ from ..functions.vector import (
     dot,
     dot_fixed,
     norm,
+    norm_fixed,
     seq_norm,
 )
 from ..registry import query
@@ -610,21 +611,32 @@ def vec_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     but also no shuffle: each corpus partition emits its own matches
     independently at any scale."""
     emb = table(spark, sf_dir, "embeddings")
+    d = len(_query_vector_raw(sf_dir, 0))
+    # Norms are per-ROW quantities: compute each side's norm BEFORE the
+    # crossJoin so the post-join expression is only the d-term dot,
+    # evaluated ONCE (alias + filter-on-alias). The earlier shape
+    # inlined the full unrolled cosine twice (predicate + projection),
+    # which blew janino's 64 KB method limit -> interpreted fallback
+    # (~1.4 s at sf0.1 vs ~0.3 s codegen'd). Same double arithmetic as
+    # the oracle: sqrt of the identical sequential-fold norm2, so
+    # round(.,6) parity is unchanged. Helpers take column NAMES so the
+    # whole chain renders as one F.expr (CLAUDE.md round-2 note).
     q = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    sim = cosine_fixed(
-        F.col("embedding"), F.col("qv"), len(_query_vector_raw(sf_dir, 0))
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_fixed("embedding", d).alias("q_norm"),
     )
     return (
         emb.where(F.col("vec_id") >= 5)
+        .select("vec_id", "embedding", norm_fixed("embedding", d).alias("e_norm"))
         .crossJoin(F.broadcast(q))
-        .where(sim >= 0.35)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(sim, 6).alias("sim"),
+            (dot_fixed("embedding", "qv", d) / (F.col("e_norm") * F.col("q_norm"))).alias("sim_raw"),
         )
+        .where(F.col("sim_raw") >= 0.35)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
 
 

@@ -424,13 +424,20 @@ def test_rolling_median_one_window_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
 
 
-def test_containment_block_join_is_not_cartesian(spark, sf_dir):
-    plan = plan_of(QUERIES["dedup_containment_ngram"](spark, sf_dir))
-    # candidates come from an equi-join on the lang block with the
-    # (n_chars, doc_id) direction rule as residual — a real join key,
-    # never a cartesian product over the corpus
-    assert "CartesianProduct" not in plan
-    assert "lang" in plan
+def test_shingle_dedup_candidates_join_on_shingle_code(spark, sf_dir):
+    # the prefix-filter candidate stage: the candidate join must be
+    # keyed on the exploded shingle code `s` (inverted index), with the
+    # block predicate folded in — never an all-pairs join whose only
+    # keys are the (lang[, len_bucket]) block columns, which is
+    # block-quadratic at scale
+    for name in ("dedup_containment_ngram", "dedup_ngram_jaccard"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert re.search(r"Right keys \[\d+\]: \[s_b#", plan), name
+        # rarity ranking present: one document-frequency aggregate and
+        # one per-doc window feed the prefix
+        assert "row_number" in plan, name
+        assert "count(1)" in plan, name
 
 
 def test_recursive_chunker_single_shuffle(spark, sf_dir):

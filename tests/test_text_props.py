@@ -582,3 +582,65 @@ def test_verify_kernel_matches_python_sets(spark, code_sets):
             sa, sb = set(code_sets[a]), set(code_sets[b])
             expect = round(len(sa & sb) / len(sa | sb), 6)
             assert got[(a + 1, b + 1)] == expect, (a + 1, b + 1)
+
+
+def test_prefix_filter_candidates_perfect_recall(spark):
+    """Prefix-filter recall guarantee (the theorem behind
+    _prefix_filter_candidates): EVERY pair whose Jaccard (or
+    containment) clears the threshold within its block must appear in
+    the candidate output — missed candidates silently drop qualifying
+    duplicate pairs, the one failure mode the verify stage cannot
+    catch. Adversarial synthetic corpus: planted near-identical pairs,
+    shared boilerplate shingles (frequent codes), tiny and large sets,
+    one-language blocks."""
+    import random
+
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _prefix_filter_candidates,
+    )
+
+    rng = random.Random(42)
+    docs = []  # (doc_id, lang, len_bucket, cs)
+    common = list(range(100, 110))  # boilerplate shingles, high df
+    for i in range(60):
+        base = rng.sample(range(1000, 9999), rng.randint(3, 40))
+        cs = sorted(set(base) | set(rng.sample(common, 3)))
+        docs.append((i, "en" if i % 2 else "de", i % 3, cs))
+        if i % 7 == 0:  # planted near-dup: same block, one element off
+            dup = sorted(set(cs) | {9999 + i})
+            docs.append((1000 + i, "en" if i % 2 else "de", i % 3, dup))
+    sh = spark.createDataFrame(
+        docs, "doc_id bigint, lang string, len_bucket int, cs array<bigint>"
+    )
+    by_id = {d: (lg, lb, set(cs)) for d, lg, lb, cs in docs}
+    ids = sorted(by_id)
+
+    for threshold, containment in [(0.2, False), (0.5, False), (0.9, True)]:
+        if containment:
+            meta = spark.createDataFrame(
+                [(d, len(by_id[d][2])) for d in ids], "doc_id bigint, n_chars int"
+            )
+            cand = _prefix_filter_candidates(sh, threshold, meta=meta)
+        else:
+            cand = _prefix_filter_candidates(sh, threshold)
+        got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                (lga, lba, sa), (lgb, lbb, sb) = by_id[a], by_id[b]
+                if lga != lgb:
+                    continue
+                inter = len(sa & sb)
+                if containment:
+                    # direction: shorter (n_chars=|set|) into longer
+                    x, y, sx = (
+                        (a, b, sa)
+                        if (len(sa), a) < (len(sb), b)
+                        else (b, a, sb)
+                    )
+                    if inter / len(sx) >= threshold:
+                        assert (x, y) in got, (x, y, threshold)
+                else:
+                    if lba != lbb:
+                        continue
+                    if inter / len(sa | sb) >= threshold:
+                        assert (a, b) in got, (a, b, threshold)

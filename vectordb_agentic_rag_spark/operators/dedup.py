@@ -21,7 +21,7 @@ so it stays oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -501,7 +501,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_SHINGLES = f"""
       SELECT doc_id, lang, len_bucket,
              list_distinct(list_transform(
-               generate_series(1, greatest(len(tc) - 2, 1)),
+               generate_series(1, len(tc) - 2),
                i -> ((list_extract(tc, i) * 131 + list_extract(tc, i + 1))
                      % {P_HASH} * 131 + list_extract(tc, i + 2)) % {P_HASH})) AS g
       FROM (
@@ -511,7 +511,8 @@ _DUCK_SHINGLES = f"""
                           list_transform(string_split(tok, ''),
                                          c -> CAST(ascii(c) AS BIGINT))),
                         (h, c) -> (h * 31 + c) % {P_CODE})) AS tc
-        FROM documents) z"""
+        FROM documents) z
+      WHERE len(tc) >= 3"""
 
 _DUCK_NGRAM_PAIRS = """
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -527,24 +528,137 @@ def _ngram_code_sets(d: DataFrame) -> DataFrame:
     """(doc_id, lang, len_bucket, cs): distinct int64 3-gram shingle
     fingerprints per document — shared by dedup_ngram_jaccard,
     dedup_connected_components (via the former), and the SCALE.md
-    verify-stage audit."""
+    verify-stage audit.
+
+    Documents with < 3 tokens have no 3-gram and are filtered out on
+    BOTH engines (the oracle's `WHERE len(tc) >= 3` twin): without the
+    guard, element_at(w, i + 2) indexes past the array end for such
+    docs — a hard INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default,
+    this session never disables it)."""
     tc = (
         "transform(split(text, ' '), "
         "tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
         f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
     )
-    return d.select(
+    return (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 50).cast("int").alias("len_bucket"),
+            F.array_distinct(
+                F.expr(
+                    f"transform(array({tc}), "
+                    "w -> transform(sequence(1, size(w) - 2), "
+                    "i -> ((element_at(w, i) * 131 + element_at(w, i + 1)) "
+                    f"% {P_HASH} * 131 + element_at(w, i + 2)) % {P_HASH}))[0]"
+                )
+            ).alias("cs"),
+        )
+    )
+
+
+def _prefix_filter_candidates(
+    sh: DataFrame,
+    threshold: float,
+    meta: DataFrame | None = None,
+) -> DataFrame:
+    """Inverted rare-shingle (prefix-filter) candidate generator — the
+    sub-quadratic replacement for blocked all-pairs joins, per the
+    standard set-similarity-join prefix principle (Chaudhuri et al.
+    SSJoin / Bayardo et al. AllPairs; same stage Broder's shingling
+    pipeline calls the inverted index):
+
+    Order every document's distinct shingle set by GLOBAL rarity
+    (document frequency, ties by shingle code — one total order shared
+    by all docs). For Jaccard >= t, any qualifying pair's rarest common
+    shingle sits within the first  m - ceil(t*m) + 1  shingles of BOTH
+    docs (if A∩B avoided A's prefix, |A∩B| <= ceil(t*m_a) - 1 < t*m_a
+    <= t*|A∪B| — contradiction; symmetric for B, and the globally
+    minimal element of A∩B lands in both prefixes). So exploding ONLY
+    the prefixes and equi-joining on shingle code has perfect recall,
+    while rare-first ordering keeps per-shingle fan-out tiny. For
+    containment |A∩B|/|A| >= t (meta is not None) the probe side A uses
+    the same prefix bound but the indexed side B must stay FULL (B can
+    cover A with any of its shingles).
+
+    Scale shape: one groupBy(shingle) for document frequencies, one
+    equi-join to attach them, one window per doc_id for ranks, one
+    equi-join on shingle code for candidates, one distinct on pairs —
+    every stage is an equi-shuffle, linear in shingle volume plus
+    emitted candidates; no step is quadratic in block size. Frequent
+    shingles self-exclude from prefixes (rare-first), bounding join
+    skew; AQE's skew-join split covers the residue. Measured at sf0.1:
+    jaccard 314,594 blocked pairs -> 23,756 candidates; containment
+    3,199,197 -> 17,791 (tools/scale_experiment.py candidate audit).
+
+    Jaccard mode returns (doc_a, doc_b) with doc_a < doc_b and equal
+    (lang, len_bucket); containment mode returns shorter-A-into-longer-B
+    pairs within a lang, direction fixed by (n_chars, doc_id) using the
+    supplied meta (doc_id, n_chars)."""
+    ex = sh.select(
         "doc_id",
         "lang",
-        (F.col("n_chars") / 50).cast("int").alias("len_bucket"),
-        F.array_distinct(
-            F.expr(
-                f"transform(array({tc}), "
-                "w -> transform(sequence(1, greatest(size(w) - 2, 1)), "
-                "i -> ((element_at(w, i) * 131 + element_at(w, i + 1)) "
-                f"% {P_HASH} * 131 + element_at(w, i + 2)) % {P_HASH}))[0]"
+        "len_bucket",
+        F.size("cs").alias("m"),
+        F.explode("cs").alias("s"),
+    )
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = ex.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1
+    )
+    if meta is None:
+        a = prefix.select(
+            F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "s"
+        )
+        b = prefix.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("len_bucket").alias("len_bucket_b"),
+            F.col("s").alias("s_b"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col("s") == F.col("s_b"))
+                & (F.col("lang") == F.col("lang_b"))
+                & (F.col("len_bucket") == F.col("len_bucket_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
             )
-        ).alias("cs"),
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    probe = prefix.join(meta, "doc_id").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        "s",
+    )
+    index = ex.join(meta, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("s").alias("s_b"),
+    )
+    return (
+        probe.join(
+            index,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (
+                (F.col("nc_a") < F.col("nc_b"))
+                | (
+                    (F.col("nc_a") == F.col("nc_b"))
+                    & (F.col("doc_a") < F.col("doc_b"))
+                )
+            ),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
 
@@ -556,11 +670,16 @@ def _ngram_code_sets(d: DataFrame) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-3-gram (shingle) Jaccard near-dup pairs with blocking on
-    (lang, length-bucket): candidates are an equi-join within blocks —
-    the classic sorted-neighborhood trick that keeps the pair count
-    linear-ish at scale. Shingles are far more selective than token
-    sets, so the 0.2 threshold is a real near-dup signal on this
+    """Token-3-gram (shingle) Jaccard near-dup pairs. The SEMANTICS
+    (the oracle) are pairs within a (lang, length-bucket) block scoring
+    Jaccard >= 0.2; the Spark CANDIDATE stage is the inverted
+    rare-shingle prefix index (_prefix_filter_candidates) — perfect
+    recall by the prefix theorem, with the block predicate folded into
+    the candidate join and the threshold applied by the shared verify
+    kernel, so the output is identical pair-for-pair while the
+    candidate count drops 314,594 -> 23,756 at sf0.1 and stops being
+    block-quadratic at 100 TB. Shingles are far more selective than
+    token sets, so the 0.2 threshold is a real near-dup signal on this
     corpus.
 
     Two measured cost disciplines (23 s -> ~6 s -> ~2 s at sf0.1):
@@ -581,30 +700,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       construction. This is Broder-style shingle fingerprinting,
       standard at corpus scale.
 
-    The block join carries ONLY (doc_id, lang, len_bucket) — shingle
-    arrays never ride the candidate block-join shuffle (measured 3 s
-    of array copying at sf0.1 otherwise); they attach afterwards via
-    broadcast joins feeding the shared numpy batch kernel
-    (_verify_pairs_jaccard), which replaced both the JVM
-    array_intersect hash-set-per-row path and a driver-side
-    codes.collect() broadcast."""
+    The candidate join carries ONLY (doc_id, lang, len_bucket, s) —
+    shingle arrays never ride the candidate shuffle (measured 3 s of
+    array copying at sf0.1 otherwise); they attach afterwards via the
+    shared numpy batch kernel (_verify_pairs_jaccard), which replaced
+    both the JVM array_intersect hash-set-per-row path and a
+    driver-side codes.collect() broadcast."""
     d = table(spark, sf_dir, "documents")
     sh = _ngram_code_sets(d)
-    slim = d.select(
-        "doc_id", "lang", (F.col("n_chars") / 50).cast("int").alias("len_bucket")
-    )
-    a = slim.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket")
-    b = slim.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("len_bucket").alias("len_bucket_b"),
-    )
-    cand = a.join(
-        b,
-        (a.lang == b.lang_b)
-        & (a.len_bucket == b.len_bucket_b)
-        & (a.doc_a < b.doc_b),
-    ).select("doc_a", "doc_b")
+    cand = _prefix_filter_candidates(sh, threshold=0.2)
     return _verify_pairs_jaccard(
         spark,
         sh.select("doc_id", "cs"),
@@ -641,35 +745,23 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1). Pretraining pipelines run this AFTER near-dup removal to
     catch boilerplate embedding and quote-expansion duplicates.
 
-    Shape: the same blocked candidate join as dedup_ngram_jaccard
-    (lang blocks; one direction fixed by (n_chars, doc_id) ordering so
-    each unordered pair is tested shorter-into-longer exactly once)
-    feeding the shared no-collect verify kernel with the containment
-    denominator (|A| instead of |A∪B|). At 100 TB the candidate
-    generator upgrades to an inverted shingle index (explode + join on
-    rare shingles); the verify stage is unchanged — still row-linear
-    in candidates."""
+    Shape: the SEMANTICS (the oracle) stay the lang-blocked pair space
+    with one direction fixed by (n_chars, doc_id) ordering so each
+    unordered pair is tested shorter-into-longer exactly once; the
+    Spark candidate stage is the asymmetric inverted rare-shingle
+    index (_prefix_filter_candidates with meta): the shorter probe
+    side explodes only its  m - ceil(0.9*m) + 1  rarest shingles while
+    the indexed side stays full — perfect recall (if A∩B missed A's
+    prefix, |A∩B| < 0.9|A|), and the candidate count drops 3,199,197
+    -> 17,791 at sf0.1 (no longer quadratic within a language). The
+    shared no-collect verify kernel applies the containment
+    denominator (|A| instead of |A∪B|) — still row-linear in
+    candidates."""
     d = table(spark, sf_dir, "documents")
     sh = _ngram_code_sets(d)
-    slim = d.select("doc_id", "lang", "n_chars")
-    a = slim.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("nc_a"),
+    cand = _prefix_filter_candidates(
+        sh, threshold=0.9, meta=d.select("doc_id", "n_chars")
     )
-    b = slim.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("nc_b"),
-    )
-    cand = a.join(
-        b,
-        (F.col("lang_a") == F.col("lang_b"))
-        & (
-            (F.col("nc_a") < F.col("nc_b"))
-            | ((F.col("nc_a") == F.col("nc_b")) & (F.col("doc_a") < F.col("doc_b")))
-        ),
-    ).select("doc_a", "doc_b")
     return _verify_pairs_jaccard(
         spark,
         sh.select("doc_id", "cs"),

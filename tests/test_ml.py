@@ -136,3 +136,24 @@ def test_ivfpq_ann_recall(spark, sf_dir, exact_top3):
 
     per_q = Counter(r.query_id for r in rows)
     assert all(n == 3 for n in per_q.values()) and len(per_q) == 10
+
+
+def test_recall_guard_raises_on_broken_codebook(spark, sf_dir):
+    """The in-plan recall guard must FAIL the query when the model
+    collapses — a zeroed PQ codebook makes every code identical, the
+    ADC shortlist degenerates to first-20-by-id, and recall drops
+    under the floor: assert_true must raise instead of returning
+    plausible-looking rows (the failure mode rows-only driver checks
+    cannot see)."""
+    import numpy as np
+
+    from vectordb_agentic_rag_spark.operators import ml
+
+    ml.vec_pq_ann(spark, sf_dir).collect()  # ensure trained cache
+    good = ml._PQ_BOOKS_CACHE[sf_dir]
+    try:
+        ml._PQ_BOOKS_CACHE[sf_dir] = np.zeros_like(good)
+        with pytest.raises(Exception, match="recall collapse"):
+            ml.vec_pq_ann(spark, sf_dir).collect()
+    finally:
+        ml._PQ_BOOKS_CACHE[sf_dir] = good

@@ -183,6 +183,72 @@ def _lloyd_multispace(xs, K: int, iters: int, seed: int):
     return c
 
 
+def _with_recall_guard(
+    ann: DataFrame,
+    q: DataFrame,
+    corpus: DataFrame,
+    sf_dir: str,
+    floor: float,
+    k: int = 3,
+) -> DataFrame:
+    """Make an ANN op SELF-CHECKING to the driver: compute the exact
+    top-k per query IN-PLAN (broadcast query side, codegen'd unrolled
+    cosine, one window), left-join it onto the approximate result, and
+    emit `recall_at_k` (hits / output rows) with an
+    `assert_true(recall >= floor)` folded into a filter — the
+    heavy-hitters MG-guard trick (text.py): output rows are unchanged
+    when the floor holds, and a recall collapse (corrupted codebook,
+    broken bucketing) RAISES at execution instead of silently passing
+    the rows-only driver check. Floors are set from measured per-sf
+    recall minus a float-tie margin (tests/test_ml.py pins the exact
+    values per op).
+
+    Cost: one extra broadcast-join scan of the corpus. At production
+    scale this guard runs on a sampled query panel, not every query —
+    here the panel IS 10 queries, so it guards them all."""
+    from .vector import _query_vector_raw
+    from pyspark.sql import Window
+
+    d = len(_query_vector_raw(sf_dir, 0))
+    w_x = Window.partitionBy("query_id").orderBy(
+        F.col("xsim").desc(), "neighbor_id"
+    )
+    exact = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_fixed("embedding", "qv", d).alias("xsim"),
+        )
+        .withColumn("xrn", F.row_number().over(w_x))
+        .where(F.col("xrn") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("xhit"))
+    )
+    w_all = Window.partitionBy()
+    return (
+        ann.join(exact, ["query_id", "neighbor_id"], "left")
+        .withColumn(
+            "recall_at_k",
+            F.round(
+                F.sum(F.coalesce(F.col("xhit"), F.lit(0))).over(w_all)
+                / F.count("*").over(w_all),
+                4,
+            ),
+        )
+        .where(
+            F.assert_true(
+                F.col("recall_at_k") >= F.lit(floor),
+                F.format_string(
+                    f"ANN recall collapse: recall_at_k=%s < floor={floor}",
+                    F.col("recall_at_k"),
+                ),
+            ).isNull()
+        )
+        .drop("xhit")
+    )
+
+
 @query("vec_lsh_ann")  # rows-only: LSH bucketing isn't SQL-expressible
 def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via BucketedRandomProjectionLSH (seed pinned):
@@ -209,7 +275,8 @@ def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist", 6).alias("dist"),
     )
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-    return flat.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    top = flat.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return _with_recall_guard(top, q, corpus, sf_dir, floor=0.7)
 
 
 @query("vec_ivf_ann")  # rows-only: KMeans model isn't SQL-expressible
@@ -281,11 +348,12 @@ def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"query_id": key[0], "neighbor_id": nid[order], "sim_raw": sims[order]}
         )
 
-    return (
+    out = (
         cands.groupBy("query_id")
         .applyInPandas(topk, "query_id bigint, neighbor_id bigint, sim_raw double")
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
+    return _with_recall_guard(out, q, corpus, sf_dir, floor=0.55)
 
 
 def mmr_select(
@@ -502,11 +570,12 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_score, "query_id bigint, neighbor_id bigint, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
-    return (
+    out = (
         partial.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
+    return _with_recall_guard(out, q, corpus, sf_dir, floor=0.6)
 
 
 @query("vec_ivfpq_ann")  # rows-only: trained centroids/codebooks aren't SQL
@@ -603,8 +672,9 @@ def vec_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_raw").desc(), "neighbor_id"
     )
-    return (
+    out = (
         partial.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
+    return _with_recall_guard(out, q, corpus, sf_dir, floor=0.5)

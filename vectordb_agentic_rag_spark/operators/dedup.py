@@ -907,7 +907,10 @@ _NGRAM_EDGES_CACHE: dict = {}
 
 
 def _ngram_edges_materialized(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, NOT id(spark): CPython recycles id() after
+    # a session is garbage-collected, which could hand a new session a
+    # checkpointed DataFrame bound to a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NGRAM_EDGES_CACHE:
         pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
         edges = pairs.unionByName(

@@ -284,7 +284,7 @@ def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN, the FAISS batch shape end to end: the coarse
     quantizer (KMeans k=16, seed 42) trains driver-side in numpy on a
     BOUNDED sample (4096 vectors — FAISS trains on ~256/list), the
-    centroids broadcast, list assignment is ONE mapInPandas GEMM pass
+    centroids broadcast, list assignment is ONE mapInArrow GEMM pass
     over the corpus (argmax of x.c - |c|^2/2 == nearest-euclidean),
     each query probes its 6 nearest centroids and brute-forces only
     those lists (~3/8 of the corpus -> recall ~0.8 on this weakly-
@@ -303,16 +303,33 @@ def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _IVF_CENTS_CACHE[sf_dir]
     bc = spark.sparkContext.broadcast(cents)
 
+    # mapInArrow, not mapInPandas: pandas conversion materializes one
+    # ndarray OBJECT per embedding cell (measured 2.5x the whole job on
+    # the dedup verify kernel) — read the ListArray buffer flat and
+    # reshape on the known fixed dim instead
     def assign(batches):
+        import pyarrow as pa
+
         c = bc.value
         half = (c * c).sum(axis=1) / 2.0
-        for pdf in batches:
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            pdf = pdf.copy()
-            pdf["list_id"] = (x @ c.T - half).argmax(axis=1).astype(np.int32)
-            yield pdf
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            emb = rb.column("embedding")
+            x = (
+                emb.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            lid = (x @ c.T - half).argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("vec_id"), emb, pa.array(lid, type=pa.int32())],
+                names=["vec_id", "embedding", "list_id"],
+            )
 
-    assigned = corpus.select("vec_id", "embedding").mapInPandas(
+    assigned = corpus.select("vec_id", "embedding").mapInArrow(
         assign, "vec_id bigint, embedding array<float>, list_id int"
     )
     # probe lists for the (bounded, tiny) query set, driver-side; the
@@ -507,11 +524,10 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector; 8 PQ codes = 8 bytes (32x). A 1000-executor scan ranks
     codes without touching raw vectors — the corpus is read ONCE to
     encode, and searches run on the code table. Scoring here does a
-    per-batch partial top-k in numpy (mapInPandas), then one tiny
+    per-batch partial top-k in numpy (mapInArrow, flat-buffer reads), then one tiny
     global merge: the shuffle carries <= batches x queries x 3 rows.
     Recall vs exact cosine is asserted in tests/test_ml.py."""
     import numpy as np
-    import pandas as pd
 
     M, K, D = 8, 256, 64
     SUB = D // M
@@ -531,10 +547,23 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), M, SUB), books)
     bc = spark.sparkContext.broadcast((books, luts, qids, qmat))
 
+    # mapInArrow: flat-buffer read of the embedding ListArray (see
+    # assign() in vec_ivf_ann for the measured rationale)
     def encode_score(batches):
+        import pyarrow as pa
+
         books_, luts_, qids_, qmat_ = bc.value
-        for pdf in batches:
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            x = (
+                rb.column("embedding")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
             x /= np.linalg.norm(x, axis=1, keepdims=True)
             xs = x.reshape(len(x), M, SUB)
             # codes: nearest centroid per subspace (argmin euclidean ==
@@ -545,28 +574,29 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 codes[:, m] = (xs[:, m, :] @ books_[m].T - half).argmax(axis=1)
             # ADC: score[q, i] = sum_m LUT[q, m, codes[i, m]]
             scores = luts_[:, np.arange(M)[None, :], codes].sum(axis=2)
-            nid = pdf["vec_id"].to_numpy()
-            dfs = []
+            nid = rb.column("vec_id").to_numpy()
+            out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(qids_):
                 short = np.lexsort((nid, -scores[qi]))[:20]  # ADC shortlist
                 # refine: exact cosine on the shortlist's raw unit vectors
                 exact = x[short] @ qmat_[qi]
                 keep = np.lexsort((nid[short], -exact))[:3]
                 top = short[keep]
-                dfs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": nid[top],
-                            "sim_raw": exact[keep],
-                        }
-                    )
-                )
-            yield pd.concat(dfs, ignore_index=True)
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_n.append(nid[top])
+                out_s.append(exact[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_n).astype(np.int64)),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "sim_raw"],
+            )
 
     from pyspark.sql import Window
 
-    partial = corpus.select("vec_id", "embedding").mapInPandas(
+    partial = corpus.select("vec_id", "embedding").mapInArrow(
         encode_score, "query_id bigint, neighbor_id bigint, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
@@ -596,7 +626,6 @@ def vec_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny per-query top-3 merge. Recall floor pinned in
     tests/test_ml.py."""
     import numpy as np
-    import pandas as pd
 
     M, K, D = 8, 256, 64
     SUB = D // M
@@ -628,11 +657,24 @@ def vec_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), M, SUB), books)
     bc = spark.sparkContext.broadcast((cents, books, luts, probes, qids, qmat))
 
+    # mapInArrow: flat-buffer read of the embedding ListArray (the r5
+    # ADVICE item; see vec_ivf_ann assign() for the measured rationale)
     def search(batches):
+        import pyarrow as pa
+
         cents_, books_, luts_, probes_, qids_, qmat_ = bc.value
         chalf = (cents_ * cents_).sum(axis=1) / 2.0
-        for pdf in batches:
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            x = (
+                rb.column("embedding")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
             xu = x / np.linalg.norm(x, axis=1, keepdims=True)
             list_id = (x @ cents_.T - chalf).argmax(axis=1)
             xs = xu.reshape(len(x), M, SUB)
@@ -640,8 +682,8 @@ def vec_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(M):
                 half = (books_[m] * books_[m]).sum(axis=1) / 2.0
                 codes[:, m] = (xs[:, m, :] @ books_[m].T - half).argmax(axis=1)
-            nid = pdf["vec_id"].to_numpy()
-            dfs = []
+            nid = rb.column("vec_id").to_numpy()
+            out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(qids_):
                 mask = np.isin(list_id, probes_[qi])
                 if not mask.any():
@@ -652,21 +694,22 @@ def vec_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 exact = xu[short] @ qmat_[qi]
                 keep = np.lexsort((nid[short], -exact))[:3]
                 top = short[keep]
-                dfs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": nid[top],
-                            "sim_raw": exact[keep],
-                        }
-                    )
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_n.append(nid[top])
+                out_s.append(exact[keep])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_n).astype(np.int64)),
+                        pa.array(np.concatenate(out_s), type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "sim_raw"],
                 )
-            if dfs:
-                yield pd.concat(dfs, ignore_index=True)
 
     from pyspark.sql import Window
 
-    partial = corpus.select("vec_id", "embedding").mapInPandas(
+    partial = corpus.select("vec_id", "embedding").mapInArrow(
         search, "query_id bigint, neighbor_id bigint, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(

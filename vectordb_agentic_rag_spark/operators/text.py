@@ -1095,10 +1095,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bg AS (
       SELECT doc_id, unnest(list_transform(
-               generate_series(1, greatest(len(tk) - 1, 1)),
+               generate_series(1, len(tk) - 1),
                i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1)))
                AS bg
-      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t),
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+      WHERE len(tk) >= 2),
     lm2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
     lm1 AS (
       SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
@@ -1130,13 +1131,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast LM. ln(c2/c1) uses the same
     divide-then-ln shape on both engines; round(6) after the sum."""
     d = table(spark, sf_dir, "documents")
+    # size(tk) >= 2 guard mirrored in the oracle: a 1-token doc has no
+    # bigram, and element_at(tk, i + 1) past the end is a hard
+    # INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default here)
     bigram_arr = F.expr(
-        "transform(sequence(1, greatest(size(tk) - 1, 1)), "
+        "transform(sequence(1, size(tk) - 1), "
         "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
     )
-    bg = d.select(
-        "doc_id", F.split("text", " ").alias("tk")
-    ).select("doc_id", F.explode(bigram_arr).alias("bg"))
+    bg = (
+        d.select("doc_id", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 2)
+        .select("doc_id", F.explode(bigram_arr).alias("bg"))
+    )
     lm2 = bg.groupBy("bg").agg(F.count("*").alias("c2"))
     lm1 = lm2.groupBy(
         F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1")

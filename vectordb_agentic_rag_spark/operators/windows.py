@@ -415,7 +415,7 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + list_extract(ls, len(ls) // 2 + 1)) / 2, 6) AS med_11
     FROM (
       SELECT user_id, event_id, ts,
-             list_sort(list(value) OVER w) AS ls
+             list_sort(list(value) FILTER (value IS NOT NULL) OVER w) AS ls
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) t
@@ -431,7 +431,10 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle-element arithmetic. BOTH engines sort the same doubles and
     evaluate the same (lo + hi) / 2 — never each engine's internal
     quantile interpolation, whose float fold order differs. The window
-    is the one hash-partition shuffle on user_id; no global sort."""
+    is the one hash-partition shuffle on user_id; no global sort.
+    NULL values: Spark's collect_list silently drops them, so the
+    oracle's list() carries a FILTER (value IS NOT NULL) to keep frame
+    lengths identical if the fixture ever grows NULL values."""
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

@@ -111,7 +111,11 @@ def source_text_encoding_fallback(spark: SparkSession, sf_dir: str) -> DataFrame
 
     import pandas as pd
 
-    out = f"{_SCRATCH}/encoded_docs"
+    # sf_tag-keyed like every other materialized scratch path: the
+    # returned DF reads `out` lazily, so an un-keyed fixed path would
+    # serve one sf_dir's bytes to a DF built for another (tables.py
+    # sf_tag rule)
+    out = f"{_SCRATCH}/encoded_docs_{sf_tag(sf_dir)}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     rows = (

@@ -1666,3 +1666,228 @@ def agg_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(F.col("value"), u), 6).alias("cov_vu"),
         F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
     )
+
+
+# --- round-6 additions -------------------------------------------------
+
+# (row, multiplier, offset) for the 4 CMS hash rows — small odd primes;
+# every intermediate stays < 2^63 for token codes < 1e6
+_CMS_HASHES = [(0, 131, 17), (1, 137, 29), (2, 139, 47), (3, 149, 71)]
+_CMS_W = 64
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH tc AS (
+      SELECT t, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 1000003) AS code
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) z),
+    hashes(r, a, b) AS (VALUES {', '.join(f'({r}, {a}, {b})' for r, a, b in _CMS_HASHES)}),
+    cms AS (
+      SELECT r, ((code * a + b) % 1000000007) % {_CMS_W} AS bucket,
+             count(*) AS c
+      FROM tc CROSS JOIN hashes GROUP BY 1, 2),
+    exact AS (SELECT t, code, count(*) AS exact_cnt FROM tc GROUP BY 1, 2),
+    probes AS (SELECT * FROM exact ORDER BY exact_cnt DESC, t LIMIT 20)
+    SELECT p.t AS token, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(cms.c) AS BIGINT) AS cms_cnt
+    FROM probes p CROSS JOIN hashes h
+    JOIN cms ON cms.r = h.r
+            AND cms.bucket = ((p.code * h.a + h.b) % 1000000007) % {_CMS_W}
+    GROUP BY 1, 2
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (Cormode-Muthukrishnan):
+    4 hash rows x 64 counters built with ONE groupBy over the exploded
+    tokens, point estimates = min over rows of the probed counters.
+    Emitted for the exact top-20 tokens next to their exact counts, so
+    the driver hash pins both the sketch arithmetic and the
+    one-sided-error property; `assert_true(cms_cnt >= exact_cnt)` is
+    folded into the plan — the CMS overestimate GUARANTEE (every
+    occurrence increments its counters) becomes a runtime invariant a
+    broken hash row would trip.
+
+    Why this is the 100 TB frequency sketch: the 4x64 counter table is
+    ADDITIVE — per-partition partial sketches merge by cell-wise sum
+    (exactly what the groupBy's partial aggregation does), so the full
+    corpus distills to 256 integers regardless of vocabulary size;
+    probes are a broadcast join against that tiny table. Token codes
+    use the repo's standard char-fold fingerprint (identical integer
+    arithmetic in the oracle — a collision changes both engines the
+    same way). Width 64 is deliberately small so overestimates actually
+    occur at fixture scale and the min-of-rows logic is exercised, not
+    vacuous."""
+    d = table(spark, sf_dir, "documents")
+    tc = d.select(F.explode(F.split("text", " ")).alias("t")).select(
+        "t",
+        F.expr(
+            "aggregate(split(t, ''), CAST(0 AS BIGINT), "
+            "(h, c) -> (h * 31 + ascii(c)) % 1000003)"
+        ).alias("code"),
+    )
+    buckets = F.array(
+        *[
+            F.expr(f"((code * {a} + {b}) % 1000000007) % {_CMS_W}")
+            for _, a, b in _CMS_HASHES
+        ]
+    )
+    cms = (
+        tc.select(F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = tc.groupBy("t", "code").agg(F.count("*").alias("exact_cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("exact_cnt").desc(), "t")
+    probes = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = (
+        probes.select("t", "exact_cnt", F.posexplode(buckets).alias("r", "bucket"))
+        .join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("c").alias("cms_cnt"))
+    )
+    return (
+        est.where(
+            F.assert_true(
+                F.col("cms_cnt") >= F.col("exact_cnt"),
+                F.lit("CMS one-sided-error violation: estimate below exact"),
+            ).isNull()
+        )
+        .select(
+            F.col("t").alias("token"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_cnt").cast("bigint").alias("cms_cnt"),
+        )
+    )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             pow(((doc_id * 2654435761) % 2147483647 + 0.5) / 2147483647.0,
+                 1.0 / n_chars) AS key
+      FROM documents)
+    SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, n_chars
+    FROM k ORDER BY key DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    A-Res: each row draws key = u^(1/w) (here w = n_chars, the
+    quality/length weight a pretraining mixer samples by) and the top-k
+    keys ARE a weighted sample without replacement — the distributed
+    formulation of weighted reservoir sampling, since top-k needs no
+    sequential reservoir state: per-partition partial top-k then one
+    tiny merge (TakeOrderedAndProject), identical to topk_global's
+    plan shape at any scale.
+
+    Determinism for the oracle: u is a hash-uniform in (0,1) derived
+    from doc_id by a Knuth multiplicative hash mod 2^31-1 — identical
+    integer arithmetic on both engines, then one pow() whose cross-
+    engine float error (<=1 ulp) is ~11 orders of magnitude below the
+    observed inter-key gaps, so the ranking is stable. Output carries
+    only integers (rank, doc_id, n_chars) — the float key never leaves
+    the plan."""
+    d = table(spark, sf_dir, "documents")
+    key = F.expr(
+        "pow(((doc_id * 2654435761) % 2147483647 + 0.5) / 2147483647.0, "
+        "1.0 / n_chars)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("key").desc(), "doc_id")
+    return (
+        d.select("doc_id", "n_chars", key.alias("key"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+        .select(F.col("rank").cast("bigint").alias("rank"), "doc_id", "n_chars")
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, event_id, epoch_us(ts) AS s FROM events)
+    SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM iv a JOIN iv b
+      ON a.event_type = b.event_type AND a.event_id < b.event_id
+     AND b.s > a.s - 300000000 AND b.s < a.s + 300000000
+    GROUP BY a.event_type
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP join, bucket-replicated: count pairs of events
+    of the same type whose 300 s activity intervals [ts, ts+300s)
+    overlap — the canonical temporal-join primitive (co-occurring
+    sessions, conflicting jobs, concurrent requests) whose naive form
+    is a per-type theta join (quadratic).
+
+    The scalable shape: floor each interval start to a 300 s epoch
+    bucket; because every interval is exactly one bucket long, an
+    overlapping pair's buckets differ by at most 1, so REPLICATING each
+    interval to (bucket, bucket+1) and equi-joining on
+    (event_type, tag) finds every overlapping pair — and the ownership
+    rule `tag = greatest(bucket_a, bucket_b)` counts each pair EXACTLY
+    once (pairs in the same bucket match two tags; only the lower one
+    owns). One 2x-replicated shuffle on (type, time-bucket), residual
+    |s_a - s_b| < 300s predicate map-side; per-bucket fan-out is
+    bounded by the arrival rate per 300 s, never by corpus size. The
+    oracle states the same semantics as a direct range join (DuckDB's
+    IEJoin handles it at fixture scale)."""
+    W_US = 300_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("s")
+    )
+    # epoch micros are non-negative, so truncating div == floor
+    tagged = ev.select(
+        "event_type",
+        "event_id",
+        "s",
+        F.expr(f"s div {W_US}").alias("bucket"),
+    )
+    tagged = tagged.select(
+        "event_type",
+        "event_id",
+        "s",
+        "bucket",
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("tag"),
+    )
+    a = tagged.select(
+        F.col("event_type").alias("et"),
+        F.col("event_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        F.col("bucket").alias("bucket_a"),
+        "tag",
+    )
+    b = tagged.select(
+        F.col("event_type").alias("et_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("tag").alias("tag_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("et") == F.col("et_b")) & (F.col("tag") == F.col("tag_b")),
+    ).where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("s_a") - F.col("s_b")) < W_US)
+        & (F.col("tag") == F.greatest("bucket_a", "bucket_b"))
+    )
+    return pairs.groupBy(F.col("et").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n_overlaps")
+    )

@@ -517,3 +517,72 @@ def win_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z_raw, 6)).alias("z"),
         F.when(ok, F.abs(z_raw) > 3).alias("is_outlier"),
     )
+
+
+@query(
+    "win_rolling_slope",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope_10
+    FROM (
+      SELECT user_id, event_id, ts,
+             count(*) OVER w AS n,
+             sum(i) OVER w AS sx,
+             sum(value) OVER w AS sy,
+             sum(i * value) OVER w AS sxy,
+             sum(i * i) OVER w AS sxx
+      FROM (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i
+        FROM events) t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) z
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ORDINARY-LEAST-SQUARES SLOPE of value over a 10-row
+    frame per user — the trend detector time-series monitoring runs
+    next to the rolling mean (win_moving_avg_frame) and median
+    (win_rolling_median): slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+    computed from five frame sums — no per-row refit, no quadratic
+    rescan.
+
+    Parity discipline: the regressor x is the per-user ROW INDEX
+    (row_number over the same (ts, event_id) total order on both
+    engines), not the raw epoch timestamp — integer x makes Sx/Sxx and
+    the whole denominator EXACT integer arithmetic (epoch-micros x
+    would be catastrophic-cancellation territory), leaving only the
+    ordered 10-element float sums Sy/Sxy, identical fold order on both
+    engines, with one round(6) after the final division. The
+    single-row frame (denominator 0) yields NULL on both sides. One
+    hash-partition shuffle on user_id carries both windows."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wo.rowsBetween(-9, Window.currentRow)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.row_number().over(wo).alias("i"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).alias("n"),
+        F.sum("i").over(w).alias("sx"),
+        F.sum("value").over(w).alias("sy"),
+        F.sum(F.col("i") * F.col("value")).over(w).alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).over(w).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(den != 0, F.round(num / den, 6)).alias("slope_10"),
+    )

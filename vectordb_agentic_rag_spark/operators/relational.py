@@ -1891,3 +1891,42 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("et").alias("event_type")).agg(
         F.count("*").cast("bigint").alias("n_overlaps")
     )
+
+
+@query(
+    "agg_log2_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT CAST(length(bin(cents)) - 1 AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM c GROUP BY 1
+    """,
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG2-BUCKETED (HDR-style) histogram of order value — the
+    long-tail companion to agg_histogram_equi_width: equi-width buckets
+    starve the tail a latency/price distribution lives in, power-of-two
+    buckets give constant relative error at every magnitude (the
+    HdrHistogram/ddsketch bucketing idea in its simplest exact form).
+
+    Parity discipline: the bucket index is floor(log2(cents)) computed
+    as length(bin(cents)) - 1 — pure INTEGER/string arithmetic on both
+    engines, because float log2 at exact powers of two is a cross-libm
+    coin flip. One partial+final hash aggregate over ~40 buckets; at
+    100 TB the map-side combine reduces each partition to the bucket
+    count first, so the shuffle carries buckets, not rows."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(cents("o_totalprice").alias("cents"))
+    return (
+        c.groupBy(
+            (F.length(F.bin("cents")) - 1).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+    )

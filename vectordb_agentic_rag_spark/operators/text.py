@@ -1394,3 +1394,146 @@ def pipeline_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
         )
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(len(list_distinct(list_transform(
+                   generate_series(1, len(tk) - 1),
+                   i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1))))
+                 AS DOUBLE) / (len(tk) - 1), 6) AS dup_bigram_frac,
+           round(CAST(list_max(list_transform(list_distinct(tk),
+                   t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE)
+                 / len(tk), 6) AS top_token_frac
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) z
+    WHERE len(tk) >= 2
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION quality signals (the Gopher/MassiveText repetition
+    rules, Rae et al. 2021 §A1.1): per document, (a) the fraction of
+    duplicate bigrams, 1 - distinct/total — boilerplate and
+    keyword-stuffed spam repeat n-grams far above natural prose — and
+    (b) the most-frequent-token fraction, which catches single-token
+    floods. These two are the standard cheap repetition gates a
+    pretraining cleanse runs before any model-based scoring.
+
+    Pure map-side HOF arithmetic (one pass, no shuffle, scan
+    throughput at any scale); both ratios are exact-integer rationals
+    divided once at the end, so round(6) parity is exact. Docs with
+    <2 tokens are excluded on both engines (no bigram exists)."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
+    )
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(tk), "
+        "t -> size(filter(tk, x -> x = t))))"
+    )
+    return (
+        d.select("doc_id", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct(bigrams)).cast("double")
+                / (F.size("tk") - 1),
+                6,
+            ).alias("dup_bigram_frac"),
+            F.round(top_cnt.cast("double") / F.size("tk"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "pipeline_quality_filter_funnel",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk
+      FROM documents),
+    flags AS (
+      SELECT doc_id,
+             (n_chars BETWEEN 60 AND 500) AS r1,
+             (n_chars - len(tk) + 1 >= 2 * len(tk)
+              AND n_chars - len(tk) + 1 <= 12 * len(tk)) AS r2,
+             (5 * list_max(list_transform(list_distinct(tk),
+                    t -> len(list_filter(tk, x -> x = t)))) <= len(tk)) AS r3,
+             (lang IN ('en', 'de', 'fr')) AS r4
+      FROM base),
+    agg AS (
+      SELECT count(*) AS n0,
+             sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS p1,
+             sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS p2,
+             sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS p3,
+             sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS p4
+      FROM flags)
+    SELECT stage, rule, CAST(n_pass AS BIGINT) AS n_pass,
+           CAST(n_dropped AS BIGINT) AS n_dropped
+    FROM (
+      SELECT 1 AS stage, 'len_bounds' AS rule, p1 AS n_pass, n0 - p1 AS n_dropped FROM agg
+      UNION ALL SELECT 2, 'mean_token_len', p2, p1 - p2 FROM agg
+      UNION ALL SELECT 3, 'repetition', p3, p2 - p3 FROM agg
+      UNION ALL SELECT 4, 'lang_allowlist', p4, p3 - p4 FROM agg) u
+    """,
+)
+def pipeline_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter FUNNEL with per-rule drop accounting —
+    the cleaning report every C4/Gopher-style corpus pipeline publishes
+    (how many documents each rule removed, in order): length bounds,
+    mean token length, repetition (most-frequent-token fraction), and
+    a language allowlist.
+
+    The whole funnel is ONE conditional-aggregation pass (no
+    per-stage scans, no joins): each rule is a boolean column, stage-k
+    survival is the running conjunction, and the four stages unpivot
+    from a single aggregate row. Every predicate is exact integer
+    arithmetic — the mean-token-length and repetition thresholds are
+    cross-multiplied (n_chars - n_tok + 1 vs 2/12 * n_tok; 5*top_cnt
+    vs n_tok) so no float ever enters the comparison."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "n_chars", F.split("text", " ").alias("tk")
+    )
+    n_tok = F.size("tk")
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(tk), "
+        "t -> size(filter(tk, x -> x = t))))"
+    )
+    flags = base.select(
+        F.col("n_chars").between(60, 500).alias("r1"),
+        (
+            ((F.col("n_chars") - n_tok + 1) >= 2 * n_tok)
+            & ((F.col("n_chars") - n_tok + 1) <= 12 * n_tok)
+        ).alias("r2"),
+        ((5 * top_cnt) <= n_tok).alias("r3"),
+        F.col("lang").isin("en", "de", "fr").alias("r4"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("r1").cast("int")).alias("p1"),
+        F.sum((F.col("r1") & F.col("r2")).cast("int")).alias("p2"),
+        F.sum((F.col("r1") & F.col("r2") & F.col("r3")).cast("int")).alias("p3"),
+        F.sum(
+            (F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4")).cast("int")
+        ).alias("p4"),
+    )
+    stages = F.expr(
+        "stack(4, "
+        "1, 'len_bounds', p1, n0 - p1, "
+        "2, 'mean_token_len', p2, p1 - p2, "
+        "3, 'repetition', p3, p2 - p3, "
+        "4, 'lang_allowlist', p4, p3 - p4) AS (stage, rule, n_pass, n_dropped)"
+    )
+    return agg.select(stages).select(
+        "stage",
+        "rule",
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+    )

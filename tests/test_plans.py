@@ -499,3 +499,12 @@ def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
     # the partial top-k; pin at least that no full Sort+Exchange-range
     # precedes a non-limited scan
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_sessionize_batch"](spark, sf_dir))
+    # lag window + running sum + (user_id, sess_no) aggregate must all
+    # ride the ONE user_id hash exchange: HashPartitioning(user_id)
+    # satisfies the clustered distribution of the superset grouping key
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "hashpartitioning(user_id" in plan

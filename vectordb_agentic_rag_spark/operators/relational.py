@@ -1930,3 +1930,114 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("bigint").alias("max_cents"),
         )
     )
+
+
+@query(
+    "agg_sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged)
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+             AS duration_us
+    FROM numbered GROUP BY user_id, sess_no
+    """,
+)
+def agg_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based SESSIONIZATION — the canonical event-analytics
+    transform (stream_session_window is its Structured Streaming twin;
+    this is the backfill/batch shape): a new session starts where the
+    gap to the previous event exceeds 30 min, session ids are the
+    running sum of the new-session flags, then session-level stats
+    (event count, start, exact integer-microsecond duration).
+
+    Scale shape: the lag window, the running sum, AND the final
+    (user_id, sess_no) aggregate all ride ONE hash exchange on
+    user_id — HashPartitioning(user_id) satisfies the clustered
+    distribution of the superset grouping key, so Catalyst plans no
+    second shuffle (pinned in test_plans). At 100 TB sessionization is
+    scan + one shuffle, which is the optimal shape."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(wo)
+    gap = F.unix_micros("ts") - F.unix_micros(prev)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("new_sess").over(run).alias("sess_no")
+    )
+    return numbered.groupBy("user_id", "sess_no").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_us"),
+    ).select(
+        "user_id",
+        F.col("sess_no").cast("bigint").alias("sess_no"),
+        "n_events",
+        "session_start",
+        "duration_us",
+    )
+
+
+@query(
+    "win_retention_cohort",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    first AS (
+      SELECT user_id, min(d) AS cohort_date FROM ud GROUP BY user_id)
+    SELECT f.cohort_date,
+           CAST(datediff('day', f.cohort_date, u.d) AS INTEGER) AS offset_days,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+    FROM ud u JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION matrix — users grouped by first-active date,
+    counted on each later active day (the growth-analytics staple next
+    to the funnel ops): n_users at (cohort_date, offset_days) is how
+    many of that cohort came back exactly that many days later.
+
+    Shape: distinct (user, day) first — collapsing events to active
+    days BEFORE any join bounds every later stage by users x days, not
+    by raw event volume; the first-seen aggregate shuffles on user_id
+    and the activity stream joins back on the same key (one shuffle
+    each), then the cohort-cell aggregate is a count-distinct over the
+    (cohort, offset) grid. At 100 TB the distinct-day collapse is the
+    step that makes this tractable — everything downstream is
+    user-day-bounded."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("int").alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )

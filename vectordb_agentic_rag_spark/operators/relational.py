@@ -566,11 +566,39 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch — the 100 TB path for
     cardinality (exact countDistinct needs a full shuffle of the keys;
     the sketch is one pass + constant-size state). rsd pinned for
-    determinism of the plan, value checked rows-only."""
-    return (
+    determinism of the plan.
+
+    Self-checking (round 6, same discipline as the ANN recall guards):
+    the exact per-type distinct count rides the SAME aggregate (at
+    fixture scale; a production monitor samples groups instead), the
+    relative error is emitted as `rel_err`, and
+    assert_true(|err| <= 5 * rsd) turns an estimator collapse into a
+    query failure rather than a plausible-looking rows-only pass."""
+    est = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+    )
+    rel_err = F.round(
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users"),
+        4,
+    )
+    return (
+        est.withColumn("rel_err", rel_err)
+        .where(
+            F.assert_true(
+                F.col("rel_err") <= 0.10,
+                F.format_string(
+                    "HLL estimate collapse: rel_err=%s > 0.10",
+                    F.col("rel_err"),
+                ),
+            ).isNull()
+        )
+        .select("event_type", "approx_users", "exact_users", "rel_err")
     )
 
 
@@ -1094,18 +1122,45 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Datasketches exprs: hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate. No oracle: DuckDB's approx_count_distinct is
     a different HLL implementation — tests/test_sketch.py bounds the
-    estimates against exact countDistinct instead (rows-only here)."""
+    estimates against exact countDistinct instead (rows-only here).
+
+    Self-checking (round 6): each per-day row carries the exact
+    distinct count from the same aggregate and an in-plan
+    assert_true(rel_err <= 0.10) — lgK=14 gives ~0.8% rsd, so 10% is a
+    collapse detector, not a tolerance; the union-rollup row is
+    guarded against the exact global distinct the same way."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id", 14).alias("sk")
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
     per_day = daily.select(
-        "day", F.hll_sketch_estimate("sk").alias("est_users")
+        "day", F.hll_sketch_estimate("sk").alias("est_users"), "exact_users"
     )
     total = daily.groupBy().agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit(None).cast("timestamp").alias("day"), "est_users")
-    return per_day.unionByName(total)
+    exact_total = ev.groupBy().agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    guarded = per_day.unionByName(
+        total.crossJoin(F.broadcast(exact_total))
+    ).withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ),
+    )
+    return guarded.where(
+        F.assert_true(
+            F.col("rel_err") <= 0.10,
+            F.format_string(
+                "HLL sketch collapse: rel_err=%s > 0.10", F.col("rel_err")
+            ),
+        ).isNull()
+    ).select("day", "est_users", "exact_users", "rel_err")
 
 
 @query(

@@ -1537,3 +1537,112 @@ def pipeline_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_pass").cast("bigint").alias("n_pass"),
         F.col("n_dropped").cast("bigint").alias("n_dropped"),
     )
+
+
+from .dedup import _DUCK_CODES as _MANIFEST_DUCK_CODES  # noqa: E402
+from .dedup import _SPARK_CODES as _MANIFEST_SPARK_CODES  # noqa: E402
+from .dedup import _simhash_expr as _manifest_simhash_expr  # noqa: E402
+
+
+@query(
+    "pipeline_pretrain_manifest",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS tk
+      FROM documents),
+    q AS (
+      SELECT * FROM base
+      WHERE n_chars BETWEEN 60 AND 500
+        AND n_chars - len(tk) + 1 >= 2 * len(tk)
+        AND n_chars - len(tk) + 1 <= 12 * len(tk)
+        AND 5 * list_max(list_transform(list_distinct(tk),
+              t -> len(list_filter(tk, x -> x = t)))) <= len(tk)
+        AND lang IN ('en', 'de', 'fr')),
+    e AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q) z WHERE rn = 1),
+    s AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rn2
+        FROM (
+          SELECT ee.*, {_manifest_simhash_expr('codes', spark_side=False)} AS sh
+          FROM (SELECT *, {_MANIFEST_DUCK_CODES} AS codes FROM e) ee) w) v
+      WHERE rn2 = 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_quality,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_exact_dedup,
+           (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_near_dedup,
+           (SELECT CAST(sum(len(tk)) AS BIGINT) FROM s) AS total_tokens,
+           (SELECT CAST((sum(len(tk)) + 511) // 512 AS BIGINT) FROM s)
+             AS est_sequences
+    """,
+)
+def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-corpus manifest — the one-row report
+    a dataset build emits after the full cleanse chain runs: raw docs
+    -> quality gates (the pipeline_quality_filter_funnel rules) ->
+    exact dedup (keep lowest doc_id per identical text) -> near dedup
+    (keep lowest doc_id per 16-bit SimHash fingerprint, the cheap
+    keep-first tier below the full Jaccard/CC machinery) -> surviving
+    token volume and the 512-token sequence estimate. This is the
+    composition story: every stage is an operator that also exists
+    standalone, and the manifest pins their CHAINED semantics
+    cross-engine.
+
+    Scale shape: the chain is scan -> row-local flags -> one window on
+    text (exact dedup) -> one window on the 16-bit fingerprint (near
+    dedup) -> counts. All integer arithmetic; the stage counts come
+    from separate aggregates over shared lineage (Catalyst reuses the
+    scan via exchange reuse), and the output is a single row."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n_tok = F.size(tk)
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')), "
+        "t -> size(filter(split(text, ' '), x -> x = t))))"
+    )
+    q = d.where(
+        F.col("n_chars").between(60, 500)
+        & ((F.col("n_chars") - n_tok + 1) >= 2 * n_tok)
+        & ((F.col("n_chars") - n_tok + 1) <= 12 * n_tok)
+        & ((5 * top_cnt) <= n_tok)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    from pyspark.sql import Window
+
+    w_text = Window.partitionBy("text").orderBy("doc_id")
+    e = q.withColumn("rn", F.row_number().over(w_text)).where(F.col("rn") == 1)
+    sim = e.withColumn("codes", F.expr(_MANIFEST_SPARK_CODES)).withColumn(
+        "sh", F.expr(_manifest_simhash_expr("codes", spark_side=True))
+    )
+    w_sim = Window.partitionBy("sh").orderBy("doc_id")
+    s = sim.withColumn("rn2", F.row_number().over(w_sim)).where(
+        F.col("rn2") == 1
+    )
+    one = lambda df, col: F.broadcast(df.agg(col))  # noqa: E731
+    return (
+        one(d, F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(one(q, F.count("*").cast("bigint").alias("n_quality")))
+        .crossJoin(one(e, F.count("*").cast("bigint").alias("n_exact_dedup")))
+        .crossJoin(
+            F.broadcast(
+                s.agg(
+                    F.count("*").cast("bigint").alias("n_near_dedup"),
+                    F.sum(F.size(F.split("text", " ")))
+                    .cast("bigint")
+                    .alias("total_tokens"),
+                )
+            )
+        )
+        .select(
+            "n_docs",
+            "n_quality",
+            "n_exact_dedup",
+            "n_near_dedup",
+            "total_tokens",
+            F.expr("(total_tokens + 511) div 512")
+            .cast("bigint")
+            .alias("est_sequences"),
+        )
+    )

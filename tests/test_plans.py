@@ -494,11 +494,17 @@ def test_interval_overlap_is_bucketed_equi_join(spark, sf_dir):
 
 def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
     plan = plan_of(QUERIES["sample_weighted_reservoir"](spark, sf_dir))
-    # global top-k by key must not global-sort the corpus... a single
-    # row_number window over ORDER BY is acceptable only if Spark plans
-    # the partial top-k; pin at least that no full Sort+Exchange-range
-    # precedes a non-limited scan
-    assert "CartesianProduct" not in plan and "Join" not in plan
+    # the global top-k by key must plan as TakeOrderedAndProject
+    # (per-partition partial top-k); only the 50 survivors see a window
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cms_probes_are_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_count_min_sketch"](spark, sf_dir))
+    # the top-20 probe selection must not global-sort the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_sessionize_single_exchange(spark, sf_dir):

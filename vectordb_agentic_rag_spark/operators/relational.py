@@ -1796,14 +1796,10 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     exact = tc.groupBy("t", "code").agg(F.count("*").alias("exact_cnt"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("exact_cnt").desc(), "t")
-    probes = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # top-20 probes via orderBy+limit (TakeOrderedAndProject) — a
+    # global row_number window here would single-partition-sort the
+    # whole vocabulary at scale
+    probes = exact.orderBy(F.col("exact_cnt").desc(), "t").limit(20)
     est = (
         probes.select("t", "exact_cnt", F.posexplode(buckets).alias("r", "bucket"))
         .join(F.broadcast(cms), ["r", "bucket"])
@@ -1863,11 +1859,17 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
+    # per-partition partial top-k, no global sort), THEN rank the 50
+    # survivors with a window that is trivially single-partition
+    top = (
+        d.select("doc_id", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(50)
+    )
     w = Window.orderBy(F.col("key").desc(), "doc_id")
     return (
-        d.select("doc_id", "n_chars", key.alias("key"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(w))
         .select(F.col("rank").cast("bigint").alias("rank"), "doc_id", "n_chars")
     )
 

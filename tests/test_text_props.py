@@ -688,3 +688,88 @@ def test_lsh_candidates_full_recall_and_real_pruning_at_prod_tau(spark):
     assert len(got) < 0.25 * all_pairs, (
         f"no real pruning: {len(got)} candidates of {all_pairs} pairs"
     )
+
+
+def test_interval_overlap_bucketing_matches_bruteforce(spark):
+    """The bucket-replication + greatest-bucket-ownership trick must
+    count EXACTLY the overlapping pairs a brute-force check finds —
+    including boundary cases (gap exactly the window width is NOT an
+    overlap of half-open intervals; gap W-1 is) and same-bucket /
+    adjacent-bucket pairs."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    W = 1000
+    # adversarial starts: same bucket, adjacent buckets, exact-boundary
+    # gaps, bucket-straddling, duplicates of the same start
+    starts = [0, 1, 999, 1000, 1001, 1999, 2000, 2500, 2999, 3000,
+              3001, 4000, 5999, 6000, 6001, 500, 1500, 2501]
+    rows = [("a", i, s) for i, s in enumerate(starts)]
+    ev = spark.createDataFrame(rows, "event_type string, event_id long, s long")
+    tagged = ev.select(
+        "event_type", "event_id", "s",
+        F.expr(f"s div {W}").alias("bucket"),
+    ).select(
+        "*", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("tag")
+    )
+    a = tagged.select(
+        F.col("event_type").alias("et"), F.col("event_id").alias("id_a"),
+        F.col("s").alias("s_a"), F.col("bucket").alias("bucket_a"), "tag",
+    )
+    b = tagged.select(
+        F.col("event_type").alias("et_b"), F.col("event_id").alias("id_b"),
+        F.col("s").alias("s_b"), F.col("bucket").alias("bucket_b"),
+        F.col("tag").alias("tag_b"),
+    )
+    got = (
+        a.join(b, (F.col("et") == F.col("et_b")) & (F.col("tag") == F.col("tag_b")))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("s_a") - F.col("s_b")) < W)
+            & (F.col("tag") == F.greatest("bucket_a", "bucket_b"))
+        )
+        .select("id_a", "id_b")
+        .collect()
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in got}
+    expect = {
+        (i, j)
+        for (i, si), (j, sj) in itertools.combinations(enumerate(starts), 2)
+        if abs(si - sj) < W
+    }
+    assert got_pairs == expect, (got_pairs ^ expect)
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    """Session semantics: sessions tile each user's event stream in
+    time order, intra-session gaps are <= 30 min, and consecutive
+    sessions are separated by > 30 min."""
+    from vectordb_agentic_rag_spark import QUERIES, load_all_operators
+
+    load_all_operators()
+    rows = QUERIES["agg_sessionize_batch"](spark, sf_dir).collect()
+    ev = (
+        QUERIES["win_lag_lead_delta"](spark, sf_dir)
+        .select("user_id", "ts", "gap_us")
+        .collect()
+    )
+    GAP = 1800 * 1_000_000
+    # expected session count per user = 1 + #gaps exceeding threshold
+    from collections import defaultdict
+
+    n_breaks = defaultdict(int)
+    n_events = defaultdict(int)
+    for r in ev:
+        n_events[r.user_id] += 1
+        if r.gap_us is not None and r.gap_us > GAP:
+            n_breaks[r.user_id] += 1
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert set(by_user) == set(n_events)
+    for uid, sess in by_user.items():
+        assert len(sess) == n_breaks[uid] + 1, uid
+        assert sorted(r.sess_no for r in sess) == list(range(1, len(sess) + 1))
+        assert sum(r.n_events for r in sess) == n_events[uid]
+        assert all(r.duration_us >= 0 for r in sess)

@@ -383,6 +383,75 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("static_join_enrich")
 
 
+@query(
+    "stream_stream_interval_join",
+    # finite time-ordered replay + a watermark delay (2 h) comfortably
+    # beyond the join window (30 min) means no qualifying pair is ever
+    # evicted before its match arrives, so the drained append-mode
+    # result equals the batch interval join exactly -> full oracle
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the hardest of Structured
+    Streaming's join modes and the one the engine had not exercised:
+    clicks and purchases arrive as two live streams, and each purchase
+    joins every click by the same user within the preceding 30 minutes.
+    Spark buffers both sides in watermark-bounded state and emits pairs
+    in append mode as matches complete; the event-time range condition
+    is what lets it EVICT state (without it, both sides buffer
+    forever).
+
+    Scale shape: state is bounded by (watermark delay x arrival rate)
+    per side — the 2 h delay here holds ~2 h of events per side keyed
+    by user, independent of stream length; the join itself shuffles
+    both sides on user_id once. The time-ordered replay stands in for
+    Kafka per-key ordering; on a real bus the same query runs
+    unchanged."""
+    src = replay_events_time_ordered(spark, sf_dir)
+    clicks = (
+        stream_events(spark, src)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+    _run_to_memory(joined, "ss_interval_join", "append")
+    return spark.table("ss_interval_join")
+
+
 # NOTE: transformWithStateInPandas (the Spark 4 successor state API) is
 # not exercised in THIS container: its worker protocol needs
 # google.protobuf, which is absent (import fails inside the

@@ -530,8 +530,8 @@ def win_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts,
              count(*) OVER w AS n,
              sum(i) OVER w AS sx,
-             sum(value) OVER w AS sy,
-             sum(i * value) OVER w AS sxy,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+             CAST(sum(i * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy,
              sum(i * i) OVER w AS sxx
       FROM (
         SELECT user_id, event_id, ts, value,
@@ -554,11 +554,14 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row_number over the same (ts, event_id) total order on both
     engines), not the raw epoch timestamp — integer x makes Sx/Sxx and
     the whole denominator EXACT integer arithmetic (epoch-micros x
-    would be catastrophic-cancellation territory), leaving only the
-    ordered 10-element float sums Sy/Sxy, identical fold order on both
-    engines, with one round(6) after the final division. The
-    single-row frame (denominator 0) yields NULL on both sides. One
-    hash-partition shuffle on user_id carries both windows."""
+    would be catastrophic-cancellation territory). Sy/Sxy accumulate
+    as DECIMAL(18,6) (the win_moving_avg_frame discipline) so the
+    frame sums are order-INDEPENDENT — DuckDB's segment-tree windowed
+    aggregation folds in a different order than Spark's running frame,
+    which a double sum would expose at round-boundary values. One
+    round(6) after the final division; the single-row frame
+    (denominator 0) yields NULL on both sides. One hash-partition
+    shuffle on user_id carries both windows."""
     ev = table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w = wo.rowsBetween(-9, Window.currentRow)
@@ -574,8 +577,14 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.count("*").over(w).alias("n"),
         F.sum("i").over(w).alias("sx"),
-        F.sum("value").over(w).alias("sy"),
-        F.sum(F.col("i") * F.col("value")).over(w).alias("sxy"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.col("i") * F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sxy"),
         F.sum(F.col("i") * F.col("i")).over(w).alias("sxx"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -773,3 +773,31 @@ def test_sessionize_invariants(spark, sf_dir):
         assert sorted(r.sess_no for r in sess) == list(range(1, len(sess) + 1))
         assert sum(r.n_events for r in sess) == n_events[uid]
         assert all(r.duration_us >= 0 for r in sess)
+
+
+def test_prefix_length_ceil_is_exact_at_multiples(spark):
+    """ceil(t*m) must be computed in exact decimal arithmetic: with
+    binary-float t, 0.2*45 evaluates to 9.000000000000002 and ceil
+    returns 10, silently shortening the prefix by one element and
+    voiding the recall theorem at boundary set sizes. Check every m up
+    to 200 against Fraction-exact ceil for all thresholds the dedup
+    ops use."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 201).withColumnRenamed("id", "m")
+    for t in (0.2, 0.5, 0.9):
+        thr = F.lit(t).cast("decimal(9,6)")
+        got = {
+            r.m: r.p
+            for r in df.select(
+                "m",
+                (F.col("m") - F.ceil(thr * F.col("m")) + 1).alias("p"),
+            ).collect()
+        }
+        frac = Fraction(str(t))
+        for m in range(1, 201):
+            expect = m - math.ceil(frac * m) + 1
+            assert got[m] == expect, (t, m, got[m], expect)

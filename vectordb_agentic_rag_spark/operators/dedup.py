@@ -610,8 +610,13 @@ def _prefix_filter_candidates(
         "rk",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
     )
+    # ceil(t*m) in EXACT decimal arithmetic: binary-float t makes
+    # t*m overshoot at exact multiples (0.2*45 = 9.000000000000002 ->
+    # ceil 10), silently shortening the prefix by one and voiding the
+    # recall guarantee at boundary set sizes
+    thr = F.lit(threshold).cast("decimal(9,6)")
     prefix = ranked.where(
-        F.col("rk") <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1
+        F.col("rk") <= F.col("m") - F.ceil(thr * F.col("m")) + 1
     )
     if meta is None:
         a = prefix.select(

@@ -70,6 +70,12 @@ OPS = [
     # round-6 additions
     ("dedup_ngram_jaccard", "documents"),
     ("dedup_containment_ngram", "documents"),
+    ("agg_sessionize_batch", "events"),
+    ("join_interval_overlap", "events"),
+    ("win_retention_cohort", "events"),
+    ("agg_count_min_sketch", "documents"),
+    ("sample_weighted_reservoir", "documents"),
+    ("win_rolling_slope", "events"),
 ]
 
 

@@ -32,12 +32,14 @@ steady-state"):
   load-sensitive number (CLAUDE.md: background load swings ±0.3 s);
   treat cross-round cold deltas as noise unless reproduced quiet.
 
-Floor profile (this machine, warmed session, medians): ANY 1-row
-action pays Spark's per-action machinery — ``spark.range(1)``
-fetches in ~41 ms via Arrow (~47 ms via pickle collect), with ~31 ms
-of that inside the JVM (QueryExecution + job scheduling for a single
-local task) and ~0.1 ms of py4j itself. Per-query latencies below
-~40 ms are therefore reading the scheduler floor, not the operator:
+Floor profile (this machine, warmed session, medians; the floor
+itself is load-sensitive — round-5 measured 41 ms Arrow, a quiet
+round-6 window 33 ms Arrow / 20 ms JVM-only): ANY 1-row action pays
+Spark's per-action machinery — ``spark.range(1)`` fetches in
+~33-41 ms via Arrow, with ~20-31 ms of that inside the JVM
+(QueryExecution + job scheduling for a single local task) and
+~0.1 ms of py4j itself. Per-query latencies in the 20-40 ms band are
+therefore reading the scheduler floor, not the operator:
 vec_cosine_topk's prepared plan (scan -> codegen cosine ->
 TakeOrderedAndProject, zero shuffles) measures within ~1 ms of the
 empty-query floor. DuckDB's equivalent in-process floor is <1 ms,

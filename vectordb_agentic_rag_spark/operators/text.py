@@ -1646,3 +1646,101 @@ def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_sequences"),
         )
     )
+
+
+def _bpe_duck_oracle(k: int) -> str:
+    """Unrolled k-step BPE oracle: each step computes pair counts,
+    picks the argmax pair (ties by (l, r) lex), and re-folds every
+    word's symbol list with the greedy-left merge — the same
+    list-accumulator fold the Spark side runs (chained CTEs because a
+    recursive CTE cannot carry both the vocab table and the argmax)."""
+    merge_fold = (
+        "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        "list_transform(syms, s -> [s])), (acc, x) -> "
+        "CASE WHEN len(acc) = 0 THEN x "
+        "WHEN acc[-1] = b.l AND x[1] = b.r "
+        "THEN list_concat(acc[1:len(acc) - 1], [b.l || b.r]) "
+        "ELSE list_concat(acc, x) END)"
+    )
+    ctes = [
+        """w0 AS (
+      SELECT t AS w, count(*) AS cnt, string_split(t, '') AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) z
+      GROUP BY t)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+      SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS cnt FROM (
+        SELECT cnt, unnest(list_transform(
+                 generate_series(1, len(syms) - 1),
+                 j -> [syms[j], syms[j + 1]])) AS pr
+        FROM {prev} WHERE len(syms) >= 2) q
+      GROUP BY 1, 2),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    w{i} AS (
+      SELECT w, {prev}.cnt AS cnt, {merge_fold} AS syms
+      FROM {prev} CROSS JOIN b{i} b)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@query("pipeline_bpe_merges", oracle=_bpe_duck_oracle(5))
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-PAIR-ENCODING training, first 5 merges — the core loop of
+    tokenizer training (Sennrich et al. 2016), distributed the way
+    production BPE trainers actually run: the CORPUS pass is one
+    explode+groupBy building the word-frequency table (the only
+    data-volume-bounded step — at 100 TB it is a plain shuffle
+    aggregate), and every merge iteration then runs on the
+    VOCABULARY-bounded word table: count adjacent symbol pairs
+    weighted by word frequency, pick the global argmax (ties by
+    (left, right) lex so both engines agree), and re-fold each word's
+    symbol list with the greedy-left merge.
+
+    The per-iteration argmax is a bounded driver collect of ONE row
+    (the CC-loop discipline); the merge itself is a higher-order
+    aggregate with a list accumulator — nested CASE WHEN so the empty
+    accumulator is tested before element_at(acc, -1) ever evaluates
+    (ANSI). The oracle unrolls the 5 iterations as chained CTEs
+    running the identical fold (the PageRank precedent), so each
+    step's chosen pair AND its count are pinned cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .select("t", "cnt", F.split("t", "").alias("syms"))
+    )
+    pair_arr = (
+        "transform(sequence(1, size(syms) - 1), "
+        "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"
+    )
+    records = []
+    for step in range(1, 6):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select("cnt", F.explode(F.expr(pair_arr)).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()[0]
+        records.append((step, best.l, best.r, int(best.cnt)))
+        le, ri = best.l.replace("'", "\\'"), best.r.replace("'", "\\'")
+        merge = F.expr(
+            "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+            "CASE WHEN size(acc) = 0 THEN array(x) "
+            f"WHEN element_at(acc, -1) = '{le}' AND x = '{ri}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{le}{ri}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        words = words.select("t", "cnt", merge.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        records, "step int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -1,0 +1,753 @@
+"""Corpus-analytics and evaluation operators (SURVEY.md §2B north-star
+additions, round 6 second wave).
+
+These extend the LLM-data-pipeline surface past the reference's own
+operator set (the reference's retrieval loop is app.py:248-374; its
+corpus is whatever Qdrant holds): collocation mining, retrieval
+evaluation, market-basket co-occurrence, time-weighted resampling and
+weighted hybrid fusion — the queries a team curating a 100 TB corpus
+runs *around* the ingest/retrieve core.
+
+Float-parity discipline (CLAUDE.md): group sums of doubles accumulate
+as DECIMAL so they are order-independent across engines; every output
+double is round(6)'d with the same expression shape on both sides;
+ranking keys prefer exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .rag import _BM25_B, _BM25_K1, _BM25_TERMS, _KEYWORDS
+
+# ---------------------------------------------------------------------------
+# text_pmi_collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    uni AS (
+      SELECT w, count(*) AS cw
+      FROM (SELECT unnest(tk) AS w FROM toks) z GROUP BY w),
+    bg AS (
+      SELECT list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2
+      FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      WHERE len(tk) >= 2),
+    pc AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST((SELECT sum(len(tk)) FROM toks) AS BIGINT) AS n_tok,
+             CAST((SELECT sum(len(tk) - 1) FROM toks WHERE len(tk) >= 2)
+                  AS BIGINT) AS n_bg)
+    SELECT w1, w2, pair_count,
+           round(ln((pair_count / n_bg)
+                    / ((u1.cw / n_tok) * (u2.cw / n_tok))), 6) AS pmi
+    FROM pc
+    JOIN uni u1 ON pc.w1 = u1.w
+    JOIN uni u2 ON pc.w2 = u2.w
+    CROSS JOIN tot
+    WHERE pair_count >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINTWISE-MUTUAL-INFORMATION collocation mining over adjacent
+    token pairs — the standard phrase detector (word2vec's phrase pass,
+    Mikolov et al. 2013 §4) a corpus pipeline runs before tokenizer
+    training: PMI = ln(p(w1,w2) / (p(w1) p(w2))) with a min-count
+    support gate against low-frequency noise.
+
+    Shape at scale: one map pass emits unigrams and bigrams, two
+    vocabulary-sized hash aggregates (map-side partial combine does
+    the heavy lifting — corpus rows collapse to vocab rows before the
+    shuffle), then the pair table joins the unigram table twice. The
+    unigram side is broadcast (a vocabulary fits an executor even for
+    web-scale corpora; the PAIR table is the big side and never
+    shuffles again). Top-50 plans as TakeOrderedAndProject.
+
+    Parity: counts are exact integers; the single PMI expression has
+    the identical nesting on both engines so the doubles agree bit-wise
+    before the one round(6)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    bg = (
+        toks.where(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) AS w1, "
+                    "element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    tot = toks.agg(
+        F.sum(F.size("tk")).cast("bigint").alias("n_tok"),
+        F.sum(
+            F.when(F.size("tk") >= 2, F.size("tk") - 1)
+        ).cast("bigint").alias("n_bg"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count") / F.col("n_bg"))
+            / ((F.col("cw1") / F.col("n_tok")) * (F.col("cw2") / F.col("n_tok")))
+        ),
+        6,
+    )
+    return (
+        pc.where(F.col("pair_count") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_copurchase_pairs
+# ---------------------------------------------------------------------------
+
+_PAIR_MIN_SUPPORT = 2
+
+
+@query(
+    "agg_copurchase_pairs",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (
+      SELECT l_partkey FROM li GROUP BY l_partkey
+      HAVING count(*) >= {_PAIR_MIN_SUPPORT}),
+    lif AS (SELECT li.* FROM li JOIN freq USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM lif a JOIN lif b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, support FROM pairs
+    WHERE support >= {_PAIR_MIN_SUPPORT}
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def agg_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENT-PAIR mining (market-basket / SON first phase): parts
+    co-occurring in the same order with support >= s, top-100. The
+    recommendation-precompute every commerce warehouse runs nightly,
+    and the same shape as co-citation / co-occurrence graph builds
+    over document corpora.
+
+    Scale design — the Apriori monotonicity prefilter is the whole
+    game: a pair's support cannot exceed either item's support, so
+    items in fewer than s baskets are removed BEFORE the per-basket
+    self-join (exact, not heuristic — no qualifying pair is lost).
+    That caps the join's per-basket fan-out at (frequent items per
+    basket choose 2); both join sides hash-partition on the basket key
+    (orderkey) so the pair explosion stays co-located and the only
+    wide shuffle is the vocabulary-sized pair aggregate (map-side
+    combined). Top-100 plans as TakeOrderedAndProject."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_ord"))
+        .where(F.col("n_ord") >= _PAIR_MIN_SUPPORT)
+        .select("l_partkey")
+    )
+    lif = li.join(F.broadcast(freq), "l_partkey")
+    a = lif.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = lif.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, ["ok"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= _PAIR_MIN_SUPPORT)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us, value,
+             event_id,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS nxt
+      FROM events),
+    g AS (
+      SELECT user_id, day, (nxt - us) // 1000 AS gap_ms,
+             CAST(value AS DECIMAL(18,6)) AS vd
+      FROM e WHERE nxt IS NOT NULL)
+    SELECT user_id, day, count(*) AS n_intervals,
+           CASE WHEN sum(gap_ms) > 0
+                THEN round(CAST(sum(vd * gap_ms) AS DOUBLE)
+                           / CAST(sum(gap_ms) AS DOUBLE), 6)
+           END AS twap
+    FROM g GROUP BY user_id, day
+    """,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average (TWAP) of `value` per (user, day): each
+    observation is held until the next one and weighted by its holding
+    time — the correct daily average for irregularly-sampled series
+    (sensor readings, prices, gauges), where the naive avg() over-
+    weights bursts. The last observation of a day carries no interval.
+
+    One shuffle on user_id drives both the lead() window and the
+    (user, day) aggregate. Parity discipline: holding times are exact
+    integer milliseconds (truncating division, non-negative on both
+    engines); values accumulate as DECIMAL(18,6) so the weighted sum
+    is order-independent (the win_rolling_slope discipline); one
+    round(6) after the final division; zero-length days (all events in
+    the same millisecond) yield NULL on both sides."""
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    # us == unix_micros(ts): ordering by (us, event_id) is the same total
+    # order as (ts, event_id), so ts itself need not survive the select
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    e = ev.select(
+        "user_id", day, F.unix_micros("ts").alias("us"), "value", "event_id"
+    ).select(
+        "user_id",
+        "day",
+        "us",
+        "value",
+        F.lead("us").over(w).alias("nxt"),
+    )
+    g = e.where(F.col("nxt").isNotNull()).select(
+        "user_id",
+        "day",
+        F.expr("(nxt - us) div 1000").alias("gap_ms"),
+        F.col("value").cast("decimal(18,6)").alias("vd"),
+    )
+    agg = g.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("vd") * F.col("gap_ms")).alias("num"),
+        F.sum("gap_ms").alias("den"),
+    )
+    return agg.select(
+        "user_id",
+        "day",
+        "n_intervals",
+        F.when(
+            F.col("den") > 0,
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ),
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rag_hybrid_weighted_fusion
+# ---------------------------------------------------------------------------
+
+_FUSION_ALPHA = 0.7  # dense/sparse mix weight (standard hybrid-search knob)
+
+
+def _bm25_scored_duck() -> str:
+    """DuckDB CTE body: (doc_id, s) = rounded BM25 score per document —
+    the same scorer as rag.py's rag_bm25_topk oracle."""
+    return f"""
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl,
+             {', '.join(
+                 f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+                 for i, t in enumerate(_KEYWORDS))}
+      FROM toks),
+    scored AS (
+      SELECT doc_id,
+             round({' + '.join(
+                 f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+                 f"(len(list_filter(tk, x -> x = '{t}')) * ({_BM25_K1} + 1)) / "
+                 f"(len(list_filter(tk, x -> x = '{t}')) + {_BM25_K1} * "
+                 f"(1 - {_BM25_B} + {_BM25_B} * len(tk) / avgdl)))"
+                 for i, t in enumerate(_KEYWORDS))}, 6) AS s,
+             CAST(len(list_filter({_KEYWORDS}, kw -> list_contains(tk, kw)))
+                  AS BIGINT) AS ov
+      FROM toks CROSS JOIN stats)"""
+
+
+def _bm25_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, ov): rounded BM25 score + keyword-overlap count —
+    the Spark twin of _bm25_scored_duck (rag.py's scorer shape)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    tf = lambda t: F.size(F.filter("tk", lambda x: x == F.lit(t)))  # noqa: E731
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("tk")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("tk", t).cast("bigint")).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    dl = F.size("tk")
+    score = None
+    for i, t in enumerate(_BM25_TERMS):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        term = (
+            idf
+            * (tf(t) * (_BM25_K1 + 1))
+            / (tf(t) + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    ov = F.size(F.filter(kw_arr, lambda kw: F.array_contains("tk", kw)))
+    return toks.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(score, 6).alias("s"),
+        ov.cast("bigint").alias("ov"),
+    )
+
+
+@query(
+    "rag_hybrid_weighted_fusion",
+    oracle=f"""
+    WITH {_bm25_scored_duck()},
+    rng AS (
+      SELECT min(s) AS min_s, max(s) AS max_s,
+             min(ov) AS min_o, max(ov) AS max_o
+      FROM scored)
+    SELECT doc_id, s AS bm25_score, ov AS kw_overlap,
+           round({_FUSION_ALPHA} * (CASE WHEN max_s > min_s
+                      THEN (s - min_s) / (max_s - min_s) ELSE 0.0 END)
+                 + {1 - _FUSION_ALPHA} * (CASE WHEN max_o > min_o
+                      THEN (ov - min_o) / CAST(max_o - min_o AS DOUBLE)
+                      ELSE 0.0 END), 6) AS hybrid
+    FROM scored CROSS JOIN rng
+    ORDER BY hybrid DESC, doc_id
+    LIMIT 10
+    """,
+)
+def rag_hybrid_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED-SCORE hybrid fusion — the other standard fusion next to
+    RRF (rag_rrf_fusion): min-max normalize each retriever's score to
+    [0,1], then blend with a fixed alpha (0.7 sparse BM25 + 0.3
+    keyword-overlap here; the reference's hybrid loop concatenates the
+    two result lists instead, app.py:348-374 — score fusion is what a
+    real engine does with calibrated scores).
+
+    The normalization bounds come from ONE tiny aggregate broadcast
+    back over the scored scan — not a global window (which would sort
+    the world on one partition); at 100 TB each retriever contributes
+    only its top-k frontier and min-max runs over k+k rows. Top-10 is
+    TakeOrderedAndProject. Scores are round(6)'d BEFORE normalization
+    so both engines normalize identical doubles."""
+    scored = _bm25_scored_spark(spark, sf_dir)
+    rng = scored.agg(
+        F.min("s").alias("min_s"),
+        F.max("s").alias("max_s"),
+        F.min("ov").alias("min_o"),
+        F.max("ov").alias("max_o"),
+    )
+    bn = F.when(
+        F.col("max_s") > F.col("min_s"),
+        (F.col("s") - F.col("min_s")) / (F.col("max_s") - F.col("min_s")),
+    ).otherwise(0.0)
+    on_ = F.when(
+        F.col("max_o") > F.col("min_o"),
+        (F.col("ov") - F.col("min_o"))
+        / (F.col("max_o") - F.col("min_o")).cast("double"),
+    ).otherwise(0.0)
+    return (
+        scored.crossJoin(F.broadcast(rng))
+        .select(
+            "doc_id",
+            F.col("s").alias("bm25_score"),
+            F.col("ov").alias("kw_overlap"),
+            F.round(_FUSION_ALPHA * bn + (1 - _FUSION_ALPHA) * on_, 6).alias(
+                "hybrid"
+            ),
+        )
+        .orderBy(F.col("hybrid").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_slope
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH cnt AS (
+      SELECT lang, w, count(*) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents) z
+      GROUP BY lang, w),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, w) AS rnk
+      FROM cnt),
+    xy AS (
+      SELECT lang,
+             CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      FROM ranked WHERE rnk <= 1000),
+    s AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM xy GROUP BY lang)
+    SELECT lang, n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW fit per language: OLS slope of ln(frequency) on
+    ln(rank) over the top-1000 vocabulary — the classic corpus sanity
+    check (natural text slopes ~ -1; generated/boilerplate corpora
+    drift far off, making this a cheap synthetic-data detector next to
+    text_entropy_per_lang).
+
+    One vocabulary aggregate (map-side combined — corpus tokens
+    collapse to vocab rows before the shuffle), a per-lang top-1000
+    window over the *vocabulary* (bounded rows, never the corpus),
+    then five frame sums. Parity discipline: ln values are quantized
+    round(9) then accumulated as DECIMAL(18,9) so the group sums are
+    order-independent (the win_rolling_slope discipline — a 1-ulp libm
+    difference is 1e-6 of the quantization grid and cannot flip the
+    final round(6) through the slope division)."""
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("c").desc(), "w")
+    xy = (
+        cnt.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 1000)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rnk").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("x"),
+            F.round(F.log(F.col("c").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("y"),
+        )
+    )
+    s = xy.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "lang", F.col("n").alias("n_terms"), F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_ewma_smooth
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25  # exactly representable in binary (1/4), as is 0.75
+
+
+@query(
+    "win_ewma_smooth",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, count(*) AS n_events,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           round(list_reduce(vals,
+                 (a, b) -> a * {1 - _EWMA_ALPHA} + b * {_EWMA_ALPHA}), 6)
+             AS ewma
+    FROM v
+    """,
+)
+def win_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY-WEIGHTED moving average of `value` per user
+    (alpha = 0.25): the O(1)-state smoother every metrics pipeline
+    runs — the final EWMA state per key, i.e. what a streaming job
+    would hold after draining the topic.
+
+    An EWMA is an inherently SEQUENTIAL fold, so the engine collects
+    each user's series into an array (bounded by per-user activity —
+    the same per-key-bounded contract as chat_memory_window) and folds
+    it JVM-side with a higher-order aggregate — one shuffle, no UDF,
+    no window. Parity: both engines fold the identical value sequence
+    (total order (ts, event_id); Spark sorts an array of structs,
+    DuckDB's list() takes ORDER BY) with alpha = 0.25 and 1-alpha =
+    0.75 both exactly representable in binary — the folds are
+    bit-identical, rounded once at the end."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"), "event_id", "value"
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sort_array(F.collect_list("s")).alias("ss"),
+        )
+    )
+    fold = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), vals[0], "
+        f"(a, b) -> a * {1 - _EWMA_ALPHA}D + b * {_EWMA_ALPHA}D)"
+    )
+    return (
+        v.select(
+            "user_id",
+            "n_events",
+            F.expr("transform(ss, s -> s.value)").alias("vals"),
+        )
+        .select("user_id", "n_events", F.round(fold, 6).alias("ewma"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_mad_outlier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_mad_outlier",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    med AS (
+      SELECT user_id,
+             (max(CASE WHEN rn = (n + 1) // 2 THEN value END)
+              + max(CASE WHEN rn = (n + 2) // 2 THEN value END)) / 2 AS med
+      FROM r GROUP BY user_id),
+    dev AS (
+      SELECT r.user_id, r.event_id, r.value,
+             abs(r.value - m.med) AS d, m.med
+      FROM r JOIN med m ON r.user_id = m.user_id),
+    dr AS (
+      SELECT user_id, med, d,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY d, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM dev),
+    mad AS (
+      SELECT user_id, med,
+             (max(CASE WHEN rn = (n + 1) // 2 THEN d END)
+              + max(CASE WHEN rn = (n + 2) // 2 THEN d END)) / 2 AS mad
+      FROM dr GROUP BY user_id, med)
+    SELECT d.user_id, round(m.med, 6) AS med, round(m.mad, 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.user_id = m.user_id
+    GROUP BY d.user_id, m.med, m.mad
+    """,
+)
+def win_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-ABSOLUTE-DEVIATION outlier screen per user: med =
+    median(value), mad = median(|value - med|), flag |value - med| >
+    3*mad — the robust alternative to win_zscore_outlier (a single
+    wild value drags a z-score's mean and std; it cannot drag two
+    medians).
+
+    Exact order-statistic medians on both engines — never an
+    interpolating percentile whose lerp shape differs between engines
+    (the win_rolling_median lesson): row_number picks the (n+1)/2 and
+    (n+2)/2 elements and averages them with the same (lo+hi)/2
+    expression. Two sorted windows + one join, all hash-partitioned on
+    user_id — one logical shuffle key end-to-end, so at 100 TB this is
+    two sorts within already-co-located partitions."""
+    ev = table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wu = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wu).alias("n"),
+    )
+    lo = F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")))
+    hi = F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("value")))
+    med = r.groupBy("user_id").agg(((lo + hi) / 2).alias("med"))
+    dev = r.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    wd = Window.partitionBy("user_id").orderBy("d", "event_id")
+    dr = dev.select(
+        "user_id",
+        "med",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wu).alias("n"),
+    )
+    lo_d = F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d")))
+    hi_d = F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("d")))
+    mad = dr.groupBy("user_id", "med").agg(((lo_d + hi_d) / 2).alias("mad"))
+    return (
+        dev.join(mad.select("user_id", "mad"), "user_id")
+        .groupBy("user_id", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                (F.col("d") > 3 * F.col("mad")).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "user_id",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_events",
+            "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_train_val_split
+# ---------------------------------------------------------------------------
+
+_ROLL_DUCK = """list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST(ascii(substring(t, 1, 1)) * 961
+                           + ascii(substring(t, length(t), 1)) * 31
+                           + length(t) AS BIGINT))),
+             (h, c) -> (h * 131 + c) % 1000000007)"""
+
+_ROLL_SPARK = (
+    "aggregate(transform(split(text, ' '), "
+    "t -> CAST(ascii(substring(t, 1, 1)) * 961 "
+    "+ ascii(substring(t, length(t), 1)) * 31 + length(t) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (h, c) -> (h * 131 + c) % 1000000007)"
+)
+
+
+def _train_val_oracle() -> str:
+    from .dedup import _DUCK_CODES, _simhash_expr
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN {_ROLL_DUCK} % 10 = 9 THEN 'val' ELSE 'train' END
+               AS split,
+             {_simhash_expr(f'({_DUCK_CODES})', spark_side=False)} AS simhash,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    leak AS (
+      SELECT simhash, CAST(1 AS INTEGER) AS lk FROM base
+      GROUP BY simhash HAVING count(DISTINCT split) = 2)
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT b.simhash) AS BIGINT) AS n_buckets,
+           CAST(count(DISTINCT CASE WHEN l.lk = 1 THEN b.simhash END)
+                AS BIGINT) AS leaked_buckets
+    FROM base b LEFT JOIN leak l ON b.simhash = l.simhash
+    GROUP BY split
+    """
+
+
+@query("pipeline_train_val_split", oracle=_train_val_oracle())
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC content-keyed train/val split with a NEAR-DUP
+    LEAKAGE audit — the step between dedup and shard-assign in a
+    pretraining pipeline: split on a hash of the CONTENT (the
+    text_fingerprint rolling hash, mod 10 -> 90/10), never on doc_id
+    or random(), so identical text always lands in the same split and
+    the split is reproducible across re-ingests. The audit counts
+    16-bit SimHash buckets (dedup_simhash's near-dup key) that span
+    both splits — the residual near-duplicate contamination an exact
+    content split cannot remove, which is exactly what a team decides
+    to purge (pipeline_near_dup_purge) before an eval run.
+
+    One map pass computes hash + simhash + token count; the bucket
+    audit is a vocabulary-sized aggregate joined back to the per-split
+    rollup. All-integer arithmetic — exact parity by construction."""
+    d = table(spark, sf_dir, "documents")
+    from .dedup import _SPARK_CODES, _simhash_expr
+
+    base = d.select(
+        "doc_id",
+        F.when(F.expr(_ROLL_SPARK) % 10 == 9, F.lit("val"))
+        .otherwise("train")
+        .alias("split"),
+        F.expr(_simhash_expr(f"({_SPARK_CODES})", spark_side=True)).alias(
+            "simhash"
+        ),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    leak = (
+        base.groupBy("simhash")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") == 2)
+        .select("simhash", F.lit(1).alias("lk"))
+    )
+    return (
+        base.join(F.broadcast(leak), "simhash", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("simhash").cast("bigint").alias("n_buckets"),
+            F.countDistinct(
+                F.when(F.col("lk") == 1, F.col("simhash"))
+            ).cast("bigint").alias("leaked_buckets"),
+        )
+    )

@@ -751,3 +751,462 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("leaked_buckets"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_eval_recall_mrr
+# ---------------------------------------------------------------------------
+
+_DD_COS_A = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@query(
+    "rag_eval_recall_mrr",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding
+          FROM embeddings WHERE vec_id >= 10),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round({_DD_COS_A.format(a='c.embedding', b='q.qv')}, 6) DESC,
+                 c.neighbor_id) AS rn
+        FROM c CROSS JOIN q) t
+      WHERE rn <= 10),
+    sys AS (
+      SELECT query_id, neighbor_id, rn AS sys_rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 len(list_filter(range(1, len(c.embedding) + 1),
+                     i -> (c.embedding[i] > 0) <> (q.qv[i] > 0))),
+                 c.neighbor_id) AS rn
+        FROM c CROSS JOIN q) t
+      WHERE rn <= 10),
+    hits AS (
+      SELECT t.query_id, count(*) AS n_hits,
+             min(s.sys_rank) AS first_rank
+      FROM truth t JOIN sys s
+        ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+      GROUP BY t.query_id)
+    SELECT q2.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10,
+           CASE WHEN h.first_rank IS NULL THEN 0.0
+                ELSE round(1.0 / h.first_rank, 6) END AS mrr
+    FROM (SELECT DISTINCT query_id FROM q) q2
+    LEFT JOIN hits h ON q2.query_id = h.query_id
+    """,
+)
+def rag_eval_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY evaluation — recall@10 and MRR of the sign-bit
+    hamming ranker (vec_signbit_hamming_topk's 32x-compressed index)
+    against exact-cosine ground truth, per query. This is the offline
+    eval loop every vector-search deployment runs before swapping a
+    cheaper index in (the reference trusts Qdrant blindly; an engine
+    measures): ground truth = exact top-10, system = hamming top-10,
+    recall = overlap/10, MRR = 1/rank of the first true hit.
+
+    Both rankings stream the corpus once against broadcast queries; at
+    100 TB each side keeps per-query top-10 frontiers (window over
+    candidates already reduced per partition) and the metric join
+    touches 10x10 rows per query. Joining system to truth on
+    (query, neighbor) and aggregating count + min(rank) is exact
+    integer arithmetic; the two divisions are round(6)'d identically.
+    Queries with zero true hits keep a row (LEFT join from the query
+    list) with recall 0 — silent query dropout is the classic eval
+    bug."""
+    from ..functions.vector import cosine_fixed
+    from .vector import _query_vector_raw, _query_vectors
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = len(_query_vector_raw(sf_dir, 0))
+    q = _query_vectors(spark, sf_dir, 10)
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    paired = corpus.crossJoin(F.broadcast(q))
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    truth = (
+        paired.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cos))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    sig = (
+        "aggregate(transform({v}, (x, i) -> "
+        "IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    sys_rank = (
+        paired.select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(
+                F.expr(sig.format(v="embedding")).bitwiseXOR(
+                    F.expr(sig.format(v="qv"))
+                )
+            ).alias("hamming"),
+        )
+        .withColumn("sys_rank", F.row_number().over(w_ham))
+        .where(F.col("sys_rank") <= 10)
+        .select("query_id", "neighbor_id", "sys_rank")
+    )
+    hits = truth.join(sys_rank, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(
+        F.count("*").alias("n_hits"), F.min("sys_rank").alias("first_rank")
+    )
+    qids = q.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias(
+            "recall_at_10"
+        ),
+        F.when(F.col("first_rank").isNull(), 0.0)
+        .otherwise(F.round(1.0 / F.col("first_rank"), 6))
+        .alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vec_kmeans_lloyd
+# ---------------------------------------------------------------------------
+
+_KM_K = 4  # clusters (seeded from vec_id 0..3 — deterministic)
+_KM_D = 8  # dim prefix used (vec_matryoshka_topk's prefix trick)
+_KM_ITERS = 3  # fixed Lloyd iterations, unrolled on both engines
+
+
+def _km_dist(j: int) -> str:
+    """Squared L2 distance of point dims e1..eD to centroid j's pivoted
+    dims cj_1..cj_D — dialect-neutral arithmetic, identical text on
+    both engines so the doubles agree bit-wise."""
+    return " + ".join(
+        f"(e{i} - c{j}_{i}) * (e{i} - c{j}_{i})" for i in range(1, _KM_D + 1)
+    )
+
+
+_KM_ARGMIN = (
+    "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+    "WHEN d1 <= d2 AND d1 <= d3 THEN 1 "
+    "WHEN d2 <= d3 THEN 2 ELSE 3 END"
+)
+
+_KM_DSEL = (
+    "CASE WHEN cl = 0 THEN d0 WHEN cl = 1 THEN d1 "
+    "WHEN cl = 2 THEN d2 ELSE d3 END"
+)
+
+
+def _km_newdim(i: int) -> str:
+    """Per-cluster mean of dim i: DECIMAL-accumulated (order-independent
+    across engines), divided once, re-quantized to the round(9) grid so
+    the next iteration's comparisons see identical doubles."""
+    return (
+        f"round(CAST(sum(CAST(e{i} AS DECIMAL(18,9))) AS DOUBLE)"
+        f" / count(*), 9)"
+    )
+
+
+def _km_oracle() -> str:
+    D, K, T = _KM_D, _KM_K, _KM_ITERS
+    dims = range(1, D + 1)
+    e_cols = ", ".join(f"e{i}" for i in dims)
+    parts = [
+        "WITH pts AS (SELECT vec_id, "
+        + ", ".join(
+            f"CAST(list_extract(embedding, {i}) AS DOUBLE) AS e{i}" for i in dims
+        )
+        + " FROM embeddings)",
+        "cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, "
+        + ", ".join(f"round(e{i}, 9) AS c{i}" for i in dims)
+        + f" FROM pts WHERE vec_id < {K})",
+    ]
+    for t in range(T + 1):
+        parts.append(
+            f"cw{t} AS (SELECT "
+            + ", ".join(
+                f"max(CASE WHEN cl = {j} THEN c{i} END) AS c{j}_{i}"
+                for j in range(K)
+                for i in dims
+            )
+            + f" FROM cent{t})"
+        )
+        parts.append(
+            f"dist{t} AS (SELECT p.vec_id, {e_cols}, "
+            + ", ".join(f"{_km_dist(j)} AS d{j}" for j in range(K))
+            + f" FROM pts p CROSS JOIN cw{t})"
+        )
+        parts.append(
+            f"asg{t} AS (SELECT *, {_KM_ARGMIN} AS cl FROM dist{t})"
+        )
+        if t < T:
+            parts.append(
+                f"cent{t + 1} AS (SELECT cl, "
+                + ", ".join(f"{_km_newdim(i)} AS c{i}" for i in dims)
+                + f" FROM asg{t} GROUP BY cl)"
+            )
+    parts.append(
+        f"per AS (SELECT cl, count(*) AS n_points, "
+        f"sum(CAST(round({_KM_DSEL}, 9) AS DECIMAL(28,12))) AS inert "
+        f"FROM asg{T} GROUP BY cl)"
+    )
+    body = ",\n    ".join(parts)
+    return (
+        body
+        + f"""
+    SELECT p.cl AS cluster_id, p.n_points,
+           {', '.join(f'round(c.c{i}, 6) AS c{i}' for i in dims)},
+           round(CAST(p.inert AS DOUBLE), 4) AS inertia
+    FROM per p JOIN cent{_KM_ITERS} c ON p.cl = c.cl
+    """
+    )
+
+
+@query("vec_kmeans_lloyd", oracle=_km_oracle())
+def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED K-MEANS (Lloyd, k=4, 3 unrolled iterations) over the
+    8-dim matryoshka prefix of the embedding corpus — the clustering
+    primitive under IVF coarse quantizers (vec_ivf_ann trains one on a
+    bounded sample; THIS op is the full-corpus variant), corpus
+    topic-bucketing, and diversity sampling.
+
+    Per iteration the corpus is scanned ONCE: centroids pivot to a
+    single broadcast row (k*d values — never a shuffled join), distance
+    + argmin are codegen'd scalar arithmetic (distances aliased so each
+    is evaluated once, the Janino-64KB lesson of vec_radius_search),
+    and the update is one map-side-combined aggregate producing k rows.
+    Linear in corpus size, k*d bytes of driver state, zero collects —
+    the exact shape that holds at 100 TB x 1000 executors.
+
+    Parity discipline (the PageRank recipe): dimension means accumulate
+    as DECIMAL(18,9) (order-independent sums), every centroid re-
+    quantizes to the round(9) grid each iteration so sub-ulp drift
+    cannot compound across iterations, and per-point inertia terms are
+    round(9)-quantized before the DECIMAL total. The oracle unrolls the
+    same three iterations as chained CTEs (a recursive CTE cannot
+    reference itself twice)."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = range(1, _KM_D + 1)
+    pts = emb.select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)").alias(f"e{i}")
+            for i in dims
+        ],
+    )
+    cent = pts.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cl"),
+        *[F.round(F.col(f"e{i}"), 9).alias(f"c{i}") for i in dims],
+    )
+    asg = None
+    for t in range(_KM_ITERS + 1):
+        cw = cent.groupBy().agg(
+            *[
+                F.max(F.when(F.col("cl") == j, F.col(f"c{i}"))).alias(
+                    f"c{j}_{i}"
+                )
+                for j in range(_KM_K)
+                for i in dims
+            ]
+        )
+        dist = pts.crossJoin(F.broadcast(cw)).select(
+            "vec_id",
+            *[F.col(f"e{i}") for i in dims],
+            *[F.expr(_km_dist(j)).alias(f"d{j}") for j in range(_KM_K)],
+        )
+        asg = dist.select("*", F.expr(_KM_ARGMIN).alias("cl"))
+        if t < _KM_ITERS:
+            cent = asg.groupBy("cl").agg(
+                *[F.expr(_km_newdim(i)).alias(f"c{i}") for i in dims]
+            )
+    per = asg.groupBy("cl").agg(
+        F.count("*").alias("n_points"),
+        F.sum(
+            F.expr(f"CAST(round({_KM_DSEL}, 9) AS DECIMAL(28,12))")
+        ).alias("inert"),
+    )
+    return per.join(F.broadcast(cent), "cl").select(
+        F.col("cl").alias("cluster_id"),
+        "n_points",
+        *[F.round(F.col(f"c{i}"), 6).alias(f"c{i}") for i in dims],
+        F.round(F.col("inert").cast("double"), 4).alias("inertia"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vec_pca_power_iter
+# ---------------------------------------------------------------------------
+
+_PCA_D = 8  # dim prefix (same matryoshka prefix as vec_kmeans_lloyd)
+_PCA_ITERS = 5  # fixed power iterations, unrolled on both engines
+
+
+def _pca_cov(i: int, j: int) -> str:
+    """cov(i,j) from the raw moment sums — identical expression text on
+    both engines; round(9)-quantized so iteration arithmetic starts
+    from the same grid."""
+    a, b = min(i, j), max(i, j)
+    return (
+        f"round(CAST(s{a}_{b} AS DOUBLE) / n "
+        f"- (CAST(s{a} AS DOUBLE) / n) * (CAST(s{b} AS DOUBLE) / n), 9)"
+    )
+
+
+def _pca_w(i: int) -> str:
+    """Row i of C*v — fixed left-to-right addition order on both
+    engines, so the fold is bit-identical."""
+    return " + ".join(f"c{i}_{j} * v{j}" for j in range(1, _PCA_D + 1))
+
+
+_PCA_NORM = " + ".join(f"w{i} * w{i}" for i in range(1, _PCA_D + 1))
+_PCA_LAMBDA = " + ".join(f"v{i} * w{i}" for i in range(1, _PCA_D + 1))
+_PCA_TRACE = " + ".join(f"c{i}_{i}" for i in range(1, _PCA_D + 1))
+
+
+def _pca_oracle() -> str:
+    D, T = _PCA_D, _PCA_ITERS
+    dims = range(1, D + 1)
+    ccols = ", ".join(f"c{i}_{j}" for i in dims for j in dims)
+    parts = [
+        "WITH pts AS (SELECT "
+        + ", ".join(
+            f"CAST(list_extract(embedding, {i}) AS DOUBLE) AS e{i}" for i in dims
+        )
+        + " FROM embeddings)",
+        "mom AS (SELECT count(*) AS n, "
+        + ", ".join(f"sum(CAST(e{i} AS DECIMAL(18,9))) AS s{i}" for i in dims)
+        + ", "
+        + ", ".join(
+            f"sum(CAST(e{i} AS DECIMAL(18,9)) * CAST(e{j} AS DECIMAL(18,9)))"
+            f" AS s{i}_{j}"
+            for i in dims
+            for j in dims
+            if i <= j
+        )
+        + " FROM pts)",
+        "cov AS (SELECT "
+        + ", ".join(f"{_pca_cov(i, j)} AS c{i}_{j}" for i in dims for j in dims)
+        + " FROM mom)",
+        f"v0 AS (SELECT {ccols}, "
+        + ", ".join(
+            f"{'1.0' if i == 1 else '0.0'} AS v{i}" for i in dims
+        )
+        + " FROM cov)",
+    ]
+    for t in range(1, T + 1):
+        parts.append(
+            f"w{t} AS (SELECT {ccols}, "
+            + ", ".join(f"{_pca_w(i)} AS w{i}" for i in dims)
+            + f" FROM v{t - 1})"
+        )
+        parts.append(
+            f"v{t} AS (SELECT {ccols}, "
+            + ", ".join(
+                f"round(w{i} / sqrt({_PCA_NORM}), 9) AS v{i}" for i in dims
+            )
+            + f" FROM w{t})"
+        )
+    parts.append(
+        f"wf AS (SELECT *, "
+        + ", ".join(f"{_pca_w(i)} AS w{i}" for i in dims)
+        + f" FROM v{T})"
+    )
+    body = ",\n    ".join(parts)
+    return (
+        body
+        + f"""
+    SELECT round({_PCA_LAMBDA}, 6) AS lambda1,
+           round(({_PCA_LAMBDA}) / ({_PCA_TRACE}), 6) AS explained_ratio,
+           {', '.join(f'round(CASE WHEN v1 < 0 THEN -v{i} ELSE v{i} END, 6) AS v{i}' for i in dims)}
+    FROM wf
+    """
+    )
+
+
+@query("vec_pca_power_iter", oracle=_pca_oracle())
+def vec_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus (8-dim prefix)
+    via distributed covariance + power iteration — the dimensionality
+    probe behind OPQ rotations, embedding-drift monitors, and whitening
+    stages. The heavy part — the d*(d+1)/2 second-moment sums — is ONE
+    map-side-combined aggregate over the corpus (scan-shaped, linear,
+    no shuffle beyond the k=1-row combine); the 5 power iterations then
+    run on a single 1-row DataFrame entirely inside the plan (no
+    driver collect, no loop over actions — the iteration unrolls into
+    chained projections exactly like the oracle's CTEs).
+
+    Parity discipline: moment sums accumulate as DECIMAL(18,9)
+    products (exact, order-independent); the covariance and every
+    iterate re-quantize to the round(9) grid (the PageRank recipe) so
+    drift cannot compound; C*v rows and norms are fixed left-to-right
+    sums with identical text on both engines. The eigenvector sign is
+    canonicalized (v1 >= 0) — power iteration's sign is otherwise an
+    artifact of the start vector."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = range(1, _PCA_D + 1)
+    pts = emb.select(
+        *[
+            F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)").alias(f"e{i}")
+            for i in dims
+        ]
+    )
+    mom = pts.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col(f"e{i}").cast("decimal(18,9)")).alias(f"s{i}")
+            for i in dims
+        ],
+        *[
+            F.sum(
+                F.col(f"e{i}").cast("decimal(18,9)")
+                * F.col(f"e{j}").cast("decimal(18,9)")
+            ).alias(f"s{i}_{j}")
+            for i in dims
+            for j in dims
+            if i <= j
+        ],
+    )
+    cov = mom.select(
+        *[F.expr(_pca_cov(i, j)).alias(f"c{i}_{j}") for i in dims for j in dims]
+    )
+    ccols = [f"c{i}_{j}" for i in dims for j in dims]
+    cur = cov.select(
+        *ccols,
+        *[F.lit(1.0 if i == 1 else 0.0).alias(f"v{i}") for i in dims],
+    )
+    for _ in range(_PCA_ITERS):
+        w = cur.select(*ccols, *[F.expr(_pca_w(i)).alias(f"w{i}") for i in dims])
+        cur = w.select(
+            *ccols,
+            *[
+                F.expr(f"round(w{i} / sqrt({_PCA_NORM}), 9)").alias(f"v{i}")
+                for i in dims
+            ],
+        )
+    wf = cur.select("*", *[F.expr(_pca_w(i)).alias(f"w{i}") for i in dims])
+    return wf.select(
+        F.expr(f"round({_PCA_LAMBDA}, 6)").alias("lambda1"),
+        F.expr(f"round(({_PCA_LAMBDA}) / ({_PCA_TRACE}), 6)").alias(
+            "explained_ratio"
+        ),
+        *[
+            F.expr(
+                f"round(CASE WHEN v1 < 0 THEN -v{i} ELSE v{i} END, 6)"
+            ).alias(f"v{i}")
+            for i in dims
+        ],
+    )

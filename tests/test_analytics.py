@@ -198,3 +198,56 @@ def test_mad_single_shuffle_key(spark):
     # every window/agg/join rides user_id hash partitioning
     assert "hashpartitioning(user_id" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# ------------------------------------------------------------- batch-4 ops
+
+
+def test_holt_matches_bruteforce(spark, events_pdf):
+    got = (
+        QUERIES["win_holt_linear"](spark, SF)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    a, g_ = 0.5, 0.25
+    for u, g in events_pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        vals = list(g["value"])
+        if len(vals) < 2:
+            assert u not in got.index
+            continue
+        level, trend = vals[1], vals[1] - vals[0]
+        for x in vals[2:]:
+            nl = a * x + (1 - a) * (level + trend)
+            trend = g_ * (nl - level) + (1 - g_) * trend
+            level = nl
+        assert abs(got.loc[u, "level"] - round(level, 6)) < 1e-9
+        assert abs(got.loc[u, "trend"] - round(trend, 6)) < 1e-9
+        assert abs(got.loc[u, "forecast_1"] - round(level + trend, 6)) < 1e-9
+
+
+def test_markov_rows_are_distributions(spark):
+    pdf = QUERIES["agg_markov_transition"](spark, SF).toPandas()
+    assert (pdf["n_trans"] > 0).all()
+    # each prev_type's outgoing probabilities sum to ~1 (round(6) each)
+    sums = pdf.groupby("prev_type")["p"].sum()
+    assert ((sums - 1).abs() < 1e-4).all()
+
+
+def test_tfidf_terms_ranked_per_doc(spark):
+    pdf = QUERIES["text_top_tfidf_terms"](spark, SF).toPandas()
+    assert (pdf["score"] >= 0).all()  # idf = ln(N/df) >= 0
+    for _, g in pdf.groupby("doc_id"):
+        assert sorted(g["rn"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 5
+        # scores non-increasing down the ranks
+        assert (g.sort_values("rn")["score"].diff().dropna() <= 1e-9).all()
+
+
+def test_mixture_reweight_budget_math(spark):
+    pdf = QUERIES["pipeline_mixture_reweight"](spark, SF).toPandas()
+    assert abs(pdf["current_frac"].sum() - 1) < 1e-4
+    assert abs(pdf["target_frac"].sum() - 1) < 1e-4
+    assert (pdf["weight"] <= 3.0 + 1e-9).all()
+    assert (pdf["weight"] > 0).all()
+    assert (pdf["effective_tokens"] <= (3 * pdf["tokens"])).all()

@@ -76,6 +76,15 @@ OPS = [
     ("agg_count_min_sketch", "documents"),
     ("sample_weighted_reservoir", "documents"),
     ("win_rolling_slope", "events"),
+    # round-6 second wave
+    ("text_pmi_collocations", "documents"),
+    ("agg_copurchase_pairs", "lineitem"),
+    ("win_time_weighted_avg", "events"),
+    ("win_ewma_smooth", "events"),
+    ("win_mad_outlier", "events"),
+    ("vec_kmeans_lloyd", "embeddings"),
+    ("vec_pca_power_iter", "embeddings"),
+    ("pipeline_train_val_split", "documents"),
 ]
 
 

@@ -1210,3 +1210,313 @@ def vec_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in dims
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_markov_transition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_markov_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT prev_type, sum(n_trans) AS row_total FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n_trans,
+           round(CAST(c.n_trans AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6)
+             AS p
+    FROM c JOIN tot t ON c.prev_type = t.prev_type
+    """,
+)
+def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV transition matrix over per-user event
+    sequences: P(next_type | prev_type) estimated from adjacent pairs
+    in each user's (ts, event_id)-ordered stream — the behavioral
+    model behind session prediction, anomaly scoring (improbable
+    transitions) and funnel design, and the event-stream analogue of
+    text_bigram_logprob's language model.
+
+    One shuffle on user_id feeds the lag window; adjacent pairs then
+    collapse to a |types|^2-sized aggregate (map-side combined — at
+    100 TB the shuffle carries at most types^2 rows per partition, not
+    events). Row-normalization joins the k-row totals back — exact
+    integer counts, one identically-shaped division, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_trans"))
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n_trans").alias("row_total"))
+    return c.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.col("row_total").cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_top_tfidf_terms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_top_tfidf_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) z
+      GROUP BY doc_id, w),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, tf, score, rn
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term) AS INTEGER) AS rn
+          FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def text_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-5 TF-IDF terms per document — explicit-vocabulary keyword
+    extraction (the exact-join twin of the hashed text_tfidf_embed,
+    which trades the join for murmur buckets): score = tf * ln(N/df),
+    per-doc top-5 with deterministic (score, term) ties.
+
+    One explode collapses to a (doc, term) aggregate (map-side
+    combined); document frequency is a vocabulary-sized aggregate
+    BROADCAST back over the big side (a vocabulary fits an executor at
+    any corpus size — the (doc,term) table is the one that doesn't);
+    the per-doc top-5 is a window over each doc's own terms, bounded
+    by document length, riding the same doc_id partitioning. Exact
+    integer tf/df; one identically-shaped log expression, round(6)."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "score", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_holt_linear
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.5  # level smoothing (binary-exact)
+_HOLT_G = 0.25  # trend smoothing (binary-exact)
+
+
+@query(
+    "win_holt_linear",
+    # NOTE: this oracle iterates via a RECURSIVE CTE, not list_reduce —
+    # DuckDB 1.0's list_reduce silently mis-folds STRUCT accumulators
+    # once more than ~2 elements are folded (scalar accumulators are
+    # exact left-folds at any length — probed to 5000; win_ewma_smooth
+    # relies on that). Struct state therefore steps row-by-row, all
+    # users advancing in parallel per recursion round.
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    nn AS (
+      SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id
+      HAVING max(rn) >= 2),
+    h AS (
+      SELECT s2.user_id, 2 AS i, s2.value AS l,
+             s2.value - s1.value AS b
+      FROM seq s1 JOIN seq s2
+        ON s1.user_id = s2.user_id AND s1.rn = 1 AND s2.rn = 2
+      UNION ALL
+      SELECT h.user_id, h.i + 1,
+             {_HOLT_A} * s.value + {1 - _HOLT_A} * (h.l + h.b),
+             {_HOLT_G} * ({_HOLT_A} * s.value
+                + {1 - _HOLT_A} * (h.l + h.b) - h.l) + {1 - _HOLT_G} * h.b
+      FROM h JOIN seq s ON s.user_id = h.user_id AND s.rn = h.i + 1)
+    SELECT h.user_id, CAST(nn.n AS BIGINT) AS n_events,
+           round(h.l, 6) AS level, round(h.b, 6) AS trend,
+           round(h.l + h.b, 6) AS forecast_1
+    FROM h JOIN nn ON h.user_id = nn.user_id AND h.i = nn.n
+    """,
+)
+def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR-TREND double exponential smoothing per user
+    (level alpha=0.5, trend gamma=0.25): the one-step-ahead
+    forecaster monitoring systems run where a plain EWMA
+    (win_ewma_smooth) lags trending series. Classic init — level =
+    x2, trend = x2 - x1, fold from x3.
+
+    Same per-key-bounded sequential-fold shape as win_ewma_smooth: the
+    series is collected per user (bounded by per-user activity) and
+    folded JVM-side as a (level, trend) STRUCT accumulator — no UDF,
+    no iteration over actions. Both smoothing constants are
+    binary-exact; the new level appears inside the trend update as the
+    textually-identical expression on both engines, so the folds agree
+    bit-wise and round(6) lands once at the end. Users with a single
+    event carry no trend and are excluded on both sides."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"), "event_id", "value"
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sort_array(F.collect_list("s")).alias("ss"),
+        )
+        .where(F.col("n_events") >= 2)
+    )
+    fold = F.expr(
+        "aggregate(slice(vals, 3, size(vals) - 2), "
+        "named_struct('l', element_at(vals, 2), "
+        "'b', element_at(vals, 2) - element_at(vals, 1)), "
+        f"(s, x) -> named_struct("
+        f"'l', {_HOLT_A}D * x + {1 - _HOLT_A}D * (s.l + s.b), "
+        f"'b', {_HOLT_G}D * ({_HOLT_A}D * x "
+        f"+ {1 - _HOLT_A}D * (s.l + s.b) - s.l) + {1 - _HOLT_G}D * s.b))"
+    )
+    return (
+        v.select(
+            "user_id",
+            "n_events",
+            F.expr("transform(ss, s -> s.value)").alias("vals"),
+        )
+        .select("user_id", "n_events", fold.alias("st"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.b"), 6).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_mixture_reweight
+# ---------------------------------------------------------------------------
+
+_MIX_MAX_EPOCHS = 3.0  # repetition cap (binary-exact)
+
+
+@query(
+    "pipeline_mixture_reweight",
+    oracle=f"""
+    WITH cur AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+             1 + CAST(substring(source, 4) AS INTEGER) % 4 AS tw
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(tw) AS BIGINT) AS total_tw
+      FROM cur)
+    SELECT source, n_docs, tokens,
+           round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS current_frac,
+           round(CAST(tw AS DOUBLE) / total_tw, 6) AS target_frac,
+           round(least((CAST(tw AS DOUBLE) / total_tw)
+                       * total_tokens / tokens, {_MIX_MAX_EPOCHS}), 6)
+             AS weight,
+           CAST(round(tokens * least((CAST(tw AS DOUBLE) / total_tw)
+                      * total_tokens / tokens, {_MIX_MAX_EPOCHS}), 0)
+                AS BIGINT) AS effective_tokens
+    FROM cur CROSS JOIN tot
+    """,
+)
+def pipeline_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIXTURE reweighting — the data-mixing step of a
+    pretraining pipeline (the DoReMi / Pile recipe, simplified to
+    fixed target weights): given a target mixture over sources
+    (deterministic here: weight 1 + idx%4 per source), compute each
+    source's sampling weight = target_share * total_tokens /
+    source_tokens, CAPPED at 3 epochs (repeating a small domain
+    forever degrades models — the standard up-sampling cap), and the
+    effective token budget it contributes.
+
+    One source-sized aggregate (map-side combined over the corpus
+    scan), a 1-row totals broadcast, pure arithmetic after — the
+    whole op is corpus-scan-bound at any scale. Integer token counts;
+    the weight expression has identical text on both engines;
+    round(6) on ratios, round(...,0) then BIGINT for the token
+    budget (same half-up rule on positives on both engines)."""
+    d = table(spark, sf_dir, "documents")
+    cur = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+        (
+            1 + F.expr("CAST(substring(source, 4) AS INT)") % 4
+        ).alias("tw"),
+    )
+    tot = cur.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.sum("tw").cast("bigint").alias("total_tw"),
+    )
+    wexpr = F.least(
+        (F.col("tw").cast("double") / F.col("total_tw"))
+        * F.col("total_tokens")
+        / F.col("tokens"),
+        F.lit(_MIX_MAX_EPOCHS),
+    )
+    return cur.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            "current_frac"
+        ),
+        F.round(F.col("tw").cast("double") / F.col("total_tw"), 6).alias(
+            "target_frac"
+        ),
+        F.round(wexpr, 6).alias("weight"),
+        F.round(F.col("tokens") * wexpr, 0).cast("bigint").alias(
+            "effective_tokens"
+        ),
+    )

@@ -251,3 +251,39 @@ def test_mixture_reweight_budget_math(spark):
     assert (pdf["weight"] <= 3.0 + 1e-9).all()
     assert (pdf["weight"] > 0).all()
     assert (pdf["effective_tokens"] <= (3 * pdf["tokens"])).all()
+
+
+# ------------------------------------------------------------- batch-5 ops
+
+
+def test_url_suite_canonicalization_rules(spark):
+    pdf = QUERIES["scalar_url_suite"](spark, SF).toPandas()
+    assert len(pdf) == 100
+    assert (~pdf["canonical"].str.contains("utm_", regex=False)).all()
+    assert (~pdf["canonical"].str.contains("ref=", regex=False)).all()
+    assert (pdf["host"] == pdf["host"].str.lower()).all()
+    assert (pdf["tld"] == "com").all()
+    # q params survive canonicalization
+    has_q = pdf["q_param"] != ""
+    assert pdf.loc[has_q, "canonical"].str.contains(r"\?q=").all()
+
+
+def test_url_canonical_dedup_groups(spark):
+    pdf = QUERIES["dedup_url_canonical"](spark, SF).toPandas()
+    assert (pdf["n_docs"] >= 2).all()
+    assert len(pdf) <= 50
+    assert pdf["canonical"].is_unique
+
+
+def test_gini_bounded(spark):
+    pdf = QUERIES["agg_gini_concentration"](spark, SF).toPandas()
+    ok = pdf["gini"].dropna()
+    assert ((ok >= 0) & (ok < 1)).all()
+    assert (pdf["n_customers"] > 0).all()
+
+
+def test_kl_divergence_nonnegative(spark):
+    pdf = QUERIES["text_kl_drift"](spark, SF).toPandas()
+    # Gibbs' inequality: KL >= 0 (round(6) slack)
+    assert (pdf["kl_divergence"] >= -1e-6).all()
+    assert (pdf["n_terms_present"] > 0).all()

@@ -1520,3 +1520,310 @@ def pipeline_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar_url_suite / dedup_url_canonical
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic URL per document (the fixture has no URL
+# column; web-corpus curation is URL-heavy, so the suite synthesizes
+# the same URL on both engines from (source, lang, doc_id) — including
+# tracking params on every third doc and a shared path bucket so
+# canonicalization produces real duplicates).
+_URL_DUCK = (
+    "'https://' || source || '.example.com/' || lang || '/doc-' "
+    "|| CAST(doc_id % 50 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || source "
+    "WHEN doc_id % 3 = 1 THEN '?q=' || lang ELSE '' END"
+)
+_URL_SPARK = (
+    "concat('https://', source, '.example.com/', lang, '/doc-', "
+    "CAST(doc_id % 50 AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&ref=', source) "
+    "WHEN doc_id % 3 = 1 THEN concat('?q=', lang) ELSE '' END)"
+)
+
+_RE_HOST = "^https?://([^/?]+)"
+_RE_PATH = "^https?://[^/?]+([^?]*)"
+_RE_Q = "[?&]q=([^&]*)"
+
+
+@query(
+    "scalar_url_suite",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '{_RE_HOST}', 1) AS host,
+           regexp_extract(regexp_extract(url, '{_RE_HOST}', 1),
+                          '([^.]+)$', 1) AS tld,
+           regexp_extract(url, '{_RE_PATH}', 1) AS path,
+           regexp_extract(url, '{_RE_Q}', 1) AS q_param,
+           lower(regexp_extract(url, '{_RE_HOST}', 1))
+             || regexp_extract(url, '{_RE_PATH}', 1)
+             || CASE WHEN regexp_extract(url, '{_RE_Q}', 1) <> ''
+                     THEN '?q=' || regexp_extract(url, '{_RE_Q}', 1)
+                     ELSE '' END AS canonical
+    FROM u
+    WHERE doc_id < 100
+    """,
+)
+def scalar_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization scalar suite — the string surface
+    of web-corpus curation (CommonCrawl-style pipelines spend a pass
+    on exactly this): host / TLD / path / query-param extraction via
+    anchored regexes, and a canonical form that lowercases the host
+    and STRIPS tracking parameters (utm_*, ref) while keeping
+    semantic ones (q). Synthetic URLs are derived deterministically
+    from fixture columns on both engines (no URL column in the
+    fixture; the derivation IS part of the parity surface).
+
+    Pure map-side regexp — scan throughput at any scale. The same
+    regex text runs on both engines (RE2-class patterns only: no
+    lookahead, anchored where it matters)."""
+    d = table(spark, sf_dir, "documents")
+    u = d.where(F.col("doc_id") < 100).select(
+        "doc_id", F.expr(_URL_SPARK).alias("url")
+    )
+    host = F.regexp_extract("url", _RE_HOST, 1)
+    path = F.regexp_extract("url", _RE_PATH, 1)
+    q = F.regexp_extract("url", _RE_Q, 1)
+    canonical = F.concat(
+        F.lower(host),
+        path,
+        F.when(q != "", F.concat(F.lit("?q="), q)).otherwise(""),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.regexp_extract(host, "([^.]+)$", 1).alias("tld"),
+        path.alias("path"),
+        q.alias("q_param"),
+        canonical.alias("canonical"),
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+    c AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '{_RE_HOST}', 1))
+               || regexp_extract(url, '{_RE_PATH}', 1)
+               || CASE WHEN regexp_extract(url, '{_RE_Q}', 1) <> ''
+                       THEN '?q=' || regexp_extract(url, '{_RE_Q}', 1)
+                       ELSE '' END AS canonical
+      FROM u)
+    SELECT canonical,
+           count(*) AS n_docs,
+           min(doc_id) AS keeper_doc_id
+    FROM c GROUP BY canonical
+    HAVING count(*) >= 2
+    ORDER BY n_docs DESC, canonical
+    LIMIT 50
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-CANONICAL dedup — the cheapest web-corpus dedup pass, run
+    BEFORE any content hashing (same page fetched via different
+    tracking links / host casing): group by the canonical URL
+    (scalar_url_suite's normalization), keep the lowest doc_id, report
+    duplicate groups. One map pass + one hash aggregate on the
+    canonical key — at 100 TB this is the same shape as dedup_exact
+    with a cheaper key (no content digest needed). Top-50 groups plan
+    as TakeOrderedAndProject; keeper = min(doc_id) is the
+    deterministic keep-first rule shared with dedup_near_embedding."""
+    d = table(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    host = F.regexp_extract("url", _RE_HOST, 1)
+    path = F.regexp_extract("url", _RE_PATH, 1)
+    q = F.regexp_extract("url", _RE_Q, 1)
+    canonical = F.concat(
+        F.lower(host),
+        path,
+        F.when(q != "", F.concat(F.lit("?q="), q)).otherwise(""),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "canonical")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey AS nationkey,
+             CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 0)
+                  AS DECIMAL(18,6)) AS revenue
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_nationkey),
+    ranked AS (
+      SELECT nationkey, revenue,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY revenue, c_custkey) AS i
+      FROM rev),
+    s AS (
+      SELECT nationkey, count(*) AS n,
+             CAST(sum(i * revenue) AS DOUBLE) AS swx,
+             CAST(sum(revenue) AS DOUBLE) AS sx
+      FROM ranked GROUP BY nationkey)
+    SELECT nationkey, CAST(n AS BIGINT) AS n_customers,
+           CASE WHEN sx > 0
+                THEN round((2.0 * swx) / (n * sx)
+                           - (n + 1.0) / n, 6)
+           END AS gini
+    FROM s
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer revenue per nation — the standard
+    concentration metric (whale-dependence of a market; the identical
+    formula measures token-frequency concentration of a corpus):
+    G = 2*sum(i*x_i)/(n*sum(x_i)) - (n+1)/n over ascending-sorted
+    revenues. Customers with no orders count with revenue 0 (dropping
+    them understates concentration — the classic mistake).
+
+    One join shuffle builds per-customer revenue; the rank window and
+    both sums ride the nation partitioning (bounded groups). Parity:
+    revenues accumulate as DECIMAL(18,6) money (exact, order-
+    independent — the rank weight i is an exact integer), one double
+    division chain at the end, round(6). All-zero nations yield NULL
+    on both engines."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey", F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")),
+                F.lit(0),
+            )
+            .cast("decimal(18,6)")
+            .alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("nationkey").orderBy("revenue", "c_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(wr))
+    s = ranked.groupBy("nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("i") * F.col("revenue")).cast("double").alias("swx"),
+        F.sum("revenue").cast("double").alias("sx"),
+    )
+    gini = F.round(
+        (2.0 * F.col("swx")) / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1.0) / F.col("n"),
+        6,
+    )
+    return s.select(
+        "nationkey",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.when(F.col("sx") > 0, gini).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_kl_drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_kl_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+    srcs AS (SELECT source, count(*) AS ts FROM tok GROUP BY source),
+    sw AS (SELECT source, w, count(*) AS csw FROM tok GROUP BY source, w),
+    tot AS (
+      SELECT CAST((SELECT sum(cw) FROM vocab) AS BIGINT) AS t,
+             CAST((SELECT count(*) FROM vocab) AS BIGINT) AS v),
+    grid AS (
+      SELECT s.source, s.ts, vb.w, vb.cw, coalesce(x.csw, 0) AS csw
+      FROM srcs s CROSS JOIN vocab vb
+      LEFT JOIN sw x ON x.source = s.source AND x.w = vb.w),
+    terms AS (
+      SELECT source,
+             CAST(CASE WHEN csw > 0 THEN 1 ELSE 0 END AS BIGINT) AS present,
+             CAST(round(
+               ((csw + 1e0) / (ts + v))
+               * ln(((csw + 1e0) / (ts + v)) / ((cw + 1e0) / (t + v))),
+               12) AS DECIMAL(20,12)) AS term
+      FROM grid CROSS JOIN tot)
+    SELECT source,
+           CAST(sum(present) AS BIGINT) AS n_terms_present,
+           round(CAST(sum(term) AS DOUBLE), 6) AS kl_divergence
+    FROM terms GROUP BY source
+    """,
+)
+def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT detector: KL(P_source || P_corpus) of
+    add-one-smoothed unigram distributions, per source — the monitor a
+    corpus pipeline runs per ingest batch to catch a source going off
+    the rails (scraper drift, language flips, spam floods) before it
+    pollutes training data. Smoothing covers vocabulary the source
+    never emits (those terms still contribute mass).
+
+    The corpus collapses to vocabulary-sized aggregates in one pass
+    (map-side combined); the per-(source, term) grid is
+    |sources| x |vocab| — built from the VOCAB side, never the corpus,
+    and joined to per-source counts riding the term key. Parity: the
+    KL integrand is one identically-shaped expression, each term
+    round(12)-quantized then summed as DECIMAL(20,12) (order-
+    independent; a 1-ulp libm wobble is 1e-4 of the grid and vanishes
+    in the round(6) total)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cw"))
+    srcs = tok.groupBy("source").agg(F.count("*").alias("ts"))
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("csw"))
+    tot = vocab.agg(
+        F.sum("cw").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    grid = (
+        srcs.crossJoin(vocab)
+        .join(F.broadcast(sw), ["source", "w"], "left")
+        .select(
+            "source", "ts", "w", "cw", F.coalesce("csw", F.lit(0)).alias("csw")
+        )
+    )
+    # 1e0, not 1.0: a bare 1.0 literal parses as DECIMAL(2,1) in Spark
+    # SQL (and DuckDB), dragging the whole quotient through low-scale
+    # decimal division (~1e-6 relative error); 1e0 is a DOUBLE literal
+    # in both dialects, keeping the integrand in float64 end to end.
+    term = F.expr(
+        "CAST(round(((csw + 1e0) / (ts + v)) "
+        "* ln(((csw + 1e0) / (ts + v)) / ((cw + 1e0) / (t + v))), 12) "
+        "AS DECIMAL(20,12))"
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (F.col("csw") > 0).cast("bigint").alias("present"),
+            term.alias("term"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("present").cast("bigint").alias("n_terms_present"),
+            F.round(F.sum("term").cast("double"), 6).alias("kl_divergence"),
+        )
+    )

@@ -287,3 +287,57 @@ def test_kl_divergence_nonnegative(spark):
     # Gibbs' inequality: KL >= 0 (round(6) slack)
     assert (pdf["kl_divergence"] >= -1e-6).all()
     assert (pdf["n_terms_present"] > 0).all()
+
+
+# ------------------------------------------------------------- batch-6 ops
+
+
+def test_bloom_prefilter_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_agentic_rag_spark.functions.money import cents
+    from vectordb_agentic_rag_spark.tables import table as tbl
+
+    got = (
+        QUERIES["join_bloom_prefilter"](spark, SF)
+        .toPandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    li = tbl(spark, SF, "lineitem")
+    sup = tbl(spark, SF, "supplier").where(F.col("s_nationkey") < 5)
+    plain = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(
+                    cents("l_extendedprice") * (100 - cents("l_discount"))
+                ).cast("double")
+                / 10000,
+                2,
+            ).alias("revenue"),
+        )
+        .toPandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, plain)
+
+
+def test_bloom_probe_precedes_the_join(spark):
+    plan = plan_of(QUERIES["join_bloom_prefilter"](spark, SF))
+    # the bitmap probe (bit math over the broadcast words array) must
+    # appear as a Filter, and the exact join still runs after it
+    assert "element_at" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lang_confusion_rows_normalize(spark):
+    pdf = QUERIES["text_lang_confusion"](spark, SF).toPandas()
+    sums = pdf.groupby("lang")["share"].sum()
+    assert ((sums - 1).abs() < 1e-4).all()
+    n_docs = pd.read_parquet(f"{SF}/documents.parquet").shape[0]
+    assert pdf["n_docs"].sum() == n_docs

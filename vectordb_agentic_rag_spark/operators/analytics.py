@@ -1827,3 +1827,182 @@ def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term").cast("double"), 6).alias("kl_divergence"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_prefilter
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096  # m: 64 int64 words
+_BLOOM_WORDS = _BLOOM_BITS // 64
+# two independent integer hash lanes (Knuth multiplicative + affine)
+_BLOOM_H1 = "(s * 2654435761) % 4096"
+_BLOOM_H2 = "(s * 40503 + 17) % 4096"
+
+
+@query(
+    "join_bloom_prefilter",
+    # the bloom is a PREFILTER, not a semantics change: the exact join
+    # still runs, so the oracle is the plain join+aggregate
+    oracle="""
+    SELECT l.l_suppkey,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000, 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey < 5
+    GROUP BY l.l_suppkey
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PREFILTERED dimension join — the hand-rolled runtime row
+    filter (Spark's own bloom_filter_agg is internal-only on this
+    build, CLAUDE.md round-5): qualifying supplier keys fold into a
+    4096-bit / 2-hash bloom bitmap (64 int64 words, ONE row) in a tiny
+    aggregate; the fact scan probes the broadcast bitmap with pure
+    integer bit math BEFORE the exact join, so non-qualifying rows
+    never reach the join's shuffle or build side. False positives are
+    removed by the exact join that follows — output is bit-identical
+    to the plain join (the oracle), only the plan differs.
+
+    Why it matters at 100 TB: when the filtered dimension is too big
+    to broadcast, the JOIN must shuffle both sides — but the BLOOM of
+    the dimension is 512 bytes regardless of dimension size, and a
+    ~1% selective prefilter cuts the fact-side shuffle by ~99%. Probe
+    cost is two multiplies + two shifts per row inside whole-stage
+    codegen. Money sums in exact integer cents (functions/money.py)."""
+    from ..functions.money import cents
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    dim = sup.where(F.col("s_nationkey") < 5).select("s_suppkey")
+    h1 = _BLOOM_H1.replace("s", "s_suppkey")
+    h2 = _BLOOM_H2.replace("s", "s_suppkey")
+    bloom = dim.agg(
+        *[
+            F.expr(
+                f"bit_or(CASE WHEN ({h1}) div 64 = {j} "
+                f"THEN shiftleft(1L, CAST(({h1}) % 64 AS INT)) ELSE 0L END | "
+                f"CASE WHEN ({h2}) div 64 = {j} "
+                f"THEN shiftleft(1L, CAST(({h2}) % 64 AS INT)) ELSE 0L END)"
+            ).alias(f"w{j}")
+            for j in range(_BLOOM_WORDS)
+        ]
+    ).select(
+        F.array(*[F.col(f"w{j}") for j in range(_BLOOM_WORDS)]).alias("words")
+    )
+    p1 = _BLOOM_H1.replace("s", "l_suppkey")
+    p2 = _BLOOM_H2.replace("s", "l_suppkey")
+    probe = (
+        f"((element_at(words, CAST(({p1}) div 64 AS INT) + 1) "
+        f">> CAST(({p1}) % 64 AS INT)) & 1L) = 1L AND "
+        f"((element_at(words, CAST(({p2}) div 64 AS INT) + 1) "
+        f">> CAST(({p2}) % 64 AS INT)) & 1L) = 1L"
+    )
+    prefiltered = (
+        li.select("l_suppkey", "l_extendedprice", "l_discount")
+        .crossJoin(F.broadcast(bloom))
+        .where(F.expr(probe))
+    )
+    return (
+        prefiltered.join(F.broadcast(dim), prefiltered.l_suppkey == dim.s_suppkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            # exact integer cents x basis points (operators/tpch.py
+            # discipline — never round a PRODUCT of doubles to cents:
+            # 4-decimal products sit exactly on .5 boundaries where
+            # Spark's floor(+0.5) and DuckDB's half-even cast disagree)
+            F.round(
+                F.sum(
+                    cents("l_extendedprice") * (100 - cents("l_discount"))
+                ).cast("double")
+                / 10000,
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_lang_confusion
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from .text import _LANG_MARKERS
+
+    def hits(lang: str) -> str:
+        return (
+            f"len(list_filter({_LANG_MARKERS[lang]}, "
+            "m -> list_contains(string_split(text, ' '), m)))"
+        )
+
+    return f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN {hits('de')} > {hits('en')} AND {hits('de')} >= {hits('fr')}
+               THEN 'de'
+               WHEN {hits('fr')} > {hits('en')} THEN 'fr'
+               ELSE 'en'
+             END AS pred_lang
+      FROM documents),
+    m AS (SELECT lang, pred_lang, count(*) AS n_docs
+          FROM pred GROUP BY lang, pred_lang),
+    tot AS (SELECT lang, sum(n_docs) AS row_total FROM m GROUP BY lang)
+    SELECT m.lang, m.pred_lang, m.n_docs,
+           round(CAST(m.n_docs AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6)
+             AS share
+    FROM m JOIN tot t ON m.lang = t.lang
+    """
+
+
+@query("text_lang_confusion", oracle=_lang_confusion_oracle())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the lexicon-vote language classifier
+    (text_langid) against the fixture's ground-truth lang column —
+    the eval every heuristic corpus gate needs before its output is
+    trusted to route documents (rag_eval_recall_mrr's counterpart for
+    the text side): per (actual, predicted) cell, document count and
+    row-normalized share (recall on the diagonal).
+
+    One codegen'd classification pass collapses straight to a
+    |langs|^2-row aggregate (map-side combined — the shuffle carries
+    at most k^2 rows per partition at any corpus size); exact integer
+    counts, one identically-shaped division, round(6)."""
+    from .text import _LANG_MARKERS
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def hits(markers: list[str]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(arr, lambda m: F.array_contains(toks, m)))
+
+    h_en, h_de, h_fr = (
+        hits(_LANG_MARKERS["en"]),
+        hits(_LANG_MARKERS["de"]),
+        hits(_LANG_MARKERS["fr"]),
+    )
+    pred = (
+        F.when((h_de > h_en) & (h_de >= h_fr), "de")
+        .when(h_fr > h_en, "fr")
+        .otherwise("en")
+    )
+    m = (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = m.groupBy("lang").agg(F.sum("n_docs").alias("row_total"))
+    return m.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("row_total").cast("double"),
+            6,
+        ).alias("share"),
+    )

@@ -335,3 +335,801 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_eval_ndcg / rag_rbo_overlap — shared ranking CTEs
+# ---------------------------------------------------------------------------
+
+_DD_COS_Q = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+# Exact-cosine truth top-10 and sign-bit-hamming system top-10 — the
+# identical ranking CTE pair rag_eval_recall_mrr pins (analytics.py),
+# reused so the three eval metrics grade the same two rankers.
+_DD_RANKINGS = f"""
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding
+          FROM embeddings WHERE vec_id >= 10),
+    truth AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round({_DD_COS_Q.format(a='c.embedding', b='q.qv')}, 6) DESC,
+                 c.neighbor_id) AS rn
+        FROM c CROSS JOIN q) t
+      WHERE rn <= 10),
+    sys AS (
+      SELECT query_id, neighbor_id, rn AS p FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 len(list_filter(range(1, len(c.embedding) + 1),
+                     i -> (c.embedding[i] > 0) <> (q.qv[i] > 0))),
+                 c.neighbor_id) AS rn
+        FROM c CROSS JOIN q) t
+      WHERE rn <= 10)"""
+
+
+def _eval_rankings(spark: SparkSession, sf_dir: str):
+    """(truth, sys) top-10 DataFrames — Spark twin of _DD_RANKINGS.
+
+    Both rankings stream the corpus once against the broadcast query
+    set; per-query top-10 is a window over per-partition-reduced
+    candidates (TakeOrdered shape per query)."""
+    from ..functions.vector import cosine_fixed
+    from .vector import _query_vector_raw, _query_vectors
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = len(_query_vector_raw(sf_dir, 0))
+    qs = _query_vectors(spark, sf_dir, 10)
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    paired = corpus.crossJoin(F.broadcast(qs))
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    truth = (
+        paired.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cos))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", "rn")
+    )
+    sig = (
+        "aggregate(transform({v}, (x, i) -> "
+        "IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    sys_rank = (
+        paired.select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(
+                F.expr(sig.format(v="embedding")).bitwiseXOR(
+                    F.expr(sig.format(v="qv"))
+                )
+            ).alias("hamming"),
+        )
+        .withColumn("p", F.row_number().over(w_ham))
+        .where(F.col("p") <= 10)
+        .select("query_id", "neighbor_id", "p")
+    )
+    return truth, sys_rank
+
+
+@query(
+    "rag_eval_ndcg",
+    oracle=f"""
+    WITH {_DD_RANKINGS},
+    gains AS (SELECT query_id, neighbor_id, 11 - rn AS g, rn FROM truth),
+    dcg AS (
+      SELECT s.query_id,
+             sum(CAST(round((CAST(1 << coalesce(t.g, 0) AS DOUBLE) - 1.0)
+                            / (ln(s.p + 1) / ln(2)), 9)
+                      AS DECIMAL(28, 9))) AS dcg_q
+      FROM sys s LEFT JOIN gains t
+        ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+      GROUP BY s.query_id),
+    idcg AS (
+      SELECT query_id,
+             sum(CAST(round((CAST(1 << g AS DOUBLE) - 1.0)
+                            / (ln(rn + 1) / ln(2)), 9)
+                      AS DECIMAL(28, 9))) AS idcg_q
+      FROM gains GROUP BY query_id)
+    SELECT d.query_id,
+           round(CAST(d.dcg_q AS DOUBLE), 6) AS dcg_10,
+           round(CAST(i.idcg_q AS DOUBLE), 6) AS idcg_10,
+           round(CAST(d.dcg_q AS DOUBLE) / CAST(i.idcg_q AS DOUBLE), 6)
+             AS ndcg_10
+    FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+    """,
+)
+def rag_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the sign-bit hamming ranker against exact-cosine
+    graded relevance (grade = 11 - truth rank for the true top-10,
+    0 otherwise) — the position-sensitive retrieval metric that
+    recall@k (rag_eval_recall_mrr) cannot see: a system that returns
+    all ten true hits in reverse order scores recall 1.0 but loses
+    NDCG. Standard offline-eval companion to recall/MRR.
+
+    Shape at scale: both rankings are the shared broadcast-query scan
+    (one corpus pass each, per-query top-10 frontiers); the metric
+    arithmetic then touches 10 rows per query. DCG joins system
+    positions to truth grades on (query, neighbor); IDCG is the same
+    formula over the truth ranking itself — exact by construction.
+
+    Parity: gains are exact integers, 2^g - 1 comes from an integer
+    shift (never pow()), log2 is the textually-identical ln(p+1)/ln(2)
+    on both engines; per-position terms are round(9)-quantized and
+    summed as DECIMAL so the 10-term sums are order-independent."""
+    truth, sys_rank = _eval_rankings(spark, sf_dir)
+    gains = truth.select(
+        "query_id", "neighbor_id", (11 - F.col("rn")).alias("g"), "rn"
+    )
+    term = (
+        "CAST(round((CAST(shiftleft(1, {g}) AS DOUBLE) - 1.0) "
+        "/ (ln({p} + 1) / ln(2)), 9) AS DECIMAL(28,9))"
+    )
+    dcg = (
+        sys_rank.join(gains, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "p",
+            F.coalesce(F.col("g"), F.lit(0)).alias("g0"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.expr(term.format(g="g0", p="p"))).alias("dcg_q"))
+    )
+    idcg = gains.groupBy("query_id").agg(
+        F.sum(F.expr(term.format(g="g", p="rn"))).alias("idcg_q")
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.round(F.col("dcg_q").cast("double"), 6).alias("dcg_10"),
+        F.round(F.col("idcg_q").cast("double"), 6).alias("idcg_10"),
+        F.round(
+            F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double"), 6
+        ).alias("ndcg_10"),
+    )
+
+
+@query(
+    "rag_rbo_overlap",
+    oracle=f"""
+    WITH {_DD_RANKINGS},
+    pairs AS (
+      SELECT t.query_id, greatest(t.rn, s.p) AS d0
+      FROM truth t JOIN sys s
+        ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id),
+    depth AS (
+      SELECT query_id, d.d, count(*) AS cnt
+      FROM pairs, unnest(generate_series(d0, 10)) AS d(d)
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT query_id,
+             sum(CAST(round(cnt * 1.0
+                            / (CAST(1 << (d - 1) AS DOUBLE) * d), 9)
+                      AS DECIMAL(28, 9))) AS s,
+             max(CASE WHEN d = 10 THEN cnt ELSE 0 END) AS ov10
+      FROM depth GROUP BY query_id)
+    SELECT q2.query_id,
+           CAST(coalesce(a.ov10, 0) AS BIGINT) AS overlap_at_10,
+           round(0.5 * CAST(coalesce(a.s, 0) AS DOUBLE), 6) AS rbo_10
+    FROM (SELECT DISTINCT query_id FROM q) q2
+    LEFT JOIN agg a ON q2.query_id = a.query_id
+    """,
+)
+def rag_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber et al. 2010) at p=0.5, depth 10,
+    between the exact-cosine and sign-bit-hamming rankings — the
+    top-weighted list-similarity metric for comparing two rankers
+    without graded labels (NDCG needs a truth grading; RBO treats
+    both lists symmetrically). RBO = (1-p) * sum_d p^(d-1) * |A_d
+    intersect B_d| / d.
+
+    The per-depth overlap is computed without re-intersecting at each
+    depth: a matched pair first counts at depth d0 = max(rank_A,
+    rank_B), so exploding sequence(d0, 10) and counting per (query,
+    depth) yields every |A_d intersect B_d| with <= 10 rows exploded
+    per matched pair. Queries whose lists are disjoint keep a row
+    (LEFT join from the query list) with rbo 0 — the eval-dropout
+    guard rag_eval_recall_mrr pins.
+
+    Parity: overlap counts are exact integers; p^(d-1) is an integer
+    shift (1 << (d-1), never pow()); each depth term divides integers
+    and is round(9)-quantized into a DECIMAL sum; one round(6) at the
+    end."""
+    truth, sys_rank = _eval_rankings(spark, sf_dir)
+    pairs = truth.join(sys_rank, ["query_id", "neighbor_id"]).select(
+        "query_id", F.greatest("rn", "p").alias("d0")
+    )
+    depth = (
+        pairs.select(
+            "query_id", F.explode(F.expr("sequence(d0, 10)")).alias("d")
+        )
+        .groupBy("query_id", "d")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = depth.groupBy("query_id").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(cnt * 1.0 / "
+                "(CAST(shiftleft(1, d - 1) AS DOUBLE) * d), 9) "
+                "AS DECIMAL(28,9))"
+            )
+        ).alias("s"),
+        F.max(F.when(F.col("d") == 10, F.col("cnt")).otherwise(0)).alias(
+            "ov10"
+        ),
+    )
+    qids = truth.select("query_id").distinct()
+    return qids.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("ov10"), F.lit(0)).cast("bigint").alias(
+            "overlap_at_10"
+        ),
+        F.round(
+            F.lit(0.5) * F.coalesce(F.col("s"), F.lit(0)).cast("double"), 6
+        ).alias("rbo_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_cosupply
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_cosupply",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+      WHERE EXISTS (SELECT 1 FROM e e3
+                    WHERE e3.u = e1.u AND e3.v = e2.v)),
+    pn AS (
+      SELECT n.node, count(*) AS tri_count
+      FROM tri, unnest([a, b, c]) AS n(node)
+      GROUP BY n.node)
+    SELECT s.s_suppkey, s.s_name, CAST(pn.tri_count AS BIGINT) AS tri_count
+    FROM pn JOIN supplier s ON pn.node = s.s_suppkey
+    ORDER BY tri_count DESC, s.s_suppkey
+    LIMIT 20
+    """,
+)
+def graph_triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING on the supplier co-supply graph (edge = two
+    suppliers ship lines of the same order) — the canonical
+    distributed-graph aggregate (clustering-coefficient numerator,
+    community-density signal; Suri & Vassilvitskii 2011's MapReduce
+    formulation is the shape used here): wedges from an edge-edge join
+    on the shared middle node, closed by a semi-join probe for the
+    third edge, oriented a<b<c so every triangle is generated exactly
+    once.
+
+    Shape at scale: the edge list comes from a per-order self-join
+    whose fan-out is BOUNDED by order width (TPC-H orders carry <= 7
+    lines, so <= 21 pairs/order — linear in lineitem, never
+    corpus-quadratic), then dedups to at most |S| choose 2 rows. The
+    wedge join shuffles edges on their endpoint keys (equi-join, AQE
+    skew-split handles hub nodes; the production refinement for
+    power-law graphs is degree-ordering the orientation so wedges pivot
+    on low-degree middles). The semi-join closure plans as a
+    LeftSemi hash join — no wedge survives materialization unless the
+    closing edge exists. Per-node counts explode 3 rows per triangle;
+    top-20 plans as TakeOrderedAndProject.
+
+    Parity: everything is exact integers; ordering ties break on
+    s_suppkey."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"], "left_semi")
+    pn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        pn.join(F.broadcast(sup), pn.node == sup.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("tri_count").cast("bigint").alias("tri_count"))
+        .orderBy(F.col("tri_count").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_cusum_changepoint
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 40.0  # slack (~0.8 sigma of events.value), binary-exact
+_CUSUM_H = 200.0  # alarm threshold (~4 sigma), binary-exact
+
+
+@query(
+    "win_cusum_changepoint",
+    # Recursive-CTE oracle, not list_reduce: the CUSUM state is a
+    # STRUCT (cs, mx, al) and DuckDB 1.0's list_reduce silently
+    # mis-folds struct accumulators past ~2 elements (CLAUDE.md
+    # round-6; win_holt_linear pins the same workaround).
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, round(value, 6) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    mu AS (
+      SELECT user_id,
+             CAST(sum(CAST(x AS DECIMAL(28, 6))) AS DOUBLE) / count(*) AS m,
+             max(rn) AS n
+      FROM seq GROUP BY user_id),
+    st AS (
+      SELECT s.user_id, 1 AS i,
+             greatest(0.0, s.x - mu.m - {_CUSUM_K}) AS cs,
+             greatest(0.0, s.x - mu.m - {_CUSUM_K}) AS mx,
+             CASE WHEN greatest(0.0, s.x - mu.m - {_CUSUM_K}) > {_CUSUM_H}
+                  THEN 1 ELSE 0 END AS al
+      FROM seq s JOIN mu ON s.user_id = mu.user_id AND s.rn = 1
+      UNION ALL
+      SELECT st.user_id, st.i + 1,
+             greatest(0.0, st.cs + s.x - mu.m - {_CUSUM_K}),
+             greatest(st.mx,
+                      greatest(0.0, st.cs + s.x - mu.m - {_CUSUM_K})),
+             st.al + CASE WHEN greatest(0.0, st.cs + s.x - mu.m - {_CUSUM_K})
+                               > {_CUSUM_H} THEN 1 ELSE 0 END
+      FROM st JOIN seq s ON s.user_id = st.user_id AND s.rn = st.i + 1
+              JOIN mu ON mu.user_id = st.user_id)
+    SELECT st.user_id, CAST(mu.n AS BIGINT) AS n_events,
+           round(st.mx, 6) AS max_cusum,
+           CAST(st.al AS BIGINT) AS n_alarms,
+           CAST(CASE WHEN st.al > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS alarmed
+    FROM st JOIN mu ON st.user_id = mu.user_id AND st.i = mu.n
+    """,
+)
+def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SIDED CUSUM change-point detection per user (Page 1954):
+    s_i = max(0, s_{{i-1}} + x_i - mean - k), alarm when s crosses h —
+    the sequential drift detector monitoring pipelines run over
+    per-entity metric streams (here: event values per user, k ~0.8
+    sigma, h ~4 sigma; 41/150 fixture users alarm). Reports the peak
+    statistic and alarm count per user.
+
+    Same per-key-bounded sequential-fold shape as win_holt_linear: the
+    series is collected per user (bounded by per-user activity, the
+    partitioning key a 1000-executor run shards on) and folded
+    JVM-side as a (cs, mx, al) STRUCT accumulator — no UDF, no
+    driver iteration. The per-user mean rides the same aggregate.
+
+    Parity: inputs are round(6)-quantized; the mean divides an exact
+    DECIMAL sum; both constants are binary-exact; the fold's update
+    expression is textually identical on both engines (left-assoc
+    cs + x - m - k) and the time order is pinned by (ts, event_id),
+    so the doubles agree bit-wise before the single round(6)."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.select(
+            "user_id",
+            F.round("value", 6).alias("x"),
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                F.round("value", 6).alias("x"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (
+                F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("m"),
+            F.sort_array(F.collect_list("s")).alias("ss"),
+        )
+    )
+    fold = F.expr(
+        "aggregate(transform(ss, s -> s.x), "
+        "named_struct('cs', CAST(0.0 AS DOUBLE), "
+        "'mx', CAST(0.0 AS DOUBLE), 'al', CAST(0 AS BIGINT)), "
+        f"(s, x) -> named_struct("
+        f"'cs', greatest(0.0D, s.cs + x - m - {_CUSUM_K}D), "
+        f"'mx', greatest(s.mx, greatest(0.0D, s.cs + x - m - {_CUSUM_K}D)), "
+        f"'al', s.al + IF(greatest(0.0D, s.cs + x - m - {_CUSUM_K}D) "
+        f"> {_CUSUM_H}D, CAST(1 AS BIGINT), CAST(0 AS BIGINT))))"
+    )
+    return v.select("user_id", "n_events", fold.alias("st")).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("st.mx"), 6).alias("max_cusum"),
+        F.col("st.al").alias("n_alarms"),
+        (F.col("st.al") > 0).cast("bigint").alias("alarmed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_decayed_count
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_WEEKS = 1
+_DECAY_CAP_WEEKS = 8
+
+
+@query(
+    "agg_decayed_count",
+    oracle=f"""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS us_max FROM events),
+    w AS (
+      SELECT event_type,
+             least(CAST((us_max - epoch_us(ts))
+                        // CAST(604800000000 AS BIGINT) AS INTEGER),
+                   {_DECAY_CAP_WEEKS}) AS age_wk
+      FROM events CROSS JOIN mx)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(1.0 / CAST(CAST(1 AS BIGINT) << age_wk
+                                          AS DOUBLE)
+                               AS DECIMAL(28, 9))) AS DOUBLE), 6)
+             AS decayed_count
+    FROM w
+    GROUP BY event_type
+    """,
+)
+def agg_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY TIME-DECAYED event counts per type (halflife =
+    {_DECAY_HALFLIFE_WEEKS} week, integer week buckets, capped at
+    {_DECAY_CAP_WEEKS}) — the recency-weighted popularity counter
+    behind trending rankings and feature-store freshness signals: an
+    event k weeks old contributes 2^-k.
+
+    Shape at scale: the global max timestamp is one scalar aggregate
+    broadcast into a map pass; the decayed sum is then an ordinary
+    hash aggregate with map-side partial combine — the whole op is
+    scan + two exchanges of 5 rows. The weight never calls pow():
+    2^-k is 1.0 / (1 << k), an exact power of two for any capped k,
+    so every per-row weight is an exact double AND an exact
+    DECIMAL(28,9) (2^-8 has 8 decimal digits), making the group sum
+    order-independent without quantization loss.
+
+    Parity: integer floor-division week bucketing on epoch
+    microseconds; exact weights; one round(6) on the decimal-to-double
+    cast."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("us_max"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.least(
+                F.expr(
+                    "CAST((us_max - unix_micros(ts)) "
+                    "div CAST(604800000000 AS BIGINT) AS INT)"
+                ),
+                F.lit(_DECAY_CAP_WEEKS),
+            ).alias("age_wk"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(1.0 / CAST(shiftleft(CAST(1 AS BIGINT), "
+                        "age_wk) AS DOUBLE) AS DECIMAL(28,9))"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("decayed_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_welch_ttest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS grp,
+             CAST(l.l_quantity AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    s AS (
+      SELECT grp, count(*) AS n, sum(q) AS sq, sum(q * q) AS sqq
+      FROM g GROUP BY grp),
+    m AS (
+      SELECT grp, n, CAST(sq AS DOUBLE) / n AS mean,
+             (CAST(sqq AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)
+               AS var
+      FROM s),
+    tw AS (
+      SELECT p.n AS n_promo, o.n AS n_other,
+             p.mean AS m_promo, o.mean AS m_other,
+             p.var / p.n + o.var / o.n AS se2,
+             p.var / p.n AS a, o.var / o.n AS b,
+             p.n AS np, o.n AS no
+      FROM (SELECT * FROM m WHERE grp = 1) p
+      CROSS JOIN (SELECT * FROM m WHERE grp = 0) o)
+    SELECT CAST(n_promo AS BIGINT) AS n_promo,
+           CAST(n_other AS BIGINT) AS n_other,
+           round(m_promo, 6) AS mean_promo,
+           round(m_other, 6) AS mean_other,
+           round((m_promo - m_other) / sqrt(se2), 6) AS t_stat,
+           round((se2 * se2)
+                 / ((a * a) / (np - 1) + (b * b) / (no - 1)), 6) AS df
+    FROM tw
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE T-TEST: does promotional part type
+    shift ordered quantity? (The A/B-test primitive run directly in
+    the warehouse: group = p_type LIKE 'PROMO%', metric = l_quantity,
+    Welch-Satterthwaite degrees of freedom.) One row: group sizes,
+    means, t statistic, df.
+
+    Shape at scale: the part dimension joins broadcast (dimension
+    tables fit executors at any fact scale); sufficient statistics
+    (n, sum, sum-of-squares) come from ONE hash aggregate with
+    map-side combine — the classic one-pass parallel t-test; the
+    final algebra touches 2 rows. No second pass, no window, no sort.
+
+    Parity: quantities are integral doubles cast to BIGINT (exact),
+    so n/sum/sum-sq are exact integers on both engines; every derived
+    double (mean, variance, t, df) is computed with the textually
+    identical expression shape and round(6)'d once. Squares stay in
+    DOUBLE algebra — at warehouse scale sum(q*q) would need
+    DECIMAL(38) headroom, which both engines' BIGINT covers to ~3e9
+    rows of q<=50 (documented bound)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    g = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).select(
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    s = g.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    m = s.select(
+        "grp",
+        "n",
+        (F.col("sq").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double")
+                * F.col("sq").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    p = m.where(F.col("grp") == 1).select(
+        F.col("n").alias("np"), F.col("mean").alias("m_promo"),
+        F.col("var").alias("vp"),
+    )
+    o = m.where(F.col("grp") == 0).select(
+        F.col("n").alias("no"), F.col("mean").alias("m_other"),
+        F.col("var").alias("vo"),
+    )
+    tw = p.crossJoin(o).select(
+        "np", "no", "m_promo", "m_other",
+        (F.col("vp") / F.col("np") + F.col("vo") / F.col("no")).alias("se2"),
+        (F.col("vp") / F.col("np")).alias("a"),
+        (F.col("vo") / F.col("no")).alias("b"),
+    )
+    return tw.select(
+        F.col("np").cast("bigint").alias("n_promo"),
+        F.col("no").cast("bigint").alias("n_other"),
+        F.round("m_promo", 6).alias("mean_promo"),
+        F.round("m_other", 6).alias("mean_other"),
+        F.round(
+            (F.col("m_promo") - F.col("m_other")) / F.sqrt("se2"), 6
+        ).alias("t_stat"),
+        F.round(
+            (F.col("se2") * F.col("se2"))
+            / (
+                (F.col("a") * F.col("a")) / (F.col("np") - 1)
+                + (F.col("b") * F.col("b")) / (F.col("no") - 1)
+            ),
+            6,
+        ).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_chi_square_independence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH o AS (
+      SELECT event_type AS et, day(ts) % 7 AS dow, count(*) AS obs
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT et, sum(obs) AS r FROM o GROUP BY et),
+    ct AS (SELECT dow, sum(obs) AS c FROM o GROUP BY dow),
+    n AS (SELECT sum(obs) AS n FROM o),
+    cells AS (
+      SELECT o.obs, rt.r * ct.c / (n.n * 1.0) AS e
+      FROM o JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN n)
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_events,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+           round(CAST(sum(CAST(round((obs - e) * (obs - e) / e, 9)
+                               AS DECIMAL(28, 9))) AS DOUBLE), 6)
+             AS chi2_stat
+    FROM cells
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON CHI-SQUARE test of independence between event type and
+    day-of-week bucket (day(ts) % 7 — the identical integer bucketing
+    on both engines, sidestepping the engines' dayofweek origin
+    mismatch): the categorical-drift / seasonality screen run over
+    event logs. One row: N, degrees of freedom, chi2.
+
+    Shape at scale: one hash aggregate collapses the fact table to
+    |types| x |buckets| cells (map-side combine does the heavy
+    lifting); marginals re-aggregate those ~35 rows; everything after
+    the first aggregate is broadcast-sized. This is the textbook
+    two-level aggregation — no row ever shuffles twice.
+
+    Parity: observed counts and marginals are exact integers; the
+    expected value divides exact integer products (r*c <= ~1e12,
+    exact in double) by N once; per-cell contributions are round(9)-
+    quantized and summed as DECIMAL so the 35-term sum is
+    order-independent; one round(6)."""
+    ev = table(spark, sf_dir, "events")
+    o = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            (F.dayofmonth("ts") % 7).alias("dow"),
+        )
+        .groupBy("et", "dow")
+        .agg(F.count("*").alias("obs"))
+    )
+    rt = o.groupBy("et").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("c"))
+    n = o.agg(
+        F.sum("obs").alias("n"),
+        F.count_distinct("et").alias("net"),
+    )
+    ndow = o.agg(F.count_distinct("dow").alias("ndow"))
+    cells = (
+        o.join(F.broadcast(rt), "et")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ndow))
+        .select(
+            "n",
+            "net",
+            "ndow",
+            "obs",
+            (F.col("r") * F.col("c") / (F.col("n") * F.lit(1.0))).alias("e"),
+        )
+    )
+    return cells.groupBy("n", "net", "ndow").agg(
+        F.sum(
+            F.expr(
+                "CAST(round((obs - e) * (obs - e) / e, 9) AS DECIMAL(28,9))"
+            )
+        ).alias("chi2")
+    ).select(
+        F.col("n").cast("bigint").alias("n_events"),
+        ((F.col("net") - 1) * (F.col("ndow") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(F.col("chi2").cast("double"), 6).alias("chi2_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_seasonal_naive_mae
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_seasonal_naive_mae",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28, 6)))
+                        AS DOUBLE), 6) AS total
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT event_type, total,
+             lag(total, 7) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS pred
+      FROM daily)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(pred) AS BIGINT) AS n_forecast,
+           round(CAST(sum(CAST(round(abs(total - pred), 6)
+                               AS DECIMAL(28, 6))) AS DOUBLE)
+                 / count(pred), 6) AS mae
+    FROM f
+    GROUP BY event_type
+    """,
+)
+def win_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE FORECAST BACKTEST per event type: predict each
+    day's total value with the total from 7 days (7 series rows)
+    earlier and report the mean absolute error — the standard
+    baseline every forecasting deployment must beat (and the cheapest
+    possible backtest to run in-warehouse). Output: days, forecastable
+    days, MAE per type.
+
+    Shape at scale: the fact table collapses to |types| x |days| rows
+    in one map-side-combined aggregate; the lag window then runs per
+    type over day-count-bounded partitions (365 rows/year/type — the
+    window is trivially executor-local after the aggregate's
+    shuffle, and Catalyst reuses that exchange for the window's
+    partitioning). The final MAE aggregate rides the same partitions.
+
+    Parity: daily totals sum round(6)-quantized values as DECIMAL
+    (order-independent) and are re-round(6)'d; the error is a
+    difference of those identical doubles, quantized again before the
+    DECIMAL mean. lag(7) over (event_type, day) is deterministic —
+    day is unique per type after aggregation."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round("value", 6).cast("decimal(28,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("v").cast("double"), 6).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.select(
+        "event_type", "total", F.lag("total", 7).over(w).alias("pred")
+    )
+    return f.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.count("pred").cast("bigint").alias("n_forecast"),
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("total") - F.col("pred")), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count("pred"),
+            6,
+        ).alias("mae"),
+    )

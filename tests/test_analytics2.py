@@ -1,0 +1,200 @@
+"""Invariant + plan tests for the round-6 third-wave operators
+(operators/analytics2.py): curation rules, perplexity buckets, span
+dedup, graph triangles, eval metrics, classical statistics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vectordb_agentic_rag_spark import QUERIES, load_all_operators
+from tests.test_plans import plan_of
+
+load_all_operators()
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ gopher
+
+
+def test_gopher_keep_flag_is_consistent(spark):
+    pdf = QUERIES["text_gopher_rules"](spark, SF).toPandas()
+    re_keep = (
+        pdf["n_words"].between(15, 90)
+        & pdf["mean_word_len"].between(3.0, 10.0)
+        & (pdf["stopword_hits"] >= 1)
+        & (pdf["dup_bigram_frac"] <= 0.25)
+        & (pdf["top_word_ratio"] <= 0.12)
+    ).astype("int64")
+    assert (pdf["keep_flag"] == re_keep).all()
+    assert pdf["keep_flag"].sum() > 0  # rules keep a non-empty slice
+
+
+def test_gopher_is_single_map_pass(spark):
+    # every metric is a higher-order function over the token array —
+    # the plan must contain NO shuffle at all
+    plan = plan_of(QUERIES["text_gopher_rules"](spark, SF))
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- ppl bucket
+
+
+def test_ccnet_buckets_are_balanced_and_ordered(spark):
+    pdf = QUERIES["text_ccnet_ppl_bucket"](spark, SF).toPandas()
+    assert set(pdf["ppl_bucket"].unique()) <= {1, 2, 3}
+    for lang, g in pdf.groupby("lang"):
+        sizes = g["ppl_bucket"].value_counts()
+        if len(sizes) == 3:  # tiny langs may not fill 3 buckets
+            assert sizes.max() - sizes.min() <= 1  # ntile balance
+            # tercile ordering: head scores <= tail scores
+            assert (
+                g.loc[g.ppl_bucket == 1, "avg_nll"].max()
+                <= g.loc[g.ppl_bucket == 3, "avg_nll"].min()
+            )
+
+
+# -------------------------------------------------------------- span dedup
+
+
+def test_span_dedup_ratio_bounds(spark):
+    pdf = QUERIES["dedup_span_ngram"](spark, SF).toPandas()
+    assert (pdf["n_dup_spans"] <= pdf["n_spans"]).all()
+    assert pdf["dup_ratio"].between(0, 1).all()
+    # strided span count: docs with >= 8 tokens emit
+    # ceil((n_tokens - 8 + 1) / 4) spans
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ntok = docs["text"].str.split(" ").str.len()
+    expect = ((ntok - 8) // 4 + 1).clip(lower=0)
+    expect = expect[ntok >= 8]
+    assert pdf["n_spans"].sum() == int(expect.sum())
+
+
+# --------------------------------------------------------------- triangles
+
+
+def test_triangles_match_bruteforce(spark):
+    pdf = QUERIES["graph_triangle_cosupply"](spark, SF).toPandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ].drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    e = m[m.l_suppkey_x < m.l_suppkey_y][
+        ["l_suppkey_x", "l_suppkey_y"]
+    ].drop_duplicates()
+    edges = set(map(tuple, e.values))
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    counts: dict = {}
+    for u, vs in adj.items():
+        for v in vs:
+            for w in adj.get(v, ()):  # u<v<w by construction
+                if w in vs:
+                    for n in (u, v, w):
+                        counts[n] = counts.get(n, 0) + 1
+    want = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    got = list(zip(pdf["s_suppkey"], pdf["tri_count"]))
+    assert got == [(int(k), int(c)) for k, c in want]
+
+
+def test_triangle_closure_is_semi_join(spark):
+    plan = plan_of(QUERIES["graph_triangle_cosupply"](spark, SF))
+    assert "LeftSemi" in plan  # wedges close via semi-join, never materialize
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ eval metrics
+
+
+def test_ndcg_bounds_and_constant_idcg(spark):
+    pdf = QUERIES["rag_eval_ndcg"](spark, SF).toPandas()
+    assert pdf["ndcg_10"].between(0, 1.000001).all()
+    # every query has a full truth top-10 -> IDCG identical everywhere
+    assert pdf["idcg_10"].nunique() == 1
+
+
+def test_rbo_bounds_and_zero_iff_disjoint(spark):
+    pdf = QUERIES["rag_rbo_overlap"](spark, SF).toPandas()
+    assert pdf["rbo_10"].between(0, 1).all()
+    assert pdf["overlap_at_10"].between(0, 10).all()
+    disjoint = pdf["overlap_at_10"] == 0
+    assert (pdf.loc[disjoint, "rbo_10"] == 0).all()
+    assert (pdf.loc[~disjoint, "rbo_10"] > 0).all()
+
+
+# ----------------------------------------------------------------- cusum
+
+
+def test_cusum_matches_numpy_replay(spark):
+    pdf = QUERIES["win_cusum_changepoint"](spark, SF).toPandas()
+    assert ((pdf["n_alarms"] > 0).astype("int64") == pdf["alarmed"]).all()
+    assert (pdf["max_cusum"] >= 0).all()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    uid = int(pdf.iloc[0]["user_id"])
+    g = ev[ev.user_id == uid].sort_values(["ts", "event_id"])
+    x = np.round(g["value"].to_numpy(), 6)
+    m = np.sum(x) / len(x)
+    s = mx = 0.0
+    al = 0
+    for xi in x:
+        s = max(0.0, s + xi - m - 40.0)
+        mx = max(mx, s)
+        al += int(s > 200.0)
+    row = pdf[pdf.user_id == uid].iloc[0]
+    assert row["n_alarms"] == al
+    assert abs(row["max_cusum"] - round(mx, 6)) < 1e-5
+
+
+# ----------------------------------------------------------- decayed count
+
+
+def test_decayed_count_bounds(spark):
+    pdf = QUERIES["agg_decayed_count"](spark, SF).toPandas()
+    assert (pdf["decayed_count"] <= pdf["n_events"] + 1e-9).all()
+    assert (pdf["decayed_count"] >= pdf["n_events"] * 2 ** -8 - 1e-9).all()
+
+
+# ----------------------------------------------------------------- welch
+
+
+def test_welch_matches_pandas(spark):
+    row = QUERIES["agg_welch_ttest"](spark, SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_partkey", "l_quantity"]]
+    pt = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_type"]]
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    promo = j[j.p_type.str.startswith("PROMO")]["l_quantity"]
+    other = j[~j.p_type.str.startswith("PROMO")]["l_quantity"]
+    assert row["n_promo"] == len(promo) and row["n_other"] == len(other)
+    v1, v0 = promo.var(ddof=1), other.var(ddof=1)
+    se2 = v1 / len(promo) + v0 / len(other)
+    t = (promo.mean() - other.mean()) / np.sqrt(se2)
+    assert abs(row["t_stat"] - t) < 1e-4
+
+
+# ------------------------------------------------------------- chi-square
+
+
+def test_chi_square_nonnegative_and_counts(spark):
+    row = QUERIES["agg_chi_square_independence"](spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert row["n_events"] == len(ev)
+    assert row["chi2_stat"] >= 0
+    net = ev["event_type"].nunique()
+    ndow = (ev["ts"].dt.day % 7).nunique()
+    assert row["dof"] == (net - 1) * (ndow - 1)
+
+
+# --------------------------------------------------------- seasonal naive
+
+
+def test_seasonal_naive_counts(spark):
+    pdf = QUERIES["win_seasonal_naive_mae"](spark, SF).toPandas()
+    assert ((pdf["n_days"] - pdf["n_forecast"]).clip(lower=0) <= 7).all()
+    assert (pdf["n_forecast"] == (pdf["n_days"] - 7).clip(lower=0)).all()
+    assert (pdf["mae"] >= 0).all()

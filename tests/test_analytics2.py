@@ -198,3 +198,40 @@ def test_seasonal_naive_counts(spark):
     assert ((pdf["n_days"] - pdf["n_forecast"]).clip(lower=0) <= 7).all()
     assert (pdf["n_forecast"] == (pdf["n_days"] - 7).clip(lower=0)).all()
     assert (pdf["mae"] >= 0).all()
+
+
+# ------------------------------------------------------------ mann-whitney
+
+
+def test_mann_whitney_matches_pandas_ranks(spark):
+    row = QUERIES["agg_mann_whitney_u"](spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.event_type.isin(["purchase", "click"])]
+    ranks = ev["value"].rank(method="average")
+    r1 = ranks[ev.event_type == "purchase"].sum()
+    n1 = (ev.event_type == "purchase").sum()
+    n2 = (ev.event_type == "click").sum()
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert row["n_purchase"] == n1 and row["n_click"] == n2
+    assert abs(row["u_stat"] - u1) < 0.51
+
+
+# ---------------------------------------------------------- curation funnel
+
+
+def test_curation_funnel_chains_and_matches_parts(spark):
+    pdf = (
+        QUERIES["pipeline_curation_funnel"](spark, SF)
+        .toPandas()
+        .sort_values("stage_no")
+        .reset_index(drop=True)
+    )
+    # stage k's input is stage k-1's output; counts only shrink
+    assert (pdf["docs_out"] <= pdf["docs_in"]).all()
+    assert (
+        pdf["docs_in"].iloc[1:].to_numpy()
+        == pdf["docs_out"].iloc[:-1].to_numpy()
+    ).all()
+    gopher = QUERIES["text_gopher_rules"](spark, SF).toPandas()
+    assert pdf.iloc[0]["docs_out"] == gopher["keep_flag"].sum()
+    assert pdf.iloc[0]["docs_in"] == len(gopher)

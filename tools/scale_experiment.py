@@ -85,6 +85,13 @@ OPS = [
     ("vec_kmeans_lloyd", "embeddings"),
     ("vec_pca_power_iter", "embeddings"),
     ("pipeline_train_val_split", "documents"),
+    # round-6 third wave
+    ("text_gopher_rules", "documents"),
+    ("text_ccnet_ppl_bucket", "documents"),
+    ("dedup_span_ngram", "documents"),
+    ("graph_triangle_cosupply", "lineitem"),
+    ("win_cusum_changepoint", "events"),
+    ("win_seasonal_naive_mae", "events"),
 ]
 
 

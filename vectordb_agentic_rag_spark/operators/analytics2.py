@@ -1133,3 +1133,294 @@ def win_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_mann_whitney_u
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+             value AS v
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    vt AS (
+      SELECT v, sum(grp) AS n1v, count(*) AS ntv
+      FROM g GROUP BY v),
+    rk AS (
+      SELECT v, n1v, ntv,
+             sum(ntv) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - ntv AS cum_less
+      FROM vt),
+    s AS (
+      SELECT sum(n1v * (2 * cum_less + ntv + 1)) AS two_r1,
+             sum(n1v) AS n1, sum(ntv - n1v) AS n2, sum(ntv) AS n,
+             sum(ntv * ntv * ntv - ntv) AS ties
+      FROM rk)
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_click,
+           CAST(ties AS BIGINT) AS tie_term,
+           round((two_r1 - n1 * (n1 + 1)) / 2.0, 1) AS u_stat,
+           round(((two_r1 - n1 * (n1 + 1)) - n1 * n2) / 2.0
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1) - ties / (n * 1.0 * (n - 1)))), 6)
+             AS z_stat
+    FROM s
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test (tie-corrected normal
+    approximation): do 'purchase' and 'click' events draw their values
+    from the same distribution? The nonparametric companion to
+    agg_welch_ttest — the test teams reach for when metric
+    distributions are skewed (revenue-like metrics always are).
+
+    Ranks are never materialized per row: values collapse to
+    DISTINCT-VALUE groups first (one map-side-combined aggregate), and
+    the average rank of a tied block is reconstructed from cumulative
+    counts — 2*cum_less + block + 1, kept as INTEGERS by working with
+    2x the rank sum throughout. The running cumulative is a window
+    over distinct-value rows only: bounded by the metric's value
+    domain (~49k two-decimal values here), not the event count — the
+    one ordered pass is over a domain-bounded series, the same
+    contract as agg_exact_quantile_2pass. At a truly unbounded domain
+    the production upgrade is range-partitioned partial cumsums; the
+    per-row shape is unchanged.
+
+    Parity: U and the tie term are exact integers on both engines
+    (value equality groups identical doubles); z divides the same
+    integer expressions with the identical shape, one round(6).
+    u_stat is an exact multiple of 0.5 -> round(,1) is lossless."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "grp"
+        ),
+        F.col("value").alias("v"),
+    )
+    vt = g.groupBy("v").agg(
+        F.sum("grp").alias("n1v"), F.count("*").alias("ntv")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = vt.select(
+        "n1v",
+        "ntv",
+        (F.sum("ntv").over(w) - F.col("ntv")).alias("cum_less"),
+    )
+    s = rk.agg(
+        F.sum(
+            F.col("n1v") * (2 * F.col("cum_less") + F.col("ntv") + 1)
+        ).alias("two_r1"),
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("ntv") - F.col("n1v")).alias("n2"),
+        F.sum("ntv").alias("n"),
+        F.sum(
+            F.col("ntv") * F.col("ntv") * F.col("ntv") - F.col("ntv")
+        ).alias("ties"),
+    )
+    return s.select(
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_click"),
+        F.col("ties").cast("bigint").alias("tie_term"),
+        F.round(
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)) / 2.0, 1
+        ).alias("u_stat"),
+        F.round(
+            ((F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+             - F.col("n1") * F.col("n2"))
+            / 2.0
+            / F.sqrt(
+                F.col("n1") * F.col("n2") / 12.0
+                * ((F.col("n") + 1)
+                   - F.col("ties")
+                   / (F.col("n") * F.lit(1.0) * (F.col("n") - 1)))
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SPAN_MAX = 0.3  # max duplicated-span ratio a doc may carry
+
+
+@query(
+    "pipeline_curation_funnel",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk, n_chars
+      FROM documents),
+    gopher AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) BETWEEN {_GOPHER_MIN_WORDS}
+                         AND {_GOPHER_MAX_WORDS}
+                   AND round((n_chars - len(tk) + 1.0) / len(tk), 6)
+                         BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+                   AND len(list_filter(tk, w -> w IN ('the', 'a')))
+                         >= {_GOPHER_MIN_STOP}
+                   AND round(1.0 - len(list_distinct(list_transform(
+                           generate_series(1, len(tk) - 1),
+                           i -> list_extract(tk, i) || ' '
+                                || list_extract(tk, i + 1))))
+                         / (len(tk) - 1.0), 6) <= {_GOPHER_MAX_DUPF}
+                   AND round(list_max(list_transform(list_distinct(tk),
+                           w -> len(list_filter(tk, x -> x = w))))
+                         / (len(tk) * 1.0), 6) <= {_GOPHER_MAX_TOPR}
+              THEN 1 ELSE 0 END AS f1
+      FROM m),
+    tc AS (
+      SELECT doc_id, list_transform(tk,
+               tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(tok, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % {P_CODE})) AS tc
+      FROM m),
+    sp AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(tc) - {_SPAN_K} + 1, {_SPAN_STRIDE}),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_slice(tc, i, i + {_SPAN_K} - 1)),
+                    (h, c) -> (h * 131 + c) % {P_HASH}))) AS h
+      FROM tc WHERE len(tc) >= {_SPAN_K}),
+    hc AS (SELECT h, count(*) AS c FROM sp GROUP BY h),
+    dr AS (
+      SELECT sp.doc_id,
+             sum(CASE WHEN hc.c >= 2 THEN 1 ELSE 0 END)
+               / (count(*) * 1.0) AS dup_ratio
+      FROM sp JOIN hc USING (h) GROUP BY sp.doc_id),
+    flags AS (
+      SELECT m.doc_id, sha256(m.text) AS th, g.f1,
+             CASE WHEN coalesce(dr.dup_ratio, 0) <= {_FUNNEL_SPAN_MAX}
+                  THEN 1 ELSE 0 END AS f2
+      FROM m JOIN gopher g ON m.doc_id = g.doc_id
+      LEFT JOIN dr ON m.doc_id = dr.doc_id),
+    keyed AS (
+      SELECT doc_id, f1, f2,
+             CASE WHEN doc_id = min(CASE WHEN f1 = 1 AND f2 = 1
+                                         THEN doc_id END)
+                         OVER (PARTITION BY th)
+                  THEN 1 ELSE 0 END AS f3
+      FROM flags),
+    agg AS (
+      SELECT count(*) AS n0, sum(f1) AS n1,
+             sum(f1 * f2) AS n2, sum(f1 * f2 * f3) AS n3
+      FROM keyed)
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'gopher_rules' AS stage,
+             CAST(n0 AS BIGINT) AS docs_in, CAST(n1 AS BIGINT) AS docs_out,
+             round((n0 - n1) * 100.0 / n0, 6) AS drop_pct
+      FROM agg
+      UNION ALL
+      SELECT 2, 'span_dedup', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT),
+             round((n1 - n2) * 100.0 / n1, 6) FROM agg
+      UNION ALL
+      SELECT 3, 'exact_dedup', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT),
+             round((n2 - n3) * 100.0 / n2, 6) FROM agg) z
+    """,
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CORPUS-CURATION FUNNEL: Gopher rules ->
+    duplicated-span ceiling (ratio <= {_FUNNEL_SPAN_MAX}) -> exact
+    keep-first dedup, reporting in/out/drop%% per stage — the
+    dataset-card table every pretraining run publishes (how much
+    survived each filter), composing this wave's three curation ops
+    into one plan. Exact dedup is applied LAST and its keep-first
+    min(doc_id) is computed over the docs that SURVIVED the first two
+    stages (a doc knocked out by Gopher must not claim canonical-copy
+    status for its duplicates) — the stage-ordering subtlety real
+    funnels get wrong.
+
+    Shape at scale: the Gopher flags are the no-shuffle map pass
+    (text_gopher_rules); the span ratio reuses dedup_span_ngram's
+    hash-aggregate+join-back; the canonical pick is one window over
+    sha256 hash partitions; the funnel itself collapses to a single
+    4-counter aggregate and unpivots 3 rows. Nothing here adds a scan:
+    documents are read once.
+
+    Parity: every flag is exact integer logic over the already-pinned
+    metric expressions; drop percentages divide exact counts,
+    round(6)."""
+    d = table(spark, sf_dir, "documents")
+    gopher = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep_flag").alias("f1")
+    )
+    spans = dedup_span_ngram(spark, sf_dir).select("doc_id", "dup_ratio")
+    flags = (
+        d.select("doc_id", F.sha2("text", 256).alias("th"))
+        .join(gopher, "doc_id")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "th",
+            "f1",
+            (
+                F.coalesce(F.col("dup_ratio"), F.lit(0.0))
+                <= _FUNNEL_SPAN_MAX
+            )
+            .cast("int")
+            .alias("f2"),
+        )
+    )
+    w = Window.partitionBy("th")
+    keyed = flags.select(
+        "f1",
+        "f2",
+        (
+            F.col("doc_id")
+            == F.min(
+                F.when(
+                    (F.col("f1") == 1) & (F.col("f2") == 1), F.col("doc_id")
+                )
+            ).over(w)
+        )
+        .cast("int")
+        .alias("f3"),
+    )
+    agg = keyed.agg(
+        F.count("*").alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("n2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("n3"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_no"),
+                    F.lit("gopher_rules").alias("stage"),
+                    F.col("n0").cast("bigint").alias("docs_in"),
+                    F.col("n1").cast("bigint").alias("docs_out"),
+                    F.round(
+                        (F.col("n0") - F.col("n1")) * 100.0 / F.col("n0"), 6
+                    ).alias("drop_pct"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_no"),
+                    F.lit("span_dedup").alias("stage"),
+                    F.col("n1").cast("bigint").alias("docs_in"),
+                    F.col("n2").cast("bigint").alias("docs_out"),
+                    F.round(
+                        (F.col("n1") - F.col("n2")) * 100.0 / F.col("n1"), 6
+                    ).alias("drop_pct"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_no"),
+                    F.lit("exact_dedup").alias("stage"),
+                    F.col("n2").cast("bigint").alias("docs_in"),
+                    F.col("n3").cast("bigint").alias("docs_out"),
+                    F.round(
+                        (F.col("n2") - F.col("n3")) * 100.0 / F.col("n2"), 6
+                    ).alias("drop_pct"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select("s.*")

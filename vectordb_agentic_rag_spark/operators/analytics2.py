@@ -743,7 +743,7 @@ _CUSUM_H = 200.0  # alarm threshold (~4 sigma), binary-exact
 )
 def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-SIDED CUSUM change-point detection per user (Page 1954):
-    s_i = max(0, s_{{i-1}} + x_i - mean - k), alarm when s crosses h —
+    s_i = max(0, s_(i-1) + x_i - mean - k), alarm when s crosses h —
     the sequential drift detector monitoring pipelines run over
     per-entity metric streams (here: event values per user, k ~0.8
     sigma, h ~4 sigma; 41/150 fixture users alarm). Reports the peak
@@ -1355,7 +1355,7 @@ _FUNNEL_SPAN_MAX = 0.3  # max duplicated-span ratio a doc may carry
 def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END CORPUS-CURATION FUNNEL: Gopher rules ->
     duplicated-span ceiling (ratio <= {_FUNNEL_SPAN_MAX}) -> exact
-    keep-first dedup, reporting in/out/drop%% per stage — the
+    keep-first dedup, reporting in/out/drop% per stage — the
     dataset-card table every pretraining run publishes (how much
     survived each filter), composing this wave's three curation ops
     into one plan. Exact dedup is applied LAST and its keep-first

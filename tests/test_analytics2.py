@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from vectordb_agentic_rag_spark import QUERIES, load_all_operators
 from tests.test_plans import plan_of

@@ -80,9 +80,13 @@ def test_triangles_match_bruteforce(spark):
         ["l_orderkey", "l_suppkey"]
     ].drop_duplicates()
     m = li.merge(li, on="l_orderkey")
-    e = m[m.l_suppkey_x < m.l_suppkey_y][
-        ["l_suppkey_x", "l_suppkey_y"]
-    ].drop_duplicates()
+    e = (
+        m[m.l_suppkey_x < m.l_suppkey_y]
+        .groupby(["l_suppkey_x", "l_suppkey_y"])
+        .size()
+        .reset_index(name="n")
+    )
+    e = e[e.n >= 3][["l_suppkey_x", "l_suppkey_y"]]
     edges = set(map(tuple, e.values))
     adj: dict = {}
     for u, v in edges:

@@ -238,3 +238,27 @@ def test_curation_funnel_chains_and_matches_parts(spark):
     gopher = QUERIES["text_gopher_rules"](spark, SF).toPandas()
     assert pdf.iloc[0]["docs_out"] == gopher["keep_flag"].sum()
     assert pdf.iloc[0]["docs_in"] == len(gopher)
+
+
+# --------------------------------------------------------- more plan pins
+
+
+def test_welch_dimension_join_is_broadcast(spark):
+    plan = plan_of(QUERIES["agg_welch_ttest"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # part dim never shuffles the fact
+    assert "SortMergeJoin" not in plan
+
+
+def test_decayed_count_broadcasts_the_scalar_max(spark):
+    plan = plan_of(QUERIES["agg_decayed_count"](spark, SF))
+    # the global max-ts is a 1-row broadcast into the map pass — the
+    # fact table must never shuffle for it
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "pow" not in plan.lower()  # weights are integer shifts, never pow()
+
+
+def test_seasonal_naive_has_no_global_sort(spark):
+    plan = plan_of(QUERIES["win_seasonal_naive_mae"](spark, SF))
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan

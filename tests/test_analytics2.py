@@ -262,3 +262,30 @@ def test_seasonal_naive_has_no_global_sort(spark):
     plan = plan_of(QUERIES["win_seasonal_naive_mae"](spark, SF))
     assert "Exchange rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ndcg_matches_pandas_recompute(spark):
+    # independent recompute (numpy, not the DuckDB oracle): rebuild
+    # both rankings from the raw embeddings and re-derive NDCG@10
+    pdf = QUERIES["rag_eval_ndcg"](spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.vstack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    q, c = M[ids < 10], M[ids >= 10]
+    qid, cid = ids[ids < 10], ids[ids >= 10]
+    cos = (c @ q.T) / (
+        np.linalg.norm(c, axis=1)[:, None] * np.linalg.norm(q, axis=1)[None, :]
+    )
+    ham = ((c > 0)[:, None, :] != (q > 0)[None, :, :]).sum(axis=2)
+    for j, qv in enumerate(qid):
+        order_t = np.lexsort((cid, -np.round(cos[:, j], 6)))[:10]
+        order_s = np.lexsort((cid, ham[:, j]))[:10]
+        gain = {cid[n]: 10 - r for r, n in enumerate(order_t)}
+        dcg = sum(
+            (2 ** gain.get(cid[n], 0) - 1) / np.log2(p + 2)
+            for p, n in enumerate(order_s)
+        )
+        idcg = sum((2 ** (10 - r) - 1) / np.log2(r + 2) for r in range(10))
+        want = dcg / idcg
+        got = pdf.loc[pdf.query_id == qv, "ndcg_10"].iloc[0]
+        assert abs(got - want) < 1e-4, (qv, got, want)

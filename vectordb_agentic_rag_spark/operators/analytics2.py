@@ -1378,8 +1378,11 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_gopher_rules); the span ratio reuses dedup_span_ngram's
     hash-aggregate+join-back; the canonical pick is one window over
     sha256 hash partitions; the funnel itself collapses to a single
-    4-counter aggregate and unpivots 3 rows. Nothing here adds a scan:
-    documents are read once.
+    4-counter aggregate and unpivots 3 rows. Each stage re-scans the
+    column-pruned documents table for its own metric (3 text-column
+    passes; they share no shuffle and fuse into independent map
+    stages — at 100 TB the alternative single-pass fusion is blocked
+    by the span stage's explode+join-back shape).
 
     Parity: every flag is exact integer logic over the already-pinned
     metric expressions; drop percentages divide exact counts,

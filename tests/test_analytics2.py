@@ -289,3 +289,29 @@ def test_ndcg_matches_pandas_recompute(spark):
         want = dcg / idcg
         got = pdf.loc[pdf.query_id == qv, "ndcg_10"].iloc[0]
         assert abs(got - want) < 1e-4, (qv, got, want)
+
+
+def test_gopher_survives_one_word_docs(spark, tmp_path):
+    # Spark sequence(1, 0) infers step -1 ([1, 0] -> ANSI index crash)
+    # — the dup-bigram metric must be guarded for 1-token docs
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["word", "two words", "the a the a"],
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [4, 9, 11],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    pdf = (
+        QUERIES["text_gopher_rules"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert pdf["dup_bigram_frac"].iloc[0] == 0.0  # guarded, not crashed
+    assert pdf["n_words"].tolist() == [1, 2, 4]
+    assert pdf["keep_flag"].tolist() == [0, 0, 0]  # all fail word-count
+    # doc 3: bigrams = (the a, a the, the a) -> 1 dup of 3
+    assert abs(pdf["dup_bigram_frac"].iloc[2] - round(1 - 2 / 3, 6)) < 1e-9

@@ -54,11 +54,13 @@ _GOPHER_MAX_TOPR = 0.12
              round((n_chars - len(tk) + 1.0) / len(tk), 6) AS mean_word_len,
              len(list_filter(tk, w -> w IN ('the', 'a')))
                AS stopword_hits,
-             round(1.0 - len(list_distinct(list_transform(
-                     generate_series(1, len(tk) - 1),
-                     i -> list_extract(tk, i) || ' '
-                          || list_extract(tk, i + 1))))
-                   / (len(tk) - 1.0), 6) AS dup_bigram_frac,
+             CASE WHEN len(tk) >= 2 THEN
+               round(1.0 - len(list_distinct(list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> list_extract(tk, i) || ' '
+                            || list_extract(tk, i + 1))))
+                     / (len(tk) - 1.0), 6)
+             ELSE 0.0 END AS dup_bigram_frac,
              round(list_max(list_transform(list_distinct(tk),
                      w -> len(list_filter(tk, x -> x = w))))
                    / (len(tk) * 1.0), 6) AS top_word_ratio
@@ -116,16 +118,23 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_word_len"),
         F.expr(f"CAST(size(filter(tk, w -> w IN ({stop_list}))) AS BIGINT)")
         .alias("stopword_hits"),
-        F.round(
-            F.lit(1.0)
-            - F.expr(
-                "size(array_distinct(transform(sequence(1, size(tk) - 1), "
-                "i -> concat(element_at(tk, i), ' ', "
-                "element_at(tk, i + 1)))))"
-            )
-            / (F.size("tk") - F.lit(1.0)),
-            6,
-        ).alias("dup_bigram_frac"),
+        # guarded for 1-token docs: Spark's sequence(1, 0) infers step -1
+        # (giving [1, 0] and an ANSI INVALID_ARRAY_INDEX) where DuckDB's
+        # generate_series(1, 0) is empty, and ANSI double division by
+        # zero throws — the WHEN covers both engines' edge at once
+        F.when(
+            F.size("tk") >= 2,
+            F.round(
+                F.lit(1.0)
+                - F.expr(
+                    "size(array_distinct(transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', "
+                    "element_at(tk, i + 1)))))"
+                )
+                / (F.size("tk") - F.lit(1.0)),
+                6,
+            ),
+        ).otherwise(0.0).alias("dup_bigram_frac"),
         F.round(
             F.expr(
                 "array_max(transform(array_distinct(tk), "
@@ -1319,11 +1328,13 @@ _FUNNEL_SPAN_MAX = 0.3  # max duplicated-span ratio a doc may carry
                          BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
                    AND len(list_filter(tk, w -> w IN ('the', 'a')))
                          >= {_GOPHER_MIN_STOP}
-                   AND round(1.0 - len(list_distinct(list_transform(
-                           generate_series(1, len(tk) - 1),
-                           i -> list_extract(tk, i) || ' '
-                                || list_extract(tk, i + 1))))
-                         / (len(tk) - 1.0), 6) <= {_GOPHER_MAX_DUPF}
+                   AND (CASE WHEN len(tk) >= 2 THEN
+                          round(1.0 - len(list_distinct(list_transform(
+                              generate_series(1, len(tk) - 1),
+                              i -> list_extract(tk, i) || ' '
+                                   || list_extract(tk, i + 1))))
+                            / (len(tk) - 1.0), 6)
+                        ELSE 0.0 END) <= {_GOPHER_MAX_DUPF}
                    AND round(list_max(list_transform(list_distinct(tk),
                            w -> len(list_filter(tk, x -> x = w))))
                          / (len(tk) * 1.0), 6) <= {_GOPHER_MAX_TOPR}
@@ -1370,14 +1381,17 @@ _FUNNEL_SPAN_MAX = 0.3  # max duplicated-span ratio a doc may carry
     SELECT * FROM (
       SELECT 1 AS stage_no, 'gopher_rules' AS stage,
              CAST(n0 AS BIGINT) AS docs_in, CAST(n1 AS BIGINT) AS docs_out,
-             round((n0 - n1) * 100.0 / n0, 6) AS drop_pct
+             CASE WHEN n0 = 0 THEN 0.0
+                  ELSE round((n0 - n1) * 100.0 / n0, 6) END AS drop_pct
       FROM agg
       UNION ALL
       SELECT 2, 'span_dedup', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT),
-             round((n1 - n2) * 100.0 / n1, 6) FROM agg
+             CASE WHEN n1 = 0 THEN 0.0
+                  ELSE round((n1 - n2) * 100.0 / n1, 6) END FROM agg
       UNION ALL
       SELECT 3, 'exact_dedup', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT),
-             round((n2 - n3) * 100.0 / n2, 6) FROM agg) z
+             CASE WHEN n2 = 0 THEN 0.0
+                  ELSE round((n2 - n3) * 100.0 / n2, 6) END FROM agg) z
     """,
 )
 def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1455,27 +1469,42 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("gopher_rules").alias("stage"),
                     F.col("n0").cast("bigint").alias("docs_in"),
                     F.col("n1").cast("bigint").alias("docs_out"),
-                    F.round(
-                        (F.col("n0") - F.col("n1")) * 100.0 / F.col("n0"), 6
-                    ).alias("drop_pct"),
+                    F.when(
+                        F.col("n0") > 0,
+                        F.round(
+                            (F.col("n0") - F.col("n1")) * 100.0
+                            / F.col("n0"),
+                            6,
+                        ),
+                    ).otherwise(0.0).alias("drop_pct"),
                 ),
                 F.struct(
                     F.lit(2).alias("stage_no"),
                     F.lit("span_dedup").alias("stage"),
                     F.col("n1").cast("bigint").alias("docs_in"),
                     F.col("n2").cast("bigint").alias("docs_out"),
-                    F.round(
-                        (F.col("n1") - F.col("n2")) * 100.0 / F.col("n1"), 6
-                    ).alias("drop_pct"),
+                    F.when(
+                        F.col("n1") > 0,
+                        F.round(
+                            (F.col("n1") - F.col("n2")) * 100.0
+                            / F.col("n1"),
+                            6,
+                        ),
+                    ).otherwise(0.0).alias("drop_pct"),
                 ),
                 F.struct(
                     F.lit(3).alias("stage_no"),
                     F.lit("exact_dedup").alias("stage"),
                     F.col("n2").cast("bigint").alias("docs_in"),
                     F.col("n3").cast("bigint").alias("docs_out"),
-                    F.round(
-                        (F.col("n2") - F.col("n3")) * 100.0 / F.col("n2"), 6
-                    ).alias("drop_pct"),
+                    F.when(
+                        F.col("n2") > 0,
+                        F.round(
+                            (F.col("n2") - F.col("n3")) * 100.0
+                            / F.col("n2"),
+                            6,
+                        ),
+                    ).otherwise(0.0).alias("drop_pct"),
                 ),
             )
         ).alias("s")

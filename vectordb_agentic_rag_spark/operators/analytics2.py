@@ -916,7 +916,7 @@ def agg_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(sqq AS DOUBLE)
               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)
                AS var
-      FROM s),
+      FROM s WHERE n >= 2),
     tw AS (
       SELECT p.n AS n_promo, o.n AS n_other,
              p.mean AS m_promo, o.mean AS m_other,
@@ -968,7 +968,7 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("sq"),
         F.sum(F.col("q") * F.col("q")).alias("sqq"),
     )
-    m = s.select(
+    m = s.where(F.col("n") >= 2).select(
         "grp",
         "n",
         (F.col("sq").cast("double") / F.col("n")).alias("mean"),
@@ -1214,7 +1214,7 @@ def win_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(n1 * n2 / 12.0
                         * ((n + 1) - ties / (n * 1.0 * (n - 1)))), 6)
              AS z_stat
-    FROM s
+    FROM s WHERE n1 > 0 AND n2 > 0 AND n >= 2
     """,
 )
 def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1284,6 +1284,9 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("ntv") * F.col("ntv") * F.col("ntv") - F.col("ntv")
         ).alias("ties"),
+    )
+    s = s.where(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") >= 2)
     )
     return s.select(
         F.col("n1").cast("bigint").alias("n_purchase"),

@@ -821,47 +821,13 @@ def rag_eval_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Queries with zero true hits keep a row (LEFT join from the query
     list) with recall 0 — silent query dropout is the classic eval
     bug."""
-    from ..functions.vector import cosine_fixed
-    from .vector import _query_vector_raw, _query_vectors
+    from .vector import _query_vectors, eval_rankings_topk
 
-    emb = table(spark, sf_dir, "embeddings")
-    d = len(_query_vector_raw(sf_dir, 0))
+    truth_r, system = eval_rankings_topk(spark, sf_dir)
     q = _query_vectors(spark, sf_dir, 10)
-    corpus = emb.where(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
-    )
-    paired = corpus.crossJoin(F.broadcast(q))
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), "neighbor_id"
-    )
-    truth = (
-        paired.select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_cos))
-        .where(F.col("rn") <= 10)
-        .select("query_id", "neighbor_id")
-    )
-    sig = (
-        "aggregate(transform({v}, (x, i) -> "
-        "IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
-    )
-    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    sys_rank = (
-        paired.select(
-            "query_id",
-            "neighbor_id",
-            F.bit_count(
-                F.expr(sig.format(v="embedding")).bitwiseXOR(
-                    F.expr(sig.format(v="qv"))
-                )
-            ).alias("hamming"),
-        )
-        .withColumn("sys_rank", F.row_number().over(w_ham))
-        .where(F.col("sys_rank") <= 10)
-        .select("query_id", "neighbor_id", "sys_rank")
+    truth = truth_r.select("query_id", "neighbor_id")
+    sys_rank = system.select(
+        "query_id", "neighbor_id", F.col("p").alias("sys_rank")
     )
     hits = truth.join(sys_rank, ["query_id", "neighbor_id"]).groupBy(
         "query_id"

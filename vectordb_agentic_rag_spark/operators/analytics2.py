@@ -384,54 +384,11 @@ _DD_RANKINGS = f"""
 
 
 def _eval_rankings(spark: SparkSession, sf_dir: str):
-    """(truth, sys) top-10 DataFrames — Spark twin of _DD_RANKINGS.
+    """Shared (truth, system) top-10 rankings — vector.py's
+    eval_rankings_topk (one implementation for all three eval ops)."""
+    from .vector import eval_rankings_topk
 
-    Both rankings stream the corpus once against the broadcast query
-    set; per-query top-10 is a window over per-partition-reduced
-    candidates (TakeOrdered shape per query)."""
-    from ..functions.vector import cosine_fixed
-    from .vector import _query_vector_raw, _query_vectors
-
-    emb = table(spark, sf_dir, "embeddings")
-    d = len(_query_vector_raw(sf_dir, 0))
-    qs = _query_vectors(spark, sf_dir, 10)
-    corpus = emb.where(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
-    )
-    paired = corpus.crossJoin(F.broadcast(qs))
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), "neighbor_id"
-    )
-    truth = (
-        paired.select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_cos))
-        .where(F.col("rn") <= 10)
-        .select("query_id", "neighbor_id", "rn")
-    )
-    sig = (
-        "aggregate(transform({v}, (x, i) -> "
-        "IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
-    )
-    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    sys_rank = (
-        paired.select(
-            "query_id",
-            "neighbor_id",
-            F.bit_count(
-                F.expr(sig.format(v="embedding")).bitwiseXOR(
-                    F.expr(sig.format(v="qv"))
-                )
-            ).alias("hamming"),
-        )
-        .withColumn("p", F.row_number().over(w_ham))
-        .where(F.col("p") <= 10)
-        .select("query_id", "neighbor_id", "p")
-    )
-    return truth, sys_rank
+    return eval_rankings_topk(spark, sf_dir)
 
 
 @query(

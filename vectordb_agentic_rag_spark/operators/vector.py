@@ -786,3 +786,58 @@ def vec_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "label", "sim")
     )
+
+
+def eval_rankings_topk(spark: SparkSession, sf_dir: str):
+    """(truth, system) top-10 ranking DataFrames for the offline
+    retrieval-eval ops: truth = exact cosine (round(6), neighbor_id
+    tiebreak), system = sign-bit hamming — the shared CTE pair behind
+    rag_eval_recall_mrr / rag_eval_ndcg / rag_rbo_overlap (their DuckDB
+    twins pin the identical SQL). Both rankings stream the corpus once
+    against the broadcast 10-query set; per-query top-10 is a window
+    over per-partition-reduced candidates.
+
+    truth columns: (query_id, neighbor_id, rn); system: (query_id,
+    neighbor_id, p)."""
+    from ..functions.vector import cosine_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = len(_query_vector_raw(sf_dir, 0))
+    qs = _query_vectors(spark, sf_dir, 10)
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    paired = corpus.crossJoin(F.broadcast(qs))
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    truth = (
+        paired.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cos))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", "rn")
+    )
+    sig = (
+        "aggregate(transform({v}, (x, i) -> "
+        "IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    system = (
+        paired.select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(
+                F.expr(sig.format(v="embedding")).bitwiseXOR(
+                    F.expr(sig.format(v="qv"))
+                )
+            ).alias("hamming"),
+        )
+        .withColumn("p", F.row_number().over(w_ham))
+        .where(F.col("p") <= 10)
+        .select("query_id", "neighbor_id", "p")
+    )
+    return truth, system

@@ -315,3 +315,50 @@ def test_gopher_survives_one_word_docs(spark, tmp_path):
     assert pdf["keep_flag"].tolist() == [0, 0, 0]  # all fail word-count
     # doc 3: bigrams = (the a, a the, the a) -> 1 dup of 3
     assert abs(pdf["dup_bigram_frac"].iloc[2] - round(1 - 2 / 3, 6)) < 1e-9
+
+
+# ------------------------------------------------------------------ KS test
+
+
+def test_ks_matches_numpy_ecdf(spark):
+    row = QUERIES["agg_ks_test_two_sample"](spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    a = np.sort(ev.loc[ev.event_type == "purchase", "value"].to_numpy())
+    b = np.sort(ev.loc[ev.event_type == "click", "value"].to_numpy())
+    grid = np.union1d(a, b)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(fa - fb).max()
+    assert abs(row["d_stat"] - d) < 1e-6
+    assert row["n_purchase"] == len(a) and row["n_click"] == len(b)
+
+
+# ------------------------------------------------------- neighbor jaccard
+
+
+def test_neighbor_jaccard_bounds_and_triangle_consistency(spark):
+    pdf = QUERIES["graph_jaccard_neighbor_sim"](spark, SF).toPandas()
+    assert pdf["neighbor_jaccard"].between(0, 1).all()
+    assert (pdf["common_neighbors"] >= 1).all()
+    # common neighbors of an edge == triangles through that edge; the
+    # graph (support-gated) is shared with graph_triangle_cosupply
+    assert len(pdf) > 0
+
+
+# ----------------------------------------------------------- burstiness
+
+
+def test_burstiness_matches_pandas_moments(spark):
+    pdf = QUERIES["text_burstiness"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n_docs = len(docs)
+    tok = pdf.iloc[0]["tok"]
+    counts = docs["text"].str.split(" ").apply(
+        lambda ws: sum(1 for w in ws if w == tok)
+    )
+    mean = counts.sum() / n_docs
+    var = (counts ** 2).sum() / n_docs - mean ** 2
+    assert abs(pdf.iloc[0]["burstiness"] - var / mean) < 1e-4
+    # burstiness >= variance floor: var/mean of a Poisson is 1; topical
+    # fixture terms exceed it, function words sit near it — all positive
+    assert (pdf["burstiness"] > 0).all()

@@ -1470,3 +1470,291 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return stages.select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# agg_ks_test_two_sample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ks_test_two_sample",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+             value AS v
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    vt AS (
+      SELECT v, sum(grp) AS d1, count(*) - sum(grp) AS d2
+      FROM g GROUP BY v),
+    cum AS (
+      SELECT sum(d1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c1,
+             sum(d2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c2
+      FROM vt),
+    tot AS (SELECT sum(d1) AS n1, sum(d2) AS n2 FROM vt),
+    gap AS (
+      SELECT max(abs(c1 * n2 - c2 * n1)) AS mx
+      FROM cum CROSS JOIN tot)
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_click,
+           round(mx / (n1 * 1.0 * n2), 6) AS d_stat,
+           round(mx / (n1 * 1.0 * n2)
+                 * sqrt(n1 * n2 / (n1 * 1.0 + n2)), 6) AS ks_scaled
+    FROM gap CROSS JOIN tot
+    WHERE n1 > 0 AND n2 > 0
+    """,
+)
+def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic between 'purchase' and
+    'click' event values: D = sup_v |F1(v) - F2(v)|, the standard
+    distribution-shift detector (training-data drift monitors run
+    exactly this per feature). Also reports the sample-size-scaled
+    statistic sqrt(n1 n2/(n1+n2)) * D that the asymptotic p-value
+    tables consume.
+
+    The empirical-CDF gap never touches doubles until the very end:
+    |c1*n2 - c2*n1| keeps the sup over an INTEGER lattice (c1/n1 -
+    c2/n2 with common denominator n1*n2), so the max is exact on both
+    engines regardless of accumulation order — the same
+    integers-first discipline as agg_mann_whitney_u. Distinct-value
+    collapse bounds the scan: cumulative counts run over the value
+    DOMAIN (~49k two-decimal values), not the event count, and the
+    oracle's single ordered window is the domain-bounded pass the
+    Spark side implements as the two-level bucketed cumsum.
+
+    Parity: integers up to the two final divisions, round(6) each."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "grp"
+        ),
+        F.col("value").alias("v"),
+    )
+    vt = (
+        g.groupBy("v")
+        .agg(
+            F.sum("grp").alias("d1"),
+            (F.count("*") - F.sum("grp")).alias("d2"),
+        )
+        .withColumn("bkt", (F.col("v") / 50).cast("int"))
+    )
+    w_local = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bt = vt.groupBy("bkt").agg(
+        F.sum("d1").alias("b1"), F.sum("d2").alias("b2")
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    before = bt.select(
+        "bkt",
+        (F.sum("b1").over(w_b) - F.col("b1")).alias("p1"),
+        (F.sum("b2").over(w_b) - F.col("b2")).alias("p2"),
+    )
+    cum = (
+        vt.withColumn("l1", F.sum("d1").over(w_local))
+        .withColumn("l2", F.sum("d2").over(w_local))
+        .join(F.broadcast(before), "bkt")
+        .select(
+            (F.col("p1") + F.col("l1")).alias("c1"),
+            (F.col("p2") + F.col("l2")).alias("c2"),
+        )
+    )
+    tot = vt.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    gap = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        ).alias("mx")
+    )
+    d = F.col("mx") / (F.col("n1") * F.lit(1.0) * F.col("n2"))
+    return (
+        gap.crossJoin(F.broadcast(tot))
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            F.col("n1").cast("bigint").alias("n_purchase"),
+            F.col("n2").cast("bigint").alias("n_click"),
+            F.round(d, 6).alias("d_stat"),
+            F.round(
+                d
+                * F.sqrt(
+                    F.col("n1")
+                    * F.col("n2")
+                    / (F.col("n1") * F.lit(1.0) + F.col("n2"))
+                ),
+                6,
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_neighbor_sim
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_jaccard_neighbor_sim",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT x, count(*) AS d FROM adj GROUP BY x),
+    common AS (
+      SELECT e.u, e.v, count(*) AS cn
+      FROM e JOIN adj a1 ON a1.x = e.u
+             JOIN adj a2 ON a2.x = e.v AND a2.y = a1.y
+      WHERE a1.y <> e.v AND a1.y <> e.u
+      GROUP BY e.u, e.v)
+    SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS common_neighbors,
+           round(c.cn * 1.0
+                 / (du.d + dv.d - 2 - c.cn), 6) AS neighbor_jaccard
+    FROM common c
+    JOIN deg du ON du.x = c.u
+    JOIN deg dv ON dv.x = c.v
+    WHERE du.d + dv.d - 2 - c.cn > 0
+    ORDER BY neighbor_jaccard DESC, c.u, c.v
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE EMBEDDEDNESS — neighborhood Jaccard per co-supply edge:
+    J(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v) \\ {u,v}| over the
+    support-gated co-supply graph — the structural edge-strength
+    measure (Granovetter's embeddedness; link-prediction's Jaccard
+    baseline) that separates community-internal edges from bridges.
+    Top-20 strongest-embedded supplier pairs with common-neighbor
+    counts.
+
+    Shape at scale: reuses the checkpointed support->=3 edge list
+    (_cosupply_edges — one derivation per session). Common neighbors
+    come from the SAME wedge-join shape as triangle counting (join the
+    symmetric adjacency on both endpoints, shuffling on node keys);
+    degrees are one hash aggregate; the union size is degree algebra
+    (du + dv - 2 - common), never a second set operation. Top-20 is
+    TakeOrderedAndProject.
+
+    Parity: counts and degrees are exact integers; one division,
+    round(6); ties break on (u, v)."""
+    e = _cosupply_edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy("x").agg(F.count("*").alias("d"))
+    a1 = adj.select(F.col("x").alias("u"), F.col("y").alias("w"))
+    a2 = adj.select(F.col("x").alias("v"), F.col("y").alias("w"))
+    common = (
+        e.join(a1, "u")
+        .join(a2, ["v", "w"])
+        .where((F.col("w") != F.col("v")) & (F.col("w") != F.col("u")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    uni = F.col("du") + F.col("dv") - 2 - F.col("cn")
+    return (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .where(uni > 0)
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(F.col("cn") * F.lit(1.0) / uni, 6).alias(
+                "neighbor_jaccard"
+            ),
+        )
+        .orderBy(F.col("neighbor_jaccard").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_burstiness
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 20
+
+
+@query(
+    "text_burstiness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, t.tok
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    per_doc AS (
+      SELECT tok, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+    term AS (
+      SELECT tok, count(*) AS df, sum(c) AS cf, sum(c * c) AS cf2
+      FROM per_doc GROUP BY tok
+      HAVING count(*) >= {_BURST_MIN_DF})
+    SELECT tok, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+           round((CAST(cf2 AS DOUBLE) / n_docs
+                  - (CAST(cf AS DOUBLE) / n_docs)
+                    * (CAST(cf AS DOUBLE) / n_docs))
+                 / (CAST(cf AS DOUBLE) / n_docs), 6) AS burstiness
+    FROM term CROSS JOIN n
+    ORDER BY burstiness DESC, tok
+    LIMIT 20
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM BURSTINESS (Church & Gale 1995): variance-to-mean ratio of
+    per-document term counts (zeros included via the closed form
+    E[x^2] - E[x]^2 over all N docs) — separates topical terms, which
+    clump into few documents, from function words spread evenly
+    (burstiness ~= the overdispersion a Poisson model can't explain).
+    Content-word detection for stopword-list induction and keyword
+    extraction at corpus scale. Top-20 burstiest terms with df >=
+    {_BURST_MIN_DF} support.
+
+    Shape at scale: tokens collapse to (term, doc) counts (map-side
+    combine), then to per-term sufficient statistics (df, sum c, sum
+    c^2) — two vocabulary-bounded hash aggregates; docs that lack a
+    term contribute exactly zero to every sum, so the all-N moments
+    need NO join back to the corpus, just the scalar doc count
+    broadcast into the final projection. Top-20 is
+    TakeOrderedAndProject.
+
+    Parity: all sufficient statistics are exact integers; the
+    variance/mean algebra is the identical double expression shape on
+    both engines, one round(6); ties break on the term."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    n = d.agg(F.count("*").alias("n_docs"))
+    per_doc = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("c"))
+    term = (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("c").alias("cf"),
+            F.sum(F.col("c") * F.col("c")).alias("cf2"),
+        )
+        .where(F.col("df") >= _BURST_MIN_DF)
+    )
+    mean = F.col("cf").cast("double") / F.col("n_docs")
+    return (
+        term.crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("cf").cast("bigint").alias("cf"),
+            F.round(
+                (F.col("cf2").cast("double") / F.col("n_docs")
+                 - mean * mean)
+                / mean,
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "tok")
+        .limit(20)
+    )

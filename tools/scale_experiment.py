@@ -92,6 +92,8 @@ OPS = [
     ("graph_triangle_cosupply", "lineitem"),
     ("win_cusum_changepoint", "events"),
     ("win_seasonal_naive_mae", "events"),
+    ("agg_ks_test_two_sample", "events"),
+    ("text_burstiness", "documents"),
 ]
 
 

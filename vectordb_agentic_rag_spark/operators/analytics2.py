@@ -557,7 +557,9 @@ _COSUPPLY_MIN_SUPPORT = 3  # orders two suppliers must share
 _COSUPPLY_EDGES_CACHE: dict = {}
 
 
-def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cosupply_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = _COSUPPLY_MIN_SUPPORT
+) -> DataFrame:
     """Distinct (u < v) supplier co-supply edges, materialized once per
     (application, sf_dir) via localCheckpoint — the triangle query
     references the edge list THREE times (two wedge sides + the
@@ -567,7 +569,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), orders of magnitude below the fact table, so checkpointing
     it is the 100 TB play. Keyed by applicationId, not id(spark)
     (CPython id-recycling hazard — dedup.py:915 pins the same rule)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, min_support)
     if key not in _COSUPPLY_EDGES_CACHE:
         li = (
             table(spark, sf_dir, "lineitem")
@@ -585,7 +587,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("u") < F.col("v"))
             .groupBy("u", "v")
             .agg(F.count("*").alias("n_shared"))
-            .where(F.col("n_shared") >= _COSUPPLY_MIN_SUPPORT)
+            .where(F.col("n_shared") >= min_support)
             .select("u", "v")
             .localCheckpoint()
         )
@@ -1593,15 +1595,21 @@ def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_JACCARD_MIN_SUPPORT = 5  # stronger gate than triangles: the wedge
+# mass of the common-neighbor join is sum(deg^2), 184M at support 3 vs
+# 9.3M at support 5 on sf0.1 (measured) — embeddedness only means
+# anything over strong edges anyway
+
+
 @query(
     "graph_jaccard_neighbor_sim",
-    oracle="""
+    oracle=f"""
     WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     e AS (
       SELECT a.l_suppkey AS u, b.l_suppkey AS v
       FROM os a JOIN os b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      GROUP BY 1, 2 HAVING count(*) >= 3),
+      GROUP BY 1, 2 HAVING count(*) >= {_JACCARD_MIN_SUPPORT}),
     adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT x, count(*) AS d FROM adj GROUP BY x),
     common AS (
@@ -1630,8 +1638,9 @@ def graph_jaccard_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-20 strongest-embedded supplier pairs with common-neighbor
     counts.
 
-    Shape at scale: reuses the checkpointed support->=3 edge list
-    (_cosupply_edges — one derivation per session). Common neighbors
+    Shape at scale: reuses the checkpointed edge builder
+    (_cosupply_edges) at support >= 5 — one derivation per session,
+    cached per (application, sf_dir, support). Common neighbors
     come from the SAME wedge-join shape as triangle counting (join the
     symmetric adjacency on both endpoints, shuffling on node keys);
     degrees are one hash aggregate; the union size is degree algebra
@@ -1640,7 +1649,7 @@ def graph_jaccard_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: counts and degrees are exact integers; one division,
     round(6); ties break on (u, v)."""
-    e = _cosupply_edges(spark, sf_dir)
+    e = _cosupply_edges(spark, sf_dir, _JACCARD_MIN_SUPPORT)
     adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         e.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )

@@ -514,3 +514,53 @@ def test_sessionize_single_exchange(spark, sf_dir):
     # satisfies the clustered distribution of the superset grouping key
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
     assert "hashpartitioning(user_id" in plan
+
+
+def test_rrf_fusion_gates_each_side_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["rag_rrf_fusion"](spark, sf_dir))
+    # each retriever side must gate to its top-N candidates via
+    # orderBy+limit (TakeOrderedAndProject) BEFORE any partition-less
+    # window ranks the survivors; the final top-10 is a third
+    # TakeOrderedAndProject. A global rangepartitioning sort of the
+    # corpus is the banned anti-pattern (round-6 rule).
+    assert plan.count("TakeOrderedAndProject") >= 3, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_running_total_windows_days_not_rows(spark, sf_dir):
+    plan = plan_of(QUERIES["win_running_total_range"](spark, sf_dir))
+    # the cumulative window must run over the per-day AGGREGATE (tiny
+    # domain), broadcast-joined back to orders — never a global RANGE
+    # window over the fact rows
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # map-side day pre-aggregation
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_shard_assign_two_pass_rank_no_global_row_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["pipeline_shard_assign"](spark, sf_dir))
+    # two-pass rank: doc-level window must be PARTITIONED by n_tokens;
+    # the only single-partition sort is over the value-domain counts
+    # (post-HashAggregate), proven by the partial_count partial agg
+    assert "hashpartitioning(n_tokens" in plan
+    assert "partial_count" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_dim_rank_windows_scan_only_dim_columns(spark, sf_dir):
+    # win_ntile_rank_dense / win_percent_rank_cume_dist use global
+    # windows by CONTRACT: their input is the bounded `part` dimension
+    # and the scan must read only the 2 rank-key columns (so the
+    # single-partition sort carries a dim-sized, 2-column payload).
+    import re
+
+    for op, cols in [
+        ("win_ntile_rank_dense", {"p_partkey", "p_size"}),
+        ("win_percent_rank_cume_dist", {"p_partkey", "p_retailprice"}),
+    ]:
+        plan = plan_of(QUERIES[op](spark, sf_dir))
+        m = re.search(r"ReadSchema: struct<([^>]+)>", plan)
+        assert m, plan[:1500]
+        read = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert read == cols, (op, read)
+        assert "part.parquet" in plan

@@ -234,6 +234,7 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack et al.)
+_RRF_N = 100  # per-retriever candidate-list length fed into the fusion
 
 
 @query(
@@ -248,37 +249,43 @@ _RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack et al.)
                  for i, t in enumerate(_KEYWORDS))}
       FROM toks),
     bm25 AS (
-      SELECT doc_id, row_number() OVER (ORDER BY
-             round({' + '.join(
-                 f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
-                 f"(len(list_filter(tk, x -> x = '{t}')) * ({_BM25_K1} + 1)) / "
-                 f"(len(list_filter(tk, x -> x = '{t}')) + {_BM25_K1} * "
-                 f"(1 - {_BM25_B} + {_BM25_B} * len(tk) / avgdl)))"
-                 for i, t in enumerate(_KEYWORDS))}, 6) DESC, doc_id) AS r
-      FROM toks CROSS JOIN stats),
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY
+               round({' + '.join(
+                   f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+                   f"(len(list_filter(tk, x -> x = '{t}')) * ({_BM25_K1} + 1)) / "
+                   f"(len(list_filter(tk, x -> x = '{t}')) + {_BM25_K1} * "
+                   f"(1 - {_BM25_B} + {_BM25_B} * len(tk) / avgdl)))"
+                   for i, t in enumerate(_KEYWORDS))}, 6) DESC, doc_id) AS r
+        FROM toks CROSS JOIN stats) t WHERE r <= {_RRF_N}),
     overlap AS (
-      SELECT doc_id, row_number() OVER (ORDER BY
-             len(list_filter({_KEYWORDS}, kw -> list_contains(tk, kw))) DESC,
-             doc_id) AS r
-      FROM toks)
-    SELECT b.doc_id,
-           CAST(b.r AS BIGINT) AS bm25_rank, CAST(o.r AS BIGINT) AS overlap_rank,
-           round(1.0 / ({_RRF_K} + b.r) + 1.0 / ({_RRF_K} + o.r), 6) AS rrf
-    FROM bm25 b JOIN overlap o USING (doc_id)
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY
+               len(list_filter({_KEYWORDS}, kw -> list_contains(tk, kw))) DESC,
+               doc_id) AS r
+        FROM toks) t WHERE r <= {_RRF_N})
+    SELECT COALESCE(b.doc_id, o.doc_id) AS doc_id,
+           CAST(COALESCE(b.r, 0) AS BIGINT) AS bm25_rank,
+           CAST(COALESCE(o.r, 0) AS BIGINT) AS overlap_rank,
+           round(COALESCE(1.0 / ({_RRF_K} + b.r), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + o.r), 0), 6) AS rrf
+    FROM bm25 b FULL OUTER JOIN overlap o ON b.doc_id = o.doc_id
     ORDER BY rrf DESC, doc_id LIMIT 10
     """,
 )
 def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval fusion (R13, app.py:348-374): the reference
     concatenates doc-store hits with web-search hits; the engine's
-    scalable analogue is reciprocal-rank fusion of two rankings of the
-    corpus — BM25 (rag_bm25_topk's scorer) and exact keyword-set
-    overlap (R9's gate as a ranking). RRF needs only ranks, never
-    score calibration, which is why it is the standard way to fuse
-    heterogeneous retrievers. Both rankings are full-corpus window
-    ranks here; at 100 TB each side keeps only its top-k candidates
-    (TakeOrderedAndProject) and the fusion join touches k+k rows, not
-    the corpus."""
+    analogue fuses two retriever RESULT LISTS — BM25 (rag_bm25_topk's
+    scorer) and exact keyword-set overlap (R9's gate as a ranking) —
+    by reciprocal-rank fusion, exactly as RRF is defined (over top-N
+    lists, absent docs contribute 0; Cormack et al.). Each side is
+    gated to its top-N candidates with orderBy+limit
+    (TakeOrderedAndProject — a distributed partial top-k, never a
+    global sort); only the N survivors are ranked by a window, so the
+    partition-less row_number touches N=100 rows, not the corpus. The
+    fusion is a full-outer join over <=2N candidate rows; rank 0 in
+    the output marks 'absent from that retriever's list'."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tk"))
     tf = lambda t: F.size(F.filter("tk", lambda x: x == F.lit(t)))  # noqa: E731
@@ -305,25 +312,44 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         score = term if score is None else score + term
     kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
     n_overlap = F.size(F.filter(kw_arr, lambda kw: F.array_contains("tk", kw)))
+    # Candidate gates: TakeOrderedAndProject keeps each side's top-N;
+    # the window then ranks ONLY those N survivors (their window ranks
+    # equal the global ranks because orderBy+limit selects the exact
+    # top-N under the same total order).
     bm25 = (
         toks.crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(score, 6).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_N)
         .withColumn(
             "bm25_rank",
             F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id")).cast("bigint"),
         )
         .select("doc_id", "bm25_rank")
     )
-    overlap = toks.select("doc_id", n_overlap.alias("ov")).withColumn(
-        "overlap_rank",
-        F.row_number().over(Window.orderBy(F.col("ov").desc(), "doc_id")).cast("bigint"),
-    ).select("doc_id", "overlap_rank")
+    overlap = (
+        toks.select("doc_id", n_overlap.alias("ov"))
+        .orderBy(F.col("ov").desc(), "doc_id")
+        .limit(_RRF_N)
+        .withColumn(
+            "overlap_rank",
+            F.row_number().over(Window.orderBy(F.col("ov").desc(), "doc_id")).cast("bigint"),
+        )
+        .select("doc_id", "overlap_rank")
+    )
     rrf = F.round(
-        1.0 / (_RRF_K + F.col("bm25_rank")) + 1.0 / (_RRF_K + F.col("overlap_rank")), 6
+        F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("overlap_rank")), F.lit(0.0)),
+        6,
     )
     return (
-        bm25.join(overlap, "doc_id")
-        .select("doc_id", "bm25_rank", "overlap_rank", rrf.alias("rrf"))
+        bm25.join(overlap, ["doc_id"], "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0).cast("bigint")).alias("bm25_rank"),
+            F.coalesce("overlap_rank", F.lit(0).cast("bigint")).alias("overlap_rank"),
+            rrf.alias("rrf"),
+        )
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )

@@ -1370,23 +1370,35 @@ def pipeline_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: ties broken on doc_id, so shard membership is
     reproducible run-to-run — a dataset-versioning requirement.
 
-    The global sort is rank-only (row_number over a size key), which
-    plans as one range exchange of (doc_id, n_tokens) pairs — the
-    document BODIES never ride the sort; the subsequent shard write
-    (not materialized here) shuffles each doc once by shard_id. Output
-    is the per-shard accounting a training job validates before
-    reading."""
+    Two-pass range-partitioned rank — NO global row_number over the
+    corpus: (1) count docs per n_tokens VALUE and run the ordered
+    cumulative over that value domain (bounded by max document length,
+    thousands of rows at any corpus size) to get each value's global
+    offset; (2) rank within each n_tokens bucket with a PARTITIONED
+    window by doc_id. global_rn = offset + within_rank reproduces the
+    exact (n_tokens DESC, doc_id) total-order rank, so shard
+    membership is unchanged — this is the zipWithIndex shape from the
+    round-6 rank-statistics note (agg_mann_whitney_u): the only
+    single-partition sort is over the value DOMAIN, never the rows."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    rn = F.row_number().over(
-        Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    cnt = sized.groupBy("n_tokens").agg(F.count("*").alias("c"))
+    wd = Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
+    off = cnt.select(
+        "n_tokens",
+        F.coalesce(F.sum("c").over(wd), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wr = Window.partitionBy("n_tokens").orderBy("doc_id")
+    rn = F.col("off") + F.row_number().over(wr)
     return (
-        sized.withColumn("shard_id", ((rn - 1) % 8).cast("int"))
+        sized.join(F.broadcast(off), "n_tokens")
+        .withColumn("shard_id", ((rn - 1) % 8).cast("int"))
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),

@@ -116,25 +116,32 @@ def win_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_running_total_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running revenue by order date with a RANGE frame: same-date orders
-    are peers and contribute together (standard RANGE semantics, both
-    engines). Globally-ordered window => range exchange; the filter
-    bounds the data, and at 100 TB this becomes per-day pre-aggregation
-    + a tiny ordered window over days."""
+    """Running revenue by order date with RANGE-frame semantics:
+    same-date orders are peers and contribute together. Implemented
+    scale-first: RANGE UNBOUNDED..CURRENT over o_orderdate depends
+    only on the DAY, so pre-aggregate revenue per day (map-side
+    partial agg over the fact table), run the ordered cumulative
+    window over the day DOMAIN (thousands of rows at any corpus
+    size — never a single-partition sort of the fact table), and
+    broadcast-join the day-level cumsum back onto the orders. The
+    decimal day sums are exact, so this equals the per-row RANGE
+    window bit-for-bit; the oracle keeps the textbook RANGE form."""
     o = table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
     )
-    w = (
-        Window.orderBy("o_orderdate")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev")
     )
-    return o.select(
+    wd = Window.orderBy("o_orderdate").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "o_orderdate", F.sum("day_rev").over(wd).alias("cum_rev")
+    )
+    return o.join(F.broadcast(cum), "o_orderdate").select(
         "o_orderkey",
         "o_orderdate",
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
-            2,
-        ).alias("running_rev"),
+        F.round(F.col("cum_rev").cast("double"), 2).alias("running_rev"),
     )
 
 
@@ -151,7 +158,11 @@ def win_running_total_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ntile_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank over p_size (real ties exercise the gap vs no-gap
     semantics); ntile over a unique order so bucket assignment is
-    deterministic."""
+    deterministic. Global window BY CONTRACT: the input is the bounded
+    `part` dimension and the scan carries only the 2 rank-key columns
+    (pinned by test_dim_rank_windows_scan_only_dim_columns); a fact
+    column would use the two-pass value-domain rank instead
+    (pipeline_shard_assign)."""
     p = table(spark, sf_dir, "part")
     w_ties = Window.orderBy("p_size")
     w_uniq = Window.orderBy("p_size", "p_partkey")
@@ -177,9 +188,12 @@ def win_ntile_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank analytics (percent_rank / cume_dist / decile)
-    over part prices. Global ORDER BY window — acceptable on a
-    dimension table; for a 100 TB fact column the same statistics come
-    from approx_percentile buckets instead (see agg_percentiles)."""
+    over part prices. Global ORDER BY window BY CONTRACT — the input is
+    the bounded `part` dimension and the scan reads only the 2 rank-key
+    columns (pinned by test_dim_rank_windows_scan_only_dim_columns);
+    for a 100 TB fact column the same statistics come from
+    approx_percentile buckets (agg_percentiles) or the two-pass
+    value-domain rank (pipeline_shard_assign)."""
     p = table(spark, sf_dir, "part")
     w = Window.orderBy("p_retailprice", "p_partkey")
     return p.select(

@@ -110,6 +110,9 @@ def test_triangle_closure_is_semi_join(spark):
     assert "LeftSemi" in plan  # wedges close via semi-join, never materialize
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    # degree-oriented: the wedge self-join pivots on the oriented
+    # source key s (both join keys named s), never the raw u/v ids
+    assert "Left keys [1]: [s#" in plan, plan[:3000]
 
 
 # ------------------------------------------------------------ eval metrics

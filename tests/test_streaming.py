@@ -200,3 +200,55 @@ def test_transform_with_state_running_count(spark, sf_dir):
         .collect()
     }
     assert live == batch
+
+
+def test_cusum_live_matches_batch_fold(spark, sf_dir):
+    """The drained live CUSUM equals the batch fold of the same
+    recurrence (known reference mean) over the full time-ordered
+    series — bit-exact, because both sides run the identical
+    left-assoc float ops in the identical per-key order."""
+    from vectordb_agentic_rag_spark.streaming.core import (
+        _CUSUM_LIVE_H,
+        _CUSUM_LIVE_K,
+        _CUSUM_LIVE_MU,
+        stream_cusum_live,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    live = _key(
+        stream_cusum_live(spark, sf_dir).collect(),
+        ["user_id", "n_events", "max_cusum", "n_alarms", "alarmed"],
+    )
+    fold = F.expr(
+        "aggregate(transform(sort_array(collect_list(struct(us, event_id, x))), "
+        "s -> s.x), "
+        "named_struct('cs', CAST(0.0 AS DOUBLE), "
+        "'mx', CAST(0.0 AS DOUBLE), 'al', CAST(0 AS BIGINT)), "
+        f"(s, x) -> named_struct("
+        f"'cs', greatest(0.0D, s.cs + x - {_CUSUM_LIVE_MU}D - {_CUSUM_LIVE_K}D), "
+        f"'mx', greatest(s.mx, greatest(0.0D, s.cs + x - {_CUSUM_LIVE_MU}D - {_CUSUM_LIVE_K}D)), "
+        f"'al', s.al + IF(greatest(0.0D, s.cs + x - {_CUSUM_LIVE_MU}D - {_CUSUM_LIVE_K}D) "
+        f"> {_CUSUM_LIVE_H}D, CAST(1 AS BIGINT), CAST(0 AS BIGINT))))"
+    )
+    batch = _key(
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.round("value", 6).alias("x"),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"), fold.alias("st"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("st.mx"), 6).alias("max_cusum"),
+            F.col("st.al").alias("n_alarms"),
+            (F.col("st.al") > 0).cast("bigint").alias("alarmed"),
+        )
+        .collect(),
+        ["user_id", "n_events", "max_cusum", "n_alarms", "alarmed"],
+    )
+    assert live == batch
+    assert any(r[4] == 1 for r in batch)  # the detector actually fires

@@ -887,7 +887,11 @@ def _km_newdim(i: int) -> str:
     )
 
 
-def _km_oracle() -> str:
+def _km_asg_ctes() -> list[str]:
+    """The shared CTE chain through asg{_KM_ITERS} (points, unrolled
+    Lloyd iterations, final assignments) — vec_kmeans_lloyd and
+    dedup_semantic_cluster_purge both build on it, so the two oracles
+    pin the SAME cluster cells."""
     D, K, T = _KM_D, _KM_K, _KM_ITERS
     dims = range(1, D + 1)
     e_cols = ", ".join(f"e{i}" for i in dims)
@@ -925,6 +929,54 @@ def _km_oracle() -> str:
                 + ", ".join(f"{_km_newdim(i)} AS c{i}" for i in dims)
                 + f" FROM asg{t} GROUP BY cl)"
             )
+    return parts
+
+
+def _km_assignments(spark: SparkSession, sf_dir: str):
+    """Spark twin of _km_asg_ctes: the final Lloyd assignment frame
+    (vec_id, e1..eD, d0..d{K-1}, cl) plus the final centroid frame —
+    the exact plan vec_kmeans_lloyd aggregates over."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = range(1, _KM_D + 1)
+    pts = emb.select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)").alias(f"e{i}")
+            for i in dims
+        ],
+    )
+    cent = pts.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cl"),
+        *[F.round(F.col(f"e{i}"), 9).alias(f"c{i}") for i in dims],
+    )
+    asg = None
+    for t in range(_KM_ITERS + 1):
+        cw = cent.groupBy().agg(
+            *[
+                F.max(F.when(F.col("cl") == j, F.col(f"c{i}"))).alias(
+                    f"c{j}_{i}"
+                )
+                for j in range(_KM_K)
+                for i in dims
+            ]
+        )
+        dist = pts.crossJoin(F.broadcast(cw)).select(
+            "vec_id",
+            *[F.col(f"e{i}") for i in dims],
+            *[F.expr(_km_dist(j)).alias(f"d{j}") for j in range(_KM_K)],
+        )
+        asg = dist.select("*", F.expr(_KM_ARGMIN).alias("cl"))
+        if t < _KM_ITERS:
+            cent = asg.groupBy("cl").agg(
+                *[F.expr(_km_newdim(i)).alias(f"c{i}") for i in dims]
+            )
+    return asg, cent
+
+
+def _km_oracle() -> str:
+    dims = range(1, _KM_D + 1)
+    T = _KM_ITERS
+    parts = _km_asg_ctes()
     parts.append(
         f"per AS (SELECT cl, count(*) AS n_points, "
         f"sum(CAST(round({_KM_DSEL}, 9) AS DECIMAL(28,12))) AS inert "
@@ -965,40 +1017,8 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(9)-quantized before the DECIMAL total. The oracle unrolls the
     same three iterations as chained CTEs (a recursive CTE cannot
     reference itself twice)."""
-    emb = table(spark, sf_dir, "embeddings")
     dims = range(1, _KM_D + 1)
-    pts = emb.select(
-        "vec_id",
-        *[
-            F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)").alias(f"e{i}")
-            for i in dims
-        ],
-    )
-    cent = pts.where(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").cast("int").alias("cl"),
-        *[F.round(F.col(f"e{i}"), 9).alias(f"c{i}") for i in dims],
-    )
-    asg = None
-    for t in range(_KM_ITERS + 1):
-        cw = cent.groupBy().agg(
-            *[
-                F.max(F.when(F.col("cl") == j, F.col(f"c{i}"))).alias(
-                    f"c{j}_{i}"
-                )
-                for j in range(_KM_K)
-                for i in dims
-            ]
-        )
-        dist = pts.crossJoin(F.broadcast(cw)).select(
-            "vec_id",
-            *[F.col(f"e{i}") for i in dims],
-            *[F.expr(_km_dist(j)).alias(f"d{j}") for j in range(_KM_K)],
-        )
-        asg = dist.select("*", F.expr(_KM_ARGMIN).alias("cl"))
-        if t < _KM_ITERS:
-            cent = asg.groupBy("cl").agg(
-                *[F.expr(_km_newdim(i)).alias(f"c{i}") for i in dims]
-            )
+    asg, cent = _km_assignments(spark, sf_dir)
     per = asg.groupBy("cl").agg(
         F.count("*").alias("n_points"),
         F.sum(

@@ -1660,12 +1660,10 @@ def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_duck_oracle(k: int) -> str:
-    """Unrolled k-step BPE oracle: each step computes pair counts,
-    picks the argmax pair (ties by (l, r) lex), and re-folds every
-    word's symbol list with the greedy-left merge — the same
-    list-accumulator fold the Spark side runs (chained CTEs because a
-    recursive CTE cannot carry both the vocab table and the argmax)."""
+def _bpe_duck_ctes(k: int) -> str:
+    """The shared CTE chain for BPE oracles (w0..w{k} + b1..b{k}) —
+    pipeline_bpe_merges and pipeline_tokenizer_fertility both build on
+    it, so the two oracles pin the SAME merge sequence."""
     merge_fold = (
         "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
         "list_transform(syms, s -> [s])), (acc, x) -> "
@@ -1695,12 +1693,68 @@ def _bpe_duck_oracle(k: int) -> str:
       SELECT w, {prev}.cnt AS cnt, {merge_fold} AS syms
       FROM {prev} CROSS JOIN b{i} b)"""
         )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_duck_oracle(k: int) -> str:
+    """Unrolled k-step BPE oracle: each step computes pair counts,
+    picks the argmax pair (ties by (l, r) lex), and re-folds every
+    word's symbol list with the greedy-left merge — the same
+    list-accumulator fold the Spark side runs (chained CTEs because a
+    recursive CTE cannot carry both the vocab table and the argmax)."""
     finals = " UNION ALL ".join(
         f"SELECT {i} AS step, l AS left_sym, r AS right_sym, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+    return _bpe_duck_ctes(k) + "\n    " + finals
+
+
+_BPE_TRAIN_CACHE: dict = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, k: int = 5):
+    """Run the k-merge BPE training loop once per (application, sf_dir)
+    and cache (merge records, final folded word table) — the word
+    table is localCheckpointed inside the loop, so reuse is free.
+    pipeline_bpe_merges reports the records; pipeline_tokenizer_
+    fertility re-tokenizes the corpus with the final vocab. Keyed by
+    applicationId (the dedup._NGRAM_EDGES_CACHE rule)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key in _BPE_TRAIN_CACHE:
+        return _BPE_TRAIN_CACHE[key]
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .select("t", "cnt", F.split("t", "").alias("syms"))
+    )
+    pair_arr = (
+        "transform(sequence(1, size(syms) - 1), "
+        "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"
+    )
+    records = []
+    for step in range(1, k + 1):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select("cnt", F.explode(F.expr(pair_arr)).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()[0]
+        records.append((step, best.l, best.r, int(best.cnt)))
+        le, ri = best.l.replace("'", "\\'"), best.r.replace("'", "\\'")
+        merge = F.expr(
+            "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+            "CASE WHEN size(acc) = 0 THEN array(x) "
+            f"WHEN element_at(acc, -1) = '{le}' AND x = '{ri}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{le}{ri}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        words = words.select("t", "cnt", merge.alias("syms")).localCheckpoint()
+    _BPE_TRAIN_CACHE[key] = (records, words)
+    return records, words
 
 
 @query("pipeline_bpe_merges", oracle=_bpe_duck_oracle(5))
@@ -1723,36 +1777,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ANSI). The oracle unrolls the 5 iterations as chained CTEs
     running the identical fold (the PageRank precedent), so each
     step's chosen pair AND its count are pinned cross-engine."""
-    d = table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("t"))
-        .groupBy("t")
-        .agg(F.count("*").alias("cnt"))
-        .select("t", "cnt", F.split("t", "").alias("syms"))
-    )
-    pair_arr = (
-        "transform(sequence(1, size(syms) - 1), "
-        "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"
-    )
-    records = []
-    for step in range(1, 6):
-        pairs = (
-            words.where(F.size("syms") >= 2)
-            .select("cnt", F.explode(F.expr(pair_arr)).alias("pr"))
-            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()[0]
-        records.append((step, best.l, best.r, int(best.cnt)))
-        le, ri = best.l.replace("'", "\\'"), best.r.replace("'", "\\'")
-        merge = F.expr(
-            "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
-            "CASE WHEN size(acc) = 0 THEN array(x) "
-            f"WHEN element_at(acc, -1) = '{le}' AND x = '{ri}' "
-            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{le}{ri}')) "
-            "ELSE concat(acc, array(x)) END)"
-        )
-        words = words.select("t", "cnt", merge.alias("syms")).localCheckpoint()
+    records, _ = _bpe_train(spark, sf_dir, 5)
     return spark.createDataFrame(
         records, "step int, left_sym string, right_sym string, pair_count bigint"
     )

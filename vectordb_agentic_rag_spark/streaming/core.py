@@ -460,3 +460,125 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_streaming.py::test_transform_with_state_running_count —
 # which skips on the missing protobuf here and runs the real
 # ValueState pipeline wherever protobuf is installed.
+
+
+# ---------------------------------------------------------------------------
+# stream_cusum_live
+# ---------------------------------------------------------------------------
+
+_CUSUM_LIVE_MU = 50.0  # known in-control mean (binary-exact)
+_CUSUM_LIVE_K = 40.0  # slack, same constant as win_cusum_changepoint
+_CUSUM_LIVE_H = 200.0  # alarm threshold, same constant
+
+
+@query(
+    "stream_cusum_live",
+    # Full oracle despite being live streaming: the CUSUM fold against
+    # a KNOWN reference mean is prefix-incremental, the time-ordered
+    # replay preserves per-key order, and the emitted per-batch
+    # summaries are MONOTONE (n, mx, al only grow), so the max-reduced
+    # drained result equals the batch fold over the whole series —
+    # expressed as the same recursive CTE as win_cusum_changepoint
+    # with the empirical mean replaced by the monitored target.
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, round(value, 6) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    nn AS (SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id),
+    st AS (
+      SELECT s.user_id, 1 AS i,
+             greatest(0.0, s.x - {_CUSUM_LIVE_MU} - {_CUSUM_LIVE_K}) AS cs,
+             greatest(0.0, s.x - {_CUSUM_LIVE_MU} - {_CUSUM_LIVE_K}) AS mx,
+             CASE WHEN greatest(0.0, s.x - {_CUSUM_LIVE_MU} - {_CUSUM_LIVE_K})
+                       > {_CUSUM_LIVE_H} THEN 1 ELSE 0 END AS al
+      FROM seq s WHERE s.rn = 1
+      UNION ALL
+      SELECT st.user_id, st.i + 1,
+             greatest(0.0, st.cs + s.x - {_CUSUM_LIVE_MU} - {_CUSUM_LIVE_K}),
+             greatest(st.mx,
+                      greatest(0.0,
+                               st.cs + s.x - {_CUSUM_LIVE_MU} - {_CUSUM_LIVE_K})),
+             st.al + CASE WHEN greatest(0.0, st.cs + s.x - {_CUSUM_LIVE_MU}
+                                             - {_CUSUM_LIVE_K})
+                               > {_CUSUM_LIVE_H} THEN 1 ELSE 0 END
+      FROM st JOIN seq s ON s.user_id = st.user_id AND s.rn = st.i + 1)
+    SELECT st.user_id, CAST(nn.n AS BIGINT) AS n_events,
+           round(st.mx, 6) AS max_cusum,
+           CAST(st.al AS BIGINT) AS n_alarms,
+           CAST(CASE WHEN st.al > 0 THEN 1 ELSE 0 END AS BIGINT) AS alarmed
+    FROM st JOIN nn ON st.user_id = nn.user_id AND st.i = nn.n
+    """,
+)
+def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE one-sided CUSUM per user via applyInPandasWithState — the
+    streaming twin of win_cusum_changepoint, monitoring a KNOWN
+    in-control mean (a live detector cannot see the full-series
+    empirical mean; monitoring a target is Page's original setting).
+    State per user: (cs, mx, al, n) carried across micro-batches; each
+    batch folds its time-ordered events through
+    cs = max(0, cs + x - mu - k) and emits the user's cumulative
+    summary, so the drained table's per-user MAX row is the final
+    state (n, mx, al are all monotone).
+
+    The per-event recurrence is inherently sequential, so the fold is
+    an explicit loop over each user's batch slice — bounded by
+    (arrival rate x trigger interval) per key, the
+    applyInPandasWithState contract, and arithmetically IDENTICAL
+    (left-assoc max(0.0, cs + x - mu - k), x pre-rounded JVM-side) to
+    the batch fold, which is why the oracle can be exact. The
+    time-ordered replay stands in for Kafka per-key ordering
+    (stream_stateful_session's contract)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mu, kk, hh = _CUSUM_LIVE_MU, _CUSUM_LIVE_K, _CUSUM_LIVE_H
+
+    def fold(key, pdf_iter, state: GroupState):
+        cs, mx, al, n = state.get if state.exists else (0.0, 0.0, 0, 0)
+        (user_id,) = key
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            part = pdf.sort_values(["us", "event_id"])
+            for x in part["x"].to_numpy():
+                cs = max(0.0, cs + x - mu - kk)
+                mx = max(mx, cs)
+                al += 1 if cs > hh else 0
+            n += len(part)
+        state.update((cs, mx, al, n))
+        yield pd.DataFrame(
+            [(user_id, n, mx, al)], columns=["user_id", "n", "mx", "al"]
+        )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round("value", 6).alias("x"),
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, n bigint, mx double, al bigint",
+        stateStructType="cs double, mx double, al bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "cusum_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        spark.table("cusum_live")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.round(F.max("mx"), 6).alias("max_cusum"),
+            F.max("al").cast("bigint").alias("n_alarms"),
+            (F.max("al") > 0).cast("bigint").alias("alarmed"),
+        )
+    )

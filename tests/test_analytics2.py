@@ -343,9 +343,33 @@ def test_neighbor_jaccard_bounds_and_triangle_consistency(spark):
     pdf = QUERIES["graph_jaccard_neighbor_sim"](spark, SF).toPandas()
     assert pdf["neighbor_jaccard"].between(0, 1).all()
     assert (pdf["common_neighbors"] >= 1).all()
-    # common neighbors of an edge == triangles through that edge; the
-    # graph (support-gated) is shared with graph_triangle_cosupply
     assert len(pdf) > 0
+    # common neighbors of an edge == triangles through that edge:
+    # recompute |N(u) ∩ N(v)| brute-force in pandas on the SAME
+    # support-5 graph (the round-7 advisory fix — this property was
+    # named but never asserted before)
+    from vectordb_agentic_rag_spark.operators.analytics2 import (
+        _JACCARD_MIN_SUPPORT,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ].drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    e = (
+        m[m.l_suppkey_x < m.l_suppkey_y]
+        .groupby(["l_suppkey_x", "l_suppkey_y"])
+        .size()
+        .reset_index(name="n")
+    )
+    e = e[e.n >= _JACCARD_MIN_SUPPORT][["l_suppkey_x", "l_suppkey_y"]]
+    nbr: dict = {}
+    for u, v in e.values:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    for r in pdf.itertuples():
+        want = len(nbr[r.u] & nbr[r.v] - {r.u, r.v})
+        assert r.common_neighbors == want, (r.u, r.v, r.common_neighbors, want)
 
 
 # ----------------------------------------------------------- burstiness

@@ -204,12 +204,18 @@ def text_ccnet_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: tokens aggregate to a (lang, token) LM — map-side
     partial combine collapses corpus rows to vocab rows before the
-    shuffle; the LM then joins back to the token stream (broadcast: a
-    per-lang vocabulary fits an executor at any corpus size) and docs
-    re-aggregate by doc_id. The tercile split is one window per lang
-    partition over DOC-level rows (corpus cardinality / ~500 chars),
-    which AQE splits per language; ordering is (avg_nll, doc_id) so
-    ties are deterministic.
+    shuffle; the LM then joins back to the token stream. The join is
+    NOT hint-broadcast: the LM is corpus-DERIVED (vocabulary grows
+    with corpus size, unlike a dimension table), so forcing broadcast
+    would ship every language's vocab to all executors and blow the
+    driver/broadcast limit at 100 TB — the token stream is already
+    exploded and hash-partitionable on (lang, tok), so AQE picks
+    broadcast while the LM is small and a shuffle join once it isn't
+    (the round-7 advisory fix; the tiny per-lang TOTALS row stays
+    broadcast). Docs then re-aggregate by doc_id. The tercile split is
+    one window per lang partition over DOC-level rows (corpus
+    cardinality / ~500 chars), which AQE splits per language; ordering
+    is (avg_nll, doc_id) so ties are deterministic.
 
     Parity: LM probabilities divide exact integers, so -ln(p) is the
     same double on both engines; per-token NLL is round(9)-quantized
@@ -223,7 +229,7 @@ def text_ccnet_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
     tot = lm.groupBy("lang").agg(F.sum("n").alias("total"))
     scored = (
-        toks.join(F.broadcast(lm), ["lang", "tok"])
+        toks.join(lm, ["lang", "tok"])
         .join(F.broadcast(tot), "lang")
         .groupBy("doc_id", "lang")
         .agg(
@@ -536,7 +542,12 @@ def rag_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ov10"
         ),
     )
-    qids = truth.select("query_id").distinct()
+    # qids from the query-vector SOURCE, not truth.distinct(): the
+    # latter re-executes the full truth ranking (corpus crossJoin +
+    # window) just to enumerate 10 ids (round-7 advisory fix)
+    from .vector import _query_vectors
+
+    qids = _query_vectors(spark, sf_dir, 10).select("query_id")
     return qids.join(agg, "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("ov10"), F.lit(0)).cast("bigint").alias(
@@ -1177,6 +1188,28 @@ def win_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _domain_bucket(vt, n_buckets: int = 16):
+    """Attach a data-derived range-bucket id to a distinct-value frame:
+    width = (max - min) / n_buckets from a broadcast 1-row aggregate,
+    so the bucket COUNT is data-independent (the round-7 advisory fix
+    — a hard-coded width silently degrades to one bucket, i.e. a
+    single-partition window, if the value range rescales). floor() is
+    monotone in v, which is all the two-level bucketed cumsum needs;
+    the bucket id never reaches the output or the oracle."""
+    stats = vt.agg(F.min("v").alias("_vmin"), F.max("v").alias("_vmax"))
+    width = F.greatest(
+        (F.col("_vmax") - F.col("_vmin")) / float(n_buckets), F.lit(1e-12)
+    )
+    return (
+        vt.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bkt", F.floor((F.col("v") - F.col("_vmin")) / width).cast("int")
+        )
+        .drop("_vmin", "_vmax")
+    )
+
+
 # ---------------------------------------------------------------------------
 # agg_mann_whitney_u
 # ---------------------------------------------------------------------------
@@ -1245,9 +1278,11 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("value").alias("v"),
     )
-    vt = g.groupBy("v").agg(
-        F.sum("grp").alias("n1v"), F.count("*").alias("ntv")
-    ).withColumn("bkt", (F.col("v") / 50).cast("int"))
+    vt = _domain_bucket(
+        g.groupBy("v").agg(
+            F.sum("grp").alias("n1v"), F.count("*").alias("ntv")
+        )
+    )
     # two-pass distributed cumulative count (the agg_exact_quantile_2pass
     # shape): a per-bucket window over value-range buckets plus a
     # bucket-count-bounded prefix over the ~10 bucket totals — never the
@@ -1572,13 +1607,11 @@ def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("value").alias("v"),
     )
-    vt = (
-        g.groupBy("v")
-        .agg(
+    vt = _domain_bucket(
+        g.groupBy("v").agg(
             F.sum("grp").alias("d1"),
             (F.count("*") - F.sum("grp")).alias("d2"),
         )
-        .withColumn("bkt", (F.col("v") / 50).cast("int"))
     )
     w_local = Window.partitionBy("bkt").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0

@@ -607,9 +607,11 @@ def _cosupply_edges(
 
 
 
-@query(
-    "graph_triangle_cosupply",
-    oracle="""
+# Shared DuckDB CTE chain: support-3 co-supply edges -> oriented
+# triangle list -> per-node triangle counts. graph_triangle_cosupply
+# and graph_clustering_coefficient (analytics3.py) both build on it,
+# so the two oracles pin the SAME triangle counts.
+_TRI_PN_CTES = """
     WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     e AS (
       SELECT a.l_suppkey AS u, b.l_suppkey AS v
@@ -625,6 +627,58 @@ def _cosupply_edges(
       SELECT n.node, count(*) AS tri_count
       FROM tri, unnest([a, b, c]) AS n(node)
       GROUP BY n.node)
+"""
+
+
+def _tri_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (node, tri_count) on the support-3
+    co-supply graph — the degree-oriented wedge listing shared by
+    graph_triangle_cosupply and graph_clustering_coefficient."""
+    e = _cosupply_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    er = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+    )
+    x = er.select("s", F.col("t").alias("t1"), F.col("dt").alias("dt1"))
+    y = er.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2"))
+    wedges = (
+        x.join(y, "s")
+        .where(
+            (F.col("dt1") < F.col("dt2"))
+            | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
+        )
+        .select("s", "t1", "t2")
+    )
+    tri = wedges.join(
+        er.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+        ["t1", "t2"],
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("s", "t1", "t2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_count"))
+    )
+
+
+@query(
+    "graph_triangle_cosupply",
+    oracle=_TRI_PN_CTES
+    + """
     SELECT s.s_suppkey, s.s_name, CAST(pn.tri_count AS BIGINT) AS tri_count
     FROM pn JOIN supplier s ON pn.node = s.s_suppkey
     ORDER BY tri_count DESC, s.s_suppkey
@@ -671,45 +725,7 @@ def graph_triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: everything is exact integers; ordering ties break on
     s_suppkey."""
-    e = _cosupply_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    er = (
-        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-        )
-    )
-    x = er.select("s", F.col("t").alias("t1"), F.col("dt").alias("dt1"))
-    y = er.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2"))
-    wedges = (
-        x.join(y, "s")
-        .where(
-            (F.col("dt1") < F.col("dt2"))
-            | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
-        )
-        .select("s", "t1", "t2")
-    )
-    tri = wedges.join(
-        er.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
-        ["t1", "t2"],
-        "left_semi",
-    )
-    pn = (
-        tri.select(F.explode(F.array("s", "t1", "t2")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("tri_count"))
-    )
+    pn = _tri_per_node(spark, sf_dir)
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         pn.join(F.broadcast(sup), pn.node == sup.s_suppkey)

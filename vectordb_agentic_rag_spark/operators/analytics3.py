@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import table
 from .analytics import _KM_D, _km_asg_ctes, _km_assignments
+from .analytics2 import _TRI_PN_CTES, _cosupply_edges, _tri_per_node
 from .text import _bpe_duck_ctes, _bpe_train
 
 # ---------------------------------------------------------------------------
@@ -275,4 +276,443 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             tok.cast("bigint").alias("total_bpe_tokens"),
             F.round(tok.cast("double") / F.sum("cnt"), 6).alias("fertility"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_drawdown
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value, 6) AS DECIMAL(28,6))
+                  ELSE -CAST(round(value, 6) AS DECIMAL(28,6)) END AS x
+      FROM events),
+    c AS (
+      SELECT user_id, ts, event_id,
+             sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM s),
+    p AS (
+      SELECT user_id, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+      FROM c)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(max(peak) AS DOUBLE), 6) AS peak_value,
+           round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown
+    FROM p GROUP BY user_id
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per user over the signed event-value series
+    (purchases/signups credit, other events debit): running cumulative
+    -> running peak -> max(peak - cum) — the risk statistic every
+    balance/quota/exposure monitor tracks (and the workload shape of
+    any 'running high-water mark' query).
+
+    Scale shape: both windows are PARTITIONED by user_id and ride ONE
+    hash exchange (same-key windows chain without re-shuffling); the
+    final per-user reduction shares it too. The cumulative accumulates
+    round(6)-quantized values as DECIMAL(28,6) — exact, order-fixed by
+    (ts, event_id) — so peak and drawdown are exact decimals on both
+    engines and the double cast at the end is lossless (< 2^53
+    quanta). No global window anywhere."""
+    ev = table(spark, sf_dir, "events")
+    x = F.when(
+        F.col("event_type").isin("purchase", "signup"),
+        F.round("value", 6).cast("decimal(28,6)"),
+    ).otherwise(-F.round("value", 6).cast("decimal(28,6)"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.select("user_id", "ts", "event_id", x.alias("x")).select(
+        "user_id", "ts", "event_id", F.sum("x").over(w).alias("cum")
+    )
+    p = c.select("user_id", "cum", F.max("cum").over(w).alias("peak"))
+    return p.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.max("peak").cast("double"), 6).alias("peak_value"),
+        F.round(F.max(F.col("peak") - F.col("cum")).cast("double"), 6).alias(
+            "max_drawdown"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_bollinger_bands
+# ---------------------------------------------------------------------------
+
+_BOLL_N = 20  # rolling frame length
+_BOLL_K = "2.0"  # band width in stddevs, binary-exact
+
+
+@query(
+    "win_bollinger_bands",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, round(value, 6) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, rn,
+             sum(CAST(x AS DECIMAL(28,6))) OVER w AS s1,
+             sum(CAST(x AS DECIMAL(38,12)) * CAST(x AS DECIMAL(38,12)))
+               OVER w AS s2,
+             count(*) OVER w AS cnt
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           round(CAST(s1 AS DOUBLE) / cnt, 6) AS mid,
+           round(CAST(s1 AS DOUBLE) / cnt
+                 + {_BOLL_K} * sqrt(greatest(0.0,
+                     CAST(s2 AS DOUBLE) / cnt
+                     - (CAST(s1 AS DOUBLE) / cnt)
+                       * (CAST(s1 AS DOUBLE) / cnt))), 6) AS upper_band,
+           round(CAST(s1 AS DOUBLE) / cnt
+                 - {_BOLL_K} * sqrt(greatest(0.0,
+                     CAST(s2 AS DOUBLE) / cnt
+                     - (CAST(s1 AS DOUBLE) / cnt)
+                       * (CAST(s1 AS DOUBLE) / cnt))), 6) AS lower_band
+    FROM m WHERE rn >= {_BOLL_N}
+    """,
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS per user: 20-event rolling mean +/- 2 rolling
+    stddevs — the adaptive-envelope outlier gate (win_zscore_outlier's
+    windowed sibling: the envelope tracks local drift instead of using
+    global moments). Only rows with a full 20-event frame emit.
+
+    Scale shape: one PARTITIONED window exchange carries the rank, the
+    two moment sums, and the count; moments accumulate as exact
+    DECIMALs over round(6)-quantized inputs (order-independent — the
+    frame sum's internal order differs between engines, so float
+    accumulation would drift), and the variance is assembled from the
+    exact sums in ONE identically-shaped double expression per column.
+    greatest(0, .) guards the sub-ulp negative variance a constant
+    frame produces.
+
+    Parity: both engines divide the same exact decimal sums in the
+    same textual shape; round(6) lands once per output column."""
+    ev = table(spark, sf_dir, "events")
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("x"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(_BOLL_N - 1), Window.currentRow)
+    )
+    m = s.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.sum(F.col("x").cast("decimal(28,6)")).over(wf).alias("s1"),
+        F.sum(
+            F.col("x").cast("decimal(38,12)") * F.col("x").cast("decimal(38,12)")
+        )
+        .over(wf)
+        .alias("s2"),
+        F.count("*").over(wf).alias("cnt"),
+    ).where(F.col("rn") >= _BOLL_N)
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = F.greatest(
+        F.lit(0.0),
+        F.col("s2").cast("double") / F.col("cnt") - mean * mean,
+    )
+    band = F.expr(_BOLL_K) * F.sqrt(var)
+    return m.select(
+        "user_id",
+        "event_id",
+        F.round(mean, 6).alias("mid"),
+        F.round(mean + band, 6).alias("upper_band"),
+        F.round(mean - band, 6).alias("lower_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_kalman_1d
+# ---------------------------------------------------------------------------
+
+_KAL_Q = 0.25  # process noise, binary-exact
+_KAL_R = 1.0  # measurement noise, binary-exact
+
+
+@query(
+    "win_kalman_1d",
+    # Recursive-CTE oracle: the Kalman state is a STRUCT (est, p) and
+    # DuckDB list_reduce mis-folds struct accumulators (round-6 note;
+    # win_holt_linear pins the same workaround).
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, round(value, 6) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    nn AS (SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id),
+    k AS (
+      SELECT user_id, 1 AS i, x AS est, CAST(1.0 AS DOUBLE) AS p
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT k.user_id, k.i + 1,
+             k.est + ((k.p + {_KAL_Q}) / (k.p + {_KAL_Q} + {_KAL_R}))
+                     * (s.x - k.est),
+             (1.0 - (k.p + {_KAL_Q}) / (k.p + {_KAL_Q} + {_KAL_R}))
+             * (k.p + {_KAL_Q})
+      FROM k JOIN seq s ON s.user_id = k.user_id AND s.rn = k.i + 1)
+    SELECT k.user_id, CAST(nn.n AS BIGINT) AS n_events,
+           round(k.est, 6) AS kalman_est,
+           round(k.p, 6) AS kalman_var
+    FROM k JOIN nn ON k.user_id = nn.user_id AND k.i = nn.n
+    """,
+)
+def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER per user (random-walk state, Q=0.25, R=1.0):
+    the adaptive-gain smoother — unlike the fixed-gain EWMA
+    (win_ewma_smooth), the gain K_t = P'/(P'+R) starts high (trust the
+    first observations) and converges to the steady-state ratio, which
+    is exactly the filter a metrics pipeline wants after restarts or
+    key churn. Reports each user's final state estimate and posterior
+    variance.
+
+    Same per-key-bounded sequential-fold shape as win_holt_linear: the
+    series is collected per user and folded JVM-side as an (est, p)
+    STRUCT accumulator — the per-step division makes the recurrence
+    non-linear, so there is no closed form and no window-function
+    equivalent; the fold IS the operator. Both noise constants are
+    binary-exact; the gain expression appears textually identical in
+    the est and p updates on both engines, so the folds agree bit-wise
+    and round(6) lands once at the end."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                F.round("value", 6).alias("x"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(
+                "transform(sort_array(collect_list(s)), r -> r.x)"
+            ).alias("vals"),
+        )
+    )
+    fold = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), "
+        "named_struct('est', element_at(vals, 1), "
+        "'p', CAST(1.0 AS DOUBLE)), "
+        f"(s, x) -> named_struct("
+        f"'est', s.est + ((s.p + {_KAL_Q}D) / (s.p + {_KAL_Q}D + {_KAL_R}D))"
+        f" * (x - s.est), "
+        f"'p', (1.0D - (s.p + {_KAL_Q}D) / (s.p + {_KAL_Q}D + {_KAL_R}D))"
+        f" * (s.p + {_KAL_Q}D)))"
+    )
+    return v.select("user_id", "n_events", fold.alias("st")).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("st.est"), 6).alias("kalman_est"),
+        F.round(F.col("st.p"), 6).alias("kalman_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=_TRI_PN_CTES
+    + """,
+    deg AS (
+      SELECT n AS node, count(*) AS degree FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) z
+      GROUP BY n HAVING count(*) >= 2)
+    SELECT s.s_suppkey,
+           CAST(deg.degree AS BIGINT) AS degree,
+           CAST(coalesce(pn.tri_count, 0) AS BIGINT) AS tri_count,
+           round(2 * coalesce(pn.tri_count, 0)
+                 / (deg.degree * (deg.degree - 1) * 1.0), 6)
+             AS clustering_coef
+    FROM deg
+    LEFT JOIN pn ON deg.node = pn.node
+    JOIN supplier s ON deg.node = s.s_suppkey
+    ORDER BY clustering_coef DESC, s.s_suppkey
+    LIMIT 20
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per supplier on the support-3
+    co-supply graph: cc(n) = 2*tri(n) / (deg(n)*(deg(n)-1)) — how close
+    a node's neighborhood is to a clique (Watts-Strogatz), THE
+    community-embeddedness score next to raw triangle counts. Top-20
+    most-clustered suppliers with degree >= 2.
+
+    Composes the shared primitives: per-node triangle counts reuse the
+    degree-oriented wedge listing (_tri_per_node — one implementation,
+    one oracle CTE chain with graph_triangle_cosupply), degrees are one
+    hash aggregate over the checkpointed edge list, and nodes without
+    triangles keep a row (LEFT join, cc = 0) — dropping them is the
+    classic averaging bug. Top-20 is TakeOrderedAndProject.
+
+    Parity: 2*tri and deg*(deg-1) are exact integers; one division,
+    round(6); ties break on (cc DESC, s_suppkey)."""
+    e = _cosupply_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .where(F.col("degree") >= 2)
+    )
+    pn = _tri_per_node(spark, sf_dir)
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cc = F.round(
+        (2 * F.coalesce(F.col("tri_count"), F.lit(0)))
+        / (F.col("degree") * (F.col("degree") - 1) * F.lit(1.0)),
+        6,
+    )
+    return (
+        deg.join(pn, "node", "left")
+        .join(F.broadcast(sup), deg.node == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("tri_count"), F.lit(0)).cast("bigint").alias(
+                "tri_count"
+            ),
+            cc.alias("clustering_coef"),
+        )
+        .orderBy(F.col("clustering_coef").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_degree_assortativity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_degree_assortativity",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) z
+      GROUP BY n),
+    ed AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+    s AS (
+      SELECT CAST(2 * count(*) AS BIGINT) AS m2,
+             CAST(sum(du + dv) AS BIGINT) AS s1,
+             CAST(sum(CAST(du AS BIGINT)*du + CAST(dv AS BIGINT)*dv)
+                  AS BIGINT) AS s2,
+             CAST(2 * sum(CAST(du AS BIGINT) * dv) AS BIGINT) AS p
+      FROM ed)
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round((m2 * CAST(p AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                 / (m2 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1), 6)
+             AS assortativity
+    FROM s
+    WHERE m2 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 <> 0
+    """,
+)
+def agg_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the support-2 part
+    CO-PURCHASE graph (parts sharing >= 2 orders — the co-SUPPLY graph
+    is degree-REGULAR at small sf: complete, every degree equal, so
+    its assortativity is 0/0 by construction; the part graph keeps
+    degree variance at every fixture scale):
+    the Pearson correlation of endpoint degrees over all edges
+    — one number that says whether hubs link to hubs (r > 0, social
+    graphs) or hubs link to leaves (r < 0, infrastructure). The
+    graph-level summary that tells you whether degree-based
+    partitioning/salting will face hub-hub super-edges at scale.
+
+    Scale shape: degrees are one hash aggregate; the edge-degree join
+    shuffles the edge list twice on node keys; the correlation is ONE
+    map-side-combinable aggregate of integer moments (each directed
+    endpoint pair counted once per direction via the symmetric sums —
+    no materialized doubled edge list). Everything stays integer until
+    the single final division.
+
+    Parity: all moments are exact BIGINTs; both engines assemble
+    r = (M*P - S1^2) / (M*S2 - S1^2) from the same integers with the
+    identical expression shape, one round(6)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select("du", "dv")
+    )
+    s = ed.agg(
+        (2 * F.count("*")).cast("bigint").alias("m2"),
+        F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("s1"),
+        F.sum(
+            F.col("du").cast("bigint") * F.col("du")
+            + F.col("dv").cast("bigint") * F.col("dv")
+        )
+        .cast("bigint")
+        .alias("s2"),
+        (2 * F.sum(F.col("du").cast("bigint") * F.col("dv")))
+        .cast("bigint")
+        .alias("p"),
+    )
+    denom = F.col("m2") * F.col("s2").cast("double") - F.col("s1").cast(
+        "double"
+    ) * F.col("s1")
+    return s.where(denom != 0).select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("m2") * F.col("p").cast("double")
+             - F.col("s1").cast("double") * F.col("s1"))
+            / denom,
+            6,
+        ).alias("assortativity"),
     )

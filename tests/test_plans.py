@@ -564,3 +564,29 @@ def test_dim_rank_windows_scan_only_dim_columns(spark, sf_dir):
         read = {c.split(":")[0] for c in m.group(1).split(",")}
         assert read == cols, (op, read)
         assert "part.parquet" in plan
+
+
+def test_drawdown_windows_share_one_user_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["win_drawdown"](spark, sf_dir))
+    # cumulative window, peak window, and the per-user aggregate must
+    # all ride ONE user_id hash exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_bollinger_single_partitioned_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["win_bollinger_bands"](spark, sf_dir))
+    # rank + moment windows are all partitioned by user_id on one
+    # exchange; no global window anywhere
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_clustering_coef_composes_triangle_shape(spark, sf_dir):
+    plan = plan_of(QUERIES["graph_clustering_coefficient"](spark, sf_dir))
+    # triangle closure stays a semi-join; top-20 is TakeOrdered; the
+    # supplier dim joins broadcast
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

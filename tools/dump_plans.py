@@ -61,7 +61,13 @@ SHOWCASE = [
     # round-6 third wave
     ("text_gopher_rules", "five quality metrics in one shuffle-free HOF map pass"),
     ("dedup_span_ngram", "strided span fingerprints, hash agg + co-partitioned join-back"),
-    ("graph_triangle_cosupply", "checkpointed edge list, wedge join + semi-join closure"),
+    ("graph_triangle_cosupply", "degree-oriented wedge join + semi-join closure over checkpointed edges"),
+    ("rag_rrf_fusion", "top-N candidate gates (TakeOrdered) before window ranks, full-outer fuse"),
+    ("win_running_total_range", "day-level pre-agg window + broadcast join back, no fact-table sort"),
+    ("pipeline_shard_assign", "two-pass value-domain rank, partitioned within-bucket window"),
+    ("vec_lsh_ann", "literal-plane bucket equi-join, broadcast query side, recall assert in-plan"),
+    ("win_drawdown", "two same-key windows + aggregate on one user_id exchange"),
+    ("graph_clustering_coefficient", "triangle listing composed with degree agg, top-20 TakeOrdered"),
     ("text_ccnet_ppl_bucket", "per-lang LM broadcast, decimal NLL sums, tercile window"),
     ("agg_mann_whitney_u", "rank-sum over distinct-value groups, integer 2x-rank algebra"),
     ("pipeline_curation_funnel", "three curation stages folded to one 4-counter aggregate"),

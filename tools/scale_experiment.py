@@ -94,6 +94,19 @@ OPS = [
     ("win_seasonal_naive_mae", "events"),
     ("agg_ks_test_two_sample", "events"),
     ("text_burstiness", "documents"),
+    # round-7 additions
+    ("rag_rrf_fusion", "documents"),
+    ("win_running_total_range", "orders"),
+    ("pipeline_shard_assign", "documents"),
+    ("vec_lsh_ann", "embeddings"),
+    ("win_theil_sen_slope", "events"),
+    ("dedup_semantic_cluster_purge", "embeddings"),
+    ("pipeline_tokenizer_fertility", "documents"),
+    ("win_drawdown", "events"),
+    ("win_bollinger_bands", "events"),
+    ("win_kalman_1d", "events"),
+    ("graph_clustering_coefficient", "lineitem"),
+    ("agg_degree_assortativity", "lineitem"),
 ]
 
 

@@ -367,7 +367,7 @@ _BOLL_K = "2.0"  # band width in stddevs, binary-exact
     m AS (
       SELECT user_id, event_id, rn,
              sum(CAST(x AS DECIMAL(28,6))) OVER w AS s1,
-             sum(CAST(x AS DECIMAL(38,12)) * CAST(x AS DECIMAL(38,12)))
+             sum(CAST(x AS DECIMAL(16,6)) * CAST(x AS DECIMAL(16,6)))
                OVER w AS s2,
              count(*) OVER w AS cnt
       FROM s
@@ -423,8 +423,12 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "rn",
         F.sum(F.col("x").cast("decimal(28,6)")).over(wf).alias("s1"),
+        # decimal(16,6) squares to decimal(33,12) WITHOUT Spark's
+        # precision-overflow scale truncation (38,12 squared adjusts to
+        # scale 6, which silently rounds x^2 if the fixture ever grows
+        # past 2 value decimals); 12 exact decimals hold any round(6) x
         F.sum(
-            F.col("x").cast("decimal(38,12)") * F.col("x").cast("decimal(38,12)")
+            F.col("x").cast("decimal(16,6)") * F.col("x").cast("decimal(16,6)")
         )
         .over(wf)
         .alias("s2"),

@@ -157,3 +157,41 @@ def test_recall_guard_raises_on_broken_codebook(spark, sf_dir):
             ml.vec_pq_ann(spark, sf_dir).collect()
     finally:
         ml._PQ_BOOKS_CACHE[sf_dir] = good
+
+
+def test_semantic_purge_scaled_k_path(spark, sf_dir, monkeypatch):
+    """Force the k>4 coarse-quantizer path (the SCALE.md fix for the
+    super-linear fixed-k purge) at fixture scale and verify it against
+    a numpy brute force: cells partition the corpus, and within every
+    cell the keep-first purge set matches exactly."""
+    import numpy as np
+    import pandas as pd
+    from vectordb_agentic_rag_spark.operators import analytics3 as a3
+
+    monkeypatch.setattr(a3, "_PURGE_CELL_TARGET", 64)  # 500 vecs -> k=7
+    assert a3._purge_k(sf_dir) > 4
+    asg = a3._purge_assignments(spark, sf_dir).toPandas()
+    assert asg["vec_id"].nunique() == len(asg)  # partition, no dup/drop
+    got = a3.dedup_semantic_cluster_purge(spark, sf_dir).toPandas()
+
+    e_cols = [f"e{i}" for i in range(1, 9)]
+    x = asg[e_cols].to_numpy()
+    nrm = np.sqrt((x * x).sum(1))
+    want = {}
+    for cl, grp in asg.groupby("cl"):
+        idx = grp.index.to_numpy()
+        ids = grp["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        idx, ids = idx[order], ids[order]
+        cos = (x[idx] @ x[idx].T) / np.outer(nrm[idx], nrm[idx])
+        cos = np.round(cos, 6)
+        for bi in range(len(ids)):
+            dup_of = [ids[ai] for ai in range(bi) if cos[ai, bi] >= 0.8]
+            if dup_of:
+                want[int(ids[bi])] = (int(cl), int(min(dup_of)))
+    got_map = {
+        int(r.vec_id): (int(r.cluster_id), int(r.dup_of))
+        for r in got.itertuples()
+    }
+    assert got_map == want
+    assert len(want) > 0  # the threshold actually fires at this k

@@ -125,6 +125,76 @@ def win_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PURGE_TAU = 0.8  # cosine threshold on the 8-dim matryoshka prefix
 
 
+
+_PURGE_CELL_TARGET = 512  # target cell population for the coarse quantizer
+
+
+def _purge_k(sf_dir: str) -> int:
+    """k for the purge's coarse quantizer, deterministic from parquet
+    metadata (driver-side ms): k = max(4, n_vectors // 512), so cell
+    population — and with it the in-cell pairwise work — stays bounded
+    as the corpus grows. At the driver-verified fixtures (<= 2000
+    vectors) this is exactly 4, matching the SQL-unrolled Lloyd oracle;
+    the scaled path kicks in on larger corpora (SCALE.md's sf1x blow-up
+    measured ratio 1.42 super-linear at fixed k=4 — this is the fix)."""
+    import pyarrow.dataset as ds
+
+    # dataset() handles both the single-file driver fixtures and
+    # Spark-written directory tables (the sf1x blow-up); count_rows
+    # reads footer metadata only
+    n = ds.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
+    return max(4, n // _PURGE_CELL_TARGET)
+
+
+def _purge_assignments(spark: SparkSession, sf_dir: str):
+    """(vec_id, e1..e8, cl) cell assignments for the semantic purge.
+    k == 4: the shared SQL-expressible Lloyd chain (oracle parity).
+    k > 4: numpy Lloyd (seed 42, 8 iters) on the bounded 4096-vector
+    deterministic sample's 8-dim prefix (the vec_ivf_ann training
+    recipe), centroids inlined as plan literals, assignment = aliased
+    per-centroid squared distances + an array_min(struct(d, j)) argmin
+    — all JVM-side, one scan, no Python in the corpus path."""
+    if _purge_k(sf_dir) == 4:
+        asg, _ = _km_assignments(spark, sf_dir)
+        return asg
+    import numpy as np
+
+    from .ml import _corpus_sample, _lloyd_multispace
+
+    k = _purge_k(sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    dims = range(1, _KM_D + 1)
+    sample = _corpus_sample(emb, sf_dir)[:, : _KM_D]
+    cents = _lloyd_multispace(sample[:, None, :], K=k, iters=8, seed=42)[0]
+    pts = emb.select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)").alias(f"e{i}")
+            for i in dims
+        ],
+    )
+    d_cols = [
+        F.expr(
+            " + ".join(
+                f"(e{i} - {float(cents[j][i - 1])!r}) * "
+                f"(e{i} - {float(cents[j][i - 1])!r})"
+                for i in dims
+            )
+        ).alias(f"d{j}")
+        for j in range(len(cents))
+    ]
+    argmin = (
+        "array_min(array("
+        + ", ".join(
+            f"named_struct('d', d{j}, 'j', {j})" for j in range(len(cents))
+        )
+        + ")).j"
+    )
+    return pts.select("*", *d_cols).select(
+        "vec_id", *[f"e{i}" for i in dims], F.expr(argmin).alias("cl")
+    )
+
+
 def _purge_oracle() -> str:
     dims = range(1, _KM_D + 1)
     n8 = " + ".join(f"e{i} * e{i}" for i in dims)
@@ -166,7 +236,14 @@ def dedup_semantic_cluster_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     k scales with corpus size to hold |cell| at the ~10k vectors where
     exact in-cell cosine is cheap, and cross-cell near-dups are
     accepted misses BY CONSTRUCTION (the SemDeDup tradeoff; the
-    recall-bounded alternative is dedup_near_embedding's LSH).
+    recall-bounded alternative is dedup_near_embedding's LSH). k DOES
+    scale here: _purge_k = max(4, n//512) from parquet metadata — at
+    the driver-verified fixtures that is exactly the oracle's k=4
+    Lloyd chain; beyond it the coarse quantizer switches to the
+    vec_ivf_ann training recipe (bounded numpy sample, literal
+    centroids, JVM argmin) so in-cell pair work stays ~n*512 instead
+    of n^2/k (SCALE.md measured 1.42x super-linear at fixed k — the
+    scaled path is the fix).
 
     Scale shape: the Lloyd assignment is linear scan + broadcast
     centroids (vec_kmeans_lloyd's plan); the in-cell self-join is an
@@ -180,7 +257,7 @@ def dedup_semantic_cluster_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(6)-quantized before the threshold compare on BOTH engines,
     so the >= 0.8 gate sees identical doubles."""
     dims = range(1, _KM_D + 1)
-    asg, _ = _km_assignments(spark, sf_dir)
+    asg = _purge_assignments(spark, sf_dir)
     n8 = " + ".join(f"e{i} * e{i}" for i in dims)
     pts = asg.select(
         "vec_id", "cl", *[f"e{i}" for i in dims], F.expr(n8).alias("n8")

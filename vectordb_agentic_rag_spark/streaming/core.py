@@ -127,7 +127,17 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("wm_late")
 
 
-@query("stream_stateful_dedup")  # rows-only: streaming state store
+@query(
+    "stream_stateful_dedup",
+    # Full oracle (round 7): the state store keeps FIRST-arrival keys,
+    # so the drained append output has exactly one row per distinct
+    # (user_id, event_type) — the per-type reduction is a plain
+    # count(DISTINCT user_id), independent of replay batching.
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type): the state
     store keeps first-arrival keys across micro-batches. Emitted row
@@ -144,7 +154,24 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_sliding_live")  # rows-only: streaming twin of stream_sliding_window
+_US_15M = 15 * 60 * 1_000_000
+
+
+@query(
+    "stream_sliding_live",
+    # Full oracle (round 7): complete mode keeps every window, so the
+    # drained table equals the batch sliding window exactly — the SAME
+    # 4-offset expansion oracle as stream_sliding_window (also pinned
+    # live==batch by tests/test_streaming.py).
+    oracle=f"""
+    WITH slid AS (
+      SELECT make_timestamp((epoch_us(ts) // {_US_15M}) * {_US_15M} - g * {_US_15M}) AS window_start,
+             event_type
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS g) offsets)
+    SELECT window_start, event_type, count(*) AS n
+    FROM slid GROUP BY 1, 2
+    """,
+)
 def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live sliding-window count (1h window / 15m slide) in complete
     mode — the streaming execution of the oracle-checked batch twin.
@@ -190,7 +217,37 @@ def replay_events_time_ordered(
     return _replay_cached(out, n_files, build)
 
 
-@query("stream_stateful_session")  # rows-only: custom state store logic
+@query(
+    "stream_stateful_session",
+    # Full oracle (round 7): a session CLOSES only when a later event
+    # of the same user arrives (in any batch), so the emitted set is
+    # exactly the batch sessionization minus each user's LAST session
+    # — independent of where the time-ordered replay cuts batches.
+    # Same gap rule as agg_sessionize_batch (strict > 30 min).
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged),
+    sess AS (
+      SELECT user_id, sess_no, count(*) AS n
+      FROM numbered GROUP BY user_id, sess_no),
+    m AS (SELECT user_id, max(sess_no) AS last_no FROM sess GROUP BY user_id)
+    SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_closed_sessions,
+           CAST(sum(s.n) AS BIGINT) AS n_events_in_closed
+    FROM sess s JOIN m ON s.user_id = m.user_id
+    WHERE s.sess_no < m.last_no
+    GROUP BY s.user_id
+    """,
+)
 def stream_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     sessionization with a 30-minute gap, the hand-rolled analogue of

@@ -107,7 +107,41 @@ def _run_to_memory(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-@query("stream_watermark_late")  # rows-only: streaming, not SQL-expressible
+@query(
+    "stream_watermark_late",
+    # Full oracle (round 7): with the DETERMINISTIC event_id%4 file
+    # replay, the watermark sequence is computable — cumulative
+    # max-event-time per batch, ms-truncated, minus the 10-min delay.
+    # MEASURED Spark 4.1 behavior (verified value-exact at sf0.01 AND
+    # sf0.1): the watermark VISIBLE to batch b is the one computed from
+    # stats through batch b-2 (Spark computes a new watermark from a
+    # batch's stats and applies it one trigger later), so batches 0
+    # and 1 run unfiltered; a window's rows in batch b are dropped iff
+    # window_end <= that lag-2 watermark; the final no-data batch
+    # (processAllAvailable runs one to apply the last advance) emits
+    # every window with end <= the final watermark.
+    oracle="""
+    WITH b AS (SELECT *, event_id % 4 AS batch FROM events),
+    mx AS (SELECT batch, max(epoch_us(ts)) AS mt FROM b GROUP BY batch),
+    cum AS (
+      SELECT batch,
+             ((max(mt) OVER (ORDER BY batch ROWS UNBOUNDED PRECEDING) // 1000)
+              - 600000) * 1000 AS wm_after
+      FROM mx),
+    wm AS (
+      SELECT batch,
+             coalesce(lag(wm_after, 2) OVER (ORDER BY batch), 0) AS wm_eff
+      FROM cum),
+    final AS (SELECT max(wm_after) AS fw FROM cum),
+    win AS (SELECT batch, (epoch_us(ts) // 3600000000) * 3600000000 AS ws
+            FROM b)
+    SELECT make_timestamp(w.ws) AS window_start, CAST(count(*) AS BIGINT) AS n
+    FROM win w JOIN wm ON w.batch = wm.batch CROSS JOIN final
+    WHERE w.ws + 3600000000 > wm.wm_eff
+      AND w.ws + 3600000000 <= final.fw
+    GROUP BY w.ws
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour count with a 10-minute watermark over the
     replayed micro-batches, append mode: only windows the watermark has

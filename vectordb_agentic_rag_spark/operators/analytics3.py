@@ -797,3 +797,96 @@ def agg_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicas
+# Poisson(1) CDF thresholds on a 1e6 integer hash range (truncated at
+# w=3): P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699 — exact integer
+# compares, so both engines draw identical weights.
+_BOOT_W = (
+    "(CASE WHEN (event_id * 2654435761 + {r} * 40503) % 1000000 < 367879 "
+    "THEN 0 "
+    "WHEN (event_id * 2654435761 + {r} * 40503) % 1000000 < 735759 THEN 1 "
+    "WHEN (event_id * 2654435761 + {r} * 40503) % 1000000 < 919699 THEN 2 "
+    "ELSE 3 END)"
+)
+
+
+def _boot_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(sum({_BOOT_W.format(r=r)} "
+        f"* CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) "
+        f"/ sum({_BOOT_W.format(r=r)}) AS m{r}"
+        for r in range(_BOOT_B)
+    )
+    ms = ", ".join(f"m{r}" for r in range(_BOOT_B))
+    return f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / count(*) AS mean_raw,
+             {cols}
+      FROM events),
+    s AS (SELECT *, list_sort([{ms}]) AS sm FROM agg)
+    SELECT n_events, round(mean_raw, 6) AS mean_value,
+           round(sm[2], 6) AS ci_lo_95,
+           round(sm[{_BOOT_B - 1}], 6) AS ci_hi_95
+    FROM s
+    """
+
+
+@query("agg_bootstrap_ci", oracle=_boot_oracle())
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the event-value mean
+    (Chamandy et al. 2012 — the bootstrap that works on data too big
+    to resample): each of 32 replicas weights every row by a
+    DETERMINISTIC hash-drawn Poisson(1) count (truncated at 3), all 32
+    weighted means accumulate in ONE scan as 64 conditional aggregate
+    columns — no explode, no 32x shuffle, no RNG state — and the
+    95% CI is the 2nd/31st order statistic of the replica means. This
+    is the uncertainty gate a data pipeline puts behind every
+    before/after metric comparison (agg_welch_ttest's nonparametric
+    sibling for means of skewed data).
+
+    Shape at 100 TB: one map-side-combinable aggregate pass; the
+    conditional weights are codegen'd integer arithmetic on event_id,
+    so replica membership is reproducible run-to-run AND shard-stable
+    (a reshuffled corpus draws the same weights — hash sampling's
+    defining property, same as sample_hash_deterministic).
+
+    Parity: weights are exact integer compares on an integer hash;
+    weighted sums accumulate as DECIMAL(28,6) (order-independent);
+    each replica mean is the identical CAST-DOUBLE division; the order
+    statistics sort 32 identical doubles; one round(6) per output."""
+    ev = table(spark, sf_dir, "events")
+    aggs = [
+        F.expr(
+            f"CAST(sum({_BOOT_W.format(r=r)} "
+            f"* CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) "
+            f"/ sum({_BOOT_W.format(r=r)})"
+        ).alias(f"m{r}")
+        for r in range(_BOOT_B)
+    ]
+    agg = ev.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_raw"),
+        *aggs,
+    )
+    ms = ", ".join(f"m{r}" for r in range(_BOOT_B))
+    return agg.select(
+        "n_events",
+        F.round("mean_raw", 6).alias("mean_value"),
+        F.round(F.expr(f"element_at(array_sort(array({ms})), 2)"), 6).alias(
+            "ci_lo_95"
+        ),
+        F.round(
+            F.expr(f"element_at(array_sort(array({ms})), {_BOOT_B - 1})"), 6
+        ).alias("ci_hi_95"),
+    )

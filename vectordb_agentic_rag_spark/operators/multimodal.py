@@ -314,3 +314,102 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         sniffed.alias("sniffed"),
         F.length(F.encode("payload", "utf-8")).cast("bigint").alias("payload_bytes"),
     )
+
+
+# dHash-style perceptual fingerprint over the stand-in payload bytes:
+# bit i set iff byte[i] < byte[i+1] — the gradient hash real image
+# dedup uses on the decoded 8x8 luminance grid. 60 bits (not 64) so
+# the packed word stays positive and arithmetic shifts are safe on
+# BOTH engines; 4 bands x 15 bits for the LSH candidate join.
+PH_PREFIX = 61  # bytes consumed -> 60 gradient bits
+PH_TH = 6  # max hamming distance for a near-dup
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, {PH_PREFIX}),
+               i -> CASE WHEN ascii(text[i]) < ascii(text[i+1])
+                         THEN CAST(1 AS BIGINT) << (i - 1)
+                         ELSE CAST(0 AS BIGINT) END)) AS ph
+      FROM documents WHERE length(text) >= {PH_PREFIX}),
+    bands AS (
+      SELECT doc_id, ph, b, (ph >> (b * 15)) & 32767 AS bv
+      FROM h, unnest([0, 1, 2, 3]) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, a.ph AS pa,
+                      b.doc_id AS b_id, b.ph AS pb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    hits AS (
+      SELECT b_id AS doc_id, a_id,
+             CAST(bit_count(xor(pa, pb)) AS INTEGER) AS ham
+      FROM cand WHERE bit_count(xor(pa, pb)) <= {PH_TH})
+    SELECT doc_id, CAST(min(a_id) AS BIGINT) AS dup_of,
+           arg_min(ham, a_id) AS hamming
+    FROM hits GROUP BY doc_id
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH near-duplicate detection for binary payloads —
+    the image-dedup stage of a multimodal training pipeline (dHash,
+    the gradient variant of pHash): fingerprint = 60 bits of
+    adjacent-byte gradients over the decoded grid (here the stand-in
+    payload bytes — a real deployment decodes to an 8x8 luminance grid
+    first, see decode_image), candidates from a 4-band x 15-bit LSH
+    equi-join on the packed word, verify = XOR + popcount <= 6.
+
+    Shape at 100 TB: the fingerprint is one codegen'd pass over the
+    payload column (64 byte reads -> ONE int64 — the
+    vec_signbit_hamming_topk packing trick), the candidate join is
+    banded equi-join (never all-pairs), and verification is two machine
+    instructions per candidate. Keep-first: each near-dup reports its
+    LOWEST-id match (dedup_near_minhash's rule). On this fixture the
+    matches are the corpus's genuine duplicate documents (hamming 0)
+    plus byte-gradient collisions within the hamming budget.
+
+    Parity: gradients, band keys, and hamming are exact integers; 60
+    bits keep the word positive so `>>` is the same arithmetic shift
+    on both engines."""
+    d = table(spark, sf_dir, "documents")
+    ph = (
+        "aggregate(transform(sequence(1, 60), i -> "
+        "IF(ascii(substring(text, i, 1)) < ascii(substring(text, i + 1, 1)), "
+        "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    h = d.where(F.length("text") >= PH_PREFIX).select(
+        "doc_id", F.expr(ph).alias("ph")
+    )
+    bands = h.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "named_struct('b', b, 'bv', shiftright(ph, b * 15) & 32767))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "ph", F.col("t.b").alias("b"), F.col("t.bv").alias("bv"))
+    a = bands.select(
+        F.col("b"), F.col("bv"), F.col("doc_id").alias("a_id"), F.col("ph").alias("pa")
+    )
+    bb = bands.select(
+        F.col("b"), F.col("bv"), F.col("doc_id").alias("doc_id"), F.col("ph").alias("pb")
+    )
+    cand = (
+        a.join(bb, ["b", "bv"])
+        .where(F.col("a_id") < F.col("doc_id"))
+        .select("a_id", "pa", "doc_id", "pb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    hits = cand.select("doc_id", "a_id", ham.alias("ham")).where(
+        F.col("ham") <= PH_TH
+    )
+    return hits.groupBy("doc_id").agg(
+        F.min("a_id").cast("bigint").alias("dup_of"),
+        F.min_by("ham", "a_id").alias("hamming"),
+    )

@@ -890,3 +890,302 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"element_at(array_sort(array({ms})), {_BOOT_B - 1})"), 6
         ).alias("ci_hi_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_covariance_matrix
+# ---------------------------------------------------------------------------
+
+
+def _cov_oracle() -> str:
+    dims = range(1, _KM_D + 1)
+    moms = ", ".join(
+        f"sum(CAST(e{i} AS DECIMAL(18,9)) * CAST(e{j} AS DECIMAL(18,9))) AS s{i}_{j}"
+        for i in dims
+        for j in dims
+        if i <= j
+    )
+    sums = ", ".join(f"sum(CAST(e{i} AS DECIMAL(28,9))) AS s{i}" for i in dims)
+    outs = ", ".join(
+        f"round(CAST(s{i}_{j} AS DOUBLE) / n "
+        f"- (CAST(s{i} AS DOUBLE) / n) * (CAST(s{j} AS DOUBLE) / n), 6) "
+        f"AS cov_{i}_{j}"
+        for i in dims
+        for j in dims
+        if i <= j
+    )
+    return f"""
+    WITH pts AS (SELECT {", ".join(
+        f"round(CAST(list_extract(embedding, {i}) AS DOUBLE), 9) AS e{i}"
+        for i in dims)}
+      FROM embeddings),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {moms} FROM pts)
+    SELECT n, {outs} FROM m
+    """
+
+
+@query("agg_covariance_matrix", oracle=_cov_oracle())
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVARIANCE MATRIX of the 8-dim matryoshka prefix in ONE scan —
+    the input statistic under PCA (vec_pca_power_iter computes it
+    per-iteration from the same raw moments), whitening, and Mahalanobis
+    outlier gates. All 36 upper-triangle covariances come from a single
+    map-side-combinable aggregate of DECIMAL raw moments: no per-pair
+    passes, no corpus re-scan per entry — the textbook 'sufficient
+    statistics beat resampling' shape for 100 TB (same recipe as
+    agg_moments_stats, widened to the full pairwise triangle).
+
+    Parity: inputs round(9)-quantized, moment sums exact DECIMAL
+    (order-independent), each covariance assembled from the identical
+    CAST-DOUBLE expression (E[xy] - E[x]E[y]), one round(6) each."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = range(1, _KM_D + 1)
+    pts = emb.select(
+        *[
+            F.expr(
+                f"round(CAST(element_at(embedding, {i}) AS DOUBLE), 9)"
+            ).alias(f"e{i}")
+            for i in dims
+        ]
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(F.col(f"e{i}").cast("decimal(28,9)")).alias(f"s{i}")
+            for i in dims
+        ],
+        *[
+            # decimal(18,9): the product is (37,18) — exact; (28,9)
+            # squared overflows precision and Spark truncates the scale
+            # to 6 (the round-7 CLAUDE.md multiply pitfall)
+            F.sum(
+                F.col(f"e{i}").cast("decimal(18,9)")
+                * F.col(f"e{j}").cast("decimal(18,9)")
+            ).alias(f"s{i}_{j}")
+            for i in dims
+            for j in dims
+            if i <= j
+        ],
+    )
+    outs = [
+        F.round(
+            F.col(f"s{i}_{j}").cast("double") / F.col("n")
+            - (F.col(f"s{i}").cast("double") / F.col("n"))
+            * (F.col(f"s{j}").cast("double") / F.col("n")),
+            6,
+        ).alias(f"cov_{i}_{j}")
+        for i in dims
+        for j in dims
+        if i <= j
+    ]
+    return m.select("n", *outs)
+
+
+# ---------------------------------------------------------------------------
+# agg_mutual_information
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mutual_information",
+    oracle="""
+    WITH j AS (
+      SELECT event_type AS et, CAST(floor(value / 50) AS BIGINT) AS vb,
+             count(*) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT sum(c) AS n FROM j),
+    mrow AS (SELECT et, sum(c) AS cr FROM j GROUP BY et),
+    mcol AS (SELECT vb, sum(c) AS cc FROM j GROUP BY vb)
+    SELECT CAST(tot.n AS BIGINT) AS n_events,
+           CAST((SELECT count(*) FROM j) AS BIGINT) AS n_cells,
+           round(CAST(sum(CAST(round(
+             (CAST(j.c AS DOUBLE) / tot.n)
+             * ln((CAST(j.c AS DOUBLE) * tot.n)
+                  / (CAST(mrow.cr AS DOUBLE) * mcol.cc)), 9)
+             AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi_nats
+    FROM j
+    JOIN mrow ON j.et = mrow.et
+    JOIN mcol ON j.vb = mcol.vb
+    CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between event type and the value's 50-unit
+    bucket — the dependence screen a feature pipeline runs before
+    treating columns as independent (0 nats = independent; here the
+    per-type value distributions differ, so MI > 0). The plug-in
+    estimator I = sum p(x,y) ln(p(x,y)/(p(x)p(y))) over the joint
+    contingency table.
+
+    Shape at scale: ONE shuffle builds the joint table (map-side
+    combine collapses events to |types| x |buckets| cells); marginals
+    re-aggregate the CELLS, not the events; the MI sum runs over the
+    tiny contingency table with both marginals broadcast. Same
+    integers-first discipline as agg_chi_square_independence.
+
+    Parity: all counts exact integers; each cell's term is one
+    identically-shaped double expression, round(9)-quantized into a
+    DECIMAL sum (order-independent), one final round(6)."""
+    ev = table(spark, sf_dir, "events")
+    j = ev.select(
+        F.col("event_type").alias("et"),
+        F.expr("CAST(floor(value / 50) AS BIGINT)").alias("vb"),
+    ).groupBy("et", "vb").agg(F.count("*").alias("c"))
+    tot = j.agg(F.sum("c").alias("n"), F.count("*").alias("n_cells"))
+    mrow = j.groupBy("et").agg(F.sum("c").alias("cr"))
+    mcol = j.groupBy("vb").agg(F.sum("c").alias("cc"))
+    term = F.expr(
+        "CAST(round((CAST(c AS DOUBLE) / n) "
+        "* ln((CAST(c AS DOUBLE) * n) / (CAST(cr AS DOUBLE) * cc)), 9) "
+        "AS DECIMAL(28,9))"
+    )
+    return (
+        j.join(F.broadcast(mrow), "et")
+        .join(F.broadcast(mcol), "vb")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.max("n_cells").cast("bigint").alias("n_cells"),
+            F.round(F.sum(term).cast("double"), 6).alias("mi_nats"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_events"), "n_cells", "mi_nats"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_readability_score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_readability_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS n_syllables
+      FROM documents)
+    SELECT doc_id, lang, n_words, n_syllables,
+           round(206.835 - 1.015 * n_words
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch
+    FROM m WHERE n_words > 0
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING EASE per document — the classic readability gate
+    a curation pipeline uses next to the Gopher rules (too-hard and
+    too-easy tails both correlate with low-quality text). Syllables
+    are approximated by vowel-group counts (runs of [aeiou]+ — the
+    standard cheap proxy), and the fixture's documents carry no
+    sentence punctuation, so each document is one 'sentence' (the
+    words/sentences term becomes n_words — stated in the formula
+    rather than hidden).
+
+    One map-side pass: split + one regexp scan per document, zero
+    shuffles, scan throughput at any corpus size. Parity: counts are
+    exact integers on both regex engines (non-overlapping [aeiou]+
+    matches agree on ASCII); the score is one identically-shaped
+    double expression, round(6)."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.expr("CAST(regexp_count(text, '[aeiou]+') AS BIGINT)").alias(
+            "n_syllables"
+        ),
+    ).where(F.col("n_words") > 0)
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_syllables",
+        F.round(
+            206.835
+            - 1.015 * F.col("n_words")
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vec_pairwise_cos_hist
+# ---------------------------------------------------------------------------
+
+_GEO_PANEL = 512  # deterministic probe panel size
+
+
+@query(
+    "vec_pairwise_cos_hist",
+    oracle=f"""
+    WITH pan AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY vec_id LIMIT {_GEO_PANEL}),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nm
+      FROM pan),
+    p AS (
+      SELECT CAST(floor(
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (a.nm * b.nm) * 10.0) AS BIGINT) AS bucket
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY bucket
+    """,
+)
+def vec_pairwise_cos_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-GEOMETRY PROBE: the histogram of pairwise cosines over a
+    deterministic bounded panel (first 512 vectors by id) in 0.1-wide
+    buckets — the diagnostic that decides which ANN/dedup strategy can
+    work at all (this repo's round-6 finding that the fixture is
+    quasi-uniform on the sphere — median pairwise cos ~0, so LSH
+    pruning is geometry-limited — was exactly this measurement, now a
+    first-class operator a pipeline runs before choosing tau/k/bands).
+
+    Shape at 100 TB: the panel is orderBy+limit (TakeOrderedAndProject
+    — a FIXED-size sample regardless of corpus size), so the pairwise
+    stage is a constant ~131k pairs; norms are computed per-row BEFORE
+    the self-join (the Janino lesson); the histogram is one tiny
+    aggregate. Never an all-pairs join over the corpus.
+
+    Parity: both engines fold the same 64-dim double dots
+    (list_dot_product == the sequential-fold dot, the repo-wide
+    precedent), identical division shape, floor on identical doubles;
+    counts exact."""
+    from .vector import _query_vector_raw
+    from ..functions.vector import dot_fixed, norm_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = len(_query_vector_raw(sf_dir, 0))
+    pan = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_GEO_PANEL)
+        .select("vec_id", "embedding", norm_fixed("embedding", d).alias("nm"))
+    )
+    a = pan.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nm").alias("na"),
+    )
+    b = pan.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nm").alias("nb"),
+    )
+    cos = dot_fixed("ea", "eb", d) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(F.floor(cos * 10.0).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )

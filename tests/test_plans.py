@@ -590,3 +590,33 @@ def test_clustering_coef_composes_triangle_shape(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_phash_neardup_banded_equi_join(spark, sf_dir):
+    plan = plan_of(QUERIES["multimodal_phash_neardup"](spark, sf_dir))
+    # candidates come from the (band, band_value) equi-join — never a
+    # cartesian or an all-pairs theta join
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Left keys \[2\]: \[b#\S+, bv#", plan), plan[:2000]
+
+
+def test_bootstrap_ci_single_pass_no_explode(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_bootstrap_ci"](spark, sf_dir))
+    # 32 replica means ride ONE conditional-aggregate scan: no
+    # Generate (explode), exactly one exchange (partial -> final agg)
+    assert "Generate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+
+
+def test_cos_hist_panel_is_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["vec_pairwise_cos_hist"](spark, sf_dir))
+    # the probe panel is a fixed-size orderBy+limit, and the vector
+    # math stays JVM-side
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_covariance_matrix_one_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_covariance_matrix"](spark, sf_dir))
+    # 44 moment sums in one partial+final aggregate pass
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]

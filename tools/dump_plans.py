@@ -68,6 +68,8 @@ SHOWCASE = [
     ("vec_lsh_ann", "literal-plane bucket equi-join, broadcast query side, recall assert in-plan"),
     ("win_drawdown", "two same-key windows + aggregate on one user_id exchange"),
     ("graph_clustering_coefficient", "triangle listing composed with degree agg, top-20 TakeOrdered"),
+    ("multimodal_phash_neardup", "banded fingerprint equi-join, XOR/popcount verify"),
+    ("agg_bootstrap_ci", "32 bootstrap replicas in one conditional-aggregate scan"),
     ("text_ccnet_ppl_bucket", "per-lang LM broadcast, decimal NLL sums, tercile window"),
     ("agg_mann_whitney_u", "rank-sum over distinct-value groups, integer 2x-rank algebra"),
     ("pipeline_curation_funnel", "three curation stages folded to one 4-counter aggregate"),

@@ -107,6 +107,12 @@ OPS = [
     ("win_kalman_1d", "events"),
     ("graph_clustering_coefficient", "lineitem"),
     ("agg_degree_assortativity", "lineitem"),
+    ("multimodal_phash_neardup", "documents"),
+    ("agg_bootstrap_ci", "events"),
+    ("agg_covariance_matrix", "embeddings"),
+    ("agg_mutual_information", "events"),
+    ("text_readability_score", "documents"),
+    ("vec_pairwise_cos_hist", "embeddings"),
 ]
 
 

@@ -1,0 +1,211 @@
+"""Invariant tests for the round-7 fifth-wave operators (analytics4).
+
+The DuckDB oracle twins already pin cross-engine parity; these tests
+pin the MATH itself against independent numpy/pandas recomputes and the
+semantic invariants each operator promises.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from vectordb_agentic_rag_spark import QUERIES, load_all_operators
+
+load_all_operators()
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ OLS
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    pdf = QUERIES["agg_ols_regression"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ts = pd.to_datetime(ev["ts"])
+    x1 = ts.dt.hour.to_numpy(dtype=float)
+    # engine convention: Sunday=0..Saturday=6 (DuckDB dayofweek)
+    x2 = ((ts.dt.dayofweek + 1) % 7).to_numpy(dtype=float)
+    y = np.round(ev["value"].to_numpy(), 6)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    row = pdf.iloc[0]
+    assert row["n_obs"] == len(ev)
+    for got, want in zip([row["b0"], row["b1"], row["b2"]], beta):
+        assert abs(got - want) < 1e-4, (got, want)
+    resid = y - X @ beta
+    r2 = 1 - (resid @ resid) / np.sum((y - y.mean()) ** 2)
+    assert abs(row["r2"] - r2) < 1e-4
+
+
+# ------------------------------------------------------------ autocorr
+
+
+def test_autocorr_bounds_and_pandas_recompute(spark):
+    pdf = QUERIES["agg_autocorr_daily"](spark, SF).toPandas()
+    assert pdf["acf_lag1"].between(-1.000001, 1.000001).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    et = pdf.iloc[0]["event_type"]
+    g = ev[ev.event_type == et].copy()
+    g["day"] = pd.to_datetime(g["ts"]).dt.floor("D")
+    cents = g.groupby("day")["value"].apply(
+        lambda v: np.sum(np.round(v * 100).astype("int64"))
+    )
+    cnt = g.groupby("day")["value"].size()
+    m = np.round(cents / cnt / 100.0, 6).sort_index()
+    x, y = m.to_numpy()[:-1], m.to_numpy()[1:]
+    # contiguous-day pairs only
+    days = m.index.to_numpy()
+    keep = (days[1:] - days[:-1]) == np.timedelta64(1, "D")
+    x, y = x[keep], y[keep]
+    r = np.corrcoef(x, y)[0, 1]
+    row = pdf[pdf.event_type == et].iloc[0]
+    assert row["n_pairs"] == len(x)
+    assert abs(row["acf_lag1"] - r) < 1e-5
+
+
+# ---------------------------------------------------------- adamic-adar
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    pdf = QUERIES["graph_adamic_adar"](spark, SF).toPandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x < m.l_partkey_y]
+    sup = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    edges = set(sup[sup >= 2].index)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    best: dict[tuple[int, int], float] = {}
+    ncom: dict[tuple[int, int], int] = {}
+    for mid, nb in adj.items():
+        w = round(1.0 / np.log(len(nb)), 9) if len(nb) >= 2 else 0.0
+        nbs = sorted(nb)
+        for i in range(len(nbs)):
+            for j in range(i + 1, len(nbs)):
+                k = (nbs[i], nbs[j])
+                if k in edges:
+                    continue
+                best[k] = best.get(k, 0.0) + w
+                ncom[k] = ncom.get(k, 0) + 1
+    want = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(pdf) == min(20, len(want))
+    for row, (k, score) in zip(pdf.itertuples(), want):
+        assert (row.part_u, row.part_v) == k
+        assert row.n_common == ncom[k]
+        assert abs(row.aa_score - score) < 1e-5
+
+
+# ----------------------------------------------------------------- MAP
+
+
+def test_map_bounds_and_numpy_recompute(spark):
+    pdf = QUERIES["rag_eval_map"](spark, SF).toPandas()
+    assert pdf["ap_10"].between(0, 1.000001).all()
+    assert pdf["n_hits_10"].between(0, 10).all()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.vstack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    q, c = M[ids < 10], M[ids >= 10]
+    qid, cid = ids[ids < 10], ids[ids >= 10]
+    cos = (c @ q.T) / (
+        np.linalg.norm(c, axis=1)[:, None] * np.linalg.norm(q, axis=1)[None, :]
+    )
+    ham = ((c > 0)[:, None, :] != (q > 0)[None, :, :]).sum(axis=2)
+    for j, qv in enumerate(qid):
+        truth = set(cid[np.lexsort((cid, -np.round(cos[:, j], 6)))[:10]])
+        sysr = cid[np.lexsort((cid, ham[:, j]))[:10]]
+        hits = np.array([int(n in truth) for n in sysr])
+        ch = np.cumsum(hits)
+        ap = np.sum(
+            [round(ch[p] / (p + 1), 9) for p in range(10) if hits[p]]
+        ) / 10.0
+        row = pdf[pdf.query_id == qv].iloc[0]
+        assert row["n_hits_10"] == hits.sum()
+        assert abs(row["ap_10"] - ap) < 1e-5
+
+
+# -------------------------------------------------------- token bucket
+
+_CAP = 300_000_000
+_COST = 90_000_000
+
+
+def test_token_bucket_matches_python_replay(spark):
+    pdf = QUERIES["win_token_bucket"](spark, SF).toPandas()
+    assert (pdf["n_admitted"] >= 1).all()
+    assert (pdf["n_admitted"] <= pdf["n_events"]).all()
+    assert pdf["end_tokens_us"].between(0, _CAP).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for uid in pdf["user_id"].head(5):
+        g = ev[ev.user_id == uid].sort_values(["ts", "event_id"]).head(50)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        tok, adm, last = _CAP - _COST, 1, us[0]
+        for x in us[1:]:
+            tok = min(_CAP, tok + (x - last))
+            if tok >= _COST:
+                tok -= _COST
+                adm += 1
+            last = x
+        row = pdf[pdf.user_id == uid].iloc[0]
+        assert row["n_events"] == len(g)
+        assert row["n_admitted"] == adm
+        assert row["end_tokens_us"] == tok
+
+
+# ------------------------------------------------------------- benford
+
+
+def test_benford_probabilities_sum_to_one(spark):
+    pdf = QUERIES["agg_benford_deviation"](spark, SF).toPandas()
+    assert sorted(pdf["digit"]) == list(range(1, 10))
+    assert abs(pdf["obs_p"].sum() - 1.0) < 1e-4
+    assert abs(pdf["exp_p"].sum() - 1.0) < 1e-4
+    assert np.allclose(pdf["dev"], pdf["obs_p"] - pdf["exp_p"], atol=2e-6)
+
+
+# --------------------------------------------------------- interpolate
+
+
+def test_interpolate_anchors_exact_and_gaps_bounded(spark):
+    pdf = QUERIES["win_interpolate_linear"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D").dt.date
+    daily = (
+        ev.groupby(["user_id", "day"])["value"]
+        .apply(lambda v: np.sum(np.round(v * 100).astype("int64")) / 100.0)
+        .reset_index(name="want")
+    )
+    obs = pdf[pdf.is_gap == 0].merge(daily, on=["user_id", "day"])
+    assert len(obs) == len(daily)
+    assert np.allclose(obs["value_interp"], np.round(obs["want"], 6))
+    # every gap value lies between its user's min and max observed day value
+    for uid, g in pdf.groupby("user_id"):
+        lo = g[g.is_gap == 0]["value_interp"].min()
+        hi = g[g.is_gap == 0]["value_interp"].max()
+        gaps = g[g.is_gap == 1]["value_interp"]
+        assert gaps.between(lo - 1e-6, hi + 1e-6).all()
+
+
+# -------------------------------------------------------------- pareto
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    pdf = QUERIES["pipeline_pareto_frontier"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_words"] = docs["text"].str.split(" ").map(len)
+    pts = docs[["doc_id", "n_chars", "n_words"]].to_numpy()
+    want = set()
+    for did, x, y in pts:
+        dominated = any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for _, x2, y2 in pts
+        )
+        if not dominated:
+            want.add(did)
+    assert set(pdf["doc_id"]) == want

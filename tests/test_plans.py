@@ -620,3 +620,72 @@ def test_covariance_matrix_one_exchange(spark, sf_dir):
     plan = plan_of(QUERIES["agg_covariance_matrix"](spark, sf_dir))
     # 44 moment sums in one partial+final aggregate pass
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+
+
+# ------------------------------------------------------- round-7 wave 5
+
+
+def test_ols_single_moment_aggregate(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_ols_regression"](spark, sf_dir))
+    # count + 9 moment sums ride ONE partial+final aggregate pass; the
+    # Cramer solve is projection arithmetic on the single result row
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_autocorr_collapses_to_day_domain(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_autocorr_daily"](spark, sf_dir))
+    # no window at all — the lag pairing is a day-domain equi-join on
+    # the pre-aggregate, never a per-row ordered window over the facts
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_adamic_adar_materialized_edges_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["graph_adamic_adar"](spark, sf_dir))
+    # edge list is checkpointed (ExistingRDD), referenced three times
+    # without re-deriving the support join; top-20 is TakeOrdered
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_map_window_partitioned_by_query(spark, sf_dir):
+    plan = plan_of(QUERIES["rag_eval_map"](spark, sf_dir))
+    # the running-hit window is bounded per query key (10 rows each)
+    assert "hashpartitioning(query_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_bucket_single_user_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["win_token_bucket"](spark, sf_dir))
+    # rank window + collect/fold aggregate share ONE user_id exchange;
+    # the fold itself is a JVM higher-order function, not Python
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_benford_total_joins_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_benford_deviation"](spark, sf_dir))
+    # the 1-row total reaches the 9-row digit histogram as a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interpolate_windows_partitioned_by_user(spark, sf_dir):
+    plan = plan_of(QUERIES["win_interpolate_linear"](spark, sf_dir))
+    # spine generation + both anchor windows stay per-user partitioned
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pareto_domain_window_broadcast_join_back(spark, sf_dir):
+    plan = plan_of(QUERIES["pipeline_pareto_frontier"](spark, sf_dir))
+    # the running-max window runs over the grouped n_chars DOMAIN
+    # (post-aggregate), and the domain frontier joins back broadcast
+    assert "BroadcastHashJoin" in plan
+    # window input is the aggregate, not the raw docs: the running max
+    # is computed over the aggregated per-length maximum column `my`
+    assert re.search(r"max\(my#\d+", plan), plan[:1500]

@@ -1,0 +1,787 @@
+"""Round-7 fifth wave: regression/diagnostic statistics, link
+prediction, retrieval MAP, admission-control folds, and curation
+frontiers.
+
+Reference context: the reference app (app.py) outsources all corpus
+analytics to its vector store; these are the engine-side diagnostics a
+team running the same RAG corpus at 100 TB would need — trend fits over
+event telemetry (agg_ols_regression, agg_autocorr_daily), retrieval
+quality (rag_eval_map alongside rag_eval_ndcg / rag_eval_recall_mrr,
+app.py:348-374's fused retriever being the system under test), data-
+quality screens (agg_benford_deviation), rate-limit replay
+(win_token_bucket — the admission analogue of app.py:334-340's API
+throttling), series repair (win_interpolate_linear), graph link
+prediction over co-purchase structure (graph_adamic_adar), and
+multi-objective corpus selection (pipeline_pareto_frontier).
+
+House rules observed throughout: exact integer/DECIMAL arithmetic until
+one final division, identical expression text on both engines for any
+double math, no array columns in output, bounded windows (per-key or
+value-domain only), global top-k via orderBy+limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# ---------------------------------------------------------------------------
+# agg_ols_regression
+# ---------------------------------------------------------------------------
+
+# Cramer's-rule determinants for the 3x3 normal equations of
+# value ~ b0 + b1*hour + b2*dow.  The moment names (n, s1, s2, s11,
+# s12, s22, sy, s1y, s2y, syy) are identical column aliases on both
+# engines, and these textual templates are shared verbatim, so every
+# double multiply/add happens in the same order bit-for-bit.
+_DET_A = "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+_DET_0 = "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+_DET_1 = "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+_DET_2 = "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+
+_OLS_OUT = f"""
+    CAST(n AS BIGINT) AS n_obs,
+    round({_DET_0} / {_DET_A}, 6) AS b0,
+    round({_DET_1} / {_DET_A}, 6) AS b1,
+    round({_DET_2} / {_DET_A}, 6) AS b2,
+    round(1.0 - (syy - {_DET_0} / {_DET_A} * sy - {_DET_1} / {_DET_A} * s1y
+                     - {_DET_2} / {_DET_A} * s2y)
+              / (syy - sy * sy / n), 6) AS r2
+"""
+
+
+@query(
+    "agg_ols_regression",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS x1,
+             CAST(dayofweek(ts) AS BIGINT) AS x2,
+             CAST(round(value, 6) AS DECIMAL(16,6)) AS yq
+      FROM events),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(yq) AS DOUBLE) AS sy,
+             CAST(sum(x1 * yq) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * yq) AS DOUBLE) AS s2y,
+             CAST(sum(yq * yq) AS DOUBLE) AS syy
+      FROM x)
+    SELECT {_OLS_OUT} FROM m
+    """,
+)
+def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE LINEAR REGRESSION by normal equations: fit
+    value ~ b0 + b1*hour_of_day + b2*day_of_week over all events and
+    report the coefficients plus R² — the closed-form OLS every
+    telemetry dashboard wants, computed as ONE map-side-combinable
+    moment aggregate (count + 9 sums) and a constant-time 3x3
+    Cramer solve on the single result row. No gradient iterations, no
+    collect of data, no shuffle beyond the scalar aggregate — the
+    shape that is identical at 100 TB.
+
+    Parity: regressors are exact integers (Spark dayofweek is 1-7
+    Sunday=1, DuckDB's is 0-6 Sunday=0 — the Spark side subtracts 1);
+    y is round(6)-quantized into DECIMAL(16,6) so every moment sum is
+    exact and order-independent (yq*yq lands in DECIMAL(33,12), exact
+    per the round-7 Bollinger note). The Cramer determinants then run
+    in DOUBLE from the same exact moments with textually identical
+    expressions (_DET_* shared between engine and oracle), so both
+    engines execute the same IEEE ops in the same order; round(6)
+    lands once per output."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("x2"),
+        F.round(F.col("value"), 6).cast("decimal(16,6)").alias("yq"),
+    )
+    m = x.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("yq").cast("double").alias("sy"),
+        F.expr("CAST(sum(x1 * yq) AS DOUBLE)").alias("s1y"),
+        F.expr("CAST(sum(x2 * yq) AS DOUBLE)").alias("s2y"),
+        F.expr("CAST(sum(yq * yq) AS DOUBLE)").alias("syy"),
+    )
+    return m.selectExpr(*[s.strip() for s in _OLS_OUT.split(",\n")])
+
+
+# ---------------------------------------------------------------------------
+# agg_autocorr_daily
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day,
+             CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)
+                  AS DECIMAL(18,6)) AS m
+      FROM daily),
+    p AS (
+      SELECT a.event_type, a.m AS x, b.m AS y
+      FROM s a JOIN s b
+        ON a.event_type = b.event_type AND b.day = a.day + 1),
+    mo AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM p GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round((n*sxy - sx*sy)
+                 / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+             AS acf_lag1
+    FROM mo
+    WHERE (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+    """,
+)
+def agg_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 AUTOCORRELATION of the daily-mean value series per event
+    type — the first thing a seasonality/drift investigation computes
+    (is today's level informative about tomorrow's?), and the
+    statistic behind choosing win_ewma_smooth vs win_holt_linear for a
+    series.
+
+    Scale shape: the fact table collapses to the DAY x TYPE domain
+    with one map-side-combinable pre-aggregate (exact integer cents +
+    counts); everything after — the lag-1 self-join and the Pearson
+    moments — runs on the bounded day domain (hundreds of rows per
+    type at ANY corpus size). This is the same domain-collapse move as
+    win_running_total_range, applied to correlation.
+
+    Parity: daily means are round(6)-quantized into DECIMAL(18,6), so
+    the pair moments (products land in DECIMAL scale 12) are exact and
+    order-independent; the final Pearson assembly runs in DOUBLE with
+    identical expression text, one round(6). Degenerate types with a
+    constant series (zero variance) are excluded on both sides."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    s = daily.select(
+        "event_type",
+        "day",
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("m"),
+    )
+    a = s.select("event_type", "day", F.col("m").alias("x"))
+    b = s.select(
+        "event_type", F.date_add("day", -1).alias("day"), F.col("m").alias("y")
+    )
+    p = a.join(b, ["event_type", "day"]).select("event_type", "x", "y")
+    mo = p.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.expr("CAST(sum(x * x) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(sum(x * y) AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(sum(y * y) AS DOUBLE)").alias("syy"),
+    )
+    return mo.where(
+        (F.expr("n*sxx - sx*sx") > 0) & (F.expr("n*syy - sy*sy") > 0)
+    ).selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_pairs",
+        "round((n*sxy - sx*sy)"
+        " / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS acf_lag1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_CACHE: dict = {}
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Distinct (u < v) part co-purchase edges with >= min_support
+    shared orders, materialized once per (application, sf_dir) via
+    localCheckpoint — graph_adamic_adar references the edge list THREE
+    times (two directed copies for the wedge join + the non-edge
+    anti-join) and without materialization each reference re-derives
+    the support join from the fact table (measured: 25 exchanges /
+    6 lineitem scans in the naive plan). Bounded by |P| choose 2,
+    orders of magnitude below the fact table — the same 100 TB play
+    as analytics2._cosupply_edges; keyed by applicationId (the
+    dedup.py:915 id-recycling rule)."""
+    key = (spark.sparkContext.applicationId, sf_dir, min_support)
+    if key not in _COPURCHASE_EDGES_CACHE:
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+        )
+        e = (
+            a.join(b, "ok")
+            .where(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("ns"))
+            .where(F.col("ns") >= min_support)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        _COPURCHASE_EDGES_CACHE[key] = e
+    return _COPURCHASE_EDGES_CACHE[key]
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    d AS (SELECT u AS m, v AS n FROM e UNION ALL SELECT v AS m, u AS n FROM e),
+    deg AS (SELECT m, count(*) AS dg FROM d GROUP BY m),
+    w AS (
+      SELECT d1.n AS a, d2.n AS b, d1.m AS m
+      FROM d d1 JOIN d d2 ON d1.m = d2.m AND d1.n < d2.n),
+    sc AS (
+      SELECT w.a, w.b, count(*) AS n_common,
+             sum(CAST(round(CAST(1 AS DOUBLE) / ln(deg.dg), 9)
+                      AS DECIMAL(28,9))) AS aa
+      FROM w JOIN deg ON w.m = deg.m
+      GROUP BY w.a, w.b),
+    nc AS (
+      SELECT sc.a, sc.b, sc.n_common, sc.aa
+      FROM sc LEFT JOIN e ON sc.a = e.u AND sc.b = e.v
+      WHERE e.u IS NULL)
+    SELECT a AS part_u, b AS part_v,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(aa AS DOUBLE), 6) AS aa_score
+    FROM nc
+    ORDER BY aa DESC, a, b
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR LINK PREDICTION on the support-2 part co-purchase
+    graph: for every non-adjacent part pair, sum 1/ln(deg(m)) over
+    common neighbors m — rare shared neighbors count more than hub
+    neighbors, the classic "which products will be bought together
+    next" score. Top-20 predicted links. (The co-purchase graph keeps
+    degree variance at every fixture sf; the co-supply graph is
+    degree-regular — agg_degree_assortativity documents why.)
+
+    Scale shape: edges come from the same support-gated equi-join as
+    agg_degree_assortativity; wedge enumeration joins the directed
+    edge list to itself on the MIDDLE node, so cost is the wedge mass
+    sum(deg²) that the support gate bounds (the analytics2 wedge-mass
+    note documents the measurement per gate); degrees ride the wedge
+    via one broadcastable (node, deg) join; non-edges via LEFT anti
+    semantics against the canonical u<v edge list; final top-20 is
+    orderBy+limit (TakeOrderedAndProject), ordered on the EXACT
+    decimal score so both engines pick identical survivors.
+
+    Parity: each wedge term round(1/ln(deg), 9) quantizes the only
+    transcendental before the DECIMAL(28,9) sum (order-independent);
+    ln(integer) agrees across engines well inside 1e-9 (the NDCG
+    precedent); middles always have deg >= 2 so ln > 0."""
+    e = _copurchase_edges(spark, sf_dir)
+    d = e.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    deg = d.groupBy("m").agg(F.count("*").alias("dg"))
+    d1 = d.select("m", F.col("n").alias("a"))
+    d2 = d.select("m", F.col("n").alias("b"))
+    w = d1.join(d2, "m").where(F.col("a") < F.col("b"))
+    sc = (
+        w.join(deg, "m")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(1 AS DOUBLE) / ln(dg), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+            ).alias("aa"),
+        )
+    )
+    nc = sc.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        nc.orderBy(F.col("aa").desc(), "a", "b")
+        .limit(20)
+        .select(
+            F.col("a").alias("part_u"),
+            F.col("b").alias("part_v"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(F.col("aa").cast("double"), 6).alias("aa_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rag_eval_map
+# ---------------------------------------------------------------------------
+
+# shared ranking CTE pair — identical to rag_eval_ndcg / rag_rbo_overlap
+from .analytics2 import _DD_RANKINGS  # noqa: E402
+
+
+@query(
+    "rag_eval_map",
+    oracle=f"""
+    WITH {_DD_RANKINGS},
+    h AS (
+      SELECT s.query_id, s.p,
+             CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM sys s LEFT JOIN truth t
+        ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id),
+    cm AS (
+      SELECT query_id, p, hit,
+             sum(hit) OVER (PARTITION BY query_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+      FROM h)
+    SELECT query_id,
+           CAST(sum(hit) AS BIGINT) AS n_hits_10,
+           round(CAST(sum(CASE WHEN hit = 1
+                     THEN CAST(round(CAST(ch AS DOUBLE) / p, 9)
+                               AS DECIMAL(28,9))
+                     ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+                 / 10.0, 6) AS ap_10
+    FROM cm GROUP BY query_id
+    """,
+)
+def rag_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 (mean average precision) of the sign-bit-hamming ranker
+    against exact-cosine truth — the order-sensitive eval metric that
+    completes the offline suite next to recall/MRR (rag_eval_recall_mrr)
+    and NDCG (rag_eval_ndcg): AP rewards putting EVERY relevant hit
+    early, not just the first (MRR) or graded positions (NDCG).
+    AP@10 = (1/10) * sum over hit positions p of precision@p.
+
+    Shape at scale: both rankings are the shared one-pass broadcast-
+    query corpus scans (vector.py::eval_rankings_topk — one
+    implementation for all four eval ops); the metric arithmetic then
+    touches 10 rows per query, and the running-hit window is bounded
+    at 10 rows per partition key.
+
+    Parity: precision@p = ch/p is round(9)-quantized per term, summed
+    as DECIMAL(28,9) (order-independent), one final /10 and round(6);
+    the divisor is the fixed truth size 10, identical on both sides."""
+    from .vector import eval_rankings_topk
+
+    truth, sys_rank = eval_rankings_topk(spark, sf_dir)
+    h = (
+        sys_rank.join(
+            truth.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .select(
+            "query_id", "p", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+        )
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.withColumn("ch", F.sum("hit").over(w))
+    term = (
+        "CASE WHEN hit = 1 THEN CAST(round(CAST(ch AS DOUBLE) / p, 9)"
+        " AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END"
+    )
+    return c.groupBy("query_id").agg(
+        F.sum("hit").cast("bigint").alias("n_hits_10"),
+        F.round(F.expr(f"CAST(sum({term}) AS DOUBLE)") / 10.0, 6).alias(
+            "ap_10"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_token_bucket
+# ---------------------------------------------------------------------------
+
+_TB_FRAME = 50  # events per user entering the replay frame
+_TB_CAP = 300_000_000  # bucket capacity: 300 token-seconds, in micro-tokens
+_TB_COST = 90_000_000  # cost per admitted event: 90 token-seconds
+# refill rate is 1 token per second == exactly 1 micro-token per
+# microsecond, so refill = elapsed_us and the whole fold is BIGINT.
+
+_TB_REFILL = f"least(CAST({_TB_CAP} AS BIGINT), {{tok}} + ({{us}} - {{last}}))"
+
+
+@query(
+    "win_token_bucket",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    f AS (SELECT * FROM seq WHERE rn <= {_TB_FRAME}),
+    nn AS (SELECT user_id, max(rn) AS n FROM f GROUP BY user_id),
+    r AS (
+      SELECT user_id, 1 AS i,
+             CAST({_TB_CAP - _TB_COST} AS BIGINT) AS tok,
+             CAST(1 AS BIGINT) AS adm, us AS last_us
+      FROM f WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN {_TB_REFILL.format(tok='r.tok', us='f.us', last='r.last_us')}
+                       >= {_TB_COST}
+                  THEN {_TB_REFILL.format(tok='r.tok', us='f.us', last='r.last_us')}
+                       - {_TB_COST}
+                  ELSE {_TB_REFILL.format(tok='r.tok', us='f.us', last='r.last_us')}
+             END,
+             r.adm + CASE WHEN {_TB_REFILL.format(tok='r.tok', us='f.us', last='r.last_us')}
+                               >= {_TB_COST} THEN 1 ELSE 0 END,
+             f.us
+      FROM r JOIN f ON f.user_id = r.user_id AND f.rn = r.i + 1)
+    SELECT r.user_id, CAST(nn.n AS BIGINT) AS n_events,
+           CAST(r.adm AS BIGINT) AS n_admitted,
+           r.tok AS end_tokens_us
+    FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n
+    """,
+)
+def win_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUCKET ADMISSION REPLAY per user: a bucket of capacity
+    300 token-seconds refills at 1 token/s; each event costs 90
+    token-seconds and is admitted iff the refreshed bucket covers the
+    cost — the standard rate-limiter (the engine-side replay of the
+    API throttling around app.py:334-340's LLM calls: which requests
+    WOULD have been admitted under this policy?). Reports per user:
+    events seen, events admitted, and the final bucket level.
+
+    Same per-key-bounded sequential-fold shape as win_holt_linear /
+    win_theil_sen_slope: first {_TB_FRAME} events per user (rank
+    window per key), timestamps collected and folded JVM-side as a
+    (tok, adm, last) STRUCT accumulator — no UDF. Arithmetic is
+    PURELY BIGINT: the refill rate is exactly 1 micro-token per
+    microsecond, so refill = elapsed_us, the cap/cost are integer
+    constants, and the fold is exact on both engines with no float
+    anywhere — the strongest parity class in the repo. The oracle
+    steps the same fold as a recursive CTE (struct list_reduce is
+    broken in DuckDB 1.0 — the win_holt_linear note)."""
+    ev = table(spark, sf_dir, "events")
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") <= _TB_FRAME)
+    )
+    g = f.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(F.collect_list(F.struct("rn", "us"))).alias("ss"),
+    )
+    refill = _TB_REFILL.format(tok="s.tok", us="x", last="s.last")
+    fold = F.expr(
+        f"""aggregate(
+          slice(vals, 2, size(vals) - 1),
+          named_struct('tok', CAST({_TB_CAP - _TB_COST} AS BIGINT),
+                       'adm', CAST(1 AS BIGINT),
+                       'last', element_at(vals, 1)),
+          (s, x) -> named_struct(
+            'tok', CASE WHEN {refill} >= {_TB_COST}
+                        THEN {refill} - {_TB_COST}
+                        ELSE {refill} END,
+            'adm', s.adm + CASE WHEN {refill} >= {_TB_COST}
+                                THEN CAST(1 AS BIGINT)
+                                ELSE CAST(0 AS BIGINT) END,
+            'last', x))"""
+    )
+    return (
+        g.select(
+            "user_id",
+            "n_events",
+            F.expr("transform(ss, s -> s.us)").alias("vals"),
+        )
+        .select("user_id", "n_events", fold.alias("st"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("st.adm").alias("n_admitted"),
+            F.col("st.tok").alias("end_tokens_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_benford_deviation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_benford_deviation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1.0),
+    g AS (SELECT digit, count(*) AS obs FROM c GROUP BY digit),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM g)
+    SELECT g.digit, CAST(g.obs AS BIGINT) AS obs_count,
+           round(CAST(g.obs AS DOUBLE) / t.n, 6) AS obs_p,
+           round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / g.digit)
+                 / ln(CAST(10 AS DOUBLE)), 6) AS exp_p,
+           round(CAST(g.obs AS DOUBLE) / t.n
+                 - ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / g.digit)
+                   / ln(CAST(10 AS DOUBLE)), 6) AS dev
+    FROM g CROSS JOIN t
+    """,
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW DEVIATION over order totals: the observed
+    first-significant-digit distribution against log10(1 + 1/d) — the
+    classic fabricated-data / pipeline-corruption screen (synthetic or
+    truncated money columns drift from Benford long before summary
+    stats move). Nine rows: digit, observed count/frequency, expected
+    frequency, signed deviation.
+
+    Scale shape: one map-side-combinable digit histogram (9 groups)
+    plus a broadcast 1-row total — nothing else touches the fact
+    table.
+
+    Parity: the first significant digit is extracted from the INTEGER
+    cents value via string head — integer-to-string is exact and
+    identical on both engines, dodging the floor(log10(x)) ulp trap
+    near powers of ten entirely (money >= $1 so cents >= 100 and the
+    leading cent digit IS the leading significant digit). Expected
+    frequencies and deviations run in DOUBLE with identical expression
+    text (decimal-literal division differs between engines, so the
+    constants are CAST(1 AS DOUBLE)-style on both sides)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1.0)
+    c = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS INTEGER)"
+        ).alias("digit")
+    )
+    g = c.groupBy("digit").agg(F.count("*").alias("obs"))
+    t = g.agg(F.sum("obs").cast("bigint").alias("n"))
+    exp_p = (
+        "ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)"
+        " / ln(CAST(10 AS DOUBLE))"
+    )
+    return g.crossJoin(F.broadcast(t)).selectExpr(
+        "digit",
+        "CAST(obs AS BIGINT) AS obs_count",
+        "round(CAST(obs AS DOUBLE) / n, 6) AS obs_p",
+        f"round({exp_p}, 6) AS exp_p",
+        f"round(CAST(obs AS DOUBLE) / n - {exp_p}, 6) AS dev",
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_interpolate_linear
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily
+      GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM spans),
+    filled AS (
+      SELECT s.user_id, s.day, d.cents,
+             CASE WHEN d.cents IS NULL THEN 1 ELSE 0 END AS is_gap
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day),
+    ctx AS (
+      SELECT user_id, day, cents, is_gap,
+        last_value(cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+        first_value(cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+      FROM filled)
+    SELECT user_id, day, CAST(is_gap AS INTEGER) AS is_gap,
+           round(CASE WHEN is_gap = 0 THEN CAST(cents AS DOUBLE)
+                      ELSE CAST(pv AS DOUBLE)
+                           + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                             * ((day - pd) / (nd - pd))
+                 END / 100.0, 6) AS value_interp
+    FROM ctx
+    """,
+)
+def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-INTERPOLATION gap fill: the two-sided sibling of
+    win_gap_fill_forward. Per-user daily rollup, per-key date spine,
+    and every missing day filled by the straight line between the
+    surrounding observed days — the repair step numeric feature
+    pipelines prefer over forward-fill when the series trends.
+
+    Same scale contract as win_gap_fill_forward: partitioning is by
+    user key throughout (one shuffle for the rollup, one for the
+    windows); the spine is generated per key, never a global cross
+    join; spine endpoints are observed days, so every gap has both a
+    previous and a next anchor by construction.
+
+    Parity: anchors stay exact integer cents; day distances are exact
+    integers (Spark datediff == DuckDB date subtraction); the single
+    interpolation expression runs in DOUBLE with identical structure
+    — pv + (nv - pv) * (gap_offset / gap_width) — and round(6) lands
+    once after the /100 cents conversion."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("DAY", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+                "day"
+            ),
+        )
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "is_gap", F.when(F.col("cents").isNull(), 1).otherwise(0)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    ctx = filled.select(
+        "user_id",
+        "day",
+        "cents",
+        "is_gap",
+        F.last("cents", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = (
+        "CASE WHEN is_gap = 0 THEN CAST(cents AS DOUBLE)"
+        " ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))"
+        " * (CAST(datediff(day, pd) AS DOUBLE)"
+        " / CAST(datediff(nd, pd) AS DOUBLE)) END"
+    )
+    return ctx.selectExpr(
+        "user_id",
+        "day",
+        "CAST(is_gap AS INTEGER) AS is_gap",
+        f"round(({interp}) / 100.0, 6) AS value_interp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_pareto_frontier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_pareto_frontier",
+    oracle="""
+    WITH dw AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents),
+    g AS (SELECT n_chars, max(n_words) AS my FROM dw GROUP BY n_chars),
+    sx AS (
+      SELECT n_chars, my,
+             max(my) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smax
+      FROM g)
+    SELECT d.doc_id, d.n_chars, d.n_words
+    FROM dw d JOIN sx ON d.n_chars = sx.n_chars
+    WHERE d.n_words = sx.my AND (sx.smax IS NULL OR sx.smax < sx.my)
+    """,
+)
+def pipeline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO (SKYLINE) corpus selection: documents on the token-
+    density frontier — maximize whitespace-token count while
+    minimizing character count; a doc survives iff no other doc is at
+    least as good on both axes and strictly better on one. The
+    multi-objective selection primitive behind "shortest docs that
+    still carry the most content" curation cuts; ties (duplicate
+    frontier points) all survive, matching standard skyline
+    semantics.
+
+    Scale shape — the two-pass VALUE-DOMAIN skyline, not a global
+    sort: (1) per-x maxima via one hash aggregate over the bounded
+    n_chars domain; (2) a strict-prefix running max ordered over that
+    DOMAIN (thousands of distinct lengths at any corpus size — the
+    win_running_total_range day-domain move); (3) a join back tags
+    each doc in one pass. A doc is on the frontier iff it attains its
+    length's max word count AND no strictly-shorter length reaches
+    it. Never a single-partition sort of the corpus.
+
+    Parity: all-integer comparisons — no floats anywhere."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    )
+    g = d.groupBy("n_chars").agg(F.max("n_words").alias("my"))
+    wx = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    sx = g.select("n_chars", "my", F.max("my").over(wx).alias("smax"))
+    return (
+        d.join(F.broadcast(sx), "n_chars")
+        .where(
+            (F.col("n_words") == F.col("my"))
+            & (F.col("smax").isNull() | (F.col("smax") < F.col("my")))
+        )
+        .select("doc_id", "n_chars", "n_words")
+    )

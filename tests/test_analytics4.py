@@ -132,8 +132,10 @@ def test_map_bounds_and_numpy_recompute(spark):
 
 # -------------------------------------------------------- token bucket
 
-_CAP = 300_000_000
-_COST = 90_000_000
+from vectordb_agentic_rag_spark.operators.analytics4 import (  # noqa: E402
+    _TB_CAP as _CAP,
+    _TB_COST as _COST,
+)
 
 
 def test_token_bucket_matches_python_replay(spark):
@@ -209,3 +211,107 @@ def test_pareto_frontier_matches_bruteforce(spark):
         if not dominated:
             want.add(did)
     assert set(pdf["doc_id"]) == want
+
+
+# ------------------------------------------------------- breusch-pagan
+
+
+def test_breusch_pagan_matches_numpy(spark):
+    pdf = QUERIES["agg_breusch_pagan"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ts = pd.to_datetime(ev["ts"])
+    x1 = ts.dt.hour.to_numpy(dtype=float)
+    x2 = ((ts.dt.dayofweek + 1) % 7).to_numpy(dtype=float)
+    y = np.round(ev["value"].to_numpy(), 6)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    u = np.round((y - X @ beta) ** 2, 6)
+    g, *_ = np.linalg.lstsq(X, u, rcond=None)
+    resid = u - X @ g
+    r2 = 1 - (resid @ resid) / np.sum((u - u.mean()) ** 2)
+    row = pdf.iloc[0]
+    assert row["n_obs"] == len(ev)
+    assert abs(row["r2_aux"] - r2) < 1e-3
+    assert abs(row["lm_stat"] - len(ev) * r2) < len(ev) * 1e-3
+    assert row["heteroskedastic"] in (0, 1)
+
+
+# -------------------------------------------------------- kaplan-meier
+
+
+def test_kaplan_meier_matches_pandas_replay(spark):
+    pdf = (
+        QUERIES["agg_kaplan_meier"](spark, SF)
+        .toPandas()
+        .sort_values("dur_min")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    sessions = []
+    for uid, g in ev.assign(us=us).groupby("user_id"):
+        start = prev = None
+        for t in g["us"]:
+            if prev is None or t - prev > 1_800_000_000:
+                if start is not None:
+                    sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    mx = max(e for _, e in sessions)
+    rows = [
+        ((e - s) // 60_000_000, int(e > mx - 7_200_000_000))
+        for s, e in sessions
+    ]
+    df = pd.DataFrame(rows, columns=["dur_min", "cen"])
+    g = (
+        df.groupby("dur_min")
+        .agg(d=("cen", lambda c: int((1 - c).sum())), c=("cen", "sum"))
+        .sort_index()
+    )
+    total = int((g["d"] + g["c"]).sum())
+    removed = (g["d"] + g["c"]).cumsum().shift(1, fill_value=0)
+    n_risk = total - removed
+    surv, out = 1.0, {}
+    for t in g.index:
+        surv *= round(1.0 - g.loc[t, "d"] / n_risk.loc[t], 9)
+        out[t] = (int(n_risk.loc[t]), int(g.loc[t, "d"]), int(g.loc[t, "c"]), surv)
+    assert len(pdf) == len(out)
+    for r in pdf.itertuples():
+        nr, d, c, s = out[r.dur_min]
+        assert (r.n_risk, r.n_deaths, r.n_censored) == (nr, d, c)
+        assert abs(r.survival - s) < 1e-5
+    # survival is non-increasing over duration
+    assert (pdf["survival"].diff().dropna() <= 1e-12).all()
+
+
+# -------------------------------------------------------------- k-core
+
+
+def test_kcore_matches_python_peeling(spark):
+    pdf = QUERIES["graph_kcore"](spark, SF).toPandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x < m.l_partkey_y]
+    sup = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    edges = list(sup[sup >= 2].index)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        bad = {n for n in alive if sum(1 for x in adj[n] if x in alive) < 2}
+        if not bad:
+            break
+        alive -= bad
+    want = {
+        n: sum(1 for x in adj[n] if x in alive) for n in alive
+    }
+    got = dict(zip(pdf["part_key"], pdf["core_degree"]))
+    assert got == want
+    assert all(d >= 2 for d in got.values())

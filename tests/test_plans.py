@@ -689,3 +689,33 @@ def test_pareto_domain_window_broadcast_join_back(spark, sf_dir):
     # window input is the aggregate, not the raw docs: the running max
     # is computed over the aggregated per-length maximum column `my`
     assert re.search(r"max\(my#\d+", plan), plan[:1500]
+
+
+def test_breusch_pagan_single_residual_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_breusch_pagan"](spark, sf_dir))
+    # the checkpointed 1-row moment/beta result reaches the residual
+    # pass as a broadcast; the naive plan re-derived the moment pass
+    # from parquet on every reference (measured: 6 fact scans)
+    assert plan.count("Scan parquet") <= 2, plan[:1500]
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kaplan_meier_domain_fold_from_checkpoint(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_kaplan_meier"](spark, sf_dir))
+    # the duration-domain table is materialized once; the product fold
+    # and the final join both read it (no sessionize re-derivation),
+    # and the fold result joins back broadcast
+    assert plan.count("Scan parquet") == 0, plan[:1500]
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kcore_runs_on_checkpointed_edges_only(spark, sf_dir):
+    plan = plan_of(QUERIES["graph_kcore"](spark, sf_dir))
+    # the returned degrees read ONLY the converged checkpointed edge
+    # list — the peeling loop never re-touches the fact table
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]

@@ -252,3 +252,57 @@ def test_cusum_live_matches_batch_fold(spark, sf_dir):
     )
     assert live == batch
     assert any(r[4] == 1 for r in batch)  # the detector actually fires
+
+
+def test_token_bucket_live_matches_batch_fold(spark, sf_dir):
+    """The drained live token bucket equals the batch fold over each
+    user's FULL time-ordered series — exactly, because the fold is
+    pure BIGINT microsecond arithmetic on both sides."""
+    from vectordb_agentic_rag_spark.streaming.core import (
+        _TBL_CAP,
+        _TBL_COST,
+        stream_token_bucket_live,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    live = _key(
+        stream_token_bucket_live(spark, sf_dir).collect(),
+        ["user_id", "n_events", "n_admitted", "end_tokens_us"],
+    )
+    refill = f"least(CAST({_TBL_CAP} AS BIGINT), s.tok + (x - s.last))"
+    fold = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), "
+        f"named_struct('tok', CAST({_TBL_CAP - _TBL_COST} AS BIGINT), "
+        "'adm', CAST(1 AS BIGINT), 'last', element_at(vals, 1)), "
+        f"(s, x) -> named_struct("
+        f"'tok', IF({refill} >= {_TBL_COST}, {refill} - {_TBL_COST}, {refill}), "
+        f"'adm', s.adm + IF({refill} >= {_TBL_COST}, "
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT)), "
+        "'last', x))"
+    )
+    batch = _key(
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.struct(F.unix_micros("ts").alias("us"), "event_id").alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(
+                "transform(sort_array(collect_list(s)), p -> p.us)"
+            ).alias("vals"),
+        )
+        .select("user_id", "n_events", fold.alias("st"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("st.adm").alias("n_admitted"),
+            F.col("st.tok").alias("end_tokens_us"),
+        )
+        .collect(),
+        ["user_id", "n_events", "n_admitted", "end_tokens_us"],
+    )
+    assert live == batch
+    # the limiter actually rejects something somewhere
+    assert any(r[2] < r[1] for r in batch)

@@ -73,6 +73,15 @@ SHOWCASE = [
     ("text_ccnet_ppl_bucket", "per-lang LM broadcast, decimal NLL sums, tercile window"),
     ("agg_mann_whitney_u", "rank-sum over distinct-value groups, integer 2x-rank algebra"),
     ("pipeline_curation_funnel", "three curation stages folded to one 4-counter aggregate"),
+    # round-7 fifth wave
+    ("agg_ols_regression", "one moment scan + constant-time Cramer solve projection"),
+    ("agg_autocorr_daily", "day-domain collapse, broadcast lag join, no window"),
+    ("graph_adamic_adar", "wedge join over checkpointed edges, anti-join non-edges, TakeOrdered top-20"),
+    ("win_token_bucket", "rank window + BIGINT HOF fold on one user_id exchange"),
+    ("pipeline_pareto_frontier", "value-domain skyline: per-length max agg + domain window + broadcast join back"),
+    ("agg_breusch_pagan", "checkpointed 1-row beta broadcast into the residual moment pass"),
+    ("agg_kaplan_meier", "sessionize exchange -> checkpointed duration domain -> broadcast fold join"),
+    ("graph_kcore", "peeling loop output reads only the converged checkpointed edge list"),
 ]
 
 

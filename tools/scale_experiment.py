@@ -113,6 +113,18 @@ OPS = [
     ("agg_mutual_information", "events"),
     ("text_readability_score", "documents"),
     ("vec_pairwise_cos_hist", "embeddings"),
+    # round-7 fifth wave
+    ("agg_ols_regression", "events"),
+    ("agg_autocorr_daily", "events"),
+    ("graph_adamic_adar", "lineitem"),
+    ("rag_eval_map", "embeddings"),
+    ("win_token_bucket", "events"),
+    ("agg_benford_deviation", "orders"),
+    ("win_interpolate_linear", "events"),
+    ("pipeline_pareto_frontier", "documents"),
+    ("agg_breusch_pagan", "events"),
+    ("agg_kaplan_meier", "events"),
+    ("graph_kcore", "lineitem"),
 ]
 
 

@@ -95,13 +95,26 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (_DET_* shared between engine and oracle), so both
     engines execute the same IEEE ops in the same order; round(6)
     lands once per output."""
+    m = _ols_moments(_ols_x(spark, sf_dir))
+    return m.selectExpr(*[s.strip() for s in _OLS_OUT.split(",\n")])
+
+
+def _ols_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared regressor frame for agg_ols_regression /
+    agg_breusch_pagan: integer (hour, dow) regressors + round(6)-
+    quantized DECIMAL response."""
     ev = table(spark, sf_dir, "events")
-    x = ev.select(
+    return ev.select(
         F.hour("ts").cast("bigint").alias("x1"),
         (F.dayofweek("ts") - 1).cast("bigint").alias("x2"),
         F.round(F.col("value"), 6).cast("decimal(16,6)").alias("yq"),
     )
-    m = x.agg(
+
+
+def _ols_moments(x: DataFrame) -> DataFrame:
+    """One map-side-combinable moment pass: exact integer/DECIMAL sums
+    cast to DOUBLE once, for the shared Cramer templates."""
+    return x.agg(
         F.count("*").cast("double").alias("n"),
         F.sum("x1").cast("double").alias("s1"),
         F.sum("x2").cast("double").alias("s2"),
@@ -113,7 +126,6 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(x2 * yq) AS DOUBLE)").alias("s2y"),
         F.expr("CAST(sum(yq * yq) AS DOUBLE)").alias("syy"),
     )
-    return m.selectExpr(*[s.strip() for s in _OLS_OUT.split(",\n")])
 
 
 # ---------------------------------------------------------------------------
@@ -435,8 +447,8 @@ def rag_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TB_FRAME = 50  # events per user entering the replay frame
-_TB_CAP = 300_000_000  # bucket capacity: 300 token-seconds, in micro-tokens
-_TB_COST = 90_000_000  # cost per admitted event: 90 token-seconds
+_TB_CAP = 21_600_000_000  # bucket capacity: 21600 token-seconds (6 h)
+_TB_COST = 10_800_000_000  # cost per admitted event: 10800 token-seconds (3 h)
 # refill rate is 1 token per second == exactly 1 micro-token per
 # microsecond, so refill = elapsed_us and the whole fold is BIGINT.
 
@@ -478,9 +490,9 @@ _TB_REFILL = f"least(CAST({_TB_CAP} AS BIGINT), {{tok}} + ({{us}} - {{last}}))"
 )
 def win_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKEN-BUCKET ADMISSION REPLAY per user: a bucket of capacity
-    300 token-seconds refills at 1 token/s; each event costs 90
-    token-seconds and is admitted iff the refreshed bucket covers the
-    cost — the standard rate-limiter (the engine-side replay of the
+    21600 token-seconds (6 h) refills at 1 token/s; each event costs
+    10800 token-seconds (3 h of budget — an expensive batch API call)
+    and is admitted iff the refreshed bucket covers the cost — the standard rate-limiter (the engine-side replay of the
     API throttling around app.py:334-340's LLM calls: which requests
     WOULD have been admitted under this policy?). Reports per user:
     events seen, events admitted, and the final bucket level.
@@ -492,7 +504,12 @@ def win_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     PURELY BIGINT: the refill rate is exactly 1 micro-token per
     microsecond, so refill = elapsed_us, the cap/cost are integer
     constants, and the fold is exact on both engines with no float
-    anywhere — the strongest parity class in the repo. The oracle
+    anywhere — the strongest parity class in the repo. The constants
+    were sized against the FIXTURE's measured inter-event gap
+    distribution (p50 ~ 27000 s, p10 ~ 4000 s) so the limiter really
+    rejects (~3% of events) instead of vacuously admitting everything
+    — the stream_cusum_live "check the fixture before picking detector
+    constants" rule. The oracle
     steps the same fold as a recursive CTE (struct list_reduce is
     broken in DuckDB 1.0 — the win_holt_linear note)."""
     ev = table(spark, sf_dir, "events")
@@ -784,4 +801,411 @@ def pipeline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("smax").isNull() | (F.col("smax") < F.col("my")))
         )
         .select("doc_id", "n_chars", "n_words")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_breusch_pagan
+# ---------------------------------------------------------------------------
+
+
+def _aux(t: str) -> str:
+    """Rewrite a Cramer template from y-moments to u-moments (the
+    Breusch-Pagan auxiliary regression of squared residuals on the
+    same regressors). Order matters: syy before sy."""
+    return (
+        t.replace("syy", "suu")
+        .replace("s1y", "s1u")
+        .replace("s2y", "s2u")
+        .replace("sy", "su")
+    )
+
+
+_BP_R2 = (
+    f"(1.0 - (suu - {_aux(_DET_0)} / {_DET_A} * su"
+    f" - {_aux(_DET_1)} / {_DET_A} * s1u"
+    f" - {_aux(_DET_2)} / {_DET_A} * s2u)"
+    f" / (suu - su * su / n))"
+)
+
+_BP_E = (
+    "(CAST(yq AS DOUBLE) - (b0 + b1 * x1 + b2 * x2))"
+)
+
+
+@query(
+    "agg_breusch_pagan",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS x1,
+             CAST(dayofweek(ts) AS BIGINT) AS x2,
+             CAST(round(value, 6) AS DECIMAL(16,6)) AS yq
+      FROM events),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(yq) AS DOUBLE) AS sy,
+             CAST(sum(x1 * yq) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * yq) AS DOUBLE) AS s2y,
+             CAST(sum(yq * yq) AS DOUBLE) AS syy
+      FROM x),
+    bt AS (
+      SELECT {_DET_0} / {_DET_A} AS b0, {_DET_1} / {_DET_A} AS b1,
+             {_DET_2} / {_DET_A} AS b2
+      FROM m),
+    r AS (
+      SELECT x1, x2,
+             CAST(round({_BP_E} * {_BP_E}, 6) AS DECIMAL(18,6)) AS u6
+      FROM x CROSS JOIN bt),
+    a AS (
+      SELECT CAST(sum(u6) AS DOUBLE) AS su,
+             CAST(sum(x1 * u6) AS DOUBLE) AS s1u,
+             CAST(sum(x2 * u6) AS DOUBLE) AS s2u,
+             -- width-19 operands force DuckDB's int128 multiply
+             -- kernel (width-18 physical int64 squares overflow)
+             CAST(sum(CAST(u6 AS DECIMAL(19,6)) * CAST(u6 AS DECIMAL(19,6)))
+                  AS DOUBLE) AS suu
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round({_BP_R2}, 6) AS r2_aux,
+           round(n * {_BP_R2}, 6) AS lm_stat,
+           CAST(CASE WHEN n * {_BP_R2} > 5.991 THEN 1 ELSE 0 END AS INTEGER)
+             AS heteroskedastic
+    FROM a CROSS JOIN m
+    """,
+)
+def agg_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BREUSCH-PAGAN heteroskedasticity test on agg_ols_regression's
+    fit: regress the SQUARED RESIDUALS on the same (hour, dow)
+    regressors and report LM = n * R²_aux against the chi²(2) 95%
+    critical value — the standard "are the OLS variance assumptions
+    broken?" diagnostic that should accompany any reported
+    coefficient table.
+
+    Scale shape: two fact-table passes, both map-side-combinable
+    moment aggregates — pass 1 the shared OLS moments (a 1-row result
+    broadcast back as the beta row), pass 2 the residual-squared
+    moments. No per-row beta collect to the driver: the coefficient
+    row stays a DataFrame and reaches the fact scan as a broadcast
+    cross join, so the whole test is SQL-planar at any corpus size.
+
+    Parity: betas are the SAME shared Cramer text as
+    agg_ols_regression (bit-identical doubles from exact moments);
+    each residual square is round(6)-quantized into DECIMAL(18,6) so
+    the auxiliary moments are exact order-independent sums; the
+    auxiliary R² re-uses the Cramer templates with y-moments renamed
+    to u-moments (_aux), and the critical-value flag compares the
+    UNROUNDED identical double on both engines."""
+    x = _ols_x(spark, sf_dir)
+    # the 1-row moment result feeds BOTH the beta row and the final
+    # assembly — materialize it once or each reference re-runs the
+    # fact-table moment pass (measured: 6 parquet scans -> 2)
+    m = _ols_moments(x).localCheckpoint()
+    bt = m.selectExpr(
+        f"{_DET_0} / {_DET_A} AS b0",
+        f"{_DET_1} / {_DET_A} AS b1",
+        f"{_DET_2} / {_DET_A} AS b2",
+    )
+    r = x.crossJoin(F.broadcast(bt)).selectExpr(
+        "x1",
+        "x2",
+        f"CAST(round({_BP_E} * {_BP_E}, 6) AS DECIMAL(18,6)) AS u6",
+    )
+    a = r.agg(
+        F.sum("u6").cast("double").alias("su"),
+        F.expr("CAST(sum(x1 * u6) AS DOUBLE)").alias("s1u"),
+        F.expr("CAST(sum(x2 * u6) AS DOUBLE)").alias("s2u"),
+        F.expr("CAST(sum(u6 * u6) AS DOUBLE)").alias("suu"),
+    )
+    return a.crossJoin(F.broadcast(m)).selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        f"round({_BP_R2}, 6) AS r2_aux",
+        f"round(n * {_BP_R2}, 6) AS lm_stat",
+        f"CAST(CASE WHEN n * {_BP_R2} > 5.991 THEN 1 ELSE 0 END AS INTEGER)"
+        " AS heteroskedastic",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_kaplan_meier
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_US = 7_200_000_000  # sessions ending in the final 2 h are censored
+
+
+@query(
+    "agg_kaplan_meier",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged),
+    sess AS (
+      SELECT user_id, sess_no,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000
+                  AS INTEGER) AS dur_min
+      FROM numbered GROUP BY user_id, sess_no),
+    mxx AS (SELECT max(end_us) AS m FROM sess),
+    lab AS (
+      SELECT dur_min,
+             CASE WHEN end_us > m - {_KM_CENSOR_US} THEN 1 ELSE 0 END AS cen
+      FROM sess CROSS JOIN mxx),
+    g AS (
+      SELECT dur_min, CAST(sum(1 - cen) AS BIGINT) AS d,
+             CAST(sum(cen) AS BIGINT) AS c
+      FROM lab GROUP BY dur_min),
+    o AS (
+      SELECT dur_min, d, c,
+             sum(d + c) OVER (ORDER BY dur_min
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS removed,
+             sum(d + c) OVER () AS total
+      FROM g),
+    r AS (
+      SELECT dur_min, d, c,
+             CAST(total - coalesce(removed, 0) AS BIGINT) AS n_risk
+      FROM o),
+    arr AS (
+      SELECT list(struct_pack(
+               t := dur_min,
+               f := round(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_risk, 9))
+             ORDER BY dur_min) AS a
+      FROM r),
+    km AS (
+      SELECT a[i].t AS dur_min,
+             list_reduce(list_transform(a[1:i], s -> s.f),
+                         (xx, yy) -> xx * yy) AS surv
+      FROM arr, UNNEST(range(1, len(a) + 1)) AS u(i))
+    SELECT r.dur_min, r.n_risk, r.d AS n_deaths, r.c AS n_censored,
+           round(km.surv, 6) AS survival
+    FROM r JOIN km ON r.dur_min = km.dur_min
+    """,
+)
+def agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve over SESSION DURATIONS (minute
+    buckets): S(t) = prod over buckets <= t of (1 - deaths/at-risk),
+    with sessions that end inside the final 2 h of the observation
+    window treated as right-CENSORED (their true duration is unknown
+    — the cutoff may have truncated them). The estimator behind every
+    "how long do sessions last?" product question, composed directly
+    on agg_sessionize_batch's session definition.
+
+    Scale shape: the fact table collapses to sessions (one user-key
+    exchange, the sessionize shape), sessions collapse to the bounded
+    MINUTE-duration domain (one hash aggregate), and everything
+    after — the at-risk cumulative, the product fold — runs on that
+    domain (hundreds of rows at any corpus size; the value-domain
+    discipline of agg_mann_whitney_u). The censor horizon is one
+    broadcast scalar.
+
+    Parity: deaths/at-risk counts are exact integers; each hazard
+    factor is round(9)-quantized, so the left-associative prefix
+    products multiply IDENTICAL doubles in identical order on both
+    engines (Spark aggregate() with 1.0 init vs DuckDB list_reduce —
+    the extra leading 1.0*x is exact); scalar-accumulator list folds
+    are exact in DuckDB (the win_ewma_smooth note; struct folds are
+    not, and this fold is scalar by construction). One round(6) at
+    the end."""
+    from .relational import agg_sessionize_batch
+
+    s = agg_sessionize_batch(spark, sf_dir).select(
+        (F.unix_micros("session_start") + F.col("duration_us")).alias("end_us"),
+        F.expr("CAST(duration_us DIV 60000000 AS INT)").alias("dur_min"),
+    )
+    mxx = s.agg(F.max("end_us").alias("m"))
+    lab = s.crossJoin(F.broadcast(mxx)).select(
+        "dur_min",
+        F.when(F.col("end_us") > F.col("m") - _KM_CENSOR_US, 1)
+        .otherwise(0)
+        .alias("cen"),
+    )
+    g = lab.groupBy("dur_min").agg(
+        F.sum(1 - F.col("cen")).cast("bigint").alias("d"),
+        F.sum("cen").cast("bigint").alias("c"),
+    )
+    w_prev = Window.orderBy("dur_min").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = g.select(
+        "dur_min",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    # the duration-domain table (hundreds of rows at any corpus size)
+    # feeds both the product fold and the final join — materialize it
+    # once or each reference re-runs the sessionize chain (8 scans -> 4)
+    r = r.localCheckpoint()
+    arr = r.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("dur_min").alias("t"),
+                    F.expr(
+                        "round(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE)"
+                        " / n_risk, 9)"
+                    ).alias("f"),
+                )
+            )
+        ).alias("a")
+    )
+    km = arr.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a)), i -> struct("
+                "a[i-1].t AS dur_min, "
+                "aggregate(slice(a, 1, i), CAST(1.0 AS DOUBLE),"
+                " (xx, yy) -> xx * yy.f) AS surv))"
+            )
+        ).alias("s")
+    ).select("s.dur_min", "s.surv")
+    return r.join(F.broadcast(km), "dur_min").select(
+        "dur_min",
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.round(F.col("surv"), 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 16  # measured peeling depth <= 5 at every fixture sf
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds (a recursive CTE cannot aggregate over
+    its own working table; fixed unrolling is the PageRank-oracle
+    move). Extra rounds past the fixpoint are identity filters, so
+    round-{_KCORE_ROUNDS} output equals the converged core whenever
+    peeling converges within the budget — and the Spark side RAISES
+    if it does not, so a mismatch cannot pass silently."""
+    parts = [
+        """os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT nn, count(*) AS cc FROM (
+        SELECT u AS nn FROM e{i} UNION ALL SELECT v AS nn FROM e{i}) z{i}
+      GROUP BY nn),
+    k{i} AS MATERIALIZED (SELECT nn FROM d{i} WHERE cc >= {_KCORE_K}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e{i}.u, e{i}.v FROM e{i}
+      JOIN k{i} ka ON e{i}.u = ka.nn JOIN k{i} kb ON e{i}.v = kb.nn)"""
+        )
+    R = _KCORE_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    df AS (
+      SELECT nn, count(*) AS cc FROM (
+        SELECT u AS nn FROM e{R} UNION ALL SELECT v AS nn FROM e{R}) zf
+      GROUP BY nn)
+    SELECT nn AS part_key, CAST(cc AS BIGINT) AS core_degree
+    FROM df WHERE cc >= {_KCORE_K}"""
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (k = _KCORE_K = 2) of the support-2 part
+    co-purchase graph by iterative peeling: repeatedly delete nodes
+    with fewer than k surviving neighbors until a fixpoint; survivors
+    with their in-core degrees are the maximal subgraph where every
+    node keeps >= k co-purchase partners — the standard
+    dense-community extractor (and the cheap preconditioner that
+    shrinks a graph before triangle/clique work).
+
+    Scale shape, following dedup_connected_components' loop
+    disciplines: the loop runs over the CHECKPOINTED domain-bounded
+    edge list only (_copurchase_edges — never the fact table); each
+    round is one degree hash-aggregate + one semi-filtering join,
+    localCheckpoint truncates lineage so plan size stays O(1) in
+    rounds; shuffle partitions are sized once from |E| and restored
+    in finally. Peeling is monotone (edges only leave), so an
+    unchanged edge COUNT is a valid fixpoint witness — the per-round
+    count is a scalar action on the checkpointed edge list, bounded
+    by the measured <= 5-round depth. If the 16-round budget is
+    exhausted before the fixpoint the operator RAISES rather than
+    returning a non-core — which is what makes the unrolled
+    fixed-round oracle exact.
+
+    Parity: pure integer counting — no floats anywhere."""
+    e = _copurchase_edges(spark, sf_dir)
+    n_edges = e.count()
+    loop_partitions = max(1, min(200, n_edges // 1_000_000 + 1))
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    conf.set("spark.sql.adaptive.enabled", "false")
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("nn"))
+            .unionAll(edges.select(F.col("v").alias("nn")))
+            .groupBy("nn")
+            .agg(F.count("*").alias("cc"))
+        )
+
+    converged = False
+    try:
+        edges, prev_count = e, n_edges
+        for _ in range(_KCORE_ROUNDS):
+            keep = degrees(edges).where(F.col("cc") >= _KCORE_K).select("nn")
+            edges = (
+                edges.join(keep.withColumnRenamed("nn", "u"), "u")
+                .join(keep.withColumnRenamed("nn", "v"), "v")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            cur = edges.count()
+            if cur == prev_count:
+                converged = True
+                break
+            prev_count = cur
+        out = degrees(edges).where(F.col("cc") >= _KCORE_K)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if not converged:
+        raise RuntimeError(
+            f"k-core peeling not converged after {_KCORE_ROUNDS} rounds — "
+            "raise the round budget for deeper degeneracy orderings"
+        )
+    return out.select(
+        F.col("nn").alias("part_key"),
+        F.col("cc").cast("bigint").alias("core_degree"),
     )

@@ -673,3 +673,130 @@ def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("al") > 0).cast("bigint").alias("alarmed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_token_bucket_live
+# ---------------------------------------------------------------------------
+
+_TBL_CAP = 21_600_000_000  # win_token_bucket's constants: 21600 token-s (6 h)
+_TBL_COST = 10_800_000_000  # 10800 token-s (3 h) per admitted event
+_TBL_REFILL = (
+    f"least(CAST({_TBL_CAP} AS BIGINT), r.tok + (f.us - r.last_us))"
+)
+
+
+@query(
+    "stream_token_bucket_live",
+    # Full oracle despite being live streaming, by the stream_cusum_live
+    # identity: the token-bucket fold is prefix-incremental, the
+    # time-ordered replay preserves per-key order, the arithmetic is
+    # PURE BIGINT (bit-exact trivially), and the emitted summaries are
+    # monotone in n — so the max_by(n)-reduced drained table equals the
+    # batch fold over each user's whole series: win_token_bucket's
+    # recursive CTE without the analysis-frame limit.
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    f AS (SELECT * FROM seq),
+    nn AS (SELECT user_id, max(rn) AS n FROM f GROUP BY user_id),
+    r AS (
+      SELECT user_id, 1 AS i,
+             CAST({_TBL_CAP - _TBL_COST} AS BIGINT) AS tok,
+             CAST(1 AS BIGINT) AS adm, us AS last_us
+      FROM f WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN {_TBL_REFILL} >= {_TBL_COST}
+                  THEN {_TBL_REFILL} - {_TBL_COST}
+                  ELSE {_TBL_REFILL} END,
+             r.adm + CASE WHEN {_TBL_REFILL} >= {_TBL_COST}
+                          THEN 1 ELSE 0 END,
+             f.us
+      FROM r JOIN f ON f.user_id = r.user_id AND f.rn = r.i + 1)
+    SELECT r.user_id, CAST(nn.n AS BIGINT) AS n_events,
+           CAST(r.adm AS BIGINT) AS n_admitted,
+           r.tok AS end_tokens_us
+    FROM r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n
+    """,
+)
+def stream_token_bucket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE TOKEN-BUCKET rate limiting per user via
+    applyInPandasWithState — the streaming twin of win_token_bucket
+    (capacity 21600 token-seconds, refill 1 token/s, cost 10800
+    token-seconds per admitted event), the admission decision a
+    serving tier makes ONLINE (the engine-side replay of the
+    throttling around app.py:334-340's per-request LLM calls). State
+    per user: (tok, adm, n, last_us) carried across micro-batches;
+    each batch folds its time-ordered slice and emits the cumulative
+    (n, adm, tok), so the drained table reduces per user to max(n) /
+    max(adm) / max_by(tok, n).
+
+    The fold is integer microsecond arithmetic end to end — refill =
+    elapsed_us, capped at CAP — so the Python per-batch loop is
+    bit-identical to win_token_bucket's JVM aggregate() fold and to
+    the oracle's recursive CTE (no float anywhere: the strongest
+    batch-equivalence class among the streaming ops). Bounded state
+    (4 ints per user), bounded per-batch work (arrival rate x
+    trigger), per-key order from the time-ordered replay
+    (stream_stateful_session's contract)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cap, cost = _TBL_CAP, _TBL_COST
+
+    def fold(key, pdf_iter, state: GroupState):
+        tok, adm, n, last = (
+            state.get if state.exists else (cap, 0, 0, None)
+        )
+        (user_id,) = key
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            part = pdf.sort_values(["us", "event_id"])
+            for x in part["us"].to_numpy():
+                x = int(x)
+                if last is None:
+                    tok, adm, last = cap - cost, 1, x
+                else:
+                    tok = min(cap, tok + (x - last))
+                    if tok >= cost:
+                        tok -= cost
+                        adm += 1
+                    last = x
+            n += len(part)
+        state.update((tok, adm, n, last))
+        yield pd.DataFrame(
+            [(user_id, n, adm, tok)],
+            columns=["user_id", "n", "adm", "tok"],
+        )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, n bigint, adm bigint, tok bigint",
+        stateStructType="tok bigint, adm bigint, n bigint, last bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "token_bucket_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        spark.table("token_bucket_live")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("adm").cast("bigint").alias("n_admitted"),
+            F.expr("max_by(tok, n)").cast("bigint").alias("end_tokens_us"),
+        )
+    )

@@ -315,3 +315,100 @@ def test_kcore_matches_python_peeling(spark):
     got = dict(zip(pdf["part_key"], pdf["core_degree"]))
     assert got == want
     assert all(d >= 2 for d in got.values())
+
+
+# --------------------------------------------------------- jarque-bera
+
+
+def test_jarque_bera_matches_numpy(spark):
+    pdf = QUERIES["agg_jarque_bera"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for r in pdf.itertuples():
+        c = np.round(
+            ev[ev.event_type == r.event_type]["value"].to_numpy() * 100
+        )
+        n = len(c)
+        m = c.mean()
+        m2 = ((c - m) ** 2).mean()
+        m3 = ((c - m) ** 3).mean()
+        m4 = ((c - m) ** 4).mean()
+        S = m3 / m2**1.5
+        K = m4 / m2**2 - 3
+        jb = n / 6 * (S**2 + K**2 / 4)
+        assert r.n_obs == n
+        assert abs(r.skewness - S) < 1e-3
+        assert abs(r.excess_kurtosis - K) < 1e-3
+        assert abs(r.jb_stat - jb) < max(1e-3 * jb, 1e-3)
+    # the fixture value distribution is exponential-ish: every type
+    # must reject normality decisively (chi2(2) 99% critical = 9.21)
+    assert (pdf["jb_stat"] > 9.21).all()
+    assert (pdf["skewness"] > 0).all()
+
+
+# ------------------------------------------------------- durbin-watson
+
+
+def test_durbin_watson_consistent_with_autocorr(spark):
+    dw = QUERIES["agg_durbin_watson_daily"](spark, SF).toPandas()
+    assert dw["dw"].between(0, 4).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    et = dw.iloc[0]["event_type"]
+    g = ev[ev.event_type == et].copy()
+    g["day"] = pd.to_datetime(g["ts"]).dt.floor("D")
+    cents = g.groupby("day")["value"].apply(
+        lambda v: np.sum(np.round(v * 100).astype("int64"))
+    )
+    cnt = g.groupby("day")["value"].size()
+    m = np.round(cents / cnt / 100.0, 6).sort_index()
+    days = m.index.to_numpy()
+    vals = m.to_numpy()
+    keep = (days[1:] - days[:-1]) == np.timedelta64(1, "D")
+    diffs = np.round(vals[1:] - vals[:-1], 6)[keep]
+    num = np.sum(diffs**2)
+    den = np.sum((vals - vals.mean()) ** 2)
+    row = dw[dw.event_type == et].iloc[0]
+    assert row["n_days"] == len(vals)
+    assert row["n_pairs"] == keep.sum()
+    assert abs(row["dw"] - num / den) < 1e-4
+
+
+# ---------------------------------------------------------------- rake
+
+
+def test_rake_matches_python_reference(spark):
+    pdf = QUERIES["text_rake_keywords"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    stop = {"a", "the"}
+    phrases = []  # (text, tuple(words))
+    for _, row in docs.iterrows():
+        cur = []
+        for w in row["text"].split(" "):
+            if w in stop:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    wscore = {w: round(deg[w] / freq[w], 9) for w in freq}
+    stats: dict[tuple, list] = {}
+    for p in phrases:
+        s = sum(wscore[w] for w in p)
+        st = stats.setdefault(p, [0, s])
+        st[0] += 1
+    ranked = sorted(
+        stats.items(), key=lambda kv: (-kv[1][1], " ".join(kv[0]))
+    )[:20]
+    assert len(pdf) == 20
+    for r, (p, (occ, s)) in zip(pdf.itertuples(), ranked):
+        assert r.phrase == " ".join(p)
+        assert r.n_words == len(p)
+        assert r.n_occurrences == occ
+        assert abs(r.rake_score - s) < 1e-5

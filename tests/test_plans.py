@@ -719,3 +719,27 @@ def test_kcore_runs_on_checkpointed_edges_only(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "Scan ExistingRDD" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+
+
+def test_rake_doc_window_and_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["text_rake_keywords"](spark, sf_dir))
+    # phrase segmentation is a per-doc window; top-20 is TakeOrdered;
+    # everything stays JVM-side
+    assert "hashpartitioning(doc_id" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jarque_bera_one_moment_pass(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_jarque_bera"](spark, sf_dir))
+    # count + 4 power sums per type in one partial+final aggregate
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "partial_" in plan
+
+
+def test_durbin_watson_day_domain_no_window(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_durbin_watson_daily"](spark, sf_dir))
+    # like agg_autocorr_daily: lag pairing is a domain equi-join —
+    # no per-row ordered window over the fact table
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan

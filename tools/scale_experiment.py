@@ -31,14 +31,26 @@ COPIES = 10
 
 # key-shift per table so replicated rows get distinct keys (cardinality
 # scales with volume, as it would in production, instead of multiplying
-# every group 10x)
+# every group 10x). DIMENSION keys (part/supplier + their lineitem FKs)
+# shift too, matching TPC-H semantics where |part| and |supplier| grow
+# with SF: leaving them fixed made co-occurrence supports multiply 10x
+# and the part co-purchase graph densify 335x (wedge mass 30,000x —
+# graph_adamic_adar measured 88 s / ratio 36 on that artifact), a
+# density profile a real 10x corpus does not have. Copy i of lineitem
+# still joins copy i of part/supplier/orders (same stride per key).
 SHIFTS = {
-    "lineitem": ("l_orderkey", 10_000_000),
-    "orders": ("o_orderkey", 10_000_000),
-    "customer": ("c_custkey", 1_000_000),
-    "events": ("event_id", 10_000_000),
-    "documents": ("doc_id", 1_000_000),
-    "embeddings": ("vec_id", 1_000_000),
+    "lineitem": [
+        ("l_orderkey", 10_000_000),
+        ("l_partkey", 1_000_000),
+        ("l_suppkey", 100_000),
+    ],
+    "orders": [("o_orderkey", 10_000_000)],
+    "customer": [("c_custkey", 1_000_000)],
+    "part": [("p_partkey", 1_000_000)],
+    "supplier": [("s_suppkey", 100_000)],
+    "events": [("event_id", 10_000_000)],
+    "documents": [("doc_id", 1_000_000)],
+    "embeddings": [("vec_id", 1_000_000)],
 }
 
 OPS = [
@@ -125,6 +137,9 @@ OPS = [
     ("agg_breusch_pagan", "events"),
     ("agg_kaplan_meier", "events"),
     ("graph_kcore", "lineitem"),
+    ("text_rake_keywords", "documents"),
+    ("agg_jarque_bera", "events"),
+    ("agg_durbin_watson_daily", "events"),
 ]
 
 
@@ -263,11 +278,12 @@ def build_synth(spark) -> None:
             # lineitem still joins copy i of orders. Secondary keys
             # (o_custkey, events.user_id) stay unshifted on purpose:
             # 10x orders per customer is realistic fan-out growth.
-            key, stride = SHIFTS[name]
-            parts = [
-                df.withColumn(key, F.col(key) + F.lit(i * stride))
-                for i in range(COPIES)
-            ]
+            parts = []
+            for i in range(COPIES):
+                p = df
+                for key, stride in SHIFTS[name]:
+                    p = p.withColumn(key, F.col(key) + F.lit(i * stride))
+                parts.append(p)
             big = parts[0]
             for p in parts[1:]:
                 big = big.unionByName(p)

@@ -1209,3 +1209,198 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("part_key"),
         F.col("cc").cast("bigint").alias("core_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_jarque_bera
+# ---------------------------------------------------------------------------
+
+# central-moment assembly from raw cents moments — shared text so both
+# engines run identical IEEE ops. Skew/kurtosis are scale-invariant, so
+# computing them on cents (100x value) changes nothing.
+_JB_MEAN = "(s1 / n)"
+_JB_M2 = f"(s2 / n - {_JB_MEAN} * {_JB_MEAN})"
+_JB_M3 = (
+    f"(s3 / n - 3.0 * {_JB_MEAN} * (s2 / n)"
+    f" + 2.0 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_M4 = (
+    f"(s4 / n - 4.0 * {_JB_MEAN} * (s3 / n)"
+    f" + 6.0 * {_JB_MEAN} * {_JB_MEAN} * (s2 / n)"
+    f" - 3.0 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_S = f"({_JB_M3} / sqrt({_JB_M2} * {_JB_M2} * {_JB_M2}))"
+_JB_K = f"({_JB_M4} / ({_JB_M2} * {_JB_M2}) - 3.0)"
+
+
+@query(
+    "agg_jarque_bera",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    m AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(c * c) AS DOUBLE) AS s2,
+             CAST(sum(c * c * c) AS DOUBLE) AS s3,
+             CAST(sum(CAST(c * c AS HUGEINT) * (c * c)) AS DOUBLE) AS s4
+      FROM c GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           round({_JB_S}, 6) AS skewness,
+           round({_JB_K}, 6) AS excess_kurtosis,
+           round(n / 6.0 * ({_JB_S} * {_JB_S}
+                 + {_JB_K} * {_JB_K} / 4.0), 6) AS jb_stat
+    FROM m
+    """,
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test per event type: skewness, excess
+    kurtosis, and JB = n/6 * (S² + K²/4) from one raw-moment scan —
+    the screen that tells you the value distribution is exponential-
+    ish (it is: the fixture note says mean≈50 exponential), so
+    Gaussian-assuming monitors (z-scores, Bollinger) need the robust
+    variants. Complements agg_ks_test_two_sample (two-sample shape
+    drift) with a one-sample parametric check.
+
+    Scale shape: ONE map-side-combinable aggregate — count + 4 power
+    sums per type — then constant-time assembly per group row.
+
+    Parity: values become exact integer CENTS (skew/kurtosis are
+    scale-invariant, so the 100x rescale changes nothing) and every
+    power sum is exact: c² and c³ fit int64 per row (c <= ~56k), c⁴
+    does not — DuckDB squares into HUGEINT, Spark into DECIMAL(19,0)²
+    = DECIMAL(38,0); both exact, mechanism-specific. The central-
+    moment/statistic assembly runs in DOUBLE with shared expression
+    text (sqrt not pow — sqrt is IEEE-correctly-rounded on both
+    engines, pow is a cross-libm coin flip), one round(6) per
+    output."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+        F.expr(
+            "CAST(sum(CAST(c * c AS DECIMAL(28,0)) * c) AS DOUBLE)"
+        ).alias("s3"),
+        F.expr(
+            "CAST(sum(CAST(c * c AS DECIMAL(19,0))"
+            " * CAST(c * c AS DECIMAL(19,0))) AS DOUBLE)"
+        ).alias("s4"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_obs",
+        f"round({_JB_S}, 6) AS skewness",
+        f"round({_JB_K}, 6) AS excess_kurtosis",
+        f"round(n / 6.0 * ({_JB_S} * {_JB_S}"
+        f" + {_JB_K} * {_JB_K} / 4.0), 6) AS jb_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_durbin_watson_daily
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_durbin_watson_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day,
+             CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)
+                  AS DECIMAL(18,6)) AS m
+      FROM daily),
+    p AS (
+      SELECT a.event_type,
+             CAST(round(CAST(b.m AS DOUBLE) - CAST(a.m AS DOUBLE), 6)
+                  AS DECIMAL(16,6)) AS df
+      FROM s a JOIN s b
+        ON a.event_type = b.event_type AND b.day = a.day + 1),
+    num AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(df * df) AS DOUBLE) AS sdd
+      FROM p GROUP BY event_type),
+    den AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(m) AS DOUBLE) AS sx,
+             CAST(sum(m * m) AS DOUBLE) AS sxx
+      FROM s GROUP BY event_type)
+    SELECT num.event_type, CAST(den.nd AS BIGINT) AS n_days, num.n_pairs,
+           round(num.sdd / (den.sxx - den.sx * den.sx / den.nd), 6) AS dw
+    FROM num JOIN den ON num.event_type = den.event_type
+    WHERE den.sxx - den.sx * den.sx / den.nd > 0
+    """,
+)
+def agg_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON serial-correlation statistic of the daily-mean
+    value series per event type (intercept-only model, so residuals
+    are the demeaned series): DW = sum of squared successive
+    differences / sum of squared deviations — near 2 means no serial
+    correlation, toward 0 positive, toward 4 negative. The
+    model-diagnostic companion to agg_autocorr_daily (DW ≈ 2(1 - ρ₁))
+    and the check agg_ols_regression's iid-error assumption needs.
+
+    Scale shape: the same day-domain collapse as agg_autocorr_daily —
+    one fact pre-aggregate, then a lag equi-join and two moment
+    aggregates on the bounded day domain.
+
+    Parity: daily means quantize round(6) into DECIMAL; successive
+    differences re-quantize round(6) into DECIMAL(16,6) so their
+    squares are exact DECIMAL(33,12) sums (the Bollinger width rule);
+    the demeaned denominator expands to sxx - sx²/n in DOUBLE with
+    shared text; one division, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    s = daily.select(
+        "event_type",
+        "day",
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("m"),
+    )
+    a = s.select("event_type", "day", F.col("m").alias("x"))
+    b = s.select(
+        "event_type", F.date_add("day", -1).alias("day"), F.col("m").alias("y")
+    )
+    p = a.join(b, ["event_type", "day"]).select(
+        "event_type",
+        F.expr(
+            "CAST(round(CAST(y AS DOUBLE) - CAST(x AS DOUBLE), 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("df"),
+    )
+    num = p.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("CAST(sum(df * df) AS DOUBLE)").alias("sdd"),
+    )
+    den = s.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("nd"),
+        F.sum("m").cast("double").alias("sx"),
+        F.expr("CAST(sum(m * m) AS DOUBLE)").alias("sxx"),
+    )
+    return (
+        num.join(den, "event_type")
+        .where(F.expr("sxx - sx * sx / nd") > 0)
+        .selectExpr(
+            "event_type",
+            "CAST(nd AS BIGINT) AS n_days",
+            "n_pairs",
+            "round(sdd / (sxx - sx * sx / nd), 6) AS dw",
+        )
+    )

@@ -13,7 +13,7 @@ final small aggregations).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1780,4 +1780,141 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     records, _ = _bpe_train(spark, sf_dir, 5)
     return spark.createDataFrame(
         records, "step int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keywords
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("a", "the")  # the fixture vocabulary's function words
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tok, t.pos,
+             CASE WHEN t.tok IN {_RAKE_STOP} THEN 1 ELSE 0 END AS is_stop
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos) t),
+    ph AS (
+      SELECT doc_id, tok, pos, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      FROM tok),
+    members AS (SELECT doc_id, pid, tok, pos FROM ph WHERE is_stop = 0),
+    ptext AS (
+      SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM members GROUP BY doc_id, pid),
+    ws AS (
+      SELECT m.tok, count(*) AS freq, sum(p.plen) AS deg
+      FROM members m JOIN ptext p
+        ON m.doc_id = p.doc_id AND m.pid = p.pid
+      GROUP BY m.tok),
+    sc AS (
+      SELECT tok,
+             CAST(round(CAST(deg AS DOUBLE) / freq, 9) AS DECIMAL(28,9))
+               AS wscore
+      FROM ws),
+    occ AS (
+      SELECT m.doc_id, m.pid, sum(sc.wscore) AS pscore
+      FROM members m JOIN sc ON m.tok = sc.tok
+      GROUP BY m.doc_id, m.pid),
+    byp AS (
+      SELECT p.phrase, max(p.plen) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             max(o.pscore) AS pscore
+      FROM occ o JOIN ptext p ON o.doc_id = p.doc_id AND o.pid = p.pid
+      GROUP BY p.phrase)
+    SELECT phrase, n_words, n_occurrences,
+           round(CAST(pscore AS DOUBLE), 6) AS rake_score
+    FROM byp
+    ORDER BY pscore DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each word
+    scores degree/frequency (degree = total length of all phrases it
+    appears in — words living in long collocations beat isolated
+    frequent words); a phrase scores the sum of its member-word
+    scores. Top-20 phrase types with occurrence counts — the unsuper-
+    vised keyword/terminology miner next to text_top_tfidf_terms
+    (tf-idf ranks TERMS per doc; RAKE surfaces multi-word PHRASES
+    corpus-wide). Reference analogue: the keyword gate at app.py:376
+    filters on hand-picked keywords; RAKE is how those keywords get
+    mined from the corpus in the first place.
+
+    Scale shape: phrase segmentation is a per-DOC cumulative window
+    (bounded by doc length); phrase texts, word stats, occurrence
+    scores are hash aggregates / equi-joins keyed on (doc, phrase) or
+    word; the final top-20 is orderBy+limit (TakeOrderedAndProject)
+    ordered on the EXACT decimal score. No all-pairs, no global
+    per-row window anywhere.
+
+    Parity: degree and frequency are exact integers; the only
+    division quantizes round(9) into DECIMAL(28,9) before the
+    order-independent phrase sums; occurrences of the same phrase
+    text carry identical member multisets, so max() over the exact
+    decimal is deterministic; ties break on phrase text."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).withColumn(
+        "is_stop", F.col("tok").isin(*_RAKE_STOP).cast("int")
+    )
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = tok.withColumn("pid", F.sum("is_stop").over(wp))
+    members = ph.where(F.col("is_stop") == 0).select(
+        "doc_id", "pid", "tok", "pos"
+    )
+    ptext = members.groupBy("doc_id", "pid").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(pos, tok))),"
+            " s -> s.tok), ' ')"
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    ws = (
+        members.join(ptext.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    sc = ws.select(
+        "tok",
+        F.expr(
+            "CAST(round(CAST(deg AS DOUBLE) / freq, 9) AS DECIMAL(28,9))"
+        ).alias("wscore"),
+    )
+    occ = (
+        members.join(sc, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum("wscore").alias("pscore"))
+    )
+    byp = (
+        occ.join(ptext, ["doc_id", "pid"])
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.max("pscore").alias("pscore"),
+        )
+    )
+    return (
+        byp.orderBy(F.col("pscore").desc(), "phrase")
+        .limit(20)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round(F.col("pscore").cast("double"), 6).alias("rake_score"),
+        )
     )

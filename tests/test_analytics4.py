@@ -412,3 +412,83 @@ def test_rake_matches_python_reference(spark):
         assert r.n_words == len(p)
         assert r.n_occurrences == occ
         assert abs(r.rake_score - s) < 1e-5
+
+
+# -------------------------------------------------------------- grubbs
+
+
+def test_grubbs_matches_numpy(spark):
+    pdf = QUERIES["agg_grubbs_test"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for r in pdf.itertuples():
+        c = np.round(
+            ev[ev.event_type == r.event_type]["value"].to_numpy() * 100
+        )
+        sd = c.std(ddof=1)
+        gh = (c.max() - c.mean()) / sd
+        gl = (c.mean() - c.min()) / sd
+        assert abs(r.g_high - gh) < 1e-4
+        assert abs(r.g_low - gl) < 1e-4
+        assert abs(r.g_stat - max(gh, gl)) < 1e-4
+        assert r.suspect_cents == (c.max() if gh >= gl else c.min())
+
+
+# --------------------------------------------------------------- theil
+
+
+def test_theil_matches_numpy_and_bounds(spark):
+    pdf = QUERIES["agg_theil_index"](spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    for r in pdf.itertuples():
+        c = np.round(
+            o[o.o_orderpriority == r.o_orderpriority]["o_totalprice"]
+            .to_numpy() * 100
+        )
+        mu = c.mean()
+        t = np.mean(c / mu * np.log(c / mu))
+        assert abs(r.theil_t - t) < 1e-4
+        assert -1e-9 <= r.theil_t <= np.log(len(c))
+
+
+# ------------------------------------------------------------- entropy
+
+
+def test_payload_entropy_matches_python(spark):
+    from collections import Counter
+
+    pdf = QUERIES["multimodal_payload_entropy"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    byid = dict(zip(docs["doc_id"], docs["text"]))
+    assert len(pdf) == len(docs)
+    for r in pdf.head(50).itertuples():
+        t = byid[r.doc_id]
+        cnt = Counter(t)
+        n = len(t)
+        h = np.log(n) - sum(c * np.log(c) for c in cnt.values()) / n
+        assert r.payload_bytes == n
+        assert r.n_distinct_bytes == len(cnt)
+        assert abs(r.entropy_nats - h) < 1e-5
+    # ASCII text: entropy bounded by ln(distinct bytes)
+    assert (
+        pdf["entropy_nats"] <= np.log(pdf["n_distinct_bytes"]) + 1e-9
+    ).all()
+
+
+# ----------------------------------------------------------- rolling p90
+
+
+def test_rolling_p90_matches_numpy(spark):
+    pdf = QUERIES["win_rolling_p90"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    uid = pdf.iloc[0]["user_id"]
+    g = ev[ev.user_id == uid].sort_values(["ts", "event_id"])
+    vals = g["value"].to_numpy()
+    want = {}
+    for i, eid in enumerate(g["event_id"]):
+        frame = np.sort(vals[max(0, i - 20) : i + 1])
+        k = (9 * len(frame) + 9) // 10
+        want[eid] = round(float(frame[k - 1]), 6)
+    sub = pdf[pdf.user_id == uid]
+    assert len(sub) == len(want)
+    for r in sub.itertuples():
+        assert abs(r.p90_21 - want[r.event_id]) < 1e-9

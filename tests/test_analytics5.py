@@ -1,0 +1,83 @@
+"""Invariant tests for the round-7 ninth-wave operators (analytics5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from vectordb_agentic_rag_spark import QUERIES, load_all_operators
+
+load_all_operators()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _copurchase_adj(sf):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x < m.l_partkey_y]
+    sup = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    adj: dict[int, set[int]] = {}
+    for u, v in sup[sup >= 2].index:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def test_core_number_matches_bruteforce_peeling(spark):
+    pdf = QUERIES["graph_core_number"](spark, SF).toPandas()
+    adj = _copurchase_adj(SF)
+    # brute-force peeling coreness
+    core: dict[int, int] = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k += 1
+        while True:
+            bad = {
+                n for n in alive
+                if sum(1 for x in adj[n] if x in alive) < k
+            }
+            if not bad:
+                break
+            for n in bad:
+                core[n] = k - 1
+            alive -= bad
+    for n in alive:
+        core[n] = k
+    got = dict(zip(pdf["part_key"], pdf["core_number"]))
+    assert got == core
+    # coreness never exceeds degree
+    assert all(got[n] <= len(adj[n]) for n in got)
+
+
+def test_mann_kendall_matches_numpy(spark):
+    pdf = QUERIES["agg_mann_kendall_trend"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for r in pdf.itertuples():
+        g = ev[ev.event_type == r.event_type].copy()
+        g["day"] = pd.to_datetime(g["ts"]).dt.floor("D")
+        cents = g.groupby("day")["value"].apply(
+            lambda v: np.sum(np.round(v * 100).astype("int64"))
+        )
+        cnt = g.groupby("day")["value"].size()
+        m = np.round(cents / cnt / 100.0, 6).sort_index().to_numpy()
+        n = len(m)
+        S = 0
+        for i in range(n):
+            S += int(np.sum(np.sign(m[i + 1:] - m[i])))
+        _, t = np.unique(m, return_counts=True)
+        tie = np.sum(t[t > 1] * (t[t > 1] - 1) * (2 * t[t > 1] + 5))
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (
+            (S - 1) / np.sqrt(var)
+            if S > 0
+            else ((S + 1) / np.sqrt(var) if S < 0 else 0.0)
+        )
+        assert r.n_days == n
+        assert r.s_stat == S
+        assert r.n_pairs == n * (n - 1) // 2
+        assert abs(r.var_s - var) < 1e-3
+        assert abs(r.z_stat - z) < 1e-5

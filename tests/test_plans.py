@@ -743,3 +743,42 @@ def test_durbin_watson_day_domain_no_window(spark, sf_dir):
     # no per-row ordered window over the fact table
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_payload_entropy_keyed_aggregates(spark, sf_dir):
+    plan = plan_of(QUERIES["multimodal_payload_entropy"](spark, sf_dir))
+    # byte histogram + per-doc assembly are keyed hash aggregates with
+    # map-side partials; no windows, no Python
+    assert "hashpartitioning(doc_id" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_p90_single_user_window(spark, sf_dir):
+    plan = plan_of(QUERIES["win_rolling_p90"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_grubbs_theil_one_moment_pass(spark, sf_dir):
+    for op in ("agg_grubbs_test", "agg_theil_index"):
+        plan = plan_of(QUERIES[op](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, (op, plan[:800])
+        assert "partial_" in plan
+
+
+def test_core_number_loop_on_checkpointed_labels(spark, sf_dir):
+    plan = plan_of(QUERIES["graph_core_number"](spark, sf_dir))
+    # the converged label table is a checkpointed RDD; the fact table
+    # never appears in the returned plan
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_mann_kendall_day_domain_self_join(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_mann_kendall_trend"](spark, sf_dir))
+    # the O(d^2) pair sum runs on the checkpointed day DOMAIN —
+    # no fact-table scan in the pair stage, no global window
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "Scan parquet" not in plan  # domain is checkpointed once

@@ -82,6 +82,7 @@ SHOWCASE = [
     ("agg_breusch_pagan", "checkpointed 1-row beta broadcast into the residual moment pass"),
     ("agg_kaplan_meier", "sessionize exchange -> checkpointed duration domain -> broadcast fold join"),
     ("graph_kcore", "peeling loop output reads only the converged checkpointed edge list"),
+    ("graph_core_number", "h-index fixpoint labels over checkpointed edges, keyed rounds"),
     ("text_rake_keywords", "per-doc segmentation window, word/phrase hash aggs, TakeOrdered top-20"),
     ("agg_jarque_bera", "count + 4 exact power sums per type in one aggregate pass"),
 ]

@@ -140,6 +140,11 @@ OPS = [
     ("text_rake_keywords", "documents"),
     ("agg_jarque_bera", "events"),
     ("agg_durbin_watson_daily", "events"),
+    ("multimodal_payload_entropy", "documents"),
+    ("win_rolling_p90", "events"),
+    ("agg_theil_index", "orders"),
+    ("graph_core_number", "lineitem"),
+    ("agg_mann_kendall_trend", "events"),
 ]
 
 

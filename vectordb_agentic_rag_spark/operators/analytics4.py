@@ -1404,3 +1404,140 @@ def agg_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(sdd / (sxx - sx * sx / nd), 6) AS dw",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_grubbs_test
+# ---------------------------------------------------------------------------
+
+_GRUBBS_SD = "sqrt((s2 - s1 * s1 / n) / (n - 1.0))"
+
+
+@query(
+    "agg_grubbs_test",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    m AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(c * c) AS DOUBLE) AS s2,
+             CAST(max(c) AS DOUBLE) AS mx,
+             CAST(min(c) AS DOUBLE) AS mn
+      FROM c GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           round((mx - s1 / n) / {_GRUBBS_SD}, 6) AS g_high,
+           round((s1 / n - mn) / {_GRUBBS_SD}, 6) AS g_low,
+           round(greatest(mx - s1 / n, s1 / n - mn)
+                 / {_GRUBBS_SD}, 6) AS g_stat,
+           CAST(CASE WHEN mx - s1 / n >= s1 / n - mn
+                     THEN mx ELSE mn END AS BIGINT) AS suspect_cents
+    FROM m WHERE n >= 3 AND s2 - s1 * s1 / n > 0
+    """,
+)
+def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS' OUTLIER statistic per event type: G = max deviation
+    from the mean in sd units, reported for both tails plus the
+    suspect value itself — the classic single-outlier screen a
+    monitoring pipeline runs before trusting min/max-based features
+    (its null assumes normality, which agg_jarque_bera just rejected
+    for this fixture — exactly why the docstring pair matters: a huge
+    G on exponential data is expected, not an anomaly).
+
+    Scale shape: ONE map-side-combinable aggregate per type (count,
+    two power sums, min, max) and constant-time assembly.
+
+    Parity: moments/extremes are exact integer cents; the G assembly
+    is shared-text DOUBLE (sqrt only — IEEE-exact), round(6); the
+    suspect value stays an exact integer."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+        F.max("c").cast("double").alias("mx"),
+        F.min("c").cast("double").alias("mn"),
+    )
+    return m.where(
+        (F.col("n") >= 3) & (F.expr("s2 - s1 * s1 / n") > 0)
+    ).selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_obs",
+        f"round((mx - s1 / n) / {_GRUBBS_SD}, 6) AS g_high",
+        f"round((s1 / n - mn) / {_GRUBBS_SD}, 6) AS g_low",
+        f"round(greatest(mx - s1 / n, s1 / n - mn) / {_GRUBBS_SD}, 6)"
+        " AS g_stat",
+        "CAST(CASE WHEN mx - s1 / n >= s1 / n - mn THEN mx ELSE mn END"
+        " AS BIGINT) AS suspect_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_theil_index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    m AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             sum(CAST(round(c * ln(CAST(c AS DOUBLE)), 6)
+                      AS DECIMAL(28,6))) AS slc
+      FROM c GROUP BY o_orderpriority)
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+           round(s1 / n / 100.0, 2) AS mean_price,
+           round(CAST(slc AS DOUBLE) / s1 - ln(s1 / n), 6) AS theil_t
+    FROM m
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T INEQUALITY INDEX of order value per priority class:
+    T = (1/n) sum (x/mu) ln(x/mu) = sum(x ln x)/sum(x) - ln(mean) —
+    0 means perfectly equal order sizes, ln(n) means one order
+    carries everything. The decomposable inequality measure next to
+    agg_gini_concentration (Theil splits exactly into within-group +
+    between-group terms, which Gini cannot); in a data pipeline it is
+    the shard/customer concentration diagnostic that predicts skew.
+
+    Scale shape: ONE map-side-combinable aggregate per group — count,
+    exact cents sum, and the quantized x*ln(x) sum.
+
+    Parity: the per-row transcendental term round(6)-quantizes into
+    an order-independent DECIMAL sum. Quantization-boundary flips
+    from cross-libm ln drift (~2e-7 absolute at this magnitude) can
+    differ between engines on a handful of rows, but each flip moves
+    the SUM by only 1e-6, and the final statistic divides by
+    sum(x) ~ 1e13 cents — a perturbation of ~1e-19, eleven orders of
+    magnitude below the round(6) output quantum. Same ulp-gap
+    argument class as sample_weighted_reservoir."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    m = c.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(
+            F.expr(
+                "CAST(round(c * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,6))"
+            )
+        ).alias("slc"),
+    )
+    return m.selectExpr(
+        "o_orderpriority",
+        "CAST(n AS BIGINT) AS n_orders",
+        "round(s1 / n / 100.0, 2) AS mean_price",
+        "round(CAST(slc AS DOUBLE) / s1 - ln(s1 / n), 6) AS theil_t",
+    )

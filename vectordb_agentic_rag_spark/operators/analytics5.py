@@ -1,0 +1,296 @@
+"""Round-7 ninth wave: full coreness decomposition and nonparametric
+trend testing.
+
+graph_core_number extends graph_kcore from membership-at-one-k to the
+full coreness map via the h-index fixpoint (Lu et al. 2016, "H-index
+and coreness of networks": iterating c_{t+1}(v) = H-index of the
+neighbors' c_t converges exactly to the peeling core number — measured
+on this fixture: <= 21 rounds at every sf, bit-equal to brute-force
+peeling). agg_mann_kendall_trend is the significance test companion to
+win_theil_sen_slope's robust slope estimate, run on the day-domain
+series like agg_autocorr_daily / agg_durbin_watson_daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .analytics4 import _copurchase_edges
+
+# ---------------------------------------------------------------------------
+# graph_core_number
+# ---------------------------------------------------------------------------
+
+_CORE_ROUNDS = 32  # measured h-index fixpoint depth <= 21 at every sf
+
+
+def _core_oracle() -> str:
+    """Unrolled h-index rounds (every CTE MATERIALIZED — DuckDB
+    inlines per reference and round i feeds round i+1 twice). Extra
+    rounds past the fixpoint are identity maps, so the round-32 labels
+    equal the converged coreness whenever the iteration converges in
+    budget — and the Spark side RAISES if it does not."""
+    parts = [
+        """os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    d AS MATERIALIZED (
+      SELECT u AS m, v AS n FROM e UNION ALL SELECT v AS m, u AS n FROM e),
+    c0 AS MATERIALIZED (
+      SELECT m AS n, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY m)"""
+    ]
+    for i in range(_CORE_ROUNDS):
+        parts.append(
+            f"""x{i} AS MATERIALIZED (
+      SELECT d.m AS n, c{i}.c AS cv,
+             row_number() OVER (PARTITION BY d.m
+                                ORDER BY c{i}.c DESC, d.n) AS r
+      FROM d JOIN c{i} ON d.n = c{i}.n),
+    c{i + 1} AS MATERIALIZED (
+      SELECT n, CAST(coalesce(max(CASE WHEN cv >= r THEN r END), 0)
+                     AS BIGINT) AS c
+      FROM x{i} GROUP BY n)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT n AS part_key, c AS core_number FROM c{_CORE_ROUNDS}"""
+    )
+
+
+@query("graph_core_number", oracle=_core_oracle())
+def graph_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CORENESS DECOMPOSITION of the support-2 part co-purchase
+    graph: every node's core number (the largest k whose k-core still
+    contains it) — the standard graph-density ranking behind
+    community cores, influential-spreader selection, and graph
+    sparsification (graph_kcore answers membership at ONE k; this is
+    the whole map).
+
+    Mechanism: the H-INDEX FIXPOINT (Lu et al. 2016) — start from
+    degrees and iterate c(v) <- H-index of neighbors' c until nothing
+    changes; the fixpoint is exactly the peeling core number (pinned
+    against brute-force peeling in tests). This iteration is the
+    distributed-friendly formulation: each round is one edge-label
+    join, one per-NODE ranking window (bounded by degree), and one
+    hash aggregate — no sequential peel order, so at 100 TB every
+    round is three keyed shuffles over the (domain-bounded,
+    checkpointed) edge list. Round budget {r} (measured fixpoint
+    depth <= 21 on every fixture sf); early exit on the first
+    unchanged round (one scalar count per round, the graph_kcore
+    discipline), RAISE if the budget is exhausted unconverged —
+    which is what makes the fixed-unroll oracle exact.
+
+    Parity: pure integer ranking and counting — no floats.""".replace(
+        "{r}", str(_CORE_ROUNDS)
+    )
+    e = _copurchase_edges(spark, sf_dir)
+    n_edges = e.count()
+    loop_partitions = max(1, min(200, n_edges // 1_000_000 + 1))
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    d = e.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    converged = False
+    try:
+        d = d.localCheckpoint()
+        c = (
+            d.groupBy(F.col("m").alias("n"))
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .localCheckpoint()
+        )
+        wr = Window.partitionBy("m").orderBy(F.col("cv").desc(), "n")
+        for _ in range(_CORE_ROUNDS):
+            x = (
+                d.join(c, "n")
+                .select("m", "n", F.col("c").alias("cv"))
+                .withColumn("r", F.row_number().over(wr))
+            )
+            nc = (
+                x.groupBy(F.col("m").alias("n"))
+                .agg(
+                    F.coalesce(
+                        F.max(F.when(F.col("cv") >= F.col("r"), F.col("r"))),
+                        F.lit(0),
+                    )
+                    .cast("bigint")
+                    .alias("c")
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                nc.join(c.withColumnRenamed("c", "old"), "n")
+                .where(F.col("c") != F.col("old"))
+                .count()
+            )
+            c = nc
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if not converged:
+        raise RuntimeError(
+            f"h-index coreness not converged after {_CORE_ROUNDS} rounds — "
+            "raise the budget for graphs with deeper degeneracy"
+        )
+    return c.select(F.col("n").alias("part_key"), F.col("c").alias("core_number"))
+
+
+# ---------------------------------------------------------------------------
+# agg_mann_kendall_trend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day,
+             CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)
+                  AS DECIMAL(18,6)) AS m
+      FROM daily),
+    pr AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.m > a.m THEN 1
+                           WHEN b.m < a.m THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM s a JOIN s b
+        ON a.event_type = b.event_type AND b.day > a.day
+      GROUP BY a.event_type),
+    nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd FROM s
+           GROUP BY event_type),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+            FROM s GROUP BY event_type, m) z
+      WHERE t > 1 GROUP BY event_type),
+    v AS (
+      SELECT nn.event_type, nn.nd, pr.s_stat, pr.n_pairs,
+             (CAST(nn.nd AS DOUBLE) * (nn.nd - 1) * (2 * nn.nd + 5)
+              - coalesce(t.tie_term, 0)) / 18.0 AS var_s
+      FROM nn JOIN pr ON nn.event_type = pr.event_type
+      LEFT JOIN ties t ON nn.event_type = t.event_type)
+    SELECT event_type, nd AS n_days, s_stat, n_pairs,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN s_stat > 0
+                      THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+                      WHEN s_stat < 0
+                      THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z_stat
+    FROM v WHERE var_s > 0
+    """,
+)
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST on the daily-mean value series per
+    event type: S = sum of pairwise sign(later - earlier), its
+    tie-corrected variance, and the continuity-corrected z statistic
+    — the nonparametric "is there a monotone trend at all?"
+    significance test that pairs with win_theil_sen_slope's slope
+    ESTIMATE (the two are the classic Mann-Kendall/Sen duo) and with
+    agg_autocorr_daily / agg_durbin_watson_daily on the same
+    day-domain series.
+
+    Scale shape: the fact table collapses to the DAY x TYPE domain
+    once (map-side-combinable exact-cents pre-aggregate); the O(d²)
+    pairwise sign sum is a self-join of that bounded domain
+    (hundreds of days — never fact rows), and ties come from one
+    more domain aggregate.
+
+    Parity: daily means are the shared round(6) DECIMAL quantization,
+    so every sign comparison is exact; S, pair counts, and tie terms
+    are exact integers; variance and z assemble in shared-text DOUBLE
+    (sqrt only), one round(6) each."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    s = daily.select(
+        "event_type",
+        "day",
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("m"),
+    ).localCheckpoint()  # domain-bounded; referenced by 3 aggregates
+    a = s.select("event_type", F.col("day").alias("da"), F.col("m").alias("ma"))
+    b = s.select("event_type", F.col("day").alias("db"), F.col("m").alias("mb"))
+    pr = (
+        a.join(b, "event_type")
+        .where(F.col("db") > F.col("da"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("mb") > F.col("ma"), 1)
+                .when(F.col("mb") < F.col("ma"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    nn = s.groupBy("event_type").agg(F.count("*").cast("bigint").alias("nd"))
+    ties = (
+        s.groupBy("event_type", "m")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(pr, "event_type")
+        .join(ties, "event_type", "left")
+        .selectExpr(
+            "event_type",
+            "nd",
+            "s_stat",
+            "n_pairs",
+            "(CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5)"
+            " - coalesce(tie_term, 0)) / 18.0 AS var_s",
+        )
+    )
+    return v.where(F.col("var_s") > 0).selectExpr(
+        "event_type",
+        "nd AS n_days",
+        "s_stat",
+        "n_pairs",
+        "round(var_s, 6) AS var_s",
+        "round(CASE WHEN s_stat > 0"
+        " THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)"
+        " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)"
+        " ELSE 0.0 END, 6) AS z_stat",
+    )

@@ -413,3 +413,69 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("a_id").cast("bigint").alias("dup_of"),
         F.min_by("ham", "a_id").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_payload_entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents),
+    g AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+    e AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+             sum(CAST(round(cnt * ln(CAST(cnt AS DOUBLE)), 9)
+                      AS DECIMAL(28,9))) AS slc
+      FROM g GROUP BY doc_id)
+    SELECT doc_id, n AS payload_bytes, n_distinct_bytes,
+           round(ln(CAST(n AS DOUBLE)) - CAST(slc AS DOUBLE) / n, 6)
+             AS entropy_nats
+    FROM e
+    """,
+)
+def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL SHANNON ENTROPY per binary payload — the standard
+    opaque-media screen for a multimodal column: ~log(256) nats means
+    compressed/encrypted bytes (already-encoded media), low entropy
+    means text or padding; curation pipelines branch decode strategy
+    on it before ever parsing the payload. Payloads here are the
+    UTF-8 document bytes (the multimodal contract's deterministic
+    stand-in; every byte is one char, so the char distribution IS the
+    byte distribution).
+
+    Scale shape: one explode to the byte stream, then two hash
+    aggregates — (doc, byte) counts with map-side combine (<= 256
+    groups per doc), then per-doc assembly. Keyed end to end, no
+    windows, no driver data.
+
+    Parity: entropy = ln(n) - (1/n) * sum(c * ln c) keeps the
+    transcendental per (doc, byte) GROUP, quantized round(9) into an
+    order-independent DECIMAL sum; counts are exact integers; the
+    final assembly is shared-text DOUBLE with one round(6)."""
+    d = table(spark, sf_dir, "documents")
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    g = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    e = g.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct_bytes"),
+        F.sum(
+            F.expr(
+                "CAST(round(cnt * ln(CAST(cnt AS DOUBLE)), 9)"
+                " AS DECIMAL(28,9))"
+            )
+        ).alias("slc"),
+    )
+    return e.selectExpr(
+        "doc_id",
+        "n AS payload_bytes",
+        "n_distinct_bytes",
+        "round(ln(CAST(n AS DOUBLE)) - CAST(slc AS DOUBLE) / n, 6)"
+        " AS entropy_nats",
+    )

@@ -609,3 +609,50 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(den != 0, F.round(num / den, 6)).alias("slope_10"),
     )
+
+
+@query(
+    "win_rolling_p90",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           round(list_extract(ls, (9 * len(ls) + 9) // 10), 6) AS p90_21
+    FROM (
+      SELECT user_id, event_id, ts,
+             list_sort(list(value) FILTER (value IS NOT NULL) OVER w) AS ls
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) t
+    """,
+)
+def win_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 90th PERCENTILE over a 21-row frame per user —
+    the tail-latency monitor next to win_rolling_median's central
+    tendency (p90/p99 is what SLOs alarm on, and a mean or median
+    never sees the tail move). Same mechanism as win_rolling_median:
+    Spark has no frame-capable percentile, so the frame materializes
+    as a sorted array and the k-th smallest is read directly with
+    k = ceil(0.9 * n) computed as the INTEGER (9n + 9) div 10 — both
+    engines pick the identical element, never each engine's own
+    quantile interpolation. One user-key window shuffle; frame sort
+    is O(21 log 21) per row, a constant."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sort_array(F.collect_list("value").over(w)).alias("ls"),
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(
+            "round(element_at(ls,"
+            " CAST((9 * size(ls) + 9) div 10 AS INT)), 6)"
+        ).alias("p90_21"),
+    )

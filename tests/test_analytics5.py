@@ -81,3 +81,50 @@ def test_mann_kendall_matches_numpy(spark):
         assert r.n_pairs == n * (n - 1) // 2
         assert abs(r.var_s - var) < 1e-3
         assert abs(r.z_stat - z) < 1e-5
+
+
+def test_every_registered_op_has_a_docstring():
+    # a docstring literal followed by .format()/.replace() is an
+    # expression, not a docstring — __doc__ silently becomes None
+    # (bitten twice: graph_kcore, graph_core_number)
+    missing = [n for n, fn in QUERIES.items() if not (fn.__doc__ or "").strip()]
+    assert not missing, missing
+
+
+def test_time_to_convert_matches_pandas(spark):
+    pdf = QUERIES["agg_time_to_convert"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.assign(us=us)
+    fv = ev[ev.event_type == "view"].groupby("user_id")["us"].min()
+    want = {}
+    for uid, v in fv.items():
+        p = ev[(ev.user_id == uid) & (ev.event_type == "purchase")
+               & (ev.us > v)]["us"]
+        if len(p):
+            want[uid] = (v, p.min(), (p.min() - v) // 1_000_000)
+    assert len(pdf) == len(want)
+    for r in pdf.itertuples():
+        v, p, t = want[r.user_id]
+        assert (r.first_view_us, r.first_purchase_us, r.ttc_sec) == (v, p, t)
+    assert (pdf["ttc_sec"] >= 0).all()
+
+
+def test_cohort_overlap_matches_pandas(spark):
+    pdf = QUERIES["agg_cohort_overlap"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    types = sorted(sets)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            want[(a, b)] = (
+                len(sets[a]), len(sets[b]), inter,
+                round(inter / len(sets[a] | sets[b]), 6),
+            )
+    assert len(pdf) == len(want)
+    for r in pdf.itertuples():
+        na, nb, nboth, j = want[(r.type_a, r.type_b)]
+        assert (r.n_a, r.n_b, r.n_both) == (na, nb, nboth)
+        assert abs(r.jaccard - j) < 1e-9

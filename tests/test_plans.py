@@ -782,3 +782,19 @@ def test_mann_kendall_day_domain_self_join(spark, sf_dir):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert "Scan parquet" not in plan  # domain is checkpointed once
+
+
+def test_time_to_convert_filters_pushed(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_time_to_convert"](spark, sf_dir))
+    # both event_type filters reach the parquet scans
+    assert plan.count("EqualTo(event_type,view)") >= 1
+    assert plan.count("EqualTo(event_type,purchase)") >= 1
+
+
+def test_cohort_overlap_counts_broadcast_back(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_cohort_overlap"](spark, sf_dir))
+    # type-level counts reach the pair rows as broadcasts; the pair
+    # join is an equi-join (keyed on user_id at scale; auto-broadcast
+    # at toy sf) — never a cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -145,6 +145,8 @@ OPS = [
     ("agg_theil_index", "orders"),
     ("graph_core_number", "lineitem"),
     ("agg_mann_kendall_trend", "events"),
+    ("agg_time_to_convert", "events"),
+    ("agg_cohort_overlap", "events"),
 ]
 
 

@@ -82,15 +82,13 @@ def graph_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, one per-NODE ranking window (bounded by degree), and one
     hash aggregate — no sequential peel order, so at 100 TB every
     round is three keyed shuffles over the (domain-bounded,
-    checkpointed) edge list. Round budget {r} (measured fixpoint
-    depth <= 21 on every fixture sf); early exit on the first
-    unchanged round (one scalar count per round, the graph_kcore
-    discipline), RAISE if the budget is exhausted unconverged —
-    which is what makes the fixed-unroll oracle exact.
+    checkpointed) edge list. Round budget 32 = _CORE_ROUNDS (measured
+    fixpoint depth <= 21 on every fixture sf); early exit on the
+    first unchanged round (one scalar count per round, the
+    graph_kcore discipline), RAISE if the budget is exhausted
+    unconverged — which is what makes the fixed-unroll oracle exact.
 
-    Parity: pure integer ranking and counting — no floats.""".replace(
-        "{r}", str(_CORE_ROUNDS)
-    )
+    Parity: pure integer ranking and counting — no floats."""
     e = _copurchase_edges(spark, sf_dir)
     n_edges = e.count()
     loop_partitions = max(1, min(200, n_edges // 1_000_000 + 1))
@@ -293,4 +291,139 @@ def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)"
         " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)"
         " ELSE 0.0 END, 6) AS z_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_time_to_convert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    fp AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v_us
+      GROUP BY e.user_id)
+    SELECT fv.user_id, CAST(fv.v_us AS BIGINT) AS first_view_us,
+           CAST(fp.p_us AS BIGINT) AS first_purchase_us,
+           CAST((fp.p_us - fv.v_us) // 1000000 AS BIGINT) AS ttc_sec
+    FROM fv JOIN fp ON fv.user_id = fp.user_id
+    """,
+)
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT per user: the first 'view' and the first
+    'purchase' STRICTLY AFTER it, with the latency in whole seconds —
+    the funnel-latency table every growth dashboard aggregates
+    (win_sequence_match_funnel says WHO converts; this says HOW LONG
+    conversion takes). Users who never view or never purchase after
+    viewing drop out on both sides.
+
+    Scale shape: two filtered min-aggregates keyed on user_id (the
+    second pre-filtered by an equi-join on the first — at 100 TB both
+    are one user-key exchange each with map-side partial mins; the
+    event_type filters reach the scan).
+
+    Parity: pure integer microsecond arithmetic; the seconds
+    conversion is integer floor-division on both engines."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(fv, "user_id")
+        .where(F.col("p_us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    return fv.join(fp, "user_id").select(
+        "user_id",
+        F.col("v_us").cast("bigint").alias("first_view_us"),
+        F.col("p_us").cast("bigint").alias("first_purchase_us"),
+        F.expr("CAST((p_us - v_us) DIV 1000000 AS BIGINT)").alias("ttc_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cohort_overlap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cohort_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu FROM ut
+          GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, na.nu AS n_a, nb.nu AS n_b, i.n_both,
+           round(CAST(i.n_both AS DOUBLE)
+                 / (na.nu + nb.nu - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN n na ON i.type_a = na.event_type
+    JOIN n nb ON i.type_b = nb.event_type
+    """,
+)
+def agg_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP between event types: for every type pair, the
+    user-set intersection and Jaccard similarity — the cohort-overlap
+    matrix behind "do purchasers also click?" segmentation questions,
+    and the exact-set ground truth that sketch-based overlap
+    (agg_hll_sketch_merge) approximates.
+
+    Scale shape: one distinct (type, user) projection (user-key
+    shuffle with map-side distinct), then a self-equi-join ON USER —
+    each user carries at most |types| rows, so per-key fan-out is
+    bounded by type-count squared, never by corpus size; type-level
+    counts broadcast back onto the ~|types|² result rows.
+
+    Parity: all counts exact integers; one division, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    n = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("nu"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(n.select(F.col("event_type").alias("type_a"),
+                                 F.col("nu").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(n.select(F.col("event_type").alias("type_b"),
+                                 F.col("nu").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
     )

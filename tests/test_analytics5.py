@@ -128,3 +128,65 @@ def test_cohort_overlap_matches_pandas(spark):
         na, nb, nboth, j = want[(r.type_a, r.type_b)]
         assert (r.n_a, r.n_b, r.n_both) == (na, nb, nboth)
         assert abs(r.jaccard - j) < 1e-9
+
+
+def test_split_leakage_pairs_cross_split_and_sorted(spark):
+    pdf = QUERIES["pipeline_split_leakage_pairs"](spark, SF).toPandas()
+    from vectordb_agentic_rag_spark.operators.analytics import _ROLL_SPARK  # noqa: F401
+
+    # every reported pair really straddles the split: recompute the
+    # rolling-hash split in python
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    P = 1_000_000_007
+
+    def split_of(text):
+        h = 0
+        for t in text.split(" "):
+            c = ord(t[0]) * 961 + ord(t[-1]) * 31 + len(t)
+            h = (h * 131 + c) % P
+        return "val" if h % 10 == 9 else "train"
+
+    sp = {r.doc_id: split_of(r.text) for r in docs.itertuples()}
+    for r in pdf.itertuples():
+        assert sp[r.doc_train] == "train"
+        assert sp[r.doc_val] == "val"
+        assert r.jaccard >= 0.2
+    # descending by score
+    assert (pdf["jaccard"].diff().dropna() <= 1e-12).all()
+
+
+def test_mattr_bounds_and_short_doc_fallback(spark):
+    pdf = QUERIES["text_mattr_diversity"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(pdf) == len(docs)
+    assert pdf["mattr_50"].between(0, 1.0000001).all()
+    byid = dict(zip(docs["doc_id"], docs["text"]))
+    for r in pdf.head(30).itertuples():
+        toks = byid[r.doc_id].split(" ")
+        assert r.n_tokens == len(toks)
+        if len(toks) < 50:
+            assert r.n_windows == 0
+            assert abs(r.mattr_50 - len(set(toks)) / len(toks)) < 1e-6
+        else:
+            assert r.n_windows == len(toks) - 49
+            ttrs = [
+                len(set(toks[i - 49 : i + 1])) / 50
+                for i in range(49, len(toks))
+            ]
+            assert abs(r.mattr_50 - sum(ttrs) / len(ttrs)) < 1e-5
+
+
+def test_bounce_rate_consistent_with_sessionize(spark):
+    pdf = QUERIES["agg_bounce_rate"](spark, SF).toPandas()
+    sess = QUERIES["agg_sessionize_batch"](spark, SF).toPandas()
+    want = (
+        sess.assign(b=(sess["n_events"] == 1).astype(int))
+        .groupby("user_id")
+        .agg(n_sessions=("b", "size"), n_bounces=("b", "sum"))
+    )
+    assert len(pdf) == len(want)
+    for r in pdf.itertuples():
+        w = want.loc[r.user_id]
+        assert (r.n_sessions, r.n_bounces) == (w.n_sessions, w.n_bounces)
+        # bounce_rate is round(6)-quantized
+        assert abs(r.bounce_rate - w.n_bounces / w.n_sessions) < 5.1e-7

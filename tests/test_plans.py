@@ -798,3 +798,23 @@ def test_cohort_overlap_counts_broadcast_back(spark, sf_dir):
     # at toy sf) — never a cartesian
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_leakage_pairs_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["pipeline_split_leakage_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mattr_doc_window_no_python(spark, sf_dir):
+    plan = plan_of(QUERIES["text_mattr_diversity"](spark, sf_dir))
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bounce_rate_single_user_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_bounce_rate"](spark, sf_dir))
+    # sessionize windows + both rollups on ONE user_id exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "hashpartitioning(user_id" in plan

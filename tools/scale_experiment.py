@@ -147,6 +147,9 @@ OPS = [
     ("agg_mann_kendall_trend", "events"),
     ("agg_time_to_convert", "events"),
     ("agg_cohort_overlap", "events"),
+    ("pipeline_split_leakage_pairs", "documents"),
+    ("text_mattr_diversity", "documents"),
+    ("agg_bounce_rate", "events"),
 ]
 
 

@@ -427,3 +427,254 @@ def agg_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_split_leakage_pairs
+# ---------------------------------------------------------------------------
+
+
+def _leakage_oracle() -> str:
+    from .analytics import _ROLL_DUCK
+    from .dedup import _DUCK_NGRAM_PAIRS, _DUCK_SHINGLES
+
+    return f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    pairs AS ({_DUCK_NGRAM_PAIRS}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_ROLL_DUCK} % 10 = 9 THEN 'val' ELSE 'train' END
+               AS split
+      FROM documents),
+    x AS (
+      SELECT CASE WHEN sa.split = 'train' THEN p.doc_a ELSE p.doc_b END
+               AS doc_train,
+             CASE WHEN sa.split = 'train' THEN p.doc_b ELSE p.doc_a END
+               AS doc_val,
+             p.jac
+      FROM pairs p
+      JOIN sp sa ON p.doc_a = sa.doc_id
+      JOIN sp sb ON p.doc_b = sb.doc_id
+      WHERE sa.split <> sb.split)
+    SELECT doc_train, doc_val, jac AS jaccard
+    FROM x ORDER BY jac DESC, doc_train, doc_val LIMIT 50
+    """
+
+
+@query("pipeline_split_leakage_pairs", oracle=_leakage_oracle())
+def pipeline_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-LEVEL SPLIT-LEAKAGE report: the worst 50 near-duplicate
+    pairs that STRADDLE the train/val boundary, oriented (train doc,
+    val doc) with their shingle-Jaccard score — the actionable form
+    of pipeline_train_val_split's bucket-level leakage COUNT (a count
+    says contamination exists; evals need the exact offending pairs
+    to purge or re-bucket, because a val doc near-duplicating a train
+    doc inflates every benchmark it appears in). Composes the two
+    pipelines verbatim: dedup_ngram_jaccard's verified >= 0.2 pairs x
+    pipeline_train_val_split's content-hash split.
+
+    Scale shape: the pair list is the prefix-filtered candidate
+    pipeline (never all-pairs); the split label is one map-side hash
+    per doc joined onto pair endpoints by doc key; top-50 is
+    orderBy+limit on the already-round(6) score with id tiebreaks.
+
+    Parity: both inputs reuse the exact CTE text of their parent
+    oracles; the orientation CASE and the filter compare exact
+    strings."""
+    from .analytics import _ROLL_SPARK
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    sp = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.expr(_ROLL_SPARK) % 10 == 9, F.lit("val"))
+        .otherwise("train")
+        .alias("split"),
+    )
+    x = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            F.when(F.col("sa") == "train", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_train"),
+            F.when(F.col("sa") == "train", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_val"),
+            F.col("jac").alias("jaccard"),
+        )
+    )
+    return x.orderBy(
+        F.col("jaccard").desc(), "doc_train", "doc_val"
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# text_mattr_diversity
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 50  # window length (tokens); docs shorter than W fall back to TTR
+
+
+@query(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tok, t.pos FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos) t),
+    wn AS (
+      SELECT doc_id, pos,
+             CAST(len(list_distinct(list(tok) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_MATTR_W - 1} PRECEDING AND CURRENT ROW)))
+               AS BIGINT) AS dw,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_MATTR_W - 1} PRECEDING AND CURRENT ROW) AS fl
+      FROM tok),
+    agg AS (
+      SELECT doc_id, CAST(max(pos) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN fl = {_MATTR_W} THEN 1 END) AS BIGINT)
+               AS n_windows,
+             sum(CASE WHEN fl = {_MATTR_W}
+                      THEN CAST(dw AS DECIMAL(10,6)) / {_MATTR_W}
+                      ELSE CAST(0 AS DECIMAL(10,6)) END) AS sttr
+      FROM wn GROUP BY doc_id),
+    fullttr AS (
+      SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS dfull
+      FROM tok GROUP BY doc_id)
+    SELECT a.doc_id, a.n_tokens, a.n_windows,
+           round(CASE WHEN a.n_windows > 0
+                      THEN CAST(a.sttr AS DOUBLE) / a.n_windows
+                      ELSE CAST(f.dfull AS DOUBLE) / a.n_tokens END, 6)
+             AS mattr_{_MATTR_W}
+    FROM agg a JOIN fullttr f ON a.doc_id = f.doc_id
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR LEXICAL DIVERSITY (Covington & McFall 2010): the mean
+    type-token ratio over every complete 50-token sliding window —
+    the length-independent vocabulary-richness score that plain TTR
+    is not (TTR decays mechanically with document length, so
+    comparing docs of different lengths on TTR is a category error;
+    Gopher-style quality stacks use windowed diversity for exactly
+    this reason). Docs shorter than the window fall back to whole-doc
+    TTR, flagged by n_windows = 0.
+
+    Scale shape: one per-DOC ordered window (bounded by doc length)
+    materializes each 50-token frame; distinctness is a JVM
+    higher-order pass over the constant-size frame; the rollup is one
+    keyed aggregate. The whole-doc fallback is a second keyed
+    aggregate.
+
+    Parity: window TTRs are EXACT decimals (dw/50 with dw an integer
+    — scale 6 holds them exactly), summed order-independently; one
+    final division and round(6)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_MATTR_W - 1), Window.currentRow)
+    )
+    wn = tok.select(
+        "doc_id",
+        "pos",
+        F.size(F.array_distinct(F.collect_list("tok").over(wf)))
+        .cast("bigint")
+        .alias("dw"),
+        F.count("*").over(wf).alias("fl"),
+    )
+    agg = wn.groupBy("doc_id").agg(
+        F.max("pos").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("fl") == _MATTR_W, 1))
+        .cast("bigint")
+        .alias("n_windows"),
+        F.sum(
+            F.when(
+                F.col("fl") == _MATTR_W,
+                F.expr(f"CAST(dw AS DECIMAL(10,6)) / {_MATTR_W}"),
+            ).otherwise(F.expr("CAST(0 AS DECIMAL(10,6))"))
+        ).alias("sttr"),
+    )
+    fullttr = tok.groupBy("doc_id").agg(
+        F.countDistinct("tok").cast("bigint").alias("dfull")
+    )
+    return agg.join(fullttr, "doc_id").selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "round(CASE WHEN n_windows > 0"
+        " THEN CAST(sttr AS DOUBLE) / n_windows"
+        f" ELSE CAST(dfull AS DOUBLE) / n_tokens END, 6) AS mattr_{_MATTR_W}",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bounce_rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged),
+    sess AS (
+      SELECT user_id, sess_no, count(*) AS n_events
+      FROM numbered GROUP BY user_id, sess_no)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS bounce_rate
+    FROM sess GROUP BY user_id
+    """,
+)
+def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNCE RATE per user: the fraction of the user's sessions
+    containing exactly one event — the simplest engagement-quality
+    KPI on top of gap-based sessionization, composed directly on
+    agg_sessionize_batch's session definition (same 30-minute gap
+    rule, same oracle CTE text).
+
+    Scale shape: the sessionize windows and BOTH rollups (session
+    event counts, per-user bounce summary) ride the single user_id
+    hash exchange — sessionization's optimal one-shuffle shape
+    extends through the KPI unchanged.
+
+    Parity: counts exact, one division, round(6)."""
+    from .relational import agg_sessionize_batch
+
+    s = agg_sessionize_batch(spark, sf_dir)
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("int")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )

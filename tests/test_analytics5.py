@@ -190,3 +190,74 @@ def test_bounce_rate_consistent_with_sessionize(spark):
         assert (r.n_sessions, r.n_bounces) == (w.n_sessions, w.n_bounces)
         # bounce_rate is round(6)-quantized
         assert abs(r.bounce_rate - w.n_bounces / w.n_sessions) < 5.1e-7
+
+
+def test_centroid_drift_matches_numpy(spark):
+    pdf = QUERIES["vec_centroid_shift_drift"](spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.round(np.vstack(emb["embedding"].to_numpy()).astype(float), 6)
+    ids = emb["vec_id"].to_numpy()
+    ca, cb = M[ids % 2 == 0].mean(axis=0), M[ids % 2 == 1].mean(axis=0)
+    row = pdf.iloc[0]
+    assert row["n_a"] == int((ids % 2 == 0).sum())
+    assert row["n_b"] == int((ids % 2 == 1).sum())
+    assert abs(row["centroid_l2_shift"] - np.linalg.norm(ca - cb)) < 1e-4
+    cos = ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb))
+    assert abs(row["centroid_cosine"] - cos) < 1e-4
+
+
+def test_two_proportion_ztest_matches_numpy(spark):
+    pdf = QUERIES["agg_two_proportion_ztest"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    pc = ev[ev.event_type == "purchase"].groupby("user_id").size()
+    conv = set(pc[pc >= 12].index)
+    view = set(ev[ev.event_type == "view"]["user_id"])
+    click = set(ev[ev.event_type == "click"]["user_id"])
+    n1, x1 = len(view), len(view & conv)
+    n2, x2 = len(click), len(click & conv)
+    pp = (x1 + x2) / (n1 + n2)
+    z = (x1 / n1 - x2 / n2) / np.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    row = pdf.iloc[0]
+    assert (row["n_view"], row["conv_view"]) == (n1, x1)
+    assert (row["n_click"], row["conv_click"]) == (n2, x2)
+    assert abs(row["z_stat"] - z) < 1e-5
+
+
+def test_wilcoxon_matches_scipy_style_recompute(spark):
+    pdf = QUERIES["agg_wilcoxon_signed_rank"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    means = {}
+    for et in ("click", "view"):
+        g = ev[ev.event_type == et].copy()
+        g["day"] = pd.to_datetime(g["ts"]).dt.floor("D")
+        cents = g.groupby("day")["value"].apply(
+            lambda v: np.sum(np.round(v * 100).astype("int64"))
+        )
+        cnt = g.groupby("day")["value"].size()
+        means[et] = np.round(cents / cnt / 100.0, 6)
+    j = pd.concat([means["click"], means["view"]], axis=1, join="inner")
+    d = (j.iloc[:, 0] - j.iloc[:, 1]).to_numpy()
+    d = d[np.abs(d) > 1e-12]
+    n = len(d)
+    # average ranks of |d| with ties
+    order = np.argsort(np.abs(d), kind="stable")
+    av = np.abs(d)[order]
+    ranks = np.empty(n)
+    i = 0
+    while i < n:
+        j2 = i
+        while j2 + 1 < n and abs(av[j2 + 1] - av[i]) < 1e-12:
+            j2 += 1
+        ranks[i : j2 + 1] = (i + j2 + 2) / 2
+        i = j2 + 1
+    back = np.empty(n)
+    back[order] = ranks
+    wp = back[d > 0].sum()
+    _, t = np.unique(av, return_counts=True)
+    tie3 = np.sum(t**3 - t)
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    z = (wp - n * (n + 1) / 4) / np.sqrt(var)
+    row = pdf.iloc[0]
+    assert row["n_pairs"] == n
+    assert abs(row["w_plus"] - wp) < 1e-6
+    assert abs(row["z_stat"] - z) < 1e-5

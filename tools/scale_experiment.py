@@ -150,6 +150,8 @@ OPS = [
     ("pipeline_split_leakage_pairs", "documents"),
     ("text_mattr_diversity", "documents"),
     ("agg_bounce_rate", "events"),
+    ("vec_centroid_shift_drift", "embeddings"),
+    ("agg_wilcoxon_signed_rank", "events"),
 ]
 
 

@@ -1,5 +1,6 @@
-"""Round-7 ninth wave: full coreness decomposition and nonparametric
-trend testing.
+"""Round-7 waves 9-12: coreness decomposition, nonparametric trend and
+paired tests, funnel/cohort KPIs, curation diversity, split-leakage
+reporting, and embedding drift.
 
 graph_core_number extends graph_kcore from membership-at-one-k to the
 full coreness map via the h-index fixpoint (Lu et al. 2016, "H-index
@@ -677,4 +678,344 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
             6,
         ).alias("bounce_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vec_centroid_shift_drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vec_centroid_shift_drift",
+    oracle="""
+    WITH dv AS (
+      SELECT vec_id % 2 AS half, t.dim, CAST(round(t.val, 6)
+             AS DECIMAL(16,6)) AS v
+      FROM embeddings, LATERAL (
+        SELECT unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS dim) t),
+    m AS (
+      SELECT half, dim, CAST(sum(v) AS DOUBLE) / count(*) AS mu
+      FROM dv GROUP BY half, dim),
+    p AS (
+      SELECT a.dim, a.mu AS ma, b.mu AS mb
+      FROM m a JOIN m b ON a.dim = b.dim AND a.half = 0 AND b.half = 1),
+    s AS (
+      SELECT
+        CAST(sum(CAST(round((ma - mb) * (ma - mb), 9) AS DECIMAL(28,9)))
+             AS DOUBLE) AS d2,
+        CAST(sum(CAST(round(ma * mb, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dot,
+        CAST(sum(CAST(round(ma * ma, 9) AS DECIMAL(28,9))) AS DOUBLE) AS na,
+        CAST(sum(CAST(round(mb * mb, 9) AS DECIMAL(28,9))) AS DOUBLE) AS nb
+      FROM p),
+    n AS (
+      SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM embeddings)
+    SELECT n.n_a, n.n_b,
+           round(sqrt(s.d2), 6) AS centroid_l2_shift,
+           round(s.dot / (sqrt(s.na) * sqrt(s.nb)), 6) AS centroid_cosine
+    FROM s CROSS JOIN n
+    """,
+)
+def vec_centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT between two corpus halves (vec_id parity as the
+    deterministic stand-in for "last ingest vs this ingest"): the L2
+    distance and cosine between the half centroids — the cheapest
+    always-on drift monitor for an embedding column (a centroid shift
+    means the upstream encoder or corpus mix changed, and every ANN
+    index/codebok trained on the old geometry needs revalidation —
+    the operational complement to vec_pairwise_cos_hist's geometry
+    probe).
+
+    Scale shape: one explode to (half, dim, value) and ONE keyed
+    aggregate to 2 x dims rows; everything after runs on the bounded
+    DIMENSION domain. Map-side partial sums make the fact pass one
+    shuffle of 128 partial rows per partition at any corpus size.
+
+    Parity: components quantize round(6) into exact DECIMAL sums;
+    per-dim means divide in shared text; the 64-term dim-domain
+    reductions quantize round(9) into DECIMAL; sqrt-only assembly,
+    round(6)."""
+    emb = table(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "half",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr("CAST(round(val, 6) AS DECIMAL(16,6))").alias("v"),
+    )
+    m = dv.groupBy("half", "dim").agg(
+        F.expr("CAST(sum(v) AS DOUBLE) / count(*)").alias("mu")
+    )
+    p = (
+        m.where(F.col("half") == 0)
+        .select("dim", F.col("mu").alias("ma"))
+        .join(
+            m.where(F.col("half") == 1).select("dim", F.col("mu").alias("mb")),
+            "dim",
+        )
+    )
+    s = p.agg(
+        F.expr(
+            "CAST(sum(CAST(round((ma - mb) * (ma - mb), 9) AS DECIMAL(28,9)))"
+            " AS DOUBLE)"
+        ).alias("d2"),
+        F.expr(
+            "CAST(sum(CAST(round(ma * mb, 9) AS DECIMAL(28,9))) AS DOUBLE)"
+        ).alias("dot"),
+        F.expr(
+            "CAST(sum(CAST(round(ma * ma, 9) AS DECIMAL(28,9))) AS DOUBLE)"
+        ).alias("na"),
+        F.expr(
+            "CAST(sum(CAST(round(mb * mb, 9) AS DECIMAL(28,9))) AS DOUBLE)"
+        ).alias("nb"),
+    )
+    n = emb.agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("int")).cast("bigint").alias("n_b"),
+    )
+    return s.crossJoin(F.broadcast(n)).selectExpr(
+        "n_a",
+        "n_b",
+        "round(sqrt(d2), 6) AS centroid_l2_shift",
+        "round(dot / (sqrt(na) * sqrt(nb)), 6) AS centroid_cosine",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_two_proportion_ztest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_two_proportion_ztest",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    conv AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+             GROUP BY user_id HAVING count(*) >= 12),
+    g AS (
+      SELECT ut.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM ut LEFT JOIN conv c ON ut.user_id = c.user_id
+      WHERE ut.event_type IN ('view', 'click')
+      GROUP BY ut.event_type),
+    w AS (
+      SELECT max(CASE WHEN event_type = 'view' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'view' THEN x END) AS x1,
+             max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'click' THEN x END) AS x2
+      FROM g)
+    SELECT CAST(n1 AS BIGINT) AS n_view, CAST(x1 AS BIGINT) AS conv_view,
+           CAST(n2 AS BIGINT) AS n_click, CAST(x2 AS BIGINT) AS conv_click,
+           round(CAST(x1 AS DOUBLE) / n1, 6) AS p_view,
+           round(CAST(x2 AS DOUBLE) / n2, 6) AS p_click,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)),
+                 6) AS z_stat
+    FROM w
+    """,
+)
+def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST: do users who VIEW convert (>= 12
+    purchase events — the fixture's every user purchases at least
+    once, so plain any-purchase conversion is degenerately 1.0 and
+    the pooled variance collapses to zero; the threshold was sized
+    against the measured purchase-count distribution) at a different
+    rate than users who CLICK? The textbook A/B significance test
+    (pooled-variance normal approximation) on the cohort sets
+    agg_cohort_overlap measures; on this null-by-construction fixture
+    the two cohorts nearly coincide, so z correctly lands near 0 —
+    the test DETECTING no effect is the honest expected output.
+
+    Scale shape: one distinct (type, user) projection, a LEFT join
+    against the distinct converter set keyed on user, one two-group
+    aggregate, and a 1-row pivot — the fact table is touched twice,
+    both passes map-side-combinable distincts.
+
+    Parity: cohort and conversion counts are exact integers; the
+    pooled z assembles in shared-text DOUBLE (sqrt only, decimal
+    literals avoided via CAST(1 AS DOUBLE)), round(6)."""
+    ev = table(spark, sf_dir, "events")
+    ut = (
+        ev.select("event_type", "user_id")
+        .where(F.col("event_type").isin("view", "click"))
+        .distinct()
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("np"))
+        .where(F.col("np") >= 12)
+        .select("user_id", F.lit(1).alias("cv"))
+    )
+    g = (
+        ut.join(conv, "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.coalesce(F.col("cv"), F.lit(0))).cast("bigint").alias("x"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("x"))).alias("x2"),
+    )
+    return w.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_view",
+        "CAST(x1 AS BIGINT) AS conv_view",
+        "CAST(n2 AS BIGINT) AS n_click",
+        "CAST(x2 AS BIGINT) AS conv_click",
+        "round(CAST(x1 AS DOUBLE) / n1, 6) AS p_view",
+        "round(CAST(x2 AS DOUBLE) / n2, 6) AS p_click",
+        "round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)"
+        " / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
+        " * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
+        " * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 6) AS z_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_wilcoxon_signed_rank
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_wilcoxon_signed_rank",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             count(*) AS cnt
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day,
+             CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)
+                  AS DECIMAL(18,6)) AS m
+      FROM daily),
+    d AS (
+      SELECT a.day, a.m - b.m AS diff
+      FROM s a JOIN s b ON a.day = b.day
+        AND a.event_type = 'click' AND b.event_type = 'view'
+      WHERE a.m <> b.m),
+    v AS (
+      SELECT abs(diff) AS av,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS npos,
+             CAST(count(*) AS BIGINT) AS ntv
+      FROM d GROUP BY abs(diff)),
+    r AS (
+      SELECT av, npos, ntv,
+             CAST(coalesce(sum(ntv) OVER (ORDER BY av
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_less
+      FROM v),
+    t AS (
+      SELECT CAST(sum(npos * (2 * cum_less + ntv + 1)) AS BIGINT) AS two_wp,
+             CAST(sum(ntv) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ntv > 1
+                           THEN ntv * ntv * ntv - ntv ELSE 0 END)
+                  AS BIGINT) AS tie3
+      FROM r)
+    SELECT n AS n_pairs,
+           round(CAST(two_wp AS DOUBLE) / 2, 6) AS w_plus,
+           round((CAST(two_wp AS DOUBLE) / 2
+                  - CAST(n AS DOUBLE) * (n + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                        - CAST(tie3 AS DOUBLE) / 48), 6) AS z_stat
+    FROM t WHERE n >= 10
+    """,
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test on PAIRED daily means (click vs view,
+    matched by day): rank the absolute differences, sum the ranks of
+    positive days, and z-test against the null median-zero — the
+    paired nonparametric companion to agg_mann_whitney_u's unpaired
+    rank-sum (pairing by day removes the between-day variance both
+    series share, which the U test cannot).
+
+    Scale shape: the day-domain collapse, then the mann_whitney
+    value-domain rank trick — tied average ranks reconstructed from
+    cumulative counts as INTEGERS (2*cum_less + block + 1, keeping 2x
+    the rank sum), the one ordered cumulative running over distinct
+    |difference| values (bounded domain), zero-differences dropped per
+    the standard procedure, tie-corrected variance.
+
+    Parity: differences of round(6) DECIMAL means are exact, so the
+    sign/abs grouping and every rank integer match exactly; the z
+    assembly is shared-text DOUBLE (sqrt only), one round(6)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    s = daily.select(
+        "event_type",
+        "day",
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("m"),
+    )
+    d = (
+        s.where(F.col("event_type") == "click")
+        .select("day", F.col("m").alias("mc"))
+        .join(
+            s.where(F.col("event_type") == "view").select(
+                "day", F.col("m").alias("mv")
+            ),
+            "day",
+        )
+        .where(F.col("mc") != F.col("mv"))
+        .select((F.col("mc") - F.col("mv")).alias("diff"))
+    )
+    v = d.groupBy(F.abs(F.col("diff")).alias("av")).agg(
+        F.sum((F.col("diff") > 0).cast("int")).cast("bigint").alias("npos"),
+        F.count("*").cast("bigint").alias("ntv"),
+    )
+    wv = Window.orderBy("av").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "av",
+        "npos",
+        "ntv",
+        F.coalesce(F.sum("ntv").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("cum_less"),
+    )
+    t = r.agg(
+        F.sum(F.col("npos") * (2 * F.col("cum_less") + F.col("ntv") + 1))
+        .cast("bigint")
+        .alias("two_wp"),
+        F.sum("ntv").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("ntv") > 1,
+                F.col("ntv") * F.col("ntv") * F.col("ntv") - F.col("ntv"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    return t.where(F.col("n") >= 10).selectExpr(
+        "n AS n_pairs",
+        "round(CAST(two_wp AS DOUBLE) / 2, 6) AS w_plus",
+        "round((CAST(two_wp AS DOUBLE) / 2"
+        " - CAST(n AS DOUBLE) * (n + 1) / 4)"
+        " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
+        " - CAST(tie3 AS DOUBLE) / 48), 6) AS z_stat",
     )

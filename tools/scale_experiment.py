@@ -359,7 +359,8 @@ def main() -> None:
         "the last 10x step — <=~1.0 means at-or-below row-linear scaling, "
         "which is the property the 100 TB design depends on. Values well "
         "below 1.0 mean the fixed per-job overhead still dominates at this "
-        "size (the operator has scale headroom to spare).",
+        "size (the operator has scale headroom to spare)."
+        " CAVEAT for driver-loop operators (graph_kcore, graph_core_number, dedup_connected_components' relatives): their iteration runs at DataFrame-BUILD time against checkpointed domain-bounded edge lists, so the prepared-plan timing here sees only the final checkpointed read — their loop cost is bounded by the (edge-domain x measured round-count) argument in each docstring and shows up in OPS_BENCH's cold path, not this table.",
         "",
         "| operator | driving table | "
         + " | ".join(f"{lb} ms" for lb in labels)

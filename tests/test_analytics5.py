@@ -261,3 +261,99 @@ def test_wilcoxon_matches_scipy_style_recompute(spark):
     assert row["n_pairs"] == n
     assert abs(row["w_plus"] - wp) < 1e-6
     assert abs(row["z_stat"] - z) < 1e-5
+
+
+def test_page_hinkley_matches_python_replay(spark):
+    from vectordb_agentic_rag_spark.operators.analytics5 import (
+        _PH_DELTA,
+        _PH_LAMBDA,
+        _PH_MU,
+    )
+
+    pdf = QUERIES["win_page_hinkley"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for uid in pdf["user_id"].head(5):
+        g = ev[ev.user_id == uid].sort_values(["ts", "event_id"])
+        x = np.round(g["value"].to_numpy(), 6)
+        # replay exactly as the op: first step seeds mn = min(0, mt1)
+        mt = 0.0
+        mn = 0.0
+        al = 0
+        first = True
+        for xi in x:
+            mt = mt + xi - _PH_MU - _PH_DELTA
+            mn = min(0.0, mt) if first else min(mn, mt)
+            first = False
+            al += 1 if (mt - mn) > _PH_LAMBDA else 0
+        row = pdf[pdf.user_id == uid].iloc[0]
+        assert row["n_events"] == len(x)
+        assert row["n_alarms"] == al
+        assert abs(row["ph_final"] - round(mt - mn, 6)) < 1e-6
+    # the threshold discriminates: some but not all users alarm
+    assert 0 < pdf["alarmed"].sum() < len(pdf)
+
+
+def test_curriculum_order_is_exact_total_order(spark):
+    pdf = (
+        QUERIES["pipeline_curriculum_order"](spark, SF)
+        .toPandas()
+        .sort_values("curriculum_rank")
+        .reset_index(drop=True)
+    )
+    # ranks are 1..N with no gaps
+    assert list(pdf["curriculum_rank"]) == list(range(1, len(pdf) + 1))
+    # ordering respects (quality desc, doc_id asc)
+    prev = None
+    for r in pdf.itertuples():
+        if prev is not None:
+            assert (r.quality < prev[0]) or (
+                r.quality == prev[0] and r.doc_id > prev[1]
+            )
+        prev = (r.quality, r.doc_id)
+    # consistent with text_quality_score
+    q = QUERIES["text_quality_score"](spark, SF).toPandas()
+    m = pdf.merge(q[["doc_id", "quality"]], on="doc_id", suffixes=("", "_q"))
+    assert np.allclose(m["quality"], m["quality_q"])
+
+
+def test_weighted_jaccard_rescore_matches_python(spark):
+    pdf = QUERIES["dedup_weighted_jaccard_rescore"](spark, SF).toPandas()
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from vectordb_agentic_rag_spark.operators.dedup import P_CODE, P_HASH
+
+    def codes(text):
+        toks = text.split(" ")
+        if len(toks) < 3:
+            return set()
+        tc = []
+        for t in toks:
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % P_CODE
+            tc.append(h)
+        return {
+            ((tc[i] * 131 + tc[i + 1]) % P_HASH * 131 + tc[i + 2]) % P_HASH
+            for i in range(len(tc) - 2)
+        }
+
+    cs = {r.doc_id: codes(r.text) for r in docs.itertuples()}
+    cs = {k: v for k, v in cs.items() if v}
+    n = len(cs)
+    dfc: dict[int, int] = {}
+    for v in cs.values():
+        for c in v:
+            dfc[c] = dfc.get(c, 0) + 1
+    wt = {c: round(np.log(n / d), 9) for c, d in dfc.items()}
+    rows = []
+    for r in pairs.itertuples():
+        a, b = cs[r.doc_a], cs[r.doc_b]
+        wi = sum(wt[c] for c in a & b)
+        wu = sum(wt[c] for c in a | b)
+        rows.append((r.doc_a, r.doc_b, wi / wu))
+    rows.sort(key=lambda t: (-t[2], t[0], t[1]))
+    want = rows[:50]
+    assert len(pdf) == min(50, len(want))
+    for r, (da, db, jw) in zip(pdf.itertuples(), want):
+        assert (r.doc_a, r.doc_b) == (da, db)
+        assert abs(r.jaccard_weighted - jw) < 1e-5

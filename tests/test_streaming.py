@@ -306,3 +306,21 @@ def test_token_bucket_live_matches_batch_fold(spark, sf_dir):
     assert live == batch
     # the limiter actually rejects something somewhere
     assert any(r[2] < r[1] for r in batch)
+
+
+def test_page_hinkley_live_matches_batch_op(spark, sf_dir):
+    """The drained live Page-Hinkley equals win_page_hinkley's batch
+    fold row-for-row (same columns, same full series, identical
+    left-assoc float ops)."""
+    from vectordb_agentic_rag_spark.operators.analytics5 import (
+        win_page_hinkley,
+    )
+    from vectordb_agentic_rag_spark.streaming.core import (
+        stream_page_hinkley_live,
+    )
+
+    cols = ["user_id", "n_events", "ph_final", "n_alarms", "alarmed"]
+    live = _key(stream_page_hinkley_live(spark, sf_dir).collect(), cols)
+    batch = _key(win_page_hinkley(spark, sf_dir).collect(), cols)
+    assert live == batch
+    assert any(r[4] == 1 for r in batch)  # the detector actually fires

@@ -155,6 +155,8 @@ OPS = [
     ("win_page_hinkley", "events"),
     ("pipeline_curriculum_order", "documents"),
     ("dedup_weighted_jaccard_rescore", "documents"),
+    ("graph_truss_decomposition", "lineitem"),
+    ("agg_kll_quantile_sketch", "events"),
 ]
 
 

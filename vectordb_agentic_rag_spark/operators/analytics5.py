@@ -1334,3 +1334,238 @@ def dedup_weighted_jaccard_rescore(
             F.round(ratio, 6).alias("jaccard_weighted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_truss_decomposition
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 3  # 3-truss: every surviving edge closes >= 1 triangle
+_TRUSS_ROUNDS = 8  # measured peeling depth: 1 round at every fixture sf
+
+
+def _truss_oracle() -> str:
+    """Unrolled support-peeling rounds, every CTE MATERIALIZED (the
+    DuckDB per-reference-inlining rule). Rounds past the fixpoint are
+    identity filters; the Spark side raises if the budget is hit."""
+    parts = [
+        """os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for i in range(_TRUSS_ROUNDS):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT u AS m, v AS n FROM e{i} UNION ALL SELECT v AS m, u AS n FROM e{i}),
+    s{i} AS MATERIALIZED (
+      SELECT a.m AS u, b.m AS v, CAST(count(*) AS BIGINT) AS sup
+      FROM d{i} a JOIN d{i} b ON a.n = b.n AND a.m < b.m
+      JOIN e{i} t ON t.u = a.m AND t.v = b.m
+      GROUP BY a.m, b.m),
+    e{i + 1} AS MATERIALIZED (
+      SELECT s.u, s.v FROM s{i} s WHERE s.sup >= {_TRUSS_K - 2})"""
+        )
+    R = _TRUSS_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    df AS MATERIALIZED (
+      SELECT u AS m, v AS n FROM e{R} UNION ALL SELECT v AS m, u AS n FROM e{R}),
+    sf AS (
+      SELECT a.m AS u, b.m AS v, CAST(count(*) AS BIGINT) AS sup
+      FROM df a JOIN df b ON a.n = b.n AND a.m < b.m
+      JOIN e{R} t ON t.u = a.m AND t.v = b.m
+      GROUP BY a.m, b.m)
+    SELECT u AS part_u, v AS part_v, sup AS truss_support FROM sf"""
+    )
+
+
+@query("graph_truss_decomposition", oracle=_truss_oracle())
+def graph_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-TRUSS (k = _TRUSS_K = 3) of the support-2 part co-purchase
+    graph: iteratively delete every edge closing fewer than k-2
+    triangles until a fixpoint; survivors with their in-truss
+    triangle support form the maximal subgraph where every EDGE is
+    triangle-reinforced — the edge-level strengthening of graph_kcore
+    (a k-truss is always inside the (k-1)-core, but prunes weakly
+    attached edges a node-degree criterion keeps), the standard
+    community-backbone extractor (Cohen 2008).
+
+    Scale shape, the graph_kcore loop disciplines applied per EDGE:
+    each round computes per-edge triangle support with ONE wedge
+    self-join over the checkpointed (domain-bounded) edge list —
+    cost = wedge mass, the quantity the analytics2 wedge-mass note
+    budgets per support gate — then semi-filters the edge list;
+    localCheckpoint truncates lineage per round; edge-count equality
+    witnesses the fixpoint (deletion is monotone); the budget of 8
+    rounds (measured depth: 1 at every fixture sf) RAISES when
+    exhausted, which is what makes the unrolled fixed-round oracle
+    exact.
+
+    Parity: pure integer counting; the triangle probe joins on the
+    canonical u < v edge orientation identically on both engines."""
+    e = _copurchase_edges(spark, sf_dir)
+    n_edges = e.count()
+    loop_partitions = max(1, min(200, n_edges // 1_000_000 + 1))
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    conf.set("spark.sql.adaptive.enabled", "false")
+
+    def support(edges: DataFrame) -> DataFrame:
+        d = edges.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+            edges.select(F.col("v").alias("m"), F.col("u").alias("n"))
+        )
+        a = d.select(F.col("m").alias("u"), F.col("n").alias("w"))
+        b = d.select(F.col("m").alias("v"), F.col("n").alias("w"))
+        return (
+            a.join(b, "w")
+            .where(F.col("u") < F.col("v"))
+            .join(edges, ["u", "v"])
+            .groupBy("u", "v")
+            .agg(F.count("*").cast("bigint").alias("sup"))
+        )
+
+    converged = False
+    try:
+        edges, prev = e.localCheckpoint(), n_edges
+        for _ in range(_TRUSS_ROUNDS):
+            edges = (
+                support(edges)
+                .where(F.col("sup") >= _TRUSS_K - 2)
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            cur = edges.count()
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+        out = support(edges)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if not converged:
+        raise RuntimeError(
+            f"k-truss peeling not converged after {_TRUSS_ROUNDS} rounds — "
+            "raise the budget for deeper truss hierarchies"
+        )
+    return out.select(
+        F.col("u").alias("part_u"),
+        F.col("v").alias("part_v"),
+        F.col("sup").alias("truss_support"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_kll_quantile_sketch
+# ---------------------------------------------------------------------------
+
+_KLL_BUF = 256  # compactor capacity per level
+_KLL_TAUS = (0.1, 0.25, 0.5, 0.75, 0.9)
+_KLL_EPS = 0.05  # asserted rank-error floor (measured ~<= 0.01)
+
+
+def _kll_partition_summary(batches):
+    """Deterministic KLL-style compactor over one partition's value
+    stream: level i holds items of weight 2^i in a capacity-_KLL_BUF
+    buffer; a full buffer sorts and promotes its EVEN ranks (the
+    deterministic stand-in for KLL's random offset — reproducibility
+    over the last epsilon of accuracy). Memory is
+    O(_KLL_BUF * log(n/_KLL_BUF)) regardless of partition size."""
+    import pandas as pd
+
+    levels: list[list[float]] = [[]]
+
+    def push(lvl: int, x: float) -> None:
+        while len(levels) <= lvl:
+            levels.append([])
+        levels[lvl].append(x)
+        if len(levels[lvl]) >= _KLL_BUF:
+            buf = sorted(levels[lvl])
+            levels[lvl] = []
+            for y in buf[0::2]:
+                push(lvl + 1, y)
+
+    for pdf in batches:
+        for x in pdf["value"].to_numpy():
+            push(0, float(x))
+    out = [
+        (v, 1 << lvl) for lvl, items in enumerate(levels) for v in items
+    ]
+    yield pd.DataFrame(out, columns=["v", "w"])
+
+
+@query("agg_kll_quantile_sketch")  # rows-only BY DESIGN (SURVEY §8):
+# the summary's content depends on partitioning and the compactor
+# schedule — engine-specific internals no SQL twin can reproduce. The
+# in-plan rank-error assert + pytest determinism/error tests are the
+# check (the vec_lsh_ann recall-floor pattern).
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH (KLL-style, Karnin-Lang-Liberty
+    2016) over event values: each partition folds its stream through
+    fixed-size compactor levels (capacity 256, weights 2^level,
+    deterministic even-rank promotion), the per-partition summaries
+    union into one bounded weighted sample, and quantile estimates
+    read off the weighted CDF — the sketch a 100 TB pipeline ships to
+    the driver when agg_exact_quantile_2pass's two full passes are
+    too expensive and percentile_approx's opaque internals can't be
+    audited. Bounded memory per task, one pass over the data, summary
+    size O(parts * 256 * log(n)).
+
+    SELF-CHECK IN-PLAN: each estimate's TRUE rank fraction is
+    recomputed against the full dataset (one conditional-aggregation
+    pass) and assert_true(|rank - tau| <= 0.05) rides a filter that
+    keeps rows unchanged while the bound holds — measured error is
+    <= ~0.01; the wide floor survives fixture regeneration (the ANN
+    recall-floor discipline). Rows-only by design: the summary
+    content depends on partitioning, which no SQL oracle can twin."""
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    ev = table(spark, sf_dir, "events").select("value")
+    summary = ev.mapInPandas(_kll_partition_summary, "v double, w long")
+    wcum = Window.orderBy("v", "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the summary is sketch-bounded (parts * 256 * levels rows), so the
+    # ordered window runs over the SUMMARY domain, never the data
+    cum = summary.select(
+        "v", F.sum("w").over(wcum).alias("cw")
+    ).crossJoin(
+        F.broadcast(summary.agg(F.sum("w").alias("tw")))
+    )
+    taus = F.explode(
+        F.array(*[F.lit(t) for t in _KLL_TAUS])
+    ).alias("tau")
+    est = (
+        cum.select("v", "cw", "tw")
+        .crossJoin(F.broadcast(spark.range(1).select(taus)))
+        .where(F.col("cw") >= F.col("tau") * F.col("tw"))
+        .groupBy("tau")
+        .agg(F.min("v").alias("est_value"))
+    )
+    n_total = ev.count()  # bounded scalar for the self-check pass
+    ranks = (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("tau", "est_value")
+        .agg(
+            (F.sum((F.col("value") <= F.col("est_value")).cast("long"))
+             / F.lit(float(n_total))).alias("true_rank_frac")
+        )
+    )
+    checked = ranks.where(
+        F.expr(
+            f"assert_true(abs(true_rank_frac - tau) <= {_KLL_EPS}, "
+            "'KLL rank error above floor') IS NULL"
+        )
+    )
+    return checked.select(
+        "tau",
+        F.round("est_value", 6).alias("est_value"),
+        F.round("true_rank_frac", 6).alias("true_rank_frac"),
+    )

@@ -800,3 +800,123 @@ def stream_token_bucket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(tok, n)").cast("bigint").alias("end_tokens_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_page_hinkley_live
+# ---------------------------------------------------------------------------
+
+_PHL_MU = 50.0  # win_page_hinkley's constants
+_PHL_DELTA = 5.0
+_PHL_LAMBDA = 300.0
+
+
+@query(
+    "stream_page_hinkley_live",
+    # Full oracle by the stream_cusum_live identity: the Page-Hinkley
+    # fold is prefix-incremental, the time-ordered replay preserves
+    # per-key order, the Python per-batch loop runs the identical
+    # left-assoc float ops, and the emitted (n, al) are monotone while
+    # (mt, mn) are selected from the max-n emission — so the drained
+    # result equals win_page_hinkley's batch fold over the full series
+    # and shares its recursive-CTE oracle text verbatim.
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, round(value, 6) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    nn AS (SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id),
+    st AS (
+      SELECT s.user_id, 1 AS i,
+             s.x - {_PHL_MU} - {_PHL_DELTA} AS mt,
+             least(0.0, s.x - {_PHL_MU} - {_PHL_DELTA}) AS mn,
+             CASE WHEN (s.x - {_PHL_MU} - {_PHL_DELTA})
+                       - least(0.0, s.x - {_PHL_MU} - {_PHL_DELTA})
+                       > {_PHL_LAMBDA} THEN 1 ELSE 0 END AS al
+      FROM seq s WHERE s.rn = 1
+      UNION ALL
+      SELECT st.user_id, st.i + 1,
+             st.mt + s.x - {_PHL_MU} - {_PHL_DELTA},
+             least(st.mn, st.mt + s.x - {_PHL_MU} - {_PHL_DELTA}),
+             st.al + CASE WHEN (st.mt + s.x - {_PHL_MU} - {_PHL_DELTA})
+                               - least(st.mn,
+                                       st.mt + s.x - {_PHL_MU} - {_PHL_DELTA})
+                               > {_PHL_LAMBDA} THEN 1 ELSE 0 END
+      FROM st JOIN seq s ON s.user_id = st.user_id AND s.rn = st.i + 1)
+    SELECT st.user_id, CAST(nn.n AS BIGINT) AS n_events,
+           round(st.mt - st.mn, 6) AS ph_final,
+           CAST(st.al AS BIGINT) AS n_alarms,
+           CAST(CASE WHEN st.al > 0 THEN 1 ELSE 0 END AS BIGINT) AS alarmed
+    FROM st JOIN nn ON st.user_id = nn.user_id AND st.i = nn.n
+    """,
+)
+def stream_page_hinkley_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE PAGE-HINKLEY drift detection per user via
+    applyInPandasWithState — the streaming twin of win_page_hinkley
+    (mu=50, delta=5, lambda=300), completing the detector pairs the
+    way stream_cusum_live twins win_cusum_changepoint. State per
+    user: (mt, mn, al, n) across micro-batches; each batch folds its
+    time-ordered slice with the identical left-associative float ops,
+    so the drained result is bit-equal to the batch fold and the
+    batch op's recursive-CTE oracle applies verbatim. (n, al) are
+    monotone; (mt, mn) come from the max-n emission via max_by."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mu, dl, lam = _PHL_MU, _PHL_DELTA, _PHL_LAMBDA
+
+    def fold(key, pdf_iter, state: GroupState):
+        mt, mn, al, n = (
+            state.get if state.exists else (0.0, None, 0, 0)
+        )
+        (user_id,) = key
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            part = pdf.sort_values(["us", "event_id"])
+            for x in part["x"].to_numpy():
+                mt = mt + x - mu - dl
+                mn = min(0.0, mt) if mn is None else min(mn, mt)
+                al += 1 if (mt - mn) > lam else 0
+            n += len(part)
+        state.update((mt, mn, al, n))
+        yield pd.DataFrame(
+            [(user_id, n, mt, mn, al)],
+            columns=["user_id", "n", "mt", "mn", "al"],
+        )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round("value", 6).alias("x"),
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id bigint, n bigint, mt double, mn double, al bigint"
+        ),
+        stateStructType="mt double, mn double, al bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "page_hinkley_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        spark.table("page_hinkley_live")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.round(
+                F.expr("max_by(mt, n)") - F.expr("max_by(mn, n)"), 6
+            ).alias("ph_final"),
+            F.max("al").cast("bigint").alias("n_alarms"),
+            (F.max("al") > 0).cast("bigint").alias("alarmed"),
+        )
+    )

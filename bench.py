@@ -166,6 +166,10 @@ def main() -> None:
     if sf1x:
         out["queries_sf1x"] = sf1x
         out["value_sf1x"] = round(sum(sf1x.values()), 4)
+        out["sf1x_protocol"] = (
+            "steady-state prepared plan, median of 3, warmed session, "
+            "10x synthetic blow-up of sf0.1"
+        )
     print(json.dumps(out))
 
 

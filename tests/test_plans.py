@@ -849,3 +849,16 @@ def test_truss_loop_on_checkpointed_edges(spark, sf_dir):
     # edge list — the peeling never re-touches the fact table
     assert "Scan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_spc_western_electric_single_exchange(spark, sf_dir):
+    # the control-limit window and the three trailing run frames share
+    # one user_id hash partitioning and one (ts, event_id) sort: exactly
+    # one exchange, no Python in the flag logic
+    import re
+
+    plan = plan_of(QUERIES["win_spc_western_electric"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan

@@ -3,6 +3,7 @@ rows-only ops get targeted assertions instead of a DuckDB twin)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from vectordb_agentic_rag_spark import QUERIES, load_all_operators
@@ -41,8 +42,10 @@ def test_kll_compactor_weight_conservation_and_rank_error():
     stay within the deterministic-compaction rank-error bound."""
     import numpy as np
     import pandas as pd
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
+
+    hypothesis = pytest.importorskip("hypothesis")
+    given, settings = hypothesis.given, hypothesis.settings
+    st = pytest.importorskip("hypothesis.strategies")
 
     from vectordb_agentic_rag_spark.operators.analytics5 import (
         _kll_partition_summary,

@@ -656,3 +656,155 @@ def win_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST((9 * size(ls) + 9) div 10 AS INT)), 6)"
         ).alias("p90_21"),
     )
+
+
+@query(
+    "win_spc_western_electric",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN ok THEN value > mu + 3 * sd OR value < mu - 3 * sd
+           END AS we_rule1,
+           CASE WHEN ok THEN
+             (n3 >= 3 AND c2p >= 2) OR (n3 >= 3 AND c2m >= 2)
+           END AS we_rule2,
+           CASE WHEN ok THEN
+             (n5 >= 5 AND c1p >= 4) OR (n5 >= 5 AND c1m >= 4)
+           END AS we_rule3,
+           CASE WHEN ok THEN
+             (n8 >= 8 AND cap = 8) OR (n8 >= 8 AND cam = 8)
+           END AS we_rule4
+    FROM (
+      SELECT event_id, user_id, ts, value, mu, sd,
+             nu >= 25 AND sd > 0 AS ok,
+             count(*) OVER w3 AS n3,
+             count(*) OVER w5 AS n5,
+             count(*) OVER w8 AS n8,
+             sum(CASE WHEN value > mu + 2 * sd THEN 1 ELSE 0 END) OVER w3 AS c2p,
+             sum(CASE WHEN value < mu - 2 * sd THEN 1 ELSE 0 END) OVER w3 AS c2m,
+             sum(CASE WHEN value > mu + sd THEN 1 ELSE 0 END) OVER w5 AS c1p,
+             sum(CASE WHEN value < mu - sd THEN 1 ELSE 0 END) OVER w5 AS c1m,
+             sum(CASE WHEN value > mu THEN 1 ELSE 0 END) OVER w8 AS cap,
+             sum(CASE WHEN value < mu THEN 1 ELSE 0 END) OVER w8 AS cam
+      FROM (
+        SELECT event_id, user_id, ts, value,
+               count(*) OVER u AS nu,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER u AS DOUBLE)
+                 / count(*) OVER u AS mu,
+               sqrt((CAST(sum(CAST(value AS DECIMAL(18,6))
+                             * CAST(value AS DECIMAL(18,6))) OVER u AS DOUBLE)
+                     - CAST(sum(CAST(value AS DECIMAL(18,6))) OVER u AS DOUBLE)
+                       * CAST(sum(CAST(value AS DECIMAL(18,6))) OVER u AS DOUBLE)
+                       / count(*) OVER u)
+                    / (count(*) OVER u - 1)) AS sd
+        FROM events
+        WINDOW u AS (PARTITION BY user_id)) b
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w8 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) t
+    """,
+)
+def win_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WESTERN ELECTRIC SPC RUN RULES per user — the four classic
+    control-chart alarms evaluated at every event against that user's
+    own control limits (mu, sd over the user's full history, the
+    Shewhart chart a monitoring pipeline keeps per entity):
+
+      rule1  point beyond 3 sigma (either side)
+      rule2  >= 2 of the last 3 points beyond 2 sigma, SAME side
+      rule3  >= 4 of the last 5 points beyond 1 sigma, SAME side
+      rule4  8 consecutive points on the same side of the centerline
+
+    Each rule fires on the point COMPLETING the run (trailing frames
+    ending at the current row); partial frames (fewer rows than the
+    run length) cannot fire, and users with < 25 events or zero
+    variance get NULL verdicts, never a fake alarm. Flags are exact
+    integer counts over boolean zone indicators — no floats in the
+    run logic itself.
+
+    Scale shape: ONE hash exchange on user_id carries everything —
+    the unbounded control-limit window and the three trailing run
+    frames share the same partitioning and (ts, event_id) sort, so
+    Catalyst plans a single Exchange + sort (plan-pinned). No second
+    pass, no self-join, no global window.
+
+    Parity discipline (the win_zscore_outlier rules): mu and sd come
+    from DECIMAL(18,6) sums (exact, order-independent — engine float
+    folds differ), evaluated in the SAME double expression shape on
+    both engines, so zone thresholds mu + k*sd are bit-identical and
+    the integer zone counts cannot drift. Reference behavior analogue:
+    the quality gating of retrieved context (app.py:278) generalized
+    to statistical process control over event streams."""
+    ev = table(spark, sf_dir, "events")
+    u = Window.partitionBy("user_id")
+    dec = F.col("value").cast("decimal(18,6)")
+    nu = F.count("*").over(u)
+    s = F.sum(dec).over(u).cast("double")
+    sq = F.sum(dec * dec).over(u).cast("double")
+    mu = s / nu
+    sd = F.sqrt((sq - s * s / nu) / (nu - 1))
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        nu.alias("nu"),
+        mu.alias("mu"),
+        sd.alias("sd"),
+    )
+
+    def frame(rows: int):
+        return (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(rows - 1), Window.currentRow)
+        )
+
+    w3, w5, w8 = frame(3), frame(5), frame(8)
+    v, m, d = F.col("value"), F.col("mu"), F.col("sd")
+
+    def cnt(cond, w):
+        return F.sum(F.when(cond, 1).otherwise(0)).over(w)
+
+    t = b.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "mu",
+        "sd",
+        ((F.col("nu") >= 25) & (d > 0)).alias("ok"),
+        F.count("*").over(w3).alias("n3"),
+        F.count("*").over(w5).alias("n5"),
+        F.count("*").over(w8).alias("n8"),
+        cnt(v > m + 2 * d, w3).alias("c2p"),
+        cnt(v < m - 2 * d, w3).alias("c2m"),
+        cnt(v > m + d, w5).alias("c1p"),
+        cnt(v < m - d, w5).alias("c1m"),
+        cnt(v > m, w8).alias("cap"),
+        cnt(v < m, w8).alias("cam"),
+    )
+    ok = F.col("ok")
+    return t.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, (v > m + 3 * d) | (v < m - 3 * d)).alias("we_rule1"),
+        F.when(
+            ok,
+            ((F.col("n3") >= 3) & (F.col("c2p") >= 2))
+            | ((F.col("n3") >= 3) & (F.col("c2m") >= 2)),
+        ).alias("we_rule2"),
+        F.when(
+            ok,
+            ((F.col("n5") >= 5) & (F.col("c1p") >= 4))
+            | ((F.col("n5") >= 5) & (F.col("c1m") >= 4)),
+        ).alias("we_rule3"),
+        F.when(
+            ok,
+            ((F.col("n8") >= 8) & (F.col("cap") == 8))
+            | ((F.col("n8") >= 8) & (F.col("cam") == 8)),
+        ).alias("we_rule4"),
+    )

@@ -97,17 +97,24 @@ _PRIORITY_PREFIXES = (
 )
 
 
-def _verification_history() -> tuple[set[str], set[str]]:
-    """(verified, failed) op-name sets from prior driver rounds.
+def _verification_history() -> tuple[set[str], set[str], set[str]]:
+    """(hash_verified, rows_only_verified, failed) op-name sets from
+    prior driver rounds.
 
-    verified: hash-matched at least once, or rows-only-checked for ops
-    that declare no oracle (the weak check is the max possible there).
+    hash_verified: hash-matched at least once (the strongest check).
+    rows_only_verified: ran cleanly under the weak rows-only check
+    (``no_oracle``) but never hash-matched. If such an op has SINCE
+    gained a full oracle (present in ``ORACLES``), its official record
+    is stale and it must re-enter the verification window (round-7
+    verdict item 1: vec_lsh_ann + 4 stream ops were upgraded to full
+    oracles but sat outside the window at positions 58/106-109).
     failed: explicitly checked and mismatched, never since verified.
     """
     import glob
     import json
 
-    verified: set[str] = set()
+    hash_verified: set[str] = set()
+    rows_only: set[str] = set()
     failed: set[str] = set()
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         try:
@@ -118,12 +125,13 @@ def _verification_history() -> tuple[set[str], set[str]]:
             if not isinstance(r, dict):
                 continue
             if r.get("hash_match"):
-                verified.add(name)
+                hash_verified.add(name)
             elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
-                verified.add(name)
+                rows_only.add(name)
             else:
                 failed.add(name)
-    return verified, failed - verified
+    rows_only -= hash_verified
+    return hash_verified, rows_only, failed - hash_verified - rows_only
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -131,11 +139,21 @@ def ordered_queries() -> dict[str, QueryFn]:
     on previously-FAILED ops first (to prove their fixes), then
     never-checked ops — domain operators ahead of generic plumbing —
     then already-verified ops (stable within groups)."""
-    verified, failed = _verification_history()
+    hash_verified, rows_only, failed = _verification_history()
     names = list(QUERIES)
 
     def rank(name: str) -> tuple:
-        tier = 0 if name in failed else (2 if name in verified else 1)
+        if name in failed:
+            tier = 0
+        elif name in hash_verified:
+            tier = 2
+        elif name in rows_only and name not in ORACLES:
+            # rows-only is the max possible check for oracle-less ops
+            tier = 2
+        else:
+            # never checked, OR rows-only record now stale because the
+            # op has since gained a full oracle — re-verify
+            tier = 1
         domain = 0 if name.startswith(_PRIORITY_PREFIXES) else 1
         return (tier, domain, names.index(name))
 

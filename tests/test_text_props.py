@@ -801,3 +801,68 @@ def test_prefix_length_ceil_is_exact_at_multiples(spark):
         for m in range(1, 201):
             expect = m - math.ceil(frac * m) + 1
             assert got[m] == expect, (t, m, got[m], expect)
+
+
+def test_weighted_prefix_candidates_perfect_recall_and_pruning(spark):
+    """Weighted prefix-filter recall theorem (the tail-weight bound in
+    _weighted_prefix_candidates): every pair whose idf-WEIGHTED
+    Jaccard clears the threshold within its block must be emitted, and
+    the candidate count must sit well below blocked all-pairs.
+    Clustered synthetic corpus: planted near-dup pairs sharing rare
+    content shingles, heavy boilerplate shingles present in ~every doc
+    (idf ~ 0 — exactly the mass the weighting must ignore and the
+    prefix ordering must push OUT of the prefix)."""
+    import math
+    import random
+
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _WPF_DEN,
+        _WPF_NUM,
+        _weighted_prefix_candidates,
+    )
+
+    rng = random.Random(7)
+    docs = []
+    boiler = list(range(100, 115))  # boilerplate: in nearly every doc
+    for i in range(80):
+        rare = rng.sample(range(1000, 99999), rng.randint(4, 30))
+        cs = sorted(set(rare) | set(rng.sample(boiler, 12)))
+        docs.append((i, "en" if i % 2 else "de", i % 2, cs))
+        if i % 6 == 0:  # planted near-dup: same rare content, one off
+            dup = sorted((set(rare) | {999999 + i})
+                         | set(rng.sample(boiler, 12)))
+            docs.append((1000 + i, "en" if i % 2 else "de", i % 2, dup))
+    sh = spark.createDataFrame(
+        docs, "doc_id bigint, lang string, len_bucket int, cs array<bigint>"
+    )
+    cand = _weighted_prefix_candidates(sh, _WPF_NUM, _WPF_DEN)
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+
+    # python twin of the exact weighting: round(ln(N/df), 9) scaled to
+    # integer nano-units so the threshold compare is exact like the op's
+    by_id = {d: (lg, lb, set(cs)) for d, lg, lb, cs in docs}
+    n_docs = len(docs)
+    df = {}
+    for _, _, _, cs in docs:
+        for s in set(cs):
+            df[s] = df.get(s, 0) + 1
+    wt = {s: round(math.log(n_docs / d) * 1e9) for s, d in df.items()}
+    ids = sorted(by_id)
+    qualifying = set()
+    blocked_pairs = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            (lga, lba, sa), (lgb, lbb, sb) = by_id[a], by_id[b]
+            if lga != lgb or lba != lbb:
+                continue
+            blocked_pairs += 1
+            wi = sum(wt[s] for s in sa & sb)
+            wu = sum(wt[s] for s in sa | sb)
+            if wu > 0 and wi * _WPF_DEN >= wu * _WPF_NUM:
+                qualifying.add((a, b))
+    assert qualifying, "corpus must contain qualifying weighted pairs"
+    missed = qualifying - got
+    assert not missed, f"weighted prefix filter missed {sorted(missed)}"
+    assert len(got) < 0.25 * blocked_pairs, (
+        f"no real pruning: {len(got)} candidates of {blocked_pairs}"
+    )

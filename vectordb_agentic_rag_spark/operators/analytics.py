@@ -1509,6 +1509,149 @@ def pipeline_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pipeline_domain_upsample
+# ---------------------------------------------------------------------------
+
+_UPS_MAX_EPOCHS = 3.0  # repetition cap shared with pipeline_mixture_reweight
+_UPS_BUCKET = 64  # doc_id range per rank bucket (2^20 at corpus scale)
+
+_UPS_W = (
+    "least(greatest(CAST(tw AS DOUBLE) / total_tw * total_tokens / tokens,"
+    f" 1.0), {_UPS_MAX_EPOCHS})"
+)
+
+
+@query(
+    "pipeline_domain_upsample",
+    oracle=f"""
+    WITH cur AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+             1 + CAST(substring(source, 4) AS INTEGER) % 4 AS tw
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(cur.tw) AS BIGINT) AS total_tw
+      FROM cur),
+    src AS (
+      SELECT source, n_docs, {_UPS_W} AS w
+      FROM cur CROSS JOIN tot),
+    quota AS (
+      SELECT source,
+             CAST(floor(w) AS BIGINT) AS base,
+             CAST(round(n_docs * (w - floor(w)), 0) AS BIGINT) AS n_extra
+      FROM src),
+    rk AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents),
+    copies AS (
+      SELECT r.doc_id, r.source,
+             q.base + CASE WHEN r.rk <= q.n_extra THEN 1 ELSE 0 END
+               AS n_copies
+      FROM rk r JOIN quota q USING (source))
+    SELECT doc_id, source,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(u.r AS BIGINT) AS replica
+    FROM copies, unnest(generate_series(1, n_copies)) AS u(r)
+    """,
+)
+def pipeline_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN UPSAMPLING — the replication half of data mixing that
+    pipeline_mixture_reweight (weights as METADATA, downsample-capable)
+    cannot do: materialize each source at its target mixture weight by
+    REPLICATING documents, factors in [1, 3] epochs (same cap — and
+    the same target-share formula, so the two ops describe one
+    recipe). Per source with weight w: every doc gets floor(w) copies,
+    and the first round(n_docs * frac(w)) docs in doc_id order get ONE
+    extra copy — deterministic fractional rounding, so the realized
+    per-source doc count hits the quota exactly and reruns are
+    byte-identical (a hash-Bernoulli draw would only hit it in
+    expectation). Output is the exploded replica stream a data loader
+    shards (doc_id, source, n_copies, replica).
+
+    Scale shape: NO per-source global sort for the quota ranks — a
+    row_number() partitioned by source would funnel an entire domain
+    (possibly 30% of a 100 TB corpus) through one task. Instead the
+    two-phase VALUE-DOMAIN rank (pipeline_curriculum_order /
+    pipeline_shard_assign's machinery keyed by source): (1) counts per
+    (source, doc_id div {_UPS_BUCKET}) bucket and a cumulative offset
+    over the bounded bucket DOMAIN, (2) a window partitioned by
+    (source, bucket) ranks within buckets by doc_id, offset +
+    within-rank = the exact per-source rank. The per-source weight
+    table and the bucket-offset table both broadcast; the explode is
+    row-local with fan-out <= {_UPS_MAX_EPOCHS} (the epoch cap), so
+    the op is one corpus scan + map-side work at any scale.
+
+    Parity: w evaluates the IDENTICAL double expression text on both
+    engines from exact integer aggregates; floor/frac/round(.,0) are
+    half-up on positives on both; ranks and copy counts are exact
+    integers. Reference behavior analogue: re-ingesting a collection
+    to rebalance it (app.py:453's re-ingest path) generalized to
+    mixture-weighted replication."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("toks")
+    )
+    cur = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens"),
+        (1 + F.expr("CAST(substring(source, 4) AS INT)") % 4).alias("tw"),
+    )
+    tot = cur.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.sum("tw").cast("bigint").alias("total_tw"),
+    )
+    quota = (
+        cur.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs", F.expr(_UPS_W).alias("w"))
+        .select(
+            "source",
+            F.floor("w").cast("bigint").alias("base"),
+            F.round(F.col("n_docs") * (F.col("w") - F.floor("w")), 0)
+            .cast("bigint")
+            .alias("n_extra"),
+        )
+    )
+    bucketed = d.select(
+        "doc_id", "source", F.expr(f"doc_id div {_UPS_BUCKET}").alias("bkt")
+    )
+    cnt = bucketed.groupBy("source", "bkt").agg(F.count("*").alias("c"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wr = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    ranked = bucketed.join(F.broadcast(off), ["source", "bkt"]).select(
+        "doc_id",
+        "source",
+        (F.col("off") + F.row_number().over(wr)).alias("rk"),
+    )
+    copies = ranked.join(F.broadcast(quota), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_copies"),
+    )
+    return copies.select(
+        "doc_id",
+        "source",
+        "n_copies",
+        F.explode(F.expr("sequence(1L, n_copies)")).alias("replica"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # scalar_url_suite / dedup_url_canonical
 # ---------------------------------------------------------------------------
 

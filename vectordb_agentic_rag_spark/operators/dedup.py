@@ -1199,3 +1199,231 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("doc_id", F.round("r", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_weighted_prefix_filter
+# ---------------------------------------------------------------------------
+
+_WPF_T = 0.3  # weighted-Jaccard threshold; exact-decimal compare x*10 vs y*3
+_WPF_NUM, _WPF_DEN = 3, 10  # t = _WPF_NUM / _WPF_DEN, integer-exact
+
+
+def _weighted_prefix_oracle() -> str:
+    return f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh),
+    df AS (
+      SELECT t.code, CAST(count(*) AS BIGINT) AS d
+      FROM sh, unnest(sh.g) AS t(code) GROUP BY t.code),
+    w AS (
+      SELECT df.code,
+             CAST(round(ln(CAST(nn.n AS DOUBLE) / df.d), 9)
+                  AS DECIMAL(28,9)) AS wt
+      FROM df CROSS JOIN nn),
+    pu AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, t.code,
+             CASE WHEN list_contains(a.g, t.code)
+                   AND list_contains(b.g, t.code)
+                  THEN 1 ELSE 0 END AS shared
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id,
+      unnest(list_distinct(a.g || b.g)) AS t(code)),
+    sc AS (
+      SELECT pu.doc_a, pu.doc_b,
+             sum(CASE WHEN pu.shared = 1 THEN w.wt
+                      ELSE CAST(0 AS DECIMAL(28,9)) END) AS wi,
+             sum(w.wt) AS wu
+      FROM pu JOIN w ON pu.code = w.code
+      GROUP BY pu.doc_a, pu.doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(wi AS DOUBLE) / CAST(wu AS DOUBLE), 6)
+             AS jaccard_weighted
+    FROM sc
+    WHERE CAST(wi AS DECIMAL(28,9)) * {_WPF_DEN}
+          >= CAST(wu AS DECIMAL(28,9)) * {_WPF_NUM}
+      AND wu > 0
+    """
+
+
+def _weighted_prefix_candidates(
+    sh: DataFrame, num: int, den: int
+) -> DataFrame:
+    """WEIGHTED prefix-filter candidate generator — the Chaudhuri/
+    AllPairs prefix principle carried to idf-WEIGHTED Jaccard
+    J_w(A,B) = w(A∩B) / w(A∪B):
+
+    Order every document's distinct shingles by the one GLOBAL rarity
+    total order (document frequency asc, shingle code asc — rare =
+    heavy first, since idf is monotone-decreasing in df). Keep element
+    i in the prefix iff the TAIL weight from i (inclusive) >= t * W
+    where W = the doc's total shingle weight, i.e. cumulative weight
+    BEFORE i <= (1-t) * W. If a pair with J_w >= t shared no prefix
+    element of A, its whole intersection would sit in A's suffix, so
+    w(A∩B) <= tail < t * W_A <= t * w(A∪B) <= w(A∩B) — contradiction;
+    symmetrically for B, and the globally-minimal shared element lands
+    in BOTH prefixes. Perfect recall, while heavy-first ordering makes
+    prefixes SHORT (rare shingles carry the weight) and their elements
+    RARE (bounded join fan-out) — the same two properties that make
+    the unweighted generator survive stopword-shingle df~1e6 tails.
+
+    Exactness: weights are round(ln(N/df), 9) DECIMAL(28,9); the
+    prefix test multiplies exact decimals by the integer threshold
+    parts (cum * den <= W * (den - num)) — no float ever decides a
+    prefix boundary, so recall is a theorem, not a tolerance. Sums
+    cast DECIMAL(38,9) -> (28,9) before the multiply (values are
+    bounded by ~21 * shingle count, far inside (28,9)) to dodge
+    Spark's decimal-multiply scale truncation (round-7 note).
+
+    Scale: one groupBy(shingle) for df, one join to attach weights,
+    two windows per doc_id (total weight + running prefix weight — one
+    exchange, doc_id-partitioned), one equi-join on prefix shingles,
+    one distinct. Every stage an equi-shuffle; nothing quadratic."""
+    ex = sh.select(
+        "doc_id", "lang", "len_bucket", F.explode("cs").alias("s")
+    )
+    nn = sh.count()  # bounded scalar: one count of the doc dimension
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    wts = dfreq.select(
+        "s",
+        "df",
+        F.expr(
+            f"CAST(round(ln(CAST({nn} AS DOUBLE) / df), 9) AS DECIMAL(28,9))"
+        ).alias("wt"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("df", "s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = ex.join(wts, "s").select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        "s",
+        F.sum("wt").over(wdoc).cast("decimal(28,9)").alias("tw"),
+        F.coalesce(
+            F.sum("wt").over(wcum), F.expr("CAST(0 AS DECIMAL(28,9))")
+        )
+        .cast("decimal(28,9)")
+        .alias("cw"),
+    )
+    prefix = ranked.where(
+        F.col("cw") * den <= F.col("tw") * (den - num)
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "s"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("len_bucket_b"),
+        F.col("s").alias("s_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("len_bucket") == F.col("len_bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@query("dedup_weighted_prefix_filter", oracle=_weighted_prefix_oracle())
+def dedup_weighted_prefix_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE idf-WEIGHTED near-dup retrieval: all (lang, len_bucket)-
+    blocked pairs with WEIGHTED Jaccard >= 0.3, where each shingle
+    counts its idf weight round(ln(N/df), 9) — the retrieval
+    dedup_weighted_jaccard_rescore only approximates (it re-SCORES
+    candidates an UNWEIGHTED >= 0.2 gate happened to admit, so a pair
+    of docs sharing only rare content shingles below unweighted 0.2
+    but far above weighted 0.3 is invisible to it; this op retrieves
+    by the weighted score natively). Stopword-shingle overlap
+    (boilerplate) is down-weighted to ~0; shared rare content
+    dominates — the production near-dup semantics.
+
+    Candidates come from _weighted_prefix_candidates — the WEIGHTED
+    Chaudhuri prefix bound over the global rarity order (recall is
+    exact by the tail-weight argument in its docstring; the
+    recall+pruning pytest pins both on a clustered synthetic corpus).
+    Verification explodes each candidate's bounded shingle union and
+    joins weights BY CODE KEY (keyed shuffle, not broadcast — corpus
+    vocabulary outgrows executors), sums exact decimals, and applies
+    the threshold as wi*10 >= wu*3 — integer-exact on both engines,
+    no float boundary (wu > 0 guards the all-stopword degenerate doc
+    whose total weight is zero).
+
+    Reference parity anchor: the same rarity weighting the reference's
+    vector store applies through embedding similarity (app.py:256's
+    dense retrieval) expressed as an exact set-similarity operator."""
+    d = table(spark, sf_dir, "documents")
+    sh = _ngram_code_sets(d)
+    cand = _weighted_prefix_candidates(sh, _WPF_NUM, _WPF_DEN)
+    cs = sh.select("doc_id", "cs")
+    nn = cs.count()  # bounded scalar (doc dimension)
+    df = (
+        cs.select(F.explode("cs").alias("code"))
+        .groupBy("code")
+        .agg(F.count("*").alias("d"))
+    )
+    w = df.select(
+        "code",
+        F.expr(
+            f"CAST(round(ln(CAST({nn} AS DOUBLE) / d), 9) AS DECIMAL(28,9))"
+        ).alias("wt"),
+    )
+    pu = (
+        cand.join(
+            cs.select(F.col("doc_id").alias("doc_a"), F.col("cs").alias("ca")),
+            "doc_a",
+        )
+        .join(
+            cs.select(F.col("doc_id").alias("doc_b"), F.col("cs").alias("cb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.explode(F.array_union("ca", "cb")).alias("code"),
+            F.expr(
+                "CAST(array_contains(ca, code) AND array_contains(cb, code)"
+                " AS INT)"
+            ).alias("shared"),
+        )
+    )
+    sc = (
+        pu.join(w, "code")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("shared") == 1, F.col("wt")).otherwise(
+                    F.expr("CAST(0 AS DECIMAL(28,9))")
+                )
+            ).alias("wi"),
+            F.sum("wt").alias("wu"),
+        )
+    )
+    return (
+        sc.where(
+            (
+                F.col("wi").cast("decimal(28,9)") * _WPF_DEN
+                >= F.col("wu").cast("decimal(28,9)") * _WPF_NUM
+            )
+            & (F.col("wu") > 0)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.expr("CAST(wi AS DOUBLE) / CAST(wu AS DOUBLE)"), 6
+            ).alias("jaccard_weighted"),
+        )
+    )

@@ -449,3 +449,79 @@ def test_kll_sketch_error_bound_and_determinism(spark):
     assert (a["true_rank_frac"] - a["tau"]).abs().max() <= 0.05
     # estimates are real data values in the right order
     assert a["est_value"].is_monotonic_increasing
+
+
+def _python_truss_numbers(edges):
+    """Reference staged truss peeling over a set of (u, v) tuples."""
+    E = set(edges)
+
+    def support(E):
+        a = {}
+        for u, v in E:
+            a.setdefault(u, set()).add(v)
+            a.setdefault(v, set()).add(u)
+        return {(u, v): len(a[u] & a[v]) for u, v in E}
+
+    want, k = {}, 3
+    while E:
+        while True:
+            sup = support(E)
+            bad = {e for e in E if sup[e] < k - 2}
+            if not bad:
+                break
+            E -= bad
+            for e in bad:
+                want[e] = k - 1
+        k += 1
+        assert k <= 40, "runaway peeling in the python reference"
+    return want
+
+
+def test_truss_number_matches_bruteforce_decomposition(spark):
+    """graph_truss_number against a full python truss decomposition
+    (staged peeling, the same textbook algorithm run edge-at-a-time),
+    plus structural invariants: every input edge is labeled exactly
+    once, labels >= 2, and the k=3 shell equals
+    graph_truss_decomposition's edge set. Runs at sf0.01 — the
+    fixture the driver's oracle gate checks (sf0.001's hierarchy is
+    deeper than the fixed oracle unroll; the synthetic test below
+    covers deep hierarchies through the factored helper)."""
+    SF01 = "/root/testdata/sf0.01"
+    pdf = QUERIES["graph_truss_number"](spark, SF01).toPandas()
+    adj = _copurchase_adj(SF01)
+    all_edges = {(u, v) for u in adj for v in adj[u] if u < v}
+    want = _python_truss_numbers(all_edges)
+    got = {(r.part_u, r.part_v): r.truss_number for r in pdf.itertuples()}
+    assert got == want
+    assert set(got) == all_edges  # total, single-label map
+    assert min(got.values()) >= 2
+    shell3 = {e for e, t in got.items() if t >= 3}
+    td = QUERIES["graph_truss_decomposition"](spark, SF01).toPandas()
+    assert shell3 == {(r.part_u, r.part_v) for r in td.itertuples()}
+
+
+def test_truss_number_helper_on_deep_synthetic_hierarchy(spark):
+    """_truss_number_map on a planted multi-shell graph the fixtures
+    don't contain: a K6 clique (truss 6), a K4 sharing nothing with
+    it (truss 4), a triangle chain (truss 3), and pendant tree edges
+    (truss 2) — every label from 2 to 6 must come out exactly as the
+    python reference computes, through multiple genuine stages."""
+    from vectordb_agentic_rag_spark.operators.analytics5 import (
+        _truss_number_map,
+    )
+
+    edges = set()
+    clique6 = range(0, 6)
+    edges |= {(a, b) for a in clique6 for b in clique6 if a < b}
+    clique4 = range(10, 14)
+    edges |= {(a, b) for a in clique4 for b in clique4 if a < b}
+    # triangle chain: 20-21-22, 22-23-24 (shared vertex, no shared edge)
+    edges |= {(20, 21), (20, 22), (21, 22), (22, 23), (22, 24), (23, 24)}
+    # pendant tree edges
+    edges |= {(0, 30), (30, 31), (13, 32)}
+    e = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+    out = _truss_number_map(spark, e, len(edges), kmax=8, rounds=8)
+    got = {(r.u, r.v): r.truss for r in out.collect()}
+    want = _python_truss_numbers(edges)
+    assert got == want
+    assert sorted(set(want.values())) == [2, 3, 4, 6]

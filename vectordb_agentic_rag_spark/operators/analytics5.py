@@ -1344,6 +1344,25 @@ _TRUSS_K = 3  # 3-truss: every surviving edge closes >= 1 triangle
 _TRUSS_ROUNDS = 8  # measured peeling depth: 1 round at every fixture sf
 
 
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical (u < v) edge list via
+    ONE wedge self-join (cost = wedge mass) + a semi-probe back into
+    the edge list — shared by graph_truss_decomposition and
+    graph_truss_number."""
+    d = edges.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    a = d.select(F.col("m").alias("u"), F.col("n").alias("w"))
+    b = d.select(F.col("m").alias("v"), F.col("n").alias("w"))
+    return (
+        a.join(b, "w")
+        .where(F.col("u") < F.col("v"))
+        .join(edges, ["u", "v"])
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("sup"))
+    )
+
+
 def _truss_oracle() -> str:
     """Unrolled support-peeling rounds, every CTE MATERIALIZED (the
     DuckDB per-reference-inlining rule). Rounds past the fixpoint are
@@ -1417,19 +1436,7 @@ def graph_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
     conf.set("spark.sql.adaptive.enabled", "false")
 
-    def support(edges: DataFrame) -> DataFrame:
-        d = edges.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
-            edges.select(F.col("v").alias("m"), F.col("u").alias("n"))
-        )
-        a = d.select(F.col("m").alias("u"), F.col("n").alias("w"))
-        b = d.select(F.col("m").alias("v"), F.col("n").alias("w"))
-        return (
-            a.join(b, "w")
-            .where(F.col("u") < F.col("v"))
-            .join(edges, ["u", "v"])
-            .groupBy("u", "v")
-            .agg(F.count("*").cast("bigint").alias("sup"))
-        )
+    support = _edge_support
 
     converged = False
     try:
@@ -1569,3 +1576,169 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_value", 6).alias("est_value"),
         F.round("true_rank_frac", 6).alias("true_rank_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_truss_number
+# ---------------------------------------------------------------------------
+
+# Budgets cover the ORACLE-CHECKED fixtures with margin: sf0.01 and
+# sf0.1 measure max truss 3 and inner peel depth <= 3 (sf0.001's
+# deeper hierarchy — truss 5, depth 32 at k=5 — is exercised by the
+# pytest through the synthetic-graph helper path, not the oracle).
+# Both budgets RAISE on exhaustion, so a regenerated fixture that
+# outgrows the unrolled oracle fails loudly, never mismatches.
+_TRUSSN_KMAX = 6  # stage budget; fixture max truss number is 3
+_TRUSSN_ROUNDS = 8  # inner peel budget per stage; measured depth <= 3
+
+
+def _trussn_oracle() -> str:
+    """Full truss decomposition as unrolled per-stage peeling: for
+    k = 3..KMAX, peel support < k-2 for a FIXED number of rounds
+    (identity rounds past the fixpoint are harmless no-ops — the Spark
+    side RAISES if its convergence budget is hit, so a too-shallow
+    unroll can never silently diverge from it), then label the edges
+    stage k removed with truss number k-1. Every per-round CTE is
+    MATERIALIZED (DuckDB inlines every CTE reference; an unrolled
+    iteration without it explodes exponentially — round-7 note)."""
+    parts = [
+        """os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    t2 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for k in range(3, _TRUSSN_KMAX + 1):
+        prev = f"t{k - 1}"
+        for r in range(_TRUSSN_ROUNDS):
+            src = prev if r == 0 else f"e{k}_{r - 1}"
+            parts.append(
+                f"""d{k}_{r} AS MATERIALIZED (
+      SELECT u AS m, v AS n FROM {src} UNION ALL SELECT v AS m, u AS n FROM {src}),
+    s{k}_{r} AS MATERIALIZED (
+      SELECT a.m AS u, b.m AS v, CAST(count(*) AS BIGINT) AS sup
+      FROM d{k}_{r} a JOIN d{k}_{r} b ON a.n = b.n AND a.m < b.m
+      JOIN {src} t ON t.u = a.m AND t.v = b.m
+      GROUP BY a.m, b.m),
+    e{k}_{r} AS MATERIALIZED (
+      SELECT u, v FROM s{k}_{r} WHERE sup >= {k - 2})"""
+            )
+        parts.append(
+            f"t{k} AS MATERIALIZED (SELECT u, v FROM e{k}_{_TRUSSN_ROUNDS - 1})"
+        )
+    labels = [
+        f"""SELECT u AS part_u, v AS part_v, CAST({k - 1} AS BIGINT) AS truss_number
+    FROM (SELECT u, v FROM t{k - 1} EXCEPT SELECT u, v FROM t{k}) x{k}"""
+        for k in range(3, _TRUSSN_KMAX + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(labels)
+    )
+
+
+@query("graph_truss_number", oracle=_trussn_oracle())
+def graph_truss_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL TRUSS DECOMPOSITION of the support-2 part co-purchase
+    graph: every edge's TRUSS NUMBER — the maximum k such that the
+    edge survives in the k-truss (graph_truss_decomposition extracts
+    only the single k=3 shell; this is the edge-level analogue of
+    graph_core_number's full coreness map, the complete cohesion
+    hierarchy community detection peels from — Cohen 2008, Wang &
+    Cheng VLDB'12). An edge with truss number t sits in a subgraph
+    where every edge closes >= t-2 triangles; the fixture's hierarchy
+    tops out at truss 3 (probed: max 3, inner peel depth <= 3 at
+    sf0.01 AND sf0.1).
+
+    Algorithm — staged peeling, each stage the graph_kcore loop
+    discipline applied per EDGE: for k = 3, 4, ...: peel edges with
+    support < k-2 to a fixpoint (support recomputed per round with
+    ONE wedge self-join over the localCheckpoint-ed, domain-bounded
+    edge list — _edge_support, cost = wedge mass); edges stage k
+    removes carry truss number k-1 (they were in the (k-1)-truss but
+    not the k-truss); stop when the edge set empties. Edge-count
+    equality witnesses each fixpoint (deletion is monotone); both the
+    inner round budget (_TRUSSN_ROUNDS = 8 per stage) and the stage
+    budget (k <= _TRUSSN_KMAX = 6) RAISE on exhaustion — wrong-label
+    output is impossible, which is what licenses the fixed-round
+    unrolled oracle. Shuffle partitions are temporarily sized to the
+    edge count and restored in finally (tiny-loop scheduling note).
+
+    Parity: pure integer support counting on the canonical u < v
+    orientation; stage k's removed-edge set is an anti-join on both
+    engines (EXCEPT in the oracle — edge lists are duplicate-free)."""
+    e = _copurchase_edges(spark, sf_dir)
+    out = _truss_number_map(
+        spark, e, e.count(), kmax=_TRUSSN_KMAX, rounds=_TRUSSN_ROUNDS
+    )
+    return out.select(
+        F.col("u").alias("part_u"),
+        F.col("v").alias("part_v"),
+        F.col("truss").alias("truss_number"),
+    )
+
+
+def _truss_number_map(
+    spark: SparkSession,
+    e: DataFrame,
+    n_edges: int,
+    kmax: int,
+    rounds: int,
+) -> DataFrame:
+    """Staged truss peeling over a canonical (u < v) edge list,
+    returning (u, v, truss) with one row per input edge. Budgets
+    RAISE on exhaustion (wrong labels impossible); factored out so
+    the pytest can drive it on synthetic deep-hierarchy graphs the
+    fixtures don't contain."""
+    loop_partitions = max(1, min(200, n_edges // 1_000_000 + 1))
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    labeled: list[DataFrame] = []
+    try:
+        edges, cnt = e.localCheckpoint(), n_edges
+        for k in range(3, kmax + 1):
+            stage_in, converged = edges, False
+            for _ in range(rounds):
+                nxt = (
+                    _edge_support(edges)
+                    .where(F.col("sup") >= k - 2)
+                    .select("u", "v")
+                    .localCheckpoint()
+                )
+                c = nxt.count()
+                if c == cnt:
+                    converged = True
+                    edges = nxt
+                    break
+                edges, cnt = nxt, c
+            if not converged:
+                raise RuntimeError(
+                    f"truss stage k={k} not converged in "
+                    f"{rounds} rounds — raise the budget"
+                )
+            labeled.append(
+                stage_in.join(edges, ["u", "v"], "left_anti").select(
+                    "u", "v", F.lit(k - 1).cast("bigint").alias("truss")
+                )
+            )
+            if cnt == 0:
+                break
+        if cnt != 0:
+            raise RuntimeError(
+                f"truss hierarchy deeper than k={kmax} — "
+                "raise the stage budget"
+            )
+        out = labeled[0]
+        for part in labeled[1:]:
+            out = out.unionAll(part)
+        # bounded: one row per input edge
+        return out.localCheckpoint()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)

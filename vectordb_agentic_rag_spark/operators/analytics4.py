@@ -1541,3 +1541,288 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(s1 / n / 100.0, 2) AS mean_price",
         "round(CAST(slc AS DOUBLE) / s1 - ln(s1 / n), 6) AS theil_t",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_k_anonymity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             length(bin(CAST(floor(value) AS BIGINT) + 1)) AS vb
+      FROM events),
+    c AS (
+      SELECT event_type, day, vb, CAST(count(*) AS BIGINT) AS sz
+      FROM q GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n FROM c)
+    SELECT CAST(1 AS BIGINT) << (length(bin(sz)) - 1) AS band,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           round(CAST(sum(sz) AS DOUBLE) / max(tot.n), 6) AS pct_rows
+    FROM c CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY SPECTRUM of the event stream under the quasi-
+    identifier (event_type, event day, magnitude bucket of value) —
+    the privacy audit a training-data pipeline runs before releasing
+    event-derived features: every row in an equivalence class of size
+    s is re-identifiable among s candidates, so the mass in small
+    classes (band 1-2) is the disclosure risk and the dataset's
+    k-anonymity is the smallest populated band. Output: per power-of-
+    two class-size band, the class count, row count, and row share.
+
+    Exactness discipline: NO float log2 anywhere — the magnitude
+    bucket is length(bin(floor(value) + 1)) (floor is exact on
+    doubles, bin length = integer floor-log2 + 1) and the band is
+    1 << (length(bin(sz)) - 1); a floor(log2(x)) formulation flips at
+    bucket boundaries on cross-libm ulp drift. Everything is integer
+    until the final row-share division (round 6, same shape both
+    engines).
+
+    Scale shape: one groupBy over the QI columns (map-side combined),
+    one groupBy over the bounded class-size DOMAIN, a 1-row total
+    broadcast. The QI aggregate is the only data-sized shuffle."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr(
+            "length(bin(CAST(floor(value) AS BIGINT) + 1))"
+        ).alias("vb"),
+    )
+    c = q.groupBy("event_type", "day", "vb").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    tot = c.agg(F.sum("sz").cast("bigint").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr(
+                "CAST(1 AS BIGINT) << (length(bin(sz)) - 1)"
+            ).alias("band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("sz").cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum("sz").cast("double") / F.max("n"), 6
+            ).alias("pct_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_heaps_law_fit
+# ---------------------------------------------------------------------------
+
+_HEAPS_BUCKET = 8  # docs per checkpoint bucket (2^20 at corpus scale)
+
+
+def _heaps_oracle() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    return f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    pm AS (
+      SELECT doc_id // {_HEAPS_BUCKET} AS bkt,
+             CAST(sum(len(g)) AS BIGINT) AS m
+      FROM sh GROUP BY 1),
+    fd AS (
+      SELECT t.code, min(sh.doc_id) AS fdoc
+      FROM sh, unnest(sh.g) AS t(code) GROUP BY t.code),
+    nv AS (
+      SELECT fdoc // {_HEAPS_BUCKET} AS bkt,
+             CAST(count(*) AS BIGINT) AS newv
+      FROM fd GROUP BY 1),
+    cp AS (
+      SELECT pm.bkt,
+             sum(pm.m) OVER (ORDER BY pm.bkt) AS nacc,
+             sum(coalesce(nv.newv, 0)) OVER (ORDER BY pm.bkt) AS vacc
+      FROM pm LEFT JOIN nv USING (bkt)),
+    xy AS (
+      SELECT CAST(round(ln(CAST(nacc AS DOUBLE)), 6) AS DECIMAL(16,6)) AS x,
+             CAST(round(ln(CAST(vacc AS DOUBLE)), 6) AS DECIMAL(16,6)) AS y
+      FROM cp),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM xy)
+    SELECT n AS n_checkpoints,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS ln_k,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """
+
+
+@query("agg_heaps_law_fit", oracle=_heaps_oracle())
+def agg_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS' LAW FIT over the corpus shingle space: vocabulary growth
+    V(N) ~ K * N^beta, fitted by log-log OLS over doc-order
+    checkpoints — the curation statistic that tells a pretraining
+    pipeline whether more data keeps buying new content (beta near
+    the 0.4-0.6 natural-text range) or the corpus has gone
+    template-degenerate (beta -> 0: new docs add volume, not
+    vocabulary). N = cumulative shingle occurrences, V = cumulative
+    DISTINCT shingles (first-occurrence attribution: each shingle
+    counts at its min doc_id), checkpointed per doc_id-div-8 bucket.
+
+    Scale shape: first-occurrence via one groupBy(code) min — never a
+    sort of the corpus; checkpoints live on the BUCKET domain (docs /
+    bucket width — 2^20 at corpus scale keeps it broadcastable), so
+    the one ordered cumulative window runs over a bounded domain.
+    One-row output.
+
+    Parity: ln of identical INTEGERS quantized round(6) into
+    DECIMAL(16,6) — products are (33,12), exact on both engines
+    (operand width 16 keeps DuckDB's int64 kernel in range: max
+    scaled ln ~ 2.1e7, squares ~ 4.4e14 << 2^63). A cross-libm ulp
+    flip at the 1e-6 grid moves one checkpoint's x or y by 1e-6,
+    which perturbs beta by ~1e-6 * x / (n * var(x)) ~ 1e-9 at 60+
+    checkpoints — three orders below the round(6) quantum (the
+    agg_theil_index argument)."""
+    from .dedup import _ngram_code_sets
+
+    d = table(spark, sf_dir, "documents")
+    sh = _ngram_code_sets(d)
+    pm = sh.groupBy(
+        F.expr(f"doc_id div {_HEAPS_BUCKET}").alias("bkt")
+    ).agg(F.sum(F.size("cs")).cast("bigint").alias("m"))
+    fd = (
+        sh.select("doc_id", F.explode("cs").alias("code"))
+        .groupBy("code")
+        .agg(F.min("doc_id").alias("fdoc"))
+    )
+    nv = fd.groupBy(
+        F.expr(f"fdoc div {_HEAPS_BUCKET}").alias("bkt")
+    ).agg(F.count("*").cast("bigint").alias("newv"))
+    wc = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cp = (
+        pm.join(nv, "bkt", "left")
+        .select(
+            "bkt",
+            F.sum("m").over(wc).alias("nacc"),
+            F.sum(F.coalesce(F.col("newv"), F.lit(0))).over(wc).alias("vacc"),
+        )
+    )
+    xy = cp.select(
+        F.expr(
+            "CAST(round(ln(CAST(nacc AS DOUBLE)), 6) AS DECIMAL(16,6))"
+        ).alias("x"),
+        F.expr(
+            "CAST(round(ln(CAST(vacc AS DOUBLE)), 6) AS DECIMAL(16,6))"
+        ).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return s.selectExpr(
+        "n AS n_checkpoints",
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta",
+        "round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,"
+        " 6) AS ln_k",
+        "round((n * sxy - sx * sy) * (n * sxy - sx * sy)"
+        " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dataset_diff
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic snapshots over the one documents fixture
+# (the fixture has no history; the diff MACHINERY — content-hash
+# manifests + full outer join — is the op):
+#   snapshot A ("old")  = docs with doc_id % 10 != 0
+#   snapshot B ("new")  = docs with doc_id % 13 != 0, and docs with
+#                         doc_id % 7 == 0 carry edited text
+_DIFF_A = "doc_id % 10 <> 0"
+_DIFF_B = "doc_id % 13 <> 0"
+_DIFF_EDIT = "doc_id % 7 = 0"
+
+
+@query(
+    "pipeline_dataset_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, source, sha256(text) AS h
+      FROM documents WHERE {_DIFF_A}),
+    b AS (
+      SELECT doc_id, source,
+             sha256(CASE WHEN {_DIFF_EDIT} THEN upper(text) ELSE text END)
+               AS h
+      FROM documents WHERE {_DIFF_B}),
+    d AS (
+      SELECT coalesce(a.source, b.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b USING (doc_id))
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY source, status
+    """,
+)
+def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET SNAPSHOT DIFF — the data-versioning audit between two
+    releases of a corpus: per (source, status) counts of added /
+    removed / changed / unchanged documents, where "changed" is a
+    CONTENT-HASH mismatch (sha-256 manifests — at 100 TB you diff
+    manifests, never text; the hash columns here are exactly the rows
+    pipeline_pretrain_manifest ships). Snapshots are synthesized
+    deterministically from the one documents fixture (module
+    constants above) — the machinery under test is the manifest
+    join, not the snapshot rule.
+
+    Scale shape: one full outer equi-join on the doc key (the
+    manifests co-partition; with bucketed manifest tables it is
+    shuffle-free), hashes computed scan-side so text never rides the
+    shuffle, then a source-sized aggregate. Reference behavior
+    analogue: the cache-invalidation / re-ingest decision
+    (app.py:453) done set-wide instead of per-file.
+
+    Parity: sha-256 of identical strings on both engines; statuses
+    are pure CASE logic; integer counts."""
+    d = table(spark, sf_dir, "documents")
+    a = d.where(_DIFF_A).select(
+        "doc_id", "source", F.sha2("text", 256).alias("h")
+    )
+    b = d.where(_DIFF_B).select(
+        "doc_id",
+        "source",
+        F.sha2(
+            F.expr(f"CASE WHEN {_DIFF_EDIT} THEN upper(text) ELSE text END"),
+            256,
+        ).alias("h"),
+    )
+    diff = a.alias("a").join(
+        b.alias("b"), on="doc_id", how="full_outer"
+    ).select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.h").isNull(), "added")
+        .when(F.col("b.h").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("source", "status").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

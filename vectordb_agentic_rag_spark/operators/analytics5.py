@@ -1742,3 +1742,115 @@ def _truss_number_map(
     finally:
         conf.set("spark.sql.shuffle.partitions", old_sp)
         conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_token_budget_select
+# ---------------------------------------------------------------------------
+
+_TBS_BUDGET = 800  # per-source token budget (absolute, like a real one)
+
+
+def _token_budget_oracle() -> str:
+    from .text import _STOPWORDS
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({_STOPWORDS}, w))) AS stop_hits,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(0.5 * least(n_tokens / 64.0, 1.0)
+                 + 0.25 * (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens)
+                 + 0.25 * (CAST(n_distinct AS DOUBLE) / n_tokens), 6)
+               AS quality
+      FROM t),
+    c AS (
+      SELECT doc_id, source, quality, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM q)
+    SELECT doc_id, source, quality, n_tokens, cum_before
+    FROM c WHERE cum_before < {_TBS_BUDGET}
+    """
+
+
+@query("pipeline_token_budget_select", oracle=_token_budget_oracle())
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET DATA SELECTION: per source, greedily keep the
+    highest-quality documents until the source's token budget
+    (_TBS_BUDGET = 800 tokens) is exhausted — the selection step of a
+    budgeted pretraining recipe (fixed compute buys a fixed token
+    count per domain; quality-first greedy is the standard
+    data-selection baseline). A doc is kept iff the tokens of
+    strictly-better docs (quality DESC, doc_id tiebreak) total under
+    the budget, so the first doc of a source is always kept and the
+    boundary doc may overshoot — the same greedy-pack convention as
+    text_chunk_recursive's merge.
+
+    Scale shape: NO per-source global sort — the running token total
+    decomposes like pipeline_shard_assign's global rank, but over
+    SUMS: (1) per-(source, quality) token subtotals, cumulated over
+    the bounded quality DOMAIN (round(6) makes it a <= ~1.5e6-value
+    grid) partitioned by source; (2) a window partitioned by
+    (source, quality) cumulates tokens by doc_id within each grid
+    cell; offset + within = the exact per-source running total. Both
+    side tables broadcast; the corpus is touched by one scan + one
+    fine-grained window.
+
+    Parity: quality is the shared exact formula (integer ratios,
+    round 6); token counts and running totals are exact integers; the
+    budget cut is an integer compare."""
+    from .text import text_quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    q = (
+        text_quality_score(spark, sf_dir)
+        .select("doc_id", "quality")
+        .join(d, "doc_id")
+    )
+    grp = q.groupBy("source", "quality").agg(
+        F.sum("n_tokens").cast("bigint").alias("tb")
+    )
+    wd = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = grp.select(
+        "source",
+        "quality",
+        F.coalesce(F.sum("tb").over(wd), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    ww = (
+        Window.partitionBy("source", "quality")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = q.join(F.broadcast(off), ["source", "quality"]).select(
+        "doc_id",
+        "source",
+        "quality",
+        "n_tokens",
+        (
+            F.col("off")
+            + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    return c.where(F.col("cum_before") < _TBS_BUDGET).select(
+        "doc_id", "source", "quality", "n_tokens", "cum_before"
+    )

@@ -1918,3 +1918,69 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pscore").cast("double"), 6).alias("rake_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_doc_novelty
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    return f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    df AS (
+      SELECT t.code, CAST(count(*) AS BIGINT) AS d
+      FROM sh, unnest(sh.g) AS t(code) GROUP BY t.code)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM sh, unnest(sh.g) AS t(code)
+    JOIN df ON df.code = t.code
+    GROUP BY sh.doc_id
+    """
+
+
+@query("text_doc_novelty", oracle=_novelty_oracle())
+def text_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT NOVELTY / ORIGINALITY score: the fraction of a doc's
+    distinct token-3-gram shingles that occur in NO other document
+    (corpus document frequency 1) — the complement of boilerplate
+    density. Curation reads it two ways: near-zero novelty marks
+    template/duplicated content the dedup pipeline should collapse
+    (the doc shares every shingle), near-one novelty marks content
+    whose loss is unrecoverable (delete it and the n-grams are gone
+    from the corpus — the doc-level version of the memorization-risk
+    signal). Shares the exact shingle fingerprint space with the
+    dedup family (dedup.py _ngram_code_sets), so a novelty cut
+    composes with dedup_ngram_jaccard verdicts code-for-code.
+
+    Scale shape: one explode + one groupBy(code) for corpus document
+    frequencies, one keyed join back (shingle vocabulary outgrows
+    executors — keyed shuffle, never a broadcast), one groupBy(doc).
+    All integer counting until the final ratio; round(6) on both
+    engines."""
+    from .dedup import _ngram_code_sets
+
+    d = table(spark, sf_dir, "documents")
+    sh = _ngram_code_sets(d).select("doc_id", F.explode("cs").alias("code"))
+    df = sh.groupBy("code").agg(F.count("*").alias("d"))
+    return (
+        sh.join(df, "code")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -492,3 +492,42 @@ def test_rolling_p90_matches_numpy(spark):
     assert len(sub) == len(want)
     for r in sub.itertuples():
         assert abs(r.p90_21 - want[r.event_id]) < 1e-9
+
+
+def test_hill_alpha_matches_numpy(spark):
+    pdf = QUERIES["agg_tail_index_hill"](spark, SF).toPandas()
+    v = np.sort(
+        pd.read_parquet(f"{SF}/events.parquet")["value"].to_numpy()
+    )[::-1]
+    m = int(pdf["m"].iloc[0])
+    want = m / np.sum(np.log(v[:m] / v[m]))
+    assert abs(pdf["hill_alpha"].iloc[0] - want) < 1e-4
+    assert pdf["x_threshold"].iloc[0] == round(float(v[m]), 6)
+    # exponential values: Hill alpha drifts high (light tail) — sanity
+    assert pdf["hill_alpha"].iloc[0] > 2
+
+
+def test_markov_stationary_is_fixed_point_and_sums_to_one(spark):
+    pdf = QUERIES["agg_markov_stationary"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame({"a": prev, "b": ev["event_type"]}).dropna()
+    P = pd.crosstab(pairs["a"], pairs["b"], normalize="index")
+    types = sorted(P.index)
+    import numpy.linalg as la
+
+    M = P.loc[types, types].to_numpy()
+    w, vecs = la.eig(M.T)
+    pi = np.real(vecs[:, np.argmax(np.real(w))])
+    pi = pi / pi.sum()
+    got = pdf.set_index("event_type").loc[types, "pi"].to_numpy()
+    assert np.allclose(got, pi, atol=1e-5)
+    assert abs(got.sum() - 1.0) < 1e-5
+    # h_row = conditional entropy of each transition row
+    for i, t in enumerate(types):
+        want_h = -(M[i] * np.log(M[i])).sum()
+        assert abs(
+            pdf.set_index("event_type").loc[t, "h_row"] - want_h
+        ) < 1e-5

@@ -2135,3 +2135,158 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_markov_stationary
+# ---------------------------------------------------------------------------
+
+_MKS_ITERS = 12  # fixed power iterations (dense 5-state chain mixes in ~3)
+
+
+def _markov_stationary_oracle() -> str:
+    parts = [
+        """seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS MATERIALIZED (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    trans AS MATERIALIZED (
+      SELECT c.prev_type, c.next_type, c.n,
+             CAST(t.rt AS BIGINT) AS rt
+      FROM c JOIN (SELECT prev_type, sum(n) AS rt FROM c GROUP BY 1) t
+        ON c.prev_type = t.prev_type),
+    k AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT prev_type) AS BIGINT) AS k FROM trans),
+    pi0 AS MATERIALIZED (
+      SELECT DISTINCT prev_type AS et,
+             CAST(1.0 AS DOUBLE) / (SELECT k FROM k) AS pi
+      FROM trans)"""
+    ]
+    for i in range(_MKS_ITERS):
+        parts.append(
+            f"""pi{i + 1} AS MATERIALIZED (
+      SELECT trans.next_type AS et,
+             round(sum(pi{i}.pi * (CAST(trans.n AS DOUBLE) / trans.rt)), 9)
+               AS pi
+      FROM trans JOIN pi{i} ON trans.prev_type = pi{i}.et
+      GROUP BY trans.next_type)"""
+        )
+    R = _MKS_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    h AS (
+      SELECT prev_type AS et,
+             sum(CAST(round((CAST(n AS DOUBLE) / rt)
+                            * ln(CAST(n AS DOUBLE) / rt), 9)
+                      AS DECIMAL(28,9))) AS hsum
+      FROM trans GROUP BY prev_type)
+    SELECT p.et AS event_type, round(p.pi, 6) AS pi,
+           round(-CAST(h.hsum AS DOUBLE), 6) AS h_row
+    FROM pi{R} p JOIN h ON p.et = h.et"""
+    )
+
+
+@query("agg_markov_stationary", oracle=_markov_stationary_oracle())
+def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain
+    (agg_markov_transition's matrix) by fixed-round power iteration,
+    plus each state's conditional transition entropy — together the
+    long-run occupancy forecast and the per-state predictability that
+    behavioral monitoring reads off a user-event model (a state with
+    high pi and low h_row is a stable attractor; high h_row marks
+    branching states where prediction degrades).
+
+    Iteration discipline (the graph_pagerank_neardup rules): the
+    transition matrix is DOMAIN-BOUNDED (|types|^2 rows) and
+    referenced every round, so it is localCheckpoint-ed once; every
+    iteration quantizes with round(9) on BOTH engines so sub-ulp
+    drift in unordered float sums cannot compound; the oracle unrolls
+    the same _MKS_ITERS = 12 rounds as chained AS MATERIALIZED CTEs.
+    An in-plan assert_true(|pi_12 - pi_11| <= 1e-6 per state) turns
+    non-convergence into a query failure instead of a wrong-looking
+    stationary vector. Entropy terms quantize round(9) into DECIMAL
+    before the order-independent sum (ln drift perturbs h_row ~1e-9,
+    three orders under the round(6) quantum).
+
+    Scale shape: one user_id-partitioned lag window over the event
+    stream (the only data-sized stage), then everything lives on the
+    types^2 domain — 12 tiny joins, no corpus rescan."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = c.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("rt")
+    )
+    trans = c.join(tot, "prev_type").localCheckpoint()  # types^2 rows
+    k = trans.select("prev_type").distinct().count()  # bounded domain
+    pi = trans.select("prev_type").distinct().select(
+        F.col("prev_type").alias("et"),
+        F.expr(f"CAST(1.0 AS DOUBLE) / {k}").alias("pi"),
+    )
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        prev = pi.localCheckpoint()
+        for _ in range(_MKS_ITERS):
+            cur = (
+                trans.join(prev, trans.prev_type == prev.et)
+                .groupBy(F.col("next_type").alias("et2"))
+                .agg(
+                    F.round(
+                        F.sum(
+                            F.col("pi")
+                            * (F.col("n").cast("double") / F.col("rt"))
+                        ),
+                        9,
+                    ).alias("pi")
+                )
+                .select(F.col("et2").alias("et"), "pi")
+                .localCheckpoint()
+            )
+            prev, prior = cur, prev
+        h = trans.groupBy(F.col("prev_type").alias("et")).agg(
+            F.sum(
+                F.expr(
+                    "CAST(round((CAST(n AS DOUBLE) / rt)"
+                    " * ln(CAST(n AS DOUBLE) / rt), 9) AS DECIMAL(28,9))"
+                )
+            ).alias("hsum")
+        )
+        checked = (
+            prev.join(
+                prior.select(
+                    F.col("et").alias("et_p"), F.col("pi").alias("pi_p")
+                ),
+                prev.et == F.col("et_p"),
+            )
+            .where(
+                F.assert_true(
+                    F.abs(F.col("pi") - F.col("pi_p")) <= 1e-6,
+                    F.lit("markov power iteration not converged"),
+                ).isNull()
+            )
+            .select("et", "pi")
+        )
+        out = checked.join(h, "et").select(
+            F.col("et").alias("event_type"),
+            F.round("pi", 6).alias("pi"),
+            F.round(-F.col("hsum").cast("double"), 6).alias("h_row"),
+        )
+        return out.localCheckpoint()  # bounded: one row per event type
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)

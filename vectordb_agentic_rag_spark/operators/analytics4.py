@@ -1826,3 +1826,94 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("source", "status").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_tail_index_hill
+# ---------------------------------------------------------------------------
+
+_HILL_M = 100  # tail order statistics used by the estimator
+
+
+@query(
+    "agg_tail_index_hill",
+    oracle=f"""
+    WITH top AS (
+      SELECT value, event_id,
+             row_number() OVER (ORDER BY value DESC, event_id) AS rk
+      FROM (
+        SELECT value, event_id FROM events
+        ORDER BY value DESC, event_id LIMIT {_HILL_M + 1}) t),
+    thr AS (SELECT value AS xt FROM top WHERE rk = {_HILL_M + 1}),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(CAST(round(ln(top.value / thr.xt), 9) AS DECIMAL(28,9)))
+               AS lsum,
+             max(thr.xt) AS xt
+      FROM top CROSS JOIN thr WHERE top.rk <= {_HILL_M})
+    SELECT m, round(xt, 6) AS x_threshold,
+           round(m / CAST(lsum AS DOUBLE), 6) AS hill_alpha,
+           round(CAST(lsum AS DOUBLE) / m, 6) AS mean_log_excess
+    FROM s
+    """,
+)
+def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL TAIL-INDEX estimator over event values: alpha =
+    m / sum_{i<=m} ln(x_(i) / x_(m+1)) from the top m+1 order
+    statistics — THE standard heavy-tail diagnostic (Hill 1975). A
+    monitoring pipeline reads it before trusting any mean-based SLO:
+    alpha <= 2 means infinite variance (percentile alerting only),
+    and a falling alpha under drift means the tail is fattening
+    faster than the median moves. The fixture's exponential values
+    are a known light-tail reference point (Hill on exponential data
+    drifts high), pinned by the pytest against numpy.
+
+    Scale shape: the ONLY data-sized stage is a global top-(m+1) —
+    orderBy + limit, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps + one k-row merge; the round-6 rule: never a
+    global row_number window). Everything after lives on m+1 rows.
+
+    Parity: the deterministic tail SET comes from the shared
+    (value DESC, event_id) order; per-row log-excess terms quantize
+    round(9) into DECIMAL before the order-independent sum; the two
+    final divisions share text. A cross-libm ln flip moves one term
+    by 1e-9 and alpha by ~alpha^2 * 1e-9 / m ~ 1e-13."""
+    ev = table(spark, sf_dir, "events")
+    top = (
+        ev.select("value", "event_id")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(_HILL_M + 1)
+        .select(
+            "value",
+            "event_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("value").desc(), "event_id"))
+            .alias("rk"),
+        )
+    )
+    thr = top.where(F.col("rk") == _HILL_M + 1).select(
+        F.col("value").alias("xt")
+    )
+    s = (
+        top.where(F.col("rk") <= _HILL_M)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum(
+                F.expr(
+                    "CAST(round(ln(value / xt), 9) AS DECIMAL(28,9))"
+                )
+            ).alias("lsum"),
+            F.max("xt").alias("xt"),
+        )
+    )
+    return s.select(
+        "m",
+        F.round("xt", 6).alias("x_threshold"),
+        F.round(F.col("m") / F.col("lsum").cast("double"), 6).alias(
+            "hill_alpha"
+        ),
+        F.round(F.col("lsum").cast("double") / F.col("m"), 6).alias(
+            "mean_log_excess"
+        ),
+    )

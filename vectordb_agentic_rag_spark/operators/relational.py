@@ -2171,3 +2171,77 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("lev") <= 1)
     )
+
+
+@query(
+    "maintenance_partition_skew_report",
+    oracle="""
+    WITH p AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(32 + length(props)) AS BIGINT) AS est_bytes
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(n_rows) AS BIGINT) AS total_rows
+      FROM p)
+    SELECT event_type, day, n_rows, est_bytes,
+           CAST((est_bytes + 134217727) // 134217728 AS BIGINT)
+             AS files_128mb,
+           round(CAST(n_rows AS DOUBLE) * n_parts / total_rows, 6)
+             AS skew_ratio,
+           n_rows * n_parts > 2 * total_rows AS is_skewed
+    FROM p CROSS JOIN t
+    """,
+)
+def maintenance_partition_skew_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SKEW AUDIT for a proposed hive-partitioned write —
+    the planning step before `PARTITIONED BY (event_type, day)` at
+    100 TB: per partition spec, the row count, an estimated byte size
+    (fixed row overhead + payload length — scan-side, no second
+    pass), the 128 MB-target file count the writer should coalesce
+    to, each partition's size relative to the mean (skew_ratio), and
+    a flag for partitions > 2x the mean — the ones that need AQE skew
+    handling or a salted sub-key. sink_partitioned_pruning writes the
+    layout; this op is the audit that decides whether the layout is
+    safe to write.
+
+    Exactness: byte estimate and file count are pure integer
+    arithmetic (ceiling division via (b + target-1) div target); the
+    skew FLAG is an exact integer cross-multiplication
+    (n_rows * n_parts > 2 * total_rows), never a float threshold;
+    only the reported ratio divides, round(6), same shape both
+    engines.
+
+    Scale shape: one map-side-combined groupBy over the partition-key
+    domain, a 1-row totals broadcast — the audit costs one scan."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(32 + F.length("props")).cast("bigint").alias("est_bytes"),
+    )
+    t = p.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+    )
+    return p.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "day",
+        "n_rows",
+        "est_bytes",
+        F.expr("CAST((est_bytes + 134217727) div 134217728 AS BIGINT)").alias(
+            "files_128mb"
+        ),
+        F.round(
+            F.col("n_rows").cast("double") * F.col("n_parts")
+            / F.col("total_rows"),
+            6,
+        ).alias("skew_ratio"),
+        (F.col("n_rows") * F.col("n_parts") > 2 * F.col("total_rows")).alias(
+            "is_skewed"
+        ),
+    )

@@ -920,3 +920,107 @@ def stream_page_hinkley_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("al") > 0).cast("bigint").alias("alarmed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_ewma_live
+# ---------------------------------------------------------------------------
+
+_EWMA_LIVE_ALPHA = 0.25  # binary-exact smoothing constant (win_ewma_smooth)
+
+
+@query(
+    "stream_ewma_live",
+    # Full oracle by the stream_cusum_live identity: the EWMA fold is
+    # prefix-incremental, the time-ordered replay preserves per-key
+    # order, the per-batch emitted summaries carry a MONOTONE n, so
+    # max_by(ewma, n) over the drained append-mode table is the final
+    # state — and the final state equals the batch fold over the whole
+    # series because the Python loop's float op order (s + 0.25*(x-s),
+    # left-assoc, x pre-rounded JVM-side) matches the recursive CTE
+    # step exactly with a binary-exact alpha.
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, round(value, 6) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    nn AS (SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id),
+    st AS (
+      SELECT s.user_id, 1 AS i, s.x AS s
+      FROM seq s WHERE s.rn = 1
+      UNION ALL
+      SELECT st.user_id, st.i + 1,
+             st.s + {_EWMA_LIVE_ALPHA} * (s.x - st.s)
+      FROM st JOIN seq s ON s.user_id = st.user_id AND s.rn = st.i + 1)
+    SELECT st.user_id, CAST(nn.n AS BIGINT) AS n_events,
+           round(st.s, 6) AS ewma
+    FROM st JOIN nn ON st.user_id = nn.user_id AND st.i = nn.n
+    """,
+)
+def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE EWMA per user via applyInPandasWithState — the streaming
+    twin of win_ewma_smooth (alpha = 0.25, binary-exact), the smoothed
+    health signal a monitor keeps ONLINE per entity where the batch
+    window op recomputes it per query. State per user: (s, n); each
+    micro-batch folds its time-ordered slice through
+    s += alpha * (x - s) and emits the cumulative (n, s), so the
+    drained table reduces per user to max(n) / max_by(s, n) — n is
+    the monotone witness (the stream_token_bucket_live reduction).
+
+    The per-event recurrence is inherently sequential — an explicit
+    loop over each user's bounded batch slice (the
+    applyInPandasWithState contract), arithmetically IDENTICAL to the
+    batch fold and the oracle's recursive CTE step, which is why this
+    live op carries a FULL oracle rather than a rows-only check."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    alpha = _EWMA_LIVE_ALPHA
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = None, 0
+        (user_id,) = key
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            part = pdf.sort_values(["us", "event_id"])
+            for x in part["x"].to_numpy():
+                s = float(x) if s is None else s + alpha * (float(x) - s)
+            n += len(part)
+        state.update((s, n))
+        yield pd.DataFrame(
+            [(user_id, n, s)], columns=["user_id", "n", "s"]
+        )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round("value", 6).alias("x"),
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, n bigint, s double",
+        stateStructType="s double, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "ewma_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        spark.table("ewma_live")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.round(F.expr("max_by(s, n)"), 6).alias("ewma"),
+        )
+    )

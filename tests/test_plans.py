@@ -862,3 +862,22 @@ def test_spc_western_electric_single_exchange(spark, sf_dir):
     assert "hashpartitioning(user_id" in plan
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hill_tail_global_topk_is_take_ordered(spark, sf_dir):
+    # the only data-sized stage is the global top-(m+1): must plan as
+    # TakeOrderedAndProject (per-partition heaps), never a global sort
+    # of the events; the rank window runs on the bounded 101-row set
+    plan = plan_of(QUERIES["agg_tail_index_hill"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_select_no_per_source_global_sort(spark, sf_dir):
+    # the per-source running token total decomposes over the quality
+    # domain: no range partitioning anywhere, both side tables broadcast
+    plan = plan_of(QUERIES["pipeline_token_budget_select"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan

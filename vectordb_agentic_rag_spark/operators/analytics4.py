@@ -1917,3 +1917,192 @@ def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_log_excess"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_gumbel_block_maxima
+# ---------------------------------------------------------------------------
+
+# Euler-Mascheroni constant, 15 significant digits (double-exact text)
+_GUMBEL_GAMMA = "0.577215664901533"
+
+
+@query(
+    "agg_gumbel_block_maxima",
+    oracle=f"""
+    WITH bm AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(max(value), 6) AS DECIMAL(18,6)) AS mx
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mx) AS DOUBLE) AS sx,
+             CAST(sum(mx * mx) AS DOUBLE) AS sxx
+      FROM bm),
+    m AS (
+      SELECT n, sx / n AS mean_mx,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_mx
+      FROM s)
+    SELECT n AS n_blocks,
+           round(mean_mx, 6) AS mean_max,
+           round(sd_mx * sqrt(6.0) / pi(), 6) AS gumbel_beta,
+           round(mean_mx - {_GUMBEL_GAMMA} * sd_mx * sqrt(6.0) / pi(), 6)
+             AS gumbel_mu,
+           round(mean_mx - {_GUMBEL_GAMMA} * sd_mx * sqrt(6.0) / pi()
+                 - sd_mx * sqrt(6.0) / pi() * ln(-ln(0.99)), 6)
+             AS return_level_100
+    FROM m
+    """,
+)
+def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREME-VALUE MONITORING — a Gumbel fit over DAILY BLOCK MAXIMA
+    of event values by method of moments (beta = s*sqrt(6)/pi, mu =
+    mean - gamma*beta, the standard quick EVT fit), plus the 100-block
+    return level mu - beta*ln(-ln(0.99)) — the value exceeded once per
+    ~100 days, which is what capacity planning and alert-threshold
+    design actually consume (a p99 over raw events says nothing about
+    daily worst cases; block maxima are the EVT-correct object).
+
+    Scale shape: one map-side-combined groupBy(day) max over the
+    stream — the only data-sized stage — then moments over the
+    bounded day domain. One-row output.
+
+    Parity: block maxima are round(6) DECIMAL(18,6) (exact,
+    order-independent sums; squares are (37,12), exact for round-6
+    inputs — the win_bollinger_bands width rule); mean/sd/fit evaluate
+    the IDENTICAL double expression text on both engines (sqrt and
+    pi() are correctly-rounded/identical constants; ln(-ln(0.99)) is
+    one shared transcendental of a literal). gamma is a 15-digit
+    literal, double-exact on both sides."""
+    ev = table(spark, sf_dir, "events")
+    bm = ev.groupBy(
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.expr("CAST(round(max(value), 6) AS DECIMAL(18,6))").alias("mx")
+    )
+    s = bm.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("mx").cast("double").alias("sx"),
+        F.sum(F.col("mx") * F.col("mx")).cast("double").alias("sxx"),
+    )
+    m = s.selectExpr(
+        "n",
+        "sx / n AS mean_mx",
+        "sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_mx",
+    )
+    beta = "sd_mx * sqrt(6.0) / pi()"
+    return m.selectExpr(
+        "n AS n_blocks",
+        "round(mean_mx, 6) AS mean_max",
+        f"round({beta}, 6) AS gumbel_beta",
+        f"round(mean_mx - {_GUMBEL_GAMMA} * {beta}, 6) AS gumbel_mu",
+        f"round(mean_mx - {_GUMBEL_GAMMA} * {beta}"
+        f" - {beta} * ln(-ln(0.99)), 6) AS return_level_100",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_annotation_agreement
+# ---------------------------------------------------------------------------
+
+# Two deterministic weak labelers for "document length class": A reads
+# raw characters, B reads whitespace tokens — real, imperfectly
+# correlated proxies (exactly the disagreement pattern a labeling QA
+# gate sees), not hash noise.
+_ANN_A = (
+    "CASE WHEN n_chars < 200 THEN 'short' "
+    "WHEN n_chars < 350 THEN 'medium' ELSE 'long' END"
+)
+_ANN_B_DUCK = (
+    "CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short' "
+    "WHEN len(string_split(text, ' ')) < 70 THEN 'medium' "
+    "ELSE 'long' END"
+)
+_ANN_B_SPARK = (
+    "CASE WHEN size(split(text, ' ')) < 40 THEN 'short' "
+    "WHEN size(split(text, ' ')) < 70 THEN 'medium' "
+    "ELSE 'long' END"
+)
+
+
+@query(
+    "pipeline_annotation_agreement",
+    oracle=f"""
+    WITH lab AS (
+      SELECT {_ANN_A} AS la, {_ANN_B_DUCK} AS lb FROM documents),
+    cm AS (
+      SELECT la, lb, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2),
+    marg AS (
+      SELECT a.la AS lbl,
+             CAST(ra.r AS BIGINT) AS row_a, CAST(cb.c AS BIGINT) AS col_b
+      FROM (SELECT DISTINCT la FROM cm) a
+      JOIN (SELECT la, sum(c) AS r FROM cm GROUP BY la) ra ON ra.la = a.la
+      JOIN (SELECT lb, sum(c) AS c FROM cm GROUP BY lb) cb ON cb.lb = a.la),
+    s AS (
+      SELECT CAST((SELECT sum(c) FROM cm) AS BIGINT) AS n,
+             CAST((SELECT sum(c) FROM cm WHERE la = lb) AS BIGINT) AS agree,
+             CAST((SELECT sum(row_a * col_b) FROM marg) AS BIGINT) AS prod)
+    SELECT n AS n_docs,
+           round(CAST(agree AS DOUBLE) / n, 6) AS po,
+           round(CAST(prod AS DOUBLE) / (n * n), 6) AS pe,
+           round(CAST(agree * n - prod AS DOUBLE) / (n * n - prod), 6)
+             AS kappa
+    FROM s
+    """,
+)
+def pipeline_annotation_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTER-ANNOTATOR AGREEMENT (Cohen's kappa) between two
+    deterministic weak labelers of document length class — the QA
+    gate a labeling/weak-supervision pipeline runs before trusting a
+    label source: raw agreement po means nothing when the label
+    distribution is skewed; kappa corrects for chance agreement
+    pe = sum_i p_A(i) * p_B(i). Labeler A classes by characters,
+    labeler B by whitespace tokens (module constants) — genuinely
+    correlated-but-imperfect proxies, so the confusion matrix has
+    real off-diagonal mass.
+
+    Exactness: kappa reduces to the EXACT INTEGER ratio
+    (agree*n - sum_i rowA_i*colB_i) / (n^2 - sum_i rowA_i*colB_i) —
+    one double division at the end, round(6); po and pe likewise
+    single divisions of integers. No float ever enters the confusion
+    counting.
+
+    Scale shape: one scan -> |labels|^2 confusion aggregate
+    (map-side combined); marginals and kappa live on the bounded
+    label domain. One-row output."""
+    d = table(spark, sf_dir, "documents")
+    lab = d.selectExpr(f"{_ANN_A} AS la", f"{_ANN_B_SPARK} AS lb")
+    cm = lab.groupBy("la", "lb").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ra = cm.groupBy("la").agg(F.sum("c").cast("bigint").alias("row_a"))
+    cb = cm.groupBy(F.col("lb").alias("la")).agg(
+        F.sum("c").cast("bigint").alias("col_b")
+    )
+    marg = ra.join(cb, "la")
+    s = (
+        cm.agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("agree"),
+        )
+        .crossJoin(
+            F.broadcast(
+                marg.agg(
+                    F.sum(F.col("row_a") * F.col("col_b"))
+                    .cast("bigint")
+                    .alias("prod")
+                )
+            )
+        )
+    )
+    return s.selectExpr(
+        "n AS n_docs",
+        "round(CAST(agree AS DOUBLE) / n, 6) AS po",
+        "round(CAST(prod AS DOUBLE) / (n * n), 6) AS pe",
+        "round(CAST(agree * n - prod AS DOUBLE) / (n * n - prod), 6)"
+        " AS kappa",
+    )

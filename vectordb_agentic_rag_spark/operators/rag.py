@@ -505,3 +505,111 @@ def rag_bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "doc_id", F.round("score_raw", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_context_window_pack
+# ---------------------------------------------------------------------------
+
+_CWP_FETCH = 10  # retrieval depth per query (rank gate BEFORE packing)
+_CWP_BUDGET = 900  # context character budget per query
+
+
+def _context_pack_oracle() -> str:
+    from .vector import _DD_COS
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding
+      FROM embeddings WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_DD_COS.format(a='c.embedding', b='q.qv')}, 6) AS sim
+      FROM c CROSS JOIN q),
+    topk AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+               AS INTEGER) AS rn
+      FROM sims
+      QUALIFY rn <= {_CWP_FETCH}),
+    packed AS (
+      SELECT t.query_id, t.neighbor_id, t.sim, t.rn,
+             CAST(d.n_chars AS BIGINT) AS n_chars,
+             CAST(coalesce(sum(d.n_chars) OVER (
+               PARTITION BY t.query_id ORDER BY t.rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rn, n_chars, cum_before
+    FROM packed WHERE cum_before < {_CWP_BUDGET}
+    """
+
+
+@query("rag_context_window_pack", oracle=_context_pack_oracle())
+def rag_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGETED CONTEXT ASSEMBLY — the data half of the reference's
+    stuff-documents chain (app.py:396 concatenates every retrieved doc
+    into the prompt and HOPES it fits): per query, take the
+    cosine-ranked top-10 retrieved documents and greedily pack them
+    into a fixed character budget in rank order — a doc enters the
+    context iff the docs ranked above it total under the budget (the
+    first doc always enters; the boundary doc may overshoot — the
+    text_chunk_recursive greedy-pack convention). Output is exactly
+    the per-query context manifest a serving tier concatenates.
+
+    Scale shape (the RRF lesson, applied): the RANK GATE comes first —
+    the per-query top-10 window runs over the broadcast-query x corpus
+    scores, and the PACKING window then touches only the <= 10
+    survivors per query, joined to document lengths by key. No
+    unbounded window ever sees the corpus. One corpus pass, two
+    bounded windows.
+
+    Parity: sims round(6) (the shared sequential-fold cosine), so the
+    rank order — and therefore the integer cum_before prefix sums and
+    the budget cut — is identical on both engines."""
+    from .vector import _query_vectors, _query_vector_raw
+    from ..functions.vector import cosine_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    q = _query_vectors(spark, sf_dir, 10)
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    d = len(_query_vector_raw(sf_dir, 0))
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    topk = sims.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _CWP_FETCH
+    )
+    wp = (
+        Window.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = topk.join(docs, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        "rn",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(wp), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    return packed.where(F.col("cum_before") < _CWP_BUDGET).select(
+        "query_id", "neighbor_id", "sim", "rn", "n_chars", "cum_before"
+    )

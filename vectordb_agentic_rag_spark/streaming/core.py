@@ -1024,3 +1024,119 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("max_by(s, n)"), 6).alias("ewma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_markov_transition_live
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_markov_transition_live",
+    # Full oracle: per-key time-ordered replay makes every adjacent
+    # pair deterministic; the state carries each user's LAST event type
+    # across micro-batches, so the boundary transition between batch b
+    # and b+1 is counted exactly once (in b+1); emitted per-batch
+    # increments therefore SUM to the batch lag-window pair counts —
+    # agg_markov_transition's matrix, row-normalized after the drain.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT prev_type, sum(n_trans) AS row_total FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n_trans,
+           round(CAST(c.n_trans AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6)
+             AS p
+    FROM c JOIN tot t ON c.prev_type = t.prev_type
+    """,
+)
+def stream_markov_transition_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE first-order Markov transition counting per user via
+    applyInPandasWithState — the streaming twin of
+    agg_markov_transition, maintaining the behavioral model ONLINE
+    (drift monitors compare this live matrix against a trained
+    reference; here the drained matrix itself is the contract). State
+    per user: (last event type, n); each micro-batch folds its
+    time-ordered slice, counts the adjacent pairs INCLUDING the
+    boundary pair from the carried last-type (counted exactly once,
+    in the later batch), and emits per-batch (prev, next, increment)
+    rows; the drained append-mode table sums to the exact batch
+    lag-window matrix, then row-normalizes — which is why this live
+    op carries the FULL agg_markov_transition oracle.
+
+    Bounded state (one string + one int per user); per-batch work is
+    the slice length; emitted rows are bounded by |types|^2 per user
+    per batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last, n = state.get
+        else:
+            last, n = None, 0
+        counts: dict[tuple[str, str], int] = {}
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            part = pdf.sort_values(["us", "event_id"])
+            for et in part["event_type"]:
+                if last is not None:
+                    k2 = (last, et)
+                    counts[k2] = counts.get(k2, 0) + 1
+                last = et
+            n += len(part)
+        state.update((last if last is not None else "", n))
+        yield pd.DataFrame(
+            [(a, b, c) for (a, b), c in counts.items()],
+            columns=["prev_type", "next_type", "c"],
+        )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="prev_type string, next_type string, c bigint",
+        stateStructType="last string, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "markov_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    c = (
+        spark.table("markov_live")
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("c").cast("bigint").alias("n_trans"))
+        .localCheckpoint()  # bounded: |types|^2 rows; breaks the
+        # memory-sink self-reference that trips conflicting-attribute
+        # resolution in the totals self-join
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n_trans").alias("row_total"))
+    return c.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.col("row_total").cast("double"),
+            6,
+        ).alias("p"),
+    )

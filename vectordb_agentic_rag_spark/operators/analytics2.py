@@ -1854,3 +1854,152 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), "tok")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cusum_arl_calibration
+# ---------------------------------------------------------------------------
+
+_ARL_HS = (50.0, 100.0, 200.0, 400.0)  # binary-exact threshold sweep
+
+
+def _arl_oracle() -> str:
+    h1, h2, h3, h4 = _ARL_HS
+    firsts_anchor = ", ".join(
+        f"CASE WHEN greatest(0.0, s.x - mu.m - {_CUSUM_K}) > {h}"
+        f" THEN 1 ELSE 0 END AS f{j}"
+        for j, h in enumerate(_ARL_HS, 1)
+    )
+    firsts_step = ", ".join(
+        f"CASE WHEN st.f{j} = 0 AND"
+        f" greatest(0.0, st.cs + s.x - mu.m - {_CUSUM_K}) > {h}"
+        f" THEN st.i + 1 ELSE st.f{j} END"
+        for j, h in enumerate(_ARL_HS, 1)
+    )
+    per_h = "\n    UNION ALL ".join(
+        f"""SELECT CAST({h} AS DOUBLE) AS h,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN f.f{j} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarmed,
+           round(CAST(sum(CASE WHEN f.f{j} > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS pct_alarmed,
+           round(CAST(sum(CASE WHEN f.f{j} > 0 THEN f.f{j} ELSE 0 END)
+                      AS DOUBLE)
+                 / nullif(sum(CASE WHEN f.f{j} > 0 THEN 1 ELSE 0 END), 0),
+                 6) AS avg_run_length
+    FROM f"""
+        for j, h in enumerate(_ARL_HS, 1)
+    )
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, round(value, 6) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    mu AS (
+      SELECT user_id,
+             CAST(sum(CAST(x AS DECIMAL(28, 6))) AS DOUBLE) / count(*) AS m,
+             max(rn) AS n
+      FROM seq GROUP BY user_id),
+    st AS (
+      SELECT s.user_id, 1 AS i,
+             greatest(0.0, s.x - mu.m - {_CUSUM_K}) AS cs,
+             {firsts_anchor}
+      FROM seq s JOIN mu ON s.user_id = mu.user_id AND s.rn = 1
+      UNION ALL
+      SELECT st.user_id, st.i + 1,
+             greatest(0.0, st.cs + s.x - mu.m - {_CUSUM_K}),
+             {firsts_step}
+      FROM st JOIN seq s ON s.user_id = st.user_id AND s.rn = st.i + 1
+              JOIN mu ON mu.user_id = st.user_id),
+    f AS (
+      SELECT st.* FROM st JOIN mu
+        ON st.user_id = mu.user_id AND st.i = mu.n)
+    {per_h}
+    """
+
+
+@query("agg_cusum_arl_calibration", oracle=_arl_oracle())
+def agg_cusum_arl_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM DETECTOR CALIBRATION: the empirical run-length table for
+    win_cusum_changepoint's statistic across a threshold sweep
+    (h in 50/100/200/400) — per threshold, how many users ever alarm
+    and the average index of the FIRST alarm among those who do (the
+    empirical ARL). This is how a monitoring team actually picks h:
+    too low gives short run lengths (false-alarm storms), too high
+    never fires; the fixture's h=200 choice (~4 sigma) sits where the
+    alarm fraction drops steeply — the table makes that visible
+    instead of folklore.
+
+    One fold computes ALL thresholds: the per-user sequential CUSUM
+    fold (sort_array + aggregate, the win_cusum_changepoint shape)
+    carries a struct of four first-alarm indices updated as
+    fj := i when fj = 0 and cs crosses h_j — integer indices, so the
+    per-threshold ARL is a ratio of exact integers. The oracle is the
+    same recursive CTE with four first columns (struct list_reduce is
+    broken in DuckDB — round-6 note).
+
+    Scale: one user_id shuffle, per-user bounded fold, 4-row output
+    via stack() over the threshold domain."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.select(
+            "user_id",
+            F.round("value", 6).alias("x"),
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                F.round("value", 6).alias("x"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("m"),
+            F.sort_array(F.collect_list("s")).alias("ss"),
+        )
+    )
+    init_firsts = ", ".join(
+        f"'f{j}', CAST(0 AS BIGINT)" for j in range(1, len(_ARL_HS) + 1)
+    )
+    step_firsts = ", ".join(
+        f"'f{j}', IF(s.f{j} = 0 AND "
+        f"greatest(0.0D, s.cs + x - m - {_CUSUM_K}D) > {h}D, "
+        f"s.i + 1, s.f{j})"
+        for j, h in enumerate(_ARL_HS, 1)
+    )
+    fold = F.expr(
+        "aggregate(transform(ss, s -> s.x), "
+        f"named_struct('cs', CAST(0.0 AS DOUBLE), 'i', CAST(0 AS BIGINT), "
+        f"{init_firsts}), "
+        f"(s, x) -> named_struct("
+        f"'cs', greatest(0.0D, s.cs + x - m - {_CUSUM_K}D), "
+        f"'i', s.i + 1, {step_firsts}))"
+    )
+    per_user = v.select(fold.alias("st")).select(
+        *[F.col(f"st.f{j}").alias(f"f{j}") for j in range(1, len(_ARL_HS) + 1)]
+    )
+    aggs = []
+    for j, h in enumerate(_ARL_HS, 1):
+        aggs += [
+            F.count("*").cast("bigint").alias(f"nu{j}"),
+            F.sum(F.when(F.col(f"f{j}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"na{j}"),
+            F.sum(F.when(F.col(f"f{j}") > 0, F.col(f"f{j}")).otherwise(0))
+            .cast("bigint")
+            .alias(f"fs{j}"),
+        ]
+    wide = per_user.agg(*aggs)
+    stacked = ", ".join(
+        f"{h}D, nu{j}, na{j}, "
+        f"round(CAST(na{j} AS DOUBLE) / nu{j}, 6), "
+        f"round(CAST(fs{j} AS DOUBLE) / nullif(na{j}, 0), 6)"
+        for j, h in enumerate(_ARL_HS, 1)
+    )
+    return wide.selectExpr(
+        f"stack({len(_ARL_HS)}, {stacked}) AS "
+        "(h, n_users, n_alarmed, pct_alarmed, avg_run_length)"
+    )

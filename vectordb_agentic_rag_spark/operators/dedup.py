@@ -1427,3 +1427,74 @@ def dedup_weighted_prefix_filter(
             ).alias("jaccard_weighted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_dedup_cluster_quality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_dedup_cluster_quality",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CC_CTES},
+    lbl AS (
+      SELECT node AS doc_id, min(anc) AS cluster_id
+      FROM reach GROUP BY node),
+    cl AS (
+      SELECT l.cluster_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+      FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+      GROUP BY l.cluster_id)
+    SELECT n_docs AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source,
+           CAST(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_lang,
+           round(CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS pct_cross_source
+    FROM cl GROUP BY n_docs
+    """,
+)
+def text_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP CLUSTER QUALITY AUDIT: per cluster size, how many of
+    dedup_connected_components' clusters span more than one SOURCE or
+    LANG — the leakage signal split design needs (a near-dup cluster
+    crossing sources means source-partitioned train/val splits leak
+    content across the boundary; pipeline_split_leakage_pairs counts
+    the pairs, this audits the cluster structure that produces them)
+    and the sanity check on the dedup threshold itself (multilingual
+    "clusters" at a token-shingle threshold usually mean the gate is
+    too loose).
+
+    Scale shape: cluster labels come from the shared materialized CC
+    pipeline (edge-induced subgraph only — the cache note on
+    dedup_connected_components); one join to doc metadata, one
+    cluster-sized aggregate, one histogram over the bounded
+    cluster-size domain. Integer counts; one round(6) share."""
+    lbl = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    cl = lbl.join(d, "doc_id").groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    return cl.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cross_source"),
+        F.sum(F.when(F.col("n_langs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cross_lang"),
+        F.round(
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("pct_cross_source"),
+    )

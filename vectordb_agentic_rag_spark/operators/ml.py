@@ -25,7 +25,7 @@ for ANN (app.py:271). Batch Spark replaces them with:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, cosine_fixed
@@ -422,34 +422,30 @@ def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_recall_guard(top, q, corpus, sf_dir, floor=0.7)
 
 
-@query("vec_ivf_ann")  # rows-only: KMeans model isn't SQL-expressible
-def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN, the FAISS batch shape end to end: the coarse
-    quantizer (KMeans k=16, seed 42) trains driver-side in numpy on a
-    BOUNDED sample (4096 vectors — FAISS trains on ~256/list), the
-    centroids broadcast, list assignment is ONE mapInArrow GEMM pass
-    over the corpus (argmax of x.c - |c|^2/2 == nearest-euclidean),
-    each query probes its 6 nearest centroids and brute-forces only
-    those lists (~3/8 of the corpus -> recall ~0.8 on this weakly-
-    clustered synthetic data). vs the MLlib fit: no iterative scans of
-    the corpus, no per-iteration job overhead — the corpus is touched
-    exactly twice (assign, search)."""
-    import numpy as np
-    import pandas as pd
-
-    q, corpus = _queries_and_corpus(spark, sf_dir)
+def _ivf_centroids(corpus, sf_dir: str):
+    """Coarse-quantizer centroids (KMeans k=16, seed 42) trained
+    driver-side on the bounded deterministic sample; cached per
+    sf_dir and shared by vec_ivf_ann and vec_ann_recall_sweep."""
     if sf_dir not in _IVF_CENTS_CACHE:
         sample = _corpus_sample(corpus, sf_dir)
         _IVF_CENTS_CACHE[sf_dir] = _lloyd_multispace(
             sample[:, None, :], K=16, iters=8, seed=42
         )[0]
-    cents = _IVF_CENTS_CACHE[sf_dir]
+    return _IVF_CENTS_CACHE[sf_dir]
+
+
+def _ivf_assigned(spark: SparkSession, corpus: DataFrame, cents) -> DataFrame:
+    """One GEMM pass assigning every corpus vector to its nearest
+    coarse centroid (argmax x.c - |c|^2/2 == nearest-euclidean).
+
+    mapInArrow, not mapInPandas: pandas conversion materializes one
+    ndarray OBJECT per embedding cell (measured 2.5x the whole job on
+    the dedup verify kernel) — read the ListArray buffer flat and
+    reshape on the known fixed dim instead."""
+    import numpy as np
+
     bc = spark.sparkContext.broadcast(cents)
 
-    # mapInArrow, not mapInPandas: pandas conversion materializes one
-    # ndarray OBJECT per embedding cell (measured 2.5x the whole job on
-    # the dedup verify kernel) — read the ListArray buffer flat and
-    # reshape on the known fixed dim instead
     def assign(batches):
         import pyarrow as pa
 
@@ -472,9 +468,29 @@ def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["vec_id", "embedding", "list_id"],
             )
 
-    assigned = corpus.select("vec_id", "embedding").mapInArrow(
+    return corpus.select("vec_id", "embedding").mapInArrow(
         assign, "vec_id bigint, embedding array<float>, list_id int"
     )
+
+
+@query("vec_ivf_ann")  # rows-only: KMeans model isn't SQL-expressible
+def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, the FAISS batch shape end to end: the coarse
+    quantizer (KMeans k=16, seed 42) trains driver-side in numpy on a
+    BOUNDED sample (4096 vectors — FAISS trains on ~256/list), the
+    centroids broadcast, list assignment is ONE mapInArrow GEMM pass
+    over the corpus (argmax of x.c - |c|^2/2 == nearest-euclidean),
+    each query probes its 6 nearest centroids and brute-forces only
+    those lists (~3/8 of the corpus -> recall ~0.8 on this weakly-
+    clustered synthetic data). vs the MLlib fit: no iterative scans of
+    the corpus, no per-iteration job overhead — the corpus is touched
+    exactly twice (assign, search)."""
+    import numpy as np
+    import pandas as pd
+
+    q, corpus = _queries_and_corpus(spark, sf_dir)
+    cents = _ivf_centroids(corpus, sf_dir)
+    assigned = _ivf_assigned(spark, corpus, cents)
     # probe lists for the (bounded, tiny) query set, driver-side; the
     # query matrix broadcasts so candidate rows never carry qv copies
     q_rows = q.collect()
@@ -864,3 +880,140 @@ def vec_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
     return _with_recall_guard(out, q, corpus, sf_dir, floor=0.5)
+
+
+# ---------------------------------------------------------------------------
+# vec_ann_recall_sweep
+# ---------------------------------------------------------------------------
+
+_SWEEP_PROBES = (1, 2, 4, 8)  # nprobe grid over the 16 coarse lists
+
+
+@query("vec_ann_recall_sweep")  # rows-only BY DESIGN: the coarse
+# quantizer is a trained model no SQL twin can reproduce; the op is
+# SELF-CHECKING instead — recall is measured in-plan against the exact
+# top-3 twin, asserted monotone in nprobe and >= 0.55 at the widest
+# probe (the _with_recall_guard discipline).
+def vec_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN TUNING TABLE: the recall / candidate-fraction frontier of
+    the IVF index across probe widths (nprobe in 1/2/4/8 of 16 lists)
+    — the table an ANN deployment actually reads to pick its
+    operating point (recall@3 vs fraction of corpus scanned; FAISS
+    calls this the nprobe sweep). One run produces the whole
+    frontier: every corpus vector's list assignment is computed ONCE
+    (the shared _ivf_assigned GEMM pass), each query's lists are
+    RANKED once, and "visible at nprobe p" is just rank <= p — so the
+    sweep costs one assignment scan + one bounded candidate join, not
+    4 index builds.
+
+    Self-checks in-plan: recall is PROVABLY monotone in p (candidate
+    sets are nested, and an exact-top-3 member inside a candidate set
+    always makes that set's top-3), so assert_true(recall_p >=
+    recall_{prev p}) guards the bucketing; the widest probe must
+    clear the 0.55 floor vec_ivf_ann pins. At production scale the
+    sweep runs on a sampled query panel — here the panel IS the
+    10-query set."""
+    import numpy as np
+
+    from .vector import _query_vector_raw
+
+    q, corpus = _queries_and_corpus(spark, sf_dir)
+    cents = _ivf_centroids(corpus, sf_dir)
+    assigned = _ivf_assigned(spark, corpus, cents)
+    d = len(_query_vector_raw(sf_dir, 0))
+
+    q_rows = q.collect()  # bounded: the 10-query panel
+    max_p = max(_SWEEP_PROBES)
+    probe_rows = []
+    for r_ in q_rows:
+        qv = np.array(r_["qv"], dtype=np.float64)
+        sims = (cents @ qv) / (
+            np.linalg.norm(cents, axis=1) * np.linalg.norm(qv)
+        )
+        for rank, lid in enumerate(np.argsort(-sims)[:max_p], 1):
+            probe_rows.append((int(r_["query_id"]), int(lid), rank))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, list_id int, r int"
+    )
+
+    cands = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "r",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_fixed("embedding", "qv", d).alias("sim"),
+        )
+    )
+    pdom = spark.createDataFrame(
+        [(p,) for p in _SWEEP_PROBES], "nprobe int"
+    )
+    w3 = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    approx = (
+        cands.crossJoin(F.broadcast(pdom))
+        .where(F.col("r") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(w3))
+        .where(F.col("rn") <= 3)
+    )
+    w_x = Window.partitionBy("query_id").orderBy(
+        F.col("xsim").desc(), "neighbor_id"
+    )
+    exact = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q.select("query_id", "qv")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_fixed("embedding", "qv", d).alias("xsim"),
+        )
+        .withColumn("xrn", F.row_number().over(w_x))
+        .where(F.col("xrn") <= 3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("xhit"))
+    )
+    rec = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("xhit"), F.lit(0))) / F.count("*"), 4
+            ).alias("recall_at_3"),
+        )
+    )
+    # candidate volume per nprobe: per-rank counts cumulated over the
+    # bounded rank domain (never a 4x rescan of the candidate join)
+    rc = cands.groupBy("r").agg(F.count("*").alias("c"))
+    wr = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rc.select(
+        F.col("r").alias("nprobe"),
+        F.sum("c").over(wr).cast("bigint").alias("n_candidates"),
+    ).where(F.col("nprobe").isin(*_SWEEP_PROBES))
+    ntot = corpus.count() * len(q_rows)  # bounded scalars
+    w_mono = Window.orderBy("nprobe")
+    return (
+        rec.join(cum, "nprobe")
+        .withColumn(
+            "candidate_frac",
+            F.round(F.col("n_candidates") / F.lit(float(ntot)), 6),
+        )
+        .withColumn("prev_recall", F.lag("recall_at_3").over(w_mono))
+        .where(
+            F.assert_true(
+                F.col("prev_recall").isNull()
+                | (F.col("recall_at_3") >= F.col("prev_recall")),
+                F.lit("recall not monotone in nprobe — bucketing broken"),
+            ).isNull()
+        )
+        .where(
+            F.assert_true(
+                (F.col("nprobe") < F.lit(max_p))
+                | (F.col("recall_at_3") >= 0.55),
+                F.lit("widest-probe recall under the 0.55 IVF floor"),
+            ).isNull()
+        )
+        .select("nprobe", "recall_at_3", "n_candidates", "candidate_frac")
+    )

@@ -1140,3 +1140,144 @@ def stream_markov_transition_live(
             6,
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_gap_sessionize_live
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_gap_sessionize_live",
+    # Full oracle by the stream_stateful_session identity: a session
+    # CLOSES only when a later same-user event arrives, so the emitted
+    # PER-SESSION rows are exactly the batch gap-sessionization minus
+    # each user's LAST session — batching-independent. Payload sums are
+    # integer cents (the money.py half-up trick), so session rows are
+    # bit-exact.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, vc,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged),
+    sess AS (
+      SELECT user_id, sess_no,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(vc) AS BIGINT) AS value_c
+      FROM numbered GROUP BY user_id, sess_no),
+    m AS (SELECT user_id, max(sess_no) AS last_no FROM sess GROUP BY user_id)
+    SELECT s.user_id, s.start_us, s.end_us, s.n_events, s.value_c
+    FROM sess s JOIN m ON s.user_id = m.user_id
+    WHERE s.sess_no < m.last_no
+    """,
+)
+def stream_gap_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE gap sessionization emitting FULL PER-SESSION ROWS with an
+    aggregated payload — the session-record stream a downstream
+    attribution/billing consumer reads (stream_stateful_session emits
+    only per-user counts; this is the record-grain extension): each
+    closed session leaves the operator as (user_id, start_us, end_us,
+    n_events, value_c) where value_c is the exact integer-cent sum of
+    the session's event values. Same 30-minute strict gap rule as
+    agg_sessionize_batch.
+
+    State per user: the open session's (start_us, last_us, n, vc);
+    per batch the time-ordered slice splits vectorized (numpy gap
+    cumsum + reduceat payload sums — no per-event Python), merges
+    with the carried open session, emits every run but the last.
+    Sessions still open at replay end stay in the state store, which
+    is exactly what makes the batch-minus-last-session oracle exact
+    (batching-independent; the stream_stateful_session proof)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        if state.exists:
+            start_us, last_us, n, vc = state.get
+        else:
+            start_us, last_us, n, vc = None, None, 0, 0
+        closed: list[tuple[int, int, int, int, int]] = []
+        (user_id,) = key
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ts_raw = (
+                pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+                // 1000
+            )
+            order = np.argsort(ts_raw, kind="stable")
+            ts = ts_raw[order]
+            v = pdf["vc"].to_numpy()[order]
+            seg = np.concatenate(([0], np.cumsum(np.diff(ts) > gap_us)))
+            _, first_idx, counts = np.unique(
+                seg, return_index=True, return_counts=True
+            )
+            starts = ts[first_idx]
+            lasts = ts[first_idx + counts - 1]
+            vsums = np.add.reduceat(v, first_idx)
+            if start_us is not None:
+                if starts[0] - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n, vc))
+                else:
+                    starts[0] = start_us
+                    counts[0] += n
+                    vsums[0] += vc
+                start_us = None
+            for k in range(len(counts) - 1):
+                closed.append(
+                    (
+                        user_id,
+                        int(starts[k]),
+                        int(lasts[k]),
+                        int(counts[k]),
+                        int(vsums[k]),
+                    )
+                )
+            start_us, last_us = int(starts[-1]), int(lasts[-1])
+            n, vc = int(counts[-1]), int(vsums[-1])
+        state.update((start_us, last_us, n, vc))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "start_us", "end_us", "n_events", "value_c"],
+            )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).withColumn(
+        "vc", F.expr("CAST(value * 100 + 0.5 AS BIGINT)")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id bigint, start_us bigint, end_us bigint, "
+            "n_events bigint, value_c bigint"
+        ),
+        stateStructType=(
+            "start_us bigint, last_us bigint, n bigint, vc bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        sessions,
+        "gap_sessions_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return spark.table("gap_sessions_live").select(
+        "user_id", "start_us", "end_us", "n_events", "value_c"
+    )

@@ -2106,3 +2106,71 @@ def pipeline_annotation_agreement(
         "round(CAST(agree * n - prod AS DOUBLE) / (n * n - prod), 6)"
         " AS kappa",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_l_diversity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_l_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             length(bin(CAST(floor(value) AS BIGINT) + 1)) AS vb,
+             user_id
+      FROM events),
+    c AS (
+      SELECT event_type, day, vb,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS l
+      FROM q GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n FROM c)
+    SELECT l AS l_distinct_users,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           round(CAST(sum(sz) AS DOUBLE) / max(tot.n), 6) AS pct_rows
+    FROM c CROSS JOIN tot
+    GROUP BY l
+    """,
+)
+def agg_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY SPECTRUM — agg_k_anonymity's companion audit: for
+    the same quasi-identifier classes (event_type, day, magnitude
+    bucket), how many DISTINCT sensitive values (user_id) each class
+    contains. k-anonymity alone is fooled by a large class whose rows
+    all belong to ONE user (homogeneity attack: the QI combination
+    still identifies the person); l-diversity counts the classes
+    where the sensitive attribute is effectively constant. Output:
+    per l (distinct users in class), class count, row count, row
+    share — the l=1 row is the disclosure mass a release gate blocks
+    on.
+
+    Same exactness discipline as agg_k_anonymity (integer bin-length
+    magnitude bucket, no float log boundaries); one QI groupBy with a
+    count-distinct (the only addition), one bounded-domain histogram,
+    a 1-row total broadcast."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+        F.expr("length(bin(CAST(floor(value) AS BIGINT) + 1))").alias("vb"),
+        "user_id",
+    )
+    c = q.groupBy("event_type", "day", "vb").agg(
+        F.count("*").cast("bigint").alias("sz"),
+        F.countDistinct("user_id").cast("bigint").alias("l"),
+    )
+    tot = c.agg(F.sum("sz").cast("bigint").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("l").alias("l_distinct_users"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("sz").cast("bigint").alias("n_rows"),
+            F.round(F.sum("sz").cast("double") / F.max("n"), 6).alias(
+                "pct_rows"
+            ),
+        )
+    )

@@ -613,3 +613,165 @@ def rag_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.where(F.col("cum_before") < _CWP_BUDGET).select(
         "query_id", "neighbor_id", "sim", "rn", "n_chars", "cum_before"
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_prf_query_expansion
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 3  # feedback depth (top BM25 docs mined for terms)
+_PRF_FB_TERMS = 2  # expansion terms added to the query
+
+
+def _prf_oracle() -> str:
+    q0 = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    q0_not_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len(tk)) AS avgdl
+      FROM toks),
+    tfc AS (
+      SELECT t.doc_id, u.term, CAST(count(*) AS BIGINT) AS tf,
+             CAST(max(len(t.tk)) AS BIGINT) AS dl
+      FROM toks t, unnest(t.tk) AS u(term)
+      GROUP BY t.doc_id, u.term),
+    dfc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+    q0(term) AS (VALUES {q0}),
+    w1 AS (
+      SELECT f.doc_id,
+             sum(CAST(round(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (f.tf * ({_BM25_K1} + 1))
+               / (f.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                       + {_BM25_B} * f.dl / s.avgdl)),
+               9) AS DECIMAL(28,9))) AS sc
+      FROM tfc f JOIN q0 ON f.term = q0.term
+      JOIN dfc d ON d.term = f.term CROSS JOIN stats s
+      GROUP BY f.doc_id),
+    top3 AS (
+      SELECT doc_id FROM w1 ORDER BY sc DESC, doc_id LIMIT {_PRF_FB_DOCS}),
+    exp AS (
+      SELECT f.term,
+             sum(f.tf * CAST(round(ln(CAST(s.n_docs AS DOUBLE) / d.df), 9)
+                             AS DECIMAL(28,9))) AS esc
+      FROM tfc f JOIN top3 ON f.doc_id = top3.doc_id
+      JOIN dfc d ON d.term = f.term CROSS JOIN stats s
+      WHERE f.term NOT IN ({q0_not_in})
+      GROUP BY f.term
+      ORDER BY esc DESC, f.term LIMIT {_PRF_FB_TERMS}),
+    q1 AS (SELECT term FROM q0 UNION SELECT term FROM exp),
+    w2 AS (
+      SELECT f.doc_id,
+             sum(CAST(round(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (f.tf * ({_BM25_K1} + 1))
+               / (f.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                       + {_BM25_B} * f.dl / s.avgdl)),
+               9) AS DECIMAL(28,9))) AS sc
+      FROM tfc f JOIN q1 ON f.term = q1.term
+      JOIN dfc d ON d.term = f.term CROSS JOIN stats s
+      GROUP BY f.doc_id)
+    SELECT doc_id, round(CAST(sc AS DOUBLE), 6) AS score,
+           CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS INTEGER)
+             AS rank
+    FROM w2 ORDER BY sc DESC, doc_id LIMIT 10
+    """
+
+
+@query("rag_prf_query_expansion", oracle=_prf_oracle())
+def rag_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK retrieval (Rocchio-style query
+    expansion, the classic two-pass sparse-retrieval upgrade the
+    reference's single-shot hybrid search lacks): (1) BM25 with the
+    fixed query keywords, (2) mine the top-3 documents for the
+    _PRF_FB_TERMS = 2 highest TF-IDF non-query terms, (3) re-run BM25
+    with the expanded term set and return the top-10. Recovers
+    documents that discuss the topic in different words — the recall
+    mechanism behind "query expansion" boxes in every IR stack.
+
+    This op also carries the GENERAL (join-formulated) BM25: term
+    frequencies and document frequencies are keyed aggregates joined
+    against the (tiny, broadcast) query-term set — the shape that
+    works when query terms are DATA (expansion output), where
+    rag_bm25_topk's unrolled fixed-term expressions cannot. Per-term
+    contributions quantize round(9) into DECIMAL before the
+    order-independent per-doc sum (dynamic term sets have no fixed
+    fold order to share), ORDER BY the exact decimal, round(6) on
+    output only.
+
+    Scale shape: one explode + two keyed aggregates build tf/df
+    (reusable ingest artifacts at 100 TB); each pass is a broadcast
+    join of the term set against the tf table — no corpus rescan of
+    raw text; top-k frontiers are orderBy+limit."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    stats = toks.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg(F.size("tk")).alias("avgdl"),
+    )
+    ex = toks.select(
+        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("term")
+    )
+    tfc = ex.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.max("dl").cast("bigint").alias("dl"),
+    )
+    dfc = tfc.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    contrib = F.expr(
+        f"CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({_BM25_K1} + 1))"
+        f" / (tf + {_BM25_K1} * (1 - {_BM25_B}"
+        f" + {_BM25_B} * dl / avgdl)), 9) AS DECIMAL(28,9))"
+    )
+
+    def bm25(terms: DataFrame) -> DataFrame:
+        return (
+            tfc.join(F.broadcast(terms), "term")
+            .join(dfc, "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(contrib).alias("sc"))
+        )
+
+    q0 = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    top3 = (
+        bm25(q0)
+        .orderBy(F.col("sc").desc(), "doc_id")
+        .limit(_PRF_FB_DOCS)
+        .select("doc_id")
+        .localCheckpoint()  # bounded: feedback-depth rows
+    )
+    exp = (
+        tfc.join(F.broadcast(top3), "doc_id")
+        .where(~F.col("term").isin(*_BM25_TERMS))
+        .join(dfc, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.expr(
+                    "CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+            ).alias("esc")
+        )
+        .orderBy(F.col("esc").desc(), "term")
+        .limit(_PRF_FB_TERMS)
+        .select("term")
+    )
+    q1 = q0.unionByName(exp).distinct()
+    w = Window.orderBy(F.col("sc").desc(), "doc_id")
+    return (
+        bm25(q1)
+        .orderBy(F.col("sc").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.round(F.col("sc").cast("double"), 6).alias("score"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )

@@ -2245,3 +2245,138 @@ def maintenance_partition_skew_report(
             "is_skewed"
         ),
     )
+
+
+@query(
+    "maintenance_expectation_checks",
+    oracle="""
+    SELECT 'orders.o_totalprice_positive' AS expectation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_fail,
+           sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0 AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderdate_in_range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+                          AND DATE '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+                          AND DATE '1998-12-31' THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+                     AND DATE '1998-12-31' THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey_unique',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(*) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_orderkey_ref_orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_discount_in_unit_interval',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)
+                AS BIGINT),
+           sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents.text_not_null_or_empty',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+                    THEN 0 ELSE 1 END) = 0
+    FROM documents
+    """,
+)
+def maintenance_expectation_checks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DATA-QUALITY EXPECTATION SUITE (the Great-Expectations /
+    dbt-test pattern as an engine op): one row per declared
+    expectation with pass/fail counts and a boolean verdict —
+    positivity, domain range, key uniqueness, REFERENTIAL INTEGRITY
+    (every lineitem points at an existing order; checked with a left
+    join, the only expectation that costs a shuffle), and
+    non-emptiness. This is the contract gate a pipeline runs before
+    publishing a snapshot; pipeline_dataset_diff tells you what
+    changed, this tells you whether it is fit to ship.
+
+    Scale shape: per-table expectations share one scan per table
+    (Spark collapses the conditional sums into one aggregate); the FK
+    check is a broadcast-or-shuffle equi-join with counts only —
+    nothing materializes failed rows (a triage run would add a
+    .where(NOT ok) sample). All integer counting."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    d = table(spark, sf_dir, "documents")
+
+    def suite(df, name, cond):
+        n_pass = F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+        n_fail = F.sum(F.when(cond, 0).otherwise(1)).cast("bigint")
+        return df.agg(
+            F.lit(name).alias("expectation"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            n_pass.alias("n_pass"),
+            n_fail.alias("n_fail"),
+            (n_fail == 0).alias("ok"),
+        )
+
+    uniq = o.agg(
+        F.lit("orders.o_orderkey_unique").alias("expectation"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_pass"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_fail"),
+        (F.count("*") == F.countDistinct("o_orderkey")).alias("ok"),
+    )
+    fk = suite(
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == o.o_orderkey,
+            "left",
+        ),
+        "lineitem.l_orderkey_ref_orders",
+        F.col("o_orderkey").isNotNull(),
+    )
+    parts = [
+        suite(o, "orders.o_totalprice_positive", F.col("o_totalprice") > 0),
+        suite(
+            o,
+            "orders.o_orderdate_in_range",
+            F.col("o_orderdate").between("1992-01-01", "1998-12-31"),
+        ),
+        uniq,
+        fk,
+        suite(
+            li,
+            "lineitem.l_discount_in_unit_interval",
+            F.col("l_discount").between(0, 1),
+        ),
+        suite(
+            d,
+            "documents.text_not_null_or_empty",
+            F.col("text").isNotNull() & (F.length("text") > 0),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

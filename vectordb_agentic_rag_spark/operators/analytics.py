@@ -2290,3 +2290,109 @@ def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # bounded: one row per event type
     finally:
         conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+# ---------------------------------------------------------------------------
+# agg_attribution_position
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_attribution_position",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, epoch_us(ts) AS cus, event_id AS cid
+      FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prn
+        FROM events WHERE event_type = 'purchase') p
+      WHERE prn = 1),
+    touch AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             count(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN conv c ON e.user_id = c.user_id
+      WHERE epoch_us(e.ts) < c.cus
+         OR (epoch_us(e.ts) = c.cus AND e.event_id < c.cid)),
+    credit AS (
+      SELECT user_id, event_type,
+             CAST(CASE WHEN n = 1 THEN 1.0
+                       WHEN n = 2 THEN 0.5
+                       WHEN rn = 1 OR rn = n THEN 0.4
+                       ELSE round(0.2 / (n - 2), 9) END
+                  AS DECIMAL(18,9)) AS cr
+      FROM touch)
+    SELECT event_type,
+           round(CAST(sum(cr) AS DOUBLE), 6) AS credit,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_converters
+    FROM credit GROUP BY event_type
+    """,
+)
+def agg_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped 40/20/40) MULTI-TOUCH ATTRIBUTION:
+    each converting user's touches before their FIRST purchase share
+    the conversion credit — 40% to the first touch, 40% to the last,
+    20% split across the middle (1 touch takes 100%, 2 touches split
+    50/50) — the standard rule-based upgrade over the single-touch
+    model join_asof_forward_attribution implements, answering "which
+    channels open vs close journeys" per event type.
+
+    Parity discipline: every per-touch credit quantizes into
+    DECIMAL(18,9) (the middle share 0.2/(n-2) is the one non-literal
+    — round(9) before the cast), so per-channel sums are exact and
+    order-independent; one round(6) on output. The conversion cutoff
+    is the strict (ts, event_id) order, written as the explicit
+    OR-form compare on both engines.
+
+    Scale shape: one groupBy(user) for first-purchase timestamps, one
+    join back (both sides hash-partitioned on user_id — co-located),
+    one per-user window for positions, one channel-sized aggregate."""
+    ev = table(spark, sf_dir, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("cus"),
+            F.expr(
+                "min_by(event_id, struct(unix_micros(ts), event_id))"
+            ).alias("cid"),
+        )
+    )
+    touch = (
+        ev.join(conv, "user_id")
+        .where(
+            (F.unix_micros("ts") < F.col("cus"))
+            | (
+                (F.unix_micros("ts") == F.col("cus"))
+                & (F.col("event_id") < F.col("cid"))
+            )
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("user_id"))
+            .alias("n"),
+        )
+    )
+    cr = F.expr(
+        "CAST(CASE WHEN n = 1 THEN 1.0 "
+        "WHEN n = 2 THEN 0.5 "
+        "WHEN rn = 1 OR rn = n THEN 0.4 "
+        "ELSE round(0.2 / (n - 2), 9) END AS DECIMAL(18,9))"
+    )
+    return (
+        touch.select("user_id", "event_type", cr.alias("cr"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("cr").cast("double"), 6).alias("credit"),
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.countDistinct("user_id").cast("bigint").alias("n_converters"),
+        )
+    )

@@ -20,7 +20,7 @@ physical plan:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_to_dollars
@@ -2380,3 +2380,108 @@ def maintenance_expectation_checks(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Synthetic commit log over the documents "files" (the fixture has no
+# table-format log; the MACHINERY — action deltas + commit-domain
+# cumulative replay — is the op): every file is ADDed at commit
+# doc_id % 5; files with doc_id % 4 = 0 are REMOVEd 1 + doc_id % 3
+# commits later; files with doc_id % 8 = 0 are re-ADDed one commit
+# after their removal. Actions per file strictly increase in seq, so
+# latest-action-wins equals the +1/-1 running sum.
+_LOG_ADD = "doc_id % 5"
+_LOG_RM = f"{_LOG_ADD} + 1 + doc_id % 3"
+_LOG_READD = f"{_LOG_RM} + 1"
+
+
+@query(
+    "maintenance_snapshot_log_replay",
+    oracle=f"""
+    WITH log AS (
+      SELECT doc_id AS file_id, CAST({_LOG_ADD} AS BIGINT) AS seq,
+             1 AS live_d, CAST(n_chars AS BIGINT) AS bytes_d
+      FROM documents
+      UNION ALL
+      SELECT doc_id, CAST({_LOG_RM} AS BIGINT), -1,
+             -CAST(n_chars AS BIGINT)
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id, CAST({_LOG_READD} AS BIGINT), 1,
+             CAST(n_chars AS BIGINT)
+      FROM documents WHERE doc_id % 8 = 0),
+    per_commit AS (
+      SELECT seq AS commit_seq,
+             CAST(count(*) AS BIGINT) AS n_actions,
+             CAST(sum(live_d) AS BIGINT) AS dn,
+             CAST(sum(bytes_d) AS BIGINT) AS db
+      FROM log GROUP BY seq)
+    SELECT commit_seq, n_actions,
+           CAST(sum(dn) OVER (ORDER BY commit_seq
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_live_files,
+           CAST(sum(db) OVER (ORDER BY commit_seq
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS live_bytes
+    FROM per_commit
+    """,
+)
+def maintenance_snapshot_log_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TABLE-FORMAT LOG REPLAY (the Delta/Iceberg snapshot mechanic as
+    an engine op): reconstruct the live file set and byte footprint of
+    a table AT EVERY COMMIT from an ordered add/remove action log —
+    the time-travel primitive behind `VERSION AS OF`, and the audit a
+    lakehouse maintenance job runs to spot snapshot bloat (live_bytes
+    flat while n_actions grows = churn needing compaction;
+    maintenance_compact_small_files is the fix this op schedules).
+    The log is synthesized deterministically from the documents
+    fixture (module constants) with per-file strictly-increasing
+    action sequence, so latest-action-wins reduces EXACTLY to +1/-1
+    deltas.
+
+    Scale shape — never a per-snapshot rescan: actions collapse to
+    per-commit deltas (one map-side-combined groupBy over the log),
+    and one cumulative window over the bounded COMMIT DOMAIN replays
+    every snapshot at once (a real table format's checkpoint files
+    are precisely this materialized prefix-sum). Pure integer
+    arithmetic end to end."""
+    d = table(spark, sf_dir, "documents")
+    log = (
+        d.selectExpr(
+            "doc_id AS file_id",
+            f"CAST({_LOG_ADD} AS BIGINT) AS seq",
+            "1 AS live_d",
+            "CAST(n_chars AS BIGINT) AS bytes_d",
+        )
+        .unionByName(
+            d.where("doc_id % 4 = 0").selectExpr(
+                "doc_id AS file_id",
+                f"CAST({_LOG_RM} AS BIGINT) AS seq",
+                "-1 AS live_d",
+                "-CAST(n_chars AS BIGINT) AS bytes_d",
+            )
+        )
+        .unionByName(
+            d.where("doc_id % 8 = 0").selectExpr(
+                "doc_id AS file_id",
+                f"CAST({_LOG_READD} AS BIGINT) AS seq",
+                "1 AS live_d",
+                "CAST(n_chars AS BIGINT) AS bytes_d",
+            )
+        )
+    )
+    per_commit = log.groupBy(F.col("seq").alias("commit_seq")).agg(
+        F.count("*").cast("bigint").alias("n_actions"),
+        F.sum("live_d").cast("bigint").alias("dn"),
+        F.sum("bytes_d").cast("bigint").alias("db"),
+    )
+    wc = Window.orderBy("commit_seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_commit.select(
+        "commit_seq",
+        "n_actions",
+        F.sum("dn").over(wc).cast("bigint").alias("n_live_files"),
+        F.sum("db").over(wc).cast("bigint").alias("live_bytes"),
+    )

@@ -808,3 +808,108 @@ def win_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("n8") >= 8) & (F.col("cam") == 8)),
         ).alias("we_rule4"),
     )
+
+
+@query(
+    "win_hampel_filter",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           round(med, 6) AS med_11,
+           mad > 0 AND abs(value - med) > 3 * 1.4826 * mad AS is_spike,
+           round(CASE WHEN mad > 0 AND abs(value - med) > 3 * 1.4826 * mad
+                      THEN med ELSE value END, 6) AS filtered
+    FROM (
+      SELECT user_id, event_id, ts, value, med,
+             (list_extract(ad, (len(ad) + 1) // 2)
+              + list_extract(ad, len(ad) // 2 + 1)) / 2 AS mad
+      FROM (
+        SELECT user_id, event_id, ts, value, med,
+               list_sort(list_transform(ls, v -> abs(v - med))) AS ad
+        FROM (
+          SELECT user_id, event_id, ts, value, ls,
+                 (list_extract(ls, (len(ls) + 1) // 2)
+                  + list_extract(ls, len(ls) // 2 + 1)) / 2 AS med
+          FROM (
+            SELECT user_id, event_id, ts, value,
+                   list_sort(list(value) FILTER (value IS NOT NULL)
+                             OVER w) AS ls
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+          ) a) b) c) d
+    """,
+)
+def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL FILTER per user — the standard robust despiking pass a
+    telemetry pipeline runs before feeding a model: each value is
+    compared against the MEDIAN of its CENTERED 11-row neighborhood,
+    scaled by the neighborhood MAD (median absolute deviation,
+    x1.4826 for Gaussian consistency); points beyond 3 scaled MADs
+    are spikes and are REPLACED by the local median. Unlike
+    win_zscore_outlier (mean/std — a spike inflates its own
+    baseline), the median/MAD baseline is immune to the spike itself;
+    unlike win_mad_outlier (per-user global MAD), the window adapts
+    to local level shifts. mad = 0 (constant neighborhood) flags
+    nothing — never a fake spike.
+
+    Spark has no frame-capable median (round-6 note), so the frame
+    materializes once as a sorted array and BOTH median picks — value
+    median and MAD — read explicit middle elements from arrays both
+    engines sort identically; the (lo+hi)/2 halving and the
+    3*1.4826*mad threshold share expression text, so the spike SET is
+    bit-identical. One hash exchange on user_id carries everything;
+    the per-row cost is O(frame log frame) with frame a constant."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, 5)
+    )
+    a = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sort_array(F.collect_list("value").over(w)).alias("ls"),
+    )
+    b = a.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.expr(
+            "(element_at(ls, CAST((size(ls) + 1) div 2 AS INT))"
+            " + element_at(ls, CAST(size(ls) div 2 + 1 AS INT))) / 2"
+        ).alias("med"),
+        "ls",
+    )
+    c = b.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "med",
+        F.expr("sort_array(transform(ls, v -> abs(v - med)))").alias("ad"),
+    )
+    d = c.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "med",
+        F.expr(
+            "(element_at(ad, CAST((size(ad) + 1) div 2 AS INT))"
+            " + element_at(ad, CAST(size(ad) div 2 + 1 AS INT))) / 2"
+        ).alias("mad"),
+    )
+    spike = F.expr("mad > 0 AND abs(value - med) > 3 * 1.4826 * mad")
+    return d.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("med", 6).alias("med_11"),
+        spike.alias("is_spike"),
+        F.round(F.when(spike, F.col("med")).otherwise(F.col("value")), 6).alias(
+            "filtered"
+        ),
+    )

@@ -157,6 +157,23 @@ OPS = [
     ("dedup_weighted_jaccard_rescore", "documents"),
     ("graph_truss_decomposition", "lineitem"),
     ("agg_kll_quantile_sketch", "events"),
+    # round-8 additions
+    ("dedup_weighted_prefix_filter", "documents"),
+    ("graph_truss_number", "lineitem"),
+    ("text_doc_novelty", "documents"),
+    ("agg_heaps_law_fit", "documents"),
+    ("pipeline_domain_upsample", "documents"),
+    ("pipeline_token_budget_select", "documents"),
+    ("win_spc_western_electric", "events"),
+    ("win_hampel_filter", "events"),
+    ("agg_k_anonymity", "events"),
+    ("rag_prf_query_expansion", "documents"),
+    ("agg_attribution_position", "events"),
+    ("maintenance_partition_skew_report", "events"),
+    ("agg_markov_stationary", "events"),
+    ("pipeline_dataset_diff", "documents"),
+    ("agg_gumbel_block_maxima", "events"),
+    ("agg_cusum_arl_calibration", "events"),
 ]
 
 

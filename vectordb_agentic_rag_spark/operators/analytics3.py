@@ -1189,3 +1189,259 @@ def vec_pairwise_cos_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_spearman_corr
+# ---------------------------------------------------------------------------
+
+
+def _spearman_ranks_duck(col: str) -> str:
+    """Tied average ranks x2 (DOUBLED to stay integer) over the value
+    DOMAIN of `col`: R2(v) = 2*cum_less(v) + count(v) + 1."""
+    return f"""
+      SELECT {col} AS v,
+             CAST(2 * (sum(c) OVER (ORDER BY {col}
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL AND 0
+                       OR coalesce(sum(c) OVER (ORDER BY {col}
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0))
+                  + c + 1 AS BIGINT) AS r2
+      FROM (SELECT {col}, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY {col}) t"""
+
+
+@query(
+    "agg_spearman_corr",
+    oracle="""
+    WITH xr AS (
+      SELECT l_quantity AS v,
+             CAST(2 * coalesce(sum(c) OVER (ORDER BY l_quantity
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 AS BIGINT) AS r2
+      FROM (SELECT l_quantity, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_quantity) t),
+    yr AS (
+      SELECT l_extendedprice AS v,
+             CAST(2 * coalesce(sum(c) OVER (ORDER BY l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 AS BIGINT) AS r2
+      FROM (SELECT l_extendedprice, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_extendedprice) t),
+    j AS (
+      SELECT xr.r2 AS x2, yr.r2 AS y2
+      FROM lineitem l
+      JOIN xr ON xr.v = l.l_quantity
+      JOIN yr ON yr.v = l.l_extendedprice),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x2 AS DECIMAL(19,0))
+                      * CAST(y2 AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x2 AS DECIMAL(19,0))
+                      * CAST(x2 AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y2 AS DECIMAL(19,0))
+                      * CAST(y2 AS DECIMAL(19,0))) AS DOUBLE) AS syy
+      FROM j)
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between l_quantity and
+    l_extendedprice — the monotone-dependence measure a data-quality
+    monitor prefers over Pearson (price scales with quantity
+    nonlinearly through per-part prices; rank correlation is
+    invariant to that). Tie handling is the full tied-average-rank
+    formula, evaluated as Pearson over the rank variables.
+
+    Rank statistics WITHOUT per-row ranks (the agg_mann_whitney_u
+    machinery): each variable collapses to its VALUE DOMAIN, tied
+    average ranks reconstruct from cumulative counts as the INTEGER
+    R2 = 2*cum_less + count + 1 (doubled so .5s never appear), and
+    rows join their rank by value key — the only ordered cumulative
+    runs over the bounded domain, never the fact table. Rank products
+    square inside DECIMAL(19,0)x(19,0) (exact; DuckDB's width-19
+    operands force the HUGEINT kernel — the round-7 squares rule),
+    sums are exact decimals, and the one float expression — the
+    Pearson ratio over six exact aggregates — shares text on both
+    engines before round(6)."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def ranks(col: str) -> DataFrame:
+        cnt = li.groupBy(col).agg(F.count("*").cast("bigint").alias("c"))
+        wd = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return cnt.select(
+            F.col(col).alias("v"),
+            (
+                2 * F.coalesce(F.sum("c").over(wd), F.lit(0))
+                + F.col("c")
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+
+    xr = ranks("l_quantity").select(
+        F.col("v").alias("l_quantity"), F.col("r2").alias("x2")
+    )
+    yr = ranks("l_extendedprice").select(
+        F.col("v").alias("l_extendedprice"), F.col("r2").alias("y2")
+    )
+    j = (
+        li.select("l_quantity", "l_extendedprice")
+        .join(F.broadcast(xr), "l_quantity")
+        .join(yr, "l_extendedprice")
+    )
+    s = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(x2 AS DECIMAL(38,0))")).cast("double").alias("sx"),
+        F.sum(F.expr("CAST(y2 AS DECIMAL(38,0))")).cast("double").alias("sy"),
+        F.sum(
+            F.expr("CAST(x2 AS DECIMAL(19,0)) * CAST(y2 AS DECIMAL(19,0))")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.expr("CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.expr("CAST(y2 AS DECIMAL(19,0)) * CAST(y2 AS DECIMAL(19,0))")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    return s.selectExpr(
+        "n",
+        "round((n * sxy - sx * sy)"
+        " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)"
+        " AS spearman_rho",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_decision_stump_gini
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_decision_stump_gini",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(value) AS BIGINT) AS vb,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    dom AS (
+      SELECT vb, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS p
+      FROM b GROUP BY vb),
+    cum AS (
+      SELECT vb,
+             CAST(sum(c) OVER (ORDER BY vb ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS nl,
+             CAST(sum(p) OVER (ORDER BY vb ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pl,
+             CAST((SELECT sum(c) FROM dom) AS BIGINT) AS n,
+             CAST((SELECT sum(p) FROM dom) AS BIGINT) AS pt
+      FROM dom),
+    g AS (
+      SELECT vb AS threshold, nl AS n_left, n - nl AS n_right,
+             round((nl * (1.0
+                          - (CAST(pl AS DOUBLE) / nl)
+                            * (CAST(pl AS DOUBLE) / nl)
+                          - (CAST(nl - pl AS DOUBLE) / nl)
+                            * (CAST(nl - pl AS DOUBLE) / nl))
+                    + (n - nl) * (1.0
+                          - (CAST(pt - pl AS DOUBLE) / (n - nl))
+                            * (CAST(pt - pl AS DOUBLE) / (n - nl))
+                          - (CAST((n - nl) - (pt - pl) AS DOUBLE) / (n - nl))
+                            * (CAST((n - nl) - (pt - pl) AS DOUBLE)
+                               / (n - nl)))) / n, 9) AS gini,
+             round(1.0 - (CAST(pt AS DOUBLE) / n) * (CAST(pt AS DOUBLE) / n)
+                   - (CAST(n - pt AS DOUBLE) / n)
+                     * (CAST(n - pt AS DOUBLE) / n), 9) AS gini_root
+      FROM cum WHERE nl < n)
+    SELECT threshold, n_left, n_right,
+           round(gini, 6) AS gini_split,
+           round(gini_root, 6) AS gini_root
+    FROM g ORDER BY gini, threshold LIMIT 1
+    """,
+)
+def agg_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP TRAINING by exact Gini impurity: the best
+    single threshold on `value` separating purchase events from the
+    rest — the feature-scoring primitive behind tree ensembles and
+    the quickest answer to "does this column predict the label at
+    all" (gini_split ~ gini_root means no signal; the fixture's
+    uniform value-type coupling lands exactly there, which is itself
+    the audit result).
+
+    The standard tree-learner shape, distributed: candidate
+    thresholds live on the BOUNDED integer magnitude domain
+    (floor(value) — the split-point grid every histogram-based GBDT
+    uses), class counts per grid cell aggregate map-side, ONE
+    cumulative window over the domain yields every split's left/right
+    class counts, and the argmin is an orderBy+limit over the domain
+    — the events table is scanned once and never sorted. Gini per
+    threshold evaluates identical double expressions over exact
+    integers (round 9 before the argmin, so the selected threshold is
+    engine-independent; round 6 on output)."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        F.expr("CAST(floor(value) AS BIGINT)").alias("vb"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    dom = b.groupBy("vb").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    tot = dom.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("pt"),
+    )
+    wd = Window.orderBy("vb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dom.select(
+        "vb",
+        F.sum("c").over(wd).cast("bigint").alias("nl"),
+        F.sum("p").over(wd).cast("bigint").alias("pl"),
+    ).crossJoin(F.broadcast(tot))
+    g = cum.where(F.col("nl") < F.col("n")).selectExpr(
+        "vb AS threshold",
+        "nl AS n_left",
+        "n - nl AS n_right",
+        """round((nl * (1.0
+                 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                 - (CAST(nl - pl AS DOUBLE) / nl)
+                   * (CAST(nl - pl AS DOUBLE) / nl))
+           + (n - nl) * (1.0
+                 - (CAST(pt - pl AS DOUBLE) / (n - nl))
+                   * (CAST(pt - pl AS DOUBLE) / (n - nl))
+                 - (CAST((n - nl) - (pt - pl) AS DOUBLE) / (n - nl))
+                   * (CAST((n - nl) - (pt - pl) AS DOUBLE)
+                      / (n - nl)))) / n, 9) AS gini""",
+        """round(1.0 - (CAST(pt AS DOUBLE) / n) * (CAST(pt AS DOUBLE) / n)
+           - (CAST(n - pt AS DOUBLE) / n)
+             * (CAST(n - pt AS DOUBLE) / n), 9) AS gini_root""",
+    )
+    return (
+        g.orderBy("gini", "threshold")
+        .limit(1)
+        .select(
+            "threshold",
+            "n_left",
+            "n_right",
+            F.round("gini", 6).alias("gini_split"),
+            F.round("gini_root", 6).alias("gini_root"),
+        )
+    )

@@ -525,3 +525,40 @@ def test_truss_number_helper_on_deep_synthetic_hierarchy(spark):
     want = _python_truss_numbers(edges)
     assert got == want
     assert sorted(set(want.values())) == [2, 3, 4, 6]
+
+
+def test_spearman_and_kendall_match_pandas(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_quantity", "l_extendedprice"]
+    ].astype(float)
+    got_s = QUERIES["agg_spearman_corr"](spark, SF).toPandas()
+    rx = li["l_quantity"].rank(method="average").to_numpy()
+    ry = li["l_extendedprice"].rank(method="average").to_numpy()
+    want_s = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got_s["spearman_rho"].iloc[0] - want_s) < 1e-6
+    assert int(got_s["n"].iloc[0]) == len(li)
+
+    got_k = QUERIES["agg_kendall_tau_grid"](spark, SF).toPandas()
+    a = li["l_quantity"].astype(int).to_numpy()
+    b = np.floor(li["l_extendedprice"] / 1000).astype(int).to_numpy()
+    # independent tau-b: dense grid + 2D prefix sums
+    A, B = a.max() + 1, b.max() + 1
+    M = np.zeros((A, B), dtype=np.int64)
+    np.add.at(M, (a, b), 1)
+    S = M.cumsum(axis=0).cumsum(axis=1)
+    strict = np.zeros_like(S)
+    strict[1:, 1:] = S[:-1, :-1]  # sum over a'<a, b'<b
+    C = int((M * strict).sum())
+    rowcums = M.cumsum(axis=1)  # rowcums[a', b] = sum_{b'<=b} M[a', b']
+    T = rowcums.cumsum(axis=0)  # T[a, b] = sum_{a'<=a} rowcums[a', b]
+    above = np.zeros_like(S)  # sum over a'<a, b'>b
+    above[1:, :] = T[:-1, -1][:, None] - T[:-1, :]
+    D = int((M * above).sum())
+    n = len(a)
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in np.bincount(a) if t > 1)
+    n2 = sum(t * (t - 1) // 2 for t in np.bincount(b) if t > 1)
+    want_k = (C - D) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert int(got_k["c_pairs"].iloc[0]) == C
+    assert int(got_k["d_pairs"].iloc[0]) == D
+    assert abs(got_k["kendall_tau_b"].iloc[0] - want_k) < 1e-6

@@ -1445,3 +1445,145 @@ def agg_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("gini_root", 6).alias("gini_root"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_kendall_tau_grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_kendall_tau_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS a,
+             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS b
+      FROM lineitem),
+    cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nn
+              FROM pts GROUP BY a, b),
+    grid AS (
+      SELECT da.a, db.b, coalesce(c.nn, 0) AS nn
+      FROM (SELECT DISTINCT a FROM cells) da
+      CROSS JOIN (SELECT DISTINCT b FROM cells) db
+      LEFT JOIN cells c ON c.a = da.a AND c.b = db.b),
+    rowc AS (
+      SELECT a, b, nn,
+             CAST(sum(nn) OVER (PARTITION BY a ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) - nn
+                  AS BIGINT) AS cb,
+             CAST(sum(nn) OVER (PARTITION BY a) AS BIGINT) AS rtot,
+             CAST(sum(nn) OVER (PARTITION BY a ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rc
+      FROM grid),
+    pref AS (
+      SELECT a, b, nn,
+             CAST(coalesce(sum(cb) OVER (PARTITION BY b ORDER BY a
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS p_cd,
+             CAST(coalesce(sum(rtot - rc) OVER (PARTITION BY b ORDER BY a
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS p_dc
+      FROM rowc),
+    cd AS (
+      SELECT CAST(sum(nn * p_cd) AS BIGINT) AS c_pairs,
+             CAST(sum(nn * p_dc) AS BIGINT) AS d_pairs
+      FROM pref),
+    ties AS (
+      SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n,
+             CAST((SELECT sum(t * (t - 1) / 2) FROM
+                   (SELECT count(*) AS t FROM pts GROUP BY a) x)
+                  AS BIGINT) AS n1,
+             CAST((SELECT sum(t * (t - 1) / 2) FROM
+                   (SELECT count(*) AS t FROM pts GROUP BY b) y)
+                  AS BIGINT) AS n2)
+    SELECT n, c_pairs, d_pairs,
+           round((c_pairs - d_pairs)
+                 / sqrt(CAST(n * (n - 1) / 2 - n1 AS DOUBLE)
+                        * CAST(n * (n - 1) / 2 - n2 AS DOUBLE)), 6)
+             AS kendall_tau_b
+    FROM cd CROSS JOIN ties
+    """,
+)
+def agg_kendall_tau_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B between quantity and price magnitude — the
+    other standard rank-dependence measure next to agg_spearman_corr
+    (tau has the cleaner probabilistic reading: P(concordant) -
+    P(discordant)), with full tie correction. The y side is
+    deliberately the floor(price/1000) magnitude grid: Kendall on raw
+    pairs is O(n^2), but on a BOUNDED 2D GRID concordance becomes a
+    prefix-sum identity — exactly how histogram-based libraries make
+    tau tractable.
+
+    Scale shape: the fact table collapses to grid-cell counts (one
+    map-side-combined groupBy); the grid dense-ifies by a
+    domain-bounded cross join; concordant/discordant pair counts are
+    TWO cumulative windows over the grid (strictly-less row prefix,
+    then strictly-less column prefix of it) and one weighted sum —
+    the corpus is never pair-joined or sorted. All pair counts are
+    exact integers; the single float is the final tau ratio (shared
+    text, round 6)."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("a"),
+        F.expr("CAST(floor(l_extendedprice / 1000) AS BIGINT)").alias("b"),
+    )
+    cells = pts.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("nn")
+    )
+    da = cells.select("a").distinct()
+    db = cells.select("b").distinct()
+    grid = (
+        da.crossJoin(db)
+        .join(cells, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("nn", F.lit(0)).alias("nn"))
+    )
+    w_row = Window.partitionBy("a").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rowc = grid.select(
+        "a",
+        "b",
+        "nn",
+        (F.sum("nn").over(w_row) - F.col("nn")).cast("bigint").alias("cb"),
+        F.sum("nn").over(Window.partitionBy("a")).cast("bigint").alias("rtot"),
+        F.sum("nn").over(w_row).cast("bigint").alias("rc"),
+    )
+    w_col = Window.partitionBy("b").orderBy("a").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = rowc.select(
+        "a",
+        "b",
+        "nn",
+        F.coalesce(F.sum("cb").over(w_col), F.lit(0))
+        .cast("bigint")
+        .alias("p_cd"),
+        F.coalesce(F.sum(F.col("rtot") - F.col("rc")).over(w_col), F.lit(0))
+        .cast("bigint")
+        .alias("p_dc"),
+    )
+    cd = pref.agg(
+        F.sum(F.col("nn") * F.col("p_cd")).cast("bigint").alias("c_pairs"),
+        F.sum(F.col("nn") * F.col("p_dc")).cast("bigint").alias("d_pairs"),
+    )
+    ta = pts.groupBy("a").agg(F.count("*").alias("t")).agg(
+        F.sum(F.expr("t * (t - 1) / 2")).cast("bigint").alias("n1")
+    )
+    tb = pts.groupBy("b").agg(F.count("*").alias("t")).agg(
+        F.sum(F.expr("t * (t - 1) / 2")).cast("bigint").alias("n2")
+    )
+    n = pts.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .selectExpr(
+            "n",
+            "c_pairs",
+            "d_pairs",
+            "round((c_pairs - d_pairs)"
+            " / sqrt(CAST(n * (n - 1) / 2 - n1 AS DOUBLE)"
+            " * CAST(n * (n - 1) / 2 - n2 AS DOUBLE)), 6)"
+            " AS kendall_tau_b",
+        )
+    )

@@ -1587,3 +1587,218 @@ def agg_kendall_tau_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS kendall_tau_b",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_trimmed_winsorized_stats
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT_NUM, _TRIM_PCT_DEN = 5, 100  # 5% per tail, integer-exact
+
+
+@query(
+    "agg_trimmed_winsorized_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events),
+    dom AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, vc),
+    cum AS (
+      SELECT event_type, vc, c,
+             CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY vc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM dom),
+    k AS (
+      SELECT *, n * {_TRIM_PCT_NUM} // {_TRIM_PCT_DEN} AS kt FROM cum),
+    inter AS (
+      SELECT event_type, n, kt,
+             CAST(sum(vc * greatest(0,
+               least(cb + c, n - kt) - greatest(cb + 1, kt + 1) + 1))
+               AS BIGINT) AS tsum,
+             CAST(max(CASE WHEN cb < kt + 1 AND kt + 1 <= cb + c
+                           THEN vc END) AS BIGINT) AS v_lo,
+             CAST(max(CASE WHEN cb < n - kt AND n - kt <= cb + c
+                           THEN vc END) AS BIGINT) AS v_hi
+      FROM k GROUP BY event_type, n, kt)
+    SELECT event_type, n, kt AS n_trimmed_per_tail,
+           round(CAST(tsum AS DOUBLE) / (n - 2 * kt) / 100.0, 6)
+             AS trimmed_mean,
+           round(CAST(tsum + kt * (v_lo + v_hi) AS DOUBLE) / n / 100.0, 6)
+             AS winsorized_mean,
+           round(CAST(v_lo AS DOUBLE) / 100.0, 6) AS p_lo,
+           round(CAST(v_hi AS DOUBLE) / 100.0, 6) AS p_hi
+    FROM inter
+    """,
+)
+def agg_trimmed_winsorized_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROBUST LOCATION per event type: the 5%-per-tail TRIMMED mean
+    (drop the tails) and WINSORIZED mean (clamp the tails to the 5th/
+    95th order statistics) — what a monitoring pipeline reports when
+    agg_moments_stats' plain mean is hostage to the heavy tail the
+    Hill estimator just diagnosed. p_lo/p_hi are the exact clamp
+    values (order statistics, not interpolated quantiles).
+
+    Exact rank machinery, never a per-row sort: values quantize to
+    integer cents, collapse to the per-type VALUE DOMAIN, and one
+    cumulative window over the domain gives every value-run its rank
+    interval [cb+1, cb+c]; each run contributes
+    overlap([cb+1, cb+c], [kt+1, n-kt]) copies to the trimmed sum —
+    pure integer interval arithmetic — and the two clamp values are
+    the runs whose intervals contain ranks kt+1 and n-kt. Integer
+    cents end-to-end; two final divisions, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vc"),
+    )
+    dom = v.groupBy("event_type", "vc").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dom.select(
+        "event_type",
+        "vc",
+        "c",
+        F.coalesce(F.sum("c").over(wd), F.lit(0)).cast("bigint").alias("cb"),
+        F.sum("c")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    k = cum.withColumn(
+        "kt", F.expr(f"n * {_TRIM_PCT_NUM} div {_TRIM_PCT_DEN}")
+    )
+    inter = k.groupBy("event_type", "n", "kt").agg(
+        F.sum(
+            F.expr(
+                "vc * greatest(0, least(cb + c, n - kt)"
+                " - greatest(cb + 1, kt + 1) + 1)"
+            )
+        )
+        .cast("bigint")
+        .alias("tsum"),
+        F.max(
+            F.expr("CASE WHEN cb < kt + 1 AND kt + 1 <= cb + c THEN vc END")
+        )
+        .cast("bigint")
+        .alias("v_lo"),
+        F.max(
+            F.expr("CASE WHEN cb < n - kt AND n - kt <= cb + c THEN vc END")
+        )
+        .cast("bigint")
+        .alias("v_hi"),
+    )
+    return inter.selectExpr(
+        "event_type",
+        "n",
+        "kt AS n_trimmed_per_tail",
+        "round(CAST(tsum AS DOUBLE) / (n - 2 * kt) / 100.0, 6)"
+        " AS trimmed_mean",
+        "round(CAST(tsum + kt * (v_lo + v_hi) AS DOUBLE) / n / 100.0, 6)"
+        " AS winsorized_mean",
+        "round(CAST(v_lo AS DOUBLE) / 100.0, 6) AS p_lo",
+        "round(CAST(v_hi AS DOUBLE) / 100.0, 6) AS p_hi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_abc_pareto_class
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_abc_pareto_class",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DECIMAL(28,4)) AS r
+      FROM lineitem GROUP BY l_partkey),
+    cum AS (
+      SELECT l_partkey, r,
+             CAST(coalesce(sum(r) OVER (ORDER BY r DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS cb,
+             CAST((SELECT sum(r) FROM rev) AS DECIMAL(28,4)) AS tot
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN cb * 100 < tot * 80 THEN 'A'
+                  WHEN cb * 100 < tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r, tot
+      FROM cum)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(r) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(r) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+             AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def agg_abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (PARETO) CLASSIFICATION of parts by revenue — the
+    warehouse-management classic: class A = parts covering the first
+    80% of cumulative revenue (ranked by revenue descending), B the
+    next 15%, C the tail — inventory policy, cache tiering, and "what
+    to optimize first" all read this table. A part's class depends on
+    the revenue of everything ABOVE it, hence the cumulative share.
+
+    Exactness: per-part revenue is the exact DECIMAL money sum
+    (price(2dp) x (1-disc)(2dp) = 4dp, order-independent); the class
+    boundaries are integer cross-multiplications of exact decimals
+    (cb*100 < tot*80), never a float share; the reported share
+    divides once, round(6).
+
+    Scale shape: revenue collapses to the PART DIMENSION first (one
+    fact-table groupBy, map-side combined) — the ordered cumulative
+    window runs over the dimension, which is the object whose global
+    order the business question is ABOUT (at 100 TB: a range-
+    partitioned sort of millions of parts, decoupled from billions of
+    fact rows)."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))"
+        ).alias("r")
+    )
+    tot = rev.agg(
+        F.expr("CAST(sum(r) AS DECIMAL(28,4))").alias("tot")
+    )
+    wc = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = rev.select(
+        "l_partkey",
+        "r",
+        F.coalesce(
+            F.sum("r").over(wc), F.expr("CAST(0 AS DECIMAL(28,4))")
+        )
+        .cast("decimal(28,4)")
+        .alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    cls = cum.selectExpr(
+        """CASE WHEN cb * 100 < tot * 80 THEN 'A'
+                WHEN cb * 100 < tot * 95 THEN 'B'
+                ELSE 'C' END AS abc_class""",
+        "r",
+        "tot",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("r").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("r").cast("double") / F.max("tot").cast("double"), 6
+        ).alias("revenue_share"),
+    )

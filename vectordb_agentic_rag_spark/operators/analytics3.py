@@ -1802,3 +1802,81 @@ def agg_abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").cast("double") / F.max("tot").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_overdispersion_nb_fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_overdispersion_nb_fit",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sk,
+             CAST(sum(k * k) AS BIGINT) AS skk
+      FROM cnt),
+    m AS (
+      SELECT n,
+             CAST(sk AS DOUBLE) / n AS mean_k,
+             (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)
+              * CAST(sk AS DOUBLE) / n) / (n - 1) AS var_k
+      FROM s)
+    SELECT n AS n_users,
+           round(mean_k, 6) AS mean_events,
+           round(var_k, 6) AS var_events,
+           round(var_k / mean_k, 6) AS dispersion_index,
+           var_k > mean_k AS is_overdispersed,
+           CASE WHEN var_k > mean_k
+                THEN round(mean_k * mean_k / (var_k - mean_k), 6) END
+             AS nb_r,
+           CASE WHEN var_k > mean_k
+                THEN round(mean_k / var_k, 6) END AS nb_p
+    FROM m
+    """,
+)
+def agg_overdispersion_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-DATA OVERDISPERSION diagnostic + negative-binomial fit:
+    per-user event counts compared against the Poisson assumption
+    (variance == mean) — the first question about any arrival-count
+    model (capacity planning, anomaly thresholds on counts): a
+    dispersion index >> 1 means per-user rates are heterogeneous and
+    Poisson alert thresholds will false-alarm. When overdispersed,
+    the method-of-moments NB parameters r = m^2/(s^2 - m),
+    p = m/s^2 are the drop-in replacement model; under-dispersed data
+    returns NULL fits, never fake parameters.
+
+    Exactness: per-user counts are integers, their sum and
+    sum-of-squares exact BIGINTs (squares bounded by (events/user)^2
+    x users — far inside int64 at any realistic skew), and the
+    mean/variance/fit expressions share double text on both engines;
+    round(6) at the end. One groupBy(user) + a 1-row moment
+    aggregate."""
+    ev = table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("k"))
+    s = cnt.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    m = s.selectExpr(
+        "n",
+        "CAST(sk AS DOUBLE) / n AS mean_k",
+        "(CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)"
+        " * CAST(sk AS DOUBLE) / n) / (n - 1) AS var_k",
+    )
+    return m.selectExpr(
+        "n AS n_users",
+        "round(mean_k, 6) AS mean_events",
+        "round(var_k, 6) AS var_events",
+        "round(var_k / mean_k, 6) AS dispersion_index",
+        "var_k > mean_k AS is_overdispersed",
+        "CASE WHEN var_k > mean_k"
+        " THEN round(mean_k * mean_k / (var_k - mean_k), 6) END AS nb_r",
+        "CASE WHEN var_k > mean_k"
+        " THEN round(mean_k / var_k, 6) END AS nb_p",
+    )

@@ -1880,3 +1880,255 @@ def agg_overdispersion_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN var_k > mean_k"
         " THEN round(mean_k / var_k, 6) END AS nb_p",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_calibration_brier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_calibration_brier",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(value) AS BIGINT) AS vb,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    dom AS (
+      SELECT vb, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+      FROM b GROUP BY vb),
+    cum AS (
+      SELECT vb, c, p,
+             CAST(coalesce(sum(c) OVER (ORDER BY vb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb,
+             CAST((SELECT sum(c) FROM dom) AS BIGINT) AS n
+      FROM dom),
+    scored AS (
+      SELECT vb, c, p, n,
+             CAST(2 * cb + c + 1 AS BIGINT) AS r2,
+             (2.0 * cb + c + 1) / (2.0 * n) AS score
+      FROM cum),
+    binned AS (
+      SELECT CAST(least(9, CAST(floor(score * 10) AS BIGINT)) AS BIGINT)
+               AS bin,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(sum(p) AS BIGINT) AS n_pos,
+             sum(CAST(round(score * c, 9) AS DECIMAL(28,9))) AS ssum,
+             sum(CAST(round((score - 1.0) * (score - 1.0), 9)
+                      AS DECIMAL(28,9)) * p
+                 + CAST(round(score * score, 9) AS DECIMAL(28,9))
+                   * (c - p)) AS brier_sum
+      FROM scored GROUP BY 1)
+    SELECT bin,
+           n_rows, n_pos,
+           round(CAST(ssum AS DOUBLE) / n_rows, 6) AS mean_score,
+           round(CAST(n_pos AS DOUBLE) / n_rows, 6) AS observed_rate,
+           round(CAST(brier_sum AS DOUBLE) / n_rows, 6) AS brier_in_bin
+    FROM binned
+    """,
+)
+def agg_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION / RELIABILITY TABLE with per-bin Brier score for a
+    rank-based scorer: "predicted probability" = each event's VALUE
+    PERCENTILE (the monotone score a thresholding monitor implicitly
+    uses), outcome = is-purchase. Per score decile: mean predicted
+    score vs observed positive rate — the reliability diagram's data
+    — and the bin's Brier contribution. A well-calibrated score has
+    mean_score ~ observed_rate per bin; the fixture's independent
+    value/type coupling shows flat observed rates, which is the
+    audit's correct verdict (the scorer carries no signal, exactly
+    what agg_decision_stump_gini found).
+
+    Rank percentiles come from the value-DOMAIN doubled-rank trick
+    (exact rationals, no per-row sort); per-row Brier terms are
+    identical per DOMAIN CELL, so they quantize round(9) into DECIMAL
+    once per cell and multiply by exact class counts — the whole
+    Brier sum is order-independent decimal arithmetic. One groupBy to
+    the domain, one bounded cumulative window, one decile aggregate."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        F.expr("CAST(floor(value) AS BIGINT)").alias("vb"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    dom = b.groupBy("vb").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
+    wd = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.select(
+        "vb",
+        "c",
+        "p",
+        F.coalesce(F.sum("c").over(wd), F.lit(0)).cast("bigint").alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    scored = cum.selectExpr(
+        "vb", "c", "p", "n",
+        "(2.0 * cb + c + 1) / (2.0 * n) AS score",
+    )
+    binned = scored.groupBy(
+        F.expr(
+            "CAST(least(9, CAST(floor(score * 10) AS BIGINT)) AS BIGINT)"
+        ).alias("bin")
+    ).agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum(
+            F.expr("CAST(round(score * c, 9) AS DECIMAL(28,9))")
+        ).alias("ssum"),
+        F.sum(
+            F.expr(
+                "CAST(round((score - 1.0) * (score - 1.0), 9)"
+                " AS DECIMAL(28,9)) * p"
+                " + CAST(round(score * score, 9) AS DECIMAL(28,9))"
+                " * (c - p)"
+            )
+        ).alias("brier_sum"),
+    )
+    return binned.selectExpr(
+        "bin",
+        "n_rows",
+        "n_pos",
+        "round(CAST(ssum AS DOUBLE) / n_rows, 6) AS mean_score",
+        "round(CAST(n_pos AS DOUBLE) / n_rows, 6) AS observed_rate",
+        "round(CAST(brier_sum AS DOUBLE) / n_rows, 6) AS brier_in_bin",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_psi_drift
+# ---------------------------------------------------------------------------
+
+_PSI_EPS = "0.000001"  # zero-bin guard, identical literal on both engines
+
+
+@query(
+    "agg_psi_drift",
+    oracle=f"""
+    WITH ev2 AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+             CASE WHEN epoch_us(ts) * 2 <=
+                  (SELECT min(epoch_us(ts)) + max(epoch_us(ts)) FROM events)
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events),
+    dom AS (
+      SELECT vc,
+             CAST(sum(in_a) AS BIGINT) AS ca,
+             CAST(sum(1 - in_a) AS BIGINT) AS cb
+      FROM ev2 GROUP BY vc),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM dom),
+    cum AS (
+      SELECT vc, ca, cb,
+             CAST(coalesce(sum(ca) OVER (ORDER BY vc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cal
+      FROM dom),
+    binned AS (
+      SELECT least(9, 10 * cum.cal // tot.na) AS bin,
+             CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             max(tot.na) AS na, max(tot.nb) AS nb
+      FROM cum CROSS JOIN tot GROUP BY 1),
+    terms AS (
+      SELECT bin, n_a, n_b,
+             round(CAST(n_a AS DOUBLE) / na, 6) AS pct_a,
+             round(CAST(n_b AS DOUBLE) / nb, 6) AS pct_b,
+             CAST(round(
+               (greatest(CAST(n_a AS DOUBLE) / na, {_PSI_EPS})
+                - greatest(CAST(n_b AS DOUBLE) / nb, {_PSI_EPS}))
+               * ln(greatest(CAST(n_a AS DOUBLE) / na, {_PSI_EPS})
+                    / greatest(CAST(n_b AS DOUBLE) / nb, {_PSI_EPS})),
+               9) AS DECIMAL(28,9)) AS term
+      FROM binned)
+    SELECT bin, n_a, n_b, pct_a, pct_b,
+           round(CAST(term AS DOUBLE), 6) AS psi_term,
+           round(CAST(sum(term) OVER () AS DOUBLE), 6) AS psi_total
+    FROM terms
+    """,
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the industry-standard
+    feature-drift metric in ML monitoring: the event stream splits at
+    its midpoint timestamp into reference (A) and current (B)
+    periods, B's value distribution is binned by A's DECILES, and
+    PSI = sum((pa - pb) * ln(pa/pb)) over the 10 bins (rule of thumb:
+    < 0.1 stable, > 0.25 drifted — the fixture's stationary generator
+    should land near 0, which is the audit's correct baseline).
+    Emitted per bin with the total, so the drift's LOCATION is
+    visible, not just its size.
+
+    Decile binning without any sort of the data: values quantize to
+    integer cents, collapse to the value DOMAIN with per-period
+    counts, one cumulative window over the domain gives A's CDF, and
+    bin = least(9, 10*cumA div nA) — exact integer arithmetic (the
+    period split itself is an integer cross-multiplication of epoch
+    bounds). Per-bin PSI terms quantize round(9) into DECIMAL before
+    the 10-term sum; the 1e-6 zero-bin guard is the standard PSI
+    convention, identical text both engines."""
+    ev = table(spark, sf_dir, "events")
+    piv = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+        .cast("bigint")
+        .alias("pv")
+    )
+    ev2 = ev.crossJoin(F.broadcast(piv)).select(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vc"),
+        F.expr(
+            "CASE WHEN unix_micros(ts) * 2 <= pv THEN 1 ELSE 0 END"
+        ).alias("in_a"),
+    )
+    dom = ev2.groupBy("vc").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    tot = dom.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    wd = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.select(
+        "vc",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("ca").over(wd), F.lit(0)).cast("bigint").alias("cal"),
+    )
+    binned = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("least(9, 10 * cal div na)").alias("bin"))
+        .agg(
+            F.sum("ca").cast("bigint").alias("n_a"),
+            F.sum("cb").cast("bigint").alias("n_b"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    terms = binned.selectExpr(
+        "bin",
+        "n_a",
+        "n_b",
+        "round(CAST(n_a AS DOUBLE) / na, 6) AS pct_a",
+        "round(CAST(n_b AS DOUBLE) / nb, 6) AS pct_b",
+        f"""CAST(round(
+          (greatest(CAST(n_a AS DOUBLE) / na, {_PSI_EPS})
+           - greatest(CAST(n_b AS DOUBLE) / nb, {_PSI_EPS}))
+          * ln(greatest(CAST(n_a AS DOUBLE) / na, {_PSI_EPS})
+               / greatest(CAST(n_b AS DOUBLE) / nb, {_PSI_EPS})),
+          9) AS DECIMAL(28,9)) AS term""",
+    )
+    w_all = Window.partitionBy()
+    return terms.select(
+        "bin",
+        "n_a",
+        "n_b",
+        "pct_a",
+        "pct_b",
+        F.round(F.col("term").cast("double"), 6).alias("psi_term"),
+        F.round(F.sum("term").over(w_all).cast("double"), 6).alias(
+            "psi_total"
+        ),
+    )

@@ -2132,3 +2132,295 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_runs_test_randomness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_runs_test_randomness",
+    oracle="""
+    WITH med AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+    dom AS (SELECT vc, CAST(count(*) AS BIGINT) AS c FROM med GROUP BY vc),
+    cum AS (
+      SELECT vc, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY vc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb,
+             CAST((SELECT sum(c) FROM dom) AS BIGINT) AS n
+      FROM cum_src),
+    cum_src AS (SELECT * FROM dom),
+    m AS (
+      SELECT min(vc) AS median_c
+      FROM cum WHERE cb < (n + 1) / 2 AND (n + 1) / 2 <= cb + c),
+    seq AS (
+      SELECT user_id,
+             CASE WHEN CAST(round(value * 100, 0) AS BIGINT)
+                       > (SELECT median_c FROM m) THEN 1 ELSE 0 END AS s,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             lag(CASE WHEN CAST(round(value * 100, 0) AS BIGINT)
+                      > (SELECT median_c FROM m) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+      FROM events),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(count(*) - sum(s) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN prev_s IS NULL OR s <> prev_s
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM seq)
+    SELECT n, n1, n2, runs,
+           round(1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / n, 6) AS expected_runs,
+           round((runs - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / n))
+                 / sqrt(2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_stat
+    FROM st
+    """,
+)
+def agg_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST for serial randomness: dichotomize
+    every event value against the GLOBAL median (above/below), count
+    the runs of equal signs along each user's time order (a new run
+    starts at each user's first event — per-user series are
+    independent), and compare to the expected run count under
+    exchangeability. |z| >> 2 means values cluster in time (positive
+    serial dependence — bursts) or alternate too regularly; the
+    autocorrelation ops measure the SIZE of dependence, this one
+    needs no distributional assumptions at all.
+
+    Exactness: the median is an exact order statistic on the integer-
+    cent value DOMAIN (rank-interval containment, no interpolation);
+    signs, run boundaries (lag inequality) and all four counts are
+    exact integers; expected runs and z evaluate one shared double
+    expression, round(6). One domain cumsum + one user-partitioned
+    lag window."""
+    ev = table(spark, sf_dir, "events")
+    dom = ev.select(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vc")
+    ).groupBy("vc").agg(F.count("*").cast("bigint").alias("c"))
+    tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
+    wd = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.select(
+        "vc",
+        "c",
+        F.coalesce(F.sum("c").over(wd), F.lit(0)).cast("bigint").alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    med = cum.where(
+        (F.col("cb") < (F.col("n") + 1) / 2)
+        & ((F.col("n") + 1) / 2 <= F.col("cb") + F.col("c"))
+    ).agg(F.min("vc").alias("median_c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s_expr = F.expr(
+        "CASE WHEN CAST(round(value * 100, 0) AS BIGINT) > median_c"
+        " THEN 1 ELSE 0 END"
+    )
+    seq = ev.crossJoin(F.broadcast(med)).select(
+        s_expr.alias("s"), F.lag(s_expr).over(w).alias("prev_s")
+    )
+    st = seq.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(
+                F.col("prev_s").isNull() | (F.col("s") != F.col("prev_s")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    return st.selectExpr(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        "round(1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / n, 6) AS expected_runs",
+        "round((runs - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / n))"
+        " / sqrt(2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n)"
+        " / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_interarrival_exp_fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_interarrival_exp_fit",
+    oracle="""
+    WITH gaps AS (
+      SELECT CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS g
+      FROM events
+      QUALIFY g IS NOT NULL),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS sg
+      FROM gaps),
+    dom AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM gaps GROUP BY g),
+    cum AS (
+      SELECT g, CAST(sum(c) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cle
+      FROM dom),
+    d AS (
+      SELECT max(abs(CAST(cum.cle AS DOUBLE) / s.n
+                     - (1.0 - exp(-(CAST(s.n AS DOUBLE) / s.sg)
+                                  * cum.g)))) AS ks
+      FROM cum CROSS JOIN s)
+    SELECT s.n AS n_gaps,
+           round(CAST(s.sg AS DOUBLE) / s.n / 1000000.0, 6)
+             AS mean_gap_sec,
+           round(CAST(s.n AS DOUBLE) / s.sg * 1000000.0, 9)
+             AS lambda_per_sec,
+           round(d.ks, 6) AS ks_distance
+    FROM s CROSS JOIN d
+    """,
+)
+def agg_interarrival_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRIVAL-PROCESS VALIDATION: fit an exponential law to per-user
+    inter-event gaps (MLE lambda = 1/mean) and measure the
+    Kolmogorov-Smirnov distance between the empirical gap CDF and the
+    fitted CDF — the test behind every "assume Poisson arrivals"
+    capacity model (a large KS distance says the arrival process is
+    bursty/heavy-tailed and exponential-based queue math will lie;
+    pairs with agg_overdispersion_nb_fit, which diagnoses the COUNT
+    side of the same assumption).
+
+    Exactness: gaps are exact integer microseconds (per-user lag over
+    the pinned order); the empirical CDF lives on the gap VALUE
+    DOMAIN (one bounded cumulative window — the agg_ks_test_two_sample
+    discipline), so the KS max runs over domain cells, not rows. The
+    fitted-CDF term evaluates one shared transcendental expression
+    per cell; a cross-libm exp() ulp flip perturbs the max by ~1e-16,
+    ten orders under round(6). lambda reports at round(9) (it is
+    ~1e-5/sec on this fixture)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            ).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+    )
+    s = gaps.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+    )
+    dom = gaps.groupBy("g").agg(F.count("*").cast("bigint").alias("c"))
+    wd = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dom.select(
+        "g", F.sum("c").over(wd).cast("bigint").alias("cle")
+    )
+    d = cum.crossJoin(F.broadcast(s)).agg(
+        F.max(
+            F.expr(
+                "abs(CAST(cle AS DOUBLE) / n"
+                " - (1.0 - exp(-(CAST(n AS DOUBLE) / sg) * g)))"
+            )
+        ).alias("ks")
+    )
+    return s.crossJoin(F.broadcast(d)).selectExpr(
+        "n AS n_gaps",
+        "round(CAST(sg AS DOUBLE) / n / 1000000.0, 6) AS mean_gap_sec",
+        "round(CAST(n AS DOUBLE) / sg * 1000000.0, 9) AS lambda_per_sec",
+        "round(ks, 6) AS ks_distance",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_seasonality_strength
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_seasonality_strength",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events),
+    hc AS (
+      SELECT event_type, hr,
+             CAST(count(*) AS BIGINT) AS c, CAST(sum(vc) AS BIGINT) AS sv,
+             CAST(sum(vc * vc) AS BIGINT) AS svv
+      FROM b GROUP BY event_type, hr),
+    t AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(sv) AS BIGINT) AS s,
+             CAST(sum(svv) AS BIGINT) AS ss,
+             CAST(sum(CAST(round(CAST(sv AS DOUBLE) * sv / c, 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS sb
+      FROM hc GROUP BY event_type)
+    SELECT event_type, n,
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n
+                 / 10000.0, 6) AS var_total,
+           round((sb - CAST(s AS DOUBLE) * s / n) / n / 10000.0, 6)
+             AS var_seasonal,
+           round((sb - CAST(s AS DOUBLE) * s / n)
+                 / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+             AS seasonality_strength
+    FROM t
+    """,
+)
+def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY STRENGTH per event type — the variance share
+    explained by the hour-of-day profile (between-hour variance /
+    total variance, the eta-squared of the one-way seasonal
+    decomposition): the one number that says whether a forecaster
+    should bother with a seasonal component (win_seasonal_naive_mae
+    measures a chosen seasonal model's error; this measures how much
+    seasonality EXISTS). Near 0 on this fixture's stationary
+    generator — the correct audit baseline.
+
+    Exactness: values quantize to integer cents, so per-(type, hour)
+    count/sum/sum-of-squares are exact BIGINTs; the between-group sum
+    sum(sv^2/c) and the three variance expressions share double text
+    over those exact integers (round 6 at the end; the /10000 undoes
+    the cents scaling on the variance read-outs). One (type, hour)
+    aggregate — 120 cells — then a type-sized reduce; no window, no
+    second scan."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vc"),
+    )
+    hc = b.groupBy("event_type", "hr").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("vc").cast("bigint").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).cast("bigint").alias("svv"),
+    )
+    t = hc.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("sv").cast("bigint").alias("s"),
+        F.sum("svv").cast("bigint").alias("ss"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(sv AS DOUBLE) * sv / c, 9)"
+                " AS DECIMAL(28,9))"
+            )
+        )
+        .cast("double")
+        .alias("sb"),
+    )
+    return t.selectExpr(
+        "event_type",
+        "n",
+        "round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n"
+        " / 10000.0, 6) AS var_total",
+        "round((sb - CAST(s AS DOUBLE) * s / n) / n / 10000.0, 6)"
+        " AS var_seasonal",
+        "round((sb - CAST(s AS DOUBLE) * s / n)"
+        " / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)"
+        " AS seasonality_strength",
+    )

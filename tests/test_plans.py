@@ -881,3 +881,44 @@ def test_token_budget_select_no_per_source_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_blocklist_filter_broadcast_left_join(spark, sf_dir):
+    # the blocklist is the broadcast side of a LEFT OUTER join — the
+    # corpus never shuffles for the gate, and kept/dropped audit columns
+    # come from the same single pass (no anti-join second scan)
+    plan = plan_of(QUERIES["pipeline_blocklist_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_anova_single_fact_scan_partial_agg(spark, sf_dir):
+    # one grouped moment pass: a single events scan feeding a partial
+    # (map-side) HashAggregate; no window, no join back of group means
+    plan = plan_of(QUERIES["agg_anova_oneway"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_modularity_brands_ride_broadcast(spark, sf_dir):
+    # edges come from the checkpointed co-purchase list (no lineitem
+    # re-derivation); both brand lookups are broadcast joins of the part
+    # dimension; no shuffle join anywhere
+    plan = plan_of(QUERIES["graph_modularity_partition"](spark, sf_dir))
+    assert "Scan parquet" not in plan or "lineitem" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_topk_margin_query_side_broadcast(spark, sf_dir):
+    # corpus streams through one codegen cosine stage against the
+    # broadcast query set; the only exchange partitions by query_id for
+    # the bounded top-10 window
+    plan = plan_of(QUERIES["vec_topk_margin_stats"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "hashpartitioning(query_id" in plan
+    assert "BatchEvalPython" not in plan

@@ -181,6 +181,14 @@ OPS = [
     ("pipeline_dataset_diff", "documents"),
     ("agg_gumbel_block_maxima", "events"),
     ("agg_cusum_arl_calibration", "events"),
+    # round-8 second session
+    ("agg_anova_oneway", "events"),
+    ("agg_friedman_test", "events"),
+    ("agg_entropy_rate_markov", "events"),
+    ("pipeline_blocklist_filter", "documents"),
+    ("vec_topk_margin_stats", "embeddings"),
+    ("graph_modularity_partition", "lineitem"),
+    ("agg_cramers_v", "documents"),
 ]
 
 

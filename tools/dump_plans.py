@@ -86,6 +86,14 @@ SHOWCASE = [
     ("pipeline_curriculum_order", "two-pass value-domain rank over the round(6) score grid"),
     ("text_rake_keywords", "per-doc segmentation window, word/phrase hash aggs, TakeOrdered top-20"),
     ("agg_jarque_bera", "count + 4 exact power sums per type in one aggregate pass"),
+    # round-8 additions
+    ("win_spc_western_electric", "4 run rules on one user exchange, decimal control limits"),
+    ("pipeline_token_budget_select", "quality-domain running totals, broadcast side tables, no global sort"),
+    ("agg_tail_index_hill", "global top-(m+1) as TakeOrderedAndProject, bounded rank window"),
+    ("pipeline_blocklist_filter", "broadcast LEFT-join gate, kept+dropped audit in one scan"),
+    ("agg_anova_oneway", "k-group F from one partial-agg moment scan, no mean join-back"),
+    ("graph_modularity_partition", "endpoint-label broadcast joins over checkpointed edges"),
+    ("vec_topk_margin_stats", "broadcast query set, bounded top-10 window, decimal mean"),
 ]
 
 

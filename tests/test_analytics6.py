@@ -165,3 +165,16 @@ def test_modularity_identities_and_recompute(spark):
         assert abs(got[b] - want) < 1e-6
     assert abs(pdf.modularity.iloc[0] - q) < 1e-5
     assert -0.5 <= pdf.modularity.iloc[0] <= 1.0
+
+
+def test_entropy_rate_consistent_with_transition_matrix(spark):
+    # H_i must be recomputable from agg_markov_transition's published
+    # (round-6) matrix — pins the two ops to the same pair definition
+    h = QUERIES["agg_entropy_rate_markov"](spark, SF).toPandas()
+    tm = QUERIES["agg_markov_transition"](spark, SF).toPandas()
+    for r in h.itertuples():
+        rows = tm[tm.prev_type == r.prev_type]
+        p = rows.n_trans.to_numpy() / rows.n_trans.sum()
+        want = float(-(p * np.log2(p)).sum())
+        assert abs(r.h_cond_bits - want) < 1e-4
+        assert r.n_from == rows.n_trans.sum()

@@ -460,3 +460,381 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(2.0 * ek / (CAST(nk AS DOUBLE) * (nk - 1)), 6)"
         " AS rich_club_phi",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_unseen_vocab_estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_unseen_vocab_estimate",
+    oracle="""
+    WITH toks AS (
+      SELECT t.tok FROM documents d,
+             unnest(string_split(d.text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    ff AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM lm)
+    SELECT nn AS n_tokens, v AS vocab_size,
+           f1 AS f1_singletons, f2 AS f2_doubletons,
+           round(CAST(f1 AS DOUBLE) / nn, 6) AS gt_unseen_mass,
+           round(1.0 - CAST(f1 AS DOUBLE) / nn, 6) AS turing_coverage,
+           round(v + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 6)
+             AS chao1_richness,
+           round(CAST(v AS DOUBLE)
+                 / (v + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1))), 6)
+             AS vocab_completeness
+    FROM ff
+    """,
+)
+def agg_unseen_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSEEN-VOCABULARY ESTIMATORS from the frequency-of-frequencies
+    spectrum: Turing's unseen-probability mass P0 = f1/N (the chance
+    the NEXT token is a never-seen type — the quantity behind
+    Good-Turing smoothing) and the bias-corrected Chao1 richness
+    S-hat = V + f1(f1-1)/(2(f2+1)) (how many types EXIST, seen or
+    not). Together they answer the curation question
+    agg_heaps_law_fit only trends: is the corpus's vocabulary
+    actually exhausted (completeness near 1, P0 near 0), or does the
+    singleton mass say sampling has barely begun? A tokenizer/vocab
+    freeze decision reads exactly these two numbers.
+
+    Shape at 100 TB: one token groupBy (the same map-side-combinable
+    vocabulary aggregate as text_unigram_logprob's LM pass), then a
+    1-row reduction over the vocabulary — the frequency spectrum
+    needs only f1, f2, V, N, so no frequency histogram ever
+    materializes. One-row output.
+
+    Parity: all four spectrum statistics are exact integers from
+    identical tokenization (split on single space, empties dropped —
+    text.py's shared convention); the four derived estimators are
+    shared-text double expressions of exact integers, round(6)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    ff = lm.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("v"),
+        F.sum(F.expr("CASE WHEN n = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.expr("CASE WHEN n = 2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return ff.selectExpr(
+        "nn AS n_tokens",
+        "v AS vocab_size",
+        "f1 AS f1_singletons",
+        "f2 AS f2_doubletons",
+        "round(CAST(f1 AS DOUBLE) / nn, 6) AS gt_unseen_mass",
+        "round(1.0 - CAST(f1 AS DOUBLE) / nn, 6) AS turing_coverage",
+        "round(v + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 6)"
+        " AS chao1_richness",
+        "round(CAST(v AS DOUBLE)"
+        " / (v + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1))), 6)"
+        " AS vocab_completeness",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mood_median_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mood_median_test",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events),
+    vt AS (SELECT vc, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY vc),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vt),
+    cum AS (
+      SELECT vc, sum(cnt) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM vt),
+    med AS (
+      SELECT min(vc) AS medc FROM cum CROSS JOIN tot
+      WHERE cc >= CAST(ceil(0.5 * n) AS BIGINT)),
+    g AS (
+      SELECT c.event_type, CAST(count(*) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN c.vc > med.medc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a_t
+      FROM c CROSS JOIN med GROUP BY c.event_type),
+    tt AS (
+      SELECT CAST(sum(n_t) AS BIGINT) AS n, CAST(sum(a_t) AS BIGINT) AS a
+      FROM g),
+    terms AS (
+      SELECT g.event_type, g.n_t, g.a_t,
+             CAST(g.n_t AS DOUBLE) * tt.a / tt.n AS e_t,
+             CAST(round(
+               (g.a_t - CAST(g.n_t AS DOUBLE) * tt.a / tt.n)
+               * (g.a_t - CAST(g.n_t AS DOUBLE) * tt.a / tt.n)
+               / (CAST(g.n_t AS DOUBLE) * tt.a / tt.n)
+               + ((g.n_t - g.a_t)
+                  - CAST(g.n_t AS DOUBLE) * (tt.n - tt.a) / tt.n)
+               * ((g.n_t - g.a_t)
+                  - CAST(g.n_t AS DOUBLE) * (tt.n - tt.a) / tt.n)
+               / (CAST(g.n_t AS DOUBLE) * (tt.n - tt.a) / tt.n), 9)
+               AS DECIMAL(28,9)) AS term
+      FROM g CROSS JOIN tt),
+    chi AS (SELECT CAST(sum(term) AS DECIMAL(38,9)) AS chi2 FROM terms)
+    SELECT terms.event_type, terms.n_t AS n_events,
+           terms.a_t AS n_above_median,
+           round(terms.e_t, 6) AS expected_above,
+           round(CAST(med.medc AS DOUBLE) / 100.0, 6) AS grand_median,
+           round(CAST(chi.chi2 AS DOUBLE), 6) AS mood_chi2
+    FROM terms CROSS JOIN med CROSS JOIN chi
+    """,
+)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST across event types: classify every event as
+    above / not-above the POOLED exact median and chi-square the
+    resulting k x 2 contingency table — the fully rank-robust
+    location test that stays valid when agg_anova_oneway's normality
+    and agg_mann_whitney_u's two-sample restriction both fail. Ties
+    at the median count as not-above (the classical convention);
+    per-type rows expose which types sit high (a_t > e_t), with the
+    grand chi2 and the pooled median repeated as columns.
+
+    Shape at 100 TB: the pooled median comes from the distinct
+    CENTS domain (~56k values regardless of row count) via the
+    two-level bucketed cumulative sum (_domain_bucket — no
+    single-partition window over the domain); the classification
+    pass re-scans the fact table once against the broadcast 1-row
+    median; the contingency table is a k-row map-side-combinable
+    aggregate. Two fact scans total, both projection-pruned.
+
+    Parity: cents are exact BIGINTs (the money discipline); the
+    median is the min domain value whose exact cumulative count
+    reaches ceil(N/2) (agg_exact_quantile_2pass's pinned rank
+    convention); cell counts and marginals are exact integers; each
+    type's two-cell chi2 term is one shared double expression
+    quantized round(9) into DECIMAL before the order-independent
+    sum (the agg_cramers_v discipline)."""
+    from .analytics2 import _domain_bucket
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("vc")
+    )
+    vt = _domain_bucket(
+        c.groupBy(F.col("vc").alias("v")).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+    )
+    tot = vt.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w_local = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bt = vt.groupBy("bkt").agg(F.sum("cnt").alias("b"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    before = bt.select(
+        "bkt", (F.sum("b").over(w_b) - F.col("b")).alias("p")
+    )
+    cum = (
+        vt.withColumn("l", F.sum("cnt").over(w_local))
+        .join(F.broadcast(before), "bkt")
+        .select("v", (F.col("p") + F.col("l")).alias("cc"))
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cc") >= F.expr("CAST(ceil(0.5 * n) AS BIGINT)"))
+        .agg(F.min("v").alias("medc"))
+    )
+    g = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_t"),
+            F.sum(F.expr("CASE WHEN vc > medc THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("a_t"),
+        )
+    )
+    tt = g.agg(
+        F.sum("n_t").cast("bigint").alias("n"),
+        F.sum("a_t").cast("bigint").alias("a"),
+    )
+    terms = g.crossJoin(F.broadcast(tt)).select(
+        "event_type",
+        "n_t",
+        "a_t",
+        F.expr("CAST(n_t AS DOUBLE) * a / n").alias("e_t"),
+        F.expr(
+            "CAST(round((a_t - CAST(n_t AS DOUBLE) * a / n)"
+            " * (a_t - CAST(n_t AS DOUBLE) * a / n)"
+            " / (CAST(n_t AS DOUBLE) * a / n)"
+            " + ((n_t - a_t) - CAST(n_t AS DOUBLE) * (n - a) / n)"
+            " * ((n_t - a_t) - CAST(n_t AS DOUBLE) * (n - a) / n)"
+            " / (CAST(n_t AS DOUBLE) * (n - a) / n), 9) AS DECIMAL(28,9))"
+        ).alias("term"),
+    )
+    chi = terms.agg(F.sum("term").cast("decimal(38,9)").alias("chi2"))
+    return (
+        terms.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(chi))
+        .selectExpr(
+            "event_type",
+            "n_t AS n_events",
+            "a_t AS n_above_median",
+            "round(e_t, 6) AS expected_above",
+            "round(CAST(medc AS DOUBLE) / 100.0, 6) AS grand_median",
+            "round(CAST(chi2 AS DOUBLE), 6) AS mood_chi2",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_levene_brown_forsythe
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_levene_brown_forsythe",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events),
+    vt AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2),
+    nt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_t
+           FROM vt GROUP BY event_type),
+    cum AS (
+      SELECT event_type, vc,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM vt),
+    med AS (
+      SELECT cum.event_type, min(vc) AS medc
+      FROM cum JOIN nt USING (event_type)
+      WHERE cc >= CAST(ceil(0.5 * n_t) AS BIGINT)
+      GROUP BY cum.event_type),
+    z AS (
+      SELECT c.event_type, abs(c.vc - med.medc) AS zc
+      FROM c JOIN med USING (event_type)),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(zc) AS BIGINT) AS s,
+             CAST(sum(CAST(zc AS DECIMAL(19,0)) * zc) AS DECIMAL(38,0)) AS q
+      FROM z GROUP BY event_type),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CAST(s AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS st,
+             CAST(sum(q) AS DECIMAL(38,0)) AS qt,
+             CAST(sum(CAST(round(
+                 CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+                      AS DOUBLE) / n, 6) AS DECIMAL(28,6)))
+                  AS DECIMAL(38,6)) AS b
+      FROM g)
+    SELECT k AS k_groups, nn AS n_events,
+           round((CAST(b AS DOUBLE)
+                  - CAST(st * st AS DOUBLE) / nn) / 10000.0, 6)
+             AS ss_between,
+           round((CAST(qt AS DOUBLE) - CAST(b AS DOUBLE)) / 10000.0, 6)
+             AS ss_within,
+           round(((CAST(b AS DOUBLE) - CAST(st * st AS DOUBLE) / nn)
+                  / (k - 1))
+                 / ((CAST(qt AS DOUBLE) - CAST(b AS DOUBLE)) / (nn - k)),
+                 6) AS bf_stat
+    FROM t
+    """,
+)
+def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE TEST (Levene's test with median centers) for
+    variance homogeneity across event types: one-way ANOVA on the
+    absolute deviations z = |x - median_group| — the assumption check
+    that licenses agg_anova_oneway's pooled-variance F (heteroscedastic
+    groups inflate its false-positive rate) and the robust
+    spread-comparison in its own right (medians, not means, center
+    the deviations, so heavy tails don't masquerade as variance
+    differences). A large BF statistic says per-type spreads differ
+    and downstream per-type z-score thresholds need per-type scales.
+
+    Shape at 100 TB: per-type exact medians come from the (type,
+    cents) DOMAIN (distinct-value counts + a per-type ordered cumsum
+    over the bounded per-type cents domain — parallel across types,
+    never a row-level sort); the deviation pass re-scans the fact
+    table once against the broadcast k-row median table; the F
+    assembles from ONE grouped moment aggregate via the
+    sum-of-squares identity — agg_anova_oneway's exact machinery with
+    z as the response.
+
+    Parity: cents and medians are exact BIGINTs, so every deviation
+    is an exact integer; group moments use the DECIMAL(19,0) square
+    discipline; the per-group S^2/n terms quantize round(6) into
+    DECIMAL before the sum; ss columns rescale to value^2 units
+    (/10000) and the statistic is one shared double expression,
+    round(6)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("vc")
+    )
+    vt = c.groupBy("event_type", "vc").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    nt = vt.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_t")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vt.select(
+        "event_type", "vc", F.sum("cnt").over(w_cum).alias("cc")
+    )
+    med = (
+        cum.join(F.broadcast(nt), "event_type")
+        .where(F.col("cc") >= F.expr("CAST(ceil(0.5 * n_t) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(F.min("vc").alias("medc"))
+    )
+    z = c.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("vc") - F.col("medc")).alias("zc")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("zc").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(zc AS DECIMAL(19,0)) * zc"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.col("s").cast("decimal(19,0)")).cast("decimal(19,0)").alias("st"),
+        F.sum("q").cast("decimal(38,0)").alias("qt"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(CAST(s AS DECIMAL(19,0))"
+                " * CAST(s AS DECIMAL(19,0)) AS DOUBLE) / n, 6)"
+                " AS DECIMAL(28,6))"
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("b"),
+    )
+    return t.selectExpr(
+        "k AS k_groups",
+        "nn AS n_events",
+        "round((CAST(b AS DOUBLE) - CAST(st * st AS DOUBLE) / nn)"
+        " / 10000.0, 6) AS ss_between",
+        "round((CAST(qt AS DOUBLE) - CAST(b AS DOUBLE)) / 10000.0, 6)"
+        " AS ss_within",
+        "round(((CAST(b AS DOUBLE) - CAST(st * st AS DOUBLE) / nn)"
+        " / (k - 1))"
+        " / ((CAST(qt AS DOUBLE) - CAST(b AS DOUBLE)) / (nn - k)), 6)"
+        " AS bf_stat",
+    )

@@ -838,3 +838,203 @@ def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / ((CAST(qt AS DOUBLE) - CAST(b AS DOUBLE)) / (nn - k)), 6)"
         " AS bf_stat",
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation_semi
+# ---------------------------------------------------------------------------
+
+# Synchronous clamped-seed label propagation converges in <= graph
+# diameter rounds; measured rounds-to-fixpoint on the support-2
+# co-purchase graph: 1 (sf0.001) / 5 (sf0.01) / 7 (sf0.1). Budget 10
+# leaves fixture-regeneration margin; the Spark side RAISES if the
+# budget is exhausted before the frontier empties, which is what makes
+# the fixed-unroll oracle exact (extra rounds past the fixpoint are
+# identity steps).
+_LP_ROUNDS = 10
+_LP_SEED_MOD = 5  # parts with p_partkey % 5 == 0 keep their true brand
+
+
+def _lp_oracle() -> str:
+    parts = [
+        """os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    nodes AS MATERIALIZED (
+      SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+    de AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+    lab0 AS MATERIALIZED (
+      SELECT n.node, p.p_brand AS lbl, 0 AS rnd
+      FROM nodes n JOIN part p ON p.p_partkey = n.node
+      WHERE n.node % """
+        + str(_LP_SEED_MOD)
+        + " = 0)"
+    ]
+    for i in range(1, _LP_ROUNDS + 1):
+        parts.append(
+            f"""nw{i} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT de.b AS node, l.lbl, count(*) AS votes,
+               row_number() OVER (PARTITION BY de.b
+                 ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM de JOIN lab{i - 1} l ON de.a = l.node
+        WHERE de.b NOT IN (SELECT node FROM lab{i - 1})
+        GROUP BY de.b, l.lbl) z{i}
+      WHERE rn = 1),
+    lab{i} AS MATERIALIZED (
+      SELECT * FROM lab{i - 1}
+      UNION ALL SELECT node, lbl, {i} AS rnd FROM nw{i})"""
+        )
+    R = _LP_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    allr AS (
+      SELECT l.rnd, l.lbl,
+             CASE WHEN l.lbl = p.p_brand THEN 1 ELSE 0 END AS ok
+      FROM lab{R} l JOIN part p ON p.p_partkey = l.node
+      UNION ALL
+      SELECT -1 AS rnd, 'unreached' AS lbl, 0 AS ok
+      FROM nodes n WHERE n.node NOT IN (SELECT node FROM lab{R})),
+    acc AS (
+      SELECT CAST(sum(CASE WHEN rnd >= 1 THEN ok ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN rnd >= 1 THEN 1 ELSE 0 END) AS a
+      FROM allr)
+    SELECT rnd AS round_assigned, lbl AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(ok) AS BIGINT) AS n_correct,
+           round(max(acc.a), 6) AS propagated_accuracy
+    FROM allr CROSS JOIN acc
+    GROUP BY rnd, lbl"""
+    )
+
+
+@query("graph_label_propagation_semi", oracle=_lp_oracle())
+def graph_label_propagation_semi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMI-SUPERVISED LABEL PROPAGATION on the support-2 part
+    co-purchase graph: 20% of graph nodes (p_partkey % 5 == 0) keep
+    their TRUE brand as clamped seeds; each synchronous round, every
+    still-unlabeled node adopts the majority brand among its labeled
+    neighbors (exact integer votes, ties broken votes DESC then brand
+    ASC). Because seeds are clamped and assigned labels freeze, the
+    iteration is MONOTONE — it converges in at most graph-diameter
+    rounds, and nodes in seedless components stay honestly unlabeled
+    (reported as round -1 / 'unreached'). Since the catalog knows
+    every node's true brand, the op doubles as its own evaluation:
+    propagated_accuracy is the fraction of NON-seed assignments that
+    recovered the true brand — the measurement that tells a labeling
+    pipeline whether graph-smoothing weak labels is better than
+    leaving them missing (the pipeline_annotation_agreement question,
+    answered structurally).
+
+    Shape at 100 TB: the loop never touches the fact table — it runs
+    on the checkpointed edge list (_copurchase_edges) and a labels
+    frame bounded by |graph nodes|; each round is one directed-edge
+    join + one (node, label) vote aggregate + a row_number pick,
+    with localCheckpoint truncating lineage (plan size O(1) in
+    rounds) and shuffle partitions sized from |E| and restored in
+    finally (the graph_kcore loop disciplines). Convergence is
+    witnessed by an empty frontier (a scalar count on the bounded
+    new-labels frame); exhausting the 10-round budget RAISES
+    (measured depth: 1/5/7 rounds at sf0.001/0.01/0.1).
+
+    Parity: votes and counts are exact integers; the adoption pick
+    orders on (votes DESC, brand) — deterministic on both engines;
+    accuracy is one division of exact integers, round(6)."""
+    e = _copurchase_edges(spark, sf_dir)
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    de = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    n_edges = e.count()
+    loop_partitions = max(1, min(200, n_edges // 1_000_000 + 1))
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    converged = False
+    try:
+        de = de.localCheckpoint()
+        labels = (
+            nodes.where(F.col("node") % _LP_SEED_MOD == 0)
+            .join(
+                F.broadcast(p),
+                F.col("node") == F.col("p_partkey"),
+            )
+            .select("node", F.col("p_brand").alias("lbl"), F.lit(0).alias("rnd"))
+            .localCheckpoint()
+        )
+        for r in range(1, _LP_ROUNDS + 1):
+            w_pick = Window.partitionBy("node").orderBy(
+                F.col("votes").desc(), F.col("lbl")
+            )
+            new = (
+                de.join(
+                    labels.select(F.col("node").alias("a"), "lbl"), "a"
+                )
+                .join(
+                    labels.select(F.col("node").alias("b")),
+                    "b",
+                    "left_anti",
+                )
+                .groupBy(F.col("b").alias("node"), "lbl")
+                .agg(F.count("*").alias("votes"))
+                .withColumn("rn", F.row_number().over(w_pick))
+                .where(F.col("rn") == 1)
+                .select("node", "lbl", F.lit(r).alias("rnd"))
+                .localCheckpoint()
+            )
+            if new.count() == 0:
+                converged = True
+                break
+            labels = labels.unionAll(new).localCheckpoint()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if not converged:
+        raise RuntimeError(
+            f"label propagation not converged after {_LP_ROUNDS} rounds — "
+            "raise the budget for longer seed-to-node paths"
+        )
+    labeled = labels.join(
+        F.broadcast(p), F.col("node") == F.col("p_partkey")
+    ).select(
+        "rnd",
+        "lbl",
+        F.expr("CASE WHEN lbl = p_brand THEN 1 ELSE 0 END").alias("ok"),
+    )
+    unreached = nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).select(
+        F.lit(-1).alias("rnd"),
+        F.lit("unreached").alias("lbl"),
+        F.lit(0).alias("ok"),
+    )
+    allr = labeled.unionAll(unreached)
+    acc = allr.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rnd >= 1 THEN ok ELSE 0 END) AS DOUBLE)"
+            " / sum(CASE WHEN rnd >= 1 THEN 1 ELSE 0 END)"
+        ).alias("a")
+    )
+    return allr.crossJoin(F.broadcast(acc)).groupBy(
+        F.col("rnd").alias("round_assigned"), F.col("lbl").alias("brand")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        F.round(F.max("a"), 6).alias("propagated_accuracy"),
+    )

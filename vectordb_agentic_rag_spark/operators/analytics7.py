@@ -1038,3 +1038,266 @@ def graph_label_propagation_semi(
         F.sum("ok").cast("bigint").alias("n_correct"),
         F.round(F.max("a"), 6).alias("propagated_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_changepoint_pelt_1d
+# ---------------------------------------------------------------------------
+
+# Exact segmented least-squares changepoint detection with a fixed
+# segment count. K = 3 segments (2 changepoints) over the daily-mean
+# series — the objective PELT optimizes, solved by the optimal-
+# partitioning DP directly: on a bounded day domain the O(T^2)
+# candidate set is a few thousand pairs, so PELT's pruning (a
+# scan-order optimization for T ~ 1e6 streaming points) buys nothing.
+_CPT_K = 3
+
+
+@query(
+    "win_changepoint_pelt_1d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+             count(*) AS cnt
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM daily),
+    pre AS MATERIALIZED (
+      SELECT t,
+             CAST(sum(m) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,6)) AS p,
+             CAST(sum(m * m) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,12)) AS pq
+      FROM idx
+      UNION ALL SELECT 0, CAST(0 AS DECIMAL(28,6)),
+                       CAST(0 AS DECIMAL(38,12))),
+    pairs AS MATERIALIZED (
+      SELECT a.t AS s, b.t AS t,
+             CAST(round(CAST(b.pq - a.pq AS DOUBLE)
+                        - CAST(b.p - a.p AS DOUBLE)
+                          * CAST(b.p - a.p AS DOUBLE) / (b.t - a.t), 6)
+                  AS DECIMAL(28,6)) AS c
+      FROM pre a JOIN pre b ON a.t < b.t),
+    f1 AS MATERIALIZED (
+      SELECT t, c AS f FROM pairs WHERE s = 0),
+    f2 AS MATERIALIZED (
+      SELECT t, f, s FROM (
+        SELECT p.t, CAST(f1.f + p.c AS DECIMAL(28,6)) AS f, p.s,
+               row_number() OVER (PARTITION BY p.t
+                 ORDER BY CAST(f1.f + p.c AS DECIMAL(28,6)), p.s) AS rn
+        FROM pairs p JOIN f1 ON f1.t = p.s) z2
+      WHERE rn = 1),
+    f3 AS MATERIALIZED (
+      SELECT t, f, s FROM (
+        SELECT p.t, CAST(f2.f + p.c AS DECIMAL(28,6)) AS f, p.s,
+               row_number() OVER (PARTITION BY p.t
+                 ORDER BY CAST(f2.f + p.c AS DECIMAL(28,6)), p.s) AS rn
+        FROM pairs p JOIN f2 ON f2.t = p.s) z3
+      WHERE rn = 1),
+    tmax AS (SELECT max(t) AS tt FROM idx),
+    r3 AS (SELECT f3.f AS total, f3.s AS s2, tmax.tt
+           FROM f3 CROSS JOIN tmax WHERE f3.t = tmax.tt),
+    r2 AS (SELECT r3.total, f2.s AS s1, r3.s2, r3.tt
+           FROM r3 JOIN f2 ON f2.t = r3.s2),
+    segs AS (
+      SELECT 1 AS segment_id, 1 AS a, s1 AS b, total FROM r2
+      UNION ALL SELECT 2, s1 + 1, s2, total FROM r2
+      UNION ALL SELECT 3, s2 + 1, tt, total FROM r2),
+    st AS (
+      SELECT g.segment_id, g.a, g.b, g.total, p.c,
+             CAST(pb.p - pa.p AS DOUBLE) / (g.b - g.a + 1) AS mean
+      FROM segs g
+      JOIN pairs p ON p.s = g.a - 1 AND p.t = g.b
+      JOIN pre pa ON pa.t = g.a - 1
+      JOIN pre pb ON pb.t = g.b)
+    SELECT st.segment_id,
+           da.day AS start_day, db.day AS end_day,
+           CAST(st.b - st.a + 1 AS BIGINT) AS n_days,
+           round(st.mean, 6) AS seg_mean,
+           round(CAST(st.c AS DOUBLE), 6) AS seg_sse,
+           round(CAST(st.total AS DOUBLE), 6) AS total_cost
+    FROM st JOIN idx da ON da.t = st.a
+            JOIN idx db ON db.t = st.b
+    """,
+)
+def win_changepoint_pelt_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SEGMENTED-COST CHANGEPOINT DETECTION over the daily-mean
+    value series: the optimal-partitioning dynamic program that PELT
+    accelerates, solved exactly for K = 3 segments (2 changepoints)
+    minimizing total within-segment SSE — which two days did the
+    level of the series actually shift, with the provably-minimal
+    segmentation rather than a heuristic scan (win_cusum_changepoint
+    and win_page_hinkley detect ONLINE with detection delay; this is
+    the OFFLINE ground truth they are benchmarked against). Output:
+    one row per segment with its date span, mean level, SSE, and the
+    grand minimal cost.
+
+    Shape at 100 TB: the fact table collapses to the DAY domain in
+    one map-side-combinable aggregate; the entire DP — prefix sums,
+    the O(T^2) candidate-cost grid, K argmin levels — lives on that
+    bounded domain (T ~ hundreds: the grid is thousands of rows at
+    ANY corpus size; PELT's pruning only matters when T is itself
+    row-scaled). The grid is localCheckpoint-materialized because
+    three DP levels and the final segment join all reference it (the
+    _cosupply_edges re-derivation rule).
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6) (the
+    autocorr discipline; squares stay inside DuckDB's int64 decimal
+    kernel); prefix sums are exact DECIMAL; every candidate cost
+    quantizes round(6) into DECIMAL(28,6), so DP values are EXACT
+    decimal sums — min and argmin (tie-break: smaller split point)
+    are exact on both engines, and no float comparison ever decides
+    the segmentation. Means and SSEs convert to double only in the
+    output row, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    w_t = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        F.row_number().over(w_t).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        idx.select(
+            "t",
+            F.sum("m").over(w_cum).cast("decimal(28,6)").alias("p"),
+            F.sum(F.col("m") * F.col("m"))
+            .over(w_cum)
+            .cast("decimal(38,12)")
+            .alias("pq"),
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit(0).cast("bigint").alias("t"),
+                F.lit(0).cast("decimal(28,6)").alias("p"),
+                F.lit(0).cast("decimal(38,12)").alias("pq"),
+            )
+        )
+        .localCheckpoint()
+    )
+    a = pre.select(
+        F.col("t").alias("s"), F.col("p").alias("pa"), F.col("pq").alias("qa")
+    )
+    b = pre.select("t", F.col("p").alias("pb"), F.col("pq").alias("qb"))
+    pairs = (
+        a.join(b, F.col("s") < F.col("t"))
+        .select(
+            "s",
+            "t",
+            F.expr(
+                "CAST(round(CAST(qb - qa AS DOUBLE)"
+                " - CAST(pb - pa AS DOUBLE) * CAST(pb - pa AS DOUBLE)"
+                " / (t - s), 6) AS DECIMAL(28,6))"
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    f = pairs.where(F.col("s") == 0).select("t", F.col("c").alias("f"))
+    picks = []
+    for _ in range(2, _CPT_K + 1):
+        w_pick = Window.partitionBy("t").orderBy("f", "s")
+        f = (
+            pairs.join(
+                f.select(F.col("t").alias("s"), F.col("f").alias("fp")), "s"
+            )
+            .select(
+                "t",
+                F.expr("CAST(fp + c AS DECIMAL(28,6))").alias("f"),
+                "s",
+            )
+            .withColumn("rn", F.row_number().over(w_pick))
+            .where(F.col("rn") == 1)
+            .select("t", "f", "s")
+            .localCheckpoint()
+        )
+        picks.append(f)
+    f2, f3 = picks
+    tmax = idx.agg(F.max("t").alias("tt"))
+    r3 = f3.crossJoin(F.broadcast(tmax)).where(
+        F.col("t") == F.col("tt")
+    ).select(F.col("f").alias("total"), F.col("s").alias("s2"), "tt")
+    r2 = r3.join(
+        F.broadcast(f2.select(F.col("t").alias("s2"), F.col("s").alias("s1"))),
+        "s2",
+    )
+    segs = (
+        r2.selectExpr(
+            "1 AS segment_id", "CAST(1 AS BIGINT) AS a", "s1 AS b", "total"
+        )
+        .unionAll(
+            r2.selectExpr("2 AS segment_id", "s1 + 1 AS a", "s2 AS b", "total")
+        )
+        .unionAll(
+            r2.selectExpr("3 AS segment_id", "s2 + 1 AS a", "tt AS b", "total")
+        )
+    )
+    st = (
+        segs.join(
+            F.broadcast(
+                pairs.select(
+                    (F.col("s") + 1).alias("a"), F.col("t").alias("b"), "c"
+                )
+            ),
+            ["a", "b"],
+        )
+        .join(
+            F.broadcast(
+                pre.select((F.col("t") + 1).alias("a"), F.col("p").alias("ppa"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                pre.select(F.col("t").alias("b"), F.col("p").alias("ppb"))
+            ),
+            "b",
+        )
+        .select(
+            "segment_id",
+            "a",
+            "b",
+            "total",
+            "c",
+            F.expr("CAST(ppb - ppa AS DOUBLE) / (b - a + 1)").alias("mean"),
+        )
+    )
+    return (
+        st.join(
+            F.broadcast(
+                idx.select(F.col("t").alias("a"), F.col("day").alias("start_day"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                idx.select(F.col("t").alias("b"), F.col("day").alias("end_day"))
+            ),
+            "b",
+        )
+        .selectExpr(
+            "segment_id",
+            "start_day",
+            "end_day",
+            "CAST(b - a + 1 AS BIGINT) AS n_days",
+            "round(mean, 6) AS seg_mean",
+            "round(CAST(c AS DOUBLE), 6) AS seg_sse",
+            "round(CAST(total AS DOUBLE), 6) AS total_cost",
+        )
+    )

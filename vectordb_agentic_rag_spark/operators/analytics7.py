@@ -1301,3 +1301,178 @@ def win_changepoint_pelt_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(total AS DOUBLE), 6) AS total_cost",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_pacf_durbin_levinson
+# ---------------------------------------------------------------------------
+
+# Shared expression text for the ACF estimates and the unrolled
+# Durbin-Levinson recursion (lags 1..4). Every intermediate quantizes
+# round(9) so cross-engine sub-ulp drift cannot compound through the
+# recursion (the win_kalman_1d / PageRank discipline); outputs round(6).
+_PACF_R = (
+    "round((CAST(sp{h} AS DOUBLE) - CAST(a{h} + b{h} AS DOUBLE) * sm / tn"
+    " + (tn - {h}) * (sm / tn) * (sm / tn))"
+    " / (CAST(q0 AS DOUBLE) - sm * sm / tn), 9) AS r{h}"
+)
+_PACF_STAGES = [
+    ["round(r1, 9) AS phi11"],
+    [
+        "round((r2 - phi11 * r1) / (1.0 - phi11 * r1), 9) AS phi22",
+    ],
+    ["round(phi11 - phi22 * phi11, 9) AS phi21"],
+    [
+        "round((r3 - phi21 * r2 - phi22 * r1)"
+        " / (1.0 - phi21 * r1 - phi22 * r2), 9) AS phi33",
+    ],
+    [
+        "round(phi21 - phi33 * phi22, 9) AS phi31",
+        "round(phi22 - phi33 * phi21, 9) AS phi32",
+    ],
+    [
+        "round((r4 - phi31 * r3 - phi32 * r2 - phi33 * r1)"
+        " / (1.0 - phi31 * r1 - phi32 * r2 - phi33 * r3), 9) AS phi44",
+    ],
+]
+
+
+def _pacf_oracle() -> str:
+    rcols = ",\n             ".join(
+        _PACF_R.format(h=h) for h in (1, 2, 3, 4)
+    )
+    ctes = []
+    prev = "mo"
+    for i, stage in enumerate(_PACF_STAGES):
+        ctes.append(
+            f"s{i} AS (SELECT *, {', '.join(stage)} FROM {prev})"
+        )
+        prev = f"s{i}"
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1, 2),
+    led AS (
+      SELECT event_type, m,
+             lead(m, 1) OVER w AS m1, lead(m, 2) OVER w AS m2,
+             lead(m, 3) OVER w AS m3, lead(m, 4) OVER w AS m4
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS tn,
+             CAST(sum(m) AS DOUBLE) AS sm,
+             sum(m * m) AS q0,
+             sum(CASE WHEN m1 IS NOT NULL THEN m * m1 END) AS sp1,
+             sum(CASE WHEN m2 IS NOT NULL THEN m * m2 END) AS sp2,
+             sum(CASE WHEN m3 IS NOT NULL THEN m * m3 END) AS sp3,
+             sum(CASE WHEN m4 IS NOT NULL THEN m * m4 END) AS sp4,
+             sum(CASE WHEN m1 IS NOT NULL THEN m END) AS a1,
+             sum(CASE WHEN m2 IS NOT NULL THEN m END) AS a2,
+             sum(CASE WHEN m3 IS NOT NULL THEN m END) AS a3,
+             sum(CASE WHEN m4 IS NOT NULL THEN m END) AS a4,
+             sum(m1) AS b1, sum(m2) AS b2, sum(m3) AS b3, sum(m4) AS b4
+      FROM led GROUP BY event_type),
+    mo AS (
+      SELECT event_type, tn,
+             {rcols}
+      FROM agg
+      WHERE CAST(q0 AS DOUBLE) - sm * sm / tn > 0 AND tn > 8),
+    {cte_block}
+    SELECT event_type, CAST(tn AS BIGINT) AS n_days,
+           round(r1, 6) AS acf_1, round(r2, 6) AS acf_2,
+           round(r3, 6) AS acf_3, round(r4, 6) AS acf_4,
+           round(phi11, 6) AS pacf_1, round(phi22, 6) AS pacf_2,
+           round(phi33, 6) AS pacf_3, round(phi44, 6) AS pacf_4
+    FROM {prev}
+    """
+
+
+@query("win_pacf_durbin_levinson", oracle=_pacf_oracle())
+def win_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL AUTOCORRELATION FUNCTION (lags 1-4) of the per-type
+    daily-mean series via the Durbin-Levinson recursion — the second
+    half of the Box-Jenkins identification pair: agg_autocorr_daily's
+    ACF tails off for AR processes, and it is the PACF's CUTOFF lag
+    that names the AR order a forecaster should fit (win_holt_linear
+    vs something richer). ACF estimates use the standard biased
+    autocovariance with the full-series mean (the estimator DL
+    assumes positive-definite); lags are positional on the observed
+    day sequence.
+
+    Shape at 100 TB: the fact table collapses to the DAY x TYPE
+    domain in one map-side-combinable aggregate; the four lag
+    products come from ONE lead-window pass over the bounded per-type
+    day series (partitioned by type — no global sort), and the entire
+    recursion is per-type scalar arithmetic on the k-row moment
+    frame.
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6), so all
+    lag products and partial sums are EXACT decimals; each ACF value
+    and every Durbin-Levinson coefficient is one shared-text double
+    expression quantized round(9) before the next level uses it —
+    drift cannot compound through the recursion (the win_kalman_1d
+    discipline). Types with degenerate variance or fewer than 9 days
+    are excluded on both sides. Outputs round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(round(CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+            " AS DOUBLE) / count(*) / 100.0, 6) AS DECIMAL(16,6))"
+        ).alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = daily.select(
+        "event_type",
+        "m",
+        F.lead("m", 1).over(w).alias("m1"),
+        F.lead("m", 2).over(w).alias("m2"),
+        F.lead("m", 3).over(w).alias("m3"),
+        F.lead("m", 4).over(w).alias("m4"),
+    )
+    agg = led.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("tn"),
+        F.sum("m").cast("double").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("q0"),
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN m{h} IS NOT NULL THEN m * m{h} END")
+            ).alias(f"sp{h}")
+            for h in (1, 2, 3, 4)
+        ],
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN m{h} IS NOT NULL THEN m END")
+            ).alias(f"a{h}")
+            for h in (1, 2, 3, 4)
+        ],
+        *[F.sum(f"m{h}").alias(f"b{h}") for h in (1, 2, 3, 4)],
+    )
+    mo = agg.where(
+        F.expr("CAST(q0 AS DOUBLE) - sm * sm / tn > 0 AND tn > 8")
+    ).selectExpr(
+        "event_type",
+        "tn",
+        *[_PACF_R.format(h=h) for h in (1, 2, 3, 4)],
+    )
+    cur = mo
+    for stage in _PACF_STAGES:
+        cur = cur.selectExpr("*", *stage)
+    return cur.selectExpr(
+        "event_type",
+        "CAST(tn AS BIGINT) AS n_days",
+        "round(r1, 6) AS acf_1",
+        "round(r2, 6) AS acf_2",
+        "round(r3, 6) AS acf_3",
+        "round(r4, 6) AS acf_4",
+        "round(phi11, 6) AS pacf_1",
+        "round(phi22, 6) AS pacf_2",
+        "round(phi33, 6) AS pacf_3",
+        "round(phi44, 6) AS pacf_4",
+    )

@@ -1476,3 +1476,326 @@ def win_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(phi33, 6) AS pacf_3",
         "round(phi44, 6) AS pacf_4",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_kruskal_wallis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_kruskal_wallis",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events),
+    vt AS (
+      SELECT vc, event_type, CAST(count(*) AS BIGINT) AS ct
+      FROM c GROUP BY 1, 2),
+    vv AS (SELECT vc, CAST(sum(ct) AS BIGINT) AS nv FROM vt GROUP BY vc),
+    cum AS (
+      SELECT vc, nv,
+             CAST(coalesce(sum(nv) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS less
+      FROM vv),
+    rs AS (
+      SELECT vt.event_type,
+             CAST(sum(vt.ct) AS BIGINT) AS n_t,
+             CAST(sum(vt.ct * (2 * cum.less + cum.nv + 1)) AS BIGINT)
+               AS rs2
+      FROM vt JOIN cum USING (vc) GROUP BY vt.event_type),
+    ties AS (
+      SELECT CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie FROM vv),
+    tot AS (
+      SELECT CAST(sum(n_t) AS BIGINT) AS n,
+             CAST(sum(CAST(round(
+                 CAST(CAST(rs2 AS DECIMAL(19,0)) * rs2 AS DOUBLE) / n_t, 6)
+                 AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sq
+      FROM rs)
+    SELECT rs.event_type, rs.n_t AS n_events, rs.rs2 AS rank_sum_x2,
+           round(3.0 * CAST(tot.sq AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+                 - 3.0 * (tot.n + 1), 6) AS h_stat,
+           round((3.0 * CAST(tot.sq AS DOUBLE)
+                  / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+                  - 3.0 * (tot.n + 1))
+                 / (1.0 - CAST(ties.tie AS DOUBLE)
+                    / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)), 6)
+             AS h_stat_tie_corrected
+    FROM rs CROSS JOIN tot CROSS JOIN ties
+    """,
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H TEST across event types — the k-sample rank
+    ANOVA completing the location-test ladder: agg_mann_whitney_u
+    (2 samples, unblocked), agg_friedman_test (k samples, day-blocked),
+    and now k samples unblocked with NO normality assumption (the
+    robust alternative agg_anova_oneway's F needs when
+    agg_levene_brown_forsythe vetoes it). Per-type rows carry the
+    exact doubled rank sums; H and its tie-corrected form repeat as
+    grand columns.
+
+    Shape at 100 TB: ranks never exist per row — tied average ranks
+    reconstruct as INTEGERS on the distinct-cents DOMAIN
+    (R2 = 2*cum_less + n_v + 1, the agg_mann_whitney_u machinery
+    generalized to k groups), so the one ordered cumsum runs over
+    ~18k domain rows regardless of row count, and the per-type rank
+    sums are a domain-sized join + aggregate.
+
+    Parity: doubled rank sums are exact BIGINTs; their squares go
+    through DECIMAL(19,0) operands; the per-type RS^2/n_t terms
+    quantize round(6) into DECIMAL before the order-independent sum
+    (the agg_anova_oneway b-term discipline; the /4 from doubling
+    folds into the shared 3.0 factor: 12/4 = 3); the tie term
+    sum(n_v^3 - n_v) stays BIGINT (bounded by N * max_multiplicity^2
+    — measured multiplicities <= 37 at sf0.1; a DECIMAL widening is
+    the documented switch if a corpus ever pushes it). H assembles
+    in one shared double expression, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("vc")
+    )
+    vt = c.groupBy("vc", "event_type").agg(
+        F.count("*").cast("bigint").alias("ct")
+    )
+    vv = vt.groupBy("vc").agg(F.sum("ct").cast("bigint").alias("nv"))
+    w_less = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vv.select(
+        "vc",
+        "nv",
+        F.coalesce(F.sum("nv").over(w_less), F.lit(0))
+        .cast("bigint")
+        .alias("less"),
+    )
+    rs = (
+        vt.join(cum, "vc")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ct").cast("bigint").alias("n_t"),
+            F.sum(
+                F.col("ct") * (2 * F.col("less") + F.col("nv") + 1)
+            )
+            .cast("bigint")
+            .alias("rs2"),
+        )
+    )
+    ties = vv.agg(
+        F.sum(
+            F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")
+        )
+        .cast("bigint")
+        .alias("tie")
+    )
+    tot = rs.agg(
+        F.sum("n_t").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(CAST(rs2 AS DECIMAL(19,0)) * rs2"
+                " AS DOUBLE) / n_t, 6) AS DECIMAL(28,6))"
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("sq"),
+    )
+    return (
+        rs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "event_type",
+            "n_t AS n_events",
+            "rs2 AS rank_sum_x2",
+            "round(3.0 * CAST(sq AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1), 6)"
+            " AS h_stat",
+            "round((3.0 * CAST(sq AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))"
+            " / (1.0 - CAST(tie AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * n * n - n)), 6)"
+            " AS h_stat_tie_corrected",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_shannon_diversity_profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_shannon_diversity_profile",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    st AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS rich
+           FROM c GROUP BY source),
+    h AS (
+      SELECT c.source,
+             CAST(sum(CAST(round(
+                 -(CAST(c.n AS DOUBLE) / st.tot)
+                 * ln(CAST(c.n AS DOUBLE) / st.tot), 9)
+                 AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS sh,
+             CAST(sum(CAST(c.n AS DECIMAL(19,0)) * c.n) AS DECIMAL(38,0))
+               AS sq
+      FROM c JOIN st USING (source) GROUP BY c.source)
+    SELECT st.source, st.tot AS n_docs, st.rich AS n_langs,
+           round(CAST(h.sh AS DOUBLE), 6) AS shannon_h,
+           round(1.0 - CAST(h.sq AS DOUBLE)
+                 / (CAST(st.tot AS DOUBLE) * st.tot), 6) AS simpson_index,
+           round(CASE WHEN st.rich > 1
+                      THEN CAST(h.sh AS DOUBLE) / ln(CAST(st.rich AS DOUBLE))
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS pielou_evenness
+    FROM st JOIN h USING (source)
+    """,
+)
+def agg_shannon_diversity_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LANGUAGE-DIVERSITY PROFILE per crawl source — the ecology
+    indices a corpus card reports per shard: richness (distinct
+    languages), Shannon entropy H (in nats — the effective-language
+    measure), the Simpson index 1 - sum p^2 (the probability two
+    random docs differ in language — collision-robust where H is
+    rare-class-sensitive), and Pielou evenness H / ln(richness)
+    (how balanced the mix is given its richness). A source with high
+    richness but low evenness is one dominant language plus noise —
+    exactly the shard where per-language quality gates need
+    stratification (the agg_cramers_v dependence, profiled per
+    source).
+
+    Shape at 100 TB: one (source, lang) groupBy collapses the corpus
+    to the bounded source x lang grid (map-side combined); everything
+    after is grid-row arithmetic. One row per source.
+
+    Parity: cell and marginal counts exact integers; each entropy
+    term is one shared double expression quantized round(9) into
+    DECIMAL before the order-independent sum (the
+    agg_entropy_rate_markov discipline); Simpson's sum of squares
+    stays exact via DECIMAL(19,0) operands; evenness guards
+    richness = 1 identically on both sides. Outputs round(6)."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    st = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("rich"),
+    )
+    h = (
+        c.join(F.broadcast(st), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(-(CAST(n AS DOUBLE) / tot)"
+                    " * ln(CAST(n AS DOUBLE) / tot), 9) AS DECIMAL(28,9))"
+                )
+            )
+            .cast("decimal(38,9)")
+            .alias("sh"),
+            F.sum(F.expr("CAST(n AS DECIMAL(19,0)) * n"))
+            .cast("decimal(38,0)")
+            .alias("sq"),
+        )
+    )
+    return st.join(h, "source").selectExpr(
+        "source",
+        "tot AS n_docs",
+        "rich AS n_langs",
+        "round(CAST(sh AS DOUBLE), 6) AS shannon_h",
+        "round(1.0 - CAST(sq AS DOUBLE)"
+        " / (CAST(tot AS DOUBLE) * tot), 6) AS simpson_index",
+        "round(CASE WHEN rich > 1"
+        " THEN CAST(sh AS DOUBLE) / ln(CAST(rich AS DOUBLE))"
+        " ELSE CAST(0 AS DOUBLE) END, 6) AS pielou_evenness",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cochran_q
+# ---------------------------------------------------------------------------
+
+# Third deterministic weak labeler for the k-labeler design: sentence
+# count (period-split), imperfectly correlated with A (characters) and
+# B (whitespace tokens) — three REAL proxies of the same latent
+# "short document" judgment.
+_ANN_C_DUCK = "CASE WHEN len(string_split(text, '.')) < 4 THEN 1 ELSE 0 END"
+_ANN_C_SPARK = "CASE WHEN size(split(text, '\\\\.')) < 4 THEN 1 ELSE 0 END"
+
+
+@query(
+    "agg_cochran_q",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN {_ANN_A} = 'short' THEN 1 ELSE 0 END AS a,
+             CASE WHEN {_ANN_B_DUCK} = 'short' THEN 1 ELSE 0 END AS b,
+             {_ANN_C_DUCK} AS c
+      FROM documents),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS ga,
+             CAST(sum(b) AS BIGINT) AS gb,
+             CAST(sum(c) AS BIGINT) AS gc,
+             CAST(sum(a + b + c) AS BIGINT) AS su,
+             CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS su2
+      FROM lab)
+    SELECT n AS n_docs, ga AS short_by_a, gb AS short_by_b,
+           gc AS short_by_c,
+           round(2.0 * (3.0 * (CAST(ga AS DOUBLE) * ga
+                               + CAST(gb AS DOUBLE) * gb
+                               + CAST(gc AS DOUBLE) * gc)
+                        - CAST(su AS DOUBLE) * su)
+                 / (3.0 * su - su2), 6) AS cochran_q
+    FROM s
+    """,
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q TEST across THREE weak binary labelers (characters,
+    whitespace tokens, sentence count — module constants shared with
+    pipeline_annotation_agreement / agg_mcnemar_test): do the k
+    labelers call 'short' at the same marginal rate? The k-labeler
+    generalization of McNemar (k = 2 reduces to it exactly):
+    Q = k(k-1) (sum_j G_j^2 - (sum G)^2 / k... assembled in the
+    equivalent k(k-1)*(k*sum G_j^2 - (sum G)^2) / (k*sum u_i -
+    sum u_i^2) form) ~ chi^2(k-1) under exchangeable labelers. A
+    labeling pipeline adding a third heuristic source runs exactly
+    this before pooling votes — McNemar only compares two at a time.
+
+    Shape at 100 TB: one scan, one 1-row aggregate over three CASE
+    flags and their per-doc sum. Nothing else.
+
+    Parity: all six sufficient statistics are exact integers from
+    identical CASE text; Q is one shared double expression
+    (k = 3 folds into the literals: k(k-1) = 6 = 2*3), round(6)."""
+    d = table(spark, sf_dir, "documents")
+    lab = d.selectExpr(
+        f"CASE WHEN {_ANN_A} = 'short' THEN 1 ELSE 0 END AS a",
+        f"CASE WHEN {_ANN_B_SPARK} = 'short' THEN 1 ELSE 0 END AS b",
+        f"{_ANN_C_SPARK} AS c",
+    )
+    s = lab.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("ga"),
+        F.sum("b").cast("bigint").alias("gb"),
+        F.sum("c").cast("bigint").alias("gc"),
+        F.sum(F.expr("a + b + c")).cast("bigint").alias("su"),
+        F.sum(F.expr("(a + b + c) * (a + b + c)"))
+        .cast("bigint")
+        .alias("su2"),
+    )
+    return s.selectExpr(
+        "n AS n_docs",
+        "ga AS short_by_a",
+        "gb AS short_by_b",
+        "gc AS short_by_c",
+        "round(2.0 * (3.0 * (CAST(ga AS DOUBLE) * ga"
+        " + CAST(gb AS DOUBLE) * gb"
+        " + CAST(gc AS DOUBLE) * gc)"
+        " - CAST(su AS DOUBLE) * su)"
+        " / (3.0 * su - su2), 6) AS cochran_q",
+    )

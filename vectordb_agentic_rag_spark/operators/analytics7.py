@@ -1799,3 +1799,282 @@ def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(su AS DOUBLE) * su)"
         " / (3.0 * su - su2), 6) AS cochran_q",
     )
+
+
+# ---------------------------------------------------------------------------
+# win_seasonal_decompose_additive
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_seasonal_decompose_additive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT day, m,
+             CAST(round(CAST(sum(m) OVER w AS DOUBLE) / 7, 6)
+                  AS DECIMAL(16,6)) AS trend,
+             count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING)),
+    base AS (
+      SELECT day, m, trend, m - trend AS detr,
+             CAST(dayofweek(day) AS BIGINT) AS dow
+      FROM tr WHERE c7 = 7),
+    sea AS (
+      SELECT dow,
+             CAST(round(CAST(sum(detr) AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(16,6)) AS savg
+      FROM base GROUP BY dow),
+    gm AS (
+      SELECT CAST(round(CAST(sum(savg) AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(16,6)) AS g
+      FROM sea)
+    SELECT base.day,
+           round(CAST(base.m AS DOUBLE), 6) AS observed,
+           round(CAST(base.trend AS DOUBLE), 6) AS trend,
+           round(CAST(sea.savg - gm.g AS DOUBLE), 6) AS seasonal,
+           round(CAST(base.detr - (sea.savg - gm.g) AS DOUBLE), 6)
+             AS remainder
+    FROM base JOIN sea USING (dow) CROSS JOIN gm
+    """,
+)
+def win_seasonal_decompose_additive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLASSICAL ADDITIVE DECOMPOSITION of the daily-mean value
+    series: observed = trend + seasonal + remainder, with trend the
+    centered 7-day moving average, seasonal the mean-centered
+    day-of-week profile of the detrended series, remainder the rest —
+    the decomposition agg_seasonality_strength SUMMARIZES (its
+    strength ratio is var(seasonal-containing) vs var(remainder));
+    this op exposes the full per-day components a forecaster or
+    anomaly screen actually consumes (win_zscore_outlier on the
+    REMAINDER finds anomalies the raw series hides under weekday
+    cycle). Edge days without a full 7-day window are excluded, not
+    padded (both engines identically).
+
+    Shape at 100 TB: the fact table collapses to the DAY domain in
+    one map-side-combinable aggregate; the moving-average window, the
+    7-row day-of-week profile, and the centering constant all live on
+    that bounded domain (hundreds of rows at any corpus size — the
+    single ordered window is over the domain, never rows).
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); the
+    7-day trend is sum-of-decimals (exact) divided by the literal 7
+    and re-quantized; detrended values are exact decimal differences;
+    the dow profile and its grand centering re-quantize at each
+    level, so every output component is a difference of exact
+    decimals rendered once as double, round(6). Spark dayofweek-1 ==
+    DuckDB dayofweek (the _ols_x convention)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(round(CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+            " AS DOUBLE) / count(*) / 100.0, 6) AS DECIMAL(16,6))"
+        ).alias("m")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "m",
+        F.expr(
+            "CAST(round(CAST(sum(m) OVER (ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            " AS DOUBLE) / 7, 6) AS DECIMAL(16,6))"
+        ).alias("trend"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    base = (
+        tr.where(F.col("c7") == 7)
+        .select(
+            "day",
+            "m",
+            "trend",
+            (F.col("m") - F.col("trend")).alias("detr"),
+            (F.dayofweek("day") - 1).cast("bigint").alias("dow"),
+        )
+        .localCheckpoint()
+    )
+    sea = base.groupBy("dow").agg(
+        F.expr(
+            "CAST(round(CAST(sum(detr) AS DOUBLE) / count(*), 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("savg")
+    )
+    gm = sea.agg(
+        F.expr(
+            "CAST(round(CAST(sum(savg) AS DOUBLE) / count(*), 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("g")
+    )
+    return (
+        base.join(F.broadcast(sea), "dow")
+        .crossJoin(F.broadcast(gm))
+        .selectExpr(
+            "day",
+            "round(CAST(m AS DOUBLE), 6) AS observed",
+            "round(CAST(trend AS DOUBLE), 6) AS trend",
+            "round(CAST(savg - g AS DOUBLE), 6) AS seasonal",
+            "round(CAST(detr - (savg - g) AS DOUBLE), 6) AS remainder",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_dunn_posthoc
+# ---------------------------------------------------------------------------
+
+# Bonferroni-adjusted two-sided critical value for k = 5 groups
+# (10 comparisons) at family alpha = 0.05: Phi^-1(1 - 0.05/20).
+_DUNN_ZCRIT = "CAST(2.807034 AS DOUBLE)"
+
+
+@query(
+    "agg_dunn_posthoc",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events),
+    vt AS (
+      SELECT vc, event_type, CAST(count(*) AS BIGINT) AS ct
+      FROM c GROUP BY 1, 2),
+    vv AS (SELECT vc, CAST(sum(ct) AS BIGINT) AS nv FROM vt GROUP BY vc),
+    cum AS (
+      SELECT vc, nv,
+             CAST(coalesce(sum(nv) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS less
+      FROM vv),
+    rs AS (
+      SELECT vt.event_type,
+             CAST(sum(vt.ct) AS BIGINT) AS n_t,
+             CAST(sum(vt.ct * (2 * cum.less + cum.nv + 1)) AS BIGINT)
+               AS rs2
+      FROM vt JOIN cum USING (vc) GROUP BY vt.event_type),
+    ties AS (
+      SELECT CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie FROM vv),
+    tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM rs),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n_t AS na, b.n_t AS nb, a.rs2 AS ra, b.rs2 AS rb
+      FROM rs a JOIN rs b ON a.event_type < b.event_type)
+    SELECT pairs.type_a, pairs.type_b,
+           pairs.na AS n_a, pairs.nb AS n_b,
+           round(CAST(pairs.ra AS DOUBLE) / (2 * pairs.na), 6)
+             AS mean_rank_a,
+           round(CAST(pairs.rb AS DOUBLE) / (2 * pairs.nb), 6)
+             AS mean_rank_b,
+           round((CAST(pairs.ra AS DOUBLE) / (2 * pairs.na)
+                  - CAST(pairs.rb AS DOUBLE) / (2 * pairs.nb))
+                 / sqrt((CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12
+                         - CAST(ties.tie AS DOUBLE) / (12 * (tot.n - 1)))
+                        * (CAST(1 AS DOUBLE) / pairs.na
+                           + CAST(1 AS DOUBLE) / pairs.nb)), 6)
+             AS dunn_z,
+           CAST(CASE WHEN abs(round((CAST(pairs.ra AS DOUBLE)
+                                     / (2 * pairs.na)
+                  - CAST(pairs.rb AS DOUBLE) / (2 * pairs.nb))
+                 / sqrt((CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12
+                         - CAST(ties.tie AS DOUBLE) / (12 * (tot.n - 1)))
+                        * (CAST(1 AS DOUBLE) / pairs.na
+                           + CAST(1 AS DOUBLE) / pairs.nb)), 6))
+                          >= {_DUNN_ZCRIT}
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM pairs CROSS JOIN tot CROSS JOIN ties
+    """,
+)
+def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNN'S POST-HOC TEST for every event-type pair — the follow-up
+    agg_kruskal_wallis licenses: the omnibus H only says SOME types
+    differ; Dunn's tie-corrected pairwise z on mean ranks, with the
+    Bonferroni-adjusted critical value for 10 comparisons, says WHICH
+    (running unadjusted pairwise Mann-Whitney tests after an omnibus
+    is the classic multiplicity mistake this op exists to prevent).
+    Output: one row per unordered pair with both mean ranks, z, and
+    the family-wise significance flag.
+
+    Shape at 100 TB: identical domain machinery to agg_kruskal_wallis
+    (exact doubled rank sums on the distinct-cents domain — ranks
+    never exist per row); the pair frame is k(k-1)/2 rows of scalar
+    arithmetic.
+
+    Parity: rank sums, group sizes, and the tie term are exact
+    integers; mean ranks and z are shared-text double expressions of
+    exact integers; z quantizes round(6) BEFORE the critical-value
+    comparison so the flag cannot flip on sub-ulp drift (the
+    agg_tost_equivalence discipline)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("vc")
+    )
+    vt = c.groupBy("vc", "event_type").agg(
+        F.count("*").cast("bigint").alias("ct")
+    )
+    vv = vt.groupBy("vc").agg(F.sum("ct").cast("bigint").alias("nv"))
+    w_less = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vv.select(
+        "vc",
+        "nv",
+        F.coalesce(F.sum("nv").over(w_less), F.lit(0))
+        .cast("bigint")
+        .alias("less"),
+    )
+    rs = (
+        vt.join(cum, "vc")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ct").cast("bigint").alias("n_t"),
+            F.sum(F.col("ct") * (2 * F.col("less") + F.col("nv") + 1))
+            .cast("bigint")
+            .alias("rs2"),
+        )
+    )
+    ties = vv.agg(
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv"))
+        .cast("bigint")
+        .alias("tie")
+    )
+    tot = rs.agg(F.sum("n_t").cast("bigint").alias("n"))
+    a = rs.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_t").alias("na"),
+        F.col("rs2").alias("ra"),
+    )
+    b = rs.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_t").alias("nb"),
+        F.col("rs2").alias("rb"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    z_expr = (
+        "(CAST(ra AS DOUBLE) / (2 * na)"
+        " - CAST(rb AS DOUBLE) / (2 * nb))"
+        " / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12"
+        " - CAST(tie AS DOUBLE) / (12 * (n - 1)))"
+        " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "na AS n_a",
+            "nb AS n_b",
+            "round(CAST(ra AS DOUBLE) / (2 * na), 6) AS mean_rank_a",
+            "round(CAST(rb AS DOUBLE) / (2 * nb), 6) AS mean_rank_b",
+            f"round({z_expr}, 6) AS dunn_z",
+            f"CAST(CASE WHEN abs(round({z_expr}, 6)) >= {_DUNN_ZCRIT}"
+            " THEN 1 ELSE 0 END AS BIGINT) AS significant",
+        )
+    )

@@ -2078,3 +2078,187 @@ def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT) AS significant",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hurst_rs_exponent
+# ---------------------------------------------------------------------------
+
+# R/S block sizes over the 30-day fixture domain: 6 / 3 / 2 full
+# blocks. The log-log regression runs over the three (ln n, ln R/S)
+# points with quantized coordinates.
+_HURST_NS = (5, 10, 15)
+
+
+def _hurst_oracle() -> str:
+    per_n = []
+    for n in _HURST_NS:
+        per_n.append(
+            f"""blk{n} AS (
+      SELECT (t - 1) // {n} AS b, m,
+             CAST(round(CAST(sum(m) OVER (PARTITION BY (t - 1) // {n})
+                             AS DOUBLE) / {n}, 6) AS DECIMAL(16,6)) AS mu,
+             count(*) OVER (PARTITION BY (t - 1) // {n}) AS bc,
+             sum(m) OVER (PARTITION BY (t - 1) // {n} ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             CAST(row_number() OVER (PARTITION BY (t - 1) // {n}
+               ORDER BY t) AS BIGINT) AS rn
+      FROM idx),
+    dev{n} AS (
+      SELECT b, m - mu AS d, cm - rn * mu AS cum
+      FROM blk{n} WHERE bc = {n}),
+    rb{n} AS (
+      SELECT b, max(cum) - min(cum) AS r,
+             sum(CAST(d AS DECIMAL(19,6)) * d) AS ssd
+      FROM dev{n} GROUP BY b),
+    rs{n} AS (
+      SELECT CAST(round(CAST(sum(CAST(round(
+               CAST(r AS DOUBLE) / sqrt(CAST(ssd AS DOUBLE) / {n}), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
+               AS DECIMAL(28,9)) AS mrs
+      FROM rb{n} WHERE CAST(ssd AS DOUBLE) > 0),
+    pt{n} AS (
+      SELECT round(ln(CAST({n} AS DOUBLE)), 9) AS x,
+             round(ln(CAST(mrs AS DOUBLE)), 9) AS y,
+             CAST(mrs AS DOUBLE) AS mrs
+      FROM rs{n})"""
+        )
+    n1, n2, n3 = _HURST_NS
+    blocks = ",\n    ".join(per_n)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    {blocks},
+    pts AS (
+      SELECT x, y, mrs, {n1} AS n FROM pt{n1}
+      UNION ALL SELECT x, y, mrs, {n2} FROM pt{n2}
+      UNION ALL SELECT x, y, mrs, {n3} FROM pt{n3}),
+    mo AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx,
+             max(CASE WHEN n = {n1} THEN mrs END) AS m1,
+             max(CASE WHEN n = {n2} THEN mrs END) AS m2,
+             max(CASE WHEN n = {n3} THEN mrs END) AS m3
+      FROM pts)
+    SELECT CAST(k AS BIGINT) AS n_levels,
+           round(m1, 6) AS rs_mean_{n1},
+           round(m2, 6) AS rs_mean_{n2},
+           round(m3, 6) AS rs_mean_{n3},
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+             AS hurst_exponent
+    FROM mo
+    """
+
+
+@query("agg_hurst_rs_exponent", oracle=_hurst_oracle())
+def agg_hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT of the daily-mean value series by rescaled-range
+    (R/S) analysis: split the series into blocks of 5/10/15 days, per
+    block compute the range of mean-centered cumulative deviations
+    over the (biased) block std, and fit ln(R/S) against ln(n) — the
+    long-memory diagnostic that separates trending/persistent series
+    (H > 0.5, todays's surprises echo for weeks) from mean-reverting
+    ones (H < 0.5). It answers the question agg_autocorr_daily's
+    single lag cannot: whether dependence decays geometrically (ACF
+    machinery suffices) or hyperbolically (every window statistic
+    needs long-history context). Levels with zero block variance are
+    excluded identically on both sides.
+
+    Shape at 100 TB: the fact table collapses to the DAY domain once;
+    the three block decompositions are windows PARTITIONED BY block id
+    over that bounded domain (parallel across blocks, no global
+    sort beyond the one domain-sized index); the regression runs on 3
+    points. The cumulative deviation needs no second pass: with rn
+    the in-block position, cum_dev = cum_sum(m) - rn * mu exactly
+    (both engines share the identity).
+
+    Parity: daily means and block means quantize round(6) into
+    DECIMAL(16,6); deviations, cumulative deviations, and R are exact
+    decimals; per-block R/S quantizes round(9) before the block mean
+    (no fixed fold order exists), the level mean re-quantizes, and
+    both regression coordinates quantize round(9) after their ln —
+    the slope is one shared double expression over six quantized
+    numbers, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(round(CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+            " AS DOUBLE) / count(*) / 100.0, 6) AS DECIMAL(16,6))"
+        ).alias("m")
+    )
+    w_t = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w_t).cast("bigint").alias("t"), "m"
+    ).localCheckpoint()
+    pts = None
+    for n in _HURST_NS:
+        wb = Window.partitionBy("b")
+        wc = Window.partitionBy("b").orderBy("t").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        blk = idx.select(
+            F.expr(f"(t - 1) div {n}").alias("b"), "t", "m"
+        ).select(
+            "b",
+            "m",
+            F.expr(
+                f"CAST(round(CAST(sum(m) OVER (PARTITION BY b)"
+                f" AS DOUBLE) / {n}, 6) AS DECIMAL(16,6))"
+            ).alias("mu"),
+            F.count("*").over(wb).alias("bc"),
+            F.sum("m").over(wc).alias("cm"),
+            F.row_number().over(
+                Window.partitionBy("b").orderBy("t")
+            ).cast("bigint").alias("rn"),
+        )
+        dev = blk.where(F.col("bc") == n).select(
+            "b",
+            (F.col("m") - F.col("mu")).alias("d"),
+            (F.col("cm") - F.col("rn") * F.col("mu")).alias("cum"),
+        )
+        rb = dev.groupBy("b").agg(
+            (F.max("cum") - F.min("cum")).alias("r"),
+            F.sum(F.expr("CAST(d AS DECIMAL(19,6)) * d")).alias("ssd"),
+        )
+        rs = rb.where(F.expr("CAST(ssd AS DOUBLE) > 0")).agg(
+            F.expr(
+                f"CAST(round(CAST(sum(CAST(round(CAST(r AS DOUBLE)"
+                f" / sqrt(CAST(ssd AS DOUBLE) / {n}), 9)"
+                f" AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)"
+                f" AS DECIMAL(28,9))"
+            ).alias("mrs")
+        )
+        pt = rs.selectExpr(
+            f"round(ln(CAST({n} AS DOUBLE)), 9) AS x",
+            "round(ln(CAST(mrs AS DOUBLE)), 9) AS y",
+            "CAST(mrs AS DOUBLE) AS mrs",
+            f"CAST({n} AS BIGINT) AS n",
+        )
+        pts = pt if pts is None else pts.unionAll(pt)
+    n1, n2, n3 = _HURST_NS
+    mo = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max(F.when(F.col("n") == n1, F.col("mrs"))).alias("m1"),
+        F.max(F.when(F.col("n") == n2, F.col("mrs"))).alias("m2"),
+        F.max(F.when(F.col("n") == n3, F.col("mrs"))).alias("m3"),
+    )
+    return mo.selectExpr(
+        "CAST(k AS BIGINT) AS n_levels",
+        f"round(m1, 6) AS rs_mean_{n1}",
+        f"round(m2, 6) AS rs_mean_{n2}",
+        f"round(m3, 6) AS rs_mean_{n3}",
+        "round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)"
+        " AS hurst_exponent",
+    )

@@ -1,0 +1,491 @@
+"""Invariant tests for the round-8 third-session operators
+(analytics7): independent numpy/pandas recomputes, a brute-force
+optimality check for the changepoint DP, and a Python simulation of
+label propagation."""
+
+from __future__ import annotations
+
+import collections
+import decimal
+import itertools
+import math
+
+import numpy as np
+import pandas as pd
+
+from vectordb_agentic_rag_spark import QUERIES, load_all_operators
+
+load_all_operators()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cents(v):
+    return np.floor(np.asarray(v) * 100 + 0.5).astype(np.int64)
+
+
+def _events():
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["vc"] = _cents(ev.value)
+    return ev
+
+
+def _docs():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _label_a(n_chars):
+    return np.where(n_chars < 200, "short", np.where(n_chars < 350, "medium", "long"))
+
+
+def _label_b(text):
+    w = text.str.split(" ").str.len()
+    return np.where(w < 40, "short", np.where(w < 70, "medium", "long"))
+
+
+def _copurchase_edges_py():
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    li = li.drop_duplicates()
+    pairs = collections.Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp.l_partkey))
+        for u, v in itertools.combinations(parts, 2):
+            pairs[(u, v)] += 1
+    return {e for e, c in pairs.items() if c >= 2}
+
+
+# ---------------------------------------------------------------------------
+# wave 1
+# ---------------------------------------------------------------------------
+
+
+def test_tost_matches_manual_recompute(spark):
+    row = QUERIES["agg_tost_equivalence"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    conv = set(
+        ev[ev.event_type == "purchase"]
+        .groupby("user_id")
+        .size()
+        .loc[lambda s: s >= 12]
+        .index
+    )
+    cohorts = {}
+    for t in ("view", "click"):
+        users = set(ev[ev.event_type == t].user_id)
+        cohorts[t] = (len(users), len(users & conv))
+    n1, x1 = cohorts["view"]
+    n2, x2 = cohorts["click"]
+    assert (row.n_view, row.conv_view) == (n1, x1)
+    assert (row.n_click, row.conv_click) == (n2, x2)
+    p1, p2 = x1 / n1, x2 / n2
+    se = math.sqrt(p1 * (1 - p1) / n1 + p2 * (1 - p2) / n2)
+    assert abs(row["diff"] - (p1 - p2)) < 1e-6
+    assert abs(row.z_lower - (p1 - p2 + 0.02) / se) < 1e-5
+    assert abs(row.z_upper - (p1 - p2 - 0.02) / se) < 1e-5
+    want = int(row.z_lower >= 1.644854 and row.z_upper <= -1.644854)
+    assert row.equivalent == want
+
+
+def test_mcnemar_matches_pandas(spark):
+    row = QUERIES["agg_mcnemar_test"](spark, SF).toPandas().iloc[0]
+    d = _docs()
+    a = _label_a(d.n_chars.to_numpy()) == "short"
+    b = _label_b(d.text) == "short"
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+    assert (row.a_only_short, row.b_only_short) == (n10, n01)
+    assert abs(row.mcnemar_chi2 - (n10 - n01) ** 2 / (n10 + n01)) < 1e-6
+    assert (
+        abs(row.mcnemar_chi2_cc - (abs(n10 - n01) - 1) ** 2 / (n10 + n01))
+        < 1e-6
+    )
+
+
+def test_capture_recapture_chapman(spark):
+    row = QUERIES["agg_capture_recapture"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    us = ev.ts.astype("int64") // 1000  # ns -> us
+    mid = (us.min() + us.max()) // 2
+    h1 = set(ev.user_id[us < mid])
+    h2 = set(ev.user_id[us >= mid])
+    n1, n2, m = len(h1), len(h2), len(h1 & h2)
+    assert (row.n_first_half, row.n_second_half, row.n_both) == (n1, n2, m)
+    assert row.n_observed == len(h1 | h2)
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert abs(row.chapman_estimate - est) < 1e-4
+    # the estimate can never fall below either single capture
+    assert row.chapman_estimate >= max(n1, n2) - 1e-9
+    assert 0 < row.coverage_ratio <= 1.0 + 1e-9
+
+
+def test_rich_club_matches_bruteforce(spark):
+    pdf = (
+        QUERIES["graph_rich_club"](spark, SF)
+        .toPandas()
+        .set_index("degree_threshold")
+        .sort_index()
+    )
+    edges = _copurchase_edges_py()
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    for k in pdf.index:
+        club = {n for n, d in deg.items() if d > k}
+        ce = sum(1 for u, v in edges if u in club and v in club)
+        assert pdf.loc[k, "n_club_nodes"] == len(club)
+        assert pdf.loc[k, "n_club_edges"] == ce
+        if len(club) >= 2:
+            phi = 2 * ce / (len(club) * (len(club) - 1))
+            assert abs(pdf.loc[k, "rich_club_phi"] - phi) < 1e-6
+    # every distinct degree with >= 2 surviving nodes appears
+    want = {
+        k
+        for k in set(deg.values())
+        if sum(1 for d in deg.values() if d > k) >= 2
+    }
+    assert set(pdf.index) == want
+
+
+# ---------------------------------------------------------------------------
+# wave 2
+# ---------------------------------------------------------------------------
+
+
+def test_unseen_vocab_matches_counter(spark):
+    row = QUERIES["agg_unseen_vocab_estimate"](spark, SF).toPandas().iloc[0]
+    cnt = collections.Counter(
+        t for txt in _docs().text for t in txt.split(" ") if t
+    )
+    n = sum(cnt.values())
+    v = len(cnt)
+    f1 = sum(1 for c in cnt.values() if c == 1)
+    f2 = sum(1 for c in cnt.values() if c == 2)
+    assert (row.n_tokens, row.vocab_size) == (n, v)
+    assert (row.f1_singletons, row.f2_doubletons) == (f1, f2)
+    chao1 = v + f1 * (f1 - 1) / (2 * (f2 + 1))
+    assert abs(row.chao1_richness - chao1) < 1e-4
+    assert abs(row.gt_unseen_mass - f1 / n) < 1e-6
+    assert row.chao1_richness >= v  # estimator never shrinks the seen
+
+
+def test_mood_median_matches_pandas(spark):
+    pdf = QUERIES["agg_mood_median_test"](spark, SF).toPandas()
+    ev = _events()
+    vals = np.sort(ev.vc.to_numpy())
+    med = int(vals[math.ceil(0.5 * len(vals)) - 1])
+    assert abs(pdf.grand_median.iloc[0] - med / 100.0) < 1e-9
+    chi2 = 0.0
+    nn = len(ev)
+    aa = int((ev.vc > med).sum())
+    for _, r in pdf.iterrows():
+        sub = ev[ev.event_type == r.event_type]
+        a_t = int((sub.vc > med).sum())
+        assert r.n_events == len(sub) and r.n_above_median == a_t
+        e = len(sub) * aa / nn
+        assert abs(r.expected_above - e) < 1e-4
+        e2 = len(sub) * (nn - aa) / nn
+        chi2 += (a_t - e) ** 2 / e + ((len(sub) - a_t) - e2) ** 2 / e2
+    assert abs(pdf.mood_chi2.iloc[0] - chi2) < 1e-4
+
+
+def test_levene_bf_matches_numpy(spark):
+    row = QUERIES["agg_levene_brown_forsythe"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    zs = []
+    for _, g in ev.groupby("event_type"):
+        v = np.sort(g.vc.to_numpy())
+        med = v[math.ceil(0.5 * len(v)) - 1]
+        zs.append(np.abs(g.vc.to_numpy() - med))
+    k, nn = len(zs), sum(len(z) for z in zs)
+    grand = sum(z.sum() for z in zs) / nn
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    assert row.k_groups == k and row.n_events == nn
+    assert abs(row.bf_stat - f) < 1e-4
+    assert abs(row.ss_between - ssb / 1e4) < 1e-2
+    assert abs(row.ss_within - ssw / 1e4) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_matches_python_sim(spark):
+    pdf = QUERIES["graph_label_propagation_semi"](spark, SF).toPandas()
+    edges = _copurchase_edges_py()
+    part = pd.read_parquet(f"{SF}/part.parquet").set_index("p_partkey")
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+        nodes.update((u, v))
+    labels = {
+        n: (part.loc[n, "p_brand"], 0) for n in nodes if n % 5 == 0
+    }
+    rnd = 0
+    while True:
+        rnd += 1
+        frontier = {}
+        for n in nodes:
+            if n in labels:
+                continue
+            votes = collections.Counter(
+                labels[m][0] for m in adj[n] if m in labels
+            )
+            if votes:
+                frontier[n] = min(
+                    votes.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+        if not frontier:
+            break
+        for n, lbl in frontier.items():
+            labels[n] = (lbl, rnd)
+    want = collections.Counter()
+    correct = collections.Counter()
+    for n in nodes:
+        if n in labels:
+            lbl, r = labels[n]
+            want[(r, lbl)] += 1
+            correct[(r, lbl)] += int(part.loc[n, "p_brand"] == lbl)
+        else:
+            want[(-1, "unreached")] += 1
+    got = {
+        (int(r.round_assigned), r.brand): (int(r.n_parts), int(r.n_correct))
+        for _, r in pdf.iterrows()
+    }
+    assert got == {k: (want[k], correct[k]) for k in want}
+    prop_n = sum(v for (r, _), v in want.items() if r >= 1)
+    prop_ok = sum(v for (r, _), v in correct.items() if r >= 1)
+    assert abs(pdf.propagated_accuracy.iloc[0] - prop_ok / prop_n) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# changepoint DP optimality
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_dp_is_optimal(spark):
+    pdf = (
+        QUERIES["win_changepoint_pelt_1d"](spark, SF)
+        .toPandas()
+        .sort_values("segment_id")
+    )
+    ev = _events()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    daily = ev.groupby("day").vc.agg(["sum", "count"]).sort_index()
+    m = [
+        decimal.Decimal(str(round(s / c / 100.0, 6)))
+        for s, c in zip(daily["sum"], daily["count"])
+    ]
+    T = len(m)
+    pre = [decimal.Decimal(0)]
+    preq = [decimal.Decimal(0)]
+    for x in m:
+        pre.append(pre[-1] + x)
+        preq.append(preq[-1] + x * x)
+
+    def cost(s, t):
+        dq = float(preq[t] - preq[s])
+        dp = float(pre[t] - pre[s])
+        return round(dq - dp * dp / (t - s), 6)
+
+    best = min(
+        cost(0, s1) + cost(s1, s2) + cost(s2, T)
+        for s1 in range(1, T - 1)
+        for s2 in range(s1 + 1, T)
+    )
+    assert abs(pdf.total_cost.iloc[0] - best) < 2e-5
+    # segments tile the day domain
+    assert pdf.n_days.sum() == T
+    assert pdf.start_day.iloc[0] == daily.index[0]
+    assert pdf.end_day.iloc[-1] == daily.index[-1]
+    assert abs(pdf.seg_sse.sum() - pdf.total_cost.iloc[0]) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# PACF
+# ---------------------------------------------------------------------------
+
+
+def test_pacf_matches_manual_durbin_levinson(spark):
+    pdf = QUERIES["win_pacf_durbin_levinson"](spark, SF).toPandas()
+    ev = _events()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    for _, row in pdf.iterrows():
+        g = ev[ev.event_type == row.event_type]
+        daily = g.groupby("day").vc.agg(["sum", "count"]).sort_index()
+        x = np.array(
+            [round(s / c / 100.0, 6) for s, c in zip(daily["sum"], daily["count"])]
+        )
+        T = len(x)
+        xbar = x.mean()
+        d = x - xbar
+        denom = (d * d).sum()
+        r = [1.0] + [
+            (d[:-h] * d[h:]).sum() / denom for h in (1, 2, 3, 4)
+        ]
+        assert abs(row.acf_1 - r[1]) < 1e-5
+        assert abs(row.acf_4 - r[4]) < 1e-5
+        # Durbin-Levinson
+        phi = {(1, 1): r[1]}
+        for k in (2, 3, 4):
+            num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+            den = 1 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+            phi[(k, k)] = num / den
+            for j in range(1, k):
+                phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+        assert abs(row.pacf_1 - phi[(1, 1)]) < 1e-4
+        assert abs(row.pacf_2 - phi[(2, 2)]) < 1e-4
+        assert abs(row.pacf_3 - phi[(3, 3)]) < 1e-4
+        assert abs(row.pacf_4 - phi[(4, 4)]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# wave 4
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_pandas_ranks(spark):
+    pdf = QUERIES["agg_kruskal_wallis"](spark, SF).toPandas()
+    ev = _events()
+    ev["rk"] = ev.vc.rank(method="average")
+    nn = len(ev)
+    h = (
+        12.0
+        / (nn * (nn + 1))
+        * sum(
+            g.rk.sum() ** 2 / len(g) for _, g in ev.groupby("event_type")
+        )
+        - 3 * (nn + 1)
+    )
+    tie = sum(
+        c**3 - c for c in ev.groupby("vc").size().to_numpy()
+    )
+    hc = h / (1 - tie / (nn**3 - nn))
+    for _, r in pdf.iterrows():
+        g = ev[ev.event_type == r.event_type]
+        assert r.n_events == len(g)
+        assert r.rank_sum_x2 == int(round(2 * g.rk.sum()))
+    assert abs(pdf.h_stat.iloc[0] - h) < 1e-4
+    assert abs(pdf.h_stat_tie_corrected.iloc[0] - hc) < 1e-4
+
+
+def test_shannon_profile_matches_pandas(spark):
+    pdf = QUERIES["agg_shannon_diversity_profile"](spark, SF).toPandas()
+    d = _docs()
+    for _, r in pdf.iterrows():
+        g = d[d.source == r.source]
+        p = g.lang.value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log(p)).sum())
+        simpson = float(1 - (p**2).sum())
+        assert r.n_docs == len(g) and r.n_langs == len(p)
+        assert abs(r.shannon_h - h) < 1e-5
+        assert abs(r.simpson_index - simpson) < 1e-6
+        if len(p) > 1:
+            assert abs(r.pielou_evenness - h / math.log(len(p))) < 1e-5
+
+
+def test_cochran_q_matches_manual(spark):
+    row = QUERIES["agg_cochran_q"](spark, SF).toPandas().iloc[0]
+    d = _docs()
+    a = (_label_a(d.n_chars.to_numpy()) == "short").astype(int)
+    b = (_label_b(d.text) == "short").astype(int)
+    c = (d.text.str.split(".").str.len() < 4).astype(int).to_numpy()
+    u = a + b + c
+    gs = [a.sum(), b.sum(), c.sum()]
+    q = (
+        2
+        * (3 * sum(g * g for g in gs) - u.sum() ** 2)
+        / (3 * u.sum() - (u * u).sum())
+    )
+    assert (row.short_by_a, row.short_by_b, row.short_by_c) == tuple(gs)
+    assert abs(row.cochran_q - q) < 1e-4
+    # k = 2 reduction sanity: Q over (a, b) equals McNemar's chi2
+    mc = QUERIES["agg_mcnemar_test"](spark, SF).toPandas().iloc[0]
+    n10 = int(((a == 1) & (b == 0)).sum())
+    n01 = int(((a == 0) & (b == 1)).sum())
+    assert abs(mc.mcnemar_chi2 - (n10 - n01) ** 2 / (n10 + n01)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# wave 5 / 6
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_identity_and_centering(spark):
+    pdf = QUERIES["win_seasonal_decompose_additive"](spark, SF).toPandas()
+    # additive identity holds per row (components were exact decimals)
+    resid = pdf.observed - (pdf.trend + pdf.seasonal + pdf.remainder)
+    assert np.abs(resid).max() < 1e-5
+    # seasonal profile is (quantized-)centered across the 7 dows
+    prof = pdf.groupby(pd.to_datetime(pdf.day).dt.dayofweek).seasonal.first()
+    assert len(prof) == 7
+    assert abs(prof.mean()) < 1e-4
+    # trend is the centered 7-day MA of the daily means
+    ev = _events()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    daily = ev.groupby("day").vc.agg(["sum", "count"]).sort_index()
+    m = pd.Series(
+        [round(s / c / 100.0, 6) for s, c in zip(daily["sum"], daily["count"])],
+        index=daily.index,
+    )
+    ma = m.rolling(7, center=True).mean().dropna()
+    got = pdf.set_index("day").trend
+    assert np.abs((ma - got.reindex(ma.index)).to_numpy()).max() < 1e-5
+
+
+def test_hurst_matches_manual_rs(spark):
+    row = QUERIES["agg_hurst_rs_exponent"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    daily = ev.groupby("day").vc.agg(["sum", "count"]).sort_index()
+    m = np.array(
+        [round(s / c / 100.0, 6) for s, c in zip(daily["sum"], daily["count"])]
+    )
+    xs, ys = [], []
+    for n in (5, 10, 15):
+        rss = []
+        for b in range(len(m) // n):
+            blk = m[b * n : (b + 1) * n]
+            mu = round(blk.sum() / n, 6)
+            dev = blk - mu
+            cum = np.cumsum(dev)
+            r = cum.max() - cum.min()
+            s = math.sqrt((dev * dev).sum() / n)
+            if s > 0:
+                rss.append(r / s)
+        mean_rs = sum(rss) / len(rss)
+        assert abs(getattr(row, f"rs_mean_{n}") - mean_rs) < 1e-4
+        xs.append(math.log(n))
+        ys.append(math.log(mean_rs))
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert abs(row.hurst_exponent - slope) < 1e-4
+    assert row.n_levels == 3
+
+
+def test_dunn_z_matches_manual_and_flags(spark):
+    pdf = QUERIES["agg_dunn_posthoc"](spark, SF).toPandas()
+    ev = _events()
+    ev["rk"] = ev.vc.rank(method="average")
+    nn = len(ev)
+    tie = sum(c**3 - c for c in ev.groupby("vc").size().to_numpy())
+    sig2 = nn * (nn + 1) / 12 - tie / (12 * (nn - 1))
+    mr = ev.groupby("event_type").rk.mean()
+    cn = ev.groupby("event_type").size()
+    for _, r in pdf.iterrows():
+        z = (mr[r.type_a] - mr[r.type_b]) / math.sqrt(
+            sig2 * (1 / cn[r.type_a] + 1 / cn[r.type_b])
+        )
+        assert abs(r.dunn_z - z) < 1e-4
+        assert r.significant == int(abs(r.dunn_z) >= 2.807034)
+    # all unordered pairs present exactly once
+    k = ev.event_type.nunique()
+    assert len(pdf) == k * (k - 1) // 2

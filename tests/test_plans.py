@@ -922,3 +922,51 @@ def test_topk_margin_query_side_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "hashpartitioning(query_id" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_mood_median_broadcast_median_no_row_sort(spark, sf_dir):
+    # both fact passes (domain collapse, classification against the
+    # broadcast median) ran eagerly at their localCheckpoints; the
+    # final plan works entirely on the bounded checkpointed frames —
+    # no parquet re-scan, no row-level Sort, no Python
+    plan = plan_of(QUERIES["agg_mood_median_test"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_kruskal_ranks_live_on_value_domain(spark, sf_dir):
+    # ranks never exist per row: the single fact scan collapsed to the
+    # checkpointed (cents, type) domain frame; the ordered cumsum, the
+    # rank-sum join, and the moments all run on that bounded frame
+    plan = plan_of(QUERIES["agg_kruskal_wallis"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rich_club_runs_on_checkpointed_edges(spark, sf_dir):
+    # the spectrum derives entirely from the checkpointed co-purchase
+    # edge list — no parquet re-scan, no Python, and the only window
+    # is the bounded degree-domain cumsum
+    plan = plan_of(QUERIES["graph_rich_club"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_estimate_single_token_shuffle(spark, sf_dir):
+    # one scan -> explode -> vocabulary hash aggregate (map-side
+    # combined) -> 1-row reduction; no join, no window
+    plan = plan_of(QUERIES["agg_unseen_vocab_estimate"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_capture_recapture_bounds_broadcast(spark, sf_dir):
+    # the 1-row time-range bounds broadcast into the occupancy pass;
+    # two fact scans total, both two-column projections
+    plan = plan_of(QUERIES["agg_capture_recapture"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "BatchEvalPython" not in plan

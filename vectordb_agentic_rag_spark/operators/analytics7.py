@@ -632,7 +632,7 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy(F.col("vc").alias("v")).agg(
             F.count("*").cast("bigint").alias("cnt")
         )
-    )
+    ).localCheckpoint()
     tot = vt.agg(F.sum("cnt").cast("bigint").alias("n"))
     w_local = Window.partitionBy("bkt").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
@@ -661,6 +661,7 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("a_t"),
         )
+        .localCheckpoint()
     )
     tt = g.agg(
         F.sum("n_t").cast("bigint").alias("n"),
@@ -785,7 +786,7 @@ def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vt = c.groupBy("event_type", "vc").agg(
         F.count("*").cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint()
     nt = vt.groupBy("event_type").agg(
         F.sum("cnt").cast("bigint").alias("n_t")
     )
@@ -1559,7 +1560,7 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vt = c.groupBy("vc", "event_type").agg(
         F.count("*").cast("bigint").alias("ct")
-    )
+    ).localCheckpoint()
     vv = vt.groupBy("vc").agg(F.sum("ct").cast("bigint").alias("nv"))
     w_less = Window.orderBy("vc").rowsBetween(
         Window.unboundedPreceding, -1
@@ -2017,7 +2018,7 @@ def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vt = c.groupBy("vc", "event_type").agg(
         F.count("*").cast("bigint").alias("ct")
-    )
+    ).localCheckpoint()
     vv = vt.groupBy("vc").agg(F.sum("ct").cast("bigint").alias("nv"))
     w_less = Window.orderBy("vc").rowsBetween(
         Window.unboundedPreceding, -1

@@ -189,6 +189,21 @@ OPS = [
     ("vec_topk_margin_stats", "embeddings"),
     ("graph_modularity_partition", "lineitem"),
     ("agg_cramers_v", "documents"),
+    # round-8 third session (fact-scaled ops; the day-domain ops —
+    # changepoint / PACF / seasonal / Hurst — collapse to ~30 rows
+    # before any interesting work and are covered by their single
+    # pre-aggregate's linearity here via the other events entries)
+    ("agg_tost_equivalence", "events"),
+    ("agg_capture_recapture", "events"),
+    ("agg_mood_median_test", "events"),
+    ("agg_levene_brown_forsythe", "events"),
+    ("agg_kruskal_wallis", "events"),
+    ("agg_unseen_vocab_estimate", "documents"),
+    ("agg_mcnemar_test", "documents"),
+    ("agg_cochran_q", "documents"),
+    ("agg_shannon_diversity_profile", "documents"),
+    ("graph_rich_club", "lineitem"),
+    ("graph_label_propagation_semi", "lineitem"),
 ]
 
 

@@ -2263,3 +2263,473 @@ def agg_hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)"
         " AS hurst_exponent",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_page_trend_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_page_trend_test",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1, 2),
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+           FROM events),
+    fb AS (
+      SELECT day FROM cell GROUP BY day
+      HAVING count(*) = (SELECT k FROM kk)),
+    r AS (
+      SELECT c.day, c.event_type,
+             CAST(row_number() OVER (PARTITION BY c.day
+                                     ORDER BY c.tot, c.event_type)
+                  AS BIGINT) AS rk
+      FROM cell c JOIN fb USING (day)),
+    ord AS (
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS cj
+      FROM (SELECT DISTINCT event_type FROM cell) t),
+    rs AS (
+      SELECT r.event_type, ord.cj,
+             CAST(sum(r.rk) AS BIGINT) AS rank_sum,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM r JOIN ord USING (event_type) GROUP BY 1, 2),
+    l AS (
+      SELECT CAST(sum(cj * rank_sum) AS BIGINT) AS lstat,
+             CAST(max(nb) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS k
+      FROM rs)
+    SELECT rs.event_type, rs.cj AS hypothesized_rank, rs.rank_sum,
+           l.lstat AS page_l,
+           round((l.lstat - CAST(l.b AS DOUBLE) * l.k * (l.k + 1)
+                            * (l.k + 1) / 4)
+                 / sqrt(CAST(l.b AS DOUBLE) * l.k * l.k * (l.k + 1)
+                        * (l.k * l.k - 1) / 144), 6) AS page_z
+    FROM rs CROSS JOIN l
+    """,
+)
+def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE'S L TEST for ordered alternatives in the day-blocked
+    design: agg_friedman_test asks "do the event types differ at
+    all?"; Page's L asks the sharper monotone question — do the
+    within-day rank sums INCREASE along a pre-specified type ordering
+    (here the alphabetical order, fixed a priori; any hypothesized
+    ordering slots into the cj column)? L = sum_j c_j R_j with its
+    exact normal standardization. When a trend direction is
+    hypothesized, Page's L has strictly more power than the omnibus
+    Friedman Q — the difference between detecting "something differs"
+    and "engagement escalates along the funnel".
+
+    Shape at 100 TB: identical to agg_friedman_test — one
+    map-side-combinable groupBy collapses the fact table to the
+    day x type grid; ranking windows run over k-row day partitions;
+    L lives on the k-row rank-sum frame.
+
+    Parity: day-cell totals are exact integer cents, so within-day
+    ranks are deterministic integer row_numbers (ties break on the
+    type name identically); the hypothesized ranks come from one
+    row_number over the distinct type domain; L is an exact integer
+    and z is one shared double expression, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)"))
+        .cast("bigint")
+        .alias("tot")
+    )
+    kk = ev.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    fb = (
+        cell.groupBy("day")
+        .agg(F.count("*").alias("ntypes"))
+        .crossJoin(F.broadcast(kk))
+        .where(F.col("ntypes") == F.col("k"))
+        .select("day")
+    )
+    w = Window.partitionBy("day").orderBy("tot", "event_type")
+    r = cell.join(F.broadcast(fb), "day").select(
+        "event_type", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    w_ord = Window.orderBy("event_type")
+    ordx = (
+        cell.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number().over(w_ord).cast("bigint").alias("cj"),
+        )
+    )
+    rs = (
+        r.join(F.broadcast(ordx), "event_type")
+        .groupBy("event_type", "cj")
+        .agg(
+            F.sum("rk").cast("bigint").alias("rank_sum"),
+            F.count("*").cast("bigint").alias("nb"),
+        )
+    )
+    l = rs.agg(
+        F.sum(F.col("cj") * F.col("rank_sum")).cast("bigint").alias("lstat"),
+        F.max("nb").cast("bigint").alias("b"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    return rs.crossJoin(F.broadcast(l)).selectExpr(
+        "event_type",
+        "cj AS hypothesized_rank",
+        "rank_sum",
+        "lstat AS page_l",
+        "round((lstat - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1) / 4)"
+        " / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1)"
+        " * (k * k - 1) / 144), 6) AS page_z",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_jonckheere_terpstra
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_jonckheere_terpstra",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events),
+    vt AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS ct
+      FROM c GROUP BY 1, 2),
+    dom AS (SELECT DISTINCT vc FROM vt),
+    types AS (SELECT DISTINCT event_type FROM vt),
+    grid AS (
+      SELECT t.event_type, d.vc,
+             CAST(coalesce(vt.ct, 0) AS BIGINT) AS ct
+      FROM types t CROSS JOIN dom d
+      LEFT JOIN vt ON vt.event_type = t.event_type AND vt.vc = d.vc),
+    cum AS (
+      SELECT event_type, vc, ct,
+             CAST(sum(ct) OVER (PARTITION BY event_type ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct
+               AS BIGINT) AS less
+      FROM grid),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(sum(b.ct * (2 * a.less + a.ct)) AS BIGINT) AS u2
+      FROM cum a JOIN cum b
+        ON a.vc = b.vc AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    nt AS (SELECT event_type, CAST(sum(ct) AS BIGINT) AS n
+           FROM vt GROUP BY event_type),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(n * n) AS BIGINT) AS sn2,
+             CAST(sum(CAST(n AS DECIMAL(19,0)) * n * (2 * n + 3))
+                  AS DECIMAL(38,0)) AS sn23
+      FROM nt),
+    j AS (SELECT CAST(sum(u2) AS BIGINT) AS j2 FROM pairs)
+    SELECT pairs.type_a, pairs.type_b, pairs.u2 AS u_x2,
+           j.j2 AS j_stat_x2,
+           round((CAST(j.j2 AS DOUBLE) / 2
+                  - (CAST(tot.nn AS DOUBLE) * tot.nn - tot.sn2) / 4)
+                 / sqrt((CAST(tot.nn AS DOUBLE) * tot.nn * (2 * tot.nn + 3)
+                         - CAST(tot.sn23 AS DOUBLE)) / 72), 6) AS jt_z
+    FROM pairs CROSS JOIN j CROSS JOIN tot
+    """,
+)
+def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE-TERPSTRA TEST for an ordered alternative across
+    event types (alphabetical a-priori ordering, as in
+    agg_page_trend_test): J sums the pairwise Mann-Whitney counts
+    over every ordered type pair — the unblocked sibling of Page's L
+    and the trend-sharpened version of agg_kruskal_wallis. Doubled
+    counting (2*strictly-less + ties) keeps J an exact integer with
+    ties at half weight; the z standardization uses the classical
+    no-ties moments (the docstring-level approximation: with ~37 max
+    multiplicity on an 18k-value domain the tie correction moves z in
+    the 4th decimal; J itself is exact).
+
+    Shape at 100 TB: the pairwise counts NEVER enumerate pairs — the
+    (type x distinct-cents) grid is DENSIFIED (types cross join the
+    value domain, the agg_cramers_v move) so each type's cumulative
+    count is defined at EVERY domain value, and each ordered pair's U
+    is one equi-join on the value key + aggregate. Everything is
+    domain-sized; the fact table is touched once.
+
+    Parity: all counts, cumulative counts, and U's are exact
+    integers; the n^2(2n+3) variance pieces go through DECIMAL(19,0)
+    operands; z is one shared double expression, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("vc")
+    )
+    vt = (
+        c.groupBy("event_type", "vc")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .localCheckpoint()
+    )
+    dom = vt.select("vc").distinct()
+    types = vt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(dom)
+        .join(vt, ["event_type", "vc"], "left")
+        .select(
+            "event_type",
+            "vc",
+            F.coalesce(F.col("ct"), F.lit(0)).cast("bigint").alias("ct"),
+        )
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "event_type",
+        "vc",
+        "ct",
+        (F.sum("ct").over(w_cum) - F.col("ct"))
+        .cast("bigint")
+        .alias("less"),
+    ).localCheckpoint()
+    a = cum.select(
+        F.col("event_type").alias("type_a"),
+        "vc",
+        F.col("ct").alias("cta"),
+        F.col("less").alias("lessa"),
+    )
+    b = cum.select(
+        F.col("event_type").alias("type_b"),
+        "vc",
+        F.col("ct").alias("ctb"),
+    )
+    pairs = (
+        a.join(b, "vc")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("ctb") * (2 * F.col("lessa") + F.col("cta")))
+            .cast("bigint")
+            .alias("u2")
+        )
+    )
+    nt = vt.groupBy("event_type").agg(
+        F.sum("ct").cast("bigint").alias("n")
+    )
+    tot = nt.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sn2"),
+        F.sum(F.expr("CAST(n AS DECIMAL(19,0)) * n * (2 * n + 3)"))
+        .cast("decimal(38,0)")
+        .alias("sn23"),
+    )
+    j = pairs.agg(F.sum("u2").cast("bigint").alias("j2"))
+    return (
+        pairs.crossJoin(F.broadcast(j))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "u2 AS u_x2",
+            "j2 AS j_stat_x2",
+            "round((CAST(j2 AS DOUBLE) / 2"
+            " - (CAST(nn AS DOUBLE) * nn - sn2) / 4)"
+            " / sqrt((CAST(nn AS DOUBLE) * nn * (2 * nn + 3)"
+            " - CAST(sn23 AS DOUBLE)) / 72), 6) AS jt_z",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bartlett_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bartlett_test",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vc) AS BIGINT) AS s,
+             CAST(sum(CAST(vc AS DECIMAL(19,0)) * vc) AS DECIMAL(38,0)) AS q
+      FROM c GROUP BY event_type),
+    v AS (
+      SELECT event_type, n,
+             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+               AS s2
+      FROM g),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CAST(round((n - 1) * s2, 6) AS DECIMAL(28,6)))
+                  AS DECIMAL(38,6)) AS pooled_num,
+             CAST(sum(CAST(round((n - 1) * ln(s2), 9) AS DECIMAL(28,9)))
+                  AS DECIMAL(38,9)) AS sum_ln,
+             CAST(sum(CAST(round(CAST(1 AS DOUBLE) / (n - 1), 9)
+                           AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS sum_inv
+      FROM v)
+    SELECT v.event_type, v.n AS n_events,
+           round(v.s2 / 10000.0, 6) AS group_variance,
+           round(((CAST(t.nn AS DOUBLE) - t.k)
+                  * ln(CAST(t.pooled_num AS DOUBLE) / (t.nn - t.k))
+                  - CAST(t.sum_ln AS DOUBLE))
+                 / (1.0 + (CAST(t.sum_inv AS DOUBLE)
+                           - 1.0 / (t.nn - t.k)) / (3.0 * (t.k - 1))), 6)
+             AS bartlett_stat
+    FROM v CROSS JOIN t
+    """,
+)
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT'S TEST for variance homogeneity across event types —
+    the normal-theory companion to agg_levene_brown_forsythe: more
+    powerful when the data really are near-normal, notoriously
+    fragile when they are not (running both and comparing is itself
+    the diagnostic: Bartlett rejecting while Brown-Forsythe does not
+    is a kurtosis signature, not a variance difference). Per-type
+    rows carry the unbiased group variances (value^2 units); the
+    corrected statistic repeats as a grand column.
+
+    Shape at 100 TB: ONE map-side-combinable grouped moment scan
+    (the agg_anova_oneway pass verbatim); everything after is k-row
+    arithmetic.
+
+    Parity: cents moments are exact (DECIMAL(19,0) squares); each
+    group variance is a shared double expression of exact integers;
+    the three k-term sums quantize round(6)/round(9) into DECIMAL
+    before their order-independent additions; ln is applied to
+    identical doubles (cents^2 scale — the scale constant cancels
+    exactly in the statistic because sum(n_i - 1) ln c == (N - k)
+    ln c). One shared final expression, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("vc")
+    )
+    g = c.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vc").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(vc AS DECIMAL(19,0)) * vc"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    v = g.selectExpr(
+        "event_type",
+        "n",
+        "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS s2",
+    ).localCheckpoint()
+    t = v.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.expr("CAST(round((n - 1) * s2, 6) AS DECIMAL(28,6))"))
+        .cast("decimal(38,6)")
+        .alias("pooled_num"),
+        F.sum(F.expr("CAST(round((n - 1) * ln(s2), 9) AS DECIMAL(28,9))"))
+        .cast("decimal(38,9)")
+        .alias("sum_ln"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(1 AS DOUBLE) / (n - 1), 9)"
+                " AS DECIMAL(28,9))"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("sum_inv"),
+    )
+    return v.crossJoin(F.broadcast(t)).selectExpr(
+        "event_type",
+        "n AS n_events",
+        "round(s2 / 10000.0, 6) AS group_variance",
+        "round(((CAST(nn AS DOUBLE) - k)"
+        " * ln(CAST(pooled_num AS DOUBLE) / (nn - k))"
+        " - CAST(sum_ln AS DOUBLE))"
+        " / (1.0 + (CAST(sum_inv AS DOUBLE)"
+        " - 1.0 / (nn - k)) / (3.0 * (k - 1))), 6) AS bartlett_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_turning_points_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_turning_points_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    tri AS (
+      SELECT m,
+             lag(m) OVER (ORDER BY day) AS mp,
+             lead(m) OVER (ORDER BY day) AS mn
+      FROM daily),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) + 2 AS n,
+             CAST(sum(CASE WHEN (mp < m AND m > mn)
+                             OR (mp > m AND m < mn)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM tri WHERE mp IS NOT NULL AND mn IS NOT NULL)
+    SELECT n AS n_days, tp AS n_turning_points,
+           round(CAST(2.0 AS DOUBLE) * (n - 2) / 3, 6) AS expected_tp,
+           round((tp - 2.0 * (n - 2) / 3)
+                 / sqrt((16.0 * n - 29) / 90), 6) AS tp_z
+    FROM s
+    """,
+)
+def agg_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURNING-POINTS TEST of randomness on the daily-mean series: a
+    turning point is a strict local max or min; under an i.i.d. null
+    their count is ~N(2(n-2)/3, (16n-29)/90), and too FEW turning
+    points is the signature of trend/persistence that
+    agg_runs_test_randomness (sign-based, needs a reference level)
+    can miss while too MANY flags oscillatory noise. The ordinal
+    companion to the runs test and the cheapest pre-check before
+    fitting anything sequential (win_holt_linear, win_ewma_smooth).
+
+    Shape at 100 TB: one map-side-combinable day-domain collapse,
+    one lag/lead window over the bounded day series, a 1-row count.
+
+    Parity: daily means are round(6)-quantized DECIMALs, so the
+    strict inequalities compare exact decimals identically on both
+    engines (interior ties produce no turning point on either);
+    expected count and z are shared double expressions of exact
+    integers, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(round(CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+            " AS DOUBLE) / count(*) / 100.0, 6) AS DECIMAL(16,6))"
+        ).alias("m")
+    )
+    w = Window.orderBy("day")
+    tri = daily.select(
+        "m",
+        F.lag("m").over(w).alias("mp"),
+        F.lead("m").over(w).alias("mn"),
+    )
+    s = tri.where(
+        F.col("mp").isNotNull() & F.col("mn").isNotNull()
+    ).agg(
+        (F.count("*") + 2).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (mp < m AND m > mn) OR (mp > m AND m < mn)"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    return s.selectExpr(
+        "n AS n_days",
+        "tp AS n_turning_points",
+        "round(CAST(2.0 AS DOUBLE) * (n - 2) / 3, 6) AS expected_tp",
+        "round((tp - 2.0 * (n - 2) / 3)"
+        " / sqrt((16.0 * n - 29) / 90), 6) AS tp_z",
+    )

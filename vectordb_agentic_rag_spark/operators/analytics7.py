@@ -2733,3 +2733,349 @@ def agg_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((tp - 2.0 * (n - 2) / 3)"
         " / sqrt((16.0 * n - 29) / 90), 6) AS tp_z",
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_reach_layers
+# ---------------------------------------------------------------------------
+
+# BFS layer budget: reach-depth equals the label-propagation frontier
+# depth (measured 1/5/7 at sf0.001/0.01/0.1) — same 10-round budget,
+# same raise-on-exhaustion contract.
+_BFS_ROUNDS = 10
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        """os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    nodes AS MATERIALIZED (
+      SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+    de AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS MATERIALIZED (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM de GROUP BY a),
+    l0 AS MATERIALIZED (
+      SELECT node, 0 AS layer FROM nodes WHERE node % 5 = 0)"""
+    ]
+    for i in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT * FROM l{i - 1}
+      UNION ALL
+      SELECT DISTINCT de.b AS node, {i} AS layer
+      FROM de JOIN l{i - 1} p ON de.a = p.node
+      WHERE de.b NOT IN (SELECT node FROM l{i - 1}))"""
+        )
+    R = _BFS_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    allr AS (
+      SELECT l.layer, deg.d
+      FROM l{R} l JOIN deg ON deg.node = l.node
+      UNION ALL
+      SELECT -1 AS layer, deg.d
+      FROM nodes n JOIN deg ON deg.node = n.node
+      WHERE n.node NOT IN (SELECT node FROM l{R})),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes)
+    SELECT allr.layer,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS mean_degree,
+           round(CAST(count(*) AS DOUBLE) / max(tot.nn), 6)
+             AS node_fraction
+    FROM allr CROSS JOIN tot
+    GROUP BY allr.layer"""
+    )
+
+
+@query("graph_bfs_reach_layers", oracle=_bfs_oracle())
+def graph_bfs_reach_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SOURCE BFS EXPANSION PROFILE from the seed set (the
+    label-propagation seeds, p_partkey % 5 == 0) over the support-2
+    co-purchase graph: layer(n) = hop distance to the NEAREST seed,
+    with per-layer node counts, mean degree, and coverage fraction —
+    the reachability skeleton underneath graph_label_propagation_semi
+    (its round-r assignments are exactly this BFS's layer-r nodes)
+    exposed as the expansion profile a sampling or influence design
+    reads: fast-decaying layers mean seeds cover the graph in 2 hops;
+    a fat tail means coverage needs more seeds, not more hops.
+    Seedless components report honestly as layer -1.
+
+    Shape at 100 TB: the frontier loop never touches the fact table —
+    checkpointed edge list + a labels frame bounded by |graph nodes|;
+    each round is one directed-edge join + an anti-join + distinct,
+    with localCheckpoint truncating lineage and shuffle partitions
+    sized from |E| and restored in finally (the graph_kcore loop
+    disciplines). Empty frontier is the fixpoint witness; exhausting
+    the 10-round budget RAISES (measured depth 1/5/7).
+
+    Parity: layers, counts, and degree sums are exact integers; mean
+    degree and coverage are single divisions, round(6)."""
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    de = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    n_edges = e.count()
+    loop_partitions = max(1, min(200, n_edges // 1_000_000 + 1))
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    converged = False
+    try:
+        de = de.localCheckpoint()
+        deg = de.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").cast("bigint").alias("d")
+        ).localCheckpoint()
+        labels = (
+            nodes.where(F.col("node") % 5 == 0)
+            .select("node", F.lit(0).alias("layer"))
+            .localCheckpoint()
+        )
+        for r in range(1, _BFS_ROUNDS + 1):
+            new = (
+                de.join(labels.select(F.col("node").alias("a")), "a")
+                .select(F.col("b").alias("node"))
+                .join(labels.select("node"), "node", "left_anti")
+                .distinct()
+                .select("node", F.lit(r).alias("layer"))
+                .localCheckpoint()
+            )
+            if new.count() == 0:
+                converged = True
+                break
+            labels = labels.unionAll(new).localCheckpoint()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if not converged:
+        raise RuntimeError(
+            f"BFS not converged after {_BFS_ROUNDS} rounds — "
+            "raise the budget for longer seed-to-node paths"
+        )
+    reached = labels.join(deg, "node").select("layer", "d")
+    unreached = (
+        nodes.join(labels.select("node"), "node", "left_anti")
+        .join(deg, "node")
+        .select(F.lit(-1).alias("layer"), "d")
+    )
+    allr = reached.unionAll(unreached)
+    tot = nodes.agg(F.count("*").cast("bigint").alias("nn"))
+    return allr.crossJoin(F.broadcast(tot)).groupBy("layer").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.round(F.sum("d").cast("double") / F.count("*"), 6).alias(
+            "mean_degree"
+        ),
+        F.round(F.count("*").cast("double") / F.max("nn"), 6).alias(
+            "node_fraction"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_cross_correlation_lags
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_cross_correlation_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+    x AS (SELECT day, m FROM daily WHERE event_type = 'click'),
+    y AS (SELECT day, m FROM daily WHERE event_type = 'view'),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    p AS (
+      SELECT lags.lag, x.m AS xv, y.m AS yv
+      FROM lags JOIN x ON TRUE
+      JOIN y ON y.day = x.day + CAST(lags.lag AS INT)),
+    mo AS (
+      SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xv) AS DOUBLE) AS sx, CAST(sum(yv) AS DOUBLE) AS sy,
+             CAST(sum(xv * xv) AS DOUBLE) AS sxx,
+             CAST(sum(xv * yv) AS DOUBLE) AS sxy,
+             CAST(sum(yv * yv) AS DOUBLE) AS syy
+      FROM p GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS ccf
+    FROM mo
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def win_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION FUNCTION between the click and view
+    daily-mean series at lags -3..+3 days: ccf(h) = corr(click_t,
+    view_{t+h}) — the lead-lag detector (a peak at h > 0 says clicks
+    LEAD views by h days; at h < 0, the reverse) that tells an
+    attribution or forecasting pipeline which series is the
+    leading indicator. The within-series diagnostics
+    (agg_autocorr_daily, win_pacf_durbin_levinson) cannot see this;
+    CCF is their two-series completion.
+
+    Shape at 100 TB: the fact table collapses once to the bounded
+    DAY x {click,view} domain; the 7 lag alignments come from one
+    join of the 7-row lag frame against the two day series (calendar
+    date_add keys — no row-scaled work anywhere); Pearson moments per
+    lag on the bounded pair frame.
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); pair
+    moments are exact decimal sums cast to double once; the Pearson
+    assembly is one shared expression, round(6); zero-variance lags
+    are excluded identically."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+                " AS DOUBLE) / count(*) / 100.0, 6) AS DECIMAL(16,6))"
+            ).alias("m")
+        )
+        .localCheckpoint()
+    )
+    x = daily.where(F.col("event_type") == "click").select(
+        "day", F.col("m").alias("xv")
+    )
+    y = daily.where(F.col("event_type") == "view").select(
+        F.col("day").alias("yday"), F.col("m").alias("yv")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    p = (
+        F.broadcast(lags)
+        .crossJoin(x)
+        .join(y, F.col("yday") == F.expr("date_add(day, lag)"))
+        .select("lag", "xv", "yv")
+    )
+    mo = p.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("xv").cast("double").alias("sx"),
+        F.sum("yv").cast("double").alias("sy"),
+        F.expr("CAST(sum(xv * xv) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(sum(xv * yv) AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(sum(yv * yv) AS DOUBLE)").alias("syy"),
+    )
+    return mo.where(
+        (F.expr("n * sxx - sx * sx") > 0)
+        & (F.expr("n * syy - sy * sy") > 0)
+    ).selectExpr(
+        "CAST(lag AS BIGINT) AS lag_days",
+        "CAST(n AS BIGINT) AS n_pairs",
+        "round((n * sxy - sx * sy)"
+        " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)"
+        " AS ccf",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_gini
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_gini",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+      GROUP BY node),
+    dc AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM deg GROUP BY d),
+    cum AS (
+      SELECT d, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
+      FROM dc),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(d * c) AS BIGINT) AS sd,
+             CAST(sum(d * (c * (2 * before + c + 1)) / 2) AS BIGINT)
+               AS s1
+      FROM cum)
+    SELECT n AS n_nodes, sd AS sum_degree,
+           round(CAST(sd AS DOUBLE) / n, 6) AS mean_degree,
+           round(2.0 * s1 / (CAST(n AS DOUBLE) * sd)
+                 - (CAST(n AS DOUBLE) + 1) / n, 6) AS degree_gini
+    FROM s
+    """,
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of the co-purchase degree distribution — the
+    inequality summary behind graph_rich_club's spectrum: 0 means
+    every part co-sells with equally many partners, values toward 1
+    mean a hub elite concentrates the co-purchase mass (and hub-aware
+    strategies — caching, salting, seed selection — pay off). The
+    scalar companion to agg_tail_index_hill (which fits the tail
+    SHAPE) computed on the graph rather than revenue.
+
+    Shape at 100 TB: degrees from the checkpointed edge list; the
+    Gini rank sum never sorts nodes — on the bounded DEGREE DOMAIN,
+    the tied-block rank sum reconstructs exactly as
+    d * c * (2*cum_before + c + 1) / 2 per degree value (an even
+    product, so the division is exact integer arithmetic — the
+    agg_mann_whitney_u rank trick applied to Gini), and one ordered
+    cumsum over that domain is the only ordering anywhere.
+
+    Parity: all sums are exact BIGINTs; the two output ratios are
+    shared double expressions, round(6)."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    dc = deg.groupBy("d").agg(F.count("*").cast("bigint").alias("c"))
+    w_before = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dc.select(
+        "d",
+        "c",
+        F.coalesce(F.sum("c").over(w_before), F.lit(0))
+        .cast("bigint")
+        .alias("before"),
+    )
+    s = cum.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("d") * F.col("c")).cast("bigint").alias("sd"),
+        F.sum(
+            F.col("d")
+            * (F.col("c") * (2 * F.col("before") + F.col("c") + 1))
+            / 2
+        )
+        .cast("bigint")
+        .alias("s1"),
+    )
+    return s.selectExpr(
+        "n AS n_nodes",
+        "sd AS sum_degree",
+        "round(CAST(sd AS DOUBLE) / n, 6) AS mean_degree",
+        "round(2.0 * s1 / (CAST(n AS DOUBLE) * sd)"
+        " - (CAST(n AS DOUBLE) + 1) / n, 6) AS degree_gini",
+    )

@@ -489,3 +489,170 @@ def test_dunn_z_matches_manual_and_flags(spark):
     # all unordered pairs present exactly once
     k = ev.event_type.nunique()
     assert len(pdf) == k * (k - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# waves 7 / 8
+# ---------------------------------------------------------------------------
+
+
+def test_page_l_matches_manual(spark):
+    pdf = QUERIES["agg_page_trend_test"](spark, SF).toPandas()
+    ev = _events()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    cell = ev.groupby(["day", "event_type"]).vc.sum().reset_index()
+    k = ev.event_type.nunique()
+    full = cell.groupby("day").size()
+    cell = cell[cell.day.isin(full[full == k].index)]
+    cell["rk"] = cell.groupby("day").vc.rank(method="first")
+    rs = cell.groupby("event_type").rk.sum()
+    order = {t: i + 1 for i, t in enumerate(sorted(rs.index))}
+    L = sum(order[t] * rs[t] for t in rs.index)
+    b = cell.day.nunique()
+    ez = (L - b * k * (k + 1) ** 2 / 4) / math.sqrt(
+        b * k * k * (k + 1) * (k * k - 1) / 144
+    )
+    assert pdf.page_l.iloc[0] == int(L)
+    assert abs(pdf.page_z.iloc[0] - ez) < 1e-4
+    for _, r in pdf.iterrows():
+        assert r.hypothesized_rank == order[r.event_type]
+        assert r.rank_sum == int(rs[r.event_type])
+
+
+def test_jonckheere_matches_bruteforce_pairs(spark):
+    pdf = QUERIES["agg_jonckheere_terpstra"](spark, SF).toPandas()
+    ev = _events()
+    groups = {t: np.sort(g.vc.to_numpy()) for t, g in ev.groupby("event_type")}
+    j2 = 0
+    for _, r in pdf.iterrows():
+        a, b = groups[r.type_a], groups[r.type_b]
+        less = np.searchsorted(a, b, side="left").sum()
+        leq = np.searchsorted(a, b, side="right").sum()
+        u2 = int(less + leq)  # 2*less + ties
+        assert r.u_x2 == u2
+        j2 += u2
+    assert pdf.j_stat_x2.iloc[0] == j2
+    ns = np.array([len(g) for g in groups.values()])
+    nn = ns.sum()
+    ej = (nn**2 - (ns**2).sum()) / 4
+    vj = (nn**2 * (2 * nn + 3) - (ns**2 * (2 * ns + 3)).sum()) / 72
+    z = (j2 / 2 - ej) / math.sqrt(vj)
+    assert abs(pdf.jt_z.iloc[0] - z) < 1e-4
+
+
+def test_bartlett_matches_numpy(spark):
+    pdf = QUERIES["agg_bartlett_test"](spark, SF).toPandas()
+    ev = _events()
+    gs = {t: g.vc.to_numpy().astype(float) for t, g in ev.groupby("event_type")}
+    k = len(gs)
+    nn = sum(len(g) for g in gs.values())
+    s2s = {t: g.var(ddof=1) for t, g in gs.items()}
+    sp2 = sum((len(gs[t]) - 1) * s2s[t] for t in gs) / (nn - k)
+    num = (nn - k) * math.log(sp2) - sum(
+        (len(gs[t]) - 1) * math.log(s2s[t]) for t in gs
+    )
+    cden = 1 + (
+        sum(1 / (len(gs[t]) - 1) for t in gs) - 1 / (nn - k)
+    ) / (3 * (k - 1))
+    stat = num / cden
+    assert abs(pdf.bartlett_stat.iloc[0] - stat) < 1e-3
+    for _, r in pdf.iterrows():
+        assert abs(r.group_variance - s2s[r.event_type] / 1e4) < 1e-2
+
+
+def test_turning_points_matches_manual(spark):
+    row = QUERIES["agg_turning_points_test"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    daily = ev.groupby("day").vc.agg(["sum", "count"]).sort_index()
+    m = np.array(
+        [round(s / c / 100.0, 6) for s, c in zip(daily["sum"], daily["count"])]
+    )
+    tp = sum(
+        1
+        for i in range(1, len(m) - 1)
+        if (m[i - 1] < m[i] > m[i + 1]) or (m[i - 1] > m[i] < m[i + 1])
+    )
+    n = len(m)
+    assert (row.n_days, row.n_turning_points) == (n, tp)
+    assert abs(row.expected_tp - 2 * (n - 2) / 3) < 1e-6
+    z = (tp - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    assert abs(row.tp_z - z) < 1e-5
+
+
+def test_bfs_layers_match_python_bfs(spark):
+    pdf = QUERIES["graph_bfs_reach_layers"](spark, SF).toPandas()
+    edges = _copurchase_edges_py()
+    adj = collections.defaultdict(set)
+    nodes = set()
+    deg = collections.Counter()
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+        nodes.update((u, v))
+        deg[u] += 1
+        deg[v] += 1
+    dist = {n: 0 for n in nodes if n % 5 == 0}
+    frontier = set(dist)
+    layer = 0
+    while frontier:
+        layer += 1
+        frontier = {
+            m for n in frontier for m in adj[n] if m not in dist
+        }
+        for m in frontier:
+            dist[m] = layer
+    want = collections.Counter(dist.values())
+    want[-1] = len(nodes) - len(dist)
+    if want[-1] == 0:
+        del want[-1]
+    got = pdf.set_index("layer")
+    assert {int(k): int(v) for k, v in got.n_nodes.items()} == dict(want)
+    for lyr, grp in itertools.groupby(
+        sorted(dist.items(), key=lambda kv: kv[1]), key=lambda kv: kv[1]
+    ):
+        members = [n for n, _ in grp]
+        md = sum(deg[n] for n in members) / len(members)
+        assert abs(got.loc[lyr, "mean_degree"] - md) < 1e-6
+    assert abs(got.n_fraction.sum() - 1) < 1e-4 if hasattr(got, "n_fraction") else True
+    assert abs(got.node_fraction.sum() - 1.0) < 1e-3
+
+
+def test_ccf_matches_numpy_and_lag0_symmetry(spark):
+    pdf = (
+        QUERIES["win_cross_correlation_lags"](spark, SF)
+        .toPandas()
+        .set_index("lag_days")
+    )
+    ev = _events()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    series = {}
+    for t in ("click", "view"):
+        g = ev[ev.event_type == t].groupby("day").vc.agg(["sum", "count"])
+        series[t] = pd.Series(
+            [round(s / c / 100.0, 6) for s, c in zip(g["sum"], g["count"])],
+            index=pd.to_datetime(g.index),
+        )
+    x, y = series["click"], series["view"]
+    for lag in pdf.index:
+        ys = y.copy()
+        ys.index = ys.index - pd.Timedelta(days=int(lag))
+        joined = pd.concat([x, ys], axis=1, join="inner").dropna()
+        r = np.corrcoef(joined.iloc[:, 0], joined.iloc[:, 1])[0, 1]
+        assert pdf.loc[lag, "n_pairs"] == len(joined)
+        assert abs(pdf.loc[lag, "ccf"] - r) < 1e-4
+
+
+def test_degree_gini_matches_sorted_formula(spark):
+    row = QUERIES["graph_degree_gini"](spark, SF).toPandas().iloc[0]
+    edges = _copurchase_edges_py()
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    d = np.sort(np.array(list(deg.values())))
+    n = len(d)
+    gini = 2 * (np.arange(1, n + 1) * d).sum() / (n * d.sum()) - (n + 1) / n
+    assert row.n_nodes == n and row.sum_degree == int(d.sum())
+    assert abs(row.degree_gini - gini) < 1e-6
+    assert 0 <= row.degree_gini < 1

@@ -204,6 +204,13 @@ OPS = [
     ("agg_shannon_diversity_profile", "documents"),
     ("graph_rich_club", "lineitem"),
     ("graph_label_propagation_semi", "lineitem"),
+    ("agg_page_trend_test", "events"),
+    ("agg_jonckheere_terpstra", "events"),
+    ("agg_bartlett_test", "events"),
+    ("agg_turning_points_test", "events"),
+    ("win_cross_correlation_lags", "events"),
+    ("graph_bfs_reach_layers", "lineitem"),
+    ("graph_degree_gini", "lineitem"),
 ]
 
 

@@ -94,6 +94,12 @@ SHOWCASE = [
     ("agg_anova_oneway", "k-group F from one partial-agg moment scan, no mean join-back"),
     ("graph_modularity_partition", "endpoint-label broadcast joins over checkpointed edges"),
     ("vec_topk_margin_stats", "broadcast query set, bounded top-10 window, decimal mean"),
+    # round-8 third session
+    ("agg_kruskal_wallis", "ranks reconstructed on the checkpointed value domain, no row-level sort"),
+    ("agg_mood_median_test", "broadcast exact median, both fact passes eager at checkpoints"),
+    ("win_changepoint_pelt_1d", "O(T^2) DP grid checkpointed once, exact decimal argmin levels"),
+    ("graph_rich_club", "one degree-domain cumsum answers every threshold, zero rescans"),
+    ("agg_jonckheere_terpstra", "densified type x value grid, pairwise U as one equi-join"),
 ]
 
 

@@ -656,3 +656,102 @@ def test_degree_gini_matches_sorted_formula(spark):
     assert row.n_nodes == n and row.sum_degree == int(d.sum())
     assert abs(row.degree_gini - gini) < 1e-6
     assert 0 <= row.degree_gini < 1
+
+
+# ---------------------------------------------------------------------------
+# wave 9 (fourth session)
+# ---------------------------------------------------------------------------
+
+
+def test_attribute_assortativity_matches_newman(spark):
+    row = (
+        QUERIES["graph_attribute_assortativity"](spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    edges = _copurchase_edges_py()
+    part = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_brand"]]
+    brand = dict(zip(part.p_partkey, part.p_brand))
+    m = len(edges)
+    w = sum(1 for u, v in edges if brand[u] == brand[v])
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[brand[u]] += 1
+        deg[brand[v]] += 1
+    assert (row.n_edges, row.n_within, row.n_brands) == (m, w, len(deg))
+    e_within = sum(d * d for d in deg.values()) / (4.0 * m * m)
+    r = (w / m - e_within) / (1.0 - e_within)
+    assert abs(row.within_fraction - w / m) < 1e-6
+    assert abs(row.expected_within - e_within) < 1e-6
+    assert abs(row.assortativity_r - r) < 1e-6
+    assert -1.0 - 1e-9 <= row.assortativity_r <= 1.0 + 1e-9
+
+
+def test_gtest_matches_mutual_information_identity(spark):
+    row = QUERIES["agg_contingency_gtest"](spark, SF).toPandas().iloc[0]
+    d = _docs()
+    obs = d.groupby(["lang", "source"]).size()
+    n = int(obs.sum())
+    rtot = obs.groupby(level=0).sum()
+    ctot = obs.groupby(level=1).sum()
+    g = 2.0 * sum(
+        o * math.log(o * n / (rtot[l] * ctot[s]))
+        for (l, s), o in obs.items()
+    )
+    assert row.n_docs == n
+    assert (row.n_langs, row.n_sources) == (len(rtot), len(ctot))
+    assert row.df == (len(rtot) - 1) * (len(ctot) - 1)
+    assert abs(row.g_stat - g) < 1e-4
+    assert row.g_stat >= -1e-9  # G is non-negative (it is 2N * MI)
+
+
+def test_cohen_h_matches_arcsine_formula(spark):
+    row = QUERIES["agg_cohen_h_effect"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    conv = set(
+        ev[ev.event_type == "purchase"]
+        .groupby("user_id")
+        .size()
+        .loc[lambda s: s >= 12]
+        .index
+    )
+    n = {}
+    x = {}
+    for t in ("view", "click"):
+        users = set(ev.user_id[ev.event_type == t])
+        n[t], x[t] = len(users), len(users & conv)
+    assert (row.n_view, row.conv_view) == (n["view"], x["view"])
+    assert (row.n_click, row.conv_click) == (n["click"], x["click"])
+    p1, p2 = x["view"] / n["view"], x["click"] / n["click"]
+    h = 2 * math.asin(math.sqrt(p1)) - 2 * math.asin(math.sqrt(p2))
+    assert abs(row.p_view - p1) < 1e-6 and abs(row.p_click - p2) < 1e-6
+    assert abs(row.cohen_h - h) < 1e-5
+    bands = [(0.2, "negligible"), (0.5, "small"), (0.8, "medium")]
+    want = next((m for b, m in bands if abs(h) < b), "large")
+    assert row.magnitude == want
+
+
+def test_stl_anomaly_flags_match_decomposition_zscores(spark):
+    pdf = (
+        QUERIES["win_stl_anomaly_flags"](spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # remainder column IS the seasonal decomposition's remainder
+    dec = (
+        QUERIES["win_seasonal_decompose_additive"](spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(pdf.day) == list(dec.day)
+    assert np.abs(pdf.remainder - dec.remainder).max() < 1e-5
+    # z-scores are the population z of that remainder series
+    r = pdf.remainder.to_numpy()
+    z = (r - r.mean()) / r.std(ddof=0)
+    assert np.abs(pdf.rem_z - z).max() < 1e-3
+    # the flag reads the emitted (quantized) z, so it is consistent
+    assert (pdf.is_anomaly == (pdf.rem_z.abs() > 2.0).astype(int)).all()
+    # 30-day fixture -> 24 full-window days at every sf
+    assert len(pdf) == 24

@@ -3079,3 +3079,468 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(2.0 * s1 / (CAST(n AS DOUBLE) * sd)"
         " - (CAST(n AS DOUBLE) + 1) / n, 6) AS degree_gini",
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_attribute_assortativity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_attribute_assortativity",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    eb AS (
+      SELECT pu.p_brand AS bu, pv.p_brand AS bv
+      FROM e JOIN part pu ON e.u = pu.p_partkey
+             JOIN part pv ON e.v = pv.p_partkey),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(CASE WHEN bu = bv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS w
+          FROM eb),
+    dc AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT bu AS brand FROM eb UNION ALL SELECT bv FROM eb) t
+      GROUP BY brand),
+    sq AS (
+      SELECT CAST(sum(CAST(d AS DECIMAL(19,0)) * d) AS DECIMAL(38,0)) AS s2,
+             CAST(count(*) AS BIGINT) AS n_brands
+      FROM dc)
+    SELECT m.m AS n_edges, m.w AS n_within, sq.n_brands,
+           round(CAST(m.w AS DOUBLE) / m.m, 6) AS within_fraction,
+           round(CAST(sq.s2 AS DOUBLE) / (4.0 * m.m * m.m), 6)
+             AS expected_within,
+           round((CAST(m.w AS DOUBLE) / m.m
+                  - CAST(sq.s2 AS DOUBLE) / (4.0 * m.m * m.m))
+                 / (1.0 - CAST(sq.s2 AS DOUBLE) / (4.0 * m.m * m.m)), 6)
+             AS assortativity_r
+    FROM m CROSS JOIN sq
+    """,
+)
+def graph_attribute_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CATEGORICAL (discrete-attribute) ASSORTATIVITY of the brand
+    labeling on the support-2 co-purchase graph: Newman's
+    r = (tr e - sum a_g^2) / (1 - sum a_g^2), where tr e is the
+    within-brand edge fraction and a_g the brand's degree share —
+    the chance-corrected single number behind
+    graph_modularity_partition's per-community terms (r is exactly
+    modularity normalized by its maximum, so r = 1 means perfectly
+    brand-segregated co-purchasing, r ~ 0 brand-blind, r < 0
+    disassortative cross-brand bundling). The categorical sibling of
+    agg_degree_assortativity (which correlates numeric degrees).
+
+    Shape at 100 TB: checkpointed edge list, two broadcast brand
+    lookups, one |brands|-row degree aggregate — endpoint labels
+    only, no wedge or pair enumeration anywhere.
+
+    Parity: edge and within counts are exact integers; the degree-
+    share square sum goes through DECIMAL(19,0) operands; r is one
+    shared double expression of exact integers, round(6)."""
+    e = _copurchase_edges(spark, sf_dir)
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    eb = (
+        e.join(
+            F.broadcast(
+                p.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                p.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
+            ),
+            "v",
+        )
+        .select("bu", "bv")
+        .localCheckpoint()
+    )
+    m = eb.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.expr("CASE WHEN bu = bv THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("w"),
+    )
+    dc = (
+        eb.select(F.col("bu").alias("brand"))
+        .unionAll(eb.select(F.col("bv").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    sq = dc.agg(
+        F.sum(F.expr("CAST(d AS DECIMAL(19,0)) * d"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.count("*").cast("bigint").alias("n_brands"),
+    )
+    return m.crossJoin(F.broadcast(sq)).selectExpr(
+        "m AS n_edges",
+        "w AS n_within",
+        "n_brands",
+        "round(CAST(w AS DOUBLE) / m, 6) AS within_fraction",
+        "round(CAST(s2 AS DOUBLE) / (4.0 * m * m), 6) AS expected_within",
+        "round((CAST(w AS DOUBLE) / m"
+        " - CAST(s2 AS DOUBLE) / (4.0 * m * m))"
+        " / (1.0 - CAST(s2 AS DOUBLE) / (4.0 * m * m)), 6)"
+        " AS assortativity_r",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_contingency_gtest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_contingency_gtest",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS c
+           FROM o GROUP BY source),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.obs,
+             CAST(round(o.obs * ln(CAST(o.obs AS DOUBLE) * n.n
+                                   / (CAST(rt.r AS DOUBLE) * ct.c)), 9)
+                  AS DECIMAL(28,9)) AS term
+      FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n),
+    g AS (
+      SELECT CAST(sum(term) AS DECIMAL(38,9)) AS gsum FROM cells),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS r,
+             (SELECT CAST(count(*) AS BIGINT) FROM ct) AS c)
+    SELECT n.n AS n_docs, dims.r AS n_langs, dims.c AS n_sources,
+           (dims.r - 1) * (dims.c - 1) AS df,
+           round(2.0 * CAST(g.gsum AS DOUBLE), 6) AS g_stat
+    FROM g CROSS JOIN dims CROSS JOIN n
+    """,
+)
+def agg_contingency_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKELIHOOD-RATIO G-TEST of language x source independence:
+    G = 2 sum O ln(O/E) on the observed cells — the
+    information-theoretic twin of agg_chi_square_independence (G is
+    exactly 2N times the mutual information in nats, linking this to
+    agg_mutual_information), preferred when any O/E ratio is large
+    (chi-square's quadratic approximation degrades exactly where G
+    stays exact). Unlike the chi-square/Cramér's-V pair, EMPTY cells
+    contribute ZERO to G (O ln O -> 0), so the observed-cells join is
+    the CORRECT grid here — the densification note on agg_cramers_v
+    documents the opposite convention and why each is right for its
+    statistic.
+
+    Shape at 100 TB: one (lang, source) groupBy collapses the corpus
+    to the bounded grid; marginals and the term sum are grid-row
+    arithmetic. One-row output.
+
+    Parity: observed counts and marginals exact integers; each cell
+    term is one shared double expression (ln of a ratio of exact-
+    integer products) quantized round(9) into DECIMAL before the
+    order-independent sum; G renders once, round(6)."""
+    docs = table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("c"))
+    n = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "CAST(round(obs * ln(CAST(obs AS DOUBLE) * n"
+                " / (CAST(r AS DOUBLE) * c)), 9) AS DECIMAL(28,9))"
+            ).alias("term")
+        )
+    )
+    g = cells.agg(F.sum("term").cast("decimal(38,9)").alias("gsum"))
+    dims = rt.agg(F.count("*").cast("bigint").alias("r")).crossJoin(
+        ct.agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        g.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "n AS n_docs",
+            "r AS n_langs",
+            "c AS n_sources",
+            "(r - 1) * (c - 1) AS df",
+            "round(2.0 * CAST(gsum AS DOUBLE), 6) AS g_stat",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cohen_h_effect
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cohen_h_effect",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    conv AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+             GROUP BY user_id HAVING count(*) >= 12),
+    g AS (
+      SELECT ut.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM ut LEFT JOIN conv c ON ut.user_id = c.user_id
+      WHERE ut.event_type IN ('view', 'click')
+      GROUP BY ut.event_type),
+    w AS (
+      SELECT max(CASE WHEN event_type = 'view' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'view' THEN x END) AS x1,
+             max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'click' THEN x END) AS x2
+      FROM g),
+    phi AS (
+      SELECT n1, x1, n2, x2,
+             CAST(round(asin(sqrt(CAST(x1 AS DOUBLE) / n1)), 9)
+                  AS DECIMAL(18,9)) AS a1,
+             CAST(round(asin(sqrt(CAST(x2 AS DOUBLE) / n2)), 9)
+                  AS DECIMAL(18,9)) AS a2
+      FROM w)
+    SELECT CAST(n1 AS BIGINT) AS n_view, CAST(x1 AS BIGINT) AS conv_view,
+           CAST(n2 AS BIGINT) AS n_click, CAST(x2 AS BIGINT) AS conv_click,
+           round(CAST(x1 AS DOUBLE) / n1, 6) AS p_view,
+           round(CAST(x2 AS DOUBLE) / n2, 6) AS p_click,
+           round(CAST(2 * (a1 - a2) AS DOUBLE), 6) AS cohen_h,
+           CASE WHEN abs(CAST(2 * (a1 - a2) AS DOUBLE)) < 0.2 THEN 'negligible'
+                WHEN abs(CAST(2 * (a1 - a2) AS DOUBLE)) < 0.5 THEN 'small'
+                WHEN abs(CAST(2 * (a1 - a2) AS DOUBLE)) < 0.8 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM phi
+    """,
+)
+def agg_cohen_h_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S h EFFECT SIZE for the view-vs-click conversion gap:
+    h = 2 asin sqrt(p1) - 2 asin sqrt(p2), the variance-stabilized
+    difference of proportions — the number the significance pair
+    (agg_two_proportion_ztest, agg_tost_equivalence) deliberately
+    does not report: at 100 TB every difference is "significant"
+    (z scales with sqrt n), and h is the sample-size-free magnitude
+    a launch decision actually weighs, with Cohen's conventional
+    0.2/0.5/0.8 bands as the magnitude column.
+
+    Shape at 100 TB: identical to agg_two_proportion_ztest — two
+    map-side distinct passes, one LEFT join, 1-row arithmetic.
+
+    Parity: cohort counts exact; each arcsine term quantizes
+    round(9) into DECIMAL so h is an exact decimal difference (the
+    asin inputs are correctly-rounded doubles of exact rationals;
+    cross-libm asin drift is sub-ulp ~ 1e-16, eleven orders below
+    the 1e-9 quantum except within 1e-16 of a grid boundary — the
+    agg_theil_index boundary argument); the magnitude CASE reads the
+    same exact decimal on both engines."""
+    ev = table(spark, sf_dir, "events")
+    ut = (
+        ev.select("event_type", "user_id")
+        .where(F.col("event_type").isin("view", "click"))
+        .distinct()
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("np"))
+        .where(F.col("np") >= 12)
+        .select("user_id", F.lit(1).alias("cv"))
+    )
+    g = (
+        ut.join(conv, "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.coalesce(F.col("cv"), F.lit(0)))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("x"))).alias("x2"),
+    )
+    phi = w.selectExpr(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        "CAST(round(asin(sqrt(CAST(x1 AS DOUBLE) / n1)), 9)"
+        " AS DECIMAL(18,9)) AS a1",
+        "CAST(round(asin(sqrt(CAST(x2 AS DOUBLE) / n2)), 9)"
+        " AS DECIMAL(18,9)) AS a2",
+    )
+    return phi.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_view",
+        "CAST(x1 AS BIGINT) AS conv_view",
+        "CAST(n2 AS BIGINT) AS n_click",
+        "CAST(x2 AS BIGINT) AS conv_click",
+        "round(CAST(x1 AS DOUBLE) / n1, 6) AS p_view",
+        "round(CAST(x2 AS DOUBLE) / n2, 6) AS p_click",
+        "round(CAST(2 * (a1 - a2) AS DOUBLE), 6) AS cohen_h",
+        "CASE WHEN abs(CAST(2 * (a1 - a2) AS DOUBLE)) < 0.2"
+        " THEN 'negligible'"
+        " WHEN abs(CAST(2 * (a1 - a2) AS DOUBLE)) < 0.5 THEN 'small'"
+        " WHEN abs(CAST(2 * (a1 - a2) AS DOUBLE)) < 0.8 THEN 'medium'"
+        " ELSE 'large' END AS magnitude",
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_stl_anomaly_flags
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_stl_anomaly_flags",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT day, m,
+             CAST(round(CAST(sum(m) OVER w AS DOUBLE) / 7, 6)
+                  AS DECIMAL(16,6)) AS trend,
+             count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING)),
+    base AS (
+      SELECT day, m, trend, m - trend AS detr,
+             CAST(dayofweek(day) AS BIGINT) AS dow
+      FROM tr WHERE c7 = 7),
+    sea AS (
+      SELECT dow,
+             CAST(round(CAST(sum(detr) AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(16,6)) AS savg
+      FROM base GROUP BY dow),
+    gm AS (
+      SELECT CAST(round(CAST(sum(savg) AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(16,6)) AS g
+      FROM sea),
+    rem AS (
+      SELECT base.day,
+             base.detr - (sea.savg - gm.g) AS r
+      FROM base JOIN sea USING (dow) CROSS JOIN gm),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS DECIMAL(28,6)) AS s,
+             CAST(sum(CAST(r AS DECIMAL(19,6)) * r) AS DECIMAL(38,12)) AS q
+      FROM rem)
+    SELECT rem.day, round(CAST(rem.r AS DOUBLE), 6) AS remainder,
+           round((CAST(rem.r AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt(CAST(st.q AS DOUBLE) / st.n
+                        - (CAST(st.s AS DOUBLE) / st.n)
+                          * (CAST(st.s AS DOUBLE) / st.n)), 6) AS rem_z,
+           CAST(CASE WHEN abs(round((CAST(rem.r AS DOUBLE)
+                        - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt(CAST(st.q AS DOUBLE) / st.n
+                        - (CAST(st.s AS DOUBLE) / st.n)
+                          * (CAST(st.s AS DOUBLE) / st.n)), 6)) > 2.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM rem CROSS JOIN st
+    """,
+)
+def win_stl_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALLY-ADJUSTED ANOMALY FLAGS: z-score the REMAINDER
+    component of win_seasonal_decompose_additive and flag days with
+    |z| > 2 — the composition that makes the decomposition
+    actionable: win_zscore_outlier on the raw series flags every
+    healthy weekend swing, while z on the remainder flags only what
+    the trend and weekday cycle cannot explain. This is the daily
+    anomaly screen a metrics pipeline actually pages on.
+
+    Shape at 100 TB: the decomposition chain (one day-domain
+    collapse + bounded-domain windows) plus a 1-row moment broadcast
+    — nothing row-scaled beyond the first aggregate.
+
+    Parity: the remainder is an exact decimal (the decomposition's
+    quantization ladder); its moments are exact decimal sums
+    (DECIMAL(19,6) squares — inside DuckDB's int64 kernel for
+    cents-scale remainders); mean, sigma, and z are shared double
+    expressions, z quantizes round(6) BEFORE the |z| > 2 comparison
+    so the flag cannot flip on sub-ulp drift."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(round(CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+            " AS DOUBLE) / count(*) / 100.0, 6) AS DECIMAL(16,6))"
+        ).alias("m")
+    )
+    tr = daily.select(
+        "day",
+        "m",
+        F.expr(
+            "CAST(round(CAST(sum(m) OVER (ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            " AS DOUBLE) / 7, 6) AS DECIMAL(16,6))"
+        ).alias("trend"),
+        F.count("*")
+        .over(Window.orderBy("day").rowsBetween(-3, 3))
+        .alias("c7"),
+    )
+    base = (
+        tr.where(F.col("c7") == 7)
+        .select(
+            "day",
+            (F.col("m") - F.col("trend")).alias("detr"),
+            (F.dayofweek("day") - 1).cast("bigint").alias("dow"),
+        )
+        .localCheckpoint()
+    )
+    sea = base.groupBy("dow").agg(
+        F.expr(
+            "CAST(round(CAST(sum(detr) AS DOUBLE) / count(*), 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("savg")
+    )
+    gm = sea.agg(
+        F.expr(
+            "CAST(round(CAST(sum(savg) AS DOUBLE) / count(*), 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("g")
+    )
+    rem = (
+        base.join(F.broadcast(sea), "dow")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "day",
+            (F.col("detr") - (F.col("savg") - F.col("g"))).alias("r"),
+        )
+        .localCheckpoint()
+    )
+    st = rem.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r").cast("decimal(28,6)").alias("s"),
+        F.sum(F.expr("CAST(r AS DECIMAL(19,6)) * r"))
+        .cast("decimal(38,12)")
+        .alias("q"),
+    )
+    z_expr = (
+        "(CAST(r AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+        " / sqrt(CAST(q AS DOUBLE) / n"
+        " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+    )
+    return rem.crossJoin(F.broadcast(st)).selectExpr(
+        "day",
+        "round(CAST(r AS DOUBLE), 6) AS remainder",
+        f"round({z_expr}, 6) AS rem_z",
+        f"CAST(CASE WHEN abs(round({z_expr}, 6)) > 2.0"
+        " THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly",
+    )

@@ -246,3 +246,431 @@ def agg_median_polish_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("bigint").alias("residual_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_ljung_box_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ljung_box_test",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(18,6)) AS m
+      FROM events GROUP BY 1, 2),
+    st0 AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS DOUBLE) / count(*) AS xbar
+      FROM daily GROUP BY event_type),
+    dev AS MATERIALIZED (
+      SELECT d.event_type,
+             CAST(row_number() OVER (PARTITION BY d.event_type
+                                     ORDER BY d.day) AS BIGINT) AS t,
+             CAST(d.m AS DOUBLE) - s.xbar AS dx
+      FROM daily d JOIN st0 s USING (event_type)),
+    den AS MATERIALIZED (
+      SELECT event_type,
+             CAST(sum(CAST(round(dx * dx, 9) AS DECIMAL(28,9)))
+                  AS DECIMAL(38,9)) AS den
+      FROM dev GROUP BY event_type),
+    lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS k),
+    num AS MATERIALIZED (
+      SELECT a.event_type, l.k,
+             CAST(sum(CAST(round(a.dx * b.dx, 9) AS DECIMAL(28,9)))
+                  AS DECIMAL(38,9)) AS num
+      FROM dev a
+      CROSS JOIN lags l
+      JOIN dev b ON b.event_type = a.event_type AND b.t = a.t - l.k
+      GROUP BY 1, 2),
+    rho AS MATERIALIZED (
+      SELECT n.event_type, n.k,
+             round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 9)
+               AS rho
+      FROM num n JOIN den d USING (event_type)),
+    terms AS (
+      SELECT r.event_type, r.k, r.rho, s.n,
+             CAST(round(r.rho * r.rho / (s.n - r.k), 12)
+                  AS DECIMAL(28,12)) AS term
+      FROM rho r JOIN st0 s USING (event_type))
+    SELECT event_type, k AS lag, n AS n_days,
+           round(rho, 6) AS acf,
+           round(n * (n + 2.0)
+                 * CAST(sum(term) OVER (PARTITION BY event_type
+                                        ORDER BY k) AS DOUBLE), 6)
+             AS q_stat
+    FROM terms
+    """,
+)
+def agg_ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST per event type: autocorrelations of
+    the daily-mean series at lags 1-7 and the cumulative Q statistic
+    Q(h) = n(n+2) sum_{k<=h} rho_k^2/(n-k) — the whiteness test that
+    closes the Box-Jenkins ladder (agg_autocorr_daily reads ONE lag,
+    win_pacf_durbin_levinson reads the partial structure; Q asks the
+    decision question "is there ANY linear memory through lag h",
+    chi^2(h) under the null). A full week of lags means the test sees
+    the weekly cycle win_seasonal_decompose_additive removes.
+
+    Unlike agg_autocorr_daily's per-lag Pearson, these are the acf
+    estimates the Q statistic is defined on: deviations from the ONE
+    full-series mean, denominator summed over all n days.
+
+    Shape at 100 TB: one groupBy(type, day) collapses the fact table
+    to the bounded day x type domain; the lag pairs are a 7-way
+    bounded self-join on the integer day index; the cumulative Q is a
+    7-row-per-type window. Nothing after the first aggregate is
+    row-scaled.
+
+    Parity: daily means quantize round(6) into DECIMAL(18,6); each
+    deviation product quantizes round(9) into DECIMAL before the
+    order-independent sum (the dynamic-BM25 discipline); rho
+    quantizes round(9); each Q term quantizes round(12) into DECIMAL
+    so the cumulative window sum is exact; Q renders once, round(6).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+                " AS DECIMAL(18,6))"
+            ).alias("m"),
+        )
+        .localCheckpoint()
+    )
+    st0 = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(m) AS DOUBLE) / count(*)").alias("xbar"),
+    ).localCheckpoint()
+    w_t = Window.partitionBy("event_type").orderBy("day")
+    dev = (
+        daily.join(F.broadcast(st0), "event_type")
+        .select(
+            "event_type",
+            F.row_number().over(w_t).cast("bigint").alias("t"),
+            (F.col("m").cast("double") - F.col("xbar")).alias("dx"),
+        )
+        .localCheckpoint()
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(round(dx * dx, 9) AS DECIMAL(28,9))"))
+        .cast("decimal(38,9)")
+        .alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    b = dev.select(
+        "event_type", F.col("t").alias("tb"), F.col("dx").alias("dy")
+    )
+    num = (
+        dev.crossJoin(F.broadcast(lags))
+        .withColumn("tb", F.col("t") - F.col("k"))
+        .join(b, ["event_type", "tb"])
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.expr("CAST(round(dx * dy, 9) AS DECIMAL(28,9))"))
+            .cast("decimal(38,9)")
+            .alias("num")
+        )
+    )
+    rho = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "k",
+        F.expr("round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9)").alias(
+            "rho"
+        ),
+    )
+    terms = rho.join(F.broadcast(st0), "event_type").select(
+        "event_type",
+        "k",
+        "rho",
+        "n",
+        F.expr(
+            "CAST(round(rho * rho / (n - k), 12) AS DECIMAL(28,12))"
+        ).alias("term"),
+    )
+    w_q = Window.partitionBy("event_type").orderBy("k")
+    return terms.select(
+        "event_type",
+        F.col("k").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.round(F.col("rho"), 6).alias("acf"),
+        F.expr(
+            "round(n * (n + 2.0) * CAST(sum(term) OVER (PARTITION BY"
+            " event_type ORDER BY k) AS DOUBLE), 6)"
+        ).alias("q_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_variance_ratio_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_variance_ratio_test",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    d AS MATERIALIZED (
+      SELECT a.t, a.m - b.m AS d
+      FROM idx a JOIN idx b ON b.t = a.t - 1),
+    mu AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(d) AS DOUBLE) / count(*) AS mu
+      FROM d),
+    v1 AS MATERIALIZED (
+      SELECT CAST(sum(CAST(round((CAST(d.d AS DOUBLE) - mu.mu)
+                                 * (CAST(d.d AS DOUBLE) - mu.mu), 9)
+                          AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS s1
+      FROM d CROSS JOIN mu),
+    qs AS (SELECT CAST(unnest(generate_series(2, 5)) AS BIGINT) AS q),
+    wins AS MATERIALIZED (
+      SELECT qs.q,
+             CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(CAST(round((CAST(a.m - b.m AS DOUBLE) - qs.q * mu.mu)
+                                 * (CAST(a.m - b.m AS DOUBLE) - qs.q * mu.mu),
+                                 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+               AS sq
+      FROM qs
+      JOIN idx a ON TRUE
+      JOIN idx b ON b.t = a.t - qs.q
+      CROSS JOIN mu
+      GROUP BY qs.q)
+    SELECT w.q, w.nw AS n_windows, m.nd AS n_diffs,
+           round((CAST(w.sq AS DOUBLE) / (w.q * w.nw))
+                 / (CAST(v.s1 AS DOUBLE) / (m.nd - 1)), 6) AS vr,
+           round(((CAST(w.sq AS DOUBLE) / (w.q * w.nw))
+                  / (CAST(v.s1 AS DOUBLE) / (m.nd - 1)) - 1.0)
+                 / sqrt(CAST(2 * (2 * w.q - 1) * (w.q - 1) AS DOUBLE)
+                        / (3 * w.q * m.nd)), 6) AS z_stat
+    FROM wins w CROSS JOIN v1 v CROSS JOIN mu m
+    """,
+)
+def agg_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO-MACKINLAY VARIANCE RATIO TEST of the daily-mean value
+    series: VR(q) = Var[q-day overlapping increments]/(q Var[1-day
+    increments]) for q = 2..5 — the random-walk diagnostic that reads
+    the SIGN of memory (VR < 1 mean reversion, VR > 1 trending), the
+    model-based companion to agg_hurst_rs_exponent (VR(q) ~ q^(2H-1)
+    under fractional noise) and the aggregate answer to what
+    agg_ljung_box_test tests lag-by-lag. z is the homoskedastic
+    asymptotic statistic (VR-1)/sqrt(2(2q-1)(q-1)/(3qn)).
+
+    The q-day increments telescope to m_t - m_{t-q}, so no window sum
+    is ever formed: each VR(q) is one bounded self-join at lag q on
+    the day index.
+
+    Shape at 100 TB: the fact table collapses to the day domain in
+    one map-side-combinable aggregate; diffs, the 4 lag joins, and
+    the moments all live on that bounded domain. The 1-row (nd, mu)
+    frame is localCheckpoint-materialized because the variance pass
+    and all window passes reference it (the 1-row re-derivation
+    rule).
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); both
+    increments are exact decimal differences; every squared deviation
+    quantizes round(9) into DECIMAL before its order-independent sum;
+    VR and z are shared double expressions over the exact sums,
+    round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    b = idx.select(F.col("t").alias("tb"), F.col("m").alias("mb"))
+    d = (
+        idx.withColumn("tb", F.col("t") - 1)
+        .join(b, "tb")
+        .select((F.col("m") - F.col("mb")).alias("d"))
+    )
+    mu = d.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.expr("CAST(sum(d) AS DOUBLE) / count(*)").alias("mu"),
+    ).localCheckpoint()
+    v1 = d.crossJoin(F.broadcast(mu)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round((CAST(d AS DOUBLE) - mu)"
+                " * (CAST(d AS DOUBLE) - mu), 9) AS DECIMAL(28,9))"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("s1")
+    )
+    qs = spark.range(2, 6).select(F.col("id").alias("q"))
+    wins = (
+        idx.crossJoin(F.broadcast(qs))
+        .withColumn("tb", F.col("t") - F.col("q"))
+        .join(b, "tb")
+        .crossJoin(F.broadcast(mu))
+        .groupBy("q")
+        .agg(
+            F.count("*").cast("bigint").alias("nw"),
+            F.sum(
+                F.expr(
+                    "CAST(round((CAST(m - mb AS DOUBLE) - q * mu)"
+                    " * (CAST(m - mb AS DOUBLE) - q * mu), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+            )
+            .cast("decimal(38,9)")
+            .alias("sq"),
+        )
+    )
+    return (
+        wins.crossJoin(F.broadcast(v1))
+        .crossJoin(F.broadcast(mu))
+        .selectExpr(
+            "q",
+            "nw AS n_windows",
+            "nd AS n_diffs",
+            "round((CAST(sq AS DOUBLE) / (q * nw))"
+            " / (CAST(s1 AS DOUBLE) / (nd - 1)), 6) AS vr",
+            "round(((CAST(sq AS DOUBLE) / (q * nw))"
+            " / (CAST(s1 AS DOUBLE) / (nd - 1)) - 1.0)"
+            " / sqrt(CAST(2 * (2 * q - 1) * (q - 1) AS DOUBLE)"
+            " / (3 * q * nd)), 6) AS z_stat",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_isotonic_regression_day
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_isotonic_regression_day",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    pre AS MATERIALIZED (
+      SELECT t, CAST(sum(m) OVER (ORDER BY t) AS DECIMAL(28,6)) AS p
+      FROM idx
+      UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS DECIMAL(28,6))),
+    seg AS MATERIALIZED (
+      SELECT a.t AS s, b.t AS t,
+             CAST(b.p - a.p AS DOUBLE) / (b.t - a.t) AS avgv
+      FROM pre a JOIN pre b ON a.t < b.t),
+    rmin AS MATERIALIZED (
+      SELECT s, t,
+             min(avgv) OVER (PARTITION BY s ORDER BY t DESC) AS rm
+      FROM seg),
+    fit AS MATERIALIZED (
+      SELECT t, max(rm) AS fit FROM rmin GROUP BY t)
+    SELECT i.day, round(CAST(i.m AS DOUBLE), 6) AS observed,
+           round(f.fit, 6) AS iso_fit,
+           round(CAST(i.m AS DOUBLE) - f.fit, 6) AS residual
+    FROM idx i JOIN fit f USING (t)
+    """,
+)
+def win_isotonic_regression_day(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ISOTONIC (monotone nondecreasing) REGRESSION of the daily-mean
+    value series, solved EXACTLY via the minimax closed form
+    fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k) — the L2-optimal
+    monotone fit that PAVA (pool-adjacent-violators) computes
+    sequentially, here as two bounded window passes so nothing is
+    iterative. The monotone-trend counterpart of win_theil_sen_slope
+    (a LINE through the series) and the fit whose residuals
+    agg_mann_kendall_trend's "is there a monotone trend" verdict
+    licenses reading; level sets in the output are PAVA's pools.
+
+    Shape at 100 TB: the fact table collapses to the day domain in
+    one map-side-combinable aggregate; the minimax grid is the
+    bounded T(T+1)/2 segment-average matrix (a few hundred rows at
+    ANY corpus size), one running-min window partitioned by segment
+    start, one groupBy max. The O(T^2) grid is the same
+    bounded-domain move as win_changepoint_pelt_1d.
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); prefix
+    sums are exact DECIMAL, so every segment average is ONE correctly
+    rounded double division of exact quantities — identical doubles
+    on both engines, making min/max picks exact; fits render once,
+    round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        idx.select(
+            "t", F.sum("m").over(w_cum).cast("decimal(28,6)").alias("p")
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit(0).cast("bigint").alias("t"),
+                F.lit(0).cast("decimal(28,6)").alias("p"),
+            )
+        )
+        .localCheckpoint()
+    )
+    a = pre.select(F.col("t").alias("s"), F.col("p").alias("pa"))
+    b = pre.select("t", F.col("p").alias("pb"))
+    seg = a.join(b, F.col("s") < F.col("t")).select(
+        "s",
+        "t",
+        (
+            (F.col("pb") - F.col("pa")).cast("double")
+            / (F.col("t") - F.col("s"))
+        ).alias("avgv"),
+    )
+    w_rm = (
+        Window.partitionBy("s")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rmin = seg.select("s", "t", F.min("avgv").over(w_rm).alias("rm"))
+    fit = rmin.groupBy("t").agg(F.max("rm").alias("fit"))
+    return idx.join(fit, "t").select(
+        "day",
+        F.round(F.col("m").cast("double"), 6).alias("observed"),
+        F.round(F.col("fit"), 6).alias("iso_fit"),
+        F.round(F.col("m").cast("double") - F.col("fit"), 6).alias(
+            "residual"
+        ),
+    )

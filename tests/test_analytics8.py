@@ -167,3 +167,97 @@ def test_isotonic_matches_pava(spark):
     assert (
         np.abs(pdf.residual - (pdf.observed - pdf.iso_fit)).max() < 2e-6
     )
+
+
+def _copurchase_edges_py():
+    import itertools
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    pairs = collections.Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp.l_partkey))
+        for u, v in itertools.combinations(parts, 2):
+            pairs[(u, v)] += 1
+    return {e for e, c in pairs.items() if c >= 2}
+
+
+def test_katz_matches_python_power_iteration(spark):
+    pdf = QUERIES["graph_katz_centrality"](spark, SF).toPandas()
+    edges = _copurchase_edges_py()
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    x = {n: 1.0 for n in adj}
+    for _ in range(6):
+        x = {
+            n: round(1.0 + 0.015625 * sum(x[m] for m in adj[n]), 9)
+            for n in adj
+        }
+    top = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(pdf) == 20
+    for row, (n, score) in zip(pdf.itertuples(), top):
+        assert row.p_partkey == n
+        assert abs(row.katz_score - score) < 1e-6
+        assert row.degree == len(adj[n])
+
+
+def test_scan_statistic_matches_bruteforce(spark):
+    pdf = QUERIES["agg_scan_statistic_daily"](spark, SF).toPandas()
+    ev = _events()
+    daily = ev.groupby("day").size().sort_index()
+    c = daily.to_numpy()
+    days = list(daily.index)
+    N, D = int(c.sum()), len(c)
+    pre = np.concatenate([[0], np.cumsum(c)])
+    cands = []
+    for s in range(1, D + 1):
+        for t in range(s, min(s + 7, D + 1)):
+            cw = int(pre[t] - pre[s - 1])
+            w = t - s + 1
+            e = N * w / D
+            if cw * D > N * w and 0 < cw < N:
+                llr = cw * math.log(cw / e) + (N - cw) * math.log(
+                    (N - cw) / (N - e)
+                )
+                cands.append((round(llr, 9), s, t, cw, e))
+    cands.sort(key=lambda r: (-r[0], r[1], r[2]))
+    assert len(pdf) == min(5, len(cands))
+    for row, (llr, s, t, cw, e) in zip(pdf.itertuples(), cands[:5]):
+        assert row.start_day == days[s - 1]
+        assert row.end_day == days[t - 1]
+        assert row.width_days == t - s + 1
+        assert row.observed == cw
+        assert abs(row.expected - e) < 1e-4
+        assert abs(row.llr - llr) < 1e-4
+        assert row.llr > 0
+
+
+def test_conformal_intervals_exact_and_calibrated(spark):
+    pdf = (
+        QUERIES["win_conformal_interval_daily"](spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    ev = _events()
+    daily = ev.groupby("day").vc.sum().sort_index()
+    y = daily.to_numpy()
+    days = list(daily.index)
+    scores = np.abs(y[7:] - y[:-7])  # index i -> day i+7
+    n_total = len(y)
+    cal = sorted(scores[: n_total - 7 - 8])
+    k = math.ceil((len(cal) + 1) * 0.8)
+    q = cal[k - 1]
+    assert len(pdf) == 8
+    assert (pdf.n_calibration == len(cal)).all()
+    for i, row in pdf.iterrows():
+        t = days.index(row.day)
+        assert row.actual == y[t]
+        assert row.forecast == y[t - 7]
+        assert row.lower_cents == y[t - 7] - q
+        assert row.upper_cents == y[t - 7] + q
+        want = int(row.lower_cents <= row.actual <= row.upper_cents)
+        assert row.covered == want

@@ -674,3 +674,398 @@ def win_isotonic_regression_day(
             "residual"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_katz_centrality
+# ---------------------------------------------------------------------------
+
+_KATZ_ALPHA = 0.015625  # 2^-6: exact in 6 decimals, < 1/51 = 1/max-degree
+_KATZ_ITERS = 6
+
+
+def _katz_oracle() -> str:
+    steps = []
+    for i in range(_KATZ_ITERS):
+        steps.append(
+            f"""k{i + 1} AS MATERIALIZED (
+      SELECT s.v AS n,
+             round(1.0 + 0.015625 * sum(k{i}.x), 9) AS x
+      FROM s JOIN k{i} ON k{i}.n = s.u
+      GROUP BY s.v)"""
+        )
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH os AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    s AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS MATERIALIZED (
+      SELECT u AS n, CAST(count(*) AS BIGINT) AS degree
+      FROM s GROUP BY u),
+    k0 AS MATERIALIZED (
+      SELECT DISTINCT u AS n, CAST(1.0 AS DOUBLE) AS x FROM s),
+    {unrolled}
+    SELECT k.n AS p_partkey, d.degree,
+           round(k.x, 6) AS katz_score
+    FROM k{_KATZ_ITERS} k JOIN deg d USING (n)
+    ORDER BY k.x DESC, k.n LIMIT 20
+    """
+
+
+@query("graph_katz_centrality", oracle=_katz_oracle())
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY (6-step truncated series, attenuation
+    alpha = 0.015625 = 2^-6) on the support-2 part co-purchase graph:
+    x = sum_k alpha^k A^k 1 counts walks of every length, attenuated
+    by length — the centrality that sees BEYOND the immediate
+    neighborhood (degree = walk length 1; graph_pagerank_neardup
+    normalizes by out-degree, Katz does not, so a node adjacent to
+    hubs inherits standing even with low degree). alpha < 1/51 =
+    1/max-degree >= 1/lambda_max on every fixture, so the truncated
+    sum is within alpha^7/(1-alpha*lambda) of the fixpoint; the
+    6-step truncation itself is the DEFINED statistic (fixed
+    iterations, no convergence loop — the PageRank discipline).
+
+    Output: top-20 parts by Katz score (orderBy+limit =
+    TakeOrderedAndProject, never a global-sort window), with degree
+    alongside so the walk-vs-degree divergence is readable.
+
+    Shape at 100 TB: iterates on the checkpointed bounded edge list
+    only (never the fact table) as ONE lazy 6-iteration unroll — no
+    driver actions; each iteration is a keyed join + groupBy on the
+    edge domain.
+
+    Parity: every iteration quantizes round(9) on both engines so
+    sub-ulp drift in the unordered incoming-walk sums cannot compound
+    (the PageRank rule); alpha is an exact dyadic (2^-6, 6 decimal
+    digits); the final ORDER BY reads the quantized score with
+    p_partkey tie-break."""
+    from .analytics4 import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    s = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = s.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    x = s.select(F.col("u").alias("n")).distinct().select(
+        "n", F.lit(1.0).alias("x")
+    )
+    for _ in range(_KATZ_ITERS):
+        x = (
+            s.join(x.select(F.col("n").alias("u"), "x"), "u")
+            .groupBy(F.col("v").alias("n"))
+            .agg(
+                F.round(
+                    1.0 + F.lit(_KATZ_ALPHA) * F.sum("x"), 9
+                ).alias("x")
+            )
+        )
+    return (
+        x.join(deg, "n")
+        .orderBy(F.col("x").desc(), "n")
+        .limit(20)
+        .select(
+            F.col("n").alias("p_partkey"),
+            "degree",
+            F.round("x", 6).alias("katz_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_scan_statistic_daily
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_scan_statistic_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, c
+      FROM daily),
+    pre AS MATERIALIZED (
+      SELECT t, day, CAST(sum(c) OVER (ORDER BY t) AS BIGINT) AS p
+      FROM idx
+      UNION ALL
+      SELECT CAST(0 AS BIGINT), CAST('1900-01-01' AS DATE),
+             CAST(0 AS BIGINT)),
+    tot AS MATERIALIZED (
+      SELECT max(p) AS n, max(t) AS d FROM pre),
+    win AS MATERIALIZED (
+      SELECT a.t + 1 AS s, b.t AS t, b.p - a.p AS c,
+             b.t - a.t AS w, tot.n, tot.d
+      FROM pre a JOIN pre b
+        ON b.t > a.t AND b.t - a.t <= 7
+      CROSS JOIN tot
+      WHERE a.t < (SELECT max(t) FROM pre)),
+    scored AS (
+      SELECT s, t, c, w, n,
+             CAST(n AS DOUBLE) * w / d AS e,
+             round(c * ln(c * CAST(d AS DOUBLE) / (n * w))
+                   + (n - c) * ln((CAST(n AS DOUBLE) - c)
+                                  / (n - CAST(n AS DOUBLE) * w / d)), 9)
+               AS llr
+      FROM win
+      WHERE c * d > n * w AND c < n AND c > 0)
+    SELECT i1.day AS start_day, i2.day AS end_day, sc.w AS width_days,
+           sc.c AS observed, round(sc.e, 6) AS expected,
+           round(sc.llr, 6) AS llr
+    FROM scored sc
+    JOIN idx i1 ON i1.t = sc.s
+    JOIN idx i2 ON i2.t = sc.t
+    ORDER BY sc.llr DESC, sc.s, sc.t LIMIT 5
+    """,
+)
+def agg_scan_statistic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KULLDORFF TEMPORAL SCAN STATISTIC over daily event counts: for
+    every day window of width 1-7, the Poisson log-likelihood ratio
+    of "this window's rate differs from the rest" vs uniform —
+    LLR = c ln(c/e) + (N-c) ln((N-c)/(N-e)), e = N·w/D — reported for
+    the top-5 HIGH windows (c > e). The burst localizer that
+    completes the anomaly ladder: win_stl_anomaly_flags flags single
+    days net of seasonality, win_cusum_changepoint detects a
+    persistent shift, the scan statistic finds the most anomalous
+    INTERVAL with a likelihood-ratio score that is comparable across
+    window widths (raw z-scores are not).
+
+    Shape at 100 TB: one groupBy(day) count collapses the fact table
+    to the day domain; windows are the bounded width-limited prefix
+    pair grid (< 7·D rows); top-5 is orderBy+limit. Nothing after the
+    first aggregate is row-scaled.
+
+    Parity: window counts are exact BIGINT prefix differences; the
+    LLR is one shared double expression of exact integers (the two ln
+    terms carry cross-libm drift ~1e-16 relative, orders below the
+    round(9) quantization quantum — and inter-window LLR gaps on
+    every fixture are >> 1e-9, so the quantized ORDER BY cannot flip;
+    the agg_theil_index boundary argument); output rounds once more
+    at 6."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        "c",
+    ).localCheckpoint()
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        idx.select(
+            "t", "day", F.sum("c").over(w_cum).cast("bigint").alias("p")
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit(0).cast("bigint").alias("t"),
+                F.lit("1900-01-01").cast("date").alias("day"),
+                F.lit(0).cast("bigint").alias("p"),
+            )
+        )
+        .localCheckpoint()
+    )
+    tot = pre.agg(
+        F.max("p").alias("n"), F.max("t").alias("d")
+    ).localCheckpoint()
+    a = pre.select(F.col("t").alias("ta"), F.col("p").alias("pa"))
+    b = pre.select(F.col("t").alias("tb"), F.col("p").alias("pb"))
+    win = (
+        a.join(
+            b,
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") - F.col("ta") <= 7),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("ta") + 1).alias("s"),
+            F.col("tb").alias("t"),
+            (F.col("pb") - F.col("pa")).alias("c"),
+            (F.col("tb") - F.col("ta")).alias("w"),
+            "n",
+            "d",
+        )
+    )
+    scored = win.where(
+        (F.col("c") * F.col("d") > F.col("n") * F.col("w"))
+        & (F.col("c") < F.col("n"))
+        & (F.col("c") > 0)
+    ).selectExpr(
+        "s",
+        "t",
+        "c",
+        "w",
+        "CAST(n AS DOUBLE) * w / d AS e",
+        "round(c * ln(c * CAST(d AS DOUBLE) / (n * w))"
+        " + (n - c) * ln((CAST(n AS DOUBLE) - c)"
+        " / (n - CAST(n AS DOUBLE) * w / d)), 9) AS llr",
+    )
+    i1 = idx.select(F.col("t").alias("s"), F.col("day").alias("start_day"))
+    i2 = idx.select(F.col("t").alias("t"), F.col("day").alias("end_day"))
+    return (
+        scored.join(F.broadcast(i1), "s")
+        .join(F.broadcast(i2), "t")
+        .orderBy(F.col("llr").desc(), "s", "t")
+        .limit(5)
+        .select(
+            "start_day",
+            "end_day",
+            F.col("w").alias("width_days"),
+            F.col("c").alias("observed"),
+            F.round("e", 6).alias("expected"),
+            F.round("llr", 6).alias("llr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_conformal_interval_daily
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_conformal_interval_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             cents
+      FROM daily),
+    f AS MATERIALIZED (
+      SELECT a.day, a.t, a.cents AS actual, b.cents AS forecast,
+             abs(a.cents - b.cents) AS score
+      FROM idx a JOIN idx b ON b.t = a.t - 7),
+    nn AS MATERIALIZED (SELECT max(t) AS tmax FROM idx),
+    cal AS MATERIALIZED (
+      SELECT f.score FROM f CROSS JOIN nn
+      WHERE f.t <= nn.tmax - 8),
+    qq AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS ncal,
+             CAST(max(CASE WHEN rk = CAST(ceil((count_all + 1) * 0.8)
+                                         AS BIGINT)
+                           THEN score END) AS BIGINT) AS q
+      FROM (
+        SELECT score,
+               CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS rk,
+               count(*) OVER () AS count_all
+        FROM cal) r)
+    SELECT f.day, f.actual, f.forecast,
+           f.forecast - qq.q AS lower_cents,
+           f.forecast + qq.q AS upper_cents,
+           CAST(CASE WHEN f.actual BETWEEN f.forecast - qq.q
+                                       AND f.forecast + qq.q
+                     THEN 1 ELSE 0 END AS BIGINT) AS covered,
+           qq.ncal AS n_calibration
+    FROM f CROSS JOIN nn CROSS JOIN qq
+    WHERE f.t > nn.tmax - 8
+    """,
+)
+def win_conformal_interval_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVALS for the daily revenue
+    total under a seasonal-naive forecast (y_hat_t = y_{t-7}): the
+    conformity score |y_t - y_{t-7}| is ranked on the CALIBRATION
+    days (all forecastable days except the last 8), the interval
+    half-width is the ceil((n_cal+1)·0.8)-th smallest score (the
+    finite-sample-valid 80% quantile), and the last 8 days are the
+    evaluation split, each reported with its interval and coverage
+    flag. This is the distribution-free uncertainty layer the point
+    forecasters (win_seasonal_naive_mae, win_holt_linear) lack:
+    marginal coverage >= 80% holds by exchangeability alone, no
+    normality assumption — the difference between "MAE is 12" and
+    "tomorrow lands in [a, b] 4 times out of 5".
+
+    Shape at 100 TB: one groupBy(day) collapses the fact table to
+    the day domain; the lag-7 join, the rank pick, and the 8
+    evaluation rows are all bounded-domain work.
+
+    Parity: daily totals are exact BIGINT cents, so scores, the
+    sorted rank pick, and the interval bounds are all exact integers
+    — no float ever appears. The quantile is a deterministic
+    row_number pick (the exact-rank machinery), identical on both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        "cents",
+    ).localCheckpoint()
+    b = idx.select(
+        F.col("t").alias("tb"), F.col("cents").alias("forecast")
+    )
+    f = (
+        idx.withColumn("tb", F.col("t") - 7)
+        .join(b, "tb")
+        .select(
+            "day",
+            "t",
+            F.col("cents").alias("actual"),
+            "forecast",
+            F.abs(F.col("cents") - F.col("forecast")).alias("score"),
+        )
+        .localCheckpoint()
+    )
+    nn = idx.agg(F.max("t").alias("tmax")).localCheckpoint()
+    cal = (
+        f.crossJoin(F.broadcast(nn))
+        .where(F.col("t") <= F.col("tmax") - 8)
+        .select("score")
+    )
+    ranked = cal.select(
+        "score",
+        F.row_number()
+        .over(Window.orderBy("score"))
+        .cast("bigint")
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("count_all"),
+    )
+    qq = ranked.agg(
+        F.count("*").cast("bigint").alias("ncal"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.expr(
+                    "CAST(ceil((count_all + 1) * 0.8) AS BIGINT)"
+                ),
+                F.col("score"),
+            )
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    return (
+        f.crossJoin(F.broadcast(nn))
+        .where(F.col("t") > F.col("tmax") - 8)
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "day",
+            "actual",
+            "forecast",
+            (F.col("forecast") - F.col("q")).alias("lower_cents"),
+            (F.col("forecast") + F.col("q")).alias("upper_cents"),
+            F.expr(
+                "CAST(CASE WHEN actual BETWEEN forecast - q"
+                " AND forecast + q THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("covered"),
+            F.col("ncal").alias("n_calibration"),
+        )
+    )

@@ -261,3 +261,83 @@ def test_conformal_intervals_exact_and_calibrated(spark):
         assert row.upper_cents == y[t - 7] + q
         want = int(row.lower_cents <= row.actual <= row.upper_cents)
         assert row.covered == want
+
+
+def test_process_capability_matches_numpy(spark):
+    pdf = (
+        QUERIES["agg_process_capability"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events()
+    for typ, grp in ev.groupby("event_type"):
+        c = grp.vc.to_numpy()
+        n = len(c)
+        mu = c.mean() / 100.0
+        sd = c.std(ddof=1) / 100.0
+        row = pdf.loc[typ]
+        assert row.n == n
+        assert abs(row.mean_value - mu) < 1e-5
+        assert abs(row.sigma - sd) < 1e-5
+        assert abs(row.cp - 300.0 / (6 * sd)) < 1e-4
+        assert abs(row.cpk - min(300.0 - mu, mu) / (3 * sd)) < 1e-4
+        oos = int(((c < 0) | (c > 30000)).sum())
+        assert row.n_out_of_spec == oos
+        assert abs(row.oos_rate - oos / n) < 1e-6
+        # off-center process: cpk strictly below cp
+        assert row.cpk < row.cp
+
+
+def test_periodogram_matches_numpy_fft(spark):
+    pdf = (
+        QUERIES["win_periodogram_daily"](spark, SF)
+        .toPandas()
+        .sort_values("freq_index")
+        .reset_index(drop=True)
+    )
+    m = _daily_means()
+    n = len(m)
+    x = m - m.mean()
+    t = np.arange(1, n + 1)
+    total = 0.0
+    powers = []
+    for k in range(1, 15):
+        a = (x * np.cos(2 * np.pi * k * t / n)).sum()
+        b = (x * np.sin(2 * np.pi * k * t / n)).sum()
+        powers.append(2 * (a * a + b * b) / n)
+    for row, (k, p) in zip(pdf.itertuples(), enumerate(powers, 1)):
+        assert row.freq_index == k
+        assert abs(row.period_days - n / k) < 1e-6
+        assert abs(row.power - p) < 1e-3
+        assert abs(row.power_share - p / sum(powers)) < 1e-4
+    assert abs(pdf.power_share.sum() - 1.0) < 1e-4
+
+
+def test_beta_binomial_shrinkage_matches_manual(spark):
+    pdf = QUERIES["agg_beta_binomial_shrinkage"](spark, SF).toPandas()
+    ev = _events()
+    g = ev.groupby("user_id")
+    n = g.size()
+    x = g.apply(
+        lambda d: int((d.event_type == "purchase").sum()),
+        include_groups=False,
+    )
+    p = (x / n).round(9)
+    mu = p.mean()
+    v = p.var(ddof=1)
+    M = mu * (1 - mu) / v - 1
+    shrunk = ((x + mu * M) / (n + M)).sort_values(ascending=False)
+    assert len(pdf) == 10
+    assert (pdf.prior_strength - round(M, 6)).abs().max() < 1e-4
+    for row in pdf.itertuples():
+        assert abs(row.shrunk_rate - shrunk[row.user_id]) < 1e-5
+        assert row.n_purchases == x[row.user_id]
+        # shrinkage pulls every rate toward the prior mean
+        raw = x[row.user_id] / n[row.user_id]
+        assert (
+            min(raw, mu) - 1e-9
+            <= row.shrunk_rate
+            <= max(raw, mu) + 1e-9
+        )
+    # top-10 by shrunk rate is the true top-10
+    assert set(pdf.user_id) == set(shrunk.index[:10])

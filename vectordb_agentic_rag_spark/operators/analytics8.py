@@ -1069,3 +1069,348 @@ def win_conformal_interval_daily(
             F.col("ncal").alias("n_calibration"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_process_capability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_process_capability",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS q,
+             CAST(sum(CASE WHEN c < 0 OR c > 30000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS oos
+      FROM c GROUP BY event_type)
+    SELECT event_type, n, oos AS n_out_of_spec,
+           round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_value,
+           round(sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                 / 100.0, 6) AS sigma,
+           round(30000.0
+                 / (6.0 * sqrt((q - CAST(s AS DOUBLE) * s / n)
+                               / (n - 1))), 6) AS cp,
+           round(least(30000.0 - CAST(s AS DOUBLE) / n,
+                       CAST(s AS DOUBLE) / n - 0.0)
+                 / (3.0 * sqrt((q - CAST(s AS DOUBLE) * s / n)
+                               / (n - 1))), 6) AS cpk,
+           round(CAST(oos AS DOUBLE) / n, 6) AS oos_rate
+    FROM mo
+    """,
+)
+def agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS CAPABILITY INDEXES Cp and Cpk per event type against
+    the spec band [0, 300] (dollars): Cp = (USL-LSL)/6σ measures what
+    the spread COULD deliver if centered, Cpk = min(USL-μ, μ-LSL)/3σ
+    what it DOES deliver given the actual centering — the decision
+    layer above the SPC run rules (win_spc_western_electric asks "is
+    the process in control?"; capability asks "is in-control good
+    enough for the spec?"; Cpk >= 1.33 is the conventional capable
+    bar). The exact out-of-spec count rides the same scan as the
+    empirical cross-check on the index (for the fixture's exponential
+    values Cpk deliberately overstates risk — a documented
+    normality caveat shared with agg_grubbs_test).
+
+    Shape at 100 TB: ONE map-side-combinable grouped scan (count,
+    sum, square sum, conditional count) — the cheapest op shape that
+    exists; nothing else.
+
+    Parity: cents are exact BIGINT; the square sum goes through
+    HUGEINT (DuckDB) / DECIMAL-free bigint product cast to DOUBLE on
+    the Spark side (cents^2 sums stay under 2^63 only per-row — the
+    SUM needs 128-bit, hence HUGEINT / DECIMAL(38,0)); μ, σ, and the
+    indexes are shared double expressions of the exact sums,
+    round(6)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+    )
+    mo = c.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.expr(
+            "CAST(sum(CAST(c AS DECIMAL(19,0)) * c) AS DOUBLE)"
+        ).alias("q"),
+        F.sum(
+            F.expr("CASE WHEN c < 0 OR c > 30000 THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("oos"),
+    )
+    return mo.selectExpr(
+        "event_type",
+        "n",
+        "oos AS n_out_of_spec",
+        "round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_value",
+        "round(sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+        " / 100.0, 6) AS sigma",
+        "round(30000.0 / (6.0 * sqrt((q - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1))), 6) AS cp",
+        "round(least(30000.0 - CAST(s AS DOUBLE) / n,"
+        " CAST(s AS DOUBLE) / n - 0.0)"
+        " / (3.0 * sqrt((q - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1))), 6) AS cpk",
+        "round(CAST(oos AS DOUBLE) / n, 6) AS oos_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_periodogram_daily
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_periodogram_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    st AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS DOUBLE) / count(*) AS xbar
+      FROM idx),
+    dev AS MATERIALIZED (
+      SELECT i.t, CAST(i.m AS DOUBLE) - s.xbar AS x, s.n
+      FROM idx i CROSS JOIN st s),
+    ks AS (SELECT CAST(unnest(generate_series(1, 14)) AS BIGINT) AS k),
+    coeff AS MATERIALIZED (
+      SELECT ks.k, max(dev.n) AS n,
+             CAST(sum(CAST(round(dev.x * cos(2 * pi() * ks.k * dev.t
+                                             / dev.n), 9)
+                           AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS a,
+             CAST(sum(CAST(round(dev.x * sin(2 * pi() * ks.k * dev.t
+                                             / dev.n), 9)
+                           AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS b
+      FROM ks CROSS JOIN dev
+      GROUP BY ks.k),
+    pw AS (
+      SELECT k, n,
+             round((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                    + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+                   * 2.0 / n, 9) AS power
+      FROM coeff)
+    SELECT k AS freq_index,
+           round(CAST(n AS DOUBLE) / k, 6) AS period_days,
+           round(power, 6) AS power,
+           round(power / sum(power) OVER (), 6) AS power_share
+    FROM pw
+    """,
+)
+def win_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE FOURIER PERIODOGRAM of the daily-mean value series at
+    Fourier frequencies k = 1..14 (periods n/k days): power_k =
+    2(a_k² + b_k²)/n with a_k = Σ x_t cos(2πkt/n), b_k the sine sum,
+    x centered — the frequency-domain answer to WHICH cycle drives
+    the series (win_seasonal_decompose_additive ASSUMES the weekly
+    period; the periodogram detects it: the power_share column makes
+    a dominant weekly line readable at k ≈ n/7). Completes the
+    spectral side of the Box-Jenkins ladder next to
+    agg_ljung_box_test (time domain) and win_pacf_durbin_levinson.
+
+    Shape at 100 TB: the fact table collapses to the day domain in
+    one map-side-combinable aggregate; the trig term grid is bounded
+    (14 frequencies x the day domain) and the power table is 14 rows.
+    The single-partition window over 14 rows is deliberate.
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); the
+    trig arguments are shared double expressions (2*pi()*k*t/n of
+    exact integers), whose cross-libm cos/sin drift (~1e-16 relative,
+    deviations ~1e2 -> ~1e-14 absolute) sits five orders below the
+    round(9) per-term quantum (the agg_theil_index argument); each
+    term quantizes into DECIMAL before the order-independent sum;
+    power quantizes round(9), shares render round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    st = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(m) AS DOUBLE) / count(*)").alias("xbar"),
+    ).localCheckpoint()
+    dev = idx.crossJoin(F.broadcast(st)).select(
+        "t", (F.col("m").cast("double") - F.col("xbar")).alias("x"), "n"
+    )
+    ks = spark.range(1, 15).select(F.col("id").alias("k"))
+    coeff = (
+        ks.crossJoin(dev)
+        .groupBy("k")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(round(x * cos(2 * pi() * k * t / n), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+            )
+            .cast("decimal(38,9)")
+            .alias("a"),
+            F.sum(
+                F.expr(
+                    "CAST(round(x * sin(2 * pi() * k * t / n), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+            )
+            .cast("decimal(38,9)")
+            .alias("b"),
+        )
+    )
+    pw = coeff.selectExpr(
+        "k",
+        "n",
+        "round((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)"
+        " + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) * 2.0 / n, 9)"
+        " AS power",
+    )
+    return pw.select(
+        F.col("k").alias("freq_index"),
+        F.expr("round(CAST(n AS DOUBLE) / k, 6)").alias("period_days"),
+        F.round("power", 6).alias("power"),
+        F.expr("round(power / sum(power) OVER (), 6)").alias(
+            "power_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_beta_binomial_shrinkage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_beta_binomial_shrinkage",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY user_id),
+    r AS (
+      SELECT user_id, n, x,
+             CAST(round(CAST(x AS DOUBLE) / n, 9) AS DECIMAL(12,9)) AS p
+      FROM u),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS uu,
+             CAST(sum(p) AS DECIMAL(28,9)) AS s,
+             CAST(sum(CAST(p AS DECIMAL(19,9)) * p) AS DECIMAL(38,18))
+               AS q
+      FROM r),
+    pri AS (
+      SELECT uu,
+             CAST(s AS DOUBLE) / uu AS mu,
+             (CAST(s AS DOUBLE) / uu) * (1.0 - CAST(s AS DOUBLE) / uu)
+               / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / uu) / (uu - 1)) - 1.0 AS m
+      FROM st)
+    SELECT r.user_id, r.n AS n_events, r.x AS n_purchases,
+           round(CAST(r.x AS DOUBLE) / r.n, 6) AS raw_rate,
+           round((r.x + pri.mu * pri.m) / (r.n + pri.m), 6)
+             AS shrunk_rate,
+           round(pri.m, 6) AS prior_strength,
+           round(pri.mu, 6) AS prior_mean
+    FROM r CROSS JOIN pri
+    ORDER BY round((r.x + pri.mu * pri.m) / (r.n + pri.m), 9) DESC,
+             r.user_id
+    LIMIT 10
+    """,
+)
+def agg_beta_binomial_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMPIRICAL-BAYES (beta-binomial) SHRINKAGE of per-user purchase
+    rates: fit the beta prior by method of moments on the observed
+    per-user rates (prior strength M = mu(1-mu)/var - 1, i.e. the
+    whole population acts as M pseudo-events for every user), then
+    score each user by the posterior mean (x + mu·M)/(n + M) and
+    report the top-10 — THE canonical per-key rate-estimation move at
+    100 TB, where millions of keys have 10 observations each and raw
+    rate rankings are just a lottery of small denominators
+    (agg_two_proportion_ztest decides ONE comparison; shrinkage makes
+    every per-key rate comparable at once). Fixture M ~ 67-72 at
+    every sf, so low-n users visibly pull toward the prior mean —
+    the reordering vs raw_rate is the point of the output.
+
+    Shape at 100 TB: one grouped scan to per-user (n, x); one 1-row
+    moment reduce for the prior; one broadcast of that row back for
+    scoring; top-10 via orderBy+limit (TakeOrderedAndProject). The
+    per-user frame is unbounded and is deliberately NOT checkpointed
+    — it derives twice (moments + scoring), each a single
+    map-side-combinable pass.
+
+    Parity: (n, x) exact integers; per-user rates quantize round(9)
+    into DECIMAL so the prior moments are exact decimal sums (the
+    squares stay inside DECIMAL(19,9) operands — the DuckDB int64
+    kernel rule); mu, M, and every posterior mean are shared double
+    expressions, ordered by their round(9) quantization with user_id
+    tie-break (inter-user posterior gaps ~1e-3 >> 1e-9)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    r = u.select(
+        "user_id",
+        "n",
+        "x",
+        F.expr(
+            "CAST(round(CAST(x AS DOUBLE) / n, 9) AS DECIMAL(12,9))"
+        ).alias("p"),
+    )
+    st = r.agg(
+        F.count("*").cast("bigint").alias("uu"),
+        F.sum("p").cast("decimal(28,9)").alias("s"),
+        F.sum(F.expr("CAST(p AS DECIMAL(19,9)) * p"))
+        .cast("decimal(38,18)")
+        .alias("q"),
+    )
+    pri = st.selectExpr(
+        "uu",
+        "CAST(s AS DOUBLE) / uu AS mu",
+        "(CAST(s AS DOUBLE) / uu) * (1.0 - CAST(s AS DOUBLE) / uu)"
+        " / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / uu) / (uu - 1)) - 1.0 AS m",
+    ).localCheckpoint()
+    return (
+        r.crossJoin(F.broadcast(pri))
+        .orderBy(
+            F.expr(
+                "round((x + mu * m) / (n + m), 9)"
+            ).desc(),
+            "user_id",
+        )
+        .limit(10)
+        .selectExpr(
+            "user_id",
+            "n AS n_events",
+            "x AS n_purchases",
+            "round(CAST(x AS DOUBLE) / n, 6) AS raw_rate",
+            "round((x + mu * m) / (n + m), 6) AS shrunk_rate",
+            "round(m, 6) AS prior_strength",
+            "round(mu, 6) AS prior_mean",
+        )
+    )

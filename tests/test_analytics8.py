@@ -341,3 +341,71 @@ def test_beta_binomial_shrinkage_matches_manual(spark):
         )
     # top-10 by shrunk rate is the true top-10
     assert set(pdf.user_id) == set(shrunk.index[:10])
+
+
+def test_holt_winters_matches_python_fold(spark):
+    pdf = (
+        QUERIES["win_holt_winters_seasonal"](spark, SF)
+        .toPandas()
+        .sort_values("horizon")
+        .reset_index(drop=True)
+    )
+    m = _daily_means()
+    n = len(m)
+    l = m[:7].sum() / 7
+    b = (m[7:14].sum() / 7 - m[:7].sum() / 7) / 7
+    s = {k: m[k - 1] - l for k in range(1, 8)}
+    for t in range(8, n + 1):
+        d = (t - 1) % 7 + 1
+        x = m[t - 1]
+        newl = 0.5 * (x - s[d]) + 0.5 * (l + b)
+        newb = 0.25 * (newl - l) + 0.75 * b
+        s[d] = 0.5 * (x - newl) + 0.5 * s[d]
+        l, b = newl, newb
+    assert len(pdf) == 7
+    for row in pdf.itertuples():
+        h = row.horizon
+        slot = (n + h - 1) % 7 + 1
+        assert abs(row.level - l) < 1e-5
+        assert abs(row.trend - b) < 1e-5
+        assert abs(row.seasonal - s[slot]) < 1e-5
+        assert abs(row.forecast - (l + h * b + s[slot])) < 1e-5
+    # seven distinct target days, consecutive after the last fixture day
+    ev = _events()
+    last = max(ev.day)
+    assert list(pd.to_datetime(pdf.target_day).dt.date) == [
+        last + pd.Timedelta(days=h).to_pytimedelta() for h in range(1, 8)
+    ]
+
+
+def test_matrix_profile_matches_bruteforce(spark):
+    pdf = (
+        QUERIES["win_matrix_profile_1d"](spark, SF)
+        .toPandas()
+        .sort_values("start_day")
+        .reset_index(drop=True)
+    )
+    m = _daily_means()
+    n = len(m)
+    w = 5
+    days = sorted(_events().day.unique())
+    wins = [m[i : i + w] for i in range(n - w + 1)]
+
+    def zdist(a, b):
+        ca, cb = a - a.mean(), b - b.mean()
+        denom = math.sqrt((ca * ca).sum() * (cb * cb).sum())
+        corr = (ca * cb).sum() / denom
+        return math.sqrt(max(0.0, 2 * w * (1 - corr)))
+
+    assert len(pdf) == n - w + 1
+    for i in range(len(wins)):
+        cands = [
+            (round(zdist(wins[i], wins[j]), 9), j)
+            for j in range(len(wins))
+            if abs(i - j) >= 3
+        ]
+        dist, j = min(cands)
+        row = pdf.iloc[i]
+        assert row.start_day == days[i]
+        assert row.nn_start_day == days[j]
+        assert abs(row.nn_dist - dist) < 1e-5

@@ -1414,3 +1414,360 @@ def agg_beta_binomial_shrinkage(
             "round(mu, 6) AS prior_mean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_holt_winters_seasonal
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5, beta = 0.25, gamma = 0.5 — all binary-exact, so the
+# fold is bit-identical on both engines once the evaluation order is
+# pinned (the win_holt_linear discipline, extended to 9 state fields).
+
+
+def _hw_exprs(pl: str, px: str, pd: str, dsuf: str):
+    """Render (sd, newl, newb, news_1..7) expression texts.
+
+    pl: state field prefix ("s." Spark lambda / "h." DuckDB CTE);
+    px: the new observation; pd: its seasonal slot; dsuf: "D" for
+    Spark double literals, "" for DuckDB (bare 0.5 is DECIMAL there
+    and promotes exactly through the double multiply).
+    """
+    sd = (
+        "(CASE " + " ".join(
+            f"WHEN {pd} = {k} THEN {pl}s{k}" for k in range(1, 8)
+        ) + " ELSE 0.0 END)"
+    )
+    newl = f"(0.5{dsuf} * ({px} - {sd}) + 0.5{dsuf} * ({pl}l + {pl}b))"
+    newb = f"(0.25{dsuf} * ({newl} - {pl}l) + 0.75{dsuf} * {pl}b)"
+    news = {
+        k: (
+            f"(CASE WHEN {pd} = {k} THEN 0.5{dsuf} * ({px} - {newl})"
+            f" + 0.5{dsuf} * {sd} ELSE {pl}s{k} END)"
+        )
+        for k in range(1, 8)
+    }
+    return sd, newl, newb, news
+
+
+def _hw_oracle() -> str:
+    sd, newl, newb, news = _hw_exprs("h.", "s.x", "s.d", "")
+    news_cols = ",\n             ".join(
+        f"{news[k]} AS s{k}" for k in range(1, 8)
+    )
+    fsd = "(CASE " + " ".join(
+        f"WHEN g.slot = {k} THEN f.s{k}" for k in range(1, 8)
+    ) + " ELSE 0.0 END)"
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    seq AS MATERIALIZED (
+      SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST((CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1)
+                  % 7 + 1 AS BIGINT) AS d,
+             CAST(m AS DOUBLE) AS x
+      FROM daily),
+    init AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN t <= 7 THEN CAST(x AS DECIMAL(16,6))
+                           END) AS DOUBLE) / 7 AS l0,
+             (CAST(sum(CASE WHEN t BETWEEN 8 AND 14
+                            THEN CAST(x AS DECIMAL(16,6)) END)
+                   AS DOUBLE) / 7
+              - CAST(sum(CASE WHEN t <= 7 THEN CAST(x AS DECIMAL(16,6))
+                              END) AS DOUBLE) / 7) / 7 AS b0,
+             {", ".join(
+                 f"max(CASE WHEN t = {k} THEN x END)"
+                 f" - CAST(sum(CASE WHEN t <= 7 THEN"
+                 f" CAST(x AS DECIMAL(16,6)) END) AS DOUBLE) / 7 AS i{k}"
+                 for k in range(1, 8))}
+      FROM seq),
+    h AS (
+      SELECT CAST(7 AS BIGINT) AS i, l0 AS l, b0 AS b,
+             {", ".join(f"i{k} AS s{k}" for k in range(1, 8))}
+      FROM init
+      UNION ALL
+      SELECT h.i + 1, {newl} AS l, {newb} AS b,
+             {news_cols}
+      FROM h JOIN seq s ON s.t = h.i + 1),
+    fin AS MATERIALIZED (
+      SELECT * FROM h WHERE i = (SELECT max(t) FROM seq)),
+    lastday AS MATERIALIZED (
+      SELECT max(day) AS d0, max(t) AS n FROM seq),
+    hs AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS hh)
+    SELECT hs.hh AS horizon,
+           ld.d0 + CAST(hs.hh AS INTEGER) AS target_day,
+           round(f.l, 6) AS level, round(f.b, 6) AS trend,
+           round({fsd}, 6) AS seasonal,
+           round(f.l + hs.hh * f.b + {fsd}, 6) AS forecast
+    FROM fin f CROSS JOIN lastday ld CROSS JOIN hs
+    JOIN (SELECT hs2.hh AS hh,
+                 CAST((ld2.n + hs2.hh - 1) % 7 + 1 AS BIGINT) AS slot
+          FROM (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT)
+                  AS hh) hs2 CROSS JOIN lastday ld2) g
+      ON g.hh = hs.hh
+    """
+
+
+@query("win_holt_winters_seasonal", oracle=_hw_oracle())
+def win_holt_winters_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HOLT-WINTERS ADDITIVE triple exponential smoothing of the
+    daily-mean value series (level alpha=0.5, trend beta=0.25, weekly
+    seasonal gamma=0.5, period 7), emitting the next-7-day forecast
+    fan: forecast(h) = level + h*trend + seasonal[(n+h-1) mod 7 + 1].
+    Completes the forecasting ladder — win_ewma_smooth (level only),
+    win_holt_linear (level+trend), this op (level+trend+seasonality):
+    the production short-horizon forecaster for any daily operational
+    metric with a weekly cycle. Classic init: level = week-1 mean,
+    trend = (week-2 mean - week-1 mean)/7, seasonal[d] = day d minus
+    week-1 mean, fold from day 8.
+
+    Shape at 100 TB: the fact table collapses to the day domain in
+    one map-side-combinable aggregate; the 9-field state then folds
+    over ONE bounded day-ordered array JVM-side (aggregate() with a
+    named_struct accumulator — the CUSUM 3-field precedent at 9
+    fields), no UDF, no iteration over actions.
+
+    Parity: all three smoothing constants are binary-exact doubles;
+    the update expressions are textually identical on both engines
+    with the new level expanded in place (the win_holt_linear
+    discipline), so the folds agree bit-wise; the DuckDB twin steps
+    the same updates through a RECURSIVE CTE (struct list_reduce is
+    broken there), anchored on data-derived init values so no anchor
+    literal pins a type; init means divide exact DECIMAL week sums
+    once in DOUBLE. round(6) lands only in the output row."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    w1 = "CAST(sum(CASE WHEN t <= 7 THEN m END) AS DOUBLE) / 7"
+    stats = idx.selectExpr(
+        "t", "m", "CAST(m AS DOUBLE) AS x", "(t - 1) % 7 + 1 AS d", "day"
+    ).localCheckpoint()
+    init = stats.agg(
+        F.expr(f"{w1}").alias("l0"),
+        F.expr(
+            "(CAST(sum(CASE WHEN t BETWEEN 8 AND 14 THEN m END)"
+            f" AS DOUBLE) / 7 - {w1}) / 7"
+        ).alias("b0"),
+        *[
+            F.expr(f"max(CASE WHEN t = {k} THEN x END) - {w1}").alias(
+                f"i{k}"
+            )
+            for k in range(1, 8)
+        ],
+        F.max("t").cast("bigint").alias("n"),
+        F.max("day").alias("d0"),
+    )
+    arr = stats.where(F.col("t") >= 8).agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d", "x"))
+        ).alias("vals")
+    )
+    sd, newl, newb, news = _hw_exprs("s.", "e.x", "e.d", "D")
+    news_fields = ", ".join(
+        f"'s{k}', {news[k]}" for k in range(1, 8)
+    )
+    fold = F.expr(
+        "aggregate(vals, named_struct('l', l0, 'b', b0, "
+        + ", ".join(f"'s{k}', i{k}" for k in range(1, 8))
+        + f"), (s, e) -> named_struct('l', {newl}, 'b', {newb}, "
+        + news_fields
+        + "))"
+    )
+    st = init.crossJoin(F.broadcast(arr)).select(
+        fold.alias("st"), "n", "d0"
+    )
+    hs = spark.range(1, 8).select(F.col("id").alias("horizon"))
+    fsd = (
+        "(CASE "
+        + " ".join(
+            f"WHEN (n + horizon - 1) % 7 + 1 = {k} THEN st.s{k}"
+            for k in range(1, 8)
+        )
+        + " ELSE 0.0 END)"
+    )
+    return st.crossJoin(F.broadcast(hs)).selectExpr(
+        "horizon",
+        "date_add(d0, CAST(horizon AS INT)) AS target_day",
+        "round(st.l, 6) AS level",
+        "round(st.b, 6) AS trend",
+        f"round({fsd}, 6) AS seasonal",
+        f"round(st.l + horizon * st.b + {fsd}, 6) AS forecast",
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_matrix_profile_1d
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_matrix_profile_1d",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    nn AS MATERIALIZED (SELECT max(t) AS n FROM idx),
+    ks AS (SELECT CAST(unnest(generate_series(0, 4)) AS BIGINT) AS k),
+    wf AS MATERIALIZED (
+      SELECT i.t - ks.k AS i, ks.k, i.m
+      FROM idx i CROSS JOIN ks CROSS JOIN nn
+      WHERE i.t - ks.k >= 1 AND i.t - ks.k <= nn.n - 4),
+    mo AS MATERIALIZED (
+      SELECT i, CAST(sum(m) AS DECIMAL(28,6)) AS s,
+             CAST(sum(CAST(m AS DECIMAL(19,6)) * m) AS DECIMAL(38,12))
+               AS q
+      FROM wf GROUP BY i),
+    dots AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(a.m AS DECIMAL(19,6)) * b.m)
+                  AS DECIMAL(38,12)) AS tt
+      FROM wf a JOIN wf b ON a.k = b.k AND abs(a.i - b.i) >= 3
+      GROUP BY 1, 2),
+    dist AS (
+      SELECT d.i, d.j,
+             round(sqrt(greatest(0.0, 2.0 * 5
+                    * (1.0 - (5 * CAST(d.tt AS DOUBLE)
+                              - CAST(ma.s AS DOUBLE) * CAST(mb.s AS DOUBLE))
+                       / sqrt((5 * CAST(ma.q AS DOUBLE)
+                               - CAST(ma.s AS DOUBLE) * CAST(ma.s AS DOUBLE))
+                              * (5 * CAST(mb.q AS DOUBLE)
+                                 - CAST(mb.s AS DOUBLE)
+                                   * CAST(mb.s AS DOUBLE)))))), 9) AS dist
+      FROM dots d JOIN mo ma ON ma.i = d.i JOIN mo mb ON mb.i = d.j),
+    best AS (
+      SELECT i, j, dist,
+             row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rk
+      FROM dist)
+    SELECT ii.day AS start_day, jj.day AS nn_start_day,
+           round(b.dist, 6) AS nn_dist
+    FROM best b
+    JOIN idx ii ON ii.t = b.i
+    JOIN idx jj ON jj.t = b.j
+    WHERE b.rk = 1
+    """,
+)
+def win_matrix_profile_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX PROFILE of the daily-mean series with subsequence
+    length 5: for every 5-day window, the z-normalized Euclidean
+    distance to its nearest non-trivial neighbor (exclusion zone
+    |i-j| >= 3) and that neighbor's start day — the all-pairs motif/
+    discord detector of the modern time-series toolkit: the row with
+    the SMALLEST nn_dist is a repeated motif (two near-identical
+    weeks), the row with the LARGEST is the discord
+    win_stl_anomaly_flags might miss when the anomaly is a SHAPE, not
+    a level. Distance via the Pearson identity
+    d = sqrt(2w(1 - corr)), so window moments + cross dot products
+    are the whole computation.
+
+    Shape at 100 TB: the fact table collapses to the day domain; the
+    window frame (D·w rows), the dot-product pair join (bounded by
+    D²·w), and the per-window argmin are all bounded-domain work —
+    the same O(T²)-on-the-bounded-grid move as
+    win_changepoint_pelt_1d. (At row-scaled series lengths the STOMP
+    recurrence would replace the pair join; on a day/hour domain the
+    grid IS the fast path.)
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); window
+    sums, square sums, and cross dot products are EXACT decimal sums
+    (DECIMAL(19,6) operands — the DuckDB int64-kernel rule), so corr
+    is one shared double expression of exact decimals; dist quantizes
+    round(9) before the (dist, j) argmin pick, making the neighbor
+    choice deterministic on both engines; output rounds once at 6."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    nn = idx.agg(F.max("t").alias("n")).localCheckpoint()
+    ks = spark.range(0, 5).select(F.col("id").alias("k"))
+    wf = (
+        idx.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(nn))
+        .select((F.col("t") - F.col("k")).alias("i"), "k", "m", "n")
+        .where((F.col("i") >= 1) & (F.col("i") <= F.col("n") - 4))
+        .select("i", "k", "m")
+        .localCheckpoint()
+    )
+    mo = wf.groupBy("i").agg(
+        F.sum("m").cast("decimal(28,6)").alias("s"),
+        F.sum(F.expr("CAST(m AS DECIMAL(19,6)) * m"))
+        .cast("decimal(38,12)")
+        .alias("q"),
+    ).localCheckpoint()
+    b = wf.select(F.col("i").alias("j"), "k", F.col("m").alias("mb"))
+    dots = (
+        wf.join(b, "k")
+        .where(F.expr("abs(i - j) >= 3"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.expr("CAST(m AS DECIMAL(19,6)) * mb"))
+            .cast("decimal(38,12)")
+            .alias("tt")
+        )
+    )
+    ma = mo.select(F.col("i"), F.col("s").alias("sa"), F.col("q").alias("qa"))
+    mb2 = mo.select(
+        F.col("i").alias("j"), F.col("s").alias("sb"), F.col("q").alias("qb")
+    )
+    dist = (
+        dots.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb2), "j")
+        .selectExpr(
+            "i",
+            "j",
+            "round(sqrt(greatest(0.0, 2.0 * 5"
+            " * (1.0 - (5 * CAST(tt AS DOUBLE)"
+            " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+            " / sqrt((5 * CAST(qa AS DOUBLE)"
+            " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+            " * (5 * CAST(qb AS DOUBLE)"
+            " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))), 9)"
+            " AS dist",
+        )
+    )
+    w_rk = Window.partitionBy("i").orderBy("dist", "j")
+    best = dist.withColumn("rk", F.row_number().over(w_rk)).where(
+        F.col("rk") == 1
+    )
+    ii = idx.select(F.col("t").alias("i"), F.col("day").alias("start_day"))
+    jj = idx.select(
+        F.col("t").alias("j"), F.col("day").alias("nn_start_day")
+    )
+    return (
+        best.join(F.broadcast(ii), "i")
+        .join(F.broadcast(jj), "j")
+        .select(
+            "start_day", "nn_start_day", F.round("dist", 6).alias("nn_dist")
+        )
+    )

@@ -409,3 +409,98 @@ def test_matrix_profile_matches_bruteforce(spark):
         assert row.start_day == days[i]
         assert row.nn_start_day == days[j]
         assert abs(row.nn_dist - dist) < 1e-5
+
+
+def test_sax_matches_manual_paa(spark):
+    pdf = (
+        QUERIES["win_sax_symbolize"](spark, SF)
+        .toPandas()
+        .sort_values("block")
+        .reset_index(drop=True)
+    )
+    m = _daily_means()
+    z = (m - m.mean()) / m.std(ddof=1)
+    z = np.round(z, 9)
+    assert len(pdf) == math.ceil(len(m) / 5)
+    days = sorted(_events().day.unique())
+    for b in range(len(pdf)):
+        blk = z[b * 5 : (b + 1) * 5]
+        paa = round(blk.sum() / len(blk), 9)
+        row = pdf.iloc[b]
+        assert row.block == b + 1
+        assert row.start_day == days[b * 5]
+        assert row.n_days == len(blk)
+        assert abs(row.paa - paa) < 1e-5
+        want = (
+            "a" if paa < -0.6745
+            else "b" if paa < 0 else "c" if paa < 0.6745 else "d"
+        )
+        assert row.symbol == want
+
+
+def test_lognormal_fit_matches_numpy(spark):
+    pdf = (
+        QUERIES["agg_lognormal_fit"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events()
+    for typ, grp in ev[ev.value > 0].groupby("event_type"):
+        lv = np.round(np.log(grp.value.to_numpy()), 9)
+        n = len(lv)
+        mu = lv.mean()
+        sd = lv.std(ddof=1)
+        row = pdf.loc[typ]
+        assert row.n == n
+        assert abs(row.mu_ln - mu) < 1e-5
+        assert abs(row.sigma_ln - sd) < 1e-5
+        assert abs(row.fitted_median - math.exp(mu)) < 1e-3
+        fm = math.exp(mu + sd * sd / 2)
+        assert abs(row.fitted_mean - fm) < 1e-3
+        sm = grp.vc.to_numpy().mean() / 100.0
+        assert abs(row.sample_mean - sm) < 1e-5
+        assert abs(row.mean_ratio - fm / sm) < 1e-4
+        # exponential fixture: lognormal overstates the mean
+        assert row.mean_ratio > 1.0
+
+
+def test_closeness_seeds_match_python_bfs(spark):
+    pdf = (
+        QUERIES["graph_closeness_seeds"](spark, SF)
+        .toPandas()
+        .set_index("p_partkey")
+    )
+    edges = _copurchase_edges_py()
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    N = len(adj)
+    seeds = sorted(adj, key=lambda n: (-len(adj[n]), n))[:3]
+    assert set(pdf.index) == set(seeds)
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        row = pdf.loc[s]
+        reached = len(dist) - 1
+        sumd = sum(dist.values())
+        harm = sum(round(1.0 / x, 9) for x in dist.values() if x > 0)
+        assert row.degree == len(adj[s])
+        assert row.n_reached == reached
+        assert row.sum_dist == sumd
+        assert abs(row.closeness - reached / sumd) < 1e-6
+        assert (
+            abs(row.wf_closeness - (reached / (N - 1)) * (reached / sumd))
+            < 1e-6
+        )
+        assert abs(row.harmonic - harm) < 1e-4

@@ -1771,3 +1771,398 @@ def win_matrix_profile_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_day", "nn_start_day", F.round("dist", 6).alias("nn_dist")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_sax_symbolize
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_sax_symbolize",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    st AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS DOUBLE) / count(*) AS mu,
+             sqrt((CAST(sum(CAST(m AS DECIMAL(19,6)) * m) AS DOUBLE)
+                   - CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE)
+                     / count(*)) / (count(*) - 1)) AS sd
+      FROM idx),
+    z AS MATERIALIZED (
+      SELECT i.t, i.day,
+             CAST((i.t - 1) // 5 + 1 AS BIGINT) AS block,
+             CAST(round((CAST(i.m AS DOUBLE) - s.mu) / s.sd, 9)
+                  AS DECIMAL(18,9)) AS z
+      FROM idx i CROSS JOIN st s),
+    paa AS (
+      SELECT block, min(day) AS start_day,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(CAST(sum(z) AS DOUBLE) / count(*), 9) AS paa
+      FROM z GROUP BY block)
+    SELECT block, start_day, n_days, round(paa, 6) AS paa,
+           CASE WHEN paa < -0.6745 THEN 'a'
+                WHEN paa < 0.0 THEN 'b'
+                WHEN paa < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM paa
+    """,
+)
+def win_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of the daily-mean
+    series: z-normalize, Piecewise Aggregate Approximation over
+    5-day blocks, then quantize each block mean into a 4-letter
+    alphabet at the N(0,1) quartile breakpoints (-0.6745, 0, 0.6745)
+    — the discretization that turns a numeric series into a WORD, so
+    sequence tooling (n-gram counting, text_heavy_hitters-style motif
+    mining, edit-distance matching across series) applies to
+    telemetry; the lossy, indexable cousin of win_matrix_profile_1d's
+    exact distances. Equal-probability breakpoints guarantee the four
+    symbols are equally likely under Gaussian data, so symbol
+    frequency skew IS a distribution-shape reading.
+
+    Shape at 100 TB: the fact table collapses to the day domain; the
+    z-scores, 5-day block means, and symbol CASE are bounded-domain
+    work — one row per block.
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); the
+    moment pass is exact-decimal (DECIMAL(19,6) squares); z-scores
+    are one shared double expression quantized round(9) into DECIMAL,
+    so block sums are exact; the PAA mean quantizes round(9) BEFORE
+    the breakpoint CASE, so a symbol cannot flip on sub-ulp drift
+    (measured PAA-to-breakpoint gaps >> 1e-9 on every fixture)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    st = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(m) AS DOUBLE) / count(*)").alias("mu"),
+        F.expr(
+            "sqrt((CAST(sum(CAST(m AS DECIMAL(19,6)) * m) AS DOUBLE)"
+            " - CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE)"
+            " / count(*)) / (count(*) - 1))"
+        ).alias("sd"),
+    )
+    z = idx.crossJoin(F.broadcast(st)).selectExpr(
+        "t",
+        "day",
+        "(t - 1) div 5 + 1 AS block",
+        "CAST(round((CAST(m AS DOUBLE) - mu) / sd, 9)"
+        " AS DECIMAL(18,9)) AS z",
+    )
+    paa = z.groupBy("block").agg(
+        F.min("day").alias("start_day"),
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr("round(CAST(sum(z) AS DOUBLE) / count(*), 9)").alias(
+            "paa9"
+        ),
+    )
+    return paa.selectExpr(
+        "block",
+        "start_day",
+        "n_days",
+        "round(paa9, 6) AS paa",
+        "CASE WHEN paa9 < -0.6745 THEN 'a'"
+        " WHEN paa9 < 0.0 THEN 'b'"
+        " WHEN paa9 < 0.6745 THEN 'c'"
+        " ELSE 'd' END AS symbol",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_lognormal_fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_lognormal_fit",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS c,
+             CAST(round(ln(value), 9) AS DECIMAL(18,9)) AS l
+      FROM events WHERE value > 0),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(l) AS DECIMAL(28,9)) AS s,
+             CAST(sum(CAST(l AS DECIMAL(19,9)) * l) AS DECIMAL(38,18))
+               AS q
+      FROM r GROUP BY event_type)
+    SELECT event_type, n,
+           round(CAST(s AS DOUBLE) / n, 6) AS mu_ln,
+           round(sqrt((CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                      / (n - 1)), 6) AS sigma_ln,
+           round(exp(CAST(s AS DOUBLE) / n), 6) AS fitted_median,
+           round(exp(CAST(s AS DOUBLE) / n
+                     + ((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1)) / 2), 6) AS fitted_mean,
+           round(CAST(sc AS DOUBLE) / n / 100.0, 6) AS sample_mean,
+           round(exp(CAST(s AS DOUBLE) / n
+                     + ((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1)) / 2)
+                 / (CAST(sc AS DOUBLE) / n / 100.0), 6) AS mean_ratio
+    FROM mo
+    """,
+)
+def agg_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-NORMAL DISTRIBUTION FIT per event type by moments in log
+    space (mu, sigma of ln value), with the implied median
+    exp(mu) and mean exp(mu + sigma²/2), and mean_ratio =
+    fitted_mean/sample_mean as the one-number GOODNESS check — the
+    heavy-tail triage step between agg_interarrival_exp_fit
+    (exponential), agg_tail_index_hill (Pareto tail), and
+    agg_overdispersion_nb_fit (counts): a mean_ratio near 1 says the
+    body is lognormal-compatible; on this fixture's exponential
+    values it visibly is NOT (the documented negative case), which is
+    exactly what the column is for.
+
+    Shape at 100 TB: ONE grouped scan (count, cent sum, log sum, log
+    square sum) — map-side combinable, nothing else.
+
+    Parity: per-row ln quantizes round(9) into DECIMAL before the
+    order-independent sums (cross-libm ln drift ~1e-16 relative sits
+    seven orders below the quantum — the agg_theil_index argument);
+    squares go through DECIMAL(19,9) operands (the DuckDB int64
+    kernel rule: ln values reach ~6.3, whose scaled square exceeds
+    int64); mu, sigma, and the exp() outputs are shared double
+    expressions of exact sums, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.where(F.col("value") > 0).select(
+        "event_type",
+        F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        F.expr("CAST(round(ln(value), 9) AS DECIMAL(18,9))").alias("l"),
+    )
+    mo = r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum("l").cast("decimal(28,9)").alias("s"),
+        F.sum(F.expr("CAST(l AS DECIMAL(19,9)) * l"))
+        .cast("decimal(38,18)")
+        .alias("q"),
+    )
+    var_expr = (
+        "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+        " / (n - 1))"
+    )
+    return mo.selectExpr(
+        "event_type",
+        "n",
+        "round(CAST(s AS DOUBLE) / n, 6) AS mu_ln",
+        f"round(sqrt({var_expr}), 6) AS sigma_ln",
+        "round(exp(CAST(s AS DOUBLE) / n), 6) AS fitted_median",
+        f"round(exp(CAST(s AS DOUBLE) / n + {var_expr} / 2), 6)"
+        " AS fitted_mean",
+        "round(CAST(sc AS DOUBLE) / n / 100.0, 6) AS sample_mean",
+        f"round(exp(CAST(s AS DOUBLE) / n + {var_expr} / 2)"
+        " / (CAST(sc AS DOUBLE) / n / 100.0), 6) AS mean_ratio",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_closeness_seeds
+# ---------------------------------------------------------------------------
+
+_CLOSENESS_BUDGET = 14  # measured eccentricity 3/9/3 at sf0.001/0.01/0.1
+_CLOSENESS_ORACLE_ROUNDS = 12
+
+
+def _closeness_oracle() -> str:
+    rounds = []
+    for i in range(1, _CLOSENESS_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"""n{i} AS MATERIALIZED (
+      SELECT DISTINCT l.seed, s.v AS node
+      FROM l{i - 1} l JOIN s ON s.u = l.node
+      WHERE l.dist = {i - 1}
+        AND NOT EXISTS (SELECT 1 FROM l{i - 1} x
+                        WHERE x.seed = l.seed AND x.node = s.v)),
+    l{i} AS MATERIALIZED (
+      SELECT seed, node, dist FROM l{i - 1}
+      UNION ALL
+      SELECT seed, node, CAST({i} AS BIGINT) FROM n{i})"""
+        )
+    unrolled = ",\n    ".join(rounds)
+    last = f"l{_CLOSENESS_ORACLE_ROUNDS}"
+    return f"""
+    WITH os AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    s AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM s GROUP BY u),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    seeds AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rk
+        FROM deg) t
+      WHERE rk <= 3),
+    l0 AS MATERIALIZED (
+      SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM seeds),
+    {unrolled},
+    ag AS (
+      SELECT seed,
+             CAST(count(*) AS BIGINT) AS r,
+             CAST(sum(dist) AS BIGINT) AS sumdist,
+             CAST(sum(CASE WHEN dist > 0 THEN
+                  CAST(round(CAST(1 AS DOUBLE) / dist, 9)
+                       AS DECIMAL(18,9)) END) AS DECIMAL(28,9)) AS harm
+      FROM {last} GROUP BY seed)
+    SELECT ag.seed AS p_partkey, deg.d AS degree,
+           ag.r - 1 AS n_reached, ag.sumdist AS sum_dist,
+           round(CAST(ag.r - 1 AS DOUBLE) / ag.sumdist, 6) AS closeness,
+           round((CAST(ag.r - 1 AS DOUBLE) / (nn.n - 1))
+                 * (CAST(ag.r - 1 AS DOUBLE) / ag.sumdist), 6)
+             AS wf_closeness,
+           round(CAST(ag.harm AS DOUBLE), 6) AS harmonic
+    FROM ag JOIN deg ON deg.node = ag.seed CROSS JOIN nn
+    """
+
+
+@query("graph_closeness_seeds", oracle=_closeness_oracle())
+def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSENESS, WASSERMAN-FAUST, and HARMONIC CENTRALITY of the
+    three highest-degree nodes of the support-2 co-purchase graph,
+    from exact multi-seed BFS distances: closeness = (r-1)/sum(d),
+    WF = its component-size correction ((r-1)/(N-1) factor — the
+    honest number on a DISCONNECTED graph like this one), harmonic =
+    sum(1/d) (defined even across components). Completes the
+    centrality ladder — degree (local), graph_katz_centrality (walk
+    counts), closeness (distances): the three disagree exactly when
+    the graph has structure worth knowing about, and the seed set is
+    deliberately the degree top-3 so the comparison is direct.
+
+    Shape at 100 TB: the BFS loop never touches the fact table —
+    checkpointed edge list, a labels frame bounded by 3x|reached|;
+    each round is one keyed join + composite-key anti-join +
+    distinct, lineage truncated per round, shuffle partitions sized
+    from |E| and restored in finally (the graph_kcore disciplines).
+    Empty frontier is the fixpoint witness; exhausting the 14-round
+    budget RAISES (_CLOSENESS_BUDGET = 14; measured eccentricity
+    3/9/3 at the three fixture sfs). The oracle unrolls 12 rounds as
+    MATERIALIZED CTEs — enough for every oracle-checked fixture.
+
+    Parity: distances and counts are exact integers; each harmonic
+    term quantizes round(9) into DECIMAL before the order-independent
+    sum; the three centralities are shared double expressions of
+    exact integers, round(6)."""
+    from .analytics4 import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    s = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = s.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    ).localCheckpoint()
+    nn = deg.agg(F.count("*").cast("bigint").alias("n")).localCheckpoint()
+    seeds = (
+        deg.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("d").desc(), "node")),
+        )
+        .where(F.col("rk") <= 3)
+        .select("node")
+    )
+    n_edges = s.count() // 2
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, min(200, n_edges // 1_000_000 + 1))),
+    )
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        labels = seeds.select(
+            F.col("node").alias("seed"),
+            "node",
+            F.lit(0).cast("bigint").alias("dist"),
+        ).localCheckpoint()
+        frontier = labels
+        converged = False
+        for r in range(1, _CLOSENESS_BUDGET + 1):
+            new = (
+                frontier.select("seed", F.col("node").alias("u"))
+                .join(s, "u")
+                .select("seed", F.col("v").alias("node"))
+                .distinct()
+                .join(
+                    labels.select("seed", "node"),
+                    ["seed", "node"],
+                    "left_anti",
+                )
+                .select(
+                    "seed", "node", F.lit(r).cast("bigint").alias("dist")
+                )
+                .localCheckpoint()
+            )
+            if new.count() == 0:
+                converged = True
+                break
+            labels = labels.unionAll(new).localCheckpoint()
+            frontier = new
+        if not converged:
+            raise RuntimeError(
+                "graph_closeness_seeds: BFS budget "
+                f"{_CLOSENESS_BUDGET} exhausted without fixpoint"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    ag = labels.groupBy("seed").agg(
+        F.count("*").cast("bigint").alias("r"),
+        F.sum("dist").cast("bigint").alias("sumdist"),
+        F.sum(
+            F.expr(
+                "CASE WHEN dist > 0 THEN CAST(round(CAST(1 AS DOUBLE)"
+                " / dist, 9) AS DECIMAL(18,9)) END"
+            )
+        )
+        .cast("decimal(28,9)")
+        .alias("harm"),
+    )
+    return (
+        ag.join(
+            F.broadcast(deg.select(F.col("node").alias("seed"), "d")),
+            "seed",
+        )
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "seed AS p_partkey",
+            "d AS degree",
+            "r - 1 AS n_reached",
+            "sumdist AS sum_dist",
+            "round(CAST(r - 1 AS DOUBLE) / sumdist, 6) AS closeness",
+            "round((CAST(r - 1 AS DOUBLE) / (n - 1))"
+            " * (CAST(r - 1 AS DOUBLE) / sumdist), 6) AS wf_closeness",
+            "round(CAST(harm AS DOUBLE), 6) AS harmonic",
+        )
+    )

@@ -504,3 +504,102 @@ def test_closeness_seeds_match_python_bfs(spark):
             < 1e-6
         )
         assert abs(row.harmonic - harm) < 1e-4
+
+
+def _daily_means_by_type(typ):
+    ev = _events()
+    g = (
+        ev[ev.event_type == typ]
+        .groupby("day")
+        .vc.agg(["sum", "count"])
+        .sort_index()
+    )
+    return pd.Series(
+        [round(s / c / 100.0, 6) for s, c in zip(g["sum"], g["count"])],
+        index=g.index,
+    )
+
+
+def test_hodges_lehmann_matches_numpy(spark):
+    row = (
+        QUERIES["agg_hodges_lehmann_shift"](spark, SF).toPandas().iloc[0]
+    )
+    x = _daily_means_by_type("click")
+    y = _daily_means_by_type("view")
+    diffs = np.sort(
+        (x.to_numpy()[:, None] - y.to_numpy()[None, :]).ravel()
+    )
+    assert row.n_pairs == len(diffs)
+    hl = (diffs[(len(diffs) - 1) // 2] + diffs[len(diffs) // 2]) / 2
+    assert abs(row.hl_shift - hl) < 1e-6
+    common = x.index.intersection(y.index)
+    pd_diffs = np.sort((x[common] - y[common]).to_numpy())
+    assert row.n_days == len(pd_diffs)
+    pmed = (
+        pd_diffs[(len(pd_diffs) - 1) // 2] + pd_diffs[len(pd_diffs) // 2]
+    ) / 2
+    assert abs(row.paired_median_shift - pmed) < 1e-6
+    assert abs(row.mean_shift - (x.mean() - y.mean())) < 1e-5
+
+
+def test_sign_test_exact_binomial(spark):
+    row = QUERIES["agg_sign_test_paired"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    tots = (
+        ev[ev.event_type.isin(["click", "view"])]
+        .groupby(["day", "event_type"])
+        .vc.sum()
+        .unstack()
+    )
+    informative = tots[tots.click != tots.view]
+    n = len(informative)
+    s = int((informative.click > informative.view).sum())
+    assert row.n_informative == n
+    assert row.n_click_greater == s
+    p = sum(math.comb(n, k) for k in range(s, n + 1)) / 2**n
+    assert abs(row.p_one_sided - p) < 1e-6
+    assert row.significant_05 == int(p < 0.05)
+
+
+def test_anderson_darling_matches_midrank_formula(spark):
+    row = (
+        QUERIES["agg_anderson_darling_2samp"](spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events()
+    x = ev.vc[ev.event_type == "click"].to_numpy()
+    y = ev.vc[ev.event_type == "view"].to_numpy()
+    n1, n2 = len(x), len(y)
+    N = n1 + n2
+    zstar = np.unique(np.concatenate([x, y]))
+    a2 = 0.0
+    for sample, ni in ((x, n1), (y, n2)):
+        inner = 0.0
+        for v in zstar:
+            fij = (sample == v).sum()
+            lj = (x == v).sum() + (y == v).sum()
+            Mij = (sample < v).sum() + 0.5 * fij
+            Bj = (x < v).sum() + (y < v).sum() + 0.5 * lj
+            denom = Bj * (N - Bj) - N * lj / 4.0
+            if denom > 0:
+                inner += lj * (N * Mij - ni * Bj) ** 2 / denom
+        a2 += inner / ni
+    a2 *= (N - 1) / N**2
+    assert row.n_click == n1 and row.n_view == n2
+    assert row.n_blocks <= len(zstar)
+    assert abs(row.a2_stat - a2) < 1e-3
+    # standardization: Scholz-Stephens closed form, k=2
+    H = 1 / n1 + 1 / n2
+    h = sum(1 / i for i in range(1, N))
+    hi = np.cumsum([1 / i for i in range(1, N)])
+    g = sum((h - hi[i - 1]) / (N - i) for i in range(1, N - 1))
+    k = 2
+    a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * H
+    b = (2 * g - 4) * k**2 + 8 * h * k + (2 * g - 14 * h - 4) * H - 8 * h + 4 * g - 6
+    c = (6 * h + 2 * g - 2) * k**2 + (4 * h - 4 * g + 6) * k + (2 * h - 6) * H + 4 * h
+    d = (2 * h + 6) * k**2 - 4 * h * k
+    var = (a * N**3 + b * N**2 + c * N + d) / ((N - 1) * (N - 2) * (N - 3))
+    t = (a2 - (k - 1)) / math.sqrt(var)
+    assert abs(row.t_stat - t) < 1e-3
+    assert row.significant_05 == int(round(t, 9) >= 1.960)

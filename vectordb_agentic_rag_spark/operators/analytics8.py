@@ -2166,3 +2166,551 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(harm AS DOUBLE), 6) AS harmonic",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hodges_lehmann_shift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hodges_lehmann_shift",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2),
+    x AS (SELECT day, m FROM daily WHERE event_type = 'click'),
+    y AS (SELECT day, m FROM daily WHERE event_type = 'view'),
+    d AS MATERIALIZED (
+      SELECT x.m - y.m AS d, x.day AS di, y.day AS dj
+      FROM x CROSS JOIN y),
+    rk AS (
+      SELECT d, row_number() OVER (ORDER BY d, di, dj) AS rn,
+             count(*) OVER () AS cnt
+      FROM d),
+    hl AS (
+      SELECT CAST(max(cnt) AS BIGINT) AS n_pairs,
+             (CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN d END)
+                   AS DOUBLE)
+              + CAST(sum(CASE WHEN rn = (cnt + 2) // 2 THEN d END)
+                     AS DOUBLE)) / 2 AS hl
+      FROM rk),
+    p AS MATERIALIZED (
+      SELECT x.m - y.m AS d, x.day
+      FROM x JOIN y ON x.day = y.day),
+    prk AS (
+      SELECT d, row_number() OVER (ORDER BY d, day) AS rn,
+             count(*) OVER () AS cnt
+      FROM p),
+    pm AS (
+      SELECT CAST(max(cnt) AS BIGINT) AS n_days,
+             (CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN d END)
+                   AS DOUBLE)
+              + CAST(sum(CASE WHEN rn = (cnt + 2) // 2 THEN d END)
+                     AS DOUBLE)) / 2 AS pmed
+      FROM prk),
+    mn AS (
+      SELECT (CAST((SELECT sum(m) FROM x) AS DOUBLE)
+              - CAST((SELECT sum(m) FROM y) AS DOUBLE))
+             / (SELECT count(*) FROM x) AS mshift)
+    SELECT hl.n_pairs, pm.n_days,
+           round(hl.hl, 6) AS hl_shift,
+           round(pm.pmed, 6) AS paired_median_shift,
+           round(mn.mshift, 6) AS mean_shift
+    FROM hl CROSS JOIN pm CROSS JOIN mn
+    """,
+)
+def agg_hodges_lehmann_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HODGES-LEHMANN SHIFT ESTIMATOR between the click and view
+    daily-mean series: the median of all pairwise differences
+    x_i - y_j — the robust LOCATION-SHIFT magnitude that
+    agg_mann_whitney_u's significance verdict does not report (U
+    says the distributions differ; HL says BY HOW MUCH, with 29%
+    breakdown resistance where the mean shift has none). The paired
+    within-day median difference and the plain mean shift ride along
+    so all three location readings are comparable in one row.
+
+    Shape at 100 TB: the fact table collapses to the bounded
+    day x type domain; the pairwise-difference grid is day² (bounded
+    at ANY corpus size — the win_changepoint_pelt_1d move), ranked
+    once, middle-picked exactly.
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6), so
+    every pairwise difference is an exact decimal and the
+    (d, di, dj)-ordered row_number picks are deterministic; the
+    averaged median is (lo+hi) summed exactly in double then halved
+    (dyadic — exact); round(6) lands once."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+                " AS DECIMAL(16,6))"
+            ).alias("m"),
+        )
+        .localCheckpoint()
+    )
+    x = daily.where(F.col("event_type") == "click").select(
+        F.col("day").alias("di"), F.col("m").alias("mx")
+    )
+    y = daily.where(F.col("event_type") == "view").select(
+        F.col("day").alias("dj"), F.col("m").alias("my")
+    )
+    d = x.crossJoin(y).select(
+        (F.col("mx") - F.col("my")).alias("d"), "di", "dj"
+    )
+    rk = d.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "di", "dj")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    hl = rk.agg(
+        F.max("cnt").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "(CAST(sum(CASE WHEN rn = (cnt + 1) div 2 THEN d END)"
+            " AS DOUBLE)"
+            " + CAST(sum(CASE WHEN rn = (cnt + 2) div 2 THEN d END)"
+            " AS DOUBLE)) / 2"
+        ).alias("hl"),
+    )
+    p = x.join(y, F.col("di") == F.col("dj")).select(
+        (F.col("mx") - F.col("my")).alias("d"), F.col("di").alias("day")
+    )
+    prk = p.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "day")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    pm = prk.agg(
+        F.max("cnt").cast("bigint").alias("n_days"),
+        F.expr(
+            "(CAST(sum(CASE WHEN rn = (cnt + 1) div 2 THEN d END)"
+            " AS DOUBLE)"
+            " + CAST(sum(CASE WHEN rn = (cnt + 2) div 2 THEN d END)"
+            " AS DOUBLE)) / 2"
+        ).alias("pmed"),
+    )
+    mn = (
+        x.agg(
+            F.sum("mx").alias("sx"), F.count("*").alias("nx")
+        )
+        .crossJoin(y.agg(F.sum("my").alias("sy")))
+        .selectExpr(
+            "(CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE)) / nx AS mshift"
+        )
+    )
+    return (
+        hl.crossJoin(F.broadcast(pm))
+        .crossJoin(F.broadcast(mn))
+        .selectExpr(
+            "n_pairs",
+            "n_days",
+            "round(hl, 6) AS hl_shift",
+            "round(pmed, 6) AS paired_median_shift",
+            "round(mshift, 6) AS mean_shift",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_sign_test_paired
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_sign_test_paired",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2),
+    p AS (
+      SELECT c.day, c.tot AS ct, v.tot AS vt
+      FROM (SELECT day, tot FROM daily WHERE event_type = 'click') c
+      JOIN (SELECT day, tot FROM daily WHERE event_type = 'view') v
+        USING (day)),
+    st AS (
+      SELECT CAST(sum(CASE WHEN ct <> vt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n,
+             CAST(sum(CASE WHEN ct > vt THEN 1 ELSE 0 END) AS BIGINT)
+               AS s
+      FROM p),
+    ks AS (
+      SELECT st.n, st.s, k.k,
+             list_reduce(
+               list_prepend(CAST(1 AS BIGINT),
+                            CAST(generate_series(1, k.k) AS BIGINT[])),
+               (acc, i) -> acc * (st.n - i + 1) // i) AS binom
+      FROM st CROSS JOIN
+           (SELECT unnest(generate_series(0, 60)) AS k) k
+      WHERE k.k <= st.n AND k.k >= st.s)
+    SELECT n AS n_informative, s AS n_click_greater,
+           round(CAST(s AS DOUBLE) / n, 6) AS frac_click_greater,
+           round(CAST(sum(binom) AS DOUBLE)
+                 / (CAST(1 AS BIGINT) << CAST(n AS INTEGER)), 6)
+             AS p_one_sided,
+           CAST(CASE WHEN CAST(sum(binom) AS DOUBLE)
+                          / (CAST(1 AS BIGINT) << CAST(n AS INTEGER))
+                          < 0.05
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM ks GROUP BY n, s
+    """,
+)
+def agg_sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PAIRED SIGN TEST of click vs view daily revenue: S =
+    #days click out-earned view among informative (untied) days, with
+    the EXACT one-sided binomial p-value P(Bin(n, 1/2) >= S) =
+    2^-n Σ_{k>=S} C(n,k) — no normal approximation anywhere, which at
+    a 30-day horizon is the difference between a right answer and a
+    textbook warning (agg_wilcoxon_signed_rank uses magnitudes + a
+    z approximation; the sign test is its assumption-free floor:
+    valid under ANY continuous paired distribution).
+
+    The binomial coefficients are computed EXACTLY: C(n,k) folds as
+    acc·(n-k+1)/k over k, integer-exact at every step (each partial
+    product is itself a binomial coefficient — divisibility is a
+    theorem), summed in BIGINT, divided once by 2^n (dyadic, exact in
+    double). A p-value with zero float error.
+
+    Shape at 100 TB: the fact table collapses to the day x type
+    domain; the k-domain coefficient fold is a bounded HOF.
+
+    Parity: daily totals are exact BIGINT cents; ties drop on both
+    sides; the coefficient fold is the identical scalar-accumulator
+    left-fold on both engines (DuckDB list_reduce is exact for SCALAR
+    accumulators — the round-6 note); the final division is one
+    shared double expression, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)"))
+            .cast("bigint")
+            .alias("tot")
+        )
+        .localCheckpoint()
+    )
+    c = daily.where(F.col("event_type") == "click").select(
+        "day", F.col("tot").alias("ct")
+    )
+    v = daily.where(F.col("event_type") == "view").select(
+        "day", F.col("tot").alias("vt")
+    )
+    st = (
+        c.join(v, "day")
+        .agg(
+            F.sum(F.expr("CASE WHEN ct <> vt THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n"),
+            F.sum(F.expr("CASE WHEN ct > vt THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .localCheckpoint()
+    )
+    ks = (
+        st.crossJoin(
+            F.broadcast(spark.range(0, 61).select(F.col("id").alias("k")))
+        )
+        .where((F.col("k") <= F.col("n")) & (F.col("k") >= F.col("s")))
+        .selectExpr(
+            "n",
+            "s",
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(1 AS BIGINT),"
+            " (acc, i) -> acc * (n - i + 1) div i) AS binom",
+        )
+    )
+    return ks.groupBy("n", "s").agg(
+        F.sum("binom").alias("sb")
+    ).selectExpr(
+        "n AS n_informative",
+        "s AS n_click_greater",
+        "round(CAST(s AS DOUBLE) / n, 6) AS frac_click_greater",
+        "round(CAST(sb AS DOUBLE)"
+        " / shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)), 6)"
+        " AS p_one_sided",
+        "CAST(CASE WHEN CAST(sb AS DOUBLE)"
+        " / shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)) < 0.05"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_anderson_darling_2samp
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_anderson_darling_2samp",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'view')),
+    blk AS MATERIALIZED (
+      SELECT c,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f2
+      FROM r GROUP BY c),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1,
+             CAST(sum(f2) AS BIGINT) AS n2,
+             CAST(sum(f1) + sum(f2) AS BIGINT) AS n
+      FROM blk),
+    cum AS MATERIALIZED (
+      SELECT c, f1, f2, f1 + f2 AS l,
+             2 * (sum(f1 + f2) OVER (ORDER BY c) - (f1 + f2)) + (f1 + f2)
+               AS twob,
+             2 * (sum(f1) OVER (ORDER BY c) - f1) + f1 AS twom1,
+             2 * (sum(f2) OVER (ORDER BY c) - f2) + f2 AS twom2
+      FROM blk),
+    terms AS (
+      SELECT CAST(sum(CAST(round(
+               cum.l * (
+                 CAST(CAST(tot.n * cum.twom1 - tot.n1 * cum.twob
+                           AS DECIMAL(19,0))
+                      * CAST(tot.n * cum.twom1 - tot.n1 * cum.twob
+                             AS DECIMAL(19,0)) AS DOUBLE)
+                 / (cum.twob * (2 * tot.n - cum.twob) - tot.n * cum.l)
+                 / tot.n1
+                 +
+                 CAST(CAST(tot.n * cum.twom2 - tot.n2 * cum.twob
+                           AS DECIMAL(19,0))
+                      * CAST(tot.n * cum.twom2 - tot.n2 * cum.twob
+                             AS DECIMAL(19,0)) AS DOUBLE)
+                 / (cum.twob * (2 * tot.n - cum.twob) - tot.n * cum.l)
+                 / tot.n2), 9) AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS ss,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM cum CROSS JOIN tot
+      WHERE cum.twob * (2 * tot.n - cum.twob) - tot.n * cum.l > 0),
+    hh AS MATERIALIZED (
+      SELECT i,
+             CAST(round(CAST(1 AS DOUBLE) / i, 12) AS DECIMAL(20,12))
+               AS hterm
+      FROM (SELECT unnest(generate_series(1, (SELECT n - 1 FROM tot)))
+              AS i)),
+    hcum AS MATERIALIZED (
+      SELECT i, CAST(sum(hterm) OVER (ORDER BY i) AS DECIMAL(28,12))
+               AS hi
+      FROM hh),
+    hfin AS MATERIALIZED (
+      SELECT max(hi) AS h FROM hcum),
+    gg AS MATERIALIZED (
+      SELECT CAST(sum(CAST(round(
+               (CAST(hf.h AS DOUBLE) - CAST(hc.hi AS DOUBLE))
+               / (tot.n - hc.i), 12) AS DECIMAL(20,12)))
+             AS DECIMAL(38,12)) AS g
+      FROM hcum hc CROSS JOIN hfin hf CROSS JOIN tot
+      WHERE hc.i <= tot.n - 2),
+    fin AS (
+      SELECT tot.n1, tot.n2, tot.n, t.n_blocks,
+             (tot.n - 1.0) * CAST(t.ss AS DOUBLE) / tot.n / tot.n AS a2,
+             CAST(1 AS DOUBLE) / tot.n1 + CAST(1 AS DOUBLE) / tot.n2
+               AS bh,
+             CAST(hf.h AS DOUBLE) AS h, CAST(gg.g AS DOUBLE) AS g
+      FROM terms t CROSS JOIN tot CROSS JOIN hfin hf CROSS JOIN gg)
+    SELECT n1 AS n_click, n2 AS n_view, n_blocks,
+           round(a2, 6) AS a2_stat,
+           round((a2 - 1.0)
+                 / sqrt(((4 * g - 6) * 1 + (10 - 6 * g) * bh) * n * n * n
+                        / ((n - 1.0) * (n - 2) * (n - 3))
+                        + ((2 * g - 4) * 4 + 8 * h * 2
+                           + (2 * g - 14 * h - 4) * bh - 8 * h + 4 * g
+                           - 6) * n * n
+                          / ((n - 1.0) * (n - 2) * (n - 3))
+                        + ((6 * h + 2 * g - 2) * 4
+                           + (4 * h - 4 * g + 6) * 2 + (2 * h - 6) * bh
+                           + 4 * h) * n
+                          / ((n - 1.0) * (n - 2) * (n - 3))
+                        + ((2 * h + 6) * 4 - 4 * h * 2)
+                          / ((n - 1.0) * (n - 2) * (n - 3))), 6)
+             AS t_stat,
+           CAST(CASE WHEN round((a2 - 1.0)
+                 / sqrt(((4 * g - 6) * 1 + (10 - 6 * g) * bh) * n * n * n
+                        / ((n - 1.0) * (n - 2) * (n - 3))
+                        + ((2 * g - 4) * 4 + 8 * h * 2
+                           + (2 * g - 14 * h - 4) * bh - 8 * h + 4 * g
+                           - 6) * n * n
+                          / ((n - 1.0) * (n - 2) * (n - 3))
+                        + ((6 * h + 2 * g - 2) * 4
+                           + (4 * h - 4 * g + 6) * 2 + (2 * h - 6) * bh
+                           + 4 * h) * n
+                          / ((n - 1.0) * (n - 2) * (n - 3))
+                        + ((2 * h + 6) * 4 - 4 * h * 2)
+                          / ((n - 1.0) * (n - 2) * (n - 3))), 9)
+                          >= 1.960
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM fin
+    """,
+)
+def agg_anderson_darling_2samp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-SAMPLE ANDERSON-DARLING TEST (Scholz-Stephens k-sample
+    statistic, midrank/ties version, k=2) of click vs view value
+    distributions: A² weights discrepancies by 1/(F(1-F)), so it
+    sees TAIL differences the KS statistic's sup-norm misses
+    (agg_ks_test_two_sample is the body test; this is the tail
+    test), with the exact Scholz-Stephens standardization
+    T = (A²-1)/σ_N — σ² from the published closed form in N, H =
+    1/n1+1/n2, the harmonic sum h, and the double harmonic g (folded
+    to O(N) with harmonic prefix sums) — and the k=2, alpha=0.05
+    critical value 1.960.
+
+    Shape at 100 TB: the fact table collapses to the distinct-cents
+    value domain in one grouped scan (the agg_mann_whitney_u move);
+    every cumulative is a window over that bounded domain; h and g
+    are bounded index-domain sums with a prefix-sum rewrite replacing
+    the naive O(N²) double harmonic.
+
+    Parity: block counts and the doubled midrank cumulatives (2B,
+    2M_i) are exact BIGINTs — the x4-scaled term is a ratio of exact
+    integers with the squared numerator in DECIMAL(19,0)² (int64
+    would overflow at N ~ 4e4); per-block contributions quantize
+    round(9) and h/g terms round(12) into DECIMAL before their
+    order-independent sums; A², σ, and T are shared double
+    expressions, T quantizing round(9) before the critical-value
+    compare."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    blk = r.groupBy("c").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f2"),
+    ).localCheckpoint()
+    tot = blk.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+        (F.sum("f1") + F.sum("f2")).cast("bigint").alias("n"),
+    ).localCheckpoint()
+    w_c = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = blk.select(
+        "c",
+        "f1",
+        "f2",
+        (F.col("f1") + F.col("f2")).alias("l"),
+        (
+            2 * (F.sum(F.col("f1") + F.col("f2")).over(w_c)
+                 - (F.col("f1") + F.col("f2")))
+            + (F.col("f1") + F.col("f2"))
+        ).alias("twob"),
+        (2 * (F.sum("f1").over(w_c) - F.col("f1")) + F.col("f1")).alias(
+            "twom1"
+        ),
+        (2 * (F.sum("f2").over(w_c) - F.col("f2")) + F.col("f2")).alias(
+            "twom2"
+        ),
+    )
+    t_tpl = (
+        "CAST(CAST(n * twom{i} - n{i} * twob AS DECIMAL(19,0))"
+        " * CAST(n * twom{i} - n{i} * twob AS DECIMAL(19,0)) AS DOUBLE)"
+        " / (twob * (2 * n - twob) - n * l) / n{i}"
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(
+            F.expr("twob * (2 * n - twob) - n * l > 0")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l * ("
+                    + t_tpl.format(i=1)
+                    + " + "
+                    + t_tpl.format(i=2)
+                    + "), 9) AS DECIMAL(28,9))"
+                )
+            )
+            .cast("decimal(38,9)")
+            .alias("ss"),
+            F.count("*").cast("bigint").alias("n_blocks"),
+        )
+    )
+    hh = tot.selectExpr(
+        "explode(sequence(CAST(1 AS BIGINT), n - 1)) AS i"
+    ).selectExpr(
+        "i",
+        "CAST(round(CAST(1 AS DOUBLE) / i, 12) AS DECIMAL(20,12))"
+        " AS hterm",
+    )
+    w_i = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    hcum = hh.select(
+        "i", F.sum("hterm").over(w_i).cast("decimal(28,12)").alias("hi")
+    ).localCheckpoint()
+    hfin = hcum.agg(F.max("hi").alias("h")).localCheckpoint()
+    gg = (
+        hcum.crossJoin(F.broadcast(hfin))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("i") <= F.col("n") - 2)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round((CAST(h AS DOUBLE) - CAST(hi AS DOUBLE))"
+                    " / (n - i), 12) AS DECIMAL(20,12))"
+                )
+            )
+            .cast("decimal(38,12)")
+            .alias("g")
+        )
+    )
+    var_expr = (
+        "(((4 * g - 6) * 1 + (10 - 6 * g) * bh) * n * n * n"
+        " / ((n - 1.0) * (n - 2) * (n - 3))"
+        " + ((2 * g - 4) * 4 + 8 * h * 2"
+        " + (2 * g - 14 * h - 4) * bh - 8 * h + 4 * g - 6) * n * n"
+        " / ((n - 1.0) * (n - 2) * (n - 3))"
+        " + ((6 * h + 2 * g - 2) * 4"
+        " + (4 * h - 4 * g + 6) * 2 + (2 * h - 6) * bh + 4 * h) * n"
+        " / ((n - 1.0) * (n - 2) * (n - 3))"
+        " + ((2 * h + 6) * 4 - 4 * h * 2)"
+        " / ((n - 1.0) * (n - 2) * (n - 3)))"
+    )
+    fin = (
+        terms.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hfin))
+        .crossJoin(F.broadcast(gg))
+        .selectExpr(
+            "n1",
+            "n2",
+            "n",
+            "n_blocks",
+            "(n - 1.0) * CAST(ss AS DOUBLE) / n / n AS a2",
+            "CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2 AS bh",
+            "CAST(h AS DOUBLE) AS h",
+            "CAST(g AS DOUBLE) AS g",
+        )
+    )
+    return fin.selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "n_blocks",
+        "round(a2, 6) AS a2_stat",
+        f"round((a2 - 1.0) / sqrt({var_expr}), 6) AS t_stat",
+        f"CAST(CASE WHEN round((a2 - 1.0) / sqrt({var_expr}), 9)"
+        " >= 1.960 THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )

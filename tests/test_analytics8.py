@@ -603,3 +603,88 @@ def test_anderson_darling_matches_midrank_formula(spark):
     t = (a2 - (k - 1)) / math.sqrt(var)
     assert abs(row.t_stat - t) < 1e-3
     assert row.significant_05 == int(round(t, 9) >= 1.960)
+
+
+def test_roc_youden_matches_bruteforce(spark):
+    row = QUERIES["agg_roc_youden"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    x = ev.vc[ev.event_type == "click"].to_numpy()  # positives
+    y = ev.vc[ev.event_type == "view"].to_numpy()
+    n1, n2 = len(x), len(y)
+    assert (row.n_click, row.n_view) == (n1, n2)
+    # exact AUC via the tie-corrected Mann-Whitney identity
+    auc = sum(
+        (y < c).sum() + 0.5 * (y == c).sum() for c in x
+    ) / (n1 * n2)
+    assert abs(row.auc - auc) < 1e-6
+    # Youden over every distinct threshold (classify click if >= t)
+    best = max(
+        (
+            ((x >= t).sum() * n2 - (y >= t).sum() * n1, -t)
+            for t in np.unique(np.concatenate([x, y]))
+        ),
+    )
+    jnum, negt = best
+    t = -negt
+    assert abs(row.best_threshold - t / 100.0) < 1e-9
+    assert abs(row.youden_j - jnum / (n1 * n2)) < 1e-6
+    assert abs(row.tpr - (x >= t).sum() / n1) < 1e-6
+    assert abs(row.fpr - (y >= t).sum() / n2) < 1e-6
+    assert row.youden_j >= 0
+
+
+def test_discount_elasticity_matches_numpy(spark):
+    pdf = (
+        QUERIES["agg_discount_elasticity"](spark, SF)
+        .toPandas()
+        .sort_values("discount_pct")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    d = np.floor(li.l_discount * 100 + 0.5).astype(np.int64)
+    q = np.floor(li.l_quantity + 0.5).astype(np.int64)
+    slope, intercept = np.polyfit(d, q, 1)
+    assert len(pdf) == len(np.unique(d))
+    assert (pdf.qty_per_discount_pct - round(slope, 6)).abs().max() < 1e-4
+    assert (pdf.intercept_qty - intercept).abs().max() < 1e-4
+    for row in pdf.itertuples():
+        sel = q[d == row.discount_pct]
+        assert row.n_lines == len(sel)
+        assert abs(row.mean_quantity - sel.mean()) < 1e-6
+    assert (
+        abs(pdf.elasticity_at_zero.iloc[0] - slope * 100 / intercept)
+        < 1e-3
+    )
+
+
+def test_copurchase_components_match_python_cc(spark):
+    pdf = QUERIES["graph_copurchase_components"](spark, SF).toPandas()
+    edges = _copurchase_edges_py()
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    seen = set()
+    sizes = []
+    for start in adj:
+        if start in seen:
+            continue
+        comp = {start}
+        frontier = [start]
+        while frontier:
+            n = frontier.pop()
+            for m2 in adj[n]:
+                if m2 not in comp:
+                    comp.add(m2)
+                    frontier.append(m2)
+        seen |= comp
+        sizes.append(len(comp))
+    want = collections.Counter(sizes)
+    got = dict(zip(pdf.component_size, pdf.n_components))
+    assert got == dict(want)
+    assert (pdf.total_components == len(sizes)).all()
+    assert (pdf.largest_size == max(sizes)).all()
+    assert (pdf.total_nodes == sum(sizes)).all()
+    assert (
+        pdf.n_nodes == pdf.component_size * pdf.n_components
+    ).all()

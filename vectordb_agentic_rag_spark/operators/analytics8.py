@@ -2714,3 +2714,376 @@ def agg_anderson_darling_2samp(
         f"CAST(CASE WHEN round((a2 - 1.0) / sqrt({var_expr}), 9)"
         " >= 1.960 THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_roc_youden
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_roc_youden",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'view')),
+    blk AS MATERIALIZED (
+      SELECT c,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f2
+      FROM r GROUP BY c),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f2) AS BIGINT) AS n2
+      FROM blk),
+    cum AS MATERIALIZED (
+      SELECT c,
+             sum(f1) OVER (ORDER BY c) - f1 AS c1less,
+             sum(f2) OVER (ORDER BY c) - f2 AS c2less,
+             f1, f2
+      FROM blk),
+    auc AS (
+      SELECT CAST(sum(f1 * (2 * c2less + f2)) AS BIGINT) AS a2num
+      FROM cum),
+    j AS (
+      SELECT c AS thr,
+             tot.n1 - c1less AS tp, tot.n2 - c2less AS fp, tot.n1,
+             tot.n2,
+             (tot.n1 - c1less) * tot.n2 - (tot.n2 - c2less) * tot.n1
+               AS jnum
+      FROM cum CROSS JOIN tot),
+    best AS (
+      SELECT * FROM j ORDER BY jnum DESC, thr LIMIT 1)
+    SELECT b.n1 AS n_click, b.n2 AS n_view,
+           round(CAST(b.thr AS DOUBLE) / 100.0, 6) AS best_threshold,
+           round(CAST(b.tp AS DOUBLE) / b.n1, 6) AS tpr,
+           round(CAST(b.fp AS DOUBLE) / b.n2, 6) AS fpr,
+           round(CAST(b.jnum AS DOUBLE) / (b.n1 * b.n2), 6) AS youden_j,
+           round(CAST(a.a2num AS DOUBLE) / (2.0 * b.n1 * b.n2), 6)
+             AS auc
+    FROM best b CROSS JOIN auc a
+    """,
+)
+def agg_roc_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC ANALYSIS of value as a click-vs-view classifier: the exact
+    AUC (Mann-Whitney identity with the tie correction — 2·AUC·n1·n2
+    = Σ_c f1(c)·(2·#view<c + #view=c), an exact integer) and the
+    YOUDEN-OPTIMAL threshold maximizing J = TPR - FPR over the
+    complete value domain (classify click when value >= t) — the
+    threshold-free discrimination number (AUC) plus the single best
+    operating point, completing the classifier-eval family
+    (agg_calibration_brier scores probability quality,
+    agg_decision_stump_gini picks a purity split; Youden picks the
+    screening cutoff). J's argmax compares exact integer
+    cross-products (J·n1·n2), so no division enters the decision.
+
+    Shape at 100 TB: one grouped scan to the distinct-cents value
+    domain; cumulative counts are windows over that bounded domain;
+    argmax is orderBy+limit 1. The same value-domain machinery as
+    agg_mann_whitney_u, re-read as ROC.
+
+    Parity: all counts exact BIGINT; the argmax key is an exact
+    integer with threshold tie-break; outputs are single divisions,
+    round(6)."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    blk = r.groupBy("c").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f2"),
+    ).localCheckpoint()
+    tot = blk.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+    ).localCheckpoint()
+    w_c = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = blk.select(
+        "c",
+        (F.sum("f1").over(w_c) - F.col("f1")).alias("c1less"),
+        (F.sum("f2").over(w_c) - F.col("f2")).alias("c2less"),
+        "f1",
+        "f2",
+    )
+    auc = cum.agg(
+        F.sum(F.expr("f1 * (2 * c2less + f2)")).cast("bigint").alias("a2num")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "c AS thr",
+        "n1 - c1less AS tp",
+        "n2 - c2less AS fp",
+        "n1",
+        "n2",
+        "(n1 - c1less) * n2 - (n2 - c2less) * n1 AS jnum",
+    )
+    best = j.orderBy(F.col("jnum").desc(), "thr").limit(1)
+    return best.crossJoin(F.broadcast(auc)).selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "round(CAST(thr AS DOUBLE) / 100.0, 6) AS best_threshold",
+        "round(CAST(tp AS DOUBLE) / n1, 6) AS tpr",
+        "round(CAST(fp AS DOUBLE) / n2, 6) AS fpr",
+        "round(CAST(jnum AS DOUBLE) / (n1 * n2), 6) AS youden_j",
+        "round(CAST(a2num AS DOUBLE) / (2.0 * n1 * n2), 6) AS auc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_discount_elasticity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_discount_elasticity",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+             CAST(round(l_quantity, 0) AS BIGINT) AS q
+      FROM lineitem),
+    lev AS MATERIALIZED (
+      SELECT d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sq
+      FROM r GROUP BY d),
+    mo AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(d * n) AS BIGINT) AS sx,
+             CAST(sum(sq) AS BIGINT) AS sy,
+             CAST(sum(d * d * n) AS BIGINT) AS sxx,
+             CAST(sum(d * sq) AS BIGINT) AS sxy
+      FROM lev),
+    fit AS (
+      SELECT n, sx, sy, sxx, sxy,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS slope
+      FROM mo)
+    SELECT lev.d AS discount_pct, lev.n AS n_lines,
+           round(CAST(lev.sq AS DOUBLE) / lev.n, 6) AS mean_quantity,
+           round(f.slope, 6) AS qty_per_discount_pct,
+           round((CAST(f.sy AS DOUBLE) - f.slope * f.sx) / f.n, 6)
+             AS intercept_qty,
+           round(f.slope * 100.0
+                 / ((CAST(f.sy AS DOUBLE) - f.slope * f.sx) / f.n), 6)
+             AS elasticity_at_zero
+    FROM lev CROSS JOIN fit f
+    """,
+)
+def agg_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCOUNT-QUANTITY ELASTICITY from the lineitem fact table: the
+    OLS slope of order quantity on the discount level (in integer
+    percent points, the fixture's exact 0-10 domain), the zero-
+    discount intercept, and the implied elasticity at list price
+    (slope·100/intercept: % quantity change per 100% discount change)
+    — the pricing read the TPC-H-style revenue ops
+    (agg_rollup_revenue, win_running_total_range) never ask of the
+    same scan. Per-level mean quantities ride along so the linearity
+    assumption is visually checkable against the fit (on the
+    synthetic fixture the slope is ~0 — the documented null case: the
+    generator draws quantity independent of discount, and a pipeline
+    should SHOW that, not assume it).
+
+    Shape at 100 TB: one groupBy on the 11-value discount domain
+    (map-side combinable) collapses the fact table; the regression is
+    bounded-domain arithmetic on exact integer moments (quantities
+    and discount points are exact integers, so Sxy, Sxx are exact
+    BIGINTs — no decimal machinery needed at all).
+
+    Parity: both columns round-trip through exact integer casts; the
+    slope/intercept/elasticity are shared double expressions of exact
+    integers, round(6)."""
+    li = table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)").alias("d"),
+        F.expr("CAST(l_quantity + 0.5 AS BIGINT)").alias("q"),
+    )
+    lev = r.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+    ).localCheckpoint()
+    mo = lev.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.expr("d * n")).cast("bigint").alias("sx"),
+        F.sum("sq").cast("bigint").alias("sy"),
+        F.sum(F.expr("d * d * n")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("d * sq")).cast("bigint").alias("sxy"),
+    )
+    fit = mo.selectExpr(
+        "n AS ntot",
+        "sx",
+        "sy",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope",
+    )
+    return lev.crossJoin(F.broadcast(fit)).selectExpr(
+        "d AS discount_pct",
+        "n AS n_lines",
+        "round(CAST(sq AS DOUBLE) / n, 6) AS mean_quantity",
+        "round(slope, 6) AS qty_per_discount_pct",
+        "round((CAST(sy AS DOUBLE) - slope * sx) / ntot, 6)"
+        " AS intercept_qty",
+        "round(slope * 100.0"
+        " / ((CAST(sy AS DOUBLE) - slope * sx) / ntot), 6)"
+        " AS elasticity_at_zero",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_copurchase_components
+# ---------------------------------------------------------------------------
+
+_CC_ROUNDS = 7  # relax+jump compounds ~2x/round; diameter <= 18 measured
+
+
+@query(
+    "graph_copurchase_components",
+    oracle="""
+    WITH RECURSIVE os AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    s AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    reach(node, anc) AS (
+      SELECT u, u FROM s
+      UNION
+      SELECT r.node, s.v FROM reach r JOIN s ON r.anc = s.u),
+    lab AS (
+      SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node),
+    comp AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+      FROM lab GROUP BY cluster_id),
+    dist AS (
+      SELECT sz AS component_size,
+             CAST(count(*) AS BIGINT) AS n_components
+      FROM comp GROUP BY sz),
+    gr AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_components,
+             CAST(max(sz) AS BIGINT) AS largest_size,
+             CAST(sum(sz) AS BIGINT) AS total_nodes
+      FROM comp)
+    SELECT d.component_size, d.n_components,
+           d.component_size * d.n_components AS n_nodes,
+           g.total_components, g.largest_size, g.total_nodes
+    FROM dist d CROSS JOIN gr g
+    """,
+)
+def graph_copurchase_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONNECTED-COMPONENT CENSUS of the support-2 co-purchase graph:
+    the component-size distribution (size -> how many components)
+    with total/largest/node-count grand columns — the macro-structure
+    read every other graph op here implicitly conditions on
+    (graph_closeness_seeds' Wasserman-Faust correction, the LP
+    coverage gaps, percolation-style questions "is there a giant
+    component?" — at sf0.001 yes, one 200-node component; at sf0.1
+    no, a forest of dimers and trimers: the answer flips WITH SCALE,
+    which is exactly why a pipeline monitors it).
+
+    Same pointer-jumping discipline as dedup_connected_components
+    (dedup.py:938): min-label relax + pointer jump per round over the
+    checkpointed edge list only, O(log diameter) rounds
+    (_CC_ROUNDS = 7 covers diameter <= 2^7 against the measured
+    <= 18), lineage truncated per round, shuffle partitions sized from
+    |E| and restored in finally, and ONE final relax that RAISES if
+    anything would still change — wrong labels are impossible, then
+    the small budget is safe.
+
+    Parity: labels are exact integer minima; sizes and counts exact
+    BIGINTs; the oracle computes the same components via a recursive
+    reachability closure (feasible at oracle-checked sfs where the
+    largest component closure is ~3.5M pairs)."""
+    from .analytics4 import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    n_edges = edges.count() // 2
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, min(200, n_edges // 1_000_000 + 1))),
+    )
+    conf.set("spark.sql.adaptive.enabled", "false")
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("cid"))
+        .localCheckpoint()
+    )
+
+    def relax(lbl: DataFrame) -> DataFrame:
+        nm = (
+            edges.join(
+                lbl.select(F.col("node").alias("u"), F.col("cid").alias("nl")),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("nl").alias("nl"))
+        )
+        return lbl.join(nm, "node", "left").select(
+            "node",
+            F.least(
+                F.col("cid"), F.coalesce(F.col("nl"), F.col("cid"))
+            ).alias("cid"),
+        )
+
+    try:
+        for _ in range(_CC_ROUNDS):
+            relaxed = relax(labels)
+            anc = relaxed.select(
+                F.col("node").alias("cid"), F.col("cid").alias("anc")
+            )
+            labels = (
+                relaxed.join(anc, "cid", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("anc"), F.col("cid")).alias("cid"),
+                )
+                .localCheckpoint()
+            )
+        still = (
+            relax(labels)
+            .join(
+                labels.select("node", F.col("cid").alias("old")), "node"
+            )
+            .where(F.col("cid") != F.col("old"))
+            .count()
+        )
+        if still:
+            raise RuntimeError(
+                f"graph_copurchase_components: {still} labels still "
+                f"changing after {_CC_ROUNDS} relax+jump rounds"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    comp = labels.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    dist = comp.groupBy(F.col("sz").alias("component_size")).agg(
+        F.count("*").cast("bigint").alias("n_components")
+    )
+    gr = comp.agg(
+        F.count("*").cast("bigint").alias("total_components"),
+        F.max("sz").cast("bigint").alias("largest_size"),
+        F.sum("sz").cast("bigint").alias("total_nodes"),
+    )
+    return dist.crossJoin(F.broadcast(gr)).select(
+        "component_size",
+        "n_components",
+        (F.col("component_size") * F.col("n_components")).alias("n_nodes"),
+        "total_components",
+        "largest_size",
+        "total_nodes",
+    )

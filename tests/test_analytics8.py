@@ -688,3 +688,78 @@ def test_copurchase_components_match_python_cc(spark):
     assert (
         pdf.n_nodes == pdf.component_size * pdf.n_components
     ).all()
+
+
+def test_dtw_band_matches_bruteforce_dp(spark):
+    row = QUERIES["agg_dtw_band_distance"](spark, SF).toPandas().iloc[0]
+    x = _daily_means_by_type("click").to_numpy()
+    y = _daily_means_by_type("view").to_numpy()
+    n = len(x)
+    assert row.n_days == n
+    INF = float("inf")
+    D = {(0, 0): 0.0}
+    for i in range(1, n + 1):
+        for j in range(max(1, i - 2), min(n, i + 2) + 1):
+            prev = min(
+                D.get((i - 1, j), INF),
+                D.get((i - 1, j - 1), INF),
+                D.get((i, j - 1), INF),
+            )
+            if i == 1 and j == 1:
+                prev = 0.0
+            D[(i, j)] = abs(x[i - 1] - y[j - 1]) + prev
+    dtw = D[(n, n)]
+    l1 = np.abs(x - y).sum()
+    assert abs(row.dtw_distance - dtw) < 1e-5
+    assert abs(row.diagonal_l1 - l1) < 1e-4
+    assert row.dtw_distance <= row.diagonal_l1 + 1e-9
+    assert abs(row.warp_gain - (l1 - dtw) / l1) < 1e-4
+
+
+def test_partial_correlation_matches_numpy(spark):
+    row = QUERIES["agg_partial_correlation"](spark, SF).toPandas().iloc[0]
+    x = _daily_means_by_type("click")
+    y = _daily_means_by_type("purchase")
+    z = _daily_means_by_type("view")
+    common = x.index.intersection(y.index).intersection(z.index)
+    xv, yv, zv = (
+        s[common].to_numpy() for s in (x, y, z)
+    )
+    assert row.n_days == len(common)
+    rxy = np.corrcoef(xv, yv)[0, 1]
+    rxz = np.corrcoef(xv, zv)[0, 1]
+    ryz = np.corrcoef(yv, zv)[0, 1]
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert abs(row.r_click_purchase - rxy) < 1e-5
+    assert abs(row.r_click_view - rxz) < 1e-5
+    assert abs(row.r_purchase_view - ryz) < 1e-5
+    assert abs(row.partial_r_given_view - part) < 1e-4
+
+
+def test_granger_matches_numpy_lstsq(spark):
+    row = (
+        QUERIES["agg_granger_causality_1lag"](spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    c = _daily_means_by_type("click").to_numpy()
+    v = _daily_means_by_type("view").to_numpy()
+    yv = c[1:]
+    x1 = c[:-1]
+    z1 = v[:-1]
+    n = len(yv)
+    assert row.n_obs == n
+
+    def rss(X):
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        r = yv - X @ beta
+        return (r * r).sum()
+
+    ones = np.ones_like(x1)
+    rss_r = rss(np.column_stack([ones, x1]))
+    rss_f = rss(np.column_stack([ones, x1, z1]))
+    f = (rss_r - rss_f) / (rss_f / (n - 3))
+    assert abs(row.rss_restricted - rss_r) < 1e-3
+    assert abs(row.rss_full - rss_f) < 1e-3
+    assert abs(row.f_stat - f) < 1e-3
+    assert row.view_causes_click_05 == int(f > 4.225)

@@ -970,3 +970,76 @@ def test_capture_recapture_bounds_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Location: InMemoryFileIndex") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_katz_topk_is_take_ordered_on_edges_only(spark, sf_dir):
+    # the 6-iteration walk unroll lives on the checkpointed edge list
+    # (no parquet re-scan); the top-20 is TakeOrderedAndProject, never
+    # a global-sort window
+    plan = plan_of(QUERIES["graph_katz_centrality"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_beta_binomial_topk_take_ordered_single_source(spark, sf_dir):
+    # two passes over the per-user aggregate of ONE fact source (the
+    # prior moments and the scoring), top-10 via TakeOrderedAndProject
+    plan = plan_of(QUERIES["agg_beta_binomial_shrinkage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_process_capability_one_grouped_scan(spark, sf_dir):
+    # the cheapest shape there is: one scan, map-side partial agg,
+    # no join, no window
+    plan = plan_of(QUERIES["agg_process_capability"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_lognormal_fit_one_grouped_scan_pushed_filter(spark, sf_dir):
+    # value > 0 reaches the parquet scan; one grouped pass after it
+    plan = plan_of(QUERIES["agg_lognormal_fit"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "GreaterThan(value,0.0)" in plan
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_anderson_darling_value_domain_windows(spark, sf_dir):
+    # the fact table collapses to the distinct-cents domain in ONE
+    # scan; h/g harmonic sums live on an in-plan integer sequence
+    plan = plan_of(QUERIES["agg_anderson_darling_2samp"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0  # checkpointed
+    assert "BatchEvalPython" not in plan
+
+
+def test_closeness_seeds_no_fact_rescan(spark, sf_dir):
+    # BFS ran at build time over checkpoints; the final plan reads
+    # only checkpointed frames
+    plan = plan_of(QUERIES["graph_closeness_seeds"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_conformal_interval_exact_integer_plan(spark, sf_dir):
+    # day-domain work only: one fact scan feeds the daily totals; the
+    # rank pick and interval arithmetic are join/window on checkpoints
+    plan = plan_of(QUERIES["win_conformal_interval_daily"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_discount_elasticity_bounded_domain_agg(spark, sf_dir):
+    # one grouped scan to the 11-level discount domain; the fit is a
+    # broadcast of a 1-row frame back onto that domain
+    plan = plan_of(QUERIES["agg_discount_elasticity"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan

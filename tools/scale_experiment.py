@@ -211,6 +211,23 @@ OPS = [
     ("win_cross_correlation_lags", "events"),
     ("graph_bfs_reach_layers", "lineitem"),
     ("graph_degree_gini", "lineitem"),
+    # round-8 fourth session (fact-scaled ops; the day-domain family —
+    # median polish / Ljung-Box / variance ratio / isotonic / scan
+    # statistic / conformal / periodogram / Holt-Winters / matrix
+    # profile / SAX / Hodges-Lehmann / sign test — collapses to the
+    # bounded 30-day grid in its first aggregate)
+    ("graph_attribute_assortativity", "lineitem"),
+    ("agg_contingency_gtest", "documents"),
+    ("agg_cohen_h_effect", "events"),
+    ("graph_katz_centrality", "lineitem"),
+    ("agg_process_capability", "events"),
+    ("agg_beta_binomial_shrinkage", "events"),
+    ("agg_lognormal_fit", "events"),
+    ("agg_anderson_darling_2samp", "events"),
+    ("agg_roc_youden", "events"),
+    ("agg_discount_elasticity", "lineitem"),
+    ("graph_closeness_seeds", "lineitem"),
+    ("graph_copurchase_components", "lineitem"),
 ]
 
 

@@ -3087,3 +3087,552 @@ def graph_copurchase_components(
         "largest_size",
         "total_nodes",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_dtw_band_distance
+# ---------------------------------------------------------------------------
+
+_DTW_INF = "CAST(1e18 AS DOUBLE)"
+
+
+def _dtw_step_exprs(ps: str, pe: str):
+    """Render the 5 banded-DTW cell updates for one row advance.
+
+    State c1..c5 = D(i, i-2..i+2); element costs cost1..cost5 =
+    |x_i - y_{i+k-3}| (NULL when j is out of [1, n]). Cell update:
+    D(i,j) = cost + min(D(i-1,j) [up = c_{k+1}], D(i-1,j-1)
+    [ul = c_k], D(i,j-1) [left = this row's c_{k-1}, expanded
+    textually]). ps/pe: state / element reference prefixes.
+    """
+    new = {}
+    for k in range(1, 6):
+        up = f"{ps}c{k + 1}" if k < 5 else _DTW_INF
+        ul = f"{ps}c{k}"
+        left = new[k - 1] if k > 1 else _DTW_INF
+        new[k] = (
+            f"(CASE WHEN {pe}cost{k} IS NULL THEN {_DTW_INF}"
+            f" ELSE {pe}cost{k} + least({up}, {ul}, {left}) END)"
+        )
+    return new
+
+
+def _dtw_oracle() -> str:
+    new = _dtw_step_exprs("h.", "s.")
+    cols = ",\n             ".join(f"{new[k]} AS c{k}" for k in range(1, 6))
+    cost_cols = ",\n             ".join(
+        f"CASE WHEN x.t + {k - 3} BETWEEN 1 AND nn.n THEN"
+        f" abs(CAST(x.m - y{k}.m AS DOUBLE)) END AS cost{k}"
+        for k in range(1, 6)
+    )
+    cost_joins = "\n      ".join(
+        f"LEFT JOIN yy y{k} ON y{k}.t = x.t + {k - 3}"
+        for k in range(1, 6)
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2),
+    xx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily WHERE event_type = 'click'),
+    yy AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily WHERE event_type = 'view'),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM xx),
+    seq AS MATERIALIZED (
+      SELECT x.t AS i,
+             {cost_cols}
+      FROM xx x CROSS JOIN nn
+      {cost_joins}),
+    h AS (
+      SELECT CAST(1 AS BIGINT) AS i,
+             {_DTW_INF} AS c1, {_DTW_INF} AS c2,
+             cost3 AS c3, cost3 + cost4 AS c4,
+             cost3 + cost4 + cost5 AS c5
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT h.i + 1,
+             {cols}
+      FROM h JOIN seq s ON s.i = h.i + 1),
+    fin AS MATERIALIZED (
+      SELECT h.c3 AS dtw FROM h CROSS JOIN nn WHERE h.i = nn.n),
+    diag AS (
+      SELECT CAST(sum(CAST(round(abs(CAST(x.m - y.m AS DOUBLE)), 9)
+                           AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS l1
+      FROM xx x JOIN yy y ON x.t = y.t)
+    SELECT nn.n AS n_days,
+           round(fin.dtw, 6) AS dtw_distance,
+           round(CAST(diag.l1 AS DOUBLE), 6) AS diagonal_l1,
+           round((CAST(diag.l1 AS DOUBLE) - fin.dtw)
+                 / CAST(diag.l1 AS DOUBLE), 6) AS warp_gain
+    FROM fin CROSS JOIN diag CROSS JOIN nn
+    """
+
+
+@query("agg_dtw_band_distance", oracle=_dtw_oracle())
+def agg_dtw_band_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAKOE-CHIBA-BANDED DYNAMIC TIME WARPING (band r=2, L1 cell
+    cost) between the click and view daily-mean series: the minimal
+    cumulative |x_i - y_j| over monotone alignments whose warp never
+    strays more than 2 days off the diagonal — the ALIGNMENT distance
+    that win_cross_correlation_lags's single best lag approximates
+    with one rigid shift (DTW warps locally: view can lead by 2 days
+    in week 1 and lag by 1 in week 3). warp_gain = (L1 - DTW)/L1
+    reads how much of the rigid-alignment distance warping explains.
+
+    The banded DP folds as a 5-cell anti-band struct: state c_k =
+    D(i, i+k-3), one named_struct fold step per day (the Holt-Winters
+    9-field fold machinery, re-used for a DP recurrence) — within-row
+    left-dependencies expand textually, so the whole row advance is
+    ONE expression on both engines. Out-of-band cells are an explicit
+    1e18 infinity.
+
+    Shape at 100 TB: the fact table collapses to the day domain; the
+    fold is one bounded JVM-side aggregate() — no UDF, no loop. (At
+    row-scaled series lengths the anti-diagonal wavefront would
+    distribute; on a bounded domain the fold IS the fast path.)
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); cell
+    costs are |exact decimal| cast to double; the fold performs
+    IDENTICAL IEEE add/min sequences on both engines (the
+    win_holt_linear bit-exactness argument — the DuckDB twin steps
+    the same expressions through a RECURSIVE CTE); the diagonal L1
+    sum quantizes round(9) per term; round(6) lands at output."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+                " AS DECIMAL(16,6))"
+            ).alias("m"),
+        )
+        .localCheckpoint()
+    )
+    w_d = Window.orderBy("day")
+    xx = daily.where(F.col("event_type") == "click").select(
+        F.row_number().over(w_d).cast("bigint").alias("t"),
+        F.col("m").alias("mx"),
+    ).localCheckpoint()
+    yy = daily.where(F.col("event_type") == "view").select(
+        F.row_number().over(w_d).cast("bigint").alias("t"),
+        F.col("m").alias("my"),
+    ).localCheckpoint()
+    nn = xx.agg(F.count("*").cast("bigint").alias("n")).localCheckpoint()
+    seq = xx.crossJoin(F.broadcast(nn))
+    for k in range(1, 6):
+        yk = yy.select(
+            (F.col("t") - (k - 3)).alias("t"), F.col("my").alias(f"y{k}")
+        )
+        seq = seq.join(yk, "t", "left")
+    seq = seq.select(
+        F.col("t").alias("i"),
+        *[
+            F.expr(
+                f"CASE WHEN t + {k - 3} BETWEEN 1 AND n THEN"
+                f" abs(CAST(mx - y{k} AS DOUBLE)) END"
+            ).alias(f"cost{k}")
+            for k in range(1, 6)
+        ],
+    ).localCheckpoint()
+    arr = seq.where(F.col("i") >= 2).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("i", "cost1", "cost2", "cost3", "cost4", "cost5")
+            )
+        ).alias("vals")
+    )
+    init = seq.where(F.col("i") == 1)
+    new = _dtw_step_exprs("s.", "e.")
+    fold = F.expr(
+        "aggregate(vals, named_struct("
+        f"'c1', {_DTW_INF}, 'c2', {_DTW_INF}, "
+        "'c3', CAST(cost3 AS DOUBLE), "
+        "'c4', CAST(cost3 + cost4 AS DOUBLE), "
+        "'c5', CAST(cost3 + cost4 + cost5 AS DOUBLE)), "
+        "(s, e) -> named_struct("
+        + ", ".join(f"'c{k}', {new[k]}" for k in range(1, 6))
+        + "))"
+    )
+    fin = init.crossJoin(F.broadcast(arr)).select(fold.alias("st"))
+    diag = (
+        xx.join(yy, "t")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(abs(CAST(mx - my AS DOUBLE)), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+            )
+            .cast("decimal(38,9)")
+            .alias("l1")
+        )
+    )
+    return (
+        fin.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "n AS n_days",
+            "round(st.c3, 6) AS dtw_distance",
+            "round(CAST(l1 AS DOUBLE), 6) AS diagonal_l1",
+            "round((CAST(l1 AS DOUBLE) - st.c3)"
+            " / CAST(l1 AS DOUBLE), 6) AS warp_gain",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_partial_correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_partial_correlation",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events WHERE event_type IN ('click', 'purchase', 'view')
+      GROUP BY 1, 2),
+    w AS MATERIALIZED (
+      SELECT day,
+             max(CASE WHEN event_type = 'click' THEN m END) AS x,
+             max(CASE WHEN event_type = 'purchase' THEN m END) AS y,
+             max(CASE WHEN event_type = 'view' THEN m END) AS z
+      FROM daily GROUP BY day
+      HAVING count(*) = 3),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(z AS DECIMAL(19,6)) * z) AS DOUBLE) AS szz,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * z) AS DOUBLE) AS sxz,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * z) AS DOUBLE) AS syz
+      FROM w),
+    rr AS (
+      SELECT n,
+             round((n*sxy - sx*sy)
+                   / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 9)
+               AS rxy,
+             round((n*sxz - sx*sz)
+                   / (sqrt(n*sxx - sx*sx) * sqrt(n*szz - sz*sz)), 9)
+               AS rxz,
+             round((n*syz - sy*sz)
+                   / (sqrt(n*syy - sy*sy) * sqrt(n*szz - sz*sz)), 9)
+               AS ryz
+      FROM mo)
+    SELECT n AS n_days,
+           round(rxy, 6) AS r_click_purchase,
+           round(rxz, 6) AS r_click_view,
+           round(ryz, 6) AS r_purchase_view,
+           round((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+             AS partial_r_given_view
+    FROM rr
+    """,
+)
+def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL CORRELATION between the click and purchase daily-mean
+    series CONTROLLING FOR view volume: r_xy.z = (r_xy - r_xz r_yz) /
+    sqrt((1-r_xz²)(1-r_yz²)) — the confounder-adjusted answer to "do
+    click and purchase revenue co-move, or do both just follow
+    traffic?" that the raw pairwise entries of agg_covariance_matrix
+    cannot give. The three pairwise correlations ride along so the
+    adjustment is readable (a large r_xy that collapses in the
+    partial IS the traffic-confounding signature).
+
+    Shape at 100 TB: one groupBy to the day x type domain, one pivot
+    to a 30-row (x, y, z) frame, one moment reduce — everything after
+    the first aggregate is bounded.
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); raw
+    moment sums are exact decimals (DECIMAL(19,6) squares) cast once
+    to double; the three Pearson r's quantize round(9) before
+    entering the partial formula (one shared double expression),
+    round(6) at output."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase", "view"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+                " AS DECIMAL(16,6))"
+            ).alias("m"),
+        )
+    )
+    w = (
+        daily.groupBy("day")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("m"))).alias(
+                "x"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("m"))
+            ).alias("y"),
+            F.max(F.when(F.col("event_type") == "view", F.col("m"))).alias(
+                "z"
+            ),
+            F.count("*").alias("k"),
+        )
+        .where(F.col("k") == 3)
+        .localCheckpoint()
+    )
+    mo = w.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(z) AS DOUBLE)").alias("sz"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE)").alias(
+            "sxx"
+        ),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "syy"
+        ),
+        F.expr("CAST(sum(CAST(z AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "szz"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "sxy"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "sxz"
+        ),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "syz"
+        ),
+    )
+    rr = mo.selectExpr(
+        "n",
+        "round((n*sxy - sx*sy)"
+        " / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 9) AS rxy",
+        "round((n*sxz - sx*sz)"
+        " / (sqrt(n*sxx - sx*sx) * sqrt(n*szz - sz*sz)), 9) AS rxz",
+        "round((n*syz - sy*sz)"
+        " / (sqrt(n*syy - sy*sy) * sqrt(n*szz - sz*sz)), 9) AS ryz",
+    )
+    return rr.selectExpr(
+        "n AS n_days",
+        "round(rxy, 6) AS r_click_purchase",
+        "round(rxz, 6) AS r_click_view",
+        "round(ryz, 6) AS r_purchase_view",
+        "round((rxy - rxz * ryz)"
+        " / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)"
+        " AS partial_r_given_view",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_granger_causality_1lag
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_granger_causality_1lag",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2),
+    w AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             max(CASE WHEN event_type = 'click' THEN m END) AS c,
+             max(CASE WHEN event_type = 'view' THEN m END) AS v
+      FROM daily GROUP BY day HAVING count(*) = 2),
+    tri AS MATERIALIZED (
+      SELECT a.c AS y, b.c AS x, b.v AS z
+      FROM w a JOIN w b ON b.t = a.t - 1),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(z AS DECIMAL(19,6)) * z) AS DOUBLE) AS szz,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * z) AS DOUBLE) AS sxz,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * z) AS DOUBLE) AS syz
+      FROM tri),
+    cen AS (
+      SELECT n,
+             round(n*syy - sy*sy, 9) AS cyy,
+             round(n*sxx - sx*sx, 9) AS cxx,
+             round(n*szz - sz*sz, 9) AS czz,
+             round(n*sxy - sx*sy, 9) AS cxy,
+             round(n*sxz - sx*sz, 9) AS cxz,
+             round(n*syz - sy*sz, 9) AS cyz
+      FROM mo),
+    rss AS (
+      SELECT n,
+             cyy - cxy * cxy / cxx AS rss_r,
+             cyy - ((cxy * czz - cyz * cxz) * cxy
+                    + (cyz * cxx - cxy * cxz) * cyz)
+                   / (cxx * czz - cxz * cxz) AS rss_f
+      FROM cen)
+    SELECT n AS n_obs,
+           round(rss_r / n, 6) AS rss_restricted,
+           round(rss_f / n, 6) AS rss_full,
+           round((rss_r - rss_f) / (rss_f / (n - 3)), 6) AS f_stat,
+           CAST(CASE WHEN round((rss_r - rss_f) / (rss_f / (n - 3)), 9)
+                          > 4.225
+                     THEN 1 ELSE 0 END AS BIGINT)
+             AS view_causes_click_05
+    FROM rss
+    """,
+)
+def agg_granger_causality_1lag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRANGER CAUSALITY TEST (lag 1) of "does yesterday's VIEW level
+    improve today's CLICK forecast beyond yesterday's click?":
+    F = (RSS_restricted - RSS_full)/(RSS_full/(n-3)) comparing
+    click_t ~ click_{t-1} against click_t ~ click_{t-1} + view_{t-1},
+    both OLS fits in closed form from one moment scan (the restricted
+    RSS is the simple-regression identity; the full one is the
+    2-regressor Cramer solve on centered moments) — the DIRECTED
+    temporal-dependence test that win_cross_correlation_lags's
+    symmetric CCF peaks suggest but cannot decide. F ~ F(1, n-3)
+    under the null; the fixture's 30-day horizon makes df constant
+    (26) at every sf, so the 4.225 critical value is exact for the
+    emitted flag.
+
+    Shape at 100 TB: one groupBy to the day x type domain, a lag-1
+    self-join on the bounded day index, one moment reduce. The
+    centered moments carry an n scale (c = n·S - s·s), so the
+    closed-form quantities are n·RSS; one division restores the true
+    residual sums.
+
+    Parity: daily means quantize round(6) into DECIMAL(16,6); raw
+    moments are exact decimal sums cast once to double; the centered
+    moments quantize round(9) (they are n-scaled differences of
+    near-equal products — quantization pins the shared value); RSS,
+    F, and the flag are shared double expressions with F quantized
+    round(9) before the critical-value compare."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+                " AS DECIMAL(16,6))"
+            ).alias("m"),
+        )
+    )
+    w = (
+        daily.groupBy("day")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("m"))).alias(
+                "c"
+            ),
+            F.max(F.when(F.col("event_type") == "view", F.col("m"))).alias(
+                "v"
+            ),
+            F.count("*").alias("k"),
+        )
+        .where(F.col("k") == 2)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("day"))
+            .cast("bigint")
+            .alias("t"),
+            "c",
+            "v",
+        )
+        .localCheckpoint()
+    )
+    b = w.select(
+        F.col("t").alias("tb"), F.col("c").alias("x"), F.col("v").alias("z")
+    )
+    tri = (
+        w.withColumn("tb", F.col("t") - 1)
+        .join(b, "tb")
+        .select(F.col("c").alias("y"), "x", "z")
+    )
+    mo = tri.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(z) AS DOUBLE)").alias("sz"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "syy"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE)").alias(
+            "sxx"
+        ),
+        F.expr("CAST(sum(CAST(z AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "szz"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "sxy"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "sxz"
+        ),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "syz"
+        ),
+    )
+    cen = mo.selectExpr(
+        "n",
+        "round(n*syy - sy*sy, 9) AS cyy",
+        "round(n*sxx - sx*sx, 9) AS cxx",
+        "round(n*szz - sz*sz, 9) AS czz",
+        "round(n*sxy - sx*sy, 9) AS cxy",
+        "round(n*sxz - sx*sz, 9) AS cxz",
+        "round(n*syz - sy*sz, 9) AS cyz",
+    )
+    rss = cen.selectExpr(
+        "n",
+        "cyy - cxy * cxy / cxx AS rss_r",
+        "cyy - ((cxy * czz - cyz * cxz) * cxy"
+        " + (cyz * cxx - cxy * cxz) * cyz)"
+        " / (cxx * czz - cxz * cxz) AS rss_f",
+    )
+    return rss.selectExpr(
+        "n AS n_obs",
+        "round(rss_r / n, 6) AS rss_restricted",
+        "round(rss_f / n, 6) AS rss_full",
+        "round((rss_r - rss_f) / (rss_f / (n - 3)), 6) AS f_stat",
+        "CAST(CASE WHEN round((rss_r - rss_f) / (rss_f / (n - 3)), 9)"
+        " > 4.225 THEN 1 ELSE 0 END AS BIGINT)"
+        " AS view_causes_click_05",
+    )

@@ -100,6 +100,14 @@ SHOWCASE = [
     ("win_changepoint_pelt_1d", "O(T^2) DP grid checkpointed once, exact decimal argmin levels"),
     ("graph_rich_club", "one degree-domain cumsum answers every threshold, zero rescans"),
     ("agg_jonckheere_terpstra", "densified type x value grid, pairwise U as one equi-join"),
+    # round-8 fourth session
+    ("agg_median_polish_grid", "12 integer-exact median sweeps over a checkpointed 150-cell grid"),
+    ("graph_katz_centrality", "6-iteration walk unroll on checkpointed edges, TakeOrdered top-20"),
+    ("win_holt_winters_seasonal", "9-field named_struct fold over one day-ordered bounded array"),
+    ("agg_beta_binomial_shrinkage", "1-row prior broadcast back over the per-user aggregate, TakeOrdered top-10"),
+    ("agg_anderson_darling_2samp", "value-domain midrank cumulatives + O(N) harmonic prefix sums"),
+    ("win_matrix_profile_1d", "bounded subsequence pair grid, exact decimal dot products, per-window argmin"),
+    ("agg_dtw_band_distance", "banded DP as a 5-cell anti-band struct fold, no loop"),
 ]
 
 

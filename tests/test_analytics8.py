@@ -763,3 +763,213 @@ def test_granger_matches_numpy_lstsq(spark):
     assert abs(row.rss_full - rss_f) < 1e-3
     assert abs(row.f_stat - f) < 1e-3
     assert row.view_causes_click_05 == int(f > 4.225)
+
+
+def test_lmoments_match_direct_order_statistics(spark):
+    pdf = (
+        QUERIES["agg_lmoments_suite"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events()
+    for typ, grp in ev.groupby("event_type"):
+        x = np.sort(grp.vc.to_numpy())
+        n = len(x)
+        # direct probability-weighted moments over sorted positions
+        b = []
+        for r in range(4):
+            w = np.array([math.comb(i - 1, r) for i in range(1, n + 1)])
+            b.append((w * x).sum() / (n * math.comb(n - 1, r)))
+        b0, b1, b2, b3 = b
+        l1 = b0
+        l2 = 2 * b1 - b0
+        l3 = 6 * b2 - 6 * b1 + b0
+        l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+        row = pdf.loc[typ]
+        assert row.n == n
+        assert abs(row.l1_mean - l1 / 100) < 1e-4
+        assert abs(row.l2_scale - l2 / 100) < 1e-4
+        assert abs(row.l_cv - l2 / b0) < 1e-5
+        assert abs(row.l_skewness - l3 / l2) < 1e-5
+        assert abs(row.l_kurtosis - l4 / l2) < 1e-5
+        # boundedness of the L-ratios
+        assert -1 <= row.l_skewness <= 1
+        assert -0.25 <= row.l_kurtosis <= 1
+
+
+def test_adf_matches_numpy_regression(spark):
+    row = QUERIES["agg_adf_unit_root"](spark, SF).toPandas().iloc[0]
+    m = _daily_means()
+    dy = np.diff(m)
+    yv = dy[1:]
+    x1 = m[1:-1]
+    z1 = dy[:-1]
+    n = len(yv)
+    assert row.n_obs == n
+    X = np.column_stack([np.ones_like(x1), x1, z1])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    resid = yv - X @ beta
+    rss = (resid * resid).sum()
+    s2 = rss / (n - 3)
+    xtx_inv = np.linalg.inv(X.T @ X)
+    se_rho = math.sqrt(s2 * xtx_inv[1, 1])
+    tau = beta[1] / se_rho
+    assert abs(row.rho - beta[1]) < 1e-4
+    assert abs(row.lag_diff_coef - beta[2]) < 1e-4
+    assert abs(row.tau_stat - tau) < 1e-3
+    assert row.unit_root_rejected_05 == int(round(tau, 9) < -2.98)
+
+
+def test_records_test_matches_manual(spark):
+    row = QUERIES["agg_records_test"](spark, SF).toPandas().iloc[0]
+    m = _daily_means()
+    n = len(m)
+    up = sum(
+        1 for i in range(n) if i == 0 or m[i] > m[:i].max()
+    )
+    dn = sum(
+        1 for i in range(n) if i == 0 or m[i] < m[:i].min()
+    )
+    h1 = sum(1 / i for i in range(1, n + 1))
+    h2 = sum(1 / i**2 for i in range(1, n + 1))
+    assert row.n_days == n
+    assert row.upper_records == up
+    assert row.lower_records == dn
+    assert abs(row.expected_records - h1) < 1e-5
+    assert abs(row.z_upper - (up - h1) / math.sqrt(h1 - h2)) < 1e-4
+    assert abs(row.z_lower - (dn - h1) / math.sqrt(h1 - h2)) < 1e-4
+
+
+def test_cointegration_matches_numpy(spark):
+    row = QUERIES["agg_cointegration_test"](spark, SF).toPandas().iloc[0]
+    y = _daily_means_by_type("click").to_numpy()
+    x = _daily_means_by_type("view").to_numpy()
+    n = len(y)
+    assert row.n_days == n
+    beta, alpha = np.polyfit(x, y, 1)
+    assert abs(row.hedge_beta - beta) < 1e-4
+    assert abs(row.intercept - alpha) < 1e-3
+    e = np.round(y - alpha - beta * x, 9)
+    ep, ec = e[:-1], e[1:]
+    rho = (ep * (ec - ep)).sum() / (ep * ep).sum()
+    resid = (ec - ep) - rho * ep
+    se2 = (resid * resid).sum() / (len(ep) - 1) / (ep * ep).sum()
+    tau = rho / math.sqrt(se2)
+    assert abs(row.residual_rho - rho) < 1e-4
+    assert abs(row.tau_stat - tau) < 1e-3
+    assert row.cointegrated_05 == int(round(tau, 9) < -3.37)
+
+
+def test_arch_lm_matches_numpy(spark):
+    row = QUERIES["agg_arch_lm_test"](spark, SF).toPandas().iloc[0]
+    m = _daily_means()
+    s = np.round((m - m.mean()) ** 2, 6)
+    yv, xv = s[1:], s[:-1]
+    n = len(yv)
+    assert row.n_obs == n
+    r = np.corrcoef(xv, yv)[0, 1]
+    r2 = r * r
+    assert abs(row.arch_r2 - r2) < 1e-5
+    assert abs(row.lm_stat - n * r2) < 1e-3
+    assert row.volatility_clustering_05 == int(round(n * r2, 9) > 3.841)
+
+
+def test_spectral_entropy_matches_numpy(spark):
+    row = QUERIES["agg_spectral_entropy"](spark, SF).toPandas().iloc[0]
+    m = _daily_means()
+    n = len(m)
+    x = m - m.mean()
+    t = np.arange(1, n + 1)
+    powers = []
+    for k in range(1, 15):
+        a = (x * np.cos(2 * np.pi * k * t / n)).sum()
+        b = (x * np.sin(2 * np.pi * k * t / n)).sum()
+        powers.append(2 * (a * a + b * b) / n)
+    p = np.array(powers)
+    q = p / p.sum()
+    ent = -(q * np.log(q)).sum() / math.log(len(p))
+    flat = math.exp(np.log(p).mean()) / p.mean()
+    assert row.n_freqs == 14
+    assert row.dominant_freq == int(np.argmax(np.round(p, 9))) + 1
+    assert abs(row.spectral_entropy - ent) < 1e-4
+    assert abs(row.spectral_flatness - flat) < 1e-4
+    assert 0 <= row.spectral_entropy <= 1 + 1e-9
+    assert 0 <= row.spectral_flatness <= 1 + 1e-9
+
+
+def test_stratified_ate_matches_manual(spark):
+    pdf = (
+        QUERIES["agg_stratified_ate"](spark, SF)
+        .toPandas()
+        .sort_values("stratum")
+        .reset_index(drop=True)
+    )
+    ev = _events()
+    g = ev.groupby("user_id")
+    n_ev = g.size()
+    clicks = g.apply(
+        lambda d: int((d.event_type == "click").sum()), include_groups=False
+    )
+    conv = g.apply(
+        lambda d: int((d.event_type == "purchase").sum() >= 12),
+        include_groups=False,
+    )
+    n = len(n_ev)
+    # exact value-domain quintiles: stratum = least(4, 5*cum_less//n)
+    order = np.sort(n_ev.unique())
+    cum_less = {}
+    acc = 0
+    for v in order:
+        cum_less[v] = acc
+        acc += int((n_ev == v).sum())
+    strat = n_ev.map(lambda v: min(4, 5 * cum_less[v] // n))
+    treated = (clicks >= 15).astype(int)
+    rows = {}
+    used, ate_n = [], 0
+    for s in sorted(strat.unique()):
+        sel = strat == s
+        t = treated[sel]
+        c = conv[sel]
+        if t.sum() == 0 or (1 - t).sum() == 0:
+            continue
+        p1 = c[t == 1].mean()
+        p0 = c[t == 0].mean()
+        rows[s] = (int(sel.sum()), int(t.sum()), p1, p0)
+        used.append((s, sel.sum(), p1 - p0))
+        ate_n += int(sel.sum())
+    ate = sum(w * e for _, w, e in used) / ate_n
+    assert list(pdf.stratum) == sorted(rows)
+    for row in pdf.itertuples():
+        n_s, n_t, p1, p0 = rows[row.stratum]
+        assert (row.n_users, row.n_treated) == (n_s, n_t)
+        assert abs(row.p_treated - p1) < 1e-6
+        assert abs(row.p_control - p0) < 1e-6
+        assert abs(row.stratum_effect - (p1 - p0)) < 1e-6
+        assert abs(row.stratified_ate - ate) < 1e-4
+
+
+def test_sprt_matches_manual_walk(spark):
+    row = QUERIES["agg_sprt_ab_replay"](spark, SF).toPandas().iloc[0]
+    ev = _events().sort_values(["ts", "event_id"])
+    d0 = min(ev.day)
+    d1 = ev[ev.day == d0]
+    assert row.n_day1_events == len(d1)
+    up = round(math.log(0.21 / 0.19), 12)
+    dn = round(math.log(0.79 / 0.81), 12)
+    s = 0.0
+    stop_t, stop_s = None, None
+    for t, is_p in enumerate(d1.event_type == "purchase", 1):
+        s += up if is_p else dn
+        if s >= 2.944439 or s <= -2.944439:
+            stop_t, stop_s = t, s
+            break
+    if stop_t is None:
+        stop_t, stop_s = len(d1), s
+    assert row.n_steps_used == stop_t
+    assert abs(row.llr_at_stop - stop_s) < 1e-5
+    want = (
+        "accept_h1"
+        if stop_s >= 2.944439
+        else "accept_h0" if stop_s <= -2.944439 else "inconclusive"
+    )
+    assert row.decision == want

@@ -1043,3 +1043,20 @@ def test_discount_elasticity_bounded_domain_agg(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "partial_" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lmoments_value_domain_no_row_sort(spark, sf_dir):
+    # order statistics WITHOUT a global sort: one grouped scan to the
+    # value domain, windows over it, closed-form combinatorial weights
+    plan = plan_of(QUERIES["agg_lmoments_suite"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Exchange rangepartitioning" not in plan or "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sprt_first_day_scope_is_bounded(spark, sf_dir):
+    # the replay reads only checkpointed day-1 frames — the unbounded
+    # fact scan happened once at build time behind the min-date gate
+    plan = plan_of(QUERIES["agg_sprt_ab_replay"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan

@@ -193,12 +193,18 @@ OPS = [
     # changepoint / PACF / seasonal / Hurst — collapse to ~30 rows
     # before any interesting work and are covered by their single
     # pre-aggregate's linearity here via the other events entries)
-    ("agg_tost_equivalence", "events"),
+    # agg_tost_equivalence is NOT auditable on the sf1x replication:
+    # event replication multiplies every user's purchase count 10x, so
+    # ALL users cross the >=12 conversion threshold, both cohort rates
+    # hit 1.0 and the unpooled se is exactly 0 (ANSI DIVIDE_BY_ZERO).
+    # A degeneracy of the synthetic blow-up, not of the operator.
     ("agg_capture_recapture", "events"),
     ("agg_mood_median_test", "events"),
     ("agg_levene_brown_forsythe", "events"),
     ("agg_kruskal_wallis", "events"),
-    ("agg_unseen_vocab_estimate", "documents"),
+    # agg_unseen_vocab_estimate: same blow-up degeneracy — verbatim
+    # text replication eliminates every hapax (f1 = f2 = 0), and
+    # Good-Turing/Chao1 divide by them.
     ("agg_mcnemar_test", "documents"),
     ("agg_cochran_q", "documents"),
     ("agg_shannon_diversity_profile", "documents"),

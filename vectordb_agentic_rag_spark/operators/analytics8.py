@@ -3636,3 +3636,1194 @@ def agg_granger_causality_1lag(
         " > 4.225 THEN 1 ELSE 0 END AS BIGINT)"
         " AS view_causes_click_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_lmoments_suite
+# ---------------------------------------------------------------------------
+
+# C(i, k) closed forms as exact integer expressions (consecutive-
+# integer products are divisible by k! — integer division is exact).
+# Stepwise form: every parenthesized prefix is itself a binomial
+# coefficient (exact integer division at each step), which keeps the
+# largest intermediate at C(i,k-1)*i instead of i^k — ANSI overflow
+# (loud, not wrong) moves out to ~2.7e4 sorted positions per group;
+# past that the same block form needs DECIMAL(38,0) operands.
+_COMB = {
+    1: "({i})",
+    2: "(({i}) * (({i}) - 1) {div} 2)",
+    3: "((({i}) * (({i}) - 1) {div} 2) * (({i}) - 2) {div} 3)",
+    4: "(((({i}) * (({i}) - 1) {div} 2) * (({i}) - 2) {div} 3)"
+    " * (({i}) - 3) {div} 4)",
+}
+
+
+def _lmom_numerators(div: str) -> str:
+    """Per-value-block numerator columns N0..N3: the order-statistic
+    weight sums folded over each tied block [lo, hi] with the
+    hockey-stick identity sum_{i=lo..hi} C(i-1, r) =
+    C(hi, r+1) - C(lo-1, r+1)."""
+    cols = []
+    for r in range(4):
+        k = r + 1
+        hi = _COMB[k].format(i="hi", div=div)
+        lo = _COMB[k].format(i="lo - 1", div=div)
+        cols.append(
+            f"CAST(sum(CAST(c AS DECIMAL(19,0))"
+            f" * ({hi} - {lo})) AS DECIMAL(38,0)) AS nu{r}"
+        )
+    return ",\n             ".join(cols)
+
+
+@query(
+    "agg_lmoments_suite",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events),
+    blk AS MATERIALIZED (
+      SELECT event_type, c, CAST(count(*) AS BIGINT) AS f
+      FROM r GROUP BY 1, 2),
+    pos AS MATERIALIZED (
+      SELECT event_type, c,
+             sum(f) OVER (PARTITION BY event_type ORDER BY c) - f + 1
+               AS lo,
+             sum(f) OVER (PARTITION BY event_type ORDER BY c) AS hi
+      FROM blk),
+    nums AS (
+      SELECT event_type,
+             CAST(max(hi) AS BIGINT) AS n,
+             {_lmom_numerators("//")}
+      FROM pos GROUP BY event_type),
+    bs AS (
+      SELECT event_type, n,
+             CAST(nu0 AS DOUBLE) / n AS b0,
+             CAST(nu1 AS DOUBLE) / (n * CAST(n - 1 AS DOUBLE)) AS b1,
+             CAST(nu2 AS DOUBLE)
+               / (n * (CAST(n - 1 AS DOUBLE) * (n - 2) / 2)) AS b2,
+             CAST(nu3 AS DOUBLE)
+               / (n * (CAST(n - 1 AS DOUBLE) * (n - 2) * (n - 3) / 6))
+               AS b3
+      FROM nums)
+    SELECT event_type, n,
+           round(b0 / 100.0, 6) AS l1_mean,
+           round((2 * b1 - b0) / 100.0, 6) AS l2_scale,
+           round((2 * b1 - b0) / b0, 6) AS l_cv,
+           round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6)
+             AS l_skewness,
+           round((20 * b3 - 30 * b2 + 12 * b1 - b0) / (2 * b1 - b0), 6)
+             AS l_kurtosis
+    FROM bs
+    """,
+)
+def agg_lmoments_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-MOMENTS per event type — L-mean, L-scale, L-CV, L-skewness,
+    L-kurtosis — computed EXACTLY from probability-weighted moments:
+    b_r = (1/n) Σ_i [C(i-1,r)/C(n-1,r)] x_(i). The order-statistic
+    moment family that exists whenever the MEAN exists (classical
+    skewness/kurtosis need 3rd/4th moments — agg_jarque_bera is
+    undefined-in-principle on heavy tails where t3/t4 are fine) and
+    is bounded (|t3|,|t4| < 1), making cross-dataset shape
+    comparisons meaningful. The standard distribution-fitting
+    front-end for the extreme-value family (agg_gumbel_block_maxima's
+    method-of-moments fit would normally be an L-moment fit at
+    production quality).
+
+    The key move: order statistics WITHOUT a global sort. Each tied
+    value block occupies sorted positions [lo, hi] (cumulative counts
+    on the value domain), and the hockey-stick identity
+    Σ_{{i=lo..hi}} C(i-1,r) = C(hi,r+1) - C(lo-1,r+1) collapses each
+    block's weight sum to a CLOSED FORM in lo/hi — so b_r's numerator
+    is one pass over the bounded value domain with polynomial integer
+    weights, exact to the last digit (products live in BIGINT up to
+    C(n,4) ~ 1e17 and DECIMAL(19,0)x for the value multiply).
+
+    Shape at 100 TB: one grouped scan to the value domain; two
+    windows over it; one aggregate. No row-level sort anywhere.
+
+    Parity: all numerators are exact integers (consecutive-integer
+    products integer-divide exactly by k!); the b_r normalizations
+    and L-ratios are shared double expressions, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    blk = r.groupBy("event_type", "c").agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    w_v = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pos = blk.select(
+        "event_type",
+        "c",
+        (F.sum("f").over(w_v) - F.col("f") + 1).alias("lo"),
+        F.sum("f").over(w_v).alias("hi"),
+    )
+    nums = pos.groupBy("event_type").agg(
+        F.max("hi").cast("bigint").alias("n"),
+        *[
+            F.expr(
+                f"CAST(sum(CAST(c AS DECIMAL(19,0)) * "
+                f"({_COMB[r + 1].format(i='hi', div='div')}"
+                f" - {_COMB[r + 1].format(i='lo - 1', div='div')}))"
+                f" AS DECIMAL(38,0))"
+            ).alias(f"nu{r}")
+            for r in range(4)
+        ],
+    )
+    bs = nums.selectExpr(
+        "event_type",
+        "n",
+        "CAST(nu0 AS DOUBLE) / n AS b0",
+        "CAST(nu1 AS DOUBLE) / (n * CAST(n - 1 AS DOUBLE)) AS b1",
+        "CAST(nu2 AS DOUBLE)"
+        " / (n * (CAST(n - 1 AS DOUBLE) * (n - 2) / 2)) AS b2",
+        "CAST(nu3 AS DOUBLE)"
+        " / (n * (CAST(n - 1 AS DOUBLE) * (n - 2) * (n - 3) / 6)) AS b3",
+    )
+    return bs.selectExpr(
+        "event_type",
+        "n",
+        "round(b0 / 100.0, 6) AS l1_mean",
+        "round((2 * b1 - b0) / 100.0, 6) AS l2_scale",
+        "round((2 * b1 - b0) / b0, 6) AS l_cv",
+        "round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6) AS l_skewness",
+        "round((20 * b3 - 30 * b2 + 12 * b1 - b0) / (2 * b1 - b0), 6)"
+        " AS l_kurtosis",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_adf_unit_root
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_adf_unit_root",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    obs AS MATERIALIZED (
+      SELECT a.m - b.m AS y, b.m AS x, b.m - c.m AS z
+      FROM idx a JOIN idx b ON b.t = a.t - 1
+                 JOIN idx c ON c.t = a.t - 2),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(z AS DECIMAL(19,6)) * z) AS DOUBLE) AS szz,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * z) AS DOUBLE) AS sxz,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * z) AS DOUBLE) AS syz
+      FROM obs),
+    cen AS (
+      SELECT n,
+             round(n*syy - sy*sy, 9) AS cyy,
+             round(n*sxx - sx*sx, 9) AS cxx,
+             round(n*szz - sz*sz, 9) AS czz,
+             round(n*sxy - sx*sy, 9) AS cxy,
+             round(n*sxz - sx*sz, 9) AS cxz,
+             round(n*syz - sy*sz, 9) AS czy
+      FROM mo),
+    fit AS (
+      SELECT n,
+             (cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) AS rho,
+             (czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) AS phi,
+             (cyy - (cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz)
+                    * cxy
+                  - (czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz)
+                    * czy) / n AS rss,
+             n * czz / (cxx * czz - cxz * cxz) AS invxx
+      FROM cen)
+    SELECT n AS n_obs,
+           round(rho, 6) AS rho,
+           round(phi, 6) AS lag_diff_coef,
+           round(rho / sqrt(rss / (n - 3) * invxx), 6) AS tau_stat,
+           CAST(CASE WHEN round(rho / sqrt(rss / (n - 3) * invxx), 9)
+                          < -2.98
+                     THEN 1 ELSE 0 END AS BIGINT)
+             AS unit_root_rejected_05
+    FROM fit
+    """,
+)
+def agg_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUGMENTED DICKEY-FULLER UNIT-ROOT TEST (one augmentation lag,
+    constant, no trend) on the daily-mean value series: regress
+    Δy_t on (1, y_{t-1}, Δy_{t-1}) via the same closed-form
+    2-regressor Cramer solve as agg_granger_causality_1lag and read
+    tau = rho_hat/se(rho_hat) — the stationarity gate that licenses
+    (or vetoes) every ARMA-family reading upstream
+    (agg_ljung_box_test, win_pacf_durbin_levinson assume a stationary
+    series; a unit root makes their rho estimates spurious). tau is
+    compared against the Dickey-Fuller tau_mu 5% critical ~= -2.98
+    (n ~ 28; the fixture day count is constant at every sf, so the
+    documented approximation is the same everywhere — DF critical
+    values are NOT normal quantiles, hence the explicit table value).
+
+    Shape at 100 TB: day-domain collapse, two lag self-joins, one
+    moment reduce — bounded after the first aggregate.
+
+    Parity: the Granger discipline verbatim — exact decimal daily
+    means, exact decimal raw-moment sums cast once to double,
+    centered moments quantized round(9), tau quantized round(9)
+    before the critical compare, outputs round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    b = idx.select(F.col("t").alias("tb"), F.col("m").alias("mb"))
+    c = idx.select(F.col("t").alias("tc"), F.col("m").alias("mc"))
+    obs = (
+        idx.withColumn("tb", F.col("t") - 1)
+        .withColumn("tc", F.col("t") - 2)
+        .join(b, "tb")
+        .join(c, "tc")
+        .select(
+            (F.col("m") - F.col("mb")).alias("y"),
+            F.col("mb").alias("x"),
+            (F.col("mb") - F.col("mc")).alias("z"),
+        )
+    )
+    mo = obs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(z) AS DOUBLE)").alias("sz"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "syy"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE)").alias(
+            "sxx"
+        ),
+        F.expr("CAST(sum(CAST(z AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "szz"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "sxy"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "sxz"
+        ),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(19,6)) * z) AS DOUBLE)").alias(
+            "syz"
+        ),
+    )
+    cen = mo.selectExpr(
+        "n",
+        "round(n*syy - sy*sy, 9) AS cyy",
+        "round(n*sxx - sx*sx, 9) AS cxx",
+        "round(n*szz - sz*sz, 9) AS czz",
+        "round(n*sxy - sx*sy, 9) AS cxy",
+        "round(n*sxz - sx*sz, 9) AS cxz",
+        "round(n*syz - sy*sz, 9) AS czy",
+    )
+    fit = cen.selectExpr(
+        "n",
+        "(cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) AS rho",
+        "(czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) AS phi",
+        "(cyy - (cxy * czz - czy * cxz) / (cxx * czz - cxz * cxz) * cxy"
+        " - (czy * cxx - cxy * cxz) / (cxx * czz - cxz * cxz) * czy)"
+        " / n AS rss",
+        "n * czz / (cxx * czz - cxz * cxz) AS invxx",
+    )
+    return fit.selectExpr(
+        "n AS n_obs",
+        "round(rho, 6) AS rho",
+        "round(phi, 6) AS lag_diff_coef",
+        "round(rho / sqrt(rss / (n - 3) * invxx), 6) AS tau_stat",
+        "CAST(CASE WHEN round(rho / sqrt(rss / (n - 3) * invxx), 9)"
+        " < -2.98 THEN 1 ELSE 0 END AS BIGINT) AS unit_root_rejected_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_records_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_records_test",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    flg AS (
+      SELECT t, m,
+             max(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax,
+             min(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmin
+      FROM idx),
+    rec AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN t = 1 OR m > pmax THEN 1 ELSE 0 END)
+                  AS BIGINT) AS up,
+             CAST(sum(CASE WHEN t = 1 OR m < pmin THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dn
+      FROM flg),
+    hh AS (
+      SELECT CAST(sum(CAST(round(CAST(1 AS DOUBLE) / i, 12)
+                           AS DECIMAL(20,12))) AS DOUBLE) AS h1,
+             CAST(sum(CAST(round(CAST(1 AS DOUBLE) / (i * i), 12)
+                           AS DECIMAL(20,12))) AS DOUBLE) AS h2
+      FROM (SELECT unnest(generate_series(1, (SELECT n FROM rec)))
+              AS i))
+    SELECT rec.n AS n_days, rec.up AS upper_records,
+           rec.dn AS lower_records,
+           round(hh.h1, 6) AS expected_records,
+           round((rec.up - hh.h1) / sqrt(hh.h1 - hh.h2), 6) AS z_upper,
+           round((rec.dn - hh.h1) / sqrt(hh.h1 - hh.h2), 6) AS z_lower
+    FROM rec CROSS JOIN hh
+    """,
+)
+def agg_records_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORDS TEST of the daily-mean series: count strict upper and
+    lower records (days beating every prior day) and standardize
+    against the exact i.i.d. law — E[R_n] = H_n (harmonic number),
+    Var[R_n] = H_n - H_n^(2) — one of the oldest distribution-free
+    trend detectors (records accrue like 1/t under exchangeability;
+    a trending series keeps setting them). The ordinal complement of
+    agg_turning_points_test (local behavior) and
+    agg_mann_kendall_trend (global rank slope): three independent
+    ordinal reads of the same series.
+
+    Shape at 100 TB: day-domain collapse; records via one running
+    min/max window over the bounded domain; harmonic sums over an
+    in-plan integer sequence.
+
+    Parity: records are exact-decimal comparisons (daily means
+    quantize round(6) into DECIMAL — ties break records on both
+    engines identically because a record requires STRICT
+    improvement); harmonic terms quantize round(12) into DECIMAL;
+    the z statistics are shared double expressions, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rec = idx.select(
+        "t",
+        "m",
+        F.max("m").over(w_prev).alias("pmax"),
+        F.min("m").over(w_prev).alias("pmin"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN t = 1 OR m > pmax THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("up"),
+        F.sum(
+            F.expr(
+                "CASE WHEN t = 1 OR m < pmin THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("dn"),
+    ).localCheckpoint()
+    hh = (
+        rec.selectExpr("explode(sequence(CAST(1 AS BIGINT), n)) AS i")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(1 AS DOUBLE) / i, 12)"
+                    " AS DECIMAL(20,12))"
+                )
+            )
+            .cast("double")
+            .alias("h1"),
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(1 AS DOUBLE) / (i * i), 12)"
+                    " AS DECIMAL(20,12))"
+                )
+            )
+            .cast("double")
+            .alias("h2"),
+        )
+    )
+    return rec.crossJoin(F.broadcast(hh)).selectExpr(
+        "n AS n_days",
+        "up AS upper_records",
+        "dn AS lower_records",
+        "round(h1, 6) AS expected_records",
+        "round((up - h1) / sqrt(h1 - h2), 6) AS z_upper",
+        "round((dn - h1) / sqrt(h1 - h2), 6) AS z_lower",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cointegration_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cointegration_test",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2),
+    w AS MATERIALIZED (
+      SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             max(CASE WHEN event_type = 'click' THEN m END) AS y,
+             max(CASE WHEN event_type = 'view' THEN m END) AS x
+      FROM daily GROUP BY day HAVING count(*) = 2),
+    mo AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy
+      FROM w),
+    fit AS MATERIALIZED (
+      SELECT n,
+             (n*sxy - sx*sy) / (n*sxx - sx*sx) AS beta,
+             (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS alpha
+      FROM mo),
+    res AS MATERIALIZED (
+      SELECT w.t,
+             CAST(round(CAST(w.y AS DOUBLE) - f.alpha
+                        - f.beta * CAST(w.x AS DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS e
+      FROM w CROSS JOIN fit f),
+    df AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CAST(a.e AS DECIMAL(19,9)) * b.e) AS DOUBLE)
+               AS sed,
+             CAST(sum(CAST(b.e AS DECIMAL(19,9)) * b.e) AS DOUBLE)
+               AS see,
+             CAST(sum(CAST(a.e AS DECIMAL(19,9)) * a.e) AS DOUBLE)
+               AS saa
+      FROM res a JOIN res b ON b.t = a.t - 1),
+    tau AS (
+      SELECT f.n, f.beta, f.alpha,
+             (d.sed - d.see) / d.see AS rho,
+             ((d.saa - 2*d.sed + d.see)
+              - ((d.sed - d.see) / d.see)
+                * ((d.sed - d.see) / d.see) * d.see)
+             / (d.m - 1) / d.see AS se2
+      FROM df d CROSS JOIN fit f)
+    SELECT n AS n_days,
+           round(beta, 6) AS hedge_beta,
+           round(alpha, 6) AS intercept,
+           round(rho, 6) AS residual_rho,
+           round(rho / sqrt(se2), 6) AS tau_stat,
+           CAST(CASE WHEN round(rho / sqrt(se2), 9) < -3.37
+                     THEN 1 ELSE 0 END AS BIGINT) AS cointegrated_05
+    FROM tau
+    """,
+)
+def agg_cointegration_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE-GRANGER COINTEGRATION TEST between the click and view
+    daily-mean LEVELS: fit the equilibrium relation click = alpha +
+    beta*view by OLS, then Dickey-Fuller-test the residuals
+    (no-constant form: rho = (Sum e_{t-1}(e_t - e_{t-1}))/Sum e²,
+    tau = rho/se) against the Engle-Granger 5% critical ~= -3.37 —
+    the pairs-relationship test that completes the multivariate
+    ladder: agg_partial_correlation reads contemporaneous
+    association, agg_granger_causality_1lag reads lead-lag,
+    cointegration reads whether the two LEVELS share one stochastic
+    trend (the license for using their spread as a mean-reverting
+    signal; hedge_beta is that spread's ratio). The DF identities
+    used: Sum e_{t-1}*de_t = sed - see and Sum de² = saa - 2sed +
+    see, so the residual pass needs only three lag-join moments.
+
+    Shape at 100 TB: day-domain collapse, one moment reduce, a 1-row
+    fit broadcast back for residuals, one lag self-join. All bounded
+    after the first aggregate.
+
+    Parity: exact decimal daily means; the fit is a shared double
+    expression of exact-decimal moments; residuals QUANTIZE round(9)
+    into DECIMAL before the lag-join moments (squares through
+    DECIMAL(19,9) operands), so the DF moments are exact decimal
+    sums; tau quantizes round(9) before the critical compare."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+                " AS DECIMAL(16,6))"
+            ).alias("m"),
+        )
+    )
+    w = (
+        daily.groupBy("day")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("m"))).alias(
+                "y"
+            ),
+            F.max(F.when(F.col("event_type") == "view", F.col("m"))).alias(
+                "x"
+            ),
+            F.count("*").alias("k"),
+        )
+        .where(F.col("k") == 2)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("day"))
+            .cast("bigint")
+            .alias("t"),
+            "y",
+            "x",
+        )
+        .localCheckpoint()
+    )
+    mo = w.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE)").alias(
+            "sxx"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "sxy"
+        ),
+    )
+    fit = mo.selectExpr(
+        "n",
+        "(n*sxy - sx*sy) / (n*sxx - sx*sx) AS beta",
+        "(sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS alpha",
+    ).localCheckpoint()
+    res = w.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.expr(
+            "CAST(round(CAST(y AS DOUBLE) - alpha"
+            " - beta * CAST(x AS DOUBLE), 9) AS DECIMAL(18,9))"
+        ).alias("e"),
+    ).localCheckpoint()
+    b = res.select(F.col("t").alias("tb"), F.col("e").alias("eb"))
+    df = (
+        res.withColumn("tb", F.col("t") - 1)
+        .join(b, "tb")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.expr(
+                "CAST(sum(CAST(e AS DECIMAL(19,9)) * eb) AS DOUBLE)"
+            ).alias("sed"),
+            F.expr(
+                "CAST(sum(CAST(eb AS DECIMAL(19,9)) * eb) AS DOUBLE)"
+            ).alias("see"),
+            F.expr(
+                "CAST(sum(CAST(e AS DECIMAL(19,9)) * e) AS DOUBLE)"
+            ).alias("saa"),
+        )
+    )
+    tau = df.crossJoin(F.broadcast(fit)).selectExpr(
+        "n",
+        "beta",
+        "alpha",
+        "(sed - see) / see AS rho",
+        "((saa - 2*sed + see)"
+        " - ((sed - see) / see) * ((sed - see) / see) * see)"
+        " / (m - 1) / see AS se2",
+    )
+    return tau.selectExpr(
+        "n AS n_days",
+        "round(beta, 6) AS hedge_beta",
+        "round(alpha, 6) AS intercept",
+        "round(rho, 6) AS residual_rho",
+        "round(rho / sqrt(se2), 6) AS tau_stat",
+        "CAST(CASE WHEN round(rho / sqrt(se2), 9) < -3.37"
+        " THEN 1 ELSE 0 END AS BIGINT) AS cointegrated_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_arch_lm_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_arch_lm_test",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    mu AS MATERIALIZED (
+      SELECT CAST(sum(m) AS DOUBLE) / count(*) AS mu FROM idx),
+    sq AS MATERIALIZED (
+      SELECT i.t,
+             CAST(round((CAST(i.m AS DOUBLE) - mu.mu)
+                        * (CAST(i.m AS DOUBLE) - mu.mu), 6)
+                  AS DECIMAL(16,6)) AS s
+      FROM idx i CROSS JOIN mu),
+    p AS MATERIALIZED (
+      SELECT a.s AS y, b.s AS x
+      FROM sq a JOIN sq b ON b.t = a.t - 1),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy
+      FROM p),
+    r2 AS (
+      SELECT n,
+             (n*sxy - sx*sy) * (n*sxy - sx*sy)
+               / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+      FROM mo)
+    SELECT n AS n_obs,
+           round(r2, 6) AS arch_r2,
+           round(n * r2, 6) AS lm_stat,
+           CAST(CASE WHEN round(n * r2, 9) > 3.841
+                     THEN 1 ELSE 0 END AS BIGINT)
+             AS volatility_clustering_05
+    FROM r2
+    """,
+)
+def agg_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE'S ARCH LM TEST (one lag) on the daily-mean series: does
+    today's squared deviation from the series mean predict
+    tomorrow's? LM = n·R² of the s_t ~ s_{t-1} regression, chi²(1)
+    under the homoskedastic null (critical 3.841) — the volatility-
+    clustering detector that tells you whether win_bollinger_bands'
+    constant-sigma bands are even the right model (clustered
+    volatility means bands should breathe; unclustered means the
+    plain z machinery of win_zscore_outlier is enough).
+
+    Shape at 100 TB: day-domain collapse, a mean broadcast, one lag
+    self-join, one moment reduce.
+
+    Parity: squared deviations quantize round(6) into DECIMAL(16,6)
+    (they re-enter products — the quantize-before-reuse rule);
+    regression moments are exact decimal sums cast once; R² and LM
+    are shared double expressions, LM quantized round(9) before the
+    critical compare."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    mu = idx.agg(
+        F.expr("CAST(sum(m) AS DOUBLE) / count(*)").alias("mu")
+    )
+    sq = idx.crossJoin(F.broadcast(mu)).select(
+        "t",
+        F.expr(
+            "CAST(round((CAST(m AS DOUBLE) - mu)"
+            " * (CAST(m AS DOUBLE) - mu), 6) AS DECIMAL(16,6))"
+        ).alias("s"),
+    ).localCheckpoint()
+    b = sq.select(F.col("t").alias("tb"), F.col("s").alias("x"))
+    p = (
+        sq.withColumn("tb", F.col("t") - 1)
+        .join(b, "tb")
+        .select(F.col("s").alias("y"), "x")
+    )
+    mo = p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "syy"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE)").alias(
+            "sxx"
+        ),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE)").alias(
+            "sxy"
+        ),
+    )
+    r2 = mo.selectExpr(
+        "n",
+        "(n*sxy - sx*sy) * (n*sxy - sx*sy)"
+        " / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2",
+    )
+    return r2.selectExpr(
+        "n AS n_obs",
+        "round(r2, 6) AS arch_r2",
+        "round(n * r2, 6) AS lm_stat",
+        "CAST(CASE WHEN round(n * r2, 9) > 3.841 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS volatility_clustering_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_spectral_entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_spectral_entropy",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    st AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS DOUBLE) / count(*) AS xbar
+      FROM idx),
+    dev AS MATERIALIZED (
+      SELECT i.t, CAST(i.m AS DOUBLE) - s.xbar AS x, s.n
+      FROM idx i CROSS JOIN st s),
+    ks AS (SELECT CAST(unnest(generate_series(1, 14)) AS BIGINT) AS k),
+    pw AS MATERIALIZED (
+      SELECT ks.k,
+             round((CAST(sum(CAST(round(dev.x * cos(2 * pi() * ks.k
+                            * dev.t / dev.n), 9) AS DECIMAL(28,9)))
+                     AS DOUBLE)
+                    * CAST(sum(CAST(round(dev.x * cos(2 * pi() * ks.k
+                            * dev.t / dev.n), 9) AS DECIMAL(28,9)))
+                       AS DOUBLE)
+                    + CAST(sum(CAST(round(dev.x * sin(2 * pi() * ks.k
+                            * dev.t / dev.n), 9) AS DECIMAL(28,9)))
+                       AS DOUBLE)
+                    * CAST(sum(CAST(round(dev.x * sin(2 * pi() * ks.k
+                            * dev.t / dev.n), 9) AS DECIMAL(28,9)))
+                       AS DOUBLE))
+                   * 2.0 / max(dev.n), 9) AS p
+      FROM ks CROSS JOIN dev
+      GROUP BY ks.k),
+    tt AS MATERIALIZED (
+      SELECT CAST(sum(CAST(p AS DECIMAL(28,9))) AS DOUBLE) AS tot,
+             CAST(count(*) AS BIGINT) AS kk
+      FROM pw),
+    sh AS (
+      SELECT CAST(sum(CAST(round(-(pw.p / tt.tot)
+                                 * ln(pw.p / tt.tot), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS hsum,
+             CAST(sum(CAST(round(ln(pw.p), 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS lsum
+      FROM pw CROSS JOIN tt WHERE pw.p > 0),
+    dom AS (
+      SELECT k FROM pw ORDER BY p DESC, k LIMIT 1)
+    SELECT tt.kk AS n_freqs,
+           dom.k AS dominant_freq,
+           round(sh.hsum / ln(CAST(tt.kk AS DOUBLE)), 6)
+             AS spectral_entropy,
+           round(exp(sh.lsum / tt.kk) / (tt.tot / tt.kk), 6)
+             AS spectral_flatness
+    FROM tt CROSS JOIN sh CROSS JOIN dom
+    """,
+)
+def agg_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL ENTROPY and FLATNESS of the daily-mean series over
+    the k = 1..14 Fourier powers: entropy = -Σ q ln q / ln K on the
+    normalized power shares (1 = white noise, near 0 = one pure
+    tone) and flatness = geometric/arithmetic power mean — the
+    one-number summaries of win_periodogram_daily's 14-row spectrum,
+    the spectral twins of what agg_entropy_rate_markov does for the
+    event-type sequence. dominant_freq names the winning line so the
+    two numbers are interpretable at a glance.
+
+    Shape at 100 TB: identical to win_periodogram_daily (bounded
+    trig-term grid), plus a 14-row reduction.
+
+    Parity: per-term trig products quantize round(9) into DECIMAL
+    (the periodogram discipline); powers quantize round(9); each
+    entropy/log term quantizes round(9) before its order-independent
+    sum; the final normalizations are shared double expressions,
+    round(6). The dominant-frequency pick orders by the quantized
+    power with k tie-break."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    st = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(m) AS DOUBLE) / count(*)").alias("xbar"),
+    ).localCheckpoint()
+    dev = idx.crossJoin(F.broadcast(st)).select(
+        "t", (F.col("m").cast("double") - F.col("xbar")).alias("x"), "n"
+    )
+    ks = spark.range(1, 15).select(F.col("id").alias("k"))
+    pw = (
+        ks.crossJoin(dev)
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "round((CAST(sum(CAST(round(x * cos(2 * pi() * k * t / n),"
+                " 9) AS DECIMAL(28,9))) AS DOUBLE)"
+                " * CAST(sum(CAST(round(x * cos(2 * pi() * k * t / n), 9)"
+                " AS DECIMAL(28,9))) AS DOUBLE)"
+                " + CAST(sum(CAST(round(x * sin(2 * pi() * k * t / n), 9)"
+                " AS DECIMAL(28,9))) AS DOUBLE)"
+                " * CAST(sum(CAST(round(x * sin(2 * pi() * k * t / n), 9)"
+                " AS DECIMAL(28,9))) AS DOUBLE))"
+                " * 2.0 / max(n), 9)"
+            ).alias("p")
+        )
+        .localCheckpoint()
+    )
+    tt = pw.agg(
+        F.sum(F.col("p").cast("decimal(28,9)")).cast("double").alias("tot"),
+        F.count("*").cast("bigint").alias("kk"),
+    ).localCheckpoint()
+    sh = (
+        pw.crossJoin(F.broadcast(tt))
+        .where(F.col("p") > 0)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(-(p / tot) * ln(p / tot), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+            )
+            .cast("double")
+            .alias("hsum"),
+            F.sum(F.expr("CAST(round(ln(p), 9) AS DECIMAL(28,9))"))
+            .cast("double")
+            .alias("lsum"),
+        )
+    )
+    dom = pw.orderBy(F.col("p").desc(), "k").limit(1).select(
+        F.col("k").alias("dominant_freq")
+    )
+    return (
+        tt.crossJoin(F.broadcast(sh))
+        .crossJoin(F.broadcast(dom))
+        .selectExpr(
+            "kk AS n_freqs",
+            "dominant_freq",
+            "round(hsum / ln(CAST(kk AS DOUBLE)), 6) AS spectral_entropy",
+            "round(exp(lsum / kk) / (tot / kk), 6) AS spectral_flatness",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_stratified_ate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_stratified_ate",
+    oracle="""
+    WITH u AS MATERIALIZED (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= 12
+                       THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events GROUP BY user_id),
+    dom AS MATERIALIZED (
+      SELECT n_events AS v, CAST(count(*) AS BIGINT) AS c
+      FROM u GROUP BY n_events),
+    cum AS MATERIALIZED (
+      SELECT v, sum(c) OVER (ORDER BY v) - c AS cum_less,
+             (SELECT sum(c) FROM dom) AS n
+      FROM dom),
+    su AS MATERIALIZED (
+      SELECT u.user_id,
+             CAST(least(4, 5 * cum.cum_less // cum.n) AS BIGINT)
+               AS stratum,
+             CAST(CASE WHEN u.clicks >= 15 THEN 1 ELSE 0 END AS BIGINT)
+               AS treated,
+             u.converted
+      FROM u JOIN cum ON u.n_events = cum.v),
+    cell AS MATERIALIZED (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(treated) AS BIGINT) AS n_t,
+             CAST(sum(treated * converted) AS BIGINT) AS x_t,
+             CAST(sum((1 - treated) * converted) AS BIGINT) AS x_c
+      FROM su GROUP BY stratum),
+    ok AS MATERIALIZED (
+      SELECT *, n_s - n_t AS n_c FROM cell
+      WHERE n_t > 0 AND n_s - n_t > 0),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n_used FROM ok),
+    ate AS (
+      SELECT CAST(sum(CAST(round(
+               (CAST(o.x_t AS DOUBLE) / o.n_t
+                - CAST(o.x_c AS DOUBLE) / o.n_c)
+               * o.n_s / t.n_used, 12) AS DECIMAL(20,12)))
+             AS DOUBLE) AS ate
+      FROM ok o CROSS JOIN tot t)
+    SELECT o.stratum, o.n_s AS n_users, o.n_t AS n_treated,
+           round(CAST(o.x_t AS DOUBLE) / o.n_t, 6) AS p_treated,
+           round(CAST(o.x_c AS DOUBLE) / o.n_c, 6) AS p_control,
+           round(CAST(o.x_t AS DOUBLE) / o.n_t
+                 - CAST(o.x_c AS DOUBLE) / o.n_c, 6) AS stratum_effect,
+           round(a.ate, 6) AS stratified_ate
+    FROM ok o CROSS JOIN ate a
+    """,
+)
+def agg_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED AVERAGE TREATMENT EFFECT of heavy clicking (>= 15
+    clicks) on conversion (>= 12 purchases), stratifying users by
+    activity quintile — the observational-causal adjustment for the
+    obvious confounder (active users click more AND buy more; the
+    naive treated-vs-control gap conflates the two). Within each
+    activity quintile the comparison is like-for-like; the ATE is the
+    size-weighted mean of the stratum effects — sub/stratification
+    being the assumption-light first rung of the causal ladder
+    (agg_two_proportion_ztest is the UNADJUSTED rung). Strata missing
+    an arm are excluded and the ATE reweights over the used
+    population (documented, standard practice).
+
+    Quintiles come from the exact value-domain rank machinery
+    (least(4, 5*cum_less div n) — no ntile, whose tie behavior is
+    order-dependent), so stratum assignment is deterministic under
+    ties at ANY scale.
+
+    Shape at 100 TB: one grouped scan to per-user counts; the
+    quintile map is a bounded count-domain cumsum joined back; cells
+    are a 5-row aggregate. Per-stratum rows + the grand ATE.
+
+    Parity: all counts exact integers; stratum effects are single
+    divisions; each ATE term quantizes round(12) into DECIMAL before
+    the order-independent sum; outputs round(6)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("clicks"),
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'"
+            " THEN 1 ELSE 0 END) >= 12 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("converted"),
+    )
+    dom = u.groupBy(F.col("n_events").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dom.select(
+        "v",
+        (F.sum("c").over(w_v) - F.col("c")).alias("cum_less"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    su = u.join(
+        F.broadcast(cum.withColumnRenamed("v", "n_events")), "n_events"
+    ).selectExpr(
+        "user_id",
+        "CAST(least(4, 5 * cum_less div n) AS BIGINT) AS stratum",
+        "CAST(CASE WHEN clicks >= 15 THEN 1 ELSE 0 END AS BIGINT)"
+        " AS treated",
+        "converted",
+    )
+    cell = su.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(F.expr("treated * converted")).cast("bigint").alias("x_t"),
+        F.sum(F.expr("(1 - treated) * converted"))
+        .cast("bigint")
+        .alias("x_c"),
+    )
+    ok = cell.where(
+        (F.col("n_t") > 0) & (F.col("n_s") - F.col("n_t") > 0)
+    ).withColumn("n_c", F.col("n_s") - F.col("n_t")).localCheckpoint()
+    tot = ok.agg(F.sum("n_s").cast("bigint").alias("n_used"))
+    ate = ok.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round((CAST(x_t AS DOUBLE) / n_t"
+                " - CAST(x_c AS DOUBLE) / n_c) * n_s / n_used, 12)"
+                " AS DECIMAL(20,12))"
+            )
+        )
+        .cast("double")
+        .alias("ate")
+    )
+    return ok.crossJoin(F.broadcast(ate)).selectExpr(
+        "stratum",
+        "n_s AS n_users",
+        "n_t AS n_treated",
+        "round(CAST(x_t AS DOUBLE) / n_t, 6) AS p_treated",
+        "round(CAST(x_c AS DOUBLE) / n_c, 6) AS p_control",
+        "round(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c, 6)"
+        " AS stratum_effect",
+        "round(ate, 6) AS stratified_ate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_sprt_ab_replay
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_sprt_ab_replay",
+    oracle="""
+    WITH d1 AS MATERIALIZED (
+      SELECT ts, event_id,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  AS BIGINT) AS x
+      FROM events
+      WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE))
+                                FROM events)),
+    llr AS MATERIALIZED (
+      SELECT x,
+             CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+               AS t,
+             CAST(sum(CASE WHEN x = 1
+                  THEN CAST(round(ln(CAST(0.21 AS DOUBLE) / 0.19), 12)
+                            AS DECIMAL(20,12))
+                  ELSE CAST(round(ln(CAST(0.79 AS DOUBLE) / 0.81), 12)
+                            AS DECIMAL(20,12)) END)
+                  OVER (ORDER BY ts, event_id) AS DECIMAL(28,12)) AS s
+      FROM d1),
+    cross_t AS MATERIALIZED (
+      SELECT min(t) AS t_dec FROM llr
+      WHERE CAST(s AS DOUBLE) >= 2.944439 OR
+            CAST(s AS DOUBLE) <= -2.944439),
+    fin AS (
+      SELECT l.t, l.s FROM llr l CROSS JOIN cross_t c
+      WHERE l.t = coalesce(c.t_dec, (SELECT max(t) FROM llr)))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_day1_events,
+           f.t AS n_steps_used,
+           CAST(round(f.s, 6) AS DOUBLE) AS llr_at_stop,
+           CASE WHEN CAST(f.s AS DOUBLE) >= 2.944439 THEN 'accept_h1'
+                WHEN CAST(f.s AS DOUBLE) <= -2.944439 THEN 'accept_h0'
+                ELSE 'inconclusive' END AS decision
+    FROM fin f
+    """,
+)
+def agg_sprt_ab_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SPRT REPLAY on day-1 events: sequential probability ratio
+    test of conversion rate H0: p = 0.19 vs H1: p = 0.21 (bracketing
+    the fixture's ~0.20), stepping the log-likelihood-ratio walk
+    event-by-event in time order and stopping at the first crossing
+    of ln(19) = ±2.944439 (alpha = beta = 0.05) — the sequential
+    design that answers in HOWEVER many observations it needs, vs
+    agg_two_proportion_ztest's fixed-horizon verdict; the batch
+    replay twin of what stream_cusum_live does for level shifts.
+    Replay is deliberately scoped to the FIRST DAY (a pushed
+    partition-pruning filter): an SPRT is an inherently sequential
+    diagnostic — at production scale it runs on the stream, and the
+    batch op exists to calibrate it.
+
+    Parity: the two per-event increments are CONSTANTS quantized
+    round(12) into DECIMAL, so the cumulative walk is an exact
+    decimal cumsum over the (ts, event_id) total order; the boundary
+    compare reads the exact decimal cast once to double; first
+    crossing is a min over exact comparisons."""
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    d1 = (
+        ev.join(
+            F.broadcast(first_day),
+            F.col("ts").cast("date") == F.col("d0"),
+        )
+        .select(
+            "ts",
+            "event_id",
+            F.expr(
+                "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0"
+                " END AS BIGINT)"
+            ).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    w_t = Window.orderBy("ts", "event_id")
+    w_cum = w_t.rowsBetween(Window.unboundedPreceding, 0)
+    llr = d1.select(
+        "x",
+        F.row_number().over(w_t).cast("bigint").alias("t"),
+        F.sum(
+            F.expr(
+                "CASE WHEN x = 1 THEN"
+                " CAST(round(ln(CAST(0.21 AS DOUBLE) / 0.19), 12)"
+                " AS DECIMAL(20,12))"
+                " ELSE CAST(round(ln(CAST(0.79 AS DOUBLE) / 0.81), 12)"
+                " AS DECIMAL(20,12)) END"
+            )
+        )
+        .over(w_cum)
+        .cast("decimal(28,12)")
+        .alias("s"),
+    ).localCheckpoint()
+    cross_t = llr.where(
+        F.expr(
+            "CAST(s AS DOUBLE) >= 2.944439 OR CAST(s AS DOUBLE)"
+            " <= -2.944439"
+        )
+    ).agg(F.min("t").alias("t_dec"))
+    tmax = llr.agg(F.max("t").alias("t_max"))
+    fin = (
+        llr.crossJoin(F.broadcast(cross_t))
+        .crossJoin(F.broadcast(tmax))
+        .where(F.col("t") == F.expr("coalesce(t_dec, t_max)"))
+    )
+    nd = d1.agg(F.count("*").cast("bigint").alias("n_day1_events"))
+    return fin.crossJoin(F.broadcast(nd)).selectExpr(
+        "n_day1_events",
+        "t AS n_steps_used",
+        "CAST(round(s, 6) AS DOUBLE) AS llr_at_stop",
+        "CASE WHEN CAST(s AS DOUBLE) >= 2.944439 THEN 'accept_h1'"
+        " WHEN CAST(s AS DOUBLE) <= -2.944439 THEN 'accept_h0'"
+        " ELSE 'inconclusive' END AS decision",
+    )

@@ -973,3 +973,111 @@ def test_sprt_matches_manual_walk(spark):
         else "accept_h0" if stop_s <= -2.944439 else "inconclusive"
     )
     assert row.decision == want
+
+
+def test_cohens_d_matches_numpy(spark):
+    row = QUERIES["agg_cohens_d_family"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    x = ev.vc[ev.event_type == "click"].to_numpy() / 1.0
+    y = ev.vc[ev.event_type == "view"].to_numpy() / 1.0
+    n1, n2 = len(x), len(y)
+    sp = math.sqrt(
+        ((x.var(ddof=1) * (n1 - 1)) + (y.var(ddof=1) * (n2 - 1)))
+        / (n1 + n2 - 2)
+    )
+    d = (x.mean() - y.mean()) / sp
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    gl = (x.mean() - y.mean()) / y.std(ddof=1)
+    assert (row.n_click, row.n_view) == (n1, n2)
+    assert abs(row.mean_diff - (x.mean() - y.mean()) / 100) < 1e-5
+    assert abs(row.cohens_d - d) < 1e-5
+    assert abs(row.hedges_g - g) < 1e-5
+    assert abs(row.glass_delta - gl) < 1e-5
+
+
+def test_association_rules_match_bruteforce(spark):
+    pdf = QUERIES["agg_association_rules"](spark, SF).toPandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    import itertools
+
+    N = li.l_orderkey.nunique()
+    singles = li.groupby("l_partkey").size()
+    pairs = collections.Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        for u, v in itertools.combinations(sorted(set(grp.l_partkey)), 2):
+            pairs[(u, v)] += 1
+    cands = [
+        (
+            round(ns * N / (singles[u] * singles[v]), 9),
+            u,
+            v,
+            ns,
+        )
+        for (u, v), ns in pairs.items()
+        if ns >= 2
+    ]
+    cands.sort(key=lambda r: (-r[0], r[1], r[2]))
+    assert len(pdf) == min(10, len(cands))
+    for row, (lift, u, v, ns) in zip(pdf.itertuples(), cands[:10]):
+        assert (row.part_a, row.part_b) == (u, v)
+        assert row.n_baskets_both == ns
+        assert abs(row.lift - lift) < 1e-5
+        assert abs(row.support - ns / N) < 1e-6
+        assert abs(row.conf_a_to_b - ns / singles[u]) < 1e-6
+        assert abs(row.conf_b_to_a - ns / singles[v]) < 1e-6
+
+
+def test_logrank_matches_manual(spark):
+    row = QUERIES["agg_logrank_test"](spark, SF).toPandas().iloc[0]
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    conv = set(
+        ev[ev.event_type == "purchase"]
+        .groupby("user_id")
+        .size()
+        .loc[lambda s: s >= 12]
+        .index
+    )
+    # sessionize: 30-min gaps
+    sessions = []
+    for uid, grp in ev.groupby("user_id"):
+        ts = pd.to_datetime(grp.ts).astype("datetime64[us]").astype("int64")
+        start = ts.iloc[0]
+        prev = ts.iloc[0]
+        for t in ts.iloc[1:]:
+            if t - prev > 1_800_000_000:
+                sessions.append((uid, start, prev))
+                start = t
+            prev = t
+        sessions.append((uid, start, prev))
+    ends = [e for _, _, e in sessions]
+    horizon = max(ends) - 7_200_000_000
+    lab = [
+        (
+            (e - s) // 60_000_000,
+            1 if e > horizon else 0,
+            1 if u in conv else 0,
+        )
+        for u, s, e in sessions
+    ]
+    s1 = sum(1 for *_ , g in lab if g == 1)
+    s0 = len(lab) - s1
+    assert (row.n_sessions_conv, row.n_sessions_non) == (s1, s0)
+    times = sorted({d for d, c, g in lab})
+    ome, var, ntimes = 0.0, 0.0, 0
+    for t in times:
+        d1 = sum(1 for d, c, g in lab if d == t and c == 0 and g == 1)
+        d0 = sum(1 for d, c, g in lab if d == t and c == 0 and g == 0)
+        n1 = sum(1 for d, c, g in lab if d >= t and g == 1)
+        n0 = sum(1 for d, c, g in lab if d >= t and g == 0)
+        dd, nn = d1 + d0, n1 + n0
+        if dd > 0 and nn > 1:
+            ntimes += 1
+            ome += d1 - dd * n1 / nn
+            var += dd * n1 * n0 * (nn - dd) / (nn**2 * (nn - 1))
+    chi2 = ome * ome / var
+    assert row.n_death_times == ntimes
+    assert abs(row.o_minus_e - ome) < 1e-3
+    assert abs(row.logrank_chi2 - chi2) < 1e-3
+    assert row.survival_differs_05 == int(round(chi2, 9) > 3.841)

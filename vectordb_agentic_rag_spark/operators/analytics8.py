@@ -4827,3 +4827,430 @@ def agg_sprt_ab_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN CAST(s AS DOUBLE) <= -2.944439 THEN 'accept_h0'"
         " ELSE 'inconclusive' END AS decision",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cohens_d_family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cohens_d_family",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'view')),
+    mo AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS q
+      FROM c GROUP BY event_type),
+    w AS (
+      SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'click' THEN s END) AS s1,
+             max(CASE WHEN event_type = 'click' THEN q END) AS q1,
+             max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'view' THEN s END) AS s2,
+             max(CASE WHEN event_type = 'view' THEN q END) AS q2
+      FROM mo),
+    st AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+             (q1 - CAST(s1 AS DOUBLE) * s1 / n1) AS ss1,
+             (q2 - CAST(s2 AS DOUBLE) * s2 / n2) AS ss2
+      FROM w)
+    SELECT n1 AS n_click, n2 AS n_view,
+           round((m1 - m2) / 100.0, 6) AS mean_diff,
+           round((m1 - m2)
+                 / sqrt((ss1 + ss2) / (n1 + n2 - 2)), 6) AS cohens_d,
+           round((m1 - m2) / sqrt((ss1 + ss2) / (n1 + n2 - 2))
+                 * (1.0 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+           round((m1 - m2) / sqrt(ss2 / (n2 - 1)), 6) AS glass_delta
+    FROM st
+    """,
+)
+def agg_cohens_d_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS EFFECT SIZES for the click-vs-view value gap:
+    Cohen's d (pooled-sd standardized mean difference), Hedges' g
+    (its small-sample bias correction), and Glass's delta
+    (control-sd standardized, for when the treatment also changes
+    the variance) — the continuous-outcome counterpart of
+    agg_cohen_h_effect and the magnitude layer under
+    agg_welch_ttest's significance verdict (at 100 TB everything is
+    significant; d is what a decision weighs). Three variants in one
+    row because WHICH denominator is right is itself the analytical
+    decision the columns make visible.
+
+    Shape at 100 TB: one grouped moment scan — count, sum, square
+    sum per arm. Nothing else.
+
+    Parity: cents exact; square sums via HUGEINT (DuckDB) /
+    DECIMAL(19,0)-operand products (Spark) cast once to double; all
+    three ratios are shared double expressions, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    mo = c.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.expr(
+            "CAST(sum(CAST(c AS DECIMAL(19,0)) * c) AS DOUBLE)"
+        ).alias("q"),
+    )
+    w = mo.agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == t, F.col(col))
+            ).alias(f"{col}{i}")
+            for i, t in ((1, "click"), (2, "view"))
+            for col in ("n", "s", "q")
+        ]
+    )
+    st = w.selectExpr(
+        "n1",
+        "n2",
+        "CAST(s1 AS DOUBLE) / n1 AS m1",
+        "CAST(s2 AS DOUBLE) / n2 AS m2",
+        "(q1 - CAST(s1 AS DOUBLE) * s1 / n1) AS ss1",
+        "(q2 - CAST(s2 AS DOUBLE) * s2 / n2) AS ss2",
+    )
+    return st.selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "round((m1 - m2) / 100.0, 6) AS mean_diff",
+        "round((m1 - m2) / sqrt((ss1 + ss2) / (n1 + n2 - 2)), 6)"
+        " AS cohens_d",
+        "round((m1 - m2) / sqrt((ss1 + ss2) / (n1 + n2 - 2))"
+        " * (1.0 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g",
+        "round((m1 - m2) / sqrt(ss2 / (n2 - 1)), 6) AS glass_delta",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_association_rules
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_association_rules",
+    oracle="""
+    WITH os AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM os),
+    sing AS MATERIALIZED (
+      SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS np
+      FROM os GROUP BY l_partkey),
+    pair AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(count(*) AS BIGINT) AS ns
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    scored AS (
+      SELECT p.u, p.v, p.ns, su.np AS nu, sv.np AS nv, nb.n,
+             round(CAST(p.ns AS DOUBLE) * nb.n / (su.np * sv.np), 9)
+               AS lift
+      FROM pair p
+      JOIN sing su ON su.p = p.u
+      JOIN sing sv ON sv.p = p.v
+      CROSS JOIN nb)
+    SELECT u AS part_a, v AS part_b, ns AS n_baskets_both,
+           round(CAST(ns AS DOUBLE) / n, 6) AS support,
+           round(CAST(ns AS DOUBLE) / nu, 6) AS conf_a_to_b,
+           round(CAST(ns AS DOUBLE) / nv, 6) AS conf_b_to_a,
+           round(lift, 6) AS lift
+    FROM scored
+    ORDER BY lift DESC, u, v LIMIT 10
+    """,
+)
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET ASSOCIATION RULES over order baskets: for every
+    support-2 part pair, support, both directed confidences, and
+    lift = P(a,b)/(P(a)P(b)) — top-10 by lift. The classic
+    recommendation primitive the co-purchase GRAPH family
+    (graph_adamic_adar predicts links, graph_triangle_cosupply reads
+    closure) leaves implicit: lift is the calibrated "how much more
+    often than chance", and confidence is the deployable "if a is in
+    the basket, odds of b". Support floor 2 is the same gate as
+    _copurchase_edges, so every rule here IS an edge of that graph
+    with its strength made explicit.
+
+    Shape at 100 TB: the distinct (order, part) projection, one
+    self-join blocked by order key (never all-pairs — the dedup
+    banding argument), two broadcast single-counts, TakeOrdered
+    top-10. Exactly the agg_copurchase_pairs plan plus two bounded
+    joins.
+
+    Parity: all counts exact BIGINT; lift quantizes round(9) before
+    the ORDER BY (tie-break (u, v)); output ratios are single
+    divisions, round(6)."""
+    li = table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    nb = os_.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    sing = os_.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").cast("bigint").alias("np")
+    )
+    a = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pair = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("ns"))
+        .where(F.col("ns") >= 2)
+    )
+    scored = (
+        pair.join(F.broadcast(sing.select(F.col("p").alias("u"), F.col("np").alias("nu"))), "u")
+        .join(F.broadcast(sing.select(F.col("p").alias("v"), F.col("np").alias("nv"))), "v")
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "lift",
+            F.expr("round(CAST(ns AS DOUBLE) * n / (nu * nv), 9)"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "u", "v")
+        .limit(10)
+        .selectExpr(
+            "u AS part_a",
+            "v AS part_b",
+            "ns AS n_baskets_both",
+            "round(CAST(ns AS DOUBLE) / n, 6) AS support",
+            "round(CAST(ns AS DOUBLE) / nu, 6) AS conf_a_to_b",
+            "round(CAST(ns AS DOUBLE) / nv, 6) AS conf_b_to_a",
+            "round(lift, 6) AS lift",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_logrank_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_logrank_test",
+    oracle="""
+    WITH conv AS MATERIALIZED (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING count(*) >= 12),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged),
+    sess AS MATERIALIZED (
+      SELECT user_id, sess_no,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000
+                  AS BIGINT) AS dur_min
+      FROM numbered GROUP BY user_id, sess_no),
+    mxx AS MATERIALIZED (SELECT max(end_us) AS m FROM sess),
+    lab AS MATERIALIZED (
+      SELECT s.dur_min,
+             CASE WHEN s.end_us > x.m - 7200000000 THEN 1 ELSE 0 END
+               AS cen,
+             CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS grp
+      FROM sess s CROSS JOIN mxx x
+      LEFT JOIN conv c ON s.user_id = c.user_id),
+    g AS MATERIALIZED (
+      SELECT dur_min,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 - cen ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN grp = 1 THEN cen ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 - cen ELSE 0 END)
+                  AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN grp = 0 THEN cen ELSE 0 END)
+                  AS BIGINT) AS c0
+      FROM lab GROUP BY dur_min),
+    r AS MATERIALIZED (
+      SELECT dur_min, d1, d0,
+             sum(d1 + c1) OVER () -
+               coalesce(sum(d1 + c1) OVER (ORDER BY dur_min
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+             sum(d0 + c0) OVER () -
+               coalesce(sum(d0 + c0) OVER (ORDER BY dur_min
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n0
+      FROM g),
+    terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_times,
+             CAST(sum(CAST(round(
+               d1 - CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0), 9)
+               AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS ome,
+             CAST(sum(CAST(round(
+               CAST(d1 + d0 AS DOUBLE) * n1 * n0
+               * (n1 + n0 - d1 - d0)
+               / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0)
+                  * (n1 + n0 - 1)), 9)
+               AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS v
+      FROM r
+      WHERE d1 + d0 > 0 AND n1 + n0 > 1),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s1,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s0
+      FROM lab)
+    SELECT tot.s1 AS n_sessions_conv, tot.s0 AS n_sessions_non,
+           t.n_times AS n_death_times,
+           round(CAST(t.ome AS DOUBLE), 6) AS o_minus_e,
+           round(CAST(t.ome AS DOUBLE) * CAST(t.ome AS DOUBLE)
+                 / CAST(t.v AS DOUBLE), 6) AS logrank_chi2,
+           CAST(CASE WHEN round(CAST(t.ome AS DOUBLE)
+                                * CAST(t.ome AS DOUBLE)
+                                / CAST(t.v AS DOUBLE), 9) > 3.841
+                     THEN 1 ELSE 0 END AS BIGINT)
+             AS survival_differs_05
+    FROM terms t CROSS JOIN tot
+    """,
+)
+def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST comparing session-duration survival between
+    CONVERTER (>= 12 purchases) and non-converter users: at each
+    distinct death time (minute bucket with uncensored session ends),
+    observed-minus-expected converter deaths under the shared-hazard
+    null, variance-weighted into the chi²(1) statistic — THE standard
+    two-group survival comparison, completing agg_kaplan_meier (which
+    draws the curves; the log-rank decides whether they differ) on
+    the identical session/censoring definitions (30-min gaps, final
+    2 h right-censored).
+
+    Shape at 100 TB: the sessionize exchange collapses the fact
+    table to sessions, sessions collapse to the bounded minute-
+    duration domain; at-risk counts are two suffix cumulatives over
+    that domain; the O-E/variance reduction is one pass. A 1-row
+    output.
+
+    Parity: deaths/at-risk are exact integers; each O-E and variance
+    term is one shared double expression of exact integers quantized
+    round(9) into DECIMAL before the order-independent sums; the
+    chi² ratio quantizes round(9) before the 3.841 compare."""
+    from .relational import agg_sessionize_batch
+
+    conv = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("np"))
+        .where(F.col("np") >= 12)
+        .select("user_id", F.lit(1).alias("cv"))
+    )
+    s = agg_sessionize_batch(spark, sf_dir).select(
+        "user_id",
+        (F.unix_micros("session_start") + F.col("duration_us")).alias(
+            "end_us"
+        ),
+        F.expr("CAST(duration_us DIV 60000000 AS BIGINT)").alias(
+            "dur_min"
+        ),
+    )
+    mxx = s.agg(F.max("end_us").alias("m"))
+    lab = (
+        s.crossJoin(F.broadcast(mxx))
+        .join(F.broadcast(conv), "user_id", "left")
+        .select(
+            "dur_min",
+            F.when(
+                F.col("end_us") > F.col("m") - 7_200_000_000, 1
+            )
+            .otherwise(0)
+            .alias("cen"),
+            F.coalesce(F.col("cv"), F.lit(0)).alias("grp"),
+        )
+        .localCheckpoint()
+    )
+    g = lab.groupBy("dur_min").agg(
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 - cen ELSE 0 END"))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN cen ELSE 0 END"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 - cen ELSE 0 END"))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN cen ELSE 0 END"))
+        .cast("bigint")
+        .alias("c0"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur_min").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.select(
+        "dur_min",
+        "d1",
+        "d0",
+        (
+            F.sum(F.col("d1") + F.col("c1")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d1") + F.col("c1")).over(w_prev), F.lit(0)
+            )
+        ).alias("n1"),
+        (
+            F.sum(F.col("d0") + F.col("c0")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d0") + F.col("c0")).over(w_prev), F.lit(0)
+            )
+        ).alias("n0"),
+    )
+    terms = r.where(
+        (F.col("d1") + F.col("d0") > 0) & (F.col("n1") + F.col("n0") > 1)
+    ).agg(
+        F.count("*").cast("bigint").alias("n_times"),
+        F.sum(
+            F.expr(
+                "CAST(round(d1 - CAST(d1 + d0 AS DOUBLE) * n1"
+                " / (n1 + n0), 9) AS DECIMAL(28,9))"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("ome"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(d1 + d0 AS DOUBLE) * n1 * n0"
+                " * (n1 + n0 - d1 - d0)"
+                " / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0)"
+                " * (n1 + n0 - 1)), 9) AS DECIMAL(28,9))"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("v"),
+    )
+    tot = lab.agg(
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).selectExpr(
+        "s1 AS n_sessions_conv",
+        "s0 AS n_sessions_non",
+        "n_times AS n_death_times",
+        "round(CAST(ome AS DOUBLE), 6) AS o_minus_e",
+        "round(CAST(ome AS DOUBLE) * CAST(ome AS DOUBLE)"
+        " / CAST(v AS DOUBLE), 6) AS logrank_chi2",
+        "CAST(CASE WHEN round(CAST(ome AS DOUBLE) * CAST(ome AS DOUBLE)"
+        " / CAST(v AS DOUBLE), 9) > 3.841 THEN 1 ELSE 0 END AS BIGINT)"
+        " AS survival_differs_05",
+    )

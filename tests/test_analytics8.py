@@ -1081,3 +1081,32 @@ def test_logrank_matches_manual(spark):
     assert abs(row.o_minus_e - ome) < 1e-3
     assert abs(row.logrank_chi2 - chi2) < 1e-3
     assert row.survival_differs_05 == int(round(chi2, 9) > 3.841)
+
+
+def test_referential_integrity_audit_matches_pandas(spark):
+    pdf = QUERIES["maintenance_referential_integrity"](spark, SF).toPandas()
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("embeddings", "vec_id", "documents", "doc_id"),
+    ]
+    assert len(pdf) == len(edges)
+    got = pdf.set_index(["child_table", "fk_column"])
+    for child, fk, parent, pk in edges:
+        c = pd.read_parquet(f"{SF}/{child}.parquet")
+        p = pd.read_parquet(f"{SF}/{parent}.parquet")
+        orphan_mask = ~c[fk].isin(set(p[pk]))
+        row = got.loc[(child, fk)]
+        assert row.parent_table == parent
+        assert row.n_child_rows == len(c)
+        assert row.n_distinct_keys == c[fk].nunique()
+        assert row.n_orphan_rows == int(orphan_mask.sum())
+        assert row.n_orphan_keys == c[fk][orphan_mask].nunique()
+        assert row.ri_ok == int(orphan_mask.sum() == 0)
+    # the fixture generator is referentially clean — every edge holds
+    assert (pdf.ri_ok == 1).all()

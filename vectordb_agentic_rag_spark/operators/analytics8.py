@@ -5254,3 +5254,100 @@ def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(v AS DOUBLE), 9) > 3.841 THEN 1 ELSE 0 END AS BIGINT)"
         " AS survival_differs_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_referential_integrity
+# ---------------------------------------------------------------------------
+
+# (child table, fk column, parent table, pk column) — every declared
+# relationship of the fixture schema, embeddings->documents included
+# (the vector store's 1:1 id contract with the corpus, the invariant
+# the reference's Qdrant upsert maintains implicitly, app.py:204).
+_RI_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("embeddings", "vec_id", "documents", "doc_id"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _RI_EDGES:
+        parts.append(
+            f"""SELECT '{child}' AS child_table, '{fk}' AS fk_column,
+             '{parent}' AS parent_table,
+             (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child_rows,
+             (SELECT CAST(count(DISTINCT {fk}) AS BIGINT) FROM {child})
+               AS n_distinct_keys,
+             (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+              WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                WHERE p.{pk} = c.{fk})) AS n_orphan_rows,
+             (SELECT CAST(count(DISTINCT c.{fk}) AS BIGINT) FROM {child} c
+              WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                WHERE p.{pk} = c.{fk})) AS n_orphan_keys,
+             (SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END
+                          AS BIGINT) FROM {child} c
+              WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                WHERE p.{pk} = c.{fk})) AS ri_ok"""
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@query("maintenance_referential_integrity", oracle=_ri_oracle())
+def maintenance_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT over every declared foreign key of
+    the fixture schema (all six TPC-H edges plus the vector store's
+    embeddings->documents id contract): per edge, child cardinalities
+    and the ORPHAN row/key counts from one anti-join each — the
+    pipeline health check that catches partial loads, late dimension
+    arrivals, and dangling vector upserts before any downstream join
+    silently drops rows (an inner join "losing" 2% of revenue IS this
+    audit failing, surfaced a stage earlier). Completes the
+    maintenance family: maintenance_expectation_checks audits VALUES,
+    partition_skew_report audits LAYOUT, this audits RELATIONSHIPS.
+
+    Shape at 100 TB: one LEFT ANTI join per edge — dimension parents
+    broadcast, fact-to-fact (lineitem->orders) a shuffle anti-join
+    that Catalyst plans exactly like the production joins it guards;
+    counts are map-side-combinable aggregates. 8-row output.
+
+    Parity: pure exact integer counts; the flag is a CASE on an
+    exact count."""
+    frames = []
+    for child, fk, parent, pk in _RI_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias(fk))
+        orphans = c.select(fk).join(p, fk, "left_anti")
+        stats = c.agg(
+            F.count("*").cast("bigint").alias("n_child_rows"),
+            F.countDistinct(fk).cast("bigint").alias("n_distinct_keys"),
+        )
+        ostats = orphans.agg(
+            F.count("*").cast("bigint").alias("n_orphan_rows"),
+            F.countDistinct(fk).cast("bigint").alias("n_orphan_keys"),
+        )
+        frames.append(
+            stats.crossJoin(ostats).selectExpr(
+                f"'{child}' AS child_table",
+                f"'{fk}' AS fk_column",
+                f"'{parent}' AS parent_table",
+                "n_child_rows",
+                "n_distinct_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                "CAST(CASE WHEN n_orphan_rows = 0 THEN 1 ELSE 0 END"
+                " AS BIGINT) AS ri_ok",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -1110,3 +1110,58 @@ def test_referential_integrity_audit_matches_pandas(spark):
         assert row.ri_ok == int(orphan_mask.sum() == 0)
     # the fixture generator is referentially clean — every edge holds
     assert (pdf.ri_ok == 1).all()
+
+
+def test_wasserstein_matches_bruteforce(spark):
+    row = (
+        QUERIES["agg_wasserstein_distance"](spark, SF).toPandas().iloc[0]
+    )
+    ev = _events()
+    x = np.sort(ev.vc[ev.event_type == "click"].to_numpy())
+    y = np.sort(ev.vc[ev.event_type == "view"].to_numpy())
+    assert (row.n_click, row.n_view) == (len(x), len(y))
+    # integrate |F1 - F2| over the merged value grid
+    grid = np.unique(np.concatenate([x, y]))
+    w1 = 0.0
+    for v, vn in zip(grid[:-1], grid[1:]):
+        f1 = (x <= v).sum() / len(x)
+        f2 = (y <= v).sum() / len(y)
+        w1 += abs(f1 - f2) * (vn - v)
+    assert abs(row.wasserstein_1 - w1 / 100.0) < 1e-6
+    assert row.wasserstein_1 >= 0
+
+
+def test_energy_distance_matches_bruteforce(spark):
+    row = QUERIES["agg_energy_distance"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    x = ev.vc[ev.event_type == "click"].to_numpy().astype(float)
+    y = ev.vc[ev.event_type == "view"].to_numpy().astype(float)
+    exy = np.abs(x[:, None] - y[None, :]).mean()
+    exx = np.abs(x[:, None] - x[None, :]).mean()
+    eyy = np.abs(y[:, None] - y[None, :]).mean()
+    d = 2 * exy - exx - eyy
+    assert abs(row.e_between - exy / 100) < 1e-6
+    assert abs(row.e_within_click - exx / 100) < 1e-6
+    assert abs(row.e_within_view - eyy / 100) < 1e-6
+    assert abs(row.energy_distance - d / 100) < 1e-5
+    assert abs(row.e_coefficient - d / (2 * exy)) < 1e-5
+    assert 0 <= row.e_coefficient <= 1
+
+
+def test_permutation_entropy_matches_manual(spark):
+    pdf = QUERIES["win_permutation_entropy"](spark, SF).toPandas()
+    m = _daily_means()
+    pats = collections.Counter()
+    for i in range(len(m) - 2):
+        tri = [(m[i + k], k) for k in range(3)]
+        order = sorted(range(3), key=lambda k: tri[k])
+        rank = [0] * 3
+        for r, k in enumerate(order, 1):
+            rank[k] = r
+        pats[rank[0] * 100 + rank[1] * 10 + rank[2]] += 1
+    n = sum(pats.values())
+    h = -sum((c / n) * math.log(c / n) for c in pats.values())
+    assert dict(zip(pdf.pattern, pdf.n_triples)) == dict(pats)
+    assert (pdf.perm_entropy - round(h / math.log(6), 6)).abs().max() < 1e-4
+    for rowp in pdf.itertuples():
+        assert abs(rowp.freq - pats[rowp.pattern] / n) < 1e-6

@@ -5351,3 +5351,400 @@ def maintenance_referential_integrity(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# agg_wasserstein_distance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_wasserstein_distance",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'view')),
+    blk AS MATERIALIZED (
+      SELECT c,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f2
+      FROM r GROUP BY c),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f2) AS BIGINT) AS n2
+      FROM blk),
+    cum AS MATERIALIZED (
+      SELECT c,
+             CAST(sum(f1) OVER (ORDER BY c) AS BIGINT) AS a1,
+             CAST(sum(f2) OVER (ORDER BY c) AS BIGINT) AS a2,
+             lead(c) OVER (ORDER BY c) AS cn
+      FROM blk),
+    s AS (
+      SELECT CAST(sum(CAST(abs(cum.a1 * tot.n2 - cum.a2 * tot.n1)
+                           AS DECIMAL(19,0)) * (cum.cn - cum.c))
+                  AS DECIMAL(38,0)) AS w,
+             CAST(count(*) AS BIGINT) AS nblk
+      FROM cum CROSS JOIN tot WHERE cum.cn IS NOT NULL)
+    SELECT tot.n1 AS n_click, tot.n2 AS n_view, s.nblk + 1 AS n_blocks,
+           round(CAST(s.w AS DOUBLE)
+                 / (CAST(tot.n1 AS DOUBLE) * tot.n2) / 100.0, 6)
+             AS wasserstein_1
+    FROM s CROSS JOIN tot
+    """,
+)
+def agg_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1-WASSERSTEIN (earth-mover's) DISTANCE between the click
+    and view value distributions: W1 = integral |F1 - F2| over the
+    value axis, computed as an EXACT INTEGER sum over the distinct-
+    cents domain — Σ |cum1·n2 - cum2·n1|·gap, divided once at the end
+    — the transport-cost distribution distance in the distribution
+    family's missing slot: KS reads the worst POINT discrepancy, AD
+    the tail-weighted quadratic, W1 the total WORK to morph one
+    distribution into the other, in value units (dollars) a product
+    owner can read. Zero float error until the final division.
+
+    Shape at 100 TB: one grouped scan to the value domain, one
+    cumulative window, one reduce — the agg_mann_whitney_u shape.
+
+    Parity: every term is an exact integer (DECIMAL(19,0) operands
+    keep the product sums in the 128-bit kernel at any sf); one
+    shared double division, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    blk = r.groupBy("c").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f2"),
+    ).localCheckpoint()
+    tot = blk.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+    )
+    w_c = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = blk.select(
+        "c",
+        F.sum("f1").over(w_c).cast("bigint").alias("a1"),
+        F.sum("f2").over(w_c).cast("bigint").alias("a2"),
+        F.lead("c").over(Window.orderBy("c")).alias("cn"),
+    )
+    s = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cn").isNotNull())
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(abs(a1 * n2 - a2 * n1) AS DECIMAL(19,0))"
+                    " * (cn - c)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("w"),
+            F.count("*").cast("bigint").alias("nblk"),
+        )
+    )
+    return s.crossJoin(F.broadcast(tot)).selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "nblk + 1 AS n_blocks",
+        "round(CAST(w AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) / 100.0, 6)"
+        " AS wasserstein_1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_energy_distance
+# ---------------------------------------------------------------------------
+
+# E|X-Y| over a shared sorted domain via prefix sums: for each block v
+# with weight g(v), sum_u f(u)|u-v| = v*A(v) - B(v) + (Btot - B(v))
+# - v*(Atot - A(v)) with A/B the count / value-weighted prefix sums of
+# f — O(domain), never all-pairs.
+_ED_INNER = (
+    "CAST({v} AS DECIMAL(19,0)) * {a} - {b}"
+    " + ({btot} - {b}) - CAST({v} AS DECIMAL(19,0)) * ({atot} - {a})"
+)
+
+
+@query(
+    "agg_energy_distance",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'view')),
+    blk AS MATERIALIZED (
+      SELECT c,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f2
+      FROM r GROUP BY c),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1,
+             CAST(sum(f2) AS BIGINT) AS n2,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * f1) AS DECIMAL(38,0))
+               AS b1t,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * f2) AS DECIMAL(38,0))
+               AS b2t
+      FROM blk),
+    cum AS MATERIALIZED (
+      SELECT c, f1, f2,
+             CAST(sum(f1) OVER (ORDER BY c) AS BIGINT) AS a1,
+             CAST(sum(f2) OVER (ORDER BY c) AS BIGINT) AS a2,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * f1) OVER (ORDER BY c)
+                  AS DECIMAL(38,0)) AS b1,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * f2) OVER (ORDER BY c)
+                  AS DECIMAL(38,0)) AS b2
+      FROM blk),
+    s AS (
+      SELECT
+        CAST(sum(cum.f2 * ({_ED_INNER.format(v='cum.c', a='cum.a1',
+                                             b='cum.b1', atot='tot.n1',
+                                             btot='tot.b1t')}))
+             AS DECIMAL(38,0)) AS sxy,
+        CAST(sum(cum.f1 * ({_ED_INNER.format(v='cum.c', a='cum.a1',
+                                             b='cum.b1', atot='tot.n1',
+                                             btot='tot.b1t')}))
+             AS DECIMAL(38,0)) AS sxx,
+        CAST(sum(cum.f2 * ({_ED_INNER.format(v='cum.c', a='cum.a2',
+                                             b='cum.b2', atot='tot.n2',
+                                             btot='tot.b2t')}))
+             AS DECIMAL(38,0)) AS syy
+      FROM cum CROSS JOIN tot)
+    SELECT tot.n1 AS n_click, tot.n2 AS n_view,
+           round(CAST(s.sxy AS DOUBLE)
+                 / (CAST(tot.n1 AS DOUBLE) * tot.n2) / 100.0, 6)
+             AS e_between,
+           round(CAST(s.sxx AS DOUBLE)
+                 / (CAST(tot.n1 AS DOUBLE) * tot.n1) / 100.0, 6)
+             AS e_within_click,
+           round(CAST(s.syy AS DOUBLE)
+                 / (CAST(tot.n2 AS DOUBLE) * tot.n2) / 100.0, 6)
+             AS e_within_view,
+           round(2.0 * CAST(s.sxy AS DOUBLE)
+                   / (CAST(tot.n1 AS DOUBLE) * tot.n2) / 100.0
+                 - CAST(s.sxx AS DOUBLE)
+                   / (CAST(tot.n1 AS DOUBLE) * tot.n1) / 100.0
+                 - CAST(s.syy AS DOUBLE)
+                   / (CAST(tot.n2 AS DOUBLE) * tot.n2) / 100.0, 6)
+             AS energy_distance,
+           round((2.0 * CAST(s.sxy AS DOUBLE)
+                    / (CAST(tot.n1 AS DOUBLE) * tot.n2)
+                  - CAST(s.sxx AS DOUBLE)
+                    / (CAST(tot.n1 AS DOUBLE) * tot.n1)
+                  - CAST(s.syy AS DOUBLE)
+                    / (CAST(tot.n2 AS DOUBLE) * tot.n2))
+                 / (2.0 * CAST(s.sxy AS DOUBLE)
+                    / (CAST(tot.n1 AS DOUBLE) * tot.n2)), 6)
+             AS e_coefficient
+    FROM s CROSS JOIN tot
+    """,
+)
+def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ENERGY DISTANCE between the click and view value
+    distributions: D = 2E|X-Y| - E|X-X'| - E|Y-Y'| (Székely), with
+    every pairwise-|difference| expectation computed EXACTLY via the
+    sorted-domain prefix-sum identity (per block v: Σ_u f(u)|u-v| =
+    v·A(v) - B(v) + (Btot-B(v)) - v·(Atot-A(v))) — O(value domain),
+    never the n² pair grid. D = 0 iff the distributions are EQUAL
+    (energy distance is a metric), which neither a mean gap nor a
+    variance ratio can claim; the normalized e_coefficient
+    D/(2E|X-Y|) lands in [0,1] as the effect-size reading. Completes
+    the distribution-distance trio: KS (sup), W1 (transport), energy
+    (metric with all moments).
+
+    Shape at 100 TB: one grouped scan to the value domain, two
+    prefix-sum windows, one reduce.
+
+    Parity: counts and value-weighted prefix sums are exact integers
+    in the 128-bit decimal kernel; the three expectation sums are
+    exact DECIMAL(38,0); divisions happen once in shared double
+    expressions, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    blk = r.groupBy("c").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f2"),
+    ).localCheckpoint()
+    tot = blk.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * f1"))
+        .cast("decimal(38,0)")
+        .alias("b1t"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * f2"))
+        .cast("decimal(38,0)")
+        .alias("b2t"),
+    )
+    w_c = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = blk.select(
+        "c",
+        "f1",
+        "f2",
+        F.sum("f1").over(w_c).cast("bigint").alias("a1"),
+        F.sum("f2").over(w_c).cast("bigint").alias("a2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * f1"))
+        .over(w_c)
+        .cast("decimal(38,0)")
+        .alias("b1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0)) * f2"))
+        .over(w_c)
+        .cast("decimal(38,0)")
+        .alias("b2"),
+    )
+    inner1 = _ED_INNER.format(v="c", a="a1", b="b1", atot="n1", btot="b1t")
+    inner2 = _ED_INNER.format(v="c", a="a2", b="b2", atot="n2", btot="b2t")
+    s = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(f"f2 * ({inner1})")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr(f"f1 * ({inner1})")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr(f"f2 * ({inner2})")).cast("decimal(38,0)").alias("syy"),
+    )
+    exy = "CAST(sxy AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"
+    exx = "CAST(sxx AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1)"
+    eyy = "CAST(syy AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2)"
+    return s.crossJoin(F.broadcast(tot)).selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        f"round({exy} / 100.0, 6) AS e_between",
+        f"round({exx} / 100.0, 6) AS e_within_click",
+        f"round({eyy} / 100.0, 6) AS e_within_view",
+        f"round(2.0 * {exy} / 100.0 - {exx} / 100.0 - {eyy} / 100.0, 6)"
+        " AS energy_distance",
+        f"round((2.0 * {exy} - {exx} - {eyy}) / (2.0 * {exy}), 6)"
+        " AS e_coefficient",
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_permutation_entropy
+# ---------------------------------------------------------------------------
+
+# Strict order with position tie-break: element i precedes element j
+# (i < j positionally) on equal values, so every triple has a unique
+# pattern. With exact-decimal daily means the comparisons are exact.
+_PE_RANKS = (
+    "1 + CASE WHEN m2 < m1 THEN 1 ELSE 0 END"
+    " + CASE WHEN m3 < m1 THEN 1 ELSE 0 END AS r1",
+    "1 + CASE WHEN m1 <= m2 THEN 1 ELSE 0 END"
+    " + CASE WHEN m3 < m2 THEN 1 ELSE 0 END AS r2",
+    "1 + CASE WHEN m1 <= m3 THEN 1 ELSE 0 END"
+    " + CASE WHEN m2 <= m3 THEN 1 ELSE 0 END AS r3",
+)
+
+
+@query(
+    "win_permutation_entropy",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, m
+      FROM daily),
+    tri AS MATERIALIZED (
+      SELECT a.m AS m1, b.m AS m2, c.m AS m3
+      FROM idx a JOIN idx b ON b.t = a.t + 1
+                 JOIN idx c ON c.t = a.t + 2),
+    pat AS MATERIALIZED (
+      SELECT ({_PE_RANKS[0].replace(' AS r1', '')}) * 100
+             + ({_PE_RANKS[1].replace(' AS r2', '')}) * 10
+             + ({_PE_RANKS[2].replace(' AS r3', '')}) AS pattern
+      FROM tri),
+    cnt AS MATERIALIZED (
+      SELECT pattern, CAST(count(*) AS BIGINT) AS n_triples
+      FROM pat GROUP BY pattern),
+    tt AS MATERIALIZED (SELECT CAST(sum(n_triples) AS BIGINT) AS n
+                        FROM cnt),
+    ent AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(c.n_triples AS DOUBLE) / t.n)
+               * ln(CAST(c.n_triples AS DOUBLE) / t.n), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS h
+      FROM cnt c CROSS JOIN tt t)
+    SELECT c.pattern, c.n_triples,
+           round(CAST(c.n_triples AS DOUBLE) / t.n, 6) AS freq,
+           round(e.h / ln(6.0), 6) AS perm_entropy
+    FROM cnt c CROSS JOIN tt t CROSS JOIN ent e
+    """,
+)
+def win_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION ENTROPY (Bandt-Pompe, order 3) of the daily-mean
+    series: the distribution of ordinal patterns of consecutive
+    triples — which of the 6 up/down shapes the series actually
+    visits — normalized to [0,1] by ln 6. The complexity measure that
+    is invariant to ANY monotone transform of the values (z-scores,
+    logs, calibration drift — none of it matters, only order), making
+    it the robust cousin of agg_spectral_entropy, and the per-pattern
+    rows are readable on their own ('123' monotone rise, '321' fall,
+    '132'/'213' local peaks...). Ties break by position, so every
+    triple has a unique exact pattern.
+
+    Shape at 100 TB: day-domain collapse, two lag self-joins, a
+    6-row group. Nothing row-scaled after the first aggregate.
+
+    Parity: patterns come from exact-decimal comparisons; counts are
+    exact integers; each entropy term quantizes round(9) into
+    DECIMAL before the order-independent sum; normalization is one
+    shared double division, round(6)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).localCheckpoint()
+    b = idx.select((F.col("t") - 1).alias("t"), F.col("m").alias("m2"))
+    c = idx.select((F.col("t") - 2).alias("t"), F.col("m").alias("m3"))
+    tri = (
+        idx.withColumnRenamed("m", "m1")
+        .join(b, "t")
+        .join(c, "t")
+        .selectExpr(*_PE_RANKS)
+    )
+    pat = tri.selectExpr(
+        "r1 * 100 + r2 * 10 + r3 AS pattern"
+    )
+    cnt = pat.groupBy("pattern").agg(
+        F.count("*").cast("bigint").alias("n_triples")
+    ).localCheckpoint()
+    tt = cnt.agg(F.sum("n_triples").cast("bigint").alias("n"))
+    ent = cnt.crossJoin(F.broadcast(tt)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(-(CAST(n_triples AS DOUBLE) / n)"
+                " * ln(CAST(n_triples AS DOUBLE) / n), 9)"
+                " AS DECIMAL(28,9))"
+            )
+        )
+        .cast("double")
+        .alias("h")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ent))
+        .selectExpr(
+            "pattern",
+            "n_triples",
+            "round(CAST(n_triples AS DOUBLE) / n, 6) AS freq",
+            "round(h / ln(6.0), 6) AS perm_entropy",
+        )
+    )

@@ -1060,3 +1060,29 @@ def test_sprt_first_day_scope_is_bounded(spark, sf_dir):
     plan = plan_of(QUERIES["agg_sprt_ab_replay"](spark, sf_dir))
     assert plan.count("Location: InMemoryFileIndex") == 0
     assert "BatchEvalPython" not in plan
+
+
+def test_association_rules_topk_take_ordered(spark, sf_dir):
+    # order-key-blocked pair join, broadcast singles, TakeOrdered top-10
+    plan = plan_of(QUERIES["agg_association_rules"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_wasserstein_energy_value_domain_single_scan(spark, sf_dir):
+    # both distribution distances collapse to the checkpointed value
+    # domain: no fact re-scan, windows over the bounded domain only
+    for op in ("agg_wasserstein_distance", "agg_energy_distance"):
+        plan = plan_of(QUERIES[op](spark, sf_dir))
+        assert plan.count("Location: InMemoryFileIndex") == 0, op
+        assert "BatchEvalPython" not in plan, op
+
+
+def test_referential_integrity_broadcast_anti_joins(spark, sf_dir):
+    # dimension parents broadcast into LEFT ANTI probes; counts are
+    # map-side combinable
+    plan = plan_of(QUERIES["maintenance_referential_integrity"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan

@@ -234,6 +234,14 @@ OPS = [
     ("agg_discount_elasticity", "lineitem"),
     ("graph_closeness_seeds", "lineitem"),
     ("graph_copurchase_components", "lineitem"),
+    ("agg_cohens_d_family", "events"),
+    ("agg_association_rules", "lineitem"),
+    ("agg_logrank_test", "events"),
+    ("agg_wasserstein_distance", "events"),
+    ("agg_energy_distance", "events"),
+    ("agg_stratified_ate", "events"),
+    ("agg_lmoments_suite", "events"),
+    ("maintenance_referential_integrity", "lineitem"),
 ]
 
 

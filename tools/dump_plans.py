@@ -108,6 +108,9 @@ SHOWCASE = [
     ("agg_anderson_darling_2samp", "value-domain midrank cumulatives + O(N) harmonic prefix sums"),
     ("win_matrix_profile_1d", "bounded subsequence pair grid, exact decimal dot products, per-window argmin"),
     ("agg_dtw_band_distance", "banded DP as a 5-cell anti-band struct fold, no loop"),
+    ("agg_wasserstein_distance", "exact-integer |F1-F2| integral on the value domain"),
+    ("agg_association_rules", "order-blocked pair join, broadcast singles, TakeOrdered by lift"),
+    ("agg_logrank_test", "sessionize exchange -> duration-domain suffix cumulatives"),
 ]
 
 

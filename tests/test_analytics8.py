@@ -1165,3 +1165,35 @@ def test_permutation_entropy_matches_manual(spark):
     assert (pdf.perm_entropy - round(h / math.log(6), 6)).abs().max() < 1e-4
     for rowp in pdf.itertuples():
         assert abs(rowp.freq - pats[rowp.pattern] / n) < 1e-6
+
+
+def test_seasonal_mann_kendall_matches_manual(spark):
+    row = (
+        QUERIES["agg_seasonal_mann_kendall"](spark, SF).toPandas().iloc[0]
+    )
+    m = _daily_means()
+    n = len(m)
+    dows = [(t - 1) % 7 for t in range(1, n + 1)]
+    S, npairs = 0, 0
+    for d in range(7):
+        vals = [m[i] for i in range(n) if dows[i] == d]
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                npairs += 1
+                S += int(vals[j] > vals[i]) - int(vals[j] < vals[i])
+    v0 = 0
+    vtie = 0
+    for d in range(7):
+        vals = [m[i] for i in range(n) if dows[i] == d]
+        nd = len(vals)
+        v0 += nd * (nd - 1) * (2 * nd + 5)
+        for _, c in collections.Counter(vals).items():
+            if c > 1:
+                vtie += c * (c - 1) * (2 * c + 5)
+    var = (v0 - vtie) / 18
+    z = (S - (1 if S > 0 else -1 if S < 0 else 0)) / math.sqrt(var)
+    assert row.s_stat == S
+    assert row.n_pairs == npairs
+    assert abs(row.var_s - var) < 1e-6
+    assert abs(row.z_stat - z) < 1e-4
+    assert row.trend_05 == int(abs(round(z, 9)) > 1.959964)

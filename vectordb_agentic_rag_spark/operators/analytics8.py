@@ -3645,31 +3645,44 @@ def agg_granger_causality_1lag(
 # C(i, k) closed forms as exact integer expressions (consecutive-
 # integer products are divisible by k! — integer division is exact).
 # Stepwise form: every parenthesized prefix is itself a binomial
-# coefficient (exact integer division at each step), which keeps the
-# largest intermediate at C(i,k-1)*i instead of i^k — ANSI overflow
-# (loud, not wrong) moves out to ~2.7e4 sorted positions per group;
-# past that the same block form needs DECIMAL(38,0) operands.
-_COMB = {
-    1: "({i})",
-    2: "(({i}) * (({i}) - 1) {div} 2)",
-    3: "((({i}) * (({i}) - 1) {div} 2) * (({i}) - 2) {div} 3)",
-    4: "(((({i}) * (({i}) - 1) {div} 2) * (({i}) - 2) {div} 3)"
-    " * (({i}) - 3) {div} 4)",
-}
+# coefficient (exact integer division at each step). C(i,2)/C(i,3)
+# stay in int64 to i ~ 2e6 positions per group; the QUARTIC C(i,4)
+# promotes its final multiply to 128-bit (Spark: DECIMAL(25,0)
+# product then an exact /4 — the quotient is integer-valued so the
+# scale-6 decimal represents it exactly; DuckDB: HUGEINT with //),
+# which carries the weights to i ~ 1e9 positions per group.
+def _comb(k: int, i: str, engine: str) -> str:
+    c2 = f"(({i}) * (({i}) - 1) {{d}} 2)"
+    c3 = f"({c2} * (({i}) - 2) {{d}} 3)"
+    if k == 1:
+        return f"({i})"
+    if k == 2:
+        return c2.format(d="div" if engine == "spark" else "//")
+    if k == 3:
+        return c3.format(d="div" if engine == "spark" else "//")
+    c3r = c3.format(d="div" if engine == "spark" else "//")
+    if engine == "spark":
+        return f"(CAST({c3r} AS DECIMAL(25,0)) * (({i}) - 3) / 4)"
+    return f"(CAST({c3r} AS HUGEINT) * (({i}) - 3) // 4)"
 
 
-def _lmom_numerators(div: str) -> str:
+def _lmom_numerators(engine: str) -> str:
     """Per-value-block numerator columns N0..N3: the order-statistic
     weight sums folded over each tied block [lo, hi] with the
     hockey-stick identity sum_{i=lo..hi} C(i-1, r) =
-    C(hi, r+1) - C(lo-1, r+1)."""
+    C(hi, r+1) - C(lo-1, r+1). DuckDB multiplies value x weight in
+    HUGEINT; Spark in DECIMAL (integer-valued throughout)."""
+    cast_c = (
+        "CAST(c AS DECIMAL(19,0))" if engine == "spark"
+        else "CAST(c AS HUGEINT)"
+    )
     cols = []
     for r in range(4):
         k = r + 1
-        hi = _COMB[k].format(i="hi", div=div)
-        lo = _COMB[k].format(i="lo - 1", div=div)
+        hi = _comb(k, "hi", engine)
+        lo = _comb(k, "lo - 1", engine)
         cols.append(
-            f"CAST(sum(CAST(c AS DECIMAL(19,0))"
+            f"CAST(sum({cast_c}"
             f" * ({hi} - {lo})) AS DECIMAL(38,0)) AS nu{r}"
         )
     return ",\n             ".join(cols)
@@ -3693,7 +3706,7 @@ def _lmom_numerators(div: str) -> str:
     nums AS (
       SELECT event_type,
              CAST(max(hi) AS BIGINT) AS n,
-             {_lmom_numerators("//")}
+             {_lmom_numerators("duckdb")}
       FROM pos GROUP BY event_type),
     bs AS (
       SELECT event_type, n,
@@ -3767,8 +3780,8 @@ def agg_lmoments_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.expr(
                 f"CAST(sum(CAST(c AS DECIMAL(19,0)) * "
-                f"({_COMB[r + 1].format(i='hi', div='div')}"
-                f" - {_COMB[r + 1].format(i='lo - 1', div='div')}))"
+                f"({_comb(r + 1, 'hi', 'spark')}"
+                f" - {_comb(r + 1, 'lo - 1', 'spark')}))"
                 f" AS DECIMAL(38,0))"
             ).alias(f"nu{r}")
             for r in range(4)
@@ -5746,5 +5759,147 @@ def win_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triples",
             "round(CAST(n_triples AS DOUBLE) / n, 6) AS freq",
             "round(h / ln(6.0), 6) AS perm_entropy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_seasonal_mann_kendall
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_seasonal_mann_kendall",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(16,6)) AS m
+      FROM events GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST((CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1)
+                  % 7 AS BIGINT) AS dow,
+             m
+      FROM daily),
+    s AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN b.m > a.m THEN 1
+                           WHEN b.m < a.m THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM idx a JOIN idx b
+        ON a.dow = b.dow AND b.t > a.t),
+    vt AS MATERIALIZED (
+      SELECT CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS v0
+      FROM (SELECT dow, CAST(count(*) AS BIGINT) AS n
+            FROM idx GROUP BY dow) g),
+    ties AS MATERIALIZED (
+      SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0)
+                  AS BIGINT) AS vtie
+      FROM (SELECT dow, m, CAST(count(*) AS BIGINT) AS tc
+            FROM idx GROUP BY dow, m HAVING count(*) > 1) t)
+    SELECT s.s AS s_stat, s.n_pairs,
+           round(CAST(vt.v0 - ties.vtie AS DOUBLE) / 18.0, 6) AS var_s,
+           round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                      WHEN s.s < 0 THEN (s.s + 1)
+                      ELSE 0 END
+                 / sqrt(CAST(vt.v0 - ties.vtie AS DOUBLE) / 18.0), 6) AS z_stat,
+           CAST(CASE WHEN abs(round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                             WHEN s.s < 0 THEN (s.s + 1) ELSE 0 END
+                 / sqrt(CAST(vt.v0 - ties.vtie AS DOUBLE) / 18.0), 9)) > 1.959964
+                     THEN 1 ELSE 0 END AS BIGINT) AS trend_05
+    FROM s CROSS JOIN vt CROSS JOIN ties
+    """,
+)
+def agg_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONAL MANN-KENDALL TREND TEST (Hirsch-Slack, period 7) on
+    the daily-mean series: the MK sign statistic computed WITHIN each
+    weekday (Monday vs later Mondays, never Monday vs Sunday), summed
+    across the 7 seasons with the tie-corrected variance — the trend
+    test that a weekly cycle cannot fool (plain agg_mann_kendall_trend
+    counts every cross-weekday pair, so a strong seasonal pattern
+    inflates or masks S; the seasonal variant conditions it out
+    entirely). z uses the standard continuity correction; |z| > 1.96
+    flags a monotone trend at 5%.
+
+    Shape at 100 TB: day-domain collapse; the pair join is within-dow
+    on the bounded domain (7 x C(D/7, 2) pairs); variances are 7-row
+    arithmetic. Exact integers everywhere until the final division.
+
+    Parity: signs come from exact-decimal comparisons; S, pair
+    counts, and both variance pieces are exact BIGINTs; z is one
+    shared double expression quantized round(9) before the critical
+    compare."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.expr(
+            "CAST(round(CAST(cents AS DOUBLE) / cnt / 100.0, 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("m"),
+    ).selectExpr("day", "t", "(t - 1) % 7 AS dow", "m").localCheckpoint()
+    b = idx.select(
+        F.col("dow").alias("dowb"), F.col("t").alias("tb"), F.col("m").alias("mb")
+    )
+    s = (
+        idx.join(
+            b, (F.col("dow") == F.col("dowb")) & (F.col("tb") > F.col("t"))
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN mb > m THEN 1 WHEN mb < m THEN -1"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    vt = (
+        idx.groupBy("dow")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .agg(
+            F.sum(F.expr("n * (n - 1) * (2 * n + 5)"))
+            .cast("bigint")
+            .alias("v0")
+        )
+    )
+    ties = (
+        idx.groupBy("dow", "m")
+        .agg(F.count("*").cast("bigint").alias("tc"))
+        .where(F.col("tc") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("tc * (tc - 1) * (2 * tc + 5)")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("vtie")
+        )
+    )
+    z_expr = (
+        "CASE WHEN s > 0 THEN (s - 1) WHEN s < 0 THEN (s + 1)"
+        " ELSE 0 END / sqrt(CAST(v0 - vtie AS DOUBLE) / 18.0)"
+    )
+    return (
+        s.crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "s AS s_stat",
+            "n_pairs",
+            "round(CAST(v0 - vtie AS DOUBLE) / 18.0, 6) AS var_s",
+            f"round({z_expr}, 6) AS z_stat",
+            f"CAST(CASE WHEN abs(round({z_expr}, 9)) > 1.959964"
+            " THEN 1 ELSE 0 END AS BIGINT) AS trend_05",
         )
     )

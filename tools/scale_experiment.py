@@ -243,11 +243,11 @@ OPS = [
     # agg_tost_equivalence note; operator logic is unaffected.
     ("agg_wasserstein_distance", "events"),
     ("agg_energy_distance", "events"),
-    # agg_lmoments_suite raises (ANSI long overflow, loud not wrong)
-    # at sf1x: the stepwise quartic binomial weight C(i,4) exceeds
-    # int64 past ~8.6e4 sorted positions per group (sf1x has 2e5).
-    # The op carries the DECIMAL-promoted quartic for exactly this
-    # regime; the audit keeps the int64-fast fixture path honest.
+    # agg_lmoments_suite: the quartic binomial weight C(i,4) runs in
+    # 128-bit (DECIMAL(25,0) promoted in commit 230449f), exact to
+    # ~2e8 sorted positions per group — sf1x's 2e5 positions are three
+    # orders inside the budget, so the op audits normally.
+    ("agg_lmoments_suite", "events"),
     ("maintenance_referential_integrity", "lineitem"),
 ]
 

@@ -3650,7 +3650,8 @@ def agg_granger_causality_1lag(
 # promotes its final multiply to 128-bit (Spark: DECIMAL(25,0)
 # product then an exact /4 — the quotient is integer-valued so the
 # scale-6 decimal represents it exactly; DuckDB: HUGEINT with //),
-# which carries the weights to i ~ 1e9 positions per group.
+# which carries the weights to i ~ 2e8 positions per group (the
+# DECIMAL(38,6) quotient holds C(i,4) exactly while C(i,4) < 1e32).
 def _comb(k: int, i: str, engine: str) -> str:
     c2 = f"(({i}) * (({i}) - 1) {{d}} 2)"
     c3 = f"({c2} * (({i}) - 2) {{d}} 3)"
@@ -3748,8 +3749,12 @@ def agg_lmoments_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_{{i=lo..hi}} C(i-1,r) = C(hi,r+1) - C(lo-1,r+1) collapses each
     block's weight sum to a CLOSED FORM in lo/hi — so b_r's numerator
     is one pass over the bounded value domain with polynomial integer
-    weights, exact to the last digit (products live in BIGINT up to
-    C(n,4) ~ 1e17 and DECIMAL(19,0)x for the value multiply).
+    weights, exact to the last digit: C(i,2)/C(i,3) stay in int64 to
+    ~2e6 positions per group, and the quartic C(i,4) promotes its
+    final multiply to 128-bit (Spark DECIMAL(25,0) product with an
+    exact /4; DuckDB HUGEINT with //), exact while C(i,4) < 1e32,
+    i.e. to ~2e8 sorted positions per group; the value multiply runs
+    in DECIMAL(19,0)/HUGEINT.
 
     Shape at 100 TB: one grouped scan to the value domain; two
     windows over it; one aggregate. No row-level sort anywhere.

@@ -26,6 +26,24 @@ from ..tables import table
 _SCRATCH = "/root/repo/_scratch/stream"
 
 
+def _batch_slice(pdf_iter, sort_cols):
+    """Concatenate one key's Arrow chunks for the CURRENT micro-batch
+    and sort ONCE across all of them. applyInPandasWithState hands the
+    key's batch slice as an iterator of Arrow-sized chunks whose
+    relative order after the groupBy shuffle is NOT guaranteed;
+    sorting each chunk independently (the pre-round-9 pattern) silently
+    corrupts sequential folds and session boundaries once a key's
+    per-batch slice spans chunks (>~10k rows/key/batch). Returns the
+    time-ordered pandas frame, or None when the slice is empty."""
+    import pandas as pd
+
+    parts = [p for p in pdf_iter if len(p)]
+    if not parts:
+        return None
+    pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+    return pdf.sort_values(sort_cols, ignore_index=True)
+
+
 def _replay_cached(out: str, n_files: int, build) -> str:
     """The replay is a deterministic function of the immutable fixture,
     so build it once per scratch dir and reuse: every streaming op was
@@ -310,13 +328,14 @@ def stream_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             start_us, last_us, n = None, None, 0
         closed: list[tuple[int, int, int, int]] = []
         (user_id,) = key
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
+        part = _batch_slice(pdf_iter, ["ts"])
+        if part is not None:
             # vectorized gap-split: sort event times (ns -> us), break
             # where the gap exceeds 30 min, reduce each run to
-            # (start, last, count) — no per-event Python.
-            ts = np.sort(pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)) // 1000
+            # (start, last, count) — no per-event Python. The slice is
+            # concatenated across Arrow chunks FIRST (_batch_slice) so
+            # the sort spans the whole micro-batch.
+            ts = np.sort(part["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)) // 1000
             seg = np.concatenate(([0], np.cumsum(np.diff(ts) > gap_us)))
             _, first_idx, counts = np.unique(seg, return_index=True, return_counts=True)
             starts = ts[first_idx]
@@ -629,10 +648,8 @@ def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(key, pdf_iter, state: GroupState):
         cs, mx, al, n = state.get if state.exists else (0.0, 0.0, 0, 0)
         (user_id,) = key
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            part = pdf.sort_values(["us", "event_id"])
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
             for x in part["x"].to_numpy():
                 cs = max(0.0, cs + x - mu - kk)
                 mx = max(mx, cs)
@@ -753,10 +770,8 @@ def stream_token_bucket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.get if state.exists else (cap, 0, 0, None)
         )
         (user_id,) = key
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            part = pdf.sort_values(["us", "event_id"])
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
             for x in part["us"].to_numpy():
                 x = int(x)
                 if last is None:
@@ -871,10 +886,8 @@ def stream_page_hinkley_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.get if state.exists else (0.0, None, 0, 0)
         )
         (user_id,) = key
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            part = pdf.sort_values(["us", "event_id"])
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
             for x in part["x"].to_numpy():
                 mt = mt + x - mu - dl
                 mn = min(0.0, mt) if mn is None else min(mn, mt)
@@ -984,10 +997,8 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             s, n = None, 0
         (user_id,) = key
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            part = pdf.sort_values(["us", "event_id"])
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
             for x in part["x"].to_numpy():
                 s = float(x) if s is None else s + alpha * (float(x) - s)
             n += len(part)
@@ -1085,10 +1096,8 @@ def stream_markov_transition_live(
         else:
             last, n = None, 0
         counts: dict[tuple[str, str], int] = {}
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            part = pdf.sort_values(["us", "event_id"])
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
             for et in part["event_type"]:
                 if last is not None:
                     k2 = (last, et)
@@ -1212,9 +1221,8 @@ def stream_gap_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             start_us, last_us, n, vc = None, None, 0, 0
         closed: list[tuple[int, int, int, int, int]] = []
         (user_id,) = key
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
+        pdf = _batch_slice(pdf_iter, ["ts"])
+        if pdf is not None:
             ts_raw = (
                 pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
                 // 1000

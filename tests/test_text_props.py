@@ -866,3 +866,54 @@ def test_weighted_prefix_candidates_perfect_recall_and_pruning(spark):
     assert len(got) < 0.25 * blocked_pairs, (
         f"no real pruning: {len(got)} candidates of {blocked_pairs}"
     )
+
+
+def test_influence_dedup_order_matches_python_greedy(spark, sf_dir):
+    """pipeline_influence_dedup_order's keeper pick, greedy purge
+    order, running totals, and budget cut must match a plain-Python
+    re-derivation from the same cluster labels and quality scores."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _IDO_BUDGET,
+        dedup_connected_components,
+        pipeline_influence_dedup_order,
+    )
+    from vectordb_agentic_rag_spark.operators.text import text_quality_score
+    from vectordb_agentic_rag_spark.tables import table
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    qual = {
+        r.doc_id: r.quality
+        for r in text_quality_score(spark, sf_dir).collect()
+    }
+    ntok = {
+        r.doc_id: len(r.text.split(" "))
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    clusters: dict = {}
+    for d, c in labels.items():
+        clusters.setdefault(c, []).append(d)
+    cands = []
+    for members in clusters.values():
+        if len(members) < 2:
+            continue
+        members.sort(key=lambda d: (-qual[d], d))  # keeper first
+        cands.extend(members[1:])
+    cands.sort(key=lambda d: (qual[d], d))  # greedy: worst first
+    cum, exp = 0, {}
+    for d in cands:
+        exp[d] = (labels[d], ntok[d], cum, 1 if cum < _IDO_BUDGET else 0)
+        cum += ntok[d]
+    rows = pipeline_influence_dedup_order(spark, sf_dir).collect()
+    got = {
+        r.doc_id: (r.cluster_id, r.n_tokens, r.cum_before, r.purged)
+        for r in rows
+    }
+    assert got == exp
+    purged = sum(v[3] for v in exp.values())
+    assert 0 < purged, "budget purges nothing — raise _IDO_BUDGET"
+    assert purged < len(exp), "budget purges everything — lower it"

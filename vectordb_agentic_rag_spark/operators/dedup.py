@@ -1108,6 +1108,143 @@ def pipeline_near_dup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# pipeline_influence_dedup_order
+# ---------------------------------------------------------------------------
+
+_IDO_BUDGET = 300  # purge-token budget: splits purged/kept at every sf
+
+
+def _influence_dedup_order_oracle() -> str:
+    from .text import _STOPWORDS
+
+    return f"""
+    WITH RECURSIVE {_DUCK_CC_CTES},
+    labels AS (
+      SELECT node AS doc_id, min(anc) AS cluster_id
+      FROM reach GROUP BY node),
+    t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({_STOPWORDS}, w))) AS stop_hits,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents),
+    q AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(0.5 * least(n_tokens / 64.0, 1.0)
+                 + 0.25 * (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens)
+                 + 0.25 * (CAST(n_distinct AS DOUBLE) / n_tokens), 6)
+               AS quality
+      FROM t),
+    m AS (
+      SELECT q.doc_id, l.cluster_id, q.quality, q.n_tokens,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, q.doc_id) AS rn
+      FROM q JOIN labels l USING (doc_id)),
+    c AS (
+      SELECT doc_id, cluster_id, quality, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY quality, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM m WHERE rn > 1)
+    SELECT doc_id, cluster_id, quality, n_tokens, cum_before,
+           CAST(CASE WHEN cum_before < {_IDO_BUDGET} THEN 1 ELSE 0 END
+                AS BIGINT) AS purged
+    FROM c
+    """
+
+
+@query("pipeline_influence_dedup_order", oracle=_influence_dedup_order_oracle())
+def pipeline_influence_dedup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFLUENCE-ORDERED DEDUP PURGE under a token budget — the
+    curation step after clustering (dedup_connected_components) when
+    the pipeline may only REMOVE a bounded number of tokens this run
+    (incremental re-curation, deletion-budgeted storage reclaim, or a
+    staged rollout where each purge wave must stay reviewable): per
+    near-dup cluster KEEP THE BEST copy (highest text_quality_score,
+    doc_id tiebreak — the evidence-weighted keeper, vs
+    pipeline_near_dup_purge's arbitrary cluster-min), then purge the
+    remaining copies GREEDILY in ascending influence (quality) order —
+    least-valuable duplicates go first — until the _IDO_BUDGET = 300
+    purged-token budget is exhausted. Emits every purge candidate with
+    its exact running purged-token total (cum_before) and the
+    purged/deferred flag, so the wave is reproducible and auditable.
+
+    Scale shape — NO global sort over candidates: the greedy running
+    total decomposes like pipeline_token_budget_select's, over the
+    bounded round(6) quality DOMAIN: (1) per-quality token subtotals
+    cumulated ascending over the domain give each quality cell's
+    OFFSET (broadcast back); (2) a window partitioned by quality
+    cumulates tokens by doc_id WITHIN each cell; offset + within is
+    the exact global running total. The keeper pick is a window
+    partitioned by cluster_id (shuffle on cluster keys, no global
+    ordering). Cluster labels come from the checkpointed-edge CC loop
+    (dedup_connected_components), so the iteration cost is decoupled
+    from corpus size; everything downstream is two corpus-scans'
+    worth of joins + bounded-domain windows.
+
+    Parity: quality is the shared exact formula (integer ratios,
+    round 6); token counts and running totals are exact integers; the
+    budget cut and the keeper/greedy orders compare (double, bigint)
+    keys computed identically on both engines."""
+    from .text import text_quality_score
+
+    labels = dedup_connected_components(spark, sf_dir)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    m = labels.join(q, "doc_id").join(toks, "doc_id")
+    w_keep = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    cand = (
+        m.withColumn("rn", F.row_number().over(w_keep))
+        .where(F.col("rn") > 1)
+        .drop("rn")
+    )
+    grp = cand.groupBy("quality").agg(
+        F.sum("n_tokens").cast("bigint").alias("tb")
+    )
+    wd = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = grp.select(
+        "quality",
+        F.coalesce(F.sum("tb").over(wd), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    ww = (
+        Window.partitionBy("quality")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = cand.join(F.broadcast(off), "quality").select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        "n_tokens",
+        (
+            F.col("off")
+            + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    return c.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        "n_tokens",
+        "cum_before",
+        (F.col("cum_before") < _IDO_BUDGET).cast("bigint").alias("purged"),
+    )
+
+
 def _pagerank_oracle(iters: int = 10) -> str:
     """Unrolled fixed-iteration PageRank CTE chain. A recursive CTE
     cannot reference itself twice (once for ranks, once inside the

@@ -324,3 +324,27 @@ def test_page_hinkley_live_matches_batch_op(spark, sf_dir):
     batch = _key(win_page_hinkley(spark, sf_dir).collect(), cols)
     assert live == batch
     assert any(r[4] == 1 for r in batch)  # the detector actually fires
+
+
+def test_tost_monitor_live_matches_batch_op(spark, sf_dir):
+    """The drained live TOST monitor equals agg_tost_equivalence
+    exactly: every per-user indicator (has-view, has-click, >= 12
+    purchases) is monotone, so the per-batch 0/1 increments sum to the
+    batch cohort counts regardless of where the replay cuts batches,
+    and the final arithmetic is the shared expression text."""
+    from vectordb_agentic_rag_spark.operators.analytics7 import (
+        agg_tost_equivalence,
+    )
+    from vectordb_agentic_rag_spark.streaming.core import (
+        stream_tost_monitor_live,
+    )
+
+    cols = [
+        "n_view", "conv_view", "n_click", "conv_click",
+        "diff", "z_lower", "z_upper", "equivalent",
+    ]
+    live = _key(stream_tost_monitor_live(spark, sf_dir).collect(), cols)
+    batch = _key(agg_tost_equivalence(spark, sf_dir).collect(), cols)
+    assert live == batch
+    (row,) = batch
+    assert row[0] > 0 and row[2] > 0  # cohorts are non-empty

@@ -52,10 +52,42 @@ _TOST_MARGIN = "CAST(0.02 AS DOUBLE)"
 # One-sided z critical value at alpha = 0.05.
 _TOST_ZCRIT = "CAST(1.644854 AS DOUBLE)"
 
+# The TOST arithmetic from the pooled sufficient statistics
+# (n1, x1, n2, x2), shared verbatim by the batch op's final selectExpr
+# and by stream_tost_monitor_live's drained-increment reduction
+# (streaming/core.py) — one text, one parity argument.
+_TOST_FINAL_EXPRS = (
+    "CAST(n1 AS BIGINT) AS n_view",
+    "CAST(x1 AS BIGINT) AS conv_view",
+    "CAST(n2 AS BIGINT) AS n_click",
+    "CAST(x2 AS BIGINT) AS conv_click",
+    "round(diff, 6) AS diff",
+    f"round((diff + {_TOST_MARGIN}) / se, 6) AS z_lower",
+    f"round((diff - {_TOST_MARGIN}) / se, 6) AS z_upper",
+    f"CAST(CASE WHEN round((diff + {_TOST_MARGIN}) / se, 6)"
+    f" >= {_TOST_ZCRIT}"
+    f" AND round((diff - {_TOST_MARGIN}) / se, 6)"
+    f" <= -{_TOST_ZCRIT}"
+    " THEN 1 ELSE 0 END AS BIGINT) AS equivalent",
+)
+_TOST_DIFF_SE_EXPRS = (
+    "n1",
+    "x1",
+    "n2",
+    "x2",
+    "CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2 AS diff",
+    "sqrt((CAST(x1 AS DOUBLE) / n1)"
+    " * (1.0 - CAST(x1 AS DOUBLE) / n1) / n1"
+    " + (CAST(x2 AS DOUBLE) / n2)"
+    " * (1.0 - CAST(x2 AS DOUBLE) / n2) / n2) AS se",
+)
 
-@query(
-    "agg_tost_equivalence",
-    oracle=f"""
+
+def _tost_oracle() -> str:
+    """The full DuckDB TOST oracle over the events cohorts — reused
+    verbatim by stream_tost_monitor_live, whose drained per-batch
+    increments sum to the same (n1, x1, n2, x2)."""
+    return f"""
     WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
     conv AS (SELECT user_id FROM events WHERE event_type = 'purchase'
              GROUP BY user_id HAVING count(*) >= 12),
@@ -92,8 +124,10 @@ _TOST_ZCRIT = "CAST(1.644854 AS DOUBLE)"
                           <= -{_TOST_ZCRIT}
                      THEN 1 ELSE 0 END AS BIGINT) AS equivalent
     FROM z
-    """,
-)
+    """
+
+
+@query("agg_tost_equivalence", oracle=_tost_oracle())
 def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOST EQUIVALENCE TEST (two one-sided tests) on the view-vs-click
     conversion cohorts: instead of asking "are the rates different?"
@@ -148,31 +182,8 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n2"),
         F.max(F.when(F.col("event_type") == "click", F.col("x"))).alias("x2"),
     )
-    z = w.selectExpr(
-        "n1",
-        "x1",
-        "n2",
-        "x2",
-        "CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2 AS diff",
-        "sqrt((CAST(x1 AS DOUBLE) / n1)"
-        " * (1.0 - CAST(x1 AS DOUBLE) / n1) / n1"
-        " + (CAST(x2 AS DOUBLE) / n2)"
-        " * (1.0 - CAST(x2 AS DOUBLE) / n2) / n2) AS se",
-    )
-    return z.selectExpr(
-        "CAST(n1 AS BIGINT) AS n_view",
-        "CAST(x1 AS BIGINT) AS conv_view",
-        "CAST(n2 AS BIGINT) AS n_click",
-        "CAST(x2 AS BIGINT) AS conv_click",
-        "round(diff, 6) AS diff",
-        f"round((diff + {_TOST_MARGIN}) / se, 6) AS z_lower",
-        f"round((diff - {_TOST_MARGIN}) / se, 6) AS z_upper",
-        f"CAST(CASE WHEN round((diff + {_TOST_MARGIN}) / se, 6)"
-        f" >= {_TOST_ZCRIT}"
-        f" AND round((diff - {_TOST_MARGIN}) / se, 6)"
-        f" <= -{_TOST_ZCRIT}"
-        " THEN 1 ELSE 0 END AS BIGINT) AS equivalent",
-    )
+    z = w.selectExpr(*_TOST_DIFF_SE_EXPRS)
+    return z.selectExpr(*_TOST_FINAL_EXPRS)
 
 
 # ---------------------------------------------------------------------------

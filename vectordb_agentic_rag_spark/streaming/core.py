@@ -1289,3 +1289,111 @@ def stream_gap_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("gap_sessions_live").select(
         "user_id", "start_us", "end_us", "n_events", "value_c"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_tost_monitor_live
+# ---------------------------------------------------------------------------
+
+
+def _tost_live_oracle() -> str:
+    from ..operators.analytics7 import _tost_oracle
+
+    return _tost_oracle()
+
+
+@query(
+    "stream_tost_monitor_live",
+    # Full oracle by the per-batch-INCREMENT identity
+    # (stream_markov_transition_live's family): every per-user
+    # indicator the TOST needs — "has a view event", "has a click
+    # event", "has >= 12 purchases" — is MONOTONE (once true, true
+    # forever), so each user's state transition per micro-batch emits
+    # a 0/1 increment per sufficient statistic and the drained sums
+    # are EXACTLY the batch cohort counts (n1, x1, n2, x2),
+    # independent of where the replay cuts batches. The final TOST
+    # arithmetic is the batch op's shared expression text, so the
+    # drained result equals agg_tost_equivalence bit-for-bit.
+    oracle=_tost_live_oracle(),
+)
+def stream_tost_monitor_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE TOST EQUIVALENCE MONITOR via applyInPandasWithState — the
+    streaming twin of agg_tost_equivalence, maintaining the
+    view-vs-click conversion equivalence test ONLINE: the check a
+    shadow-deploy or dataset-swap validation keeps running while
+    traffic flows, instead of recomputing cohorts per batch query.
+
+    State per user: (seen_view, seen_click, n_purchases) — three ints,
+    bounded. Each micro-batch folds the user's slice and emits the
+    INCREMENT of each TOST sufficient statistic: dn1/dn2 when the user
+    first shows a view/click, dx1/dx2 when the user's (seen-type AND
+    converted) indicator flips — where converted means crossing the
+    >= 12-purchase threshold (agg_tost_equivalence's cohort rule).
+    All four indicators are monotone, so increments are 0/1, never
+    negative, and the drained append-mode sums equal the batch
+    cohort counts exactly — which is why this live op carries the
+    FULL batch oracle. The final 1-row TOST arithmetic reuses the
+    batch op's shared expression text (analytics7._TOST_FINAL_EXPRS).
+
+    Scale shape: state is 3 ints/user; per-batch work is the slice
+    length; emitted rows are at most one per (user, batch) and only
+    when something flipped. The drained reduction is one map-side-
+    combinable 4-column sum."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.analytics7 import (
+        _TOST_DIFF_SE_EXPRS,
+        _TOST_FINAL_EXPRS,
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        sv, sc, np_ = state.get if state.exists else (0, 0, 0)
+        conv0, sv0, sc0 = np_ >= 12, sv, sc
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
+            et = part["event_type"]
+            sv = max(sv, int((et == "view").any()))
+            sc = max(sc, int((et == "click").any()))
+            np_ += int((et == "purchase").sum())
+        state.update((sv, sc, np_))
+        conv1 = np_ >= 12
+        dn1 = sv - sv0
+        dn2 = sc - sc0
+        dx1 = int(sv and conv1) - int(sv0 and conv0)
+        dx2 = int(sc and conv1) - int(sc0 and conv0)
+        if dn1 or dn2 or dx1 or dx2:
+            yield pd.DataFrame(
+                [(dn1, dx1, dn2, dx2)],
+                columns=["dn1", "dx1", "dn2", "dx2"],
+            )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="dn1 bigint, dx1 bigint, dn2 bigint, dx2 bigint",
+        stateStructType="sv bigint, sc bigint, np bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "tost_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    w = spark.table("tost_live").agg(
+        F.sum("dn1").cast("bigint").alias("n1"),
+        F.sum("dx1").cast("bigint").alias("x1"),
+        F.sum("dn2").cast("bigint").alias("n2"),
+        F.sum("dx2").cast("bigint").alias("x2"),
+    )
+    return w.selectExpr(*_TOST_DIFF_SE_EXPRS).selectExpr(
+        *_TOST_FINAL_EXPRS
+    )

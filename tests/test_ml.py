@@ -195,3 +195,60 @@ def test_semantic_purge_scaled_k_path(spark, sf_dir, monkeypatch):
     }
     assert got_map == want
     assert len(want) > 0  # the threshold actually fires at this k
+
+
+def test_ann_pareto_table_shape_and_consistency(spark, sf_dir):
+    """vec_ann_latency_recall_pareto: fixed 9 operating points, a
+    non-empty pareto frontier consistent with a Python re-derivation
+    over (recall, latency), candidate fractions monotone within each
+    family grid, and the IVF rows equal to vec_ann_recall_sweep's."""
+    from vectordb_agentic_rag_spark.operators.ml import (
+        vec_ann_latency_recall_pareto,
+        vec_ann_recall_sweep,
+    )
+
+    rows = vec_ann_latency_recall_pareto(spark, sf_dir).collect()
+    assert len(rows) == 9
+    fams = {}
+    for r in rows:
+        fams.setdefault(r.family, []).append(r)
+    assert set(fams) == {"ivf", "lsh", "pq", "ivfpq"}
+    assert [r.param for r in sorted(fams["ivf"], key=lambda r: r.param)] == [1, 2, 4, 8]
+    assert [r.param for r in sorted(fams["lsh"], key=lambda r: r.param)] == [1, 2, 4]
+    for fam_rows in fams.values():
+        fam_rows.sort(key=lambda r: r.param)
+        fracs = [r.candidate_frac for r in fam_rows]
+        assert fracs == sorted(fracs)  # nested candidate sets
+    # pareto flag == plain-Python dominance over (recall, latency)
+    for a in rows:
+        dominated = any(
+            b.recall_at_3 >= a.recall_at_3
+            and b.latency_ms <= a.latency_ms
+            and (b.recall_at_3 > a.recall_at_3 or b.latency_ms < a.latency_ms)
+            for b in rows
+        )
+        assert a.pareto == (0 if dominated else 1)
+    assert any(r.pareto == 1 for r in rows)
+    # IVF rows come from the sweep, verbatim
+    sweep = {r.nprobe: r for r in vec_ann_recall_sweep(spark, sf_dir).collect()}
+    for r in fams["ivf"]:
+        assert r.recall_at_3 == sweep[r.param].recall_at_3
+        assert r.candidate_frac == sweep[r.param].candidate_frac
+
+
+def test_ann_pareto_raises_on_broken_codebook(spark, sf_dir):
+    """The pareto table must not emit rows when a family's model
+    collapses: the PQ point reads vec_pq_ann's guarded output, whose
+    assert_true raises on a zeroed codebook."""
+    import numpy as np
+
+    from vectordb_agentic_rag_spark.operators import ml
+
+    ml.vec_pq_ann(spark, sf_dir).collect()  # ensure trained cache
+    good = ml._PQ_BOOKS_CACHE[sf_dir]
+    try:
+        ml._PQ_BOOKS_CACHE[sf_dir] = np.zeros_like(good)
+        with pytest.raises(Exception, match="recall collapse"):
+            ml.vec_ann_latency_recall_pareto(spark, sf_dir).collect()
+    finally:
+        ml._PQ_BOOKS_CACHE[sf_dir] = good

@@ -1017,3 +1017,368 @@ def vec_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nprobe", "recall_at_3", "n_candidates", "candidate_frac")
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_ann_latency_recall_pareto
+# ---------------------------------------------------------------------------
+
+_PARETO_LSH_LEVELS = (1, 2, 4)  # probed-table grid over the 4 LSH tables
+_PARETO_TIMED_RUNS = 3  # median of 3 timed fetches per operating point
+
+
+@query("vec_ann_latency_recall_pareto")  # rows-only BY DESIGN: the
+# operating points carry MEASURED wall-clock latency (not SQL-
+# reproducible) and trained-model recalls; the op self-checks instead —
+# per-family candidate-volume monotonicity and the LSH/IVF/PQ/IVFPQ
+# recall floors are asserted in-plan, and the underlying family ops
+# raise on recall collapse via their own _with_recall_guard.
+def vec_ann_latency_recall_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOINT LATENCY/RECALL FRONTIER across the four ANN families —
+    the one table an ANN deployment reads to pick its serving config
+    (FAISS's bench_all_ivf summary shape): one row per operating
+    point, its measured top-3 retrieval latency, its recall@3 against
+    the exact cosine top-3, the corpus fraction it scans, and a
+    `pareto` flag marking the non-dominated (recall, latency) points.
+
+    Operating points (9 rows, fixed):
+    - `ivf` nprobe 1/2/4/8 of 16 lists — recall + candidate_frac from
+      vec_ann_recall_sweep's one-pass nested-candidate computation
+      (its in-plan monotonicity + floor asserts run as part of this
+      op); latency measured per point over the MATERIALIZED list
+      assignment (localCheckpoint — the index is a stored artifact in
+      production, so query latency excludes the build, exactly like a
+      FAISS benchmark).
+    - `lsh` probing 1/2/4 of the 4 deterministic tables — nested
+      candidate sets by construction (probe tables 0..T-1); recall and
+      candidate counts computed in one level-domain plan over the
+      materialized bucket index; the 4-table point is vec_lsh_ann's
+      exact config and must clear its 0.7 floor (asserted in-plan).
+    - `pq` (full ADC scan + exact refine) and `ivfpq` (probe 6 +
+      ADC + refine) — the two fused encode+search ops timed as built
+      (their index IS the per-batch encode; vec_pq_ann docstring),
+      recalls read from their _with_recall_guard output, which RAISES
+      on collapse before this op can emit a row.
+
+    Latency methodology: per point, one warm fetch (plan + JIT), then
+    the median of 3 timed Arrow collects — the bench.py protocol.
+    Sub-45 ms readings sit at the per-action floor on this box
+    (tools/floor_probe.py), so toy-scale points cluster there; the
+    DATA-PROPORTIONAL term is what separates families at scale, and
+    the candidate_frac column is its deterministic witness (asserted
+    monotone per family in-plan).
+
+    Pareto flag: a point is dominated iff another point has
+    recall >= r AND latency <= l with one strict; computed with a
+    9x9 broadcast self-join on the bounded frame. The frontier is
+    asserted non-empty in-plan."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    from .vector import _query_vector_raw
+
+    q, corpus = _queries_and_corpus(spark, sf_dir)
+    d = len(_query_vector_raw(sf_dir, 0))
+    n_corpus = corpus.count()
+    q_rows = sorted(q.collect(), key=lambda r: int(r["query_id"]))
+    ntot = float(n_corpus * len(q_rows))
+
+    def timed_ms(df: DataFrame) -> float:
+        df.collect()  # warm: plan, codegen, shuffle files
+        ts = []
+        for _ in range(_PARETO_TIMED_RUNS):
+            t0 = time.perf_counter()
+            df.collect()
+            ts.append(time.perf_counter() - t0)
+        return round(sorted(ts)[len(ts) // 2] * 1000.0, 1)
+
+    # exact top-3 twin (one definition for every family's recall join)
+    w_x = Window.partitionBy("query_id").orderBy(
+        F.col("xsim").desc(), "neighbor_id"
+    )
+    exact3 = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q.select("query_id", "qv")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_fixed("embedding", "qv", d).alias("xsim"),
+        )
+        .withColumn("xrn", F.row_number().over(w_x))
+        .where(F.col("xrn") <= 3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("xhit"))
+        .localCheckpoint()  # bounded: 3 rows x 10 queries
+    )
+
+    points: list[tuple[str, int, float, float, float]] = []
+
+    # ---- IVF nprobe grid ------------------------------------------------
+    sweep = {
+        int(r["nprobe"]): r
+        for r in vec_ann_recall_sweep(spark, sf_dir).collect()
+    }
+    cents = _ivf_centroids(corpus, sf_dir)
+    # the stored index: every corpus vector's list assignment
+    assigned = _ivf_assigned(spark, corpus, cents).localCheckpoint()
+    max_p = max(_SWEEP_PROBES)
+    qsim = np.array([r["qv"] for r in q_rows], dtype=np.float64) @ cents.T
+    qsim /= (
+        np.linalg.norm(
+            np.array([r["qv"] for r in q_rows], dtype=np.float64), axis=1
+        )[:, None]
+        * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    probe_rows = [
+        (int(r["query_id"]), int(lid), rank)
+        for r, sims in zip(q_rows, qsim)
+        for rank, lid in enumerate(np.argsort(-sims)[:max_p], 1)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, list_id int, r int"
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+
+    def ivf_point(p: int) -> DataFrame:
+        return (
+            assigned.join(
+                F.broadcast(probes.where(F.col("r") <= p)), "list_id"
+            )
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine_fixed("embedding", "qv", d).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w_s))
+            .where(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"))
+        )
+
+    for p in _SWEEP_PROBES:
+        points.append(
+            (
+                "ivf",
+                p,
+                float(sweep[p]["recall_at_3"]),
+                float(sweep[p]["candidate_frac"]),
+                timed_ms(ivf_point(p)),
+            )
+        )
+
+    # ---- LSH probed-tables grid ----------------------------------------
+    planes = _lsh_planes()
+    qx = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(
+                            _lsh_bucket_sql("qv", planes[t], duck=False)
+                        ).alias("bk"),
+                    )
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
+    )
+    # the stored index: per-table bucket ids for every corpus vector
+    cx = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(
+                            _lsh_bucket_sql("embedding", planes[t], duck=False)
+                        ).alias("bk"),
+                    )
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "neighbor_id",
+        "embedding",
+        F.col("tb.t").alias("t"),
+        F.col("tb.bk").alias("bk"),
+    ).localCheckpoint()
+    dist_expr = _lsh_dist_sql("embedding", "qv", duck=False)
+    w_d = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+
+    def lsh_point(t_probe: int) -> DataFrame:
+        return (
+            cx.join(
+                F.broadcast(qx.where(F.col("t") < t_probe)), ["t", "bk"]
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.expr(dist_expr).alias("dist"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rn", F.row_number().over(w_d))
+            .where(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id", "dist")
+        )
+
+    # one level-domain plan for all LSH recalls + candidate counts:
+    # first-collide table index r makes the level sets nested
+    lsh_cand = (
+        cx.join(F.broadcast(qx), ["t", "bk"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("t") + 1).alias("t1"),
+            F.expr(dist_expr).alias("dist"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("t1").alias("r"), F.min("dist").alias("dist"))
+        .localCheckpoint()  # bounded: candidate pairs of the 10-query panel
+    )
+    ldom = spark.createDataFrame(
+        [(int(t),) for t in _PARETO_LSH_LEVELS], "lvl int"
+    )
+    w_l = Window.partitionBy("lvl", "query_id").orderBy(
+        "dist", "neighbor_id"
+    )
+    lsh_rec = {
+        int(r["lvl"]): float(r["recall_at_3"])
+        for r in (
+            lsh_cand.crossJoin(F.broadcast(ldom))
+            .where(F.col("r") <= F.col("lvl"))
+            .withColumn("rn", F.row_number().over(w_l))
+            .where(F.col("rn") <= 3)
+            .join(exact3, ["query_id", "neighbor_id"], "left")
+            .groupBy("lvl")
+            .agg(
+                F.round(
+                    F.sum(F.coalesce(F.col("xhit"), F.lit(0)))
+                    / F.count("*"),
+                    4,
+                ).alias("recall_at_3")
+            )
+            .collect()
+        )
+    }
+    rc = lsh_cand.groupBy("r").agg(F.count("*").alias("c"))
+    w_r = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lsh_frac = {
+        int(r["r"]): float(r["frac"])
+        for r in rc.select(
+            "r",
+            F.round(F.sum("c").over(w_r) / F.lit(ntot), 6).alias("frac"),
+        ).collect()
+    }
+    for t_probe in _PARETO_LSH_LEVELS:
+        points.append(
+            (
+                "lsh",
+                t_probe,
+                lsh_rec.get(t_probe, 0.0),
+                max(
+                    [f for r_, f in lsh_frac.items() if r_ <= t_probe],
+                    default=0.0,
+                ),
+                timed_ms(lsh_point(t_probe)),
+            )
+        )
+
+    # ---- PQ (full ADC scan) and IVFPQ (probe 6) -------------------------
+    pq_df = vec_pq_ann(spark, sf_dir)
+    pq_rows = pq_df.collect()  # bounded 3x10; raises on recall collapse
+    points.append(
+        ("pq", 8, float(pq_rows[0]["recall_at_k"]), 1.0, timed_ms(pq_df))
+    )
+    ivfpq_df = vec_ivfpq_ann(spark, sf_dir)
+    ivfpq_rows = ivfpq_df.collect()
+    ivfpq_frac = round(
+        assigned.join(F.broadcast(probes.where(F.col("r") <= 6)), "list_id")
+        .count()
+        / ntot,
+        6,
+    )
+    points.append(
+        (
+            "ivfpq",
+            6,
+            float(ivfpq_rows[0]["recall_at_k"]),
+            ivfpq_frac,
+            timed_ms(ivfpq_df),
+        )
+    )
+
+    # ---- assemble + in-plan self-checks ---------------------------------
+    out = spark.createDataFrame(
+        points,
+        "family string, param bigint, recall_at_3 double, "
+        "candidate_frac double, latency_ms double",
+    )
+    dominated = (
+        out.alias("a")
+        .join(
+            F.broadcast(out.alias("b")),
+            (F.col("b.recall_at_3") >= F.col("a.recall_at_3"))
+            & (F.col("b.latency_ms") <= F.col("a.latency_ms"))
+            & (
+                (F.col("b.recall_at_3") > F.col("a.recall_at_3"))
+                | (F.col("b.latency_ms") < F.col("a.latency_ms"))
+            ),
+            "left_semi",
+        )
+        .select("family", "param", F.lit(1).alias("dom"))
+    )
+    w_f = Window.partitionBy("family").orderBy("param")
+    w_all = Window.partitionBy()
+    return (
+        out.join(dominated, ["family", "param"], "left")
+        .withColumn("pareto", F.col("dom").isNull().cast("bigint"))
+        .drop("dom")
+        .withColumn("prev_frac", F.lag("candidate_frac").over(w_f))
+        .where(
+            F.assert_true(
+                F.col("prev_frac").isNull()
+                | (F.col("candidate_frac") >= F.col("prev_frac")),
+                F.lit(
+                    "candidate volume not monotone in the family grid — "
+                    "nested-candidate construction broken"
+                ),
+            ).isNull()
+        )
+        .drop("prev_frac")
+        .where(
+            F.assert_true(
+                (F.col("family") != "lsh")
+                | (F.col("param") < F.lit(_LSH_TABLES))
+                | (F.col("recall_at_3") >= 0.7),
+                F.lit("full-table LSH point under vec_lsh_ann's 0.7 floor"),
+            ).isNull()
+        )
+        .withColumn("any_pareto", F.max("pareto").over(w_all))
+        .where(
+            F.assert_true(
+                F.col("any_pareto") == 1,
+                F.lit("empty pareto frontier — dominance join broken"),
+            ).isNull()
+        )
+        .select(
+            "family",
+            "param",
+            "recall_at_3",
+            "candidate_frac",
+            "latency_ms",
+            "pareto",
+        )
+    )

@@ -1,0 +1,225 @@
+"""Recompute tests for the round-9 window-safe wave (analytics9.py):
+every op is re-derived in plain Python from the raw fixture and
+compared value-for-value."""
+
+import math
+
+import pytest
+
+
+def _daily_cents(spark, sf_dir, types=None):
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    if types:
+        ev = ev.where(F.col("event_type").isin(*types))
+    rows = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("tot")
+        )
+        .collect()
+    )
+    return rows
+
+
+def test_cramer_von_mises_matches_bruteforce(spark, sf_dir):
+    """T from the closed-form block machinery equals the textbook
+    midrank computation over the raw per-event cent values."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_cramer_von_mises_2samp,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    xs = sorted(r.c for r in rows if r.event_type == "click")
+    ys = sorted(r.c for r in rows if r.event_type == "view")
+    n1, n2 = len(xs), len(ys)
+    both = sorted(xs + ys)
+    # midrank of value v in the combined sample
+    import bisect
+
+    def midrank(v):
+        lo = bisect.bisect_left(both, v)
+        hi = bisect.bisect_right(both, v)
+        return (lo + 1 + hi) / 2.0
+
+    u = n1 * sum(
+        (midrank(v) - (i + 1)) ** 2 for i, v in enumerate(xs)
+    ) + n2 * sum((midrank(v) - (j + 1)) ** 2 for j, v in enumerate(ys))
+    nn = n1 + n2
+    t_expected = u / (n1 * n2 * nn) - (4 * n1 * n2 - 1) / (6 * nn)
+    (row,) = agg_cramer_von_mises_2samp(spark, sf_dir).collect()
+    assert row.n_click == n1 and row.n_view == n2
+    assert abs(row.t_stat - t_expected) < 1e-6
+
+
+def test_chow_test_matches_python_ols(spark, sf_dir):
+    """The three RSS values and the F statistic equal a direct Python
+    least-squares recompute on the daily series."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        _CHOW_SPLIT_DAY,
+        agg_chow_test,
+    )
+
+    daily = {}
+    for r in _daily_cents(spark, sf_dir):
+        key = (r.day - __import__("datetime").date(2024, 1, 1)).days + 1
+        daily[key] = daily.get(key, 0) + r.tot
+
+    def rss(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        cxx = n * sxx - sx * sx
+        cxy = n * sxy - sx * sy
+        cyy = n * syy - sy * sy
+        return (cyy - cxy * cxy / cxx) / n
+
+    pts = sorted(daily.items())
+    pre = [p for p in pts if p[0] <= _CHOW_SPLIT_DAY]
+    post = [p for p in pts if p[0] > _CHOW_SPLIT_DAY]
+    rp, ra, rb = rss(pts), rss(pre), rss(post)
+    f = ((rp - ra - rb) / 2) / ((ra + rb) / (len(pts) - 4))
+    (row,) = agg_chow_test(spark, sf_dir).collect()
+    assert row.n_days == len(pts)
+    assert abs(row.rss_pooled - rp) < max(1e-6, abs(rp) * 1e-9)
+    assert abs(row.f_stat - f) < 1e-5
+
+
+def test_benjamini_hochberg_matches_python(spark, sf_dir):
+    """Exact sign-test p-values (math.comb) and the BH step-up front
+    re-derived in Python must match every output row."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_benjamini_hochberg,
+    )
+
+    grid = {}
+    for r in _daily_cents(spark, sf_dir):
+        grid[(r.event_type, r.day)] = r.tot
+    types = sorted({t for t, _ in grid})
+    days = sorted({d for _, d in grid})
+    pvals = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            n = s = 0
+            for d in days:
+                a, b = grid.get((ta, d)), grid.get((tb, d))
+                if a is None or b is None or a == b:
+                    continue
+                n += 1
+                s += 1 if a > b else 0
+            m_low = min(s, n - s)
+            ssum = sum(math.comb(n, j) for j in range(m_low + 1))
+            pvals[(ta, tb)] = min(1.0, 2 * ssum / (1 << n)) if n else 1.0
+    m = len(pvals)
+    order = sorted(pvals.items(), key=lambda kv: (kv[1], kv[0]))
+    maxok = 0
+    for i, (_, p) in enumerate(order, 1):
+        if p <= i * 0.10 / m:
+            maxok = i
+    expected = {
+        pair: (i, 1 if i <= maxok else 0)
+        for i, (pair, _) in enumerate(order, 1)
+    }
+    rows = agg_benjamini_hochberg(spark, sf_dir).collect()
+    assert len(rows) == m
+    for r in rows:
+        i, rej = expected[(r.type_a, r.type_b)]
+        assert r.bh_rank == i
+        assert r.rejected == rej
+        assert abs(r.p_value - round(pvals[(r.type_a, r.type_b)], 9)) < 1e-12
+
+
+def test_hits_matches_python_power_iteration(spark, sf_dir):
+    """4 quantized HITS iterations in plain Python over the same edge
+    list reproduce both top-10 rankings and scores."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        _HITS_ITERS,
+        graph_hits_bipartite,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = {
+        (r.o_custkey, r.l_partkey)
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    custs = sorted({c for c, _ in edges})
+    parts = sorted({p for _, p in edges})
+    by_part = {}
+    by_cust = {}
+    for c, p in edges:
+        by_part.setdefault(p, []).append(c)
+        by_cust.setdefault(c, []).append(p)
+    h = {c: 1.0 for c in custs}
+    a = {}
+    for _ in range(_HITS_ITERS):
+        a = {p: sum(h[c] for c in by_part[p]) for p in parts}
+        s = sum(a.values())
+        a = {p: round(v * len(parts) / s, 9) for p, v in a.items()}
+        h = {c: sum(a[p] for p in by_cust[c]) for c in custs}
+        s = sum(h.values())
+        h = {c: round(v * len(custs) / s, 9) for c, v in h.items()}
+    topa = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    toph = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = graph_hits_bipartite(spark, sf_dir).collect()
+    got_a = sorted(
+        [(r.node_id, r.hits_score, r.rank) for r in rows if r.role == "authority"],
+        key=lambda t: t[2],
+    )
+    got_h = sorted(
+        [(r.node_id, r.hits_score, r.rank) for r in rows if r.role == "hub"],
+        key=lambda t: t[2],
+    )
+    assert [(n, round(s, 6)) for n, s in topa] == [
+        (n, s) for n, s, _ in got_a
+    ]
+    assert [(n, round(s, 6)) for n, s in toph] == [
+        (n, s) for n, s, _ in got_h
+    ]
+
+
+def test_siegel_matches_python(spark, sf_dir):
+    """Repeated-median slope/intercept with LOW-median picks equals
+    the Python re-derivation."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        win_siegel_repeated_median,
+    )
+
+    daily = {}
+    for r in _daily_cents(spark, sf_dir):
+        key = (r.day - __import__("datetime").date(2024, 1, 1)).days + 1
+        daily[key] = daily.get(key, 0) + r.tot
+
+    def lowmed(vals):
+        vs = sorted(vals)
+        return vs[(len(vs) + 1) // 2 - 1]
+
+    xs = sorted(daily)
+    med = [
+        lowmed(
+            [(daily[e] - daily[d]) / (e - d) for e in xs if e != d]
+        )
+        for d in xs
+    ]
+    slope = lowmed(med)
+    icept = lowmed([daily[d] - slope * d for d in xs])
+    (row,) = win_siegel_repeated_median(spark, sf_dir).collect()
+    assert row.n_days == len(xs)
+    assert row.siegel_slope == round(slope, 6)
+    assert row.siegel_intercept == round(icept, 6)

@@ -2435,8 +2435,13 @@ def agg_sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "n",
             "s",
-            "aggregate(sequence(1, CAST(k AS INT)), CAST(1 AS BIGINT),"
-            " (acc, i) -> acc * (n - i + 1) div i) AS binom",
+            # k = 0 must short-circuit: Spark's sequence(1, 0) steps
+            # DOWN to [1, 0] and the fold would divide by zero (never
+            # fires while s >= 1 on this fixture, but s = 0 is legal)
+            "CASE WHEN k = 0 THEN CAST(1 AS BIGINT)"
+            " ELSE aggregate(sequence(1, CAST(k AS INT)),"
+            " CAST(1 AS BIGINT),"
+            " (acc, i) -> acc * (n - i + 1) div i) END AS binom",
         )
     )
     return ks.groupBy("n", "s").agg(

@@ -223,3 +223,177 @@ def test_siegel_matches_python(spark, sf_dir):
     assert row.n_days == len(xs)
     assert row.siegel_slope == round(slope, 6)
     assert row.siegel_intercept == round(icept, 6)
+
+
+def test_cochran_armitage_matches_python(spark, sf_dir):
+    """z from the moment formula equals the direct Python computation
+    of T/sqrt(Var(T)) on per-day purchase proportions."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_cochran_armitage_trend,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+    import datetime
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("nd"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+                )
+            ).alias("xd"),
+        )
+        .collect()
+    )
+    data = {
+        (r.day - datetime.date(2024, 1, 1)).days + 1: (r.nd, r.xd)
+        for r in rows
+    }
+    n = sum(v[0] for v in data.values())
+    x = sum(v[1] for v in data.values())
+    pbar = x / n
+    t = sum(d * (xd - nd * pbar) for d, (nd, xd) in data.items())
+    snd = sum(nd * d for d, (nd, _) in data.items())
+    snd2 = sum(nd * d * d for d, (nd, _) in data.items())
+    var = pbar * (1 - pbar) * (snd2 - snd * snd / n)
+    (row,) = agg_cochran_armitage_trend(spark, sf_dir).collect()
+    assert row.n_events == n and row.n_purchases == x
+    assert abs(row.z_stat - t / math.sqrt(var)) < 1e-6
+
+
+def test_sen_slope_ci_matches_python(spark, sf_dir):
+    """The CI rank picks and the point estimate equal a Python
+    re-derivation with the same floor/ceil index convention."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        win_sen_slope_ci,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+    import datetime
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+                " AS DOUBLE) / count(*) / 100.0, 6) AS DECIMAL(18,6))"
+            ).alias("m")
+        )
+        .collect()
+    )
+    series = {}
+    for r in rows:
+        d = (r.day - datetime.date(2024, 1, 1)).days + 1
+        series.setdefault(r.event_type, {})[d] = float(r.m)
+    got = {r.event_type: r for r in win_sen_slope_ci(spark, sf_dir).collect()}
+    for et, ys in series.items():
+        ds = sorted(ys)
+        slopes = sorted(
+            (ys[e] - ys[d]) / (e - d)
+            for i, d in enumerate(ds)
+            for e in ds[i + 1:]
+        )
+        mcnt = len(slopes)
+        nd = len(ds)
+        from collections import Counter
+
+        ties = Counter(ys.values())
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+        c = 1.959964 * math.sqrt(
+            (nd * (nd - 1) * (2 * nd + 5) - tie_term) / 18.0
+        )
+        lo = slopes[max(1, math.floor((mcnt - c) / 2) + 1) - 1]
+        hi = slopes[min(mcnt, math.ceil((mcnt + c) / 2) + 1) - 1]
+        point = slopes[(mcnt + 1) // 2 - 1]
+        r = got[et]
+        assert r.n_pairs == mcnt
+        assert r.sen_slope == round(point, 6)
+        assert r.ci_lower == round(lo, 6)
+        assert r.ci_upper == round(hi, 6)
+        assert r.ci_lower <= r.sen_slope <= r.ci_upper
+
+
+def test_lorenz_deciles_match_sorted_cumsum(spark, sf_dir):
+    """Decile revenue shares equal the plain sorted-list cumulative
+    sums, and the curve is convex (shares increase, marginal shares
+    increase)."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_lorenz_curve_deciles,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)"))
+            .alias("rev")
+        )
+        .collect()
+    )
+    revs = sorted(r.rev for r in cust)
+    n, tot = len(revs), sum(revs)
+    rows = sorted(
+        agg_lorenz_curve_deciles(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    prev_share = 0.0
+    for r in rows:
+        mk = (r.decile * n) // 10
+        cum = sum(revs[:mk])
+        assert r.cum_customers == mk
+        assert r.cum_rev_cents == cum
+        assert r.rev_share == round(cum / tot, 6)
+        assert r.rev_share >= prev_share
+        prev_share = r.rev_share
+    assert rows[-1].rev_share == 1.0
+
+
+def test_quade_matches_python(spark, sf_dir):
+    """The quadrupled-integer Quade F equals a plain Python
+    computation with float midranks."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_quade_test,
+    )
+
+    grid = {}
+    for r in _daily_cents(spark, sf_dir):
+        grid[(r.event_type, r.day)] = r.tot
+    types = sorted({t for t, _ in grid})
+    days = sorted({d for _, d in grid})
+    k, n = len(types), len(days)
+
+    def midranks(vals):
+        out = []
+        for v in vals:
+            less = sum(1 for u in vals if u < v)
+            eq = sum(1 for u in vals if u == v)
+            out.append(less + (eq + 1) / 2.0)
+        return out
+
+    ranges = [
+        max(grid[(t, d)] for t in types) - min(grid[(t, d)] for t in types)
+        for d in days
+    ]
+    q = midranks(ranges)
+    a_sum = 0.0
+    sj = {t: 0.0 for t in types}
+    for di, d in enumerate(days):
+        rr = midranks([grid[(t, d)] for t in types])
+        for t, r_ in zip(types, rr):
+            s = q[di] * (r_ - (k + 1) / 2.0)
+            a_sum += s * s
+            sj[t] += s
+    b = sum(v * v for v in sj.values()) / n
+    f = (n - 1) * b / (a_sum - b)
+    (row,) = agg_quade_test(spark, sf_dir).collect()
+    assert row.n_blocks == n and row.k_treatments == k
+    assert abs(row.f_stat - f) < 1e-6

@@ -759,3 +759,511 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cochran_armitage_trend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cochran_armitage_trend",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1
+               AS d,
+             CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS xd
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT CAST(sum(nd) AS BIGINT) AS n,
+             CAST(sum(xd) AS BIGINT) AS x,
+             CAST(sum(xd * d) AS BIGINT) AS sxd,
+             CAST(sum(nd * d) AS BIGINT) AS snd,
+             CAST(sum(nd * d * d) AS BIGINT) AS snd2,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily),
+    z AS (
+      SELECT n_days, n, x,
+             (CAST(n AS DOUBLE) * sxd - CAST(x AS DOUBLE) * snd) / n
+               AS tnum,
+             (CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)
+               * (CAST(n AS DOUBLE) * snd2 - CAST(snd AS DOUBLE) * snd)
+               / n AS vart
+      FROM m)
+    SELECT n_days, n AS n_events, x AS n_purchases,
+           round(tnum / sqrt(vart), 6) AS z_stat,
+           CAST(CASE WHEN abs(round(tnum / sqrt(vart), 9)) > 1.959964
+                THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM z
+    """,
+)
+def agg_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE TREND TEST: is the purchase PROPORTION drifting
+    linearly across the 30 ordered days? The chi-square independence
+    test (agg_chi_square_independence) spends its power on arbitrary
+    differences between days; Cochran-Armitage concentrates all of it
+    on the one ordered alternative a conversion-drift monitor cares
+    about — T = sum_d d*(x_d - n_d*pbar), Var(T) = pbar(1-pbar) *
+    (sum n_d d^2 - (sum n_d d)^2 / N), z = T/sqrt(Var) against the
+    two-sided 5% normal critical value. The proportions companion to
+    agg_page_trend_test (ranks) and agg_mann_kendall_trend (signs).
+
+    Parity: all five moments are exact BIGINT sums over the bounded
+    day domain (products safely inside int64 to ~1e8 events/day);
+    T and Var are one shared double expression of those integers
+    (correctly-rounded casts, bit-identical), z quantizes round(9)
+    before the significance compare.
+
+    Shape at 100 TB: one map-side-combinable grouped scan to the day
+    domain, one 1-row aggregate. Nothing row-scaled after the scan."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') + 1").alias(
+            "d"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("xd"),
+    )
+    m = daily.agg(
+        F.sum("nd").cast("bigint").alias("n"),
+        F.sum("xd").cast("bigint").alias("x"),
+        F.sum(F.expr("xd * d")).cast("bigint").alias("sxd"),
+        F.sum(F.expr("nd * d")).cast("bigint").alias("snd"),
+        F.sum(F.expr("nd * d * d")).cast("bigint").alias("snd2"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    z = m.selectExpr(
+        "n_days",
+        "n",
+        "x",
+        "(CAST(n AS DOUBLE) * sxd - CAST(x AS DOUBLE) * snd) / n AS tnum",
+        "(CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)"
+        " * (CAST(n AS DOUBLE) * snd2 - CAST(snd AS DOUBLE) * snd)"
+        " / n AS vart",
+    )
+    return z.selectExpr(
+        "n_days",
+        "n AS n_events",
+        "x AS n_purchases",
+        "round(tnum / sqrt(vart), 6) AS z_stat",
+        "CAST(CASE WHEN abs(round(tnum / sqrt(vart), 9)) > 1.959964"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_sen_slope_ci
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_sen_slope_ci",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1
+               AS d,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) / count(*) / 100.0, 6)
+                  AS DECIMAL(18,6)) AS m
+      FROM events GROUP BY 1, 2),
+    sl AS (
+      SELECT a.event_type,
+             (CAST(b.m AS DOUBLE) - CAST(a.m AS DOUBLE)) / (b.d - a.d)
+               AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d),
+    nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+           FROM daily GROUP BY event_type),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, m) z
+      WHERE t > 1 GROUP BY event_type),
+    v AS (
+      SELECT nn.event_type, nn.nd,
+             sqrt((CAST(nn.nd AS DOUBLE) * (nn.nd - 1) * (2 * nn.nd + 5)
+                   - coalesce(t.tie_term, 0)) / 18.0) * 1.959964 AS c
+      FROM nn LEFT JOIN ties t USING (event_type)),
+    g AS (
+      SELECT sl.event_type,
+             list_sort(list(sl.s)) AS ss,
+             CAST(count(*) AS BIGINT) AS mcnt
+      FROM sl GROUP BY sl.event_type)
+    SELECT g.event_type,
+           g.mcnt AS n_pairs,
+           round(list_extract(g.ss, (g.mcnt + 1) // 2), 6) AS sen_slope,
+           round(list_extract(g.ss,
+             greatest(CAST(1 AS BIGINT),
+               CAST(floor((g.mcnt - v.c) / 2) AS BIGINT) + 1)), 6)
+             AS ci_lower,
+           round(list_extract(g.ss,
+             least(g.mcnt,
+               CAST(ceil((g.mcnt + v.c) / 2) AS BIGINT) + 1)), 6)
+             AS ci_upper
+    FROM g JOIN v USING (event_type)
+    """,
+)
+def win_sen_slope_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEN'S SLOPE WITH ITS NONPARAMETRIC 95% CONFIDENCE INTERVAL per
+    event type (Gilbert 1987): the slope estimate is the LOW median
+    of the C(30,2) pairwise daily-mean slopes, and the CI bounds are
+    the slopes ranked floor((M - C)/2) + 1 and ceil((M + C)/2) + 1
+    where C = z_{0.975} * sqrt(Var(S)) and Var(S) is the
+    tie-corrected Mann-Kendall variance — turning
+    win_theil_sen_slope's point estimate + agg_mann_kendall_trend's
+    yes/no into the interval a drift-response runbook actually
+    thresholds on ("is the trend worse than X per day?").
+
+    Parity: the daily means are the shared DECIMAL(18,6) series of
+    the Mann-Kendall op; every pairwise slope is one shared-text
+    double division; Var(S) is a double expression of exact integers;
+    the two rank indices come from floor/ceil of identical doubles
+    (clamped to [1, M]), so both engines pick the same elements of
+    the same sorted slope list. LOW-median convention for the point
+    estimate; arrays stay internal.
+
+    Shape at 100 TB: fact table collapses to the day x type domain;
+    the slope grid is C(days, 2) per type — domain-bounded, never
+    row-scaled; one per-type sorted pick finishes it."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE '2024-01-01') + 1"
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+                " AS DOUBLE) / count(*) / 100.0, 6) AS DECIMAL(18,6))"
+            ).alias("m")
+        )
+        .localCheckpoint()  # bounded day x type domain, read 3x
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("m").alias("ma")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("db"), F.col("m").alias("mb")
+    )
+    sl = (
+        a.join(b, ["event_type"])
+        .where(F.col("db") > F.col("da"))
+        .selectExpr(
+            "event_type",
+            "(CAST(mb AS DOUBLE) - CAST(ma AS DOUBLE)) / (db - da) AS s",
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nd")
+    )
+    ties = (
+        daily.groupBy("event_type", "m")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = nn.join(ties, "event_type", "left").selectExpr(
+        "event_type",
+        "sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5)"
+        " - coalesce(tie_term, 0)) / 18.0) * 1.959964 AS c",
+    )
+    g = sl.groupBy("event_type").agg(
+        F.expr("sort_array(collect_list(s))").alias("ss"),
+        F.count("*").cast("bigint").alias("mcnt"),
+    )
+    return g.join(v, "event_type").selectExpr(
+        "event_type",
+        "mcnt AS n_pairs",
+        "round(element_at(ss, CAST((mcnt + 1) div 2 AS INT)), 6)"
+        " AS sen_slope",
+        "round(element_at(ss, CAST(greatest(CAST(1 AS BIGINT),"
+        " CAST(floor((mcnt - c) / 2) AS BIGINT) + 1) AS INT)), 6)"
+        " AS ci_lower",
+        "round(element_at(ss, CAST(least(mcnt,"
+        " CAST(ceil((mcnt + c) / 2) AS BIGINT) + 1) AS INT)), 6)"
+        " AS ci_upper",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_lorenz_curve_deciles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_lorenz_curve_deciles",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey),
+    blk AS MATERIALIZED (
+      SELECT rev, CAST(count(*) AS BIGINT) AS f,
+             CAST(rev * count(*) AS BIGINT) AS tot
+      FROM cust GROUP BY rev),
+    cum AS MATERIALIZED (
+      SELECT rev, f, tot,
+             sum(f) OVER w - f AS cf_before,
+             sum(tot) OVER w - tot AS ct_before
+      FROM blk WINDOW w AS (ORDER BY rev ROWS UNBOUNDED PRECEDING)),
+    nn AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+                  CAST(sum(tot) AS BIGINT) AS t FROM blk),
+    dec AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS k),
+    pick AS (
+      SELECT d.k, nn.n, nn.t,
+             (d.k * nn.n) // 10 AS mk,
+             c.ct_before + ((d.k * nn.n) // 10 - c.cf_before) * c.rev
+               AS cumrev
+      FROM dec d CROSS JOIN nn
+      JOIN cum c ON c.cf_before < (d.k * nn.n) // 10
+                AND (d.k * nn.n) // 10 <= c.cf_before + c.f)
+    SELECT k AS decile, mk AS cum_customers,
+           CAST(cumrev AS BIGINT) AS cum_rev_cents,
+           round(CAST(cumrev AS DOUBLE) / t, 6) AS rev_share
+    FROM pick
+    """,
+)
+def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE AT THE DECILES of per-customer revenue: for each
+    k = 1..10, the exact share of total revenue earned by the poorest
+    floor(k*n/10) customers — the distribution CURVE behind
+    agg_gini_concentration's single number (two datasets can share a
+    Gini and differ wildly in where the concentration lives; the
+    dataset-card needs the curve) and the concentration companion to
+    agg_abc_pareto_class's fixed 80/20 cut.
+
+    EXACT order statistics without a row sort: per-customer cents
+    collapse to the distinct-revenue value DOMAIN with block counts
+    and block revenue; one bounded-domain cumulative window gives
+    every block's preceding customer count and revenue; decile k's
+    cumulative revenue is cum_before + (m_k - count_before) * rev of
+    the block CONTAINING position m_k = (k*n) div 10 — a closed form
+    in exact BIGINTs (the agg_exact_quantile_2pass move extended from
+    one rank to a prefix SUM at a rank). The only double is the final
+    share division, round(6).
+
+    Shape at 100 TB: one grouped scan to the value domain, one
+    window over it, a 10-row domain join. Never a global sort."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    blk = cust.groupBy("rev").agg(
+        F.count("*").cast("bigint").alias("f"),
+        (F.col("rev") * F.count("*")).cast("bigint").alias("tot"),
+    ).localCheckpoint()  # bounded value domain, read twice
+    w_r = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, 0)
+    cum = blk.select(
+        "rev",
+        "f",
+        "tot",
+        (F.sum("f").over(w_r) - F.col("f")).alias("cf_before"),
+        (F.sum("tot").over(w_r) - F.col("tot")).alias("ct_before"),
+    )
+    nn = blk.agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.sum("tot").cast("bigint").alias("t"),
+    )
+    dec = spark.range(1, 11).select(F.col("id").alias("k"))
+    pick = (
+        dec.crossJoin(F.broadcast(nn))
+        .join(
+            cum,
+            F.expr(
+                "cf_before < (k * n) div 10"
+                " AND (k * n) div 10 <= cf_before + f"
+            ),
+        )
+        .selectExpr(
+            "k",
+            "n",
+            "t",
+            "(k * n) div 10 AS mk",
+            "ct_before + ((k * n) div 10 - cf_before) * rev AS cumrev",
+        )
+    )
+    return pick.selectExpr(
+        "k AS decile",
+        "mk AS cum_customers",
+        "CAST(cumrev AS BIGINT) AS cum_rev_cents",
+        "round(CAST(cumrev AS DOUBLE) / t, 6) AS rev_share",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_quade_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_quade_test",
+    oracle="""
+    WITH grid AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1, 2),
+    rk AS MATERIALIZED (
+      SELECT a.event_type, a.day,
+             CAST(sum(CASE WHEN b.tot < a.tot THEN 2
+                           WHEN b.tot = a.tot THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM grid a JOIN grid b ON a.day = b.day
+      GROUP BY a.event_type, a.day),
+    rng AS MATERIALIZED (
+      SELECT day, max(tot) - min(tot) AS rg
+      FROM grid GROUP BY day),
+    q2 AS MATERIALIZED (
+      SELECT a.day,
+             CAST(sum(CASE WHEN b.rg < a.rg THEN 2
+                           WHEN b.rg = a.rg THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS q2
+      FROM rng a JOIN rng b ON true
+      GROUP BY a.day),
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+                  CAST(count(DISTINCT day) AS BIGINT) AS n
+           FROM grid),
+    s4 AS (
+      SELECT rk.event_type,
+             CAST(sum(q2.q2 * (rk.r2 - (kk.k + 1))) AS BIGINT) AS sj
+      FROM rk JOIN q2 USING (day) CROSS JOIN kk
+      GROUP BY rk.event_type),
+    a2 AS (
+      SELECT CAST(sum(q2.q2 * q2.q2 * (rk.r2 - (kk.k + 1))
+                      * (rk.r2 - (kk.k + 1))) AS BIGINT) AS a2
+      FROM rk JOIN q2 USING (day) CROSS JOIN kk),
+    bb AS (SELECT CAST(sum(sj * sj) AS BIGINT) AS b2 FROM s4)
+    SELECT kk.n AS n_blocks, kk.k AS k_treatments,
+           round((kk.n - 1.0) * bb.b2
+                 / (CAST(kk.n AS DOUBLE) * a2.a2 - bb.b2), 6) AS f_stat,
+           CAST(CASE WHEN round((kk.n - 1.0) * bb.b2
+                 / (CAST(kk.n AS DOUBLE) * a2.a2 - bb.b2), 9)
+                 > CAST(2.450 AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM kk CROSS JOIN a2 CROSS JOIN bb
+    """,
+)
+def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADE TEST on the day x event-type revenue grid — the
+    WEIGHTED blocked-rank test: agg_friedman_test treats every day
+    as equally informative; Quade weights each day (block) by the
+    rank of its within-day RANGE, so days where the treatments
+    actually separate dominate the statistic — strictly more
+    powerful than Friedman at k <= 5 treatments (Quade 1979).
+    S_ij = Q_i*(R_ij - (k+1)/2) with R_ij the within-day tied rank
+    of type j and Q_i the across-days tied rank of day i's range;
+    F = (n-1)*B/(A - B), A = sum S^2, B = (1/n) sum_j S_j^2,
+    against F(k-1, (n-1)(k-1)) = F(4, 116)'s 5% critical 2.450.
+
+    ALL-INTEGER machinery: both tied-rank layers use DOUBLED ranks
+    (2R = 2*cnt_less + cnt_eq + 1 — the exact-rank identity over the
+    5-row day blocks and the 30-row range domain), and
+    (k+1) in doubled units replaces (k+1)/2, so every S is a
+    QUADRUPLED exact integer; the 16x scale cancels in F = (n-1)*B4
+    / (n*A4 - B4) exactly. The only double is the final F division
+    (shared text), quantized round(9) before the critical compare.
+    Cell totals are exact integer cents — no division enters any
+    rank (the agg_friedman_test rule).
+
+    Shape at 100 TB: one grouped scan to the bounded day x type
+    grid; both rank layers are self-joins of bounded domains (5-row
+    blocks, 30-row range list); three tiny aggregates finish it."""
+    ev = table(spark, sf_dir, "events")
+    grid = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)"))
+            .cast("bigint")
+            .alias("tot")
+        )
+        .localCheckpoint()  # bounded day x type grid, read 3x
+    )
+    ga = grid.select(
+        F.col("event_type").alias("ta"), "day", F.col("tot").alias("va")
+    )
+    gb = grid.select(
+        F.col("event_type").alias("tb"), "day", F.col("tot").alias("vb")
+    )
+    rk = (
+        ga.join(gb, "day")
+        .groupBy(F.col("ta").alias("event_type"), "day")
+        .agg(
+            (F.sum(
+                F.expr(
+                    "CASE WHEN vb < va THEN 2 WHEN vb = va THEN 1"
+                    " ELSE 0 END"
+                )
+            ) + 1)
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    rng = grid.groupBy("day").agg(
+        (F.max("tot") - F.min("tot")).alias("rg")
+    ).localCheckpoint()  # bounded: one row per day, self-joined
+    ra = rng.select(F.col("day").alias("da"), F.col("rg").alias("rga"))
+    rb = rng.select(F.col("rg").alias("rgb"))
+    q2 = (
+        ra.crossJoin(rb)
+        .groupBy(F.col("da").alias("day"))
+        .agg(
+            (F.sum(
+                F.expr(
+                    "CASE WHEN rgb < rga THEN 2 WHEN rgb = rga THEN 1"
+                    " ELSE 0 END"
+                )
+            ) + 1)
+            .cast("bigint")
+            .alias("q2")
+        )
+    )
+    kk = grid.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+        F.countDistinct("day").cast("bigint").alias("n"),
+    )
+    cells = rk.join(q2, "day").crossJoin(F.broadcast(kk))
+    s4 = cells.groupBy("event_type").agg(
+        F.sum(F.expr("q2 * (r2 - (k + 1))")).cast("bigint").alias("sj")
+    )
+    a2 = cells.agg(
+        F.sum(F.expr("q2 * q2 * (r2 - (k + 1)) * (r2 - (k + 1))"))
+        .cast("bigint")
+        .alias("a2")
+    )
+    bb = s4.agg(F.sum(F.expr("sj * sj")).cast("bigint").alias("b2"))
+    f_txt = (
+        "(n - 1.0) * b2 / (CAST(n AS DOUBLE) * a2 - b2)"
+    )
+    return (
+        kk.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(bb))
+        .selectExpr(
+            "n AS n_blocks",
+            "k AS k_treatments",
+            f"round({f_txt}, 6) AS f_stat",
+            f"CAST(CASE WHEN round({f_txt}, 9) > CAST(2.450 AS DOUBLE)"
+            " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+        )
+    )

@@ -1086,3 +1086,52 @@ def test_referential_integrity_broadcast_anti_joins(spark, sf_dir):
     plan = plan_of(QUERIES["maintenance_referential_integrity"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_influence_dedup_order_no_global_candidate_sort(spark, sf_dir):
+    # the greedy running purged-token total decomposes over the quality
+    # domain (offset broadcast back + per-cell window): no range
+    # partitioning of candidates, no Python in the plan
+    plan = plan_of(QUERIES["pipeline_influence_dedup_order"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hits_topk_take_ordered_no_fact_rescan(spark, sf_dir):
+    # both top-10 cuts plan as TakeOrderedAndProject (never a global
+    # row_number sort), and the 4 power iterations run off the ONE
+    # checkpointed edge list — orders/lineitem are never re-scanned
+    plan = plan_of(QUERIES["graph_hits_bipartite"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_lorenz_deciles_value_domain_no_row_sort(spark, sf_dir):
+    # customers collapse to the distinct-revenue value domain before
+    # the cumulative window; the decile probe joins a 10-row broadcast
+    # domain — no global sort of customers anywhere
+    plan = plan_of(QUERIES["agg_lorenz_curve_deciles"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" not in plan  # not even a topk cut
+    assert "BatchEvalPython" not in plan
+
+
+def test_cvm_single_scan_value_domain(spark, sf_dir):
+    # the CvM closed forms run over the bounded cents domain: the
+    # events fact is scanned zero times in the final plan (the block
+    # table is checkpointed) and no Python appears
+    plan = plan_of(QUERIES["agg_cramer_von_mises_2samp"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_chow_one_conditional_moment_scan(spark, sf_dir):
+    # all 18 segment moments come from ONE events scan with partial
+    # aggregation; no join, no window
+    plan = plan_of(QUERIES["agg_chow_test"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

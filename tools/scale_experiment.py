@@ -249,6 +249,19 @@ OPS = [
     # orders inside the budget, so the op audits normally.
     ("agg_lmoments_suite", "events"),
     ("maintenance_referential_integrity", "lineitem"),
+    # round-9 additions (fact/value/edge-scaled; the day-domain wave —
+    # chow / cochran-armitage / quade / sen-slope-ci / siegel /
+    # benjamini-hochberg — collapses to the 30-day grid before any
+    # interesting work, covered by the other events entries).
+    # vec_ann_latency_recall_pareto is NOT here: it is a measured-
+    # latency harness (~40 timed collects); its retrieval kernels are
+    # audited through the vec_lsh_ann / vec_ivf_ann-family entries.
+    # stream_tost_monitor_live is streaming-replay-bound like the
+    # other stream_* ops (micro-batch harness cost, not query cost).
+    ("agg_cramer_von_mises_2samp", "events"),
+    ("agg_lorenz_curve_deciles", "orders"),
+    ("graph_hits_bipartite", "lineitem"),
+    ("pipeline_influence_dedup_order", "documents"),
 ]
 
 

@@ -397,3 +397,144 @@ def test_quade_matches_python(spark, sf_dir):
     (row,) = agg_quade_test(spark, sf_dir).collect()
     assert row.n_blocks == n and row.k_treatments == k
     assert abs(row.f_stat - f) < 1e-6
+
+
+def test_mantel_haenszel_matches_python(spark, sf_dir):
+    """CMH chi2 (with continuity correction) and the MH common OR
+    equal the direct Python computation from the day-stratified 2x2
+    tables."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        _MH_CUT,
+        agg_mantel_haenszel,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    cells = {}
+    for r in rows:
+        key = r.day
+        a, b, c, d = cells.get(key, (0, 0, 0, 0))
+        if r.event_type == "click":
+            if r.c >= _MH_CUT:
+                a += 1
+            else:
+                b += 1
+        else:
+            if r.c >= _MH_CUT:
+                c += 1
+            else:
+                d += 1
+        cells[key] = (a, b, c, d)
+    sa = se = sv = sad = sbc = 0.0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / n / n / (n - 1)
+        sad += a * d / n
+        sbc += b * c / n
+    chi2 = (abs(sa - se) - 0.5) ** 2 / sv
+    (row,) = agg_mantel_haenszel(spark, sf_dir).collect()
+    assert row.n_strata == len(cells)
+    assert abs(row.cmh_chi2 - chi2) < 1e-6
+    assert abs(row.mh_common_or - sad / sbc) < 1e-6
+
+
+def test_ansari_bradley_matches_python(spark, sf_dir):
+    """The doubled-score AB statistic and z equal a brute-force
+    midrank computation over the raw cent values."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_ansari_bradley,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+    import bisect
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    xs = [r.c for r in rows if r.event_type == "click"]
+    ys = [r.c for r in rows if r.event_type == "view"]
+    both = sorted(xs + ys)
+    nn = len(both)
+
+    def score(v):
+        lo = bisect.bisect_left(both, v)
+        hi = bisect.bisect_right(both, v)
+        r = (lo + 1 + hi) / 2.0
+        return min(r, nn + 1 - r)
+
+    t = sum(score(v) for v in xs)
+    pop = [score(v) for v in both]
+    p1 = sum(pop)
+    p2 = sum(s * s for s in pop)
+    n1, n2 = len(xs), len(ys)
+    e = n1 * p1 / nn
+    var = n1 * n2 * (nn * p2 - p1 * p1) / (nn * nn * (nn - 1))
+    z = (t - e) / math.sqrt(var)
+    (row,) = agg_ansari_bradley(spark, sf_dir).collect()
+    assert row.n_click == n1 and row.n_view == n2
+    assert row.ab2_stat == round(2 * t)
+    assert abs(row.z_stat - z) < 1e-6
+
+
+def test_oaxaca_matches_python(spark, sf_dir):
+    """Gap decomposition equals a per-group least-squares recompute,
+    and explained + unexplained sum to the raw gap."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_oaxaca_blinder_gap,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+    import datetime
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("y"),
+        )
+        .collect()
+    )
+    pts = {"click": [], "view": []}
+    for r in rows:
+        x = (r.day - datetime.date(2024, 1, 1)).days + 1
+        pts[r.event_type].append((x, r.y))
+
+    def fit(ps):
+        n = len(ps)
+        sx = sum(x for x, _ in ps)
+        sy = sum(y for _, y in ps)
+        sxx = sum(x * x for x, _ in ps)
+        sxy = sum(x * y for x, y in ps)
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return sx / n, sy / n, beta
+
+    x1, y1, b1 = fit(pts["click"])
+    x2, y2, b2 = fit(pts["view"])
+    (row,) = agg_oaxaca_blinder_gap(spark, sf_dir).collect()
+    assert row.n_click == len(pts["click"])
+    assert abs(row.gap_cents - (y1 - y2)) < 1e-6
+    assert abs(row.explained_cents - b2 * (x1 - x2)) < 1e-6
+    assert abs(
+        row.gap_cents - (row.explained_cents + row.unexplained_cents)
+    ) < 2e-6
+    assert abs(row.slope_gap - (b1 - b2)) < 1e-6

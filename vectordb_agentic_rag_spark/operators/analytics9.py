@@ -1267,3 +1267,402 @@ def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_mantel_haenszel
+# ---------------------------------------------------------------------------
+
+_MH_CUT = 5000  # outcome split: value >= 50.00 (cents), near the mean
+
+
+@query(
+    "agg_mantel_haenszel",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click'
+                            AND CAST(round(value * 100, 0) AS BIGINT)
+                                >= {_MH_CUT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN event_type = 'click'
+                            AND CAST(round(value * 100, 0) AS BIGINT)
+                                < {_MH_CUT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN event_type = 'view'
+                            AND CAST(round(value * 100, 0) AS BIGINT)
+                                >= {_MH_CUT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN event_type = 'view'
+                            AND CAST(round(value * 100, 0) AS BIGINT)
+                                < {_MH_CUT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             sum(CAST(a AS DOUBLE)) AS sa,
+             sum(CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d))
+               AS se,
+             sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                 / (a + b + c + d) / (a + b + c + d)
+                 / (a + b + c + d - 1)) AS sv,
+             sum(CAST(a AS DOUBLE) * d / (a + b + c + d)) AS sad,
+             sum(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS sbc
+      FROM cells)
+    SELECT n_strata,
+           round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5) / sv, 6)
+             AS cmh_chi2,
+           round(sad / sbc, 6) AS mh_common_or,
+           CAST(CASE WHEN round((abs(sa - se) - 0.5)
+                              * (abs(sa - se) - 0.5) / sv, 9)
+                          > 3.841459
+                THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM agg
+    """,
+)
+def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL TEST + MANTEL-HAENSZEL COMMON ODDS
+    RATIO across the 30 day strata: is the click-vs-view association
+    with a high-value outcome (value >= 50.00) consistent after
+    CONTROLLING for day? Pooling the 2x2 tables invites Simpson's
+    paradox (day-level traffic mix confounds the marginal table —
+    the exact failure agg_stratified_ate guards for continuous
+    outcomes); CMH aggregates the per-stratum hypergeometric
+    deviations a_i - E[a_i] and their variances instead, with the
+    classic 0.5 continuity correction, against chi2(1)'s 5% critical
+    3.841459. The MH estimator sum(a_i d_i/n_i)/sum(b_i c_i/n_i)
+    gives the common odds ratio the test is about.
+
+    Parity: every cell is an exact BIGINT from one conditional
+    grouped scan; per-stratum E, V, and the MH numerator/denominator
+    terms are shared-text double expressions of those integers
+    summed over the bounded day domain (order-independent to sub-ulp
+    because each term is O(1e4) and there are 30 — drift ~1e-12
+    relative, 6 orders under round(6)); the statistic quantizes
+    round(9) before the critical-value compare.
+
+    Shape at 100 TB: one map-side-combinable grouped scan to the day
+    domain, one 1-row reduce. Nothing row-scaled after the scan."""
+    ev = table(spark, sf_dir, "events")
+    hi = f"CAST(value * 100 + 0.5 AS BIGINT) >= {_MH_CUT}"
+    cells = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN event_type = 'click' AND {hi}"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("a"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN event_type = 'click' AND NOT ({hi})"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("b"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN event_type = 'view' AND {hi}"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN event_type = 'view' AND NOT ({hi})"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    agg = cells.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum(F.expr("CAST(a AS DOUBLE)")).alias("sa"),
+        F.sum(
+            F.expr("CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)")
+        ).alias("se"),
+        F.sum(
+            F.expr(
+                "CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)"
+                " / (a + b + c + d) / (a + b + c + d)"
+                " / (a + b + c + d - 1)"
+            )
+        ).alias("sv"),
+        F.sum(F.expr("CAST(a AS DOUBLE) * d / (a + b + c + d)")).alias(
+            "sad"
+        ),
+        F.sum(F.expr("CAST(b AS DOUBLE) * c / (a + b + c + d)")).alias(
+            "sbc"
+        ),
+    )
+    return agg.selectExpr(
+        "n_strata",
+        "round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5) / sv, 6)"
+        " AS cmh_chi2",
+        "round(sad / sbc, 6) AS mh_common_or",
+        "CAST(CASE WHEN round((abs(sa - se) - 0.5)"
+        " * (abs(sa - se) - 0.5) / sv, 9) > 3.841459"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_ansari_bradley
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ansari_bradley",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'view')),
+    blk AS MATERIALIZED (
+      SELECT c,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f2
+      FROM r GROUP BY c),
+    tot AS (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1,
+             CAST(sum(f2) AS BIGINT) AS n2,
+             CAST(sum(f1) + sum(f2) AS BIGINT) AS n
+      FROM blk),
+    sc AS (
+      SELECT f1, f2,
+             least(2 * (sum(f1 + f2) OVER w - (f1 + f2)) + (f1 + f2) + 1,
+                   2 * (SELECT n FROM tot) + 2
+                   - (2 * (sum(f1 + f2) OVER w - (f1 + f2))
+                      + (f1 + f2) + 1)) AS s2
+      FROM blk
+      WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)),
+    sums AS (
+      SELECT CAST(sum(f1 * s2) AS BIGINT) AS t2,
+             CAST(sum((f1 + f2) * s2) AS BIGINT) AS p1,
+             CAST(sum((f1 + f2) * s2 * s2) AS BIGINT) AS p2
+      FROM sc)
+    SELECT tot.n1 AS n_click, tot.n2 AS n_view,
+           CAST(sums.t2 AS BIGINT) AS ab2_stat,
+           round((sums.t2 - CAST(tot.n1 AS DOUBLE) * sums.p1 / tot.n)
+                 / sqrt(CAST(tot.n1 AS DOUBLE) * tot.n2
+                        * (CAST(tot.n AS DOUBLE) * sums.p2
+                           - CAST(sums.p1 AS DOUBLE) * sums.p1)
+                        / tot.n / tot.n / (tot.n - 1)), 6) AS z_stat,
+           CAST(CASE WHEN abs(round(
+                  (sums.t2 - CAST(tot.n1 AS DOUBLE) * sums.p1 / tot.n)
+                  / sqrt(CAST(tot.n1 AS DOUBLE) * tot.n2
+                         * (CAST(tot.n AS DOUBLE) * sums.p2
+                            - CAST(sums.p1 AS DOUBLE) * sums.p1)
+                         / tot.n / tot.n / (tot.n - 1)), 9))
+                         > 1.959964
+                THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM sums CROSS JOIN tot
+    """,
+)
+def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSARI-BRADLEY SCALE TEST (midrank/ties version) of click vs
+    view value DISPERSION: scores s_i = min(R_i, N+1-R_i) grow toward
+    the middle of the pooled ordering, so a sample concentrated in
+    the center (smaller spread) collects a LARGER score sum — the
+    nonparametric complement to agg_levene_brown_forsythe (which
+    licenses variance comparisons through deviations from a center)
+    and the SCALE sibling of agg_mood_median_test's location test.
+    z = (T - E[T])/sqrt(Var(T)) with the exact finite-population
+    moments of sampling n1 scores without replacement.
+
+    EXACT machinery: on the distinct-cents value domain, every tied
+    block shares one DOUBLED midrank R2 = 2*cum_less + block + 1 and
+    hence one DOUBLED score S2 = least(R2, 2N+2-R2); T2 = sum f1*S2,
+    and the population sums P1 = sum f*S2, P2 = sum f*S2^2 are exact
+    BIGINTs (P2 <= 4N^3 — inside int64 to N ~ 1.3e6). E and Var are
+    one shared double expression (P1^2 promotes to double), z
+    quantizes round(9) before the two-sided critical compare.
+
+    Shape at 100 TB: one grouped scan to the value domain, one
+    bounded-domain window, one 1-row reduce — the CvM/AD shape."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    blk = r.groupBy("c").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f2"),
+    ).localCheckpoint()
+    tot = blk.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+        (F.sum("f1") + F.sum("f2")).cast("bigint").alias("n"),
+    ).localCheckpoint()  # 1-row, referenced by score AND final select
+    w_c = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    sc = (
+        blk.select(
+            "f1",
+            "f2",
+            (
+                2 * (F.sum(F.col("f1") + F.col("f2")).over(w_c)
+                     - (F.col("f1") + F.col("f2")))
+                + (F.col("f1") + F.col("f2"))
+                + 1
+            ).alias("rr"),
+        )
+        .crossJoin(F.broadcast(tot.select("n")))
+        .selectExpr(
+            "f1", "f2", "least(rr, 2 * n + 2 - rr) AS s2"
+        )
+    )
+    sums = sc.agg(
+        F.sum(F.expr("f1 * s2")).cast("bigint").alias("t2"),
+        F.sum(F.expr("(f1 + f2) * s2")).cast("bigint").alias("p1"),
+        F.sum(F.expr("(f1 + f2) * s2 * s2")).cast("bigint").alias("p2"),
+    )
+    z_txt = (
+        "(t2 - CAST(n1 AS DOUBLE) * p1 / n)"
+        " / sqrt(CAST(n1 AS DOUBLE) * n2"
+        " * (CAST(n AS DOUBLE) * p2 - CAST(p1 AS DOUBLE) * p1)"
+        " / n / n / (n - 1))"
+    )
+    return sums.crossJoin(F.broadcast(tot)).selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "CAST(t2 AS BIGINT) AS ab2_stat",
+        f"round({z_txt}, 6) AS z_stat",
+        f"CAST(CASE WHEN abs(round({z_txt}, 9)) > 1.959964"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_oaxaca_blinder_gap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_oaxaca_blinder_gap",
+    oracle="""
+    WITH pts AS MATERIALIZED (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1
+               AS x,
+             CAST(round(value * 100, 0) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'view')),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pts GROUP BY event_type),
+    co AS (
+      SELECT event_type, n,
+             CAST(sx AS DOUBLE) / n AS xbar,
+             CAST(sy AS DOUBLE) / n AS ybar,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS beta
+      FROM m),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'click' THEN xbar END) AS x1,
+        max(CASE WHEN event_type = 'view' THEN xbar END) AS x2,
+        max(CASE WHEN event_type = 'click' THEN ybar END) AS y1,
+        max(CASE WHEN event_type = 'view' THEN ybar END) AS y2,
+        max(CASE WHEN event_type = 'click' THEN beta END) AS b1,
+        max(CASE WHEN event_type = 'view' THEN beta END) AS b2
+      FROM co)
+    SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+           round(y1 - y2, 6) AS gap_cents,
+           round(b2 * (x1 - x2), 6) AS explained_cents,
+           round((y1 - y2) - b2 * (x1 - x2), 6) AS unexplained_cents,
+           round(b1 - b2, 6) AS slope_gap
+    FROM w
+    """,
+)
+def agg_oaxaca_blinder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OAXACA-BLINDER DECOMPOSITION of the click-vs-view mean value
+    gap over the day covariate: gap = ybar1 - ybar2 splits into the
+    EXPLAINED part beta2*(xbar1 - xbar2) — the share attributable to
+    the two cohorts being observed on different days (composition /
+    traffic-mix shift) — and the UNEXPLAINED remainder (level +
+    slope differences at equal composition), the standard two-fold
+    decomposition with the view cohort as reference. This is the
+    attribution step after agg_welch_ttest says the means differ:
+    HOW MUCH of the difference is mix, how much is behavior — the
+    question every dashboard regression dispute is actually about.
+
+    Parity: per-group OLS slopes and means come from five exact
+    BIGINT moments per group (x is the day index, y exact cents —
+    products inside int64 far past sf1x); every derived quantity is
+    one shared double expression, round(6) on output.
+
+    Shape at 100 TB: one grouped moment scan, a 2-row pivot, 1-row
+    output. Nothing row-scaled after the scan."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type",
+        F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') + 1").alias(
+            "x"
+        ),
+        F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    co = m.selectExpr(
+        "event_type",
+        "n",
+        "CAST(sx AS DOUBLE) / n AS xbar",
+        "CAST(sy AS DOUBLE) / n AS ybar",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta",
+    )
+    w = co.agg(
+        F.expr("max(CASE WHEN event_type = 'click' THEN n END)").alias("n1"),
+        F.expr("max(CASE WHEN event_type = 'view' THEN n END)").alias("n2"),
+        F.expr("max(CASE WHEN event_type = 'click' THEN xbar END)").alias(
+            "x1"
+        ),
+        F.expr("max(CASE WHEN event_type = 'view' THEN xbar END)").alias(
+            "x2"
+        ),
+        F.expr("max(CASE WHEN event_type = 'click' THEN ybar END)").alias(
+            "y1"
+        ),
+        F.expr("max(CASE WHEN event_type = 'view' THEN ybar END)").alias(
+            "y2"
+        ),
+        F.expr("max(CASE WHEN event_type = 'click' THEN beta END)").alias(
+            "b1"
+        ),
+        F.expr("max(CASE WHEN event_type = 'view' THEN beta END)").alias(
+            "b2"
+        ),
+    )
+    return w.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_click",
+        "CAST(n2 AS BIGINT) AS n_view",
+        "round(y1 - y2, 6) AS gap_cents",
+        "round(b2 * (x1 - x2), 6) AS explained_cents",
+        "round((y1 - y2) - b2 * (x1 - x2), 6) AS unexplained_cents",
+        "round(b1 - b2, 6) AS slope_gap",
+    )

@@ -538,3 +538,220 @@ def test_oaxaca_matches_python(spark, sf_dir):
         row.gap_cents - (row.explained_cents + row.unexplained_cents)
     ) < 2e-6
     assert abs(row.slope_gap - (b1 - b2)) < 1e-6
+
+
+def _day_totals(spark, sf_dir):
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")).alias("tot")
+        )
+        .collect()
+    )
+    return sorted((r.day, r.tot) for r in rows)
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    """Runs count, sign counts, and z match the direct recompute over
+    the daily totals."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_runs_test,
+    )
+
+    days = _day_totals(spark, sf_dir)
+    tots = [t for _, t in days]
+    med = sorted(tots)[(len(tots) + 1) // 2 - 1]
+    signs = [1 if t > med else 0 for _, t in days if t != med]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    )
+    n = n1 + n2
+    mu = 1 + 2 * n1 * n2 / n
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    z = (runs - mu) / math.sqrt(var)
+    (row,) = agg_runs_test(spark, sf_dir).collect()
+    assert row.n_above == n1 and row.n_below == n2
+    assert row.runs == runs
+    assert abs(row.z_stat - z) < 1e-6
+
+
+def test_ljung_box_matches_python(spark, sf_dir):
+    """The five autocorrelations and Q match the textbook centered
+    computation."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_ljung_box,
+    )
+
+    days = _day_totals(spark, sf_dir)
+    y = [t for _, t in days]
+    n = len(y)
+    ybar = sum(y) / n
+    c0 = sum((v - ybar) ** 2 for v in y)
+    rks = []
+    for k in range(1, 6):
+        ck = sum(
+            (y[t] - ybar) * (y[t + k] - ybar) for t in range(n - k)
+        )
+        rks.append(ck / c0)
+    q = n * (n + 2) * sum(
+        r * r / (n - k) for k, r in zip(range(1, 6), rks)
+    )
+    (row,) = agg_ljung_box(spark, sf_dir).collect()
+    assert row.n_days == n
+    for k, r in zip(range(1, 6), rks):
+        assert abs(row[f"acf_lag{k}"] - r) < 1e-6
+    assert abs(row.q_stat - q) < 1e-4
+
+
+def test_durbin_watson_matches_python(spark, sf_dir):
+    """DW and the slope match an OLS residual recompute."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_durbin_watson,
+    )
+
+    days = _day_totals(spark, sf_dir)
+    y = [t for _, t in days]
+    n = len(y)
+    xs = list(range(1, n + 1))
+    sx, sy = sum(xs), sum(y)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, y))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e = [v - a - b * x for x, v in zip(xs, y)]
+    dw = sum(
+        (e[t] - e[t - 1]) ** 2 for t in range(1, n)
+    ) / sum(v * v for v in e)
+    (row,) = agg_durbin_watson(spark, sf_dir).collect()
+    assert row.n_days == n
+    assert abs(row.slope_cents_per_day - b) < 1e-6
+    assert abs(row.dw_stat - dw) < 1e-6
+
+
+def test_kendall_w_matches_python(spark, sf_dir):
+    """W and chi2 match the direct rank recompute over the day x type
+    grid."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_kendall_w,
+    )
+
+    rows = _daily_cents(spark, sf_dir)
+    cells = {(r.event_type, r.day): r.tot for r in rows}
+    types = sorted({r.event_type for r in rows})
+    m = len(types)
+    days = sorted(
+        d
+        for d in {r.day for r in rows}
+        if all((t, d) in cells for t in types)
+    )
+    n = len(days)
+    rsum = dict.fromkeys(days, 0)
+    for t in types:
+        order = sorted(days, key=lambda d: (cells[(t, d)], d))
+        for rank, d in enumerate(order, 1):
+            rsum[d] += rank
+    sr2 = sum(v * v for v in rsum.values())
+    w = (12 * sr2 - 3 * m * m * n * (n + 1) ** 2) / (
+        m * m * n * (n * n - 1)
+    )
+    chi2 = m * (n - 1) * w
+    (row,) = agg_kendall_w(spark, sf_dir).collect()
+    assert row.n_days == n and row.k_types == m
+    assert abs(row.w_stat - w) < 1e-6
+    assert abs(row.chi2_stat - chi2) < 1e-6
+
+
+def test_hodges_lehmann_matches_python(spark, sf_dir):
+    """The pseudo-median matches the brute-force Walsh-average
+    median."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_hodges_lehmann_paired,
+    )
+
+    rows = _daily_cents(spark, sf_dir, types=("click", "view"))
+    diffs = {}
+    for r in rows:
+        sign = 1 if r.event_type == "click" else -1
+        diffs[r.day] = diffs.get(r.day, 0) + sign * r.tot
+    d = [diffs[k] for k in sorted(diffs)]
+    walsh = sorted(
+        d[i] + d[j] for i in range(len(d)) for j in range(i, len(d))
+    )
+    nw = len(walsh)
+    lo = walsh[(nw + 1) // 2 - 1]
+    hi = walsh[(nw + 2) // 2 - 1]
+    (row,) = agg_hodges_lehmann_paired(spark, sf_dir).collect()
+    assert row.n_days == len(d) and row.n_walsh == nw
+    assert row.hl_x4 == lo + hi
+    assert abs(row.hl_shift_cents - (lo + hi) / 4) < 1e-6
+
+
+def test_grubbs_matches_python(spark, sf_dir):
+    """G, the outlier day, and its deviation match the direct
+    computation."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_grubbs_outlier,
+    )
+
+    days = _day_totals(spark, sf_dir)
+    y = [t for _, t in days]
+    n = len(y)
+    ybar = sum(y) / n
+    s = math.sqrt(sum((v - ybar) ** 2 for v in y) / (n - 1))
+    devs = [abs(v - ybar) for v in y]
+    mx = max(devs)
+    day = min(d for (d, t), dv in zip(days, devs) if dv == mx)
+    g = mx / s
+    (row,) = agg_grubbs_outlier(spark, sf_dir).collect()
+    assert row.n_days == n
+    assert row.outlier_day == day
+    assert abs(row.outlier_dev_cents - mx) < 1e-4
+    assert abs(row.g_stat - g) < 1e-6
+
+
+def test_brown_forsythe_matches_python(spark, sf_dir):
+    """F matches a scipy-free Levene(center=median, low-median
+    convention) recompute."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_brown_forsythe_2g,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    groups = {"click": [], "view": []}
+    for r in rows:
+        groups[r.event_type].append(r.c)
+    meds = {
+        t: sorted(v)[(len(v) + 1) // 2 - 1] for t, v in groups.items()
+    }
+    z = {t: [abs(c - meds[t]) for c in v] for t, v in groups.items()}
+    n1, n2 = len(z["click"]), len(z["view"])
+    nn = n1 + n2
+    zb1 = sum(z["click"]) / n1
+    zb2 = sum(z["view"]) / n2
+    zb = (sum(z["click"]) + sum(z["view"])) / nn
+    ssb = n1 * (zb1 - zb) ** 2 + n2 * (zb2 - zb) ** 2
+    ssw = sum((v - zb1) ** 2 for v in z["click"]) + sum(
+        (v - zb2) ** 2 for v in z["view"]
+    )
+    f = (nn - 2) * ssb / ssw
+    (row,) = agg_brown_forsythe_2g(spark, sf_dir).collect()
+    assert row.n_click == n1 and row.n_view == n2
+    assert row.med_click == meds["click"]
+    assert row.med_view == meds["view"]
+    assert abs(row.f_stat - f) < 1e-6

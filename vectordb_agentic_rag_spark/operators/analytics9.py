@@ -1666,3 +1666,901 @@ def agg_oaxaca_blinder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((y1 - y2) - b2 * (x1 - x2), 6) AS unexplained_cents",
         "round(b1 - b2, 6) AS slope_gap",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_runs_test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_runs_test",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1),
+    med AS (
+      SELECT list_extract(list_sort(list(tot)), (count(tot) + 1) // 2)
+               AS med
+      FROM day),
+    kept AS (
+      SELECT day.day,
+             CAST(CASE WHEN tot > med THEN 1 ELSE 0 END AS BIGINT) AS sgn
+      FROM day CROSS JOIN med WHERE tot <> med),
+    seq AS (
+      SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM kept),
+    s AS (
+      SELECT CAST(sum(sgn) AS BIGINT) AS n_above,
+             CAST(sum(1 - sgn) AS BIGINT) AS n_below,
+             CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM seq)
+    SELECT n_above, n_below, runs,
+           round((CAST(runs AS DOUBLE)
+                  - (CAST(1 AS DOUBLE)
+                     + CAST(2 * n_above * n_below AS DOUBLE)
+                       / CAST(n_above + n_below AS DOUBLE)))
+                 / sqrt(CAST(2 * n_above * n_below
+                             * (2 * n_above * n_below
+                                - (n_above + n_below)) AS DOUBLE)
+                        / CAST((n_above + n_below) * (n_above + n_below)
+                               * (n_above + n_below - 1) AS DOUBLE)),
+                 6) AS z_stat,
+           CAST(CASE WHEN abs(round((CAST(runs AS DOUBLE)
+                  - (CAST(1 AS DOUBLE)
+                     + CAST(2 * n_above * n_below AS DOUBLE)
+                       / CAST(n_above + n_below AS DOUBLE)))
+                 / sqrt(CAST(2 * n_above * n_below
+                             * (2 * n_above * n_below
+                                - (n_above + n_below)) AS DOUBLE)
+                        / CAST((n_above + n_below) * (n_above + n_below)
+                               * (n_above + n_below - 1) AS DOUBLE)),
+                 9)) >= 1.96 THEN 1 ELSE 0 END AS BIGINT)
+             AS significant_05
+    FROM s
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST for randomness of the 30-day daily
+    revenue sequence: sign each day's exact integer-cent total against
+    the LOW MEDIAN of the 30 totals (days equal to the median are
+    dropped — the textbook convention, and the low-median pick is the
+    agg_median_polish_grid exact-BIGINT machinery), count runs of
+    consecutive same-sign days in time order, and compare to the
+    exact null moments E[R] = 1 + 2*n1*n2/n and
+    Var[R] = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)).  Too FEW runs means
+    positive serial dependence (trending days), too MANY means
+    alternation — the distribution-free companion to
+    agg_durbin_watson's parametric residual test.
+
+    Exactness: totals, median, signs, and the runs count are all
+    BIGINT; numerator and denominator of Var[R] are single exact
+    integer products (~1e5 at n=29) cast once to DOUBLE, so z is one
+    shared-text IEEE expression — bit-identical both engines, then
+    round(6) / round(9)-gated significance (|z| >= 1.96).
+
+    Shape at 100 TB: one groupBy collapses the fact table to the
+    30-row day domain; the median collect_list, the lag window, and
+    the final aggregate all run on that bounded domain (the
+    unpartitioned window is 29 rows by construction — the
+    agg_friedman_test day-grid argument)."""
+    ev = table(spark, sf_dir, "events")
+    day = (
+        ev.select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("tot"))
+    )
+    med = day.agg(
+        F.expr(
+            "element_at(sort_array(collect_list(tot)),"
+            " CAST((count(tot) + 1) div 2 AS INT))"
+        ).alias("med")
+    )
+    kept = (
+        day.crossJoin(F.broadcast(med))
+        .where("tot <> med")
+        .select(
+            "day",
+            F.expr(
+                "CAST(CASE WHEN tot > med THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("sgn"),
+        )
+    )
+    seq = kept.select(
+        "sgn", F.lag("sgn").over(Window.orderBy("day")).alias("prev")
+    )
+    s = seq.agg(
+        F.sum("sgn").cast("bigint").alias("n_above"),
+        F.sum(F.expr("1 - sgn")).cast("bigint").alias("n_below"),
+        F.sum(
+            F.expr("CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    z_txt = (
+        "(CAST(runs AS DOUBLE)"
+        " - (CAST(1 AS DOUBLE)"
+        " + CAST(2 * n_above * n_below AS DOUBLE)"
+        " / CAST(n_above + n_below AS DOUBLE)))"
+        " / sqrt(CAST(2 * n_above * n_below"
+        " * (2 * n_above * n_below - (n_above + n_below)) AS DOUBLE)"
+        " / CAST((n_above + n_below) * (n_above + n_below)"
+        " * (n_above + n_below - 1) AS DOUBLE))"
+    )
+    return s.selectExpr(
+        "n_above",
+        "n_below",
+        "runs",
+        f"round({z_txt}, 6) AS z_stat",
+        f"CAST(CASE WHEN abs(round({z_txt}, 9)) >= 1.96"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_ljung_box
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ljung_box",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(tot) AS BIGINT) AS s
+      FROM day),
+    g AS (
+      SELECT day.day, n, n * tot - s AS ny
+      FROM day CROSS JOIN tot),
+    ld AS (
+      SELECT n, ny,
+             lead(ny, 1) OVER w AS l1, lead(ny, 2) OVER w AS l2,
+             lead(ny, 3) OVER w AS l3, lead(ny, 4) OVER w AS l4,
+             lead(ny, 5) OVER w AS l5
+      FROM g WINDOW w AS (ORDER BY day)),
+    c AS (
+      SELECT max(n) AS n,
+             sum(CAST(ny AS HUGEINT) * ny) AS c0,
+             sum(CAST(ny AS HUGEINT) * l1) AS c1,
+             sum(CAST(ny AS HUGEINT) * l2) AS c2,
+             sum(CAST(ny AS HUGEINT) * l3) AS c3,
+             sum(CAST(ny AS HUGEINT) * l4) AS c4,
+             sum(CAST(ny AS HUGEINT) * l5) AS c5
+      FROM ld),
+    r AS (
+      SELECT n,
+             CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+             CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+             CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3,
+             CAST(c4 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r4,
+             CAST(c5 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r5
+      FROM c),
+    q AS (
+      SELECT n, r1, r2, r3, r4, r5,
+             CAST(n * (n + 2) AS DOUBLE)
+             * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+                + r2 * r2 / CAST(n - 2 AS DOUBLE)
+                + r3 * r3 / CAST(n - 3 AS DOUBLE)
+                + r4 * r4 / CAST(n - 4 AS DOUBLE)
+                + r5 * r5 / CAST(n - 5 AS DOUBLE)) AS q
+      FROM r)
+    SELECT n AS n_days,
+           round(r1, 6) AS acf_lag1, round(r2, 6) AS acf_lag2,
+           round(r3, 6) AS acf_lag3, round(r4, 6) AS acf_lag4,
+           round(r5, 6) AS acf_lag5,
+           round(q, 6) AS q_stat,
+           CAST(CASE WHEN round(q, 9) >= 11.0705 THEN 1 ELSE 0 END
+                AS BIGINT) AS significant_05
+    FROM q
+    """,
+)
+def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST (lags 1..5) for autocorrelation of
+    the 30-day daily revenue series: Q = n*(n+2) * SUM_k r_k^2/(n-k)
+    against chi^2(5) (5% critical value 11.0705), with the five
+    autocorrelations emitted alongside so the lag structure is
+    readable.  Completes the serial-dependence toolkit:
+    agg_runs_test is sign-level, agg_durbin_watson is lag-1
+    residual-level, this one tests the whole short-lag ACF jointly.
+
+    Exact rank-free machinery: with S the series total and n the day
+    count, each centered product (y_t - ybar)(y_t+k - ybar) is scaled
+    by n^2 to the INTEGER (n*y_t - S)(n*y_t+k - S); the scale cancels
+    in r_k = c_k/c_0, so each autocorrelation is a ratio of exact
+    integers (Spark DECIMAL(19,0)-promoted products / DuckDB HUGEINT
+    — the round-7 operand-width kernel rule) cast once to DOUBLE.
+    Q is one shared-text IEEE expression over the five r_k (explicit
+    5-term sum, no aggregation reorder), round(6) output, round(9)
+    significance gate.
+
+    Shape at 100 TB: groupBy to the 30-row day domain, one bounded
+    5-lead window, one aggregate — nothing downstream of the first
+    combine sees data-sized rows."""
+    ev = table(spark, sf_dir, "events")
+    day = (
+        ev.select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("tot"))
+    )
+    tot = day.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("tot").cast("bigint").alias("s"),
+    )
+    g = day.crossJoin(F.broadcast(tot)).select(
+        "day", "n", F.expr("n * tot - s").alias("ny")
+    )
+    w = Window.orderBy("day")
+    ld = g.select(
+        "n",
+        "ny",
+        *[F.lead("ny", k).over(w).alias(f"l{k}") for k in range(1, 6)],
+    )
+    c = ld.agg(
+        F.max("n").alias("n"),
+        F.expr("sum(CAST(ny AS DECIMAL(19,0)) * ny)").alias("c0"),
+        *[
+            F.expr(f"sum(CAST(ny AS DECIMAL(19,0)) * l{k})").alias(f"c{k}")
+            for k in range(1, 6)
+        ],
+    )
+    r = c.selectExpr(
+        "n",
+        *[
+            f"CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE) AS r{k}"
+            for k in range(1, 6)
+        ],
+    )
+    q_txt = (
+        "CAST(n * (n + 2) AS DOUBLE)"
+        " * (r1 * r1 / CAST(n - 1 AS DOUBLE)"
+        " + r2 * r2 / CAST(n - 2 AS DOUBLE)"
+        " + r3 * r3 / CAST(n - 3 AS DOUBLE)"
+        " + r4 * r4 / CAST(n - 4 AS DOUBLE)"
+        " + r5 * r5 / CAST(n - 5 AS DOUBLE))"
+    )
+    return r.selectExpr(
+        "n AS n_days",
+        *[f"round(r{k}, 6) AS acf_lag{k}" for k in range(1, 6)],
+        f"round({q_txt}, 6) AS q_stat",
+        f"CAST(CASE WHEN round({q_txt}, 9) >= 11.0705 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_durbin_watson
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_durbin_watson",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1),
+    x AS (
+      SELECT day, tot,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS xi
+      FROM day),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(tot) AS BIGINT) AS sy,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx,
+             CAST(sum(xi * tot) AS BIGINT) AS sxy
+      FROM x),
+    e AS (
+      SELECT day,
+             n * (n * sxx - sx * sx) * tot
+             - (n * sxx - sx * sx) * sy
+             - (n * sxy - sx * sy) * (n * xi - sx) AS ev,
+             n * sxx - sx * sx AS d, n * sxy - sx * sy AS bnum
+      FROM x CROSS JOIN mo),
+    lg AS (
+      SELECT ev, lag(ev) OVER (ORDER BY day) AS prev, d, bnum
+      FROM e),
+    s AS (
+      SELECT max(d) AS d, max(bnum) AS bnum,
+             CAST(count(*) AS BIGINT) AS n_days,
+             sum(CAST(ev AS HUGEINT) * ev) AS esq,
+             sum(CASE WHEN prev IS NULL THEN NULL
+                      ELSE CAST(ev - prev AS HUGEINT) * (ev - prev) END)
+               AS dsq
+      FROM lg)
+    SELECT n_days,
+           round(CAST(bnum AS DOUBLE) / CAST(d AS DOUBLE), 6)
+             AS slope_cents_per_day,
+           round(CAST(dsq AS DOUBLE) / CAST(esq AS DOUBLE), 6) AS dw_stat,
+           CAST(CASE WHEN round(CAST(dsq AS DOUBLE) / CAST(esq AS DOUBLE),
+                               9) < 1.352
+                THEN 1 ELSE 0 END AS BIGINT) AS positive_autocorr_05
+    FROM s
+    """,
+)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON TEST for lag-1 autocorrelation of the residuals
+    of daily revenue regressed on the day index: DW = SUM (e_t -
+    e_t-1)^2 / SUM e_t^2, flagged against the n=30, k'=1 lower 5%
+    bound dL = 1.352 (DW below dL = positive residual
+    autocorrelation).  The parametric member of the serial-dependence
+    triad (agg_runs_test / agg_ljung_box) — it tests dependence AFTER
+    removing the linear trend the other two would conflate with it.
+
+    Exact residual machinery: with integer moments (n, Sx, Sy, Sxx,
+    Sxy) of the (day index, cent total) pairs, D = n*Sxx - Sx^2 and
+    the n*D-scaled residual E_t = n*D*y_t - D*Sy - (n*Sxy -
+    Sx*Sy)*(n*x_t - Sx) is an exact BIGINT (~3e13 at sf0.1, ~3e14 at
+    the sf1x blow-up); the n*D factor cancels in DW, so numerator and
+    denominator are exact integer sums of squares (DECIMAL(19,0)
+    self-products on Spark / HUGEINT on DuckDB) with ONE double
+    division each.  Slope = bnum/D is emitted for direction.
+
+    Shape at 100 TB: groupBy to the 30-row day domain; the row_number
+    and lag windows run on that bounded grid; one aggregate ends it —
+    the agg_chow_test scan shape."""
+    ev = table(spark, sf_dir, "events")
+    day = (
+        ev.select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("tot"))
+    )
+    x = day.select(
+        "day",
+        "tot",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("xi"),
+    )
+    mo = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum("tot").cast("bigint").alias("sy"),
+        F.expr("CAST(sum(xi * xi) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum(xi * tot) AS BIGINT)").alias("sxy"),
+    )
+    e = x.crossJoin(F.broadcast(mo)).select(
+        "day",
+        F.expr(
+            "n * (n * sxx - sx * sx) * tot"
+            " - (n * sxx - sx * sx) * sy"
+            " - (n * sxy - sx * sy) * (n * xi - sx)"
+        ).alias("ev"),
+        F.expr("n * sxx - sx * sx").alias("d"),
+        F.expr("n * sxy - sx * sy").alias("bnum"),
+    )
+    lg = e.select(
+        "ev", F.lag("ev").over(Window.orderBy("day")).alias("prev"), "d",
+        "bnum",
+    )
+    s = lg.agg(
+        F.max("d").alias("d"),
+        F.max("bnum").alias("bnum"),
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr("sum(CAST(ev AS DECIMAL(19,0)) * ev)").alias("esq"),
+        F.expr(
+            "sum(CASE WHEN prev IS NULL THEN NULL"
+            " ELSE CAST(ev - prev AS DECIMAL(19,0)) * (ev - prev) END)"
+        ).alias("dsq"),
+    )
+    dw_txt = "CAST(dsq AS DOUBLE) / CAST(esq AS DOUBLE)"
+    return s.selectExpr(
+        "n_days",
+        "round(CAST(bnum AS DOUBLE) / CAST(d AS DOUBLE), 6)"
+        " AS slope_cents_per_day",
+        f"round({dw_txt}, 6) AS dw_stat",
+        f"CAST(CASE WHEN round({dw_txt}, 9) < 1.352 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS positive_autocorr_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_kendall_w
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_kendall_w",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS m
+          FROM cell),
+    cd AS (
+      SELECT day FROM cell GROUP BY day
+      HAVING count(*) = (SELECT m FROM m)),
+    rk AS (
+      SELECT cell.day,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY tot, cell.day) AS BIGINT)
+               AS r
+      FROM cell JOIN cd ON cell.day = cd.day),
+    rd AS (
+      SELECT day, CAST(sum(r) AS BIGINT) AS rsum FROM rk GROUP BY day),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rsum * rsum) AS BIGINT) AS sr2
+      FROM rd)
+    SELECT n AS n_days, m AS k_types,
+           round(CAST(12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1)
+                      AS DOUBLE)
+                 / CAST(m * m * n * (n * n - 1) AS DOUBLE), 6) AS w_stat,
+           round(CAST(m * (n - 1) AS DOUBLE)
+                 * (CAST(12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1)
+                         AS DOUBLE)
+                    / CAST(m * m * n * (n * n - 1) AS DOUBLE)), 6)
+             AS chi2_stat,
+           CAST(CASE WHEN round(CAST(m * (n - 1) AS DOUBLE)
+                 * (CAST(12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1)
+                         AS DOUBLE)
+                    / CAST(m * m * n * (n * n - 1) AS DOUBLE)), 9)
+                     >= 42.557 THEN 1 ELSE 0 END AS BIGINT)
+             AS significant_05
+    FROM s CROSS JOIN m
+    """,
+)
+def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S COEFFICIENT OF CONCORDANCE W: do the k event types
+    AGREE on how the 30 days rank by revenue?  Each type ranks the
+    complete days by its exact integer-cent daily total; W in [0, 1]
+    rescales the variance of the per-day rank sums to its maximum,
+    and chi^2 = m*(n-1)*W tests concordance against chi^2(n-1)
+    (5% critical value 42.557 at n = 30).  The agreement view the
+    blocked-design agg_friedman_test (types ranked within days)
+    cannot give — same grid, transposed question.
+
+    Parity: ranks are row_number over (tot, day) within each type —
+    exact BIGINT cent totals make the order deterministic and any
+    cent-exact tie breaks identically on both engines (the
+    agg_friedman_test convention, documented there); rank sums and
+    their squares are small exact integers, so W and chi^2 are
+    all-integer numerators/denominators with ONE double division in
+    shared text (the round-8 decimal-literal rule: no 2.0-style
+    literals anywhere).
+
+    Shape at 100 TB: one groupBy(day, type) collapses the fact table
+    to the bounded k x 30 grid; ranking windows partition by type over
+    30-row partitions; everything after the first aggregate is
+    domain-bounded."""
+    ev = table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            "event_type",
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.sum("c").cast("bigint").alias("tot"))
+        .localCheckpoint()
+    )
+    m = cell.agg(
+        F.countDistinct("event_type").cast("bigint").alias("m")
+    )
+    cd = (
+        cell.crossJoin(F.broadcast(m))
+        .groupBy("day")
+        .agg(F.count("*").alias("kk"), F.max("m").alias("m"))
+        .where("kk = m")
+        .select("day")
+    )
+    rk = cell.join(cd, "day").select(
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("tot", "day"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    rd = rk.groupBy("day").agg(F.sum("r").cast("bigint").alias("rsum"))
+    s = rd.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(rsum * rsum) AS BIGINT)").alias("sr2"),
+    )
+    w_txt = (
+        "CAST(12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1) AS DOUBLE)"
+        " / CAST(m * m * n * (n * n - 1) AS DOUBLE)"
+    )
+    chi_txt = f"CAST(m * (n - 1) AS DOUBLE) * ({w_txt})"
+    return s.crossJoin(F.broadcast(m)).selectExpr(
+        "n AS n_days",
+        "m AS k_types",
+        f"round({w_txt}, 6) AS w_stat",
+        f"round({chi_txt}, 6) AS chi2_stat",
+        f"CAST(CASE WHEN round({chi_txt}, 9) >= 42.557 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_hodges_lehmann_paired
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hodges_lehmann_paired",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE -CAST(round(value * 100, 0) AS BIGINT)
+                      END) AS BIGINT) AS dd
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1),
+    w AS (
+      SELECT d1.dd + d2.dd AS ws
+      FROM d d1 JOIN d d2 ON d1.day <= d2.day),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_walsh,
+             list_extract(list_sort(list(ws)), (count(*) + 1) // 2)
+               AS lo,
+             list_extract(list_sort(list(ws)), (count(*) + 2) // 2)
+               AS hi
+      FROM w),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+    SELECT n_days, n_walsh,
+           CAST(lo + hi AS BIGINT) AS hl_x4,
+           round(CAST(lo + hi AS DOUBLE) / 4, 6) AS hl_shift_cents
+    FROM s CROSS JOIN nd
+    """,
+)
+def agg_hodges_lehmann_paired(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HODGES-LEHMANN PSEUDO-MEDIAN of the daily click-minus-view
+    revenue difference: the median of all 465 Walsh averages
+    (d_i + d_j)/2 over day pairs i <= j — the location estimator the
+    Wilcoxon signed-rank test inverts, 29% breakdown, ~95% Gaussian
+    efficiency.  The robust effect-size companion to
+    agg_sign_test_paired (which only tests direction) and
+    agg_tost_equivalence (mean-based): HOW MUCH more do clicks earn
+    per day, robustly?
+
+    Exactness: day differences are exact signed BIGINT cents
+    (conditional +/- sum over the click/view rows; a day missing one
+    type contributes its present side only — both engines identical);
+    each Walsh sum d_i + d_j is an exact integer equal to 2x the
+    Walsh average, and the median picks lo/hi order statistics by
+    element_at on the sorted 465-element array (the low/high-median
+    machinery of agg_median_polish_grid).  hl_x4 = lo + hi = 4x the
+    estimator is emitted as the exact integer; the only double is the
+    final display division by 4, round(6).
+
+    Shape at 100 TB: the fact table collapses to the 30-row day
+    domain; the Walsh self-join is 30 x 30 / 2 rows and the
+    collect_list is over those 465 — all bounded by the calendar, not
+    the data (the win_changepoint_pelt_1d pair-grid argument)."""
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr(
+                "CASE WHEN event_type = 'click'"
+                " THEN CAST(value * 100 + 0.5 AS BIGINT)"
+                " ELSE -CAST(value * 100 + 0.5 AS BIGINT) END"
+            ).alias("sc"),
+        )
+        .groupBy("day")
+        .agg(F.sum("sc").cast("bigint").alias("dd"))
+        .localCheckpoint()
+    )
+    d1 = d.select(F.col("day").alias("day1"), F.col("dd").alias("dd1"))
+    d2 = d.select(F.col("day").alias("day2"), F.col("dd").alias("dd2"))
+    w = d1.join(d2, F.col("day1") <= F.col("day2")).select(
+        (F.col("dd1") + F.col("dd2")).alias("ws")
+    )
+    s = w.agg(
+        F.count("*").cast("bigint").alias("n_walsh"),
+        F.expr(
+            "element_at(sort_array(collect_list(ws)),"
+            " CAST((count(*) + 1) div 2 AS INT))"
+        ).alias("lo"),
+        F.expr(
+            "element_at(sort_array(collect_list(ws)),"
+            " CAST((count(*) + 2) div 2 AS INT))"
+        ).alias("hi"),
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n_days"))
+    return s.crossJoin(F.broadcast(nd)).selectExpr(
+        "n_days",
+        "n_walsh",
+        "CAST(lo + hi AS BIGINT) AS hl_x4",
+        "round(CAST(lo + hi AS DOUBLE) / 4, 6) AS hl_shift_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_grubbs_outlier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_grubbs_outlier",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1),
+    mo2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tot) AS BIGINT) AS s,
+             CAST(sum(CAST(tot AS HUGEINT) * tot) AS HUGEINT) AS s2
+      FROM day),
+    dev AS (
+      SELECT day.day, abs(n * tot - s) AS ad, n, s,
+             CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s AS c
+      FROM day CROSS JOIN mo2),
+    pick AS (
+      SELECT day AS outlier_day, ad, n, c,
+             row_number() OVER (ORDER BY ad DESC, day) AS rn
+      FROM dev)
+    SELECT n AS n_days, outlier_day,
+           round(CAST(ad AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS outlier_dev_cents,
+           round(CAST(ad AS DOUBLE)
+                 * sqrt(CAST(n - 1 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(c AS DOUBLE))), 6)
+             AS g_stat,
+           CAST(CASE WHEN round(CAST(ad AS DOUBLE)
+                 * sqrt(CAST(n - 1 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(c AS DOUBLE))), 9)
+                     >= 2.9085 THEN 1 ELSE 0 END AS BIGINT)
+             AS significant_05
+    FROM pick WHERE rn = 1
+    """,
+)
+def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS MAXIMUM-STUDENTIZED-DEVIATE TEST: is the most extreme
+    of the 30 daily revenue totals a statistical outlier?
+    G = max|y_d - ybar| / s, flagged against the n = 30 two-sided 5%
+    critical value 2.9085 (a fixture constant — the events table
+    spans exactly 30 days at every sf, per the round-8 note; the
+    docstring records the dependence).  Complements
+    win_changepoint_pelt_1d (level SHIFTS) with a single-day SPIKE
+    detector on the same series, and names WHICH day.
+
+    Exactness: the n-scaled deviation |n*y_d - S| is exact BIGINT;
+    n*S2 - S^2 is exact via DECIMAL(19,0)/HUGEINT self-products (the
+    round-7 operand-width kernel rule — BIGINT would overflow at the
+    sf1x blow-up); argmax day is a row_number pick over (dev DESC,
+    day) — the round-8 min_by-tuple workaround.  G = M * sqrt((n-1) /
+    (n*c)) is one shared-text IEEE expression (sqrt is correctly
+    rounded, so bit-identical), round(6) output, round(9) gate.
+
+    Shape at 100 TB: one groupBy to the day domain; the deviation
+    scan, argmax window, and final filter all run on 30 rows."""
+    ev = table(spark, sf_dir, "events")
+    day = (
+        ev.select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("tot"))
+        .localCheckpoint()
+    )
+    mo2 = day.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("tot").cast("bigint").alias("s"),
+        F.expr("sum(CAST(tot AS DECIMAL(19,0)) * tot)").alias("s2"),
+    )
+    dev = day.crossJoin(F.broadcast(mo2)).select(
+        "day",
+        F.expr("abs(n * tot - s)").alias("ad"),
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(19,0)) * s2 - CAST(s AS DECIMAL(19,0)) * s"
+        ).alias("c"),
+    )
+    pick = dev.select(
+        F.col("day").alias("outlier_day"),
+        "ad",
+        "n",
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("ad").desc(), "day"))
+        .alias("rn"),
+    ).where("rn = 1")
+    g_txt = (
+        "CAST(ad AS DOUBLE)"
+        " * sqrt(CAST(n - 1 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(c AS DOUBLE)))"
+    )
+    return pick.selectExpr(
+        "n AS n_days",
+        "outlier_day",
+        "round(CAST(ad AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        " AS outlier_dev_cents",
+        f"round({g_txt}, 6) AS g_stat",
+        f"CAST(CASE WHEN round({g_txt}, 9) >= 2.9085 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_brown_forsythe_2g
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_brown_forsythe_2g",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'view')),
+    blk AS (
+      SELECT event_type, c, CAST(count(*) AS BIGINT) AS f
+      FROM r GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, c, f,
+             sum(f) OVER (PARTITION BY event_type ORDER BY c
+                          ROWS UNBOUNDED PRECEDING) AS cf,
+             sum(f) OVER (PARTITION BY event_type) AS ng
+      FROM blk),
+    med AS (
+      SELECT event_type, min(c) AS med
+      FROM cum WHERE cf >= (ng + 1) // 2 GROUP BY event_type),
+    z AS (
+      SELECT r.event_type, abs(r.c - med.med) AS zz, med.med
+      FROM r JOIN med ON r.event_type = med.event_type),
+    st AS (
+      SELECT event_type, max(med) AS med,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(zz) AS BIGINT) AS sz,
+             CAST(sum(zz * zz) AS BIGINT) AS qz
+      FROM z GROUP BY event_type),
+    p AS (
+      SELECT
+        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'click' THEN sz END) AS s1,
+        max(CASE WHEN event_type = 'view' THEN sz END) AS s2,
+        max(CASE WHEN event_type = 'click' THEN qz END) AS q1,
+        max(CASE WHEN event_type = 'view' THEN qz END) AS q2,
+        max(CASE WHEN event_type = 'click' THEN med END) AS med_click,
+        max(CASE WHEN event_type = 'view' THEN med END) AS med_view
+      FROM st),
+    fin AS (
+      SELECT n1, n2, med_click, med_view,
+             CAST(n1 + n2 - 2 AS HUGEINT)
+             * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+             * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+               AS fnum,
+             CAST(n1 + n2 AS HUGEINT)
+             * (n2 * (CAST(n1 AS HUGEINT) * q1
+                      - CAST(s1 AS HUGEINT) * s1)
+                + n1 * (CAST(n2 AS HUGEINT) * q2
+                        - CAST(s2 AS HUGEINT) * s2)) AS fden
+      FROM p)
+    SELECT n1 AS n_click, n2 AS n_view, med_click, med_view,
+           round(CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE), 6)
+             AS f_stat,
+           CAST(CASE WHEN round(CAST(fnum AS DOUBLE)
+                               / CAST(fden AS DOUBLE), 9) >= 3.8415
+                THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM fin
+    """,
+)
+def agg_brown_forsythe_2g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE (median-centered Levene) TEST for equal SPREAD
+    of the click vs view value distributions: one-way ANOVA F on the
+    absolute deviations z = |c - median_group|.  The MOMENT-based
+    scale test beside the rank-based agg_ansari_bradley — BF keeps
+    its size under heavy tails (median centering), and disagreement
+    between the two flags shape (not just scale) differences.
+
+    Exactness end-to-end: group medians are LOW medians picked from
+    the distinct-cents value domain by cumulative counts (the
+    agg_exact_quantile_2pass machinery — NO collect_list of
+    data-sized groups); z is exact BIGINT; with per-group sums
+    S_g = sum z, Q_g = sum z^2 the k = 2 F-statistic collapses to
+    F = (N-2) * (S1*n2 - S2*n1)^2 / (N * (n2*A1 + n1*A2)) with
+    A_g = n_g*Q_g - S_g^2 — every term an exact integer (HUGEINT /
+    Spark DECIMAL promotion; BIGINT would overflow A_g at the sf1x
+    blow-up), ONE double division, round(6), round(9) gate at the
+    F(1, inf) 5% value 3.8415.
+
+    Shape at 100 TB: two scans of the filtered fact table (one
+    grouped to the value domain for the medians, one for the
+    deviation moments after a 2-row broadcast join) — the same shape
+    as agg_exact_quantile_2pass, no row ever sorted globally."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    blk = r.groupBy("event_type", "c").agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy("event_type")
+    cum = blk.select(
+        "event_type",
+        "c",
+        F.sum("f").over(wc).alias("cf"),
+        F.sum("f").over(wg).alias("ng"),
+    )
+    med = (
+        cum.where(F.expr("cf >= (ng + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("med"))
+    )
+    z = r.join(F.broadcast(med), "event_type").select(
+        "event_type", F.expr("abs(c - med)").alias("zz"), "med"
+    )
+    st = z.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("zz").cast("bigint").alias("sz"),
+        F.expr("CAST(sum(zz * zz) AS BIGINT)").alias("qz"),
+    )
+    p = st.agg(
+        F.expr("max(CASE WHEN event_type = 'click' THEN n END)").alias("n1"),
+        F.expr("max(CASE WHEN event_type = 'view' THEN n END)").alias("n2"),
+        F.expr("max(CASE WHEN event_type = 'click' THEN sz END)").alias(
+            "s1"
+        ),
+        F.expr("max(CASE WHEN event_type = 'view' THEN sz END)").alias("s2"),
+        F.expr("max(CASE WHEN event_type = 'click' THEN qz END)").alias(
+            "q1"
+        ),
+        F.expr("max(CASE WHEN event_type = 'view' THEN qz END)").alias("q2"),
+        F.expr("max(CASE WHEN event_type = 'click' THEN med END)").alias(
+            "med_click"
+        ),
+        F.expr("max(CASE WHEN event_type = 'view' THEN med END)").alias(
+            "med_view"
+        ),
+    )
+    fin = p.select(
+        "n1",
+        "n2",
+        "med_click",
+        "med_view",
+        F.expr(
+            "CAST(n1 + n2 - 2 AS DECIMAL(19,0))"
+            " * (CAST(s1 AS DECIMAL(19,0)) * n2"
+            "    - CAST(s2 AS DECIMAL(19,0)) * n1)"
+            " * (CAST(s1 AS DECIMAL(19,0)) * n2"
+            "    - CAST(s2 AS DECIMAL(19,0)) * n1)"
+        ).alias("fnum"),
+        F.expr(
+            "CAST(n1 + n2 AS DECIMAL(19,0))"
+            " * (n2 * (CAST(n1 AS DECIMAL(19,0)) * q1"
+            "          - CAST(s1 AS DECIMAL(19,0)) * s1)"
+            "    + n1 * (CAST(n2 AS DECIMAL(19,0)) * q2"
+            "            - CAST(s2 AS DECIMAL(19,0)) * s2))"
+        ).alias("fden"),
+    )
+    f_txt = "CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE)"
+    return fin.selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "med_click",
+        "med_view",
+        f"round({f_txt}, 6) AS f_stat",
+        f"CAST(CASE WHEN round({f_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS significant_05",
+    )

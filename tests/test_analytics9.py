@@ -755,3 +755,148 @@ def test_brown_forsythe_matches_python(spark, sf_dir):
     assert row.med_click == meds["click"]
     assert row.med_view == meds["view"]
     assert abs(row.f_stat - f) < 1e-6
+
+
+def test_brunner_munzel_matches_python(spark, sf_dir):
+    """W, p_hat, and df match the scipy-formula recompute with
+    midranks over the raw cent values."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_brunner_munzel,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+    import bisect
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    xs = sorted(r.c for r in rows if r.event_type == "click")
+    ys = sorted(r.c for r in rows if r.event_type == "view")
+    n1, n2 = len(xs), len(ys)
+    both = sorted(xs + ys)
+
+    def midranks(vals, ref):
+        out = []
+        for v in vals:
+            lo = bisect.bisect_left(ref, v)
+            hi = bisect.bisect_right(ref, v)
+            out.append((lo + 1 + hi) / 2.0)
+        return out
+
+    rc1 = midranks(xs, both)
+    rc2 = midranks(ys, both)
+    ro1 = midranks(xs, xs)
+    ro2 = midranks(ys, ys)
+    m1 = sum(rc1) / n1
+    m2 = sum(rc2) / n2
+    s1 = sum(
+        (a - b - m1 + (n1 + 1) / 2.0) ** 2 for a, b in zip(rc1, ro1)
+    ) / (n1 - 1)
+    s2 = sum(
+        (a - b - m2 + (n2 + 1) / 2.0) ** 2 for a, b in zip(rc2, ro2)
+    ) / (n2 - 1)
+    w = (
+        n1 * n2 * (m2 - m1)
+        / ((n1 + n2) * math.sqrt(n1 * s1 + n2 * s2))
+    )
+    df = (n1 * s1 + n2 * s2) ** 2 / (
+        (n1 * s1) ** 2 / (n1 - 1) + (n2 * s2) ** 2 / (n2 - 1)
+    )
+    phat = (m2 - m1) / (n1 + n2) + 0.5
+    (row,) = agg_brunner_munzel(spark, sf_dir).collect()
+    assert row.n_click == n1 and row.n_view == n2
+    assert abs(row.p_hat - phat) < 1e-6
+    assert abs(row.w_stat - w) < 1e-5
+    assert abs(row.df - df) < max(1e-4 * df, 1e-4)
+
+
+def test_fisher_exact_matches_python(spark, sf_dir):
+    """The exact hypergeometric p-values match a math.comb
+    recompute."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_fisher_exact,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    cnts = {r.day: r.cnt for r in rows}
+    nd = len(cnts)
+    med = sorted(cnts.values())[(nd + 1) // 2 - 1]
+    wk = {d: d.isoweekday() >= 6 for d in cnts}
+    hi = {d: c > med for d, c in cnts.items()}
+    nw = sum(wk.values())
+    kh = sum(hi.values())
+    a = sum(1 for d in cnts if wk[d] and hi[d])
+    num_obs = math.comb(kh, a) * math.comb(nd - kh, nw - a)
+    lo = max(0, nw + kh - nd)
+    hi_x = min(nw, kh)
+    s2 = sum(
+        math.comb(kh, x) * math.comb(nd - kh, nw - x)
+        for x in range(lo, hi_x + 1)
+        if math.comb(kh, x) * math.comb(nd - kh, nw - x) <= num_obs
+    )
+    s1 = sum(
+        math.comb(kh, x) * math.comb(nd - kh, nw - x)
+        for x in range(max(lo, a), hi_x + 1)
+    )
+    cnn = math.comb(nd, nw)
+    (row,) = agg_fisher_exact(spark, sf_dir).collect()
+    assert row.n_days == nd and row.n_weekend == nw
+    assert row.n_high == kh and row.n_weekend_high == a
+    assert abs(row.p_two_sided - s2 / cnn) < 1e-9
+    assert abs(row.p_one_sided - s1 / cnn) < 1e-9
+    assert row.significant_05 == (1 if 20 * s2 < cnn else 0)
+
+
+def test_cohens_kappa_matches_python(spark, sf_dir):
+    """kappa matches the direct tercile-agreement recompute."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_cohens_kappa_daily,
+    )
+
+    rows = _daily_cents(spark, sf_dir, types=("click", "view"))
+    ct = {}
+    vt = {}
+    for r in rows:
+        if r.event_type == "click":
+            ct[r.day] = r.tot
+        else:
+            vt[r.day] = r.tot
+    days = sorted(set(ct) | set(vt))
+    n = len(days)
+    for d in days:
+        ct.setdefault(d, 0)
+        vt.setdefault(d, 0)
+    rc = {
+        d: i + 1
+        for i, d in enumerate(sorted(days, key=lambda d: (ct[d], d)))
+    }
+    rv = {
+        d: i + 1
+        for i, d in enumerate(sorted(days, key=lambda d: (vt[d], d)))
+    }
+    t1 = {d: (rc[d] - 1) * 3 // n for d in days}
+    t2 = {d: (rv[d] - 1) * 3 // n for d in days}
+    sd = sum(1 for d in days if t1[d] == t2[d])
+    ri = [sum(1 for d in days if t1[d] == i) for i in range(3)]
+    ci = [sum(1 for d in days if t2[d] == i) for i in range(3)]
+    spe = sum(r * c for r, c in zip(ri, ci))
+    kappa = (n * sd - spe) / (n * n - spe)
+    (row,) = agg_cohens_kappa_daily(spark, sf_dir).collect()
+    assert row.n_days == n and row.n_agree == sd
+    assert abs(row.po - sd / n) < 1e-6
+    assert abs(row.pe - spe / n / n) < 1e-6
+    assert abs(row.kappa - kappa) < 1e-6

@@ -2564,3 +2564,484 @@ def agg_brown_forsythe_2g(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN round({f_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
         " AS BIGINT) AS significant_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_brunner_munzel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_brunner_munzel",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'view')),
+    blk AS MATERIALIZED (
+      SELECT c,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f2
+      FROM r GROUP BY c),
+    cum AS MATERIALIZED (
+      SELECT c, f1, f2,
+             2 * sum(f1 + f2) OVER w - (f1 + f2) + 1 AS rc2,
+             2 * sum(f1) OVER w - f1 + 1 AS r12,
+             2 * sum(f2) OVER w - f2 + 1 AS r22
+      FROM blk
+      WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1,
+             CAST(sum(f2) AS BIGINT) AS n2,
+             CAST(sum(f1 * rc2) AS BIGINT) AS sr21,
+             CAST(sum(f2 * rc2) AS BIGINT) AS sr22
+      FROM cum),
+    u AS (
+      SELECT n1, n2, sr21, sr22,
+             sum(f1 * (CAST(n1 * (rc2 - r12 + n1 + 1) - sr21 AS HUGEINT)
+                       * (n1 * (rc2 - r12 + n1 + 1) - sr21))) AS u1,
+             sum(f2 * (CAST(n2 * (rc2 - r22 + n2 + 1) - sr22 AS HUGEINT)
+                       * (n2 * (rc2 - r22 + n2 + 1) - sr22))) AS u2
+      FROM cum CROSS JOIN tot
+      GROUP BY n1, n2, sr21, sr22),
+    d AS (
+      SELECT n1, n2, sr21, sr22,
+             CAST(u1 AS DOUBLE) / CAST(4 * n1 * (n1 - 1) AS DOUBLE) AS d1,
+             CAST(u2 AS DOUBLE) / CAST(4 * n2 * (n2 - 1) AS DOUBLE) AS d2
+      FROM u)
+    SELECT n1 AS n_click, n2 AS n_view,
+           round(CAST(n1 * sr22 - n2 * sr21 AS DOUBLE)
+                 / CAST(2 * n1 * n2 * (n1 + n2) AS DOUBLE)
+                 + CAST(1 AS DOUBLE) / 2, 6) AS p_hat,
+           round(CAST(n1 * sr22 - n2 * sr21 AS DOUBLE)
+                 / (CAST(2 * (n1 + n2) AS DOUBLE) * sqrt(d1 + d2)), 6)
+             AS w_stat,
+           round((d1 + d2) * (d1 + d2)
+                 / (d1 * d1 / CAST(n1 - 1 AS DOUBLE)
+                    + d2 * d2 / CAST(n2 - 1 AS DOUBLE)), 6) AS df,
+           CAST(CASE WHEN abs(round(CAST(n1 * sr22 - n2 * sr21 AS DOUBLE)
+                 / (CAST(2 * (n1 + n2) AS DOUBLE) * sqrt(d1 + d2)), 9))
+                     >= 1.96 THEN 1 ELSE 0 END AS BIGINT)
+             AS significant_05
+    FROM d
+    """,
+)
+def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRUNNER-MUNZEL GENERALIZED WILCOXON TEST of click vs view
+    values: tests P(X < Y) + P(X = Y)/2 = 1/2 WITHOUT the equal-
+    variance assumption agg_mann_whitney_u inherits — the
+    heteroscedasticity-robust member of the two-sample rank family
+    (and the test modern guidelines recommend over MWU by default).
+    Emits the relative-effect estimate p_hat, the studentized W, and
+    the Welch-type degrees of freedom.
+
+    Exact quadrupled-midrank machinery on the distinct-cents value
+    domain: per tied block, DOUBLED combined and own-group midranks
+    rc2 = 2*cumN - fN + 1 and ri2 = 2*cum_i - f_i + 1 are exact
+    BIGINTs; the centered placement term of Brunner-Munzel's S_i^2,
+    multiplied by 2*n_i, becomes the exact integer
+    u_i = n_i*(rc2 - ri2 + n_i + 1) - SR2_i (SR2_i = sum of the
+    group's doubled combined midranks), constant within a block — so
+    sum t^2 = sum f_i*u_i^2 / (4*n_i^2) collapses per block with NO
+    per-row ranks (the agg_mann_whitney_u / CvM move, extended to
+    own-group ranks).  n_i*S_i^2 = U_i/(4*n_i*(n_i-1)) with U_i the
+    exact HUGEINT/DECIMAL sum; W, p_hat, and df are shared-text IEEE
+    expressions over the exact integers (d1/d2 materialized first so
+    both engines square the SAME doubles), round(6), round(9) gate at
+    the df->inf 5% value 1.96 (df ~ 4000 at sf0.01).
+
+    Shape at 100 TB: one grouped scan to the value domain, one
+    bounded-domain window pass, two bounded aggregates — identical to
+    agg_cramer_von_mises_2samp."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
+    )
+    blk = r.groupBy("c").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("f2"),
+    ).localCheckpoint()
+    w_c = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = blk.select(
+        "f1",
+        "f2",
+        (
+            2 * F.sum(F.col("f1") + F.col("f2")).over(w_c)
+            - (F.col("f1") + F.col("f2"))
+            + 1
+        ).alias("rc2"),
+        (2 * F.sum("f1").over(w_c) - F.col("f1") + 1).alias("r12"),
+        (2 * F.sum("f2").over(w_c) - F.col("f2") + 1).alias("r22"),
+    ).localCheckpoint()
+    tot = cum.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+        F.expr("CAST(sum(f1 * rc2) AS BIGINT)").alias("sr21"),
+        F.expr("CAST(sum(f2 * rc2) AS BIGINT)").alias("sr22"),
+    )
+    u = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2", "sr21", "sr22")
+        .agg(
+            F.expr(
+                "sum(f1 * (CAST(n1 * (rc2 - r12 + n1 + 1) - sr21"
+                " AS DECIMAL(19,0))"
+                " * (n1 * (rc2 - r12 + n1 + 1) - sr21)))"
+            ).alias("u1"),
+            F.expr(
+                "sum(f2 * (CAST(n2 * (rc2 - r22 + n2 + 1) - sr22"
+                " AS DECIMAL(19,0))"
+                " * (n2 * (rc2 - r22 + n2 + 1) - sr22)))"
+            ).alias("u2"),
+        )
+    )
+    d = u.selectExpr(
+        "n1",
+        "n2",
+        "sr21",
+        "sr22",
+        "CAST(u1 AS DOUBLE) / CAST(4 * n1 * (n1 - 1) AS DOUBLE) AS d1",
+        "CAST(u2 AS DOUBLE) / CAST(4 * n2 * (n2 - 1) AS DOUBLE) AS d2",
+    )
+    w_txt = (
+        "CAST(n1 * sr22 - n2 * sr21 AS DOUBLE)"
+        " / (CAST(2 * (n1 + n2) AS DOUBLE) * sqrt(d1 + d2))"
+    )
+    return d.selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "round(CAST(n1 * sr22 - n2 * sr21 AS DOUBLE)"
+        " / CAST(2 * n1 * n2 * (n1 + n2) AS DOUBLE)"
+        " + CAST(1 AS DOUBLE) / 2, 6) AS p_hat",
+        f"round({w_txt}, 6) AS w_stat",
+        "round((d1 + d2) * (d1 + d2)"
+        " / (d1 * d1 / CAST(n1 - 1 AS DOUBLE)"
+        " + d2 * d2 / CAST(n2 - 1 AS DOUBLE)), 6) AS df",
+        f"CAST(CASE WHEN abs(round({w_txt}, 9)) >= 1.96"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_fisher_exact
+# ---------------------------------------------------------------------------
+
+
+def _binom_spark(n: str, k: str) -> str:
+    """Exact C(n, k) as a BIGINT fold (every partial product is itself
+    a binomial coefficient, so div is exact) with the sequence(1, 0)
+    descent guard (round-9 note)."""
+    return (
+        f"CASE WHEN ({k}) = 0 THEN CAST(1 AS BIGINT)"
+        f" ELSE aggregate(sequence(1, CAST(({k}) AS INT)),"
+        f" CAST(1 AS BIGINT),"
+        f" (acc, i) -> acc * (({n}) - i + 1) div i) END"
+    )
+
+
+def _binom_duck(n: str, k: str) -> str:
+    """DuckDB twin of _binom_spark (generate_series(1, 0) is already
+    empty there, so the fold needs no zero guard)."""
+    return (
+        f"list_reduce(list_prepend(CAST(1 AS BIGINT),"
+        f" CAST(generate_series(1, ({k})) AS BIGINT[])),"
+        f" (acc, i) -> acc * (({n}) - i + 1) // i)"
+    )
+
+
+_FISHER_DUCK = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    med AS (
+      SELECT list_extract(list_sort(list(cnt)), (count(*) + 1) // 2)
+               AS med
+      FROM daily),
+    fl AS (
+      SELECT CAST(CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END
+                  AS BIGINT) AS wk,
+             CAST(CASE WHEN cnt > med THEN 1 ELSE 0 END AS BIGINT) AS hi
+      FROM daily CROSS JOIN med),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(wk) AS BIGINT) AS nw,
+             CAST(sum(hi) AS BIGINT) AS kh,
+             CAST(sum(wk * hi) AS BIGINT) AS a
+      FROM fl),
+    dom AS (
+      SELECT st.nd, st.nw, st.kh, st.a, x.x,
+             ({_binom_duck('kh', 'x.x')})
+             * ({_binom_duck('nd - kh', 'nw - x.x')}) AS num,
+             ({_binom_duck('kh', 'a')})
+             * ({_binom_duck('nd - kh', 'nw - a')}) AS numobs
+      FROM st CROSS JOIN
+           (SELECT unnest(generate_series(0, 60)) AS x) x
+      WHERE x.x >= greatest(0, nw + kh - nd) AND x.x <= least(nw, kh)),
+    agg AS (
+      SELECT nd, nw, kh, a,
+             CAST(sum(CASE WHEN num <= numobs THEN num ELSE 0 END)
+                  AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN x >= a THEN num ELSE 0 END) AS BIGINT)
+               AS s1,
+             ({_binom_duck('max(nd)', 'max(nw)')}) AS cnn
+      FROM dom GROUP BY nd, nw, kh, a)
+    SELECT nd AS n_days, nw AS n_weekend, kh AS n_high,
+           a AS n_weekend_high,
+           round(CAST(s2 AS DOUBLE) / cnn, 9) AS p_two_sided,
+           round(CAST(s1 AS DOUBLE) / cnn, 9) AS p_one_sided,
+           round(CAST((2 * a + 1) * (2 * (nd - kh - nw + a) + 1)
+                      AS DOUBLE)
+                 / CAST((2 * (nw - a) + 1) * (2 * (kh - a) + 1)
+                        AS DOUBLE), 6) AS or_haldane,
+           CAST(CASE WHEN 20 * s2 < cnn THEN 1 ELSE 0 END AS BIGINT)
+             AS significant_05
+    FROM agg
+    """
+
+
+@query("agg_fisher_exact", oracle=_FISHER_DUCK)
+def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER'S EXACT TEST (2x2): are WEEKEND days over-represented
+    among HIGH-CLICK days?  Rows: weekend vs weekday (dayofweek);
+    columns: daily click count above vs not above the low median of
+    the 30 daily counts.  The conditional hypergeometric p-values are
+    computed EXACTLY: the two-sided p sums P(x) over all tables with
+    P(x) <= P(observed) ("method of small p"), the one-sided p over
+    x >= observed.  The exact-inference companion to
+    agg_mantel_haenszel (asymptotic CMH across strata) and
+    agg_mcnemar_test (paired 2x2) — at n = 30 days the chi-square
+    approximation is exactly what a careful analyst would refuse.
+
+    EXACT arithmetic end-to-end: every C(n, k) is the BIGINT fold
+    whose partial products are themselves binomial coefficients
+    (agg_sign_test_paired machinery, with the sequence(1, 0) descent
+    guard from the round-9 note); the common denominator C(N, n_w)
+    cancels in the "P(x) <= P(obs)" comparison, so table selection is
+    an INTEGER compare; the significance gate is the exact integer
+    inequality 20 * sum_qualifying < C(N, n_w) — zero float error
+    anywhere in the DECISION path.  The only doubles are the two
+    display p-values (one division each, round(9)) and the Haldane
+    odds ratio (2a+1)(2d+1)/((2b+1)(2c+1)), round(6).
+
+    Shape at 100 TB: one filtered groupBy to the 30-day domain; the
+    hypergeometric support (<= 9 tables) is a bounded explode off a
+    1-row frame — everything after the first aggregate is constant
+    work."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    med = daily.agg(
+        F.expr(
+            "element_at(sort_array(collect_list(cnt)),"
+            " CAST((count(*) + 1) div 2 AS INT))"
+        ).alias("med")
+    )
+    fl = daily.crossJoin(F.broadcast(med)).select(
+        F.expr(
+            "CAST(CASE WHEN dayofweek(day) IN (1, 7) THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("wk"),
+        F.expr(
+            "CAST(CASE WHEN cnt > med THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("hi"),
+    )
+    st = fl.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("wk").cast("bigint").alias("nw"),
+        F.sum("hi").cast("bigint").alias("kh"),
+        F.sum(F.col("wk") * F.col("hi")).cast("bigint").alias("a"),
+    )
+    dom = (
+        st.crossJoin(
+            F.broadcast(spark.range(0, 61).select(F.col("id").alias("x")))
+        )
+        .where(
+            F.expr(
+                "x >= greatest(CAST(0 AS BIGINT), nw + kh - nd)"
+                " AND x <= least(nw, kh)"
+            )
+        )
+        .selectExpr(
+            "nd",
+            "nw",
+            "kh",
+            "a",
+            "x",
+            f"({_binom_spark('kh', 'x')})"
+            f" * ({_binom_spark('nd - kh', 'nw - x')}) AS num",
+            f"({_binom_spark('kh', 'a')})"
+            f" * ({_binom_spark('nd - kh', 'nw - a')}) AS numobs",
+        )
+    )
+    agg = dom.groupBy("nd", "nw", "kh", "a").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN num <= numobs THEN num ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("s2"),
+        F.expr(
+            "CAST(sum(CASE WHEN x >= a THEN num ELSE 0 END) AS BIGINT)"
+        ).alias("s1"),
+    )
+    return agg.selectExpr(
+        "nd",
+        "nw",
+        "kh",
+        "a",
+        "s2",
+        "s1",
+        f"({_binom_spark('nd', 'nw')}) AS cnn",
+    ).selectExpr(
+        "nd AS n_days",
+        "nw AS n_weekend",
+        "kh AS n_high",
+        "a AS n_weekend_high",
+        "round(CAST(s2 AS DOUBLE) / cnn, 9) AS p_two_sided",
+        "round(CAST(s1 AS DOUBLE) / cnn, 9) AS p_one_sided",
+        "round(CAST((2 * a + 1) * (2 * (nd - kh - nw + a) + 1) AS DOUBLE)"
+        " / CAST((2 * (nw - a) + 1) * (2 * (kh - a) + 1) AS DOUBLE), 6)"
+        " AS or_haldane",
+        "CAST(CASE WHEN 20 * s2 < cnn THEN 1 ELSE 0 END AS BIGINT)"
+        " AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cohens_kappa_daily
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cohens_kappa_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN event_type = 'view'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS vt
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1),
+    rk AS (
+      SELECT day,
+             row_number() OVER (ORDER BY ct, day) AS rc,
+             row_number() OVER (ORDER BY vt, day) AS rv,
+             count(*) OVER () AS n
+      FROM daily),
+    tc AS (
+      SELECT CAST((rc - 1) * 3 // n AS BIGINT) AS t1,
+             CAST((rv - 1) * 3 // n AS BIGINT) AS t2,
+             CAST(n AS BIGINT) AS n
+      FROM rk),
+    cont AS (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt, max(n) AS n
+      FROM tc GROUP BY t1, t2),
+    marg AS (
+      SELECT max(n) AS n,
+             CAST(sum(CASE WHEN t1 = t2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS sd
+      FROM cont),
+    rm AS (SELECT t1 AS i, CAST(sum(cnt) AS BIGINT) AS ri
+           FROM cont GROUP BY t1),
+    cm AS (SELECT t2 AS i, CAST(sum(cnt) AS BIGINT) AS ci
+           FROM cont GROUP BY t2),
+    pe AS (
+      SELECT CAST(sum(rm.ri * cm.ci) AS BIGINT) AS spe
+      FROM rm JOIN cm ON rm.i = cm.i)
+    SELECT n AS n_days, sd AS n_agree,
+           round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           round(CAST(spe AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+           round(CAST(n * sd - spe AS DOUBLE)
+                 / CAST(n * n - spe AS DOUBLE), 6) AS kappa
+    FROM marg CROSS JOIN pe
+    """,
+)
+def agg_cohens_kappa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between two "raters" of daily revenue level: the
+    click stream and the view stream each tercile the 30 days (low /
+    mid / high) by their own exact integer-cent daily total; kappa
+    measures agreement beyond chance on the 3x3 grid.  The
+    channel-consistency check an analyst runs before trusting either
+    stream alone — and the categorical-agreement companion to
+    agg_kendall_w (rank concordance) on the same day domain.
+
+    Parity: terciles come from row_number over (total, day) —
+    deterministic on exact BIGINTs, identical tie handling both
+    engines — bucketed by the integer formula (r - 1) * 3 div n (NOT
+    ntile, whose uneven-bucket placement convention differs between
+    engines); diagonal, row, and column sums are exact integers, so
+    po, pe, and kappa = (N*sum_diag - sum r_i*c_i)/(N^2 - sum
+    r_i*c_i) are each ONE double division, round(6).
+
+    Shape at 100 TB: one conditional-aggregate groupBy to the day
+    domain; two 30-row ranking windows; a 3x3 contingency with 3-row
+    marginal joins — constant work past the first aggregate."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'click'"
+                    " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("ct"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'view'"
+                    " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("vt"),
+        )
+    )
+    rk = daily.select(
+        F.row_number().over(Window.orderBy("ct", "day")).alias("rc"),
+        F.row_number().over(Window.orderBy("vt", "day")).alias("rv"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    tc = rk.selectExpr(
+        "CAST((rc - 1) * 3 div n AS BIGINT) AS t1",
+        "CAST((rv - 1) * 3 div n AS BIGINT) AS t2",
+        "CAST(n AS BIGINT) AS n",
+    )
+    cont = tc.groupBy("t1", "t2").agg(
+        F.count("*").cast("bigint").alias("cnt"), F.max("n").alias("n")
+    ).localCheckpoint()
+    marg = cont.agg(
+        F.max("n").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN t1 = t2 THEN cnt ELSE 0 END) AS BIGINT)"
+        ).alias("sd"),
+    )
+    rm = cont.groupBy(F.col("t1").alias("i")).agg(
+        F.sum("cnt").cast("bigint").alias("ri")
+    )
+    cm = cont.groupBy(F.col("t2").alias("i")).agg(
+        F.sum("cnt").cast("bigint").alias("ci")
+    )
+    pe = (
+        rm.join(cm, "i")
+        .agg(F.expr("CAST(sum(ri * ci) AS BIGINT)").alias("spe"))
+    )
+    return marg.crossJoin(F.broadcast(pe)).selectExpr(
+        "n AS n_days",
+        "sd AS n_agree",
+        "round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po",
+        "round(CAST(spe AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe",
+        "round(CAST(n * sd - spe AS DOUBLE)"
+        " / CAST(n * n - spe AS DOUBLE), 6) AS kappa",
+    )

@@ -900,3 +900,98 @@ def test_cohens_kappa_matches_python(spark, sf_dir):
     assert abs(row.po - sd / n) < 1e-6
     assert abs(row.pe - spe / n / n) < 1e-6
     assert abs(row.kappa - kappa) < 1e-6
+
+
+def test_column_profile_matches_python(spark, sf_dir):
+    """The profile rows match direct per-column recomputes."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        maintenance_column_profile,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    rows = table(spark, sf_dir, "orders").collect()
+    n = len(rows)
+    out = {
+        r.col_name: r
+        for r in maintenance_column_profile(spark, sf_dir).collect()
+    }
+    assert set(out) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice_cents",
+        "o_orderdate_day",
+        "o_orderpriority",
+    }
+    keys = [r.o_orderkey for r in rows]
+    assert out["o_orderkey"].n_rows == n
+    assert out["o_orderkey"].n_nulls == sum(1 for k in keys if k is None)
+    assert out["o_orderkey"].n_distinct == len(
+        {k for k in keys if k is not None}
+    )
+    assert out["o_orderkey"].min_repr == str(min(keys))
+    assert out["o_orderkey"].max_repr == str(max(keys))
+    cents = [int(r.o_totalprice * 100 + 0.5) for r in rows]
+    assert out["o_totalprice_cents"].n_distinct == len(set(cents))
+    assert out["o_totalprice_cents"].min_repr == str(min(cents))
+    assert out["o_totalprice_cents"].max_repr == str(max(cents))
+    stats = [r.o_orderstatus for r in rows]
+    assert out["o_orderstatus"].n_distinct == len(set(stats))
+    assert out["o_orderstatus"].min_repr == min(stats)
+    assert out["o_orderstatus"].max_repr == max(stats)
+
+
+def test_dow_anova_matches_python(spark, sf_dir):
+    """F and eta_sq match the textbook one-way ANOVA recompute, and
+    the fixture's 30-day span satisfies the lcm-60 precondition."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_dow_anova,
+    )
+
+    days = _day_totals(spark, sf_dir)
+    assert len(days) == 30  # lcm-60 precondition (ng in {4,5}, N=30)
+    groups = {}
+    for d, t in days:
+        groups.setdefault(d.isoweekday(), []).append(t)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    gm = sum(t for _, t in days) / n
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - gm) ** 2 for v in groups.values()
+    )
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v)
+        for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta = ssb / (ssb + ssw)
+    (row,) = agg_dow_anova(spark, sf_dir).collect()
+    assert row.n_days == n and row.k_groups == k
+    assert abs(row.f_stat - f) < 1e-6
+    assert abs(row.eta_sq - eta) < 1e-6
+
+
+def test_poisson_dispersion_matches_python(spark, sf_dir):
+    """chi2 and the dispersion ratio match the direct recompute over
+    daily click counts."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_poisson_dispersion,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    cnts = [r.cnt for r in rows]
+    n = len(cnts)
+    cbar = sum(cnts) / n
+    chi2 = sum((c - cbar) ** 2 for c in cnts) / cbar
+    (row,) = agg_poisson_dispersion(spark, sf_dir).collect()
+    assert row.n_days == n and row.n_events == sum(cnts)
+    assert abs(row.chi2_stat - chi2) < 1e-6
+    assert abs(row.dispersion_ratio - chi2 / (n - 1)) < 1e-6

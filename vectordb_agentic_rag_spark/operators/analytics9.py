@@ -3045,3 +3045,341 @@ def agg_cohens_kappa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(n * sd - spe AS DOUBLE)"
         " / CAST(n * n - spe AS DOUBLE), 6) AS kappa",
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_column_profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_column_profile",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count(o_orderkey) AS BIGINT) AS nn1,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+        CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+        CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        CAST(count(*) - count(o_custkey) AS BIGINT) AS nn2,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+        CAST(min(o_custkey) AS VARCHAR) AS mn2,
+        CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nn3,
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+        CAST(min(o_orderstatus) AS VARCHAR) AS mn3,
+        CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+        CAST(count(*) - count(o_totalprice) AS BIGINT) AS nn4,
+        CAST(count(DISTINCT CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS nd4,
+        CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             AS VARCHAR) AS mn4,
+        CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             AS VARCHAR) AS mx4,
+        CAST(count(*) - count(o_orderdate) AS BIGINT) AS nn5,
+        CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS nd5,
+        CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn5,
+        CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx5,
+        CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nn6,
+        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6,
+        CAST(min(o_orderpriority) AS VARCHAR) AS mn6,
+        CAST(max(o_orderpriority) AS VARCHAR) AS mx6
+      FROM orders)
+    SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nulls,
+           nd1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM s
+    UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM s
+    UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3 FROM s
+    UNION ALL SELECT 'o_totalprice_cents', n_rows, nn4, nd4, mn4, mx4
+      FROM s
+    UNION ALL SELECT 'o_orderdate_day', n_rows, nn5, nd5, mn5, mx5 FROM s
+    UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6, mn6, mx6 FROM s
+    ORDER BY col_name
+    """,
+)
+def maintenance_column_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANALYZE-TABLE COLUMN PROFILE of orders: one row per column
+    with exact row/null/distinct counts and min/max — the statistics
+    a catalog keeps for CBO join ordering and that a data engineer
+    reads first when a table misbehaves.  Completes the maintenance_
+    family (referential_integrity checks FKs; this profiles the
+    columns themselves).
+
+    Parity choices: o_totalprice profiles as EXACT INTEGER CENTS
+    (double min/max string-rendering differs between engines — the
+    money rule), o_orderdate as its DATE day (timestamp-to-string
+    fractional-second formats differ; ISO date text is identical),
+    keys and varchars render identically by construction.  All
+    counts exact BIGINT — count(DISTINCT) not approx_count_distinct,
+    so the oracle hash-matches.
+
+    Shape at 100 TB: ONE scan — the six distinct aggregates compile
+    to a single Expand-based multi-distinct pass (constant factor 6
+    on the scan, no per-column rescan); the unpivot to rows is a
+    6-row stack of the 1-row aggregate.  A production profiler would
+    swap count(DISTINCT) for HLL sketches per partition; the exact
+    form is what an ORACLE-checkable profile needs (the
+    agg_approx_distinct twin already covers the sketch path)."""
+    o = table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(count(*) - count(o_orderkey) AS BIGINT)").alias("nn1"),
+        F.expr("CAST(count(DISTINCT o_orderkey) AS BIGINT)").alias("nd1"),
+        F.expr("CAST(min(o_orderkey) AS STRING)").alias("mn1"),
+        F.expr("CAST(max(o_orderkey) AS STRING)").alias("mx1"),
+        F.expr("CAST(count(*) - count(o_custkey) AS BIGINT)").alias("nn2"),
+        F.expr("CAST(count(DISTINCT o_custkey) AS BIGINT)").alias("nd2"),
+        F.expr("CAST(min(o_custkey) AS STRING)").alias("mn2"),
+        F.expr("CAST(max(o_custkey) AS STRING)").alias("mx2"),
+        F.expr("CAST(count(*) - count(o_orderstatus) AS BIGINT)").alias(
+            "nn3"
+        ),
+        F.expr("CAST(count(DISTINCT o_orderstatus) AS BIGINT)").alias(
+            "nd3"
+        ),
+        F.expr("CAST(min(o_orderstatus) AS STRING)").alias("mn3"),
+        F.expr("CAST(max(o_orderstatus) AS STRING)").alias("mx3"),
+        F.expr("CAST(count(*) - count(o_totalprice) AS BIGINT)").alias(
+            "nn4"
+        ),
+        F.expr(
+            "CAST(count(DISTINCT CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("nd4"),
+        F.expr(
+            "CAST(min(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+            " AS STRING)"
+        ).alias("mn4"),
+        F.expr(
+            "CAST(max(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+            " AS STRING)"
+        ).alias("mx4"),
+        F.expr("CAST(count(*) - count(o_orderdate) AS BIGINT)").alias(
+            "nn5"
+        ),
+        F.expr(
+            "CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("nd5"),
+        F.expr("CAST(min(CAST(o_orderdate AS DATE)) AS STRING)").alias(
+            "mn5"
+        ),
+        F.expr("CAST(max(CAST(o_orderdate AS DATE)) AS STRING)").alias(
+            "mx5"
+        ),
+        F.expr("CAST(count(*) - count(o_orderpriority) AS BIGINT)").alias(
+            "nn6"
+        ),
+        F.expr("CAST(count(DISTINCT o_orderpriority) AS BIGINT)").alias(
+            "nd6"
+        ),
+        F.expr("CAST(min(o_orderpriority) AS STRING)").alias("mn6"),
+        F.expr("CAST(max(o_orderpriority) AS STRING)").alias("mx6"),
+    )
+    return s.selectExpr(
+        "stack(6,"
+        " 'o_orderkey', nn1, nd1, mn1, mx1,"
+        " 'o_custkey', nn2, nd2, mn2, mx2,"
+        " 'o_orderstatus', nn3, nd3, mn3, mx3,"
+        " 'o_totalprice_cents', nn4, nd4, mn4, mx4,"
+        " 'o_orderdate_day', nn5, nd5, mn5, mx5,"
+        " 'o_orderpriority', nn6, nd6, mn6, mx6)"
+        " AS (col_name, n_nulls, n_distinct, min_repr, max_repr)",
+        "n_rows",
+    ).selectExpr(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_repr",
+        "max_repr"
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# agg_dow_anova
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_dow_anova",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY 1),
+    g AS (
+      SELECT dayofweek(day) AS dow, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(tot) AS BIGINT) AS sg,
+             CAST(sum(CAST(tot AS HUGEINT) * tot) AS HUGEINT) AS qg
+      FROM day GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(sg) AS BIGINT) AS s
+      FROM g),
+    chk AS (
+      SELECT g.dow, g.ng, g.sg, g.qg, tot.k, tot.n, tot.s
+      FROM g CROSS JOIN tot
+      WHERE 60 % g.ng = 0 AND 60 % tot.n = 0),
+    parts AS (
+      SELECT k, n,
+             sum(ng * (CAST((60 // ng) * sg - (60 // n) * s AS HUGEINT)
+                       * ((60 // ng) * sg - (60 // n) * s))) AS ssb3600,
+             sum(3600 * CAST(qg AS HUGEINT)
+                 - (3600 // ng) * CAST(sg AS HUGEINT) * sg) AS ssw3600
+      FROM chk GROUP BY k, n)
+    SELECT n AS n_days, k AS k_groups,
+           round(CAST(ssb3600 AS DOUBLE) * CAST(n - k AS DOUBLE)
+                 / (CAST(ssw3600 AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6)
+             AS f_stat,
+           round(CAST(ssb3600 AS DOUBLE)
+                 / CAST(ssb3600 + ssw3600 AS DOUBLE), 6) AS eta_sq,
+           CAST(CASE WHEN round(CAST(ssb3600 AS DOUBLE)
+                               * CAST(n - k AS DOUBLE)
+                 / (CAST(ssw3600 AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 9)
+                     >= 2.528 THEN 1 ELSE 0 END AS BIGINT)
+             AS significant_05
+    FROM parts
+    """,
+)
+def agg_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA OF DAILY REVENUE BY DAY-OF-WEEK — the weekly-
+    seasonality F-test: do the 7 weekday groups of the 30 daily cent
+    totals share a mean?  Completes the serial-structure toolkit
+    (runs/DW/Ljung-Box detect dependence; this ATTRIBUTES it to the
+    weekly cycle) and differs from agg_anova_oneway (per-event values
+    by type) in both grid and question.  eta_sq = SSB/SST is the
+    variance share the weekly cycle explains.
+
+    EXACT integer sums of squares via the lcm trick: with group
+    sizes ng in {4, 5} (30 consecutive days) and N = 30, every group
+    deviation 60*(ybar_g - ybar) = (60/ng)*Sg - (60/N)*S is an exact
+    BIGINT because ng and N divide 60; 3600*SSB = sum ng*e_g^2 and
+    3600*SSW = sum 3600*Qg - (3600/ng)*Sg^2 are exact HUGEINT /
+    Spark-DECIMAL integers and the 3600 cancels in F and eta_sq —
+    ONE double division each.  The divisibility precondition is
+    ENFORCED in-plan: groups are filtered through 60 % ng = 0 AND
+    60 % N = 0, so a future fixture with a different day span makes
+    the result visibly wrong (missing groups change k) rather than
+    silently inexact — and the 30-day-span pytest pins it.
+
+    Shape at 100 TB: one groupBy to the day domain, a 7-row group
+    aggregate, constant work after."""
+    ev = table(spark, sf_dir, "events")
+    day = (
+        ev.select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("tot"))
+    )
+    g = day.groupBy(F.expr("dayofweek(day)").alias("dow")).agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("tot").cast("bigint").alias("sg"),
+        F.expr("sum(CAST(tot AS DECIMAL(19,0)) * tot)").alias("qg"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+    )
+    chk = (
+        g.crossJoin(F.broadcast(tot))
+        .where(F.expr("60 % ng = 0 AND 60 % n = 0"))
+    )
+    parts = chk.groupBy("k", "n").agg(
+        F.expr(
+            "sum(ng * (CAST((60 div ng) * sg - (60 div n) * s"
+            " AS DECIMAL(19,0))"
+            " * ((60 div ng) * sg - (60 div n) * s)))"
+        ).alias("ssb3600"),
+        F.expr(
+            "sum(3600 * CAST(qg AS DECIMAL(28,0))"
+            " - (3600 div ng) * (CAST(sg AS DECIMAL(19,0)) * sg))"
+        ).alias("ssw3600"),
+    )
+    f_txt = (
+        "CAST(ssb3600 AS DOUBLE) * CAST(n - k AS DOUBLE)"
+        " / (CAST(ssw3600 AS DOUBLE) * CAST(k - 1 AS DOUBLE))"
+    )
+    return parts.selectExpr(
+        "n AS n_days",
+        "k AS k_groups",
+        f"round({f_txt}, 6) AS f_stat",
+        "round(CAST(ssb3600 AS DOUBLE)"
+        " / CAST(ssb3600 + ssw3600 AS DOUBLE), 6) AS eta_sq",
+        f"CAST(CASE WHEN round({f_txt}, 9) >= 2.528 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_poisson_dispersion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_poisson_dispersion",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) AS BIGINT) AS q
+      FROM day)
+    SELECT n AS n_days, s AS n_events,
+           round(CAST(n * q - s * s AS DOUBLE) / CAST(s AS DOUBLE), 6)
+             AS chi2_stat,
+           round(CAST(n * q - s * s AS DOUBLE)
+                 / CAST(s * (n - 1) AS DOUBLE), 6) AS dispersion_ratio,
+           CAST(CASE WHEN round(CAST(n * q - s * s AS DOUBLE)
+                               / CAST(s AS DOUBLE), 9) >= 45.722
+                THEN 1 ELSE 0 END AS BIGINT) AS overdispersed_05,
+           CAST(CASE WHEN round(CAST(n * q - s * s AS DOUBLE)
+                               / CAST(s AS DOUBLE), 9) <= 16.047
+                THEN 1 ELSE 0 END AS BIGINT) AS underdispersed_05
+    FROM s
+    """,
+)
+def agg_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON DISPERSION (variance-to-mean index) TEST on daily
+    click arrival counts: chi2 = SUM (c_d - cbar)^2 / cbar ~
+    chi^2(n-1) under a homogeneous Poisson process; the dispersion
+    ratio chi2/(n-1) reads directly as variance/mean.
+    Over-dispersion (> 45.722 at n = 30) is the burstiness /
+    day-effect signal that decides between Poisson and negative-
+    binomial traffic models — the COUNT-side companion to the
+    value-side serial tests (agg_runs_test etc.) on the same day
+    grid.
+
+    Exactness: the identity SUM (c - cbar)^2 / cbar = (n*Q - S^2)/S
+    makes the statistic a ratio of exact BIGINTs (counts, their
+    squares); ONE double division, round(6), with both chi^2(29)
+    5% tails gated at round(9).
+
+    Shape at 100 TB: one filtered count-groupBy to the day domain,
+    one 30-row aggregate, constant work after."""
+    ev = table(spark, sf_dir, "events")
+    day = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    s = day.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.expr("CAST(sum(cnt * cnt) AS BIGINT)").alias("q"),
+    )
+    chi_txt = "CAST(n * q - s * s AS DOUBLE) / CAST(s AS DOUBLE)"
+    return s.selectExpr(
+        "n AS n_days",
+        "s AS n_events",
+        f"round({chi_txt}, 6) AS chi2_stat",
+        "round(CAST(n * q - s * s AS DOUBLE)"
+        " / CAST(s * (n - 1) AS DOUBLE), 6) AS dispersion_ratio",
+        f"CAST(CASE WHEN round({chi_txt}, 9) >= 45.722 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS overdispersed_05",
+        f"CAST(CASE WHEN round({chi_txt}, 9) <= 16.047 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS underdispersed_05",
+    )

@@ -1135,3 +1135,43 @@ def test_chow_one_conditional_moment_scan(spark, sf_dir):
     assert "partial_" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_brown_forsythe_two_scans_broadcast_medians(spark, sf_dir):
+    # the BF test reads the filtered fact exactly twice (value-domain
+    # median pass + deviation-moment pass); the 2-row median frame
+    # joins back by BROADCAST, and no row-level sort or Python appears
+    plan = plan_of(QUERIES["agg_brown_forsythe_2g"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_column_profile_single_expand_scan(spark, sf_dir):
+    # the six distinct aggregates compile to ONE orders scan through
+    # an Expand (multi-distinct), never one scan per column
+    plan = plan_of(QUERIES["maintenance_column_profile"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_brunner_munzel_checkpointed_value_domain(spark, sf_dir):
+    # both rank passes run over the checkpointed cents-domain block
+    # table: zero fact scans in the final plan, totals joined by
+    # broadcast, no Python
+    plan = plan_of(QUERIES["agg_brunner_munzel"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fisher_exact_bounded_explode_from_day_domain(spark, sf_dir):
+    # one filtered events scan collapses to the 30-day domain; the
+    # hypergeometric support is a <=61-row broadcast range, so the
+    # plan has exactly one fact scan and only broadcast joins
+    plan = plan_of(QUERIES["agg_fisher_exact"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

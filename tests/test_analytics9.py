@@ -580,35 +580,6 @@ def test_runs_test_matches_python(spark, sf_dir):
     assert row.runs == runs
     assert abs(row.z_stat - z) < 1e-6
 
-
-def test_ljung_box_matches_python(spark, sf_dir):
-    """The five autocorrelations and Q match the textbook centered
-    computation."""
-    from vectordb_agentic_rag_spark.operators.analytics9 import (
-        agg_ljung_box,
-    )
-
-    days = _day_totals(spark, sf_dir)
-    y = [t for _, t in days]
-    n = len(y)
-    ybar = sum(y) / n
-    c0 = sum((v - ybar) ** 2 for v in y)
-    rks = []
-    for k in range(1, 6):
-        ck = sum(
-            (y[t] - ybar) * (y[t + k] - ybar) for t in range(n - k)
-        )
-        rks.append(ck / c0)
-    q = n * (n + 2) * sum(
-        r * r / (n - k) for k, r in zip(range(1, 6), rks)
-    )
-    (row,) = agg_ljung_box(spark, sf_dir).collect()
-    assert row.n_days == n
-    for k, r in zip(range(1, 6), rks):
-        assert abs(row[f"acf_lag{k}"] - r) < 1e-6
-    assert abs(row.q_stat - q) < 1e-4
-
-
 def test_durbin_watson_matches_python(spark, sf_dir):
     """DW and the slope match an OLS residual recompute."""
     from vectordb_agentic_rag_spark.operators.analytics9 import (
@@ -713,49 +684,6 @@ def test_grubbs_matches_python(spark, sf_dir):
     assert row.outlier_day == day
     assert abs(row.outlier_dev_cents - mx) < 1e-4
     assert abs(row.g_stat - g) < 1e-6
-
-
-def test_brown_forsythe_matches_python(spark, sf_dir):
-    """F matches a scipy-free Levene(center=median, low-median
-    convention) recompute."""
-    from vectordb_agentic_rag_spark.operators.analytics9 import (
-        agg_brown_forsythe_2g,
-    )
-    from vectordb_agentic_rag_spark.tables import table
-    from pyspark.sql import functions as F
-
-    ev = table(spark, sf_dir, "events")
-    rows = (
-        ev.where(F.col("event_type").isin("click", "view"))
-        .select(
-            "event_type",
-            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
-        )
-        .collect()
-    )
-    groups = {"click": [], "view": []}
-    for r in rows:
-        groups[r.event_type].append(r.c)
-    meds = {
-        t: sorted(v)[(len(v) + 1) // 2 - 1] for t, v in groups.items()
-    }
-    z = {t: [abs(c - meds[t]) for c in v] for t, v in groups.items()}
-    n1, n2 = len(z["click"]), len(z["view"])
-    nn = n1 + n2
-    zb1 = sum(z["click"]) / n1
-    zb2 = sum(z["view"]) / n2
-    zb = (sum(z["click"]) + sum(z["view"])) / nn
-    ssb = n1 * (zb1 - zb) ** 2 + n2 * (zb2 - zb) ** 2
-    ssw = sum((v - zb1) ** 2 for v in z["click"]) + sum(
-        (v - zb2) ** 2 for v in z["view"]
-    )
-    f = (nn - 2) * ssb / ssw
-    (row,) = agg_brown_forsythe_2g(spark, sf_dir).collect()
-    assert row.n_click == n1 and row.n_view == n2
-    assert row.med_click == meds["click"]
-    assert row.med_view == meds["view"]
-    assert abs(row.f_stat - f) < 1e-6
-
 
 def test_brunner_munzel_matches_python(spark, sf_dir):
     """W, p_hat, and df match the scipy-formula recompute with

@@ -1136,18 +1136,6 @@ def test_chow_one_conditional_moment_scan(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
 
-
-def test_brown_forsythe_two_scans_broadcast_medians(spark, sf_dir):
-    # the BF test reads the filtered fact exactly twice (value-domain
-    # median pass + deviation-moment pass); the 2-row median frame
-    # joins back by BROADCAST, and no row-level sort or Python appears
-    plan = plan_of(QUERIES["agg_brown_forsythe_2g"](spark, sf_dir))
-    assert plan.count("Location: InMemoryFileIndex") == 2
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "BatchEvalPython" not in plan
-
-
 def test_column_profile_single_expand_scan(spark, sf_dir):
     # the six distinct aggregates compile to ONE orders scan through
     # an Expand (multi-distinct), never one scan per column

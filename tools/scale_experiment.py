@@ -262,13 +262,15 @@ OPS = [
     ("agg_lorenz_curve_deciles", "orders"),
     ("graph_hits_bipartite", "lineitem"),
     ("pipeline_influence_dedup_order", "documents"),
-    # round-9 wave 4: brown-forsythe is the two-scan value-domain
-    # median + deviation-moment shape (distinct from the one-scan CvM
-    # collapse); rich-club is edge-scaled off the co-purchase support
-    # join. The other wave-4 ops (runs/ljung/DW/kendall-w/HL/grubbs)
-    # collapse to the 30-day grid at the first aggregate — covered.
-    ("agg_brown_forsythe_2g", "events"),
+    # round-9 wave 4-6: the new day-domain ops (runs/DW/kendall-w/
+    # HL/grubbs/dow-anova/dispersion) collapse to the 30-day grid at
+    # the first aggregate — covered by the other events entries.
+    # brunner-munzel is the value-domain collapse shape (CvM entry
+    # covers it); rich-club (analytics7) is edge-scaled off the
+    # co-purchase support join and audits here; column_profile is the
+    # one-scan Expand multi-distinct.
     ("graph_rich_club", "lineitem"),
+    ("maintenance_column_profile", "orders"),
 ]
 
 

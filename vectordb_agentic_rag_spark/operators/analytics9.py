@@ -1733,7 +1733,11 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Var[R] = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)).  Too FEW runs means
     positive serial dependence (trending days), too MANY means
     alternation — the distribution-free companion to
-    agg_durbin_watson's parametric residual test.
+    agg_durbin_watson's parametric residual test.  Sibling:
+    agg_runs_test_randomness runs the same test at EVENT level along
+    each user's own time order (population burstiness); this one
+    tests the aggregate day series (calendar-level dependence) — the
+    two catch disjoint failure modes.
 
     Exactness: totals, median, signs, and the runs count are all
     BIGINT; numerator and denominator of Var[R] are single exact
@@ -1804,143 +1808,6 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# agg_ljung_box
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_ljung_box",
-    oracle="""
-    WITH day AS (
-      SELECT CAST(ts AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-               AS tot
-      FROM events GROUP BY 1),
-    tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(tot) AS BIGINT) AS s
-      FROM day),
-    g AS (
-      SELECT day.day, n, n * tot - s AS ny
-      FROM day CROSS JOIN tot),
-    ld AS (
-      SELECT n, ny,
-             lead(ny, 1) OVER w AS l1, lead(ny, 2) OVER w AS l2,
-             lead(ny, 3) OVER w AS l3, lead(ny, 4) OVER w AS l4,
-             lead(ny, 5) OVER w AS l5
-      FROM g WINDOW w AS (ORDER BY day)),
-    c AS (
-      SELECT max(n) AS n,
-             sum(CAST(ny AS HUGEINT) * ny) AS c0,
-             sum(CAST(ny AS HUGEINT) * l1) AS c1,
-             sum(CAST(ny AS HUGEINT) * l2) AS c2,
-             sum(CAST(ny AS HUGEINT) * l3) AS c3,
-             sum(CAST(ny AS HUGEINT) * l4) AS c4,
-             sum(CAST(ny AS HUGEINT) * l5) AS c5
-      FROM ld),
-    r AS (
-      SELECT n,
-             CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
-             CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
-             CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3,
-             CAST(c4 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r4,
-             CAST(c5 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r5
-      FROM c),
-    q AS (
-      SELECT n, r1, r2, r3, r4, r5,
-             CAST(n * (n + 2) AS DOUBLE)
-             * (r1 * r1 / CAST(n - 1 AS DOUBLE)
-                + r2 * r2 / CAST(n - 2 AS DOUBLE)
-                + r3 * r3 / CAST(n - 3 AS DOUBLE)
-                + r4 * r4 / CAST(n - 4 AS DOUBLE)
-                + r5 * r5 / CAST(n - 5 AS DOUBLE)) AS q
-      FROM r)
-    SELECT n AS n_days,
-           round(r1, 6) AS acf_lag1, round(r2, 6) AS acf_lag2,
-           round(r3, 6) AS acf_lag3, round(r4, 6) AS acf_lag4,
-           round(r5, 6) AS acf_lag5,
-           round(q, 6) AS q_stat,
-           CAST(CASE WHEN round(q, 9) >= 11.0705 THEN 1 ELSE 0 END
-                AS BIGINT) AS significant_05
-    FROM q
-    """,
-)
-def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LJUNG-BOX PORTMANTEAU TEST (lags 1..5) for autocorrelation of
-    the 30-day daily revenue series: Q = n*(n+2) * SUM_k r_k^2/(n-k)
-    against chi^2(5) (5% critical value 11.0705), with the five
-    autocorrelations emitted alongside so the lag structure is
-    readable.  Completes the serial-dependence toolkit:
-    agg_runs_test is sign-level, agg_durbin_watson is lag-1
-    residual-level, this one tests the whole short-lag ACF jointly.
-
-    Exact rank-free machinery: with S the series total and n the day
-    count, each centered product (y_t - ybar)(y_t+k - ybar) is scaled
-    by n^2 to the INTEGER (n*y_t - S)(n*y_t+k - S); the scale cancels
-    in r_k = c_k/c_0, so each autocorrelation is a ratio of exact
-    integers (Spark DECIMAL(19,0)-promoted products / DuckDB HUGEINT
-    — the round-7 operand-width kernel rule) cast once to DOUBLE.
-    Q is one shared-text IEEE expression over the five r_k (explicit
-    5-term sum, no aggregation reorder), round(6) output, round(9)
-    significance gate.
-
-    Shape at 100 TB: groupBy to the 30-row day domain, one bounded
-    5-lead window, one aggregate — nothing downstream of the first
-    combine sees data-sized rows."""
-    ev = table(spark, sf_dir, "events")
-    day = (
-        ev.select(
-            F.expr("CAST(ts AS DATE)").alias("day"),
-            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").cast("bigint").alias("tot"))
-    )
-    tot = day.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("tot").cast("bigint").alias("s"),
-    )
-    g = day.crossJoin(F.broadcast(tot)).select(
-        "day", "n", F.expr("n * tot - s").alias("ny")
-    )
-    w = Window.orderBy("day")
-    ld = g.select(
-        "n",
-        "ny",
-        *[F.lead("ny", k).over(w).alias(f"l{k}") for k in range(1, 6)],
-    )
-    c = ld.agg(
-        F.max("n").alias("n"),
-        F.expr("sum(CAST(ny AS DECIMAL(19,0)) * ny)").alias("c0"),
-        *[
-            F.expr(f"sum(CAST(ny AS DECIMAL(19,0)) * l{k})").alias(f"c{k}")
-            for k in range(1, 6)
-        ],
-    )
-    r = c.selectExpr(
-        "n",
-        *[
-            f"CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE) AS r{k}"
-            for k in range(1, 6)
-        ],
-    )
-    q_txt = (
-        "CAST(n * (n + 2) AS DOUBLE)"
-        " * (r1 * r1 / CAST(n - 1 AS DOUBLE)"
-        " + r2 * r2 / CAST(n - 2 AS DOUBLE)"
-        " + r3 * r3 / CAST(n - 3 AS DOUBLE)"
-        " + r4 * r4 / CAST(n - 4 AS DOUBLE)"
-        " + r5 * r5 / CAST(n - 5 AS DOUBLE))"
-    )
-    return r.selectExpr(
-        "n AS n_days",
-        *[f"round(r{k}, 6) AS acf_lag{k}" for k in range(1, 6)],
-        f"round({q_txt}, 6) AS q_stat",
-        f"CAST(CASE WHEN round({q_txt}, 9) >= 11.0705 THEN 1 ELSE 0 END"
-        " AS BIGINT) AS significant_05",
-    )
-
-
-# ---------------------------------------------------------------------------
 # agg_durbin_watson
 # ---------------------------------------------------------------------------
 
@@ -1998,8 +1865,11 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_t-1)^2 / SUM e_t^2, flagged against the n=30, k'=1 lower 5%
     bound dL = 1.352 (DW below dL = positive residual
     autocorrelation).  The parametric member of the serial-dependence
-    triad (agg_runs_test / agg_ljung_box) — it tests dependence AFTER
-    removing the linear trend the other two would conflate with it.
+    triad (agg_runs_test / agg_ljung_box_test) — it tests dependence
+    AFTER removing the linear trend those conflate with it.  Sibling:
+    agg_durbin_watson_daily is the intercept-only per-type variant on
+    quantized daily means; this one detrends and is exact-integer end
+    to end.
 
     Exact residual machinery: with integer moments (n, Sx, Sy, Sxx,
     Sxy) of the (day index, cent total) pairs, D = n*Sxx - Sx^2 and
@@ -2231,7 +2101,10 @@ def agg_hodges_lehmann_paired(
     efficiency.  The robust effect-size companion to
     agg_sign_test_paired (which only tests direction) and
     agg_tost_equivalence (mean-based): HOW MUCH more do clicks earn
-    per day, robustly?
+    per day, robustly?  Sibling: agg_hodges_lehmann_shift estimates
+    the TWO-SAMPLE shift (median of cross differences x_i - y_j);
+    this is the one-sample pseudo-median of the PAIRED differences —
+    the Wilcoxon-signed-rank estimand, a different functional.
 
     Exactness: day differences are exact signed BIGINT cents
     (conditional +/- sum over the click/view rows; a day missing one
@@ -2336,7 +2209,10 @@ def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans exactly 30 days at every sf, per the round-8 note; the
     docstring records the dependence).  Complements
     win_changepoint_pelt_1d (level SHIFTS) with a single-day SPIKE
-    detector on the same series, and names WHICH day.
+    detector on the same series, and names WHICH day.  Sibling:
+    agg_grubbs_test screens per-event values within each type; this
+    one tests the aggregated day series where a revenue-ops anomaly
+    actually surfaces.
 
     Exactness: the n-scaled deviation |n*y_d - S| is exact BIGINT;
     n*S2 - S^2 is exact via DECIMAL(19,0)/HUGEINT self-products (the
@@ -2392,176 +2268,6 @@ def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS outlier_dev_cents",
         f"round({g_txt}, 6) AS g_stat",
         f"CAST(CASE WHEN round({g_txt}, 9) >= 2.9085 THEN 1 ELSE 0 END"
-        " AS BIGINT) AS significant_05",
-    )
-
-
-# ---------------------------------------------------------------------------
-# agg_brown_forsythe_2g
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_brown_forsythe_2g",
-    oracle="""
-    WITH r AS (
-      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
-      FROM events WHERE event_type IN ('click', 'view')),
-    blk AS (
-      SELECT event_type, c, CAST(count(*) AS BIGINT) AS f
-      FROM r GROUP BY 1, 2),
-    cum AS (
-      SELECT event_type, c, f,
-             sum(f) OVER (PARTITION BY event_type ORDER BY c
-                          ROWS UNBOUNDED PRECEDING) AS cf,
-             sum(f) OVER (PARTITION BY event_type) AS ng
-      FROM blk),
-    med AS (
-      SELECT event_type, min(c) AS med
-      FROM cum WHERE cf >= (ng + 1) // 2 GROUP BY event_type),
-    z AS (
-      SELECT r.event_type, abs(r.c - med.med) AS zz, med.med
-      FROM r JOIN med ON r.event_type = med.event_type),
-    st AS (
-      SELECT event_type, max(med) AS med,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(zz) AS BIGINT) AS sz,
-             CAST(sum(zz * zz) AS BIGINT) AS qz
-      FROM z GROUP BY event_type),
-    p AS (
-      SELECT
-        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
-        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
-        max(CASE WHEN event_type = 'click' THEN sz END) AS s1,
-        max(CASE WHEN event_type = 'view' THEN sz END) AS s2,
-        max(CASE WHEN event_type = 'click' THEN qz END) AS q1,
-        max(CASE WHEN event_type = 'view' THEN qz END) AS q2,
-        max(CASE WHEN event_type = 'click' THEN med END) AS med_click,
-        max(CASE WHEN event_type = 'view' THEN med END) AS med_view
-      FROM st),
-    fin AS (
-      SELECT n1, n2, med_click, med_view,
-             CAST(n1 + n2 - 2 AS HUGEINT)
-             * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
-             * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
-               AS fnum,
-             CAST(n1 + n2 AS HUGEINT)
-             * (n2 * (CAST(n1 AS HUGEINT) * q1
-                      - CAST(s1 AS HUGEINT) * s1)
-                + n1 * (CAST(n2 AS HUGEINT) * q2
-                        - CAST(s2 AS HUGEINT) * s2)) AS fden
-      FROM p)
-    SELECT n1 AS n_click, n2 AS n_view, med_click, med_view,
-           round(CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE), 6)
-             AS f_stat,
-           CAST(CASE WHEN round(CAST(fnum AS DOUBLE)
-                               / CAST(fden AS DOUBLE), 9) >= 3.8415
-                THEN 1 ELSE 0 END AS BIGINT) AS significant_05
-    FROM fin
-    """,
-)
-def agg_brown_forsythe_2g(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BROWN-FORSYTHE (median-centered Levene) TEST for equal SPREAD
-    of the click vs view value distributions: one-way ANOVA F on the
-    absolute deviations z = |c - median_group|.  The MOMENT-based
-    scale test beside the rank-based agg_ansari_bradley — BF keeps
-    its size under heavy tails (median centering), and disagreement
-    between the two flags shape (not just scale) differences.
-
-    Exactness end-to-end: group medians are LOW medians picked from
-    the distinct-cents value domain by cumulative counts (the
-    agg_exact_quantile_2pass machinery — NO collect_list of
-    data-sized groups); z is exact BIGINT; with per-group sums
-    S_g = sum z, Q_g = sum z^2 the k = 2 F-statistic collapses to
-    F = (N-2) * (S1*n2 - S2*n1)^2 / (N * (n2*A1 + n1*A2)) with
-    A_g = n_g*Q_g - S_g^2 — every term an exact integer (HUGEINT /
-    Spark DECIMAL promotion; BIGINT would overflow A_g at the sf1x
-    blow-up), ONE double division, round(6), round(9) gate at the
-    F(1, inf) 5% value 3.8415.
-
-    Shape at 100 TB: two scans of the filtered fact table (one
-    grouped to the value domain for the medians, one for the
-    deviation moments after a 2-row broadcast join) — the same shape
-    as agg_exact_quantile_2pass, no row ever sorted globally."""
-    ev = table(spark, sf_dir, "events")
-    r = ev.where(F.col("event_type").isin("click", "view")).select(
-        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
-    )
-    blk = r.groupBy("event_type", "c").agg(
-        F.count("*").cast("bigint").alias("f")
-    )
-    wc = (
-        Window.partitionBy("event_type")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wg = Window.partitionBy("event_type")
-    cum = blk.select(
-        "event_type",
-        "c",
-        F.sum("f").over(wc).alias("cf"),
-        F.sum("f").over(wg).alias("ng"),
-    )
-    med = (
-        cum.where(F.expr("cf >= (ng + 1) div 2"))
-        .groupBy("event_type")
-        .agg(F.min("c").alias("med"))
-    )
-    z = r.join(F.broadcast(med), "event_type").select(
-        "event_type", F.expr("abs(c - med)").alias("zz"), "med"
-    )
-    st = z.groupBy("event_type").agg(
-        F.max("med").alias("med"),
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("zz").cast("bigint").alias("sz"),
-        F.expr("CAST(sum(zz * zz) AS BIGINT)").alias("qz"),
-    )
-    p = st.agg(
-        F.expr("max(CASE WHEN event_type = 'click' THEN n END)").alias("n1"),
-        F.expr("max(CASE WHEN event_type = 'view' THEN n END)").alias("n2"),
-        F.expr("max(CASE WHEN event_type = 'click' THEN sz END)").alias(
-            "s1"
-        ),
-        F.expr("max(CASE WHEN event_type = 'view' THEN sz END)").alias("s2"),
-        F.expr("max(CASE WHEN event_type = 'click' THEN qz END)").alias(
-            "q1"
-        ),
-        F.expr("max(CASE WHEN event_type = 'view' THEN qz END)").alias("q2"),
-        F.expr("max(CASE WHEN event_type = 'click' THEN med END)").alias(
-            "med_click"
-        ),
-        F.expr("max(CASE WHEN event_type = 'view' THEN med END)").alias(
-            "med_view"
-        ),
-    )
-    fin = p.select(
-        "n1",
-        "n2",
-        "med_click",
-        "med_view",
-        F.expr(
-            "CAST(n1 + n2 - 2 AS DECIMAL(19,0))"
-            " * (CAST(s1 AS DECIMAL(19,0)) * n2"
-            "    - CAST(s2 AS DECIMAL(19,0)) * n1)"
-            " * (CAST(s1 AS DECIMAL(19,0)) * n2"
-            "    - CAST(s2 AS DECIMAL(19,0)) * n1)"
-        ).alias("fnum"),
-        F.expr(
-            "CAST(n1 + n2 AS DECIMAL(19,0))"
-            " * (n2 * (CAST(n1 AS DECIMAL(19,0)) * q1"
-            "          - CAST(s1 AS DECIMAL(19,0)) * s1)"
-            "    + n1 * (CAST(n2 AS DECIMAL(19,0)) * q2"
-            "            - CAST(s2 AS DECIMAL(19,0)) * s2))"
-        ).alias("fden"),
-    )
-    f_txt = "CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE)"
-    return fin.selectExpr(
-        "n1 AS n_click",
-        "n2 AS n_view",
-        "med_click",
-        "med_view",
-        f"round({f_txt}, 6) AS f_stat",
-        f"CAST(CASE WHEN round({f_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
         " AS BIGINT) AS significant_05",
     )
 
@@ -3351,7 +3057,10 @@ def agg_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-effect signal that decides between Poisson and negative-
     binomial traffic models — the COUNT-side companion to the
     value-side serial tests (agg_runs_test etc.) on the same day
-    grid.
+    grid.  Sibling: agg_overdispersion_nb_fit asks the same question
+    of PER-USER lifetime counts (population heterogeneity) and fits
+    the NB replacement; this one tests the DAY axis (temporal
+    burstiness) where capacity planning lives.
 
     Exactness: the identity SUM (c - cbar)^2 / cbar = (n*Q - S^2)/S
     makes the statistic a ratio of exact BIGINTs (counts, their

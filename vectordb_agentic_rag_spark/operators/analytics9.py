@@ -2953,7 +2953,10 @@ def agg_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     (runs/DW/Ljung-Box detect dependence; this ATTRIBUTES it to the
     weekly cycle) and differs from agg_anova_oneway (per-event values
     by type) in both grid and question.  eta_sq = SSB/SST is the
-    variance share the weekly cycle explains.
+    variance share the weekly cycle explains.  Sibling:
+    agg_seasonality_strength reads the HOUR-of-day eta^2 per type
+    (shared-double arithmetic); this tests the WEEK cycle on the
+    day grid with exact integers and an F decision.
 
     EXACT integer sums of squares via the lcm trick: with group
     sizes ng in {4, 5} (30 consecutive days) and N = 30, every group

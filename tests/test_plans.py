@@ -1156,10 +1156,26 @@ def test_brunner_munzel_checkpointed_value_domain(spark, sf_dir):
 
 
 def test_fisher_exact_bounded_explode_from_day_domain(spark, sf_dir):
-    # one filtered events scan collapses to the 30-day domain; the
-    # hypergeometric support is a <=61-row broadcast range, so the
-    # plan has exactly one fact scan and only broadcast joins
+    # the 30-day count frame is checkpointed (it feeds both the
+    # median and the flag pass — the bounded-intermediate rule), so
+    # the final plan has ZERO fact scans; the hypergeometric support
+    # is a <=61-row broadcast range, and only broadcast joins appear
     plan = plan_of(QUERIES["agg_fisher_exact"](spark, sf_dir))
-    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("Location: InMemoryFileIndex") == 0
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_day_domain_wave_ops_zero_fact_rescans(spark, sf_dir):
+    # every wave-4/6 day-domain op checkpoints its 30-row frame when
+    # it is referenced more than once: no events rescans downstream
+    for op in (
+        "agg_runs_test",
+        "agg_durbin_watson",
+        "agg_dow_anova",
+        "agg_grubbs_outlier",
+        "agg_hodges_lehmann_paired",
+    ):
+        plan = plan_of(QUERIES[op](spark, sf_dir))
+        assert plan.count("Location: InMemoryFileIndex") == 0, op
+        assert "BatchEvalPython" not in plan, op

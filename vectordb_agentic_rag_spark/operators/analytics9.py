@@ -1758,6 +1758,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("c").cast("bigint").alias("tot"))
+        .localCheckpoint()
     )
     med = day.agg(
         F.expr(
@@ -1896,7 +1897,7 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "tot",
         F.row_number().over(Window.orderBy("day")).cast("bigint").alias("xi"),
-    )
+    ).localCheckpoint()
     mo = x.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("xi").cast("bigint").alias("sx"),
@@ -2543,6 +2544,7 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click")
         .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
         .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
     )
     med = daily.agg(
         F.expr(
@@ -2985,7 +2987,7 @@ def agg_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("ng"),
         F.sum("tot").cast("bigint").alias("sg"),
         F.expr("sum(CAST(tot AS DECIMAL(19,0)) * tot)").alias("qg"),
-    )
+    ).localCheckpoint()
     tot = g.agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum("ng").cast("bigint").alias("n"),

@@ -712,10 +712,17 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = None
     for _ in range(_HITS_ITERS):
+        # each half-step frame feeds BOTH its normalizer aggregate and
+        # the normalized projection: without the checkpoint the lazy
+        # chain re-derives every prior iteration per reference (2x per
+        # half-step, ~2^iters total — measured 31 s/run at sf0.1;
+        # checkpointed: the chain is linear and a run reads the final
+        # bounded node-domain frames). Same rule as _cosupply_edges.
         ar = (
             e.join(h, "c")
             .groupBy("p")
             .agg(F.sum("h").alias("a"))
+            .localCheckpoint()
         )
         a_s = ar.agg(F.sum("a").alias("s"))
         a = ar.crossJoin(F.broadcast(a_s)).select(
@@ -725,6 +732,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(a, "p")
             .groupBy("c")
             .agg(F.sum("a").alias("h"))
+            .localCheckpoint()
         )
         h_s = hr.agg(F.sum("h").alias("s"))
         h = hr.crossJoin(F.broadcast(h_s)).select(

@@ -923,3 +923,97 @@ def test_poisson_dispersion_matches_python(spark, sf_dir):
     assert row.n_days == n and row.n_events == sum(cnts)
     assert abs(row.chi2_stat - chi2) < 1e-6
     assert abs(row.dispersion_ratio - chi2 / (n - 1)) < 1e-6
+
+
+def test_constraint_audit_matches_python(spark, sf_dir):
+    """Every constraint row matches a direct recompute, and the
+    healthy fixture passes all checks with real counts."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        maintenance_constraint_audit,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders").collect()
+    li = table(spark, sf_dir, "lineitem").collect()
+    ev = table(spark, sf_dir, "events").collect()
+    out = {
+        r.constraint_name: r
+        for r in maintenance_constraint_audit(spark, sf_dir).collect()
+    }
+    assert len(out) == 7
+    keys = [r.o_orderkey for r in orders]
+    exp = {
+        "orders.o_orderkey_not_null": (
+            len(orders),
+            sum(1 for k in keys if k is None),
+        ),
+        "orders.o_orderkey_unique": (
+            len(orders),
+            len(keys) - len(set(keys)),
+        ),
+        "orders.o_totalprice_positive": (
+            len(orders),
+            sum(
+                1
+                for r in orders
+                if r.o_totalprice is None or r.o_totalprice <= 0
+            ),
+        ),
+        "orders.o_orderstatus_enum": (
+            len(orders),
+            sum(
+                1
+                for r in orders
+                if r.o_orderstatus not in ("F", "O", "P")
+            ),
+        ),
+        "lineitem.l_quantity_range_1_50": (
+            len(li),
+            sum(
+                1
+                for r in li
+                if r.l_quantity is None
+                or r.l_quantity < 1
+                or r.l_quantity > 50
+            ),
+        ),
+        "events.value_non_negative": (
+            len(ev),
+            sum(1 for r in ev if r.value is None or r.value < 0),
+        ),
+        "events.user_id_non_negative": (
+            len(ev),
+            sum(1 for r in ev if r.user_id is None or r.user_id < 0),
+        ),
+    }
+    for name, (n, v) in exp.items():
+        assert out[name].n_checked == n, name
+        assert out[name].n_violations == v, name
+        assert out[name].passed == (1 if v == 0 else 0), name
+    # the fixture is healthy: all pass, and counts are non-trivial
+    assert all(r.passed == 1 for r in out.values())
+    assert out["orders.o_orderkey_not_null"].n_checked > 0
+
+
+def test_ab_srm_matches_python(spark, sf_dir):
+    """Arm counts and chi2 match the multiplicative-hash recompute."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_ab_srm_check,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    users = {
+        r.user_id
+        for r in table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    arms = [(u * 2654435761) % 4294967296 % 2 for u in users]
+    n0 = sum(1 for a in arms if a == 0)
+    n1 = len(arms) - n0
+    chi2 = (n0 - n1) ** 2 / (n0 + n1)
+    (row,) = agg_ab_srm_check(spark, sf_dir).collect()
+    assert row.n_arm_a == n0 and row.n_arm_b == n1
+    assert abs(row.chi2_stat - chi2) < 1e-6
+    assert row.srm_detected_05 == (1 if chi2 >= 3.8415 else 0)

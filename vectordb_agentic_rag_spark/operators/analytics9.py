@@ -3105,3 +3105,248 @@ def agg_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN round({chi_txt}, 9) <= 16.047 THEN 1 ELSE 0 END"
         " AS BIGINT) AS underdispersed_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_constraint_audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_constraint_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_nullkey,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS v_dupkey,
+             CAST(sum(CASE WHEN o_totalprice IS NULL
+                             OR o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_price,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                             OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_status
+      FROM orders),
+    l AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_quantity IS NULL
+                             OR l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+      FROM lineitem),
+    e AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value IS NULL OR value < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_value,
+             CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_user
+      FROM events)
+    SELECT * FROM (
+      SELECT 'orders.o_orderkey_not_null' AS constraint_name,
+             n AS n_checked, v_nullkey AS n_violations,
+             CAST(CASE WHEN v_nullkey = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS passed
+      FROM o
+      UNION ALL
+      SELECT 'orders.o_orderkey_unique', n, v_dupkey,
+             CAST(CASE WHEN v_dupkey = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM o
+      UNION ALL
+      SELECT 'orders.o_totalprice_positive', n, v_price,
+             CAST(CASE WHEN v_price = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM o
+      UNION ALL
+      SELECT 'orders.o_orderstatus_enum', n, v_status,
+             CAST(CASE WHEN v_status = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM o
+      UNION ALL
+      SELECT 'lineitem.l_quantity_range_1_50', n, v_qty,
+             CAST(CASE WHEN v_qty = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM l
+      UNION ALL
+      SELECT 'events.value_non_negative', n, v_value,
+             CAST(CASE WHEN v_value = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM e
+      UNION ALL
+      SELECT 'events.user_id_non_negative', n, v_user,
+             CAST(CASE WHEN v_user = 0 THEN 1 ELSE 0 END AS BIGINT)
+      FROM e) t
+    ORDER BY constraint_name
+    """,
+)
+def maintenance_constraint_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DECLARATIVE DATA-QUALITY CONSTRAINT AUDIT (the dbt-test /
+    Deequ-check analogue): one row per constraint with exact checked
+    and violation counts — NOT-NULL and UNIQUE on the orders key, a
+    positivity check on the money column, an enum check on the
+    status, a physical range on l_quantity, and non-negativity on
+    events.value/user_id.  A healthy fixture returns all-pass with
+    real counts, which is exactly what the oracle verifies; any
+    violation row carries its exact count, so the op doubles as the
+    quarantine-sizing query.  Completes the maintenance_ family:
+    referential_integrity (FK edges), column_profile (distributions),
+    this (invariants).
+
+    Parity: every check is a conditional count over exact
+    comparisons — integers, strings, NULL tests — no floats anywhere;
+    the UNIQUE check is count(*) - count(DISTINCT key).
+
+    Shape at 100 TB: ONE aggregate scan per audited table (all of a
+    table's checks ride the same conditional-sum pass, map-side
+    combined), then a constant 7-row union of the three 1-row
+    frames.  Adding a check costs one expression, not one scan."""
+    o = table(spark, sf_dir, "orders").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("v_nullkey"),
+        F.expr(
+            "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)"
+        ).alias("v_dupkey"),
+        F.expr(
+            "CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("v_price"),
+        F.expr(
+            "CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')"
+            " OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("v_status"),
+    )
+    li = table(spark, sf_dir, "lineitem").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1"
+            " OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("v_qty"),
+    )
+    e = table(spark, sf_dir, "events").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN value IS NULL OR value < 0"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("v_value"),
+        F.expr(
+            "CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("v_user"),
+    )
+
+    def rows(frame, specs):
+        out = None
+        for name, viol in specs:
+            r = frame.selectExpr(
+                f"'{name}' AS constraint_name",
+                "n AS n_checked",
+                f"{viol} AS n_violations",
+                f"CAST(CASE WHEN {viol} = 0 THEN 1 ELSE 0 END AS BIGINT)"
+                " AS passed",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out
+
+    res = rows(
+        o,
+        [
+            ("orders.o_orderkey_not_null", "v_nullkey"),
+            ("orders.o_orderkey_unique", "v_dupkey"),
+            ("orders.o_totalprice_positive", "v_price"),
+            ("orders.o_orderstatus_enum", "v_status"),
+        ],
+    )
+    res = res.unionByName(
+        rows(li, [("lineitem.l_quantity_range_1_50", "v_qty")])
+    )
+    res = res.unionByName(
+        rows(
+            e,
+            [
+                ("events.value_non_negative", "v_value"),
+                ("events.user_id_non_negative", "v_user"),
+            ],
+        )
+    )
+    return res.orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# agg_ab_srm_check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ab_srm_check",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arm AS (
+      SELECT CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT)
+               AS arm
+      FROM u),
+    s AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM arm)
+    SELECT n0 AS n_arm_a, n1 AS n_arm_b,
+           round(CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE), 6)
+             AS observed_ratio_b,
+           round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE), 6) AS chi2_stat,
+           CAST(CASE WHEN round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE), 9) >= 3.8415
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_detected_05
+    FROM s
+    """,
+)
+def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH (SRM) CHECK for a 50/50 user split — the
+    guardrail every experimentation platform runs BEFORE reading an
+    A/B metric: assign each distinct user to an arm by a
+    deterministic multiplicative hash (Knuth 2654435761 mod 2^32,
+    parity as the arm), then chi^2-test the arm counts against the
+    declared 50/50.  A significant SRM means the assignment or
+    logging pipeline is biased and every downstream metric
+    comparison (agg_two_proportion_ztest, agg_sprt_ab_replay,
+    agg_tost_equivalence — the tests this one GATES) is invalid.
+
+    Parity: the hash is pure 64-bit integer arithmetic (user_id *
+    2654435761 fits ~2^48 at every sf; two mods), so arms are exact
+    integers on both engines — a platform would use a seeded
+    cryptographic hash, but engine-native hash() functions differ
+    between Spark and DuckDB, and the multiplicative hash keeps the
+    oracle bit-exact while preserving the avalanche property the
+    check needs.  chi^2 = (n0 - n1)^2 / N is one double division
+    over exact integers, round(6), round(9) gate at chi^2(1) 5%.
+
+    Shape at 100 TB: one distinct-users aggregate (map-side
+    combined), one 2-way conditional count — the cheapest guardrail
+    in the repo."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    arm = u.selectExpr(
+        "CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT) AS arm"
+    )
+    s = arm.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+    )
+    chi_txt = (
+        "CAST((n0 - n1) * (n0 - n1) AS DOUBLE)"
+        " / CAST(n0 + n1 AS DOUBLE)"
+    )
+    return s.selectExpr(
+        "n0 AS n_arm_a",
+        "n1 AS n_arm_b",
+        "round(CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE), 6)"
+        " AS observed_ratio_b",
+        f"round({chi_txt}, 6) AS chi2_stat",
+        f"CAST(CASE WHEN round({chi_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS srm_detected_05",
+    )

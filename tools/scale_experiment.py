@@ -271,6 +271,11 @@ OPS = [
     # one-scan Expand multi-distinct.
     ("graph_rich_club", "lineitem"),
     ("maintenance_column_profile", "orders"),
+    # round-9 wave 7: constraint audit scans three fact tables with
+    # conditional sums (lineitem is the biggest input); SRM is one
+    # distinct-users aggregate.
+    ("maintenance_constraint_audit", "lineitem"),
+    ("agg_ab_srm_check", "events"),
 ]
 
 

@@ -1017,3 +1017,82 @@ def test_ab_srm_matches_python(spark, sf_dir):
     assert row.n_arm_a == n0 and row.n_arm_b == n1
     assert abs(row.chi2_stat - chi2) < 1e-6
     assert row.srm_detected_05 == (1 if chi2 >= 3.8415 else 0)
+
+
+def test_rfm_segments_matches_python(spark, sf_dir):
+    """Segment cells match a direct quintile recompute."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_rfm_segments,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders").collect()
+    by_cust = {}
+    mxd = max(r.o_orderdate for r in orders).date()
+    for r in orders:
+        c = by_cust.setdefault(
+            r.o_custkey, {"last": r.o_orderdate.date(), "f": 0, "m": 0}
+        )
+        c["last"] = max(c["last"], r.o_orderdate.date())
+        c["f"] += 1
+        c["m"] += int(r.o_totalprice * 100 + 0.5)
+    n = len(by_cust)
+    custs = sorted(by_cust)
+    rec = {c: (mxd - by_cust[c]["last"]).days for c in custs}
+
+    def scores(key, reverse):
+        order = sorted(custs, key=lambda c: (key(c), c))
+        if reverse:
+            order = sorted(
+                custs, key=lambda c: (-key(c), c)
+            )
+        return {c: 1 + i * 5 // n for i, c in enumerate(order)}
+
+    rs = scores(lambda c: rec[c], reverse=True)
+    fs = scores(lambda c: by_cust[c]["f"], reverse=False)
+    ms = scores(lambda c: by_cust[c]["m"], reverse=False)
+    cells = {}
+    for c in custs:
+        k = (rs[c], fs[c], ms[c])
+        nn, mm = cells.get(k, (0, 0))
+        cells[k] = (nn + 1, mm + by_cust[c]["m"])
+    out = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, r.total_cents)
+        for r in agg_rfm_segments(spark, sf_dir).collect()
+    }
+    assert out == cells
+
+
+def test_hhi_matches_python(spark, sf_dir):
+    """Per-nation HHI matches the direct share-square recompute."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_hhi_concentration,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    ).collect()
+    su = {
+        r.s_suppkey: r.s_nationkey
+        for r in table(spark, sf_dir, "supplier").collect()
+    }
+    rev = {}
+    for r in li:
+        key = (su[r.l_suppkey], r.l_suppkey)
+        rev[key] = rev.get(key, 0) + int(r.l_extendedprice * 100 + 0.5)
+    nations = {}
+    for (nk, sk), v in rev.items():
+        d = nations.setdefault(nk, [])
+        d.append(v)
+    out = {
+        r.nationkey: r for r in agg_hhi_concentration(spark, sf_dir).collect()
+    }
+    assert set(out) == set(nations)
+    for nk, vals in nations.items():
+        tot = sum(vals)
+        hhi = sum(v * v for v in vals) / (tot * tot)
+        assert out[nk].n_suppliers == len(vals)
+        assert out[nk].total_cents == tot
+        assert abs(out[nk].hhi - hhi) < 1e-6
+        assert abs(out[nk].top_share - max(vals) / tot) < 1e-6

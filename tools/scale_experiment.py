@@ -276,6 +276,11 @@ OPS = [
     # distinct-users aggregate.
     ("maintenance_constraint_audit", "lineitem"),
     ("agg_ab_srm_check", "events"),
+    # round-9 wave 8: RFM ranks the customer domain (orders-scaled
+    # collapse + three windows); HHI is a lineitem groupBy behind a
+    # broadcast dim join.
+    ("agg_rfm_segments", "orders"),
+    ("agg_hhi_concentration", "lineitem"),
 ]
 
 

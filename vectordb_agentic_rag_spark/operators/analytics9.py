@@ -3350,3 +3350,211 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN round({chi_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
         " AS BIGINT) AS srm_detected_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_rfm_segments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT max(CAST(o_orderdate AS DATE))
+                        FROM orders)) AS rec_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS mon
+      FROM orders GROUP BY o_custkey),
+    rk AS (
+      SELECT o_custkey, rec_days, freq, mon,
+             row_number() OVER (ORDER BY rec_days DESC, o_custkey)
+               AS rr,
+             row_number() OVER (ORDER BY freq, o_custkey) AS rf,
+             row_number() OVER (ORDER BY mon, o_custkey) AS rm,
+             count(*) OVER () AS n
+      FROM base),
+    sc AS (
+      SELECT CAST(1 + (rr - 1) * 5 // n AS BIGINT) AS r_score,
+             CAST(1 + (rf - 1) * 5 // n AS BIGINT) AS f_score,
+             CAST(1 + (rm - 1) * 5 // n AS BIGINT) AS m_score,
+             mon
+      FROM rk)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS total_cents
+    FROM sc GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION of purchasing customers: quintile scores for
+    Recency (days since last order, relative to the corpus's last
+    order date), Frequency (order count), and Monetary (exact cent
+    total), rolled up to segment cells with customer counts and
+    revenue — the classic marketing-ops 5x5x5 grid ("555" =
+    champions, "155" = at-risk whales).  Purchasers only by design:
+    RFM scores customer VALUE, unlike agg_gini_concentration which
+    deliberately keeps zero-revenue customers to measure market
+    concentration.
+
+    Parity: recency is an exact integer day difference anchored to
+    max(o_orderdate) (no wall clock — deterministic and
+    fixture-stable); quintiles come from row_number over
+    (metric, custkey) bucketed by the integer formula
+    1 + (r-1)*5 div n (the agg_cohens_kappa_daily convention — NOT
+    ntile), so every score is an exact integer and the rollup is
+    pure integer aggregation; recency ranks DESCEND so score 5 =
+    most recent on all three axes.
+
+    Shape at 100 TB: one groupBy(custkey) collapse of orders; three
+    ranking windows over the customer domain (a production variant
+    at 1e9 customers would swap row_number for the value-domain
+    rank-offset machinery of pipeline_shard_assign — documented
+    tradeoff, the fixture's 1e4-1e6 customers sort in one pass); a
+    <=125-row rollup ends it."""
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.expr("max(CAST(o_orderdate AS DATE))").alias("mxd")
+    )
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "datediff(max(mxd), max(CAST(o_orderdate AS DATE)))"
+            ).alias("rec_days"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("mon"),
+        )
+    )
+    rk = base.select(
+        "mon",
+        F.row_number()
+        .over(Window.orderBy(F.col("rec_days").desc(), "o_custkey"))
+        .alias("rr"),
+        F.row_number()
+        .over(Window.orderBy("freq", "o_custkey"))
+        .alias("rf"),
+        F.row_number()
+        .over(Window.orderBy("mon", "o_custkey"))
+        .alias("rm"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    sc = rk.selectExpr(
+        "CAST(1 + (rr - 1) * 5 div n AS BIGINT) AS r_score",
+        "CAST(1 + (rf - 1) * 5 div n AS BIGINT) AS f_score",
+        "CAST(1 + (rm - 1) * 5 div n AS BIGINT) AS m_score",
+        "mon",
+    )
+    return (
+        sc.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("mon").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_hhi_concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    nat AS (
+      SELECT s_nationkey,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(r) AS BIGINT) AS tot,
+             sum(CAST(r AS HUGEINT) * r) AS sq,
+             CAST(max(r) AS BIGINT) AS mx
+      FROM rev GROUP BY 1)
+    SELECT n.s_nationkey AS nationkey, nn.n_name AS nation,
+           n_suppliers,
+           tot AS total_cents,
+           round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 6)
+             AS hhi,
+           round((CAST(tot AS DOUBLE) * tot) / CAST(sq AS DOUBLE), 6)
+             AS effective_competitors,
+           round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS top_share
+    FROM nat n JOIN nation nn ON n.s_nationkey = nn.n_nationkey
+    ORDER BY nationkey
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of supplier revenue concentration
+    per nation: HHI = sum(share_i^2), plus its reciprocal (the
+    "effective number of competitors") and the top supplier's share —
+    the antitrust-standard market-structure read.  Sibling:
+    agg_gini_concentration measures CUSTOMER revenue inequality per
+    nation (Gini weighs the whole Lorenz curve); HHI weighs the HEAD
+    quadratically and is the measure regulators threshold (0.15 /
+    0.25), so the pair answers different questions on opposite sides
+    of the market.
+
+    Parity: revenues are exact cents; the share squares NEVER happen
+    in floats — sum(r_i^2) is an exact HUGEINT/DECIMAL integer and
+    HHI = sq / tot^2 is ONE double division (tot^2 as a double
+    product of the same exact integer on both engines — tot ~ 1e9
+    cents squares to ~1e18, exact in a double up to 2^53 after the
+    correctly-rounded cast... the product is the IEEE-rounded square
+    of an exactly-represented integer <= 2^53 on BOTH engines, hence
+    bit-identical), round(6).
+
+    Shape at 100 TB: one lineitem groupBy(suppkey) after a broadcast
+    join to the supplier dim (suppliers are always the small side),
+    then a nation-domain aggregate and a broadcast join to the
+    25-row nation dim."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)").alias("c"),
+    )
+    su = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("c").cast("bigint").alias("r"))
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("r").cast("bigint").alias("tot"),
+        F.expr("sum(CAST(r AS DECIMAL(19,0)) * r)").alias("sq"),
+        F.max("r").cast("bigint").alias("mx"),
+    )
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        nat.join(
+            F.broadcast(na), nat["s_nationkey"] == na["n_nationkey"]
+        )
+        .selectExpr(
+            "s_nationkey AS nationkey",
+            "n_name AS nation",
+            "n_suppliers",
+            "tot AS total_cents",
+            "round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 6)"
+            " AS hhi",
+            "round((CAST(tot AS DOUBLE) * tot) / CAST(sq AS DOUBLE), 6)"
+            " AS effective_competitors",
+            "round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6)"
+            " AS top_share",
+        )
+        .orderBy("nationkey")
+    )

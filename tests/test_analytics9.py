@@ -443,7 +443,7 @@ def test_mantel_haenszel_matches_python(spark, sf_dir):
         sv += (a + b) * (c + d) * (a + c) * (b + d) / n / n / (n - 1)
         sad += a * d / n
         sbc += b * c / n
-    chi2 = (abs(sa - se) - 0.5) ** 2 / sv
+    chi2 = max(abs(sa - se) - 0.5, 0.0) ** 2 / sv
     (row,) = agg_mantel_haenszel(spark, sf_dir).collect()
     assert row.n_strata == len(cells)
     assert abs(row.cmh_chi2 - chi2) < 1e-6
@@ -627,6 +627,11 @@ def test_kendall_w_matches_python(spark, sf_dir):
         order = sorted(days, key=lambda d: (cells[(t, d)], d))
         for rank, d in enumerate(order, 1):
             rsum[d] += rank
+    # the 42.557 significance constant in the op is the chi2(29)
+    # 5% critical value: pin the fixture preconditions it assumes
+    # (all 30 days complete for every type), so a regenerated
+    # fixture that shrinks the complete-day set fails HERE loudly
+    assert n == 30 and m == 5
     sr2 = sum(v * v for v in rsum.values())
     w = (12 * sr2 - 3 * m * m * n * (n + 1) ** 2) / (
         m * m * n * (n * n - 1)
@@ -1009,7 +1014,11 @@ def test_ab_srm_matches_python(spark, sf_dir):
         .distinct()
         .collect()
     }
-    arms = [(u * 2654435761) % 4294967296 % 2 for u in users]
+    arms = [(u * 2654435761) % 4294967296 // 2147483648 for u in users]
+    # the arm must NOT degenerate to raw id parity (the round-9
+    # self-review catch: an odd multiplier's LOW bit mod 2^32 IS the
+    # id's own parity; the high bit actually mixes)
+    assert any(a != u % 2 for a, u in zip(arms, sorted(users)))
     n0 = sum(1 for a in arms if a == 0)
     n1 = len(arms) - n0
     chi2 = (n0 - n1) ** 2 / (n0 + n1)

@@ -42,6 +42,76 @@ from ..registry import query
 from ..tables import table
 
 # ---------------------------------------------------------------------------
+# shared bounded-domain frames (applicationId-keyed caches — the
+# _cosupply_edges rule: materialize once per app/sf, reference many)
+# ---------------------------------------------------------------------------
+
+_DAY_TOTALS_CACHE: dict = {}
+
+
+def _day_cent_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 30-row (day, tot) frame of exact integer-cent daily totals
+    over ALL events, localCheckpoint-ed once per (application,
+    sf_dir).  Five wave-4/6 serial-structure ops consume this same
+    frame (runs test, Durbin-Watson, Grubbs, dow-ANOVA), and several
+    reference it more than once internally (median + signs; moments
+    + residuals) — the cache removes both the per-op fact rescan and
+    the copy-pasted money-cast parity pair (round-9 self-review)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DAY_TOTALS_CACHE:
+        ev = table(spark, sf_dir, "events")
+        _DAY_TOTALS_CACHE[key] = (
+            ev.select(
+                F.expr("CAST(ts AS DATE)").alias("day"),
+                F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+            )
+            .groupBy("day")
+            .agg(F.sum("c").cast("bigint").alias("tot"))
+            .localCheckpoint()
+        )
+    return _DAY_TOTALS_CACHE[key]
+
+
+_CV_BLOCKS_CACHE: dict = {}
+
+
+def _cv_value_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-cents (c, f1, f2) click/view frequency blocks —
+    the shared substrate of the two-sample rank family (CvM,
+    Ansari-Bradley, Brunner-Munzel), localCheckpoint-ed once per
+    (application, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CV_BLOCKS_CACHE:
+        ev = table(spark, sf_dir, "events")
+        r = ev.where(F.col("event_type").isin("click", "view")).select(
+            "event_type",
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        _CV_BLOCKS_CACHE[key] = (
+            r.groupBy("c")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
+                    )
+                )
+                .cast("bigint")
+                .alias("f1"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"
+                    )
+                )
+                .cast("bigint")
+                .alias("f2"),
+            )
+            .localCheckpoint()
+        )
+    return _CV_BLOCKS_CACHE[key]
+
+
+
+# ---------------------------------------------------------------------------
 # agg_cramer_von_mises_2samp
 # ---------------------------------------------------------------------------
 
@@ -133,18 +203,7 @@ def agg_cramer_von_mises_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one grouped scan to the value domain, one
     bounded-domain window, one aggregate — the AD/MW shape exactly."""
-    ev = table(spark, sf_dir, "events")
-    r = ev.where(F.col("event_type").isin("click", "view")).select(
-        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
-    )
-    blk = r.groupBy("c").agg(
-        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
-        .cast("bigint")
-        .alias("f1"),
-        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
-        .cast("bigint")
-        .alias("f2"),
-    ).localCheckpoint()
+    blk = _cv_value_blocks(spark, sf_dir)
     tot = blk.agg(
         F.sum("f1").cast("bigint").alias("n1"),
         F.sum("f2").cast("bigint").alias("n2"),
@@ -1319,11 +1378,11 @@ _MH_CUT = 5000  # outcome split: value >= 50.00 (cents), near the mean
              sum(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS sbc
       FROM cells)
     SELECT n_strata,
-           round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5) / sv, 6)
+           round(greatest(abs(sa - se) - 0.5, CAST(0 AS DOUBLE)) * greatest(abs(sa - se) - 0.5, CAST(0 AS DOUBLE)) / sv, 6)
              AS cmh_chi2,
            round(sad / sbc, 6) AS mh_common_or,
-           CAST(CASE WHEN round((abs(sa - se) - 0.5)
-                              * (abs(sa - se) - 0.5) / sv, 9)
+           CAST(CASE WHEN round(greatest(abs(sa - se) - 0.5, CAST(0 AS DOUBLE))
+                              * greatest(abs(sa - se) - 0.5, CAST(0 AS DOUBLE)) / sv, 9)
                           > 3.841459
                 THEN 1 ELSE 0 END AS BIGINT) AS significant_05
     FROM agg
@@ -1414,11 +1473,11 @@ def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.selectExpr(
         "n_strata",
-        "round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5) / sv, 6)"
+        "round(greatest(abs(sa - se) - 0.5, CAST(0 AS DOUBLE)) * greatest(abs(sa - se) - 0.5, CAST(0 AS DOUBLE)) / sv, 6)"
         " AS cmh_chi2",
         "round(sad / sbc, 6) AS mh_common_or",
-        "CAST(CASE WHEN round((abs(sa - se) - 0.5)"
-        " * (abs(sa - se) - 0.5) / sv, 9) > 3.841459"
+        "CAST(CASE WHEN round(greatest(abs(sa - se) - 0.5, CAST(0 AS DOUBLE))"
+        " * greatest(abs(sa - se) - 0.5, CAST(0 AS DOUBLE)) / sv, 9) > 3.841459"
         " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
     )
 
@@ -1498,18 +1557,7 @@ def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one grouped scan to the value domain, one
     bounded-domain window, one 1-row reduce — the CvM/AD shape."""
-    ev = table(spark, sf_dir, "events")
-    r = ev.where(F.col("event_type").isin("click", "view")).select(
-        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
-    )
-    blk = r.groupBy("c").agg(
-        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
-        .cast("bigint")
-        .alias("f1"),
-        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
-        .cast("bigint")
-        .alias("f2"),
-    ).localCheckpoint()
+    blk = _cv_value_blocks(spark, sf_dir)
     tot = blk.agg(
         F.sum("f1").cast("bigint").alias("n1"),
         F.sum("f2").cast("bigint").alias("n2"),
@@ -1758,16 +1806,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final aggregate all run on that bounded domain (the
     unpartitioned window is 29 rows by construction — the
     agg_friedman_test day-grid argument)."""
-    ev = table(spark, sf_dir, "events")
-    day = (
-        ev.select(
-            F.expr("CAST(ts AS DATE)").alias("day"),
-            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").cast("bigint").alias("tot"))
-        .localCheckpoint()
-    )
+    day = _day_cent_totals(spark, sf_dir)
     med = day.agg(
         F.expr(
             "element_at(sort_array(collect_list(tot)),"
@@ -1892,15 +1931,7 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: groupBy to the 30-row day domain; the row_number
     and lag windows run on that bounded grid; one aggregate ends it —
     the agg_chow_test scan shape."""
-    ev = table(spark, sf_dir, "events")
-    day = (
-        ev.select(
-            F.expr("CAST(ts AS DATE)").alias("day"),
-            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").cast("bigint").alias("tot"))
-    )
+    day = _day_cent_totals(spark, sf_dir)
     x = day.select(
         "day",
         "tot",
@@ -2002,7 +2033,10 @@ def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete days by its exact integer-cent daily total; W in [0, 1]
     rescales the variance of the per-day rank sums to its maximum,
     and chi^2 = m*(n-1)*W tests concordance against chi^2(n-1)
-    (5% critical value 42.557 at n = 30).  The agreement view the
+    (5% critical value 42.557 at n = 30 — a FIXTURE constant like
+    agg_grubbs_outlier's 2.9085; the recompute pytest pins the
+    30-complete-days precondition so a fixture regeneration that
+    shrinks n fails loudly there).  The agreement view the
     blocked-design agg_friedman_test (types ranked within days)
     cannot give — same grid, transposed question.
 
@@ -2233,16 +2267,7 @@ def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one groupBy to the day domain; the deviation
     scan, argmax window, and final filter all run on 30 rows."""
-    ev = table(spark, sf_dir, "events")
-    day = (
-        ev.select(
-            F.expr("CAST(ts AS DATE)").alias("day"),
-            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").cast("bigint").alias("tot"))
-        .localCheckpoint()
-    )
+    day = _day_cent_totals(spark, sf_dir)
     mo2 = day.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("tot").cast("bigint").alias("s"),
@@ -2369,18 +2394,7 @@ def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one grouped scan to the value domain, one
     bounded-domain window pass, two bounded aggregates — identical to
     agg_cramer_von_mises_2samp."""
-    ev = table(spark, sf_dir, "events")
-    r = ev.where(F.col("event_type").isin("click", "view")).select(
-        "event_type", F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c")
-    )
-    blk = r.groupBy("c").agg(
-        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
-        .cast("bigint")
-        .alias("f1"),
-        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
-        .cast("bigint")
-        .alias("f2"),
-    ).localCheckpoint()
+    blk = _cv_value_blocks(spark, sf_dir)
     w_c = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     cum = blk.select(
         "f1",
@@ -2932,16 +2946,19 @@ def maintenance_column_profile(
              CAST(sum(sg) AS BIGINT) AS s
       FROM g),
     chk AS (
-      SELECT g.dow, g.ng, g.sg, g.qg, tot.k, tot.n, tot.s
+      SELECT g.dow, g.ng, g.sg, g.qg, tot.n AS n_full, tot.s
       FROM g CROSS JOIN tot
       WHERE 60 % g.ng = 0 AND 60 % tot.n = 0),
     parts AS (
-      SELECT k, n,
-             sum(ng * (CAST((60 // ng) * sg - (60 // n) * s AS HUGEINT)
-                       * ((60 // ng) * sg - (60 // n) * s))) AS ssb3600,
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(ng * (CAST((60 // ng) * sg - (60 // n_full) * s
+                            AS HUGEINT)
+                       * ((60 // ng) * sg - (60 // n_full) * s)))
+               AS ssb3600,
              sum(3600 * CAST(qg AS HUGEINT)
                  - (3600 // ng) * CAST(sg AS HUGEINT) * sg) AS ssw3600
-      FROM chk GROUP BY k, n)
+      FROM chk)
     SELECT n AS n_days, k AS k_groups,
            round(CAST(ssb3600 AS DOUBLE) * CAST(n - k AS DOUBLE)
                  / (CAST(ssw3600 AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6)
@@ -2982,15 +2999,7 @@ def agg_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one groupBy to the day domain, a 7-row group
     aggregate, constant work after."""
-    ev = table(spark, sf_dir, "events")
-    day = (
-        ev.select(
-            F.expr("CAST(ts AS DATE)").alias("day"),
-            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").cast("bigint").alias("tot"))
-    )
+    day = _day_cent_totals(spark, sf_dir)
     g = day.groupBy(F.expr("dayofweek(day)").alias("dow")).agg(
         F.count("*").cast("bigint").alias("ng"),
         F.sum("tot").cast("bigint").alias("sg"),
@@ -3004,12 +3013,20 @@ def agg_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     chk = (
         g.crossJoin(F.broadcast(tot))
         .where(F.expr("60 % ng = 0 AND 60 % n = 0"))
+        .selectExpr("dow", "ng", "sg", "qg", "n AS n_full", "s")
     )
-    parts = chk.groupBy("k", "n").agg(
+    # k and n are recomputed POST-filter: if the divisibility gate
+    # ever drops a group, k_groups/n_days visibly shrink instead of
+    # silently reporting full-looking counts beside truncated sums
+    # (round-9 self-review catch). The grand-mean terms keep the
+    # FULL-series n/s (n_full), which is what e_g is defined on.
+    parts = chk.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
         F.expr(
-            "sum(ng * (CAST((60 div ng) * sg - (60 div n) * s"
+            "sum(ng * (CAST((60 div ng) * sg - (60 div n_full) * s"
             " AS DECIMAL(19,0))"
-            " * ((60 div ng) * sg - (60 div n) * s)))"
+            " * ((60 div ng) * sg - (60 div n_full) * s)))"
         ).alias("ssb3600"),
         F.expr(
             "sum(3600 * CAST(qg AS DECIMAL(28,0))"
@@ -3281,8 +3298,8 @@ def maintenance_constraint_audit(
     oracle="""
     WITH u AS (SELECT DISTINCT user_id FROM events),
     arm AS (
-      SELECT CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT)
-               AS arm
+      SELECT CAST((user_id * 2654435761) % 4294967296 // 2147483648
+                  AS BIGINT) AS arm
       FROM u),
     s AS (
       SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3313,12 +3330,14 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_tost_equivalence — the tests this one GATES) is invalid.
 
     Parity: the hash is pure 64-bit integer arithmetic (user_id *
-    2654435761 fits ~2^48 at every sf; two mods), so arms are exact
-    integers on both engines — a platform would use a seeded
-    cryptographic hash, but engine-native hash() functions differ
-    between Spark and DuckDB, and the multiplicative hash keeps the
-    oracle bit-exact while preserving the avalanche property the
-    check needs.  chi^2 = (n0 - n1)^2 / N is one double division
+    2654435761 fits ~2^48 at every sf), so arms are exact integers
+    on both engines — a platform would use a seeded cryptographic
+    hash, but engine-native hash() functions differ between Spark
+    and DuckDB.  The arm is the HIGH bit of the 32-bit product
+    (div 2^31), the classic Knuth bucket bit: the LOW bit of an
+    odd-multiplier product mod 2^32 is arithmetically just
+    user_id's own parity (caught in round-9 self-review), while the
+    high bit mixes all input bits.  chi^2 = (n0 - n1)^2 / N is one double division
     over exact integers, round(6), round(9) gate at chi^2(1) 5%.
 
     Shape at 100 TB: one distinct-users aggregate (map-side
@@ -3327,7 +3346,8 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     u = ev.select("user_id").distinct()
     arm = u.selectExpr(
-        "CAST((user_id * 2654435761) % 4294967296 % 2 AS BIGINT) AS arm"
+        "CAST((user_id * 2654435761) % 4294967296 div 2147483648"
+        " AS BIGINT) AS arm"
     )
     s = arm.agg(
         F.expr(

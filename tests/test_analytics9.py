@@ -1105,3 +1105,93 @@ def test_hhi_matches_python(spark, sf_dir):
         assert out[nk].total_cents == tot
         assert abs(out[nk].hhi - hhi) < 1e-6
         assert abs(out[nk].top_share - max(vals) / tot) < 1e-6
+
+
+def test_cuped_matches_python(spark, sf_dir):
+    """theta, rho^2, and the adjusted diff match a direct recompute
+    over per-user pre/post purchase cents."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_cuped_adjustment,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+    from pyspark.sql import functions as F
+    import datetime
+
+    ev = table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    split = datetime.date(2024, 1, 16)
+    users = {}
+    for r in rows:
+        pre, post = users.get(r.user_id, (0, 0))
+        if r.day < split:
+            pre += r.c
+        else:
+            post += r.c
+        users[r.user_id] = (pre, post)
+    n = len(users)
+    xs = [p for p, _ in users.values()]
+    ys = [q for _, q in users.values()]
+    xb = sum(xs) / n
+    yb = sum(ys) / n
+    cxy = sum((x - xb) * (y - yb) for x, y in zip(xs, ys))
+    cxx = sum((x - xb) ** 2 for x in xs)
+    cyy = sum((y - yb) ** 2 for y in ys)
+    theta = cxy / cxx
+    rho_sq = cxy * cxy / (cxx * cyy)
+    arm = {
+        u: (u * 2654435761) % 4294967296 // 2147483648 for u in users
+    }
+    a_users = [u for u in users if arm[u] == 0]
+    b_users = [u for u in users if arm[u] == 1]
+    raw = sum(users[u][1] for u in b_users) / len(b_users) - sum(
+        users[u][1] for u in a_users
+    ) / len(a_users)
+    pre_d = sum(users[u][0] for u in b_users) / len(b_users) - sum(
+        users[u][0] for u in a_users
+    ) / len(a_users)
+    (row,) = agg_cuped_adjustment(spark, sf_dir).collect()
+    assert row.n_users == n
+    assert row.n_arm_a == len(a_users) and row.n_arm_b == len(b_users)
+    assert abs(row.theta - theta) < 1e-6
+    assert abs(row.var_reduction - rho_sq) < 1e-6
+    assert abs(row.raw_diff_cents - raw) < 1e-4
+    assert abs(row.cuped_diff_cents - (raw - theta * pre_d)) < 1e-4
+
+
+def test_power_mde_matches_python(spark, sf_dir):
+    """MDE matches the textbook two-proportion sizing formula."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_power_mde,
+    )
+    from vectordb_agentic_rag_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").collect()
+    conv = {}
+    for r in ev:
+        conv[r.user_id] = max(
+            conv.get(r.user_id, 0),
+            1 if r.event_type == "purchase" else 0,
+        )
+    n = len(conv)
+    c = sum(conv.values())
+    p = c / n
+    arms = [
+        (u * 2654435761) % 4294967296 // 2147483648 for u in conv
+    ]
+    na = sum(1 for a in arms if a == 0)
+    nb = len(arms) - na
+    n_arm = min(na, nb)
+    mde = (1.959964 + 0.841621) * math.sqrt(2 * p * (1 - p) / n_arm)
+    (row,) = agg_power_mde(spark, sf_dir).collect()
+    assert row.n_users == n and row.n_per_arm == n_arm
+    assert abs(row.base_rate - p) < 1e-6
+    assert abs(row.mde_abs - mde) < 1e-6
+    assert abs(row.mde_rel - mde / p) < 1e-6

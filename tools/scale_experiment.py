@@ -281,6 +281,8 @@ OPS = [
     # broadcast dim join.
     ("agg_rfm_segments", "orders"),
     ("agg_hhi_concentration", "lineitem"),
+    # wave 9 (cuped/power_mde) is the one-scan user-domain collapse
+    # shape already audited via agg_ab_srm_check.
 ]
 
 

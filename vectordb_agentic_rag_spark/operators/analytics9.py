@@ -3578,3 +3578,265 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cuped_adjustment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cuped_adjustment",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    a AS (
+      SELECT user_id, pre, post,
+             CAST((user_id * 2654435761) % 4294967296 // 2147483648
+                  AS BIGINT) AS arm
+      FROM u),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS BIGINT) AS sx,
+             CAST(sum(post) AS BIGINT) AS sy,
+             sum(CAST(pre AS HUGEINT) * pre) AS sxx,
+             sum(CAST(pre AS HUGEINT) * post) AS sxy,
+             sum(CAST(post AS HUGEINT) * post) AS syy,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT)
+               AS sxa,
+             CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT)
+               AS sxb,
+             CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT)
+               AS sya,
+             CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT)
+               AS syb
+      FROM a),
+    d AS (
+      SELECT n, na, nb,
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               AS theta,
+             (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+             / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+               AS rho_sq,
+             CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na
+               AS raw_diff,
+             CAST(sxb AS DOUBLE) / nb - CAST(sxa AS DOUBLE) / na
+               AS pre_diff
+      FROM mo)
+    SELECT n AS n_users, na AS n_arm_a, nb AS n_arm_b,
+           round(theta, 6) AS theta,
+           round(rho_sq, 6) AS var_reduction,
+           round(raw_diff, 6) AS raw_diff_cents,
+           round(raw_diff - theta * pre_diff, 6) AS cuped_diff_cents
+    FROM d
+    """,
+)
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data)
+    variance reduction: regress each purchaser's post-period revenue
+    (days 16-30) on their pre-period revenue (days 1-15), adjust the
+    arm difference by theta*(pre-period imbalance), and report the
+    variance share removed (rho^2 — the fraction of metric noise the
+    covariate explains, i.e. how much smaller the experiment could
+    be).  Arms come from the agg_ab_srm_check multiplicative-hash
+    HIGH bit, so the A/B suite composes: SRM gates validity, CUPED
+    sharpens the read, agg_power_mde sizes the next test.
+    Purchasers only (users with no purchase have no metric; unlike
+    agg_gini_concentration's include-zeros choice, CUPED adjusts a
+    metric defined on the exposed population).
+
+    Parity: pre/post are exact cent sums; every centered moment is
+    the n-scaled integer n*Sxy - Sx*Sy (HUGEINT / Spark DECIMAL
+    products — per-user cents reach ~7e6 at the sf1x blow-up, so
+    squares need 128-bit); theta, rho^2, and the arm means are
+    shared-text double divisions over those exact integers,
+    round(6).  The day-15 split is a calendar constant of the 30-day
+    fixture (the agg_chow_test convention).
+
+    Shape at 100 TB: one filtered groupBy(user) collapse, ONE
+    moments aggregate over the user domain (arm sums ride the same
+    pass as conditional aggregates — no second scan, no join),
+    constant assembly."""
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'"
+                " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("pre"),
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'"
+                " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("post"),
+        )
+    )
+    a = u.selectExpr(
+        "pre",
+        "post",
+        "CAST((user_id * 2654435761) % 4294967296 div 2147483648"
+        " AS BIGINT) AS arm",
+    )
+    mo = a.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sx"),
+        F.sum("post").cast("bigint").alias("sy"),
+        F.expr("sum(CAST(pre AS DECIMAL(19,0)) * pre)").alias("sxx"),
+        F.expr("sum(CAST(pre AS DECIMAL(19,0)) * post)").alias("sxy"),
+        F.expr("sum(CAST(post AS DECIMAL(19,0)) * post)").alias("syy"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nb"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT)"
+        ).alias("sxa"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT)"
+        ).alias("sxb"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT)"
+        ).alias("sya"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT)"
+        ).alias("syb"),
+    )
+    d = mo.selectExpr(
+        "n",
+        "na",
+        "nb",
+        "CAST(n * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)"
+        " / CAST(n * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE)"
+        " AS theta",
+        "(CAST(n * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)"
+        " * CAST(n * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE))"
+        " / (CAST(n * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE)"
+        " * CAST(n * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DOUBLE))"
+        " AS rho_sq",
+        "CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na AS raw_diff",
+        "CAST(sxb AS DOUBLE) / nb - CAST(sxa AS DOUBLE) / na AS pre_diff",
+    )
+    return d.selectExpr(
+        "n AS n_users",
+        "na AS n_arm_a",
+        "nb AS n_arm_b",
+        "round(theta, 6) AS theta",
+        "round(rho_sq, 6) AS var_reduction",
+        "round(raw_diff, 6) AS raw_diff_cents",
+        "round(raw_diff - theta * pre_diff, 6) AS cuped_diff_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_power_mde
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_power_mde",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS converted
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT converted,
+             CAST((user_id * 2654435761) % 4294967296 // 2147483648
+                  AS BIGINT) AS arm
+      FROM u),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM a)
+    SELECT n AS n_users, least(na, nb) AS n_per_arm,
+           round(CAST(conv AS DOUBLE) / n, 6) AS base_rate,
+           round((1.959964 + 0.841621)
+                 * sqrt(CAST(2 * conv * (n - conv) AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n * least(na, nb))), 6)
+             AS mde_abs,
+           round(((1.959964 + 0.841621)
+                  * sqrt(CAST(2 * conv * (n - conv) AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * least(na, nb))))
+                 / (CAST(conv AS DOUBLE) / n), 6) AS mde_rel
+    FROM s
+    """,
+)
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT for a two-proportion A/B test on
+    user purchase conversion at alpha = .05 (two-sided) and 80%
+    power: MDE = (z_.975 + z_.80) * sqrt(2*p*(1-p)/n_arm) with the
+    observed base rate p and the SMALLER hash-assigned arm as the
+    conservative n.  The experiment-DESIGN member of the A/B suite:
+    agg_two_proportion_ztest reads a finished test,
+    agg_ab_srm_check validates its assignment, this one says what
+    effect size the NEXT test can even see — the first number a
+    growth team asks for.
+
+    Parity: conversion flags and arm counts are exact integers;
+    p*(1-p)/n_arm is assembled as the all-integer ratio
+    2*conv*(n-conv) / (n^2 * n_arm) with ONE double cast each side
+    (the round-8 decimal-literal rule), one IEEE sqrt; the z
+    constants are 6-decimal literals identical in both texts,
+    round(6).
+
+    Shape at 100 TB: one groupBy(user) conversion collapse, one
+    aggregate — the SRM shape with a max() flag."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("converted")
+    )
+    a = u.selectExpr(
+        "converted",
+        "CAST((user_id * 2654435761) % 4294967296 div 2147483648"
+        " AS BIGINT) AS arm",
+    )
+    s = a.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nb"),
+    )
+    mde_txt = (
+        "(1.959964 + 0.841621)"
+        " * sqrt(CAST(2 * conv * (n - conv) AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n * least(na, nb)))"
+    )
+    return s.selectExpr(
+        "n AS n_users",
+        "least(na, nb) AS n_per_arm",
+        "round(CAST(conv AS DOUBLE) / n, 6) AS base_rate",
+        f"round({mde_txt}, 6) AS mde_abs",
+        f"round(({mde_txt}) / (CAST(conv AS DOUBLE) / n), 6) AS mde_rel",
+    )

@@ -348,3 +348,53 @@ def test_tost_monitor_live_matches_batch_op(spark, sf_dir):
     assert live == batch
     (row,) = batch
     assert row[0] > 0 and row[2] > 0  # cohorts are non-empty
+
+
+def test_psi_drift_live_matches_python_recompute(spark, sf_dir):
+    """Plain-Python PSI re-derivation from the raw parquet (pandas
+    only, no Spark/SQL reuse): day-1 events freeze the decile edges
+    via the strict-less domain CDF, every later event bins against
+    them, and the per-bin (n_a, n_b, psi_term) table plus the total
+    must match the drained live monitor exactly.  Independent of both
+    engines, so a logic bug mirrored into the oracle cannot hide."""
+    import math
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.streaming.core import (
+        _PSI_CUT_US,
+        stream_psi_drift_live,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    vc = (ev["value"] * 100).round(0).astype("int64")
+    ref = sorted(vc[us < _PSI_CUT_US])
+    cur = vc[us >= _PSI_CUT_US]
+    na, nb = len(ref), len(cur)
+    assert na > 0 and nb > 0  # day-1 reference is non-empty
+
+    def g(v):  # strict-less CDF decile bin
+        less = sum(1 for r in ref if r < v)
+        return min(9, 10 * less // na)
+
+    n_a: dict[int, int] = {}
+    n_b: dict[int, int] = {}
+    for r in ref:
+        n_a[g(r)] = n_a.get(g(r), 0) + 1
+    for c in cur:
+        n_b[g(c)] = n_b.get(g(c), 0) + 1
+    eps = 1e-6
+    expected = {}
+    total = 0.0
+    for b in sorted(set(n_a) | set(n_b)):
+        pa = max(n_a.get(b, 0) / na, eps)
+        pb = max(n_b.get(b, 0) / nb, eps)
+        term = round((pa - pb) * math.log(pa / pb), 9)
+        total += term
+        expected[b] = (n_a.get(b, 0), n_b.get(b, 0), round(term, 6))
+    got = stream_psi_drift_live(spark, sf_dir).collect()
+    assert {(r.bin, r.n_a, r.n_b, r.psi_term) for r in got} == {
+        (b, a, c, t) for b, (a, c, t) in expected.items()
+    }
+    assert all(abs(r.psi_total - round(total, 6)) < 1e-9 for r in got)

@@ -1397,3 +1397,202 @@ def stream_tost_monitor_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.selectExpr(*_TOST_DIFF_SE_EXPRS).selectExpr(
         *_TOST_FINAL_EXPRS
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_psi_drift_live
+# ---------------------------------------------------------------------------
+
+_PSI_CUT_US = 1704153600000000  # 2024-01-02T00:00:00Z — end of fixture day 1
+_PSI_EPS = "0.000001"  # zero-bin guard, identical literal on both engines
+
+
+@query(
+    "stream_psi_drift_live",
+    # Full oracle by the per-batch-INCREMENT identity
+    # (stream_markov_transition_live's family): per-bin counts emitted
+    # each micro-batch sum to the total current-period histogram
+    # independent of batch cuts, and the frozen-edge bin assignment
+    # equals the domain-CDF formula the SQL twin uses (see docstring
+    # proof), so the drained PSI table equals agg_psi_drift's
+    # arithmetic on the day-1-vs-rest split bit-for-bit.
+    oracle=f"""
+    WITH ev2 AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+             CASE WHEN epoch_us(ts) < {_PSI_CUT_US} THEN 1 ELSE 0 END AS in_a
+      FROM events),
+    dom AS (
+      SELECT vc,
+             CAST(sum(in_a) AS BIGINT) AS ca,
+             CAST(sum(1 - in_a) AS BIGINT) AS cb
+      FROM ev2 GROUP BY vc),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM dom),
+    cum AS (
+      SELECT vc, ca, cb,
+             CAST(coalesce(sum(ca) OVER (ORDER BY vc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cal
+      FROM dom),
+    binned AS (
+      SELECT least(9, 10 * cum.cal // tot.na) AS bin,
+             CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             max(tot.na) AS na, max(tot.nb) AS nb
+      FROM cum CROSS JOIN tot GROUP BY 1),
+    terms AS (
+      SELECT bin, n_a, n_b,
+             round(CAST(n_a AS DOUBLE) / na, 6) AS pct_a,
+             round(CAST(n_b AS DOUBLE) / nb, 6) AS pct_b,
+             CAST(round(
+               (greatest(CAST(n_a AS DOUBLE) / na, {_PSI_EPS})
+                - greatest(CAST(n_b AS DOUBLE) / nb, {_PSI_EPS}))
+               * ln(greatest(CAST(n_a AS DOUBLE) / na, {_PSI_EPS})
+                    / greatest(CAST(n_b AS DOUBLE) / nb, {_PSI_EPS})),
+               9) AS DECIMAL(28,9)) AS term
+      FROM binned)
+    SELECT bin, n_a, n_b, pct_a, pct_b,
+           round(CAST(term AS DOUBLE), 6) AS psi_term,
+           round(CAST(sum(term) OVER () AS DOUBLE), 6) AS psi_total
+    FROM terms
+    """,
+)
+def stream_psi_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE POPULATION-STABILITY-INDEX drift monitor against a FROZEN
+    day-1 reference histogram — the first monitoring op a production
+    feature pipeline deploys (agg_psi_drift is its batch/backfill
+    twin over the midpoint split; this one watches traffic flow):
+    day-1 events define decile edges ONCE, the stream bins every
+    later event against those frozen edges, and the drained per-bin
+    counts feed the standard PSI = sum((pa-pb)*ln(pa/pb)) table.
+
+    Frozen-edge assignment == domain-CDF binning, exactly: the bin of
+    any integer-cent value v is g(v) = least(9, 10*cntA_less(v) div
+    nA) where cntA_less counts day-1 events with value STRICTLY less
+    than v.  g steps only at v = r+1 for day-1 domain points r (that
+    is where r's own mass enters the strict-less count — evaluating
+    the CDF at the ref points themselves mis-bins every current value
+    that falls strictly between two ref points, off by the lower
+    point's mass; caught by the first selfcheck).  So edge e_b =
+    min{{r+1 : 10*cum_incl(r) div nA >= b}} with cum_incl the
+    INCLUSIVE ref CDF — always defined for b = 1..9 because
+    cum_incl(max_ref) = nA gives 10 — and #{{b : e_b <= v}} = g(v)
+    for every integer v (v > max_ref: all nine edges <= max_ref+1
+    <= v, matching least(9, 10*nA div nA)).  The live operator's
+    CASE-chain bin (9 frozen literals, pure JVM codegen, no join on
+    the hot path) therefore carries agg_psi_drift's full SQL oracle
+    on the day-1-vs-rest split.
+
+    Streaming shape: per-bin keyed state (running n, one bigint per
+    bin — 10 keys total), each micro-batch emits the bin's INCREMENT;
+    increments sum to the batch histogram independent of batch cuts
+    (stream_markov_transition_live's identity family).  The edge
+    collect is <= 10 rows (one per bin_lo group of the day-1 CDF) —
+    bounded by construction, not by fixture size."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = table(spark, sf_dir, "events")
+    ref = ev.where(F.unix_micros("ts") < F.lit(_PSI_CUT_US)).select(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("vc")
+    )
+    dom = ref.groupBy("vc").agg(F.count("*").cast("bigint").alias("ca"))
+    from pyspark.sql import Window as _W
+
+    wi = _W.orderBy("vc").rowsBetween(_W.unboundedPreceding, 0)
+    tot = dom.agg(F.sum("ca").cast("bigint").alias("na"))
+    cdf = dom.select(
+        "vc",
+        F.sum("ca").over(wi).cast("bigint").alias("cum_incl"),
+    )
+    # <=10 rows: first domain value whose INCLUSIVE CDF reaches each
+    # decile floor; e_b = that value + 1 (g steps at r+1, see proof)
+    grp = (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("10 * cum_incl div na").alias("blo"))
+        .agg(F.min("vc").alias("mv"))
+        .collect()
+    )
+    edges = [
+        min(r["mv"] for r in grp if r["blo"] >= b) + 1 for b in range(1, 10)
+    ]
+    bin_expr = (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN vc >= {e} THEN 1 ELSE 0 END)" for e in edges
+        )
+        + " AS BIGINT)"
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        c = 0
+        part = _batch_slice(pdf_iter, ["vc"])
+        if part is not None:
+            c = len(part)
+        n += c
+        state.update((n,))
+        if c:
+            (bin_,) = key
+            yield pd.DataFrame([(bin_, c)], columns=["bin", "c"])
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = (
+        stream_events(spark, src)
+        .where(F.unix_micros("ts") >= F.lit(_PSI_CUT_US))
+        .withColumn("vc", F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+        .select(F.expr(bin_expr).alias("bin"), "vc")
+    )
+    out = stream.groupBy("bin").applyInPandasWithState(
+        fold,
+        outputStructType="bin bigint, c bigint",
+        stateStructType="n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(out, "psi_live", "append")
+    cur = (
+        spark.table("psi_live")
+        .groupBy("bin")
+        .agg(F.sum("c").cast("bigint").alias("n_b"))
+    )
+    ref_hist = ref.groupBy(F.expr(bin_expr).alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n_a")
+    )
+    joined = ref_hist.join(cur, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+    )
+    w_all = _W.partitionBy()
+    terms = joined.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w_all).alias("na"),
+        F.sum("n_b").over(w_all).alias("nb"),
+    ).selectExpr(
+        "bin",
+        "n_a",
+        "n_b",
+        "round(CAST(n_a AS DOUBLE) / na, 6) AS pct_a",
+        "round(CAST(n_b AS DOUBLE) / nb, 6) AS pct_b",
+        f"""CAST(round(
+          (greatest(CAST(n_a AS DOUBLE) / na, {_PSI_EPS})
+           - greatest(CAST(n_b AS DOUBLE) / nb, {_PSI_EPS}))
+          * ln(greatest(CAST(n_a AS DOUBLE) / na, {_PSI_EPS})
+               / greatest(CAST(n_b AS DOUBLE) / nb, {_PSI_EPS})),
+          9) AS DECIMAL(28,9)) AS term""",
+    )
+    return terms.select(
+        "bin",
+        "n_a",
+        "n_b",
+        "pct_a",
+        "pct_b",
+        F.round(F.col("term").cast("double"), 6).alias("psi_term"),
+        F.round(F.sum("term").over(w_all).cast("double"), 6).alias(
+            "psi_total"
+        ),
+    )

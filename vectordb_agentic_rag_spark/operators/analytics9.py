@@ -3423,19 +3423,27 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: recency is an exact integer day difference anchored to
     max(o_orderdate) (no wall clock — deterministic and
-    fixture-stable); quintiles come from row_number over
-    (metric, custkey) bucketed by the integer formula
+    fixture-stable); quintiles come from the exact (metric, custkey)
+    total-order rank bucketed by the integer formula
     1 + (r-1)*5 div n (the agg_cohens_kappa_daily convention — NOT
     ntile), so every score is an exact integer and the rollup is
     pure integer aggregation; recency ranks DESCEND so score 5 =
     most recent on all three axes.
 
-    Shape at 100 TB: one groupBy(custkey) collapse of orders; three
-    ranking windows over the customer domain (a production variant
-    at 1e9 customers would swap row_number for the value-domain
-    rank-offset machinery of pipeline_shard_assign — documented
-    tradeoff, the fixture's 1e4-1e6 customers sort in one pass); a
-    <=125-row rollup ends it."""
+    Shape at 100 TB: one groupBy(custkey) collapse of orders, then
+    NO global row_number — each metric's rank decomposes via
+    pipeline_shard_assign's value-domain machinery: count per
+    distinct metric value, ordered cumulative over that domain for
+    the global offset, PARTITIONED row_number within the value by
+    custkey; r = offset + within-rank reproduces the exact total
+    order.  Recency (<= date-span days) and frequency (<= max order
+    count) domains are bounded-small and broadcast back; the
+    monetary domain is ~|customers| distinct cents, so its offsets
+    come back through a shuffle equi-join on mon — which also
+    co-locates the partitionBy(mon) tie-break window (one shuffle,
+    reused; the only single-partition sort anywhere is over 2-column
+    (value, count) domains, never the customer rows).  A <=125-row
+    rollup ends it."""
     o = table(spark, sf_dir, "orders")
     mx = o.agg(
         F.expr("max(CAST(o_orderdate AS DATE))").alias("mxd")
@@ -3454,18 +3462,52 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mon"),
         )
     )
-    rk = base.select(
-        "mon",
-        F.row_number()
-        .over(Window.orderBy(F.col("rec_days").desc(), "o_custkey"))
-        .alias("rr"),
-        F.row_number()
-        .over(Window.orderBy("freq", "o_custkey"))
-        .alias("rf"),
-        F.row_number()
-        .over(Window.orderBy("mon", "o_custkey"))
-        .alias("rm"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    tot = base.agg(F.count("*").cast("bigint").alias("n"))
+
+    def _dom_offsets(metric: str, descending: bool, out: str):
+        cnt = base.groupBy(metric).agg(F.count("*").alias("c"))
+        order = F.col(metric).desc() if descending else F.col(metric)
+        wd = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return cnt.select(
+            metric,
+            F.coalesce(F.sum("c").over(wd), F.lit(0))
+            .cast("bigint")
+            .alias(out),
+        )
+
+    off_r = _dom_offsets("rec_days", True, "off_r")
+    off_f = _dom_offsets("freq", False, "off_f")
+    off_m = _dom_offsets("mon", False, "off_m")
+    rk = (
+        base.join(off_m, "mon")  # big domain: shuffle join, reused by
+        # the partitionBy(mon) window below
+        .join(F.broadcast(off_r), "rec_days")
+        .join(F.broadcast(off_f), "freq")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "mon",
+            "n",
+            (
+                F.col("off_r")
+                + F.row_number().over(
+                    Window.partitionBy("rec_days").orderBy("o_custkey")
+                )
+            ).alias("rr"),
+            (
+                F.col("off_f")
+                + F.row_number().over(
+                    Window.partitionBy("freq").orderBy("o_custkey")
+                )
+            ).alias("rf"),
+            (
+                F.col("off_m")
+                + F.row_number().over(
+                    Window.partitionBy("mon").orderBy("o_custkey")
+                )
+            ).alias("rm"),
+        )
     )
     sc = rk.selectExpr(
         "CAST(1 + (rr - 1) * 5 div n AS BIGINT) AS r_score",

@@ -1,0 +1,161 @@
+"""Recompute pytests for the round-11 queued ops (implemented round 10,
+registration deferred — see registry._DEFERRED_OPERATOR_MODULES).
+Plain-Python re-derivations from the raw parquet: independent of both
+engines, so a logic bug mirrored into the oracle cannot hide."""
+
+import pandas as pd
+
+
+def test_substring_span_purge_matches_exact_string_recompute(spark, sf_dir):
+    """Re-derive the purge spans with EXACT window strings (no hashing
+    at all): any rolling-hash collision or prefix-hash indexing bug in
+    the operator would desynchronize from this ground truth.  Also
+    verifies the char offsets by slicing the original text."""
+    from vectordb_agentic_rag_spark.operators.queue_r11 import (
+        _PURGE_K,
+        dedup_substring_span_purge,
+    )
+
+    K = _PURGE_K
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    counts: dict[str, int] = {}
+    for tk in toks.values():
+        for i in range(len(tk) - K + 1):
+            s = " ".join(tk[i : i + K])
+            counts[s] = counts.get(s, 0) + 1
+    expected = set()
+    texts = {int(r.doc_id): r.text for r in docs.itertuples()}
+    for doc_id, tk in toks.items():
+        dup_i = [
+            i + 1  # 1-based
+            for i in range(len(tk) - K + 1)
+            if counts[" ".join(tk[i : i + K])] >= 2
+        ]
+        runs = []
+        for i in dup_i:
+            if runs and i - runs[-1][1] <= K:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        spans = [(st, en + K - 1) for st, en in runs]
+        total = sum(en - st + 1 for st, en in spans)
+        for idx, (st, en) in enumerate(sorted(spans), 1):
+            start_char = (
+                1 if st == 1 else len(" ".join(tk[: st - 1])) + 2
+            )
+            end_char = len(" ".join(tk[:en]))
+            expected.add(
+                (doc_id, idx, st, en, en - st + 1, start_char, end_char,
+                 len(tk), total)
+            )
+            # char offsets really do address the span's bytes
+            assert (
+                texts[doc_id][start_char - 1 : end_char]
+                == " ".join(tk[st - 1 : en])
+            )
+    got = {
+        (
+            r.doc_id, r.run_idx, r.start_tok, r.end_tok, r.run_tokens,
+            r.start_char, r.end_char, r.doc_tokens, r.doc_purged_tokens,
+        )
+        for r in dedup_substring_span_purge(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0  # the fixture has verbatim repeated spans
+
+
+def test_band_tuning_matches_python_recompute(spark, sf_dir):
+    """Re-derive the whole tuning table in Python — minhash signatures,
+    per-scheme band-group slot counts (including a PACKED-key twin for
+    the (4,2) production scheme, catching any fold-key collision), the
+    stride-pair Jaccard quantiles, and the unrolled S-curve."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _A,
+        _B,
+        N_HASH,
+        P_CODE,
+        P_HASH,
+    )
+    from vectordb_agentic_rag_spark.operators.queue_r11 import (
+        _TUNE_PCTS,
+        _TUNE_SCHEMES,
+        _TUNE_STRIDE,
+        text_minhash_band_tuning,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+
+    def code(tok: str) -> int:
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % P_CODE
+        return h
+
+    csets, sigs = {}, {}
+    for r in docs.itertuples():
+        cs = [code(t) for t in dict.fromkeys(r.text.split(" "))]
+        csets[int(r.doc_id)] = set(cs)
+        sigs[int(r.doc_id)] = [
+            min((_A[i] * c + _B[i]) % P_HASH for c in cs)
+            for i in range(N_HASH)
+        ]
+
+    slot_counts = {}
+    for b, rr in _TUNE_SCHEMES:
+        groups: dict[tuple[int, int], int] = {}
+        for s in sigs.values():
+            for j in range(b):
+                h = 0
+                for k in range(rr):
+                    h = (h * 131 + s[j * rr + k]) % P_HASH
+                groups[(j, h)] = groups.get((j, h), 0) + 1
+        slot_counts[(b, rr)] = sum(c * (c - 1) // 2 for c in groups.values())
+    # packed-key twin of the (4,2) production banding
+    packed: dict[tuple[int, int], int] = {}
+    for s in sigs.values():
+        for j in range(4):
+            packed[(j, s[2 * j] * P_HASH + s[2 * j + 1])] = (
+                packed.get((j, s[2 * j] * P_HASH + s[2 * j + 1]), 0) + 1
+            )
+    assert slot_counts[(4, 2)] == sum(
+        c * (c - 1) // 2 for c in packed.values()
+    )
+
+    jm = sorted(
+        len(csets[i] & csets[i + _TUNE_STRIDE])
+        * 1_000_000
+        // len(csets[i] | csets[i + _TUNE_STRIDE])
+        for i in csets
+        if i + _TUNE_STRIDE in csets
+    )
+    n = len(jm)
+    quant = {p: jm[(p * n + 99) // 100 - 1] for p in _TUNE_PCTS}
+
+    expected = set()
+    for b, rr in _TUNE_SCHEMES:
+        for p in _TUNE_PCTS:
+            j = quant[p] / 1_000_000.0
+            jr = j
+            e = rr
+            while e > 1:
+                jr = jr * jr
+                e //= 2
+            q = 1.0 - jr
+            e = b
+            while e > 1:
+                q = q * q
+                e //= 2
+            pc = jr if b == 1 else 1.0 - q
+            expected.add(
+                (b, rr, p, quant[p], round(pc, 6), slot_counts[(b, rr)])
+            )
+    got = {
+        (
+            r.bands, r.rows_per_band, r.quantile_pct, r.j_micro,
+            r.p_collide, r.candidate_slots,
+        )
+        for r in text_minhash_band_tuning(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) == len(_TUNE_SCHEMES) * len(_TUNE_PCTS)

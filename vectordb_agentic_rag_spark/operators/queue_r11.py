@@ -1,0 +1,483 @@
+"""Round-11 queued operators (implemented in round 10, registration
+deferred): the driver verifies only ``ordered_queries()[:50]`` and both
+ops carry priority prefixes (dedup_/text_), so registering them while
+the round-9 backlog drains would displace backlog ops from the window.
+``registry._DEFERRED_OPERATOR_MODULES`` keeps this module OUT of
+``load_all_operators``; tests and tools/selfcheck.py import it via
+``load_deferred_operators``.  To ship: move the module entry into
+``_OPERATOR_MODULES`` at round-11 start.
+
+Reference scope: both ops extend the LLM-training-data pipeline surface
+(SURVEY.md §2C) — the reference app re-ingests documents verbatim
+(app.py:453-484), which is exactly the repeated-span / near-dup corpus
+shape these stages clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .dedup import (
+    _A,
+    _B,
+    _DUCK_CODES,
+    _SPARK_CODES,
+    N_HASH,
+    P_CODE,
+    P_HASH,
+)
+
+# ---------------------------------------------------------------------------
+# dedup_substring_span_purge
+# ---------------------------------------------------------------------------
+
+_PURGE_K = 50  # tokens per window — the BigCode/Dolma substring-dedup length
+_P1, _M1 = 1_000_000_007, 131  # primary rolling hash (repo convention)
+_P2, _M2 = 998_244_353, 137  # independent second hash: the pair keys
+# collisions at ~1e-9 * 1e-9 scale, so a hash-equal window pair IS a
+# text-equal window pair for any feasible corpus shard
+_POW1_K = 629313585  # 131^50 mod P1 (precomputed exact constant)
+_POW2_K = 140343980  # 137^50 mod P2
+
+
+def _duck_win_hash(mult: int, prime: int) -> str:
+    """DuckDB window fingerprint: direct left fold of the K token codes
+    starting at i (O(K) per window — fine for the oracle at sf0.01)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_slice(tc, i, i + {_PURGE_K} - 1)), "
+        f"(h, c) -> (h * {mult} + c) % {prime})"
+    )
+
+
+@query(
+    "dedup_substring_span_purge",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tc AS (
+      SELECT doc_id, tk,
+             list_transform(tk, tok -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % {P_CODE})) AS tc
+      FROM t),
+    wins AS (
+      SELECT doc_id, i,
+             {_duck_win_hash(_M1, _P1)} AS h1,
+             {_duck_win_hash(_M2, _P2)} AS h2
+      FROM (SELECT doc_id, tc,
+                   unnest(generate_series(1, len(tc) - {_PURGE_K} + 1)) AS i
+            FROM tc WHERE len(tc) >= {_PURGE_K}) z),
+    hc AS (SELECT h1, h2, count(*) AS c FROM wins GROUP BY h1, h2),
+    dup AS (
+      SELECT w.doc_id, w.i,
+             CASE WHEN lag(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i)
+                       IS NULL
+                   OR w.i - lag(w.i) OVER (PARTITION BY w.doc_id
+                                           ORDER BY w.i) > {_PURGE_K}
+                  THEN 1 ELSE 0 END AS new_run
+      FROM wins w JOIN hc USING (h1, h2) WHERE hc.c >= 2),
+    runs AS (
+      SELECT doc_id, i,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS run_no
+      FROM dup),
+    spans AS (
+      SELECT doc_id, run_no,
+             CAST(min(i) AS BIGINT) AS start_tok,
+             CAST(max(i) + {_PURGE_K} - 1 AS BIGINT) AS end_tok
+      FROM runs GROUP BY doc_id, run_no),
+    out AS (
+      SELECT s.doc_id,
+             CAST(row_number() OVER (PARTITION BY s.doc_id
+                                     ORDER BY s.start_tok) AS BIGINT)
+               AS run_idx,
+             s.start_tok, s.end_tok,
+             CAST(s.end_tok - s.start_tok + 1 AS BIGINT) AS run_tokens,
+             CASE WHEN s.start_tok = 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(length(array_to_string(
+                         list_slice(t.tk, 1, s.start_tok - 1), ' '))
+                       + 2 AS BIGINT) END AS start_char,
+             CAST(length(array_to_string(
+                    list_slice(t.tk, 1, s.end_tok), ' ')) AS BIGINT)
+               AS end_char,
+             CAST(len(t.tk) AS BIGINT) AS doc_tokens
+      FROM spans s JOIN t ON s.doc_id = t.doc_id)
+    SELECT doc_id, run_idx, start_tok, end_tok, run_tokens,
+           start_char, end_char, doc_tokens,
+           CAST(sum(run_tokens) OVER (PARTITION BY doc_id) AS BIGINT)
+             AS doc_purged_tokens
+    FROM out
+    """,
+)
+def dedup_substring_span_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING SPAN PURGE — the BigCode/Dolma substring-dedup
+    stage (Lee et al. 2021 ExactSubstr; the reference's verbatim
+    re-ingest, app.py:453-484, is exactly what creates these spans):
+    every 50-token window whose fingerprint occurs >= 2 times in the
+    corpus (across documents OR repeated within one) marks its tokens
+    for removal; overlapping/adjacent marked windows merge into
+    maximal PURGE RUNS, emitted one row per run with exact token AND
+    character offsets (1-based, inclusive) so a downstream writer can
+    cut the bytes without retokenizing — plus per-doc purged-token
+    totals.  dedup_span_ngram is the strided DETECTOR (dup-ratio
+    signal); this op emits the actionable spans.
+
+    Scale shape (the suffix array the paper builds does not shard;
+    rolling fingerprints do): one map pass computes per-token codes,
+    a PREFIX-HASH array per doc (aggregate building the running fold
+    — O(n) lambda frames), and every stride-1 window hash in O(1)
+    from the prefix array: h(i..i+K-1) = (pre[i+K] - pre[i]*M^K) mod P
+    — never the O(n*K) per-window refold (round-5 HOF-cost rule).
+    Two independent moduli (1e9+7/131, 998244353/137) make the join
+    key an effective 60-bit fingerprint, so hash-equal == text-equal
+    at any feasible scale.  One shuffle counts (h1, h2) multiplicity
+    (map-side combined), one per-doc window merges runs, and the
+    bounded run rows join back to documents for char offsets via
+    array_join prefix lengths (fixture texts are single-space joined —
+    pinned by the recompute pytest).
+
+    Parity: everything is exact BIGINT arithmetic — fingerprint folds,
+    run bounds, char offsets ((x % P + P) % P keeps the subtraction
+    non-negative on both engines; the DuckDB twin folds each window
+    directly, which is the same polynomial).  No floats anywhere."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("tk"))
+    tc = t.select(
+        "doc_id",
+        "tk",
+        F.expr(
+            "transform(tk, tok -> aggregate(split(tok, ''), "
+            f"CAST(0 AS BIGINT), (h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
+        ).alias("tc"),
+    )
+
+    def pre(mult: int, prime: int) -> str:
+        # prefix-hash array: pre[1] = 0, pre[j+1] = fold of codes 1..j
+        return (
+            "aggregate(tc, array(CAST(0 AS BIGINT)), "
+            f"(acc, c) -> concat(acc, array((element_at(acc, -1) * {mult} "
+            f"+ c) % {prime})))"
+        )
+
+    def win(pre_col: str, powk: int, prime: int) -> str:
+        # h(i..i+K-1) = (pre[i+K] - pre[i] * M^K) mod P, kept non-negative
+        return (
+            f"((element_at({pre_col}, i + {_PURGE_K}) "
+            f"- element_at({pre_col}, i) * {powk}) % {prime} + {prime}) "
+            f"% {prime}"
+        )
+
+    wins = (
+        tc.where(F.size("tc") >= _PURGE_K)
+        .select(
+            "doc_id",
+            F.expr(pre(_M1, _P1)).alias("p1"),
+            F.expr(pre(_M2, _P2)).alias("p2"),
+            F.expr(f"sequence(1, size(tc) - {_PURGE_K} + 1)").alias("ii"),
+        )
+        .select("doc_id", "p1", "p2", F.explode("ii").alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.expr(win("p1", _POW1_K, _P1)).alias("h1"),
+            F.expr(win("p2", _POW2_K, _P2)).alias("h2"),
+        )
+    )
+    hc = wins.groupBy("h1", "h2").agg(F.count("*").alias("c"))
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    dup = (
+        wins.join(hc.where(F.col("c") >= 2), ["h1", "h2"], "left_semi")
+        .withColumn("lag_i", F.lag("i").over(w_doc))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("lag_i").isNull()
+                | (F.col("i") - F.col("lag_i") > _PURGE_K),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_no",
+            F.sum("new_run").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = dup.groupBy("doc_id", "run_no").agg(
+        F.min("i").cast("bigint").alias("start_tok"),
+        (F.max("i") + _PURGE_K - 1).cast("bigint").alias("end_tok"),
+    )
+    w_idx = Window.partitionBy("doc_id").orderBy("start_tok")
+    out = (
+        spans.join(t, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(w_idx).cast("bigint").alias("run_idx"),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1)
+            .cast("bigint")
+            .alias("run_tokens"),
+            F.expr(
+                "CASE WHEN start_tok = 1 THEN CAST(1 AS BIGINT) "
+                "ELSE CAST(length(array_join(slice(tk, 1, "
+                "CAST(start_tok AS INT) - 1), ' ')) + 2 AS BIGINT) END"
+            ).alias("start_char"),
+            F.expr(
+                "CAST(length(array_join(slice(tk, 1, "
+                "CAST(end_tok AS INT)), ' ')) AS BIGINT)"
+            ).alias("end_char"),
+            F.size("tk").cast("bigint").alias("doc_tokens"),
+        )
+    )
+    w_tot = Window.partitionBy("doc_id")
+    return out.withColumn(
+        "doc_purged_tokens",
+        F.sum("run_tokens").over(w_tot).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_minhash_band_tuning
+# ---------------------------------------------------------------------------
+
+_TUNE_SCHEMES = [(8, 1), (4, 2), (2, 4), (1, 8)]  # b x r over the 8 hashes
+_TUNE_PCTS = [10, 25, 50, 75, 90]
+_TUNE_STRIDE = 250  # deterministic pair sampling: doc i vs doc i+250
+
+
+def _band_key(comps: list[str], prime: int) -> str:
+    """Band key = left fold (h*131 + s) % P over the band's signature
+    components — identical text on both engines (components < P, so
+    products stay far inside int64)."""
+    expr = comps[0]
+    for c in comps[1:]:
+        expr = f"(({expr}) * 131 + {c}) % {prime}"
+    return expr
+
+
+def _p_collide(b: int, r: int) -> str:
+    """1 - (1 - j^r)^b as an UNROLLED multiplication chain (integer
+    exponents only) — bit-identical IEEE ops on both engines, never
+    pow() (cross-libm ulp drift, CLAUDE.md round-7)."""
+
+    def sq_chain(base: str, e: int) -> str:
+        # e is a power of two in every scheme here
+        expr = base
+        while e > 1:
+            expr = f"({expr}) * ({expr})"
+            e //= 2
+        return expr
+
+    jr = sq_chain("j", r)
+    if b == 1:
+        return jr
+    return f"1.0 - ({sq_chain(f'(1.0 - ({jr}))', b)})"
+
+
+def _tune_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(cs, c -> ({_A[i]} * c + {_B[i]}) "
+        f"% {P_HASH})) AS s{i}"
+        for i in range(N_HASH)
+    )
+    slot_ctes = []
+    for b, r in _TUNE_SCHEMES:
+        bands = "\n        UNION ALL\n        ".join(
+            f"SELECT {j} AS band_no, "
+            f"{_band_key([f's{j * r + k}' for k in range(r)], P_HASH)} AS bk "
+            "FROM sigs"
+            for j in range(b)
+        )
+        slot_ctes.append(
+            f"slots_{b}_{r} AS (\n"
+            f"      SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand\n"
+            f"      FROM (SELECT count(*) AS c FROM (\n        {bands}\n"
+            f"        ) bb GROUP BY band_no, bk) g)"
+        )
+    scheme_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) "
+        f"AS rows_per_band, cand FROM slots_{b}_{r}"
+        for b, r in _TUNE_SCHEMES
+    )
+    p_cases = "\n             ".join(
+        f"WHEN bands = {b} AND rows_per_band = {r} "
+        f"THEN round({_p_collide(b, r)}, 6)"
+        for b, r in _TUNE_SCHEMES
+    )
+    pct_rows = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS quantile_pct" for p in _TUNE_PCTS
+    )
+    slot_cte_block = ",\n    ".join(slot_ctes)
+    return f"""
+    WITH codes AS (
+      SELECT doc_id, {_DUCK_CODES} AS cs FROM documents),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM codes),
+    csets AS (SELECT doc_id, list_distinct(cs) AS cset FROM codes),
+    pairs AS (
+      SELECT (CAST(len(list_filter(a.cset, x -> list_contains(b.cset, x)))
+                AS BIGINT) * 1000000)
+             // (len(a.cset) + len(b.cset)
+                 - len(list_filter(a.cset, x -> list_contains(b.cset, x))))
+               AS j_micro
+      FROM csets a JOIN csets b ON b.doc_id = a.doc_id + {_TUNE_STRIDE}),
+    jl AS (
+      SELECT list_sort(list(j_micro)) AS js,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pairs),
+    quant AS (
+      SELECT p.quantile_pct,
+             list_extract(jl.js,
+               CAST((p.quantile_pct * jl.n + 99) // 100 AS INT)) AS j_micro
+      FROM ({pct_rows}) p CROSS JOIN jl),
+    {slot_cte_block},
+    schemes AS (
+      {scheme_rows})
+    SELECT s.bands, s.rows_per_band, q.quantile_pct, q.j_micro,
+           CASE {p_cases}
+           END AS p_collide,
+           s.cand AS candidate_slots
+    FROM schemes s CROSS JOIN
+         (SELECT quantile_pct, j_micro,
+                 CAST(j_micro AS DOUBLE) / 1000000.0 AS j FROM quant) q
+    ORDER BY s.bands DESC, q.quantile_pct
+    """
+
+
+@query("text_minhash_band_tuning", oracle=_tune_oracle())
+def text_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH (bands, rows) TUNING TABLE — the S-curve sheet an
+    engineer reads before picking dedup_near_minhash's operating point
+    (its production config is the (4, 2) row): for every banding of
+    the repo's 8 signature hashes — (8,1), (4,2), (2,4), (1,8) — emit
+    the analytic candidate probability 1-(1-j^r)^b at the corpus's
+    MEASURED code-set Jaccard quantiles (p10/p25/p50/p75/p90 over a
+    deterministic stride-250 pair sample) plus the DETERMINISTIC
+    candidate-slot count that banding produces on this corpus
+    (sum over band groups of C(size, 2) — the join volume the scheme
+    would feed the verifier; slots, not distinct pairs, because the
+    count is computable from group sizes alone with no pair
+    materialization at any scale).  The vec_ann_recall_sweep analogue
+    for the dedup side.
+
+    Scale shape: signatures are one map pass (shared expression text
+    with dedup_minhash_signatures); per-scheme candidate volume is a
+    groupBy count over band keys — never a pair join; the measured
+    Jaccard sample is one stride equi-join producing n_docs pairs, and
+    its exact quantiles are integer j_micro = (|inter|*1e6) div |union|
+    picks from one sorted bounded list (at 100 TB you'd hash-gate the
+    pair sample and swap the exact pick for approx_percentile — the
+    stride design keeps the list |docs|-bounded, stated here because
+    the collect_list row is the op's only single-node piece).
+
+    Parity: band keys and j_micro are exact BIGINT folds; p_collide is
+    an UNROLLED multiplication chain on j = j_micro/1e6 (integer
+    exponents, identical IEEE op sequence both engines — pow() would
+    drift cross-libm); quantile indexes are (pct*n + 99) div 100, all
+    integers.  The (4,2) candidate_slots column is cross-checked
+    against dedup_near_minhash's banding by the recompute pytest."""
+    d = table(spark, sf_dir, "documents")
+    codes = d.select("doc_id", F.expr(_SPARK_CODES).alias("cs"))
+    sigs = codes.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(cs, c -> ({_A[i]} * c + {_B[i]}) "
+                f"% {P_HASH}))"
+            ).alias(f"s{i}")
+            for i in range(N_HASH)
+        ],
+    ).localCheckpoint()  # bounded: one row per doc, 9 ints; referenced
+    # by all 4 scheme branches (round-8 rule: multi-referenced frames
+    # checkpoint, never re-derive the scan per branch)
+
+    scheme_frames = []
+    for b, r in _TUNE_SCHEMES:
+        bands = None
+        for j in range(b):
+            part = sigs.select(
+                F.lit(j).alias("band_no"),
+                F.expr(
+                    _band_key([f"s{j * r + k}" for k in range(r)], P_HASH)
+                ).alias("bk"),
+            )
+            bands = part if bands is None else bands.unionByName(part)
+        cand = (
+            bands.groupBy("band_no", "bk")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum(F.expr("c * (c - 1) div 2"))
+                .cast("bigint")
+                .alias("cand")
+            )
+            .select(
+                F.lit(b).cast("bigint").alias("bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                "cand",
+            )
+        )
+        scheme_frames.append(cand)
+    schemes = scheme_frames[0]
+    for fr in scheme_frames[1:]:
+        schemes = schemes.unionByName(fr)
+
+    csets = codes.select("doc_id", F.array_distinct("cs").alias("cset"))
+    a = csets.alias("a")
+    bb = csets.alias("b")
+    inter = "size(array_intersect(a.cset, b.cset))"
+    pairs = a.join(
+        bb, F.col("b.doc_id") == F.col("a.doc_id") + _TUNE_STRIDE
+    ).select(
+        F.expr(
+            f"CAST({inter} AS BIGINT) * 1000000 div "
+            f"(size(a.cset) + size(b.cset) - {inter})"
+        ).alias("j_micro")
+    )
+    jl = pairs.agg(
+        F.sort_array(F.collect_list("j_micro")).alias("js"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in _TUNE_PCTS], "quantile_pct bigint"
+    )
+    quant = (
+        pcts.crossJoin(F.broadcast(jl))
+        .select(
+            "quantile_pct",
+            F.expr(
+                "element_at(js, CAST((quantile_pct * n + 99) div 100 "
+                "AS INT))"
+            ).alias("j_micro"),
+        )
+        .withColumn("j", F.expr("CAST(j_micro AS DOUBLE) / 1000000.0"))
+    )
+    p_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN bands = {b} AND rows_per_band = {r} "
+            f"THEN round({_p_collide(b, r)}, 6)"
+            for b, r in _TUNE_SCHEMES
+        )
+        + " END"
+    )
+    return (
+        schemes.crossJoin(F.broadcast(quant))
+        .select(
+            "bands",
+            "rows_per_band",
+            "quantile_pct",
+            "j_micro",
+            F.expr(p_case).alias("p_collide"),
+            F.col("cand").alias("candidate_slots"),
+        )
+        .orderBy(F.col("bands").desc(), "quantile_pct")
+    )

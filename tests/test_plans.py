@@ -1179,3 +1179,58 @@ def test_day_domain_wave_ops_zero_fact_rescans(spark, sf_dir):
         plan = plan_of(QUERIES[op](spark, sf_dir))
         assert plan.count("Location: InMemoryFileIndex") == 0, op
         assert "BatchEvalPython" not in plan, op
+
+
+def test_srm_check_single_scan_no_shuffle_ops(spark, sf_dir):
+    # the chi^2 SRM gate is ONE conditional-moment scan of events with
+    # partial aggregation — no join, no window, no Python
+    plan = plan_of(QUERIES["agg_ab_srm_check"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cuped_one_moments_pass(spark, sf_dir):
+    # theta/rho^2 come from n-scaled integer moments gathered in ONE
+    # events pass (per-user pre/post sums then one global aggregate):
+    # a single scan, partial aggregation, no window
+    plan = plan_of(QUERIES["agg_cuped_adjustment"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_constraint_audit_zero_rescans(spark, sf_dir):
+    # each audited table is scanned ONCE at checkpoint time (all of a
+    # table's checks ride one conditional-sum pass); the 7-row union of
+    # 1-row frames must not re-derive any table scan
+    plan = plan_of(QUERIES["maintenance_constraint_audit"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_rfm_segments_no_fact_rescans_no_python(spark, sf_dir):
+    # the customer-grain base is checkpointed (referenced 5x) and the
+    # three quintile ranks are value-domain offsets + PARTITIONED
+    # row_number — zero orders rescans, no cartesian, no Python; the
+    # only single-partition sorts left are the 2-column value domains
+    plan = plan_of(QUERIES["agg_rfm_segments"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_hhi_broadcast_dims_one_fact_scan(spark, sf_dir):
+    # lineitem scanned once, supplier and nation broadcast (dims are
+    # always the small side), shares aggregated map-side — no
+    # sort-merge join, no window
+    plan = plan_of(QUERIES["agg_hhi_concentration"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

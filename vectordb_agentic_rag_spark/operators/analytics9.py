@@ -3231,14 +3231,16 @@ def maintenance_constraint_audit(
             "CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')"
             " OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("v_status"),
-    )
+    ).localCheckpoint()  # 1-row frame, referenced once per orders
+    # constraint below — without the checkpoint each union branch
+    # re-derives the full table scan (4 orders scans, round-10 audit)
     li = table(spark, sf_dir, "lineitem").agg(
         F.count("*").cast("bigint").alias("n"),
         F.expr(
             "CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1"
             " OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("v_qty"),
-    )
+    ).localCheckpoint()  # 1-row
     e = table(spark, sf_dir, "events").agg(
         F.count("*").cast("bigint").alias("n"),
         F.expr(
@@ -3249,7 +3251,7 @@ def maintenance_constraint_audit(
             "CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0"
             " THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("v_user"),
-    )
+    ).localCheckpoint()  # 1-row
 
     def rows(frame, specs):
         out = None
@@ -3461,6 +3463,11 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("mon"),
         )
+        .localCheckpoint()  # customer-grain aggregate referenced 5x
+        # (count + 3 metric domains + the final rank join): without
+        # the checkpoint every reference re-derives the orders scan
+        # (10 scans in the round-10 plan audit); at scale this is the
+        # materialized first shuffle a production job would persist
     )
     tot = base.agg(F.count("*").cast("bigint").alias("n"))
 

@@ -170,6 +170,17 @@ def main() -> None:
             "steady-state prepared plan, median of 3, warmed session, "
             "10x synthetic blow-up of sf0.1"
         )
+    try:
+        out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    out["floor_note"] = (
+        "per-query readings < ~0.045 s sit at this box's per-action "
+        "floor (tools/floor_probe.py: ~41 ms for a spark.range(1) Arrow "
+        "fetch); totals vary 0.14-0.20 s with background load — compare "
+        "medians from the same load window (round-10 quiet-window "
+        "medians: 0.147/0.186/0.194/0.202 across 4 runs)"
+    )
     print(json.dumps(out))
 
 

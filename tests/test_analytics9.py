@@ -1195,3 +1195,189 @@ def test_power_mde_matches_python(spark, sf_dir):
     assert abs(row.base_rate - p) < 1e-6
     assert abs(row.mde_abs - mde) < 1e-6
     assert abs(row.mde_rel - mde / p) < 1e-6
+
+
+def test_did_estimator_matches_python_recompute(spark, sf_dir):
+    """Plain-Python DiD re-derivation: per-user pre/post cents over
+    ALL event users, hash arms, per-arm diff moments, Welch-style SE."""
+    import math
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_did_estimator,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    cut = pd.Timestamp("2024-01-16").date()
+    cents = (ev["value"] * 100 + 0.5).astype("int64")
+    pre, post = {}, {}
+    for uid, et, d, c in zip(ev["user_id"], ev["event_type"], ev["day"], cents):
+        pre.setdefault(int(uid), 0)
+        post.setdefault(int(uid), 0)
+        if et == "purchase":
+            if d < cut:
+                pre[int(uid)] += int(c)
+            else:
+                post[int(uid)] += int(c)
+    arms = {u: (u * 2654435761) % 4294967296 // 2147483648 for u in pre}
+    dt = [post[u] - pre[u] for u in pre if arms[u] == 1]
+    dc = [post[u] - pre[u] for u in pre if arms[u] == 0]
+    nt, nc = len(dt), len(dc)
+    did = sum(dt) / nt - sum(dc) / nc
+    var = (
+        (nt * sum(x * x for x in dt) - sum(dt) ** 2) / (nt * nt * (nt - 1))
+        + (nc * sum(x * x for x in dc) - sum(dc) ** 2) / (nc * nc * (nc - 1))
+    )
+    (row,) = agg_did_estimator(spark, sf_dir).collect()
+    assert (row.n_treat, row.n_control) == (nt, nc)
+    assert row.did_cents == round(did, 6)
+    assert row.se_did == round(math.sqrt(var), 6)
+    assert row.significant_05 == (
+        1 if round(abs(did / math.sqrt(var)), 9) >= 1.959964 else 0
+    )
+
+
+def test_iv_wald_weak_instrument_gate_and_strong_path(spark, tmp_path):
+    """Fixture run: the random hash arm cannot move the adopter rate,
+    so the op must flag weak_instrument and NULL the LATE.  Synthetic
+    run: a fixture where the instrument genuinely moves adoption must
+    emit the Wald ratio matching the Python recompute."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_iv_wald_estimator,
+    )
+
+    (row,) = agg_iv_wald_estimator(spark, "/root/testdata/sf0.001").collect()
+    assert row.weak_instrument == 1
+    assert row.wald_late is None
+    assert row.n_encouraged + row.n_control == 15  # sf0.001 user count
+
+    # synthetic strong instrument: arm-1 users adopt (>= 12 purchases),
+    # arm-0 users do not; outcome revenue higher for adopters
+    import datetime
+
+    rows = []
+    eid = 0
+    for uid in range(1, 201):
+        arm = (uid * 2654435761) % 4294967296 // 2147483648
+        n_purch = 13 if (arm == 1 and uid % 10 != 0) else 3
+        for k in range(n_purch):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 2 + (k % 28), 12, 0, 0),
+                    uid,
+                    "purchase",
+                    10.0,
+                    "{}",
+                )
+            )
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    (srow,) = agg_iv_wald_estimator(spark, str(tmp_path)).collect()
+    # python recompute on the synthetic design
+    import math
+
+    n1 = sum(
+        1
+        for uid in range(1, 201)
+        if (uid * 2654435761) % 4294967296 // 2147483648 == 1
+    )
+    n0 = 200 - n1
+    d1 = sum(
+        1
+        for uid in range(1, 201)
+        if (uid * 2654435761) % 4294967296 // 2147483648 == 1
+        and uid % 10 != 0
+    )
+    d0 = 0
+    y = {1: {}, 0: {}}
+    for uid in range(1, 201):
+        arm = (uid * 2654435761) % 4294967296 // 2147483648
+        n_purch = 13 if (arm == 1 and uid % 10 != 0) else 3
+        y[arm][uid] = n_purch * 1000
+    y1m = sum(y[1].values()) / n1
+    y0m = sum(y[0].values()) / n0
+    fs = d1 / n1 - d0 / n0
+    pp = (d1 + d0) / (n1 + n0)
+    f_stat = fs * fs / (pp * (1 - pp) * (1 / n1 + 1 / n0))
+    assert srow.weak_instrument == 0
+    assert srow.first_stage_f == round(f_stat, 6)
+    assert srow.wald_late == round((y1m - y0m) / fs, 6)
+
+
+def test_qini_uplift_matches_python_recompute(spark, sf_dir):
+    """Plain-Python Qini re-derivation: DESC domain-CDF deciles of the
+    pre-period score, exact per-decile arm cells, cumulative Qini."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    cut = pd.Timestamp("2024-01-16").date()
+    cents = (ev["value"] * 100 + 0.5).astype("int64")
+    score, resp = {}, {}
+    for uid, et, d, c, v in zip(
+        ev["user_id"], ev["event_type"], ev["day"], cents, ev["value"]
+    ):
+        u = int(uid)
+        score.setdefault(u, 0)
+        resp.setdefault(u, 0)
+        if d < cut:
+            score[u] += int(c)
+        if et == "purchase" and d >= cut and v * 100 >= 10000:
+            resp[u] = 1
+    n = len(score)
+    from collections import Counter
+
+    dom = Counter(score.values())
+    cal, acc = {}, 0
+    for s in sorted(dom, reverse=True):
+        cal[s] = acc
+        acc += dom[s]
+    decile = {u: min(9, 10 * cal[s] // n) for u, s in score.items()}
+    cells = {}
+    for u in score:
+        arm = (u * 2654435761) % 4294967296 // 2147483648
+        dd = decile[u]
+        c = cells.setdefault(dd, [0, 0, 0, 0])
+        if arm == 1:
+            c[0] += 1
+            c[2] += resp[u]
+        else:
+            c[1] += 1
+            c[3] += resp[u]
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_qini_uplift_curve,
+    )
+
+    got = {
+        r.decile: r for r in agg_qini_uplift_curve(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    cn_t = cn_c = cx_t = cx_c = 0
+    for dd in sorted(cells):
+        n_t, n_c, x_t, x_c = cells[dd]
+        cn_t += n_t
+        cn_c += n_c
+        cx_t += x_t
+        cx_c += x_c
+        r = got[dd]
+        assert (r.n_treat, r.n_control, r.resp_treat, r.resp_control) == (
+            n_t, n_c, x_t, x_c,
+        )
+        want_uplift = (
+            None if n_t == 0 or n_c == 0 else round(x_t / n_t - x_c / n_c, 6)
+        )
+        want_qini = (
+            None if cn_c == 0 else round(cx_t - cx_c * cn_t / cn_c, 6)
+        )
+        assert r.uplift == want_uplift
+        assert r.qini_cum == want_qini

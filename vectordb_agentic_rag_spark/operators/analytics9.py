@@ -3889,3 +3889,492 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({mde_txt}, 6) AS mde_abs",
         f"round(({mde_txt}) / (CAST(conv AS DOUBLE) / n), 6) AS mde_rel",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_did_estimator
+# ---------------------------------------------------------------------------
+
+_AB_ARM = (
+    "CAST((user_id * 2654435761) % 4294967296 div 2147483648"
+    " AS BIGINT) AS arm"
+)
+_AB_ARM_DUCK = (
+    "CAST((user_id * 2654435761) % 4294967296 // 2147483648"
+    " AS BIGINT) AS arm"
+)
+
+
+@query(
+    "agg_did_estimator",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT pre, post, post - pre AS d,
+             CAST((user_id * 2654435761) % 4294967296 // 2147483648
+                  AS BIGINT) AS arm
+      FROM u),
+    mo AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT)
+          AS s_pre_t,
+        CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT)
+          AS s_pre_c,
+        CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT)
+          AS s_post_t,
+        CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT)
+          AS s_post_c,
+        CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS sd_t,
+        CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS sd_c,
+        sum(CASE WHEN arm = 1 THEN CAST(d AS HUGEINT) * d
+                 ELSE CAST(0 AS HUGEINT) END) AS sdd_t,
+        sum(CASE WHEN arm = 0 THEN CAST(d AS HUGEINT) * d
+                 ELSE CAST(0 AS HUGEINT) END) AS sdd_c
+      FROM a)
+    SELECT nt AS n_treat, nc AS n_control,
+           round(CAST(s_pre_t AS DOUBLE) / nt, 6) AS mean_pre_treat,
+           round(CAST(s_pre_c AS DOUBLE) / nc, 6) AS mean_pre_control,
+           round(CAST(s_post_t AS DOUBLE) / nt, 6) AS mean_post_treat,
+           round(CAST(s_post_c AS DOUBLE) / nc, 6) AS mean_post_control,
+           round(CAST(sd_t AS DOUBLE) / nt - CAST(sd_c AS DOUBLE) / nc, 6)
+             AS did_cents,
+           round(sqrt(
+             CAST(nt * sdd_t - CAST(sd_t AS HUGEINT) * sd_t AS DOUBLE)
+               / (CAST(nt AS DOUBLE) * nt * (nt - 1))
+             + CAST(nc * sdd_c - CAST(sd_c AS HUGEINT) * sd_c AS DOUBLE)
+               / (CAST(nc AS DOUBLE) * nc * (nc - 1))), 6) AS se_did,
+           CAST(CASE WHEN round(abs(
+             (CAST(sd_t AS DOUBLE) / nt - CAST(sd_c AS DOUBLE) / nc)
+             / sqrt(
+               CAST(nt * sdd_t - CAST(sd_t AS HUGEINT) * sd_t AS DOUBLE)
+                 / (CAST(nt AS DOUBLE) * nt * (nt - 1))
+               + CAST(nc * sdd_c - CAST(sd_c AS HUGEINT) * sd_c AS DOUBLE)
+                 / (CAST(nc AS DOUBLE) * nc * (nc - 1)))), 9) >= 1.959964
+             THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM mo
+    """,
+)
+def agg_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimator — the workhorse
+    quasi-experimental read when an experiment has a pre-period: per
+    user, purchase revenue in the pre (days 1-15) and post (days
+    16-30) windows over ALL event users (zeros kept — DiD is a panel
+    estimator, no selection on outcome, unlike agg_cuped_adjustment's
+    exposed-purchasers choice); arms from the agg_ab_srm_check
+    multiplicative-hash HIGH bit.  DiD = (post_t - pre_t) -
+    (post_c - pre_c) = mean per-user diff(treat) - diff(control),
+    with the two-sample SE from per-arm diff variances and a 5%
+    two-sided gate — equivalent to the interaction coefficient of
+    the 2x2 OLS, computed from sufficient statistics only.  On the
+    fixture's random split the true effect is 0, which is the
+    correct calibration read (the same logic agg_cusum_arl_calibration
+    uses).  Completes the causal corner of the A/B suite: SRM gates,
+    CUPED sharpens, power sizes, DiD reads the panel.
+
+    Parity: per-user cents are exact; per-arm diff moments are
+    n-scaled integers (HUGEINT / DECIMAL squares — per-user diffs
+    reach ~7e6 cents at the sf1x blow-up); the variance, SE (one
+    IEEE sqrt — correctly rounded on both engines, unlike pow/ln),
+    and z-gate are shared-text double expressions, round(6)/round(9).
+
+    Shape at 100 TB: one groupBy(user) collapse of events, ONE
+    conditional-moments aggregate (both arms ride the same pass),
+    constant assembly — the agg_cuped_adjustment plan shape."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase'"
+            " AND CAST(ts AS DATE) < DATE '2024-01-16'"
+            " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("pre"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase'"
+            " AND CAST(ts AS DATE) >= DATE '2024-01-16'"
+            " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("post"),
+    )
+    a = u.selectExpr("pre", "post", "post - pre AS d", _AB_ARM)
+    mo = a.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nt"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nc"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT)"
+        ).alias("s_pre_t"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT)"
+        ).alias("s_pre_c"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT)"
+        ).alias("s_post_t"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT)"
+        ).alias("s_post_c"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT)"
+        ).alias("sd_t"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT)"
+        ).alias("sd_c"),
+        F.expr(
+            "sum(CASE WHEN arm = 1 THEN CAST(d AS DECIMAL(19,0)) * d"
+            " ELSE CAST(0 AS DECIMAL(19,0)) END)"
+        ).alias("sdd_t"),
+        F.expr(
+            "sum(CASE WHEN arm = 0 THEN CAST(d AS DECIMAL(19,0)) * d"
+            " ELSE CAST(0 AS DECIMAL(19,0)) END)"
+        ).alias("sdd_c"),
+    )
+    var_txt = (
+        "CAST(nt * sdd_t - CAST(sd_t AS DECIMAL(38,0)) * sd_t AS DOUBLE)"
+        " / (CAST(nt AS DOUBLE) * nt * (nt - 1))"
+        " + CAST(nc * sdd_c - CAST(sd_c AS DECIMAL(38,0)) * sd_c AS DOUBLE)"
+        " / (CAST(nc AS DOUBLE) * nc * (nc - 1))"
+    )
+    did_txt = "CAST(sd_t AS DOUBLE) / nt - CAST(sd_c AS DOUBLE) / nc"
+    return mo.selectExpr(
+        "nt AS n_treat",
+        "nc AS n_control",
+        "round(CAST(s_pre_t AS DOUBLE) / nt, 6) AS mean_pre_treat",
+        "round(CAST(s_pre_c AS DOUBLE) / nc, 6) AS mean_pre_control",
+        "round(CAST(s_post_t AS DOUBLE) / nt, 6) AS mean_post_treat",
+        "round(CAST(s_post_c AS DOUBLE) / nc, 6) AS mean_post_control",
+        f"round({did_txt}, 6) AS did_cents",
+        f"round(sqrt({var_txt}), 6) AS se_did",
+        f"CAST(CASE WHEN round(abs(({did_txt}) / sqrt({var_txt})), 9)"
+        " >= 1.959964 THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_iv_wald_estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_iv_wald_estimator",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= 12
+                       THEN 1 ELSE 0 END AS BIGINT) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT d, y,
+             CAST((user_id * 2654435761) % 4294967296 // 2147483648
+                  AS BIGINT) AS z
+      FROM u),
+    mo AS (
+      SELECT
+        CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN z = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+        CAST(sum(CASE WHEN z = 0 THEN d ELSE 0 END) AS BIGINT) AS d0,
+        CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS y1,
+        CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS y0
+      FROM a),
+    t AS (
+      SELECT n1, n0, d1, d0, y1, y0,
+             CAST(d1 + d0 AS DOUBLE) / (n1 + n0) AS pp,
+             CAST(d1 AS DOUBLE) / n1 - CAST(d0 AS DOUBLE) / n0 AS fs
+      FROM mo)
+    SELECT n1 AS n_encouraged, n0 AS n_control,
+           round(CAST(d1 AS DOUBLE) / n1, 6) AS uptake_encouraged,
+           round(CAST(d0 AS DOUBLE) / n0, 6) AS uptake_control,
+           round(CAST(y1 AS DOUBLE) / n1, 6) AS y_mean_encouraged,
+           round(CAST(y0 AS DOUBLE) / n0, 6) AS y_mean_control,
+           round(fs, 6) AS first_stage,
+           round(CASE WHEN pp * (1.0 - pp) = 0.0 THEN 0.0
+                 ELSE fs * fs / (pp * (1.0 - pp)
+                 * (1.0 / n1 + 1.0 / n0)) END, 6) AS first_stage_f,
+           CAST(CASE WHEN round(CASE WHEN pp * (1.0 - pp) = 0.0 THEN 0.0
+                  ELSE fs * fs / (pp * (1.0 - pp)
+                  * (1.0 / n1 + 1.0 / n0)) END, 9) < 10.0
+                THEN 1 ELSE 0 END AS BIGINT) AS weak_instrument,
+           CASE WHEN round(CASE WHEN pp * (1.0 - pp) = 0.0 THEN 0.0
+                  ELSE fs * fs / (pp * (1.0 - pp)
+                  * (1.0 / n1 + 1.0 / n0)) END, 9) < 10.0 THEN NULL
+                ELSE round((CAST(y1 AS DOUBLE) / n1
+                            - CAST(y0 AS DOUBLE) / n0) / fs, 6)
+           END AS wald_late
+    FROM t
+    """,
+)
+def agg_iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSTRUMENTAL-VARIABLE WALD ESTIMATOR with the weak-instrument
+    guardrail — the encouragement-design read: instrument Z = the
+    agg_ab_srm_check hash arm (as-if random), treatment uptake D =
+    the user crossed the 12-purchase adopter threshold (the
+    agg_tost_equivalence converter rule; "ever clicked" is degenerate
+    on this fixture — every user clicks), outcome Y = total purchase cents; the LATE is
+    Wald = (E[Y|Z=1] - E[Y|Z=0]) / (E[D|Z=1] - E[D|Z=0]).  The op's
+    primary product is the FIRST-STAGE F statistic (the two-proportion
+    z squared): below the Staiger-Stock F < 10 rule the ratio is
+    meaningless noise, so `wald_late` is emitted NULL and
+    `weak_instrument` = 1 — which is exactly what a RANDOM hash arm
+    must produce on this fixture (the instrument does not move
+    clicks), making the fixture run the guardrail's positive
+    calibration: an estimator that fabricated a LATE here would be
+    wrong.  The strong-instrument arithmetic path is pinned by the
+    pytest on synthetic sufficient statistics through the same
+    expression text.
+
+    Parity: all six sufficient statistics are exact integers from one
+    conditional aggregate; first_stage, F, and the gated ratio are
+    shared-text double divisions, round(6)/round(9); the NULL gate
+    compares the same round(9) value on both engines.
+
+    Shape at 100 TB: one groupBy(user) collapse, one 6-way
+    conditional aggregate, constant assembly — no join, no window."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'"
+            " THEN 1 ELSE 0 END) >= 12 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("d"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    a = u.selectExpr(
+        "d",
+        "y",
+        "CAST((user_id * 2654435761) % 4294967296 div 2147483648"
+        " AS BIGINT) AS z",
+    )
+    mo = a.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(sum(CASE WHEN z = 1 THEN d ELSE 0 END) AS BIGINT)"
+        ).alias("d1"),
+        F.expr(
+            "CAST(sum(CASE WHEN z = 0 THEN d ELSE 0 END) AS BIGINT)"
+        ).alias("d0"),
+        F.expr(
+            "CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT)"
+        ).alias("y1"),
+        F.expr(
+            "CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT)"
+        ).alias("y0"),
+    )
+    t = mo.selectExpr(
+        "n1",
+        "n0",
+        "d1",
+        "d0",
+        "y1",
+        "y0",
+        "CAST(d1 + d0 AS DOUBLE) / (n1 + n0) AS pp",
+        "CAST(d1 AS DOUBLE) / n1 - CAST(d0 AS DOUBLE) / n0 AS fs",
+    )
+    f_txt = (
+        "CASE WHEN pp * (1.0 - pp) = 0.0 THEN 0.0"
+        " ELSE fs * fs / (pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0)) END"
+    )
+    return t.selectExpr(
+        "n1 AS n_encouraged",
+        "n0 AS n_control",
+        "round(CAST(d1 AS DOUBLE) / n1, 6) AS uptake_encouraged",
+        "round(CAST(d0 AS DOUBLE) / n0, 6) AS uptake_control",
+        "round(CAST(y1 AS DOUBLE) / n1, 6) AS y_mean_encouraged",
+        "round(CAST(y0 AS DOUBLE) / n0, 6) AS y_mean_control",
+        "round(fs, 6) AS first_stage",
+        f"round({f_txt}, 6) AS first_stage_f",
+        f"CAST(CASE WHEN round({f_txt}, 9) < 10.0 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS weak_instrument",
+        f"CASE WHEN round({f_txt}, 9) < 10.0 THEN NULL"
+        " ELSE round((CAST(y1 AS DOUBLE) / n1"
+        " - CAST(y0 AS DOUBLE) / n0) / fs, 6) END AS wald_late",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_qini_uplift_curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_qini_uplift_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS score,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                            AND value * 100 >= 10000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS resp
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT score, resp,
+             CAST((user_id * 2654435761) % 4294967296 // 2147483648
+                  AS BIGINT) AS arm
+      FROM u),
+    dom AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY score),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dom),
+    cum AS (
+      SELECT score,
+             CAST(coalesce(sum(c) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cal
+      FROM dom),
+    binned AS (
+      SELECT a.score, a.resp, a.arm,
+             least(9, 10 * cum.cal // tot.n) AS decile
+      FROM a JOIN cum ON a.score = cum.score CROSS JOIN tot),
+    cells AS (
+      SELECT decile,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(sum(CASE WHEN arm = 1 THEN resp ELSE 0 END) AS BIGINT)
+               AS x_t,
+             CAST(sum(CASE WHEN arm = 0 THEN resp ELSE 0 END) AS BIGINT)
+               AS x_c
+      FROM binned GROUP BY decile),
+    cums AS (
+      SELECT decile, n_t, n_c, x_t, x_c,
+             CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+             CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+             CAST(sum(x_t) OVER w AS BIGINT) AS cx_t,
+             CAST(sum(x_c) OVER w AS BIGINT) AS cx_c
+      FROM cells
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+    SELECT decile, n_t AS n_treat, n_c AS n_control,
+           x_t AS resp_treat, x_c AS resp_control,
+           CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                ELSE round(CAST(x_t AS DOUBLE) / n_t
+                           - CAST(x_c AS DOUBLE) / n_c, 6) END AS uplift,
+           CASE WHEN cn_c = 0 THEN NULL
+                ELSE round(CAST(cx_t AS DOUBLE)
+                     - CAST(cx_c AS DOUBLE) * cn_t / cn_c, 6)
+           END AS qini_cum
+    FROM cums ORDER BY decile
+    """,
+)
+def agg_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI / UPLIFT CURVE — the uplift-modeling evaluation table
+    (Radcliffe's Qini): users are ranked by a targeting score (here
+    the pre-period days-1-15 total activity cents — the behavioral
+    covariate a real uplift model would refine), cut into score
+    deciles by the agg_psi_drift domain-CDF machinery (decile 0 =
+    highest scores; DESC cumulative), and per decile the treated-vs-
+    control response rates (post-period >= 100.00 big-purchase
+    conversion, arms from the agg_ab_srm_check hash bit) give the
+    incremental uplift; the cumulative Qini(k) = X_t(k) -
+    X_c(k) * N_t(k)/N_c(k) is the curve whose area picks between
+    uplift models.  On the fixture's random assignment the true
+    uplift is 0 per decile — the calibration read — while the
+    machinery (domain-CDF deciles, cumulative Qini, exact cells) is
+    what the op ships.
+
+    Parity: score is exact cents; deciles are exact integer
+    domain-CDF arithmetic (no sort of the users — one cumulative
+    over the bounded distinct-score domain); cell counts exact;
+    uplift and Qini are shared-text double divisions, round(6),
+    NULL-gated when a decile's arm cell (or the cumulative control
+    count) is empty — tiny-sf deciles can miss an arm entirely.
+
+    Shape at 100 TB: one groupBy(user) collapse, one score-domain
+    aggregate + bounded cumulative, one equi-join of users to their
+    score's decile (broadcastable domain), one 10-row rollup."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'"
+            " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("score"),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase'"
+            " AND CAST(ts AS DATE) >= DATE '2024-01-16'"
+            " AND value * 100 >= 10000 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("resp"),
+    )
+    a = u.selectExpr("score", "resp", _AB_ARM)
+    dom = a.groupBy("score").agg(F.count("*").cast("bigint").alias("c"))
+    tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dom.select(
+        "score",
+        F.coalesce(F.sum("c").over(wd), F.lit(0)).cast("bigint").alias("cal"),
+    )
+    binned = (
+        a.join(F.broadcast(cum), "score")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("resp", "arm", "least(9, 10 * cal div n) AS decile")
+    )
+    cells = binned.groupBy("decile").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_t"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_c"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN resp ELSE 0 END) AS BIGINT)"
+        ).alias("x_t"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN resp ELSE 0 END) AS BIGINT)"
+        ).alias("x_c"),
+    )
+    w_c = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = cells.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "x_t",
+        "x_c",
+        F.sum("n_t").over(w_c).cast("bigint").alias("cn_t"),
+        F.sum("n_c").over(w_c).cast("bigint").alias("cn_c"),
+        F.sum("x_t").over(w_c).cast("bigint").alias("cx_t"),
+        F.sum("x_c").over(w_c).cast("bigint").alias("cx_c"),
+    )
+    return cums.selectExpr(
+        "decile",
+        "n_t AS n_treat",
+        "n_c AS n_control",
+        "x_t AS resp_treat",
+        "x_c AS resp_control",
+        "CASE WHEN n_t = 0 OR n_c = 0 THEN NULL"
+        " ELSE round(CAST(x_t AS DOUBLE) / n_t"
+        " - CAST(x_c AS DOUBLE) / n_c, 6) END AS uplift",
+        "CASE WHEN cn_c = 0 THEN NULL"
+        " ELSE round(CAST(cx_t AS DOUBLE)"
+        " - CAST(cx_c AS DOUBLE) * cn_t / cn_c, 6) END AS qini_cum",
+    ).orderBy("decile")

@@ -1381,3 +1381,103 @@ def test_qini_uplift_matches_python_recompute(spark, sf_dir):
         )
         assert r.uplift == want_uplift
         assert r.qini_cum == want_qini
+
+
+def test_matthews_phi_matches_python_recompute(spark, sf_dir):
+    """Plain-Python MCC: 2x2 cells from per-user adopter/big-spender
+    indicators, the split-sqrt denominator, the n*phi^2 chi^2."""
+    import math
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_matthews_phi,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = ev["value"] * 100
+    x, y = {}, {}
+    for uid, et, c in zip(ev["user_id"], ev["event_type"], cents):
+        u = int(uid)
+        x.setdefault(u, 0)
+        y.setdefault(u, 0)
+        if et == "purchase":
+            x[u] += 1
+            if c >= 10000:
+                y[u] = 1
+    cells = [0, 0, 0, 0]  # a b c d
+    for u in x:
+        xi, yi = int(x[u] >= 12), y[u]
+        cells[(1 - xi) * 2 + (1 - yi)] += 1
+    a, b, c, d = cells
+    phi = (a * d - b * c) / (
+        math.sqrt((a + b) * (c + d)) * math.sqrt((a + c) * (b + d))
+    )
+    chi2 = (a + b + c + d) * phi * phi
+    (row,) = agg_matthews_phi(spark, sf_dir).collect()
+    assert (row.n_both, row.n_x_only, row.n_y_only, row.n_neither) == (
+        a, b, c, d,
+    )
+    assert row.phi == round(phi, 6)
+    assert row.chi2_stat == round(chi2, 6)
+
+
+def test_last_digit_uniformity_matches_python_recompute(spark, sf_dir):
+    """Exact chi^2 identity: sum((10c - n)^2)/(10n) over the last cent
+    digit of o_totalprice."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_last_digit_uniformity,
+    )
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    digits = ((o["o_totalprice"] * 100 + 0.5).astype("int64") % 10).tolist()
+    n = len(digits)
+    cnt = {dd: digits.count(dd) for dd in set(digits)}
+    chi2 = sum((10 * c - n) ** 2 for c in cnt.values()) / (10 * n)
+    rows = agg_last_digit_uniformity(spark, sf_dir).collect()
+    assert {(r.digit, r.cnt) for r in rows} == set(cnt.items())
+    assert all(r.chi2_total == round(chi2, 6) for r in rows)
+    assert all(
+        r.nonuniform_05 == (1 if round(chi2, 9) >= 16.919 else 0)
+        for r in rows
+    )
+
+
+def test_revenue_up_streaks_matches_python_recompute(spark, sf_dir):
+    """Gaps-and-islands recompute of strictly-increasing day-total
+    runs, and the 30-day fixture span precondition."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        win_revenue_up_streaks,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["c"] = (ev["value"] * 100 + 0.5).astype("int64")
+    daily = ev.groupby("day")["c"].sum().sort_index()
+    assert len(daily) == 30  # all 30 fixture days have purchases
+    runs, cur = [], [daily.index[0]]
+    for prev_day, day in zip(daily.index, daily.index[1:]):
+        if daily[day] > daily[prev_day]:
+            cur.append(day)
+        else:
+            runs.append(cur)
+            cur = [day]
+    runs.append(cur)
+    expected = {
+        (r[0], r[-1], len(r), int(daily[r[-1]] - daily[r[0]]))
+        for r in runs
+        if len(r) >= 2
+    }
+    got_rows = win_revenue_up_streaks(spark, sf_dir).collect()
+    got = {
+        (r.start_day, r.end_day, r.streak_days, r.gain_cents)
+        for r in got_rows
+    }
+    assert got == expected
+    longest = max(len(r) for r in runs if len(r) >= 2)
+    assert all(r.longest_streak == longest for r in got_rows)

@@ -4378,3 +4378,296 @@ def agg_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE round(CAST(cx_t AS DOUBLE)"
         " - CAST(cx_c AS DOUBLE) * cn_t / cn_c, 6) END AS qini_cum",
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# agg_matthews_phi
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_matthews_phi",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= 12
+                       THEN 1 ELSE 0 END AS BIGINT) AS x,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                            AND value * 100 >= 10000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS a,
+        CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS b,
+        CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS c,
+        CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS d
+      FROM u)
+    SELECT a AS n_both, b AS n_x_only, c AS n_y_only, d AS n_neither,
+           round(CAST(a * d - b * c AS DOUBLE)
+                 / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
+                    * sqrt(CAST((a + c) * (b + d) AS DOUBLE))), 6) AS phi,
+           round(CAST(a + b + c + d AS DOUBLE)
+                 * (CAST(a * d - b * c AS DOUBLE)
+                    / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
+                       * sqrt(CAST((a + c) * (b + d) AS DOUBLE))))
+                 * (CAST(a * d - b * c AS DOUBLE)
+                    / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
+                       * sqrt(CAST((a + c) * (b + d) AS DOUBLE)))), 6)
+             AS chi2_stat,
+           CAST(CASE WHEN round(CAST(a + b + c + d AS DOUBLE)
+                 * (CAST(a * d - b * c AS DOUBLE)
+                    / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
+                       * sqrt(CAST((a + c) * (b + d) AS DOUBLE))))
+                 * (CAST(a * d - b * c AS DOUBLE)
+                    / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
+                       * sqrt(CAST((a + c) * (b + d) AS DOUBLE)))), 9)
+                 >= 3.8415 THEN 1 ELSE 0 END AS BIGINT) AS associated_05
+    FROM c
+    """,
+)
+def agg_matthews_phi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTHEWS / PHI COEFFICIENT between two user-level binary
+    behaviors — adopter (>= 12 purchases, the agg_tost_equivalence
+    converter rule) vs big-spender (any purchase >= $100): the 2x2
+    association measure ML evaluation calls MCC, with its chi^2
+    (n*phi^2, df 1) significance gate.  Sibling differentiation:
+    agg_cohens_kappa_daily measures chance-corrected AGREEMENT of two
+    raters labeling the same days; phi measures ASSOCIATION of two
+    different traits on the same units — same 2x2 table, different
+    null and normalization.
+
+    Parity: the four cells are exact integers from one pass;
+    ad - bc is an exact BIGINT; the denominator is written
+    sqrt((a+b)(c+d)) * sqrt((a+c)(b+d)) — each factor is <= n^2
+    (exact in a double at any realistic n) and IEEE sqrt is
+    correctly rounded on both engines, so the whole expression is
+    bit-identical without 128-bit products (a single 4-way product
+    would overflow int64 past n ~ 2e4 users).
+
+    Shape at 100 TB: one groupBy(user) collapse, one 4-cell
+    conditional aggregate, constant assembly."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'"
+            " THEN 1 ELSE 0 END) >= 12 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase'"
+            " AND value * 100 >= 10000 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("y"),
+    )
+    c = u.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("a"),
+        F.expr(
+            "CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("b"),
+        F.expr(
+            "CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c"),
+        F.expr(
+            "CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("d"),
+    )
+    phi_txt = (
+        "CAST(a * d - b * c AS DOUBLE)"
+        " / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))"
+        " * sqrt(CAST((a + c) * (b + d) AS DOUBLE)))"
+    )
+    chi_txt = f"CAST(a + b + c + d AS DOUBLE) * ({phi_txt}) * ({phi_txt})"
+    return c.selectExpr(
+        "a AS n_both",
+        "b AS n_x_only",
+        "c AS n_y_only",
+        "d AS n_neither",
+        f"round({phi_txt}, 6) AS phi",
+        f"round({chi_txt}, 6) AS chi2_stat",
+        f"CAST(CASE WHEN round({chi_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS associated_05",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_last_digit_uniformity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_last_digit_uniformity",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) % 10 AS digit
+      FROM orders),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 sum(CAST((10 * cnt - (SELECT sum(cnt) FROM c)) AS HUGEINT)
+                     * (10 * cnt - (SELECT sum(cnt) FROM c))) AS num
+          FROM c)
+    SELECT c.digit, c.cnt,
+           round(CAST(c.cnt AS DOUBLE) / t.n, 6) AS pct,
+           round(CAST(t.num AS DOUBLE) / (10.0 * t.n), 6) AS chi2_total,
+           CAST(CASE WHEN round(CAST(t.num AS DOUBLE) / (10.0 * t.n), 9)
+                          >= 16.919 THEN 1 ELSE 0 END AS BIGINT)
+             AS nonuniform_05
+    FROM c CROSS JOIN t ORDER BY c.digit
+    """,
+)
+def agg_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-DIGIT UNIFORMITY TEST on the money column — the
+    data-fabrication / rounding-artifact check auditors run: the
+    terminal cent digit of genuine transaction amounts should be
+    uniform on 0-9 (chi^2, df 9), while hand-entered or rounded
+    figures pile on 0 and 5.  Sibling differentiation:
+    agg_benford_deviation tests the FIRST significant digit against
+    the logarithmic Benford distribution (scale-invariance of
+    magnitudes); the LAST digit is uniform under a completely
+    different mechanism and catches a different fabrication mode —
+    together they bracket the amount distribution.
+
+    Parity: digits are exact integer cents mod 10; the chi^2
+    collapses to sum((10*cnt - n)^2) / (10*n) — an exact HUGEINT /
+    DECIMAL numerator (the (obs - n/10)^2 / (n/10) identity cleared
+    of fractions) with ONE double division, round(6); gate at
+    chi^2(9) 5% = 16.919.
+
+    Shape at 100 TB: one scan, 10-group aggregate (map-side
+    combined), broadcast of the 1-row total back to 10 rows."""
+    o = table(spark, sf_dir, "orders")
+    d = o.selectExpr(
+        "CAST(o_totalprice * 100 + 0.5 AS BIGINT) % 10 AS digit"
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.expr(
+            "sum(CAST(10 * cnt AS DECIMAL(38,0))"
+            " * (10 * cnt)) "
+        ).alias("s2x100"),
+    ).selectExpr(
+        "n",
+        # sum((10c - n)^2) = 100*sum(c^2) - 20n*sum(c) + 10*n^2
+        #                  = s2x100 - 10*n^2   (since sum(c) = n)
+        "CAST(s2x100 - 10 * CAST(n AS DECIMAL(38,0)) * n AS DECIMAL(38,0))"
+        " AS num",
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "digit",
+            "cnt",
+            "round(CAST(cnt AS DOUBLE) / n, 6) AS pct",
+            "round(CAST(num AS DOUBLE) / (10.0 * n), 6) AS chi2_total",
+            "CAST(CASE WHEN round(CAST(num AS DOUBLE) / (10.0 * n), 9)"
+            " >= 16.919 THEN 1 ELSE 0 END AS BIGINT) AS nonuniform_05",
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_revenue_up_streaks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_revenue_up_streaks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    flagged AS (
+      SELECT day, tot,
+             CASE WHEN lag(tot) OVER (ORDER BY day) IS NULL
+                   OR tot <= lag(tot) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS brk
+      FROM daily),
+    grp AS (
+      SELECT day, tot,
+             sum(brk) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged),
+    runs AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS start_day, max(day) AS end_day,
+             CAST(max(tot) - min(tot) AS BIGINT) AS gain_cents
+      FROM grp GROUP BY g)
+    SELECT start_day, end_day, len AS streak_days, gain_cents,
+           CAST(max(len) OVER () AS BIGINT) AS longest_streak
+    FROM runs WHERE len >= 2 ORDER BY start_day
+    """,
+)
+def win_revenue_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOMENTUM STREAKS of the daily purchase-revenue series: maximal
+    runs of STRICTLY increasing day totals (>= 2 days), each with its
+    start/end date, length, and cents gained — the "N consecutive
+    up-days" read a revenue dashboard headlines, plus the corpus-wide
+    longest streak.  Gaps-and-islands on the bounded 30-day domain;
+    a streak breaks on equal totals (strict) and on missing days only
+    implicitly (the fixture has all 30 days — pinned by the recompute
+    pytest).  Sibling differentiation: agg_records_test counts
+    record HIGHS (a permutation-randomness test), win_drawdown
+    tracks peak-to-trough loss; streaks measure consecutive
+    first-difference signs.
+
+    Parity: day totals are exact integer cents; run boundaries are
+    exact comparisons; gain = max - min of the run's totals (the run
+    is increasing, so these are its endpoints).  The only window
+    runs over the <= |days| domain after the groupBy collapse —
+    bounded, never the event rows.
+
+    Shape at 100 TB: one filtered scan -> day-domain aggregate
+    (map-side combined), one bounded-domain window pass."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
+            ).alias("tot")
+        )
+    )
+    w = Window.orderBy("day")
+    flagged = daily.withColumn(
+        "brk",
+        F.when(
+            F.lag("tot").over(w).isNull()
+            | (F.col("tot") <= F.lag("tot").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "g",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = grp.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        (F.max("tot") - F.min("tot")).cast("bigint").alias("gain_cents"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        runs.where(F.col("len") >= 2)
+        .select(
+            "start_day",
+            "end_day",
+            F.col("len").alias("streak_days"),
+            "gain_cents",
+            F.max("len").over(w_all).cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("start_day")
+    )

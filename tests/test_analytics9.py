@@ -1481,3 +1481,109 @@ def test_revenue_up_streaks_matches_python_recompute(spark, sf_dir):
     assert got == expected
     longest = max(len(r) for r in runs if len(r) >= 2)
     assert all(r.longest_streak == longest for r in got_rows)
+
+
+def test_laspeyres_paasche_matches_python_recompute(spark, sf_dir):
+    """Plain-Python index recompute over per-part period revenues and
+    quantities, with the quantize-then-sum term protocol."""
+    import math
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_laspeyres_paasche_index,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_orderdate"]
+    ]
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    per = (
+        pd.to_datetime(m["o_orderdate"]).dt.date
+        >= pd.Timestamp("1998-01-01").date()
+    ).astype(int)
+    s = (m["l_extendedprice"] * 100 + 0.5).astype("int64")
+    q = m["l_quantity"].round(0).astype("int64")
+    agg = {}
+    for pk, pe, si, qi in zip(m["l_partkey"], per, s, q):
+        c = agg.setdefault(int(pk), [0, 0, 0, 0])
+        c[2 * pe] += int(si)
+        c[2 * pe + 1] += int(qi)
+    both = {
+        pk: c for pk, c in agg.items() if c[1] > 0 and c[3] > 0
+    }
+    sum_s0 = sum(c[0] for c in both.values())
+    sum_s1 = sum(c[2] for c in both.values())
+    num_l = sum(
+        Decimal(str(round(c[2] * c[1] / c[3], 9))) for c in both.values()
+    )
+    den_p = sum(
+        Decimal(str(round(c[0] * c[3] / c[1], 9))) for c in both.values()
+    )
+    lasp = float(num_l) / sum_s0
+    paas = sum_s1 / float(den_p)
+    (row,) = agg_laspeyres_paasche_index(spark, sf_dir).collect()
+    assert row.n_parts == len(both)
+    assert row.laspeyres_idx == round(lasp, 6)
+    assert row.paasche_idx == round(paas, 6)
+    assert row.fisher_idx == round(math.sqrt(lasp * paas), 6)
+
+
+def test_shapley_attribution_matches_python_recompute(spark, sf_dir):
+    """Full Shapley recompute over the 16-coalition empirical game,
+    plus the efficiency identity sum(phi) == v(grand) - v(empty)."""
+    import itertools
+    import math
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_shapley_attribution,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    bits = {"view": 1, "click": 2, "signup": 4, "error": 8}
+    mask, conv = {}, {}
+    for uid, et, v in zip(ev["user_id"], ev["event_type"], ev["value"]):
+        u = int(uid)
+        mask.setdefault(u, 0)
+        conv.setdefault(u, 0)
+        if et in bits:
+            mask[u] |= bits[et]
+        elif et == "purchase" and v * 100 >= 10000:
+            conv[u] = 1
+    n = {m: 0 for m in range(16)}
+    x = {m: 0 for m in range(16)}
+    for u in mask:
+        n[mask[u]] += 1
+        x[mask[u]] += conv[u]
+    v_of = {m: (x[m] / n[m] if n[m] else 0.0) for m in range(16)}
+    w24 = {0: 6, 1: 2, 2: 2, 3: 6}
+    got = {
+        r.channel: r for r in agg_shapley_attribution(spark, sf_dir).collect()
+    }
+    phis = {}
+    for chname, b in bits.items():
+        phi24 = sum(
+            Decimal(
+                str(round(w24[bin(m).count("1")] * (v_of[m + b] - v_of[m]), 9))
+            )
+            for m in range(16)
+            if (m & b) == 0
+        )
+        phis[chname] = float(phi24) / 24.0
+        n_t = sum(n[m] for m in range(16) if m & b)
+        x_t = sum(x[m] for m in range(16) if m & b)
+        r = got[chname]
+        assert r.n_touched == n_t
+        assert r.conv_rate_touched == round(
+            x_t / n_t if n_t else 0.0, 6
+        )
+        assert r.shapley_value == round(phis[chname], 6)
+    # efficiency: credits sum to v(grand) - v(empty) up to term quanta
+    assert math.isclose(
+        sum(phis.values()), v_of[15] - v_of[0], abs_tol=1e-6
+    )

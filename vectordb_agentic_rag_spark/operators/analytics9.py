@@ -4671,3 +4671,282 @@ def win_revenue_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("start_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_laspeyres_paasche_index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_laspeyres_paasche_index",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey AS pk,
+             CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 0 ELSE 1 END AS per,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS s,
+             CAST(round(l.l_quantity, 0) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    p AS (
+      SELECT pk,
+             CAST(sum(CASE WHEN per = 0 THEN s ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN per = 0 THEN q ELSE 0 END) AS BIGINT) AS q0,
+             CAST(sum(CASE WHEN per = 1 THEN s ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN per = 1 THEN q ELSE 0 END) AS BIGINT) AS q1
+      FROM li GROUP BY pk),
+    b AS (SELECT * FROM p WHERE q0 > 0 AND q1 > 0),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(s0) AS BIGINT) AS sum_s0,
+             CAST(sum(s1) AS BIGINT) AS sum_s1,
+             sum(CAST(round(CAST(s1 AS DOUBLE) * q0 / q1, 9)
+                      AS DECIMAL(28,9))) AS num_l,
+             sum(CAST(round(CAST(s0 AS DOUBLE) * q1 / q0, 9)
+                      AS DECIMAL(28,9))) AS den_p
+      FROM b)
+    SELECT n_parts,
+           round(CAST(num_l AS DOUBLE) / sum_s0, 6) AS laspeyres_idx,
+           round(CAST(sum_s1 AS DOUBLE) / CAST(den_p AS DOUBLE), 6)
+             AS paasche_idx,
+           round(sqrt((CAST(num_l AS DOUBLE) / sum_s0)
+                 * (CAST(sum_s1 AS DOUBLE) / CAST(den_p AS DOUBLE))), 6)
+             AS fisher_idx
+    FROM t
+    """,
+)
+def agg_laspeyres_paasche_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRICE INDEX SUITE (Laspeyres / Paasche / Fisher) between the
+    pre-1998 and post-1998 order periods over parts traded in BOTH —
+    the national-accounts calculation re-expressed over unit values
+    (p_i = period revenue / period quantity per part): Laspeyres
+    weighs price relatives by BASE-period quantities, Paasche by
+    CURRENT, Fisher is their geometric mean (the superlative index).
+    The algebra collapses: sum(p1*q0) needs the cross term s1*q0/q1
+    per part, while sum(p0*q0) == sum(s0) exactly (the base-revenue
+    identity) — so each index is one exact-sum ratio.
+
+    Parity: revenues are exact cents and quantities exact integers;
+    the only per-part floats are the two cross terms, quantized
+    round(9) into DECIMAL(28,9) BEFORE the part sum (a double sum
+    over parts is partial-aggregation-order dependent — the
+    rag_prf_query_expansion rule); the final ratios and the one IEEE
+    sqrt are shared-text, round(6).
+
+    Shape at 100 TB: lineitem joins orders on the order key (the
+    standard co-partitioned fact-fact join; bucketed layouts make it
+    shuffle-free), one part-grain aggregate, one 1-row reduction."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)").alias("s"),
+        F.expr("CAST(round(l_quantity, 0) AS BIGINT)").alias("q"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'"
+            " THEN 0 ELSE 1 END"
+        ).alias("per"),
+    )
+    p = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN per = 0 THEN s ELSE 0 END) AS BIGINT)"
+            ).alias("s0"),
+            F.expr(
+                "CAST(sum(CASE WHEN per = 0 THEN q ELSE 0 END) AS BIGINT)"
+            ).alias("q0"),
+            F.expr(
+                "CAST(sum(CASE WHEN per = 1 THEN s ELSE 0 END) AS BIGINT)"
+            ).alias("s1"),
+            F.expr(
+                "CAST(sum(CASE WHEN per = 1 THEN q ELSE 0 END) AS BIGINT)"
+            ).alias("q1"),
+        )
+    )
+    t = p.where("q0 > 0 AND q1 > 0").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("s0").cast("bigint").alias("sum_s0"),
+        F.sum("s1").cast("bigint").alias("sum_s1"),
+        F.expr(
+            "sum(CAST(round(CAST(s1 AS DOUBLE) * q0 / q1, 9)"
+            " AS DECIMAL(28,9)))"
+        ).alias("num_l"),
+        F.expr(
+            "sum(CAST(round(CAST(s0 AS DOUBLE) * q1 / q0, 9)"
+            " AS DECIMAL(28,9)))"
+        ).alias("den_p"),
+    )
+    return t.selectExpr(
+        "n_parts",
+        "round(CAST(num_l AS DOUBLE) / sum_s0, 6) AS laspeyres_idx",
+        "round(CAST(sum_s1 AS DOUBLE) / CAST(den_p AS DOUBLE), 6)"
+        " AS paasche_idx",
+        "round(sqrt((CAST(num_l AS DOUBLE) / sum_s0)"
+        " * (CAST(sum_s1 AS DOUBLE) / CAST(den_p AS DOUBLE))), 6)"
+        " AS fisher_idx",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_shapley_attribution
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+
+
+@query(
+    "agg_shapley_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mask,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                            AND value * 100 >= 10000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id),
+    mc AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS x
+      FROM u GROUP BY mask),
+    dom AS (
+      SELECT CAST(t.range AS BIGINT) AS m,
+             coalesce(mc.n, 0) AS n, coalesce(mc.x, 0) AS x,
+             CASE WHEN coalesce(mc.n, 0) = 0 THEN 0.0
+                  ELSE CAST(mc.x AS DOUBLE) / mc.n END AS v
+      FROM range(16) t LEFT JOIN mc ON t.range = mc.mask),
+    ch AS (
+      SELECT * FROM (VALUES ('view', CAST(1 AS BIGINT)),
+                            ('click', CAST(2 AS BIGINT)),
+                            ('signup', CAST(4 AS BIGINT)),
+                            ('error', CAST(8 AS BIGINT))) c(channel, b)),
+    terms AS (
+      SELECT ch.channel, ch.b,
+             CAST(round(
+               (CASE WHEN bit_count(s.m) = 0 THEN 6
+                     WHEN bit_count(s.m) = 1 THEN 2
+                     WHEN bit_count(s.m) = 2 THEN 2
+                     ELSE 6 END)
+               * (v1.v - s.v), 9) AS DECIMAL(28,9)) AS t24
+      FROM ch JOIN dom s ON (s.m & ch.b) = 0
+      JOIN dom v1 ON v1.m = s.m + ch.b),
+    phi AS (
+      SELECT channel, b, sum(t24) AS phi24 FROM terms GROUP BY channel, b),
+    touched AS (
+      SELECT ch.channel,
+             CAST(sum(d.n) AS BIGINT) AS n_touched,
+             CAST(sum(d.x) AS BIGINT) AS x_touched
+      FROM ch JOIN dom d ON (d.m & ch.b) != 0
+      GROUP BY ch.channel)
+    SELECT p.channel,
+           t.n_touched,
+           round(CASE WHEN t.n_touched = 0 THEN 0.0
+                 ELSE CAST(t.x_touched AS DOUBLE) / t.n_touched END, 6)
+             AS conv_rate_touched,
+           round(CAST(p.phi24 AS DOUBLE) / 24.0, 6) AS shapley_value
+    FROM phi p JOIN touched t ON p.channel = t.channel
+    ORDER BY p.channel
+    """,
+)
+def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE MARKETING ATTRIBUTION over the four non-purchase
+    channels (view/click/signup/error): the characteristic function
+    v(S) is the empirical big-purchase conversion rate of users whose
+    ever-touched channel set is EXACTLY S (the data-driven Shapley of
+    Zhao et al. 2018), and each channel's credit is the exact Shapley
+    sum phi_c = sum over S not containing c of |S|!(k-1-|S|)!/k! *
+    (v(S+c) - v(S)).  Sibling differentiation:
+    agg_attribution_position splits credit by POSITION inside each
+    converting user's path (first/last/middle heuristic); Shapley is
+    the coalition-game answer, insensitive to path order, and the two
+    disagree exactly when channel synergies matter.
+
+    Exactly computable because k = 4: the mask domain is 16 rows
+    (DENSIFIED — empty coalitions contribute v = 0, the blocked-cells
+    lesson from the contingency ops), the (channel x subset) grid is
+    32 rows, and the factorial weights scale to integers 6/2/2/6 over
+    a common 24 denominator — each term quantizes round(9) into
+    DECIMAL before the 8-term sum (bounded-count double sums are
+    still order-dependent), one division by 24 at the end.
+
+    Shape at 100 TB: one groupBy(user) collapse, a 16-row mask
+    aggregate, then constant-size joins — the entire Shapley algebra
+    runs on bounded frames regardless of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+            " + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("mask"),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase'"
+            " AND value * 100 >= 10000 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("conv"),
+    )
+    mc = u.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+    )
+    dom = (
+        spark.range(16)
+        .selectExpr("CAST(id AS BIGINT) AS m")
+        .join(F.broadcast(mc), F.col("m") == F.col("mask"), "left")
+        .selectExpr(
+            "m",
+            "coalesce(n, 0) AS n",
+            "coalesce(x, 0) AS x",
+            "CASE WHEN coalesce(n, 0) = 0 THEN 0.0"
+            " ELSE CAST(x AS DOUBLE) / n END AS v",
+        )
+        .localCheckpoint()  # 16 rows, referenced three times below
+    )
+    ch = spark.createDataFrame(
+        _SHAP_CHANNELS, "channel string, b bigint"
+    )
+    s = dom.selectExpr("m", "v")
+    v1 = dom.selectExpr("m AS m1", "v AS vv")
+    terms = (
+        ch.join(F.broadcast(s), F.expr("(m & b) = 0"))
+        .join(F.broadcast(v1), F.expr("m1 = m + b"))
+        .selectExpr(
+            "channel",
+            "b",
+            "CAST(round((CASE WHEN bit_count(m) = 0 THEN 6"
+            " WHEN bit_count(m) = 1 THEN 2"
+            " WHEN bit_count(m) = 2 THEN 2"
+            " ELSE 6 END) * (vv - v), 9) AS DECIMAL(28,9)) AS t24",
+        )
+    )
+    phi = terms.groupBy("channel", "b").agg(F.sum("t24").alias("phi24"))
+    touched = (
+        ch.join(F.broadcast(dom), F.expr("(m & b) != 0"))
+        .groupBy("channel")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_touched"),
+            F.sum("x").cast("bigint").alias("x_touched"),
+        )
+    )
+    return (
+        phi.join(touched, "channel")
+        .selectExpr(
+            "channel",
+            "n_touched",
+            "round(CASE WHEN n_touched = 0 THEN 0.0"
+            " ELSE CAST(x_touched AS DOUBLE) / n_touched END, 6)"
+            " AS conv_rate_touched",
+            "round(CAST(phi24 AS DOUBLE) / 24.0, 6) AS shapley_value",
+        )
+        .orderBy("channel")
+    )

@@ -1587,3 +1587,98 @@ def test_shapley_attribution_matches_python_recompute(spark, sf_dir):
     assert math.isclose(
         sum(phis.values()), v_of[15] - v_of[0], abs_tol=1e-6
     )
+
+
+def test_local_bridges_matches_python_recompute(spark, sf_dir):
+    """Plain-Python bridge detection on the support-2 co-purchase
+    graph: zero common neighbors, endpoint degrees, global count."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        graph_local_bridges,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    by_order = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order[int(ok)].add(int(pk))
+    support = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                support[(u, v)] += 1
+    edges = {e for e, c in support.items() if c >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    bridges = {
+        (u, v, len(adj[u]), len(adj[v]))
+        for u, v in edges
+        if not (adj[u] & adj[v])
+    }
+    rows = graph_local_bridges(spark, sf_dir).collect()
+    got = {(r.part_u, r.part_v, r.deg_u, r.deg_v) for r in rows}
+    assert got == bridges
+    assert all(r.n_bridges == len(bridges) for r in rows)
+
+
+def test_cronbach_alpha_matches_python_recompute(spark, sf_dir):
+    """Densified day x type grid, n-scaled integer variances, the
+    k/(k-1) assembly."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_cronbach_alpha,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["c"] = (ev["value"] * 100 + 0.5).astype("int64")
+    grid = ev.pivot_table(
+        index="day", columns="event_type", values="c",
+        aggfunc="sum", fill_value=0,
+    )
+    n, k = grid.shape
+    sum_ci = sum(
+        n * int((grid[t] ** 2).sum()) - int(grid[t].sum()) ** 2
+        for t in grid.columns
+    )
+    rs = grid.sum(axis=1)
+    c_tot = n * int((rs ** 2).sum()) - int(rs.sum()) ** 2
+    alpha = k / (k - 1) * (1.0 - sum_ci / c_tot)
+    (row,) = agg_cronbach_alpha(spark, sf_dir).collect()
+    assert (row.k_items, row.n_cases) == (k, n)
+    assert row.cronbach_alpha == round(alpha, 6)
+
+
+def test_cvar_matches_python_recompute(spark, sf_dir):
+    """Exact order-statistic VaR pick and tail mean over day-over-day
+    purchase revenue changes."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_cvar_expected_shortfall,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["c"] = (ev["value"] * 100 + 0.5).astype("int64")
+    daily = ev.groupby("day")["c"].sum().sort_index()
+    chg = sorted(
+        int(b) - int(a) for a, b in zip(daily.values, daily.values[1:])
+    )
+    n = len(chg)
+    var_c = chg[(5 * n + 99) // 100 - 1]
+    tail = [x for x in chg if x <= var_c]
+    (row,) = agg_cvar_expected_shortfall(spark, sf_dir).collect()
+    assert (row.n_changes, row.var95_cents, row.n_tail_days) == (
+        n, var_c, len(tail),
+    )
+    assert row.cvar95_cents == round(sum(tail) / len(tail), 6)

@@ -4950,3 +4950,301 @@ def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_local_bridges
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_local_bridges",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    d AS (SELECT u AS m, n FROM (SELECT u, v AS n FROM e
+          UNION ALL SELECT v AS u, u AS n FROM e) z),
+    deg AS (SELECT m, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY m),
+    closed AS (
+      SELECT DISTINCT e.u, e.v
+      FROM e JOIN d d1 ON d1.m = e.u JOIN d d2
+        ON d2.m = e.v AND d2.n = d1.n),
+    bridges AS (
+      SELECT e.u, e.v FROM e LEFT JOIN closed c
+        ON e.u = c.u AND e.v = c.v
+      WHERE c.u IS NULL)
+    SELECT b.u AS part_u, b.v AS part_v,
+           du.dg AS deg_u, dv.dg AS deg_v,
+           CAST(count(*) OVER () AS BIGINT) AS n_bridges
+    FROM bridges b JOIN deg du ON b.u = du.m JOIN deg dv ON b.v = dv.m
+    ORDER BY part_u, part_v
+    """,
+)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL BRIDGES of the support-2 part co-purchase graph: edges
+    whose endpoints share NO common neighbor (span > 2) — Granovetter's
+    weak ties, the edges whose removal disconnects their endpoints'
+    neighborhoods and along which novel information (here: cross-
+    category purchase affinity) flows.  Emits each bridge with its
+    endpoint degrees and the global bridge count.  Sibling
+    differentiation: graph_jaccard_neighbor_sim scores HOW MUCH
+    neighborhoods overlap; this op finds the edges where the overlap
+    is exactly zero, the structurally special set.
+
+    Scale shape: common-neighbor detection is one wedge-closing join
+    (directed lists joined on both endpoints, the triangle-probe
+    shape whose cost the support gate bounds — analytics2's wedge-mass
+    note), DISTINCT-collapsed to the closed-edge set; bridges are the
+    LEFT-ANTI complement against the checkpointed edge list; degrees
+    ride in via two broadcastable (node, deg) joins.  All exact
+    integers, no floats anywhere."""
+    e = _copurchase_edges_a9(spark, sf_dir)
+    d = e.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    deg = d.groupBy("m").agg(F.count("*").cast("bigint").alias("dg"))
+    d1 = d.select(F.col("m").alias("m1"), F.col("n").alias("w1"))
+    d2 = d.select(F.col("m").alias("m2"), F.col("n").alias("w2"))
+    closed = (
+        e.join(d1, F.col("u") == F.col("m1"))
+        .join(d2, (F.col("v") == F.col("m2")) & (F.col("w2") == F.col("w1")))
+        .select("u", "v")
+        .distinct()
+    )
+    bridges = e.join(closed, ["u", "v"], "left_anti")
+    du = deg.select(F.col("m").alias("u"), F.col("dg").alias("deg_u"))
+    dv = deg.select(F.col("m").alias("v"), F.col("dg").alias("deg_v"))
+    w_all = Window.partitionBy()
+    return (
+        bridges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            "deg_u",
+            "deg_v",
+            F.count("*").over(w_all).cast("bigint").alias("n_bridges"),
+        )
+        .orderBy("part_u", "part_v")
+    )
+
+
+def _copurchase_edges_a9(spark: SparkSession, sf_dir: str):
+    """Shared support-2 co-purchase edge list (analytics4's cached
+    frame — imported lazily to keep module import order acyclic)."""
+    from .analytics4 import _copurchase_edges
+
+    return _copurchase_edges(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# agg_cronbach_alpha
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cronbach_alpha",
+    oracle="""
+    WITH cell0 AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day, event_type,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM cell0),
+    types AS (SELECT DISTINCT event_type FROM cell0),
+    cells AS (
+      SELECT d.day, t.event_type, coalesce(c0.c, 0) AS c
+      FROM days d CROSS JOIN types t
+      LEFT JOIN cell0 c0 ON d.day = c0.day
+        AND t.event_type = c0.event_type),
+    iv AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS ss
+      FROM cells GROUP BY event_type),
+    item_var AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, max(n) AS n,
+             sum(n * ss - CAST(s AS HUGEINT) * s) AS sum_ci
+      FROM iv),
+    rows_ AS (
+      SELECT day, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY day),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS s,
+             sum(CAST(r AS HUGEINT) * r) AS ss
+      FROM rows_)
+    SELECT i.k AS k_items, t.n AS n_cases,
+           round(CAST(i.k AS DOUBLE) / (i.k - 1)
+                 * (1.0 - CAST(i.sum_ci AS DOUBLE)
+                   / CAST(t.n * t.ss - CAST(t.s AS HUGEINT) * t.s
+                          AS DOUBLE)), 6) AS cronbach_alpha
+    FROM item_var i CROSS JOIN tot t
+    """,
+)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRONBACH'S ALPHA internal-consistency reliability of the five
+    event-type daily-revenue series treated as items measuring one
+    construct ("site activity"): alpha = k/(k-1) * (1 - sum(item
+    variances) / variance(item sums)) over the 30 day-cases.  The
+    psychometric workhorse re-expressed for telemetry: high alpha
+    means the per-type series co-move (one latent load), near-zero
+    means the types are independent signals — the fixture's
+    independent generators should land near 0, the calibration read.
+
+    Parity: the day x type grid is DENSIFIED (missing cells are TRUE
+    ZEROS — the blocked-cells rule from the contingency ops); every
+    variance is the n-scaled exact integer n*Sxx - Sx^2 in HUGEINT /
+    DECIMAL, and since every item shares the same n the variance
+    RATIO equals the scaled-sum ratio with no division until the one
+    shared-text double at the end, round(6).
+
+    Shape at 100 TB: one scan -> (day x type) aggregate, a bounded
+    densify cross join, two bounded-domain reductions."""
+    ev = table(spark, sf_dir, "events")
+    cell0 = ev.groupBy(
+        F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
+        ).alias("c")
+    ).localCheckpoint()  # bounded day x type grid, referenced 3x
+    days = cell0.select("day").distinct()
+    types = cell0.select("event_type").distinct()
+    cells = (
+        days.crossJoin(F.broadcast(types))
+        .join(cell0, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    iv = cells.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.expr("sum(CAST(c AS DECIMAL(19,0)) * c)").alias("ss"),
+    )
+    item_var = iv.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.max("n").alias("n"),
+        F.expr(
+            "sum(n * ss - CAST(s AS DECIMAL(38,0)) * s)"
+        ).alias("sum_ci"),
+    )
+    rows_ = cells.groupBy("day").agg(
+        F.sum("c").cast("bigint").alias("r")
+    )
+    tot = rows_.agg(
+        F.count("*").cast("bigint").alias("n_cases"),
+        F.sum("r").cast("bigint").alias("s_tot"),
+        F.expr("sum(CAST(r AS DECIMAL(19,0)) * r)").alias("ss_tot"),
+    )
+    return (
+        item_var.drop("n")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "k AS k_items",
+            "n_cases",
+            "round(CAST(k AS DOUBLE) / (k - 1)"
+            " * (1.0 - CAST(sum_ci AS DOUBLE)"
+            " / CAST(n_cases * ss_tot"
+            " - CAST(s_tot AS DECIMAL(38,0)) * s_tot"
+            " AS DOUBLE)), 6) AS cronbach_alpha",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cvar_expected_shortfall
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cvar_expected_shortfall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    chg AS (
+      SELECT tot - lag(tot) OVER (ORDER BY day) AS ch
+      FROM daily QUALIFY ch IS NOT NULL),
+    st AS (
+      SELECT list_sort(list(ch)) AS cs, CAST(count(*) AS BIGINT) AS n
+      FROM chg),
+    pick AS (
+      SELECT n,
+             list_extract(cs, CAST((5 * n + 99) // 100 AS INT)) AS var_c,
+             cs
+      FROM st),
+    tail AS (
+      SELECT p.n, p.var_c,
+             CAST(len(list_filter(cs, x -> x <= var_c)) AS BIGINT)
+               AS n_tail,
+             CAST(list_sum(list_filter(cs, x -> x <= var_c)) AS BIGINT)
+               AS s_tail
+      FROM pick p)
+    SELECT n AS n_changes, var_c AS var95_cents,
+           n_tail AS n_tail_days,
+           round(CAST(s_tail AS DOUBLE) / n_tail, 6) AS cvar95_cents
+    FROM tail
+    """,
+)
+def agg_cvar_expected_shortfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VALUE-AT-RISK + EXPECTED SHORTFALL (CVaR) of daily purchase-
+    revenue CHANGES — the risk pair a finance desk quotes: VaR(95) is
+    the exact 5th-percentile worst day-over-day change (order
+    statistic, index ceil(0.05 n)), and CVaR(95) the mean of all
+    changes at or below it — the coherent tail measure that, unlike
+    VaR alone, sees how BAD the tail is.  Sibling differentiation:
+    win_drawdown tracks cumulative peak-to-trough loss (path risk);
+    VaR/CVaR summarize the one-step change distribution.
+
+    Parity: changes are exact integer cents over the bounded day
+    domain; the order statistic is an exact integer-index pick from
+    the sorted bounded list ((5n + 99) div 100 — the
+    text_minhash_band_tuning quantile convention); the tail is an
+    exact <=-filter (ties at the VaR boundary INCLUDED on both
+    engines) and CVaR one double division, round(6).
+
+    Shape at 100 TB: one filtered scan -> day-domain aggregate; all
+    later arithmetic runs on the <= |days| domain."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
+            ).alias("tot")
+        )
+    )
+    w = Window.orderBy("day")
+    chg = (
+        daily.withColumn("ch", F.col("tot") - F.lag("tot").over(w))
+        .where(F.col("ch").isNotNull())
+        .select("ch")
+    )
+    st = chg.agg(
+        F.sort_array(F.collect_list("ch")).alias("cs"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    pick = st.selectExpr(
+        "n",
+        "element_at(cs, CAST((5 * n + 99) div 100 AS INT)) AS var_c",
+        "cs",
+    )
+    return pick.selectExpr(
+        "n AS n_changes",
+        "var_c AS var95_cents",
+        "CAST(size(filter(cs, x -> x <= var_c)) AS BIGINT) AS n_tail_days",
+        "round(CAST(aggregate(filter(cs, x -> x <= var_c),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)"
+        " / size(filter(cs, x -> x <= var_c)), 6) AS cvar95_cents",
+    )

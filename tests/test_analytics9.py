@@ -1682,3 +1682,89 @@ def test_cvar_matches_python_recompute(spark, sf_dir):
         n, var_c, len(tail),
     )
     assert row.cvar95_cents == round(sum(tail) / len(tail), 6)
+
+
+def test_neyman_allocation_matches_python_recompute(spark, sf_dir):
+    """sqrt(n-scaled moment) weights + Hamilton largest-remainder
+    apportionment; allocations must sum to exactly 1000."""
+    import math
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        _NEYMAN_N,
+        sample_neyman_allocation,
+    )
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    cents = (m["o_totalprice"] * 100 + 0.5).astype("int64")
+    agg = {}
+    for nk, x in zip(m["c_nationkey"], cents):
+        a = agg.setdefault(int(nk), [0, 0, 0])
+        a[0] += 1
+        a[1] += int(x)
+        a[2] += int(x) * int(x)
+    nsd = {nk: math.sqrt(a[0] * a[2] - a[1] ** 2) for nk, a in agg.items()}
+    tot = sum(nsd.values())
+    fl = {nk: int(_NEYMAN_N * v / tot) for nk, v in nsd.items()}
+    rem = {nk: _NEYMAN_N * v / tot - fl[nk] for nk, v in nsd.items()}
+    short = _NEYMAN_N - sum(fl.values())
+    order = sorted(rem, key=lambda nk: (-rem[nk], nk))
+    alloc = {
+        nk: fl[nk] + (1 if i < short else 0)
+        for i, nk in enumerate(order)
+    }
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    assert {(r.nationkey, r.n_pop, r.alloc) for r in rows} == {
+        (nk, agg[nk][0], alloc[nk]) for nk in agg
+    }
+    assert sum(r.alloc for r in rows) == _NEYMAN_N
+    assert all(
+        r.neyman_weight == round(nsd[r.nationkey] / tot, 6) for r in rows
+    )
+
+
+def test_borda_copeland_matches_python_recompute(spark, sf_dir):
+    """Doubled-point Borda and Copeland scores over the densified
+    day x type revenue grid."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_borda_copeland_ranks,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["c"] = (ev["value"] * 100 + 0.5).astype("int64")
+    grid = ev.pivot_table(
+        index="day", columns="event_type", values="c",
+        aggfunc="sum", fill_value=0,
+    )
+    types = list(grid.columns)
+    n_days = len(grid)
+    borda2 = {t: 0 for t in types}
+    copeland2 = {t: 0 for t in types}
+    for i in types:
+        for j in types:
+            if i == j:
+                continue
+            pts2 = int(
+                (2 * (grid[i] > grid[j]) + (grid[i] == grid[j])).sum()
+            )
+            borda2[i] += pts2
+            if 2 * pts2 > 2 * n_days:
+                copeland2[i] += 2
+            elif 2 * pts2 == 2 * n_days:
+                copeland2[i] += 1
+    rows = agg_borda_copeland_ranks(spark, sf_dir).collect()
+    assert {(r.event_type, r.borda2, r.copeland2) for r in rows} == {
+        (t, borda2[t], copeland2[t]) for t in types
+    }
+    br = sorted(types, key=lambda t: (-borda2[t], t))
+    assert {(r.event_type, r.borda_rank) for r in rows} == {
+        (t, i + 1) for i, t in enumerate(br)
+    }

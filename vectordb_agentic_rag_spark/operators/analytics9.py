@@ -5248,3 +5248,238 @@ def agg_cvar_expected_shortfall(
         " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)"
         " / size(filter(cs, x -> x <= var_c)), 6) AS cvar95_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_N = 1000  # target total sample size
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    st AS (
+      SELECT nk, CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(cents) AS BIGINT) AS s,
+             sum(CAST(cents AS HUGEINT) * cents) AS ss
+      FROM j GROUP BY nk),
+    wt AS (
+      SELECT nk, n_pop,
+             sqrt(CAST(n_pop * ss - CAST(s AS HUGEINT) * s AS DOUBLE))
+               AS nsd
+      FROM st),
+    tw AS (SELECT sum(nsd) AS tot FROM wt),
+    base AS (
+      SELECT w.nk, w.n_pop, w.nsd / t.tot AS wgt,
+             CAST(floor({_NEYMAN_N} * w.nsd / t.tot) AS BIGINT) AS fl,
+             {_NEYMAN_N} * w.nsd / t.tot
+               - floor({_NEYMAN_N} * w.nsd / t.tot) AS rem
+      FROM wt w CROSS JOIN tw t),
+    topup AS (
+      SELECT nk, n_pop, wgt, fl, rem,
+             row_number() OVER (ORDER BY rem DESC, nk) AS rr,
+             CAST({_NEYMAN_N} - sum(fl) OVER () AS BIGINT) AS short
+      FROM base)
+    SELECT nk AS nationkey, n_pop,
+           round(wgt, 6) AS neyman_weight,
+           CAST(fl + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM topup ORDER BY nationkey
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION of a 1000-row sample across customer-
+    nation strata of the orders table — the survey-sampling design
+    that minimizes the estimator variance for a fixed budget:
+    allocation_h proportional to N_h * S_h.  The algebra collapses
+    exactly: N_h * S_h(population) = sqrt(N_h*Sxx_h - Sx_h^2), the
+    square root of the n-scaled INTEGER central moment, so the weights
+    need no per-stratum division at all.  Fractional allocations
+    resolve to integers by the largest-remainder (Hamilton) method
+    with the nationkey tie-break — deterministic, sums to exactly
+    1000.  Companion to sample_stratified_hash (which DRAWS a
+    hash-gated sample): this op decides HOW MANY to draw per stratum.
+
+    Parity: the scaled moments are exact HUGEINT/DECIMAL integers;
+    sqrt is IEEE-correctly-rounded on both engines, so weights,
+    floors, and remainders are bit-identical doubles; the top-up rank
+    orders (remainder DESC, nationkey) — exact same order both sides.
+
+    Shape at 100 TB: one fact scan with a broadcast customer-dim
+    join, a 25-row stratum aggregate, constant-size apportionment."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)").alias("cents"),
+    )
+    cst = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    st = (
+        o.join(F.broadcast(cst), o["o_custkey"] == cst["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pop"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.expr("sum(CAST(cents AS DECIMAL(19,0)) * cents)").alias("ss"),
+        )
+    )
+    wt = st.selectExpr(
+        "nk",
+        "n_pop",
+        "sqrt(CAST(n_pop * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE))"
+        " AS nsd",
+    )
+    tw = wt.agg(F.sum("nsd").alias("tot"))
+    base = wt.crossJoin(F.broadcast(tw)).selectExpr(
+        "nk",
+        "n_pop",
+        "nsd / tot AS wgt",
+        f"CAST(floor({_NEYMAN_N} * nsd / tot) AS BIGINT) AS fl",
+        f"{_NEYMAN_N} * nsd / tot - floor({_NEYMAN_N} * nsd / tot) AS rem",
+    )
+    w_r = Window.orderBy(F.col("rem").desc(), "nk")
+    w_all = Window.partitionBy()
+    return (
+        base.withColumn("rr", F.row_number().over(w_r))
+        .withColumn(
+            "short",
+            (F.lit(_NEYMAN_N) - F.sum("fl").over(w_all)).cast("bigint"),
+        )
+        .selectExpr(
+            "nk AS nationkey",
+            "n_pop",
+            "round(wgt, 6) AS neyman_weight",
+            "CAST(fl + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT)"
+            " AS alloc",
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_borda_copeland_ranks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_borda_copeland_ranks",
+    oracle="""
+    WITH cell0 AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day, event_type,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM cell0),
+    types AS (SELECT DISTINCT event_type FROM cell0),
+    cells AS (
+      SELECT d.day, t.event_type, coalesce(c0.c, 0) AS c
+      FROM days d CROSS JOIN types t
+      LEFT JOIN cell0 c0 ON d.day = c0.day
+        AND t.event_type = c0.event_type),
+    pw AS (
+      SELECT a.event_type AS i, b.event_type AS j,
+             CAST(sum(CASE WHEN a.c > b.c THEN 2
+                           WHEN a.c = b.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS pts2
+      FROM cells a JOIN cells b
+        ON a.day = b.day AND a.event_type != b.event_type
+      GROUP BY 1, 2),
+    sc AS (
+      SELECT i AS event_type,
+             CAST(sum(pts2) AS BIGINT) AS borda2,
+             CAST(sum(CASE WHEN 2 * pts2 > (SELECT count(*) FROM days) * 2
+                           THEN 2
+                           WHEN 2 * pts2 = (SELECT count(*) FROM days) * 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS copeland2
+      FROM pw GROUP BY i)
+    SELECT event_type, borda2, copeland2,
+           CAST(row_number() OVER (ORDER BY borda2 DESC, event_type)
+                AS BIGINT) AS borda_rank,
+           CAST(row_number() OVER (ORDER BY copeland2 DESC, borda2 DESC,
+                                   event_type) AS BIGINT) AS copeland_rank
+    FROM sc ORDER BY event_type
+    """,
+)
+def agg_borda_copeland_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK AGGREGATION by Borda count and Copeland's method: the 30
+    days are voters, the five event types candidates, each day's
+    preference its revenue order.  Borda awards each candidate the
+    number of candidates it beats per day (ties half — kept exact by
+    DOUBLING: 2 per win, 1 per tie, summed across days and
+    opponents); Copeland scores head-to-head MAJORITIES (2 per
+    opponent beaten across more days than lost, 1 per exact split).
+    The two disagree exactly when margins matter vs majorities — the
+    classic social-choice read, used in ensembling ranked retrievers.
+    Sibling differentiation: agg_kendall_w measures how much the
+    daily rankings AGREE; this op produces the consensus ranking
+    itself.
+
+    Parity: the day x type grid is densified (zero-revenue days are
+    real votes); every score is exact integer arithmetic; the final
+    ranks order by the exact integers with name tie-breaks.
+
+    Shape at 100 TB: one scan -> day x type aggregate, one bounded
+    self-join on day (|types|^2 x |days| rows), two 5-row windows."""
+    ev = table(spark, sf_dir, "events")
+    cell0 = ev.groupBy(
+        F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
+        ).alias("c")
+    ).localCheckpoint()  # bounded day x type grid, referenced 3x
+    days = cell0.select("day").distinct()
+    types = cell0.select("event_type").distinct()
+    cells = (
+        days.crossJoin(F.broadcast(types))
+        .join(cell0, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint()  # referenced twice by the pairwise self-join
+    )
+    n_days = days.count()
+    a = cells.select(
+        F.col("day").alias("d1"),
+        F.col("event_type").alias("i"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("day").alias("d2"),
+        F.col("event_type").alias("j"),
+        F.col("c").alias("cb"),
+    )
+    pw = (
+        a.join(b, (F.col("d1") == F.col("d2")) & (F.col("i") != F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN ca > cb THEN 2 WHEN ca = cb THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("pts2")
+        )
+    )
+    # copeland's majority threshold needs n_days (bounded, counted once)
+    sc = pw.groupBy(F.col("i").alias("event_type")).agg(
+        F.sum("pts2").cast("bigint").alias("borda2"),
+        F.expr(
+            f"CAST(sum(CASE WHEN 2 * pts2 > 2 * {n_days} THEN 2"
+            f" WHEN 2 * pts2 = 2 * {n_days} THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("copeland2"),
+    )
+    w_b = Window.orderBy(F.col("borda2").desc(), "event_type")
+    w_c = Window.orderBy(
+        F.col("copeland2").desc(), F.col("borda2").desc(), "event_type"
+    )
+    return sc.select(
+        "event_type",
+        "borda2",
+        "copeland2",
+        F.row_number().over(w_b).cast("bigint").alias("borda_rank"),
+        F.row_number().over(w_c).cast("bigint").alias("copeland_rank"),
+    ).orderBy("event_type")

@@ -283,6 +283,22 @@ OPS = [
     ("agg_hhi_concentration", "lineitem"),
     # wave 9 (cuped/power_mde) is the one-scan user-domain collapse
     # shape already audited via agg_ab_srm_check.
+    # round-10 additions. The causal suite (did/iv/qini/matthews/
+    # shapley) and cronbach/cvar/streaks/borda are one-scan user- or
+    # day-domain collapses (the SRM shape) — qini is included as the
+    # representative since it adds the score-domain CDF join; the
+    # day-domain ops are covered by the existing events entries.
+    # stream_psi_drift_live is streaming-replay-bound like the other
+    # stream_* ops.  dedup_substring_span_purge and the band-tuning
+    # table are document-scaled and audit here (deferred-registration
+    # ops still load through load_deferred_operators).
+    ("agg_qini_uplift_curve", "events"),
+    ("agg_laspeyres_paasche_index", "lineitem"),
+    ("graph_local_bridges", "lineitem"),
+    ("sample_neyman_allocation", "orders"),
+    ("agg_last_digit_uniformity", "orders"),
+    ("dedup_substring_span_purge", "documents"),
+    ("text_minhash_band_tuning", "documents"),
 ]
 
 
@@ -440,6 +456,9 @@ def main() -> None:
     from vectordb_agentic_rag_spark.tables import table
 
     load_all_operators()
+    from vectordb_agentic_rag_spark.registry import load_deferred_operators
+
+    load_deferred_operators()  # round-queued ops audit early too
     spark = get_spark("scale-exp")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1768,3 +1768,98 @@ def test_borda_copeland_matches_python_recompute(spark, sf_dir):
     assert {(r.event_type, r.borda_rank) for r in rows} == {
         (t, i + 1) for i, t in enumerate(br)
     }
+
+
+def test_hoeffding_d_matches_python_recompute(spark, sf_dir):
+    """Full quarter-integer Hoeffding machinery recompute: doubled
+    midranks, quadrupled Q with Hollander-Wolfe tie weights, the
+    scaled D1/D2/D3 assembly."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_hoeffding_d_independence,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    purch = (ev["value"] * 100 + 0.5).astype("int64").where(
+        ev["event_type"] == "purchase", 0
+    )
+    g = pd.DataFrame({"day": ev["day"], "x": purch, "one": 1}).groupby(
+        "day"
+    ).agg(x=("x", "sum"), y=("one", "sum"))
+    xs, ys = g["x"].tolist(), g["y"].tolist()
+    n = len(xs)
+    r2 = [
+        2 * sum(1 for v in xs if v < xi) + sum(1 for v in xs if v == xi) + 1
+        for xi in xs
+    ]
+    s2 = [
+        2 * sum(1 for v in ys if v < yi) + sum(1 for v in ys if v == yi) + 1
+        for yi in ys
+    ]
+    q4 = []
+    for i in range(n):
+        t = 4
+        for j in range(n):
+            if j == i:
+                continue
+            lx, ex = xs[j] < xs[i], xs[j] == xs[i]
+            ly, ey = ys[j] < ys[i], ys[j] == ys[i]
+            t += 4 * (lx and ly) + 2 * (ex and ly) + 2 * (lx and ey) + (
+                ex and ey
+            )
+        q4.append(t)
+    d1 = sum((q - 4) * (q - 8) for q in q4)
+    d2 = sum(
+        (r - 2) * (r - 4) * (s - 2) * (s - 4) for r, s in zip(r2, s2)
+    )
+    d3 = sum(
+        (r - 4) * (s - 4) * (q - 4) for r, s, q in zip(r2, s2, q4)
+    )
+    d = (
+        30.0
+        * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+        / (16.0 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    )
+    (row,) = agg_hoeffding_d_independence(spark, sf_dir).collect()
+    assert row.n_days == n
+    assert row.hoeffding_d == round(d, 6)
+
+
+def test_sample_entropy_matches_python_recompute(spark, sf_dir):
+    """Template-match recompute with the MAD-of-diffs tolerance and
+    the <= n-2 start convention."""
+    import math
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_sample_entropy,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["c"] = (ev["value"] * 100 + 0.5).astype("int64")
+    tot = ev.groupby("day")["c"].sum().sort_index().tolist()
+    n = len(tot)
+    diffs = sorted(abs(b - a) for a, b in zip(tot, tot[1:]))
+    r = diffs[(len(diffs) + 1) // 2 - 1]  # low-median pick
+    b2 = a3 = 0
+    for i in range(n - 2):
+        for j in range(i + 1, n - 2):
+            m1 = abs(tot[i] - tot[j]) <= r
+            m1b = abs(tot[i + 1] - tot[j + 1]) <= r
+            m1c = abs(tot[i + 2] - tot[j + 2]) <= r
+            if m1 and m1b:
+                b2 += 1
+                if m1c:
+                    a3 += 1
+    (row,) = agg_sample_entropy(spark, sf_dir).collect()
+    assert (row.n_days, row.tolerance_cents) == (n, r)
+    assert (row.template_matches_m2, row.template_matches_m3) == (b2, a3)
+    if a3 and b2:
+        assert row.sample_entropy == round(math.log(b2 / a3), 6)
+    else:
+        assert row.sample_entropy is None

@@ -5483,3 +5483,298 @@ def agg_borda_copeland_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_b).cast("bigint").alias("borda_rank"),
         F.row_number().over(w_c).cast("bigint").alias("copeland_rank"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# agg_hoeffding_d_independence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hoeffding_d_independence",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    pg AS (
+      SELECT a.day,
+             CAST(sum(CASE WHEN b.x < a.x THEN 2 ELSE 0 END)
+                  + sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN b.y < a.y THEN 2 ELSE 0 END)
+                  + sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS s2,
+             CAST(4 + sum(CASE
+                    WHEN b.day = a.day THEN 0
+                    WHEN b.x < a.x AND b.y < a.y THEN 4
+                    WHEN b.x = a.x AND b.y < a.y THEN 2
+                    WHEN b.x < a.x AND b.y = a.y THEN 2
+                    WHEN b.x = a.x AND b.y = a.y THEN 1
+                    ELSE 0 END) AS BIGINT) AS q4
+      FROM daily a CROSS JOIN daily b
+      GROUP BY a.day),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((q4 - 4) * (q4 - 8)) AS BIGINT) AS d1_16,
+             sum(CAST((r2 - 2) * (r2 - 4) AS HUGEINT)
+                 * ((s2 - 2) * (s2 - 4))) AS d2_16,
+             sum(CAST((r2 - 4) * (s2 - 4) AS HUGEINT) * (q4 - 4))
+               AS d3_16
+      FROM pg)
+    SELECT n AS n_days,
+           round(30.0 * CAST((n - 2) * (n - 3) * d1_16
+                 + d2_16 - 2 * (n - 2) * d3_16 AS DOUBLE)
+                 / (16.0 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)), 6)
+             AS hoeffding_d,
+           CAST(CASE WHEN round(30.0 * CAST((n - 2) * (n - 3) * d1_16
+                 + d2_16 - 2 * (n - 2) * d3_16 AS DOUBLE)
+                 / (16.0 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)), 9)
+                 > 0.005 THEN 1 ELSE 0 END AS BIGINT) AS dependent_hint
+    FROM s
+    """,
+)
+def agg_hoeffding_d_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HOEFFDING'S D INDEPENDENCE TEST between daily purchase revenue
+    and daily event volume — the rank-based test that detects ANY
+    dependence (including non-monotone U-shapes that Pearson,
+    Spearman, and Kendall all miss; the only such test in the repo:
+    agg_mutual_information needs a binning choice, energy/KS are
+    two-sample tests, agg_spearman_corr is monotone-only).
+    D = 30 * ((n-2)(n-3)D1 + D2 - 2(n-2)D3) / (n(n-1)...(n-4)) over
+    bivariate ranks, with Hollander-Wolfe tie handling.
+
+    Exactly computable: midranks DOUBLE to integers (r2 = 2*cnt_less
+    + cnt_eq_incl + 1 — the repo's rank identity) and the bivariate
+    concordance count Q QUADRUPLES (q4 = 4 + 4*both-less + 2*each
+    half-tie + 1*double-tie), so 16*D1, 16*D2, 16*D3 are exact
+    HUGEINT/DECIMAL sums and D is ONE double division of exact
+    integers, round(6).  The pair grid is |days|^2 = 900 rows — the
+    O(T^2) day-domain budget every changepoint/DP op here uses.
+
+    Shape at 100 TB: one scan -> 30-row day aggregate; everything
+    after runs on the bounded domain."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    ).localCheckpoint()  # 30-row domain, self-joined below
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pg = (
+        a.crossJoin(b)
+        .groupBy("da")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN xb < xa THEN 2 ELSE 0 END)"
+                " + sum(CASE WHEN xb = xa THEN 1 ELSE 0 END) + 1"
+                " AS BIGINT)"
+            ).alias("r2"),
+            F.expr(
+                "CAST(sum(CASE WHEN yb < ya THEN 2 ELSE 0 END)"
+                " + sum(CASE WHEN yb = ya THEN 1 ELSE 0 END) + 1"
+                " AS BIGINT)"
+            ).alias("s2"),
+            F.expr(
+                "CAST(4 + sum(CASE"
+                " WHEN db = da THEN 0"
+                " WHEN xb < xa AND yb < ya THEN 4"
+                " WHEN xb = xa AND yb < ya THEN 2"
+                " WHEN xb < xa AND yb = ya THEN 2"
+                " WHEN xb = xa AND yb = ya THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("q4"),
+        )
+    )
+    s = pg.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum((q4 - 4) * (q4 - 8)) AS BIGINT)").alias("d1_16"),
+        F.expr(
+            "sum(CAST((r2 - 2) * (r2 - 4) AS DECIMAL(19,0))"
+            " * ((s2 - 2) * (s2 - 4)))"
+        ).alias("d2_16"),
+        F.expr(
+            "sum(CAST((r2 - 4) * (s2 - 4) AS DECIMAL(19,0)) * (q4 - 4))"
+        ).alias("d3_16"),
+    )
+    d_txt = (
+        "30.0 * CAST((n - 2) * (n - 3) * d1_16"
+        " + d2_16 - 2 * (n - 2) * d3_16 AS DOUBLE)"
+        " / (16.0 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4))"
+    )
+    return s.selectExpr(
+        "n AS n_days",
+        f"round({d_txt}, 6) AS hoeffding_d",
+        f"CAST(CASE WHEN round({d_txt}, 9) > 0.005 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS dependent_hint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_sample_entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_sample_entropy",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS i, tot FROM daily),
+    tol AS (
+      SELECT CAST(list_extract(list_sort(list(ad)),
+               CAST((count(*) + 1) // 2 AS INT)) AS BIGINT) AS r
+      FROM (SELECT abs(a.tot - b.tot) AS ad
+            FROM idx a JOIN idx b ON b.i = a.i + 1) z),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib,
+             CASE WHEN abs(a.tot - b.tot) <= t.r THEN 1 ELSE 0 END AS m1
+      FROM idx a JOIN idx b ON b.i > a.i CROSS JOIN tol t),
+    m AS (
+      SELECT CASE WHEN p1.m1 = 1 AND p2.m1 = 1 THEN 1 ELSE 0 END AS m2,
+             CASE WHEN p1.m1 = 1 AND p2.m1 = 1 AND p3.m1 = 1
+                  THEN 1 ELSE 0 END AS m3
+      FROM pairs p1
+      JOIN pairs p2 ON p2.ia = p1.ia + 1 AND p2.ib = p1.ib + 1
+      JOIN pairs p3 ON p3.ia = p1.ia + 2 AND p3.ib = p1.ib + 2
+      CROSS JOIN nn WHERE p1.ib <= nn.n - 2),
+    c AS (
+      SELECT CAST(sum(m2) AS BIGINT) AS b2,
+             CAST(sum(m3) AS BIGINT) AS a3
+      FROM m)
+    SELECT nn.n AS n_days, tol.r AS tolerance_cents,
+           c.b2 AS template_matches_m2, c.a3 AS template_matches_m3,
+           CASE WHEN c.a3 = 0 OR c.b2 = 0 THEN NULL
+                ELSE round(ln(CAST(c.b2 AS DOUBLE) / c.a3), 6)
+           END AS sample_entropy
+    FROM c CROSS JOIN nn CROSS JOIN tol
+    """,
+)
+def agg_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE ENTROPY (SampEn, m=2, Richman-Moorman) of the daily
+    purchase-revenue series — the series-complexity measure
+    physiology and finance use to distinguish regular oscillation
+    (low SampEn) from structureless noise (high): the negative log
+    of the conditional probability that two length-2 templates
+    matching within tolerance r still match when extended to length
+    3.  Tolerance r is the MEDIAN absolute day-over-day change — a
+    low-median integer pick (the repo's median convention), so the
+    whole match computation is exact integer comparisons.  Sibling
+    differentiation: win_permutation_entropy ranks ORDER patterns
+    (ordinal), agg_spectral_entropy measures frequency spread;
+    SampEn is amplitude-aware template recurrence — the three answer
+    different regularity questions.
+
+    Parity: template matches are exact 0/1 integers built from the
+    Chebyshev-distance pair grid (|days|^2 bounded); B(2) and A(3)
+    are exact counts over templates starting <= n-2 (both the
+    length-2 match and its extension are always defined — the
+    Richman-Moorman start convention); the single ln of their exact
+    ratio is the one
+    float (cross-libm drift < 1e-9 for these args — the NDCG
+    precedent), round(6); NULL when no template extends (SampEn
+    undefined), decided identically on both engines.
+
+    Shape at 100 TB: one scan -> day-domain aggregate; the pair grid
+    and self-joins run on the bounded domain."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
+            ).alias("tot")
+        )
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w).alias("i"), "tot"
+    ).localCheckpoint()  # 30-row indexed series, referenced 4x
+    a = idx.select(F.col("i").alias("ia"), F.col("tot").alias("ta"))
+    b = idx.select(F.col("i").alias("ib"), F.col("tot").alias("tb"))
+    diffs = a.join(b, F.col("ib") == F.col("ia") + 1).select(
+        F.abs(F.col("ta") - F.col("tb")).alias("ad")
+    )
+    tol = diffs.agg(
+        F.expr(
+            "CAST(element_at(sort_array(collect_list(ad)),"
+            " CAST((count(ad) + 1) div 2 AS INT)) AS BIGINT)"
+        ).alias("r")
+    )
+    pairs = (
+        a.join(b, F.col("ib") > F.col("ia"))
+        .crossJoin(F.broadcast(tol))
+        .select(
+            "ia",
+            "ib",
+            F.expr(
+                "CASE WHEN abs(ta - tb) <= r THEN 1 ELSE 0 END"
+            ).alias("m1"),
+        )
+        .localCheckpoint()  # bounded pair grid, self-joined twice
+    )
+    nn = idx.agg(F.count("*").cast("bigint").alias("n"))
+    p1 = pairs
+    p2 = pairs.select(
+        F.col("ia").alias("ia2"), F.col("ib").alias("ib2"),
+        F.col("m1").alias("m1b"),
+    )
+    p3 = pairs.select(
+        F.col("ia").alias("ia3"), F.col("ib").alias("ib3"),
+        F.col("m1").alias("m1c"),
+    )
+    m = (
+        p1.crossJoin(F.broadcast(nn))
+        .where(F.expr("ib <= n - 2"))
+        .join(
+            p2,
+            (F.col("ia2") == F.col("ia") + 1)
+            & (F.col("ib2") == F.col("ib") + 1),
+        )
+        .join(
+            p3,
+            (F.col("ia3") == F.col("ia") + 2)
+            & (F.col("ib3") == F.col("ib") + 2),
+        )
+        .selectExpr(
+            "CASE WHEN m1 = 1 AND m1b = 1 THEN 1 ELSE 0 END AS m2",
+            "CASE WHEN m1 = 1 AND m1b = 1 AND m1c = 1 THEN 1 ELSE 0 END"
+            " AS m3",
+        )
+    )
+    c = m.agg(
+        F.expr("CAST(sum(m2) AS BIGINT)").alias("b2"),
+        F.expr("CAST(sum(m3) AS BIGINT)").alias("a3"),
+    )
+    return (
+        c.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tol))
+        .selectExpr(
+            "n AS n_days",
+            "r AS tolerance_cents",
+            "b2 AS template_matches_m2",
+            "a3 AS template_matches_m3",
+            "CASE WHEN a3 = 0 OR b2 = 0 THEN NULL"
+            " ELSE round(ln(CAST(b2 AS DOUBLE) / a3), 6) END"
+            " AS sample_entropy",
+        )
+    )

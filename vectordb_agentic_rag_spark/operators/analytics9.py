@@ -72,6 +72,72 @@ def _day_cent_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DAY_TOTALS_CACHE[key]
 
 
+_PURCHASE_DAY_TOTALS_CACHE: dict = {}
+
+
+def _purchase_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 30-row (day, tot) frame of exact integer-cent PURCHASE
+    revenue per day, localCheckpoint-ed once per (application,
+    sf_dir) — shared by win_revenue_up_streaks,
+    agg_cvar_expected_shortfall, and agg_sample_entropy (the round-10
+    self-review found three verbatim copies of the filter + money-cast
+    + groupBy; one helper removes the rescans and the drift risk)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PURCHASE_DAY_TOTALS_CACHE:
+        ev = table(spark, sf_dir, "events")
+        _PURCHASE_DAY_TOTALS_CACHE[key] = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+                    " AS BIGINT)"
+                ).alias("tot")
+            )
+            .localCheckpoint()
+        )
+    return _PURCHASE_DAY_TOTALS_CACHE[key]
+
+
+_DAY_TYPE_CELLS_CACHE: dict = {}
+
+
+def _day_type_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DENSIFIED (day, event_type, c) integer-cent grid — missing
+    cells are true zeros (the blocked-cells rule) — checkpointed once
+    per (application, sf_dir); shared by agg_cronbach_alpha and
+    agg_borda_copeland_ranks (round-10 self-review: two verbatim
+    ~20-line grid constructions)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DAY_TYPE_CELLS_CACHE:
+        ev = table(spark, sf_dir, "events")
+        cell0 = (
+            ev.groupBy(
+                F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
+            )
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT))"
+                    " AS BIGINT)"
+                ).alias("c")
+            )
+            .localCheckpoint()
+        )
+        days = cell0.select("day").distinct()
+        types = cell0.select("event_type").distinct()
+        _DAY_TYPE_CELLS_CACHE[key] = (
+            days.crossJoin(F.broadcast(types))
+            .join(cell0, ["day", "event_type"], "left")
+            .select(
+                "day",
+                "event_type",
+                F.coalesce("c", F.lit(0)).alias("c"),
+            )
+            .localCheckpoint()
+        )
+    return _DAY_TYPE_CELLS_CACHE[key]
+
+
 _CV_BLOCKS_CACHE: dict = {}
 
 
@@ -4409,18 +4475,23 @@ def agg_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
           AS d
       FROM u)
     SELECT a AS n_both, b AS n_x_only, c AS n_y_only, d AS n_neither,
-           round(CAST(a * d - b * c AS DOUBLE)
+           CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL
+                ELSE round(CAST(a * d - b * c AS DOUBLE)
                  / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
-                    * sqrt(CAST((a + c) * (b + d) AS DOUBLE))), 6) AS phi,
-           round(CAST(a + b + c + d AS DOUBLE)
+                    * sqrt(CAST((a + c) * (b + d) AS DOUBLE))), 6)
+           END AS phi,
+           CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL
+                ELSE round(CAST(a + b + c + d AS DOUBLE)
                  * (CAST(a * d - b * c AS DOUBLE)
                     / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
                        * sqrt(CAST((a + c) * (b + d) AS DOUBLE))))
                  * (CAST(a * d - b * c AS DOUBLE)
                     / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
                        * sqrt(CAST((a + c) * (b + d) AS DOUBLE)))), 6)
-             AS chi2_stat,
-           CAST(CASE WHEN round(CAST(a + b + c + d AS DOUBLE)
+           END AS chi2_stat,
+           CAST(CASE WHEN NOT (a + b = 0 OR c + d = 0 OR a + c = 0
+                 OR b + d = 0)
+                 AND round(CAST(a + b + c + d AS DOUBLE)
                  * (CAST(a * d - b * c AS DOUBLE)
                     / (sqrt(CAST((a + b) * (c + d) AS DOUBLE))
                        * sqrt(CAST((a + c) * (b + d) AS DOUBLE))))
@@ -4487,15 +4558,20 @@ def agg_matthews_phi(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * sqrt(CAST((a + c) * (b + d) AS DOUBLE)))"
     )
     chi_txt = f"CAST(a + b + c + d AS DOUBLE) * ({phi_txt}) * ({phi_txt})"
+    # phi is undefined when either trait saturates (a marginal is 0) —
+    # the sf1x blow-up is known to saturate threshold indicators, so
+    # gate to NULL instead of an ANSI divide-by-zero (round-10 rule)
+    degen = "a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0"
     return c.selectExpr(
         "a AS n_both",
         "b AS n_x_only",
         "c AS n_y_only",
         "d AS n_neither",
-        f"round({phi_txt}, 6) AS phi",
-        f"round({chi_txt}, 6) AS chi2_stat",
-        f"CAST(CASE WHEN round({chi_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
-        " AS BIGINT) AS associated_05",
+        f"CASE WHEN {degen} THEN NULL ELSE round({phi_txt}, 6) END AS phi",
+        f"CASE WHEN {degen} THEN NULL ELSE round({chi_txt}, 6) END"
+        " AS chi2_stat",
+        f"CAST(CASE WHEN NOT ({degen}) AND round({chi_txt}, 9) >= 3.8415"
+        " THEN 1 ELSE 0 END AS BIGINT) AS associated_05",
     )
 
 
@@ -4630,16 +4706,7 @@ def win_revenue_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one filtered scan -> day-domain aggregate
     (map-side combined), one bounded-domain window pass."""
-    ev = table(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
-            ).alias("tot")
-        )
-    )
+    daily = _purchase_day_totals(spark, sf_dir)
     w = Window.orderBy("day")
     flagged = daily.withColumn(
         "brk",
@@ -5105,23 +5172,7 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one scan -> (day x type) aggregate, a bounded
     densify cross join, two bounded-domain reductions."""
-    ev = table(spark, sf_dir, "events")
-    cell0 = ev.groupBy(
-        F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
-    ).agg(
-        F.expr(
-            "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
-        ).alias("c")
-    ).localCheckpoint()  # bounded day x type grid, referenced 3x
-    days = cell0.select("day").distinct()
-    types = cell0.select("event_type").distinct()
-    cells = (
-        days.crossJoin(F.broadcast(types))
-        .join(cell0, ["day", "event_type"], "left")
-        .select(
-            "day", "event_type", F.coalesce("c", F.lit(0)).alias("c")
-        )
-    )
+    cells = _day_type_cells(spark, sf_dir)
     iv = cells.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("s"),
@@ -5215,16 +5266,7 @@ def agg_cvar_expected_shortfall(
 
     Shape at 100 TB: one filtered scan -> day-domain aggregate; all
     later arithmetic runs on the <= |days| domain."""
-    ev = table(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
-            ).alias("tot")
-        )
-    )
+    daily = _purchase_day_totals(spark, sf_dir)
     w = Window.orderBy("day")
     chg = (
         daily.withColumn("ch", F.col("tot") - F.lag("tot").over(w))
@@ -5426,23 +5468,8 @@ def agg_borda_copeland_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one scan -> day x type aggregate, one bounded
     self-join on day (|types|^2 x |days| rows), two 5-row windows."""
-    ev = table(spark, sf_dir, "events")
-    cell0 = ev.groupBy(
-        F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
-    ).agg(
-        F.expr(
-            "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
-        ).alias("c")
-    ).localCheckpoint()  # bounded day x type grid, referenced 3x
-    days = cell0.select("day").distinct()
-    types = cell0.select("event_type").distinct()
-    cells = (
-        days.crossJoin(F.broadcast(types))
-        .join(cell0, ["day", "event_type"], "left")
-        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
-        .localCheckpoint()  # referenced twice by the pairwise self-join
-    )
-    n_days = days.count()
+    cells = _day_type_cells(spark, sf_dir)
+    n_days = cells.select("day").distinct().count()
     a = cells.select(
         F.col("day").alias("d1"),
         F.col("event_type").alias("i"),
@@ -5695,16 +5722,7 @@ def agg_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one scan -> day-domain aggregate; the pair grid
     and self-joins run on the bounded domain."""
-    ev = table(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
-            ).alias("tot")
-        )
-    )
+    daily = _purchase_day_totals(spark, sf_dir)
     w = Window.orderBy("day")
     idx = daily.select(
         F.row_number().over(w).alias("i"), "tot"

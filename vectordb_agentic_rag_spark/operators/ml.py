@@ -1430,12 +1430,17 @@ def vec_ann_latency_recall_pareto(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("prev_frac")
         .withColumn("prev_rec", F.lag("recall_at_3").over(w_f))
         .where(
+            # monotone recall is THEOREM-backed only for ivf (its top-3
+            # ranks by the same unrounded sim as the exact twin); lsh
+            # ranks by round(dist, 6), so a tie-band candidate arriving
+            # at a wider probe can legitimately displace a hit — assert
+            # only where nested candidates guarantee the property
             F.assert_true(
-                F.col("prev_rec").isNull()
+                (F.col("family") != "ivf")
+                | F.col("prev_rec").isNull()
                 | (F.col("recall_at_3") >= F.col("prev_rec")),
                 F.lit(
-                    "recall not monotone in a nested-candidate family "
-                    "grid — bucketing broken"
+                    "IVF recall not monotone in nprobe — bucketing broken"
                 ),
             ).isNull()
         )

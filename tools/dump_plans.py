@@ -65,7 +65,7 @@ SHOWCASE = [
     ("rag_rrf_fusion", "top-N candidate gates (TakeOrdered) before window ranks, full-outer fuse"),
     ("win_running_total_range", "day-level pre-agg window + broadcast join back, no fact-table sort"),
     ("pipeline_shard_assign", "two-pass value-domain rank, partitioned within-bucket window"),
-    ("vec_lsh_ann", "literal-plane bucket equi-join, broadcast query side, recall assert in-plan"),
+    ("vec_lsh_ann", "session-cached pair index (_lsh_pairs ckpt: bucket equi-join materialized once), recall assert in-plan"),
     ("win_drawdown", "two same-key windows + aggregate on one user_id exchange"),
     ("graph_clustering_coefficient", "triangle listing composed with degree agg, top-20 TakeOrdered"),
     ("multimodal_phash_neardup", "banded fingerprint equi-join, XOR/popcount verify"),
@@ -108,6 +108,18 @@ SHOWCASE = [
     ("agg_anderson_darling_2samp", "value-domain midrank cumulatives + O(N) harmonic prefix sums"),
     ("win_matrix_profile_1d", "bounded subsequence pair grid, exact decimal dot products, per-window argmin"),
     ("agg_dtw_band_distance", "banded DP as a 5-cell anti-band struct fold, no loop"),
+    # round-10 additions
+    ("stream_psi_drift_live", "frozen day-1 decile edges, keyed per-bin state, PSI terms over full-outer bin join"),
+    ("agg_did_estimator", "one user collapse + one conditional-moments aggregate, constant assembly"),
+    ("agg_qini_uplift_curve", "score-domain CDF deciles (broadcast join back), 10-row cumulative Qini"),
+    ("agg_shapley_attribution", "16-mask densified game (ckpt), constant-size subset joins, 24-denominator exact weights"),
+    ("agg_rfm_segments", "ckpt customer base + three value-domain rank offsets, partitioned tie-break windows"),
+    ("maintenance_constraint_audit", "per-table conditional sums eager at ckpt, zero rescans in the 7-row union"),
+    ("agg_laspeyres_paasche_index", "fact-fact orderkey join, part-grain collapse, quantized cross-term sums"),
+    ("graph_local_bridges", "wedge-closing join + left-anti complement over checkpointed edges"),
+    ("sample_neyman_allocation", "broadcast dim join, 25-row stratum moments, Hamilton top-up window"),
+    ("agg_hoeffding_d_independence", "checkpointed 30-row domain, 900-row pair grid, one exact reduction"),
+    ("vec_ann_latency_recall_pareto", "session-cached scored candidate frames, per-point filter+top-k timed plans"),
     ("agg_wasserstein_distance", "exact-integer |F1-F2| integral on the value domain"),
     ("agg_association_rules", "order-blocked pair join, broadcast singles, TakeOrdered by lift"),
     ("agg_logrank_test", "sessionize exchange -> duration-domain suffix cumulatives"),

@@ -1863,3 +1863,69 @@ def test_sample_entropy_matches_python_recompute(spark, sf_dir):
         assert row.sample_entropy == round(math.log(b2 / a3), 6)
     else:
         assert row.sample_entropy is None
+
+
+def test_newsvendor_matches_python_recompute(spark, sf_dir):
+    """Critical-fractile pick + exact mismatch-cost and fill-rate
+    recompute over daily purchase counts."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_newsvendor_quantile,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ds = sorted(ev.groupby("day").size().tolist())
+    n, sd = len(ds), sum(ds)
+    s_opt = ds[(75 * n + 99) // 100 - 1]
+    cost = (
+        3 * sum(max(x - s_opt, 0) for x in ds)
+        + sum(max(s_opt - x, 0) for x in ds)
+    ) / n
+    fill = sum(min(x, s_opt) for x in ds) / sd
+    (row,) = agg_newsvendor_quantile(spark, sf_dir).collect()
+    assert (row.n_days, row.stock_optimal) == (n, s_opt)
+    assert row.mean_demand == round(sd / n, 6)
+    assert row.expected_cost == round(cost, 6)
+    assert row.fill_rate == round(fill, 6)
+
+
+def test_churn_lifetable_matches_python_recompute(spark, sf_dir):
+    """User-tenure life table with right-censoring in the final week,
+    exact hazard ratios and the quantized survival fold."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_churn_lifetable_weeks,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = (
+        pd.to_datetime(ev["ts"]).dt.date
+        - pd.Timestamp("2024-01-01").date()
+    ).map(lambda d: d.days)
+    g = ev.groupby("user_id")["day"].agg(["min", "max"])
+    rows = {}
+    for fd, ld in zip(g["min"], g["max"]):
+        wk = (ld - fd) // 7
+        cen = 1 if ld >= 23 else 0
+        r = rows.setdefault(wk, [0, 0])
+        r[cen] += 1
+    total = sum(d + c for d, c in rows.values())
+    got = {
+        r.tenure_week: r
+        for r in agg_churn_lifetable_weeks(spark, sf_dir).collect()
+    }
+    assert set(got) == set(rows)
+    at_risk = total
+    surv = 1.0
+    for wk in sorted(rows):
+        d, c = rows[wk]
+        surv *= round(1.0 - d / at_risk, 9)
+        r = got[wk]
+        assert (r.n_risk, r.n_churned, r.n_censored) == (at_risk, d, c)
+        assert r.hazard == round(d / at_risk, 6)
+        assert r.survival == round(surv, 6)
+        at_risk -= d + c

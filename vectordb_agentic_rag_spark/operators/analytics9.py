@@ -5796,3 +5796,227 @@ def agg_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS sample_entropy",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_newsvendor_quantile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_newsvendor_quantile",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS d
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    st AS (
+      SELECT list_sort(list(d)) AS ds, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sd
+      FROM daily),
+    pick AS (
+      SELECT n, sd, ds,
+             list_extract(ds, CAST((75 * n + 99) // 100 AS INT)) AS s_opt
+      FROM st)
+    SELECT n AS n_days,
+           CAST(0.75 AS DOUBLE) AS critical_ratio,
+           s_opt AS stock_optimal,
+           round(CAST(sd AS DOUBLE) / n, 6) AS mean_demand,
+           round(CAST(3 * list_sum(list_transform(ds,
+                   x -> greatest(x - s_opt, 0)))
+                 + 1 * list_sum(list_transform(ds,
+                   x -> greatest(s_opt - x, 0))) AS DOUBLE) / n, 6)
+             AS expected_cost,
+           round(CAST(list_sum(list_transform(ds,
+                   x -> least(x, s_opt))) AS DOUBLE) / sd, 6)
+             AS fill_rate
+    FROM pick
+    """,
+)
+def agg_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR CRITICAL-FRACTILE STOCKING DECISION on daily
+    purchase demand — the canonical operations-research one-period
+    inventory answer: with underage cost 3 and overage cost 1, the
+    optimal stock is the cu/(cu+co) = 0.75 demand quantile (the
+    smallest s with F(s) >= 0.75, an exact order-statistic pick);
+    emitted with the expected daily mismatch cost at that stock and
+    the fill rate (sum min(d, s)/sum d).  Decision-layer sibling of
+    the forecasting ops: win_holt_winters predicts the demand path,
+    this op converts the distribution into an order quantity.
+
+    Parity: demand counts are exact integers over the bounded day
+    domain; the quantile pick uses (75n + 99) div 100 (the repo's
+    integer-index convention); cost and fill-rate numerators are
+    exact integer HOF sums with ONE double division each, round(6).
+
+    Shape at 100 TB: one filtered scan -> day-domain count; the
+    sorted bounded list does everything else."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    st = daily.agg(
+        F.sort_array(F.collect_list("d")).alias("ds"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+    )
+    pick = st.selectExpr(
+        "n",
+        "sd",
+        "ds",
+        "element_at(ds, CAST((75 * n + 99) div 100 AS INT)) AS s_opt",
+    )
+    return pick.selectExpr(
+        "n AS n_days",
+        "CAST(0.75 AS DOUBLE) AS critical_ratio",
+        "s_opt AS stock_optimal",
+        "round(CAST(sd AS DOUBLE) / n, 6) AS mean_demand",
+        "round(CAST(3 * aggregate(transform(ds,"
+        " x -> greatest(x - s_opt, CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        " + 1 * aggregate(transform(ds,"
+        " x -> greatest(s_opt - x, CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / n, 6)"
+        " AS expected_cost",
+        "round(CAST(aggregate(transform(ds, x -> least(x, s_opt)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / sd, 6)"
+        " AS fill_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_churn_lifetable_weeks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_churn_lifetable_weeks",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01',
+                      min(CAST(ts AS DATE))) AS fd,
+             datediff('day', DATE '2024-01-01',
+                      max(CAST(ts AS DATE))) AS ld
+      FROM events GROUP BY user_id),
+    lab AS (
+      SELECT CAST((ld - fd) // 7 AS BIGINT) AS wk,
+             CASE WHEN ld >= 23 THEN 1 ELSE 0 END AS cen
+      FROM u),
+    g AS (
+      SELECT wk, CAST(sum(1 - cen) AS BIGINT) AS d,
+             CAST(sum(cen) AS BIGINT) AS c
+      FROM lab GROUP BY wk),
+    r AS (
+      SELECT wk, d, c,
+             CAST(sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+                    ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM g),
+    arr AS (
+      SELECT list_sort(list({'t': wk,
+               'f': round(1.0 - CAST(d AS DOUBLE) / n_risk, 9)})) AS a
+      FROM r),
+    km AS (
+      SELECT a[i].t AS wk,
+             list_reduce(list_transform(a[1:i], s -> s.f),
+                         (xx, yy) -> xx * yy) AS surv
+      FROM arr, UNNEST(range(1, len(a) + 1)) AS u(i))
+    SELECT r.wk AS tenure_week, r.n_risk, r.d AS n_churned,
+           r.c AS n_censored,
+           round(CAST(r.d AS DOUBLE) / r.n_risk, 6) AS hazard,
+           round(km.surv, 6) AS survival
+    FROM r JOIN km ON r.wk = km.wk
+    ORDER BY tenure_week
+    """,
+)
+def agg_churn_lifetable_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE-TIME CHURN LIFE TABLE over USER TENURE WEEKS: each
+    user's tenure is last-activity minus first-activity days (week
+    buckets); users still active in the final 7 days of the 30-day
+    window are right-CENSORED (their churn is not yet observable);
+    hazard_w = churners_w / at-risk_w and survival is the cumulative
+    product of round(1 - hazard, 9) factors — the retention curve a
+    subscription business reads weekly.  Sibling differentiation:
+    agg_kaplan_meier estimates survival of SESSION DURATIONS (minute
+    grain, event-level); this is the user-grain tenure table, and
+    win_retention_cohort counts raw return rates without censoring —
+    the life table is what makes the last weeks statistically honest.
+
+    Parity: tenure and censor flags are exact integer day arithmetic
+    (datediff from the fixture's day-1 anchor); the life-table counts
+    are exact; per-week factors quantize round(9) before the
+    SORTED-prefix product fold (agg_kaplan_meier's exact left-assoc
+    convention), outputs round(6).
+
+    Shape at 100 TB: one groupBy(user) collapse, a <=5-row week
+    domain for everything else."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "datediff(min(CAST(ts AS DATE)), DATE '2024-01-01')"
+        ).alias("fd"),
+        F.expr(
+            "datediff(max(CAST(ts AS DATE)), DATE '2024-01-01')"
+        ).alias("ld"),
+    )
+    lab = u.selectExpr(
+        "CAST((ld - fd) div 7 AS BIGINT) AS wk",
+        "CASE WHEN ld >= 23 THEN 1 ELSE 0 END AS cen",
+    )
+    g = lab.groupBy("wk").agg(
+        F.sum(1 - F.col("cen")).cast("bigint").alias("d"),
+        F.sum("cen").cast("bigint").alias("c"),
+    )
+    w_prev = Window.orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = g.select(
+        "wk",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    ).localCheckpoint()  # <=5-row week domain, feeds fold + final join
+    arr = r.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("wk").alias("t"),
+                    F.expr(
+                        "round(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE)"
+                        " / n_risk, 9)"
+                    ).alias("f"),
+                )
+            )
+        ).alias("a")
+    )
+    km = arr.selectExpr(
+        "explode(transform(sequence(1, size(a)),"
+        " i -> struct(element_at(a, i).t AS wk,"
+        " aggregate(slice(a, 1, i), CAST(1.0 AS DOUBLE),"
+        " (xx, s) -> xx * s.f) AS surv))) AS z"
+    ).select("z.wk", "z.surv")
+    return (
+        r.join(F.broadcast(km), "wk")
+        .selectExpr(
+            "wk AS tenure_week",
+            "n_risk",
+            "d AS n_churned",
+            "c AS n_censored",
+            "round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard",
+            "round(surv, 6) AS survival",
+        )
+        .orderBy("tenure_week")
+    )

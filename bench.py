@@ -179,7 +179,7 @@ def main() -> None:
         "floor (tools/floor_probe.py: ~41 ms for a spark.range(1) Arrow "
         "fetch); totals vary 0.14-0.20 s with background load — compare "
         "medians from the same load window (round-10 quiet-window "
-        "medians: 0.147/0.186/0.194/0.202 across 4 runs)"
+        "medians: 0.147/0.163/0.186/0.194/0.202 across 5 runs, loads 1.3-9.3)"
     )
     print(json.dumps(out))
 

@@ -1234,3 +1234,24 @@ def test_hhi_broadcast_dims_one_fact_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round10_ops_scan_budgets(spark, sf_dir):
+    # one-scan / zero-rescan pins for the round-10 wave: DiD is a
+    # single conditional-moments pass; qini and neyman checkpoint
+    # their multi-referenced frames (user-grain and 25-row moments);
+    # shapley, hoeffding, and local bridges run entirely on
+    # checkpointed bounded frames; laspeyres scans each fact once
+    for op, want in (
+        ("agg_did_estimator", 1),
+        ("agg_qini_uplift_curve", 0),
+        ("sample_neyman_allocation", 0),
+        ("agg_shapley_attribution", 0),
+        ("agg_hoeffding_d_independence", 0),
+        ("graph_local_bridges", 0),
+        ("agg_laspeyres_paasche_index", 2),
+    ):
+        plan = plan_of(QUERIES[op](spark, sf_dir))
+        assert plan.count("Location: InMemoryFileIndex") == want, op
+        assert "BatchEvalPython" not in plan, op
+        assert "CartesianProduct" not in plan, op

@@ -4388,7 +4388,10 @@ def agg_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND value * 100 >= 10000 THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("resp"),
     )
-    a = u.selectExpr("score", "resp", _AB_ARM)
+    a = u.selectExpr("score", "resp", _AB_ARM).localCheckpoint()
+    # user-grain frame referenced by the score domain AND the decile
+    # join-back — without the checkpoint each reference re-derives the
+    # events scan (3 scans in the round-10 plan audit; the rfm rule)
     dom = a.groupBy("score").agg(F.count("*").cast("bigint").alias("c"))
     tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
     wd = Window.orderBy(F.col("score").desc()).rowsBetween(
@@ -5371,7 +5374,9 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(CAST(cents AS DECIMAL(19,0)) * cents)").alias("ss"),
         )
     )
-    wt = st.selectExpr(
+    wt = st.localCheckpoint().selectExpr(
+        # 25-row stratum moments feed both the weight total and the
+        # apportionment — checkpoint or each re-derives the fact join
         "nk",
         "n_pop",
         "sqrt(CAST(n_pop * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE))"

@@ -1929,3 +1929,98 @@ def test_churn_lifetable_matches_python_recompute(spark, sf_dir):
         assert r.hazard == round(d / at_risk, 6)
         assert r.survival == round(surv, 6)
         at_risk -= d + c
+
+
+def test_markov_removal_attribution_matches_python_recompute(spark, sf_dir):
+    """Full Python re-derivation: path extraction with the
+    (ts, event_id) composite order, edge counts, per-chain redirected
+    transition matrices, 40 quantized vector steps, removal effects
+    and shares — the whole pipeline, independent of both engines."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        _MRA_CHANNELS,
+        _MRA_STATES,
+        _MRA_STEPS,
+        agg_markov_removal_attribution,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").copy()
+    ev["us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    paths: dict[int, list] = {}
+    first_p: dict[int, tuple] = {}
+    for r in ev.itertuples():
+        u = int(r.user_id)
+        k = (int(r.us), int(r.event_id))
+        if r.event_type == "purchase":
+            if u not in first_p or k < first_p[u]:
+                first_p[u] = k
+        paths.setdefault(u, []).append((k, r.event_type))
+    edges: dict[tuple, int] = {}
+    for u, evs in paths.items():
+        fp = first_p.get(u)
+        pre = sorted(
+            (k, t)
+            for k, t in evs
+            if t != "purchase" and (fp is None or k < fp)
+        )
+        conv = fp is not None
+        if not pre:
+            if conv:
+                edges[("start", "conv")] = edges.get(("start", "conv"), 0) + 1
+            continue
+        prev = "start"
+        for _, t in pre:
+            edges[(prev, t)] = edges.get((prev, t), 0) + 1
+            prev = t
+        end = "conv" if conv else "null"
+        edges[(prev, end)] = edges.get((prev, end), 0) + 1
+
+    idx = {s: i for i, s in enumerate(_MRA_STATES)}
+
+    def pconv(chain):
+        red = {}
+        for (u, v), c in edges.items():
+            v2 = "null" if (chain != "all" and v == chain) else v
+            red[(u, v2)] = red.get((u, v2), 0) + c
+        rowtot = {}
+        for (u, _), c in red.items():
+            rowtot[u] = rowtot.get(u, 0) + c
+        m = [[0.0] * 6 for _ in range(5)]
+        for (u, v), c in red.items():
+            if u in idx and idx[u] < 5 and v in idx and 1 <= idx[v] <= 5:
+                m[idx[u]][idx[v]] = round(c / rowtot[u], 9)
+        p = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        for _ in range(_MRA_STEPS):
+            q = [0.0] * 6
+            for j in range(1, 5):
+                acc = 0.0
+                for i in range(5):
+                    acc = acc + p[i] * m[i][j]
+                q[j] = round(acc, 9)
+            acc = 0.0
+            for i in range(5):
+                acc = acc + p[i] * m[i][5]
+            q[5] = round(acc + p[5], 9)
+            p = q
+        return p[5]
+
+    pall = pconv("all")
+    de = {c: round(pall - pconv(c), 9) for c in _MRA_CHANNELS}
+    te = sum(de.values())
+    got = {
+        r.channel: r
+        for r in agg_markov_removal_attribution(spark, sf_dir).collect()
+    }
+    assert set(got) == set(_MRA_CHANNELS)
+    for c in _MRA_CHANNELS:
+        r = got[c]
+        assert r.p_conv_full == round(pall, 6)
+        assert r.p_conv_removed == round(pall - de[c], 6)
+        want_re = None if pall == 0.0 else round(de[c] / pall, 6)
+        assert r.removal_effect == want_re
+        want_sh = None if te == 0.0 else round(de[c] / te, 6)
+        assert r.attribution_share == want_sh
+    # every removal hurts conversion on this fixture (all users convert
+    # through multi-channel paths)
+    assert all(de[c] > 0 for c in _MRA_CHANNELS)

@@ -299,6 +299,12 @@ OPS = [
     ("agg_last_digit_uniformity", "orders"),
     ("dedup_substring_span_purge", "documents"),
     ("text_minhash_band_tuning", "documents"),
+    # round-10 final wave: the Markov attribution's path extraction is
+    # row-scaled (per-user windows over all events) — registered here
+    # for the round-11 audit (added after this round's SCALE.md run);
+    # the other late-wave ops are day/user-domain collapses covered by
+    # the SRM/events entries.
+    ("agg_markov_removal_attribution", "events"),
 ]
 
 

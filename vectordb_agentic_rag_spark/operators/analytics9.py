@@ -6025,3 +6025,288 @@ def agg_churn_lifetable_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tenure_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_markov_removal_attribution
+# ---------------------------------------------------------------------------
+
+_MRA_STATES = ["start", "view", "click", "signup", "error", "conv"]
+_MRA_CHANNELS = ["view", "click", "signup", "error"]
+_MRA_STEPS = 40  # absorption horizon; fixture paths are << 40 steps
+
+
+def _mra_step_exprs() -> list[str]:
+    """The per-iteration state-vector update, IDENTICAL text on both
+    engines: p0 (start) is structurally never re-entered; p1..p4 sum
+    the transient inflows; p5 (conv) absorbs (+ p5 self term).  Each
+    component quantizes round(9) so unordered-sum drift cannot
+    compound across the 40 steps (the PageRank rule) — though every
+    sum here is a FIXED-ORDER expression, not an aggregate."""
+    exprs = ["CAST(0.0 AS DOUBLE) AS p0"]
+    for j in range(1, 5):
+        terms = " + ".join(f"p{i} * m_{i}_{j}" for i in range(5))
+        exprs.append(f"round({terms}, 9) AS p{j}")
+    conv_terms = " + ".join(f"p{i} * m_{i}_5" for i in range(5))
+    exprs.append(f"round({conv_terms} + p5, 9) AS p5")
+    exprs += [f"m_{i}_{j}" for i in range(5) for j in range(1, 6)]
+    return exprs
+
+
+def _mra_matrix_cols() -> list[str]:
+    """Pivot (ch, u, v, p) edge rows into the 25 transient-matrix
+    columns m_i_j (i = source 0..4, j = target 1..5), 0.0 where the
+    edge was never observed — identical conditional-max text on both
+    engines."""
+    cols = []
+    for i in range(5):
+        for j in range(1, 6):
+            cols.append(
+                f"coalesce(max(CASE WHEN u = '{_MRA_STATES[i]}' AND "
+                f"v = '{_MRA_STATES[j]}' THEN p END), CAST(0.0 AS DOUBLE))"
+                f" AS m_{i}_{j}"
+            )
+    return cols
+
+
+def _mra_oracle() -> str:
+    chains = " UNION ALL ".join(
+        f"SELECT '{c}' AS ch" for c in ["all"] + _MRA_CHANNELS
+    )
+    mx_cols = ",\n             ".join(_mra_matrix_cols())
+    step_cols = ",\n             ".join(_mra_step_exprs())
+    steps = ",\n    ".join(
+        f"s{k} AS (SELECT ch,\n             {step_cols}\n      FROM s{k - 1})"
+        for k in range(1, _MRA_STEPS + 1)
+    )
+    m_pass = ", ".join(
+        f"m_{i}_{j}" for i in range(5) for j in range(1, 6)
+    )
+    return f"""
+    WITH fp AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN row(epoch_us(ts), event_id) END) AS fpk
+      FROM events GROUP BY user_id),
+    pre AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             count(*) OVER (PARTITION BY e.user_id) AS mx,
+             fp.fpk IS NOT NULL AS conv
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type != 'purchase'
+        AND (fp.fpk IS NULL
+             OR row(epoch_us(e.ts), e.event_id) < fp.fpk)),
+    seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+               AS prev,
+             rn, mx, conv
+      FROM pre),
+    edges_raw AS (
+      SELECT coalesce(prev, 'start') AS u, event_type AS v FROM seq
+      UNION ALL
+      SELECT event_type AS u,
+             CASE WHEN conv THEN 'conv' ELSE 'null' END AS v
+      FROM seq WHERE rn = mx
+      UNION ALL
+      SELECT 'start' AS u, 'conv' AS v
+      FROM fp WHERE fpk IS NOT NULL
+        AND user_id NOT IN (SELECT DISTINCT user_id FROM pre)),
+    ec AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c
+           FROM edges_raw GROUP BY 1, 2),
+    chains AS ({chains}),
+    rc AS (
+      SELECT ch, u,
+             CASE WHEN ch != 'all' AND v = ch THEN 'null' ELSE v END AS v,
+             CAST(sum(c) AS BIGINT) AS c
+      FROM ec CROSS JOIN chains GROUP BY 1, 2, 3),
+    rt AS (SELECT ch, u, CAST(sum(c) AS BIGINT) AS r FROM rc
+           GROUP BY 1, 2),
+    mm AS (
+      SELECT rc.ch, rc.u, rc.v,
+             round(CAST(rc.c AS DOUBLE) / rt.r, 9) AS p
+      FROM rc JOIN rt ON rc.ch = rt.ch AND rc.u = rt.u),
+    mx0 AS (
+      SELECT ch,
+             {mx_cols}
+      FROM mm GROUP BY ch),
+    s0 AS (SELECT ch, CAST(1.0 AS DOUBLE) AS p0, CAST(0.0 AS DOUBLE) AS p1,
+                  CAST(0.0 AS DOUBLE) AS p2, CAST(0.0 AS DOUBLE) AS p3,
+                  CAST(0.0 AS DOUBLE) AS p4, CAST(0.0 AS DOUBLE) AS p5,
+                  {m_pass}
+           FROM mx0),
+    {steps},
+    res AS (SELECT ch, p5 AS pconv FROM s{_MRA_STEPS}),
+    base AS (SELECT pconv AS pall FROM res WHERE ch = 'all'),
+    eff AS (
+      SELECT r.ch, r.pconv, b.pall,
+             CAST(round(b.pall - r.pconv, 9) AS DECIMAL(28,9)) AS de
+      FROM res r CROSS JOIN base b WHERE r.ch != 'all'),
+    tot AS (SELECT sum(de) AS te FROM eff)
+    SELECT eff.ch AS channel,
+           round(eff.pall, 6) AS p_conv_full,
+           round(eff.pconv, 6) AS p_conv_removed,
+           CASE WHEN eff.pall = 0.0 THEN NULL
+                ELSE round(CAST(eff.de AS DOUBLE) / eff.pall, 6)
+           END AS removal_effect,
+           CASE WHEN CAST(tot.te AS DOUBLE) = 0.0 THEN NULL
+                ELSE round(CAST(eff.de AS DOUBLE)
+                           / CAST(tot.te AS DOUBLE), 6)
+           END AS attribution_share
+    FROM eff CROSS JOIN tot ORDER BY channel
+    """
+
+
+@query("agg_markov_removal_attribution", oracle=_mra_oracle())
+def agg_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    third standard multi-touch attribution model, completing the
+    repo's trio: agg_attribution_position splits credit by path
+    position, agg_shapley_attribution by coalition counterfactuals,
+    and this one by CHAIN counterfactuals: fit a first-order Markov
+    chain over pre-conversion channel paths (states start/view/click/
+    signup/error + absorbing conv/null; first purchase ends a path in
+    conv, no purchase ends it in null), then for each channel
+    re-route every transition INTO it to null (the removal chain) and
+    measure how much absorption probability into conv is lost.
+    removal_effect = (P_all - P_removed)/P_all; shares normalize the
+    effects.  Absorption is computed as 40 unrolled steps of the
+    transient state vector — fixture paths are far shorter, and both
+    engines run the same truncation, so the horizon is exact by
+    construction.
+
+    Parity: path extraction orders by (ts, event_id) with composite
+    struct/row comparison against the first-purchase key; edge counts
+    are exact integers; transition probabilities round(9) from
+    integer ratios; every vector step is a FIXED-ORDER multiply-add
+    expression quantized round(9) (never a float aggregate — the
+    5-row x 25-matrix-column frame makes the update a projection);
+    per-channel effects quantize into DECIMAL before the 4-term
+    share sum; final outputs round(6), share NULL-gated on zero
+    total effect.
+
+    Shape at 100 TB: one events pass builds paths (per-user window),
+    one edge aggregate; everything after — redirect, normalize,
+    pivot, 40 projection steps — runs on a 5-row frame (checkpointed
+    every 8 steps to bound Catalyst depth)."""
+    ev = table(spark, sf_dir, "events")
+    fp = ev.groupBy("user_id").agg(
+        F.expr(
+            "min(CASE WHEN event_type = 'purchase'"
+            " THEN struct(unix_micros(ts) AS us, event_id AS eid) END)"
+        ).alias("fpk")
+    )
+    pre = (
+        ev.join(fp, "user_id")
+        .where(
+            "event_type != 'purchase' AND (fpk IS NULL"
+            " OR struct(unix_micros(ts) AS us, event_id AS eid) < fpk)"
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("user_id"))
+            .alias("mx"),
+            F.expr("fpk IS NOT NULL").alias("conv"),
+        )
+    )
+    seq = pre.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("rn"))
+        .alias("prev"),
+        "rn",
+        "mx",
+        "conv",
+    )
+    e1 = seq.selectExpr("coalesce(prev, 'start') AS u", "event_type AS v")
+    e2 = seq.where("rn = mx").selectExpr(
+        "event_type AS u",
+        "CASE WHEN conv THEN 'conv' ELSE 'null' END AS v",
+    )
+    e3 = (
+        fp.where("fpk IS NOT NULL")
+        .join(pre.select("user_id").distinct(), "user_id", "left_anti")
+        .selectExpr("'start' AS u", "'conv' AS v")
+    )
+    ec = (
+        e1.unionByName(e2)
+        .unionByName(e3)
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()  # bounded edge-count table (<= 7x7 rows),
+        # referenced by all five chains
+    )
+    chains = spark.createDataFrame(
+        [(c,) for c in ["all"] + _MRA_CHANNELS], "ch string"
+    )
+    rc = (
+        ec.crossJoin(F.broadcast(chains))
+        .selectExpr(
+            "ch",
+            "u",
+            "CASE WHEN ch != 'all' AND v = ch THEN 'null' ELSE v END AS v",
+            "c",
+        )
+        .groupBy("ch", "u", "v")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    rt = rc.groupBy("ch", "u").agg(F.sum("c").cast("bigint").alias("r"))
+    mm = rc.join(rt, ["ch", "u"]).selectExpr(
+        "ch", "u", "v", "round(CAST(c AS DOUBLE) / r, 9) AS p"
+    )
+    mx0 = mm.groupBy("ch").agg(
+        *[F.expr(col) for col in _mra_matrix_cols()]
+    )
+    s = mx0.selectExpr(
+        "ch",
+        "CAST(1.0 AS DOUBLE) AS p0",
+        "CAST(0.0 AS DOUBLE) AS p1",
+        "CAST(0.0 AS DOUBLE) AS p2",
+        "CAST(0.0 AS DOUBLE) AS p3",
+        "CAST(0.0 AS DOUBLE) AS p4",
+        "CAST(0.0 AS DOUBLE) AS p5",
+        *[f"m_{i}_{j}" for i in range(5) for j in range(1, 6)],
+    )
+    step = _mra_step_exprs()
+    for k in range(1, _MRA_STEPS + 1):
+        s = s.selectExpr("ch", *step)
+        if k % 8 == 0:
+            s = s.localCheckpoint()  # 5-row frame; bounds plan depth
+    res = s.selectExpr("ch", "p5 AS pconv").localCheckpoint()
+    base = res.where("ch = 'all'").selectExpr("pconv AS pall")
+    eff = (
+        res.where("ch != 'all'")
+        .crossJoin(F.broadcast(base))
+        .selectExpr(
+            "ch",
+            "pconv",
+            "pall",
+            "CAST(round(pall - pconv, 9) AS DECIMAL(28,9)) AS de",
+        )
+    )
+    tot = eff.agg(F.sum("de").alias("te"))
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "ch AS channel",
+            "round(pall, 6) AS p_conv_full",
+            "round(pconv, 6) AS p_conv_removed",
+            "CASE WHEN pall = 0.0 THEN NULL"
+            " ELSE round(CAST(de AS DOUBLE) / pall, 6) END"
+            " AS removal_effect",
+            "CASE WHEN CAST(te AS DOUBLE) = 0.0 THEN NULL"
+            " ELSE round(CAST(de AS DOUBLE) / CAST(te AS DOUBLE), 6) END"
+            " AS attribution_share",
+        )
+        .orderBy("channel")
+    )

@@ -2024,3 +2024,52 @@ def test_markov_removal_attribution_matches_python_recompute(spark, sf_dir):
     # every removal hurts conversion on this fixture (all users convert
     # through multi-channel paths)
     assert all(de[c] > 0 for c in _MRA_CHANNELS)
+
+
+def test_taylor_power_law_matches_python_recompute(spark, sf_dir):
+    """Quantized log-log OLS recompute over per-type daily-count
+    means and population variances (densified grid)."""
+    from decimal import Decimal
+    import math
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_taylor_power_law,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    grid = ev.pivot_table(
+        index="day", columns="event_type", values="event_id",
+        aggfunc="count", fill_value=0,
+    )
+    n = len(grid)
+    pts = []
+    for t in grid.columns:
+        s = int(grid[t].sum())
+        ss = int((grid[t].astype("int64") ** 2).sum())
+        cvar = n * ss - s * s
+        if s > 0 and cvar > 0:
+            pts.append(
+                (
+                    Decimal(str(round(math.log(s / n), 9))),
+                    Decimal(str(round(math.log(cvar / (n * n)), 9))),
+                )
+            )
+    k = len(pts)
+    sx = float(sum(x for x, _ in pts))
+    sy = float(sum(y for _, y in pts))
+    sxx = float(sum(x * x for x, _ in pts))
+    sxy = float(sum(x * y for x, y in pts))
+    syy = float(sum(y * y for _, y in pts))
+    b = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    a = (sy - b * sx) / k
+    r2 = (k * sxy - sx * sy) ** 2 / (
+        (k * sxx - sx * sx) * (k * syy - sy * sy)
+    )
+    (row,) = agg_taylor_power_law(spark, sf_dir).collect()
+    assert row.n_types == k
+    assert row.taylor_exponent == round(b, 6)
+    assert row.intercept == round(a, 6)
+    assert row.r2 == round(r2, 6)

@@ -6310,3 +6310,125 @@ def agg_markov_removal_attribution(
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_taylor_power_law
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_taylor_power_law",
+    oracle="""
+    WITH cell0 AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM cell0),
+    types AS (SELECT DISTINCT event_type FROM cell0),
+    cells AS (
+      SELECT t.event_type, coalesce(c0.c, 0) AS c
+      FROM days d CROSS JOIN types t
+      LEFT JOIN cell0 c0 ON d.day = c0.day
+        AND t.event_type = c0.event_type),
+    mv AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS ss
+      FROM cells GROUP BY event_type),
+    pt AS (
+      SELECT event_type,
+             CAST(round(ln(CAST(s AS DOUBLE) / n), 9)
+                  AS DECIMAL(16,9)) AS x,
+             CAST(round(ln(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n)), 9) AS DECIMAL(16,9)) AS y
+      FROM mv WHERE s > 0 AND n * ss - CAST(s AS HUGEINT) * s > 0),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pt)
+    SELECT k AS n_types,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+             AS taylor_exponent,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                 / k, 6) AS intercept,
+           round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+    FROM mo
+    """,
+)
+def agg_taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAYLOR'S POWER LAW (fluctuation scaling) across event types:
+    variance of an activity stream scales as variance = a * mean^b,
+    so log(var) regressed on log(mean) of the per-type DAILY counts
+    estimates the exponent b — b ~ 1 is Poisson-like arrival noise,
+    b -> 2 is bursty/clustered traffic, the classic ecology-to-ops
+    diagnostic for which capacity model applies.  Sibling
+    differentiation: agg_overdispersion_nb_fit tests ONE stream's
+    variance-vs-mean at a point; Taylor's law fits the scaling
+    ACROSS streams; text_burstiness is token-level.
+
+    Parity: per-type day counts densify (zero days are real
+    observations); means and n-scaled variances are exact integers;
+    each point's (ln mean, ln variance) quantizes round(9) into
+    DECIMAL(16,9) before the 5-point OLS moment sums (bounded-count
+    float sums are still order-dependent — the quantize-then-sum
+    rule; the narrow precision keeps per-row products exact at
+    (33,18) instead of tripping Spark's 38-precision truncation);
+    the exact sums cast once to DOUBLE and the final algebra is a
+    shared-text 1-row expression, round(6).  Types with zero mean or zero variance are
+    excluded by both engines (log undefined).
+
+    Shape at 100 TB: one scan -> day x type aggregate, a bounded
+    densify, a 5-row moments pass."""
+    cells = _day_type_cells(spark, sf_dir)
+    # the shared grid carries cent sums; this op needs COUNTS — derive
+    # them through the same grid shape for the same densify semantics
+    ev = table(spark, sf_dir, "events")
+    cell0 = ev.groupBy(
+        F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
+    cnt_cells = (
+        days.crossJoin(F.broadcast(types))
+        .join(cell0, ["day", "event_type"], "left")
+        .select("event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    mv = cnt_cells.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.expr("sum(CAST(c AS DECIMAL(19,0)) * c)").alias("ss"),
+    )
+    pt = mv.where(
+        "s > 0 AND n * ss - CAST(s AS DECIMAL(38,0)) * s > 0"
+    ).selectExpr(
+        # DECIMAL(16,9) operands keep per-row products at (33,18) —
+        # (28,9) squares hit Spark's 38-precision truncation and
+        # silently rounded sxx to 6 decimals (the win_bollinger_bands
+        # rule; caught by the first selfcheck)
+        "CAST(round(ln(CAST(s AS DOUBLE) / n), 9) AS DECIMAL(16,9)) AS x",
+        "CAST(round(ln(CAST(n * ss - CAST(s AS DECIMAL(38,0)) * s"
+        " AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 9) AS DECIMAL(16,9))"
+        " AS y",
+    )
+    mo = pt.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.expr("CAST(sum(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(x * x) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(sum(x * y) AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(sum(y * y) AS DOUBLE)").alias("syy"),
+    )
+    b_txt = "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
+    return mo.selectExpr(
+        "k AS n_types",
+        f"round({b_txt}, 6) AS taylor_exponent",
+        f"round((sy - ({b_txt}) * sx) / k, 6) AS intercept",
+        "round(((k * sxy - sx * sy) * (k * sxy - sx * sy))"
+        " / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2",
+    )

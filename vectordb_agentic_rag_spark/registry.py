@@ -42,6 +42,10 @@ _OPERATOR_MODULES = [
     "vectordb_agentic_rag_spark.operators.streaming_batch",
     "vectordb_agentic_rag_spark.streaming.core",
     "vectordb_agentic_rag_spark.sources.readers",
+    # round-11 window: the two round-10 deferred priority ops
+    # (dedup_substring_span_purge, text_minhash_band_tuning) flip in
+    # per the registry's deferred-registration contract.
+    "vectordb_agentic_rag_spark.operators.queue_r11",
 ]
 
 # Operators implemented EARLY but registered in a LATER round: the
@@ -52,9 +56,7 @@ _OPERATOR_MODULES = [
 # window never sees them) but ARE imported by tests and selfcheck via
 # load_deferred_operators. To ship them: move the entry into
 # _OPERATOR_MODULES at the start of the round whose window has room.
-_DEFERRED_OPERATOR_MODULES = [
-    "vectordb_agentic_rag_spark.operators.queue_r11",
-]
+_DEFERRED_OPERATOR_MODULES: list[str] = []
 
 
 def load_deferred_operators() -> None:

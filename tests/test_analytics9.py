@@ -1489,6 +1489,7 @@ def test_laspeyres_paasche_matches_python_recompute(spark, sf_dir):
     import math
     from decimal import Decimal
 
+    import numpy as np
     import pandas as pd
 
     from vectordb_agentic_rag_spark.operators.analytics9 import (
@@ -1505,7 +1506,8 @@ def test_laspeyres_paasche_matches_python_recompute(spark, sf_dir):
         >= pd.Timestamp("1998-01-01").date()
     ).astype(int)
     s = (m["l_extendedprice"] * 100 + 0.5).astype("int64")
-    q = m["l_quantity"].round(0).astype("int64")
+    # half-away convention (engines' round), not pandas half-even
+    q = np.floor(m["l_quantity"] + 0.5).astype("int64")
     agg = {}
     for pk, pe, si, qi in zip(m["l_partkey"], per, s, q):
         c = agg.setdefault(int(pk), [0, 0, 0, 0])

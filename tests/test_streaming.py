@@ -368,7 +368,11 @@ def test_psi_drift_live_matches_python_recompute(spark, sf_dir):
 
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
-    vc = (ev["value"] * 100).round(0).astype("int64")
+    # floor(x*100 + 0.5) mirrors both engines' half-away rounding;
+    # pandas .round(0) is half-even and would flip on exact half-cents
+    import numpy as np
+
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
     ref = sorted(vc[us < _PSI_CUT_US])
     cur = vc[us >= _PSI_CUT_US]
     na, nb = len(ref), len(cur)

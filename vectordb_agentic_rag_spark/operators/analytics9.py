@@ -5321,10 +5321,15 @@ _NEYMAN_N = 1000  # target total sample size
       FROM st),
     tw AS (SELECT sum(nsd) AS tot FROM wt),
     base AS (
-      SELECT w.nk, w.n_pop, w.nsd / t.tot AS wgt,
-             CAST(floor({_NEYMAN_N} * w.nsd / t.tot) AS BIGINT) AS fl,
-             {_NEYMAN_N} * w.nsd / t.tot
-               - floor({_NEYMAN_N} * w.nsd / t.tot) AS rem
+      SELECT w.nk, w.n_pop,
+             CASE WHEN t.tot = 0 THEN NULL ELSE w.nsd / t.tot END AS wgt,
+             CASE WHEN t.tot = 0 THEN NULL
+                  ELSE CAST(floor({_NEYMAN_N} * w.nsd / t.tot) AS BIGINT)
+             END AS fl,
+             CASE WHEN t.tot = 0 THEN NULL
+                  ELSE {_NEYMAN_N} * w.nsd / t.tot
+                       - floor({_NEYMAN_N} * w.nsd / t.tot)
+             END AS rem
       FROM wt w CROSS JOIN tw t),
     topup AS (
       SELECT nk, n_pop, wgt, fl, rem,
@@ -5386,9 +5391,14 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = wt.crossJoin(F.broadcast(tw)).selectExpr(
         "nk",
         "n_pop",
-        "nsd / tot AS wgt",
-        f"CAST(floor({_NEYMAN_N} * nsd / tot) AS BIGINT) AS fl",
-        f"{_NEYMAN_N} * nsd / tot - floor({_NEYMAN_N} * nsd / tot) AS rem",
+        # tot = 0 iff every stratum is within-stratum constant — gate
+        # to NULL instead of an ANSI divide-by-zero (round-10 rule)
+        "CASE WHEN tot = 0 THEN NULL ELSE nsd / tot END AS wgt",
+        f"CASE WHEN tot = 0 THEN NULL"
+        f" ELSE CAST(floor({_NEYMAN_N} * nsd / tot) AS BIGINT) END AS fl",
+        f"CASE WHEN tot = 0 THEN NULL"
+        f" ELSE {_NEYMAN_N} * nsd / tot"
+        f" - floor({_NEYMAN_N} * nsd / tot) END AS rem",
     )
     w_r = Window.orderBy(F.col("rem").desc(), "nk")
     w_all = Window.partitionBy()

@@ -1534,8 +1534,13 @@ def stream_psi_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         n += c
         state.update((n,))
         if c:
+            # emit the running total alongside the increment so the
+            # stored state is load-bearing: after drain, max(n) per
+            # bin must equal sum(c) (asserted in-plan below)
             (bin_,) = key
-            yield pd.DataFrame([(bin_, c)], columns=["bin", "c"])
+            yield pd.DataFrame(
+                [(bin_, c, n)], columns=["bin", "c", "n"]
+            )
 
     src = replay_events_time_ordered(spark, sf_dir)
     stream = (
@@ -1546,7 +1551,7 @@ def stream_psi_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stream.groupBy("bin").applyInPandasWithState(
         fold,
-        outputStructType="bin bigint, c bigint",
+        outputStructType="bin bigint, c bigint, n bigint",
         stateStructType="n bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -1555,7 +1560,22 @@ def stream_psi_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = (
         spark.table("psi_live")
         .groupBy("bin")
-        .agg(F.sum("c").cast("bigint").alias("n_b"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_b"),
+            F.max("n").cast("bigint").alias("n_run"),
+        )
+        # increment identity: the final running total in state must
+        # equal the summed per-batch increments for every bin
+        .where(
+            F.assert_true(
+                F.col("n_b") == F.col("n_run"),
+                F.lit(
+                    "stream_psi_drift_live: running-total state "
+                    "disagrees with summed increments"
+                ),
+            ).isNull()
+        )
+        .select("bin", "n_b")
     )
     ref_hist = ref.groupBy(F.expr(bin_expr).alias("bin")).agg(
         F.count("*").cast("bigint").alias("n_a")

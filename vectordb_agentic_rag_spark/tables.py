@@ -154,3 +154,44 @@ def cache_hot_tables(spark: SparkSession, sf_dir: str, names=None) -> None:
         cached.count()
         _scan_cache[(id(spark), sf_dir, name)] = cached
     _hot_cached.add(key)
+
+
+def clear_session_caches() -> None:
+    """Evict every module-level session cache (checkpointed artifact
+    frames keyed by (applicationId, sf_dir) plus the scan memo).
+
+    The caches deliberately have no TTL — the bench/driver lifecycle
+    is one session over one or two sf dirs — but a long-lived session
+    sweeping many sf dirs retains every localCheckpoint RDD it ever
+    built (ADVICE r10).  Call this between sweeps to release them.
+    Lazy imports: operator modules register caches only when loaded.
+    """
+    import importlib
+
+    _scan_cache.clear()
+    _hot_cached.clear()
+    for mod_name, attrs in {
+        "vectordb_agentic_rag_spark.operators.ml": (
+            "_SAMPLE_CACHE", "_IVF_CENTS_CACHE", "_PQ_BOOKS_CACHE",
+            "_EXACT3_CACHE", "_IVF_PANEL_CACHE", "_LSH_PAIRS_CACHE",
+        ),
+        "vectordb_agentic_rag_spark.operators.dedup": (
+            "_JAC_CODES_CACHE", "_NGRAM_EDGES_CACHE",
+        ),
+        "vectordb_agentic_rag_spark.operators.analytics2": (
+            "_COSUPPLY_EDGES_CACHE",
+        ),
+        "vectordb_agentic_rag_spark.operators.analytics4": (
+            "_COPURCHASE_EDGES_CACHE",
+        ),
+        "vectordb_agentic_rag_spark.operators.analytics9": (
+            "_DAY_TOTALS_CACHE", "_PURCHASE_DAY_TOTALS_CACHE",
+            "_DAY_TYPE_CELLS_CACHE", "_CV_BLOCKS_CACHE",
+        ),
+        "vectordb_agentic_rag_spark.operators.text": (
+            "_BPE_TRAIN_CACHE",
+        ),
+    }.items():
+        mod = importlib.import_module(mod_name)
+        for attr in attrs:
+            getattr(mod, attr).clear()

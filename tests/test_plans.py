@@ -1255,3 +1255,25 @@ def test_round10_ops_scan_budgets(spark, sf_dir):
         assert plan.count("Location: InMemoryFileIndex") == want, op
         assert "BatchEvalPython" not in plan, op
         assert "CartesianProduct" not in plan, op
+
+
+def test_qini_score_domain_cumsum_partitioned(spark, sf_dir):
+    # the score domain is USER-grain (a per-user cent total), so its
+    # exclusive prefix sum must never be an unpartitioned window
+    # (round-10 verdict finding): the two-level decomposition range-
+    # buckets the domain and cumulates WITHIN pid; the only window
+    # specs without a partition column are the <=16-row bucket-offset
+    # frame (pid-ordered) and the 10-row decile rollup (decile-ordered)
+    import re
+
+    plan = plan_of(QUERIES["agg_qini_uplift_curve"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # every window spec that orders by the score column carries pid
+    # as its partition spec (windowspecdefinition lists partition
+    # columns FIRST — a spec starting at score is unpartitioned)
+    assert not re.search(r"windowspecdefinition\(score#\d+", plan)
+    assert re.search(
+        r"windowspecdefinition\(pid#\d+, score#\d+", plan
+    ), "score-domain cumulative lost its pid partitioning"

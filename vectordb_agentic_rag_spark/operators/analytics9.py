@@ -4372,9 +4372,19 @@ def agg_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-gated when a decile's arm cell (or the cumulative control
     count) is empty — tiny-sf deciles can miss an arm entirely.
 
-    Shape at 100 TB: one groupBy(user) collapse, one score-domain
-    aggregate + bounded cumulative, one equi-join of users to their
-    score's decile (broadcastable domain), one 10-row rollup."""
+    Shape at 100 TB: one groupBy(user) collapse, then the score-domain
+    CDF via a DISTRIBUTED two-level prefix sum — the domain is
+    user-grain (~|users| distinct cent totals), so a plain
+    Window.orderBy(score) would single-partition-sort the world
+    (round-10 verdict finding).  Instead: repartitionByRange on score
+    DESC (equal scores land in one range bucket by construction),
+    per-bucket totals cumulated over the <=16-row bucket frame
+    (bounded by the partition COUNT, a config constant, not by data),
+    and a PARTITIONED exclusive cumulative within each bucket; cal =
+    bucket offset + within-bucket cum, exact regardless of where the
+    sampled range boundaries land.  Users meet their score's decile
+    through a shuffle equi-join on score (never a broadcast of a
+    user-grain domain), then a 10-row rollup."""
     ev = table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.expr(
@@ -4394,15 +4404,44 @@ def agg_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events scan (3 scans in the round-10 plan audit; the rfm rule)
     dom = a.groupBy("score").agg(F.count("*").cast("bigint").alias("c"))
     tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
-    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    # distributed exclusive prefix sum over the user-grain score
+    # domain: range buckets keep equal scores together and ordered;
+    # checkpoint pins ONE bucket assignment for both references (the
+    # bucket-total aggregate and the within-bucket window) — range
+    # boundary sampling must not run twice
+    domp = (
+        dom.repartitionByRange(16, F.col("score").desc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    cum = dom.select(
-        "score",
-        F.coalesce(F.sum("c").over(wd), F.lit(0)).cast("bigint").alias("cal"),
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        domp.groupBy("pid")
+        .agg(F.sum("c").cast("bigint").alias("pc"))
+        # <=16 rows: bounded by the bucket count (a constant), so the
+        # one unpartitioned window here never sees fact-scaled data
+        .select(
+            "pid",
+            F.coalesce(F.sum("pc").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias("poff"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        domp.withColumn(
+            "wcal", F.coalesce(F.sum("c").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offs), "pid")
+        .selectExpr("score", "CAST(poff + wcal AS BIGINT) AS cal")
     )
     binned = (
-        a.join(F.broadcast(cum), "score")
+        a.join(cum, "score")  # shuffle equi-join: the score domain is
+        # user-grain — broadcasting it would ship |users| rows
         .crossJoin(F.broadcast(tot))
         .selectExpr("resp", "arm", "least(9, 10 * cal div n) AS decile")
     )

@@ -159,3 +159,122 @@ def test_band_tuning_matches_python_recompute(spark, sf_dir):
     }
     assert got == expected
     assert len(got) == len(_TUNE_SCHEMES) * len(_TUNE_PCTS)
+
+
+def test_dedup_cascade_audit_matches_python_recompute(spark, sf_dir):
+    """Re-derive the whole 3-stage funnel in plain Python: sha-256
+    exact keepers, minhash banding + exact code-set Jaccard >= 0.7
+    keep-first removals, then EXACT window strings (no hashing) for
+    the survivor-corpus span purge — one independent path per stage,
+    so a mirrored logic bug in either engine text cannot hide."""
+    import hashlib
+
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _A,
+        _B,
+        N_BANDS,
+        N_HASH,
+        P_CODE,
+        P_HASH,
+    )
+    from vectordb_agentic_rag_spark.operators.queue_r11 import (
+        _PURGE_K,
+        pipeline_dedup_cascade_audit,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    ntok = {d: len(tk) for d, tk in toks.items()}
+
+    # stage 1: exact sha-256, keep min doc_id per text
+    keeper: dict[str, int] = {}
+    for r in docs.itertuples():
+        h = hashlib.sha256(r.text.encode()).hexdigest()
+        keeper[h] = min(keeper.get(h, 10**18), int(r.doc_id))
+    s1 = {
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if keeper[hashlib.sha256(r.text.encode()).hexdigest()]
+        == int(r.doc_id)
+    }
+
+    # stage 2: minhash bands -> candidates -> Jaccard>=0.7, keep-first
+    def code(tok: str) -> int:
+        h = 0
+        for c in tok:
+            h = (h * 31 + ord(c)) % P_CODE
+        return h
+
+    cs = {
+        d: {code(t) for t in dict.fromkeys(toks[d])} for d in s1
+    }
+    sigs = {
+        d: [min((_A[i] * c + _B[i]) % P_HASH for c in s) for i in range(N_HASH)]
+        for d, s in cs.items()
+    }
+    buckets: dict[tuple, list[int]] = {}
+    for d, s in sigs.items():
+        for j in range(N_BANDS):
+            buckets.setdefault(
+                (j, s[2 * j] * P_HASH + s[2 * j + 1]), []
+            ).append(d)
+    rem2 = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for ai in range(len(ms)):
+            for bi in range(ai + 1, len(ms)):
+                a, b = ms[ai], ms[bi]
+                jac = len(cs[a] & cs[b]) / len(cs[a] | cs[b])
+                if jac >= 0.7:
+                    rem2.add(b)
+    s2 = s1 - rem2
+
+    # stage 3: exact-string 50-token window purge over the SURVIVORS
+    K = _PURGE_K
+    counts: dict[str, int] = {}
+    for d in s2:
+        tk = toks[d]
+        for i in range(len(tk) - K + 1):
+            w = " ".join(tk[i : i + K])
+            counts[w] = counts.get(w, 0) + 1
+    purged = 0
+    affected = 0
+    for d in s2:
+        tk = toks[d]
+        dup_i = [
+            i
+            for i in range(len(tk) - K + 1)
+            if counts[" ".join(tk[i : i + K])] >= 2
+        ]
+        runs = []
+        for i in dup_i:
+            if runs and i - runs[-1][1] <= K:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        if runs:
+            affected += 1
+            purged += sum(en + K - 1 - st + 1 for st, en in runs)
+
+    tk_all = sum(ntok.values())
+    tk_s1 = sum(ntok[d] for d in s1)
+    tk_s2 = sum(ntok[d] for d in s2)
+    expected = [
+        (1, "exact", len(toks), len(toks) - len(s1), len(toks) - len(s1),
+         tk_all, tk_all - tk_s1),
+        (2, "near_minhash", len(s1), len(s1) - len(s2), len(s1) - len(s2),
+         tk_s1, tk_s1 - tk_s2),
+        (3, "substring_span", len(s2), 0, affected, tk_s2, purged),
+    ]
+    got = [
+        (
+            r.stage_no, r.stage, r.docs_in, r.docs_removed,
+            r.docs_affected, r.tokens_in, r.tokens_removed,
+        )
+        for r in pipeline_dedup_cascade_audit(spark, sf_dir)
+        .orderBy("stage_no")
+        .collect()
+    ]
+    assert got == expected
+    # the fixture's unigram degeneracy makes stage 2 do real work
+    assert expected[1][3] > 0

@@ -23,11 +23,14 @@ from ..tables import table
 from .dedup import (
     _A,
     _B,
+    _DUCK_BANDS,
     _DUCK_CODES,
+    _SIG_ORACLE,
     _SPARK_CODES,
     N_HASH,
     P_CODE,
     P_HASH,
+    dedup_near_minhash,
 )
 
 # ---------------------------------------------------------------------------
@@ -41,6 +44,82 @@ _P2, _M2 = 998_244_353, 137  # independent second hash: the pair keys
 # text-equal window pair for any feasible corpus shard
 _POW1_K = 629313585  # 131^50 mod P1 (precomputed exact constant)
 _POW2_K = 140343980  # 137^50 mod P2
+
+
+def _purge_spans(t: DataFrame) -> DataFrame:
+    """Merged duplicate-window PURGE RUNS for a (doc_id, tk) corpus
+    frame: every 50-token window whose 2-hash fingerprint occurs >= 2
+    times in THIS corpus marks its tokens; overlapping/adjacent marked
+    windows merge into maximal runs (doc_id, run_no, start_tok,
+    end_tok).  Factored so cascade consumers
+    (pipeline_dedup_cascade_audit) can run the stage over an upstream
+    SURVIVOR corpus — window multiplicities then count survivors only,
+    which is what staged-marginality semantics require."""
+    tc = t.select(
+        "doc_id",
+        "tk",
+        F.expr(
+            "transform(tk, tok -> aggregate(split(tok, ''), "
+            f"CAST(0 AS BIGINT), (h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
+        ).alias("tc"),
+    )
+
+    def pre(mult: int, prime: int) -> str:
+        # prefix-hash array: pre[1] = 0, pre[j+1] = fold of codes 1..j
+        return (
+            "aggregate(tc, array(CAST(0 AS BIGINT)), "
+            f"(acc, c) -> concat(acc, array((element_at(acc, -1) * {mult} "
+            f"+ c) % {prime})))"
+        )
+
+    def win(pre_col: str, powk: int, prime: int) -> str:
+        # h(i..i+K-1) = (pre[i+K] - pre[i] * M^K) mod P, kept non-negative
+        return (
+            f"((element_at({pre_col}, i + {_PURGE_K}) "
+            f"- element_at({pre_col}, i) * {powk}) % {prime} + {prime}) "
+            f"% {prime}"
+        )
+
+    wins = (
+        tc.where(F.size("tc") >= _PURGE_K)
+        .select(
+            "doc_id",
+            F.expr(pre(_M1, _P1)).alias("p1"),
+            F.expr(pre(_M2, _P2)).alias("p2"),
+            F.expr(f"sequence(1, size(tc) - {_PURGE_K} + 1)").alias("ii"),
+        )
+        .select("doc_id", "p1", "p2", F.explode("ii").alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.expr(win("p1", _POW1_K, _P1)).alias("h1"),
+            F.expr(win("p2", _POW2_K, _P2)).alias("h2"),
+        )
+    )
+    hc = wins.groupBy("h1", "h2").agg(F.count("*").alias("c"))
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    dup = (
+        wins.join(hc.where(F.col("c") >= 2), ["h1", "h2"], "left_semi")
+        .withColumn("lag_i", F.lag("i").over(w_doc))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("lag_i").isNull()
+                | (F.col("i") - F.col("lag_i") > _PURGE_K),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_no",
+            F.sum("new_run").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return dup.groupBy("doc_id", "run_no").agg(
+        F.min("i").cast("bigint").alias("start_tok"),
+        (F.max("i") + _PURGE_K - 1).cast("bigint").alias("end_tok"),
+    )
 
 
 def _duck_win_hash(mult: int, prime: int) -> str:
@@ -148,71 +227,7 @@ def dedup_substring_span_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly, which is the same polynomial).  No floats anywhere."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("tk"))
-    tc = t.select(
-        "doc_id",
-        "tk",
-        F.expr(
-            "transform(tk, tok -> aggregate(split(tok, ''), "
-            f"CAST(0 AS BIGINT), (h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
-        ).alias("tc"),
-    )
-
-    def pre(mult: int, prime: int) -> str:
-        # prefix-hash array: pre[1] = 0, pre[j+1] = fold of codes 1..j
-        return (
-            "aggregate(tc, array(CAST(0 AS BIGINT)), "
-            f"(acc, c) -> concat(acc, array((element_at(acc, -1) * {mult} "
-            f"+ c) % {prime})))"
-        )
-
-    def win(pre_col: str, powk: int, prime: int) -> str:
-        # h(i..i+K-1) = (pre[i+K] - pre[i] * M^K) mod P, kept non-negative
-        return (
-            f"((element_at({pre_col}, i + {_PURGE_K}) "
-            f"- element_at({pre_col}, i) * {powk}) % {prime} + {prime}) "
-            f"% {prime}"
-        )
-
-    wins = (
-        tc.where(F.size("tc") >= _PURGE_K)
-        .select(
-            "doc_id",
-            F.expr(pre(_M1, _P1)).alias("p1"),
-            F.expr(pre(_M2, _P2)).alias("p2"),
-            F.expr(f"sequence(1, size(tc) - {_PURGE_K} + 1)").alias("ii"),
-        )
-        .select("doc_id", "p1", "p2", F.explode("ii").alias("i"))
-        .select(
-            "doc_id",
-            "i",
-            F.expr(win("p1", _POW1_K, _P1)).alias("h1"),
-            F.expr(win("p2", _POW2_K, _P2)).alias("h2"),
-        )
-    )
-    hc = wins.groupBy("h1", "h2").agg(F.count("*").alias("c"))
-    w_doc = Window.partitionBy("doc_id").orderBy("i")
-    dup = (
-        wins.join(hc.where(F.col("c") >= 2), ["h1", "h2"], "left_semi")
-        .withColumn("lag_i", F.lag("i").over(w_doc))
-        .withColumn(
-            "new_run",
-            F.when(
-                F.col("lag_i").isNull()
-                | (F.col("i") - F.col("lag_i") > _PURGE_K),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "run_no",
-            F.sum("new_run").over(
-                w_doc.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-    )
-    spans = dup.groupBy("doc_id", "run_no").agg(
-        F.min("i").cast("bigint").alias("start_tok"),
-        (F.max("i") + _PURGE_K - 1).cast("bigint").alias("end_tok"),
-    )
+    spans = _purge_spans(t)
     w_idx = Window.partitionBy("doc_id").orderBy("start_tok")
     out = (
         spans.join(t, "doc_id")
@@ -481,3 +496,229 @@ def text_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bands").desc(), "quantile_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_cascade_audit
+# ---------------------------------------------------------------------------
+
+
+def _cascade_oracle() -> str:
+    return f"""
+    WITH t0 AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents),
+    s1 AS MATERIALIZED (
+      SELECT doc_id, text, ntok FROM (
+        SELECT doc_id, text, ntok,
+               min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+        FROM t0) z
+      WHERE doc_id = keeper),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM s1),
+    codes AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_DUCK_CODES}) AS cs
+      FROM (SELECT doc_id, array_to_string(t, ' ') AS text FROM toks) z),
+    sigs AS (
+      SELECT doc_id, {_SIG_ORACLE} FROM codes),
+    bands AS (
+      {_DUCK_BANDS}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_no = y.band_no AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id),
+    rem2 AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM cand c JOIN codes ta ON c.doc_a = ta.doc_id
+                  JOIN codes tb ON c.doc_b = tb.doc_id
+      WHERE CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
+            / len(list_distinct(ta.cs || tb.cs)) >= 0.7),
+    s2 AS MATERIALIZED (
+      SELECT s1.* FROM s1 ANTI JOIN rem2 USING (doc_id)),
+    tk2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM s2),
+    tc AS (
+      SELECT doc_id, list_transform(tk, tok -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % {P_CODE})) AS tc
+      FROM tk2),
+    wins AS MATERIALIZED (
+      SELECT doc_id, i,
+             {_duck_win_hash(_M1, _P1)} AS h1,
+             {_duck_win_hash(_M2, _P2)} AS h2
+      FROM (SELECT doc_id, tc,
+                   unnest(generate_series(1, len(tc) - {_PURGE_K} + 1)) AS i
+            FROM tc WHERE len(tc) >= {_PURGE_K}) z),
+    hc AS (SELECT h1, h2, count(*) AS c FROM wins GROUP BY h1, h2),
+    dup AS (
+      SELECT w.doc_id, w.i,
+             CASE WHEN lag(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i)
+                       IS NULL
+                   OR w.i - lag(w.i) OVER (PARTITION BY w.doc_id
+                                           ORDER BY w.i) > {_PURGE_K}
+                  THEN 1 ELSE 0 END AS new_run
+      FROM wins w JOIN hc USING (h1, h2) WHERE hc.c >= 2),
+    runs AS (
+      SELECT doc_id, i,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS run_no
+      FROM dup),
+    spans AS (
+      SELECT doc_id, run_no,
+             CAST(min(i) AS BIGINT) AS start_tok,
+             CAST(max(i) + {_PURGE_K} - 1 AS BIGINT) AS end_tok
+      FROM runs GROUP BY doc_id, run_no),
+    st3 AS (
+      SELECT CAST(coalesce(sum(end_tok - start_tok + 1), 0) AS BIGINT)
+               AS purged,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS affected
+      FROM spans),
+    a1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(ntok), 0) AS BIGINT) AS tk FROM t0),
+    a1s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(coalesce(sum(ntok), 0) AS BIGINT) AS tk FROM s1),
+    a2s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(coalesce(sum(ntok), 0) AS BIGINT) AS tk FROM s2)
+    SELECT CAST(1 AS BIGINT) AS stage_no, 'exact' AS stage,
+           a1.n AS docs_in,
+           CAST(a1.n - a1s.n AS BIGINT) AS docs_removed,
+           CAST(a1.n - a1s.n AS BIGINT) AS docs_affected,
+           a1.tk AS tokens_in,
+           CAST(a1.tk - a1s.tk AS BIGINT) AS tokens_removed
+    FROM a1 CROSS JOIN a1s
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'near_minhash',
+           a1s.n, CAST(a1s.n - a2s.n AS BIGINT),
+           CAST(a1s.n - a2s.n AS BIGINT),
+           a1s.tk, CAST(a1s.tk - a2s.tk AS BIGINT)
+    FROM a1s CROSS JOIN a2s
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'substring_span',
+           a2s.n, CAST(0 AS BIGINT), st3.affected, a2s.tk, st3.purged
+    FROM a2s CROSS JOIN st3
+    ORDER BY stage_no
+    """
+
+
+@query("pipeline_dedup_cascade_audit", oracle=_cascade_oracle())
+def pipeline_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGINAL-REMOVAL AUDIT of the dedup CASCADE — the funnel table a
+    curation team reads to justify each stage's cost (SURVEY §Round-11
+    queue; the reference's verbatim re-ingest, app.py:453-484, is the
+    corpus shape stage 1 exists for): exact sha-256 dedup, then
+    near-dup removal over dedup_near_minhash's LSH-verified pairs
+    (>= 0.7 code-set Jaccard; keep-FIRST policy — a doc is removed iff
+    some LOWER-id doc is a verified near-dup, the deterministic rule
+    Dolma-style pipelines use, vs pipeline_near_dup_purge's
+    cluster-min over connected components), then
+    dedup_substring_span_purge's 50-token duplicate-span purge over
+    what SURVIVES — one row per stage with docs_in / docs_removed /
+    docs_affected / tokens_in / tokens_removed.  Marginality is
+    structural: each stage's input is the previous stage's survivor
+    corpus, so a later stage is only ever credited with what earlier
+    stages missed (span multiplicities in stage 3 count SURVIVOR
+    windows only — a window duplicated solely across near-dup copies
+    purges nothing once stage 2 removed the copies).
+
+    On this fixture the funnel is lopsided by the documented unigram
+    degeneracy (dedup_near_minhash docstring): ~32-word vocabulary
+    makes most doc pairs genuine >= 0.7 code-set matches, so stage 2
+    removes most docs and stage 3 sees a small survivor set.  The
+    AUDIT is exactly what surfaces that: a real corpus shows a
+    shallow stage-2 cut and a fat stage-3 token purge.
+
+    Stage-2-on-survivors == full-corpus pairs filtered to survivor
+    endpoints (exactly): band keys are per-doc, the first-match
+    predicate is pair-local, so removing docs never changes another
+    pair's candidacy — the Spark side reuses dedup_near_minhash's
+    verified pairs (side-file verify machinery and all) and
+    semi-joins both endpoints against stage-1 survivors, while the
+    oracle recomputes sigs/bands on the survivor corpus directly.
+
+    Parity: every output cell is an exact BIGINT (counts, token
+    sums); no floats anywhere.  Stage names are literals.
+
+    Shape at 100 TB: stage survivors are localCheckpointed doc-grain
+    frames — precisely the per-stage corpus snapshots a production
+    cascade persists between stages; the expensive pieces (LSH
+    banding join, span fingerprint shuffle) are the underlying ops'
+    own scale-audited plans, composed, and every audit row is a 1-row
+    aggregate unioned into a 3-row table."""
+    d = table(spark, sf_dir, "documents")
+    t0 = d.select(
+        "doc_id",
+        "text",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("ntok"),
+    )
+    w_h = Window.partitionBy(F.sha2("text", 256))
+    s1 = (
+        t0.withColumn("keeper", F.min("doc_id").over(w_h))
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "ntok")
+        .localCheckpoint()  # stage-1 survivor corpus: referenced by
+        # the pair filter, stage-2 stats, and s2 — the snapshot a
+        # production cascade writes between stages
+    )
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    ids1 = s1.select("doc_id")
+    pairs1 = pairs.join(
+        ids1.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    ).join(ids1.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    rem2 = pairs1.select(F.col("doc_b").alias("doc_id")).distinct()
+    s2 = s1.join(rem2, "doc_id", "left_anti").localCheckpoint()
+    spans = _purge_spans(s2.select("doc_id", F.split("text", " ").alias("tk")))
+    st3 = spans.agg(
+        F.expr(
+            "CAST(coalesce(sum(end_tok - start_tok + 1), 0) AS BIGINT)"
+        ).alias("purged"),
+        F.countDistinct("doc_id").cast("bigint").alias("affected"),
+    )
+    a1 = t0.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(coalesce(sum(ntok), 0) AS BIGINT)").alias("tk"),
+    )
+    a1s = s1.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(coalesce(sum(ntok), 0) AS BIGINT)").alias("tk"),
+    )
+    a2s = s2.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(coalesce(sum(ntok), 0) AS BIGINT)").alias("tk"),
+    )
+    r1 = (
+        a1.crossJoin(F.broadcast(a1s.selectExpr("n AS n1", "tk AS tk1")))
+        .selectExpr(
+            "CAST(1 AS BIGINT) AS stage_no",
+            "'exact' AS stage",
+            "n AS docs_in",
+            "CAST(n - n1 AS BIGINT) AS docs_removed",
+            "CAST(n - n1 AS BIGINT) AS docs_affected",
+            "tk AS tokens_in",
+            "CAST(tk - tk1 AS BIGINT) AS tokens_removed",
+        )
+    )
+    r2 = (
+        a1s.crossJoin(F.broadcast(a2s.selectExpr("n AS n2", "tk AS tk2")))
+        .selectExpr(
+            "CAST(2 AS BIGINT) AS stage_no",
+            "'near_minhash' AS stage",
+            "n AS docs_in",
+            "CAST(n - n2 AS BIGINT) AS docs_removed",
+            "CAST(n - n2 AS BIGINT) AS docs_affected",
+            "tk AS tokens_in",
+            "CAST(tk - tk2 AS BIGINT) AS tokens_removed",
+        )
+    )
+    r3 = a2s.crossJoin(F.broadcast(st3)).selectExpr(
+        "CAST(3 AS BIGINT) AS stage_no",
+        "'substring_span' AS stage",
+        "n AS docs_in",
+        "CAST(0 AS BIGINT) AS docs_removed",
+        "affected AS docs_affected",
+        "tk AS tokens_in",
+        "purged AS tokens_removed",
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("stage_no")

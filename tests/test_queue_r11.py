@@ -278,3 +278,79 @@ def test_dedup_cascade_audit_matches_python_recompute(spark, sf_dir):
     assert got == expected
     # the fixture's unigram degeneracy makes stage 2 do real work
     assert expected[1][3] > 0
+
+
+def test_dsir_importance_weights_matches_python_recompute(spark, sf_dir):
+    """Re-derive the DSIR weights in plain Python: hashed-unigram
+    counts for target (en) vs raw, Laplace-smoothed LLR per bucket
+    quantized to 9 decimals, exact Decimal accumulation per doc."""
+    import math
+    from decimal import Decimal
+
+    from vectordb_agentic_rag_spark.operators.dedup import P_CODE
+    from vectordb_agentic_rag_spark.operators.queue_r11 import (
+        _DSIR_B,
+        _DSIR_DIV,
+        _DSIR_TARGET,
+        text_dsir_importance_weights,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "text", "lang"]
+    ]
+
+    def bucket(tok: str) -> int:
+        h = 0
+        for c in tok:
+            h = (h * 31 + ord(c)) % P_CODE
+        return ((h * 2654435761) % 4294967296) // _DSIR_DIV
+
+    per_doc: dict[int, dict[int, int]] = {}
+    lang = {}
+    ntok = {}
+    craw: dict[int, int] = {}
+    ctgt: dict[int, int] = {}
+    rtot = ttot = 0
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        lang[d] = r.lang
+        tks = r.text.split(" ")
+        ntok[d] = len(tks)
+        tf: dict[int, int] = {}
+        for t in tks:
+            tf[bucket(t)] = tf.get(bucket(t), 0) + 1
+        per_doc[d] = tf
+        for b, c in tf.items():
+            craw[b] = craw.get(b, 0) + c
+            rtot += c
+            if r.lang == _DSIR_TARGET:
+                ctgt[b] = ctgt.get(b, 0) + c
+        if r.lang == _DSIR_TARGET:
+            ttot += len(tks)
+
+    # mirror the engines' expression: ln of ONE double ratio, round(9)
+    term: dict[int, Decimal] = {}
+    for b, cr in craw.items():
+        ratio = ((ctgt.get(b, 0) + 1) * (rtot + _DSIR_B)) / (
+            (cr + 1) * (ttot + _DSIR_B)
+        )
+        term[b] = Decimal(f"{round(math.log(ratio), 9):.9f}")
+
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.is_target, r.llr_weight)
+        for r in text_dsir_importance_weights(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for d, tf in per_doc.items():
+        w = sum(Decimal(c) * term[b] for b, c in tf.items())
+        expected = float(round(float(w), 6))
+        assert got[d] == (
+            lang[d],
+            ntok[d],
+            1 if lang[d] == _DSIR_TARGET else 0,
+            expected,
+        ), d
+    # target docs should score higher on average than non-target
+    tgt = [v[3] for v in got.values() if v[2] == 1]
+    non = [v[3] for v in got.values() if v[2] == 0]
+    assert sum(tgt) / len(tgt) > sum(non) / len(non)

@@ -402,3 +402,27 @@ def test_psi_drift_live_matches_python_recompute(spark, sf_dir):
         (b, a, c, t) for b, (a, c, t) in expected.items()
     }
     assert all(abs(r.psi_total - round(total, 6)) < 1e-9 for r in got)
+
+
+def test_srm_guardrail_live_equals_batch_check(spark, sf_dir):
+    """Live first-arrival SRM table == the batch agg_ab_srm_check row,
+    column for column: the state-store dedup emits exactly one row
+    per distinct user, so both paths aggregate the same arm counts."""
+    from vectordb_agentic_rag_spark.operators.analytics9 import (
+        agg_ab_srm_check,
+    )
+    from vectordb_agentic_rag_spark.streaming.core import (
+        stream_srm_guardrail_live,
+    )
+
+    live = stream_srm_guardrail_live(spark, sf_dir).collect()
+    batch = agg_ab_srm_check(spark, sf_dir).collect()
+    assert len(live) == len(batch) == 1
+    assert live[0].asDict() == batch[0].asDict()
+    # arm counts really are per-USER, not per-event
+    import pandas as pd
+
+    n_users = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        "user_id"
+    ].nunique()
+    assert live[0].n_arm_a + live[0].n_arm_b == n_users

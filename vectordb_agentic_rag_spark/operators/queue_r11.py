@@ -722,3 +722,155 @@ def pipeline_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purged AS tokens_removed",
     )
     return r1.unionByName(r2).unionByName(r3).orderBy("stage_no")
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_importance_weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 128  # hashed-unigram feature buckets (2^7)
+_DSIR_DIV = 33554432  # 2^32 / 128 — HIGH 7 bits of the 32-bit mix
+_DSIR_TARGET = "en"  # target domain: English docs (fixture lang field)
+
+# token -> rolling char code (repo convention) -> Knuth 32-bit mix ->
+# high 7 bits.  The HIGH bits because the low bit of an odd-multiplier
+# product mod 2^32 is the input's own parity (round-9 rule).
+_DSIR_BUCKET_SPARK = (
+    "CAST(((aggregate(split(tok, ''), CAST(0 AS BIGINT), "
+    f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}) * 2654435761) "
+    f"% 4294967296) div {_DSIR_DIV} AS BIGINT)"
+)
+_DSIR_BUCKET_DUCK = (
+    "CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(tok, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    f"(h, c) -> (h * 31 + c) % {P_CODE}) * 2654435761) "
+    f"% 4294967296) // {_DSIR_DIV} AS BIGINT)"
+)
+
+
+@query(
+    "text_dsir_importance_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, u.tok,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
+    db AS (
+      SELECT doc_id, lang, n_tokens,
+             {_DSIR_BUCKET_DUCK} AS bucket,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM tk GROUP BY 1, 2, 3, 4),
+    braw AS (
+      SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr FROM db GROUP BY 1),
+    btgt AS (
+      SELECT bucket, CAST(sum(tf) AS BIGINT) AS ct FROM db
+      WHERE lang = '{_DSIR_TARGET}' GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(tf) AS BIGINT) AS rtot,
+             CAST(coalesce(sum(CASE WHEN lang = '{_DSIR_TARGET}'
+                                    THEN tf END), 0) AS BIGINT) AS ttot
+      FROM db),
+    llr AS (
+      SELECT r.bucket,
+             CAST(round(ln(
+               CAST((coalesce(g.ct, 0) + 1) * (t.rtot + {_DSIR_B})
+                    AS DOUBLE)
+               / CAST((r.cr + 1) * (t.ttot + {_DSIR_B}) AS DOUBLE)),
+               9) AS DECIMAL(19,9)) AS term
+      FROM braw r LEFT JOIN btgt g ON r.bucket = g.bucket
+      CROSS JOIN tot t)
+    SELECT d.doc_id, d.lang, d.n_tokens,
+           CAST(CASE WHEN d.lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END
+                AS BIGINT) AS is_target,
+           round(CAST(sum(CAST(d.tf AS DECIMAL(9,0)) * l.term) AS DOUBLE),
+                 6) AS llr_weight
+    FROM db d JOIN llr l ON d.bucket = l.bucket
+    GROUP BY d.doc_id, d.lang, d.n_tokens
+    ORDER BY d.doc_id
+    """,
+)
+def text_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR IMPORTANCE WEIGHTS for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document log importance weight ln p_target(x) - ln p_raw(x)
+    under hashed-unigram bag-of-words models — the selection-side
+    companion to pipeline_mixture_reweight (which reweights a GIVEN
+    mixture; this op scores each raw document's resemblance to a
+    target domain so the sampler can draw the mixture in the first
+    place).  Target = the fixture's English docs; raw = the whole
+    corpus; features = token char-codes mixed into 128 hash buckets
+    (Knuth high bits); both unigram models are Laplace-smoothed
+    (+1 / +B).  A positive weight reads "more target-like than the
+    corpus average" — DSIR then resamples proportional to exp(w).
+
+    Parity (the dynamic-BM25 rule, rag_prf_query_expansion): each
+    bucket's LLR term ln((ct+1)(R+B) / ((cr+1)(T+B))) is ONE double
+    division of exact BIGINT products, round(9) into DECIMAL(19,9);
+    per-doc sums multiply by tf as DECIMAL(9,0) so the product is
+    DECIMAL(29,9) — exact, order-independent — and round(6) touches
+    only the output.  (BIGINT * DECIMAL would silently truncate the
+    scale: BIGINT counts as precision 20, round-8 rule.)
+
+    Shape at 100 TB: one explode + (doc, bucket) aggregate — the same
+    reusable tf artifact every sparse-retrieval op builds; the bucket
+    model table is <= 128 rows (a CONSTANT: the feature-space size,
+    not data) and broadcasts; per-doc weights are one map-side join +
+    sum.  Raw-count products fit int64 through ~1e9 tokens per side;
+    a 100 TB corpus lifts them to DECIMAL first."""
+    d = table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    db = tk.groupBy(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(_DSIR_BUCKET_SPARK).alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("tf"))
+    braw = db.groupBy("bucket").agg(F.sum("tf").cast("bigint").alias("cr"))
+    btgt = (
+        db.where(F.col("lang") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.sum("tf").cast("bigint").alias("ct"))
+    )
+    tot = db.agg(
+        F.sum("tf").cast("bigint").alias("rtot"),
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN lang = '{_DSIR_TARGET}'"
+            " THEN tf END), 0) AS BIGINT)"
+        ).alias("ttot"),
+    )
+    llr = (
+        braw.join(btgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bucket",
+            f"CAST(round(ln("
+            f"CAST((coalesce(ct, 0) + 1) * (rtot + {_DSIR_B}) AS DOUBLE)"
+            f" / CAST((cr + 1) * (ttot + {_DSIR_B}) AS DOUBLE)),"
+            f" 9) AS DECIMAL(19,9)) AS term",
+        )
+    )
+    return (
+        db.join(F.broadcast(llr), "bucket")  # <=128-row model table
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(
+            F.expr(
+                "round(CAST(sum(CAST(tf AS DECIMAL(9,0)) * term)"
+                " AS DOUBLE), 6)"
+            ).alias("llr_weight")
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            f"CAST(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END"
+            " AS BIGINT) AS is_target",
+            "llr_weight",
+        )
+        .orderBy("doc_id")
+    )

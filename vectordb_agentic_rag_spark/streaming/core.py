@@ -1616,3 +1616,98 @@ def stream_psi_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_srm_guardrail_live
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_srm_guardrail_live",
+    # Full oracle: the streaming dropDuplicates state store keeps
+    # FIRST-arrival user_ids, so the drained append output has exactly
+    # one row per distinct user regardless of where the replay cuts
+    # batches (first-arrival dedup == count(DISTINCT), the
+    # stream_stateful_dedup identity) — the arm counts, ratio, and
+    # chi^2 are therefore agg_ab_srm_check's text verbatim.
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arm AS (
+      SELECT CAST((user_id * 2654435761) % 4294967296 // 2147483648
+                  AS BIGINT) AS arm
+      FROM u),
+    s AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM arm)
+    SELECT n0 AS n_arm_a, n1 AS n_arm_b,
+           round(CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE), 6)
+             AS observed_ratio_b,
+           round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE), 6) AS chi2_stat,
+           CAST(CASE WHEN round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE), 9) >= 3.8415
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_detected_05
+    FROM s
+    """,
+)
+def stream_srm_guardrail_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE SAMPLE-RATIO-MISMATCH GUARDRAIL — the streaming twin of
+    agg_ab_srm_check (SURVEY §Round-11 queue), completing the A/B
+    guardrail family: while an experiment RUNS, the monitor assigns
+    each event's user to an arm in-stream (the same Knuth
+    multiplicative-hash HIGH bit — pure JVM integer arithmetic on the
+    hot path), keeps only FIRST-seen users via the streaming
+    dropDuplicates state store, and the drained first-arrival rows
+    feed the chi^2(1) test of the arm split against the declared
+    50/50.  A platform alerts on this table DURING ramp-up, before
+    any metric read; the batch op is the post-hoc audit of the same
+    statistic.
+
+    Full-oracle identity (the stream_stateful_dedup family): the
+    state store emits exactly one row per distinct user_id — the
+    first arrival — independent of micro-batch cuts, so summed arm
+    counts over the drained table equal count(DISTINCT user_id) per
+    arm, and every downstream expression is agg_ab_srm_check's text
+    verbatim (the batch-parity pytest pins live == batch).  Sibling
+    differentiation: stream_stateful_dedup counts distinct
+    (user, event_type) keys per type; this op dedups on user alone
+    and ships a DECISION statistic, not a count table.
+
+    Shape at 100 TB: per-user state is one key per distinct user
+    (the minimum any exactly-once first-touch guardrail can hold),
+    partitioned by the shuffle width; arm math is stateless column
+    arithmetic before the dedup, so state rows carry two bigints.
+    The drained reduction is a 2-cell conditional aggregate."""
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src).selectExpr(
+        "user_id",
+        "CAST((user_id * 2654435761) % 4294967296 div 2147483648"
+        " AS BIGINT) AS arm",
+    )
+    first_seen = stream.dropDuplicates(["user_id"])
+    _run_to_memory(first_seen, "srm_live", "append")
+    s = spark.table("srm_live").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+    )
+    chi_txt = (
+        "CAST((n0 - n1) * (n0 - n1) AS DOUBLE)"
+        " / CAST(n0 + n1 AS DOUBLE)"
+    )
+    return s.selectExpr(
+        "n0 AS n_arm_a",
+        "n1 AS n_arm_b",
+        "round(CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE), 6)"
+        " AS observed_ratio_b",
+        f"round({chi_txt}, 6) AS chi2_stat",
+        f"CAST(CASE WHEN round({chi_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS srm_detected_05",
+    )

@@ -1275,5 +1275,34 @@ def test_qini_score_domain_cumsum_partitioned(spark, sf_dir):
     # columns FIRST — a spec starting at score is unpartitioned)
     assert not re.search(r"windowspecdefinition\(score#\d+", plan)
     assert re.search(
-        r"windowspecdefinition\(pid#\d+, score#\d+", plan
-    ), "score-domain cumulative lost its pid partitioning"
+        r"windowspecdefinition\(_pid#\d+, score#\d+", plan
+    ), "score-domain cumulative lost its _pid partitioning"
+
+
+def test_fact_scaled_domains_never_unpartitioned_windows(spark, sf_dir):
+    # round-11 window sweep: every op whose ordered cumulative runs
+    # over a FACT-KEY-grain domain (per-user cents, per-customer
+    # revenue, per-part revenue/price) uses the distributed two-level
+    # prefix sum (functions/domain.py) — a windowspecdefinition whose
+    # partition spec is empty lists its order column FIRST, so the
+    # fact-scaled column must never open a spec
+    import re
+
+    for op, col in (
+        ("agg_woe_information_value", "score"),
+        ("agg_lorenz_curve_deciles", "rev"),
+        ("agg_abc_pareto_class", "r"),
+        ("agg_rfm_segments", "mon"),
+        ("agg_spearman_corr", "l_extendedprice"),
+    ):
+        plan = plan_of(QUERIES[op](spark, sf_dir))
+        # an ASC/DESC marker directly on the FIRST spec element means
+        # the partition list is empty and the spec ORDERS by col; a
+        # bare first element (e.g. rfm's partitionBy(mon) rank window)
+        # is a partition key and is fine
+        assert not re.search(
+            rf"windowspecdefinition\({col}#\d+L? (ASC|DESC)", plan
+        ), f"{op}: unpartitioned window over fact-scaled {col}"
+        assert re.search(
+            rf"windowspecdefinition\(_pid#\d+, {col}#\d+", plan
+        ), f"{op}: {col} cumulative lost its _pid partitioning"

@@ -1,0 +1,81 @@
+"""Distributed prefix sums over fact-scaled value domains.
+
+The round-10 verdict's plan finding: an unpartitioned
+``Window.orderBy(...)`` over a domain whose cardinality grows with a
+fact key (per-user cents, per-part revenue, distinct prices) is a
+single-partition sort of the world at 100 TB — even when the domain is
+smaller than the fact table.  Bounded domains (days, event types,
+deciles, top-k survivor lists, config-sized operating-point panels)
+are fine; fact-scaled ones get THIS two-level decomposition:
+
+1. ``repartitionByRange`` on the total order — equal keys land in one
+   bucket by construction, buckets are ordered by ``spark_partition_id``;
+2. per-bucket totals, cumulated EXCLUSIVELY over the bucket frame
+   (<= ``buckets`` rows — bounded by a config constant, not by data);
+3. a PARTITIONED exclusive cumulative within each bucket;
+4. prefix = bucket offset + within-bucket cumulative — exact regardless
+   of where the sampled range boundaries land.
+
+The bucket assignment is localCheckpointed so the two references (the
+totals aggregate and the within-bucket window) see ONE assignment —
+range-boundary sampling must not run twice.  ``agg_qini_uplift_curve``
+is the worked example with the plan pin
+(tests/test_plans.py::test_qini_score_domain_cumsum_partitioned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dist_exclusive_prefix(
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    sums: list[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """All of ``df``'s columns plus one ``_pre_<c>`` EXCLUSIVE-prefix
+    column per ``c`` in ``sums``, under the total order given by
+    ``order`` (``[(column, descending), ...]``).  Rows with equal full
+    order keys share one range bucket, so prefixes are well-defined;
+    callers here all order by a key that is unique per row.  Sum
+    columns keep their natural Spark sum type (BIGINT -> BIGINT,
+    DECIMAL(p,s) -> widened DECIMAL) — cast at the call site."""
+    cols = [F.col(c).desc() if d else F.col(c).asc() for c, d in order]
+    dfp = (
+        df.repartitionByRange(buckets, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = dfp.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sums]
+    )
+    offs = offs.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0)).alias(
+                f"_o_{c}"
+            )
+            for c in sums
+        ],
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = dfp
+    for c in sums:
+        out = out.withColumn(
+            f"_w_{c}", F.coalesce(F.sum(c).over(w_in), F.lit(0))
+        )
+    out = out.join(F.broadcast(offs), "_pid")
+    for c in sums:
+        out = out.withColumn(f"_pre_{c}", F.col(f"_o_{c}") + F.col(f"_w_{c}"))
+    return out.drop(
+        "_pid",
+        *[f"_o_{c}" for c in sums],
+        *[f"_w_{c}" for c in sums],
+    )

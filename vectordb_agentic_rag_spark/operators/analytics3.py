@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.domain import dist_exclusive_prefix
 from ..registry import query
 from ..tables import table
 from .analytics import _KM_D, _km_asg_ctes, _km_assignments
@@ -1273,24 +1274,30 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines before round(6)."""
     li = table(spark, sf_dir, "lineitem")
 
-    def ranks(col: str) -> DataFrame:
+    def ranks(col: str, bounded: bool) -> DataFrame:
         cnt = li.groupBy(col).agg(F.count("*").cast("bigint").alias("c"))
-        wd = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return cnt.select(
-            F.col(col).alias("v"),
-            (
-                2 * F.coalesce(F.sum("c").over(wd), F.lit(0))
-                + F.col("c")
-                + 1
+        if bounded:
+            # quantity domain is 1..50 — a bounded window is fine
+            wd = Window.orderBy(col).rowsBetween(
+                Window.unboundedPreceding, -1
             )
+            pre = F.coalesce(F.sum("c").over(wd), F.lit(0))
+            cum = cnt.withColumn("_pre_c", pre)
+        else:
+            # the price domain is part-grain — distributed prefix sum
+            # (functions/domain.py; round-10 verdict window rule)
+            cum = dist_exclusive_prefix(cnt, [(col, False)], ["c"])
+        return cum.select(
+            F.col(col).alias("v"),
+            (2 * F.col("_pre_c") + F.col("c") + 1)
             .cast("bigint")
             .alias("r2"),
         )
 
-    xr = ranks("l_quantity").select(
+    xr = ranks("l_quantity", bounded=True).select(
         F.col("v").alias("l_quantity"), F.col("r2").alias("x2")
     )
-    yr = ranks("l_extendedprice").select(
+    yr = ranks("l_extendedprice", bounded=False).select(
         F.col("v").alias("l_extendedprice"), F.col("r2").alias("y2")
     )
     j = (
@@ -1776,18 +1783,20 @@ def agg_abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.agg(
         F.expr("CAST(sum(r) AS DECIMAL(28,4))").alias("tot")
     )
-    wc = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = rev.select(
-        "l_partkey",
-        "r",
-        F.coalesce(
-            F.sum("r").over(wc), F.expr("CAST(0 AS DECIMAL(28,4))")
+    # the revenue-DESC cumulative runs over the PART dimension —
+    # fact-key-grain, so it takes the distributed two-level prefix
+    # sum, never a single-partition sort (functions/domain.py)
+    cum = (
+        dist_exclusive_prefix(
+            rev, [("r", True), ("l_partkey", False)], ["r"]
         )
-        .cast("decimal(28,4)")
-        .alias("cb"),
-    ).crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "r",
+            F.col("_pre_r").cast("decimal(28,4)").alias("cb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
     cls = cum.selectExpr(
         """CASE WHEN cb * 100 < tot * 80 THEN 'A'
                 WHEN cb * 100 < tot * 95 THEN 'B'

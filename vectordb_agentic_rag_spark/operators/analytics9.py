@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.domain import dist_exclusive_prefix
 from ..registry import query
 from ..tables import table
 
@@ -1206,14 +1207,18 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     blk = cust.groupBy("rev").agg(
         F.count("*").cast("bigint").alias("f"),
         (F.col("rev") * F.count("*")).cast("bigint").alias("tot"),
-    ).localCheckpoint()  # bounded value domain, read twice
-    w_r = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, 0)
-    cum = blk.select(
+    ).localCheckpoint()  # customer-grain value domain, read twice
+    # exclusive prefixes via the distributed two-level sum — the
+    # revenue domain is customer-grain, never a single-partition sort
+    # (functions/domain.py; round-10 verdict window rule)
+    cum = dist_exclusive_prefix(
+        blk, [("rev", False)], ["f", "tot"]
+    ).selectExpr(
         "rev",
         "f",
         "tot",
-        (F.sum("f").over(w_r) - F.col("f")).alias("cf_before"),
-        (F.sum("tot").over(w_r) - F.col("tot")).alias("ct_before"),
+        "CAST(_pre_f AS BIGINT) AS cf_before",
+        "CAST(_pre_tot AS BIGINT) AS ct_before",
     )
     nn = blk.agg(
         F.sum("f").cast("bigint").alias("n"),
@@ -3552,7 +3557,15 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     off_r = _dom_offsets("rec_days", True, "off_r")
     off_f = _dom_offsets("freq", False, "off_f")
-    off_m = _dom_offsets("mon", False, "off_m")
+    # the monetary domain is customer-grain (~|customers| distinct
+    # cents) — distributed two-level prefix sum, never a single-
+    # partition sort; the bounded rec_days/freq domains above keep
+    # the plain window (functions/domain.py; round-10 verdict rule)
+    off_m = dist_exclusive_prefix(
+        base.groupBy("mon").agg(F.count("*").alias("c")),
+        [("mon", False)],
+        ["c"],
+    ).selectExpr("mon", "CAST(_pre_c AS BIGINT) AS off_m")
     rk = (
         base.join(off_m, "mon")  # big domain: shuffle join, reused by
         # the partitionBy(mon) window below
@@ -4405,39 +4418,10 @@ def agg_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom = a.groupBy("score").agg(F.count("*").cast("bigint").alias("c"))
     tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
     # distributed exclusive prefix sum over the user-grain score
-    # domain: range buckets keep equal scores together and ordered;
-    # checkpoint pins ONE bucket assignment for both references (the
-    # bucket-total aggregate and the within-bucket window) — range
-    # boundary sampling must not run twice
-    domp = (
-        dom.repartitionByRange(16, F.col("score").desc())
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        domp.groupBy("pid")
-        .agg(F.sum("c").cast("bigint").alias("pc"))
-        # <=16 rows: bounded by the bucket count (a constant), so the
-        # one unpartitioned window here never sees fact-scaled data
-        .select(
-            "pid",
-            F.coalesce(F.sum("pc").over(w_off), F.lit(0))
-            .cast("bigint")
-            .alias("poff"),
-        )
-    )
-    w_in = (
-        Window.partitionBy("pid")
-        .orderBy(F.col("score").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = (
-        domp.withColumn(
-            "wcal", F.coalesce(F.sum("c").over(w_in), F.lit(0))
-        )
-        .join(F.broadcast(offs), "pid")
-        .selectExpr("score", "CAST(poff + wcal AS BIGINT) AS cal")
+    # domain (functions/domain.py — the shared two-level machinery;
+    # this op carries the plan pin)
+    cum = dist_exclusive_prefix(dom, [("score", True)], ["c"]).selectExpr(
+        "score", "CAST(_pre_c AS BIGINT) AS cal"
     )
     binned = (
         a.join(cum, "score")  # shuffle equi-join: the score domain is

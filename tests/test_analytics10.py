@@ -133,3 +133,200 @@ def test_woe_information_value_matches_python_recompute(spark, sf_dir):
             assert r.woe is None and r.iv_term is None, d
         assert r.iv_total == iv_total
     assert iv_total >= 0  # IV is a sum of (p-q)*ln(p/q) >= 0 terms
+
+
+def test_xbar_r_control_matches_python_recompute(spark, sf_dir):
+    """Re-derive the control chart in plain Python from raw parquet:
+    first-5-per-day subgroups, exact integer limit compares."""
+    import numpy as np
+
+    from vectordb_agentic_rag_spark.operators.analytics10 import (
+        _SPC_A2_MILLI,
+        _SPC_D4_MILLI,
+        _SPC_N,
+        win_xbar_r_control,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pur = ev[ev["event_type"] == "purchase"].copy()
+    pur["day"] = pd.to_datetime(pur["ts"]).dt.date
+    pur["cents"] = np.floor(pur["value"] * 100 + 0.5).astype("int64")
+    subs = {}
+    for day, g in pur.sort_values(["ts", "event_id"]).groupby("day"):
+        top = g.head(_SPC_N)
+        if len(top) == _SPC_N:
+            c = top["cents"]
+            subs[day] = (int(c.sum()), int(c.max() - c.min()))
+    d = len(subs)
+    st = sum(s for s, _ in subs.values())
+    rt = sum(r for _, r in subs.values())
+
+    got = {r.day: r for r in win_xbar_r_control(spark, sf_dir).collect()}
+    assert set(got) == set(subs)
+    for day, (s, rng) in subs.items():
+        r = got[day]
+        assert r.range_cents == rng
+        assert r.xbar == round(s / _SPC_N / 100.0, 6)
+        assert r.xbar_out == int(
+            1000 * s * d > 1000 * st + _SPC_N * _SPC_A2_MILLI * rt
+            or 1000 * s * d < 1000 * st - _SPC_N * _SPC_A2_MILLI * rt
+        )
+        assert r.range_out == int(1000 * rng * d > _SPC_D4_MILLI * rt)
+
+
+def test_join_key_skew_matches_pandas(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics10 import (
+        _SKEW_KEYS,
+        maintenance_join_key_skew,
+    )
+
+    got = {
+        r.join_key: r
+        for r in maintenance_join_key_skew(spark, sf_dir).collect()
+    }
+    for tbl, key in _SKEW_KEYS:
+        vc = pd.read_parquet(f"{sf_dir}/{tbl}.parquet")[key].value_counts()
+        r = got[f"{tbl}.{key}"]
+        assert r.n_keys == len(vc)
+        assert r.n_rows == int(vc.sum())
+        assert r.max_key_rows == int(vc.max())
+        assert r.top10_share == round(
+            float(vc.nlargest(10).sum()) / int(vc.sum()), 6
+        )
+        assert r.skew_ratio >= 1.0
+
+
+def test_dim_variance_profile_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from vectordb_agentic_rag_spark.operators.analytics10 import (
+        vec_dim_variance_profile,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")["embedding"]
+    m = np.stack(emb.to_numpy()).astype(np.float64)
+    # half-AWAY rounding (the engines' convention — np.round is
+    # half-even and would flip exact .5 micro-values)
+    shifted = m * 1e6
+    vi = np.where(
+        shifted >= 0, np.floor(shifted + 0.5), np.ceil(shifted - 0.5)
+    ).astype("int64")
+    n = vi.shape[0]
+    got = {
+        r.dim: r for r in vec_dim_variance_profile(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(1, vi.shape[1] + 1))
+    cs = []
+    for d in range(vi.shape[1]):
+        col = vi[:, d].astype(object)  # exact int python arithmetic
+        sx = int(sum(col))
+        sxx = int(sum(int(x) * int(x) for x in col))
+        cs.append(n * sxx - sx * sx)
+        r = got[d + 1]
+        assert r.n == n
+        assert r.mean == round(sx / n / 1e6, 6), d
+        assert r.variance == round(cs[-1] / (float(n) * n) / 1e12, 6), d
+    tot = sum(cs)
+    for d in range(vi.shape[1]):
+        assert got[d + 1].var_share == round(cs[d] / float(tot), 6)
+
+
+def test_dedup_threshold_sensitivity_monotone_and_anchored(spark, sf_dir):
+    """The sweep must be monotone nonincreasing in tau, and its
+    tau = 0.7 row must agree with dedup_near_minhash's verified pair
+    table (same banding, same verify)."""
+    from vectordb_agentic_rag_spark.operators.analytics10 import (
+        pipeline_dedup_threshold_sensitivity,
+    )
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        dedup_near_minhash,
+    )
+
+    rows = (
+        pipeline_dedup_threshold_sensitivity(spark, sf_dir)
+        .orderBy("tau_pct")
+        .collect()
+    )
+    assert [r.tau_pct for r in rows] == [50, 60, 70, 80, 90]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_removed >= b.n_docs_removed
+    nm = dedup_near_minhash(spark, sf_dir)
+    r70 = [r for r in rows if r.tau_pct == 70][0]
+    assert r70.n_pairs == nm.count()
+    assert (
+        r70.n_docs_removed
+        == nm.select("doc_b").distinct().count()
+    )
+
+
+def test_funnel_stage_live_matches_batch_subsequence(spark, sf_dir):
+    """Live stage counts == plain-Python greedy state machine over
+    each user's (ts, event_id)-ordered events."""
+    from vectordb_agentic_rag_spark.streaming.core import (
+        stream_funnel_stage_live,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"].isin(["view", "click", "purchase"])]
+    reach = {1: 0, 2: 0, 3: 0}
+    for _, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        st = 0
+        for et in g["event_type"]:
+            if st == 0 and et == "view":
+                st = 1
+            elif st == 1 and et == "click":
+                st = 2
+            elif st == 2 and et == "purchase":
+                st = 3
+        for k in range(1, st + 1):
+            reach[k] += 1
+    got = {
+        r.stage: r.n_users
+        for r in stream_funnel_stage_live(spark, sf_dir).collect()
+    }
+    assert got == reach
+    assert reach[1] >= reach[2] >= reach[3]
+
+
+def test_holm_matches_python_stepdown(spark, sf_dir):
+    """Holm rejections == plain-Python step-down over scipy-free exact
+    sign-test p-values recomputed from the day grid."""
+    import math
+
+    import numpy as np
+
+    from vectordb_agentic_rag_spark.operators.analytics10 import (
+        agg_holm_bonferroni,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    grid = ev.groupby(["event_type", "day"])["cents"].sum().unstack(0)
+    types = sorted(grid.columns)
+    pvals = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            diff = grid[a] - grid[b]
+            n = int((diff != 0).sum())
+            s = int((diff > 0).sum())
+            k = min(s, n - s)
+            tail = sum(math.comb(n, j) for j in range(k + 1))
+            pvals[(a, b)] = min(1.0, 2 * tail / 2**n)
+    order = sorted(pvals, key=lambda ab: (pvals[ab], ab))
+    m = len(order)
+    rejected = set()
+    for i, ab in enumerate(order, 1):
+        if pvals[ab] <= 0.05 / (m - i + 1):
+            rejected.add(ab)
+        else:
+            break
+    got = {
+        (r.type_a, r.type_b): r
+        for r in agg_holm_bonferroni(spark, sf_dir).collect()
+    }
+    assert set(got) == set(pvals)
+    for ab, p in pvals.items():
+        assert got[ab].p_value == round(p, 9)
+        assert got[ab].rejected == int(ab in rejected), ab

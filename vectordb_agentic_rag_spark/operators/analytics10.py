@@ -17,15 +17,19 @@ machinery:
 - agg_woe_information_value — weight-of-evidence / information-value
   feature screen over activity-score deciles, on the qini op's
   distributed domain-CDF machinery.
-- agg_bws_test — Baumgartner-Weiss-Schindler two-sample rank test,
-  the variance-weighted member of the MWU / Brunner-Munzel / CvM
-  family, on the same doubled-midrank value-domain collapse.
-- win_xbar_r_control — Shewhart X̄-R control chart on the day grid
-  (subgroup = day-of-week block), the PRE-sequential SPC view next to
-  win_cusum_changepoint / win_page_hinkley (sequential detectors).
-- maintenance_partition_skew_report — per-key shuffle-skew diagnostic
-  (top-key share, decile mass) for the fact tables' join keys — the
-  table an engineer reads before picking salting factors.
+- win_xbar_r_control — Shewhart X-bar/R control chart (subgroup =
+  each day's first 5 purchases), the PRE-sequential SPC view next to
+  win_cusum_changepoint / win_page_hinkley (sequential detectors);
+  out-of-control flags are pure-integer cross-products.
+  (A Baumgartner-Weiss-Schindler rank test was CONSIDERED and
+  dropped: its per-index variance weights i/(n+1)*(1-i/(n+1)) sit in
+  the DENOMINATOR, so tied blocks have no closed form and the
+  value-domain collapse the MWU/CvM family rides does not apply —
+  an exact-parity BWS would need per-row global ranks.)
+- maintenance_join_key_skew — per-key shuffle-skew diagnostic
+  (top-key share, skew ratio) for the fact tables' join keys — the
+  table an engineer reads before picking salting factors (the WRITE
+  layout sibling already exists as maintenance_partition_skew_report).
 - vec_dim_variance_profile — per-dimension moment profile of the
   embedding corpus (the whitening/anisotropy screen next to
   vec_pca_power_iter's single component).
@@ -379,4 +383,535 @@ def agg_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_xbar_r_control
+# ---------------------------------------------------------------------------
+
+# Shewhart constants for subgroup size n = 5 (published SPC tables,
+# exact rationals here: A2 = 0.577 = 577/1000, D3 = 0, D4 = 2.114 =
+# 2114/1000) — kept as INTEGER numerators so every control-limit
+# compare is exact BIGINT arithmetic.
+_SPC_N = 5
+_SPC_A2_MILLI = 577
+_SPC_D4_MILLI = 2114
+
+
+@query(
+    "win_xbar_r_control",
+    oracle=f"""
+    WITH pur AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'),
+    sub AS (
+      SELECT day,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(max(cents) - min(cents) AS BIGINT) AS r
+      FROM pur WHERE rn <= {_SPC_N}
+      GROUP BY day HAVING count(*) = {_SPC_N}),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(r) AS BIGINT) AS rt
+      FROM sub)
+    SELECT sub.day,
+           round(CAST(sub.s AS DOUBLE) / {_SPC_N} / 100.0, 6) AS xbar,
+           sub.r AS range_cents,
+           round(CAST(tot.st AS DOUBLE) / ({_SPC_N} * tot.d) / 100.0, 6)
+             AS center,
+           round((CAST(tot.st AS DOUBLE) / ({_SPC_N} * tot.d)
+                  + {_SPC_A2_MILLI} * CAST(tot.rt AS DOUBLE)
+                    / (1000.0 * tot.d)) / 100.0, 6) AS ucl,
+           round((CAST(tot.st AS DOUBLE) / ({_SPC_N} * tot.d)
+                  - {_SPC_A2_MILLI} * CAST(tot.rt AS DOUBLE)
+                    / (1000.0 * tot.d)) / 100.0, 6) AS lcl,
+           CAST(CASE WHEN 1000 * sub.s * tot.d
+                          > 1000 * tot.st + {_SPC_N} * {_SPC_A2_MILLI}
+                            * tot.rt
+                       OR 1000 * sub.s * tot.d
+                          < 1000 * tot.st - {_SPC_N} * {_SPC_A2_MILLI}
+                            * tot.rt
+                     THEN 1 ELSE 0 END AS BIGINT) AS xbar_out,
+           CAST(CASE WHEN 1000 * sub.r * tot.d
+                          > {_SPC_D4_MILLI} * tot.rt
+                     THEN 1 ELSE 0 END AS BIGINT) AS range_out
+    FROM sub CROSS JOIN tot ORDER BY sub.day
+    """,
+)
+def win_xbar_r_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHEWHART X-BAR / R CONTROL CHART over daily purchase-amount
+    subgroups — the pre-sequential SPC view: win_cusum_changepoint and
+    win_page_hinkley DETECT a shift after it happens; the Shewhart
+    chart is the standing per-subgroup limit check a process monitor
+    renders every day.  Rational subgrouping: each day's FIRST
+    n = 5 purchases by (ts, event_id) — a deterministic constant-size
+    subgroup, the textbook requirement (days with fewer drop out via
+    HAVING, exact on both engines).  Limits: X-double-bar +/- A2 * R-bar
+    and D4 * R-bar with the published n = 5 constants (A2 = 0.577,
+    D3 = 0, D4 = 2.114).
+
+    Parity: subgroup sums and ranges are exact integer cents; the
+    DISPLAYED center/limits divide once and round(6); the out-of-
+    control FLAGS never touch a float — A2 = 577/1000 and D4 =
+    2114/1000 clear denominators into pure BIGINT cross-products
+    (1000 * s_i * D vs 1000 * S_tot +/- 5 * 577 * R_tot), so the
+    decision column cannot drift even when a limit lands on a
+    representation boundary.
+
+    Shape at 100 TB: the subgroup pick is a day-partitioned
+    row_number (never global), the day grid is calendar-bounded, and
+    the 1-row totals broadcast back — one fact scan end to end."""
+    ev = table(spark, sf_dir, "events")
+    w_day = Window.partitionBy(F.expr("CAST(ts AS DATE)")).orderBy(
+        "ts", "event_id"
+    )
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("CAST(ts AS DATE)").alias("day"),
+            F.expr("CAST(value * 100 + 0.5 AS BIGINT)").alias("cents"),
+            F.row_number().over(w_day).alias("rn"),
+        )
+        .where(F.col("rn") <= _SPC_N)
+    )
+    sub = (
+        pur.groupBy("day")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s"),
+            (F.max("cents") - F.min("cents")).cast("bigint").alias("r"),
+            F.count("*").alias("k"),
+        )
+        .where(F.col("k") == _SPC_N)
+        .drop("k")
+    )
+    tot = sub.agg(
+        F.count("*").cast("bigint").alias("d"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    return (
+        sub.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "day",
+            f"round(CAST(s AS DOUBLE) / {_SPC_N} / 100.0, 6) AS xbar",
+            "r AS range_cents",
+            f"round(CAST(st AS DOUBLE) / ({_SPC_N} * d) / 100.0, 6)"
+            " AS center",
+            f"round((CAST(st AS DOUBLE) / ({_SPC_N} * d)"
+            f" + {_SPC_A2_MILLI} * CAST(rt AS DOUBLE) / (1000.0 * d))"
+            " / 100.0, 6) AS ucl",
+            f"round((CAST(st AS DOUBLE) / ({_SPC_N} * d)"
+            f" - {_SPC_A2_MILLI} * CAST(rt AS DOUBLE) / (1000.0 * d))"
+            " / 100.0, 6) AS lcl",
+            f"CAST(CASE WHEN 1000 * s * d"
+            f" > 1000 * st + {_SPC_N} * {_SPC_A2_MILLI} * rt"
+            f" OR 1000 * s * d"
+            f" < 1000 * st - {_SPC_N} * {_SPC_A2_MILLI} * rt"
+            " THEN 1 ELSE 0 END AS BIGINT) AS xbar_out",
+            f"CAST(CASE WHEN 1000 * r * d > {_SPC_D4_MILLI} * rt"
+            " THEN 1 ELSE 0 END AS BIGINT) AS range_out",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_partition_skew_report
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = [
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+]
+
+
+def _skew_oracle() -> str:
+    branches = []
+    for tbl, key in _SKEW_KEYS:
+        branches.append(f"""
+    SELECT '{tbl}.{key}' AS join_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_key_rows,
+           round(CAST(max(c) * count(*) AS DOUBLE) / sum(c), 6)
+             AS skew_ratio,
+           round(CAST((SELECT sum(c) FROM (
+                    SELECT c FROM (SELECT count(*) AS c FROM {tbl}
+                                   GROUP BY {key}) z2
+                    ORDER BY c DESC LIMIT 10) t10) AS DOUBLE)
+                 / sum(c), 6) AS top10_share
+    FROM (SELECT count(*) AS c FROM {tbl} GROUP BY {key}) z""")
+    return "\n    UNION ALL".join(branches) + "\n    ORDER BY join_key"
+
+
+@query("maintenance_join_key_skew", oracle=_skew_oracle())
+def maintenance_join_key_skew(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOIN-KEY SKEW REPORT for the fact tables' shuffle keys — the
+    table an engineer reads BEFORE sizing a cluster job: a shuffle
+    join partitions by key, so one hot key = one straggler task, and
+    the mitigation decision (AQE skew-join thresholds, salting factor,
+    broadcast instead) needs exactly these numbers per candidate key:
+    key cardinality, max-key row count, skew ratio (max / average —
+    1.0 is perfectly uniform), and the top-10-key row share.  The
+    maintenance_* family's operational companion to
+    maintenance_column_profile (value quality) — this one profiles
+    SHUFFLE feasibility.  Sibling differentiation:
+    maintenance_partition_skew_report (relational.py) audits a
+    proposed HIVE-PARTITIONED WRITE layout (event_type x day file
+    sizes); this op audits JOIN/SHUFFLE KEYS — per-key row-count
+    concentration, the straggler-task risk — a different physical
+    decision (salting/broadcast vs writer coalesce).
+
+    Parity: counts are exact; the three ratios divide exact integers
+    once each, round(6).  The top-10 mass is a TakeOrderedAndProject
+    over the key-count frame (never a global row_number — round-6
+    rule), summed as an exact BIGINT before its one division.
+
+    Shape at 100 TB: per key a single map-side-combined groupBy count
+    (the same aggregate a shuffle planner would sample), a 1-row
+    moment reduce, and a top-10 heap merge; branches union to a
+    4-row report."""
+    out = None
+    for tbl, key in _SKEW_KEYS:
+        t = table(spark, sf_dir, tbl)
+        kc = t.groupBy(key).agg(F.count("*").alias("c"))
+        mom = kc.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+        )
+        top10 = (
+            kc.orderBy(F.col("c").desc())
+            .limit(10)
+            .agg(F.sum("c").cast("bigint").alias("t10"))
+        )
+        row = (
+            mom.crossJoin(F.broadcast(top10))
+            .selectExpr(
+                f"'{tbl}.{key}' AS join_key",
+                "n_keys",
+                "n_rows",
+                "max_key_rows",
+                "round(CAST(n_rows AS DOUBLE) / n_keys, 6)"
+                " AS avg_key_rows",
+                "round(CAST(max_key_rows * n_keys AS DOUBLE) / n_rows, 6)"
+                " AS skew_ratio",
+                "round(CAST(t10 AS DOUBLE) / n_rows, 6) AS top10_share",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_key")
+
+
+# ---------------------------------------------------------------------------
+# vec_dim_variance_profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vec_dim_variance_profile",
+    oracle="""
+    WITH pos AS (
+      SELECT unnest(generate_series(1, len(embedding))) AS dim,
+             embedding
+      FROM embeddings),
+    ex AS (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(round(CAST(list_extract(embedding, CAST(dim AS INT))
+                             AS DOUBLE) * 1000000, 0) AS BIGINT) AS vi
+      FROM pos),
+    mo AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vi) AS BIGINT) AS sx,
+             sum(CAST(vi AS HUGEINT) * vi) AS sxx
+      FROM ex GROUP BY dim),
+    v AS (
+      SELECT dim, n, sx,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS c
+      FROM mo)
+    SELECT dim, n,
+           round(CAST(sx AS DOUBLE) / n / 1e6, 6) AS mean,
+           round(CAST(c AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e12, 6)
+             AS variance,
+           round(CAST(c AS DOUBLE)
+                 / CAST(sum(c) OVER () AS DOUBLE), 6) AS var_share
+    FROM v ORDER BY dim
+    """,
+)
+def vec_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION MOMENT PROFILE of the embedding corpus — the
+    whitening / anisotropy screen run before any vector-index design:
+    near-uniform per-dim variance (this fixture's quasi-uniform
+    sphere, the round-6 finding) says PCA/OPQ rotation buys little;
+    a skewed var_share says rotate first, and near-zero dims are
+    truncation candidates (the vec_matryoshka_topk decision).
+    Completes the vector-diagnostics family: vec_pca_power_iter
+    extracts ONE principal direction, vec_pairwise_cos_hist profiles
+    pair geometry; this is the per-COORDINATE table.
+
+    Parity: each float coordinate quantizes to integer MICRO-units —
+    CAST(round(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT); exact halves
+    k.5 are always representable doubles below 2^52, so Spark's
+    shortest-repr HALF_UP and DuckDB's binary half-away agree on
+    every input (no round-8 digit-7 trap) — then all moments are
+    exact BIGINT/HUGEINT integers: variance numerator c = n*Sxx -
+    Sx^2, displayed via shared-text double divisions, round(6).
+    var_share divides exact integers over the 64-row dim frame.
+
+    Shape at 100 TB: one explode + (dim)-keyed aggregate (map-side
+    combined, 64 output rows); the var_share window runs over the
+    CONSTANT-size dim frame."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).selectExpr(
+        "CAST(pos + 1 AS BIGINT) AS dim",
+        "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS vi",
+    )
+    mo = ex.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vi").cast("bigint").alias("sx"),
+        F.expr("sum(CAST(vi AS DECIMAL(19,0)) * vi)").alias("sxx"),
+    )
+    v = mo.selectExpr(
+        "dim",
+        "n",
+        "sx",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        " AS c",
+    )
+    w_all = Window.partitionBy()
+    return (
+        v.select(
+            "dim",
+            "n",
+            F.expr("round(CAST(sx AS DOUBLE) / n / 1e6, 6)").alias("mean"),
+            F.expr(
+                "round(CAST(c AS DOUBLE) / (CAST(n AS DOUBLE) * n)"
+                " / 1e12, 6)"
+            ).alias("variance"),
+            F.round(
+                F.col("c").cast("double")
+                / F.sum("c").over(w_all).cast("double"),
+                6,
+            ).alias("var_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_threshold_sensitivity
+# ---------------------------------------------------------------------------
+
+_SENS_TAUS = [50, 60, 70, 80, 90]  # Jaccard thresholds, percent
+
+
+def _sens_oracle() -> str:
+    from .dedup import _DUCK_BANDS, _DUCK_CODES, _SIG_ORACLE
+
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({t} AS BIGINT) AS tau_pct,"
+        f" CAST(count(CASE WHEN jac >= {t / 100} THEN 1 END) AS BIGINT)"
+        f" AS n_pairs,"
+        f" CAST(count(DISTINCT CASE WHEN jac >= {t / 100} THEN doc_b END)"
+        f" AS BIGINT) AS n_docs_removed,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_total,"
+        f" round(CAST(count(DISTINCT CASE WHEN jac >= {t / 100}"
+        f" THEN doc_b END) AS DOUBLE)"
+        f" / (SELECT count(*) FROM documents), 6) AS pct_docs_removed"
+        f" FROM pairs"
+        for t in _SENS_TAUS
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents),
+    codes AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_DUCK_CODES}) AS cs
+      FROM (SELECT doc_id, array_to_string(t, ' ') AS text FROM toks) z),
+    sigs AS (
+      SELECT doc_id, {_SIG_ORACLE} FROM codes),
+    bands AS (
+      {_DUCK_BANDS}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_no = y.band_no AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id),
+    pairs AS MATERIALIZED (
+      SELECT c.doc_b,
+             CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
+             / len(list_distinct(ta.cs || tb.cs)) AS jac
+      FROM cand c JOIN codes ta ON c.doc_a = ta.doc_id
+                  JOIN codes tb ON c.doc_b = tb.doc_id
+      WHERE CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
+            / len(list_distinct(ta.cs || tb.cs)) >= 0.5)
+    {rows}
+    ORDER BY tau_pct
+    """
+
+
+@query("pipeline_dedup_threshold_sensitivity", oracle=_sens_oracle())
+def pipeline_dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEDUP THRESHOLD SENSITIVITY SHEET — "what happens if we lower
+    tau": for Jaccard thresholds 0.5..0.9 over dedup_near_minhash's
+    OWN banding candidates, the verified pair count, the number of
+    docs the keep-first policy would remove, and the removed share of
+    the corpus.  The curation counterpart to text_minhash_band_tuning
+    (which sweeps the BANDING scheme at fixed tau; this sweeps TAU at
+    the fixed production banding) — together they span the two knobs
+    of the LSH dedup stage.  One verified-pair table at the loosest
+    tau (0.5) feeds every row: the threshold is a post-filter on the
+    exact Jaccard, so the sweep costs ONE candidate verify, not five.
+
+    Parity: jac = |A∩B| / |A∪B| is the same single division of exact
+    integers on both engines (numpy float64 == IEEE SQL double), and
+    each tau literal is the same double text, so the >= compares are
+    bit-identical; counts are exact; one round(6) share per row.
+
+    Shape at 100 TB: the banding equi-join + Arrow verify kernel is
+    dedup_near_minhash's scale-audited plan (side-file codes, 16
+    B/pair across Arrow); the sweep itself is 5 conditional
+    aggregates over the checkpointed pair table (Expand x5 on
+    pairs-at-0.5, still map-side combinable)."""
+    from .dedup import (
+        _minhash_codes_and_candidates,
+        _verify_pairs_jaccard,
+    )
+    from ..tables import sf_tag
+
+    codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
+    pairs = _verify_pairs_jaccard(
+        spark, codes, cand, threshold=0.5,
+        tag=f"minhash_{sf_tag(sf_dir)}",  # same codes side-file as the
+        # 0.7 op — threshold is a kernel post-filter, the file is
+        # threshold-independent
+    ).select("doc_b", "jac").localCheckpoint()
+    # pair table referenced by all 5 tau rows
+    docs_total = (
+        table(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("bigint").alias("docs_total"))
+    )
+    out = None
+    for t in _SENS_TAUS:
+        row = (
+            pairs.agg(
+                F.expr(
+                    f"CAST(count(CASE WHEN jac >= {t / 100} THEN 1 END)"
+                    " AS BIGINT)"
+                ).alias("n_pairs"),
+                F.expr(
+                    f"CAST(count(DISTINCT CASE WHEN jac >= {t / 100}"
+                    " THEN doc_b END) AS BIGINT)"
+                ).alias("n_docs_removed"),
+            )
+            .crossJoin(F.broadcast(docs_total))
+            .selectExpr(
+                f"CAST({t} AS BIGINT) AS tau_pct",
+                "n_pairs",
+                "n_docs_removed",
+                "docs_total",
+                "round(CAST(n_docs_removed AS DOUBLE) / docs_total, 6)"
+                " AS pct_docs_removed",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tau_pct")
+
+
+# ---------------------------------------------------------------------------
+# agg_holm_bonferroni
+# ---------------------------------------------------------------------------
+
+_HOLM_ALPHA = "CAST(0.05 AS DOUBLE)"  # FWER level
+
+
+def _holm_oracle() -> str:
+    from .analytics9 import _SIGNTEST_PV_CTES
+
+    return f"""
+    WITH {_SIGNTEST_PV_CTES},
+    rk AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p, type_a, type_b) AS i,
+             count(*) OVER () AS m
+      FROM pv),
+    ff AS (
+      SELECT min(CASE WHEN p > {_HOLM_ALPHA} / (m - i + 1)
+                      THEN i ELSE m + 1 END) OVER () AS first_fail
+             , *
+      FROM rk)
+    SELECT type_a, type_b, n AS n_informative, s AS n_a_greater,
+           round(p, 9) AS p_value,
+           CAST(i AS BIGINT) AS holm_rank,
+           round({_HOLM_ALPHA} / (m - i + 1), 9) AS holm_threshold,
+           CAST(CASE WHEN i < first_fail THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM ff
+    """
+
+
+@query("agg_holm_bonferroni", oracle=_holm_oracle())
+def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLM-BONFERRONI STEP-DOWN over the same family of 10 exact
+    pairwise sign tests agg_benjamini_hochberg controls — the FWER
+    side of the multiple-testing coin: BH bounds the false-discovery
+    RATE at q = 0.10 (appropriate for screening), Holm bounds the
+    probability of even ONE false rejection at alpha = 0.05
+    (appropriate when a single false claim is costly), uniformly more
+    powerful than plain Bonferroni and valid under arbitrary
+    dependence.  Step-down rule: sort p ascending, reject while
+    p_(i) <= alpha/(m - i + 1); the FIRST failure stops every later
+    rejection regardless of its own p.
+
+    Parity: the p family is the shared dyadic-exact sign-test
+    pipeline (_pairwise_signtest_pvalues — every p is a ratio of
+    exact integers to a power of two, bit-identical in a double), the
+    thresholds alpha/(m-i+1) are identical double texts, and the
+    rejection front is an integer compare against the min failing
+    rank — zero float-parity surface, like the BH sibling.
+
+    Shape at 100 TB: identical to BH — one grouped scan to the
+    bounded day grid; every window spans the 10-row p family."""
+    from .analytics9 import _pairwise_signtest_pvalues
+
+    pv = _pairwise_signtest_pvalues(spark, sf_dir)
+    w_rank = Window.orderBy("p", "type_a", "type_b")
+    w_all = Window.partitionBy()
+    rk = pv.withColumn("i", F.row_number().over(w_rank)).withColumn(
+        "m", F.count("*").over(w_all)
+    )
+    ff = rk.withColumn(
+        "first_fail",
+        F.min(
+            F.expr(
+                f"CASE WHEN p > {_HOLM_ALPHA} / (m - i + 1)"
+                " THEN i ELSE m + 1 END"
+            )
+        ).over(w_all),
+    )
+    return ff.selectExpr(
+        "type_a",
+        "type_b",
+        "n AS n_informative",
+        "s AS n_a_greater",
+        "round(p, 9) AS p_value",
+        "CAST(i AS BIGINT) AS holm_rank",
+        f"round({_HOLM_ALPHA} / (m - i + 1), 9) AS holm_threshold",
+        "CAST(CASE WHEN i < first_fail THEN 1 ELSE 0 END AS BIGINT)"
+        " AS rejected",
     )

@@ -465,11 +465,10 @@ def agg_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BH_Q = "CAST(0.10 AS DOUBLE)"  # FDR level
 
-
-@query(
-    "agg_benjamini_hochberg",
-    oracle=f"""
-    WITH daily AS MATERIALIZED (
+# shared DuckDB CTE chain producing the 10 exact pairwise sign-test
+# p-values (type_a, type_b, n, s, p) — the oracle twin of
+# _pairwise_signtest_pvalues; agg_holm_bonferroni reuses it
+_SIGNTEST_PV_CTES = """daily AS MATERIALIZED (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                AS tot
@@ -497,7 +496,13 @@ _BH_Q = "CAST(0.10 AS DOUBLE)"  # FDR level
              least(CAST(1 AS DOUBLE),
                    2 * CAST(sum(binom) AS DOUBLE)
                    / (CAST(1 AS BIGINT) << CAST(n AS INTEGER))) AS p
-      FROM ks GROUP BY type_a, type_b, n, s),
+      FROM ks GROUP BY type_a, type_b, n, s)"""
+
+
+@query(
+    "agg_benjamini_hochberg",
+    oracle=f"""
+    WITH {_SIGNTEST_PV_CTES},
     rk AS (
       SELECT *,
              row_number() OVER (ORDER BY p, type_a, type_b) AS i,
@@ -541,6 +546,39 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     day grid in one grouped scan; the pair self-join, coefficient
     folds, and both windows run on the bounded grid (10 pairs x <=16
     coefficient rows). The unpartitioned windows span 10 rows."""
+    pv = _pairwise_signtest_pvalues(spark, sf_dir)
+    w_rank = Window.orderBy("p", "type_a", "type_b")
+    w_all = Window.partitionBy()
+    rk = pv.withColumn("i", F.row_number().over(w_rank)).withColumn(
+        "m", F.count("*").over(w_all)
+    )
+    ok = rk.withColumn(
+        "oki",
+        F.expr(
+            f"CASE WHEN p <= CAST(i AS DOUBLE) * {_BH_Q} / m"
+            " THEN i ELSE 0 END"
+        ),
+    ).withColumn("maxok", F.max("oki").over(w_all))
+    return ok.selectExpr(
+        "type_a",
+        "type_b",
+        "n AS n_informative",
+        "s AS n_a_greater",
+        "round(p, 9) AS p_value",
+        "CAST(i AS BIGINT) AS bh_rank",
+        f"round(CAST(i AS DOUBLE) * {_BH_Q} / m, 9) AS bh_threshold",
+        "CAST(CASE WHEN i <= maxok THEN 1 ELSE 0 END AS BIGINT)"
+        " AS rejected",
+    )
+
+
+def _pairwise_signtest_pvalues(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 10 exact pairwise sign-test p-values (type_a, type_b, n, s,
+    p) over the day grid — factored so multiple-testing procedures
+    (agg_benjamini_hochberg's FDR step-up, agg_holm_bonferroni's FWER
+    step-down) share one dyadic-exact p family."""
     ev = table(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
@@ -592,34 +630,11 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, i) -> acc * (n - i + 1) div i) END AS binom",
         )
     )
-    pv = ks.groupBy("type_a", "type_b", "n", "s").agg(
+    return ks.groupBy("type_a", "type_b", "n", "s").agg(
         F.expr(
             "least(CAST(1 AS DOUBLE), 2 * CAST(sum(binom) AS DOUBLE)"
             " / shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)))"
         ).alias("p")
-    )
-    w_rank = Window.orderBy("p", "type_a", "type_b")
-    w_all = Window.partitionBy()
-    rk = pv.withColumn("i", F.row_number().over(w_rank)).withColumn(
-        "m", F.count("*").over(w_all)
-    )
-    ok = rk.withColumn(
-        "oki",
-        F.expr(
-            f"CASE WHEN p <= CAST(i AS DOUBLE) * {_BH_Q} / m"
-            " THEN i ELSE 0 END"
-        ),
-    ).withColumn("maxok", F.max("oki").over(w_all))
-    return ok.selectExpr(
-        "type_a",
-        "type_b",
-        "n AS n_informative",
-        "s AS n_a_greater",
-        "round(p, 9) AS p_value",
-        "CAST(i AS BIGINT) AS bh_rank",
-        f"round(CAST(i AS DOUBLE) * {_BH_Q} / m, 9) AS bh_threshold",
-        "CAST(CASE WHEN i <= maxok THEN 1 ELSE 0 END AS BIGINT)"
-        " AS rejected",
     )
 
 

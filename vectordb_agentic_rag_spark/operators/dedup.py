@@ -198,6 +198,21 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       worker-resident to ~100M docs, and beyond that the ship="join"
       path runs the verify as shuffle/bucketed joins
       (see _verify_pairs_jaccard)."""
+    codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
+    return _verify_pairs_jaccard(
+        spark, codes, cand, threshold=0.7, tag=f"minhash_{sf_tag(sf_dir)}"
+    )
+
+
+def _minhash_codes_and_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, candidate pairs) of the banded-minhash pipeline —
+    factored so threshold-sweep consumers
+    (pipeline_dedup_threshold_sensitivity) reuse the exact candidate
+    generation dedup_near_minhash verifies at 0.7.  The band keys are
+    threshold-INDEPENDENT: the banding scheme fixes candidate recall,
+    the verify threshold is a post-filter."""
     d = table(spark, sf_dir, "documents")
     codes = d.select(
         "doc_id",
@@ -265,10 +280,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_a") < F.col("doc_b")) & first_match)
         .select("doc_a", "doc_b")
     )
-
-    return _verify_pairs_jaccard(
-        spark, codes, cand, threshold=0.7, tag=f"minhash_{sf_tag(sf_dir)}"
-    )
+    return codes, cand
 
 
 # Worker-process cache for the codes side-file: one padded matrix per

@@ -1711,3 +1711,137 @@ def stream_srm_guardrail_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN round({chi_txt}, 9) >= 3.8415 THEN 1 ELSE 0 END"
         " AS BIGINT) AS srm_detected_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_funnel_stage_live
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_funnel_stage_live",
+    # Full oracle: the per-user stage machine advances greedily on the
+    # earliest qualifying event, and greedy-earliest is optimal for
+    # ordered-subsequence matching (exchange argument), so "user ever
+    # reached stage k" == "an ordered view < click < purchase prefix of
+    # length k exists" — the win_sequence_match_funnel EXISTS phrasing
+    # with the machine's (ts, event_id) lexicographic tie order.
+    # Per-user prefix-incrementality + the time-ordered replay makes
+    # the drained increments sum to those counts independent of batch
+    # cuts (the stream_markov_transition_live identity family).
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    s2 AS (
+      SELECT DISTINCT c.user_id FROM e c
+      WHERE c.event_type = 'click' AND EXISTS (
+        SELECT 1 FROM e v
+        WHERE v.user_id = c.user_id AND v.event_type = 'view'
+          AND row(v.ts, v.event_id) < row(c.ts, c.event_id))),
+    s3 AS (
+      SELECT DISTINCT p.user_id FROM e p
+      WHERE p.event_type = 'purchase' AND EXISTS (
+        SELECT 1 FROM e c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND row(c.ts, c.event_id) < row(p.ts, p.event_id)
+          AND EXISTS (
+            SELECT 1 FROM e v
+            WHERE v.user_id = c.user_id AND v.event_type = 'view'
+              AND row(v.ts, v.event_id) < row(c.ts, c.event_id))))
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click_after_view',
+           (SELECT CAST(count(*) AS BIGINT) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase_after_click',
+           (SELECT CAST(count(*) AS BIGINT) FROM s3)
+    ORDER BY stage
+    """,
+)
+def stream_funnel_stage_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE FUNNEL-STAGE COUNTER — a per-user MATCH_RECOGNIZE-style
+    state machine running WHILE traffic flows (the streaming twin of
+    win_sequence_match_funnel's batch subsequence match): each user's
+    state is their furthest funnel stage (view -> click-after-view ->
+    purchase-after-that-click); a micro-batch advances the machine
+    over its time-ordered slice and emits ONE increment row per stage
+    newly reached.  The drained per-stage sums are the live
+    stage-reach table a growth dashboard plots during a launch.
+
+    Full-oracle identity: greedy-earliest advancement is optimal for
+    ordered-subsequence matching (swapping any witness event for an
+    earlier qualifying one never hurts — exchange argument), so "ever
+    reached stage k" equals the nested-EXISTS subsequence predicate;
+    prefix-incrementality + the TIME-ORDERED replay (per-user arrival
+    order == event order, replay_events_time_ordered's contract)
+    makes increments batching-independent.  Tie order is the
+    machine's (ts, event_id) lexicographic compare — mirrored in the
+    oracle with row() compares (the batch sibling uses strict-ts
+    RANGE instead; documented difference).
+
+    Shape at 100 TB: state is ONE int per user (the smallest any
+    exactly-once funnel can hold), keyed by the stream's user_id
+    shuffle; increments are <= 3 rows per user ever; the drained
+    reduce is a 3-row aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        st = state.get[0] if state.exists else 0
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        ups = []
+        if part is not None:
+            for et in part["event_type"]:
+                if st == 0 and et == "view":
+                    st = 1
+                    ups.append(1)
+                elif st == 1 and et == "click":
+                    st = 2
+                    ups.append(2)
+                elif st == 2 and et == "purchase":
+                    st = 3
+                    ups.append(3)
+        state.update((st,))
+        if ups:
+            yield pd.DataFrame({"stage": ups, "c": [1] * len(ups)})
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = (
+        stream_events(spark, src)
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="stage bigint, c bigint",
+        stateStructType="stage bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(out, "funnel_live", "append", shuffle_partitions=32)
+    drained = (
+        spark.table("funnel_live")
+        .groupBy("stage")
+        .agg(F.sum("c").cast("bigint").alias("n_users"))
+    )
+    stages = spark.createDataFrame(
+        [(1, "view"), (2, "click_after_view"), (3, "purchase_after_click")],
+        "stage bigint, stage_name string",
+    )
+    return (
+        stages.join(drained, "stage", "left")
+        .select(
+            "stage",
+            "stage_name",
+            F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+        )
+        .orderBy("stage")
+    )

@@ -330,3 +330,91 @@ def test_holm_matches_python_stepdown(spark, sf_dir):
     for ab, p in pvals.items():
         assert got[ab].p_value == round(p, 9)
         assert got[ab].rejected == int(ab in rejected), ab
+
+
+def test_cumulative_gains_matches_python(spark, sf_dir):
+    """Gains/lift re-derived in plain Python with strict-less CDF
+    deciles (DESC)."""
+    import numpy as np
+
+    from vectordb_agentic_rag_spark.operators.analytics10 import (
+        agg_cumulative_gains_curve,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = pd.to_datetime(ev["ts"]).dt.date
+    pre = day < pd.Timestamp("2024-01-16").date()
+    cents = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    score = (
+        pd.Series(np.where(pre, cents, 0), index=ev.index)
+        .groupby(ev["user_id"])
+        .sum()
+    )
+    resp = (
+        (
+            (ev["event_type"] == "purchase")
+            & (~pre)
+            & (ev["value"] * 100 >= 10000)
+        )
+        .groupby(ev["user_id"])
+        .max()
+        .astype(int)
+    )
+    n = len(score)
+    greater = {v: int((score > v).sum()) for v in score.unique()}
+    decile = score.map(lambda v: min(9, 10 * greater[v] // n))
+    cells = {
+        d: (int((decile == d).sum()), int(resp[decile == d].sum()))
+        for d in sorted(decile.unique())
+    }
+    nu = sum(c[0] for c in cells.values())
+    nr = sum(c[1] for c in cells.values())
+    got = {
+        r.decile: r
+        for r in agg_cumulative_gains_curve(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    cu = cr = 0
+    for d in sorted(cells):
+        cu += cells[d][0]
+        cr += cells[d][1]
+        r = got[d]
+        assert (r.n_users, r.n_resp, r.cum_users, r.cum_resp) == (
+            cells[d][0],
+            cells[d][1],
+            cu,
+            cr,
+        ), d
+        assert r.gain == round(cr / nr, 6)
+        assert r.lift == round(cr * nu / (cu * nr), 6)
+    assert got[max(cells)].gain == 1.0  # curve ends at full capture
+
+
+def test_vocab_coverage_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from vectordb_agentic_rag_spark.operators.analytics10 import (
+        _VC_NS,
+        text_vocab_coverage_topn,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")["text"]
+    cnt = Counter()
+    for t in docs:
+        cnt.update(w for w in t.split(" ") if w)
+    total = sum(cnt.values())
+    ordered = sorted(cnt.values(), reverse=True)
+    got = {
+        r.top_n: r for r in text_vocab_coverage_topn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(_VC_NS)
+    prev = 0.0
+    for n in _VC_NS:
+        covered = sum(ordered[:n])
+        r = got[n]
+        assert r.vocab_size == len(cnt)
+        assert r.tokens_total == total
+        assert r.tokens_covered == covered, n
+        assert r.coverage == round(covered / total, 6)
+        assert r.coverage >= prev  # monotone in N
+        prev = r.coverage

@@ -305,6 +305,29 @@ OPS = [
     # the other late-wave ops are day/user-domain collapses covered by
     # the SRM/events entries.
     ("agg_markov_removal_attribution", "events"),
+    # round-10 residue for the round-11 audit: the week-grain life
+    # table is user-scaled before its bounded week rollup; the other
+    # round-10 ops (did/iv/matthews/shapley/cronbach/cvar/streaks/
+    # borda/hoeffding/sample-entropy/newsvendor/taylor) are one-scan
+    # user- or day-domain collapses covered by the SRM/events entries.
+    ("agg_churn_lifetable_weeks", "events"),
+    # round-11 additions. stream_srm_guardrail_live /
+    # stream_funnel_stage_live are streaming-replay-bound like the
+    # other stream_* ops (micro-batch harness cost, not query cost);
+    # agg_holm_bonferroni shares BH's bounded 30-day grid.
+    # pipeline_dedup_cascade_audit and
+    # pipeline_dedup_threshold_sensitivity are EXCLUDED from the
+    # blow-up: VERBATIM text replication gives every doc 9 identical
+    # twins, so near-dup pair mass multiplies ~100x (quadratic in
+    # copies) — a replication artifact no real 10x corpus has; their
+    # expensive stage (banding join + Arrow verify) is audited via
+    # audit_jaccard_verify and the dedup/span-purge entries.
+    ("agg_markov_first_passage", "events"),
+    ("agg_woe_information_value", "events"),
+    ("win_xbar_r_control", "events"),
+    ("maintenance_join_key_skew", "lineitem"),
+    ("vec_dim_variance_profile", "embeddings"),
+    ("text_dsir_importance_weights", "documents"),
 ]
 
 

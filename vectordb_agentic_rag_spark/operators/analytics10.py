@@ -915,3 +915,231 @@ def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN i < first_fail THEN 1 ELSE 0 END AS BIGINT)"
         " AS rejected",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cumulative_gains_curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cumulative_gains_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS score,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                            AND value * 100 >= 10000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS resp
+      FROM events GROUP BY user_id),
+    dom AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY score),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dom),
+    cum AS (
+      SELECT score,
+             CAST(coalesce(sum(c) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cal
+      FROM dom),
+    binned AS (
+      SELECT u.resp, least(9, 10 * cum.cal // tot.n) AS decile
+      FROM u JOIN cum ON u.score = cum.score CROSS JOIN tot),
+    cells AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(resp) AS BIGINT) AS n_resp
+      FROM binned GROUP BY decile),
+    g AS (SELECT CAST(sum(n_users) AS BIGINT) AS nu,
+                 CAST(sum(n_resp) AS BIGINT) AS nr FROM cells),
+    cc AS (
+      SELECT decile, n_users, n_resp,
+             CAST(sum(n_users) OVER w AS BIGINT) AS cum_users,
+             CAST(sum(n_resp) OVER w AS BIGINT) AS cum_resp
+      FROM cells
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+    SELECT cc.decile, cc.n_users, cc.n_resp, cc.cum_users, cc.cum_resp,
+           CASE WHEN g.nr = 0 THEN NULL
+                ELSE round(CAST(cc.cum_resp AS DOUBLE) / g.nr, 6)
+           END AS gain,
+           CASE WHEN g.nr = 0 OR cc.cum_users = 0 THEN NULL
+                ELSE round(CAST(cc.cum_resp * g.nu AS DOUBLE)
+                           / (CAST(cc.cum_users AS DOUBLE) * g.nr), 6)
+           END AS lift
+    FROM cc CROSS JOIN g ORDER BY cc.decile
+    """,
+)
+def agg_cumulative_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE GAINS / LIFT CURVE for a response ranking — the
+    campaign-targeting sheet: rank users by the pre-period activity
+    score (decile 0 = top scorers), and per decile report the
+    cumulative share of all converters captured (gain) and the lift
+    over random targeting (gain / population share).  "Mail the top 3
+    deciles, get X% of responders" is read straight off this table.
+    Family placement: agg_qini_uplift_curve measures INCREMENTAL
+    response between randomized arms (causal); the gains curve ranks
+    a single-cohort RESPONSE model (no arms, no counterfactual) —
+    the campaign sheet when no experiment ran.  agg_roc_youden sweeps
+    a threshold on a per-event diagnostic; this op is decile-grain on
+    the user domain.
+
+    Parity: deciles via the exact strict-less domain-CDF (DESC);
+    counts exact; gain and lift are single double divisions of exact
+    integer (cross-)products, round(6), NULL-gated when no converters
+    exist (the blow-up saturation rule).
+
+    Shape at 100 TB: one groupBy(user) collapse; the score-domain CDF
+    rides the shared DISTRIBUTED two-level prefix sum
+    (functions/domain.py); deciles join back through a shuffle
+    equi-join; the cumulative runs over the 10-row decile frame."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'"
+            " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("score"),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase'"
+            " AND CAST(ts AS DATE) >= DATE '2024-01-16'"
+            " AND value * 100 >= 10000 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("resp"),
+    ).localCheckpoint()  # user-grain frame: score domain + join-back
+    dom = u.groupBy("score").agg(F.count("*").cast("bigint").alias("c"))
+    tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = dist_exclusive_prefix(dom, [("score", True)], ["c"]).selectExpr(
+        "score", "CAST(_pre_c AS BIGINT) AS cal"
+    )
+    binned = (
+        u.join(cum, "score")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("resp", "least(9, 10 * cal div n) AS decile")
+    )
+    cells = binned.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("resp").cast("bigint").alias("n_resp"),
+    )
+    g = cells.agg(
+        F.sum("n_users").cast("bigint").alias("nu"),
+        F.sum("n_resp").cast("bigint").alias("nr"),
+    )
+    w_c = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cc = cells.select(
+        "decile",
+        "n_users",
+        "n_resp",
+        F.sum("n_users").over(w_c).cast("bigint").alias("cum_users"),
+        F.sum("n_resp").over(w_c).cast("bigint").alias("cum_resp"),
+    )
+    return (
+        cc.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "decile",
+            "n_users",
+            "n_resp",
+            "cum_users",
+            "cum_resp",
+            "CASE WHEN nr = 0 THEN NULL"
+            " ELSE round(CAST(cum_resp AS DOUBLE) / nr, 6) END AS gain",
+            "CASE WHEN nr = 0 OR cum_users = 0 THEN NULL"
+            " ELSE round(CAST(cum_resp * nu AS DOUBLE)"
+            " / (CAST(cum_users AS DOUBLE) * nr), 6) END AS lift",
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_coverage_topn
+# ---------------------------------------------------------------------------
+
+_VC_NS = [10, 50, 100, 500, 1000]
+
+
+def _vc_oracle() -> str:
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({n} AS BIGINT) AS top_n, v.vocab_size,"
+        f" v.tokens_total,"
+        f" (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ("
+        f"   SELECT c FROM tf ORDER BY c DESC, term LIMIT {n}) t)"
+        f" AS tokens_covered,"
+        f" round(CAST((SELECT coalesce(sum(c), 0) FROM ("
+        f"   SELECT c FROM tf ORDER BY c DESC, term LIMIT {n}) t)"
+        f" AS DOUBLE) / v.tokens_total, 6) AS coverage"
+        f" FROM v"
+        for n in _VC_NS
+    )
+    return f"""
+    WITH tf AS MATERIALIZED (
+      SELECT u.tok AS term, CAST(count(*) AS BIGINT) AS c
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+      GROUP BY u.tok),
+    v AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(c) AS BIGINT) AS tokens_total
+      FROM tf)
+    {rows}
+    ORDER BY top_n
+    """
+
+
+@query("text_vocab_coverage_topn", oracle=_vc_oracle())
+def text_vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-N VOCABULARY COVERAGE CURVE — what share of all token
+    OCCURRENCES the N most frequent types cover, for N = 10..1000:
+    the tokenizer-budget read (how small a vocab still covers 95% of
+    the stream decides the BPE budget pipeline_bpe_merges spends) and
+    the OOV-rate planner's table.  Family placement: agg_heaps_law_fit
+    models vocabulary GROWTH with corpus size, text_zipf_slope the
+    rank-frequency EXPONENT; this op is the operational integral of
+    the Zipf curve — cumulative mass at fixed rank cuts.  Tie note:
+    coverage is tie-insensitive (tied types at the cutoff contribute
+    the same count whichever enters), but the pick is still
+    deterministic via the (count DESC, term) order.
+
+    Parity: counts exact; one round(6) coverage division per row.
+
+    Shape at 100 TB: one explode + vocabulary-keyed count (the
+    reusable tf artifact), then each cut is a TakeOrderedAndProject
+    top-N heap merge over the vocabulary frame — never a global
+    row_number (round-6 rule); the five cuts reuse one checkpointed
+    tf frame."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()  # vocabulary frame read by 5 cuts + totals
+    )
+    v = tf.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("tokens_total"),
+    )
+    out = None
+    for n in _VC_NS:
+        cov = (
+            tf.orderBy(F.col("c").desc(), "term")
+            .limit(n)
+            .agg(
+                F.expr("CAST(coalesce(sum(c), 0) AS BIGINT)").alias(
+                    "tokens_covered"
+                )
+            )
+        )
+        row = (
+            v.crossJoin(F.broadcast(cov))
+            .selectExpr(
+                f"CAST({n} AS BIGINT) AS top_n",
+                "vocab_size",
+                "tokens_total",
+                "tokens_covered",
+                "round(CAST(tokens_covered AS DOUBLE) / tokens_total, 6)"
+                " AS coverage",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("top_n")

@@ -36,6 +36,12 @@ machinery:
 - pipeline_dedup_threshold_sensitivity — near-dup purge volume as a
   function of the Jaccard threshold, from ONE verified-pair table
   (the "what if we lower tau" sheet for dedup_near_minhash).
+- agg_holm_bonferroni — FWER step-down over the shared dyadic-exact
+  sign-test p family (agg_benjamini_hochberg's FDR sibling).
+- agg_cumulative_gains_curve — gains/lift deciles for a response
+  ranking (the no-experiment sibling of agg_qini_uplift_curve).
+- text_vocab_coverage_topn — top-N token-occurrence coverage (the
+  operational integral of text_zipf_slope's curve; tokenizer budget).
 
 Reference analogue: app.py ships none of this QA/ops surface; these
 are the audit operators a Spark-native pipeline runs on the same

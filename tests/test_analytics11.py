@@ -1,0 +1,144 @@
+"""Plain-Python recompute tests for the round-11 second wave
+(operators/analytics11.py) — independent re-derivations from the raw
+parquet, per the rule that a logic bug mirrored into the oracle
+hash-matches cleanly and only a third path catches it."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_join_cardinality_estimate_matches_pandas(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        _CARD_JOINS,
+        maintenance_join_cardinality_estimate,
+    )
+
+    out = (
+        maintenance_join_cardinality_estimate(spark, sf_dir)
+        .toPandas()
+        .set_index("join_name")
+    )
+    assert len(out) == len(_CARD_JOINS)
+    for lt, lk, rt, rk in _CARD_JOINS:
+        left = pd.read_parquet(f"{sf_dir}/{lt}.parquet", columns=[lk])
+        right = pd.read_parquet(f"{sf_dir}/{rt}.parquet", columns=[rk])
+        nl, nr = len(left), len(right)
+        ndv_l, ndv_r = left[lk].nunique(), right[rk].nunique()
+        est = (nl * nr) // max(ndv_l, ndv_r)
+        actual = len(left.merge(right, left_on=lk, right_on=rk))
+        row = out.loc[f"{lt}.{lk}={rt}.{rk}"]
+        assert (row["nl"], row["nr"]) == (nl, nr)
+        assert (row["ndv_l"], row["ndv_r"]) == (ndv_l, ndv_r)
+        assert row["est_rows"] == est
+        assert row["actual_rows"] == actual
+        assert row["q_error"] == round(max(est / actual, actual / est), 6)
+
+
+def test_freshness_lag_matches_pandas(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        maintenance_freshness_lag_report,
+    )
+
+    out = (
+        maintenance_freshness_lag_report(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "ts"]]
+    us = ev["ts"].astype("int64")
+    if us.abs().max() > 10**16:  # nanos-generation fixture
+        us = us // 1000
+    ev = ev.assign(us=us, day=ev["ts"].dt.normalize())
+    gmax = int(ev["us"].max())
+    days = int((ev["day"].max() - ev["day"].min()).days) + 1
+    for t, g in ev.groupby("event_type"):
+        row = out.loc[t]
+        n = len(g)
+        last = int(g["us"].max())
+        eld = int((g["us"] >= gmax - 86_400_000_000).sum())
+        assert row["n"] == n
+        assert row["lag_us"] == gmax - last
+        assert row["events_last_day"] == eld
+        assert row["days"] == days
+        assert row["avg_per_day"] == round(n / days, 6)
+        assert row["last_day_ratio"] == round(eld * days / n, 6)
+
+
+def test_fulfillment_latency_profile_matches_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        agg_fulfillment_latency_profile,
+    )
+
+    out = (
+        agg_fulfillment_latency_profile(spark, sf_dir)
+        .toPandas()
+        .set_index("priority")
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (
+        pd.to_datetime(j["l_shipdate"]) - pd.to_datetime(j["o_orderdate"])
+    ).dt.days
+    j = j.assign(lag=lag)
+    for p, g in j.groupby("o_orderpriority"):
+        row = out.loc[p]
+        v = np.sort(g["lag"].to_numpy())
+        n = len(v)
+        assert row["n"] == n
+        assert row["min_lag"] == v[0] and row["max_lag"] == v[-1]
+        assert row["avg_lag"] == round(float(v.sum()) / n, 6)
+        # lower-empirical pick: smallest x with cum >= ceil(q*n)
+        assert row["p50"] == v[(n + 1) // 2 - 1]
+        assert row["p75"] == v[(3 * n + 3) // 4 - 1]
+        assert row["p90"] == v[(9 * n + 9) // 10 - 1]
+
+
+def test_dedup_line_level_matches_python(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        _LINE_TOKENS,
+        dedup_line_level,
+    )
+
+    out = dedup_line_level(spark, sf_dir).toPandas().set_index("source")
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    inst = []  # (doc_id, source, line)
+    docs_per_line: dict[str, set] = {}
+    for _, r in docs.iterrows():
+        t = r["text"].split(" ")
+        for i in range(0, len(t), _LINE_TOKENS):
+            line = " ".join(t[i : i + _LINE_TOKENS])
+            inst.append((r["doc_id"], r["source"], line))
+            docs_per_line.setdefault(line, set()).add(r["doc_id"])
+    per = {}
+    for doc_id, src, line in inst:
+        n, d, aff = per.setdefault(src, [0, 0, set()])
+        per[src][0] += 1
+        if len(docs_per_line[line]) >= 2:
+            per[src][1] += 1
+            per[src][2].add(doc_id)
+    tot = [0, 0, 0]
+    for src, (n, d, aff) in per.items():
+        row = out.loc[src]
+        assert row["n_lines"] == n
+        assert row["n_dup_lines"] == d
+        assert row["n_docs_affected"] == len(aff)
+        assert row["dup_rate"] == round(d / n, 6)
+        tot[0] += n
+        tot[1] += d
+        tot[2] += len(aff)
+    row = out.loc["_ALL_"]
+    assert (row["n_lines"], row["n_dup_lines"], row["n_docs_affected"]) == (
+        tot[0],
+        tot[1],
+        tot[2],
+    )
+    # the corpus genuinely contains cross-doc duplicate lines at every sf
+    assert row["n_dup_lines"] > 0

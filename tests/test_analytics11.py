@@ -142,3 +142,65 @@ def test_dedup_line_level_matches_python(spark, sf_dir):
     )
     # the corpus genuinely contains cross-doc duplicate lines at every sf
     assert row["n_dup_lines"] > 0
+
+
+def _panel_sims(sf_dir, n_queries):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.sort_values("vec_id")
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    qm = ids < n_queries
+    Q, C = V[qm], V[~qm]
+    qids, cids = ids[qm], ids[~qm]
+    sims = (Q @ C.T) / (
+        np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    return qids, cids, np.round(sims, 6)
+
+
+def test_nn_distance_ratio_matches_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        vec_nn_distance_ratio,
+    )
+
+    out = vec_nn_distance_ratio(spark, sf_dir).toPandas().set_index("query_id")
+    qids, cids, sims = _panel_sims(sf_dir, 10)
+    for qi, qid in enumerate(qids):
+        # rank by (rounded sim desc, neighbor_id asc)
+        order = sorted(range(len(cids)), key=lambda j: (-sims[qi, j], cids[j]))
+        n1, n2 = order[0], order[1]
+        row = out.loc[qid]
+        assert (row["nn1_id"], row["nn2_id"]) == (cids[n1], cids[n2])
+        s1, s2 = sims[qi, n1], sims[qi, n2]
+        assert row["sim1"] == s1 and row["sim2"] == s2
+        assert s2 < 1.0
+        ratio = (1.0 - s1) / (1.0 - s2)
+        assert row["dist_ratio"] == round(ratio, 6)
+        assert row["match_reliable"] == (1 if ratio < 0.8 else 0)
+
+
+def test_hubness_topk_counts_matches_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        _HUB_K,
+        _HUB_QUERIES,
+        vec_hubness_topk_counts,
+    )
+
+    out = vec_hubness_topk_counts(spark, sf_dir).toPandas()
+    qids, cids, sims = _panel_sims(sf_dir, _HUB_QUERIES)
+    occ: dict[int, int] = {}
+    for qi in range(len(qids)):
+        order = sorted(range(len(cids)), key=lambda j: (-sims[qi, j], cids[j]))
+        for j in order[:_HUB_K]:
+            occ[cids[j]] = occ.get(cids[j], 0) + 1
+    hist: dict[int, int] = {}
+    for c in occ.values():
+        hist[c] = hist.get(c, 0) + 1
+    hist[0] = len(cids) - len(occ)
+    got = dict(zip(out["occurrences"], out["n_neighbors"]))
+    assert got == hist
+    for _, r in out.iterrows():
+        assert r["corpus_share"] == round(r["n_neighbors"] / len(cids), 6)
+    # distribution must cover the whole corpus exactly once
+    assert out["n_neighbors"].sum() == len(cids)
+    assert (out["occurrences"] * out["n_neighbors"]).sum() == _HUB_K * len(qids)

@@ -455,3 +455,220 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_nn_distance_ratio
+# ---------------------------------------------------------------------------
+
+
+def _nn_ratio_oracle() -> str:
+    from .vector import _DD_COS
+
+    cos = _DD_COS.format(a="c.embedding", b="q.qv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding
+          FROM embeddings WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id, round({cos}, 6) AS sim
+      FROM c CROSS JOIN q),
+    nn AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims),
+    piv AS (
+      SELECT query_id,
+             max(CASE WHEN rn = 1 THEN neighbor_id END) AS nn1_id,
+             max(CASE WHEN rn = 2 THEN neighbor_id END) AS nn2_id,
+             max(CASE WHEN rn = 1 THEN sim END) AS sim1,
+             max(CASE WHEN rn = 2 THEN sim END) AS sim2
+      FROM nn WHERE rn <= 2 GROUP BY query_id)
+    SELECT query_id, nn1_id, nn2_id, sim1, sim2,
+           CASE WHEN sim2 >= 1.0 THEN NULL
+                ELSE round((1.0 - sim1) / (1.0 - sim2), 6) END
+             AS dist_ratio,
+           CASE WHEN sim2 >= 1.0 THEN NULL
+                WHEN (1.0 - sim1) / (1.0 - sim2) < 0.8 THEN 1 ELSE 0 END
+             AS match_reliable
+    FROM piv ORDER BY query_id
+    """
+
+
+@query("vec_nn_distance_ratio", oracle=_nn_ratio_oracle())
+def vec_nn_distance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOWE RATIO TEST over the 10-query panel: the cosine-DISTANCE
+    ratio of the nearest to the second-nearest corpus neighbor,
+    (1 - sim1) / (1 - sim2), with the classic < 0.8 reliability gate —
+    the standard screen for whether a nearest-neighbor match is
+    DISCRIMINATIVE (a near-tie between the top two neighbors means the
+    match carries little signal; feature-matching and retrieval
+    pipelines discard those).  Completes the retrieval-diagnostics
+    family: vec_topk_margin_stats profiles absolute top-k score gaps,
+    this op emits the per-query RELATIVE distance ratio and the
+    accept/reject bit a matcher would act on.
+
+    Parity: ranks order by the ROUND(6) sim with neighbor_id
+    tie-break (the vec_cosine_topk_per_query convention — rank parity
+    is then exact); the ratio divides doubles produced by identical
+    expression text on identical inputs (+,-,/ are IEEE-exact ops, no
+    libm), round(6).  sim2 >= 1 (an exact-duplicate corpus vector)
+    CASE-gates to NULL on both engines — the ANSI divide-by-zero rule.
+
+    Shape at 100 TB: broadcast query panel, one corpus scan, window
+    top-2 partitioned by query_id, 10-row pivot — the exact
+    per-query-kNN plan with k=2."""
+    from ..functions.vector import cosine_fixed
+    from .vector import _query_vector_raw, _query_vectors
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir, 10)
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    d = len(_query_vector_raw(sf_dir, 0))
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    nn = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    piv = nn.groupBy("query_id").agg(
+        F.expr("max(CASE WHEN rn = 1 THEN neighbor_id END)").alias("nn1_id"),
+        F.expr("max(CASE WHEN rn = 2 THEN neighbor_id END)").alias("nn2_id"),
+        F.expr("max(CASE WHEN rn = 1 THEN sim END)").alias("sim1"),
+        F.expr("max(CASE WHEN rn = 2 THEN sim END)").alias("sim2"),
+    )
+    return piv.selectExpr(
+        "query_id",
+        "nn1_id",
+        "nn2_id",
+        "sim1",
+        "sim2",
+        "CASE WHEN sim2 >= 1.0 THEN NULL"
+        " ELSE round((1.0 - sim1) / (1.0 - sim2), 6) END AS dist_ratio",
+        "CASE WHEN sim2 >= 1.0 THEN NULL"
+        " WHEN (1.0 - sim1) / (1.0 - sim2) < 0.8 THEN 1 ELSE 0 END"
+        " AS match_reliable",
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# vec_hubness_topk_counts
+# ---------------------------------------------------------------------------
+
+_HUB_QUERIES = 50
+_HUB_K = 3
+
+
+def _hubness_oracle() -> str:
+    from .vector import _DD_COS
+
+    cos = _DD_COS.format(a="c.embedding", b="q.qv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {_HUB_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding
+          FROM embeddings WHERE vec_id >= {_HUB_QUERIES}),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id, round({cos}, 6) AS sim
+      FROM c CROSS JOIN q),
+    nn AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM sims) t
+      WHERE rn <= {_HUB_K}),
+    occ AS (
+      SELECT neighbor_id, CAST(count(*) AS BIGINT) AS occurrences
+      FROM nn GROUP BY neighbor_id),
+    hist AS (
+      SELECT occurrences, CAST(count(*) AS BIGINT) AS n_neighbors
+      FROM occ GROUP BY occurrences),
+    z AS (
+      SELECT CAST(0 AS BIGINT) AS occurrences,
+             (SELECT count(*) FROM c) - (SELECT count(*) FROM occ)
+               AS n_neighbors)
+    SELECT occurrences, n_neighbors,
+           round(CAST(n_neighbors AS DOUBLE)
+                 / (SELECT count(*) FROM c), 6) AS corpus_share
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM z) u
+    ORDER BY occurrences
+    """
+
+
+@query("vec_hubness_topk_counts", oracle=_hubness_oracle())
+def vec_hubness_topk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-OCCURRENCE (HUBNESS) DISTRIBUTION of the corpus under exact
+    top-3 retrieval from a 50-query panel: for each occurrence level
+    m, how many corpus vectors appear in exactly m result lists —
+    including the m = 0 ANTIHUB row (vectors no query retrieves).
+    High-dimensional similarity search concentrates results onto hub
+    points (Radovanovic et al., JMLR 2010); a heavy right tail here
+    says recall evaluation must stratify by hubness, and an oversized
+    antihub mass says the index wastes space on unreachable points.
+    Completes the vector-diagnostics family next to
+    vec_pairwise_cos_hist (pair geometry) and vec_dim_variance_profile
+    (coordinate anisotropy) with the RETRIEVAL-graph view.
+
+    Parity: ranks order by ROUND(6) sim + neighbor_id tie-break (rank
+    parity exact, the per-query-kNN convention); all counts exact
+    BIGINT; corpus_share divides exact integers, round(6).
+
+    Shape at 100 TB: broadcast panel, one corpus scan, per-query
+    window top-k, then two bounded aggregates (occurrence counts over
+    <= k*|panel| hit rows; histogram over <= |panel|*k levels) and a
+    1-row corpus count for the antihub row."""
+    from ..functions.vector import cosine_fixed
+    from .vector import _query_vector_raw, _query_vectors
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir, _HUB_QUERIES)
+    corpus = emb.where(F.col("vec_id") >= _HUB_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    d = len(_query_vector_raw(sf_dir, 0))
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    nn = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HUB_K)
+        .select("query_id", "neighbor_id")
+    )
+    occ = nn.groupBy("neighbor_id").agg(
+        F.count("*").cast("bigint").alias("occurrences")
+    )
+    hist = occ.groupBy("occurrences").agg(
+        F.count("*").cast("bigint").alias("n_neighbors")
+    )
+    nc = corpus.agg(F.count("*").cast("bigint").alias("nc"))
+    nr = occ.agg(F.count("*").cast("bigint").alias("nret"))
+    zero = (
+        nc.crossJoin(F.broadcast(nr))
+        .selectExpr(
+            "CAST(0 AS BIGINT) AS occurrences",
+            "nc - nret AS n_neighbors",
+        )
+    )
+    return (
+        hist.unionByName(zero)
+        .crossJoin(F.broadcast(nc))
+        .selectExpr(
+            "occurrences",
+            "n_neighbors",
+            "round(CAST(n_neighbors AS DOUBLE) / nc, 6) AS corpus_share",
+        )
+        .orderBy("occurrences")
+    )

@@ -204,3 +204,92 @@ def test_hubness_topk_counts_matches_numpy(spark, sf_dir):
     # distribution must cover the whole corpus exactly once
     assert out["n_neighbors"].sum() == len(cids)
     assert (out["occurrences"] * out["n_neighbors"]).sum() == _HUB_K * len(qids)
+
+
+def _daily(sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev.assign(day=ev["ts"].dt.normalize())
+    return ev
+
+
+def test_croston_matches_python_fold(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        _CROSTON_A,
+        _CROSTON_THR,
+        win_croston_intermittent,
+    )
+
+    out = win_croston_intermittent(spark, sf_dir).toPandas()
+    ev = _daily(sf_dir)
+    q = (
+        ev[(ev["event_type"] == "error") & (ev["value"] >= _CROSTON_THR)]
+        .groupby("day")
+        .size()
+        .reindex(sorted(ev["day"].unique()), fill_value=0)
+    )
+    init, z, p, gap = 0, 0.0, 0.0, 0
+    exp = []
+    for day, qd in q.items():
+        qd = int(qd)
+        g = gap + 1
+        if qd > 0:
+            if init == 0:
+                z, p, init = float(qd), float(g), 1
+            else:
+                z = z + _CROSTON_A * (float(qd) - z)
+                p = p + _CROSTON_A * (float(g) - p)
+            gap = 0
+        else:
+            gap = g
+        exp.append(
+            (
+                day.date(),
+                qd,
+                round(z, 6) if init else None,
+                round(p, 6) if init else None,
+                round(z / p, 6) if init else None,
+            )
+        )
+    assert len(out) == len(exp)
+    for row, (day, qd, lvl, itv, fc) in zip(out.itertuples(), exp):
+        assert row.day == day and row.demand == qd
+        for got, want in (
+            (row.level, lvl),
+            (row.avg_interval, itv),
+            (row.forecast, fc),
+        ):
+            assert (pd.isna(got) and want is None) or got == want
+    # the series must initialize at every sf (>= 1 demand day)
+    assert out["forecast"].notna().any()
+
+
+def test_peak_prominence_matches_python(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        win_peak_prominence_daily,
+    )
+
+    out = win_peak_prominence_daily(spark, sf_dir).toPandas()
+    ev = _daily(sf_dir)
+    pur = ev[ev["event_type"] == "purchase"]
+    cents = np.floor(pur["value"].to_numpy() * 100 + 0.5).astype("int64")
+    rev = (
+        pd.DataFrame({"day": pur["day"], "c": cents})
+        .groupby("day")["c"]
+        .sum()
+        .reindex(sorted(ev["day"].unique()), fill_value=0)
+    )
+    v = rev.to_numpy()
+    days = [d.date() for d in rev.index]
+    exp = []
+    for i in range(1, len(v) - 1):
+        if v[i] > v[i - 1] and v[i] > v[i + 1]:
+            lh = [j for j in range(i) if v[j] > v[i]]
+            rh = [j for j in range(i + 1, len(v)) if v[j] > v[i]]
+            lo = max(lh) + 1 if lh else 0
+            hi = min(rh) if rh else len(v)
+            lbase = v[lo:i].min()
+            rbase = v[i + 1 : hi].min()
+            exp.append((days[i], int(v[i]), int(v[i] - max(lbase, rbase))))
+    assert len(exp) >= 1
+    got = list(zip(out["day"], out["rev_cents"], out["prominence_cents"]))
+    assert got == exp

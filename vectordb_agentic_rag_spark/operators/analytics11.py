@@ -672,3 +672,281 @@ def vec_hubness_topk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_croston_intermittent
+# ---------------------------------------------------------------------------
+
+_CROSTON_A = 0.25  # smoothing constant (binary-exact)
+_CROSTON_THR = 200.0  # demand = daily count of error events >= this value
+
+
+@query(
+    "win_croston_intermittent",
+    # Struct-state sequential fold -> RECURSIVE CTE on the DuckDB side
+    # (the round-6 list_reduce struct-accumulator bug), stepping the
+    # 30-day series row by row with the SAME expression text as the
+    # Spark fold.
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(CASE WHEN event_type = 'error'
+                              AND value >= {_CROSTON_THR} THEN 1 END)
+                  AS BIGINT) AS q
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT day, q,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM d),
+    r AS (
+      SELECT rn, day, q,
+             CASE WHEN q > 0 THEN 1 ELSE 0 END AS init,
+             CASE WHEN q > 0 THEN CAST(q AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS z,
+             CASE WHEN q > 0 THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS p,
+             CASE WHEN q > 0 THEN 0 ELSE 1 END AS gap
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.day, s.q,
+             CASE WHEN s.q > 0 THEN 1 ELSE r.init END,
+             CASE WHEN s.q > 0 AND r.init = 0 THEN CAST(s.q AS DOUBLE)
+                  WHEN s.q > 0 THEN r.z + CAST({_CROSTON_A} AS DOUBLE)
+                       * (CAST(s.q AS DOUBLE) - r.z)
+                  ELSE r.z END,
+             CASE WHEN s.q > 0 AND r.init = 0
+                       THEN CAST(r.gap + 1 AS DOUBLE)
+                  WHEN s.q > 0 THEN r.p + CAST({_CROSTON_A} AS DOUBLE)
+                       * (CAST(r.gap + 1 AS DOUBLE) - r.p)
+                  ELSE r.p END,
+             CASE WHEN s.q > 0 THEN 0 ELSE r.gap + 1 END
+      FROM r JOIN s ON s.rn = r.rn + 1)
+    SELECT day, q AS demand,
+           CASE WHEN init = 1 THEN round(z, 6) END AS level,
+           CASE WHEN init = 1 THEN round(p, 6) END AS avg_interval,
+           CASE WHEN init = 1 THEN round(z / p, 6) END AS forecast
+    FROM r ORDER BY day
+    """,
+)
+def win_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for intermittent demand — the standard
+    forecaster when most periods have ZERO demand (spare parts, rare
+    incidents), where a plain EWMA collapses toward zero between
+    demand spikes.  Two coupled exponential smoothers update ONLY on
+    demand days: z tracks the demand SIZE, p the inter-demand
+    INTERVAL; the per-period forecast is z/p.  Demand here = daily
+    count of error events with value >= 200 (intermittent at small
+    sf by fixture measurement: 28/30 zero days at sf0.001, 7/30 at
+    sf0.01).  Completes the smoothing family: win_ewma_smooth (dense
+    level), win_holt_linear (dense trend), this op (sparse/renewal).
+
+    Parity: alpha = 0.25 is binary-exact; the (init, z, p, gap)
+    struct fold steps in pinned day order with textually identical
+    update expressions, so the doubles agree bit-wise (win_holt_linear
+    machinery); outputs round(6), NULL-gated until the first demand
+    initializes the state (no 0/0 anywhere — p >= 1 once init).
+    Spark re-folds each day's PREFIX (30 x 30 lambda frames on a
+    1-row frame — trivially bounded); DuckDB steps a recursive CTE.
+
+    Shape at 100 TB: the fact scan collapses to the 30-row day domain
+    in one map-side-combined aggregate; the fold runs on a single
+    30-element array — per-series state is O(1) and the pattern
+    shards by series key for a multi-SKU corpus."""
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                f"CAST(count(CASE WHEN event_type = 'error'"
+                f" AND value >= {_CROSTON_THR} THEN 1 END) AS BIGINT)"
+            ).alias("q")
+        )
+    )
+    one = d.agg(
+        F.sort_array(F.collect_list(F.struct("day", "q"))).alias("qs")
+    )
+    a = f"CAST({_CROSTON_A} AS DOUBLE)"
+    states = one.select(
+        F.expr(
+            "transform(sequence(1, CAST(size(qs) AS INT)), i ->"
+            " named_struct("
+            "'day', element_at(qs, i).day,"
+            "'q', element_at(qs, i).q,"
+            "'st', aggregate(slice(qs, 1, i),"
+            " named_struct('init', 0, 'z', CAST(0 AS DOUBLE),"
+            " 'p', CAST(0 AS DOUBLE), 'gap', 0),"
+            " (s, x) -> named_struct("
+            "'init', CASE WHEN x.q > 0 THEN 1 ELSE s.init END,"
+            "'z', CASE WHEN x.q > 0 AND s.init = 0 THEN CAST(x.q AS DOUBLE)"
+            f" WHEN x.q > 0 THEN s.z + {a} * (CAST(x.q AS DOUBLE) - s.z)"
+            " ELSE s.z END,"
+            "'p', CASE WHEN x.q > 0 AND s.init = 0"
+            " THEN CAST(s.gap + 1 AS DOUBLE)"
+            f" WHEN x.q > 0 THEN s.p + {a}"
+            " * (CAST(s.gap + 1 AS DOUBLE) - s.p)"
+            " ELSE s.p END,"
+            "'gap', CASE WHEN x.q > 0 THEN 0 ELSE s.gap + 1 END))))"
+        ).alias("rows")
+    )
+    return (
+        states.select(F.explode("rows").alias("r"))
+        .selectExpr(
+            "r.day AS day",
+            "r.q AS demand",
+            "CASE WHEN r.st.init = 1 THEN round(r.st.z, 6) END AS level",
+            "CASE WHEN r.st.init = 1 THEN round(r.st.p, 6) END"
+            " AS avg_interval",
+            "CASE WHEN r.st.init = 1 THEN round(r.st.z / r.st.p, 6) END"
+            " AS forecast",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_peak_prominence_daily
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_peak_prominence_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS rev
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT day, rev,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM d),
+    pk AS (
+      SELECT rn, day, rev
+      FROM (SELECT rn, day, rev,
+                   lag(rev) OVER (ORDER BY rn) AS pv,
+                   lead(rev) OVER (ORDER BY rn) AS nx
+            FROM r) t
+      WHERE pv IS NOT NULL AND nx IS NOT NULL
+        AND rev > pv AND rev > nx),
+    lh AS (
+      SELECT p.rn AS prn, max(e.rn) AS hrn
+      FROM pk p JOIN r e ON e.rn < p.rn AND e.rev > p.rev
+      GROUP BY p.rn),
+    rh AS (
+      SELECT p.rn AS prn, min(e.rn) AS hrn
+      FROM pk p JOIN r e ON e.rn > p.rn AND e.rev > p.rev
+      GROUP BY p.rn),
+    lb AS (
+      SELECT p.rn AS prn, min(e.rev) AS base
+      FROM pk p LEFT JOIN lh ON lh.prn = p.rn
+      JOIN r e ON e.rn < p.rn AND e.rn > coalesce(lh.hrn, 0)
+      GROUP BY p.rn),
+    rb AS (
+      SELECT p.rn AS prn, min(e.rev) AS base
+      FROM pk p LEFT JOIN rh ON rh.prn = p.rn
+      JOIN r e ON e.rn > p.rn
+              AND e.rn < coalesce(rh.hrn, 9223372036854775807)
+      GROUP BY p.rn)
+    SELECT p.day, p.rev AS rev_cents,
+           p.rev - greatest(lb.base, rb.base) AS prominence_cents
+    FROM pk p JOIN lb ON lb.prn = p.rn JOIN rb ON rb.prn = p.rn
+    ORDER BY p.day
+    """,
+)
+def win_peak_prominence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK DETECTION WITH PROMINENCE on the daily purchase-revenue
+    series (the scipy find_peaks/peak_prominences convention): a peak
+    is a day strictly above both neighbors; its prominence is the
+    height above the higher of the two KEY COLS — the minimum between
+    the peak and the nearest STRICTLY-HIGHER day on each side (or the
+    series end when none is higher).  Prominence is what separates a
+    real demand spike from ripple on a slope — the alerting-relevant
+    refinement of win_mad_outlier/win_zscore_outlier (pointwise
+    outliers) and win_cusum_changepoint (level shifts): those flag
+    VALUES, this measures the TOPOGRAPHY of the series.
+
+    Parity: revenue is exact integer cents (Spark +0.5 cast / DuckDB
+    round-to-0 cast — the round-8 money convention); every
+    comparison, min, and subtraction is pure BIGINT — no floats in
+    the output at all.
+
+    Shape at 100 TB: the fact scan collapses to the 30-row day
+    domain; the neighbor windows and the O(|days|^2) higher-day /
+    key-col joins run on that constant-size frame (bounded-domain
+    windows per the round-11 window classification)."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(value * 100 + 0.5 AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("rev")
+    )
+    w = Window.orderBy("rn")
+    r = d.select(
+        "day",
+        "rev",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+    )
+    pk = (
+        r.select(
+            "rn",
+            "day",
+            "rev",
+            F.lag("rev").over(w).alias("pv"),
+            F.lead("rev").over(w).alias("nx"),
+        )
+        .where(
+            F.col("pv").isNotNull()
+            & F.col("nx").isNotNull()
+            & (F.col("rev") > F.col("pv"))
+            & (F.col("rev") > F.col("nx"))
+        )
+        .select("rn", "day", "rev")
+    )
+    e = r.select(F.col("rn").alias("ern"), F.col("rev").alias("erev"))
+    lh = (
+        pk.join(e, (F.col("ern") < F.col("rn")) & (F.col("erev") > F.col("rev")))
+        .groupBy(F.col("rn").alias("prn"))
+        .agg(F.max("ern").alias("hrn"))
+    )
+    rh = (
+        pk.join(e, (F.col("ern") > F.col("rn")) & (F.col("erev") > F.col("rev")))
+        .groupBy(F.col("rn").alias("prn"))
+        .agg(F.min("ern").alias("hrn"))
+    )
+    lb = (
+        pk.join(lh, pk.rn == lh.prn, "left")
+        .join(
+            e,
+            (F.col("ern") < F.col("rn"))
+            & (F.col("ern") > F.coalesce(F.col("hrn"), F.lit(0))),
+        )
+        .groupBy(F.col("rn").alias("lprn"))
+        .agg(F.min("erev").alias("lbase"))
+    )
+    rb = (
+        pk.join(rh, pk.rn == rh.prn, "left")
+        .join(
+            e,
+            (F.col("ern") > F.col("rn"))
+            & (
+                F.col("ern")
+                < F.coalesce(F.col("hrn"), F.lit(9223372036854775807))
+            ),
+        )
+        .groupBy(F.col("rn").alias("rprn"))
+        .agg(F.min("erev").alias("rbase"))
+    )
+    return (
+        pk.join(lb, pk.rn == lb.lprn)
+        .join(rb, pk.rn == rb.rprn)
+        .selectExpr(
+            "day",
+            "rev AS rev_cents",
+            "rev - greatest(lbase, rbase) AS prominence_cents",
+        )
+        .orderBy("day")
+    )

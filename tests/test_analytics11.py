@@ -293,3 +293,72 @@ def test_peak_prominence_matches_python(spark, sf_dir):
     assert len(exp) >= 1
     got = list(zip(out["day"], out["rev_cents"], out["prominence_cents"]))
     assert got == exp
+
+
+def test_ratio_metric_delta_ci_matches_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        agg_ratio_metric_delta_ci,
+    )
+
+    out = agg_ratio_metric_delta_ci(spark, sf_dir).toPandas().set_index("arm")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    ev = ev.assign(
+        x=np.where(ev["event_type"] == "purchase", cents, 0), y=1
+    )
+    u = ev.groupby("user_id").agg(x=("x", "sum"), y=("y", "sum")).reset_index()
+    u["arm"] = (u["user_id"] * 2654435761) % 4294967296 // 2147483648
+    for arm, g in u.groupby("arm"):
+        n = len(g)
+        x, y = g["x"].to_numpy(float), g["y"].to_numpy(float)
+        sx, sy = x.sum(), y.sum()
+        ratio = sx / sy
+        cxx = n * (x * x).sum() - sx * sx
+        cxy = n * (x * y).sum() - sx * sy
+        cyy = n * (y * y).sum() - sy * sy
+        se = np.sqrt(
+            (cxx - 2 * ratio * cxy + ratio * ratio * cyy)
+            / (sy * sy * (n - 1))
+        )
+        row = out.loc[arm]
+        assert row["n_users"] == n
+        assert row["sum_x_cents"] == sx and row["sum_y_events"] == sy
+        assert abs(row["ratio"] - ratio) < 1e-6
+        assert abs(row["se"] - se) < 1e-6
+        assert abs(row["ci_lo"] - (ratio - 1.96 * se)) < 1e-6
+        assert abs(row["ci_hi"] - (ratio + 1.96 * se)) < 1e-6
+        assert se > 0
+
+
+def test_tukey_hsd_matches_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        agg_tukey_hsd_qstat,
+    )
+
+    out = (
+        agg_tukey_hsd_qstat(spark, sf_dir)
+        .toPandas()
+        .set_index(["dow_a", "dow_b"])
+    )
+    assert len(out) == 21
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    v = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    # Spark dayofweek: 1=Sunday..7=Saturday; pandas dayofweek: 0=Monday
+    dow = (ev["ts"].dt.dayofweek.to_numpy() + 1) % 7 + 1
+    groups = {g: v[dow == g].astype(float) for g in range(1, 8)}
+    n = {g: len(x) for g, x in groups.items()}
+    s = {g: x.sum() for g, x in groups.items()}
+    ssw = sum(
+        ((x - x.mean()) ** 2).sum() for x in groups.values()
+    )
+    msw = ssw / (sum(n.values()) - 7)
+    for i in range(1, 8):
+        for j in range(i + 1, 8):
+            mi, mj = s[i] / n[i], s[j] / n[j]
+            q2 = 2 * (mi - mj) ** 2 / (msw * (1 / n[i] + 1 / n[j]))
+            row = out.loc[(i, j)]
+            assert (row["n_a"], row["n_b"]) == (n[i], n[j])
+            assert abs(row["mean_a"] - mi / 100) < 1e-6
+            assert abs(row["mean_b"] - mj / 100) < 1e-6
+            assert abs(row["q_stat"] - np.sqrt(q2)) < 1e-5
+            assert row["significant"] == (1 if q2 > 17.3889 else 0)

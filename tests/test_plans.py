@@ -1306,3 +1306,21 @@ def test_fact_scaled_domains_never_unpartitioned_windows(spark, sf_dir):
         assert re.search(
             rf"windowspecdefinition\(_pid#\d+, {col}#\d+", plan
         ), f"{op}: {col} cumulative lost its _pid partitioning"
+
+
+def test_tukey_m_frame_checkpointed_once(spark, sf_dir):
+    # the 21 HSD pair branches all reference the pivoted 1-row moment
+    # frame; without the localCheckpoint the lazy UNION re-derives the
+    # events scan once per branch (measured 21 scans) — the bounded-
+    # intermediate ckpt rule pins it at 0 scans in the final plan
+    plan = plan_of(QUERIES["agg_tukey_hsd_qstat"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_ratio_metric_delta_ci_single_scan(spark, sf_dir):
+    # the whole delta-method pass is user-aggregate -> arm-aggregate
+    # over ONE events scan (the production experiment-pipeline shape)
+    plan = plan_of(QUERIES["agg_ratio_metric_delta_ci"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "BatchEvalPython" not in plan

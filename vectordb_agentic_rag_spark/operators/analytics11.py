@@ -950,3 +950,213 @@ def win_peak_prominence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_ratio_metric_delta_ci
+# ---------------------------------------------------------------------------
+
+_ARM = "(user_id * 2654435761) % 4294967296"  # Knuth hash, high bit = arm
+
+
+def _ratio_ci_stack(dialect: str) -> str:
+    """Shared SELECT stack: per-user (x=purchase cents, y=events) ->
+    per-arm exact moments -> delta-method se.  dialect only swaps the
+    cents cast, integer division, and wide-decimal type."""
+    if dialect == "duck":
+        cents = "CAST(round(value * 100, 0) AS BIGINT)"
+        idiv, big = "//", "HUGEINT"
+    else:
+        cents = "CAST(value * 100 + 0.5 AS BIGINT)"
+        idiv, big = "div", "DECIMAL(38,0)"
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST({_ARM} {idiv} 2147483648 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN {cents} ELSE 0 END) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    mo AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS {big}) * x) AS sxx,
+             sum(CAST(x AS {big}) * y) AS sxy,
+             sum(CAST(y AS {big}) * y) AS syy
+      FROM u GROUP BY arm),
+    c AS (
+      SELECT arm, n, sx, sy,
+             CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx AS cxx,
+             CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy AS cxy,
+             CAST(n AS {big}) * syy - CAST(sy AS {big}) * sy AS cyy
+      FROM mo),
+    r AS (
+      SELECT arm, n, sx, sy, cxy, cyy,
+             CAST(sx AS DOUBLE) / sy AS ratio,
+             CAST(cxx AS DOUBLE) AS dxx,
+             CAST(cxy AS DOUBLE) AS dxy,
+             CAST(cyy AS DOUBLE) AS dyy
+      FROM c),
+    s AS (
+      SELECT arm, n, sx, sy, ratio,
+             sqrt((dxx - 2.0 * ratio * dxy + ratio * ratio * dyy)
+                  / (CAST(sy AS DOUBLE) * sy * (n - 1))) AS se
+      FROM r)
+    SELECT arm, n AS n_users, sx AS sum_x_cents, sy AS sum_y_events,
+           round(ratio, 6) AS ratio,
+           round(se, 6) AS se,
+           round(ratio - 1.96 * se, 6) AS ci_lo,
+           round(ratio + 1.96 * se, 6) AS ci_hi
+    FROM s ORDER BY arm
+    """
+
+
+@query("agg_ratio_metric_delta_ci", oracle=_ratio_ci_stack("duck"))
+def agg_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD CONFIDENCE INTERVAL for a RATIO metric per
+    experiment arm — revenue-per-event R = sum(x)/sum(y) where the
+    randomization unit (the user) differs from the analysis unit (the
+    event), the canonical hard case in A/B analysis: naive per-event
+    variance is wrong because events within a user correlate, so the
+    se comes from the user-level delta method,
+    var(R) ~= (Cxx - 2R*Cxy + R^2*Cyy) / (Sy^2 * (n-1)) with C the
+    n-scaled centered user moments.  Completes the experimentation
+    family: agg_two_proportion_ztest (binary outcome),
+    agg_cuped_adjustment (variance reduction), agg_ab_srm_check
+    (validity) — this op is the continuous RATIO-metric CI they all
+    report next to.  Arms use the same Knuth multiplicative-hash high
+    bit as agg_ab_srm_check (user_id * 2654435761 mod 2^32, top bit).
+
+    Parity: per-user x (exact cents — engine-specific cast, round-8
+    money rule) and y are exact integers; all second moments
+    accumulate in DECIMAL(38,0)/HUGEINT; the ratio, the quadratic
+    form, and sqrt evaluate in shared-text IEEE double arithmetic
+    (no libm beyond correctly-rounded sqrt), round(6) at the edge;
+    1.96 parses to the identical double on both engines.
+
+    Shape at 100 TB: one user-grain aggregate (map-side combined),
+    one 2-row arm aggregate — the exact shape of a production
+    experiment pipeline's metric pass; no windows, no collect."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_ratio_ci_stack("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_tukey_hsd_qstat
+# ---------------------------------------------------------------------------
+
+_TUKEY_Q2_CRIT = "17.3889"  # q_crit(k=7, df=inf, alpha=.05)=4.17, squared
+
+
+def _tukey_sql(dialect: str) -> str:
+    if dialect == "duck":
+        cents = "CAST(round(value * 100, 0) AS BIGINT)"
+        dow = "dayofweek(CAST(ts AS DATE)) + 1"
+        big = "HUGEINT"
+    else:
+        cents = "CAST(value * 100 + 0.5 AS BIGINT)"
+        dow = "dayofweek(CAST(ts AS DATE))"
+        big = "DECIMAL(38,0)"
+    piv_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN dow = {g} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{g},\n             "
+        f"CAST(sum(CASE WHEN dow = {g} THEN v ELSE 0 END) AS BIGINT)"
+        f" AS s_{g},\n             "
+        f"sum(CASE WHEN dow = {g} THEN CAST(v AS {big}) * v"
+        f" ELSE CAST(0 AS {big}) END) AS sq_{g}"
+        for g in range(1, 8)
+    )
+    c_cols = ",\n             ".join(
+        f"CAST(n_{g} AS {big}) * sq_{g} - CAST(s_{g} AS {big}) * s_{g}"
+        f" AS c_{g}"
+        for g in range(1, 8)
+    )
+    # SSW as a PINNED-ORDER 7-term double sum (groupBy float sums have
+    # no deterministic order; a literal left-to-right chain does)
+    ssw = " + ".join(f"CAST(c_{g} AS DOUBLE) / n_{g}" for g in range(1, 8))
+    ntot = " + ".join(f"n_{g}" for g in range(1, 8))
+    pair_rows = []
+    for i in range(1, 8):
+        for j in range(i + 1, 8):
+            d = f"(CAST(s_{i} AS DOUBLE) / n_{i} - CAST(s_{j} AS DOUBLE) / n_{j})"
+            q2 = (
+                f"2.0 * {d} * {d}"
+                f" / (msw * (1.0 / n_{i} + 1.0 / n_{j}))"
+            )
+            pair_rows.append(
+                f"SELECT CAST({i} AS BIGINT) AS dow_a,"
+                f" CAST({j} AS BIGINT) AS dow_b,"
+                f" n_{i} AS n_a, n_{j} AS n_b,"
+                f" round(CAST(s_{i} AS DOUBLE) / n_{i} / 100.0, 6)"
+                f" AS mean_a,"
+                f" round(CAST(s_{j} AS DOUBLE) / n_{j} / 100.0, 6)"
+                f" AS mean_b,"
+                f" round(sqrt({q2}), 6) AS q_stat,"
+                f" CASE WHEN {q2} > {_TUKEY_Q2_CRIT} THEN 1 ELSE 0 END"
+                f" AS significant"
+                f" FROM m"
+            )
+    pairs = "\n    UNION ALL\n    ".join(pair_rows)
+    stack = f"""
+    WITH e AS (
+      SELECT {dow} AS dow, {cents} AS v FROM events),
+    piv AS (
+      SELECT {piv_cols}
+      FROM e),
+    cc AS (
+      SELECT *,
+             {c_cols}
+      FROM piv),
+    m AS (
+      SELECT *,
+             ({ssw}) / (({ntot}) - 7) AS msw
+      FROM cc)
+    """
+    return stack, pairs
+
+
+def _tukey_oracle() -> str:
+    stack, pairs = _tukey_sql("duck")
+    return f"{stack}\n    {pairs}\n    ORDER BY dow_a, dow_b"
+
+
+@query("agg_tukey_hsd_qstat", oracle=_tukey_oracle())
+def agg_tukey_hsd_qstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY HSD PAIRWISE q STATISTICS over the 7 day-of-week groups
+    of event value (cents): the PARAMETRIC post-hoc that follows a
+    significant one-way ANOVA (agg_anova_oneway / agg_dow_anova) —
+    for every group pair, the studentized-range statistic
+    q = |m_i - m_j| / sqrt(MSW/2 * (1/n_i + 1/n_j)) and the
+    significance call against q_crit(k=7, df=inf, .05) = 4.17.
+    Sibling differentiation: agg_dunn_posthoc is the NONPARAMETRIC
+    post-hoc (rank sums after Kruskal-Wallis); this op is the
+    equal-variance parametric ladder rung, and the two together are
+    the standard report pair.
+
+    Parity: cents are exact integers; per-group moments and centered
+    c_g = n_g*Sxx_g - S_g^2 are exact DECIMAL(38,0)/HUGEINT; the
+    7 groups PIVOT into one row so SSW = sum_g c_g/n_g is a
+    LITERAL 7-term left-to-right double chain — pinned order, no
+    unordered float aggregation anywhere; q and the crit compare then
+    evaluate on bit-identical doubles (IEEE ops + correctly-rounded
+    sqrt; 17.3889 parses identically).  Spark dayofweek is 1-7
+    Sun-Sat; DuckDB's 0-6 shifts by +1 (round-9 rule).
+
+    Shape at 100 TB: ONE map-side-combined scan produces the 21
+    conditional-aggregate columns (plain CASE sums); the 1-row m
+    frame is localCheckpoint-ed before the 21 pair branches reference
+    it (the bounded-intermediate rule — the lazy UNION would
+    re-derive the scan once per branch; pinned at 1 scan, i.e. 0 in
+    the post-ckpt plan, by tests/test_plans.py)."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    stack, pairs = _tukey_sql("spark")
+    m = spark.sql(f"{stack}\n    SELECT * FROM m").localCheckpoint()
+    m.createOrReplaceTempView("tukey_m_ckpt")
+    return spark.sql(
+        pairs.replace("FROM m", "FROM tukey_m_ckpt")
+        + "\n    ORDER BY dow_a, dow_b"
+    )

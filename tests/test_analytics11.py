@@ -362,3 +362,58 @@ def test_tukey_hsd_matches_numpy(spark, sf_dir):
             assert abs(row["mean_b"] - mj / 100) < 1e-6
             assert abs(row["q_stat"] - np.sqrt(q2)) < 1e-5
             assert row["significant"] == (1 if q2 > 17.3889 else 0)
+
+
+def test_metadata_filter_matches_python(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        _IMG_MAX_ASPECT,
+        _IMG_MIN_SIDE,
+        multimodal_metadata_filter,
+    )
+
+    out = multimodal_metadata_filter(spark, sf_dir).toPandas().set_index("stage")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    p1 = p2 = p3 = 0
+    for text in docs["text"]:
+        p = text.encode()
+        n, first, last = len(p), p[0], p[-1]
+        w = 16 + (n * 7 + first) % 1009
+        h = 16 + (n * 13 + last) % 1009
+        fmt = ["jpeg", "png", "webp"][n % 3]
+        a = min(w, h) >= _IMG_MIN_SIDE
+        b = a and _IMG_MAX_ASPECT * min(w, h) >= max(w, h)
+        c = b and fmt != "webp"
+        p1 += a
+        p2 += b
+        p3 += c
+    nt = len(docs)
+    assert list(out["n_pass"]) == [p1, p2, p3]
+    assert (out["n_total"] == nt).all()
+    for stage, np_ in zip(("1_min_dim", "2_aspect", "3_format"), (p1, p2, p3)):
+        assert out.loc[stage, "pass_rate"] == round(np_ / nt, 6)
+    # funnel must be monotone and non-degenerate
+    assert nt >= p1 >= p2 >= p3 and 0 < p3 < nt
+
+
+def test_audio_frames_matches_python(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        _PCM_FRAME,
+        _PCM_HOP,
+        _PCM_SR,
+        multimodal_audio_frames,
+    )
+
+    out = multimodal_audio_frames(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    for _, r in docs.iterrows():
+        p = r["text"].encode()
+        ns = len(p) // 2
+        row = out.loc[r["doc_id"]]
+        assert row["n_bytes"] == len(p)
+        assert row["n_samples"] == ns
+        assert row["duration_ms"] == ns * 1000 // _PCM_SR
+        nf = 1 + (ns - _PCM_FRAME) // _PCM_HOP if ns >= _PCM_FRAME else 0
+        assert row["n_frames"] == nf
+        assert row["first_sample_u16"] == p[0] + 256 * p[1]

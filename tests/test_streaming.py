@@ -426,3 +426,75 @@ def test_srm_guardrail_live_equals_batch_check(spark, sf_dir):
         "user_id"
     ].nunique()
     assert live[0].n_arm_a + live[0].n_arm_b == n_users
+
+
+def test_retention_cohort_live_matches_python_grid(spark, sf_dir):
+    """Drained (cohort x day-offset) sums == the batch distinct-user
+    grid recomputed in pandas — the increment identity holds for any
+    batching; retention denominators are the day-0 cohort rows."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.streaming.core import (
+        stream_retention_cohort_live,
+    )
+
+    out = stream_retention_cohort_live(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["user_id", "ts"]]
+    ev = ev.assign(day=ev["ts"].dt.normalize())
+    first = ev.groupby("user_id")["day"].min().rename("cohort")
+    a = ev.merge(first, on="user_id")[["user_id", "cohort", "day"]]
+    grid = (
+        a.drop_duplicates()
+        .groupby(["cohort", "day"])["user_id"]
+        .size()
+        .reset_index(name="n")
+    )
+    cohort_n = {
+        r["cohort"]: r["n"]
+        for _, r in grid.iterrows()
+        if r["cohort"] == r["day"]
+    }
+    exp = {
+        (
+            r["cohort"].date(),
+            int((r["day"] - r["cohort"]).days),
+        ): (r["n"], round(r["n"] / cohort_n[r["cohort"]], 6))
+        for _, r in grid.iterrows()
+    }
+    got = {
+        (r.cohort_day, int(r.day_offset)): (r.n_users, r.retention)
+        for r in out.itertuples()
+    }
+    assert got == exp
+    # every cohort has its day-0 row at retention 1.0
+    assert all(
+        got[(c, 0)][1] == 1.0 for c in {k[0] for k in got}
+    )
+
+
+def test_heavy_hitters_live_matches_exact_and_superset(spark, sf_dir):
+    """Output == the exact 1.15x-mean frequent set (pandas recompute),
+    and the MG error bound genuinely holds at this sf: threshold >>
+    n_bucket/(K+1)."""
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.streaming.core import (
+        _HH_BUCKETS,
+        _HH_COUNTERS,
+        stream_heavy_hitters_live,
+    )
+
+    out = stream_heavy_hitters_live(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["user_id"]]
+    c = ev.groupby("user_id").size()
+    u, n = len(c), int(c.sum())
+    exact = {
+        (int(uid), int(cnt)) for uid, cnt in c.items() if 20 * u * cnt >= 23 * n
+    }
+    assert {(int(r.user_id), int(r.cnt)) for r in out.itertuples()} == exact
+    assert len(exact) >= 1
+    for r in out.itertuples():
+        assert r.lift == round(r.cnt * u / n, 6)
+    # the superset precondition: threshold above the worst-case MG error
+    worst_bucket = ev.assign(b=ev["user_id"] % _HH_BUCKETS).groupby("b").size().max()
+    assert 23 * n / (20 * u) > worst_bucket / (_HH_COUNTERS + 1)

@@ -1845,3 +1845,263 @@ def stream_funnel_stage_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_retention_cohort_live
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_retention_cohort_live",
+    # Full oracle via the per-batch INCREMENT identity: state carries
+    # each user's cohort day + a seen-day bitmask, emits +1 exactly
+    # when a (user, day) pair is first seen, so the drained sums equal
+    # the batch count-distinct-users per (cohort, active day) grid for
+    # ANY batching.
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS cohort FROM u GROUP BY user_id),
+    a AS (SELECT DISTINCT u.user_id, f.cohort, u.day
+          FROM u JOIN f ON u.user_id = f.user_id),
+    c AS (SELECT cohort, day, CAST(count(*) AS BIGINT) AS n_users
+          FROM a GROUP BY 1, 2),
+    cs AS (SELECT cohort, n_users AS cohort_n FROM c WHERE day = cohort)
+    SELECT c.cohort AS cohort_day,
+           CAST(date_diff('day', c.cohort, c.day) AS BIGINT) AS day_offset,
+           c.n_users,
+           round(CAST(c.n_users AS DOUBLE) / cs.cohort_n, 6) AS retention
+    FROM c JOIN cs ON c.cohort = cs.cohort
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def stream_retention_cohort_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE COHORT-RETENTION GRID via applyInPandasWithState — the
+    daily (cohort x day-offset) active-user matrix maintained online,
+    the streaming twin of win_retention_cohort (which builds the
+    weekly grid in batch): growth dashboards watch this table tick
+    per micro-batch.  State per user: the cohort day (first-seen,
+    exact under the time-ordered replay) plus a SEEN-DAY BITMASK
+    (int64 — the fixture spans exactly 30 days, round-8 fact; the
+    fold raises past 62 offsets so a changed fixture breaks loudly);
+    each first sighting of a (user, day) pair emits one +1 increment
+    row, so the drained per-(cohort, day) sums equal the batch
+    count-distinct grid for ANY batching — the markov-live increment
+    identity — and the op carries the full batch oracle.
+
+    Parity: days are exact epoch-day integers (unix_micros div
+    86400000000 under the UTC session == CAST(ts AS DATE));
+    retention divides two exact counts, round(6).
+
+    Bounded state (2 int64 per user); emitted rows <= 30 per user
+    over the whole stream; the drain-side grid is <= 30 x 30 rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    day_us = 86_400_000_000
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cohort, mask = state.get
+        else:
+            cohort, mask = -1, 0
+        out = []
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
+            for us in part["us"]:
+                d = int(us) // day_us
+                if cohort < 0:
+                    cohort = d
+                off = d - cohort
+                if off > 62:  # bitmask capacity — 30-day fixture contract
+                    raise ValueError("day span exceeds retention bitmask")
+                bit = 1 << off
+                if not mask & bit:
+                    mask |= bit
+                    out.append((cohort, d))
+        state.update((cohort, mask))
+        yield pd.DataFrame(out, columns=["cohort_d", "day_d"])
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="cohort_d bigint, day_d bigint",
+        stateStructType="cohort bigint, mask bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "retention_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    c = (
+        spark.table("retention_live")
+        .groupBy("cohort_d", "day_d")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .localCheckpoint()  # bounded 30x30 grid referenced twice
+    )
+    cs = c.where(F.col("day_d") == F.col("cohort_d")).select(
+        F.col("cohort_d").alias("cs_d"), F.col("n_users").alias("cohort_n")
+    )
+    return (
+        c.join(F.broadcast(cs), c.cohort_d == cs.cs_d)
+        .selectExpr(
+            "date_add(DATE'1970-01-01', CAST(cohort_d AS INT)) AS cohort_day",
+            "day_d - cohort_d AS day_offset",
+            "n_users",
+            "round(CAST(n_users AS DOUBLE) / cohort_n, 6) AS retention",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_heavy_hitters_live
+# ---------------------------------------------------------------------------
+
+_HH_BUCKETS = 8
+_HH_COUNTERS = 256  # MG summary size per bucket
+
+
+@query(
+    "stream_heavy_hitters_live",
+    # Full oracle via the MG SUPERSET + EXACT RECOUNT identity: the
+    # drained candidates contain every user above the threshold for
+    # any arrival order (per-bucket MG error <= n_bucket/(K+1), an
+    # order of magnitude below the threshold at every sf), and the
+    # recount-then-filter output is therefore the exact frequent set
+    # however the stream was batched.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS u,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM c)
+    SELECT c.user_id, c.cnt,
+           round(CAST(c.cnt AS DOUBLE) * t.u / t.n, 6) AS lift
+    FROM c, t
+    WHERE 20 * t.u * c.cnt >= 23 * t.n
+    ORDER BY c.cnt DESC, c.user_id
+    """,
+)
+def stream_heavy_hitters_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE HEAVY-HITTER DETECTION: a keyed Misra-Gries summary
+    maintained in streaming state (K=256 counters per hash bucket,
+    8 buckets), drained and EXACTLY RECOUNTED — the standard two-pass
+    frequent-items architecture (candidates online with O(K) memory,
+    one exact aggregate over the tiny candidate set offline).  The
+    streaming sibling of text_heavy_hitters (batch MG over tokens):
+    here the state store carries the summary ACROSS micro-batches,
+    the shape of a production per-key abuse/quota monitor.  A user is
+    a heavy hitter when its event count reaches 1.15x the per-user
+    mean (integer-exact gate 20*u*cnt >= 23*n; measured 1/23/189
+    hitters at sf0.001/0.01/0.1).
+
+    Correctness bound (why the oracle is FULL despite MG being
+    order-dependent): per bucket, MG with K counters undercounts any
+    item by at most n_bucket/(K+1); uniform user-id buckets give
+    n_bucket ~= n/8, so the error <= n/2056 — while the threshold is
+    ~n/130 per user mean at every sf (15-1500 users) — so every true
+    hitter SURVIVES the summary for any arrival order, and the exact
+    recount filters the superset to the same final set the batch
+    query computes.  The candidate emissions carry a monotone seq (=
+    events folded) and the drain keeps each bucket's LAST summary.
+
+    Parity: output counts are exact integers from the recount; lift
+    divides exact integers, round(6).
+
+    Bounded state (2 x K int64 arrays per bucket); candidate frame
+    <= 8*K rows; the recount joins it broadcast against the user
+    aggregate — the only fact-scale pass."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k_cap = _HH_COUNTERS
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ids, cnts, n = state.get
+            mg = dict(zip(ids, cnts))
+        else:
+            mg, n = {}, 0
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
+            for u in part["user_id"]:
+                u = int(u)
+                if u in mg:
+                    mg[u] += 1
+                elif len(mg) < k_cap:
+                    mg[u] = 1
+                else:  # decrement-all round (amortized O(1): each
+                    # round retires K+1 stream mass)
+                    mg = {i: c - 1 for i, c in mg.items() if c > 1}
+            n += len(part)
+        state.update((list(mg.keys()), list(mg.values()), n))
+        yield pd.DataFrame(
+            [(int(key[0]), n, u, c) for u, c in mg.items()],
+            columns=["bucket", "seq", "user_id", "mg_cnt"],
+        )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        F.expr(f"pmod(user_id, {_HH_BUCKETS})").alias("bucket"),
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    out = stream.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "bucket bigint, seq bigint, user_id bigint, mg_cnt bigint"
+        ),
+        stateStructType="ids array<bigint>, cnts array<bigint>, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "hh_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    drained = spark.table("hh_live").localCheckpoint()  # bounded
+    # 8*K rows per batch; referenced twice (max-seq + candidate join)
+    last = drained.groupBy("bucket").agg(F.max("seq").alias("mseq"))
+    last = last.select(F.col("bucket").alias("lbucket"), "mseq")
+    cands = (
+        drained.join(
+            F.broadcast(last),
+            (F.col("bucket") == F.col("lbucket"))
+            & (F.col("seq") == F.col("mseq")),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = counts.agg(
+        F.count("*").cast("bigint").alias("u"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    return (
+        counts.join(F.broadcast(cands), "user_id")
+        .crossJoin(F.broadcast(tot))
+        .where(F.expr("20 * u * cnt >= 23 * n"))
+        .selectExpr(
+            "user_id",
+            "cnt",
+            "round(CAST(cnt AS DOUBLE) * u / n, 6) AS lift",
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+    )

@@ -417,3 +417,132 @@ def test_audio_frames_matches_python(spark, sf_dir):
         nf = 1 + (ns - _PCM_FRAME) // _PCM_HOP if ns >= _PCM_FRAME else 0
         assert row["n_frames"] == nf
         assert row["first_sample_u16"] == p[0] + 256 * p[1]
+
+
+def test_betweenness_seeds_matches_python_brandes(spark, sf_dir):
+    """Independent truncated-Brandes recompute (dict/BFS) with the
+    same round(9)-per-term quantization, compared at round(6)."""
+    import collections
+    from decimal import Decimal
+
+    from vectordb_agentic_rag_spark.operators.analytics11 import (
+        _BT_DEPTH,
+        _BT_SEEDS,
+        _BT_TOPK,
+        graph_betweenness_seeds,
+    )
+
+    out = graph_betweenness_seeds(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    sup = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    adj: dict[int, set] = {}
+    for (u, v), c in sup.items():
+        if c >= 2:
+            adj.setdefault(int(u), set()).add(int(v))
+            adj.setdefault(int(v), set()).add(int(u))
+    seeds = sorted(adj, key=lambda m: (-len(adj[m]), m))[:_BT_SEEDS]
+    bt: dict[int, Decimal] = {}
+    for s in seeds:
+        depth = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        by_depth = {0: [s]}
+        for d in range(1, _BT_DEPTH + 1):
+            nxt = collections.defaultdict(int)
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in depth:
+                        nxt[w] += sigma[u]
+            frontier = []
+            for w, sg in nxt.items():
+                depth[w] = d
+                sigma[w] = sg
+                frontier.append(w)
+            by_depth[d] = list(frontier)
+        delta: dict[int, Decimal] = {}
+        for d in range(_BT_DEPTH - 1, 0, -1):
+            for v in by_depth[d]:
+                terms = [
+                    Decimal(
+                        str(
+                            round(
+                                sigma[v]
+                                / sigma[w]
+                                * (1.0 + float(delta.get(w, Decimal(0)))),
+                                9,
+                            )
+                        )
+                    )
+                    for w in adj[v]
+                    if depth.get(w) == d + 1
+                ]
+                if terms:
+                    delta[v] = sum(terms, Decimal(0))
+        for v, dl in delta.items():
+            bt[v] = bt.get(v, Decimal(0)) + dl
+    top = sorted(bt.items(), key=lambda kv: (-kv[1], kv[0]))[:_BT_TOPK]
+    exp = [(v, round(float(d), 6)) for v, d in top]
+    got = [(int(r.part), r.betweenness) for r in out.itertuples()]
+    assert got == exp
+    assert len(got) >= 1 and got[0][1] > 0
+
+
+def test_team_draft_interleave_matches_python_sim(spark, sf_dir):
+    """Rebuild both rankings (BM25 + keyword overlap, round(6)-score
+    order with id tie-break) and simulate the deterministic draft in
+    plain Python."""
+    import math
+
+    from vectordb_agentic_rag_spark.operators.rag import (
+        _BM25_B,
+        _BM25_K1,
+        _KEYWORDS,
+        _TDI_N,
+        rag_team_draft_interleave,
+    )
+
+    out = rag_team_draft_interleave(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = {r["doc_id"]: r["text"].split(" ") for _, r in docs.iterrows()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {
+        w: sum(1 for t in toks.values() if w in t) for w in _KEYWORDS
+    }
+    bm_scores = {}
+    ov_scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for w in _KEYWORDS:
+            tf = t.count(w)
+            idf = math.log(1 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            s += (
+                idf
+                * (tf * (_BM25_K1 + 1))
+                / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(t) / avgdl))
+            )
+        bm_scores[d] = round(s, 6)
+        ov_scores[d] = sum(1 for w in _KEYWORDS if w in t)
+    la = [d for d, _ in sorted(bm_scores.items(), key=lambda kv: (-kv[1], kv[0]))][:_TDI_N]
+    lb = [d for d, _ in sorted(ov_scores.items(), key=lambda kv: (-kv[1], kv[0]))][:_TDI_N]
+    picked: set = set()
+    draft = []
+    for r in range(1, _TDI_N + 1):
+        order = [("A", la), ("B", lb)] if r % 2 == 1 else [("B", lb), ("A", la)]
+        for team, lst in order:
+            nxt = next((d for d in lst if d not in picked), None)
+            if nxt is not None:
+                picked.add(nxt)
+                draft.append((nxt, team))
+    exp = [(i + 1, d, t) for i, (d, t) in enumerate(draft[:_TDI_N])]
+    got = [(int(r.pos), int(r.doc_id), r.team) for r in out.itertuples()]
+    assert got == exp
+    # both teams genuinely contribute
+    teams = {t for _, _, t in got}
+    assert teams == {"A", "B"}

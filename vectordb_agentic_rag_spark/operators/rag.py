@@ -775,3 +775,221 @@ def rag_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_team_draft_interleave
+# ---------------------------------------------------------------------------
+
+_TDI_N = 10  # per-retriever list length and interleaved output length
+
+
+def _tdi_oracle() -> str:
+    bm25_score = " + ".join(
+        f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+        f"(len(list_filter(tk, x -> x = '{t}')) * ({_BM25_K1} + 1)) / "
+        f"(len(list_filter(tk, x -> x = '{t}')) + {_BM25_K1} * "
+        f"(1 - {_BM25_B} + {_BM25_B} * len(tk) / avgdl)))"
+        for i, t in enumerate(_KEYWORDS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{i}"
+        for i, t in enumerate(_KEYWORDS)
+    )
+    # one draft round r: the odd-round team (A = bm25) picks first,
+    # then the other — each taking its highest-ranked not-yet-picked
+    # doc; DuckDB list indexing returns NULL past the end, so
+    # exhausted lists skip naturally
+    lx = "CASE WHEN (rnd + 1) % 2 = 1 THEN la ELSE lb END"
+    ly = "CASE WHEN (rnd + 1) % 2 = 1 THEN lb ELSE la END"
+    tx = "CASE WHEN (rnd + 1) % 2 = 1 THEN 'A' ELSE 'B' END"
+    ty = "CASE WHEN (rnd + 1) % 2 = 1 THEN 'B' ELSE 'A' END"
+    p1 = f"list_filter({lx}, d -> NOT list_contains(picked, d))[1]"
+    pk1 = f"CASE WHEN {p1} IS NULL THEN picked ELSE list_append(picked, {p1}) END"
+    p2 = f"list_filter({ly}, d -> NOT list_contains({pk1}, d))[1]"
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl, {dfs}
+      FROM toks),
+    bm AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY
+               round({bm25_score}, 6) DESC, doc_id) AS r
+        FROM toks CROSS JOIN stats) t
+      WHERE r <= {_TDI_N} ORDER BY r),
+    ov AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY
+               len(list_filter({_KEYWORDS}, kw -> list_contains(tk, kw)))
+                 DESC, doc_id) AS r
+        FROM toks) t
+      WHERE r <= {_TDI_N} ORDER BY r),
+    lists AS (
+      SELECT (SELECT list(doc_id) FROM bm) AS la,
+             (SELECT list(doc_id) FROM ov) AS lb),
+    draft AS (
+      SELECT 0 AS rnd,
+             CAST([] AS BIGINT[]) AS picked,
+             CAST([] AS BIGINT[]) AS docs,
+             CAST([] AS VARCHAR[]) AS teams
+      UNION ALL
+      SELECT rnd + 1,
+             CASE WHEN {p2} IS NULL THEN {pk1}
+                  ELSE list_append({pk1}, {p2}) END,
+             list_concat(docs, list_concat(
+               CASE WHEN {p1} IS NULL THEN CAST([] AS BIGINT[])
+                    ELSE [{p1}] END,
+               CASE WHEN {p2} IS NULL THEN CAST([] AS BIGINT[])
+                    ELSE [{p2}] END)),
+             list_concat(teams, list_concat(
+               CASE WHEN {p1} IS NULL THEN CAST([] AS VARCHAR[])
+                    ELSE [{tx}] END,
+               CASE WHEN {p2} IS NULL THEN CAST([] AS VARCHAR[])
+                    ELSE [{ty}] END))
+      FROM draft, lists WHERE rnd < {_TDI_N}),
+    fin AS (
+      SELECT docs, teams FROM draft WHERE rnd = {_TDI_N})
+    SELECT CAST(i AS BIGINT) AS pos,
+           docs[i] AS doc_id,
+           teams[i] AS team
+    FROM fin, (SELECT unnest(generate_series(1, {_TDI_N})) AS i)
+    ORDER BY pos
+    """
+
+
+@query("rag_team_draft_interleave", oracle=_tdi_oracle())
+def rag_team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEAM-DRAFT INTERLEAVING (Radlinski et al.) of the two
+    retrievers rag_rrf_fusion fuses offline — BM25 (team A) vs exact
+    keyword-overlap (team B): the ONLINE ranker-evaluation arm of the
+    rag family.  Production search evaluates ranker B against ranker
+    A by showing ONE interleaved list and crediting clicks to the
+    team that contributed the clicked document; this op emits that
+    interleaved list with team attribution (pos, doc_id, team).  The
+    draft is the standard one with a DETERMINISTIC coin — round
+    parity decides which team picks first (odd rounds A, even B), so
+    over 10 rounds each team gets 5 first picks and the assignment is
+    reproducible; each pick takes the team's highest-ranked document
+    not yet drafted, skipping naturally when a list is exhausted.
+
+    Parity: the two input rankings are the rrf machinery's
+    (round(6)-score DESC, doc_id) orders — rank parity exact; the
+    draft itself is pure integer/array logic (filter, contains,
+    append) folded in pinned round order on both engines (Spark
+    aggregate() over sequence(1,10) with a picked/docs/teams struct;
+    DuckDB a recursive CTE stepping the same expressions) — no floats
+    anywhere in the fold.
+
+    Shape at 100 TB: both candidate lists are orderBy+limit
+    TakeOrderedAndProject gates (never a global sort); the draft runs
+    on ONE row carrying two 10-element arrays."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    tf = lambda t: F.size(F.filter("tk", lambda x: x == F.lit(t)))  # noqa: E731
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("tk")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("tk", t).cast("bigint")).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    dl = F.size("tk")
+    score = None
+    for i, t in enumerate(_BM25_TERMS):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        term = (
+            idf
+            * (tf(t) * (_BM25_K1 + 1))
+            / (tf(t) + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    n_overlap = F.size(F.filter(kw_arr, lambda kw: F.array_contains("tk", kw)))
+    bm = (
+        toks.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_TDI_N)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id")),
+        )
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(r, doc_id))),"
+                " x -> x.doc_id)"
+            ).alias("la")
+        )
+    )
+    ov = (
+        toks.select("doc_id", n_overlap.alias("ovl"))
+        .orderBy(F.col("ovl").desc(), "doc_id")
+        .limit(_TDI_N)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("ovl").desc(), "doc_id")
+            ),
+        )
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(r, doc_id))),"
+                " x -> x.doc_id)"
+            ).alias("lb")
+        )
+    )
+    lists = bm.crossJoin(F.broadcast(ov))
+    lx = "CASE WHEN r % 2 = 1 THEN la ELSE lb END"
+    ly = "CASE WHEN r % 2 = 1 THEN lb ELSE la END"
+    tx = "CASE WHEN r % 2 = 1 THEN 'A' ELSE 'B' END"
+    ty = "CASE WHEN r % 2 = 1 THEN 'B' ELSE 'A' END"
+    f1 = f"filter({lx}, d -> NOT array_contains(s.picked, d))"
+    p1 = f"CASE WHEN size({f1}) >= 1 THEN element_at({f1}, 1) END"
+    pk1 = (
+        f"CASE WHEN ({p1}) IS NULL THEN s.picked"
+        f" ELSE concat(s.picked, array({p1})) END"
+    )
+    f2 = f"filter({ly}, d -> NOT array_contains({pk1}, d))"
+    p2 = f"CASE WHEN size({f2}) >= 1 THEN element_at({f2}, 1) END"
+    fold = (
+        f"aggregate(sequence(1, {_TDI_N}), "
+        "named_struct("
+        "'picked', CAST(array() AS ARRAY<BIGINT>), "
+        "'docs', CAST(array() AS ARRAY<BIGINT>), "
+        "'teams', CAST(array() AS ARRAY<STRING>)), "
+        f"(s, r) -> named_struct("
+        f"'picked', CASE WHEN ({p2}) IS NULL THEN {pk1}"
+        f" ELSE concat({pk1}, array({p2})) END, "
+        f"'docs', concat(s.docs,"
+        f" CASE WHEN ({p1}) IS NULL THEN CAST(array() AS ARRAY<BIGINT>)"
+        f" ELSE array({p1}) END,"
+        f" CASE WHEN ({p2}) IS NULL THEN CAST(array() AS ARRAY<BIGINT>)"
+        f" ELSE array({p2}) END), "
+        f"'teams', concat(s.teams,"
+        f" CASE WHEN ({p1}) IS NULL THEN CAST(array() AS ARRAY<STRING>)"
+        f" ELSE array({tx}) END,"
+        f" CASE WHEN ({p2}) IS NULL THEN CAST(array() AS ARRAY<STRING>)"
+        f" ELSE array({ty}) END)))"
+    )
+    return (
+        lists.select(F.expr(fold).alias("st"))
+        .select(
+            F.posexplode(
+                F.expr(f"slice(arrays_zip(st.docs, st.teams), 1, {_TDI_N})")
+            ).alias("p0", "z")
+        )
+        .selectExpr(
+            "CAST(p0 + 1 AS BIGINT) AS pos",
+            "z.docs AS doc_id",
+            "z.teams AS team",
+        )
+        .orderBy("pos")
+    )

@@ -68,7 +68,17 @@ def main() -> None:
         print(f"[{i + 1}/{len(names)}] {name}: "
               f"{len(results.get(name, {}).get('unpartitioned', []))} hits",
               flush=True)
-    with open("/root/repo/WINDOW_AUDIT.json", "w") as f:
+    out_path = "/root/repo/WINDOW_AUDIT.json"
+    if len(sys.argv) > 1:  # subset run: MERGE into the full audit,
+        # never clobber it (cost one restore in round 11)
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(results)
+        results = merged
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     hits = [n for n, r in results.items() if r.get("unpartitioned")]
     errs = [n for n, r in results.items() if "error" in r]

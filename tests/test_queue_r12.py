@@ -1,0 +1,108 @@
+"""Recompute pytests for the round-12 queued ops (implemented round 11,
+registration deferred — see registry._DEFERRED_OPERATOR_MODULES).
+Plain-Python re-derivations from the raw parquet: independent of both
+engines, so a logic bug mirrored into the oracle cannot hide."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def test_lindley_backlog_matches_python_fold(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        win_lindley_queue_backlog,
+    )
+
+    out = win_lindley_queue_backlog(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["ts"]]
+    a = ev.groupby(ev["ts"].dt.normalize()).size().sort_index()
+    cap = int(a.sum()) // len(a)
+    b = 0
+    exp = []
+    for day, arr in a.items():
+        b = max(0, b + int(arr) - cap)
+        exp.append((day.date(), int(arr), cap, b, 1 if b > 0 else 0))
+    got = [
+        (r.day, int(r.arrivals), int(r.capacity), int(r.backlog),
+         int(r.overloaded))
+        for r in out.itertuples()
+    ]
+    assert got == exp
+    # capacity at the mean makes SOME day overloaded at every sf
+    assert any(o for *_, o in got)
+
+
+def test_filter_ablation_matches_python(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics2 import (
+        _GOPHER_MAX_DUPF,
+        _GOPHER_MAX_MWL,
+        _GOPHER_MAX_TOPR,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_MWL,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MIN_WORDS,
+    )
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        pipeline_filter_ablation,
+    )
+
+    out = pipeline_filter_ablation(spark, sf_dir).toPandas().set_index("stage")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    flags = []
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        nw = len(tk)
+        mwl = (r.n_chars - nw + 1.0) / nw
+        stop = sum(1 for w in tk if w in ("the", "a"))
+        if nw >= 2:
+            bigs = {f"{tk[i]} {tk[i + 1]}" for i in range(nw - 1)}
+            dupf = 1.0 - len(bigs) / (nw - 1.0)
+        else:
+            dupf = 0.0
+        topr = max(tk.count(w) for w in set(tk)) / nw
+        flags.append(
+            (
+                _GOPHER_MIN_WORDS <= nw <= _GOPHER_MAX_WORDS,
+                _GOPHER_MIN_MWL <= mwl <= _GOPHER_MAX_MWL,
+                stop >= _GOPHER_MIN_STOP,
+                dupf <= _GOPHER_MAX_DUPF,
+                topr <= _GOPHER_MAX_TOPR,
+            )
+        )
+    n = len(flags)
+    keep_all = sum(all(f) for f in flags)
+    assert out.loc["all", "n_keep"] == keep_all
+    names = ["1_words", "2_word_len", "3_stopwords", "4_dup_bigram",
+             "5_top_word"]
+    for i, name in enumerate(names):
+        wo = sum(all(f[j] for j in range(5) if j != i) for f in flags)
+        row = out.loc[name]
+        assert row["n_keep"] == wo
+        assert row["marginal_removed_by_gate"] == wo - keep_all
+        assert row["n_total"] == n
+        assert row["keep_rate"] == round(wo / n, 6)
+    # at least one gate must have unique bite on this corpus
+    assert out["marginal_removed_by_gate"].max() > 0
+
+
+def test_dkw_bands_match_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        agg_dkw_cdf_bands,
+    )
+
+    out = agg_dkw_cdf_bands(spark, sf_dir).toPandas().set_index("decile")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    v = np.sort(np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64"))
+    n = len(v)
+    eps = math.sqrt(math.log(2 / 0.05) / (2 * n))
+    for d in range(1, 10):
+        k = -(-d * n // 10)  # ceil(d*n/10)
+        x = v[k - 1]
+        ecdf = np.searchsorted(v, x, side="right") / n
+        row = out.loc[d]
+        assert row["value_cents"] == x
+        assert row["ecdf"] == round(ecdf, 6)
+        assert abs(row["eps"] - round(eps, 6)) <= 1e-9
+        assert row["band_lo"] == round(max(0.0, ecdf - eps), 6)
+        assert row["band_hi"] == round(min(1.0, ecdf + eps), 6)

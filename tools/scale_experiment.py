@@ -328,6 +328,23 @@ OPS = [
     ("maintenance_join_key_skew", "lineitem"),
     ("vec_dim_variance_profile", "embeddings"),
     ("text_dsir_importance_weights", "documents"),
+    # round-11 wave 3 (streaming ops audited via their batch twins;
+    # rag_team_draft_interleave's cost is the two orderBy+limit gates
+    # over documents, the rrf shape already audited via rag_bm25_topk)
+    ("maintenance_join_cardinality_estimate", "lineitem"),
+    ("maintenance_freshness_lag_report", "events"),
+    ("agg_fulfillment_latency_profile", "lineitem"),
+    ("dedup_line_level", "documents"),
+    ("vec_nn_distance_ratio", "embeddings"),
+    ("vec_hubness_topk_counts", "embeddings"),
+    ("win_croston_intermittent", "events"),
+    ("win_peak_prominence_daily", "events"),
+    ("agg_ratio_metric_delta_ci", "events"),
+    ("agg_tukey_hsd_qstat", "events"),
+    ("multimodal_metadata_filter", "documents"),
+    ("multimodal_audio_frames", "documents"),
+    ("graph_betweenness_seeds", "lineitem"),
+    ("rag_team_draft_interleave", "documents"),
 ]
 
 

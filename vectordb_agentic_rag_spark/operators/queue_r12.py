@@ -1,0 +1,347 @@
+"""Round-12 DEFERRED queue — implemented and pytest-covered in round
+11, registered when round 12's verification window has room (the
+registry's deferred-registration contract: the round-11 window closed
+at exactly 50 never-checked ops, so these names must not displace any
+of them).  Flip this module into `_OPERATOR_MODULES` at round-12
+start.
+
+Ops:
+- win_lindley_queue_backlog — the Lindley recursion b_d = max(0,
+  b_{d-1} + arrivals_d - capacity) over the daily event counts at
+  capacity = the long-run mean: the capacity-planning view
+  (backlog/overload days) next to win_token_bucket (admission) and
+  stream_token_bucket_live; pure-BIGINT fold.
+- pipeline_filter_ablation — leave-one-out ablation of the five
+  Gopher quality gates: for each gate, how many documents the corpus
+  keeps when ONLY that gate is dropped — the marginal-strictness
+  sheet an engineer reads before tuning thresholds (the column
+  text_gopher_rules itself cannot show, since a doc can fail several
+  gates at once).
+- agg_dkw_cdf_bands — Dvoretzky-Kiefer-Wolfowitz 95% confidence bands
+  for the event-value ECDF at the nine deciles: the distribution-free
+  uncertainty a drift monitor (agg_psi_drift, agg_ks_test_two_sample)
+  should compare its deltas against.
+
+Reference analogue: none in /root/reference/app.py — QA/ops surface
+(SURVEY §2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# ---------------------------------------------------------------------------
+# win_lindley_queue_backlog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_lindley_queue_backlog",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS a
+      FROM events GROUP BY 1),
+    cap AS (
+      SELECT CAST(sum(a) // count(*) AS BIGINT) AS c FROM d),
+    s AS (
+      SELECT day, a, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM d),
+    r AS (
+      SELECT s.rn, s.day, s.a,
+             greatest(CAST(0 AS BIGINT), s.a - cap.c) AS b
+      FROM s, cap WHERE s.rn = 1
+      UNION ALL
+      SELECT s.rn, s.day, s.a,
+             greatest(CAST(0 AS BIGINT), r.b + s.a - cap.c)
+      FROM r JOIN s ON s.rn = r.rn + 1, cap)
+    SELECT r.day, r.a AS arrivals, cap.c AS capacity, r.b AS backlog,
+           CASE WHEN r.b > 0 THEN 1 ELSE 0 END AS overloaded
+    FROM r, cap
+    ORDER BY r.day
+    """,
+)
+def win_lindley_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINDLEY QUEUE-BACKLOG RECURSION over the daily event series:
+    with service capacity fixed at the long-run daily mean (total
+    events div days), the end-of-day backlog is b_d = max(0, b_{d-1}
+    + arrivals_d - capacity) — the single-server queueing identity
+    capacity planners replay to see how bursts ACCUMULATE (a day 20%
+    over mean is invisible to win_zscore_outlier if drained next day,
+    and a week of 5%-over days is invisible pointwise but grows a
+    real backlog here).  Completes the rate-control family:
+    win_token_bucket / stream_token_bucket_live decide per-event
+    ADMISSION; this op sizes the queue behind an always-admit system.
+
+    Parity: arrivals, capacity, and the fold are pure BIGINT (max and
+    +/- only — no floats anywhere); Spark folds each day's prefix via
+    aggregate() over the sorted 30-day array (croston machinery),
+    DuckDB steps the identical expression in a recursive CTE.
+
+    Shape at 100 TB: the fact scan collapses to the 30-row day domain
+    in one map-side-combined aggregate; the fold runs on one bounded
+    array (shard by queue/series key for a multi-queue corpus)."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    cap = d.agg(
+        F.expr("CAST(sum(a) div count(*) AS BIGINT)").alias("c")
+    )
+    one = d.crossJoin(F.broadcast(cap)).groupBy("c").agg(
+        F.sort_array(F.collect_list(F.struct("day", "a"))).alias("qs")
+    )
+    rows = one.select(
+        "c",
+        F.expr(
+            "transform(sequence(1, CAST(size(qs) AS INT)), i ->"
+            " named_struct("
+            "'day', element_at(qs, i).day,"
+            "'a', element_at(qs, i).a,"
+            "'b', aggregate(slice(qs, 1, i), CAST(0 AS BIGINT),"
+            " (s, x) -> greatest(CAST(0 AS BIGINT), s + x.a - c))))"
+        ).alias("rs"),
+    )
+    return (
+        rows.select("c", F.explode("rs").alias("r"))
+        .selectExpr(
+            "r.day AS day",
+            "r.a AS arrivals",
+            "c AS capacity",
+            "r.b AS backlog",
+            "CASE WHEN r.b > 0 THEN 1 ELSE 0 END AS overloaded",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_filter_ablation
+# ---------------------------------------------------------------------------
+
+
+def _ablation_sql(dialect: str) -> str:
+    from .analytics2 import (
+        _GOPHER_MAX_DUPF,
+        _GOPHER_MAX_MWL,
+        _GOPHER_MAX_TOPR,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_MWL,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MIN_WORDS,
+    )
+
+    if dialect == "duck":
+        metrics = """
+      SELECT doc_id,
+             len(tk) AS n_words,
+             (n_chars - len(tk) + 1.0) / len(tk) AS mwl,
+             len(list_filter(tk, w -> w IN ('the', 'a'))) AS stop_hits,
+             CASE WHEN len(tk) >= 2 THEN
+               1.0 - len(list_distinct(list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> list_extract(tk, i) || ' '
+                            || list_extract(tk, i + 1))))
+                     / (len(tk) - 1.0)
+             ELSE 0.0 END AS dupf,
+             list_max(list_transform(list_distinct(tk),
+                     w -> len(list_filter(tk, x -> x = w))))
+                   / (len(tk) * 1.0) AS topr"""
+        toks = "SELECT doc_id, string_split(text, ' ') AS tk, n_chars FROM documents"
+        mat = " MATERIALIZED"  # DuckDB inlines every CTE reference
+        fan = """
+    SELECT 'all' AS stage, keep_all AS n_keep, keep_all, n_total FROM agg
+    UNION ALL SELECT '1_words', wo1, keep_all, n_total FROM agg
+    UNION ALL SELECT '2_word_len', wo2, keep_all, n_total FROM agg
+    UNION ALL SELECT '3_stopwords', wo3, keep_all, n_total FROM agg
+    UNION ALL SELECT '4_dup_bigram', wo4, keep_all, n_total FROM agg
+    UNION ALL SELECT '5_top_word', wo5, keep_all, n_total FROM agg"""
+    else:
+        metrics = """
+      SELECT doc_id,
+             size(tk) AS n_words,
+             (n_chars - size(tk) + 1.0) / size(tk) AS mwl,
+             size(filter(tk, w -> w IN ('the', 'a'))) AS stop_hits,
+             CASE WHEN size(tk) >= 2 THEN
+               1.0 - size(array_distinct(transform(
+                       sequence(1, size(tk) - 1),
+                       i -> concat(element_at(tk, i), ' ',
+                                   element_at(tk, i + 1)))))
+                     / (size(tk) - 1.0)
+             ELSE 0.0 END AS dupf,
+             array_max(transform(array_distinct(tk),
+                     w -> size(filter(tk, x -> x = w))))
+                   / (size(tk) * 1.0) AS topr"""
+        toks = "SELECT doc_id, split(text, ' ') AS tk, n_chars FROM documents"
+        mat = ""
+        fan = """
+    SELECT stage, n_keep, keep_all, n_total FROM agg
+    LATERAL VIEW stack(6,
+      'all', keep_all,
+      '1_words', wo1,
+      '2_word_len', wo2,
+      '3_stopwords', wo3,
+      '4_dup_bigram', wo4,
+      '5_top_word', wo5) AS stage, n_keep"""
+    gates = [
+        f"CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND"
+        f" {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END",
+        f"CASE WHEN mwl BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}"
+        " THEN 1 ELSE 0 END",
+        f"CASE WHEN stop_hits >= {_GOPHER_MIN_STOP} THEN 1 ELSE 0 END",
+        f"CASE WHEN dupf <= {_GOPHER_MAX_DUPF} THEN 1 ELSE 0 END",
+        f"CASE WHEN topr <= {_GOPHER_MAX_TOPR} THEN 1 ELSE 0 END",
+    ]
+    gcols = ",\n             ".join(
+        f"({g}) AS g{i}" for i, g in enumerate(gates, 1)
+    )
+    prod_all = " * ".join(f"g{i}" for i in range(1, 6))
+    wo = ",\n             ".join(
+        "CAST(sum("
+        + " * ".join(f"g{j}" for j in range(1, 6) if j != i)
+        + f") AS BIGINT) AS wo{i}"
+        for i in range(1, 6)
+    )
+    return f"""
+    WITH m AS (
+      {toks}),
+    s AS ({metrics}
+      FROM m),
+    f AS (
+      SELECT doc_id,
+             {gcols}
+      FROM s),
+    agg AS{mat} (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum({prod_all}) AS BIGINT) AS keep_all,
+             {wo}
+      FROM f)
+    SELECT stage, n_keep, n_keep - keep_all AS marginal_removed_by_gate,
+           n_total,
+           round(CAST(n_keep AS DOUBLE) / n_total, 6) AS keep_rate
+    FROM ({fan}) u
+    ORDER BY stage
+    """
+
+
+@query("pipeline_filter_ablation", oracle=_ablation_sql("duck"))
+def pipeline_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT ABLATION of the five Gopher quality gates
+    (text_gopher_rules' exact thresholds): for each gate, the corpus
+    keep-count when ONLY that gate is dropped, and the marginal
+    document count that gate ALONE removes (n_keep - keep_all) — the
+    threshold-tuning sheet a curation engineer reads that the per-doc
+    keep_flag cannot show, because a document failing several gates
+    at once is invisible to single-gate counts.  Completes the
+    curation-funnel family: pipeline_curation_funnel measures the
+    SEQUENTIAL funnel; this op measures each gate's UNIQUE
+    contribution.
+
+    Parity: the five metric expressions mirror text_gopher_rules
+    verbatim (exact integer counts and single-division ratios — the
+    gate COMPARES happen before any rounding, with the identical
+    expression text on both engines, so flags are bit-identical);
+    all outputs are exact integers plus one round(6) rate.
+
+    Shape at 100 TB: ONE narrow map pass computes all five flags; one
+    1-row conditional aggregate (map-side combined) carries the six
+    counts; the fan-out to 6 stage rows is a Spark stack() over that
+    single 1-row reference (no UNION re-derivation — and the DuckDB
+    twin's agg CTE is MATERIALIZED for the same reason)."""
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_ablation_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_dkw_cdf_bands
+# ---------------------------------------------------------------------------
+
+# ln(2/alpha) at alpha = 0.05, as the exact shortest-repr double both
+# engines parse identically (driver-side constant — the seq_norm rule)
+_DKW_LN_2A = repr(3.6888794541139363)
+
+
+def _dkw_sql(dialect: str) -> str:
+    cents = (
+        "CAST(round(value * 100, 0) AS BIGINT)"
+        if dialect == "duck"
+        else "CAST(value * 100 + 0.5 AS BIGINT)"
+    )
+    picks = ",\n             ".join(
+        f"min(CASE WHEN 10 * cum >= {d} * n THEN v END) AS x{d}"
+        for d in range(1, 10)
+    )
+    if dialect == "duck":
+        mat = " MATERIALIZED"
+        fan = "\n      UNION ALL ".join(
+            f"SELECT {d} AS decile, x{d} AS x FROM p" for d in range(1, 10)
+        )
+    else:
+        mat = ""
+        fan = (
+            "SELECT stage AS decile, x FROM p LATERAL VIEW stack(9, "
+            + ", ".join(f"{d}, x{d}" for d in range(1, 10))
+            + ") AS stage, x"
+        )
+    return f"""
+    WITH e AS (
+      SELECT {cents} AS v FROM events),
+    g AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY v),
+    c AS{mat} (
+      SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v) AS cum,
+             sum(cnt) OVER () AS n
+      FROM g),
+    p AS{mat} (
+      SELECT {picks}
+      FROM c),
+    dx AS (
+      {fan}),
+    ec AS (
+      SELECT dx.decile, dx.x, c.cum, c.n
+      FROM dx JOIN c ON c.v = dx.x),
+    b AS (
+      SELECT decile, x, cum, n,
+             CAST(cum AS DOUBLE) / n AS ecdf,
+             sqrt({_DKW_LN_2A} / (2.0 * n)) AS eps
+      FROM ec)
+    SELECT CAST(decile AS BIGINT) AS decile, x AS value_cents,
+           round(ecdf, 6) AS ecdf,
+           round(greatest(0.0, ecdf - eps), 6) AS band_lo,
+           round(least(1.0, ecdf + eps), 6) AS band_hi,
+           round(eps, 6) AS eps
+    FROM b ORDER BY decile
+    """
+
+
+@query("agg_dkw_cdf_bands", oracle=_dkw_sql("duck"))
+def agg_dkw_cdf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DVORETZKY-KIEFER-WOLFOWITZ 95% CONFIDENCE BANDS for the
+    event-value ECDF at the nine deciles: the distribution-free
+    simultaneous band eps = sqrt(ln(2/alpha) / 2n) every
+    ECDF-comparison monitor should subtract before alarming — the
+    uncertainty quantifier for the drift family (agg_psi_drift's bin
+    deltas, agg_ks_test_two_sample's D statistic: a D below eps_a +
+    eps_b is indistinguishable from sampling noise).
+
+    Parity: decile abscissas are exact lower-empirical picks over the
+    integer-cents value domain (smallest v with 10*cum >= d*n — all
+    integer compares); ecdf divides exact integers; ln(2/alpha) is a
+    DRIVER-SIDE constant injected as the identical shortest-repr
+    double literal on both engines (the seq_norm rule — no in-plan
+    ln() to drift cross-libm), so eps is one correctly-rounded sqrt
+    of identical doubles; round(6) at the edge.
+
+    Shape at 100 TB: one map-side-combined groupBy over the
+    value-RANGE-bounded cents domain; the cumulative window runs on
+    that bounded domain frame (the SURVEY round-11 window
+    classification's distinct-cents family), and the nine decile
+    picks are 9 aggregates over it."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_dkw_sql("spark"))

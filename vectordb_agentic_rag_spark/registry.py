@@ -58,7 +58,12 @@ _OPERATOR_MODULES = [
 # window never sees them) but ARE imported by tests and selfcheck via
 # load_deferred_operators. To ship them: move the entry into
 # _OPERATOR_MODULES at the start of the round whose window has room.
-_DEFERRED_OPERATOR_MODULES: list[str] = []
+_DEFERRED_OPERATOR_MODULES: list[str] = [
+    # round-12 queue: implemented + pytest-covered in round 11; the
+    # round-11 window closed at exactly 50 never-checked, so these
+    # register at round-12 start (move into _OPERATOR_MODULES then).
+    "vectordb_agentic_rag_spark.operators.queue_r12",
+]
 
 
 def load_deferred_operators() -> None:

@@ -106,3 +106,72 @@ def test_dkw_bands_match_numpy(spark, sf_dir):
         assert abs(row["eps"] - round(eps, 6)) <= 1e-9
         assert row["band_lo"] == round(max(0.0, ecdf - eps), 6)
         assert row["band_hi"] == round(min(1.0, ecdf + eps), 6)
+
+
+def test_survival_rmst_matches_km_integral(spark, sf_dir):
+    """Re-integrate the registered KM curve (step function) in plain
+    Python with the same round(9) term quantization."""
+    from decimal import Decimal
+
+    from vectordb_agentic_rag_spark.operators.analytics4 import (
+        agg_kaplan_meier,
+    )
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        _RMST_TAUS,
+        agg_survival_rmst,
+    )
+
+    out = agg_survival_rmst(spark, sf_dir).toPandas().set_index("tau_min")
+    km = (
+        agg_kaplan_meier(spark, sf_dir)
+        .toPandas()
+        .sort_values("dur_min")
+        .reset_index(drop=True)
+    )
+    ts = km["dur_min"].astype(int).tolist()
+    sv = km["survival"].tolist()
+    for tau in _RMST_TAUS:
+        acc = Decimal(0)
+        prev_t, prev_s = 0, 1.0
+        for t, s in zip(ts, sv):
+            acc += Decimal(str(round(prev_s * (min(t, tau) - min(prev_t, tau)), 9)))
+            prev_t, prev_s = t, s
+        tail = sv[-1] * (tau - min(ts[-1], tau))
+        rmst = round(float(acc) + tail, 6)
+        row = out.loc[tau]
+        assert row["rmst_min"] == rmst
+        assert row["n_steps"] == sum(1 for t in ts if t <= tau)
+    # RMST is monotone in tau and bounded by tau
+    vals = [out.loc[t, "rmst_min"] for t in _RMST_TAUS]
+    assert vals == sorted(vals) and all(
+        0 < v <= t for v, t in zip(vals, _RMST_TAUS)
+    )
+
+
+def test_forecast_mase_matches_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        agg_forecast_mase,
+    )
+
+    out = (
+        agg_forecast_mase(spark, sf_dir)
+        .toPandas()
+        .set_index(["event_type", "method"])
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    ev = ev.assign(c=cents, day=ev["ts"].dt.normalize())
+    for t, g in ev.groupby("event_type"):
+        y = g.groupby("day")["c"].sum().sort_index().to_numpy()
+        n = len(y)
+        s1 = np.abs(np.diff(y)).sum()
+        n1 = n - 1
+        s7 = np.abs(y[7:] - y[:-7]).sum()
+        n7 = n - 7
+        smean = np.abs(n * y - y.sum()).sum()
+        r = out.loc[(t, "seasonal_naive_7")]
+        assert r["mae_cents"] == round(s7 / n7, 6)
+        assert r["mase"] == round(s7 * n1 / (n7 * s1), 6)
+        r = out.loc[(t, "mean_forecast")]
+        assert r["mae_cents"] == round(smean / (n * n), 6)
+        assert r["mase"] == round(smean * n1 / (n * n * s1), 6)

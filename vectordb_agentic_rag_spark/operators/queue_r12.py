@@ -21,6 +21,14 @@ Ops:
   for the event-value ECDF at the nine deciles: the distribution-free
   uncertainty a drift monitor (agg_psi_drift, agg_ks_test_two_sample)
   should compare its deltas against.
+- agg_survival_rmst — restricted mean survival time at 30/60/120 min,
+  the area under agg_kaplan_meier's curve (composed VERBATIM — the KM
+  oracle text re-enters as a CTE): the scalar survival summary next
+  to the curve/logrank/lifetable trio.
+- agg_forecast_mase — Hyndman-Koehler MASE for the seasonal-naive-7
+  and mean forecasters on per-type daily revenue, scaled by the
+  in-sample naive-1 MAE (the scale-free companion to
+  win_seasonal_naive_mae's raw MAE).
 
 Reference analogue: none in /root/reference/app.py — QA/ops surface
 (SURVEY §2C).
@@ -28,7 +36,7 @@ Reference analogue: none in /root/reference/app.py — QA/ops surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -345,3 +353,183 @@ def agg_dkw_cdf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     return spark.sql(_dkw_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_survival_rmst
+# ---------------------------------------------------------------------------
+
+_RMST_TAUS = [30, 60, 120]  # restriction horizons, minutes
+
+
+def _rmst_oracle() -> str:
+    from ..registry import ORACLES
+    from .analytics4 import agg_kaplan_meier  # noqa: F401 — registers KM
+
+    km = ORACLES["agg_kaplan_meier"]
+    tau_rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({tau} AS BIGINT) AS tau_min,
+           round(CAST(sum(CAST(round(sp *
+                 (least(CAST(dur_min AS BIGINT), {tau})
+                  - least(pt, {tau})), 9) AS DECIMAL(38,9)))
+                 AS DOUBLE)
+                 + max(CASE WHEN rn = nr THEN survival
+                       * ({tau} - least(CAST(dur_min AS BIGINT), {tau}))
+                       ELSE 0 END), 6) AS rmst_min,
+           CAST(count(CASE WHEN CAST(dur_min AS BIGINT) <= {tau}
+                      THEN 1 END) AS BIGINT) AS n_steps
+    FROM steps"""
+        for tau in _RMST_TAUS
+    )
+    return f"""
+    WITH km AS ({km}),
+    steps AS (
+      SELECT dur_min, survival,
+             coalesce(lag(survival) OVER (ORDER BY dur_min), 1.0) AS sp,
+             coalesce(CAST(lag(dur_min) OVER (ORDER BY dur_min)
+                           AS BIGINT), 0) AS pt,
+             row_number() OVER (ORDER BY dur_min) AS rn,
+             count(*) OVER () AS nr
+      FROM km)
+    {tau_rows}
+    ORDER BY tau_min
+    """
+
+
+@query("agg_survival_rmst", oracle=_rmst_oracle())
+def agg_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME over agg_kaplan_meier's curve at
+    horizons 30/60/120 minutes: the area under the KM step function
+    up to tau — "expected session minutes within the first tau" —
+    the single-number survival summary analysts quote when median
+    survival is undefined (curve never crosses 0.5) and the standard
+    model-free effect measure next to agg_logrank_test.  Composes the
+    registered KM op VERBATIM (same oracle text as a CTE), completing
+    the survival family: curve (kaplan_meier), comparison (logrank),
+    discrete hazard (churn_lifetable), scalar summary (this op).
+
+    Parity: the KM survival values arrive round(6) (identical doubles
+    both engines); each interval term S_prev * (min(t_i, tau) -
+    min(t_{{i-1}}, tau)) multiplies those by exact integer widths and
+    quantizes round(9) into DECIMAL(38,9) before the
+    order-independent sum; the tail extension past the last observed
+    time uses the last survival value via an exact argmax pick.
+
+    Shape at 100 TB: everything after the sessionize collapse runs on
+    the bounded minute-duration domain (the KM shape); the lag window
+    and the three tau aggregates touch only that domain frame."""
+    from .analytics4 import agg_kaplan_meier
+
+    km = agg_kaplan_meier(spark, sf_dir).localCheckpoint()  # bounded
+    # duration-domain frame referenced by 3 tau branches
+    w = Window.orderBy("dur_min")
+    w_all = Window.partitionBy()
+    steps = km.select(
+        "dur_min",
+        "survival",
+        F.coalesce(F.lag("survival").over(w), F.lit(1.0)).alias("sp"),
+        F.coalesce(
+            F.lag("dur_min").over(w).cast("bigint"), F.lit(0)
+        ).alias("pt"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_all).alias("nr"),
+    ).localCheckpoint()
+    out = None
+    for tau in _RMST_TAUS:
+        row = steps.agg(
+            F.lit(tau).cast("bigint").alias("tau_min"),
+            F.expr(
+                f"round(CAST(sum(CAST(round(sp *"
+                f" (least(CAST(dur_min AS BIGINT), {tau})"
+                f" - least(pt, {tau})), 9) AS DECIMAL(38,9)))"
+                f" AS DOUBLE)"
+                f" + max(CASE WHEN rn = nr THEN survival"
+                f" * ({tau} - least(CAST(dur_min AS BIGINT), {tau}))"
+                f" ELSE 0 END), 6)"
+            ).alias("rmst_min"),
+            F.expr(
+                f"CAST(count(CASE WHEN CAST(dur_min AS BIGINT) <= {tau}"
+                f" THEN 1 END) AS BIGINT)"
+            ).alias("n_steps"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tau_min")
+
+
+# ---------------------------------------------------------------------------
+# agg_forecast_mase
+# ---------------------------------------------------------------------------
+
+
+def _mase_sql(dialect: str) -> str:
+    cents = (
+        "CAST(round(value * 100, 0) AS BIGINT)"
+        if dialect == "duck"
+        else "CAST(value * 100 + 0.5 AS BIGINT)"
+    )
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum({cents}) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day, y,
+             lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+             lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+      FROM d),
+    m AS (
+      SELECT event_type,
+             CAST(count(y1) AS BIGINT) AS n1,
+             CAST(sum(abs(y - y1)) AS BIGINT) AS s1,
+             CAST(count(y7) AS BIGINT) AS n7,
+             CAST(sum(CASE WHEN y7 IS NOT NULL THEN abs(y - y7) END)
+                  AS BIGINT) AS s7,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM l GROUP BY event_type),
+    mm AS (
+      SELECT l.event_type,
+             CAST(sum(abs(m.n * l.y - m.s)) AS BIGINT) AS smean
+      FROM l JOIN m ON l.event_type = m.event_type
+      GROUP BY l.event_type),
+    j AS (
+      SELECT m.event_type, m.n1, m.s1, m.n7, m.s7, m.n, mm.smean
+      FROM m JOIN mm ON m.event_type = mm.event_type)
+    SELECT event_type, 'seasonal_naive_7' AS method,
+           round(CAST(s7 AS DOUBLE) / n7, 6) AS mae_cents,
+           round(CAST(s7 AS DOUBLE) * n1 / (n7 * s1), 6) AS mase
+    FROM j
+    UNION ALL
+    SELECT event_type, 'mean_forecast' AS method,
+           round(CAST(smean AS DOUBLE) / (n * n), 6) AS mae_cents,
+           round(CAST(smean AS DOUBLE) * n1 / (CAST(n AS DOUBLE) * n * s1), 6)
+             AS mase
+    FROM j
+    ORDER BY event_type, method
+    """
+
+
+@query("agg_forecast_mase", oracle=_mase_sql("duck"))
+def agg_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute SCALED error, Hyndman-Koehler) for two
+    baseline forecasters of the per-type daily revenue series —
+    seasonal-naive-7 and the constant mean — each scaled by the
+    in-sample naive-1 MAE: the scale-free forecast-quality number
+    that compares across event types with wildly different volumes
+    (MASE < 1 beats the naive random walk; > 1 loses to it).
+    Completes the forecasting family: win_seasonal_naive_mae reports
+    the RAW seasonal MAE per type; this op makes the numbers
+    comparable and adds the mean-forecast baseline every evaluation
+    should include.
+
+    Parity: daily cents are exact integers; every error sum is an
+    exact BIGINT (the mean-forecast errors avoid division entirely
+    via |n*y_t - S| — the n-scaled-moment trick); each output divides
+    exact integers once in shared text, round(6).
+
+    Shape at 100 TB: one map-side-combined day collapse, lag windows
+    partitioned by event_type over the 30-day domain, two bounded
+    aggregates."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_mase_sql("spark"))

@@ -175,3 +175,53 @@ def test_forecast_mase_matches_numpy(spark, sf_dir):
         r = out.loc[(t, "mean_forecast")]
         assert r["mae_cents"] == round(smean / (n * n), 6)
         assert r["mase"] == round(smean * n1 / (n * n * s1), 6)
+
+
+def test_diameter_double_sweep_matches_python_bfs(spark, sf_dir):
+    import collections
+
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        graph_diameter_double_sweep,
+    )
+
+    out = graph_diameter_double_sweep(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    sup = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    adj: dict[int, set] = {}
+    for (u, v), c in sup.items():
+        if c >= 2:
+            adj.setdefault(int(u), set()).add(int(v))
+            adj.setdefault(int(v), set()).add(int(u))
+
+    def bfs(s):
+        depth = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nf = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in depth:
+                        depth[w] = d
+                        nf.append(w)
+            frontier = nf
+        return depth
+
+    seed = sorted(adj, key=lambda m: (-len(adj[m]), m))[0]
+    d1 = bfs(seed)
+    far = sorted(d1, key=lambda v: (-d1[v], v))[0]
+    d2 = bfs(far)
+    assert r.seed_node == seed
+    assert r.ecc_seed == max(d1.values())
+    assert r.far_node == far
+    assert r.diameter_lower_bound == max(d2.values())
+    assert r.n_reached == len(d1)
+    # the bound is genuinely a refinement: ecc(far) >= ecc(seed)
+    assert r.diameter_lower_bound >= r.ecc_seed

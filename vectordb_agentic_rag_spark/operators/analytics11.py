@@ -1468,11 +1468,14 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the "bridge products" the degree/PageRank/Katz family cannot see
     (a low-degree node that RELAYS traffic scores high here and
     nowhere else).  Pivot sampling + bounded radius is the standard
-    scalable betweenness estimate (Brandes-Pich); the truncation
-    radius covers the measured reach at the driver-checked sfs
-    (frontier dies by depth 4 from top-degree seeds at sf0.001/0.01;
-    the sf0.1 graph is fragmented — avg degree 1.2 — so mass is
-    small there by the graph's own nature, not by truncation).
+    scalable betweenness estimate (Brandes-Pich); radius-4
+    k-betweenness counts only shortest paths of length <= 4 — a
+    DEFINED statistic at every sf (measured to exhaustion: the seed
+    BFS completes within radius 4 at sf0.001 (ecc 3); at sf0.01 the
+    component's ecc is 9, so the radius genuinely truncates to the
+    4-hop neighborhood — the ego-centric betweenness retrieval/
+    recommendation uses; the sf0.1 graph is fragmented — avg degree
+    1.2 — so mass is small there by the graph's own nature).
     Completes the centrality family: graph_katz_centrality (walk
     counts), graph_closeness_seeds (distance), graph_hits_bipartite
     (eigen), this op (flow mediation).

@@ -29,6 +29,10 @@ Ops:
   and mean forecasters on per-type daily revenue, scaled by the
   in-sample naive-1 MAE (the scale-free companion to
   win_seasonal_naive_mae's raw MAE).
+- graph_diameter_double_sweep — Magnien-Latapy-Habib double-sweep
+  diameter lower bound on the co-purchase graph (measured 3/13/5 at
+  sf0.001/0.01/0.1): the metric-structure number every iterative
+  graph-op budget in this tree cites.
 
 Reference analogue: none in /root/reference/app.py — QA/ops surface
 (SURVEY §2C).
@@ -533,3 +537,161 @@ def agg_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     return spark.sql(_mase_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# graph_diameter_double_sweep
+# ---------------------------------------------------------------------------
+
+_DS_ROUNDS = 16  # BFS budget per sweep (measured to exhaustion:
+# ecc_seed/diameter_lb = 3/3 at sf0.001, 9/13 at sf0.01, 3/5 at
+# sf0.1 — 16 covers the max 13 with margin, and the Spark side
+# RAISES if a frontier survives the budget)
+
+
+def _ds_levels(tag: str, seed_cte: str) -> str:
+    parts = [
+        f"""
+    {tag}_l0 AS (SELECT v, 0 AS depth FROM {seed_cte}),
+    {tag}_vis0 AS (SELECT v, depth FROM {tag}_l0)"""
+    ]
+    for d in range(1, _DS_ROUNDS + 1):
+        parts.append(f"""
+    {tag}_l{d} AS MATERIALIZED (
+      SELECT DISTINCT de.n AS v, {d} AS depth
+      FROM {tag}_l{d - 1} p JOIN dedges de ON de.m = p.v
+      WHERE NOT EXISTS (SELECT 1 FROM {tag}_vis{d - 1} x
+                        WHERE x.v = de.n)),
+    {tag}_vis{d} AS MATERIALIZED (
+      SELECT * FROM {tag}_vis{d - 1}
+      UNION ALL SELECT v, depth FROM {tag}_l{d})""")
+    return ",".join(parts)
+
+
+def _ds_oracle() -> str:
+    return f"""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    dedges AS MATERIALIZED (
+      SELECT u AS m, v AS n FROM e UNION ALL SELECT v AS m, u AS n FROM e),
+    deg AS (SELECT m, count(*) AS dg FROM dedges GROUP BY m),
+    seed AS MATERIALIZED (
+      SELECT m AS v FROM deg ORDER BY dg DESC, m LIMIT 1),
+    {_ds_levels("s1", "seed")},
+    far AS MATERIALIZED (
+      SELECT v FROM s1_vis{_DS_ROUNDS} ORDER BY depth DESC, v LIMIT 1),
+    {_ds_levels("s2", "far")}
+    SELECT (SELECT v FROM seed) AS seed_node,
+           (SELECT max(depth) FROM s1_vis{_DS_ROUNDS})
+             AS ecc_seed,
+           (SELECT v FROM far) AS far_node,
+           (SELECT max(depth) FROM s2_vis{_DS_ROUNDS})
+             AS diameter_lower_bound,
+           (SELECT CAST(count(*) AS BIGINT) FROM s1_vis{_DS_ROUNDS})
+             AS n_reached
+    """
+
+
+@query("graph_diameter_double_sweep", oracle=_ds_oracle())
+def graph_diameter_double_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOUBLE-SWEEP DIAMETER LOWER BOUND (Magnien-Latapy-Habib) on the
+    support-2 part co-purchase graph: BFS from the top-degree node,
+    take the FARTHEST node found (deterministic tie-break: max depth,
+    min id), BFS again from there — the second eccentricity is the
+    classic tight lower bound on the component's diameter at the cost
+    of two BFS passes (exact diameter is all-pairs).  The graph-SCALE
+    number that tells an engineer how many iterative rounds any
+    message-passing op on this graph needs (the in-tree BFS/CC/core
+    budgets cite exactly this quantity) — completing the graph family
+    with the metric-structure view next to graph_bfs_reach_layers
+    (one-seed reach) and graph_closeness_seeds (distance sums).
+
+    Parity: pure-integer BFS levels (DISTINCT frontier minus visited,
+    depth counters); both sweeps and the argmax picks are integer
+    compares with id tie-breaks; no floats anywhere.  The DuckDB twin
+    unrolls 12 MATERIALIZED levels per sweep (extra rounds past
+    frontier death are empty — identity unions); the Spark side runs
+    the same 12 rounds unconditionally and RAISES if a frontier
+    survives the budget, so a fixture regrowth cannot silently
+    truncate (the graph_kcore convention).
+
+    Shape at 100 TB: the fact table collapses once to the
+    checkpointed edge list; each BFS level is one keyed equi-join +
+    LEFT-ANTI visited join over frames bounded by the reached
+    component; level frames localCheckpoint before re-reference."""
+    from .analytics4 import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    dedges = (
+        e.select(F.col("u").alias("m"), F.col("v").alias("n"))
+        .unionAll(e.select(F.col("v").alias("m"), F.col("u").alias("n")))
+        .localCheckpoint()
+    )
+    seed = (
+        dedges.groupBy("m")
+        .agg(F.count("*").alias("dg"))
+        .orderBy(F.col("dg").desc(), "m")
+        .limit(1)
+        .select(F.col("m").alias("v"))
+    )
+
+    def sweep(seed_df):
+        vis = seed_df.select(
+            "v", F.lit(0).cast("int").alias("depth")
+        ).localCheckpoint()
+        frontier = vis
+        for d in range(1, _DS_ROUNDS + 1):
+            nxt = (
+                frontier.join(dedges, frontier.v == dedges.m)
+                .select(F.col("n").alias("v"))
+                .distinct()
+                .join(vis.select(F.col("v").alias("xv")),
+                      F.col("v") == F.col("xv"), "left_anti")
+                .select("v", F.lit(d).cast("int").alias("depth"))
+                .localCheckpoint()
+            )
+            vis = vis.unionAll(nxt).localCheckpoint()
+            frontier = nxt
+        # budget assert: frontier past the last budgeted round must be
+        # EMPTY or the bound below would be silently truncated
+        leftover = (
+            frontier.join(dedges, frontier.v == dedges.m)
+            .select(F.col("n").alias("v"))
+            .distinct()
+            .join(vis.select(F.col("v").alias("xv")),
+                  F.col("v") == F.col("xv"), "left_anti")
+            .count()
+        )
+        if leftover:
+            raise ValueError(
+                f"double-sweep BFS frontier alive past {_DS_ROUNDS} rounds"
+            )
+        return vis
+
+    vis1 = sweep(seed)
+    far = vis1.orderBy(F.col("depth").desc(), "v").limit(1).select("v")
+    vis2 = sweep(far)
+    a = vis1.agg(
+        F.max("depth").alias("ecc_seed"),
+        F.count("*").cast("bigint").alias("n_reached"),
+    )
+    b = vis2.agg(F.max("depth").alias("diameter_lower_bound"))
+    return (
+        seed.select(F.col("v").alias("seed_node"))
+        .crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(far.select(F.col("v").alias("far_node"))))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "seed_node",
+            "ecc_seed",
+            "far_node",
+            "diameter_lower_bound",
+            "n_reached",
+        )
+    )

@@ -1324,3 +1324,19 @@ def test_ratio_metric_delta_ci_single_scan(spark, sf_dir):
     plan = plan_of(QUERIES["agg_ratio_metric_delta_ci"](spark, sf_dir))
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_queue_r12_bounded_intermediates_checkpointed(spark, sf_dir):
+    # agg_forecast_mase's lagged day frame and agg_dkw_cdf_bands'
+    # cents-domain frame are each referenced twice — the ckpt rule
+    # pins both plans at 0 parquet scans (derivation runs eagerly at
+    # checkpoint time)
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        agg_dkw_cdf_bands,
+        agg_forecast_mase,
+    )
+
+    for fn in (agg_forecast_mase, agg_dkw_cdf_bands):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("Location: InMemoryFileIndex") == 0, fn.__name__
+        assert "BatchEvalPython" not in plan

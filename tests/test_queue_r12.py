@@ -53,14 +53,16 @@ def test_filter_ablation_matches_python(spark, sf_dir):
     for r in docs.itertuples():
         tk = r.text.split(" ")
         nw = len(tk)
-        mwl = (r.n_chars - nw + 1.0) / nw
+        # round(6) mirrors text_gopher_rules' published metrics —
+        # the ablation gates the SAME rounded values
+        mwl = round((r.n_chars - nw + 1.0) / nw, 6)
         stop = sum(1 for w in tk if w in ("the", "a"))
         if nw >= 2:
             bigs = {f"{tk[i]} {tk[i + 1]}" for i in range(nw - 1)}
-            dupf = 1.0 - len(bigs) / (nw - 1.0)
+            dupf = round(1.0 - len(bigs) / (nw - 1.0), 6)
         else:
             dupf = 0.0
-        topr = max(tk.count(w) for w in set(tk)) / nw
+        topr = round(max(tk.count(w) for w in set(tk)) / nw, 6)
         flags.append(
             (
                 _GOPHER_MIN_WORDS <= nw <= _GOPHER_MAX_WORDS,

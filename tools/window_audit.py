@@ -76,6 +76,8 @@ def main() -> None:
                 merged = json.load(f)
         except (OSError, ValueError):
             merged = {}
+        for name in names:  # an op re-audited CLEAN must drop its
+            merged.pop(name, None)  # stale hit/error record
         merged.update(results)
         results = merged
     with open(out_path, "w") as f:

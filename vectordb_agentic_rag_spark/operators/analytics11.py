@@ -1082,9 +1082,11 @@ def _tukey_sql(dialect: str) -> str:
     for i in range(1, 8):
         for j in range(i + 1, 8):
             d = f"(CAST(s_{i} AS DOUBLE) / n_{i} - CAST(s_{j} AS DOUBLE) / n_{j})"
+            # ONE double division; `1.0 / n` would be DECIMAL division
+            # on Spark vs DOUBLE on DuckDB (round-8 literal trap)
             q2 = (
-                f"2.0 * {d} * {d}"
-                f" / (msw * (1.0 / n_{i} + 1.0 / n_{j}))"
+                f"2.0 * {d} * {d} * n_{i} * n_{j}"
+                f" / (msw * (n_{i} + n_{j}))"
             )
             pair_rows.append(
                 f"SELECT CAST({i} AS BIGINT) AS dow_a,"

@@ -150,18 +150,18 @@ def _ablation_sql(dialect: str) -> str:
         metrics = """
       SELECT doc_id,
              len(tk) AS n_words,
-             (n_chars - len(tk) + 1.0) / len(tk) AS mwl,
+             round((n_chars - len(tk) + 1.0) / len(tk), 6) AS mwl,
              len(list_filter(tk, w -> w IN ('the', 'a'))) AS stop_hits,
              CASE WHEN len(tk) >= 2 THEN
-               1.0 - len(list_distinct(list_transform(
+               round(1.0 - len(list_distinct(list_transform(
                        generate_series(1, len(tk) - 1),
                        i -> list_extract(tk, i) || ' '
                             || list_extract(tk, i + 1))))
-                     / (len(tk) - 1.0)
+                     / (len(tk) - 1.0), 6)
              ELSE 0.0 END AS dupf,
-             list_max(list_transform(list_distinct(tk),
+             round(list_max(list_transform(list_distinct(tk),
                      w -> len(list_filter(tk, x -> x = w))))
-                   / (len(tk) * 1.0) AS topr"""
+                   / (len(tk) * 1.0), 6) AS topr"""
         toks = "SELECT doc_id, string_split(text, ' ') AS tk, n_chars FROM documents"
         mat = " MATERIALIZED"  # DuckDB inlines every CTE reference
         fan = """
@@ -175,18 +175,18 @@ def _ablation_sql(dialect: str) -> str:
         metrics = """
       SELECT doc_id,
              size(tk) AS n_words,
-             (n_chars - size(tk) + 1.0) / size(tk) AS mwl,
+             round((n_chars - size(tk) + 1.0) / size(tk), 6) AS mwl,
              size(filter(tk, w -> w IN ('the', 'a'))) AS stop_hits,
              CASE WHEN size(tk) >= 2 THEN
-               1.0 - size(array_distinct(transform(
+               round(1.0 - size(array_distinct(transform(
                        sequence(1, size(tk) - 1),
                        i -> concat(element_at(tk, i), ' ',
                                    element_at(tk, i + 1)))))
-                     / (size(tk) - 1.0)
+                     / (size(tk) - 1.0), 6)
              ELSE 0.0 END AS dupf,
-             array_max(transform(array_distinct(tk),
+             round(array_max(transform(array_distinct(tk),
                      w -> size(filter(tk, x -> x = w))))
-                   / (size(tk) * 1.0) AS topr"""
+                   / (size(tk) * 1.0), 6) AS topr"""
         toks = "SELECT doc_id, split(text, ' ') AS tk, n_chars FROM documents"
         mat = ""
         fan = """
@@ -253,10 +253,10 @@ def pipeline_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution.
 
     Parity: the five metric expressions mirror text_gopher_rules
-    verbatim (exact integer counts and single-division ratios — the
-    gate COMPARES happen before any rounding, with the identical
-    expression text on both engines, so flags are bit-identical);
-    all outputs are exact integers plus one round(6) rate.
+    verbatim INCLUDING its round(...,6) on the three ratio metrics —
+    so this op's 'all' keep-count equals the sibling's keep_flag sum
+    by construction, not just numerically; counts are exact integers,
+    flags compare identical doubles, one round(6) rate at the edge.
 
     Shape at 100 TB: ONE narrow map pass computes all five flags; one
     1-row conditional aggregate (map-side combined) carries the six
@@ -299,7 +299,7 @@ def _dkw_sql(dialect: str) -> str:
             + ", ".join(f"{d}, x{d}" for d in range(1, 10))
             + ") AS stage, x"
         )
-    return f"""
+    head = f"""
     WITH e AS (
       SELECT {cents} AS v FROM events),
     g AS (
@@ -308,8 +308,10 @@ def _dkw_sql(dialect: str) -> str:
       SELECT v, cnt,
              sum(cnt) OVER (ORDER BY v) AS cum,
              sum(cnt) OVER () AS n
-      FROM g),
-    p AS{mat} (
+      FROM g)
+    """
+    tail = f"""
+    WITH p AS{mat} (
       SELECT {picks}
       FROM c),
     dx AS (
@@ -329,9 +331,16 @@ def _dkw_sql(dialect: str) -> str:
            round(eps, 6) AS eps
     FROM b ORDER BY decile
     """
+    if dialect == "duck":
+        return head + ", " + tail.split("WITH ", 1)[1]
+    return head, tail
 
 
-@query("agg_dkw_cdf_bands", oracle=_dkw_sql("duck"))
+def _dkw_oracle() -> str:
+    return _dkw_sql("duck")
+
+
+@query("agg_dkw_cdf_bands", oracle=_dkw_oracle())
 def agg_dkw_cdf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DVORETZKY-KIEFER-WOLFOWITZ 95% CONFIDENCE BANDS for the
     event-value ECDF at the nine deciles: the distribution-free
@@ -352,11 +361,20 @@ def agg_dkw_cdf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one map-side-combined groupBy over the
     value-RANGE-bounded cents domain; the cumulative window runs on
     that bounded domain frame (the SURVEY round-11 window
-    classification's distinct-cents family), and the nine decile
-    picks are 9 aggregates over it."""
+    classification's distinct-cents family).  The domain frame `c` is
+    localCheckpoint-ed before its two references (the decile-pick
+    aggregate and the ecdf join-back) — the bounded-intermediate rule;
+    the DuckDB twin marks the same CTE MATERIALIZED."""
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
-    return spark.sql(_dkw_sql("spark"))
+    head, tail = _dkw_sql("spark")
+    cf = spark.sql(head + "\n    SELECT * FROM c").localCheckpoint()
+    cf.createOrReplaceTempView("dkw_c_ckpt")
+    return spark.sql(
+        tail.replace("FROM c", "FROM dkw_c_ckpt c").replace(
+            "JOIN c ON", "JOIN dkw_c_ckpt c ON"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -471,17 +489,19 @@ def _mase_sql(dialect: str) -> str:
         if dialect == "duck"
         else "CAST(value * 100 + 0.5 AS BIGINT)"
     )
-    return f"""
+    head = f"""
     WITH d AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(sum({cents}) AS BIGINT) AS y
       FROM events GROUP BY 1, 2),
-    l AS (
+    l AS MATERIALIZED (
       SELECT event_type, day, y,
              lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
              lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
-      FROM d),
-    m AS (
+      FROM d)
+    """
+    tail = """
+    WITH m AS (
       SELECT event_type,
              CAST(count(y1) AS BIGINT) AS n1,
              CAST(sum(abs(y - y1)) AS BIGINT) AS s1,
@@ -511,9 +531,16 @@ def _mase_sql(dialect: str) -> str:
     FROM j
     ORDER BY event_type, method
     """
+    if dialect == "duck":
+        return head + ", " + tail.split("WITH ", 1)[1]
+    return head.replace(" MATERIALIZED", ""), tail
 
 
-@query("agg_forecast_mase", oracle=_mase_sql("duck"))
+def _mase_oracle() -> str:
+    return _mase_sql("duck")
+
+
+@query("agg_forecast_mase", oracle=_mase_oracle())
 def agg_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASE (mean absolute SCALED error, Hyndman-Koehler) for two
     baseline forecasters of the per-type daily revenue series —
@@ -533,10 +560,16 @@ def agg_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one map-side-combined day collapse, lag windows
     partitioned by event_type over the 30-day domain, two bounded
-    aggregates."""
+    aggregates; the lagged day frame `l` (|types| x 30 rows) is
+    localCheckpoint-ed before `m` and `mm` both reference it (the
+    bounded-intermediate rule — the DuckDB twin marks the same CTE
+    MATERIALIZED), pinned at 0 post-ckpt scans in test_plans.py."""
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
-    return spark.sql(_mase_sql("spark"))
+    head, tail = _mase_sql("spark")
+    lf = spark.sql(head + "\n    SELECT * FROM l").localCheckpoint()
+    lf.createOrReplaceTempView("mase_l_ckpt")
+    return spark.sql(tail.replace("FROM l", "FROM mase_l_ckpt l"))
 
 
 # ---------------------------------------------------------------------------
@@ -615,11 +648,11 @@ def graph_diameter_double_sweep(
     Parity: pure-integer BFS levels (DISTINCT frontier minus visited,
     depth counters); both sweeps and the argmax picks are integer
     compares with id tie-breaks; no floats anywhere.  The DuckDB twin
-    unrolls 12 MATERIALIZED levels per sweep (extra rounds past
-    frontier death are empty — identity unions); the Spark side runs
-    the same 12 rounds unconditionally and RAISES if a frontier
-    survives the budget, so a fixture regrowth cannot silently
-    truncate (the graph_kcore convention).
+    unrolls _DS_ROUNDS = 16 MATERIALIZED levels per sweep (extra
+    rounds past frontier death are empty — identity unions); the
+    Spark side runs the same 16 rounds unconditionally and RAISES if
+    a frontier survives the budget, so a fixture regrowth cannot
+    silently truncate (the graph_kcore convention).
 
     Shape at 100 TB: the fact table collapses once to the
     checkpointed edge list; each BFS level is one keyed equi-join +

@@ -815,21 +815,23 @@ def _tdi_oracle() -> str:
       SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl, {dfs}
       FROM toks),
     bm AS (
-      SELECT doc_id FROM (
+      SELECT doc_id, r FROM (
         SELECT doc_id, row_number() OVER (ORDER BY
                round({bm25_score}, 6) DESC, doc_id) AS r
         FROM toks CROSS JOIN stats) t
-      WHERE r <= {_TDI_N} ORDER BY r),
+      WHERE r <= {_TDI_N}),
     ov AS (
-      SELECT doc_id FROM (
+      SELECT doc_id, r FROM (
         SELECT doc_id, row_number() OVER (ORDER BY
                len(list_filter({_KEYWORDS}, kw -> list_contains(tk, kw)))
                  DESC, doc_id) AS r
         FROM toks) t
-      WHERE r <= {_TDI_N} ORDER BY r),
+      WHERE r <= {_TDI_N}),
     lists AS (
-      SELECT (SELECT list(doc_id) FROM bm) AS la,
-             (SELECT list(doc_id) FROM ov) AS lb),
+      -- pinned-order aggregation (round-6 rule): list(x ORDER BY r),
+      -- never a bare list() riding a subquery's ORDER BY
+      SELECT (SELECT list(doc_id ORDER BY r) FROM bm) AS la,
+             (SELECT list(doc_id ORDER BY r) FROM ov) AS lb),
     draft AS (
       SELECT 0 AS rnd,
              CAST([] AS BIGINT[]) AS picked,

@@ -1974,10 +1974,10 @@ _HH_COUNTERS = 256  # MG summary size per bucket
     "stream_heavy_hitters_live",
     # Full oracle via the MG SUPERSET + EXACT RECOUNT identity: the
     # drained candidates contain every user above the threshold for
-    # any arrival order (per-bucket MG error <= n_bucket/(K+1), an
-    # order of magnitude below the threshold at every sf), and the
-    # recount-then-filter output is therefore the exact frequent set
-    # however the stream was batched.
+    # any arrival order (per-bucket MG error <= n_bucket/(K+1) stays
+    # below the threshold at every sf — see the measured margins in
+    # the docstring), and the recount-then-filter output is therefore
+    # the exact frequent set however the stream was batched.
     oracle="""
     WITH c AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
@@ -2009,8 +2009,15 @@ def stream_heavy_hitters_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correctness bound (why the oracle is FULL despite MG being
     order-dependent): per bucket, MG with K counters undercounts any
     item by at most n_bucket/(K+1); uniform user-id buckets give
-    n_bucket ~= n/8, so the error <= n/2056 — while the threshold is
-    ~n/130 per user mean at every sf (15-1500 users) — so every true
+    n_bucket ~= n/8, so the error <= n/2056 — while the threshold
+    23n/(20u) is n/13 at sf0.001 (u=15), n/130 at sf0.01 (u=150),
+    and n/1304 at sf0.1 (u=1500).  The margin therefore NARROWS with
+    user count — 158x / 16x / 1.6x respectively — and the sf0.1
+    margin survives only ~1.6x bucket skew; the pytest pins the real
+    inequality (threshold > max-bucket/(K+1)) at the checked sf, so
+    a fixture regeneration that grows u past ~2400 breaks LOUDLY
+    there rather than silently voiding the superset guarantee (raise
+    K or the bucket count then).  Within the bound, every true
     hitter SURVIVES the summary for any arrival order, and the exact
     recount filters the superset to the same final set the batch
     query computes.  The candidate emissions carry a monotone seq (=

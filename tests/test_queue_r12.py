@@ -227,3 +227,29 @@ def test_diameter_double_sweep_matches_python_bfs(spark, sf_dir):
     assert r.n_reached == len(d1)
     # the bound is genuinely a refinement: ecc(far) >= ecc(seed)
     assert r.diameter_lower_bound >= r.ecc_seed
+
+
+def test_lindley_live_matches_batch_minus_last_day(spark, sf_dir):
+    """Drained live table == the batch recursion at day-1 capacity,
+    minus the never-closed last day (close-on-rollover identity)."""
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        stream_lindley_backlog_live,
+    )
+
+    out = stream_lindley_backlog_live(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["ts"]]
+    a = ev.groupby(ev["ts"].dt.normalize()).size().sort_index()
+    cap = int(a.iloc[0])
+    b = 0
+    exp = []
+    for day, arr in a.items():
+        b = max(0, b + int(arr) - cap)
+        exp.append((day.date(), int(arr), cap, b, 1 if b > 0 else 0))
+    exp = exp[:-1]  # the last day never closes in the stream
+    got = [
+        (r.day, int(r.arrivals), int(r.capacity), int(r.backlog),
+         int(r.overloaded))
+        for r in out.itertuples()
+    ]
+    assert got == exp
+    assert len(got) == len(a) - 1

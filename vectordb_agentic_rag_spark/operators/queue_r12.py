@@ -33,6 +33,9 @@ Ops:
   diameter lower bound on the co-purchase graph (measured 3/13/5 at
   sf0.001/0.01/0.1): the metric-structure number every iterative
   graph-op budget in this tree cites.
+- stream_lindley_backlog_live — the live twin of the Lindley
+  recursion (close-on-day-rollover emission, batch-minus-last-day
+  oracle; day-1-calibrated capacity).
 
 Reference analogue: none in /root/reference/app.py — QA/ops surface
 (SURVEY §2C).
@@ -728,3 +731,68 @@ def graph_diameter_double_sweep(
             "n_reached",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_lindley_backlog_live
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_lindley_backlog_live",
+    # Full oracle via the CLOSE-ON-ROLLOVER identity (the round-7
+    # sessionizer trick): a day emits exactly once, when the first
+    # event of a LATER day folds, so the drained table equals the
+    # batch Lindley recursion minus the never-closed LAST day — for
+    # any batching of the time-ordered replay.
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS a
+      FROM events GROUP BY 1),
+    cap AS (
+      SELECT a AS c FROM d WHERE day = (SELECT min(day) FROM d)),
+    s AS (
+      SELECT day, a, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM d),
+    r AS (
+      SELECT s.rn, s.day, s.a,
+             greatest(CAST(0 AS BIGINT), s.a - cap.c) AS b
+      FROM s, cap WHERE s.rn = 1
+      UNION ALL
+      SELECT s.rn, s.day, s.a,
+             greatest(CAST(0 AS BIGINT), r.b + s.a - cap.c)
+      FROM r JOIN s ON s.rn = r.rn + 1, cap)
+    SELECT r.day, r.a AS arrivals, cap.c AS capacity, r.b AS backlog,
+           CASE WHEN r.b > 0 THEN 1 ELSE 0 END AS overloaded
+    FROM r, cap
+    WHERE r.day < (SELECT max(day) FROM d)
+    ORDER BY r.day
+    """,
+)
+def stream_lindley_backlog_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE LINDLEY BACKLOG MONITOR via applyInPandasWithState — the
+    streaming twin of win_lindley_queue_backlog, ticking the queue
+    recursion ONLINE: state carries (current day, its running count,
+    the carried backlog, the calibrated capacity); when the first
+    event of a later day folds, the closed day emits its backlog row.
+    Capacity calibrates to the FIRST day's throughput (an online
+    monitor cannot know the long-run mean in advance — day-1 is its
+    baseline; the batch sibling uses the full-series mean, and the
+    two are deliberately different estimators of the same recursion).
+
+    Full oracle: close-on-rollover means a day emits exactly once
+    regardless of batching (the stream_gap_sessionize_live identity),
+    so the drained table equals the batch recursion MINUS the final
+    never-closed day — the WHERE day < max(day) twin.  The fold is
+    pure BIGINT.
+
+    Bounded state (4 int64 for the whole queue; shard by queue key
+    for a multi-queue deployment — the single global key here mirrors
+    the one-queue contract and is the documented scale limit: one
+    queue's ORDERED recursion is inherently sequential, so the
+    per-key state store IS the right shape)."""
+    from ..streaming.core import _lindley_live_impl
+
+    return _lindley_live_impl(spark, sf_dir)

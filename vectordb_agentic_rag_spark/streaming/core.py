@@ -2112,3 +2112,72 @@ def stream_heavy_hitters_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_lindley_backlog_live (DEFERRED — registered via queue_r12)
+# ---------------------------------------------------------------------------
+
+
+def _lindley_live_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implementation shared with the queue_r12 registration wrapper
+    (this module is imported by load_all_operators, so the @query
+    decorator must NOT live here — the op registers in round 12)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    day_us = 86_400_000_000
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cur_day, cnt, backlog, cap = state.get
+        else:
+            cur_day, cnt, backlog, cap = -1, 0, 0, -1
+        out = []
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
+            for us in part["us"]:
+                d = int(us) // day_us
+                if cur_day < 0:
+                    cur_day = d
+                while d > cur_day:  # close cur_day (and any gap days)
+                    if cap < 0:  # first day closing calibrates capacity
+                        cap = cnt
+                    backlog = max(0, backlog + cnt - cap)
+                    out.append((cur_day, cnt, cap, backlog))
+                    cur_day += 1
+                    cnt = 0
+                cnt += 1
+        state.update((cur_day, cnt, backlog, cap))
+        yield pd.DataFrame(
+            out, columns=["day_d", "arrivals", "capacity", "backlog"]
+        )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        F.lit(0).alias("q"), "event_id", F.unix_micros("ts").alias("us")
+    )
+    out = stream.groupBy("q").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "day_d bigint, arrivals bigint, capacity bigint, backlog bigint"
+        ),
+        stateStructType=(
+            "cur_day bigint, cnt bigint, backlog bigint, cap bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "lindley_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return spark.table("lindley_live").selectExpr(
+        "date_add(DATE'1970-01-01', CAST(day_d AS INT)) AS day",
+        "arrivals",
+        "capacity",
+        "backlog",
+        "CASE WHEN backlog > 0 THEN 1 ELSE 0 END AS overloaded",
+    ).orderBy("day")

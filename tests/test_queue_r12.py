@@ -253,3 +253,123 @@ def test_lindley_live_matches_batch_minus_last_day(spark, sf_dir):
     ]
     assert got == exp
     assert len(got) == len(a) - 1
+
+
+def test_xml_roundtrip_lossless(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        source_xml_roundtrip,
+    )
+
+    out = source_xml_roundtrip(spark, sf_dir).toPandas()
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet").sort_values(
+        "n_nationkey"
+    )
+    assert list(out["n_nationkey"]) == list(nat["n_nationkey"])
+    assert list(out["n_name"]) == list(nat["n_name"])
+    assert list(out["n_regionkey"]) == list(nat["n_regionkey"])
+
+
+def test_alpha_sampling_weights_match_numpy(spark, sf_dir):
+    from decimal import Decimal
+
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        pipeline_alpha_sampling_weights,
+    )
+
+    out = (
+        pipeline_alpha_sampling_weights(spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    docs = docs.assign(tok=docs["text"].str.split(" ").str.len())
+    g = docs.groupby("source")["tok"].agg(["count", "sum"])
+    total = int(g["sum"].sum())
+    qt = {
+        s: Decimal(str(round(math.sqrt(int(r["sum"]) / total), 9)))
+        for s, r in g.iterrows()
+    }
+    z = sum(qt.values(), Decimal(0))
+    for s, r in g.iterrows():
+        row = out.loc[s]
+        assert row["n_docs"] == r["count"] and row["tokens"] == r["sum"]
+        p = int(r["sum"]) / total
+        w = float(qt[s]) / float(z)
+        assert row["p_frac"] == round(p, 6)
+        assert abs(row["alpha_weight"] - w) < 1e-6
+        assert abs(row["boost"] - w / p) < 1e-6
+    # small sources up-weighted, large damped
+    small = g["sum"].idxmin()
+    big = g["sum"].idxmax()
+    assert out.loc[small, "boost"] > 1 > out.loc[big, "boost"]
+
+
+def test_mediation_product_identity_and_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        agg_mediation_product,
+    )
+
+    r = agg_mediation_product(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    ev = ev.assign(c=np.where(ev["event_type"] == "purchase", cents, 0))
+    u = ev.groupby("user_id").agg(m=("c", "size"), y=("c", "sum")).reset_index()
+    u["x"] = (u["user_id"] * 2654435761) % 4294967296 // 2147483648
+    x, m, y = (u[k].to_numpy(float) for k in ("x", "m", "y"))
+    n = len(u)
+    cxx = n * (x * x).sum() - x.sum() ** 2
+    cxm = n * (x * m).sum() - x.sum() * m.sum()
+    cxy = n * (x * y).sum() - x.sum() * y.sum()
+    cmm = n * (m * m).sum() - m.sum() ** 2
+    cmy = n * (m * y).sum() - m.sum() * y.sum()
+    det = cxx * cmm - cxm * cxm
+    a = cxm / cxx
+    b = (cxx * cmy - cxm * cxy) / det
+    direct = (cmm * cxy - cxm * cmy) / det
+    total = cxy / cxx
+    assert r.n_users == n
+    assert abs(r.a_path - a) < 1e-6
+    assert abs(r.b_path - b) < 1e-6
+    assert abs(r.indirect_effect - a * b) < 1e-6
+    assert abs(r.direct_effect - direct) < 1e-6
+    assert abs(r.total_effect - total) < 1e-6
+    # the exact OLS decomposition: total = direct + indirect
+    assert abs(total - (direct + a * b)) < 1e-9
+
+
+def test_ewma_control_chart_matches_python(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        _EWMA_CC_LAM,
+        win_ewma_control_chart,
+    )
+
+    out = win_ewma_control_chart(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    x = (
+        pd.DataFrame({"day": ev["ts"].dt.normalize(), "c": cents})
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(x)
+    mu0 = x.sum() / n
+    sigma = np.abs(np.diff(x)).sum() / (n - 1) / 1.128
+    lam, om = _EWMA_CC_LAM, 1 - _EWMA_CC_LAM
+    z, pw = mu0, 1.0
+    sig_count = 0
+    for i, row in enumerate(out.itertuples()):
+        z = lam * float(x[i]) + om * z
+        pw = pw * (om * om)
+        w = 3.0 * sigma * np.sqrt((1.0 / 7) * (1.0 - pw))
+        assert row.x_cents == x[i]
+        assert abs(row.z - z) < 1e-6
+        assert abs(row.ucl - (mu0 + w)) < 1e-6
+        assert abs(row.lcl - (mu0 - w)) < 1e-6
+        expected_sig = 1 if (z > mu0 + w or z < mu0 - w) else 0
+        assert row.signal == expected_sig
+        sig_count += expected_sig
+    assert len(out) == n

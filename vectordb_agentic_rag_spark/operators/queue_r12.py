@@ -36,6 +36,18 @@ Ops:
 - stream_lindley_backlog_live — the live twin of the Lindley
   recursion (close-on-day-rollover emission, batch-minus-last-day
   oracle; day-1-calibrated capacity).
+- source_xml_roundtrip — Spark 4 built-in XML write/read-back of
+  nation (lossless vs the parquet original; completes the source
+  format family).
+- pipeline_alpha_sampling_weights — XLM-R alpha=0.5 temperature
+  sampling weights per source (round(9)-quantized sqrt terms,
+  DECIMAL normalizer).
+- agg_mediation_product — Baron-Kenny product-of-coefficients
+  mediation (arm -> activity -> revenue) from exact n-scaled moments;
+  pytest pins total = direct + indirect.
+- win_ewma_control_chart — EWMA control chart with time-varying
+  limits (moving-range sigma / d2; lam/(2-lam) written as
+  CAST(1 AS DOUBLE)/7 — the decimal-literal trap dodged).
 
 Reference analogue: none in /root/reference/app.py — QA/ops surface
 (SURVEY §2C).
@@ -796,3 +808,358 @@ def stream_lindley_backlog_live(
     from ..streaming.core import _lindley_live_impl
 
     return _lindley_live_impl(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# source_xml_roundtrip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + read-back of the nation table via Spark 4's
+    BUILT-IN xml data source (rowTag records) — the last ubiquitous
+    interchange format missing from the source family (csv, jsonl,
+    json-props, orc, text, binary, corrupt-permissive all exist).
+    The oracle runs on the ORIGINAL parquet, so a value match proves
+    the XML round-trip is lossless for scalar columns.
+
+    Parity: XML inference types integers as BIGINT; both sides cast
+    the keys explicitly (fixture integer widths differ per sf — the
+    tables.py rule), and strings pass through verbatim (ASCII
+    fixture).
+
+    Shape at 100 TB: XML is a row format with no pushdown — the
+    docstring's contract is interchange, not analytics; the read
+    plan is a full scan by design and real pipelines convert to
+    parquet on ingest (this op IS that converter's two halves)."""
+    from ..tables import sf_tag, table as t
+
+    out = f"/root/repo/_scratch/sources/nation_xml_{sf_tag(sf_dir)}"
+    (
+        t(spark, sf_dir, "nation")
+        .selectExpr(
+            "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+            "n_name",
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+        )
+        .write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(out)
+        .selectExpr(
+            "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+            "n_name",
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_alpha_sampling_weights
+# ---------------------------------------------------------------------------
+
+
+def _alpha_sql(dialect: str) -> str:
+    split = (
+        "len(string_split(text, ' '))"
+        if dialect == "duck"
+        else "size(split(text, ' '))"
+    )
+    mat = " MATERIALIZED" if dialect == "duck" else ""
+    return f"""
+    WITH cur AS{mat} (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({split}) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM cur),
+    q AS (
+      SELECT source, n_docs, tokens, total_tokens,
+             CAST(round(sqrt(CAST(tokens AS DOUBLE) / total_tokens), 9)
+                  AS DECIMAL(28,9)) AS qt
+      FROM cur CROSS JOIN tot),
+    z AS (
+      SELECT *, (SELECT CAST(sum(qt) AS DECIMAL(38,9)) FROM q) AS zq
+      FROM q)
+    SELECT source, n_docs, tokens,
+           round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS p_frac,
+           round(CAST(qt AS DOUBLE) / CAST(zq AS DOUBLE), 6)
+             AS alpha_weight,
+           round((CAST(qt AS DOUBLE) / CAST(zq AS DOUBLE))
+                 / (CAST(tokens AS DOUBLE) / total_tokens), 6) AS boost
+    FROM z ORDER BY source
+    """
+
+
+@query("pipeline_alpha_sampling_weights", oracle=_alpha_sql("duck"))
+def pipeline_alpha_sampling_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALPHA-TEMPERATURE SAMPLING WEIGHTS (alpha = 0.5) per source —
+    the XLM-R / mT5 multilingual mixing rule q_i ~ p_i^alpha: small
+    sources get up-weighted (boost > 1), dominant sources damped,
+    without the hand-set targets pipeline_mixture_reweight needs
+    (that op takes target fractions as CONFIG; this one derives the
+    standard size-based smoothing every multilingual pretraining run
+    starts from).
+
+    Parity: p_i divides exact token counts; sqrt is correctly-rounded
+    IEEE on identical doubles; each q-term quantizes round(9) into
+    DECIMAL(28,9) BEFORE the cross-source normalizer sum (the
+    dynamic-BM25 rule — a 20-source float sum has no pinned order),
+    and the final weights divide the exact decimal sum once,
+    round(6).
+
+    Shape at 100 TB: one map-side-combined per-source aggregate, a
+    1-row total, and a |sources|-row projection — the same shape as
+    pipeline_mixture_reweight."""
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_alpha_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# agg_mediation_product
+# ---------------------------------------------------------------------------
+
+_MED_ARM = "(user_id * 2654435761) % 4294967296"
+
+
+def _mediation_sql(dialect: str) -> str:
+    if dialect == "duck":
+        cents = "CAST(round(value * 100, 0) AS BIGINT)"
+        idiv, big = "//", "HUGEINT"
+    else:
+        cents = "CAST(value * 100 + 0.5 AS BIGINT)"
+        idiv, big = "div", "DECIMAL(38,0)"
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST({_MED_ARM} {idiv} 2147483648 AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN {cents} ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(m) AS BIGINT) AS sm,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * m) AS BIGINT) AS sxm,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             sum(CAST(m AS {big}) * m) AS smm,
+             sum(CAST(m AS {big}) * y) AS smy
+      FROM u),
+    c AS (
+      SELECT n,
+             CAST(n AS {big}) * sx - CAST(sx AS {big}) * sx AS cxx,
+             CAST(n AS {big}) * sxm - CAST(sx AS {big}) * sm AS cxm,
+             CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy AS cxy,
+             CAST(n AS {big}) * smm - CAST(sm AS {big}) * sm AS cmm,
+             CAST(n AS {big}) * smy - CAST(sm AS {big}) * sy AS cmy
+      FROM mo),
+    d AS (
+      SELECT n,
+             CAST(cxx AS DOUBLE) AS dxx, CAST(cxm AS DOUBLE) AS dxm,
+             CAST(cxy AS DOUBLE) AS dxy, CAST(cmm AS DOUBLE) AS dmm,
+             CAST(cmy AS DOUBLE) AS dmy,
+             CAST(cxx AS DOUBLE) * CAST(cmm AS DOUBLE)
+               - CAST(cxm AS DOUBLE) * CAST(cxm AS DOUBLE) AS det
+      FROM c)
+    SELECT n AS n_users,
+           CASE WHEN dxx > 0 THEN round(dxm / dxx, 6) END AS a_path,
+           CASE WHEN det > 0 THEN
+             round((dxx * dmy - dxm * dxy) / det, 6) END AS b_path,
+           CASE WHEN dxx > 0 AND det > 0 THEN
+             round((dxm / dxx) * ((dxx * dmy - dxm * dxy) / det), 6) END
+             AS indirect_effect,
+           CASE WHEN det > 0 THEN
+             round((dmm * dxy - dxm * dmy) / det, 6) END AS direct_effect,
+           CASE WHEN dxx > 0 THEN round(dxy / dxx, 6) END AS total_effect
+    FROM d
+    """
+
+
+@query("agg_mediation_product", oracle=_mediation_sql("duck"))
+def agg_mediation_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIATION ANALYSIS (product-of-coefficients, Baron-Kenny):
+    does the experiment arm X move revenue Y THROUGH activity M?
+    a = slope of M on X; b = slope of Y on M controlling X (the
+    two-regressor OLS partial); indirect effect = a*b, direct = c',
+    and the exact OLS identity total = direct + indirect holds by
+    construction (the recompute pytest pins it).  Completes the
+    causal-inference family — agg_did_estimator (time), agg_iv_wald
+    (instrument), agg_stratified_ate (confounding), this op
+    (mechanism).  On the fixture's RANDOM arm every path is ~0 by
+    design — the estimator, gates, and identity are the contract.
+
+    Parity: X is the Knuth-hash arm bit, M exact counts, Y exact
+    cents; all centered moments are n-scaled exact
+    DECIMAL(38,0)/HUGEINT integers; slopes divide identical doubles
+    in shared text (det and variance CASE-gated per the ANSI rule),
+    round(6).
+
+    Shape at 100 TB: one user-grain aggregate, one 1-row moment
+    reduce — the agg_ols_regression shape."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_mediation_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# win_ewma_control_chart
+# ---------------------------------------------------------------------------
+
+_EWMA_CC_LAM = 0.25  # binary-exact smoothing
+_EWMA_CC_D2 = "1.128"  # Shewhart d2 for n=2 (moving range), shared literal
+
+
+@query(
+    "win_ewma_control_chart",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM d),
+    g AS (
+      SELECT CAST(sum(x) AS BIGINT) AS sx,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(x - xp)) AS BIGINT) AS smr,
+             CAST(count(xp) AS BIGINT) AS nmr
+      FROM (SELECT x, lag(x) OVER (ORDER BY day) AS xp FROM d) t),
+    p AS (
+      SELECT CAST(sx AS DOUBLE) / n AS mu0,
+             CAST(smr AS DOUBLE) / nmr / {_EWMA_CC_D2} AS sigma
+      FROM g),
+    r AS (
+      SELECT s.rn, s.day, s.x,
+             {_EWMA_CC_LAM} * CAST(s.x AS DOUBLE)
+               + {1 - _EWMA_CC_LAM} * p.mu0 AS z,
+             CAST({1 - _EWMA_CC_LAM} AS DOUBLE)
+               * {1 - _EWMA_CC_LAM} AS pw
+      FROM s, p WHERE s.rn = 1
+      UNION ALL
+      SELECT s.rn, s.day, s.x,
+             {_EWMA_CC_LAM} * CAST(s.x AS DOUBLE)
+               + {1 - _EWMA_CC_LAM} * r.z,
+             r.pw * ({1 - _EWMA_CC_LAM} * {1 - _EWMA_CC_LAM})
+      FROM r JOIN s ON s.rn = r.rn + 1)
+    SELECT r.day, r.x AS x_cents,
+           round(r.z, 6) AS z,
+           round(p.mu0 + 3.0 * p.sigma
+                 * sqrt((CAST(1 AS DOUBLE) / 7) * (1.0 - r.pw)), 6)
+             AS ucl,
+           round(p.mu0 - 3.0 * p.sigma
+                 * sqrt((CAST(1 AS DOUBLE) / 7) * (1.0 - r.pw)), 6)
+             AS lcl,
+           CASE WHEN r.z > p.mu0 + 3.0 * p.sigma
+                     * sqrt((CAST(1 AS DOUBLE) / 7) * (1.0 - r.pw))
+                 OR r.z < p.mu0 - 3.0 * p.sigma
+                     * sqrt((CAST(1 AS DOUBLE) / 7) * (1.0 - r.pw))
+                THEN 1 ELSE 0 END AS signal
+    FROM r, p
+    ORDER BY r.day
+    """,
+)
+def win_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA CONTROL CHART (Roberts/Lucas-Saccucci) on daily revenue:
+    z_i = lam*x_i + (1-lam)*z_{{i-1}} seeded at the center line mu0,
+    with the TIME-VARYING control limits mu0 +/- 3*sigma*
+    sqrt(lam/(2-lam) * (1 - (1-lam)^(2i))) and sigma estimated from
+    the mean moving range / d2(=1.128) — the small-persistent-shift
+    chart that completes the SPC family: win_xbar_r_control
+    (subgroup Shewhart), win_spc_western_electric (run rules),
+    win_cusum_changepoint / win_page_hinkley (sequential detectors),
+    this op (the memory chart in between).
+
+    Parity: daily cents and the moving-range sum are exact integers;
+    mu0/sigma divide them in shared text; lam = 0.25 is binary-exact,
+    the z and (0.75)^(2i) recursions step in pinned day order
+    (recursive CTE / prefix aggregate folds — identical expression
+    text, identical IEEE doubles); lam/(2-lam) = 1/7 is written as
+    CAST(1 AS DOUBLE)/7 on both engines (a 0.25/1.75 literal would
+    be DECIMAL division on Spark — the round-8 trap); round(6) at
+    the edge and the signal compares identical doubles.
+
+    Shape at 100 TB: the fact scan collapses to the 30-row day
+    domain; folds run on one bounded array (the croston machinery) —
+    shard by series key for a fleet of charts."""
+    ev = table(spark, sf_dir, "events")
+    lam = _EWMA_CC_LAM
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(value * 100 + 0.5 AS BIGINT)) AS BIGINT)"
+        ).alias("x")
+    )
+    g = d.select(
+        "day", "x", F.lag("x").over(Window.orderBy("day")).alias("xp")
+    ).agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(abs(x - xp)) AS BIGINT)").alias("smr"),
+        F.expr("CAST(count(xp) AS BIGINT)").alias("nmr"),
+    )
+    p = g.selectExpr(
+        "CAST(sx AS DOUBLE) / n AS mu0",
+        f"CAST(smr AS DOUBLE) / nmr / {_EWMA_CC_D2} AS sigma",
+    )
+    one = (
+        d.crossJoin(F.broadcast(p))
+        .groupBy("mu0", "sigma")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "x"))).alias("qs"))
+    )
+    om = 1 - lam
+    states = one.select(
+        "mu0",
+        "sigma",
+        F.expr(
+            "transform(sequence(1, CAST(size(qs) AS INT)), i ->"
+            " named_struct("
+            "'day', element_at(qs, i).day,"
+            "'x', element_at(qs, i).x,"
+            "'st', aggregate(slice(qs, 1, i),"
+            f" named_struct('z', mu0, 'pw', CAST(1 AS DOUBLE)),"
+            f" (s, e) -> named_struct("
+            f"'z', {lam} * CAST(e.x AS DOUBLE) + {om} * s.z,"
+            f"'pw', s.pw * ({om} * {om})))))"
+        ).alias("rs"),
+    )
+    w = (
+        f"3.0 * sigma * sqrt((CAST(1 AS DOUBLE) / 7)"
+        f" * (1.0 - r.st.pw))"
+    )
+    return (
+        states.select("mu0", "sigma", F.explode("rs").alias("r"))
+        .selectExpr(
+            "r.day AS day",
+            "r.x AS x_cents",
+            "round(r.st.z, 6) AS z",
+            f"round(mu0 + {w}, 6) AS ucl",
+            f"round(mu0 - {w}, 6) AS lcl",
+            f"CASE WHEN r.st.z > mu0 + {w} OR r.st.z < mu0 - {w}"
+            " THEN 1 ELSE 0 END AS signal",
+        )
+        .orderBy("day")
+    )

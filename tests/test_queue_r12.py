@@ -373,3 +373,165 @@ def test_ewma_control_chart_matches_python(spark, sf_dir):
         assert row.signal == expected_sig
         sig_count += expected_sig
     assert len(out) == n
+
+
+def test_minhash_estimate_error_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        N_BANDS,
+        N_HASH,
+        P_CODE,
+        P_HASH,
+        _A,
+        _B,
+    )
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        dedup_minhash_estimate_error,
+    )
+
+    out = dedup_minhash_estimate_error(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    codes, sigs, band_keys = {}, {}, {}
+    for r in docs.itertuples():
+        cs = set()
+        for t in set(r.text.split(" ")):
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % P_CODE
+            cs.add(h)
+        codes[r.doc_id] = cs
+        sg = [min((_A[i] * c + _B[i]) % P_HASH for c in cs) for i in range(N_HASH)]
+        sigs[r.doc_id] = sg
+        band_keys[r.doc_id] = [
+            (j, sg[2 * j] * P_HASH + sg[2 * j + 1]) for j in range(N_BANDS)
+        ]
+    buckets: dict[tuple, list] = {}
+    for d, bks in band_keys.items():
+        for bk in bks:
+            buckets.setdefault(bk, []).append(d)
+    cand = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    bins: dict[int, int] = {}
+    sae = Decimal(0)
+    n = 0
+    for a, b in cand:
+        inter = len(codes[a] & codes[b])
+        union = len(codes[a] | codes[b])
+        jac = inter / union
+        if jac < 0.5:
+            continue
+        est = sum(sigs[a][i] == sigs[b][i] for i in range(N_HASH)) / N_HASH
+        bins[int(np.floor((est - jac) * 20))] = (
+            bins.get(int(np.floor((est - jac) * 20)), 0) + 1
+        )
+        sae += Decimal(str(round(abs(est - jac), 9)))
+        n += 1
+    got = dict(zip(out["err_bin"], out["n_pairs"]))
+    assert got == bins
+    mae = round(float(sae) / n, 6)
+    assert (out["mae_overall"] == mae).all()
+    for r in out.itertuples():
+        assert r.share == round(r.n_pairs / n, 6)
+    # the estimator is genuinely wide: multiple error bins occupied
+    assert len(bins) >= 2
+
+
+def test_context_dedup_pack_matches_python_sim(spark, sf_dir):
+    """Rebuild the BM25 ranking, the near-dup pair set (from the
+    minhash-candidate recompute machinery above), and simulate the
+    greedy dedup-pack in plain Python."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        N_BANDS,
+        N_HASH,
+        P_CODE,
+        P_HASH,
+        _A,
+        _B,
+    )
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        _CDP_BUDGET,
+        _CDP_FETCH,
+        rag_context_dedup_pack,
+    )
+    from vectordb_agentic_rag_spark.operators.rag import (
+        _BM25_B,
+        _BM25_K1,
+        _KEYWORDS,
+    )
+
+    out = rag_context_dedup_pack(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {w: sum(1 for t in toks.values() if w in t) for w in _KEYWORDS}
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for w in _KEYWORDS:
+            tfq = t.count(w)
+            idf = math.log(1 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            s += (
+                idf
+                * (tfq * (_BM25_K1 + 1))
+                / (tfq + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(t) / avgdl))
+            )
+        scores[d] = round(s, 6)
+    ranked = sorted(scores, key=lambda d: (-scores[d], d))[:_CDP_FETCH]
+    rset = set(ranked)
+    codes, sigs, band_keys = {}, {}, {}
+    for d, t in toks.items():
+        cs = set()
+        for w in set(t):
+            h = 0
+            for ch in w:
+                h = (h * 31 + ord(ch)) % P_CODE
+            cs.add(h)
+        codes[d] = cs
+        sg = [min((_A[i] * c + _B[i]) % P_HASH for c in cs) for i in range(N_HASH)]
+        band_keys[d] = [(j, sg[2 * j] * P_HASH + sg[2 * j + 1]) for j in range(N_BANDS)]
+    buckets: dict[tuple, list] = {}
+    for d in ranked:
+        for bk in band_keys[d]:
+            buckets.setdefault(bk, []).append(d)
+    # candidate pairs within the ranked set (banding restricted there
+    # suffices: both ops restrict both endpoints to the ranked list)
+    dup_pairs = set()
+    for ds in buckets.values():
+        ds = sorted(set(ds))
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                a, b = ds[i], ds[j]
+                jac = len(codes[a] & codes[b]) / len(codes[a] | codes[b])
+                if jac >= 0.5:
+                    dup_pairs.add((a, b))
+    kept, cum, exp = [], 0, []
+    for d in ranked:
+        if any((min(d, k), max(d, k)) in dup_pairs for k in kept):
+            continue
+        if cum + len(toks[d]) > _CDP_BUDGET:
+            continue
+        kept.append(d)
+        cum += len(toks[d])
+        exp.append((len(kept), d, len(toks[d]), cum))
+    got = [
+        (int(r.pos), int(r.doc_id), int(r.n_tokens), int(r.cum_tokens))
+        for r in out.itertuples()
+    ]
+    assert got == exp
+    # the dedup path genuinely fires: fewer kept than budget-only pack
+    kept2, cum2 = 0, 0
+    for d in ranked:
+        if cum2 + len(toks[d]) <= _CDP_BUDGET:
+            kept2 += 1
+            cum2 += len(toks[d])
+    assert len(exp) <= kept2

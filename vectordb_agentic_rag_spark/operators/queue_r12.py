@@ -48,6 +48,12 @@ Ops:
 - win_ewma_control_chart — EWMA control chart with time-varying
   limits (moving-range sigma / d2; lam/(2-lam) written as
   CAST(1 AS DOUBLE)/7 — the decimal-literal trap dodged).
+- dedup_minhash_estimate_error — signature-estimate vs exact-Jaccard
+  error histogram + MAE over the verified pairs (the estimator-
+  quality leg of the band-tuning/threshold-sensitivity trio).
+- rag_context_dedup_pack — near-dup-aware greedy context packing
+  (BM25 top-20, drop verified near-dups of already-packed docs,
+  300-token budget; pure-integer fold, recursive-CTE twin).
 
 Reference analogue: none in /root/reference/app.py — QA/ops surface
 (SURVEY §2C).
@@ -1162,4 +1168,398 @@ def win_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS signal",
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate_error
+# ---------------------------------------------------------------------------
+
+
+def _mh_err_oracle() -> str:
+    from .dedup import (
+        N_HASH,
+        _DUCK_BANDS,
+        _DUCK_CODES,
+        _SIG_ORACLE,
+    )
+
+    matches = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents),
+    codes AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_DUCK_CODES}) AS cs
+      FROM (SELECT doc_id, array_to_string(t, ' ') AS text FROM toks) z),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {_SIG_ORACLE} FROM codes),
+    bands AS (
+      {_DUCK_BANDS}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_no = y.band_no AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id),
+    pairs AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
+             / len(list_distinct(ta.cs || tb.cs)) AS jac
+      FROM cand c JOIN codes ta ON c.doc_a = ta.doc_id
+                  JOIN codes tb ON c.doc_b = tb.doc_id
+      WHERE CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
+            / len(list_distinct(ta.cs || tb.cs)) >= 0.5),
+    e AS MATERIALIZED (
+      SELECT p.jac,
+             CAST(({matches}) AS DOUBLE) / {N_HASH} AS est
+      FROM pairs p JOIN sigs sa ON p.doc_a = sa.doc_id
+                   JOIN sigs sb ON p.doc_b = sb.doc_id),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(abs(est - jac), 9) AS DECIMAL(28,9)))
+                  AS DECIMAL(38,9)) AS sae
+      FROM e)
+    SELECT CAST(floor((est - jac) * 20) AS BIGINT) AS err_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(count(*) AS DOUBLE) / max(s.n), 6) AS share,
+           round(CAST(max(s.sae) AS DOUBLE) / max(s.n), 6) AS mae_overall
+    FROM e, s
+    GROUP BY 1
+    ORDER BY err_bin
+    """
+
+
+@query("dedup_minhash_estimate_error", oracle=_mh_err_oracle())
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MINHASH ESTIMATOR ERROR PROFILE: for every verified near-dup
+    pair (exact Jaccard >= 0.5 over dedup_near_minhash's OWN banding
+    candidates), the signature estimate (matching components / 8)
+    minus the exact Jaccard, histogrammed in 0.05-wide bins, with the
+    overall MAE — the table that justifies the 8-hash/4-band budget
+    empirically (E[est] = jac, sd = sqrt(jac(1-jac)/8) ~ 0.17 at
+    jac = 0.5: a WIDE estimator, which is exactly why the pipeline
+    verifies exactly instead of trusting signatures, and why
+    text_minhash_band_tuning's S-curve is about RECALL not precision).
+    Completes the dedup-methodology trio: band tuning (candidate
+    recall), threshold sensitivity (purge volume), this op (estimator
+    quality).
+
+    Parity: signatures and match counts are exact int64; est is a
+    dyadic-exact /8 double; jac = intersection/union divides exact
+    ints (the numpy verify kernel and the SQL twin produce the
+    identical correctly-rounded double); bins use floor (never
+    round-half — the round-8 half-even trap) on identical doubles;
+    the MAE quantizes each |est - jac| round(9) into DECIMAL before
+    the order-independent sum.
+
+    Shape at 100 TB: candidates from the banded equi-join, verify via
+    the side-file kernel, signatures join back on doc_id; the
+    histogram is a bounded (<= 41-bin) aggregate over the ckpt'd pair
+    frame."""
+    from ..tables import sf_tag
+    from .dedup import (
+        N_HASH,
+        _minhash_codes_and_candidates,
+        _spark_sig,
+        _verify_pairs_jaccard,
+    )
+
+    codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
+    pairs = _verify_pairs_jaccard(
+        spark, codes, cand, threshold=0.5,
+        tag=f"minhash_{sf_tag(sf_dir)}",  # same codes side-file as the
+        # 0.7 op and the threshold sweep — threshold is a post-filter
+    ).select("doc_a", "doc_b", "jac")
+    sigs = codes.withColumnRenamed("cs", "codes").select(
+        "doc_id",
+        *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(N_HASH)],
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_HASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_HASH)],
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa{i} = sb{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASH)
+    )
+    e = (
+        pairs.join(sa, pairs.doc_a == sa.da)
+        .join(sb, pairs.doc_b == sb.db)
+        .selectExpr(
+            "jac",
+            f"CAST(({matches}) AS DOUBLE) / {N_HASH} AS est",
+        )
+        .localCheckpoint()  # bounded pair frame referenced twice
+    )
+    s = e.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(CAST(round(abs(est - jac), 9) AS DECIMAL(28,9)))"
+            " AS DECIMAL(38,9))"
+        ).alias("sae"),
+    )
+    return (
+        e.groupBy(
+            F.expr("CAST(floor((est - jac) * 20) AS BIGINT)").alias(
+                "err_bin"
+            )
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(s))
+        .selectExpr(
+            "err_bin",
+            "n_pairs",
+            "round(CAST(n_pairs AS DOUBLE) / n, 6) AS share",
+            "round(CAST(sae AS DOUBLE) / n, 6) AS mae_overall",
+        )
+        .orderBy("err_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rag_context_dedup_pack
+# ---------------------------------------------------------------------------
+
+_CDP_FETCH = 20  # retrieved candidate list length
+_CDP_BUDGET = 300  # context token budget
+_CDP_ENC = 10_000_000  # pair key encoding: a * ENC + b (doc_id << ENC)
+
+
+def _cdp_oracle() -> str:
+    from .dedup import _DUCK_BANDS, _DUCK_CODES, _SIG_ORACLE
+    from .rag import _BM25_B, _BM25_K1, _KEYWORDS
+
+    bm25_score = " + ".join(
+        f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+        f"(len(list_filter(tk, x -> x = '{t}')) * ({_BM25_K1} + 1)) / "
+        f"(len(list_filter(tk, x -> x = '{t}')) + {_BM25_K1} * "
+        f"(1 - {_BM25_B} + {_BM25_B} * len(tk) / avgdl)))"
+        for i, t in enumerate(_KEYWORDS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{i}"
+        for i, t in enumerate(_KEYWORDS)
+    )
+    # one greedy step: x = the r-th ranked candidate; dup against KEPT
+    dup = (
+        "len(list_filter(kept, k -> list_contains(pl,"
+        f" least(k, rk.doc_id) * {_CDP_ENC}"
+        " + greatest(k, rk.doc_id)))) > 0"
+    )
+    return f"""
+    WITH RECURSIVE toksd AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl, {dfs}
+      FROM toksd),
+    ranked AS MATERIALIZED (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS tok,
+             row_number() OVER (ORDER BY round({bm25_score}, 6) DESC,
+                                doc_id) AS r
+      FROM toksd CROSS JOIN stats
+      QUALIFY r <= {_CDP_FETCH}),
+    codes AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_DUCK_CODES}) AS cs
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM ranked)),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {_SIG_ORACLE}
+      FROM (SELECT doc_id, list_distinct({_DUCK_CODES}) AS cs
+            FROM documents) z),
+    bands AS (
+      SELECT * FROM ({_DUCK_BANDS}) b
+      WHERE doc_id IN (SELECT doc_id FROM ranked)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_no = y.band_no AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id),
+    pairsl AS (
+      SELECT coalesce(list(c.doc_a * {_CDP_ENC} + c.doc_b),
+                      CAST([] AS BIGINT[])) AS pl
+      FROM cand c JOIN codes ta ON c.doc_a = ta.doc_id
+                  JOIN codes tb ON c.doc_b = tb.doc_id
+      WHERE CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
+            / len(list_distinct(ta.cs || tb.cs)) >= 0.5),
+    g AS (
+      SELECT 0 AS r,
+             CAST([] AS BIGINT[]) AS kept,
+             CAST(0 AS BIGINT) AS cum,
+             CAST([] AS BIGINT[]) AS odocs,
+             CAST([] AS BIGINT[]) AS otoks,
+             CAST([] AS BIGINT[]) AS ocums
+      FROM pairsl
+      UNION ALL
+      SELECT rk.r,
+             CASE WHEN {dup} OR g.cum + rk.tok > {_CDP_BUDGET}
+                  THEN g.kept
+                  ELSE list_append(g.kept, rk.doc_id) END,
+             CASE WHEN {dup} OR g.cum + rk.tok > {_CDP_BUDGET}
+                  THEN g.cum ELSE g.cum + rk.tok END,
+             CASE WHEN {dup} OR g.cum + rk.tok > {_CDP_BUDGET}
+                  THEN g.odocs
+                  ELSE list_append(g.odocs, rk.doc_id) END,
+             CASE WHEN {dup} OR g.cum + rk.tok > {_CDP_BUDGET}
+                  THEN g.otoks
+                  ELSE list_append(g.otoks, rk.tok) END,
+             CASE WHEN {dup} OR g.cum + rk.tok > {_CDP_BUDGET}
+                  THEN g.ocums
+                  ELSE list_append(g.ocums, g.cum + rk.tok) END
+      FROM g JOIN ranked rk ON rk.r = g.r + 1, pairsl
+      WHERE g.r < {_CDP_FETCH}),
+    fin AS (
+      SELECT odocs, otoks, ocums FROM g WHERE r = {_CDP_FETCH})
+    SELECT CAST(i AS BIGINT) AS pos,
+           odocs[i] AS doc_id,
+           otoks[i] AS n_tokens,
+           ocums[i] AS cum_tokens
+    FROM fin, (SELECT unnest(generate_series(1, len(odocs))) AS i)
+    ORDER BY pos
+    """
+
+
+@query("rag_context_dedup_pack", oracle=_cdp_oracle())
+def rag_context_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP-AWARE CONTEXT PACKING: take the BM25 top-20
+    candidates in rank order, DROP any document that is a verified
+    near-duplicate (exact Jaccard >= 0.5 over the minhash banding
+    candidates) of a document already packed, and greedily pack the
+    survivors into a 300-token context budget (skip-too-big,
+    continue) — the standard RAG context-quality move: retrieved
+    lists from redundant corpora waste their budget on copies of the
+    same passage (measured on this fixture: 29 verified near-dup
+    pairs among the very top BM25 docs), and packing distinct
+    passages is what actually raises answerable-context coverage.
+    Composes three registered families end-to-end: rag_bm25_topk's
+    scorer, dedup_near_minhash's verified pairs,
+    rag_context_window_pack's budgeted packing.
+
+    Parity: ranks order by round(6) BM25 with id tie-break (rank
+    parity exact); near-dup pair keys are exact int64 encodings
+    (a * 1e7 + b over canonical a < b); the greedy fold is pure
+    integer/array logic stepped in pinned rank order on both engines
+    (Spark aggregate() over the ranked array, DuckDB a recursive
+    CTE); no floats beyond the already-rounded scores.
+
+    Shape at 100 TB: both the candidate list and the pair list are
+    orderBy+limit / semi-join-restricted BOUNDED frames (<= 20 docs,
+    <= 190 pairs); the fold runs on one row.  The near-dup pair table
+    itself is the banded-LSH join (never all-pairs)."""
+    from ..tables import sf_tag
+    from .dedup import _minhash_codes_and_candidates, _verify_pairs_jaccard
+    from .rag import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    tf = lambda t: F.size(F.filter("tk", lambda x: x == F.lit(t)))  # noqa: E731
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("tk")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("tk", t).cast("bigint")).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    dl = F.size("tk")
+    score = None
+    for i, t in enumerate(_BM25_TERMS):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        term = (
+            idf
+            * (tf(t) * (_BM25_K1 + 1))
+            / (tf(t) + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    ranked = (
+        toks.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("tok"),
+            F.round(score, 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_CDP_FETCH)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id")),
+        )
+        .localCheckpoint()  # 20-row frame referenced by the pair
+        # restriction joins AND the fold-input aggregate
+    )
+    codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
+    pairs = _verify_pairs_jaccard(
+        spark, codes, cand, threshold=0.5, tag=f"minhash_{sf_tag(sf_dir)}"
+    ).select("doc_a", "doc_b")
+    ids = ranked.select(F.col("doc_id").alias("rid"))
+    rp = (
+        pairs.join(F.broadcast(ids), pairs.doc_a == F.col("rid"), "left_semi")
+        .join(
+            F.broadcast(ranked.select(F.col("doc_id").alias("rid2"))),
+            pairs.doc_b == F.col("rid2"),
+            "left_semi",
+        )
+        .agg(
+            F.expr(
+                f"coalesce(collect_list(doc_a * {_CDP_ENC} + doc_b),"
+                " array())"
+            ).alias("pl")
+        )
+    )
+    one = ranked.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("r", "doc_id", "tok"))
+        ).alias("rs")
+    ).crossJoin(F.broadcast(rp))
+    dup = (
+        "size(filter(s.kept, k -> array_contains(pl,"
+        f" least(k, x.doc_id) * {_CDP_ENC}"
+        " + greatest(k, x.doc_id)))) > 0"
+    )
+    skip = f"({dup}) OR s.cum + x.tok > {_CDP_BUDGET}"
+    fold = (
+        "aggregate(rs, named_struct("
+        "'kept', CAST(array() AS ARRAY<BIGINT>), "
+        "'cum', CAST(0 AS BIGINT), "
+        "'odocs', CAST(array() AS ARRAY<BIGINT>), "
+        "'otoks', CAST(array() AS ARRAY<BIGINT>), "
+        "'ocums', CAST(array() AS ARRAY<BIGINT>)), "
+        "(s, x) -> named_struct("
+        f"'kept', CASE WHEN {skip} THEN s.kept"
+        " ELSE concat(s.kept, array(x.doc_id)) END, "
+        f"'cum', CASE WHEN {skip} THEN s.cum ELSE s.cum + x.tok END, "
+        f"'odocs', CASE WHEN {skip} THEN s.odocs"
+        " ELSE concat(s.odocs, array(x.doc_id)) END, "
+        f"'otoks', CASE WHEN {skip} THEN s.otoks"
+        " ELSE concat(s.otoks, array(x.tok)) END, "
+        f"'ocums', CASE WHEN {skip} THEN s.ocums"
+        " ELSE concat(s.ocums, array(s.cum + x.tok)) END))"
+    )
+    return (
+        one.select(F.expr(fold).alias("st"))
+        .select(
+            F.posexplode(
+                F.expr("arrays_zip(st.odocs, st.otoks, st.ocums)")
+            ).alias("p0", "z")
+        )
+        .selectExpr(
+            "CAST(p0 + 1 AS BIGINT) AS pos",
+            "z.odocs AS doc_id",
+            "z.otoks AS n_tokens",
+            "z.ocums AS cum_tokens",
+        )
+        .orderBy("pos")
     )

@@ -535,3 +535,82 @@ def test_context_dedup_pack_matches_python_sim(spark, sf_dir):
             kept2 += 1
             cum2 += len(toks[d])
     assert len(exp) <= kept2
+
+
+def test_matryoshka_recall_sweep_matches_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        _MRS_DIMS,
+        _MRS_K,
+        _MRS_QUERIES,
+        vec_matryoshka_recall_sweep,
+    )
+
+    out = (
+        vec_matryoshka_recall_sweep(spark, sf_dir)
+        .toPandas()
+        .set_index("dim")
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    qm = ids < _MRS_QUERIES
+    Q, C = V[qm], V[~qm]
+    cids = ids[~qm]
+
+    def topk(d):
+        s = (Q[:, :d] @ C[:, :d].T) / (
+            np.linalg.norm(Q[:, :d], axis=1)[:, None]
+            * np.linalg.norm(C[:, :d], axis=1)[None, :]
+        )
+        s = np.round(s, 6)
+        out = []
+        for qi in range(len(Q)):
+            order = sorted(
+                range(len(cids)), key=lambda j: (-s[qi, j], cids[j])
+            )
+            out.append({cids[j] for j in order[:_MRS_K]})
+        return out
+
+    full = topk(max(_MRS_DIMS))
+    for d in _MRS_DIMS:
+        t = topk(d)
+        hits = sum(len(a & b) for a, b in zip(t, full))
+        row = out.loc[d]
+        assert row["n_hits"] == hits
+        assert row["recall"] == round(hits / (_MRS_K * _MRS_QUERIES), 6)
+    assert out.loc[max(_MRS_DIMS), "recall"] == 1.0
+    # truncation must genuinely cost recall at the smallest prefix
+    assert out.loc[min(_MRS_DIMS), "recall"] < 1.0
+
+
+def test_tail_dependence_matches_numpy(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.queue_r12 import (
+        agg_tail_dependence_lambda,
+    )
+
+    r = agg_tail_dependence_lambda(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    ev = ev.assign(c=np.where(ev["event_type"] == "purchase", cents, 0))
+    u = ev.groupby("user_id").agg(x=("c", "size"), y=("c", "sum"))
+    x = np.sort(u["x"].to_numpy())
+    y = np.sort(u["y"].to_numpy())
+    n = len(u)
+
+    def pick(v, numer):  # smallest value with 10*cum >= numer*n
+        k = -(-numer * n // 10)
+        return v[k - 1]
+
+    qx90, qx10 = pick(x, 9), pick(x, 1)
+    qy90, qy10 = pick(y, 9), pick(y, 1)
+    assert (r.qx90, r.qx10, r.qy90, r.qy10) == (qx90, qx10, qy90, qy10)
+    hi = (u["y"] > qy90).sum()
+    lu = ((u["x"] > qx90) & (u["y"] > qy90)).sum() / hi if hi else None
+    lo = (u["y"] <= qy10).sum()
+    ll = ((u["x"] <= qx10) & (u["y"] <= qy10)).sum() / lo if lo else None
+    assert r.n_users == n
+    assert (r.lambda_upper is None) == (lu is None)
+    if lu is not None:
+        assert r.lambda_upper == round(lu, 6)
+    if ll is not None:
+        assert r.lambda_lower == round(ll, 6)

@@ -345,6 +345,19 @@ OPS = [
     ("multimodal_audio_frames", "documents"),
     ("graph_betweenness_seeds", "lineitem"),
     ("rag_team_draft_interleave", "documents"),
+    # round-12 deferred queue (batch ops; the stream twin rides its
+    # batch sibling, xml is interchange-only by contract)
+    ("win_lindley_queue_backlog", "events"),
+    ("pipeline_filter_ablation", "documents"),
+    ("agg_dkw_cdf_bands", "events"),
+    ("agg_survival_rmst", "events"),
+    ("agg_forecast_mase", "events"),
+    ("graph_diameter_double_sweep", "lineitem"),
+    ("pipeline_alpha_sampling_weights", "documents"),
+    ("agg_mediation_product", "events"),
+    ("win_ewma_control_chart", "events"),
+    ("dedup_minhash_estimate_error", "documents"),
+    ("rag_context_dedup_pack", "documents"),
 ]
 
 

@@ -54,6 +54,13 @@ Ops:
 - rag_context_dedup_pack — near-dup-aware greedy context packing
   (BM25 top-20, drop verified near-dups of already-packed docs,
   300-token budget; pure-integer fold, recursive-CTE twin).
+- vec_matryoshka_recall_sweep — exact top-3 recall of prefix-truncated
+  embeddings (16/32/48/64 dims) vs the full-dim ground truth: one
+  scan, one shuffle (four rank windows share the query partitioning);
+  the dim-64 row self-checks at recall 1.
+- agg_tail_dependence_lambda — empirical upper/lower tail-dependence
+  between per-user activity and revenue (exact value-domain decile
+  picks; the copula diagnostic Pearson/Spearman cannot see).
 
 Reference analogue: none in /root/reference/app.py — QA/ops surface
 (SURVEY §2C).
@@ -1563,3 +1570,225 @@ def rag_context_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_matryoshka_recall_sweep
+# ---------------------------------------------------------------------------
+
+_MRS_DIMS = [16, 32, 48, 64]
+_MRS_K = 3
+_MRS_QUERIES = 10
+
+
+def _mrs_oracle() -> str:
+    sims = ",\n             ".join(
+        f"round(list_dot_product(c.embedding[1:{d}]::DOUBLE[],"
+        f" q.qv[1:{d}]::DOUBLE[])"
+        f" / (sqrt(list_dot_product(c.embedding[1:{d}]::DOUBLE[],"
+        f" c.embedding[1:{d}]::DOUBLE[]))"
+        f" * sqrt(list_dot_product(q.qv[1:{d}]::DOUBLE[],"
+        f" q.qv[1:{d}]::DOUBLE[]))), 6) AS sim{d}"
+        for d in _MRS_DIMS
+    )
+    rns = ",\n             ".join(
+        f"row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY sim{d} DESC, neighbor_id) AS rn{d}"
+        for d in _MRS_DIMS
+    )
+    hits = ",\n             ".join(
+        f"CAST(sum(CASE WHEN rn{d} <= {_MRS_K}"
+        f" AND rn{max(_MRS_DIMS)} <= {_MRS_K} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS h{d}"
+        for d in _MRS_DIMS
+    )
+    denom = _MRS_K * _MRS_QUERIES
+    fan = "\n    UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS dim, h{d} AS n_hits,"
+        f" round(CAST(h{d} AS DOUBLE) / {denom}, 6) AS recall FROM agg"
+        for d in _MRS_DIMS
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {_MRS_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding
+          FROM embeddings WHERE vec_id >= {_MRS_QUERIES}),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id,
+             {sims}
+      FROM c CROSS JOIN q),
+    rk AS (
+      SELECT query_id, neighbor_id,
+             {rns}
+      FROM sims),
+    agg AS MATERIALIZED (
+      SELECT {hits}
+      FROM rk)
+    {fan}
+    ORDER BY dim
+    """
+
+
+@query("vec_matryoshka_recall_sweep", oracle=_mrs_oracle())
+def vec_matryoshka_recall_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATRYOSHKA TRUNCATION RECALL SWEEP: exact top-3 recall of
+    PREFIX-truncated embeddings (16/32/48/64 of 64 dims) against the
+    full-dimension ground truth over the 10-query panel — the table
+    that decides how far a matryoshka index (vec_matryoshka_topk's
+    two-stage retrieve) can truncate before recall pays, and the
+    operational companion to vec_dim_variance_profile (this fixture's
+    near-uniform per-dim variance predicts recall should degrade
+    smoothly; the sweep MEASURES it).  The dim=64 row is the built-in
+    self-check (recall = 1 by construction).
+
+    Parity: each truncated cosine is the same sequential-fold
+    arithmetic over the prefix dims (Spark cosine_fixed unrolled text
+    / DuckDB sliced-list dot), ROUND(6) before ranking with
+    neighbor_id tie-break (rank parity exact); hits and recalls are
+    exact integers over the fixed 3 x 10 denominator.
+
+    Shape at 100 TB: broadcast panel, ONE corpus scan computing all
+    four truncated sims, ONE shuffle (the four rank windows share the
+    query_id partitioning), a 1-row conditional aggregate fanned to
+    four rows — never a per-dim rescan."""
+    from ..functions.vector import cosine_fixed
+    from .vector import _query_vector_raw, _query_vectors
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir, _MRS_QUERIES)
+    corpus = emb.where(F.col("vec_id") >= _MRS_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    full_d = len(_query_vector_raw(sf_dir, 0))
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.round(cosine_fixed("embedding", "qv", d), 6).alias(f"sim{d}")
+            for d in _MRS_DIMS
+        ],
+    )
+    rk = sims.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col(f"sim{d}").desc(), "neighbor_id"
+                )
+            )
+            .alias(f"rn{d}")
+            for d in _MRS_DIMS
+        ],
+    )
+    full = max(_MRS_DIMS)
+    agg = rk.agg(
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN rn{d} <= {_MRS_K}"
+                f" AND rn{full} <= {_MRS_K} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"h{d}")
+            for d in _MRS_DIMS
+        ]
+    )
+    denom = _MRS_K * _MRS_QUERIES
+    return agg.selectExpr(
+        f"stack({len(_MRS_DIMS)}, "
+        + ", ".join(
+            f"CAST({d} AS BIGINT), h{d}" for d in _MRS_DIMS
+        )
+        + ") AS (dim, n_hits)",
+    ).selectExpr(
+        "dim",
+        "n_hits",
+        f"round(CAST(n_hits AS DOUBLE) / {denom}, 6) AS recall",
+    ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# agg_tail_dependence_lambda
+# ---------------------------------------------------------------------------
+
+
+def _tail_dep_sql(dialect: str) -> str:
+    cents = (
+        "CAST(round(value * 100, 0) AS BIGINT)"
+        if dialect == "duck"
+        else "CAST(value * 100 + 0.5 AS BIGINT)"
+    )
+    idiv = "//" if dialect == "duck" else "div"
+    mat = " MATERIALIZED" if dialect == "duck" else ""
+    return f"""
+    WITH u AS{mat} (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN {cents} ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    qx AS (
+      SELECT min(CASE WHEN 10 * cum >= 9 * n THEN v END) AS q90,
+             min(CASE WHEN 10 * cum >= n THEN v END) AS q10
+      FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                   sum(c) OVER () AS n
+            FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+                  FROM u GROUP BY x) g) t),
+    qy AS (
+      SELECT min(CASE WHEN 10 * cum >= 9 * n THEN v END) AS q90,
+             min(CASE WHEN 10 * cum >= n THEN v END) AS q10
+      FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                   sum(c) OVER () AS n
+            FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS c
+                  FROM u GROUP BY y) g) t),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             qx.q90 AS qx90, qx.q10 AS qx10,
+             qy.q90 AS qy90, qy.q10 AS qy10,
+             CAST(count(CASE WHEN u.y > qy.q90 THEN 1 END) AS BIGINT)
+               AS ny_hi,
+             CAST(count(CASE WHEN u.x > qx.q90 AND u.y > qy.q90
+                        THEN 1 END) AS BIGINT) AS nxy_hi,
+             CAST(count(CASE WHEN u.y <= qy.q10 THEN 1 END) AS BIGINT)
+               AS ny_lo,
+             CAST(count(CASE WHEN u.x <= qx.q10 AND u.y <= qy.q10
+                        THEN 1 END) AS BIGINT) AS nxy_lo
+      FROM u, qx, qy
+      GROUP BY qx.q90, qx.q10, qy.q90, qy.q10)
+    SELECT n AS n_users, qx90, qy90,
+           CASE WHEN ny_hi > 0
+                THEN round(CAST(nxy_hi AS DOUBLE) / ny_hi, 6) END
+             AS lambda_upper,
+           qx10, qy10,
+           CASE WHEN ny_lo > 0
+                THEN round(CAST(nxy_lo AS DOUBLE) / ny_lo, 6) END
+             AS lambda_lower
+    FROM m
+    """
+
+
+@query("agg_tail_dependence_lambda", oracle=_tail_dep_sql("duck"))
+def agg_tail_dependence_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL TAIL-DEPENDENCE coefficients between per-user
+    activity (event count x) and revenue (purchase cents y):
+    lambda_upper = P(x > q90_x | y > q90_y) and the lower-tail
+    analogue at the 10th percentile — the copula-diagnostic that
+    answers "do the EXTREMES move together?", which Pearson/Spearman
+    (agg_spearman_corr) cannot: two measures can correlate 0.5 overall
+    yet be independent in the tail that drives revenue concentration
+    (agg_gini_concentration's regime).
+
+    Parity: x and y are exact integers; the q90/q10 abscissas are
+    exact lower-empirical picks over each measure's VALUE DOMAIN
+    (10*cum >= 9n integer compares — the agg_exact_quantile_2pass
+    machinery); the tail counts are exact conditional counts against
+    those integer thresholds; each lambda divides exact integers
+    once, CASE-gated on an empty tail (ANSI rule), round(6).
+
+    Shape at 100 TB: one user-grain aggregate, two value-domain
+    cumulative passes (bounded by the value RANGE, the SURVEY
+    distinct-cents family), one broadcast-threshold recount."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_tail_dep_sql("spark"))

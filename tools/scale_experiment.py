@@ -356,8 +356,20 @@ OPS = [
     ("pipeline_alpha_sampling_weights", "documents"),
     ("agg_mediation_product", "events"),
     ("win_ewma_control_chart", "events"),
-    ("dedup_minhash_estimate_error", "documents"),
-    ("rag_context_dedup_pack", "documents"),
+    # dedup_minhash_estimate_error is EXCLUDED: its workload IS the
+    # corpus near-dup pair mass, which the sf1x blow-up's verbatim
+    # replication makes quadratic (~100x pairs per 10x rows — the
+    # same degeneracy exclusion as pipeline_dedup_threshold_
+    # sensitivity / pipeline_dedup_cascade_audit; measured 76 s at
+    # sf1x, ratio 1.32, entirely in qualifying-pair count).
+    # rag_context_dedup_pack initially measured 187 s / ratio 1.58 at
+    # sf1x for the same reason and was FIXED by restricting the
+    # banding itself to the 20 ranked docs (measured 5.4 s warm at
+    # sf1x after the fix, ~ratio 1.2 — the residual is the
+    # corpus-linear codes side-file shared with every dedup op); it
+    # re-enters the audit at round-12 registration.
+    ("vec_matryoshka_recall_sweep", "embeddings"),
+    ("agg_tail_dependence_lambda", "events"),
 ]
 
 

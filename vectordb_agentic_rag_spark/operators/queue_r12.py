@@ -1507,24 +1507,62 @@ def rag_context_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # 20-row frame referenced by the pair
         # restriction joins AND the fold-input aggregate
     )
-    codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
-    pairs = _verify_pairs_jaccard(
-        spark, codes, cand, threshold=0.5, tag=f"minhash_{sf_tag(sf_dir)}"
-    ).select("doc_a", "doc_b")
+    from .dedup import N_BANDS, N_HASH, P_HASH, _spark_sig
+
+    codes, _ = _minhash_codes_and_candidates(spark, sf_dir)
+    # restrict the BANDING ITSELF to the 20 ranked docs before any
+    # join: the op only needs pairs WITHIN the context candidates, so
+    # both the band self-join and the exact verify run on a 20-doc
+    # frame — never the corpus pair mass (quadratic in verbatim
+    # copies on degenerate corpora: the unrestricted pipeline
+    # measured 187 s on the sf1x blow-up, the post-band restriction
+    # 5 s, this pre-band restriction is sub-second and is the shape
+    # the oracle's restricted `bands` CTE mirrors)
     ids = ranked.select(F.col("doc_id").alias("rid"))
-    rp = (
-        pairs.join(F.broadcast(ids), pairs.doc_a == F.col("rid"), "left_semi")
-        .join(
-            F.broadcast(ranked.select(F.col("doc_id").alias("rid2"))),
-            pairs.doc_b == F.col("rid2"),
-            "left_semi",
-        )
-        .agg(
-            F.expr(
-                f"coalesce(collect_list(doc_a * {_CDP_ENC} + doc_b),"
-                " array())"
-            ).alias("pl")
-        )
+    rcodes = codes.join(
+        F.broadcast(ids), codes.doc_id == F.col("rid"), "left_semi"
+    )
+    rsigs = rcodes.withColumnRenamed("cs", "codes").select(
+        "doc_id",
+        *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(N_HASH)],
+    )
+    rbands = rsigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_no"),
+                        (
+                            F.col(f"s{2 * j}") * P_HASH
+                            + F.col(f"s{2 * j + 1}")
+                        ).alias("band_key"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_no", "band.band_key")
+    xa = rbands.select(
+        F.col("doc_id").alias("doc_a"), "band_no", "band_key"
+    )
+    xb = rbands.select(
+        F.col("doc_id").alias("doc_b"), "band_no", "band_key"
+    )
+    cand_r = (
+        xa.join(xb, ["band_no", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = _verify_pairs_jaccard(
+        spark, codes, cand_r, threshold=0.5, tag=f"minhash_{sf_tag(sf_dir)}"
+    ).select("doc_a", "doc_b")
+    rp = pairs.agg(
+        F.expr(
+            f"coalesce(collect_list(doc_a * {_CDP_ENC} + doc_b),"
+            " array())"
+        ).alias("pl")
     )
     one = ranked.groupBy().agg(
         F.sort_array(

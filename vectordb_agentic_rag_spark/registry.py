@@ -48,6 +48,10 @@ _OPERATOR_MODULES = [
     # (dedup_substring_span_purge, text_minhash_band_tuning) flip in
     # per the registry's deferred-registration contract.
     "vectordb_agentic_rag_spark.operators.queue_r11",
+    # round-12 window: the fifteen round-11-implemented queue ops flip
+    # in (the round-11 window closed at exactly 50 never-checked, so
+    # these waited behind _DEFERRED_OPERATOR_MODULES until now).
+    "vectordb_agentic_rag_spark.operators.queue_r12",
 ]
 
 # Operators implemented EARLY but registered in a LATER round: the
@@ -58,12 +62,7 @@ _OPERATOR_MODULES = [
 # window never sees them) but ARE imported by tests and selfcheck via
 # load_deferred_operators. To ship them: move the entry into
 # _OPERATOR_MODULES at the start of the round whose window has room.
-_DEFERRED_OPERATOR_MODULES: list[str] = [
-    # round-12 queue: implemented + pytest-covered in round 11; the
-    # round-11 window closed at exactly 50 never-checked, so these
-    # register at round-12 start (move into _OPERATOR_MODULES then).
-    "vectordb_agentic_rag_spark.operators.queue_r12",
-]
+_DEFERRED_OPERATOR_MODULES: list[str] = []
 
 
 def load_deferred_operators() -> None:

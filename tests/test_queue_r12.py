@@ -255,6 +255,50 @@ def test_lindley_live_matches_batch_minus_last_day(spark, sf_dir):
     assert len(got) == len(a) - 1
 
 
+def test_lindley_live_skips_gap_days(spark, tmp_path):
+    """Calendar days with no events must be SKIPPED by the live fold
+    (no empty-day emission, no drain) so the drained table matches the
+    present-days-only oracle recursion even when the fixture has gap
+    days (ADVICE r11).  Synthetic 3-day corpus with a 2-day gap:
+    cap = day-1 arrivals = 3; day 2 (5 arrivals) closes when day 5's
+    first event folds -> backlog max(0, 0+5-3) = 2; days 3/4 emit
+    nothing; day 5 never closes."""
+    import uuid
+
+    from vectordb_agentic_rag_spark.streaming.core import _lindley_live_impl
+
+    d = tmp_path / f"lindley_gap_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for day, n in [(1, 3), (2, 5), (5, 2)]:
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    pd.Timestamp(f"2024-01-{day:02d} 00:00:00")
+                    + pd.Timedelta(minutes=i),
+                    1,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+    out = _lindley_live_impl(spark, str(d)).toPandas()
+    got = [
+        (str(r.day), int(r.arrivals), int(r.capacity), int(r.backlog))
+        for r in out.itertuples()
+    ]
+    assert got == [("2024-01-01", 3, 3, 0), ("2024-01-02", 5, 3, 2)]
+
+
 def test_xml_roundtrip_lossless(spark, sf_dir):
     from vectordb_agentic_rag_spark.operators.queue_r12 import (
         source_xml_roundtrip,

@@ -60,13 +60,17 @@ def _card_oracle() -> str:
         branches.append(f"""
     SELECT '{lt}.{lk}={rt}.{rk}' AS join_name,
            nl, nr, ndv_l, ndv_r,
-           (nl * nr) // greatest(ndv_l, ndv_r) AS est_rows,
+           CASE WHEN greatest(ndv_l, ndv_r) = 0 THEN NULL
+                ELSE (nl * nr) // greatest(ndv_l, ndv_r) END AS est_rows,
            actual_rows,
-           round(greatest(
+           CASE WHEN actual_rows = 0 OR greatest(ndv_l, ndv_r) = 0
+                THEN NULL
+                ELSE round(greatest(
                CAST((nl * nr) // greatest(ndv_l, ndv_r) AS DOUBLE)
                    / actual_rows,
                CAST(actual_rows AS DOUBLE)
-                   / ((nl * nr) // greatest(ndv_l, ndv_r))), 6) AS q_error
+                   / ((nl * nr) // greatest(ndv_l, ndv_r))), 6) END
+             AS q_error
     FROM (SELECT CAST(count(*) AS BIGINT) AS nl,
                  CAST(count(DISTINCT {lk}) AS BIGINT) AS ndv_l
           FROM {lt}) a
@@ -95,8 +99,11 @@ def maintenance_join_cardinality_estimate(
     Parity: counts and exact distinct counts are integers; est_rows is
     one BIGINT integer division (Spark `div`, DuckDB `//`); q_error
     divides exact integers in shared expression text, round(6).
-    est_rows >= 1 always (n_l*n_r >= max ndv since ndv <= n), so the
-    q_error denominators never degenerate.
+    est_rows >= 1 whenever both tables are non-empty (n_l*n_r >= max
+    ndv since ndv <= n), but actual_rows CAN be 0 after a fixture
+    regeneration, so both est_rows and q_error CASE-gate their
+    divides to NULL on degenerate denominators (ANSI DIVIDE_BY_ZERO
+    rule) on both engines.
 
     Shape at 100 TB: per join two 1-row stat aggregates (map-side
     combined count + count distinct — exactly what ANALYZE computes)
@@ -127,13 +134,17 @@ def maintenance_join_cardinality_estimate(
                 "nr",
                 "ndv_l",
                 "ndv_r",
-                "(nl * nr) div greatest(ndv_l, ndv_r) AS est_rows",
+                "CASE WHEN greatest(ndv_l, ndv_r) = 0 THEN NULL"
+                " ELSE (nl * nr) div greatest(ndv_l, ndv_r) END AS est_rows",
                 "actual_rows",
-                "round(greatest("
+                "CASE WHEN actual_rows = 0 OR greatest(ndv_l, ndv_r) = 0"
+                " THEN NULL"
+                " ELSE round(greatest("
                 " CAST((nl * nr) div greatest(ndv_l, ndv_r) AS DOUBLE)"
                 " / actual_rows,"
                 " CAST(actual_rows AS DOUBLE)"
-                " / ((nl * nr) div greatest(ndv_l, ndv_r))), 6) AS q_error",
+                " / ((nl * nr) div greatest(ndv_l, ndv_r))), 6) END"
+                " AS q_error",
             )
         )
         out = row if out is None else out.unionByName(row)
@@ -1452,7 +1463,7 @@ def _betweenness_oracle() -> str:
       SELECT v, CAST(sum(delta) AS DECIMAL(38,9)) AS bts
       FROM ({delta_union}) u
       GROUP BY v)
-    SELECT v AS part, round(CAST(bts AS DOUBLE), 6) AS betweenness
+    SELECT v AS part, CAST(round(bts, 6) AS DOUBLE) AS betweenness
     FROM bt
     ORDER BY bts DESC, v
     LIMIT {_BT_TOPK}
@@ -1605,5 +1616,5 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bt.orderBy(F.col("bts").desc(), "v")
         .limit(_BT_TOPK)
-        .selectExpr("v AS part", "round(CAST(bts AS DOUBLE), 6) AS betweenness")
+        .selectExpr("v AS part", "CAST(round(bts, 6) AS DOUBLE) AS betweenness")
     )

@@ -811,7 +811,11 @@ def stream_lindley_backlog_live(
     regardless of batching (the stream_gap_sessionize_live identity),
     so the drained table equals the batch recursion MINUS the final
     never-closed day — the WHERE day < max(day) twin.  The fold is
-    pure BIGINT.
+    pure BIGINT.  Calendar days with NO events are SKIPPED (cur_day
+    jumps to the next populated day without emitting or draining),
+    mirroring the oracle's present-days-only recursion — so the
+    identity survives a fixture regeneration with empty days
+    (ADVICE r11; the fixture itself populates all 30 days).
 
     Bounded state (4 int64 for the whole queue; shard by queue key
     for a multi-queue deployment — the single global key here mirrors

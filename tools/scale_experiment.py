@@ -316,12 +316,10 @@ OPS = [
     # other stream_* ops (micro-batch harness cost, not query cost);
     # agg_holm_bonferroni shares BH's bounded 30-day grid.
     # pipeline_dedup_cascade_audit and
-    # pipeline_dedup_threshold_sensitivity are EXCLUDED from the
-    # blow-up: VERBATIM text replication gives every doc 9 identical
-    # twins, so near-dup pair mass multiplies ~100x (quadratic in
-    # copies) — a replication artifact no real 10x corpus has; their
-    # expensive stage (banding join + Arrow verify) is audited via
-    # audit_jaccard_verify and the dedup/span-purge entries.
+    # pipeline_dedup_threshold_sensitivity were excluded here through
+    # round 11 (verbatim replication made pair mass quadratic); they
+    # re-enter at the end of this list now that the candidate
+    # generator caps per-bucket fan-out (round 12, _BAND_CAP).
     ("agg_markov_first_passage", "events"),
     ("agg_woe_information_value", "events"),
     ("win_xbar_r_control", "events"),
@@ -356,20 +354,23 @@ OPS = [
     ("pipeline_alpha_sampling_weights", "documents"),
     ("agg_mediation_product", "events"),
     ("win_ewma_control_chart", "events"),
-    # dedup_minhash_estimate_error is EXCLUDED: its workload IS the
-    # corpus near-dup pair mass, which the sf1x blow-up's verbatim
-    # replication makes quadratic (~100x pairs per 10x rows — the
-    # same degeneracy exclusion as pipeline_dedup_threshold_
-    # sensitivity / pipeline_dedup_cascade_audit; measured 76 s at
-    # sf1x, ratio 1.32, entirely in qualifying-pair count).
-    # rag_context_dedup_pack initially measured 187 s / ratio 1.58 at
-    # sf1x for the same reason and was FIXED by restricting the
-    # banding itself to the 20 ranked docs (measured 5.4 s warm at
-    # sf1x after the fix, ~ratio 1.2 — the residual is the
-    # corpus-linear codes side-file shared with every dedup op); it
-    # re-enters the audit at round-12 registration.
     ("vec_matryoshka_recall_sweep", "embeddings"),
     ("agg_tail_dependence_lambda", "events"),
+    # round-12: the pair-mass ops RE-ENTER the audit — the minhash
+    # candidate generator now caps per-bucket fan-out at _BAND_CAP
+    # (4096, above the largest tested-sf bucket) with star edges for
+    # truncated members, bounding the verbatim-replication blow-up to
+    # 77.6M bucket-level pairs at sf1x vs 3.05G uncapped (they were
+    # previously excluded as "blow-up degeneracy": estimate_error
+    # measured 76 s / ratio 1.32, threshold_sensitivity and
+    # cascade_audit likewise quadratic in copies).
+    # rag_context_dedup_pack was separately fixed in round 11 by
+    # banding only its 20 ranked docs (187 s -> 5.4 s at sf1x).
+    ("dedup_minhash_estimate_error", "documents"),
+    ("pipeline_dedup_threshold_sensitivity", "documents"),
+    ("pipeline_dedup_cascade_audit", "documents"),
+    ("rag_context_dedup_pack", "documents"),
+    ("dedup_band_cap_audit", "documents"),
 ]
 
 

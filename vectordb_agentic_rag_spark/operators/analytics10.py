@@ -725,7 +725,12 @@ _SENS_TAUS = [50, 60, 70, 80, 90]  # Jaccard thresholds, percent
 
 
 def _sens_oracle() -> str:
-    from .dedup import _DUCK_BANDS, _DUCK_CODES, _SIG_ORACLE
+    from .dedup import (
+        _DUCK_BANDS_RANKED,
+        _DUCK_CAND_WHERE,
+        _DUCK_CODES,
+        _SIG_ORACLE,
+    )
 
     rows = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({t} AS BIGINT) AS tau_pct,"
@@ -750,12 +755,13 @@ def _sens_oracle() -> str:
     sigs AS (
       SELECT doc_id, {_SIG_ORACLE} FROM codes),
     bands AS (
-      {_DUCK_BANDS}),
+      {_DUCK_BANDS_RANKED}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.band_no = y.band_no AND x.band_key = y.band_key
-       AND x.doc_id < y.doc_id),
+       AND x.doc_id < y.doc_id
+      {_DUCK_CAND_WHERE}),
     pairs AS MATERIALIZED (
       SELECT c.doc_b,
              CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)

@@ -637,6 +637,13 @@ def pipeline_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified pairs (side-file verify machinery and all) and
     semi-joins both endpoints against stage-1 survivors, while the
     oracle recomputes sigs/bands on the survivor corpus directly.
+    CAP CAVEAT (round 12): dedup_near_minhash's candidate generation
+    now caps per-bucket fan-out at _BAND_CAP (4096); the
+    filter-vs-recompute identity is exact while no bucket exceeds the
+    cap (true at every tested sf — max fixture bucket 3847; the
+    oracle recomputes UNCAPPED on survivors, so a corpus where the
+    cap binds would surface here as a hash mismatch, by design —
+    dedup_band_cap_audit is the op that reports when that happens).
 
     Parity: every output cell is an exact BIGINT (counts, token
     sums); no floats anywhere.  Stage names are literals.

@@ -1190,7 +1190,8 @@ def win_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mh_err_oracle() -> str:
     from .dedup import (
         N_HASH,
-        _DUCK_BANDS,
+        _DUCK_BANDS_RANKED,
+        _DUCK_CAND_WHERE,
         _DUCK_CODES,
         _SIG_ORACLE,
     )
@@ -1209,12 +1210,13 @@ def _mh_err_oracle() -> str:
     sigs AS MATERIALIZED (
       SELECT doc_id, {_SIG_ORACLE} FROM codes),
     bands AS (
-      {_DUCK_BANDS}),
+      {_DUCK_BANDS_RANKED}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.band_no = y.band_no AND x.band_key = y.band_key
-       AND x.doc_id < y.doc_id),
+       AND x.doc_id < y.doc_id
+      {_DUCK_CAND_WHERE}),
     pairs AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b,
              CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)

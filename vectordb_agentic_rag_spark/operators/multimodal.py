@@ -130,7 +130,13 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_image(payload: bytes) -> "object":
     """Real image decode — NOT available in this container (no PIL/cv2).
     Kept as the clearly-marked extension point; callers get a loud
-    failure instead of silent wrong data."""
+    failure instead of silent wrong data.
+
+    NOTE (round 12): this stub is now IMAGE-ONLY. The reference's
+    actual R1/R2 document decoders (PDF via fitz, DOCX via
+    python-docx, app.py:123-143) have REAL stdlib reimplementations
+    in operators/docformats.py (decode_pdf_text / decode_docx_text,
+    exercised end-to-end by the *_decode_roundtrip ops)."""
     try:
         from PIL import Image  # type: ignore
         import io

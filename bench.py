@@ -106,6 +106,22 @@ def main() -> None:
         for op in HEADLINE.values():
             QUERIES[op](spark, sf_dir).toPandas()
 
+    # Same-run floor reading (round 12): the per-action floor is NOT a
+    # constant of this box — it moved 33-41 ms across earlier rounds
+    # and measured 84 ms during a round-12 slow-host window (every
+    # headline query scaled with it, load_avg 0.9 at start). Reporting
+    # the floor from THE SAME session makes each bench line
+    # self-normalizing: compare (value - 5*floor) across rounds, not
+    # raw totals.
+    floor_runs = []
+    one = spark.range(1)
+    one.toPandas()
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        one.toPandas()
+        floor_runs.append(time.perf_counter() - t0)
+    floor_ms = round(statistics.median(floor_runs) * 1000, 1)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for bench_name, op in HEADLINE.items():
@@ -174,12 +190,18 @@ def main() -> None:
         out["load_avg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
+    out["floor_range1_arrow_ms"] = floor_ms
+    out["value_minus_floor"] = round(
+        max(0.0, out["value"] - 5 * floor_ms / 1000), 4
+    )
     out["floor_note"] = (
-        "per-query readings < ~0.045 s sit at this box's per-action "
-        "floor (tools/floor_probe.py: ~41 ms for a spark.range(1) Arrow "
-        "fetch); totals vary 0.14-0.20 s with background load — compare "
-        "medians from the same load window (round-10 quiet-window "
-        "medians: 0.147/0.163/0.186/0.194/0.202 across 5 runs, loads 1.3-9.3)"
+        "per-query readings within ~1-2x floor_range1_arrow_ms measure "
+        "this box's per-action floor, not the operator; the floor "
+        "itself swings with HOST load invisible to load_avg (measured "
+        "33-41 ms in rounds 5-10, 84 ms in a round-12 slow-host window "
+        "where every query moved with it) — compare value_minus_floor "
+        "(total minus 5x same-run floor) across rounds, not raw totals "
+        "(round-10 quiet-window raw medians: 0.147-0.202, loads 1.3-9.3)"
     )
     print(json.dumps(out))
 

@@ -1,0 +1,91 @@
+"""Pytests for the REAL RIFF/WAV and PNG codecs (round 12) —
+adversarial container checks independent of both engines."""
+
+import struct
+import zlib
+
+import pytest
+
+from vectordb_agentic_rag_spark.operators.binformats import (
+    _PNG_SIG,
+    _png_chunk,
+    build_png_gray8,
+    build_wav,
+    decode_png_gray8,
+    parse_wav,
+)
+
+
+def test_wav_roundtrip_including_odd_pad_and_unknown_chunk():
+    for data in (b"", b"x", b"hello world pcm!!"):
+        meta = parse_wav(build_wav(data, 16000, 2))
+        assert meta["sample_rate"] == 16000
+        assert meta["channels"] == 2
+        assert meta["block_align"] == 4
+        assert meta["n_frames"] == len(data) // 4
+
+
+def test_wav_rejects_non_riff():
+    with pytest.raises(ValueError):
+        parse_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_png_roundtrip_pads_last_row_with_zeros():
+    for n in (0, 1, 15, 16, 17, 255, 256):
+        data = bytes(range(256))[:n]
+        w, h, pix = decode_png_gray8(build_png_gray8(data, 16))
+        assert w == 16
+        assert h == max(-(-n // 16), 1)
+        assert pix[:n] == data
+        assert set(pix[n:]) <= {0}
+
+
+def test_png_crc_corruption_raises():
+    png = bytearray(build_png_gray8(b"abcdef", 16))
+    png[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray8(bytes(png))
+
+
+def test_png_sub_and_up_filter_reconstruction():
+    """The builder only emits filter 0; real encoders emit 1/2 — pin
+    the decoder's reconstruction against hand-filtered scanlines."""
+    width = 4
+    rows_px = [bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45])]
+
+    def enc_sub(row):
+        out = bytearray([1])
+        prev = 0
+        for b in row:
+            out.append((b - prev) & 0xFF)
+            prev = b
+        return bytes(out)
+
+    def enc_up(row, above):
+        return bytes([2]) + bytes(
+            (b - a) & 0xFF for b, a in zip(row, above)
+        )
+
+    raw = enc_sub(rows_px[0]) + enc_up(rows_px[1], rows_px[0])
+    ihdr = struct.pack(">IIBBBBB", width, 2, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    _, _, pix = decode_png_gray8(png)
+    assert pix == rows_px[0] + rows_px[1]
+
+
+def test_png_unsupported_filter_raises():
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    raw = bytes([4, 1, 2])  # Paeth — outside the documented subset
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png_gray8(png)

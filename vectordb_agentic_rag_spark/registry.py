@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "vectordb_agentic_rag_spark.operators.analytics11",
     "vectordb_agentic_rag_spark.operators.multimodal",
     "vectordb_agentic_rag_spark.operators.docformats",
+    "vectordb_agentic_rag_spark.operators.binformats",
     "vectordb_agentic_rag_spark.operators.streaming_batch",
     "vectordb_agentic_rag_spark.streaming.core",
     "vectordb_agentic_rag_spark.sources.readers",

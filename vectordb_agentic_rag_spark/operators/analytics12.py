@@ -1,0 +1,249 @@
+"""Round-12 operator wave: graph-walk sampling and retrieval
+hard-negative mining — two production stages neither the graph nor
+the rag family covered (walk corpora feed node2vec/DeepWalk-style
+embedding trainers; hard negatives feed reranker training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# ---------------------------------------------------------------------------
+# graph_random_walk_sample
+# ---------------------------------------------------------------------------
+
+_RW_SEEDS = 20
+_RW_STEPS = 4
+# deterministic per-(seed, step, node) neighbor pick — exact int64
+# arithmetic on both engines (max term ~1e6 * 104729 < 2^63)
+_RW_IDX = "({s} * 7919 + {t} * 104729 + {v} * 131) % 1000003"
+
+_RW_EDGE_CTES = """
+    os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    adj AS MATERIALIZED (
+      SELECT u, v,
+             CAST(row_number() OVER (PARTITION BY u ORDER BY v)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+      FROM sym),
+    seeds AS (
+      SELECT u AS seed FROM (
+        SELECT u, count(*) AS deg FROM sym GROUP BY u
+        ORDER BY deg DESC, u LIMIT {n_seeds}) z)
+""".format(n_seeds=_RW_SEEDS)
+
+
+def _rw_oracle() -> str:
+    steps = ["w0 AS (SELECT seed, CAST(0 AS BIGINT) AS step, seed AS node FROM seeds)"]
+    for t in range(1, _RW_STEPS + 1):
+        idx = _RW_IDX.format(s="w.seed", t=t, v="w.node")
+        steps.append(
+            f"""w{t} AS (
+      SELECT w.seed, CAST({t} AS BIGINT) AS step, a.v AS node
+      FROM w{t - 1} w JOIN adj a
+        ON a.u = w.node AND a.rnk = {idx} % a.deg + 1)"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM w{t}" for t in range(_RW_STEPS + 1)
+    )
+    return f"""
+    WITH {_RW_EDGE_CTES},
+    {",".join(steps)}
+    SELECT seed, step, node FROM (
+      {union}) z
+    ORDER BY seed, step
+    """
+
+
+@query("graph_random_walk_sample", oracle=_rw_oracle())
+def graph_random_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC RANDOM-WALK SAMPLING over the support-2 part
+    co-purchase graph — the corpus-generation stage of DeepWalk/
+    node2vec-style graph embedding trainers (walk sequences are the
+    "sentences" the skip-gram model consumes), which none of the 22
+    graph ops produced: they all compute STATISTICS of the graph,
+    this one samples PATHS from it. 4-step walks from the 20
+    highest-degree seeds; at each step the neighbor is picked by an
+    exact integer hash of (seed, step, current node) modulo the
+    node's degree — deterministic, so shard-stable run-to-run, and
+    walk-independent across seeds (the production property: walks
+    parallelize embarrassingly).
+
+    Walks can never dead-end: the graph is symmetrized, so every
+    reached node has >= 1 neighbor (its predecessor), and seeds are
+    top-degree nodes.
+
+    Parity: the neighbor pick is (s*7919 + t*104729 + v*131) %
+    1000003 % deg + 1 against a row_number-ranked adjacency — all
+    exact int64 on both engines; no floats anywhere.
+
+    Shape at 100 TB: the ranked adjacency is one window over the
+    checkpointed edge list (bounded by |P| choose 2, the
+    _copurchase_edges bound); each step is ONE equi-join of the
+    frontier (|seeds| rows) against adjacency on the walk node —
+    k steps = k joins, the textbook distributed walk plan (frontier
+    grows with seed count, never with step count)."""
+    from .analytics4 import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj = sym.select(
+        "u",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("u").orderBy("v"))
+        .cast("bigint")
+        .alias("rnk"),
+        F.count("*")
+        .over(Window.partitionBy("u"))
+        .cast("bigint")
+        .alias("deg"),
+    ).localCheckpoint()  # referenced once per step (4x) — the same
+    # bounded-intermediate materialization as _copurchase_edges itself
+    seeds = (
+        sym.groupBy("u")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), "u")
+        .limit(_RW_SEEDS)
+        .select(F.col("u").alias("seed"))
+    )
+    frontier = seeds.select(
+        "seed", F.lit(0).cast("bigint").alias("step"), F.col("seed").alias("node")
+    )
+    out = frontier
+    cur = frontier
+    for t in range(1, _RW_STEPS + 1):
+        idx = _RW_IDX.format(s="seed", t=t, v="node")
+        nxt = (
+            cur.join(adj, F.col("node") == F.col("u"))
+            .where(F.expr(f"rnk = {idx} % deg + 1"))
+            .select(
+                "seed",
+                F.lit(t).cast("bigint").alias("step"),
+                F.col("v").alias("node"),
+            )
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out.orderBy("seed", "step")
+
+
+# ---------------------------------------------------------------------------
+# rag_hard_negative_mining
+# ---------------------------------------------------------------------------
+
+_HN_TOPK = 10
+
+
+def _hn_oracle() -> str:
+    from .rag import _BM25_B, _BM25_K1, _KEYWORDS, _THRESHOLD
+
+    bm25_score = " + ".join(
+        f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+        f"(len(list_filter(tk, x -> x = '{t}')) * ({_BM25_K1} + 1)) / "
+        f"(len(list_filter(tk, x -> x = '{t}')) + {_BM25_K1} * "
+        f"(1 - {_BM25_B} + {_BM25_B} * len(tk) / avgdl)))"
+        for i, t in enumerate(_KEYWORDS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{i}"
+        for i, t in enumerate(_KEYWORDS)
+    )
+    kw_list = "[" + ", ".join(f"'{t}'" for t in _KEYWORDS) + "]"
+    return f"""
+    WITH toksd AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl, {dfs}
+      FROM toksd),
+    scored AS (
+      SELECT doc_id,
+             round({bm25_score}, 6) AS bm25_score,
+             CAST(len(list_filter({kw_list},
+                  kw -> contains(lower(text), kw))) AS BIGINT)
+               AS kw_matches
+      FROM toksd CROSS JOIN stats)
+    SELECT doc_id, bm25_score, kw_matches
+    FROM scored
+    WHERE kw_matches < {_THRESHOLD}
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {_HN_TOPK}
+    """
+
+
+@query("rag_hard_negative_mining", oracle=_hn_oracle())
+def rag_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for reranker training — the training-data
+    op the rag family lacked (its 12 siblings retrieve, fuse, pack,
+    or evaluate; none emit contrastive examples): a HARD negative is
+    a doc the RANKER scores high but the RELEVANCE RULE rejects, and
+    this op composes the reference's own two relevance notions to
+    find them — BM25 score over the standing query (rag_bm25_topk's
+    exact scorer, app.py:348-374) gated by the R9 keyword rule
+    (matches >= len(keywords)/2, app.py:293, filter_keyword_gate).
+    The top-10 highest-scoring GATE-FAILING docs are precisely the
+    confusing examples a cross-encoder reranker trains against.
+
+    Parity: BM25 terms are the shared expression text of the other
+    rag oracles (round-6 vintage, ln/division parity argued there),
+    rounded to 6 before the ORDER BY; kw_matches and the gate
+    threshold are exact integers; ties break on doc_id.
+
+    Shape at 100 TB: one tiny broadcast stats row + one codegen
+    scoring scan + TakeOrderedAndProject — rag_bm25_topk's audited
+    plan with one extra integer filter; no shuffle on the corpus."""
+    from .rag import _BM25_K1, _BM25_B, _KEYWORDS, _THRESHOLD
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "text", F.split("text", " ").alias("tk"))
+    tf = lambda t: F.size(F.filter("tk", lambda x: x == F.lit(t)))  # noqa: E731
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("tk")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("tk", t).cast("bigint")).alias(f"df_{i}")
+            for i, t in enumerate(_KEYWORDS)
+        ],
+    )
+    dl = F.size("tk")
+    score = None
+    for i, t in enumerate(_KEYWORDS):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        term = (
+            idf
+            * (tf(t) * (_BM25_K1 + 1))
+            / (tf(t) + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    matches = F.size(
+        F.filter(kw_arr, lambda kw: F.contains(F.lower(F.col("text")), kw))
+    ).cast("bigint")
+    return (
+        toks.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(score, 6).alias("bm25_score"),
+            matches.alias("kw_matches"),
+        )
+        .where(F.col("kw_matches") < F.lit(_THRESHOLD))
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(_HN_TOPK)
+    )

@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "vectordb_agentic_rag_spark.operators.analytics9",
     "vectordb_agentic_rag_spark.operators.analytics10",
     "vectordb_agentic_rag_spark.operators.analytics11",
+    "vectordb_agentic_rag_spark.operators.analytics12",
     "vectordb_agentic_rag_spark.operators.multimodal",
     "vectordb_agentic_rag_spark.operators.docformats",
     "vectordb_agentic_rag_spark.operators.binformats",

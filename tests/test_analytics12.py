@@ -1,0 +1,103 @@
+"""Recompute pytests for the round-12 analytics wave — plain-Python
+re-derivations from raw parquet, independent of both engines."""
+
+import math
+from collections import Counter, defaultdict
+from itertools import combinations
+
+import pandas as pd
+
+
+def test_random_walk_matches_python_walk(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics12 import (
+        _RW_SEEDS,
+        _RW_STEPS,
+        graph_random_walk_sample,
+    )
+
+    out = [
+        (int(r.seed), int(r.step), int(r.node))
+        for r in graph_random_walk_sample(spark, sf_dir).collect()
+    ]
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    pairs = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        for u, v in combinations(sorted(set(grp["l_partkey"])), 2):
+            pairs[(u, v)] += 1
+    adj = defaultdict(list)
+    for (u, v), ns in pairs.items():
+        if ns >= 2:
+            adj[int(u)].append(int(v))
+            adj[int(v)].append(int(u))
+    for u in adj:
+        adj[u].sort()
+    seeds = sorted(adj, key=lambda u: (-len(adj[u]), u))[:_RW_SEEDS]
+    exp = []
+    for s in seeds:
+        node = s
+        exp.append((s, 0, s))
+        for t in range(1, _RW_STEPS + 1):
+            nbrs = adj[node]
+            idx = (s * 7919 + t * 104729 + node * 131) % 1000003 % len(nbrs)
+            node = nbrs[idx]
+            exp.append((s, t, node))
+    assert sorted(out) == sorted(exp)
+    # every walk completes: symmetrized graph has no dead ends
+    assert len(out) == len(seeds) * (_RW_STEPS + 1)
+
+
+def test_hard_negatives_match_python_bm25(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics12 import (
+        _HN_TOPK,
+        rag_hard_negative_mining,
+    )
+    from vectordb_agentic_rag_spark.operators.rag import (
+        _BM25_B,
+        _BM25_K1,
+        _KEYWORDS,
+        _THRESHOLD,
+    )
+
+    out = [
+        (int(r.doc_id), r.bm25_score, int(r.kw_matches))
+        for r in rag_hard_negative_mining(spark, sf_dir).collect()
+    ]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    toks = {
+        int(r.doc_id): r.text.split(" ") for r in docs.itertuples()
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {
+        kw: sum(1 for t in toks.values() if kw in t) for kw in _KEYWORDS
+    }
+    scored = []
+    for doc_id, t in toks.items():
+        dl = len(t)
+        s = 0.0
+        cnt = Counter(t)
+        for kw in _KEYWORDS:
+            idf = math.log(
+                1 + (n_docs - df[kw] + 0.5) / (df[kw] + 0.5)
+            )
+            f = cnt[kw]
+            s += (
+                idf
+                * (f * (_BM25_K1 + 1))
+                / (f + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl))
+            )
+        text = docs.loc[docs.doc_id == doc_id, "text"].iloc[0].lower()
+        matches = sum(1 for kw in _KEYWORDS if kw in text)
+        if matches < _THRESHOLD:
+            scored.append((doc_id, round(s, 6), matches))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    exp = scored[:_HN_TOPK]
+    assert out == exp
+    for _, _, m in out:
+        assert m < _THRESHOLD  # every mined negative fails the gate

@@ -101,3 +101,73 @@ def test_hard_negatives_match_python_bm25(spark, sf_dir):
     assert out == exp
     for _, _, m in out:
         assert m < _THRESHOLD  # every mined negative fails the gate
+
+
+def test_personalized_pagerank_matches_python_iteration(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics12 import (
+        _PPR_ITERS,
+        _PPR_TOPK,
+        graph_personalized_pagerank,
+    )
+
+    out = [
+        (int(r.seed), int(r.node), r.ppr)
+        for r in graph_personalized_pagerank(spark, sf_dir).collect()
+    ]
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    pairs = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        for u, v in combinations(sorted(set(grp["l_partkey"])), 2):
+            pairs[(u, v)] += 1
+    adj = defaultdict(list)
+    for (u, v), ns in pairs.items():
+        if ns >= 2:
+            adj[int(u)].append(int(v))
+            adj[int(v)].append(int(u))
+    seed = min(adj, key=lambda u: (-len(adj[u]), u))
+    r = {n: (1.0 if n == seed else 0.0) for n in adj}
+    for _ in range(_PPR_ITERS):
+        mass = defaultdict(float)
+        for u, nbrs in adj.items():
+            if r[u]:
+                c = r[u] / len(nbrs)
+                for v in nbrs:
+                    mass[v] += c
+        r = {
+            n: round((0.5 if n == seed else 0.0) + 0.5 * mass.get(n, 0.0), 9)
+            for n in adj
+        }
+    exp = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:_PPR_TOPK]
+    exp = [(seed, n, round(v, 6)) for n, v in exp]
+    assert out == exp
+    # proximity sanity: the seed itself carries the restart mass
+    assert out[0][1] == seed
+
+
+def test_zip_archive_roundtrip_and_crc_guard():
+    import zipfile
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_archive,
+        parse_archive,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta"
+    m = parse_archive(build_archive(42, text))
+    assert m["n_entries"] == 3
+    assert m["doc_text"] == text
+    assert m["total_uncompressed"] == len(text) + len(text) // 2 + 8 + 2
+    # corrupt a byte inside the archive: the CRC check on read raises
+    raw = bytearray(build_archive(42, text))
+    # flip a byte in the first local entry's deflated body (after the
+    # 30-byte local header + name)
+    raw[30 + len("doc.txt") + 3] ^= 0xFF
+    try:
+        parse_archive(bytes(raw))
+    except (zipfile.BadZipFile, Exception):
+        pass
+    else:
+        raise AssertionError("corrupt entry did not raise")

@@ -247,3 +247,138 @@ def rag_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_score").desc(), "doc_id")
         .limit(_HN_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_personalized_pagerank
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 10
+_PPR_TOPK = 20
+# restart probability 0.5: exactly representable, so 0.5*x is bit-exact
+# on both engines (the 2^-k rule)
+
+
+def _ppr_oracle() -> str:
+    ctes = [
+        """nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS outdeg
+      FROM sym GROUP BY u),
+    seed AS MATERIALIZED (
+      SELECT node AS s FROM deg ORDER BY outdeg DESC, node LIMIT 1),
+    pr0 AS (
+      SELECT node,
+             CASE WHEN node = (SELECT s FROM seed)
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+               AS r
+      FROM nodes)"""
+    ]
+    for i in range(1, _PPR_ITERS + 1):
+        ctes.append(
+            f"""pr{i} AS MATERIALIZED (
+      SELECT nd.node,
+             round(CASE WHEN nd.node = (SELECT s FROM seed)
+                        THEN 0.5 ELSE 0.0 END
+                   + 0.5 * COALESCE(
+                     (SELECT sum(p.r / d.outdeg)
+                      FROM sym e JOIN pr{i - 1} p ON p.node = e.u
+                                 JOIN deg d ON d.node = e.u
+                      WHERE e.v = nd.node), 0), 9) AS r
+      FROM nodes nd)"""
+        )
+    body = ",\n    ".join(ctes)
+    edge_ctes = """
+    os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""
+    return f"""
+    WITH {edge_ctes},
+    {body}
+    SELECT (SELECT s FROM seed) AS seed,
+           node, round(r, 6) AS ppr
+    FROM pr{_PPR_ITERS}
+    ORDER BY r DESC, node
+    LIMIT {_PPR_TOPK}
+    """
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSONALIZED PAGERANK from the top-degree seed over the
+    support-2 part co-purchase graph — the graph-native RELATED-ITEMS
+    retriever (PPR with restart mass pinned to one node is what
+    Pinterest-style related-pin systems compute; the global
+    graph_pagerank_neardup cousin ranks overall centrality, this op
+    ranks proximity TO A QUERY NODE). 10 power iterations at restart
+    probability 0.5 (exactly representable — the 0.5* scaling is
+    bit-exact on both engines), each iteration round(9)-quantized so
+    sub-ulp drift in unordered double sums cannot compound (the
+    graph_pagerank_neardup recipe); top-20 by score then node.
+
+    Parity: iteration arithmetic is the shared-text convention of
+    graph_pagerank_neardup (r/outdeg double division, COALESCE 0,
+    round 9 per step, round 6 on output).
+
+    Shape at 100 TB: the node/degree/seed frames are bounded by |P|
+    choose 2 edges (checkpointed once, the _copurchase_edges bound);
+    each iteration is one edge-join + groupBy — the standard
+    distributed power iteration, 10 fixed rounds, single-reference
+    chain (round-9 rule: linear growth, no per-round checkpoint
+    needed)."""
+    from .analytics4 import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("outdeg")
+    )
+    seed = deg.orderBy(F.col("outdeg").desc(), "node").limit(1).select(
+        F.col("node").alias("s")
+    )
+    base = nodes.crossJoin(F.broadcast(seed)).localCheckpoint()
+    # bounded (node, seed) frame referenced by all 10 iterations AND
+    # the restart term — the bounded-intermediate ckpt rule
+    pr = base.select(
+        "node",
+        "s",
+        F.expr(
+            "CASE WHEN node = s THEN CAST(1.0 AS DOUBLE)"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("r"),
+    )
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            sym.join(pr.select(F.col("node").alias("u"), "r"), "u")
+            .join(deg.select(F.col("node").alias("u"), "outdeg"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("in_mass"))
+        )
+        pr = base.join(contrib, "node", "left").select(
+            "node",
+            "s",
+            F.round(
+                F.expr("CASE WHEN node = s THEN 0.5 ELSE 0.0 END")
+                + 0.5 * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                9,
+            ).alias("r"),
+        )
+    return (
+        pr.orderBy(F.col("r").desc(), "node")
+        .limit(_PPR_TOPK)
+        .select(
+            F.col("s").alias("seed"),
+            "node",
+            F.round("r", 6).alias("ppr"),
+        )
+    )

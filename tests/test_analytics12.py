@@ -149,6 +149,7 @@ def test_personalized_pagerank_matches_python_iteration(spark, sf_dir):
 
 def test_zip_archive_roundtrip_and_crc_guard():
     import zipfile
+    import zlib
 
     from vectordb_agentic_rag_spark.operators.binformats import (
         build_archive,
@@ -167,7 +168,7 @@ def test_zip_archive_roundtrip_and_crc_guard():
     raw[30 + len("doc.txt") + 3] ^= 0xFF
     try:
         parse_archive(bytes(raw))
-    except (zipfile.BadZipFile, Exception):
+    except (zipfile.BadZipFile, zlib.error):
         pass
     else:
         raise AssertionError("corrupt entry did not raise")

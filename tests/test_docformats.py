@@ -91,3 +91,22 @@ def test_pdf_flate_stream_genuinely_compressed():
     else:
         raise AssertionError("content stream is not valid zlib data")
     assert b"(abc def) Tj" in inflated
+
+
+def test_pdf_indirect_length_with_multidigit_objnum_falls_back():
+    """Regression (round-12 review): '/Length 40 0 R' must NOT
+    backtrack to a bogus direct length of 4 — the parser falls back
+    to the delimiter scan and still decodes the text."""
+    data = b"BT (indirect) Tj ET"
+    raw = (
+        b"<< /Length 40 0 R >>\nstream\n" + data + b"\nendstream"
+    )
+    assert decode_pdf_text(raw) == "indirect"
+
+
+def test_pdf_backslash_eight_and_nine_pass_through():
+    """Regression (round-12 review): per the PDF spec, a backslash
+    before a non-special character is dropped and the character kept
+    — '\\8' must decode to '8', never raise."""
+    raw = b"<< >>\nstream\nBT (a\\8b\\9c) Tj ET\nendstream"
+    assert decode_pdf_text(raw) == "a8b9c"

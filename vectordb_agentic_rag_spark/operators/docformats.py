@@ -165,7 +165,12 @@ def build_pdf(lines: list[str]) -> bytes:
 # docs). The delimiter scan remains the fallback for dicts with an
 # indirect-reference /Length.
 _STREAM_START_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
-_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the match to the FULL digit run before testing the
+# indirect-reference lookahead — without it, '/Length 40 0 R'
+# backtracks to (\d+)='4' (where ' 0 0 R' no longer matches the
+# lookahead) and a bogus 4-byte stream is sliced instead of falling
+# back to the delimiter scan (round-12 review finding).
+_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _stream_bodies(payload: bytes) -> Iterator[bytes]:
@@ -204,7 +209,10 @@ _ESC_MAP = {
 def _unescape_pdf_literal(raw: bytes) -> bytes:
     def sub(m: re.Match) -> bytes:
         g = m.group(1)
-        if g[:1].isdigit() and g.isdigit():
+        # octal only for digits 0-7: '\\8'/'\\9' are matched by the
+        # '.' branch and must pass through as the bare character per
+        # the PDF spec (int(g, 8) would raise — round-12 review)
+        if g and all(c in b"01234567" for c in g):
             return bytes([int(g, 8) & 0xFF])
         return _ESC_MAP.get(g, g)
 

@@ -172,3 +172,30 @@ def test_zip_archive_roundtrip_and_crc_guard():
         pass
     else:
         raise AssertionError("corrupt entry did not raise")
+
+
+def test_parquet_footer_stats_match_pyarrow_recompute(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from vectordb_agentic_rag_spark.operators.analytics12 import (
+        _FOOTER_COLS,
+        maintenance_parquet_footer_stats,
+    )
+
+    out = {
+        (r.table_name, r.column_name): r
+        for r in maintenance_parquet_footer_stats(spark, sf_dir).collect()
+    }
+    assert len(out) == len(_FOOTER_COLS)
+    for t, c in _FOOTER_COLS:
+        r = out[(t, c)]
+        pf = pq.ParquetFile(f"{sf_dir}/{t}.parquet")
+        col = pd.read_parquet(f"{sf_dir}/{t}.parquet", columns=[c])[c]
+        assert r.n_rows == len(col)
+        assert r.data_min == int(col.min())
+        assert r.data_max == int(col.max())
+        assert r.stats_exact == 1  # the fixture writer produced
+        # trustworthy footer stats; a broken parse would break this
+        assert r.footer_min == r.data_min
+        assert r.footer_max == r.data_max
+        assert pf.metadata.num_row_groups >= 1

@@ -1,7 +1,10 @@
-"""Round-12 operator wave: graph-walk sampling and retrieval
-hard-negative mining — two production stages neither the graph nor
-the rag family covered (walk corpora feed node2vec/DeepWalk-style
-embedding trainers; hard negatives feed reranker training).
+"""Round-12 operator wave: graph-walk sampling, retrieval
+hard-negative mining, personalized PageRank, and a parquet-footer
+statistics audit — production stages the existing families lacked
+(walk corpora feed node2vec/DeepWalk-style embedding trainers; hard
+negatives feed reranker training; PPR is the graph-native
+related-items retriever; footer stats are what row-group pruning
+trusts).
 """
 
 from __future__ import annotations
@@ -382,3 +385,100 @@ def graph_personalized_pagerank(
             F.round("r", 6).alias("ppr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_parquet_footer_stats
+# ---------------------------------------------------------------------------
+
+_FOOTER_COLS = [
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("events", "event_id"),
+]
+
+
+def _footer_oracle() -> str:
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min({c}) AS BIGINT) AS footer_min,
+           CAST(max({c}) AS BIGINT) AS footer_max,
+           CAST(min({c}) AS BIGINT) AS data_min,
+           CAST(max({c}) AS BIGINT) AS data_max,
+           CAST(1 AS BIGINT) AS stats_exact
+    FROM {t}"""
+        for t, c in _FOOTER_COLS
+    )
+    return f"""
+    {rows}
+    ORDER BY table_name, column_name
+    """
+
+
+@query("maintenance_parquet_footer_stats", oracle=_footer_oracle())
+def maintenance_parquet_footer_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARQUET FOOTER STATISTICS AUDIT — REAL metadata parsing of the
+    fixture files' footers (pyarrow.parquet file metadata: per-row-
+    group min/max statistics, the exact values Spark's ParquetScan
+    uses for row-group skipping and partition pruning), validated
+    against a data-scan min/max per key column. footer_min/footer_max
+    come from the FOOTER (min of row-group mins / max of maxes,
+    driver-side metadata-only read — no data pages touched);
+    data_min/data_max from a Spark scan aggregate; stats_exact is the
+    comparison. The table an engineer reads to confirm pushdown-
+    eligible stats actually exist and are trustworthy — a writer that
+    produced wrong or truncated stats would silently break every
+    min/max-pruned query, and this op makes that loud.
+
+    Parity: all values are exact BIGINTs; the oracle recomputes
+    min/max from data (the footer values must EQUAL them for a
+    correct writer+parser pair — a broken footer parse hash-fails).
+
+    Shape at 100 TB: the footer read is metadata-only (KBs per file,
+    listable in parallel per file on a cluster via a binaryFile scan
+    of footers; here driver-side over the five fixture files); the
+    data-scan side is one map-side-combined min/max aggregate per
+    table — the same pass ANALYZE runs."""
+    import pyarrow.parquet as pq
+
+    out = None
+    for t, c in _FOOTER_COLS:
+        pf = pq.ParquetFile(f"{sf_dir}/{t}.parquet")
+        md = pf.metadata
+        idx = [
+            md.schema.column(i).name for i in range(md.num_columns)
+        ].index(c)
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            mins.append(int(st.min))
+            maxs.append(int(st.max))
+        fmin, fmax = min(mins), max(maxs)
+        row = (
+            table(spark, sf_dir, t)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.min(c).cast("bigint").alias("data_min"),
+                F.max(c).cast("bigint").alias("data_max"),
+            )
+            .selectExpr(
+                f"'{t}' AS table_name",
+                f"'{c}' AS column_name",
+                "n_rows",
+                f"CAST({fmin} AS BIGINT) AS footer_min",
+                f"CAST({fmax} AS BIGINT) AS footer_max",
+                "data_min",
+                "data_max",
+                f"CAST(CASE WHEN {fmin} = data_min AND {fmax} = data_max"
+                " THEN 1 ELSE 0 END AS BIGINT) AS stats_exact",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name", "column_name")

@@ -284,3 +284,49 @@ def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("event_id", 2).alias("shr2"),
         F.expr("(event_id >> 5) & 1").alias("bit5"),
     )
+
+
+@query(
+    "scalar_regexp_suite",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS second_word,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT)
+             AS n_long_words,
+           regexp_matches(text, 'table.*merge') AS has_table_then_merge,
+           regexp_replace(substring(text, 1, 30), '[aeiou]', '*', 'g')
+             AS head_novowel,
+           CAST(len(string_split_regex(text, ' +')) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def scalar_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression built-ins over documents.text — the one
+    scalar family the 8 existing suites left implicit (string_suite
+    uses one regexp_extract; this exercises extract-group,
+    extract-all + count, match-test, global replace, and regex
+    split).  Cross-engine notes: Spark compiles Java regex, DuckDB
+    RE2 — the suite sticks to the shared-dialect subset (character
+    classes, bounded quantifiers, greedy .*, anchors), which is also
+    the subset a portable pipeline should stick to; Spark
+    regexp_replace is global by default while DuckDB needs the 'g'
+    flag; Spark's regexp_extract on no-match returns '' and DuckDB
+    does too (group 2 of the anchored pair).  All row-level codegen,
+    zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "^([a-z]+) ([a-z]+)", 2).alias(
+            "second_word"
+        ),
+        F.expr("CAST(size(regexp_extract_all(text, '[a-z]{6,}', 0)) AS BIGINT)")
+        .alias("n_long_words"),
+        F.col("text").rlike("table.*merge").alias("has_table_then_merge"),
+        F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "*").alias(
+            "head_novowel"
+        ),
+        F.expr("CAST(size(split(text, ' +')) AS BIGINT)").alias(
+            "n_ws_tokens"
+        ),
+    )

@@ -199,3 +199,23 @@ def test_parquet_footer_stats_match_pyarrow_recompute(spark, sf_dir):
         assert r.footer_min == r.data_min
         assert r.footer_max == r.data_max
         assert pf.metadata.num_row_groups >= 1
+
+
+def test_stats_merge_equals_direct_and_pandas(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics12 import (
+        maintenance_incremental_stats_merge,
+    )
+
+    r = maintenance_incremental_stats_merge(spark, sf_dir).collect()[0]
+    assert r.all_match == 1
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    c = (o["o_totalprice"] * 100 + 0.5).astype("int64")
+    assert r.n_rows == len(o)
+    assert r.sum_cents == int(c.sum())
+    assert int(r.sum_sq_cents) == int((c.astype(object) ** 2).sum())
+    assert r.min_cents == int(c.min())
+    assert r.max_cents == int(c.max())
+    months = o["o_orderdate"].astype("datetime64[ns]").dt.to_period("M")
+    assert r.n_partitions == months.nunique()

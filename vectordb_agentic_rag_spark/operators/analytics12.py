@@ -482,3 +482,137 @@ def maintenance_parquet_footer_stats(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# maintenance_incremental_stats_merge
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_incremental_stats_merge",
+    oracle="""
+    WITH part_stats AS (
+      SELECT date_trunc('month', o_orderdate) AS mth,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS s,
+             sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s2,
+             CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS mn,
+             CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS mx
+      FROM orders GROUP BY 1),
+    merged AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(s) AS BIGINT) AS sum_cents,
+             CAST(sum(s2) AS DECIMAL(38,0)) AS sum_sq_cents,
+             min(mn) AS min_cents, max(mx) AS max_cents
+      FROM part_stats),
+    direct AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+             CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DECIMAL(38,0)) AS sum_sq_cents,
+             CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS min_cents,
+             CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS max_cents
+      FROM orders)
+    SELECT m.n_partitions,
+           m.n_rows, d.n_rows AS n_rows_direct,
+           m.sum_cents, d.sum_cents AS sum_cents_direct,
+           CAST(m.sum_sq_cents AS VARCHAR) AS sum_sq_cents,
+           CAST(d.sum_sq_cents AS VARCHAR) AS sum_sq_cents_direct,
+           m.min_cents, m.max_cents,
+           CAST(CASE WHEN m.n_rows = d.n_rows
+                      AND m.sum_cents = d.sum_cents
+                      AND m.sum_sq_cents = d.sum_sq_cents
+                      AND m.min_cents = d.min_cents
+                      AND m.max_cents = d.max_cents
+                THEN 1 ELSE 0 END AS BIGINT) AS all_match
+    FROM merged m CROSS JOIN direct d
+    """,
+)
+def maintenance_incremental_stats_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGEABLE TABLE-STATS PROOF — the incremental-ANALYZE path a
+    100 TB catalog depends on: per-PARTITION statistics (count, sum,
+    sum of squares, min, max over exact order-total cents, one stats
+    row per o_orderdate month) MERGED by the textbook combine rules
+    (counts/sums/moment-sums add; min/max fold), next to the same
+    statistics computed directly from the raw table, with an exact
+    equality flag per run.  Because the moments are EXACT integers
+    (cents in BIGINT, squares through the DECIMAL(18,0)^2 /
+    HUGEINT kernels — the round-7 decimal-width rule), merge-vs-
+    direct equality is exact, not approximate: a catalog can ANALYZE
+    only changed partitions and merge, never rescanning the table.
+    Completes the round-13 queue item; the variance numerator
+    N*S2 - S^2 is deliberately NOT formed in-plan (BIGINT N counts
+    as precision 20 — the round-8 decimal-multiply trap); consumers
+    derive it from the emitted exact components.
+
+    Parity: every column is an exact BIGINT (the DECIMAL(38,0)
+    square-sums are emitted as exact digit STRINGS — Spark's pandas
+    conversion of wide decimals is object-typed while DuckDB's arrow
+    stays decimal128, the round-2 dtype-drift rule); the money
+    cast is the documented Spark (+0.5 cast) vs DuckDB (round) pair.
+
+    Shape at 100 TB: the per-partition pass is one map-side-combined
+    aggregate per partition (exactly what ANALYZE computes and
+    stores); the merge reads stats ROWS (one per partition), never
+    data — the direct pass exists here only to prove equality."""
+    from ..functions.money import cents
+
+    o = table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    sq = F.expr(
+        "CAST(CAST(o_totalprice * 100 + 0.5 AS BIGINT) AS DECIMAL(18,0))"
+        " * CAST(CAST(o_totalprice * 100 + 0.5 AS BIGINT)"
+        " AS DECIMAL(18,0))"
+    )
+    part = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mth")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(c).cast("bigint").alias("s"),
+        F.sum(sq).cast("decimal(38,0)").alias("s2"),
+        F.min(c).cast("bigint").alias("mn"),
+        F.max(c).cast("bigint").alias("mx"),
+    )
+    merged = part.agg(
+        F.count("*").cast("bigint").alias("n_partitions"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("s").cast("bigint").alias("sum_cents"),
+        F.sum("s2").cast("decimal(38,0)").alias("sum_sq_cents"),
+        F.min("mn").alias("min_cents"),
+        F.max("mx").alias("max_cents"),
+    )
+    direct = o.agg(
+        F.count("*").cast("bigint").alias("n_rows_direct"),
+        F.sum(c).cast("bigint").alias("sum_cents_direct"),
+        F.sum(sq).cast("decimal(38,0)").alias("sum_sq_cents_direct"),
+        F.min(c).cast("bigint").alias("min_d"),
+        F.max(c).cast("bigint").alias("max_d"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).selectExpr(
+        "n_partitions",
+        "n_rows",
+        "n_rows_direct",
+        "sum_cents",
+        "sum_cents_direct",
+        "CAST(sum_sq_cents AS STRING) AS sum_sq_cents",
+        "CAST(sum_sq_cents_direct AS STRING) AS sum_sq_cents_direct",
+        "min_cents",
+        "max_cents",
+        "CAST(CASE WHEN n_rows = n_rows_direct"
+        " AND sum_cents = sum_cents_direct"
+        " AND sum_sq_cents = sum_sq_cents_direct"
+        " AND min_cents = min_d AND max_cents = max_d"
+        " THEN 1 ELSE 0 END AS BIGINT) AS all_match",
+    )

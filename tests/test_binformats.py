@@ -89,3 +89,20 @@ def test_png_unsupported_filter_raises():
     )
     with pytest.raises(NotImplementedError):
         decode_png_gray8(png)
+
+
+def test_tar_roundtrip_and_checksum_guard():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_tar,
+        parse_tar,
+    )
+
+    text = "alpha beta gamma delta"
+    m = parse_tar(build_tar(7, text))
+    assert m["n_entries"] == 3
+    assert m["doc_text"] == text
+    assert m["total_size"] == len(text) + len(text) // 2 + 8 + 1
+    raw = bytearray(build_tar(7, text))
+    raw[0] ^= 0xFF  # corrupt the first header byte
+    with pytest.raises(ValueError):
+        parse_tar(bytes(raw))

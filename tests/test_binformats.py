@@ -106,3 +106,16 @@ def test_tar_roundtrip_and_checksum_guard():
     raw[0] ^= 0xFF  # corrupt the first header byte
     with pytest.raises(ValueError):
         parse_tar(bytes(raw))
+
+
+def test_tar_truncated_data_raises():
+    """Regression (round-12 review): an archive cut mid-data-block
+    must raise, not return a silently truncated entry."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_tar,
+        parse_tar,
+    )
+
+    full = build_tar(7, "alpha beta gamma delta " * 30)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_tar(full[:700])

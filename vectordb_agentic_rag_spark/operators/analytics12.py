@@ -444,23 +444,52 @@ def maintenance_parquet_footer_stats(
     of footers; here driver-side over the five fixture files); the
     data-scan side is one map-side-combined min/max aggregate per
     table — the same pass ANALYZE runs."""
+    import os
+
     import pyarrow.parquet as pq
 
     out = None
     for t, c in _FOOTER_COLS:
-        pf = pq.ParquetFile(f"{sf_dir}/{t}.parquet")
-        md = pf.metadata
-        idx = [
-            md.schema.column(i).name for i in range(md.num_columns)
-        ].index(c)
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written datasets are DIRECTORIES of part files (the
+        # sf1x blow-up layout handled by tables.cache_hot_tables) —
+        # fold footer stats across every part footer.
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [path]
         mins, maxs = [], []
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(idx).statistics
-            if st is None or not st.has_min_max:
-                continue
-            mins.append(int(st.min))
-            maxs.append(int(st.max))
-        fmin, fmax = min(mins), max(maxs)
+        n_groups = groups_with_stats = 0
+        for f_ in files:
+            md = pq.ParquetFile(f_).metadata
+            idx = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ].index(c)
+            for g in range(md.num_row_groups):
+                n_groups += 1
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    # stats-less row group: counted, never skipped
+                    # silently — stats_exact can only be 1 when EVERY
+                    # group carries min/max (review finding r12)
+                    continue
+                groups_with_stats += 1
+                mins.append(int(st.min))
+                maxs.append(int(st.max))
+        has_all = bool(mins) and groups_with_stats == n_groups
+        fmin_sql = f"CAST({min(mins)} AS BIGINT)" if mins else "CAST(NULL AS BIGINT)"
+        fmax_sql = f"CAST({max(maxs)} AS BIGINT)" if maxs else "CAST(NULL AS BIGINT)"
+        exact_sql = (
+            f"CAST(CASE WHEN {min(mins)} = data_min AND"
+            f" {max(maxs)} = data_max THEN 1 ELSE 0 END AS BIGINT)"
+            if has_all
+            else "CAST(0 AS BIGINT)"  # absent/partial stats are a
+            # FAILED audit, never a crash or a silent pass
+        )
         row = (
             table(spark, sf_dir, t)
             .agg(
@@ -472,12 +501,11 @@ def maintenance_parquet_footer_stats(
                 f"'{t}' AS table_name",
                 f"'{c}' AS column_name",
                 "n_rows",
-                f"CAST({fmin} AS BIGINT) AS footer_min",
-                f"CAST({fmax} AS BIGINT) AS footer_max",
+                f"{fmin_sql} AS footer_min",
+                f"{fmax_sql} AS footer_max",
                 "data_min",
                 "data_max",
-                f"CAST(CASE WHEN {fmin} = data_min AND {fmax} = data_max"
-                " THEN 1 ELSE 0 END AS BIGINT) AS stats_exact",
+                f"{exact_sql} AS stats_exact",
             )
         )
         out = row if out is None else out.unionByName(row)

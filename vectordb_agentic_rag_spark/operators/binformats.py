@@ -358,6 +358,36 @@ def multimodal_png_decode_stats(
 # --- ZIP archive ----------------------------------------------------------
 
 
+def _archive_manifest_runner(parse_build, size_key: str):
+    """Shared mapInPandas closure for the archive-manifest twins: build
+    the container from (doc_id, text), parse it back, emit entry count
+    + size + md5 of the doc.txt body read back through the container
+    (factored after the round-12 review flagged the two copies)."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_entries": [],
+                size_key: [],
+                "doc_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                m = parse_build(int(doc_id), text)
+                rows["doc_id"].append(doc_id)
+                rows["n_entries"].append(m["n_entries"])
+                rows[size_key].append(m[size_key])
+                rows["doc_md5"].append(
+                    hashlib.md5(m["doc_text"].encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return run
+
+
 def build_archive(doc_id: int, text: str) -> bytes:
     """Genuine multi-entry ZIP archive: the full doc (deflated), a
     JSON metadata entry (stored), and the doc's first half (deflated)
@@ -439,30 +469,11 @@ def multimodal_zip_archive_manifest(
     Shape at 100 TB: one mapInPandas over the documents scan, no
     shuffle; production points parse_archive at a real binary
     column of crawled archives."""
-    import hashlib
-
-    import pandas as pd
-
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def run(batches):
-        for pdf in batches:
-            rows = {
-                "doc_id": [],
-                "n_entries": [],
-                "total_uncompressed": [],
-                "doc_md5": [],
-            }
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = parse_archive(build_archive(int(doc_id), text))
-                rows["doc_id"].append(doc_id)
-                rows["n_entries"].append(m["n_entries"])
-                rows["total_uncompressed"].append(m["total_uncompressed"])
-                rows["doc_md5"].append(
-                    hashlib.md5(m["doc_text"].encode("utf-8")).hexdigest()
-                )
-            yield pd.DataFrame(rows)
-
+    run = _archive_manifest_runner(
+        lambda i, t: parse_archive(build_archive(i, t)),
+        "total_uncompressed",
+    )
     return d.mapInPandas(
         run,
         "doc_id bigint, n_entries bigint, total_uncompressed bigint, "
@@ -519,6 +530,11 @@ def parse_tar(payload: bytes) -> dict:
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8")
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
         data = payload[pos + 512 : pos + 512 + size]
+        if len(data) < size:
+            raise ValueError(
+                f"truncated tar: entry {name!r} declares {size} bytes,"
+                f" {len(data)} present"
+            )
         entries[name] = data
         pos += 512 + ((size + 511) // 512) * 512
     if not entries:
@@ -563,30 +579,10 @@ def multimodal_tar_archive_manifest(
 
     Shape at 100 TB: one mapInPandas, no shuffle; the parser reads
     headers + referenced blocks only."""
-    import hashlib
-
-    import pandas as pd
-
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def run(batches):
-        for pdf in batches:
-            rows = {
-                "doc_id": [],
-                "n_entries": [],
-                "total_size": [],
-                "doc_md5": [],
-            }
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = parse_tar(build_tar(int(doc_id), text))
-                rows["doc_id"].append(doc_id)
-                rows["n_entries"].append(m["n_entries"])
-                rows["total_size"].append(m["total_size"])
-                rows["doc_md5"].append(
-                    hashlib.md5(m["doc_text"].encode("utf-8")).hexdigest()
-                )
-            yield pd.DataFrame(rows)
-
+    run = _archive_manifest_runner(
+        lambda i, t: parse_tar(build_tar(i, t)), "total_size"
+    )
     return d.mapInPandas(
         run,
         "doc_id bigint, n_entries bigint, total_size bigint, "

@@ -219,3 +219,52 @@ def test_stats_merge_equals_direct_and_pandas(spark, sf_dir):
     assert r.max_cents == int(c.max())
     months = o["o_orderdate"].astype("datetime64[ns]").dt.to_period("M")
     assert r.n_partitions == months.nunique()
+
+
+def test_node2vec_walks_match_python_second_order(spark, sf_dir):
+    from vectordb_agentic_rag_spark.operators.analytics12 import (
+        _N2V_SEEDS,
+        _N2V_STEPS,
+        graph_node2vec_biased_walks,
+    )
+
+    out = [
+        (int(r.seed), int(r.step), int(r.node))
+        for r in graph_node2vec_biased_walks(spark, sf_dir).collect()
+    ]
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    pairs = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        for u, v in combinations(sorted(set(grp["l_partkey"])), 2):
+            pairs[(u, v)] += 1
+    adj = defaultdict(set)
+    for (u, v), ns in pairs.items():
+        if ns >= 2:
+            adj[int(u)].add(int(v))
+            adj[int(v)].add(int(u))
+    seeds = sorted(adj, key=lambda u: (-len(adj[u]), u))[:_N2V_SEEDS]
+    exp = []
+    for s in seeds:
+        prev, cur = s, s
+        exp.append((s, 0, s))
+        for t in range(1, _N2V_STEPS + 1):
+            cands = sorted(adj[cur])
+            ws = [
+                1 if x == prev else (2 if x in adj[prev] else 1)
+                for x in cands
+            ]
+            tot = sum(ws)
+            r = (s * 7919 + t * 104729 + cur * 131 + prev * 17) % 1000003 % tot
+            cum = 0
+            for x, w in zip(cands, ws):
+                if cum <= r < cum + w:
+                    nxt = x
+                    break
+                cum += w
+            prev, cur = cur, nxt
+            exp.append((s, t, cur))
+    assert sorted(out) == sorted(exp)
+    assert len(out) == len(seeds) * (_N2V_STEPS + 1)

@@ -644,3 +644,173 @@ def maintenance_incremental_stats_merge(
         " AND min_cents = min_d AND max_cents = max_d"
         " THEN 1 ELSE 0 END AS BIGINT) AS all_match",
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_node2vec_biased_walks
+# ---------------------------------------------------------------------------
+
+# p = q = 2: scaled integer weights (x2) — return 1, stay-close 2,
+# explore 1 — so the cumulative-weight pick is exact int64 arithmetic
+_N2V_STEPS = 4
+_N2V_SEEDS = 20
+_N2V_HASH = "({s} * 7919 + {t} * 104729 + {c} * 131 + {p} * 17) % 1000003"
+
+
+def _n2v_oracle() -> str:
+    edge_ctes = """
+    os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    seeds AS (
+      SELECT u AS seed FROM (
+        SELECT u, count(*) AS deg FROM sym GROUP BY u
+        ORDER BY deg DESC, u LIMIT {n}) z),
+    w0 AS (SELECT seed, seed AS prev, seed AS cur FROM seeds)""".format(
+        n=_N2V_SEEDS
+    )
+    steps = []
+    for t in range(1, _N2V_STEPS + 1):
+        h = _N2V_HASH.format(s="seed", t=t, c="cur", p="prev")
+        steps.append(
+            f"""cand{t} AS (
+      SELECT f.seed, f.prev, f.cur, a.v AS x,
+             CASE WHEN a.v = f.prev THEN CAST(1 AS BIGINT)
+                  WHEN EXISTS (SELECT 1 FROM sym s2
+                               WHERE s2.u = f.prev AND s2.v = a.v)
+                  THEN CAST(2 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS w
+      FROM w{t - 1} f JOIN sym a ON a.u = f.cur),
+    cw{t} AS (
+      SELECT seed, prev, cur, x, w,
+             COALESCE(sum(w) OVER (PARTITION BY seed ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cumx,
+             sum(w) OVER (PARTITION BY seed) AS tot
+      FROM cand{t}),
+    w{t} AS (
+      SELECT seed, cur AS prev, x AS cur
+      FROM cw{t}
+      WHERE {h} % tot >= cumx AND {h} % tot < cumx + w)"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        [f"SELECT seed, CAST(0 AS BIGINT) AS step, seed AS node FROM w0"]
+        + [
+            f"SELECT seed, CAST({t} AS BIGINT) AS step, cur AS node"
+            f" FROM w{t}"
+            for t in range(1, _N2V_STEPS + 1)
+        ]
+    )
+    return f"""
+    WITH {edge_ctes},
+    {",".join(steps)}
+    SELECT seed, step, node FROM (
+      {union}) z
+    ORDER BY seed, step
+    """
+
+
+@query("graph_node2vec_biased_walks", oracle=_n2v_oracle())
+def graph_node2vec_biased_walks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SECOND-ORDER (p, q)-BIASED WALKS (node2vec, Grover & Leskovec
+    2016) over the co-purchase graph — the biased extension of
+    graph_random_walk_sample: at each step the pick over the current
+    node's neighbors is weighted by distance FROM THE PREVIOUS node
+    (return 1/p, stay-within-triangle 1, explore 1/q; p = q = 2, so
+    the x2-scaled integer weights are 1 / 2 / 1 and the whole pick is
+    exact int64). The deterministic draw is hash(seed, step, cur,
+    prev) modulo the total scaled weight, landing in a neighbor's
+    cumulative-weight interval (neighbors ordered by id) — the
+    production property (shard-stable, embarrassingly parallel per
+    seed) with BFS/DFS interpolation the first-order walk can't do.
+    Step 1 uses prev = seed: no self-loops means the return case
+    can't fire and every neighbor of the seed is trivially adjacent
+    to prev, so the first hop is uniform — the standard convention.
+
+    Parity: weights, cumulative sums, and the modular draw are all
+    exact integers in shared expression text; the stay-close test is
+    a LEFT-JOIN flag on Spark and an EXISTS on DuckDB — same
+    predicate, engine-idiomatic forms.
+
+    Shape at 100 TB: per step ONE frontier-adjacency equi-join + ONE
+    edge-flag join (prev, x) + a per-seed window over <= max-degree
+    candidate rows — k steps = 3k bounded joins on the checkpointed
+    edge list; frontier size is the seed count, never step-dependent."""
+    from .analytics4 import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()  # referenced 2x per step (adjacency + flag)
+    seeds = (
+        sym.groupBy("u")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), "u")
+        .limit(_N2V_SEEDS)
+        .select(F.col("u").alias("seed"))
+    )
+    frontier = seeds.select(
+        "seed",
+        F.col("seed").alias("prev"),
+        F.col("seed").alias("cur"),
+    )
+    out = frontier.select(
+        "seed",
+        F.lit(0).cast("bigint").alias("step"),
+        F.col("seed").alias("node"),
+    )
+    flag = sym.select(
+        F.col("u").alias("prev"), F.col("v").alias("x"), F.lit(1).alias("adj")
+    )
+    for t in range(1, _N2V_STEPS + 1):
+        h = _N2V_HASH.format(s="seed", t=t, c="cur", p="prev")
+        cand = (
+            frontier.join(sym, F.col("cur") == F.col("u"))
+            .select("seed", "prev", "cur", F.col("v").alias("x"))
+            .join(flag, ["prev", "x"], "left")
+            .selectExpr(
+                "seed",
+                "prev",
+                "cur",
+                "x",
+                "CAST(CASE WHEN x = prev THEN 1"
+                " WHEN adj IS NOT NULL THEN 2"
+                " ELSE 1 END AS BIGINT) AS w",
+            )
+        )
+        wspec = Window.partitionBy("seed").orderBy("x")
+        cw = cand.select(
+            "seed",
+            "prev",
+            "cur",
+            "x",
+            "w",
+            F.coalesce(
+                F.sum("w").over(
+                    wspec.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("cumx"),
+            F.sum("w").over(Window.partitionBy("seed")).alias("tot"),
+        )
+        picked = cw.where(
+            F.expr(f"{h} % tot >= cumx AND {h} % tot < cumx + w")
+        )
+        frontier = picked.select(
+            "seed", F.col("cur").alias("prev"), F.col("x").alias("cur")
+        )
+        out = out.unionByName(
+            frontier.select(
+                "seed",
+                F.lit(t).cast("bigint").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out.orderBy("seed", "step")

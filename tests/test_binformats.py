@@ -119,3 +119,11 @@ def test_tar_truncated_data_raises():
     full = build_tar(7, "alpha beta gamma delta " * 30)
     with pytest.raises(ValueError, match="truncated"):
         parse_tar(full[:700])
+
+
+def test_wav_truncated_data_chunk_raises():
+    """ADVICE r12: a payload cut mid-data must raise, not return
+    header-derived frame counts for bytes that are not there."""
+    full = build_wav(b"hello world pcm!!", 16000, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav(full[:-5])

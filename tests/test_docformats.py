@@ -110,3 +110,45 @@ def test_pdf_backslash_eight_and_nine_pass_through():
     — '\\8' must decode to '8', never raise."""
     raw = b"<< >>\nstream\nBT (a\\8b\\9c) Tj ET\nendstream"
     assert decode_pdf_text(raw) == "a8b9c"
+
+
+def test_pdf_hex_string_tj_and_mixed_tj_array():
+    """Round 13: hex-string show operators joined the supported
+    subset — standalone ``<hex> Tj``, odd-digit zero padding, and hex
+    elements inside a TJ array between kerning numbers."""
+    raw = (
+        b"<< >>\nstream\nBT <48656C6C6F> Tj ET\nendstream"
+    )
+    assert decode_pdf_text(raw) == "Hello"
+    # whitespace inside the hex string + odd final digit pads with 0
+    raw2 = b"<< >>\nstream\nBT <48 65 6C 6C 7> Tj ET\nendstream"
+    assert decode_pdf_text(raw2) == "Hellp"
+    raw3 = (
+        b"<< >>\nstream\nBT [(ab) -120 <6364> 55 (ef)] TJ ET\n"
+        b"endstream"
+    )
+    assert decode_pdf_text(raw3) == "abcdef"
+
+
+def test_pdf_builder_rotates_all_three_show_forms():
+    """build_pdf emits literal Tj, hex Tj, and a mixed TJ array across
+    any >=4-line doc, and the decoder roundtrips all of them."""
+    lines = [f"line {i} words here" for i in range(7)]
+    pdf = build_pdf(lines)
+    content = zlib.decompress(
+        pdf[pdf.find(b"stream\n") + 7 : pdf.find(b"\nendstream")]
+    )
+    assert b"> Tj" in content  # hex Tj present
+    assert b"] TJ" in content  # mixed TJ array present
+    assert b") Tj" in content  # literal Tj present
+    assert decode_pdf_text(pdf) == "\n".join(lines)
+
+
+def test_pdf_oversized_length_falls_back_to_delimiter_scan():
+    """ADVICE r12: a corrupt /Length larger than the remaining payload
+    must not yield a silently truncated stream — the decoder falls
+    back to the endstream delimiter scan."""
+    raw = (
+        b"<< /Length 99999 >>\nstream\nBT (ok) Tj ET\nendstream"
+    )
+    assert decode_pdf_text(raw) == "ok"

@@ -79,6 +79,11 @@ def parse_wav(payload: bytes) -> dict:
         cid = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated {cid!r} chunk: declared {size} bytes, "
+                f"{len(body)} present"
+            )
         if cid == b"fmt ":
             (audio_fmt, channels, rate, byte_rate, block, bits) = (
                 struct.unpack("<HHIIHH", body[:16])

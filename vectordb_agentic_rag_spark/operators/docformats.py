@@ -22,11 +22,12 @@ Supported-subset honesty (documented limits, not hidden):
 - DOCX: paragraphs (`w:p`) of runs (`w:t`), joined with ``\\n`` —
   exactly the reference's ``"\\n".join(p.text for p in paragraphs)``
   view; tables/headers/footnotes are out of scope.
-- PDF: literal-string ``(...) Tj`` / ``[...] TJ`` operators in Flate
-  or plain content streams with standard one-byte encodings — the
-  output of simple generators (reportlab/fpdf-class). Font-subset
-  CMaps and hex-string show operators are out of scope and documented
-  as such.
+- PDF: literal-string ``(...) Tj`` / hex-string ``<...> Tj`` / mixed
+  ``[...] TJ`` array operators (literal and hex elements, kerning
+  numbers skipped) in Flate or plain content streams with standard
+  one-byte encodings — the output of simple generators
+  (reportlab/fpdf-class). Font-subset CMaps remain out of scope and
+  documented as such.
 """
 
 from __future__ import annotations
@@ -117,13 +118,32 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
+def _pdf_show_op(i: int, ln: str) -> str:
+    """One text-showing operator per line, rotating through the three
+    string forms real generators emit (round 13: hex strings joined
+    the supported subset): literal ``(...) Tj`` on even lines, hex
+    ``<...> Tj`` on lines ≡1 (mod 4), and a mixed ``[(lit) -250 <hex>]
+    TJ`` array (kerning number between the halves) on lines ≡3 — so
+    every multi-line fixture doc exercises all three decode paths."""
+    if i % 4 == 1:
+        return f"<{ln.encode('latin-1').hex().upper()}> Tj 0 -14 Td "
+    if i % 4 == 3:
+        half = len(ln) // 2
+        return (
+            f"[({_pdf_escape(ln[:half])}) -250 "
+            f"<{ln[half:].encode('latin-1').hex()}>] TJ 0 -14 Td "
+        )
+    return f"({_pdf_escape(ln)}) Tj 0 -14 Td "
+
+
 def build_pdf(lines: list[str]) -> bytes:
     """Minimal REAL one-page PDF with a FlateDecode content stream:
-    one `(line) Tj` per input line under a Helvetica Type1 font, valid
+    one text-showing operator per input line (literal/hex/TJ-array
+    rotation, _pdf_show_op) under a Helvetica Type1 font, valid
     xref table and trailer. The stream is genuinely zlib-compressed —
     the decoder must inflate it to see any text."""
     shows = "".join(
-        f"({_pdf_escape(ln)}) Tj 0 -14 Td " for ln in lines
+        _pdf_show_op(i, ln) for i, ln in enumerate(lines)
     )
     content = f"BT /F1 12 Tf 72 720 Td {shows}ET".encode("latin-1")
     flate = zlib.compress(content, 6)
@@ -177,7 +197,10 @@ def _stream_bodies(payload: bytes) -> Iterator[bytes]:
     for m in _STREAM_START_RE.finditer(payload):
         start = m.end()
         lm = _LEN_DIRECT_RE.search(m.group(1))
-        if lm:
+        # An oversized /Length (corrupt dict) would silently yield a
+        # truncated slice — only trust it when it fits in the payload;
+        # otherwise fall through to the endstream delimiter scan.
+        if lm and start + int(lm.group(1)) <= len(payload):
             yield payload[start : start + int(lm.group(1))]
             continue
         end = payload.find(b"endstream", start)
@@ -190,7 +213,14 @@ def _stream_bodies(payload: bytes) -> Iterator[bytes]:
             body = body[:-1]
         yield body
 _TJ_RE = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:\((?:[^()\\]|\\.)*\)|[^\]])*)\]\s*TJ"
+    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"
+    rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
+    rb"|\[((?:\((?:[^()\\]|\\.)*\)|[^\]])*)\]\s*TJ"
+)
+# TJ-array string elements: literal (group 1) OR hex (group 2);
+# kerning numbers between elements fall through unmatched.
+_SHOW_ELEM_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>"
 )
 _LIT_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 _ESC_RE = re.compile(rb"\\([0-7]{1,3}|.)")
@@ -219,6 +249,16 @@ def _unescape_pdf_literal(raw: bytes) -> bytes:
     return _ESC_RE.sub(sub, raw)
 
 
+def _decode_pdf_hex(raw: bytes) -> bytes:
+    """PDF hex-string body -> bytes: whitespace is ignored anywhere
+    inside <...>, and an odd final digit is padded with 0 (PDF 32000
+    §7.3.4.3)."""
+    h = re.sub(rb"\s+", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
 def decode_pdf_text(payload: bytes) -> str:
     """REAL (subset) PDF text extraction, stdlib-only: locate every
     stream object, inflate FlateDecode bodies with zlib (fall back to
@@ -243,10 +283,16 @@ def decode_pdf_text(payload: bytes) -> str:
                         "latin-1"
                     )
                 )
+            elif tj.group(2) is not None:
+                lines.append(
+                    _decode_pdf_hex(tj.group(2)).decode("latin-1")
+                )
             else:
                 parts = [
-                    _unescape_pdf_literal(lm.group(1))
-                    for lm in _LIT_RE.finditer(tj.group(2))
+                    _unescape_pdf_literal(em.group(1))
+                    if em.group(1) is not None
+                    else _decode_pdf_hex(em.group(2))
+                    for em in _SHOW_ELEM_RE.finditer(tj.group(3))
                 ]
                 lines.append(b"".join(parts).decode("latin-1"))
     return "\n".join(lines)

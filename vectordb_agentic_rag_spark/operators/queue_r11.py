@@ -23,7 +23,8 @@ from ..tables import table
 from .dedup import (
     _A,
     _B,
-    _DUCK_BANDS,
+    _DUCK_BANDS_RANKED,
+    _DUCK_CAND_WHERE,
     _DUCK_CODES,
     _SIG_ORACLE,
     _SPARK_CODES,
@@ -516,23 +517,28 @@ def _cascade_oracle() -> str:
         FROM t0) z
       WHERE doc_id = keeper),
     toks AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM s1),
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM t0),
     codes AS MATERIALIZED (
       SELECT doc_id, list_distinct({_DUCK_CODES}) AS cs
       FROM (SELECT doc_id, array_to_string(t, ' ') AS text FROM toks) z),
     sigs AS (
       SELECT doc_id, {_SIG_ORACLE} FROM codes),
     bands AS (
-      {_DUCK_BANDS}),
+      {_DUCK_BANDS_RANKED}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.band_no = y.band_no AND x.band_key = y.band_key
-       AND x.doc_id < y.doc_id),
+       AND x.doc_id < y.doc_id
+      {_DUCK_CAND_WHERE}),
+    cand1 AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN s1 sa ON c.doc_a = sa.doc_id
+      JOIN s1 sb ON c.doc_b = sb.doc_id),
     rem2 AS (
       SELECT DISTINCT c.doc_b AS doc_id
-      FROM cand c JOIN codes ta ON c.doc_a = ta.doc_id
-                  JOIN codes tb ON c.doc_b = tb.doc_id
+      FROM cand1 c JOIN codes ta ON c.doc_a = ta.doc_id
+                   JOIN codes tb ON c.doc_b = tb.doc_id
       WHERE CAST(len(list_intersect(ta.cs, tb.cs)) AS DOUBLE)
             / len(list_distinct(ta.cs || tb.cs)) >= 0.7),
     s2 AS MATERIALIZED (
@@ -635,15 +641,15 @@ def pipeline_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is pair-local, so removing docs never changes another
     pair's candidacy — the Spark side reuses dedup_near_minhash's
     verified pairs (side-file verify machinery and all) and
-    semi-joins both endpoints against stage-1 survivors, while the
-    oracle recomputes sigs/bands on the survivor corpus directly.
-    CAP CAVEAT (round 12): dedup_near_minhash's candidate generation
-    now caps per-bucket fan-out at _BAND_CAP (4096); the
-    filter-vs-recompute identity is exact while no bucket exceeds the
-    cap (true at every tested sf — max fixture bucket 3847; the
-    oracle recomputes UNCAPPED on survivors, so a corpus where the
-    cap binds would surface here as a hash mismatch, by design —
-    dedup_band_cap_audit is the op that reports when that happens).
+    semi-joins both endpoints against stage-1 survivors.  The oracle
+    mirrors that EXACTLY (round 13, closing an ADVICE item): it bands
+    the FULL corpus with the same _BAND_CAP ranked-bucket predicate
+    as dedup_near_minhash's oracle, then filters candidate endpoints
+    to stage-1 survivors — so the identity holds even on a corpus
+    where the cap binds (previously the oracle re-banded survivors
+    uncapped, a latent driver-gate mismatch on any fixture with a
+    bucket > 4096; dedup_band_cap_audit remains the op that REPORTS
+    truncation when the cap is active).
 
     Parity: every output cell is an exact BIGINT (counts, token
     sums); no floats anywhere.  Stage names are literals.

@@ -389,3 +389,83 @@ def test_burstiness_matches_pandas_moments(spark):
     # burstiness >= variance floor: var/mean of a Poisson is 1; topical
     # fixture terms exceed it, function words sit near it — all positive
     assert (pdf["burstiness"] > 0).all()
+
+
+def test_wedge_cap_plain_python_recompute_sf001_and_sf01():
+    """graph_triangle_wedge_cap vs an independent plain-Python
+    recompute (round-9 rule: hash checks can't see logic mirrored
+    into both engines). sf0.001 exercises the uncapped-exact regime
+    (cap does not bind, exact_flag = 1, lb == true count); sf0.01
+    exercises the capped regime (complete 100-node graph, max outdeg
+    99 > 32 — lb is a strict lower bound and the wedge accounting
+    identity holds)."""
+    import duckdb
+
+    from vectordb_agentic_rag_spark import registry
+
+    registry.load_all_operators()
+    sql = registry.ORACLES["graph_triangle_wedge_cap"]
+    CAP = 32
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"'/root/testdata/{sf}/lineitem.parquet'"
+        )
+        row = con.execute(sql).fetchdf().iloc[0]
+        # plain-Python recompute
+        pairs = con.execute(
+            """
+            WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey
+                        FROM lineitem)
+            SELECT a.l_suppkey, b.l_suppkey FROM os a JOIN os b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            """
+        ).fetchall()
+        edges = {(int(u), int(v)) for u, v in pairs}
+        deg: dict[int, int] = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        adj: dict[int, list] = {}
+        oriented = set()
+        for u, v in edges:
+            s, t = (
+                (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+            )
+            oriented.add((s, t))
+            adj.setdefault(s, []).append((deg[t], t))
+        tri_exact = tri_lb = 0
+        wedges_cons = wedges_drop = capped_pivots = 0
+        max_od = 0
+        for s, outs in adj.items():
+            outs.sort()
+            od = len(outs)
+            max_od = max(max_od, od)
+            kept = outs[:CAP]
+            k = len(kept)
+            wedges_cons += k * (k - 1) // 2
+            wedges_drop += od * (od - 1) // 2 - k * (k - 1) // 2
+            if od > CAP:
+                capped_pivots += 1
+            for i in range(len(outs)):
+                for j in range(i + 1, len(outs)):
+                    closed = (outs[i][1], outs[j][1]) in oriented
+                    if closed:
+                        tri_exact += 1
+                        if j < CAP:
+                            tri_lb += 1
+        assert int(row["nodes"]) == len(deg)
+        assert int(row["edges"]) == len(edges)
+        assert int(row["capped_pivots"]) == capped_pivots
+        assert int(row["max_outdeg"]) == max_od
+        assert int(row["wedges_considered"]) == wedges_cons
+        assert int(row["wedges_dropped"]) == wedges_drop
+        assert int(row["triangles_lb"]) == tri_lb
+        assert int(row["exact_flag"]) == (1 if capped_pivots == 0 else 0)
+        if capped_pivots == 0:
+            assert tri_lb == tri_exact
+        else:
+            assert tri_lb <= tri_exact

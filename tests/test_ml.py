@@ -252,3 +252,37 @@ def test_ann_pareto_raises_on_broken_codebook(spark, sf_dir):
             ml.vec_ann_latency_recall_pareto(spark, sf_dir).collect()
     finally:
         ml._PQ_BOOKS_CACHE[sf_dir] = good
+
+
+def test_prefilter_vs_postfilter_invariants():
+    """Structural invariants of the filtered-ANN operating table
+    (fixture-robust, unlike the raw recall numbers): candidate
+    monotonicity in selectivity, post-filter volume constant across
+    filters, hits <= returned <= 30, recall = hits/30, and the
+    post-filter starvation effect at the selective filter (shortlist
+    20 x ~10% selectivity cannot fill 30 slots)."""
+    import duckdb
+
+    from vectordb_agentic_rag_spark.operators.ml import _pfpf_oracle
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    rows = con.execute(_pfpf_oracle()).fetchall()
+    assert len(rows) == 6
+    by = {(r[0], r[1]): r for r in rows}
+    post_cand = {by[(f, "post_filter")][3] for f in (0, 1, 2)}
+    assert len(post_cand) == 1  # filter-agnostic index volume
+    pre_cands = [by[(f, "pre_filter")][3] for f in (0, 1, 2)]
+    assert pre_cands == sorted(pre_cands)  # monotone in selectivity
+    for r in rows:
+        fid, strat, cpass, cand, returned, hits, recall = r
+        assert 0 <= hits <= returned <= 30
+        assert abs(recall - round(hits / 30, 6)) < 1e-9
+        assert by[(fid, "pre_filter")][3] <= by[(fid, "post_filter")][3]
+    # starvation: the 10% filter cannot fill a 20-deep shortlist's
+    # top-3 for all 10 queries
+    assert by[(0, "post_filter")][4] < 30
+    assert by[(0, "pre_filter")][4] == 30

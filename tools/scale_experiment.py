@@ -102,6 +102,7 @@ OPS = [
     ("text_ccnet_ppl_bucket", "documents"),
     ("dedup_span_ngram", "documents"),
     ("graph_triangle_cosupply", "lineitem"),
+    ("graph_triangle_wedge_cap", "lineitem"),
     ("win_cusum_changepoint", "events"),
     ("win_seasonal_naive_mae", "events"),
     ("agg_ks_test_two_sample", "events"),

@@ -2003,3 +2003,190 @@ def agg_cusum_arl_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_ARL_HS)}, {stacked}) AS "
         "(h, n_users, n_alarmed, pct_alarmed, avg_run_length)"
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_wedge_cap — bounded-cost triangle counting for skew
+# ---------------------------------------------------------------------------
+
+_WEDGE_CAP = 32  # per-pivot out-adjacency cap (smallest (deg, id) kept)
+
+
+@query(
+    "graph_triangle_wedge_cap",
+    oracle=f"""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e) z
+      GROUP BY n),
+    er AS MATERIALIZED (
+      SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS s,
+             CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS t,
+             CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dt
+      FROM e JOIN deg a ON e.u = a.n JOIN deg b ON e.v = b.n,
+           LATERAL (SELECT a.d AS du, b.d AS dv) x),
+    ranked AS MATERIALIZED (
+      SELECT s, t, dt,
+             row_number() OVER (PARTITION BY s ORDER BY dt, t) AS rk
+      FROM er),
+    odeg AS (SELECT s, max(rk) AS outdeg FROM ranked GROUP BY s),
+    capstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS pivots,
+             CAST(coalesce(sum(CASE WHEN outdeg > {_WEDGE_CAP}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS capped_pivots,
+             CAST(coalesce(max(outdeg), 0) AS BIGINT) AS max_outdeg,
+             CAST(coalesce(sum(least(outdeg, {_WEDGE_CAP})
+                  * (least(outdeg, {_WEDGE_CAP}) - 1) // 2), 0)
+                  AS BIGINT) AS wedges_considered,
+             CAST(coalesce(sum(outdeg * (outdeg - 1) // 2
+                  - least(outdeg, {_WEDGE_CAP})
+                  * (least(outdeg, {_WEDGE_CAP}) - 1) // 2), 0)
+                  AS BIGINT) AS wedges_dropped
+      FROM odeg),
+    capped AS (SELECT s, t, dt FROM ranked WHERE rk <= {_WEDGE_CAP}),
+    tri AS (
+      SELECT x.s, x.t AS t1, y.t AS t2
+      FROM capped x JOIN capped y ON x.s = y.s
+      WHERE (x.dt, x.t) < (y.dt, y.t)
+        AND EXISTS (SELECT 1 FROM er e3
+                    WHERE e3.s = x.t AND e3.t = y.t)),
+    tl AS (SELECT CAST(count(*) AS BIGINT) AS triangles_lb FROM tri),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nodes FROM deg),
+    ee AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM e)
+    SELECT nn.nodes, ee.edges, cs.pivots, cs.capped_pivots,
+           cs.max_outdeg, cs.wedges_considered, cs.wedges_dropped,
+           tl.triangles_lb,
+           CAST(CASE WHEN cs.capped_pivots = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS exact_flag
+    FROM nn CROSS JOIN ee CROSS JOIN capstats cs CROSS JOIN tl
+    """,
+)
+def graph_triangle_wedge_cap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOUNDED-COST triangle counting — the skew-proof sibling of
+    graph_triangle_cosupply (VERDICT r12 item 4: the wedge join is the
+    repo's one super-linear scaling surface, time/input ratio 1.13 at
+    sf1x, because wedge mass is sum(outdeg^2) and a skewed
+    co-occurrence graph puts that mass on hub pivots).  Same
+    degree-oriented edge list, but each pivot's out-adjacency is
+    CAPPED to its _WEDGE_CAP = 32 smallest-(degree, id) far endpoints
+    before the wedge self-join — wedge mass is then bounded by
+    n * C(32, 2) ≈ 496n, LINEAR in nodes regardless of skew (the
+    dedup_band_cap_audit recipe applied to triangles: deterministic
+    truncation + an audit column, never a silent cap).  The closing
+    probe still runs against the FULL oriented edge list, so every
+    emitted triangle is real; capping only MISSES triangles whose
+    pivot has both far endpoints outside its cap — triangles_lb is an
+    exact LOWER BOUND, equal to the true count whenever
+    capped_pivots = 0 (exact_flag says so in-row).
+
+    One audit row: nodes/edges of the support-3 co-supply graph,
+    pivot count, capped pivots, max oriented out-degree, wedge mass
+    considered vs dropped (exact integers, C(d,2) = d*(d-1) div 2 on
+    both engines), the triangle lower bound, and the exactness flag.
+    On the DENSE fixture graph the cap binds (max outdeg 99 at
+    sf0.01) — deliberately: the op demonstrates bounded cost exactly
+    where the uncapped op degenerates, and the pytest pins equality
+    to the exact count on a synthetic graph where the cap does not
+    bind plus the wedge-accounting identity here.
+
+    Parity: everything is exact integer arithmetic; composite-key
+    orientation compares (deg, id) tuples — struct(du, u) < struct
+    (dv, v) in Spark, row tuples in DuckDB (the round-10 Markov-path
+    rule).
+
+    Shape at 100 TB: the per-pivot rank is a PARTITIONED window over
+    the oriented edge list (bounded fan-in per pivot); the wedge join
+    touches <= 32 out-edges per pivot; the closure probe is one
+    LeftSemi equi-join.  This is the plan you run FIRST on an unknown
+    100 TB co-occurrence graph: the audit columns tell you whether
+    the exact sibling is affordable (wedges_dropped = 0) before you
+    pay for it."""
+    e = _cosupply_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    er = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+        .localCheckpoint()  # bounded by |S| choose 2; referenced by
+        # the rank window AND the closure probe
+    )
+    w_rk = Window.partitionBy("s").orderBy("dt", "t")
+    ranked = er.withColumn("rk", F.row_number().over(w_rk))
+    odeg = ranked.groupBy("s").agg(F.max("rk").alias("outdeg"))
+    cap = _WEDGE_CAP
+    capstats = odeg.agg(
+        F.count("*").cast("bigint").alias("pivots"),
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN outdeg > {cap} THEN 1 ELSE 0 "
+            f"END), 0) AS BIGINT)"
+        ).alias("capped_pivots"),
+        F.expr("CAST(coalesce(max(outdeg), 0) AS BIGINT)").alias(
+            "max_outdeg"
+        ),
+        F.expr(
+            f"CAST(coalesce(sum(least(outdeg, {cap}) * (least(outdeg, "
+            f"{cap}) - 1) div 2), 0) AS BIGINT)"
+        ).alias("wedges_considered"),
+        F.expr(
+            f"CAST(coalesce(sum(outdeg * (outdeg - 1) div 2 - "
+            f"least(outdeg, {cap}) * (least(outdeg, {cap}) - 1) div 2), "
+            f"0) AS BIGINT)"
+        ).alias("wedges_dropped"),
+    )
+    capped = ranked.where(F.col("rk") <= cap).select("s", "t", "dt")
+    x = capped.select("s", F.col("t").alias("t1"), F.col("dt").alias("dt1"))
+    y = capped.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2"))
+    wedges = (
+        x.join(y, "s")
+        .where(
+            F.struct(F.col("dt1"), F.col("t1"))
+            < F.struct(F.col("dt2"), F.col("t2"))
+        )
+        .select("s", "t1", "t2")
+    )
+    tri = wedges.join(
+        er.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+        ["t1", "t2"],
+        "left_semi",
+    )
+    tl = tri.agg(F.count("*").cast("bigint").alias("triangles_lb"))
+    nn = deg.agg(F.count("*").cast("bigint").alias("nodes"))
+    ee = e.agg(F.count("*").cast("bigint").alias("edges"))
+    return (
+        nn.crossJoin(F.broadcast(ee))
+        .crossJoin(F.broadcast(capstats))
+        .crossJoin(F.broadcast(tl))
+        .selectExpr(
+            "nodes",
+            "edges",
+            "pivots",
+            "capped_pivots",
+            "max_outdeg",
+            "wedges_considered",
+            "wedges_dropped",
+            "triangles_lb",
+            "CAST(CASE WHEN capped_pivots = 0 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS exact_flag",
+        )
+    )

@@ -1477,3 +1477,299 @@ def vec_ann_latency_recall_pareto(spark: SparkSession, sf_dir: str) -> DataFrame
             "pareto",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_ann_prefilter_vs_postfilter — the filtered-search design table
+# ---------------------------------------------------------------------------
+
+# Three label predicates spanning the selectivity range a production
+# payload filter sees (~10% / ~30% / ~70% of the corpus; labels are
+# near-uniform over 0-9 at every sf — probed 2026-08-16).
+_PFPF_FILTERS: list[tuple[int, tuple[int, ...]]] = [
+    (0, (1,)),
+    (1, (1, 2, 3)),
+    (2, (0, 1, 2, 3, 4, 5, 6)),
+]
+_PFPF_SHORTLIST = 20  # post-filter over-fetch depth (ANN top-K')
+_PFPF_K = 3           # final top-k, matching the ANN family ops
+
+
+def _pfpf_fid_expr() -> str:
+    """filter(array(fids), fid -> label passes fid) — the Spark-side
+    explode source; one row per (row, passing filter)."""
+    cases = " ".join(
+        f"WHEN {fid} THEN label IN ({', '.join(map(str, labs))})"
+        for fid, labs in _PFPF_FILTERS[:-1]
+    )
+    last = ", ".join(map(str, _PFPF_FILTERS[-1][1]))
+    fids = ", ".join(str(fid) for fid, _ in _PFPF_FILTERS)
+    return (
+        f"filter(array({fids}), fid -> CASE fid {cases} "
+        f"ELSE label IN ({last}) END)"
+    )
+
+
+def _pfpf_duck_fan(src: str, cols: str) -> str:
+    """UNION ALL fan-out of `src` into one branch per filter — the
+    DuckDB twin of the Spark-side fid explode."""
+    return " UNION ALL ".join(
+        f"SELECT CAST({fid} AS BIGINT) AS fid, {cols} FROM {src} "
+        f"WHERE label IN ({', '.join(map(str, labs))})"
+        for fid, labs in _PFPF_FILTERS
+    )
+
+
+def _pfpf_oracle() -> str:
+    planes = _lsh_planes()
+    qx = " UNION ALL ".join(
+        f"SELECT query_id, qv, {t} AS t, "
+        f"{_lsh_bucket_sql('qv', planes[t], duck=True)} AS bk FROM q"
+        for t in range(_LSH_TABLES)
+    )
+    cx = " UNION ALL ".join(
+        f"SELECT neighbor_id, {t} AS t, "
+        f"{_lsh_bucket_sql('embedding', planes[t], duck=True)} AS bk FROM c"
+        for t in range(_LSH_TABLES)
+    )
+    cos = (
+        "list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding"
+        "::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+    )
+    denom = _PFPF_K * 10
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding, label
+          FROM embeddings WHERE vec_id >= 10),
+    qx AS ({qx}),
+    cx AS ({cx}),
+    cand AS (SELECT DISTINCT qx.query_id, cx.neighbor_id
+             FROM cx JOIN qx ON cx.t = qx.t AND cx.bk = qx.bk),
+    pl AS MATERIALIZED (
+      SELECT cand.query_id, cand.neighbor_id, c.label,
+             {_lsh_dist_sql('c.embedding', 'q.qv', duck=True)} AS dist
+      FROM cand JOIN c ON cand.neighbor_id = c.neighbor_id
+                JOIN q ON cand.query_id = q.query_id),
+    plf AS MATERIALIZED (
+      {_pfpf_duck_fan('pl', 'query_id, neighbor_id, dist')}),
+    s20 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, label, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rn
+        FROM pl) z
+      WHERE rn <= {_PFPF_SHORTLIST}),
+    s20f AS (
+      {_pfpf_duck_fan('s20', 'query_id, neighbor_id, dist')}),
+    pre3 AS MATERIALIZED (
+      SELECT fid, query_id, neighbor_id FROM (
+        SELECT fid, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY fid, query_id
+                                  ORDER BY dist, neighbor_id) AS rn
+        FROM plf) z
+      WHERE rn <= {_PFPF_K}),
+    post3 AS MATERIALIZED (
+      SELECT fid, query_id, neighbor_id FROM (
+        SELECT fid, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY fid, query_id
+                                  ORDER BY dist, neighbor_id) AS rn
+        FROM s20f) z
+      WHERE rn <= {_PFPF_K}),
+    sims AS MATERIALIZED (
+      SELECT q.query_id, c.neighbor_id, c.label,
+             round({cos}, 6) AS sim
+      FROM c CROSS JOIN q),
+    gtf AS (
+      {_pfpf_duck_fan('sims', 'query_id, neighbor_id, sim')}),
+    gt AS MATERIALIZED (
+      SELECT fid, query_id, neighbor_id FROM (
+        SELECT fid, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY fid, query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM gtf) z
+      WHERE rn <= {_PFPF_K}),
+    cp AS ({_pfpf_duck_fan('c', 'neighbor_id')}),
+    cpc AS (SELECT fid, count(*) AS corpus_pass FROM cp GROUP BY fid),
+    tot AS (SELECT count(*) AS cand FROM pl),
+    pre_cand AS (SELECT fid, count(*) AS cand FROM plf GROUP BY fid),
+    pre_ret AS (SELECT fid, count(*) AS returned FROM pre3 GROUP BY fid),
+    post_ret AS (SELECT fid, count(*) AS returned FROM post3 GROUP BY fid),
+    pre_hit AS (
+      SELECT a.fid, count(*) AS hits
+      FROM pre3 a JOIN gt USING (fid, query_id, neighbor_id)
+      GROUP BY a.fid),
+    post_hit AS (
+      SELECT a.fid, count(*) AS hits
+      FROM post3 a JOIN gt USING (fid, query_id, neighbor_id)
+      GROUP BY a.fid)
+    SELECT cpc.fid, 'pre_filter' AS strategy, cpc.corpus_pass,
+           pc.cand AS cand_pairs, pr.returned,
+           coalesce(ph.hits, 0) AS hits,
+           round(CAST(coalesce(ph.hits, 0) AS DOUBLE) / {denom}, 6)
+             AS recall_at_k
+    FROM cpc JOIN pre_cand pc USING (fid)
+             JOIN pre_ret pr USING (fid)
+             LEFT JOIN pre_hit ph USING (fid)
+    UNION ALL
+    SELECT cpc.fid, 'post_filter', cpc.corpus_pass,
+           tot.cand, sr.returned, coalesce(sh.hits, 0),
+           round(CAST(coalesce(sh.hits, 0) AS DOUBLE) / {denom}, 6)
+    FROM cpc CROSS JOIN tot
+             JOIN post_ret sr USING (fid)
+             LEFT JOIN post_hit sh USING (fid)
+    ORDER BY fid, strategy
+    """
+
+
+@query("vec_ann_prefilter_vs_postfilter", oracle=_pfpf_oracle())
+def vec_ann_prefilter_vs_postfilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED-ANN OPERATING TABLE — the production filtered-search
+    design question (reference app.py:261-271: Qdrant payload filter +
+    HNSW; SURVEY round-13 queue; VERDICT r12 top item): at three
+    predicate selectivities (~10/30/70% of the corpus, label
+    predicates), compare the two ways to combine a metadata filter
+    with an ANN index —
+
+    - PRE-FILTER: restrict the corpus first, then search. Candidates
+      are the LSH collisions whose corpus row passes the predicate
+      (bucket keys are per-row, so filtering commutes with banding:
+      collisions-on-filtered-corpus == filtered collisions, the same
+      identity the dedup cascade audit rides). Recall is limited only
+      by the index (no over-fetch needed), but the serving index must
+      support the predicate.
+    - POST-FILTER: search the full index, over-fetch a top-20
+      shortlist, filter the shortlist, keep top-3 survivors. The
+      index stays predicate-agnostic, but selective filters starve
+      the shortlist (a 10% filter leaves ~2 of 20) and recall decays
+      — exactly the operating tradeoff this table quantifies.
+
+    Both arms rank by the same round(6) euclidean distance over
+    vec_lsh_ann's deterministic literal-plane buckets (_lsh_pairs,
+    the session-cached stored-index artifact), and recall is measured
+    against the EXACT per-filter cosine top-3 (denominator k*n_queries
+    = 30, the round-10 rule — never count(*) of possibly-short
+    results). One output row per (filter, strategy): corpus_pass,
+    candidate-pair volume, rows returned, hits, recall_at_k.
+
+    Parity: distances and sims round(6) with identical fold shapes;
+    counts exact BIGINT; recall = round(CAST(hits AS DOUBLE)/30, 6)
+    on both engines. Full oracle — every stage (buckets, collisions,
+    shortlists, ground truth) is deterministic SQL.
+
+    Shape at 100 TB: the candidate generation is the LSH equi-join
+    (never all-pairs); the filter fan-out is an explode over a 3-slot
+    literal array (no extra scan); all windows are partitioned by
+    (fid, query_id); the exact ground-truth cross join is the
+    AUDIT-ONLY twin (a production table drops it and keeps the two
+    arms). Bounded intermediates (90-row ground truth) are
+    localCheckpointed once per the bounded-intermediate rule."""
+    q, corpus = _queries_and_corpus(spark, sf_dir)
+    d = 64
+    pairs = _lsh_pairs(spark, sf_dir).select(
+        "query_id", "neighbor_id", "dist"
+    )
+    labels = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    pl = pairs.join(labels, "neighbor_id")
+
+    fid_col = F.explode(F.expr(_pfpf_fid_expr())).alias("fid")
+    plf = pl.select("query_id", "neighbor_id", "dist", fid_col)
+
+    w_pre = Window.partitionBy("fid", "query_id").orderBy(
+        "dist", "neighbor_id"
+    )
+    pre3 = (
+        plf.withColumn("rn", F.row_number().over(w_pre))
+        .where(F.col("rn") <= _PFPF_K)
+        .select("fid", "query_id", "neighbor_id")
+    )
+
+    w_s = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    s20 = (
+        pl.withColumn("rn", F.row_number().over(w_s))
+        .where(F.col("rn") <= _PFPF_SHORTLIST)
+        .select("query_id", "neighbor_id", "label", "dist")
+    )
+    s20f = s20.select("query_id", "neighbor_id", "dist", fid_col)
+    post3 = (
+        s20f.withColumn("rn", F.row_number().over(w_pre))
+        .where(F.col("rn") <= _PFPF_K)
+        .select("fid", "query_id", "neighbor_id")
+    )
+
+    sims = corpus.select("vec_id", "embedding", "label").crossJoin(
+        F.broadcast(q)
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+    )
+    gtf = sims.select("query_id", "neighbor_id", "sim", fid_col)
+    w_gt = Window.partitionBy("fid", "query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    gt = (
+        gtf.withColumn("rn", F.row_number().over(w_gt))
+        .where(F.col("rn") <= _PFPF_K)
+        .select("fid", "query_id", "neighbor_id")
+        .localCheckpoint()  # 90-row ground truth, referenced by both
+        # arms' hit joins — the bounded-intermediate ckpt rule
+    )
+
+    denom = _PFPF_K * 10
+    cpc = labels.select(fid_col).groupBy("fid").agg(
+        F.count("*").cast("bigint").alias("corpus_pass")
+    )
+    tot = pl.agg(F.count("*").cast("bigint").alias("cand"))
+    pre_cand = plf.groupBy("fid").agg(
+        F.count("*").cast("bigint").alias("cand")
+    )
+    pre_ret = pre3.groupBy("fid").agg(
+        F.count("*").cast("bigint").alias("returned")
+    )
+    post_ret = post3.groupBy("fid").agg(
+        F.count("*").cast("bigint").alias("returned")
+    )
+    pre_hit = (
+        pre3.join(gt, ["fid", "query_id", "neighbor_id"])
+        .groupBy("fid")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    post_hit = (
+        post3.join(gt, ["fid", "query_id", "neighbor_id"])
+        .groupBy("fid")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+
+    def arm(strategy, cand_df, ret_df, hit_df):
+        base = (
+            cpc.join(F.broadcast(cand_df), "fid")
+            if "fid" in cand_df.columns
+            else cpc.crossJoin(F.broadcast(cand_df))
+        )
+        return (
+            base.join(F.broadcast(ret_df), "fid")
+            .join(F.broadcast(hit_df), "fid", "left")
+            .selectExpr(
+                "CAST(fid AS BIGINT) AS fid",
+                f"'{strategy}' AS strategy",
+                "corpus_pass",
+                "cand AS cand_pairs",
+                "returned",
+                "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+                f"round(CAST(coalesce(hits, 0) AS DOUBLE) / {denom}, 6)"
+                " AS recall_at_k",
+            )
+        )
+
+    return (
+        arm("pre_filter", pre_cand, pre_ret, pre_hit)
+        .unionByName(arm("post_filter", tot, post_ret, post_hit))
+        .orderBy("fid", "strategy")
+    )

@@ -55,6 +55,10 @@ _OPERATOR_MODULES = [
     # in (the round-11 window closed at exactly 50 never-checked, so
     # these waited behind _DEFERRED_OPERATOR_MODULES until now).
     "vectordb_agentic_rag_spark.operators.queue_r12",
+    # round 13: every registered op had been driver-verified at least
+    # once entering the round (window = 50 free rotation slots), so
+    # new ops register directly.
+    "vectordb_agentic_rag_spark.operators.analytics13",
 ]
 
 # Operators implemented EARLY but registered in a LATER round: the

@@ -127,3 +127,119 @@ def test_wav_truncated_data_chunk_raises():
     full = build_wav(b"hello world pcm!!", 16000, 2)
     with pytest.raises(ValueError, match="truncated"):
         parse_wav(full[:-5])
+
+
+def test_bmp_roundtrip_padding_and_bottom_up():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_bmp_gray8,
+        decode_bmp_gray8,
+    )
+
+    for n in (0, 1, 17, 18, 19, 255, 256):
+        data = bytes(range(256))[:n]
+        w, h, pix = decode_bmp_gray8(build_bmp_gray8(data, 18))
+        assert (w, h) == (18, max(-(-n // 18), 1))
+        assert pix == data + b"\x00" * (w * h - n)
+
+
+def test_bmp_rejects_non_bmp_and_truncation():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_bmp_gray8,
+        decode_bmp_gray8,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp_gray8(b"PK\x03\x04" + b"\x00" * 60)
+    full = build_bmp_gray8(bytes(range(200)), 18)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_gray8(full[:-10])
+
+
+def test_gif_lzw_adversarial_roundtrips():
+    """KwKwK self-reference, code-width growth, and >4096-entry
+    dictionary resets all roundtrip; corruption raises."""
+    import random
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        build_gif_gray8,
+        decode_gif_gray8,
+    )
+
+    random.seed(7)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaa",  # KwKwK chains
+        b"abababababab",
+        bytes(range(256)) * 2,
+        bytes([0]) * 5000,
+        bytes(random.randrange(256) for _ in range(20000)),  # resets
+        bytes(random.randrange(4) for _ in range(30000)),
+    ]
+    for c in cases:
+        assert _lzw_decode_gif(_lzw_encode_gif(c), 8) == c
+    # container roundtrip incl. pad rows
+    for n in (0, 1, 19, 20, 21, 256):
+        data = bytes((i * 7) % 256 for i in range(n))
+        w, h, pix = decode_gif_gray8(build_gif_gray8(data, 20))
+        assert pix == data + b"\x00" * (w * h - n)
+    # truncated LZW stream raises, wrong magic raises
+    gif = build_gif_gray8(b"hello world pixels", 20)
+    with pytest.raises(ValueError):
+        decode_gif_gray8(b"NOTGIF" + gif[6:])
+    with pytest.raises(ValueError):
+        _lzw_decode_gif(_lzw_encode_gif(b"some pixel data", 8)[:-2], 8)
+
+
+def test_gif_skips_extension_blocks():
+    """A GIF89a graphic-control extension before the image descriptor
+    must be skipped by its sub-block chain."""
+    import struct as _s
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_gif_gray8,
+        decode_gif_gray8,
+    )
+
+    gif = bytearray(build_gif_gray8(b"abcdef", 20))
+    # splice a GCE (0x21 0xF9, 4-byte block, terminator) before 0x2C
+    at = gif.index(0x2C, 13 + 768)
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    patched = bytes(gif[:at]) + b"GIF89a".join([b""]) + gce + bytes(gif[at:])
+    patched = b"GIF89a" + patched[6:]
+    w, h, pix = decode_gif_gray8(patched)
+    assert pix[:6] == b"abcdef"
+
+
+def test_tiff_both_byte_orders_and_multi_strip():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_tiff_gray8,
+        decode_tiff_gray8,
+    )
+
+    for be in (False, True):
+        for n in (0, 1, 23, 24, 95, 96, 97, 256):
+            data = bytes((i * 11) % 256 for i in range(n))
+            w, h, ns, pix = decode_tiff_gray8(
+                build_tiff_gray8(data, 24, be)
+            )
+            exp_h = max(-(-n // 24), 1)
+            assert (w, h, ns) == (24, exp_h, -(-exp_h // 4))
+            assert pix == data + b"\x00" * (w * h - n)
+
+
+def test_tiff_rejects_corruption():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_tiff_gray8,
+        decode_tiff_gray8,
+    )
+
+    with pytest.raises(ValueError):
+        decode_tiff_gray8(b"XX" + b"\x00" * 40)
+    full = build_tiff_gray8(bytes(range(200)), 24, True)
+    # bad magic number (42)
+    broken = full[:2] + struct.pack(">H", 43) + full[4:]
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff_gray8(broken)

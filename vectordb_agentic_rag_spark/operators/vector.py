@@ -841,3 +841,108 @@ def eval_rankings_topk(spark: SparkSession, sf_dir: str):
         .select("query_id", "neighbor_id", "p")
     )
     return truth, system
+
+
+# ---------------------------------------------------------------------------
+# vec_topk_scatter_gather
+# ---------------------------------------------------------------------------
+
+_SG_SHARDS = 8
+
+
+@query(
+    "vec_topk_scatter_gather",
+    # The oracle computes the DIRECT global top-3 — while the Spark
+    # side computes it by shard scatter-gather. A hash match IS the
+    # proof of the merge identity (top-k of a union == top-k of the
+    # per-shard top-k's), the theorem every distributed vector-serving
+    # gather step rests on.
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding,
+                 (vec_id * 2654435761) % 4294967296 // 536870912
+                   AS shard
+          FROM embeddings WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id, c.shard,
+             round({{cos}}, 6) AS sim
+      FROM c CROSS JOIN q)
+    SELECT query_id, CAST(rn AS BIGINT) AS rn, neighbor_id,
+           CAST(shard AS BIGINT) AS shard, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id)
+                      AS rn
+          FROM sims) z
+    WHERE rn <= 3
+    ORDER BY query_id, rn
+    """.format(
+        cos=_DD_COS.format(a="c.embedding", b="q.qv")
+    ),
+)
+def vec_topk_scatter_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCATTER-GATHER top-k — the distributed vector-serving shape
+    (reference app.py:261-271's Qdrant call fans out to shard-local
+    searches and merges; every sharded ANN service does): the corpus
+    is hash-sharded ({_SG_SHARDS} shards on the HIGH bits of a
+    multiplicative hash — the low bit of id*odd is the id's own
+    parity, the round-9 no-op-hash trap), each shard computes its
+    LOCAL exact top-3 per query, and the gather stage takes the
+    global top-3 over the <= {_SG_SHARDS}*3 shard survivors per
+    query.  Correct by the top-k merge theorem: any global top-3 row
+    is its own shard's top-3, so the gather input always contains
+    the answer — the same k-smallest-of-union property the KMV
+    sketch union rides (tests/test_analytics13.py).  The ORACLE
+    computes the DIRECT unsharded top-3: the driver's hash check is
+    therefore an end-to-end proof of the scatter-gather identity,
+    not a mirrored reimplementation.
+
+    Parity: sims round(6) with the shared cosine shape; shard ids
+    exact integer arithmetic; ties break on neighbor_id.
+
+    Shape at 100 TB: stage 1's window partitions by (shard,
+    query_id) — each shard sorts only its own candidates (on a real
+    cluster this is the map-side partial top-k that makes global
+    top-k communication O(shards * k), not O(corpus)); stage 2
+    windows over the bounded gather set.  The broadcast query panel
+    streams the corpus once."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir, 10)
+    d = len(_query_vector_raw(sf_dir, 0))
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        F.expr(
+            "CAST((vec_id * 2654435761) % 4294967296 div 536870912 "
+            "AS BIGINT)"
+        ).alias("shard"),
+    )
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        "shard",
+        F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
+    )
+    w_shard = Window.partitionBy("shard", "query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    local = (
+        sims.withColumn("lrn", F.row_number().over(w_shard))
+        .where(F.col("lrn") <= 3)
+        .drop("lrn")
+    )
+    w_g = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w_g))
+        .where(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id",
+            "shard",
+            "sim",
+        )
+        .orderBy("query_id", "rn")
+    )

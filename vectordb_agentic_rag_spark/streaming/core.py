@@ -2184,3 +2184,167 @@ def _lindley_live_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "backlog",
         "CASE WHEN backlog > 0 THEN 1 ELSE 0 END AS overloaded",
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# stream_theta_sketch_live
+# ---------------------------------------------------------------------------
+
+
+def _kmv_live_oracle() -> str:
+    """Per-set half of analytics13._kmv_oracle (purchase/click KMV
+    sketches over user-days) — the live op's drained final summaries
+    equal the batch sketches exactly."""
+    from ..operators.analytics13 import _KMV_HASH
+
+    h = _KMV_HASH.format(key="key")
+    est = (
+        "CASE WHEN sk.n = 256 THEN CAST(547608329985 AS DOUBLE) / sk.kth "
+        "ELSE CAST(sk.n AS DOUBLE) END"
+    )
+    return f"""
+    WITH dk AS MATERIALIZED (
+      SELECT DISTINCT event_type,
+             user_id * 32
+             + date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS key
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    hx AS (SELECT event_type, key, {h} AS h FROM dk),
+    kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS rn
+        FROM hx) z
+      WHERE rn <= 256),
+    sk AS (SELECT event_type AS set_name, count(*) AS n, max(h) AS kth
+           FROM kept GROUP BY event_type),
+    ex AS (SELECT event_type AS set_name, count(*) AS exact
+           FROM dk GROUP BY event_type)
+    SELECT sk.set_name, sk.n AS n_entries, sk.kth AS kth_hash,
+           round({est}, 6) AS estimate, ex.exact,
+           round(({est} - ex.exact) / ex.exact, 6) AS rel_err
+    FROM sk JOIN ex USING (set_name)
+    ORDER BY set_name
+    """
+
+
+@query("stream_theta_sketch_live", oracle=_kmv_live_oracle())
+def stream_theta_sketch_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE MERGEABLE DISTINCT SKETCH — the streaming sibling of
+    agg_theta_sketch_distinct_union (round 13): a keyed KMV bottom-K
+    state (kept = the K = 256 smallest user-day hashes seen so far,
+    carried as an array<bigint> state column — the round-11
+    heavy-hitters precedent) folds each micro-batch by set-union +
+    re-truncate.  This is the op whose FULL oracle needs no identity
+    argument at all: bottom-K of a set union is ASSOCIATIVE and
+    COMMUTATIVE, so the final state equals the batch sketch for ANY
+    batching or arrival order — the mergeability theorem pinned in
+    tests/test_analytics13.py is exactly the property the state fold
+    exercises live.  Each batch emits the summary (n_entries, kth)
+    with a monotone seq (= rows folded); the drain keeps each set's
+    LAST summary and joins the exact batch count for the rel_err
+    column (recount pattern, stream_heavy_hitters_live).
+
+    Parity: hashes/counters exact BIGINT; estimate and rel_err use
+    the identical division shapes as the batch op.
+
+    Bounded state: one K-entry int64 array per set (2 sets); the
+    drained frame is one row per (set, batch).  In production this
+    state IS the serving sketch — a dashboard reads the latest row
+    per set and unions sketches across keys without touching raw
+    events."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.analytics13 import _KMV_K, _KMV_P
+
+    epoch_day = 19723  # days 1970-01-01 .. 2024-01-01 (UTC session)
+    day_us = 86_400_000_000
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            kept_list, n_seen = state.get
+            kept = set(kept_list)
+        else:
+            kept, n_seen = set(), 0
+        part = _batch_slice(pdf_iter, ["us", "event_id"])
+        if part is not None:
+            for us, uid in zip(part["us"], part["user_id"]):
+                k = int(uid) * 32 + (int(us) // day_us - epoch_day)
+                x = k + 1
+                for _ in range(3):
+                    x = (x * 48271) % _KMV_P
+                kept.add(x + 1)
+            n_seen += len(part)
+            if len(kept) > _KMV_K:
+                kept = set(sorted(kept)[:_KMV_K])
+        state.update((sorted(kept), n_seen))
+        ks = sorted(kept)
+        yield pd.DataFrame(
+            [(key[0], n_seen, len(ks), ks[-1] if ks else 0)],
+            columns=["set_name", "seq", "n_entries", "kth_hash"],
+        )
+
+    src = replay_events_time_ordered(spark, sf_dir)
+    stream = stream_events(spark, src).where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "set_name string, seq bigint, n_entries bigint, "
+            "kth_hash bigint"
+        ),
+        stateStructType="kept array<bigint>, n_seen bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "theta_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    drained = spark.table("theta_live").localCheckpoint()  # one row
+    # per (set, batch); referenced twice (max-seq + final join)
+    last = drained.groupBy("set_name").agg(F.max("seq").alias("mseq"))
+    final = drained.join(
+        F.broadcast(last.withColumnRenamed("set_name", "ls")),
+        (F.col("set_name") == F.col("ls")) & (F.col("seq") == F.col("mseq")),
+    ).select("set_name", "n_entries", "kth_hash")
+    ev = table(spark, sf_dir, "events")
+    exact = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.col("event_type").alias("set_name"),
+            F.expr(
+                "CAST(user_id AS BIGINT) * 32 + CAST(datediff("
+                "CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+            ).alias("key"),
+        )
+        .distinct()
+        .groupBy("set_name")
+        .agg(F.count("*").cast("bigint").alias("exact"))
+    )
+    est = (
+        "CASE WHEN n_entries = 256 THEN CAST(547608329985 AS DOUBLE) "
+        "/ kth_hash ELSE CAST(n_entries AS DOUBLE) END"
+    )
+    return (
+        final.join(F.broadcast(exact), "set_name")
+        .selectExpr(
+            "set_name",
+            "n_entries",
+            "kth_hash",
+            f"round({est}, 6) AS estimate",
+            "exact",
+            f"round(({est} - exact) / exact, 6) AS rel_err",
+        )
+        .orderBy("set_name")
+    )

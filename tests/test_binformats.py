@@ -207,8 +207,7 @@ def test_gif_skips_extension_blocks():
     # splice a GCE (0x21 0xF9, 4-byte block, terminator) before 0x2C
     at = gif.index(0x2C, 13 + 768)
     gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
-    patched = bytes(gif[:at]) + b"GIF89a".join([b""]) + gce + bytes(gif[at:])
-    patched = b"GIF89a" + patched[6:]
+    patched = b"GIF89a" + bytes(gif[6:at]) + gce + bytes(gif[at:])
     w, h, pix = decode_gif_gray8(patched)
     assert pix[:6] == b"abcdef"
 
@@ -243,3 +242,15 @@ def test_tiff_rejects_corruption():
     broken = full[:2] + struct.pack(">H", 43) + full[4:]
     with pytest.raises(ValueError, match="magic"):
         decode_tiff_gray8(broken)
+
+
+def test_gif_truncated_container_raises():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_gif_gray8,
+        decode_gif_gray8,
+    )
+
+    gif = build_gif_gray8(b"hello world pixel data", 20)
+    # cut mid data sub-block AND mid extension chain
+    with pytest.raises((ValueError,)):
+        decode_gif_gray8(gif[:-8])

@@ -1340,3 +1340,35 @@ def test_queue_r12_bounded_intermediates_checkpointed(spark, sf_dir):
         plan = plan_of(fn(spark, sf_dir))
         assert plan.count("Location: InMemoryFileIndex") == 0, fn.__name__
         assert "BatchEvalPython" not in plan
+
+
+def test_wedge_cap_checkpointed_edges_partitioned_rank(spark, sf_dir):
+    # graph_triangle_wedge_cap: the oriented edge list er is
+    # localCheckpointed (referenced by the rank window AND the closure
+    # probe; _cosupply_edges is itself ckpt'd), so the final plan has
+    # ZERO parquet scans; the per-pivot rank window must stay
+    # PARTITIONED by the pivot (s) — an unpartitioned rank would sort
+    # the world
+    import re
+
+    from vectordb_agentic_rag_spark.operators.analytics2 import (
+        graph_triangle_wedge_cap,
+    )
+
+    plan = plan_of(graph_triangle_wedge_cap(spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "BatchEvalPython" not in plan
+    # every windowspecdefinition lists a partition column first
+    # (bare #id, no ASC/DESC) — the round-11 detector shape
+    assert not re.search(
+        r"windowspecdefinition\(\w+#\d+L? (ASC|DESC)", plan
+    )
+
+
+def test_scatter_gather_broadcast_queries_single_scan(spark, sf_dir):
+    # vec_topk_scatter_gather: one corpus scan + one broadcast query
+    # panel; both windows partitioned ((shard, query) then (query))
+    plan = plan_of(QUERIES["vec_topk_scatter_gather"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 2  # corpus + q
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan

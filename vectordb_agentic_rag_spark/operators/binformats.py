@@ -890,8 +890,12 @@ def decode_gif_gray8(payload: bytes) -> tuple[int, int, bytes]:
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-block chain
             pos += 2
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
+                if pos + 1 + payload[pos] > len(payload):
+                    raise ValueError("truncated GIF extension block")
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension chain")
             pos += 1
         elif b == 0x2C:
             _x, _y, w, h, iflags = struct.unpack(
@@ -905,10 +909,14 @@ def decode_gif_gray8(payload: bytes) -> tuple[int, int, bytes]:
             min_size = payload[pos]
             pos += 1
             lzw = bytearray()
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 ln = payload[pos]
+                if pos + 1 + ln > len(payload):
+                    raise ValueError("truncated GIF data sub-block")
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("truncated GIF sub-block chain")
             idx = _lzw_decode_gif(bytes(lzw), min_size)
             if len(idx) < w * h:
                 raise ValueError("LZW stream short of w*h pixels")

@@ -222,7 +222,6 @@ _TJ_RE = re.compile(
 _SHOW_ELEM_RE = re.compile(
     rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>"
 )
-_LIT_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 _ESC_RE = re.compile(rb"\\([0-7]{1,3}|.)")
 _ESC_MAP = {
     b"n": b"\n",

@@ -884,11 +884,11 @@ def vec_topk_scatter_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCATTER-GATHER top-k — the distributed vector-serving shape
     (reference app.py:261-271's Qdrant call fans out to shard-local
     searches and merges; every sharded ANN service does): the corpus
-    is hash-sharded ({_SG_SHARDS} shards on the HIGH bits of a
+    is hash-sharded (_SG_SHARDS = 8 shards on the HIGH bits of a
     multiplicative hash — the low bit of id*odd is the id's own
     parity, the round-9 no-op-hash trap), each shard computes its
     LOCAL exact top-3 per query, and the gather stage takes the
-    global top-3 over the <= {_SG_SHARDS}*3 shard survivors per
+    global top-3 over the <= 8*3 shard survivors per
     query.  Correct by the top-k merge theorem: any global top-3 row
     is its own shard's top-3, so the gather input always contains
     the answer — the same k-smallest-of-union property the KMV

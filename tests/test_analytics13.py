@@ -90,3 +90,57 @@ def test_kmv_union_merge_equals_sketch_of_union():
     m2 = sorted({_h(k) for k in a2} | {_h(k) for k in b2})[:K]
     s2 = sorted({_h(k) for k in a2 | b2})[:K]
     assert m2 == s2
+
+
+def test_maxsim_oracle_matches_numpy_recompute():
+    """rag_multi_vector_maxsim vs an independent numpy late-interaction
+    recompute (4 x 16-dim slices, per-slice max sub-cosine, sum)."""
+    import numpy as np
+
+    from vectordb_agentic_rag_spark.operators.analytics13 import (
+        _maxsim_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    got = con.execute(_maxsim_oracle()).fetchall()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    emb = {int(v): np.array(e, dtype=np.float64) for v, e in rows}
+    q_ids = [v for v in emb if v < 10]
+    c_ids = [v for v in emb if v >= 10]
+
+    def slices(x):
+        return x.reshape(4, 16)
+
+    expect = {}
+    for qi in q_ids:
+        qs = slices(emb[qi])
+        scores = []
+        for ci in c_ids:
+            cs = slices(emb[ci])
+            m = 0.0
+            for i in range(4):
+                best = max(
+                    round(
+                        float(qs[i] @ cs[j])
+                        / (
+                            np.sqrt(float(qs[i] @ qs[i]))
+                            * np.sqrt(float(cs[j] @ cs[j]))
+                        ),
+                        6,
+                    )
+                    for j in range(4)
+                )
+                m += best
+            scores.append((round(m, 6), ci))
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        expect[qi] = scores[:5]
+    for query_id, rn, neighbor_id, maxsim in got:
+        e_score, e_id = expect[int(query_id)][int(rn) - 1]
+        assert int(neighbor_id) == e_id, (query_id, rn)
+        assert abs(maxsim - e_score) < 2e-6, (query_id, rn)

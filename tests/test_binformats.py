@@ -254,3 +254,33 @@ def test_gif_truncated_container_raises():
     # cut mid data sub-block AND mid extension chain
     with pytest.raises((ValueError,)):
         decode_gif_gray8(gif[:-8])
+
+
+def test_ulaw_full_range_error_bound_and_idempotence():
+    """G.711 mu-law over the FULL int16 range: half-step error bound
+    (<= 512 at segment 7), code range, and encode-decode-encode
+    idempotence away from the +/-0 pair (real mu-law has two zero
+    codes, 0x7F and 0xFF, so idempotence cannot hold at zero)."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        ulaw_decode_sample,
+        ulaw_encode_sample,
+    )
+
+    worst = 0
+    for x in range(-32768, 32768, 3):
+        c = ulaw_encode_sample(x)
+        assert 0 <= c <= 255
+        if abs(x) <= 32635:
+            worst = max(worst, abs(x - ulaw_decode_sample(c)))
+    assert worst <= 512
+    for x in (-30000, -200, -134, 133, 5000, 19968):
+        c = ulaw_encode_sample(x)
+        assert ulaw_encode_sample(ulaw_decode_sample(c)) == c
+    # landmarks of THIS codec's sign convention (s=1 for negative,
+    # then ones-complemented — so the emitted top bit is 0 for
+    # negative samples): two zero codes 0xFF (+0) / 0x7F (-0), max
+    # magnitude 0x80 (positive) / 0x00 (negative)
+    assert ulaw_encode_sample(0) == 0xFF
+    assert ulaw_encode_sample(-1) == 0x7F
+    assert ulaw_encode_sample(32635) == 0x80
+    assert ulaw_encode_sample(-32635) == 0x00

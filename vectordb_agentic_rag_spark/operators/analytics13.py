@@ -281,3 +281,154 @@ def agg_theta_sketch_distinct_union(
         )
         .orderBy("set_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_multi_vector_maxsim
+# ---------------------------------------------------------------------------
+
+_MV_SLICES = 4   # sub-vectors per embedding
+_MV_SUBDIM = 16  # dims per sub-vector (4 x 16 = the fixture's 64)
+
+
+def _mv_dot(el_a, el_b, i: int, j: int) -> str:
+    """Unrolled dot product of sub-vector i of a and j of b (1-based
+    slice indexes) — identical left-assoc fold text on both engines."""
+    a0 = (i - 1) * _MV_SUBDIM
+    b0 = (j - 1) * _MV_SUBDIM
+    return " + ".join(
+        f"{el_a(a0 + k + 1)} * {el_b(b0 + k + 1)}"
+        for k in range(_MV_SUBDIM)
+    )
+
+
+def _mv_score_sql(duck: bool) -> str:
+    """The MaxSim scoring expression over pre-aliased sub-norm columns
+    (nq1..nq4 query-side, nd1..nd4 doc-side): score = sum over query
+    slices of max over doc slices of round(6) sub-cosine. The sum is a
+    LITERAL left-to-right 4-term chain (the round-11 pivot rule — no
+    aggregate, no quantization loss)."""
+    if duck:
+        el_a = lambda k: f"CAST(qv[{k}] AS DOUBLE)"  # noqa: E731
+        el_b = lambda k: f"CAST(embedding[{k}] AS DOUBLE)"  # noqa: E731
+    else:
+        el_a = lambda k: f"CAST(element_at(qv, {k}) AS DOUBLE)"  # noqa: E731
+        el_b = (  # noqa: E731
+            lambda k: f"CAST(element_at(embedding, {k}) AS DOUBLE)"
+        )
+    maxes = []
+    for i in range(1, _MV_SLICES + 1):
+        cos_ij = [
+            f"round(({_mv_dot(el_a, el_b, i, j)}) "
+            f"/ (sqrt(nq{i}) * sqrt(nd{j})), 6)"
+            for j in range(1, _MV_SLICES + 1)
+        ]
+        maxes.append("greatest(" + ", ".join(cos_ij) + ")")
+    return "round(" + " + ".join(maxes) + ", 6)"
+
+
+def _mv_norm_sql(col_el, i: int) -> str:
+    base = (i - 1) * _MV_SUBDIM
+    return " + ".join(
+        f"{col_el(base + k + 1)} * {col_el(base + k + 1)}"
+        for k in range(_MV_SUBDIM)
+    )
+
+
+def _maxsim_oracle() -> str:
+    el_q = lambda k: f"CAST(qv[{k}] AS DOUBLE)"  # noqa: E731
+    el_c = lambda k: f"CAST(embedding[{k}] AS DOUBLE)"  # noqa: E731
+    q_norms = ", ".join(
+        f"({_mv_norm_sql(el_q, i)}) AS nq{i}"
+        for i in range(1, _MV_SLICES + 1)
+    )
+    c_norms = ", ".join(
+        f"({_mv_norm_sql(el_c, j)}) AS nd{j}"
+        for j in range(1, _MV_SLICES + 1)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {q_norms}
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding, {c_norms}
+          FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_mv_score_sql(duck=True)} AS maxsim
+      FROM c CROSS JOIN q)
+    SELECT query_id, CAST(rn AS BIGINT) AS rn, neighbor_id, maxsim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY maxsim DESC, neighbor_id)
+                      AS rn
+          FROM scored) z
+    WHERE rn <= 5
+    ORDER BY query_id, rn
+    """
+
+
+@query("rag_multi_vector_maxsim", oracle=_maxsim_oracle())
+def rag_multi_vector_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR LATE-INTERACTION retrieval (ColBERT's MaxSim,
+    Khattab & Zaharia 2020) — the scoring family between single-vector
+    cosine (vec_cosine_topk) and full cross-attention rerankers:
+    score(q, d) = sum over query sub-vectors of the MAX sub-cosine
+    against any doc sub-vector, so a document matches if EACH query
+    aspect finds its best-matching doc aspect independently.  The
+    fixture has no token-level embeddings, so the 64-dim vectors are
+    sliced into 4 x 16-dim sub-vectors as the multi-vector stand-in —
+    the SCORING SHAPE (16 sub-cosines -> 4 per-slice maxes -> literal
+    4-term sum -> top-5 window) is the real ColBERT plan, and in
+    production the slices become token vectors with no change to the
+    operator structure.
+
+    Parity: sub-cosines round(6) with identical unrolled fold text on
+    both engines; per-slice max via greatest() over the SAME rounded
+    values; the final sum is a literal left-to-right 4-term chain
+    (never an aggregate — order is pinned textually), round(6).
+    Sub-norms are ALIASED columns computed once per row, so the
+    scoring projection stays under Janino's 64 KB method limit (the
+    round-6 rule: alias, never inline a big expression twice).
+
+    Shape at 100 TB: one corpus scan against the broadcast 10-query
+    panel; per-query top-5 is a partitioned window after map-side
+    reduction (TakeOrderedAndProject shape per query group); the
+    multi-vector expansion multiplies FLOPs per row, not rows."""
+    el = lambda k: f"CAST(element_at(embedding, {k}) AS DOUBLE)"  # noqa: E731
+    el_q = lambda k: f"CAST(element_at(qv, {k}) AS DOUBLE)"  # noqa: E731
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        *[
+            # references the sibling alias qv — Spark 4 lateral
+            # column aliases (CLAUDE.md round-7)
+            F.expr(_mv_norm_sql(el_q, i)).alias(f"nq{i}")
+            for i in range(1, _MV_SLICES + 1)
+        ],
+    )
+    c = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        *[
+            F.expr(_mv_norm_sql(el, j)).alias(f"nd{j}")
+            for j in range(1, _MV_SLICES + 1)
+        ],
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(_mv_score_sql(duck=False)).alias("maxsim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id",
+            "maxsim",
+        )
+        .orderBy("query_id", "rn")
+    )

@@ -1223,3 +1223,157 @@ def multimodal_tiff_ifd_parse(
         "doc_id bigint, byte_order string, width bigint, height bigint, "
         "n_strips bigint, pixel_sum bigint",
     ).orderBy("doc_id")
+
+
+# --- G.711 mu-law ----------------------------------------------------------
+
+_ULAW_BIAS = 132
+_ULAW_CLAMP = 32635
+
+
+def ulaw_encode_sample(x: int) -> int:
+    """G.711 mu-law companding of one signed 16-bit sample to one
+    byte: bias, segment exponent from the magnitude's bit length,
+    4-bit mantissa, ones-complement output — the actual telephony
+    codec, exact integer arithmetic throughout."""
+    s = 1 if x < 0 else 0
+    m = min(abs(x), _ULAW_CLAMP) + _ULAW_BIAS
+    e = m.bit_length() - 8  # m >= 132 -> e in 0..7 for int16 input
+    mant = (m >> (e + 3)) & 0x0F
+    return (~((s << 7) | (e << 4) | mant)) & 0xFF
+
+
+def ulaw_decode_sample(u: int) -> int:
+    """Inverse companding to the segment midpoint: magnitude
+    ((mant + 16) << (e + 3)) + (1 << (e + 2)) minus the bias, signed."""
+    u = (~u) & 0xFF
+    s = (u >> 7) & 1
+    e = (u >> 4) & 0x07
+    mant = u & 0x0F
+    m = ((mant + 16) << (e + 3)) + (1 << (e + 2)) - _ULAW_BIAS
+    return -m if s else m
+
+
+_ULAW_MAX_BYTES = 256
+
+
+@query(
+    "multimodal_ulaw_codec_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(substring(text, 1, {_ULAW_MAX_BYTES}), ''),
+               c -> (CAST(ascii(c) AS BIGINT) - 110) * 256) AS xs
+      FROM documents),
+    enc AS (
+      SELECT doc_id,
+             list_transform(xs, x -> struct_pack(
+               x := x,
+               s := CASE WHEN x < 0 THEN 1 ELSE 0 END,
+               e := length(bin(least(abs(x), {_ULAW_CLAMP})
+                               + {_ULAW_BIAS})) - 8,
+               m := least(abs(x), {_ULAW_CLAMP}) + {_ULAW_BIAS})) AS t
+      FROM px),
+    cod AS (
+      SELECT doc_id,
+             list_transform(t, r -> struct_pack(
+               x := r.x, s := r.s, e := r.e,
+               mant := (r.m // (1 << (r.e + 3))) % 16)) AS t
+      FROM enc),
+    dec AS (
+      SELECT doc_id,
+             list_transform(t, r -> struct_pack(
+               code := 255 - ((r.s * 128) + (r.e * 16) + r.mant),
+               err := abs(r.x - (CASE WHEN r.s = 1 THEN -1 ELSE 1 END)
+                          * ((r.mant + 16) * (1 << (r.e + 3))
+                             + (1 << (r.e + 2)) - {_ULAW_BIAS})))) AS t
+      FROM cod)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_samples,
+           CAST(len(list_distinct(list_transform(t, r -> r.code)))
+                AS BIGINT) AS distinct_codes,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(t, r -> r.err)), (a, b) -> a + b)
+                AS BIGINT) AS total_abs_err,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(t, r -> r.err)),
+                (a, b) -> CASE WHEN b > a THEN b ELSE a END)
+                AS BIGINT) AS max_abs_err
+    FROM dec
+    ORDER BY doc_id
+    """,
+)
+def multimodal_ulaw_codec_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL G.711 mu-LAW CODEC — the first multimodal op whose REAL
+    part is a lossy standard codec rather than a container (round 13;
+    WAV gave the container walk, this gives the telephony companding
+    inside it): each doc's first 256 chars become signed 16-bit PCM
+    samples ((ascii - 110) * 256 — spans both signs, never clamps),
+    encoded to mu-law bytes and decoded back by the exact integer
+    spec arithmetic (bias 132, bit-length segment exponent, 4-bit
+    mantissa, ones-complement; midpoint reconstruction). Emitted
+    stats come from the PYTHON codec roundtrip (sample count,
+    distinct code bytes, total and max absolute reconstruction
+    error); the oracle recomputes the same arithmetic in SQL (the
+    length(bin()) exponent trick, integer shifts as div/mod) — a
+    hash match over 500 docs proves the codec implements the spec
+    formula bit-for-bit. An in-plan assert pins max_abs_err <= 512
+    (half of the widest segment step, e = 7 -> step 1024; inputs
+    never clamp so the bound is exact).
+
+    Parity: every column is an exact BIGINT.
+
+    Shape at 100 TB: one mapInPandas over the documents scan — the
+    PNG/BMP/GIF/TIFF twins' shape; in production the codec runs over
+    a real PCM binary column (parse_wav's data chunk) unchanged."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_samples": [],
+                "distinct_codes": [],
+                "total_abs_err": [],
+                "max_abs_err": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                xs = [
+                    (b - 110) * 256
+                    for b in text.encode("utf-8")[:_ULAW_MAX_BYTES]
+                ]
+                codes = [ulaw_encode_sample(x) for x in xs]
+                errs = [
+                    abs(x - ulaw_decode_sample(c))
+                    for x, c in zip(xs, codes)
+                ]
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(xs))
+                rows["distinct_codes"].append(len(set(codes)))
+                rows["total_abs_err"].append(sum(errs))
+                rows["max_abs_err"].append(max(errs) if errs else 0)
+            yield pd.DataFrame(rows)
+
+    return (
+        d.mapInPandas(
+            run,
+            "doc_id bigint, n_samples bigint, distinct_codes bigint, "
+            "total_abs_err bigint, max_abs_err bigint",
+        )
+        .where(
+            F.assert_true(
+                F.col("max_abs_err") <= F.lit(512),
+                F.format_string(
+                    "mu-law error above half-step bound: doc=%s err=%s",
+                    F.col("doc_id"),
+                    F.col("max_abs_err"),
+                ),
+            ).isNull()
+        )
+        .orderBy("doc_id")
+    )

@@ -2010,6 +2010,47 @@ def agg_cusum_arl_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WEDGE_CAP = 32  # per-pivot out-adjacency cap (smallest (deg, id) kept)
+_ORIENTED_EDGES_CACHE: dict = {}
+
+
+def _oriented_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented co-supply edges (s, t, dt), localCheckpointed
+    ONCE per (applicationId, sf_dir) — the checkpoint is otherwise
+    re-derived eagerly on EVERY DataFrame build (measured 9.7 s warm
+    in OPS_BENCH vs 0.7 s prepared-plan before caching; the
+    _cosupply_edges rule, one level up)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORIENTED_EDGES_CACHE:
+        e = _cosupply_edges(spark, sf_dir)
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(
+            F.col("dv"), F.col("v")
+        )
+        _ORIENTED_EDGES_CACHE[key] = (
+            e.join(
+                deg.select(F.col("n").alias("u"), F.col("d").alias("du")),
+                "u",
+            )
+            .join(
+                deg.select(F.col("n").alias("v"), F.col("d").alias("dv")),
+                "v",
+            )
+            .select(
+                F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+                F.when(lo_first, F.col("dv"))
+                .otherwise(F.col("du"))
+                .alias("dt"),
+            )
+            .localCheckpoint()  # bounded by |S| choose 2; referenced
+            # by the rank window AND the closure probe
+        )
+    return _ORIENTED_EDGES_CACHE[key]
 
 
 @query(
@@ -2110,27 +2151,7 @@ def graph_triangle_wedge_cap(
     100 TB co-occurrence graph: the audit columns tell you whether
     the exact sibling is affordable (wedges_dropped = 0) before you
     pay for it."""
-    e = _cosupply_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(
-        F.col("dv"), F.col("v")
-    )
-    er = (
-        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-        )
-        .localCheckpoint()  # bounded by |S| choose 2; referenced by
-        # the rank window AND the closure probe
-    )
+    er = _oriented_cosupply_edges(spark, sf_dir)
     w_rk = Window.partitionBy("s").orderBy("dt", "t")
     ranked = er.withColumn("rk", F.row_number().over(w_rk))
     odeg = ranked.groupBy("s").agg(F.max("rk").alias("outdeg"))
@@ -2171,8 +2192,13 @@ def graph_triangle_wedge_cap(
         "left_semi",
     )
     tl = tri.agg(F.count("*").cast("bigint").alias("triangles_lb"))
-    nn = deg.agg(F.count("*").cast("bigint").alias("nodes"))
-    ee = e.agg(F.count("*").cast("bigint").alias("edges"))
+    nn = (
+        er.select(F.col("s").alias("n"))
+        .unionAll(er.select(F.col("t").alias("n")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("nodes"))
+    )
+    ee = er.agg(F.count("*").cast("bigint").alias("edges"))
     return (
         nn.crossJoin(F.broadcast(ee))
         .crossJoin(F.broadcast(capstats))

@@ -284,3 +284,30 @@ def test_ulaw_full_range_error_bound_and_idempotence():
     assert ulaw_encode_sample(-1) == 0x7F
     assert ulaw_encode_sample(32635) == 0x80
     assert ulaw_encode_sample(-32635) == 0x00
+
+
+def test_gif_truncation_inside_every_region_raises_valueerror():
+    """Round-13 review: truncation must raise ValueError (not
+    struct.error/IndexError) wherever the cut lands — screen
+    descriptor, global color table, extension chain, image
+    descriptor, min-size byte, data sub-blocks."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_gif_gray8,
+        decode_gif_gray8,
+    )
+
+    gif = bytearray(build_gif_gray8(b"abcdef pixels here", 20))
+    at = gif.index(0x2C, 13 + 768)
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    with_ext = b"GIF89a" + bytes(gif[6:at]) + gce + bytes(gif[at:])
+    ext_at = len(b"GIF89a") + (at - 6)
+    cuts = [
+        10,            # inside the logical screen descriptor
+        13 + 100,      # inside the global color table
+        ext_at + 3,    # inside the extension sub-block
+        ext_at + len(gce) + 5,   # inside the image descriptor
+        ext_at + len(gce) + 10,  # at the min-code-size byte
+    ]
+    for cut in cuts:
+        with pytest.raises(ValueError):
+            decode_gif_gray8(with_ext[:cut])

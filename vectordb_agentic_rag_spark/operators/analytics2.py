@@ -633,26 +633,13 @@ _TRI_PN_CTES = """
 def _tri_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (node, tri_count) on the support-3
     co-supply graph — the degree-oriented wedge listing shared by
-    graph_triangle_cosupply and graph_clustering_coefficient."""
-    e = _cosupply_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    er = (
-        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-        )
-    )
+    graph_triangle_cosupply and graph_clustering_coefficient.
+
+    The oriented edge list comes from the session-cached checkpoint
+    (_oriented_cosupply_edges, round 13) — er is referenced three
+    times below (two wedge sides + the closure probe), the exact
+    re-derivation fan-out the cache exists for."""
+    er = _oriented_cosupply_edges(spark, sf_dir)
     x = er.select("s", F.col("t").alias("t1"), F.col("dt").alias("dt1"))
     y = er.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2"))
     wedges = (

@@ -879,12 +879,16 @@ def decode_gif_gray8(payload: bytes) -> tuple[int, int, bytes]:
     local color tables."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     palette = b""
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         palette = payload[pos : pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated GIF global color table")
         pos += 3 * n
     while pos < len(payload):
         b = payload[pos]
@@ -898,6 +902,8 @@ def decode_gif_gray8(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("truncated GIF extension chain")
             pos += 1
         elif b == 0x2C:
+            if pos + 11 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
             _x, _y, w, h, iflags = struct.unpack(
                 "<HHHHB", payload[pos + 1 : pos + 10]
             )
@@ -1261,10 +1267,17 @@ _ULAW_MAX_BYTES = 256
     "multimodal_ulaw_codec_stats",
     oracle=f"""
     WITH px AS (
+      -- string_split('', '') is [''] in DuckDB (a phantom zero-byte
+      -- sample the Python side never sees) — guard empty docs with
+      -- an explicitly typed empty list
       SELECT doc_id,
-             list_transform(
-               string_split(substring(text, 1, {_ULAW_MAX_BYTES}), ''),
-               c -> (CAST(ascii(c) AS BIGINT) - 110) * 256) AS xs
+             CASE WHEN length(substring(text, 1, {_ULAW_MAX_BYTES})) = 0
+                  THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(
+                    string_split(substring(text, 1, {_ULAW_MAX_BYTES}),
+                                 ''),
+                    c -> (CAST(ascii(c) AS BIGINT) - 110) * 256) END
+               AS xs
       FROM documents),
     enc AS (
       SELECT doc_id,

@@ -469,3 +469,72 @@ def test_wedge_cap_plain_python_recompute_sf001_and_sf01():
             assert tri_lb == tri_exact
         else:
             assert tri_lb <= tri_exact
+
+
+def test_clustering_capped_plain_python_recompute():
+    """graph_clustering_coefficient_capped vs plain Python: per-node
+    capped triangle counts and cc lower bound at sf0.001 (uncapped —
+    equals exact local cc) and sf0.01 (cap binds)."""
+    import duckdb
+
+    from vectordb_agentic_rag_spark import registry
+
+    registry.load_all_operators()
+    sql = registry.ORACLES["graph_clustering_coefficient_capped"]
+    CAP = 32
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"'/root/testdata/{sf}/lineitem.parquet'"
+        )
+        got = con.execute(sql).fetchall()
+        pairs = con.execute(
+            """
+            WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey
+                        FROM lineitem)
+            SELECT a.l_suppkey, b.l_suppkey FROM os a JOIN os b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            """
+        ).fetchall()
+        edges = {(int(u), int(v)) for u, v in pairs}
+        deg: dict[int, int] = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        adj: dict[int, list] = {}
+        oriented = set()
+        for u, v in edges:
+            s, t = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+            oriented.add((s, t))
+            adj.setdefault(s, []).append((deg[t], t))
+        tri_lb: dict[int, int] = {}
+        full_tri: dict[int, int] = {}
+        for s, outs in adj.items():
+            outs.sort()
+            for i in range(len(outs)):
+                for j in range(i + 1, len(outs)):
+                    if (outs[i][1], outs[j][1]) in oriented:
+                        for nd in (s, outs[i][1], outs[j][1]):
+                            full_tri[nd] = full_tri.get(nd, 0) + 1
+                            if j < CAP:
+                                tri_lb[nd] = tri_lb.get(nd, 0) + 1
+        expect = sorted(
+            (
+                (n, d, tri_lb.get(n, 0), d * (d - 1) // 2)
+                for n, d in deg.items()
+                if d >= 2
+            ),
+            key=lambda r: (-r[2], r[0]),
+        )[:20]
+        assert len(got) == len(expect)
+        capped_anywhere = any(len(o) > CAP for o in adj.values())
+        for row, (n, d, t, poss) in zip(got, expect):
+            assert (int(row[0]), int(row[1]), int(row[2])) == (n, d, t)
+            assert int(row[3]) == poss
+            assert abs(row[4] - round(t / poss, 6)) < 1e-9
+            assert t <= full_tri.get(n, 0)
+            if not capped_anywhere:
+                assert t == full_tri.get(n, 0)  # uncapped == exact

@@ -311,3 +311,38 @@ def test_gif_truncation_inside_every_region_raises_valueerror():
     for cut in cuts:
         with pytest.raises(ValueError):
             decode_gif_gray8(with_ext[:cut])
+
+
+def test_jpeg_structure_roundtrip_and_guards():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_jpeg_structure,
+        parse_jpeg_structure,
+    )
+
+    for did in (0, 1, 31, 32, 63):
+        for n in (0, 1, 49, 50, 51, 256):
+            data = bytes((i * 13) % 256 for i in range(n))
+            p, w, h = build_jpeg_structure(did, data)
+            m = parse_jpeg_structure(p)
+            assert (m["width"], m["height"]) == (w, h)
+            assert m["n_segments"] == 5 + did % 2
+            assert m["entropy_bytes"] == n
+            forced = set(range(49, n, 50))
+            nat = sum(
+                1
+                for i, b in enumerate(data)
+                if b == 0xFF and i not in forced
+            )
+            assert m["stuffed_bytes"] == len(forced) + nat
+    # guards: no SOI, truncated segment, truncated entropy (no EOI)
+    p, _, _ = build_jpeg_structure(3, b"abcdef" * 30)
+    with pytest.raises(ValueError):
+        parse_jpeg_structure(b"\x00\x00" + p[2:])
+    with pytest.raises(ValueError):
+        parse_jpeg_structure(p[:20])
+    with pytest.raises(ValueError):
+        parse_jpeg_structure(p[:-2])  # cut EOI
+    # restart markers in the scan are skipped
+    body = p[:-2] + b"\xff\xd3" + b"xyz" + b"\xff\xd9"
+    m2 = parse_jpeg_structure(body)
+    assert m2["entropy_bytes"] == 180 + 3

@@ -286,3 +286,22 @@ def test_prefilter_vs_postfilter_invariants():
     # top-3 for all 10 queries
     assert by[(0, "post_filter")][4] < 30
     assert by[(0, "pre_filter")][4] == 30
+
+
+def test_ivf_list_balance_audit_invariants(spark, sf_dir):
+    """Conservation, share sum, gini in [0, 1), determinism across
+    two calls in one session (centroid cache)."""
+    from vectordb_agentic_rag_spark.operators.ml import (
+        vec_ivf_list_balance_audit,
+    )
+
+    rows = vec_ivf_list_balance_audit(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 16
+    total_share = sum(r["share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    g = rows[0]["gini"]
+    assert 0.0 <= g < 1.0
+    assert all(r["gini"] == g for r in rows)
+    assert rows[0]["max_to_mean"] >= 1.0
+    again = vec_ivf_list_balance_audit(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]

@@ -2203,3 +2203,131 @@ def graph_triangle_wedge_cap(
             "AS BIGINT) AS exact_flag",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient_capped — bounded-cost CC (round-14 pull)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coefficient_capped",
+    oracle=f"""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    deg AS MATERIALIZED (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e) z
+      GROUP BY n),
+    er AS MATERIALIZED (
+      SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS s,
+             CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS t,
+             CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dt
+      FROM e JOIN deg a ON e.u = a.n JOIN deg b ON e.v = b.n,
+           LATERAL (SELECT a.d AS du, b.d AS dv) x),
+    capped AS MATERIALIZED (
+      SELECT s, t, dt FROM (
+        SELECT s, t, dt,
+               row_number() OVER (PARTITION BY s ORDER BY dt, t) AS rk
+        FROM er) z
+      WHERE rk <= {_WEDGE_CAP}),
+    tri AS (
+      SELECT x.s AS a, x.t AS b, y.t AS c
+      FROM capped x JOIN capped y ON x.s = y.s
+      WHERE (x.dt, x.t) < (y.dt, y.t)
+        AND EXISTS (SELECT 1 FROM er e3
+                    WHERE e3.s = x.t AND e3.t = y.t)),
+    pn AS (
+      SELECT n.node, CAST(count(*) AS BIGINT) AS tri_lb
+      FROM tri, unnest([a, b, c]) AS n(node)
+      GROUP BY n.node)
+    SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+           coalesce(pn.tri_lb, 0) AS tri_lb,
+           CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS possible,
+           round(CAST(coalesce(pn.tri_lb, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1) // 2), 6) AS cc_lb
+    FROM deg LEFT JOIN pn ON deg.n = pn.node
+    WHERE deg.d >= 2
+    ORDER BY tri_lb DESC, node
+    LIMIT 20
+    """,
+)
+def graph_clustering_coefficient_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOUNDED-COST local clustering coefficient — the wedge-cap
+    recipe (graph_triangle_wedge_cap, round 13) applied to the other
+    super-linear surface VERDICT r12 flagged
+    (graph_clustering_coefficient, sf1x ratio 0.91-1.12 across
+    rounds): per-node triangle counts come from the CAPPED wedge
+    listing (32 smallest-(deg, id) out-edges per pivot; closure probe
+    against the full oriented edge list), so every counted triangle
+    is real and tri_lb / C(degree, 2) is an exact LOWER BOUND on the
+    local clustering coefficient, at wedge cost bounded by
+    C(32, 2) * n regardless of skew.  The denominator C(degree, 2)
+    uses the EXACT degree — only the numerator is bounded, so cc_lb
+    never exceeds the true coefficient.  Top-20 nodes by bounded
+    triangle count, degree-2+ only (C(d, 2) = 0 otherwise).
+
+    On the dense fixture graph the cap binds (graph_triangle_
+    wedge_cap's audit row reports where); the sf0.001 graph is
+    uncapped and this op's counts there equal the exact sibling's —
+    pinned by pytest.
+
+    Parity: exact integers everywhere; one round(6) ratio with the
+    shared shape; ties break on node id.
+
+    Shape at 100 TB: reuses the session-cached oriented-edge
+    checkpoint; capped wedge join + one LeftSemi probe + a 3-way
+    explode groupBy; top-20 plans as TakeOrderedAndProject."""
+    er = _oriented_cosupply_edges(spark, sf_dir)
+    w_rk = Window.partitionBy("s").orderBy("dt", "t")
+    capped = (
+        er.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") <= _WEDGE_CAP)
+        .select("s", "t", "dt")
+    )
+    x = capped.select("s", F.col("t").alias("t1"), F.col("dt").alias("dt1"))
+    y = capped.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2"))
+    wedges = (
+        x.join(y, "s")
+        .where(
+            F.struct(F.col("dt1"), F.col("t1"))
+            < F.struct(F.col("dt2"), F.col("t2"))
+        )
+        .select("s", "t1", "t2")
+    )
+    tri = wedges.join(
+        er.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+        ["t1", "t2"],
+        "left_semi",
+    )
+    pn = (
+        tri.select(F.explode(F.array("s", "t1", "t2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("tri_lb"))
+    )
+    deg = (
+        er.select(F.col("s").alias("n"))
+        .unionAll(er.select(F.col("t").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(pn, deg.n == pn.node, "left")
+        .selectExpr(
+            "n AS node",
+            "CAST(d AS BIGINT) AS degree",
+            "CAST(coalesce(tri_lb, 0) AS BIGINT) AS tri_lb",
+            "CAST(d * (d - 1) div 2 AS BIGINT) AS possible",
+            "round(CAST(coalesce(tri_lb, 0) AS DOUBLE)"
+            " / (d * (d - 1) div 2), 6) AS cc_lb",
+        )
+        .orderBy(F.col("tri_lb").desc(), "node")
+        .limit(20)
+    )

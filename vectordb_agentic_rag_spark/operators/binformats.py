@@ -1390,3 +1390,193 @@ def multimodal_ulaw_codec_stats(
         )
         .orderBy("doc_id")
     )
+
+
+# --- JPEG / JFIF (structure) ------------------------------------------------
+
+_JPEG_MAX_BYTES = 256
+_JPEG_STUFF_EVERY = 50
+
+
+def build_jpeg_structure(
+    doc_id: int, data: bytes
+) -> tuple[bytes, int, int]:
+    """Genuine JFIF SEGMENT STRUCTURE (no entropy coding — the walker
+    below parses structure only, documented): SOI, APP0/JFIF, one or
+    two DQT segments (doc parity), a DHT, SOF0 carrying doc-derived
+    dimensions, SOS, then an entropy-coded section built from the doc
+    bytes with REAL FF00 byte stuffing (every 50th byte is replaced
+    by 0xFF, which the wire format must escape), and EOI. Returns
+    (payload, width, height)."""
+    width = 16 + doc_id % 32
+    height = 16 + (doc_id // 32) % 32
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    n_dqt = 1 + doc_id % 2
+    for t in range(n_dqt):
+        qt = bytes([t]) + bytes(((i * 3 + t) % 251) + 1 for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+    dht = bytes([0x00]) + bytes([0] * 15 + [1]) + bytes([0x05])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes(
+        (1, 1, 0x11, 0)
+    )
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    raw = bytearray(data)
+    for i in range(
+        _JPEG_STUFF_EVERY - 1, len(raw), _JPEG_STUFF_EVERY
+    ):
+        raw[i] = 0xFF  # force the stuffing path on real positions
+    for b in raw:
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)  # byte stuffing
+    out += b"\xff\xd9"  # EOI
+    return bytes(out), width, height
+
+
+def parse_jpeg_structure(payload: bytes) -> dict:
+    """REAL JFIF marker walk, stdlib-only: SOI check, length-prefixed
+    segment hopping (big-endian lengths INCLUDE the 2 length bytes),
+    SOF0 dimension extraction, then the entropy-coded section scanned
+    byte-for-byte honoring FF00 stuffing and FFD0-FFD7 restart
+    markers until EOI. Raises loudly on truncation or unknown
+    structure; entropy decode is out of scope and documented."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    width = height = None
+    n_segments = 0
+    n_dqt = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        if pos + 2 + ln > len(payload):
+            raise ValueError("truncated JPEG segment body")
+        body = payload[pos + 4 : pos + 2 + ln]
+        n_segments += 1
+        if marker == 0xDB:
+            n_dqt += 1
+        elif marker == 0xC0:
+            height, width = struct.unpack(">HH", body[1:5])
+        pos += 2 + ln
+        if marker == 0xDA:  # SOS: entropy data follows
+            break
+    entropy = 0
+    stuffed = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated entropy section (no EOI)")
+        b = payload[pos]
+        if b != 0xFF:
+            entropy += 1
+            pos += 1
+            continue
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated marker in entropy section")
+        nxt = payload[pos + 1]
+        if nxt == 0x00:  # stuffed data byte 0xFF
+            entropy += 1
+            stuffed += 1
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            pos += 2
+        elif nxt == 0xD9:  # EOI
+            break
+        else:
+            raise ValueError(f"unexpected marker FF{nxt:02x} in scan")
+    if width is None:
+        raise ValueError("no SOF0 segment")
+    return {
+        "width": width,
+        "height": height,
+        "n_segments": n_segments,
+        "n_dqt": n_dqt,
+        "entropy_bytes": entropy,
+        "stuffed_bytes": stuffed,
+    }
+
+
+@query(
+    "multimodal_jpeg_marker_parse",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 + doc_id % 32 AS BIGINT) AS width,
+           CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS height,
+           CAST(5 + doc_id % 2 AS BIGINT) AS n_segments,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_dqt,
+           CAST(octet_length(encode(substring(text, 1,
+                {_JPEG_MAX_BYTES}))) AS BIGINT) AS entropy_bytes,
+           CAST(octet_length(encode(substring(text, 1,
+                {_JPEG_MAX_BYTES}))) // {_JPEG_STUFF_EVERY} AS BIGINT)
+             AS stuffed_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_marker_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL JFIF MARKER WALK (SURVEY round-14 queue, pulled forward)
+    — fifth image/audio container, and the one exercising the JPEG
+    wire format's two structural quirks: length-prefixed segment
+    hopping (lengths INCLUDE their own 2 bytes) and the
+    entropy-coded section, which is NOT length-prefixed — the parser
+    must scan it byte-for-byte, honoring FF00 byte stuffing (the doc
+    payload has a 0xFF forced at every 50th position, so the
+    stuffing path runs on every fixture row) and restart markers,
+    until EOI. The builder emits a genuine SOI/APP0/DQT(x1-2 by doc
+    parity)/DHT/SOF0/SOS/EOI chain with doc-derived dimensions;
+    entropy DECODE is out of scope and documented (structure parse is
+    what a 100 TB ingest needs for routing/metadata — the reference's
+    preview render, app.py:218-223, is the decode consumer and stays
+    behind the PIL extension point). The oracle recomputes every
+    column from doc_id/text arithmetic — hash-verified over 500 docs.
+
+    Parity: all-integer outputs.
+
+    Shape at 100 TB: one mapInPandas over the documents scan, no
+    shuffle (the container-family shape)."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_segments": [],
+                "n_dqt": [],
+                "entropy_bytes": [],
+                "stuffed_bytes": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")[:_JPEG_MAX_BYTES]
+                payload, _, _ = build_jpeg_structure(int(doc_id), data)
+                m = parse_jpeg_structure(payload)
+                rows["doc_id"].append(doc_id)
+                for k in (
+                    "width",
+                    "height",
+                    "n_segments",
+                    "n_dqt",
+                    "entropy_bytes",
+                    "stuffed_bytes",
+                ):
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id bigint, width bigint, height bigint, n_segments bigint, "
+        "n_dqt bigint, entropy_bytes bigint, stuffed_bytes bigint",
+    ).orderBy("doc_id")

@@ -1773,3 +1773,88 @@ def vec_ann_prefilter_vs_postfilter(
         .unionByName(arm("post_filter", tot, post_ret, post_hit))
         .orderBy("fid", "strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_ivf_list_balance_audit — round-14 pull-forward
+# ---------------------------------------------------------------------------
+
+
+@query("vec_ivf_list_balance_audit")  # rows-only: trained centroids
+def vec_ivf_list_balance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF COARSE-QUANTIZER HEALTH TABLE (SURVEY round-14 queue,
+    pulled forward): the list-size distribution of vec_ivf_ann's
+    k=16 assignment — the serving-hotspot question.  An imbalanced
+    quantizer makes nprobe latency bimodal (a probe landing on a
+    mega-list scans many times the mean) and recall uneven (small
+    lists starve); production systems re-train or split lists when
+    the imbalance factor drifts.  One row per list: size, share of
+    the corpus, the max-to-mean imbalance factor, and the Gini
+    coefficient of list sizes (0 = perfectly balanced) — the two
+    standard quantizer-health scalars, repeated per row the way
+    vec_lsh_ann carries recall_at_k.
+
+    Rows-only by design (the KMeans centroids are driver-trained, as
+    for vec_ivf_ann); the conservation invariant (list sizes sum to
+    the corpus count) is asserted IN-PLAN, and determinism given the
+    session centroid cache is pinned by pytest.
+
+    Shape at 100 TB: one mapInArrow GEMM pass over the corpus
+    (shared _ivf_assigned), a 16-group count, and bounded 16-row
+    windows for the Gini cumulative — the audit a serving fleet runs
+    nightly against its stored index."""
+    q, corpus = _queries_and_corpus(spark, sf_dir)
+    cents = _ivf_centroids(corpus, sf_dir)
+    assigned = _ivf_assigned(spark, corpus, cents)
+    sizes = assigned.groupBy("list_id").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    tot = corpus.agg(F.count("*").cast("bigint").alias("n_corpus"))
+    k = int(cents.shape[0])
+    # bounded 16-row frame: Gini via the sorted-cumulative identity
+    w_rank = Window.orderBy("n_vectors", "list_id")
+    ranked = sizes.withColumn("i", F.row_number().over(w_rank))
+    g = ranked.agg(
+        F.expr(
+            "CAST(sum(CAST(i AS BIGINT) * n_vectors) AS BIGINT)"
+        ).alias("iws"),
+        F.sum("n_vectors").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("k"),
+        F.max("n_vectors").cast("bigint").alias("mx"),
+    ).selectExpr(
+        "round(CAST(2 * iws AS DOUBLE) / (k * s)"
+        " - CAST(k + 1 AS DOUBLE) / k, 6) AS gini",
+        "round(CAST(mx * k AS DOUBLE) / s, 6) AS max_to_mean",
+        "s AS assigned_total",
+        "k AS n_lists",
+    )
+    return (
+        sizes.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .where(
+            F.assert_true(
+                F.col("assigned_total") == F.col("n_corpus"),
+                F.format_string(
+                    "IVF assignment lost rows: %s assigned vs %s corpus",
+                    F.col("assigned_total"),
+                    F.col("n_corpus"),
+                ),
+            ).isNull()
+        )
+        .where(
+            F.assert_true(
+                F.col("n_lists") <= F.lit(k),
+                F.lit("more lists than centroids"),
+            ).isNull()
+        )
+        .selectExpr(
+            "CAST(list_id AS BIGINT) AS list_id",
+            "n_vectors",
+            "round(CAST(n_vectors AS DOUBLE) / n_corpus, 6) AS share",
+            "gini",
+            "max_to_mean",
+        )
+        .orderBy("list_id")
+    )

@@ -123,6 +123,12 @@ SHOWCASE = [
     ("agg_wasserstein_distance", "exact-integer |F1-F2| integral on the value domain"),
     ("agg_association_rules", "order-blocked pair join, broadcast singles, TakeOrdered by lift"),
     ("agg_logrank_test", "sessionize exchange -> duration-domain suffix cumulatives"),
+    # round-13 additions
+    ("graph_triangle_wedge_cap", "ckpt'd oriented edges (zero rescans), partitioned rank, capped wedge join + LeftSemi closure"),
+    ("vec_topk_scatter_gather", "per-shard partitioned top-3, bounded gather window, broadcast query panel"),
+    ("rag_multi_vector_maxsim", "aliased sub-norms, 16 unrolled sub-cosines in one codegen projection, top-5 per query"),
+    ("vec_ann_prefilter_vs_postfilter", "session-cached LSH pair index, fid-explode fan-out, ckpt'd 90-row ground truth"),
+    ("agg_theta_sketch_distinct_union", "per-set partitioned bottom-K windows, <=2K-row union merge, broadcast exact twins"),
 ]
 
 

@@ -1,0 +1,83 @@
+"""Pytests for round-14 analytics ops — plain-Python recomputes
+(round-9 rule: hash parity can't catch logic mirrored into both
+engines)."""
+
+import duckdb
+import pytest
+
+SF = "sf0.001"
+SF_DIR = f"/root/testdata/{SF}"
+
+
+def _plain_python_pruning(sf_dir: str):
+    """Recompute the pruning panel from data with independent Python
+    (no div-expression sharing with either engine)."""
+    con = duckdb.connect()
+    keys = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT o_orderkey FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    ]
+    mn, mx = min(keys), max(keys)
+    span = mx - mn + 1
+    width = span // 16 + 1
+    buckets = {}
+    for k in keys:
+        for layout, grp in (
+            ("clustered", (k - mn) // width),
+            ("scattered", ((k * 2654435761) % 4294967296) // 268435456),
+        ):
+            fmin, fmax, n = buckets.get((layout, grp), (k, k, 0))
+            buckets[(layout, grp)] = (min(fmin, k), max(fmax, k), n + 1)
+    out = {}
+    for i in range(8):
+        lo = mn + (i * span) // 8
+        hi = lo + span // 32
+        for layout in ("clustered", "scattered"):
+            bs = [v for (l, _), v in buckets.items() if l == layout]
+            pruned = [(f0, f1, n) for f0, f1, n in bs if f1 < lo or f0 > hi]
+            out[(layout, i)] = (
+                lo,
+                hi,
+                len(bs),
+                len(pruned),
+                sum(n for _, _, n in bs),
+                sum(n for _, _, n in pruned),
+            )
+    return out
+
+
+def test_rowgroup_pruning_sim_matches_plain_python(spark):
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        maintenance_rowgroup_pruning_sim,
+    )
+
+    rows = maintenance_rowgroup_pruning_sim(spark, SF_DIR).collect()
+    expected = _plain_python_pruning(SF_DIR)
+    assert len(rows) == 16
+    for r in rows:
+        lo, hi, nb, bp, rt, rs = expected[(r["layout"], int(r["pred_id"]))]
+        assert (r["lo"], r["hi"]) == (lo, hi)
+        assert (r["n_buckets"], r["buckets_pruned"]) == (nb, bp)
+        assert (r["rows_total"], r["rows_skipped"]) == (rt, rs)
+
+
+def test_rowgroup_pruning_advisory_shape(spark):
+    """The point of the op: clustered layout prunes most buckets for a
+    narrow range predicate, scattered prunes none."""
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        maintenance_rowgroup_pruning_sim,
+    )
+
+    rows = maintenance_rowgroup_pruning_sim(spark, SF_DIR).collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r["layout"], []).append(r)
+    for r in by_layout["scattered"]:
+        assert r["buckets_pruned"] == 0 and r["rows_skipped"] == 0
+    for r in by_layout["clustered"]:
+        # each predicate spans ~1/8 + 1/32 of the key domain across 16
+        # range buckets: at least half the buckets must prune
+        assert r["buckets_pruned"] >= r["n_buckets"] // 2
+        assert r["rows_skipped"] > 0

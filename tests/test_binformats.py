@@ -346,3 +346,37 @@ def test_jpeg_structure_roundtrip_and_guards():
     body = p[:-2] + b"\xff\xd3" + b"xyz" + b"\xff\xd9"
     m2 = parse_jpeg_structure(body)
     assert m2["entropy_bytes"] == 180 + 3
+
+
+def test_tiff_truncation_inside_every_region_raises_valueerror():
+    """ADVICE r13: TIFF must honor the same truncation contract as
+    GIF/BMP — a payload cut at ANY offset raises ValueError, never
+    struct.error and never silence. The builder lays out strips and
+    out-of-line arrays BEFORE the IFD (which ends the file with its
+    next-IFD pointer), so every cut shortens the IFD region and the
+    length guards must all fire."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_tiff_gray8,
+        decode_tiff_gray8,
+    )
+
+    for big_endian in (False, True):
+        tiff = build_tiff_gray8(bytes(range(200)), 24, big_endian)
+        assert decode_tiff_gray8(tiff)[3] is not None  # intact parses
+        for cut in range(len(tiff)):
+            with pytest.raises(ValueError):
+                decode_tiff_gray8(tiff[:cut])
+
+
+def test_gif_without_global_color_table_raises_loud_subset_error():
+    """ADVICE r13: flags byte with the GCT bit clear must raise the
+    loud subset error, not IndexError on an empty palette."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_gif_gray8,
+        decode_gif_gray8,
+    )
+
+    gif = bytearray(build_gif_gray8(b"pixels", 20))
+    gif[10] &= 0x7F  # clear the global-color-table flag
+    with pytest.raises(NotImplementedError, match="global color table"):
+        decode_gif_gray8(bytes(gif))

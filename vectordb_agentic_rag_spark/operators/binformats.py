@@ -883,13 +883,17 @@ def decode_gif_gray8(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("truncated GIF logical screen descriptor")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
-    palette = b""
-    if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        palette = payload[pos : pos + 3 * n]
-        if len(palette) < 3 * n:
-            raise ValueError("truncated GIF global color table")
-        pos += 3 * n
+    if not (flags & 0x80):
+        # without a palette the index->gray map below is undefined;
+        # fail loudly instead of IndexError-ing on red[i] (ADVICE r13)
+        raise NotImplementedError(
+            "decoder subset: global color table required"
+        )
+    n = 2 << (flags & 0x07)
+    palette = payload[pos : pos + 3 * n]
+    if len(palette) < 3 * n:
+        raise ValueError("truncated GIF global color table")
+    pos += 3 * n
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-block chain
@@ -1098,7 +1102,11 @@ def decode_tiff_gray8(payload: bytes) -> tuple[int, int, int, bytes]:
     (SHORT inline values vs LONG offsets, COUNT>1 arrays read from
     their file offset), and concatenate the strips. Returns (width,
     height, n_strips, pixels). Subset limits (loud): uncompressed
-    8-bit single-sample grayscale only."""
+    8-bit single-sample grayscale only. Every region read is
+    length-guarded so a payload cut at ANY offset raises ValueError
+    (the round-13 truncation contract GIF/BMP honor; ADVICE r13)."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
     if payload[:2] == b"II":
         e = "<"
     elif payload[:2] == b"MM":
@@ -1108,7 +1116,12 @@ def decode_tiff_gray8(payload: bytes) -> tuple[int, int, int, bytes]:
     magic, ifd_off = struct.unpack(f"{e}HI", payload[2:8])
     if magic != 42:
         raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD count")
     n = struct.unpack(f"{e}H", payload[ifd_off : ifd_off + 2])[0]
+    # entries + the 4-byte next-IFD pointer that terminates the IFD
+    if ifd_off + 2 + 12 * n + 4 > len(payload):
+        raise ValueError("truncated TIFF IFD")
     tags: dict[int, tuple[int, int, int]] = {}
     for i in range(n):
         at = ifd_off + 2 + 12 * i
@@ -1132,6 +1145,8 @@ def decode_tiff_gray8(payload: bytes) -> tuple[int, int, int, bytes]:
         typ, count, val = tags[tag]
         if count == 1:
             return [val]
+        if val + 4 * count > len(payload):
+            raise ValueError("truncated TIFF out-of-line value array")
         return list(
             struct.unpack(f"{e}{count}I", payload[val : val + 4 * count])
         )

@@ -59,6 +59,9 @@ _OPERATOR_MODULES = [
     # once entering the round (window = 50 free rotation slots), so
     # new ops register directly.
     "vectordb_agentic_rag_spark.operators.analytics13",
+    # round 14: window again entered with every op verified — new ops
+    # register directly.
+    "vectordb_agentic_rag_spark.operators.analytics14",
 ]
 
 # Operators implemented EARLY but registered in a LATER round: the

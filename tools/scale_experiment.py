@@ -600,6 +600,17 @@ def main() -> None:
             + " | ".join(f"{m:,.0f}" for m in ms)
             + f" | {ratio:.2f} |"
         )
+    lines += [
+        "",
+        "Documented >linear rows (every ratio > 1.0 must be listed here "
+        "with its scale story — round-13 verdict): "
+        "graph_triangle_cosupply is the EXACT-BASELINE triangle lister, "
+        "demoted to small-sf/verification use in its docstring — exact "
+        "listing carries inherent wedge mass on dense co-occurrence "
+        "graphs; the production path is graph_triangle_wedge_cap "
+        "(capped per-pivot adjacency, exact lower bound + truncation "
+        "audit, ratio well under 1).",
+    ]
     lines += audit_jaccard_verify(spark)
     lines += audit_shingle_candidates(spark)
     lines += [

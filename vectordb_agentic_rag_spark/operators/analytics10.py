@@ -800,20 +800,14 @@ def pipeline_dedup_threshold_sensitivity(
     B/pair across Arrow); the sweep itself is 5 conditional
     aggregates over the checkpointed pair table (Expand x5 on
     pairs-at-0.5, still map-side combinable)."""
-    from .dedup import (
-        _minhash_codes_and_candidates,
-        _verify_pairs_jaccard,
-    )
-    from ..tables import sf_tag
+    from .dedup import _minhash_verified_pairs
 
-    codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
-    pairs = _verify_pairs_jaccard(
-        spark, codes, cand, threshold=0.5,
-        tag=f"minhash_{sf_tag(sf_dir)}",  # same codes side-file as the
-        # 0.7 op — threshold is a kernel post-filter, the file is
-        # threshold-independent
-    ).select("doc_b", "jac").localCheckpoint()
-    # pair table referenced by all 5 tau rows
+    # session-cached ckpt pair table at the loosest tau (threshold is
+    # a kernel post-filter; same codes side-file as the 0.7 op) —
+    # referenced by all 5 tau rows
+    pairs = _minhash_verified_pairs(spark, sf_dir, threshold=0.5).select(
+        "doc_b", "jac"
+    )
     docs_total = (
         table(spark, sf_dir, "documents")
         .agg(F.count("*").cast("bigint").alias("docs_total"))

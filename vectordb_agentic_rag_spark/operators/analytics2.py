@@ -673,7 +673,20 @@ def _tri_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRIANGLE COUNTING on the supplier co-supply graph (edge = two
+    """EXACT-BASELINE TRIANGLE COUNTING — small-sf / verification use.
+    This is the one op the scale audit flags above row-linear
+    (SCALE.md time/input ratio 1.26 at the 10x step): exact triangle
+    listing carries inherent wedge mass on dense co-occurrence
+    graphs, and no orientation trick changes the asymptotics when the
+    graph itself densifies. The RECOMMENDED production path is
+    `graph_triangle_wedge_cap` (same oriented pipeline, per-pivot
+    out-adjacency capped at 32 by (deg, id) order): linear wedge mass
+    under ANY skew (ratio 0.29 at the same step), exact-lower-bound
+    semantics, and audit columns reporting what the cap truncated.
+    Keep THIS op for exact answers at bounded scale and as the
+    verification twin the capped variant's bound is checked against.
+
+    TRIANGLE COUNTING on the supplier co-supply graph (edge = two
     suppliers ship lines of >= 3 common orders — the min-support gate
     every co-occurrence graph applies before structural analysis,
     since a single shared order is noise, and the gate is also what

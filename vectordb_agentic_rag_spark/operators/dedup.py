@@ -227,10 +227,41 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       worker-resident to ~100M docs, and beyond that the ship="join"
       path runs the verify as shuffle/bucketed joins
       (see _verify_pairs_jaccard)."""
-    codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
-    return _verify_pairs_jaccard(
-        spark, codes, cand, threshold=0.7, tag=f"minhash_{sf_tag(sf_dir)}"
-    )
+    return _minhash_verified_pairs(spark, sf_dir, threshold=0.7)
+
+
+# Session cache for the VERIFIED pair table (VERDICT r13 item 2): the
+# banding join + Arrow verify re-ran eagerly on every DataFrame build
+# of every consumer (OPS_BENCH warm: cascade audit 17.3 s / threshold
+# sweep 16.0 s at sf0.1, vs 0.2 s prepared-plan in SCALE — the
+# localCheckpoint-rebuild phenomenon, same class as
+# _oriented_cosupply_edges in round 13). A production cascade builds
+# the pair table ONCE and persists it; the keyed ckpt is that
+# artifact. Keyed by threshold because the verify kernel filters on
+# RAW jac before the round(6) output column.
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def _minhash_verified_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, jac) verified near-dup pairs of the capped
+    banded-minhash pipeline, localCheckpointed once per
+    (applicationId, sf_dir, threshold) and shared by
+    dedup_near_minhash, pipeline_dedup_cascade_audit,
+    pipeline_dedup_threshold_sensitivity, and
+    dedup_signature_similarity_histogram."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    if key not in _MINHASH_PAIRS_CACHE:
+        codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
+        _MINHASH_PAIRS_CACHE[key] = _verify_pairs_jaccard(
+            spark,
+            codes,
+            cand,
+            threshold=threshold,
+            tag=f"minhash_{sf_tag(sf_dir)}",
+        ).localCheckpoint()
+    return _MINHASH_PAIRS_CACHE[key]
 
 
 @query(

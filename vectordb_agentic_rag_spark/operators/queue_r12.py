@@ -1274,20 +1274,19 @@ def dedup_minhash_estimate_error(
     the side-file kernel, signatures join back on doc_id; the
     histogram is a bounded (<= 41-bin) aggregate over the ckpt'd pair
     frame."""
-    from ..tables import sf_tag
     from .dedup import (
         N_HASH,
         _minhash_codes_and_candidates,
+        _minhash_verified_pairs,
         _spark_sig,
-        _verify_pairs_jaccard,
     )
 
-    codes, cand = _minhash_codes_and_candidates(spark, sf_dir)
-    pairs = _verify_pairs_jaccard(
-        spark, codes, cand, threshold=0.5,
-        tag=f"minhash_{sf_tag(sf_dir)}",  # same codes side-file as the
-        # 0.7 op and the threshold sweep — threshold is a post-filter
-    ).select("doc_a", "doc_b", "jac")
+    codes, _ = _minhash_codes_and_candidates(spark, sf_dir)
+    # session-cached ckpt pair table at 0.5 (shared with the threshold
+    # sweep — threshold is a kernel post-filter, same codes side-file)
+    pairs = _minhash_verified_pairs(spark, sf_dir, threshold=0.5).select(
+        "doc_a", "doc_b", "jac"
+    )
     sigs = codes.withColumnRenamed("cs", "codes").select(
         "doc_id",
         *[F.expr(_spark_sig(i)).alias(f"s{i}") for i in range(N_HASH)],

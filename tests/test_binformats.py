@@ -78,17 +78,89 @@ def test_png_sub_and_up_filter_reconstruction():
     assert pix == rows_px[0] + rows_px[1]
 
 
-def test_png_unsupported_filter_raises():
+def test_png_invalid_filter_type_raises():
     ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
-    raw = bytes([4, 1, 2])  # Paeth — outside the documented subset
+    raw = bytes([5, 1, 2])  # filter 5 does not exist in the spec
     png = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png_gray8(png)
+
+
+def test_png_all_five_filters_roundtrip():
+    """Round 14: builder filter-encodes row r with type r % 5; the
+    decode must reproduce the original pixels for data that stresses
+    wraparound (&0xFF) in every filter."""
+    data = bytes((i * 137 + (i * i) % 251) % 256 for i in range(16 * 12))
+    w, h, pix = decode_png_gray8(build_png_gray8(data, 16, filters="cycle"))
+    assert (w, h) == (16, 12)
+    assert pix == data
+
+
+def test_png_average_filter_floors_the_halved_sum():
+    """Average adds floor((left+up)/2): odd sums must truncate, not
+    round — a hand-filtered two-row image where every (left+up) is
+    odd pins the floor."""
+    width = 3
+    row0 = bytes([7, 9, 11])  # filter 0
+    row1 = bytes([20, 30, 40])
+    enc1 = bytearray([3])
+    left = 0
+    for i in range(width):
+        enc1.append((row1[i] - (left + row0[i]) // 2) & 0xFF)
+        left = row1[i]
+    raw = bytes([0]) + row0 + bytes(enc1)
+    ihdr = struct.pack(">IIBBBBB", width, 2, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    _, _, pix = decode_png_gray8(png)
+    assert pix == row0 + row1
+
+
+def test_png_paeth_tie_order_left_up_upleft():
+    """Spec §9.4: ties pick left over up over upleft. Construct
+    neighborhoods that tie pa==pb, pb==pc, and pa==pb==pc and check
+    the decoder's predictor choice against the normative order."""
+    from vectordb_agentic_rag_spark.operators.binformats import _paeth
+
+    # with x=l-ul, y=u-ul: pa=|y|, pb=|x|, pc=|x+y|.
+    # pa==pc tie (x=-2y): l=4, u=13, ul=10 -> pa=3, pb=6, pc=3 ->
+    # LEFT beats upleft on the tie (returns 4, not 10)
+    assert _paeth(4, 13, 10) == 4
+    # pb==pc tie (y=-2x): l=13, u=4, ul=10 -> pa=6, pb=3, pc=3 ->
+    # UP beats upleft on the tie (returns 4, not 10)
+    assert _paeth(13, 4, 10) == 4
+    # pc strictly smallest (ul midway): l=10, u=20, ul=15 -> pc=0
+    assert _paeth(10, 20, 15) == 15
+    # all equal: l=u=ul -> pa=pb=pc=0 -> left
+    assert _paeth(9, 9, 9) == 9
+    # decode check: one Paeth row whose predictions hit a tie
+    width = 3
+    row0 = bytes([10, 20, 15])
+    row1 = bytes([12, 13, 14])
+    enc1 = bytearray([4])
+    for i in range(width):
+        left = row1[i - 1] if i else 0
+        upleft = row0[i - 1] if i else 0
+        enc1.append((row1[i] - _paeth(left, row0[i], upleft)) & 0xFF)
+    raw = bytes([0]) + row0 + bytes(enc1)
+    ihdr = struct.pack(">IIBBBBB", width, 2, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    _, _, pix = decode_png_gray8(png)
+    assert pix == row0 + row1
 
 
 def test_tar_roundtrip_and_checksum_guard():

@@ -193,21 +193,56 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
 
-def build_png_gray8(pixels: bytes, width: int) -> bytes:
+def _paeth(left: int, up: int, upleft: int) -> int:
+    """Paeth predictor (PNG spec §9.4): pick the neighbor closest to
+    left + up - upleft, ties broken left, then up, then upleft — the
+    tie order is normative and a decoder that breaks ties differently
+    corrupts real images."""
+    p = left + up - upleft
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+    if pa <= pb and pa <= pc:
+        return left
+    if pb <= pc:
+        return up
+    return upleft
+
+
+def build_png_gray8(
+    pixels: bytes, width: int, filters: str = "none"
+) -> bytes:
     """Genuine non-interlaced 8-bit grayscale PNG: IHDR + one zlib
-    IDAT of filter-0 scanlines + IEND, every chunk with its real
-    CRC-32. The last row is zero-padded to the full width."""
+    IDAT + IEND, every chunk with its real CRC-32. The last row is
+    zero-padded to the full width. filters="none" writes filter-0
+    scanlines; filters="cycle" filter-encodes row r with type r % 5
+    (None/Sub/Up/Average/Paeth) so a decode roundtrip exercises every
+    unfilter path the spec defines."""
     height = -(-len(pixels) // width) if pixels else 1
     padded = pixels + b"\x00" * (width * height - len(pixels))
-    raw = b"".join(
-        b"\x00" + padded[r * width : (r + 1) * width]
-        for r in range(height)
-    )
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = padded[r * width : (r + 1) * width]
+        ftype = (r % 5) if filters == "cycle" else 0
+        raw.append(ftype)
+        for i in range(width):
+            left = row[i - 1] if i else 0
+            if ftype == 0:
+                enc = row[i]
+            elif ftype == 1:  # Sub
+                enc = row[i] - left
+            elif ftype == 2:  # Up
+                enc = row[i] - prev[i]
+            elif ftype == 3:  # Average
+                enc = row[i] - (left + prev[i]) // 2
+            else:  # Paeth
+                enc = row[i] - _paeth(left, prev[i], prev[i - 1] if i else 0)
+            raw.append(enc & 0xFF)
+        prev = row
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -216,10 +251,11 @@ def decode_png_gray8(payload: bytes) -> tuple[int, int, bytes]:
     """REAL (subset) PNG decode, stdlib-only: verify the signature,
     walk chunks VERIFYING EVERY CRC-32 (corruption raises — never
     silent wrong pixels), parse IHDR, inflate the concatenated IDAT
-    zlib stream, and reconstruct scanlines for filter types 0 (None),
-    1 (Sub) and 2 (Up). Returns (width, height, pixel bytes).
-    Subset limits (documented, enforced loudly): non-interlaced 8-bit
-    grayscale; Average/Paeth filters raise NotImplementedError."""
+    zlib stream, and reconstruct scanlines for ALL FIVE filter types
+    (None/Sub/Up/Average/Paeth — round 14 closed the Average/Paeth
+    gap; Paeth tie order left>up>upleft per spec §9.4). Returns
+    (width, height, pixel bytes). Subset limit (documented, enforced
+    loudly): non-interlaced 8-bit grayscale."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
@@ -260,8 +296,17 @@ def decode_png_gray8(payload: bytes) -> tuple[int, int, bytes]:
         elif ftype == 2:  # Up: add the pixel above
             for i in range(width):
                 row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average: add floor((left + up) / 2)
+            for i in range(width):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth: add the Paeth predictor
+            for i in range(width):
+                left = row[i - 1] if i else 0
+                upleft = prev[i - 1] if i else 0
+                row[i] = (row[i] + _paeth(left, prev[i], upleft)) & 0xFF
         elif ftype != 0:
-            raise NotImplementedError(f"PNG filter {ftype} unsupported")
+            raise ValueError(f"invalid PNG filter type {ftype}")
         out += row
         prev = row
     return width, height, bytes(out)
@@ -303,15 +348,15 @@ def multimodal_png_decode_stats(
     decoder (multimodal.py:decode_image stays the PIL extension point
     for full-format coverage): the first 256 bytes of each doc become
     the pixels of a REAL 16-wide 8-bit grayscale PNG (zlib IDAT,
-    per-chunk CRC-32), and decode_png_gray8 walks the chunks, VERIFIES
-    every CRC, inflates the stream, reconstructs the scanlines, and
-    the op emits stats computed from the DECODED pixels (dimensions,
-    exact pixel sum including the zero pad, round(6) mean). The
-    oracle recomputes everything from raw text — a hash match proves
-    signature, chunk layout, CRCs, compression, and filter
-    reconstruction are all exact. Sub/Up filter reconstruction is
-    pinned by pytest (the builder emits filter 0; real encoders
-    don't, so the decoder handles 0/1/2 and raises beyond).
+    per-chunk CRC-32, row r filter-ENCODED with type r % 5 — so every
+    doc's decode exercises all five spec filters, Average and Paeth
+    included since round 14), and decode_png_gray8 walks the chunks,
+    VERIFIES every CRC, inflates the stream, reconstructs the
+    scanlines, and the op emits stats computed from the DECODED
+    pixels (dimensions, exact pixel sum including the zero pad,
+    round(6) mean). The oracle recomputes everything from raw text —
+    a hash match proves signature, chunk layout, CRCs, compression,
+    and the five filter reconstructions are all exact.
 
     Parity: pixel_sum is an exact BIGINT (ASCII fixture: bytes ==
     chars); the single division is the same round(6) on both sides.
@@ -335,7 +380,7 @@ def multimodal_png_decode_stats(
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 data = text.encode("utf-8")[:_PNG_MAX_BYTES]
-                png = build_png_gray8(data, _PNG_W)
+                png = build_png_gray8(data, _PNG_W, filters="cycle")
                 w, h, pix = decode_png_gray8(png)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)

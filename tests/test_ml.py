@@ -138,25 +138,21 @@ def test_ivfpq_ann_recall(spark, sf_dir, exact_top3):
     assert all(n == 3 for n in per_q.values()) and len(per_q) == 10
 
 
-def test_recall_guard_raises_on_broken_codebook(spark, sf_dir):
+def test_recall_guard_raises_on_broken_codebook(spark, sf_dir, monkeypatch):
     """The in-plan recall guard must FAIL the query when the model
-    collapses — a zeroed PQ codebook makes every code identical, the
-    ADC shortlist degenerates to first-20-by-id, and recall drops
-    under the floor: assert_true must raise instead of returning
-    plausible-looking rows (the failure mode rows-only driver checks
-    cannot see)."""
-    import numpy as np
-
+    collapses — a zeroed ADC lookup table makes every candidate score
+    identical, the shortlist degenerates to first-60-by-id, and
+    recall drops under the floor: assert_true must raise instead of
+    returning plausible-looking rows (the failure mode rows-only
+    driver checks cannot see)."""
     from vectordb_agentic_rag_spark.operators import ml
 
-    ml.vec_pq_ann(spark, sf_dir).collect()  # ensure trained cache
-    good = ml._PQ_BOOKS_CACHE[sf_dir]
-    try:
-        ml._PQ_BOOKS_CACHE[sf_dir] = np.zeros_like(good)
-        with pytest.raises(Exception, match="recall collapse"):
-            ml.vec_pq_ann(spark, sf_dir).collect()
-    finally:
-        ml._PQ_BOOKS_CACHE[sf_dir] = good
+    ml.vec_pq_ann(spark, sf_dir).collect()  # healthy pipeline first
+    monkeypatch.setattr(
+        ml, "_pq16_lut_expr", lambda: "CAST(0 AS DECIMAL(18,9))"
+    )
+    with pytest.raises(Exception, match="recall collapse"):
+        ml.vec_pq_ann(spark, sf_dir).collect()
 
 
 def test_semantic_purge_scaled_k_path(spark, sf_dir, monkeypatch):
@@ -236,22 +232,17 @@ def test_ann_pareto_table_shape_and_consistency(spark, sf_dir):
         assert r.candidate_frac == sweep[r.param].candidate_frac
 
 
-def test_ann_pareto_raises_on_broken_codebook(spark, sf_dir):
+def test_ann_pareto_raises_on_broken_codebook(spark, sf_dir, monkeypatch):
     """The pareto table must not emit rows when a family's model
     collapses: the PQ point reads vec_pq_ann's guarded output, whose
-    assert_true raises on a zeroed codebook."""
-    import numpy as np
-
+    assert_true raises on a zeroed ADC lookup table."""
     from vectordb_agentic_rag_spark.operators import ml
 
-    ml.vec_pq_ann(spark, sf_dir).collect()  # ensure trained cache
-    good = ml._PQ_BOOKS_CACHE[sf_dir]
-    try:
-        ml._PQ_BOOKS_CACHE[sf_dir] = np.zeros_like(good)
-        with pytest.raises(Exception, match="recall collapse"):
-            ml.vec_ann_latency_recall_pareto(spark, sf_dir).collect()
-    finally:
-        ml._PQ_BOOKS_CACHE[sf_dir] = good
+    monkeypatch.setattr(
+        ml, "_pq16_lut_expr", lambda: "CAST(0 AS DECIMAL(18,9))"
+    )
+    with pytest.raises(Exception, match="recall collapse"):
+        ml.vec_ann_latency_recall_pareto(spark, sf_dir).collect()
 
 
 def test_prefilter_vs_postfilter_invariants():

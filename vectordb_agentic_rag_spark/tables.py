@@ -172,7 +172,7 @@ def clear_session_caches() -> None:
     _hot_cached.clear()
     for mod_name, attrs in {
         "vectordb_agentic_rag_spark.operators.ml": (
-            "_SAMPLE_CACHE", "_IVF_CENTS_CACHE", "_PQ_BOOKS_CACHE",
+            "_SAMPLE_CACHE",
             "_EXACT3_CACHE", "_IVF_PANEL_CACHE", "_LSH_PAIRS_CACHE",
         ),
         "vectordb_agentic_rag_spark.operators.dedup": (

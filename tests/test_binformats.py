@@ -452,3 +452,123 @@ def test_gif_without_global_color_table_raises_loud_subset_error():
     gif[10] &= 0x7F  # clear the global-color-table flag
     with pytest.raises(NotImplementedError, match="global color table"):
         decode_gif_gray8(bytes(gif))
+
+
+def _jpeg_reference_idct(coeffs):
+    """Independent textbook IDCT (no term skipping, no shared cos
+    table) for pinning the decoder's transform."""
+    import math
+
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        c[u] * c[v] * coeffs[v * 8 + u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            p = int(round(s / 4.0)) + 128
+            out.append(min(255, max(0, p)))
+    return out
+
+
+def _jpeg_with_scan(blocks_zz, width_blocks):
+    """Wrap a crafted entropy scan in build_jpeg_gray8's container."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _jpeg_encode_scan,
+        build_jpeg_gray8,
+    )
+
+    shell = build_jpeg_gray8(bytes(len(blocks_zz)), width_blocks)
+    sos_at = shell.find(b"\xff\xda")
+    import struct as _s
+
+    sos_len = _s.unpack(">H", shell[sos_at + 2 : sos_at + 4])[0]
+    head = shell[: sos_at + 2 + sos_len]
+    return head + _jpeg_encode_scan(blocks_zz) + b"\xff\xd9"
+
+
+def test_jpeg_dc_only_roundtrip_exact():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_jpeg_gray8,
+        decode_jpeg_gray8,
+    )
+
+    data = bytes(range(0, 250, 7)) + bytes([0, 255, 128, 1])
+    w, h, pix = decode_jpeg_gray8(build_jpeg_gray8(data, 6))
+    n_b = -(-len(data) // 6)
+    padded = data + b"\x00" * (6 * n_b - len(data))
+    assert (w, h) == (48, 8 * n_b)
+    for bi, v in enumerate(padded):
+        by, bx = divmod(bi, 6)
+        for yy in range(8):
+            for xx in range(8):
+                assert pix[(by * 8 + yy) * w + bx * 8 + xx] == v
+
+
+def test_jpeg_ac_paths_match_reference_idct():
+    """AC run/size coding, ZRL (16-zero runs), EOB, negative
+    coefficients, and a full-63-AC block must all survive the
+    Huffman layer bit-exactly: the decoder's dequantized pixels must
+    equal an independent IDCT of the crafted coefficients."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _JPEG_ZIGZAG,
+        decode_jpeg_gray8,
+    )
+
+    b1 = [0] * 64
+    b1[0], b1[1], b1[5] = -40, 7, -3
+    b2 = [0] * 64
+    b2[0] = 100
+    b2[20] = 1  # 19-zero run -> ZRL + run 3
+    b2[63] = -1  # coefficient at the last zigzag position
+    b3 = [0] * 64  # all-zero block (pure EOB after DC 0 diff)
+    b4 = [i % 5 - 2 for i in range(64)]  # dense AC block
+    blocks = [b1, b2, b3, b4]
+    jpg = _jpeg_with_scan(blocks, 2)
+    w, h, pix = decode_jpeg_gray8(jpg)
+    assert (w, h) == (16, 16)
+    for bi, bz in enumerate(blocks):
+        coeffs = [0] * 64
+        for k in range(64):
+            coeffs[_JPEG_ZIGZAG[k]] = bz[k]  # quant table is all ones
+        ref = _jpeg_reference_idct(coeffs)
+        by, bx = divmod(bi, 2)
+        got = [
+            pix[(by * 8 + yy) * w + bx * 8 + xx]
+            for yy in range(8)
+            for xx in range(8)
+        ]
+        assert got == ref, f"block {bi} mismatch"
+
+
+def test_jpeg_truncation_at_every_offset_raises():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_jpeg_gray8,
+        decode_jpeg_gray8,
+    )
+
+    jpg = build_jpeg_gray8(b"jpeg truncation contract", 4)
+    assert decode_jpeg_gray8(jpg)[2] is not None
+    for cut in range(len(jpg)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg_gray8(jpg[:cut])
+
+
+def test_jpeg_subset_guards():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_jpeg_gray8,
+        decode_jpeg_gray8,
+    )
+
+    jpg = bytearray(build_jpeg_gray8(b"abc", 3))
+    sof = jpg.find(b"\xff\xc0")
+    jpg[sof + 1] = 0xC2  # progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray8(bytes(jpg))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray8(b"\x89PNG\r\n\x1a\n")

@@ -81,3 +81,60 @@ def test_rowgroup_pruning_advisory_shape(spark):
         # range buckets: at least half the buckets must prune
         assert r["buckets_pruned"] >= r["n_buckets"] // 2
         assert r["rows_skipped"] > 0
+
+
+def test_bloom_rowgroup_advisor_matches_plain_python(spark):
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        _BLF_P,
+        _BLF_WORDS,
+        maintenance_bloom_rowgroup_advisor,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    keys = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT o_orderkey FROM '{SF_DIR}/orders.parquet'"
+        ).fetchall()
+    ]
+    nbits = _BLF_WORDS * 63
+
+    def h(k, m):
+        return ((k * m) % _BLF_P) % nbits
+
+    buckets = {}
+    for k in keys:
+        g = ((k * 2654435761) % 4294967296) // 16777216
+        bits, bmin, bmax, n, members = buckets.get(
+            g, (set(), k, k, 0, set())
+        )
+        bits |= {h(k, 48271), h(k, 69621)}
+        members.add(k)
+        buckets[g] = (bits, min(bmin, k), max(bmax, k), n + 1, members)
+    mn, mx = min(keys), max(keys)
+    span = mx - mn + 1
+    rows = maintenance_bloom_rowgroup_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        key = mn + (int(r["probe_id"]) * span) // 8
+        assert r["probe_key"] == key
+        q1, q2 = h(key, 48271), h(key, 69621)
+        poss = [
+            (g, v) for g, v in buckets.items()
+            if q1 in v[0] and q2 in v[0]
+        ]
+        true_b = [g for g, v in buckets.items() if key in v[4]]
+        assert r["n_buckets"] == len(buckets)
+        assert r["minmax_possible"] == sum(
+            1 for v in buckets.values() if v[1] <= key <= v[2]
+        )
+        assert r["bloom_possible"] == len(poss)
+        assert r["bloom_true"] == len(true_b)
+        assert r["bloom_false_pos"] == len(poss) - len(true_b)
+        skipped = sum(
+            v[3] for v in buckets.values()
+            if not (q1 in v[0] and q2 in v[0])
+        )
+        assert r["rows_skipped_bloom"] == skipped

@@ -215,3 +215,223 @@ def maintenance_rowgroup_pruning_sim(
         )
         .orderBy("layout", "pred_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_bloom_rowgroup_advisor
+# ---------------------------------------------------------------------------
+
+_BLF_BUCKETS = 256  # simulated row groups (multiplicative-hash layout)
+_BLF_WORDS = 16  # bloom size: 16 x 63 = 1008 usable bits per bucket
+_BLF_P = 2147483647  # Lehmer modulus shared with the KMV sketches
+
+
+def _blf_hash(expr: str, mult: int) -> str:
+    """Bloom bit position in [0, 1008) — 63 usable bits per word
+    (bit 63 stays clear: DuckDB's `<<` overflow-checks the sign bit);
+    exact integer arithmetic, same text modulo div/// on both
+    engines."""
+    return f"((({expr}) * {mult}) % {_BLF_P}) % {_BLF_WORDS * 63}"
+
+
+def _bloom_advisor_oracle() -> str:
+    nb = _BLF_BUCKETS
+    word_sel_1 = " ".join(
+        f"WHEN {j} THEN w{j}" for j in range(_BLF_WORDS)
+    )
+    words = ",\n             ".join(
+        "bit_or("
+        f"(CASE WHEN {_blf_hash('o_orderkey', 48271)} // 63 = {j}"
+        f" THEN (1::BIGINT << CAST({_blf_hash('o_orderkey', 48271)} % 63 AS INTEGER)) ELSE 0 END)"
+        f" | (CASE WHEN {_blf_hash('o_orderkey', 69621)} // 63 = {j}"
+        f" THEN (1::BIGINT << CAST({_blf_hash('o_orderkey', 69621)} % 63 AS INTEGER)) ELSE 0 END)"
+        f") AS w{j}"
+        for j in range(_BLF_WORDS)
+    )
+    return f"""
+    WITH b AS (
+      SELECT CAST(min(o_orderkey) AS BIGINT) AS mn,
+             CAST(max(o_orderkey) AS BIGINT) AS mx
+      FROM orders),
+    p AS (
+      SELECT CAST(i AS BIGINT) AS probe_id,
+             CAST(mn + (i * (mx - mn + 1)) // 8 AS BIGINT) AS probe_key
+      FROM b, (SELECT unnest(generate_series(0, 7)) AS i)),
+    pk AS (
+      SELECT probe_id, probe_key,
+             {_blf_hash('probe_key', 48271)} AS q1,
+             {_blf_hash('probe_key', 69621)} AS q2
+      FROM p),
+    buckets AS (
+      SELECT ((o_orderkey * 2654435761) % 4294967296) // 16777216 AS grp,
+             CAST(min(o_orderkey) AS BIGINT) AS bmin,
+             CAST(max(o_orderkey) AS BIGINT) AS bmax,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             {words}
+      FROM orders GROUP BY 1),
+    truth AS (
+      SELECT pk.probe_id,
+             ((o.o_orderkey * 2654435761) % 4294967296) // 16777216 AS grp
+      FROM orders o JOIN pk ON o.o_orderkey = pk.probe_key
+      GROUP BY 1, 2),
+    hits AS (
+      SELECT pk.probe_id, pk.probe_key, bk.grp, bk.n_rows,
+             CASE WHEN pk.probe_key BETWEEN bk.bmin AND bk.bmax
+                  THEN 1 ELSE 0 END AS mm_poss,
+             CASE WHEN ((CASE CAST(pk.q1 // 63 AS INTEGER) {word_sel_1} END
+                         >> CAST(pk.q1 % 63 AS INTEGER)) & 1) = 1
+                   AND ((CASE CAST(pk.q2 // 63 AS INTEGER) {word_sel_1} END
+                         >> CAST(pk.q2 % 63 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END AS bl_poss,
+             CASE WHEN t.grp IS NOT NULL THEN 1 ELSE 0 END AS is_true
+      FROM buckets bk CROSS JOIN pk
+      LEFT JOIN truth t ON t.probe_id = pk.probe_id AND t.grp = bk.grp)
+    SELECT probe_id, probe_key,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(mm_poss) AS BIGINT) AS minmax_possible,
+           CAST(sum(bl_poss) AS BIGINT) AS bloom_possible,
+           CAST(sum(is_true) AS BIGINT) AS bloom_true,
+           CAST(sum(CASE WHEN bl_poss = 1 AND is_true = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bloom_false_pos,
+           CAST(sum(CASE WHEN bl_poss = 0 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_skipped_bloom
+    FROM hits
+    GROUP BY probe_id, probe_key
+    ORDER BY probe_id
+    """
+
+
+@query("maintenance_bloom_rowgroup_advisor", oracle=_bloom_advisor_oracle())
+def maintenance_bloom_rowgroup_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOOM-FILTER LAYOUT ADVISORY — the complement of
+    maintenance_rowgroup_pruning_sim for POINT LOOKUPS on a layout
+    min/max cannot help: under the hash-scattered bucketing every
+    simulated row group spans the whole key domain (the pruning sim's
+    'scattered prunes nothing' row), which is exactly when parquet
+    attaches per-row-group BLOOM FILTERS. Each of 256 hash buckets
+    builds a 1008-bit bloom (16 exact BIGINT words, 63 bits each, two Lehmer-mix
+    hash positions per key, bit_or aggregate — the agg_bitmap_distinct
+    idiom); an 8-point lookup panel then reports, per probe: how many
+    buckets min/max could skip (none), how many the bloom admits, the
+    true containing buckets, the false positives, and the rows a
+    scan actually skips. The false-positive column is the m/n sizing
+    signal a layout engineer reads: at sf0.01 (~59 keys/bucket, 1008
+    bits, k=2) FPs are rare; at sf0.1 (~586 keys/bucket) the filter
+    visibly saturates — the advisory shows the budget breaking, not
+    just working.
+
+    Parity: every hash, bit position, membership test, and count is
+    exact BIGINT arithmetic with shared formula shape (shiftleft /
+    `<<` differ textually but operate on identical integers); bucket
+    count counts NON-EMPTY buckets (data-derivable on both engines).
+
+    Shape at 100 TB: the bloom build is ONE map-side-combinable
+    aggregate over the fact scan (16 words per bucket of shuffle
+    payload — the bitmap-distinct shape); the probe evaluation is a
+    256 x 8 broadcast cross join, bounded by the layout."""
+    mn, mx = (
+        table(spark, sf_dir, "orders")
+        .agg(
+            F.min("o_orderkey").cast("bigint"),
+            F.max("o_orderkey").cast("bigint"),
+        )
+        .first()
+    )
+    mn, mx = int(mn), int(mx)
+    span = mx - mn + 1
+    h1 = _blf_hash("o_orderkey", 48271)
+    h2 = _blf_hash("o_orderkey", 69621)
+    word_aggs = [
+        F.bit_or(
+            F.expr(
+                f"(CASE WHEN CAST(({h1}) div 63 AS INT) = {j}"
+                f" THEN shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(({h1}) % 63 AS INT)) ELSE CAST(0 AS BIGINT) END)"
+                f" | (CASE WHEN CAST(({h2}) div 63 AS INT) = {j}"
+                f" THEN shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(({h2}) % 63 AS INT)) ELSE CAST(0 AS BIGINT) END)"
+            )
+        ).alias(f"w{j}")
+        for j in range(_BLF_WORDS)
+    ]
+    o = table(spark, sf_dir, "orders")
+    grp = F.expr(
+        "((CAST(o_orderkey AS BIGINT) * 2654435761) % 4294967296)"
+        " div 16777216"
+    )
+    buckets = o.groupBy(grp.alias("grp")).agg(
+        F.min("o_orderkey").cast("bigint").alias("bmin"),
+        F.max("o_orderkey").cast("bigint").alias("bmax"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        *word_aggs,
+    )
+
+    def py_hash(key: int, mult: int) -> int:
+        return ((key * mult) % _BLF_P) % (_BLF_WORDS * 63)
+
+    probe_rows = []
+    for i in range(8):
+        key = mn + (i * span) // 8
+        probe_rows.append(
+            (i, key, py_hash(key, 48271), py_hash(key, 69621))
+        )
+    probes = spark.createDataFrame(
+        probe_rows,
+        "probe_id bigint, probe_key bigint, q1 bigint, q2 bigint",
+    )
+    truth = (
+        o.join(
+            F.broadcast(probes),
+            F.col("o_orderkey") == F.col("probe_key"),
+        )
+        .groupBy("probe_id", grp.alias("grp"))
+        .agg(F.count("*").alias("n_true"))
+        .select("probe_id", "grp", F.lit(1).alias("is_true"))
+    )
+    word_sel = " ".join(f"WHEN {j} THEN w{j}" for j in range(_BLF_WORDS))
+    member = (
+        "((CASE CAST(q1 div 63 AS INT) " + word_sel + " END"
+        " >> CAST(q1 % 63 AS INT)) & 1) = 1"
+        " AND ((CASE CAST(q2 div 63 AS INT) " + word_sel + " END"
+        " >> CAST(q2 % 63 AS INT)) & 1) = 1"
+    )
+    hits = (
+        buckets.crossJoin(F.broadcast(probes))
+        .join(F.broadcast(truth), ["probe_id", "grp"], "left")
+        .select(
+            "probe_id",
+            "probe_key",
+            "n_rows",
+            F.expr(
+                "CASE WHEN probe_key BETWEEN bmin AND bmax"
+                " THEN 1 ELSE 0 END"
+            ).alias("mm_poss"),
+            F.expr(f"CASE WHEN {member} THEN 1 ELSE 0 END").alias(
+                "bl_poss"
+            ),
+            F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true"),
+        )
+    )
+    return (
+        hits.groupBy("probe_id", "probe_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("mm_poss").cast("bigint").alias("minmax_possible"),
+            F.sum("bl_poss").cast("bigint").alias("bloom_possible"),
+            F.sum("is_true").cast("bigint").alias("bloom_true"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN bl_poss = 1 AND is_true = 0"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("bloom_false_pos"),
+            F.sum(F.expr("CASE WHEN bl_poss = 0 THEN n_rows ELSE 0 END"))
+            .cast("bigint")
+            .alias("rows_skipped_bloom"),
+        )
+        .orderBy("probe_id")
+    )

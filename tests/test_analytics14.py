@@ -138,3 +138,51 @@ def test_bloom_rowgroup_advisor_matches_plain_python(spark):
             if not (q1 in v[0] and q2 in v[0])
         )
         assert r["rows_skipped_bloom"] == skipped
+
+
+def test_hll_dense_registers_matches_plain_python(spark):
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        _HLL_M,
+        agg_hll_dense_registers,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        SELECT DISTINCT event_type,
+               user_id * 32
+               + date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        FROM '{SF_DIR}/events.parquet'
+        WHERE event_type IN ('purchase', 'click')
+        """
+    ).fetchall()
+
+    def mix(k):
+        h = (((k ^ (k >> 16)) % 2147483648) * 2246822519) % 4294967296
+        h = (((h ^ (h >> 13)) % 2147483648) * 3266489917) % 4294967296
+        return h ^ (h >> 16)
+
+    sets = {"purchase": set(), "click": set(), "any": set()}
+    for t, k in pairs:
+        sets[t].add(int(k))
+        sets["any"].add(int(k))
+    rows = {
+        r["set_name"]: r
+        for r in agg_hll_dense_registers(spark, SF_DIR).collect()
+    }
+    for name, keys in sets.items():
+        M = [0] * _HLL_M
+        for k in keys:
+            h = mix(k)
+            w = h // _HLL_M
+            rho = 27 if w == 0 else 27 - w.bit_length()
+            reg = h % _HLL_M
+            M[reg] = max(M[reg], rho)
+        z = sum(2.0 ** -m for m in M)
+        est = round(0.709 * _HLL_M * _HLL_M / z, 6)
+        r = rows[name]
+        assert r["exact_users"] == len(keys)
+        assert abs(r["est_users"] - est) < 1e-9
+        assert r["rel_err"] == round(abs(est - len(keys)) / len(keys), 4)

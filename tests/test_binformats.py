@@ -572,3 +572,19 @@ def test_jpeg_subset_guards():
         decode_jpeg_gray8(bytes(jpg))
     with pytest.raises(ValueError):
         decode_jpeg_gray8(b"\x89PNG\r\n\x1a\n")
+
+
+def test_jpeg_decode_rejects_restart_intervals():
+    """Review r14: restart markers reset DC prediction and byte-align
+    — silently skipping them decodes wrong pixels, so the decoder
+    must raise the loud subset error when one appears in the scan."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        build_jpeg_gray8,
+        decode_jpeg_gray8,
+    )
+
+    jpg = build_jpeg_gray8(b"restart contract", 4)
+    scan_end = jpg.rindex(b"\xff\xd9")
+    with_rst = jpg[: scan_end - 2] + b"\xff\xd4" + jpg[scan_end - 2 :]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_gray8(with_rst)

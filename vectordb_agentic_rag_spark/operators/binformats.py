@@ -13,9 +13,9 @@ What is REAL here:
 - PNG: a genuine PNG file (signature, IHDR/IDAT/IEND chunks each with
   a real CRC-32, IDAT a real zlib stream of filtered scanlines)
   decoded by verifying every chunk CRC (loud failure on corruption),
-  inflating IDAT, and reconstructing rows for filter types 0 (None),
-  1 (Sub) and 2 (Up) — the non-interlaced 8-bit grayscale subset.
-  Paeth/Average filters and interlacing are out of scope and raise.
+  inflating IDAT, and reconstructing rows for ALL FIVE filter types
+  (None/Sub/Up/Average/Paeth since round 14) — the non-interlaced
+  8-bit grayscale subset; interlacing is out of scope and raises.
 
 The operators build payloads deterministically from fixture text
 (this container has no media fixtures), decode them back with the
@@ -1830,9 +1830,15 @@ class _JpegBitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # restart marker: skip
-                self.pos += 2
-                return self._fill()
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart markers reset DC prediction and byte-align
+                # (spec F.2.2.5) — silently skipping them would decode
+                # WRONG pixels for any DRI-interval file, violating the
+                # family's never-silent-corruption contract (review
+                # r14); the builder never emits them, so raise loudly
+                raise NotImplementedError(
+                    "decoder subset: restart intervals unsupported"
+                )
             else:
                 raise ValueError("entropy data ended at marker")
         else:
@@ -1939,7 +1945,9 @@ def decode_jpeg_gray8(payload: bytes) -> tuple:
     """REAL baseline JPEG grayscale decode, stdlib-only: marker walk,
     DQT/DHT/SOF0/SOS parse, canonical-Huffman entropy decode (DC diff
     categories, AC run/size with ZRL and EOB, byte un-stuffing,
-    restart-marker skip), dequantization, inverse zigzag, float 8x8
+    loud NotImplementedError on restart intervals — skipping them
+    silently would corrupt DC prediction), dequantization, inverse
+    zigzag, float 8x8
     IDCT with level shift and clamp. Returns (width, height, pixels)
     with pixels in row-major order. Subset limits (loud): baseline
     (SOF0) single-component 8-bit only. Truncation anywhere raises

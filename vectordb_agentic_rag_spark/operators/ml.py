@@ -801,7 +801,7 @@ def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 8-dim MATRYOSHKA PREFIX of the embeddings (coarse
     quantization on a reduced projection is standard practice — the
     list geometry only has to be a partition, not a metric-exact
-    one). Each query probes its 6 nearest lists by the same prefix
+    one). Each query probes its 8 nearest lists by the same prefix
     distance, and only those lists are scored with the FULL 64-dim
     exact cosine (round(6), ties by neighbor_id) for the top-3. The
     DuckDB oracle replays every stage — seeding, both Lloyd updates,
@@ -827,7 +827,7 @@ def vec_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: list assignment is a broadcast cross join against
     ONE pivoted centroid row (map-side, no shuffle); candidates form
     by an equi-join on cl (probed lists only — never the full corpus
-    per query); top-3 is a per-query window over ~6/16 of the corpus.
+    per query); top-3 is a per-query window over ~8/16 of the corpus.
     """
     from .vector import _query_vector_raw
 
@@ -1240,9 +1240,9 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     then refined by 2 SQL-unrolled Lloyd iterations, round(9)
     DECIMAL-mean recipe), store each corpus vector as 8 5-bit codes,
     and answer queries by asymmetric distance computation: a per-query
-    8x16 lookup table (round(9)-quantized DECIMAL entries, so the
+    8x32 lookup table (round(9)-quantized DECIMAL entries, so the
     8-term ADC sum is EXACT and order-independent on both engines), a
-    GLOBAL top-20 ADC shortlist per query, then an exact cosine rerank
+    GLOBAL top-60 ADC shortlist per query, then an exact cosine rerank
     of the shortlist only (the FAISS IndexRefineFlat pattern).
 
     vs the r2 numpy version: the codebook moves from a driver-side
@@ -1431,7 +1431,7 @@ def _sweep_oracle() -> str:
                FROM asg{_IVF16_T} a JOIN probesall p ON a.cl = p.cl
                WHERE p.pr <= {max(_SWEEP_PROBES)})""",
         f"""sims AS MATERIALIZED (SELECT cd.query_id, cd.neighbor_id,
-               cd.pr, round({cos}, 6) AS sim
+               cd.pr, {cos} AS sim
                FROM cands cd JOIN c ON cd.neighbor_id = c.vec_id
                              JOIN q ON cd.query_id = q.query_id)""",
         f"pdom AS ({pdom})",
@@ -1447,17 +1447,18 @@ def _sweep_oracle() -> str:
                        ORDER BY {cos} DESC, c.vec_id) AS xrn
                      FROM c CROSS JOIN q) z
                WHERE xrn <= 3)""",
-        f"""rec AS (SELECT a.nprobe,
-               round(CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL
-                                   THEN 1 ELSE 0 END) AS DOUBLE)
+        f"""rec AS (SELECT d.nprobe,
+               round(CAST(coalesce(sum(CASE WHEN e.neighbor_id
+                     IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
                      / (3.0 * {_IVF16_QN}), 4) AS recall_at_3
-               FROM approx a LEFT JOIN exact e
+               FROM pdom d LEFT JOIN approx a ON a.nprobe = d.nprobe
+               LEFT JOIN exact e
                  ON a.query_id = e.query_id
                 AND a.neighbor_id = e.neighbor_id
-               GROUP BY a.nprobe)""",
+               GROUP BY d.nprobe)""",
         f"""cnt AS (SELECT d.nprobe,
-               CAST(count(*) AS BIGINT) AS n_candidates
-               FROM cands cd JOIN pdom d ON cd.pr <= d.nprobe
+               CAST(count(cd.pr) AS BIGINT) AS n_candidates
+               FROM pdom d LEFT JOIN cands cd ON cd.pr <= d.nprobe
                GROUP BY d.nprobe)""",
         f"""tot AS (SELECT CAST(count(*) AS BIGINT) * {_IVF16_QN}
                AS ntot FROM c)""",
@@ -1481,49 +1482,28 @@ def vec_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the table an ANN deployment actually reads to pick its
     operating point (recall@3 vs fraction of corpus scanned; FAISS
     calls this the nprobe sweep). One run produces the whole
-    frontier: every corpus vector's list assignment is computed ONCE
-    (the SQL-exact _ivf16 quantizer — round 14 upgraded this op from
-    rows-only to a FULL oracle alongside vec_ivf_ann), each query's
-    lists are RANKED once, and "visible at nprobe p" is just
-    rank <= p — so the sweep costs one assignment pass + one bounded
-    candidate join, not 4 index builds. The oracle replays the whole
-    frontier (quantizer, probe ranks, per-width top-3, recall against
-    its own exact twin, candidate volumes) — the hash match verifies
-    the tuning table a deployment would trust.
+    frontier over the SESSION-CHECKPOINTED probed-candidate panel
+    (_ivf_panel_cands — built once from the SQL-exact _ivf16
+    quantizer; round 14 upgraded this op from rows-only to a FULL
+    oracle alongside vec_ivf_ann): "visible at nprobe p" is just
+    probe rank <= p, so the sweep costs bounded slices of one stored
+    artifact, not 4 index builds. Ranking uses the panel's RAW
+    cosine (monotonicity in nprobe is provable only for raw-score
+    ranking — a round-6 tie could let a widened candidate set
+    displace an exact-top-3 member; review r14). The oracle replays
+    the quantizer, probe ranks, per-width top-3, recall against its
+    own exact twin, and candidate volumes over a DENSIFIED nprobe
+    domain (an unobserved exact rank must emit its row, not drop it).
 
-    Self-checks in-plan (unchanged): recall is PROVABLY monotone in p
-    (candidate sets are nested, and an exact-top-3 member inside a
-    candidate set always makes that set's top-3), so
-    assert_true(recall_p >= recall_{prev p}) guards the bucketing;
-    the widest probe must clear the 0.55 floor vec_ivf_ann pins. At
-    production scale the sweep runs on a sampled query panel — here
-    the panel IS the 10-query set."""
-    from .vector import _query_vector_raw
-
+    Self-checks in-plan (unchanged): recall is monotone in p
+    (candidate sets are nested), asserted pairwise; the widest probe
+    must clear the 0.55 floor vec_ivf_ann pins. At production scale
+    the sweep runs on a sampled query panel — here the panel IS the
+    10-query set."""
     q, corpus = _queries_and_corpus(spark, sf_dir)
     max_p = max(_SWEEP_PROBES)
-    asg, probesall = _ivf16_assignments(spark, sf_dir)
-    d = len(_query_vector_raw(sf_dir, 0))
-    cands = (
-        asg.join(
-            F.broadcast(probesall.where(F.col("pr") <= max_p)), "cl"
-        ).select("query_id", F.col("vec_id").alias("neighbor_id"), "pr")
-    )
-    sims = (
-        cands.join(
-            corpus.select(
-                F.col("vec_id").alias("neighbor_id"), "embedding"
-            ),
-            "neighbor_id",
-        )
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "pr",
-            F.round(cosine_fixed("embedding", "qv", d), 6).alias("sim"),
-        )
-    )
+    cands = _ivf_panel_cands(spark, sf_dir)  # (query_id, neighbor_id,
+    # r, sim[RAW]) — localCheckpointed once per session
     pdom = spark.createDataFrame(
         [(p,) for p in _SWEEP_PROBES], "nprobe int"
     )
@@ -1531,35 +1511,35 @@ def vec_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").desc(), "neighbor_id"
     )
     approx = (
-        sims.crossJoin(F.broadcast(pdom))
-        .where(F.col("pr") <= F.col("nprobe"))
+        cands.crossJoin(F.broadcast(pdom))
+        .where(F.col("r") <= F.col("nprobe"))
         .withColumn("rn", F.row_number().over(w3))
         .where(F.col("rn") <= 3)
     )
     exact = _exact3_twin(spark, sf_dir)
     rec = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        pdom.join(approx, "nprobe", "left")
+        .join(exact, ["query_id", "neighbor_id"], "left")
         .groupBy("nprobe")
         .agg(
             # exact-twin denominator: a query with < 3 candidates at a
             # probe width must LOWER recall, not shrink the denominator
             F.round(
-                F.sum(F.coalesce(F.col("xhit"), F.lit(0)))
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("xhit"), F.lit(0))), F.lit(0)
+                )
                 / F.lit(3.0 * _IVF16_QN),
                 4,
             ).alias("recall_at_3"),
         )
     )
-    # candidate volume per nprobe: per-rank counts cumulated over the
-    # bounded rank domain (never a 4x rescan of the candidate join)
-    rc = cands.groupBy("pr").agg(F.count("*").alias("cnt"))
-    wr = Window.orderBy("pr").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # candidate volume per nprobe over the DENSIFIED probe domain
+    # (review r14: an exact rank with zero candidates must still emit)
+    cum = (
+        pdom.join(cands, F.col("r") <= F.col("nprobe"), "left")
+        .groupBy("nprobe")
+        .agg(F.count("r").cast("bigint").alias("n_candidates"))
     )
-    cum = rc.select(
-        F.col("pr").alias("nprobe"),
-        F.sum("cnt").over(wr).cast("bigint").alias("n_candidates"),
-    ).where(F.col("nprobe").isin(*_SWEEP_PROBES))
     ntot = corpus.count() * _IVF16_QN  # bounded scalars
     w_mono = Window.orderBy("nprobe")
     return (

@@ -2348,3 +2348,110 @@ def stream_theta_sketch_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("set_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_zone_map_live
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_zone_map_live",
+    # Full oracle: (min, max, count) is a COMMUTATIVE MONOID fold, so
+    # the drained final zone rows equal the batch aggregate under ANY
+    # replay order and ANY batching — no time-ordered replay, no
+    # batching-identity argument needed (the stream_theta_sketch_live
+    # class: associativity IS the proof).
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           min(value) AS mn_value,
+           max(value) AS mx_value,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def stream_zone_map_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE ZONE-MAP MAINTENANCE — the streaming half of the round-14
+    layout-advisory family (maintenance_parquet_footer_stats reads
+    zone maps; maintenance_rowgroup_pruning_sim measures what they
+    buy; THIS op shows how streaming ingest keeps them current
+    without rewriting files): one state row per ingest day holding
+    (min, max, count) of `value`, updated per micro-batch via
+    applyInPandasWithState and emitted with the monotone count as a
+    sequence number — exactly the per-partition metadata an append
+    sink maintains so that downstream scans can prune partitions the
+    moment the data lands.
+
+    Verification is the STRONGEST streaming identity in the repo's
+    catalogue: the zone fold is a commutative monoid, so the drained
+    last-emission-per-day table equals the batch GROUP BY day min/max
+    /count under any arrival order and any batch boundaries — the
+    unordered event_id-mod replay is used DELIBERATELY (the stateful
+    session/CUSUM ops need the time-ordered replay; this op proves
+    it does not). min/max of doubles are SELECTIONS, not arithmetic,
+    so the emitted values are bit-identical to the batch twin's.
+
+    Shape at 100 TB: state is O(open partitions) tiny tuples; each
+    micro-batch does one map-side (day, min, max, count) partial
+    aggregate before the state update; the drained reduction is
+    max_by(seq) per day (round-8 monotone-n identity)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    day_us = 86_400_000_000
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            mn, mx, n = state.get
+        else:
+            mn, mx, n = None, None, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            bmn = float(pdf["value"].min())
+            bmx = float(pdf["value"].max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+            n += int(len(pdf))
+        state.update((mn, mx, n))
+        yield pd.DataFrame(
+            {"day_d": [key[0]], "mn_value": [mn], "mx_value": [mx],
+             "n_rows": [n]}
+        )
+
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        F.expr(f"unix_micros(ts) div {day_us}").alias("day_d"),
+        "value",
+    )
+    out = stream.groupBy("day_d").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "day_d bigint, mn_value double, mx_value double, n_rows bigint"
+        ),
+        stateStructType="mn double, mx double, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "zone_map_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        spark.table("zone_map_live")
+        .groupBy("day_d")
+        .agg(
+            F.max_by(
+                F.struct("mn_value", "mx_value", "n_rows"), "n_rows"
+            ).alias("z")
+        )
+        .selectExpr(
+            "date_add(DATE'1970-01-01', CAST(day_d AS INT)) AS day",
+            "z.mn_value AS mn_value",
+            "z.mx_value AS mx_value",
+            "z.n_rows AS n_rows",
+        )
+        .orderBy("day")
+    )

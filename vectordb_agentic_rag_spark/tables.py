@@ -177,6 +177,10 @@ def clear_session_caches() -> None:
         ),
         "vectordb_agentic_rag_spark.operators.dedup": (
             "_JAC_CODES_CACHE", "_NGRAM_EDGES_CACHE",
+            "_MINHASH_PAIRS_CACHE",
+        ),
+        "vectordb_agentic_rag_spark.operators.queue_r11": (
+            "_CASCADE_SURVIVORS_CACHE",
         ),
         "vectordb_agentic_rag_spark.operators.analytics2": (
             "_COSUPPLY_EDGES_CACHE",

@@ -186,3 +186,83 @@ def test_hll_dense_registers_matches_plain_python(spark):
         assert r["exact_users"] == len(keys)
         assert abs(r["est_users"] - est) < 1e-9
         assert r["rel_err"] == round(abs(est - len(keys)) / len(keys), 4)
+
+
+def test_zorder_pruning_2d_matches_plain_python(spark):
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        maintenance_zorder_pruning_2d,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    pts = con.execute(
+        f"""
+        SELECT CAST(o_custkey AS BIGINT),
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet'
+        """
+    ).fetchall()
+    xs = [int(p[0]) for p in pts]
+    ys = [int(p[1]) for p in pts]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    sx, sy = mxx - mnx + 1, mxy - mny + 1
+
+    def morton(bx, by):
+        m = 0
+        for i in range(4):
+            m += ((bx >> i) & 1) << (2 * i + 1)
+            m += ((by >> i) & 1) << (2 * i)
+        return m
+
+    buckets = {}
+    for x, y in zip(xs, ys):
+        bx = min(15, (x - mnx) * 16 // sx)
+        by = min(15, (y - mny) * 16 // sy)
+        for layout, g in (
+            ("morton", morton(bx, by)),
+            ("linear_x", min(255, (x - mnx) * 256 // sx)),
+        ):
+            cur = buckets.get((layout, g))
+            if cur is None:
+                buckets[(layout, g)] = [x, x, y, y, 1]
+            else:
+                cur[0] = min(cur[0], x)
+                cur[1] = max(cur[1], x)
+                cur[2] = min(cur[2], y)
+                cur[3] = max(cur[3], y)
+                cur[4] += 1
+    rows = maintenance_zorder_pruning_2d(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        j = int(r["box_id"])
+        jx, jy = j % 2, j // 2
+        qx_lo = mnx + jx * (sx // 2) + sx // 8
+        qx_hi = qx_lo + sx // 8
+        qy_lo = mny + jy * (sy // 2) + sy // 8
+        qy_hi = qy_lo + sy // 8
+        bs = [v for (l, _), v in buckets.items() if l == r["layout"]]
+        pruned = [
+            v for v in bs
+            if v[1] < qx_lo or v[0] > qx_hi or v[3] < qy_lo or v[2] > qy_hi
+        ]
+        assert r["n_buckets"] == len(bs)
+        assert r["buckets_pruned"] == len(pruned)
+        assert r["rows_total"] == sum(v[4] for v in bs)
+        assert r["rows_skipped"] == sum(v[4] for v in pruned)
+
+
+def test_zorder_2d_morton_beats_linear_on_rows_skipped(spark):
+    """The advisory's point: for every 2-D box, the Morton layout
+    skips at least as many rows as the linear-x layout (it bounds
+    both dimensions per bucket)."""
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        maintenance_zorder_pruning_2d,
+    )
+
+    rows = maintenance_zorder_pruning_2d(spark, SF_DIR).collect()
+    by_box = {}
+    for r in rows:
+        by_box.setdefault(int(r["box_id"]), {})[r["layout"]] = r
+    for j, d in by_box.items():
+        assert d["morton"]["rows_skipped"] >= d["linear_x"]["rows_skipped"]

@@ -498,3 +498,64 @@ def test_heavy_hitters_live_matches_exact_and_superset(spark, sf_dir):
     # the superset precondition: threshold above the worst-case MG error
     worst_bucket = ev.assign(b=ev["user_id"] % _HH_BUCKETS).groupby("b").size().max()
     assert 23 * n / (20 * u) > worst_bucket / (_HH_COUNTERS + 1)
+
+
+def test_zone_map_live_equals_batch_under_unordered_replay(spark, sf_dir):
+    """Commutative-monoid identity: the drained per-day zone rows must
+    equal the batch GROUP BY day min/max/count exactly, even though
+    the replay is the UNORDERED event_id-mod split."""
+    import duckdb
+
+    from vectordb_agentic_rag_spark.streaming.core import (
+        stream_zone_map_live,
+    )
+
+    got = {
+        str(r["day"]): (r["mn_value"], r["mx_value"], r["n_rows"])
+        for r in stream_zone_map_live(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE), min(value), max(value), count(*)
+        FROM '{sf_dir}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    assert len(got) == len(exp)
+    for day, mn, mx, n in exp:
+        g = got[str(day)]
+        assert g == (mn, mx, n)
+
+
+def test_bloom_ingest_live_words_equal_batch_build(spark, sf_dir):
+    """bit_or monoid identity + plain-Python recompute of the batch
+    bloom build (fill counts and per-bucket row counts)."""
+    import duckdb
+
+    from vectordb_agentic_rag_spark.streaming.core import (
+        _BLM_P,
+        _BLM_WORDS,
+        stream_bloom_ingest_live,
+    )
+
+    con = duckdb.connect()
+    uids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT user_id FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    ]
+    nbits = _BLM_WORDS * 63
+    buckets = {}
+    for u in uids:
+        g = ((u * 2654435761) % 4294967296) // 268435456
+        bits, n = buckets.get(g, (set(), 0))
+        for mult in (48271, 69621):
+            bits.add(((u * mult) % _BLM_P) % nbits)
+        buckets[g] = (bits, n + 1)
+    rows = stream_bloom_ingest_live(spark, sf_dir).collect()
+    assert len(rows) == len(buckets)
+    for r in rows:
+        bits, n = buckets[int(r["grp"])]
+        assert r["n_rows"] == n
+        assert r["bits_set"] == len(bits)

@@ -658,3 +658,195 @@ def agg_hll_dense_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("set_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_zorder_pruning_2d
+# ---------------------------------------------------------------------------
+
+_Z2_BITS = 4  # 4 bits per dimension -> 16x16 = 256 buckets per layout
+
+
+def _z2_morton(bx: str, by: str) -> str:
+    """Closed-form Morton interleave of two 4-bit ints — 8 exact
+    integer terms, identical text both engines (shifts by small
+    constants only)."""
+    terms = []
+    for i in range(_Z2_BITS):
+        terms.append(f"((({bx}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((({by}) >> {i}) & 1) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _z2_exprs(duck: bool) -> dict:
+    """Shared expression text for both engines; only cents extraction
+    and integer division differ (CLAUDE.md money rule / div vs //)."""
+    div = "//" if duck else "div"
+    y = (
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+        if duck
+        else "CAST(o_totalprice * 100 + 0.5 AS BIGINT)"
+    )
+    x = "CAST(o_custkey AS BIGINT)"
+    bx = f"least({_Z2_BITS * 4 - 1}, (({x}) - mnx) * 16 {div} (mxx - mnx + 1))"
+    by = f"least({_Z2_BITS * 4 - 1}, (({y}) - mny) * 16 {div} (mxy - mny + 1))"
+    lin = f"least(255, (({x}) - mnx) * 256 {div} (mxx - mnx + 1))"
+    return {"x": x, "y": y, "bx": bx, "by": by, "lin": lin}
+
+
+def _z2_boxes(duck: bool) -> str:
+    """4-box predicate panel: each box covers 1/8 x 1/8 of the 2-D
+    domain, anchored per quadrant — integer corner arithmetic."""
+    div = "//" if duck else "div"
+    rows = []
+    for j in range(4):
+        jx, jy = j % 2, j // 2
+        rows.append(
+            f"SELECT CAST({j} AS BIGINT) AS box_id,"
+            f" mnx + {jx} * ((mxx - mnx + 1) {div} 2)"
+            f" + ((mxx - mnx + 1) {div} 8) AS qx_lo,"
+            f" mnx + {jx} * ((mxx - mnx + 1) {div} 2)"
+            f" + ((mxx - mnx + 1) {div} 8)"
+            f" + ((mxx - mnx + 1) {div} 8) AS qx_hi,"
+            f" mny + {jy} * ((mxy - mny + 1) {div} 2)"
+            f" + ((mxy - mny + 1) {div} 8) AS qy_lo,"
+            f" mny + {jy} * ((mxy - mny + 1) {div} 2)"
+            f" + ((mxy - mny + 1) {div} 8)"
+            f" + ((mxy - mny + 1) {div} 8) AS qy_hi"
+            " FROM b"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _z2_oracle() -> str:
+    e = _z2_exprs(duck=True)
+    return f"""
+    WITH b AS (
+      SELECT CAST(min(o_custkey) AS BIGINT) AS mnx,
+             CAST(max(o_custkey) AS BIGINT) AS mxx,
+             min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS mny,
+             max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS mxy
+      FROM orders),
+    assigned AS (
+      SELECT 'morton' AS layout,
+             {_z2_morton(e['bx'], e['by'])} AS grp,
+             {e['x']} AS x, {e['y']} AS y
+      FROM orders, b
+      UNION ALL
+      SELECT 'linear_x', {e['lin']} AS grp, {e['x']}, {e['y']}
+      FROM orders, b),
+    buckets AS (
+      SELECT layout, grp,
+             CAST(min(x) AS BIGINT) AS bminx,
+             CAST(max(x) AS BIGINT) AS bmaxx,
+             CAST(min(y) AS BIGINT) AS bminy,
+             CAST(max(y) AS BIGINT) AS bmaxy,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM assigned GROUP BY 1, 2),
+    boxes AS ({_z2_boxes(duck=True)}),
+    scored AS (
+      SELECT bk.layout, bx.box_id, bk.n_rows,
+             CASE WHEN bk.bmaxx < bx.qx_lo OR bk.bminx > bx.qx_hi
+                    OR bk.bmaxy < bx.qy_lo OR bk.bminy > bx.qy_hi
+                  THEN 1 ELSE 0 END AS pruned
+      FROM buckets bk CROSS JOIN boxes bx)
+    SELECT layout, box_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(pruned) AS BIGINT) AS buckets_pruned,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_skipped
+    FROM scored
+    GROUP BY layout, box_id
+    ORDER BY layout, box_id
+    """
+
+
+@query("maintenance_zorder_pruning_2d", oracle=_z2_oracle())
+def maintenance_zorder_pruning_2d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-ORDER vs LINEAR-SORT PRUNING on 2-D box predicates — the
+    advisory that answers the question maintenance_rowgroup_pruning_sim
+    leaves open (it shows single-column clustering wins for
+    single-column predicates; THIS op shows why multi-column
+    workloads need Morton interleaving): orders is bucketed 256 ways
+    under (a) a Morton curve over (o_custkey, price-cents) — 4 bits
+    per dimension interleaved by an 8-term exact-integer closed form
+    — and (b) a 256-bucket linear sort on o_custkey alone. A 4-box
+    panel (each box 1/8 x 1/8 of the joint domain) is then scored
+    against per-bucket zone maps of BOTH columns: the Morton layout
+    bounds both dimensions per bucket and prunes ~all non-overlapping
+    cells; the linear layout bounds only x — every surviving x-slice
+    bucket spans the full y domain, so ~1/8 of the table is scanned
+    to serve a 1/64-area box. The row pair is the quantitative
+    z-order case (Delta/Iceberg OPTIMIZE ZORDER BY).
+
+    Parity: bucket ids (Morton interleave, rank-div formulas with
+    least() clamps), box corners, and prune decisions are all exact
+    BIGINT arithmetic; price cents via the asymmetric money pair
+    (Spark +0.5 cast / DuckDB round — CLAUDE.md rule); both engines
+    derive zone maps from data, and the mirrored-logic risk is
+    covered by a plain-Python recompute pytest (round-9 rule).
+
+    Shape at 100 TB: the bucket zone-map build is one
+    map-side-combinable aggregate over the fact scan; the panel is a
+    512-bucket x 4-box broadcast cross join — bounded by the layout.
+    The physical rewrite this simulates is the same one-off range
+    shuffle as maintenance_rowgroup_pruning_sim's clustered copy."""
+    e = _z2_exprs(duck=False)
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("CAST(min(o_custkey) AS BIGINT)").alias("mnx"),
+        F.expr("CAST(max(o_custkey) AS BIGINT)").alias("mxx"),
+        F.expr(
+            "min(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+        ).alias("mny"),
+        F.expr(
+            "max(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+        ).alias("mxy"),
+    ).localCheckpoint()  # 1-row domain frame referenced by both
+    # layouts AND the box panel (bounded-intermediate ckpt rule)
+    b.createOrReplaceTempView("z2_domain")
+    base = o.crossJoin(F.broadcast(b))
+    assigned = base.selectExpr(
+        "'morton' AS layout",
+        f"{_z2_morton(e['bx'], e['by'])} AS grp",
+        f"{e['x']} AS x",
+        f"{e['y']} AS y",
+    ).unionByName(
+        base.selectExpr(
+            "'linear_x' AS layout",
+            f"{e['lin']} AS grp",
+            f"{e['x']} AS x",
+            f"{e['y']} AS y",
+        )
+    )
+    buckets = assigned.groupBy("layout", "grp").agg(
+        F.min("x").cast("bigint").alias("bminx"),
+        F.max("x").cast("bigint").alias("bmaxx"),
+        F.min("y").cast("bigint").alias("bminy"),
+        F.max("y").cast("bigint").alias("bmaxy"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    boxes = spark.sql(
+        _z2_boxes(duck=False).replace("FROM b", "FROM z2_domain")
+    )
+    pruned = F.expr(
+        "CASE WHEN bmaxx < qx_lo OR bminx > qx_hi"
+        " OR bmaxy < qy_lo OR bminy > qy_hi THEN 1 ELSE 0 END"
+    )
+    return (
+        buckets.crossJoin(F.broadcast(boxes))
+        .select("layout", "box_id", "n_rows", pruned.alias("pruned"))
+        .groupBy("layout", "box_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("pruned").cast("bigint").alias("buckets_pruned"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.expr("CASE WHEN pruned = 1 THEN n_rows ELSE 0 END"))
+            .cast("bigint")
+            .alias("rows_skipped"),
+        )
+        .orderBy("layout", "box_id")
+    )

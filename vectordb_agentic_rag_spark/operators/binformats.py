@@ -2164,3 +2164,473 @@ def multimodal_jpeg_baseline_decode(
         "doc_id bigint, width bigint, height bigint, pixel_sum bigint, "
         "first_px bigint, distinct_px bigint",
     ).orderBy("doc_id")
+
+
+# --- Rice/Golomb residual codec (round 14; round-15 queue pulled
+# forward) ---------------------------------------------------------------
+# The FLAC/Shorten residual coder: each non-negative value v splits
+# into a UNARY quotient q = v >> k (q 1-bits then a terminating 0) and
+# a k-bit binary remainder, MSB-first. Signed residuals map through
+# the zigzag fold (0, -1, 1, -2, ... -> 0, 1, 2, 3, ...) first. This
+# is the variable-length integer-coding class the codec family lacked
+# (LZW = dictionary, Huffman = prefix table, mu-law = companding).
+
+
+def zigzag_encode(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= -(1 << 62) else 0
+
+
+def zigzag_decode(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def rice_encode(values: list, k: int) -> bytes:
+    """Rice-code non-negative ints with parameter k: unary quotient
+    (q ones, one zero) + k-bit MSB-first remainder per value; the
+    final byte is zero-padded (the decoder reads a declared COUNT, so
+    pad bits are never interpreted)."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for v in values:
+        if v < 0:
+            raise ValueError("rice_encode takes non-negative values")
+        q = v >> k
+        # q ones then a zero
+        acc = (acc << (q + 1)) | (((1 << q) - 1) << 1)
+        nbits += q + 1
+        acc = (acc << k) | (v & ((1 << k) - 1))
+        nbits += k
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def rice_decode(data: bytes, k: int, n: int) -> list:
+    """Decode n Rice-coded values; raises ValueError when the
+    bitstream is truncated (the GIF/TIFF contract)."""
+    out = []
+    pos = 0
+    total_bits = 8 * len(data)
+
+    def read_bit() -> int:
+        nonlocal pos
+        if pos >= total_bits:
+            raise ValueError("truncated Rice bitstream")
+        b = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+        pos += 1
+        return b
+
+    for _ in range(n):
+        q = 0
+        while read_bit():
+            q += 1
+            if q > total_bits:  # pathological all-ones guard
+                raise ValueError("unterminated unary quotient")
+        r = 0
+        for _ in range(k):
+            r = (r << 1) | read_bit()
+        out.append((q << k) | r)
+    return out
+
+
+_RICE_K = 3
+_RICE_MAX_BYTES = 256
+
+
+@query(
+    "multimodal_rice_codec_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             substring(text, 1, {_RICE_MAX_BYTES}) AS s,
+             octet_length(encode(substring(text, 1, {_RICE_MAX_BYTES})))
+               AS n
+      FROM documents),
+    codes AS (
+      SELECT doc_id, n,
+             CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(string_split(s, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))
+             END AS cs
+      FROM px),
+    zz AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(1, n), i ->
+               CASE WHEN i = 1 THEN
+                 CASE WHEN cs[1] >= 0 THEN cs[1] * 2 ELSE -cs[1] * 2 - 1 END
+               ELSE
+                 CASE WHEN cs[i] - cs[i-1] >= 0
+                      THEN (cs[i] - cs[i-1]) * 2
+                      ELSE -(cs[i] - cs[i-1]) * 2 - 1 END
+               END) AS us
+      FROM codes),
+    enc AS (
+      SELECT doc_id, n,
+             CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(us, u -> (u >> {_RICE_K})
+                                            + 1 + {_RICE_K})),
+                  (a, b) -> a + b), 0) AS BIGINT) AS encoded_bits
+      FROM zz)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_values,
+           encoded_bits,
+           CAST((encoded_bits + 7) // 8 AS BIGINT) AS encoded_bytes,
+           CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE round(CAST(encoded_bits AS DOUBLE) / (8 * n), 6)
+           END AS bits_ratio
+    FROM enc
+    ORDER BY doc_id
+    """,
+)
+def multimodal_rice_codec_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL RICE/GOLOMB CODEC ROUNDTRIP — the FLAC/Shorten residual
+    coder, completing the codec-class coverage (LZW dictionary +
+    canonical Huffman + mu-law companding + now unary/binary
+    variable-length integer coding): each doc's first 256 bytes
+    become a DELTA-plus-ZIGZAG residual stream (the audio-predictor
+    shape: v_1 = b_1, v_i = b_i - b_{i-1}, signed residuals folded
+    0,-1,1,-2 -> 0,1,2,3), Rice-coded at k=3 into a genuine MSB-first
+    bitstream, decoded back bit by bit, un-zigzagged, and
+    prefix-summed — the kernel RAISES unless the roundtrip
+    reproduces the original bytes exactly. Emitted stats (value
+    count, exact encoded bit count, byte count, round(6) compression
+    ratio vs raw 8-bit) are recomputed by the oracle from the
+    residual arithmetic alone — the hash match proves the unary
+    quotients, remainders, and bit packing agree with the closed
+    form sum((u >> k) + 1 + k).
+
+    Parity: all-integer outputs plus one shared-shape round(6)
+    division; the empty-doc split guard (round-13 lesson:
+    string_split('','') is [''] in DuckDB) returns an empty list.
+
+    Shape at 100 TB: one mapInPandas over the documents scan, no
+    shuffle; per-row cost is the bit loop over <= 256 residuals."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_values": [],
+                "encoded_bits": [],
+                "encoded_bytes": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")[:_RICE_MAX_BYTES]
+                resid = [
+                    data[i] - (data[i - 1] if i else 0)
+                    for i in range(len(data))
+                ]
+                us = [zigzag_encode(v) for v in resid]
+                blob = rice_encode(us, _RICE_K)
+                got = rice_decode(blob, _RICE_K, len(us))
+                back = bytearray()
+                prev = 0
+                for u in got:
+                    prev += zigzag_decode(u)
+                    back.append(prev)
+                if bytes(back) != data:
+                    raise ValueError("Rice roundtrip mismatch")
+                bits = sum((u >> _RICE_K) + 1 + _RICE_K for u in us)
+                assert bits == 0 or (bits + 7) // 8 == len(blob)
+                rows["doc_id"].append(doc_id)
+                rows["n_values"].append(len(us))
+                rows["encoded_bits"].append(bits)
+                rows["encoded_bytes"].append((bits + 7) // 8)
+            yield pd.DataFrame(rows)
+
+    return (
+        d.mapInPandas(
+            run,
+            "doc_id bigint, n_values bigint, encoded_bits bigint, "
+            "encoded_bytes bigint",
+        )
+        .withColumn(
+            "bits_ratio",
+            F.expr(
+                "CASE WHEN n_values = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE round(CAST(encoded_bits AS DOUBLE)"
+                " / (8 * n_values), 6) END"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- DEFLATE (fixed-Huffman subset) round 14 -------------------------------
+# The one compression layer the codec family still outsourced to zlib
+# (PNG IDAT, ZIP entries) — here the BITSTREAM itself is hand-rolled:
+# a fixed-Huffman literal encoder (RFC 1951 §3.2.6 code lengths,
+# Huffman codes packed MSB-first-within-code into LSB-first bytes —
+# the classic deflate bit-order trap) and an inflate that decodes
+# stored AND fixed-Huffman blocks including LZ77 length/distance
+# pairs. The encoder's output is additionally REQUIRED to decode via
+# stdlib zlib (raw window) — an external witness that the hand-rolled
+# bitstream is genuine deflate, not a private format.
+
+
+class _DeflateBitWriter:
+    """LSB-first bit packer (RFC 1951 §3.1.1)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put_lsb(self, value: int, length: int) -> None:
+        """Write `length` bits of value, LSB first (header fields,
+        stored lengths, extra bits)."""
+        self.acc |= (value & ((1 << length) - 1)) << self.nbits
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, length: int) -> None:
+        """Write a Huffman code: MSB of the code first (§3.1.1:
+        'Huffman codes are packed starting with the most-significant
+        bit of the code')."""
+        for i in range(length - 1, -1, -1):
+            self.put_lsb((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _fixed_lit_code(sym: int) -> tuple:
+    """(code, length) of literal/length symbol under the FIXED tree
+    (RFC 1951 §3.2.6)."""
+    if sym <= 143:
+        return 0b00110000 + sym, 8
+    if sym <= 255:
+        return 0b110010000 + (sym - 144), 9
+    if sym <= 279:
+        return sym - 256, 7
+    return 0b11000000 + (sym - 280), 8
+
+
+def deflate_fixed_encode(data: bytes) -> bytes:
+    """Literals-only fixed-Huffman deflate stream (BFINAL=1,
+    BTYPE=01): every byte emitted as a literal code, then EOB. Valid
+    raw-deflate — zlib.decompressobj(-15) must accept it (pinned by
+    pytest and by the op's in-kernel cross-check)."""
+    w = _DeflateBitWriter()
+    w.put_lsb(1, 1)  # BFINAL
+    w.put_lsb(0b01, 2)  # BTYPE fixed
+    for b in data:
+        code, ln = _fixed_lit_code(b)
+        w.put_code(code, ln)
+    code, ln = _fixed_lit_code(256)
+    w.put_code(code, ln)
+    return w.flush()
+
+
+_LEN_BASE = [
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
+    51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258,
+]
+_LEN_EXTRA = [
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4,
+    4, 4, 5, 5, 5, 5, 0,
+]
+_DIST_BASE = [
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257,
+    385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289,
+    16385, 24577,
+]
+_DIST_EXTRA = [
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9,
+    10, 10, 11, 11, 12, 12, 13, 13,
+]
+
+
+def inflate_fixed(payload: bytes) -> bytes:
+    """REAL (subset) INFLATE, stdlib-free: stored (BTYPE=00) and
+    fixed-Huffman (BTYPE=01) blocks, including LZ77 length/distance
+    back-references with extra bits. Dynamic-Huffman blocks raise
+    NotImplementedError; truncation anywhere raises ValueError (the
+    codec-family contract)."""
+    pos = 0
+    total = 8 * len(payload)
+    out = bytearray()
+
+    def bit() -> int:
+        nonlocal pos
+        if pos >= total:
+            raise ValueError("truncated deflate stream")
+        b = (payload[pos >> 3] >> (pos & 7)) & 1
+        pos += 1
+        return b
+
+    def bits_lsb(n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= bit() << i
+        return v
+
+    def fixed_sym() -> int:
+        # decode MSB-first against the fixed tree's canonical ranges
+        code = 0
+        for ln in range(1, 10):
+            code = (code << 1) | bit()
+            if ln == 7 and 0 <= code <= 0b0010111:
+                return 256 + code
+            if ln == 8 and 0b00110000 <= code <= 0b10111111:
+                return code - 0b00110000
+            if ln == 8 and 0b11000000 <= code <= 0b11000111:
+                return 280 + (code - 0b11000000)
+            if ln == 9 and 0b110010000 <= code <= 0b111111111:
+                return 144 + (code - 0b110010000)
+        raise ValueError("invalid fixed-Huffman code")
+
+    while True:
+        bfinal = bit()
+        btype = bits_lsb(2)
+        if btype == 0b00:  # stored
+            pos = (pos + 7) & ~7  # byte-align
+            if pos + 32 > total:
+                raise ValueError("truncated stored-block header")
+            ln = payload[pos >> 3] | (payload[(pos >> 3) + 1] << 8)
+            nln = payload[(pos >> 3) + 2] | (payload[(pos >> 3) + 3] << 8)
+            if ln ^ 0xFFFF != nln:
+                raise ValueError("stored-block LEN/NLEN mismatch")
+            pos += 32
+            if pos + 8 * ln > total:
+                raise ValueError("truncated stored-block data")
+            start = pos >> 3
+            out += payload[start : start + ln]
+            pos += 8 * ln
+        elif btype == 0b01:  # fixed Huffman
+            while True:
+                sym = fixed_sym()
+                if sym == 256:
+                    break
+                if sym < 256:
+                    out.append(sym)
+                    continue
+                if sym > 285:
+                    raise ValueError("invalid length symbol")
+                li = sym - 257
+                length = _LEN_BASE[li] + bits_lsb(_LEN_EXTRA[li])
+                # fixed distance codes: 5 bits, MSB-first
+                dcode = 0
+                for _ in range(5):
+                    dcode = (dcode << 1) | bit()
+                if dcode > 29:
+                    raise ValueError("invalid distance code")
+                dist = _DIST_BASE[dcode] + bits_lsb(_DIST_EXTRA[dcode])
+                if dist > len(out):
+                    raise ValueError("distance before stream start")
+                for _ in range(length):
+                    out.append(out[-dist])
+        elif btype == 0b10:
+            raise NotImplementedError(
+                "decoder subset: dynamic Huffman blocks unsupported"
+            )
+        else:
+            raise ValueError("reserved BTYPE 11")
+        if bfinal:
+            return bytes(out)
+
+
+_DFL_MAX_BYTES = 192
+
+
+@query(
+    "multimodal_deflate_fixed_roundtrip",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             substring(text, 1, {_DFL_MAX_BYTES}) AS s,
+             octet_length(encode(substring(text, 1, {_DFL_MAX_BYTES})))
+               AS n
+      FROM documents),
+    codes AS (
+      SELECT doc_id, n,
+             CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(string_split(s, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))
+             END AS cs
+      FROM px)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           -- fixed tree: bytes <= 143 cost 8 bits, 144-255 cost 9;
+           -- + 3 header bits + 7 EOB bits, ceil to bytes
+           CAST((3 + 7 + coalesce(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(cs, c -> CASE WHEN c <= 143
+                                   THEN CAST(8 AS BIGINT)
+                                   ELSE CAST(9 AS BIGINT) END)),
+                  (a, b) -> a + b), 0) + 7) // 8 AS BIGINT)
+             AS deflate_bytes,
+           CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                (a, b) -> a + b), 0) AS BIGINT) AS byte_sum
+    FROM codes
+    ORDER BY doc_id
+    """,
+)
+def multimodal_deflate_fixed_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HAND-ROLLED DEFLATE BITSTREAM ROUNDTRIP — the compression layer
+    the codec family previously outsourced to zlib is now in-tree at
+    the BIT level: each doc's first 192 bytes are fixed-Huffman
+    deflate-encoded (RFC 1951 §3.2.6 literal codes, MSB-first codes
+    packed into LSB-first bytes — the bit-order trap that silently
+    corrupts naive implementations), decoded back by BOTH the
+    hand-rolled inflate_fixed (which also handles stored blocks and
+    LZ77 length/distance pairs, pinned by pytests) AND stdlib
+    zlib.decompressobj(-15) — the kernel raises unless all three
+    agree, so zlib acts as an external standards witness that the
+    bitstream is genuine deflate. Emitted stats: the exact encoded
+    size from the closed form (3 + 7 + sum(8 or 9 bits per literal))
+    and the byte sum of the decoded payload — both recomputed by the
+    oracle from raw text.
+
+    Parity: all-integer outputs; empty-doc split guard per the
+    round-13 rule.
+
+    Shape at 100 TB: one mapInPandas over the documents scan, no
+    shuffle; per-row cost is the bit loop over <= 192 literals."""
+    import zlib as _zlib
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "n_bytes": [], "deflate_bytes": [],
+                    "byte_sum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")[:_DFL_MAX_BYTES]
+                blob = deflate_fixed_encode(data)
+                if inflate_fixed(blob) != data:
+                    raise ValueError("hand-rolled inflate mismatch")
+                if _zlib.decompressobj(-15).decompress(blob) != data:
+                    raise ValueError("zlib witness rejected the stream")
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(data))
+                rows["deflate_bytes"].append(len(blob))
+                rows["byte_sum"].append(sum(data))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id bigint, n_bytes bigint, deflate_bytes bigint, "
+        "byte_sum bigint",
+    ).orderBy("doc_id")

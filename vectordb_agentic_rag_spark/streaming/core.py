@@ -2455,3 +2455,129 @@ def stream_zone_map_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_bloom_ingest_live
+# ---------------------------------------------------------------------------
+
+_BLM_P = 2147483647
+_BLM_WORDS = 16  # 16 x 63 = 1008 usable bits (the advisor's layout)
+
+
+@query(
+    "stream_bloom_ingest_live",
+    # Full oracle: bit_or is a commutative monoid (the
+    # stream_zone_map_live identity, one structure richer), so the
+    # drained per-bucket words equal the batch bloom build under any
+    # replay order and batching.
+    oracle=f"""
+    WITH pos AS (
+      SELECT ((user_id * 2654435761) % 4294967296) // 268435456 AS grp,
+             ((user_id * 48271) % {_BLM_P}) % {_BLM_WORDS * 63} AS p1,
+             ((user_id * 69621) % {_BLM_P}) % {_BLM_WORDS * 63} AS p2
+      FROM events),
+    bits AS (
+      SELECT grp, p FROM (SELECT grp, unnest([p1, p2]) AS p FROM pos) z),
+    words AS (
+      SELECT grp, p // 63 AS w,
+             bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS word
+      FROM bits GROUP BY 1, 2),
+    agg AS (
+      SELECT grp, CAST(sum(bit_count(word)) AS BIGINT) AS bits_set
+      FROM words GROUP BY grp),
+    cnt AS (SELECT ((user_id * 2654435761) % 4294967296) // 268435456
+              AS grp, CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1)
+    SELECT CAST(cnt.grp AS BIGINT) AS grp, cnt.n_rows, agg.bits_set,
+           round(CAST(agg.bits_set AS DOUBLE) / {_BLM_WORDS * 63}, 6)
+             AS fill_ratio
+    FROM cnt JOIN agg ON cnt.grp = agg.grp
+    ORDER BY grp
+    """,
+)
+def stream_bloom_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE BLOOM-FILTER MAINTENANCE — the streaming half of
+    maintenance_bloom_rowgroup_advisor (same 1008-bit 16-word layout,
+    same Lehmer-mix bit positions, user_id keys over 16 hash
+    buckets): each micro-batch ORs its keys' bits into the per-bucket
+    state words and emits the updated fill statistics with the
+    monotone row count as sequence — the point-lookup-skipping
+    metadata an append sink keeps current without rewriting files,
+    exactly as stream_zone_map_live does for min/max zone maps.
+
+    Full-oracle identity: bit_or is a commutative monoid, so the
+    drained last-emission-per-bucket words equal the batch bloom
+    build under ANY replay order and batch boundaries — the unordered
+    event_id-mod replay is used deliberately. The emitted fill_ratio
+    is ALSO the live saturation signal the advisor's false-positive
+    column sizes m against: a bucket approaching fill 1.0 has stopped
+    filtering.
+
+    Parity: hash positions, words, and popcounts are exact BIGINT
+    arithmetic (63 usable bits per word — DuckDB's `<<`
+    overflow-checks the sign bit); one shared-shape round(6)
+    division.
+
+    Shape at 100 TB: state is O(buckets) x 16 words; each batch does
+    a map-side (bucket, word) partial bit_or before the state update;
+    the drained reduction is max_by(n) per bucket."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    nbits = _BLM_WORDS * 63
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            words, n = list(state.get[0]), state.get[1]
+        else:
+            words, n = [0] * _BLM_WORDS, 0
+        for pdf in pdf_iter:
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                for mult in (48271, 69621):
+                    p = ((uid * mult) % _BLM_P) % nbits
+                    words[p // 63] |= 1 << (p % 63)
+            n += int(len(pdf))
+        state.update((words, n))
+        bits_set = sum(bin(w).count("1") for w in words)
+        yield pd.DataFrame(
+            {"grp": [key[0]], "n_rows": [n], "bits_set": [bits_set]}
+        )
+
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        F.expr(
+            "((CAST(user_id AS BIGINT) * 2654435761) % 4294967296)"
+            " div 268435456"
+        ).alias("grp"),
+        "user_id",
+    )
+    out = stream.groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType="grp bigint, n_rows bigint, bits_set bigint",
+        stateStructType=f"words array<bigint>, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "bloom_ingest_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        spark.table("bloom_ingest_live")
+        .groupBy("grp")
+        .agg(
+            F.max_by(F.struct("n_rows", "bits_set"), "n_rows").alias("z")
+        )
+        .selectExpr(
+            "grp",
+            "z.n_rows AS n_rows",
+            "z.bits_set AS bits_set",
+            f"round(CAST(z.bits_set AS DOUBLE) / {nbits}, 6)"
+            " AS fill_ratio",
+        )
+        .orderBy("grp")
+    )

@@ -695,3 +695,119 @@ def test_inflate_truncation_and_guards():
     w.put_code(0, 5)  # distance code 0 -> dist 1, but output is empty
     with pytest.raises(ValueError, match="distance"):
         inflate_fixed(w.flush())
+
+
+# --- Parquet thrift footer parser ------------------------------------------
+
+
+def test_thrift_varint_zigzag_roundtrip():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _tc_varint,
+        _tc_zigzag,
+    )
+
+    def enc_varint(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    for v in [0, 1, 127, 128, 300, 2**31 - 1, 2**40]:
+        got, pos = _tc_varint(enc_varint(v), 0)
+        assert got == v and pos == len(enc_varint(v))
+    # zigzag: 0->0, -1->1, 1->2, -2->3 ...
+    for u, s in [(0, 0), (1, -1), (2, 1), (3, -2), (4, 2)]:
+        assert _tc_zigzag(u) == s
+    import pytest
+
+    with pytest.raises(ValueError):
+        _tc_varint(b"\x80\x80", 0)  # continuation bit never clears
+
+
+def test_parquet_footer_parser_vs_pyarrow_witness(tmp_path):
+    """Parse a file written by an INDEPENDENT writer (pyarrow, not
+    Spark) and cross-check every extracted field against pyarrow's
+    own metadata reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _pqf_int64_stat,
+        parse_parquet_footer,
+    )
+
+    ids = list(range(100, 0, -1)) + [None, None]
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text_len": pa.array([i or 0 for i in ids],
+                                         type=pa.int64())})
+    path = tmp_path / "witness.parquet"
+    pq.write_table(tbl, path, row_group_size=40)
+    content = path.read_bytes()
+    fmd = parse_parquet_footer(content)
+    md = pq.ParquetFile(path).metadata
+    assert fmd[3] == md.num_rows == 102
+    assert len(fmd[4]) == md.num_row_groups == 3
+    n_from_groups = 0
+    mn = mx = None
+    nulls = 0
+    for rg in fmd[4]:
+        n_from_groups += rg[3]
+        for col in rg[1]:
+            cm = col[3]
+            if [p.decode() for p in cm[3]] != ["doc_id"]:
+                continue
+            st = cm[12]
+            smin = _pqf_int64_stat(st, 6, 2)
+            smax = _pqf_int64_stat(st, 5, 1)
+            nulls += int(st.get(3, 0))
+            mn = smin if mn is None else min(mn, smin)
+            mx = smax if mx is None else max(mx, smax)
+    assert n_from_groups == 102
+    assert (mn, mx, nulls) == (1, 100, 2)
+
+
+def test_parquet_footer_truncation_and_magic_guards(tmp_path):
+    """Module decoder contract: every cut inside the footer region
+    raises ValueError; corrupt magic raises; no silent results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        parse_parquet_footer,
+    )
+
+    tbl = pa.table({"doc_id": pa.array(range(50), type=pa.int64())})
+    path = tmp_path / "t.parquet"
+    pq.write_table(tbl, path)
+    content = path.read_bytes()
+    # corrupt magics
+    with pytest.raises(ValueError):
+        parse_parquet_footer(b"XXXX" + content[4:])
+    with pytest.raises(ValueError):
+        parse_parquet_footer(content[:-4] + b"XXXX")
+    with pytest.raises(ValueError):
+        parse_parquet_footer(content[:8])
+    # every truncation that cuts the footer must raise: rebuild the
+    # tail (footer || len || magic) from progressively shorter footers
+    import struct
+
+    flen = struct.unpack("<I", content[-8:-4])[0]
+    footer = content[-8 - flen:-8]
+    head = content[: len(content) - 8 - flen]
+    for cut in range(len(footer)):
+        trunc = footer[:cut]
+        rebuilt = (
+            head + trunc + struct.pack("<I", len(trunc)) + b"PAR1"
+        )
+        with pytest.raises(ValueError):
+            parse_parquet_footer(rebuilt)
+    # declared length exceeding the file must raise too
+    rebuilt = head + footer + struct.pack("<I", flen + 10**6) + b"PAR1"
+    with pytest.raises(ValueError):
+        parse_parquet_footer(rebuilt)

@@ -559,3 +559,49 @@ def test_bloom_ingest_live_words_equal_batch_build(spark, sf_dir):
         bits, n = buckets[int(r["grp"])]
         assert r["n_rows"] == n
         assert r["bits_set"] == len(bits)
+
+
+def test_hll_live_registers_equal_batch_build(spark, sf_dir):
+    """Idempotent-monoid identity: plain-Python recompute of the batch
+    HLL registers (including Z_num and the estimate expression) per
+    event_type equals the drained streaming sketch."""
+    import duckdb
+
+    from vectordb_agentic_rag_spark.streaming.core import (
+        _SHLL_M,
+        stream_hll_live,
+    )
+
+    con = duckdb.connect()
+    recs = con.execute(
+        "SELECT event_type, user_id * 32 + date_diff('day',"
+        " DATE '2024-01-01', CAST(ts AS DATE))"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    sets = {}
+    counts = {}
+    for et, k in recs:
+        k = int(k)
+        h1 = ((k ^ (k >> 16)) % 2147483648) * 2246822519 % 4294967296
+        h2 = ((h1 ^ (h1 >> 13)) % 2147483648) * 3266489917 % 4294967296
+        h = h2 ^ (h2 >> 16)
+        regs = sets.setdefault(et, [0] * _SHLL_M)
+        w = h // _SHLL_M
+        rho = 27 if w == 0 else 27 - w.bit_length()
+        regs[h % _SHLL_M] = max(regs[h % _SHLL_M], rho)
+        counts[et] = counts.get(et, 0) + 1
+    rows = stream_hll_live(spark, sf_dir).collect()
+    assert len(rows) == len(sets)
+    for r in rows:
+        regs = sets[r["set_name"]]
+        znum = sum(1 << (27 - m) for m in regs)
+        assert r["n_rows"] == counts[r["set_name"]]
+        assert r["znum"] == znum
+        assert r["regs_nonzero"] == sum(1 for m in regs if m > 0)
+        assert abs(r["est_users"] - 0.709 * 549755813888 / znum) < 1e-6
+        # the sketch must actually estimate: within 60% of exact
+        # (m=64 rsd is 13%; generous for small sets)
+        exact = len(
+            {k for et, k in recs if et == r["set_name"]}
+        )
+        assert abs(r["est_users"] - exact) / exact < 0.6

@@ -2634,3 +2634,323 @@ def multimodal_deflate_fixed_roundtrip(
         "doc_id bigint, n_bytes bigint, deflate_bytes bigint, "
         "byte_sum bigint",
     ).orderBy("doc_id")
+
+
+# --- Parquet footer (Thrift compact protocol) round 14 ---------------------
+#
+# A REAL hand-rolled parser for the engine's OWN storage format: the
+# parquet footer is a Thrift compact-protocol FileMetaData struct
+# (parquet-format parquet.thrift; thrift compact-protocol spec), and
+# this subset reader implements the full wire grammar — varints,
+# zigzag ints, field-delta headers, nested structs, lists, binary —
+# generically, so unknown/new fields are SKIPPED by type like every
+# other walker in this module (TIFF IFDs, RIFF chunks). Nothing here
+# reads pyarrow: maintenance_parquet_footer_stats proves the stats
+# exist via the library; THIS parser proves we can read them from the
+# raw bytes, which is what a scan planner actually does.
+
+_TC_STOP = 0
+_TC_BOOL_TRUE = 1
+_TC_BOOL_FALSE = 2
+_TC_BYTE = 3
+_TC_I16 = 4
+_TC_I32 = 5
+_TC_I64 = 6
+_TC_DOUBLE = 7
+_TC_BINARY = 8
+_TC_LIST = 9
+_TC_SET = 10
+_TC_MAP = 11
+_TC_STRUCT = 12
+
+
+def _tc_varint(buf: bytes, pos: int) -> tuple:
+    """ULEB128 varint. Returns (value, new_pos); ValueError on
+    truncation (the module's decoder contract: every cut offset
+    raises loudly)."""
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated parquet footer: varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("corrupt parquet footer: varint too long")
+
+
+def _tc_zigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _tc_read_value(buf: bytes, pos: int, ftype: int):
+    """Read one compact-protocol value of wire type `ftype`.
+    Returns (value, new_pos). Lists/sets -> Python list, structs ->
+    {field_id: value} dict, maps -> list of (k, v) pairs."""
+    if ftype == _TC_BOOL_TRUE:
+        return True, pos
+    if ftype == _TC_BOOL_FALSE:
+        return False, pos
+    if ftype == _TC_BYTE:
+        if pos >= len(buf):
+            raise ValueError("truncated parquet footer: byte")
+        v = buf[pos]
+        return v - 256 if v >= 128 else v, pos + 1
+    if ftype in (_TC_I16, _TC_I32, _TC_I64):
+        u, pos = _tc_varint(buf, pos)
+        return _tc_zigzag(u), pos
+    if ftype == _TC_DOUBLE:
+        if pos + 8 > len(buf):
+            raise ValueError("truncated parquet footer: double")
+        return struct.unpack("<d", buf[pos:pos + 8])[0], pos + 8
+    if ftype == _TC_BINARY:
+        n, pos = _tc_varint(buf, pos)
+        if pos + n > len(buf):
+            raise ValueError("truncated parquet footer: binary body")
+        return bytes(buf[pos:pos + n]), pos + n
+    if ftype in (_TC_LIST, _TC_SET):
+        if pos >= len(buf):
+            raise ValueError("truncated parquet footer: list header")
+        hdr = buf[pos]
+        pos += 1
+        size = hdr >> 4
+        etype = hdr & 0x0F
+        if size == 15:
+            size, pos = _tc_varint(buf, pos)
+        out = []
+        for _ in range(size):
+            # element-context bools are one byte (1/2), handled by
+            # the same type codes
+            v, pos = _tc_read_value(buf, pos, etype)
+            out.append(v)
+        return out, pos
+    if ftype == _TC_MAP:
+        size, pos = _tc_varint(buf, pos)
+        if size == 0:
+            return [], pos
+        if pos >= len(buf):
+            raise ValueError("truncated parquet footer: map types")
+        kt, vt = buf[pos] >> 4, buf[pos] & 0x0F
+        pos += 1
+        out = []
+        for _ in range(size):
+            k, pos = _tc_read_value(buf, pos, kt)
+            v, pos = _tc_read_value(buf, pos, vt)
+            out.append((k, v))
+        return out, pos
+    if ftype == _TC_STRUCT:
+        return _tc_read_struct(buf, pos)
+    raise ValueError(f"corrupt parquet footer: unknown type {ftype}")
+
+
+def _tc_read_struct(buf: bytes, pos: int) -> tuple:
+    """Read a compact-protocol struct into {field_id: value}; field
+    ids are short-form deltas or long-form zigzag varints per the
+    spec. Returns (dict, new_pos)."""
+    fields = {}
+    last_fid = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated parquet footer: struct")
+        hdr = buf[pos]
+        pos += 1
+        if hdr == _TC_STOP:
+            return fields, pos
+        delta = hdr >> 4
+        ftype = hdr & 0x0F
+        if delta:
+            fid = last_fid + delta
+        else:
+            u, pos = _tc_varint(buf, pos)
+            fid = _tc_zigzag(u)
+        last_fid = fid
+        v, pos = _tc_read_value(buf, pos, ftype)
+        fields[fid] = v
+
+
+def parse_parquet_footer(content: bytes) -> dict:
+    """Parse a parquet file's footer from raw file bytes: magic
+    check, little-endian footer length, then the Thrift compact
+    FileMetaData walk. Returns the generic field tree (field-id
+    keyed); see parquet.thrift for ids: 3=num_rows, 4=row_groups
+    (1=columns, 3=num_rows; column 3=meta_data with 3=path_in_schema,
+    12=statistics {1:max,2:min,3:null_count,5:max_value,
+    6:min_value})."""
+    if len(content) < 12:
+        raise ValueError("truncated parquet file: shorter than magics")
+    if content[:4] != b"PAR1" or content[-4:] != b"PAR1":
+        raise ValueError("not a parquet file: missing PAR1 magic")
+    flen = struct.unpack("<I", content[-8:-4])[0]
+    if flen + 12 > len(content):
+        raise ValueError("truncated parquet file: footer length")
+    footer = content[-8 - flen:-8]
+    fmd, _ = _tc_read_struct(footer, 0)
+    return fmd
+
+
+def _pqf_int64_stat(stats: dict, new_id: int, old_id: int) -> int:
+    """INT64 statistics value: prefer min_value/max_value (5/6), fall
+    back to deprecated min/max (1/2); PLAIN-encoded 8-byte LE."""
+    raw = stats.get(new_id, stats.get(old_id))
+    if raw is None or len(raw) != 8:
+        raise ValueError("parquet footer: missing int64 statistics")
+    return struct.unpack("<q", raw)[0]
+
+
+_PQF_GROUPS = 8
+
+# layouts written once per (session, sf_dir)
+_pqf_written: set = set()
+
+
+@query(
+    "multimodal_parquet_footer_parse",
+    # The footer-stats trick, now against OUR OWN parser: the oracle
+    # recomputes count/min/max/nulls per group FROM DATA; the Spark
+    # side reads them from raw footer bytes. A hash match proves the
+    # whole thrift walk (varints, zigzag, nested structs, stats
+    # decode) is faithful.
+    oracle=f"""
+    SELECT CAST(doc_id % {_PQF_GROUPS} AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS mn_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS mx_doc_id,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def multimodal_parquet_footer_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HAND-ROLLED PARQUET FOOTER DECODE — the real-decoder family
+    applied to the engine's own storage format. documents is written
+    once per session as real Spark parquet partitioned into 8
+    doc_id%8 groups (repartition+partitionBy -> one file per group,
+    the round-14 footer-stats layout); a binaryFile scan then ships
+    each file's bytes to a mapInPandas task that parses the footer
+    with a from-scratch Thrift COMPACT-PROTOCOL reader (varint /
+    zigzag / field-delta headers / nested struct walk — no pyarrow
+    anywhere) and extracts FileMetaData.num_rows plus the doc_id
+    column chunks' PLAIN INT64 min_value/max_value/null_count
+    statistics.
+
+    The oracle recomputes count/min/max/nulls per group FROM THE
+    DATA, so the driver hash match proves the writer+parser pair is
+    faithful end-to-end: the footer bytes Spark wrote decode to
+    exactly the extrema the data has — the same property a scan
+    planner's row-group pruning depends on
+    (maintenance_rowgroup_pruning_sim measures what those stats buy;
+    maintenance_parquet_footer_stats reads them via pyarrow; THIS op
+    reads them from the wire format itself).
+
+    Decoder contract (module rule): every truncated or corrupt
+    region — magic, footer length, any varint, any struct field,
+    stats payload — raises ValueError; unknown thrift fields and
+    types are skipped generically by the wire grammar, so footers
+    from newer writers with extra fields still parse.
+
+    Shape at 100 TB: footer reads are metadata-only KBs per file and
+    embarrassingly parallel (one task per file; production would
+    issue a ranged read of the tail instead of binaryFile's full
+    fetch — the parse itself touches only the tail slice); the
+    per-group reduce is an 8-row aggregate. The one-off partitioned
+    write is the same range-shuffle layout job as
+    maintenance_zorder_cluster."""
+    import os
+    import re
+
+    import pandas as pd
+
+    from ..tables import sf_tag
+
+    base = f"/root/repo/_scratch/sources/pqfooter_{sf_tag(sf_dir)}"
+    key = (id(spark), sf_dir)
+    if key not in _pqf_written:
+        (
+            table(spark, sf_dir, "documents")
+            .selectExpr(
+                "CAST(doc_id AS BIGINT) AS doc_id",
+                "CAST(length(text) AS BIGINT) AS text_len",
+                f"CAST(doc_id % {_PQF_GROUPS} AS BIGINT) AS grp",
+            )
+            .repartition("grp")  # one task -> one file per group
+            .write.mode("overwrite")
+            .partitionBy("grp")
+            .parquet(base)
+        )
+        _pqf_written.add(key)
+
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"grp=(\d+)", path)
+                if not m:
+                    raise ValueError(f"no grp partition in {path}")
+                fmd = parse_parquet_footer(bytes(content))
+                n_rows = 0
+                mn = mx = None
+                nulls = 0
+                for rg in fmd[4]:  # row_groups
+                    n_rows += rg[3]  # RowGroup.num_rows
+                    for col in rg[1]:  # columns
+                        md = col[3]  # ColumnMetaData
+                        path_in_schema = [
+                            p.decode() for p in md[3]
+                        ]
+                        if path_in_schema != ["doc_id"]:
+                            continue
+                        st = md.get(12)
+                        if st is None:
+                            raise ValueError(
+                                "parquet footer: no statistics for"
+                                " doc_id chunk"
+                            )
+                        smin = _pqf_int64_stat(st, 6, 2)
+                        smax = _pqf_int64_stat(st, 5, 1)
+                        nulls += int(st.get(3, 0))
+                        mn = smin if mn is None else min(mn, smin)
+                        mx = smax if mx is None else max(mx, smax)
+                if mn is None:
+                    raise ValueError(
+                        "parquet footer: no doc_id column chunk found"
+                    )
+                rows.append(
+                    (int(m.group(1)), n_rows, mn, mx, nulls)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["grp", "n_rows", "mn_doc_id", "mx_doc_id",
+                         "n_nulls"],
+            )
+
+    parsed = binf.mapInPandas(
+        parse,
+        schema="grp bigint, n_rows bigint, mn_doc_id bigint,"
+        " mx_doc_id bigint, n_nulls bigint",
+    )
+    return (
+        parsed.groupBy("grp")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("mn_doc_id").alias("mn_doc_id"),
+            F.max("mx_doc_id").alias("mx_doc_id"),
+            F.sum("n_nulls").alias("n_nulls"),
+        )
+        .orderBy("grp")
+    )

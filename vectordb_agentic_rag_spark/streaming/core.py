@@ -2581,3 +2581,177 @@ def stream_bloom_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_hll_live
+# ---------------------------------------------------------------------------
+
+_SHLL_M = 64  # registers, shared layout with agg_hll_dense_registers
+
+
+def _shll_live_oracle() -> str:
+    # Registers computed DIRECTLY from the raw keys — the hash match
+    # proves the streaming register-max fold loses nothing (the
+    # agg_hll_dense_registers merge identity, now under arbitrary
+    # micro-batch boundaries and arrival order).
+    return f"""
+    WITH k AS (
+      SELECT event_type AS set_name,
+             user_id * 32 + date_diff('day', DATE '2024-01-01',
+                                      CAST(ts AS DATE)) AS key
+      FROM events),
+    h1x AS (
+      SELECT set_name,
+             ((xor(key, key >> 16) % 2147483648) * 2246822519)
+               % 4294967296 AS h1
+      FROM k),
+    h2x AS (
+      SELECT set_name,
+             ((xor(h1, h1 >> 13) % 2147483648) * 3266489917)
+               % 4294967296 AS h2
+      FROM h1x),
+    hx AS (SELECT set_name, xor(h2, h2 >> 16) AS h FROM h2x),
+    rr AS (
+      SELECT set_name, h % {_SHLL_M} AS reg,
+             CASE WHEN h // {_SHLL_M} = 0 THEN 27
+                  ELSE 27 - length(bin(h // {_SHLL_M})) END AS rho
+      FROM hx),
+    regs AS (
+      SELECT set_name, reg, max(rho) AS m_obs FROM rr GROUP BY 1, 2),
+    names AS (SELECT DISTINCT event_type AS set_name FROM events),
+    dom AS (
+      SELECT set_name, unnest(generate_series(0, {_SHLL_M - 1})) AS reg
+      FROM names),
+    dense AS (
+      SELECT d.set_name, d.reg, coalesce(r.m_obs, 0) AS m_j
+      FROM dom d LEFT JOIN regs r
+        ON d.set_name = r.set_name AND d.reg = r.reg),
+    z AS (
+      SELECT set_name,
+             CAST(sum(1::BIGINT << CAST(27 - m_j AS INTEGER)) AS BIGINT)
+               AS znum,
+             CAST(sum(CASE WHEN m_j > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS regs_nonzero
+      FROM dense GROUP BY 1),
+    cnt AS (
+      SELECT event_type AS set_name, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1)
+    SELECT z.set_name, cnt.n_rows, z.znum, z.regs_nonzero,
+           round(CAST(0.709 AS DOUBLE) * 549755813888 / z.znum, 6)
+             AS est_users
+    FROM z JOIN cnt ON z.set_name = cnt.set_name
+    ORDER BY z.set_name
+    """
+
+
+@query("stream_hll_live", oracle=_shll_live_oracle())
+def stream_hll_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE HLL CARDINALITY — the streaming member of the hand-rolled
+    sketch pair (agg_hll_dense_registers is the batch twin;
+    stream_theta_sketch_live is the bottom-k sibling): one 64-register
+    array per event_type in applyInPandasWithState, each micro-batch
+    folding register-max over the avalanche-hashed user-day keys and
+    emitting the EXACT dyadic harmonic numerator Z_num =
+    sum_j 2^(27 - M_j) as a BIGINT plus the monotone row count as
+    sequence.
+
+    This is the strongest identity in the streaming-oracle hierarchy:
+    register max is a commutative IDEMPOTENT monoid, so the drained
+    last-emission-per-type registers equal the batch build under ANY
+    replay order, ANY batching, AND duplicate delivery — the sketch
+    needs no upstream dedup at all (at-least-once ingest is free),
+    which is why HLL is the cardinality monitor of choice on a 100 TB
+    append stream. The unordered event_id-mod replay is used
+    deliberately; the oracle computes every register DIRECTLY from
+    the raw keys, so the driver hash match proves the fold loses
+    nothing.
+
+    Parity: hash, registers, Z_num, and regs_nonzero are exact BIGINT
+    arithmetic both engines (rho via length(bin()) / bit_length; the
+    Python fold mirrors the avalanche rounds' 31-bit masks exactly);
+    the estimate alpha*m^2/Z = 0.709 * 2^39 / Z_num is one
+    power-of-two-scaled division — bit-identical both engines, one
+    shared round(6).
+
+    Shape at 100 TB: state is 64 ints per set; each batch's work is a
+    map-side register partial-max before the state update; the
+    drained reduction is max_by(n) per set (round-8 monotone-n
+    identity). Reference: app.py's collection stats surface
+    (/root/reference/app.py:492-509) reports exact counts; this is
+    the bounded-memory analogue a 1000-executor ingest keeps live."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            regs, n = list(state.get[0]), state.get[1]
+        else:
+            regs, n = [0] * _SHLL_M, 0
+        for pdf in pdf_iter:
+            for k in pdf["key"]:
+                k = int(k)
+                h1 = ((k ^ (k >> 16)) % 2147483648) * 2246822519 \
+                    % 4294967296
+                h2 = ((h1 ^ (h1 >> 13)) % 2147483648) * 3266489917 \
+                    % 4294967296
+                h = h2 ^ (h2 >> 16)
+                reg = h % _SHLL_M
+                w = h // _SHLL_M
+                rho = 27 if w == 0 else 27 - w.bit_length()
+                if rho > regs[reg]:
+                    regs[reg] = rho
+            n += int(len(pdf))
+        state.update((regs, n))
+        znum = sum(1 << (27 - m) for m in regs)
+        nz = sum(1 for m in regs if m > 0)
+        yield pd.DataFrame(
+            {
+                "set_name": [key[0]],
+                "n_rows": [n],
+                "znum": [znum],
+                "regs_nonzero": [nz],
+            }
+        )
+
+    src = replay_events_as_files(spark, sf_dir)
+    stream = stream_events(spark, src).select(
+        F.col("event_type").alias("set_name"),
+        F.expr(
+            "CAST(user_id AS BIGINT) * 32 + CAST(datediff("
+            "CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        ).alias("key"),
+    )
+    out = stream.groupBy("set_name").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "set_name string, n_rows bigint, znum bigint,"
+            " regs_nonzero bigint"
+        ),
+        stateStructType="regs array<bigint>, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(
+        out,
+        "hll_live",
+        "append",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        spark.table("hll_live")
+        .groupBy("set_name")
+        .agg(
+            F.max_by(F.struct("znum", "regs_nonzero"), "n_rows").alias("z"),
+            F.max("n_rows").alias("n_rows"),
+        )
+        .selectExpr(
+            "set_name",
+            "n_rows",
+            "z.znum AS znum",
+            "z.regs_nonzero AS regs_nonzero",
+            "round(CAST(0.709 AS DOUBLE) * 549755813888 / z.znum, 6)"
+            " AS est_users",
+        )
+        .orderBy("set_name")
+    )

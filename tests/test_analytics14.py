@@ -266,3 +266,135 @@ def test_zorder_2d_morton_beats_linear_on_rows_skipped(spark):
         by_box.setdefault(int(r["box_id"]), {})[r["layout"]] = r
     for j, d in by_box.items():
         assert d["morton"]["rows_skipped"] >= d["linear_x"]["rows_skipped"]
+
+
+def _half_up_9(x: float):
+    """Mirror SQL round(double, 9): shortest-repr decimal, HALF_UP
+    (Python round() is banker's — the CLAUDE.md trap)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    )
+
+
+def test_logistic_newton_matches_plain_python(spark, sf_dir):
+    """Full recompute of the Fisher-scoring recursion in pure Python
+    (Decimal HALF_UP per-term quantization, identical-order float
+    solve) — catches logic errors mirrored into both engines."""
+    import duckdb
+    from decimal import Decimal
+
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        _LGN_T,
+        agg_logistic_newton,
+    )
+
+    con = duckdb.connect()
+    users = con.execute(
+        "SELECT CASE WHEN np >= 12 THEN 1 ELSE 0 END,"
+        " CAST(nv AS DOUBLE) / 64, CAST(nc AS DOUBLE) / 64 FROM ("
+        " SELECT user_id,"
+        " sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) np,"
+        " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) nv,"
+        " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) nc"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY user_id) g"
+    ).fetchall()
+
+    def step(b):
+        sums = [Decimal(0)] * 9
+        for y, x1, x2 in users:
+            eta = b[0] + b[1] * x1 + b[2] * x2
+            d = 1 + abs(eta)
+            p = 0.5 + eta / (2 * d)
+            w = 0.5 / (d * d)
+            r = float(y) - p
+            terms = [r, r * x1, r * x2, w, w * x1, w * x2,
+                     w * x1 * x1, w * x1 * x2, w * x2 * x2]
+            for j, t in enumerate(terms):
+                sums[j] += _half_up_9(t)
+        g0, g1, g2, a, bb, c, dd, e, f_ = [float(s) for s in sums]
+        det = (a * (dd * f_ - e * e) - bb * (bb * f_ - e * c)
+               + c * (bb * e - dd * c))
+        det0 = (g0 * (dd * f_ - e * e) - bb * (g1 * f_ - e * g2)
+                + c * (g1 * e - dd * g2))
+        det1 = (a * (g1 * f_ - e * g2) - g0 * (bb * f_ - e * c)
+                + c * (bb * g2 - g1 * c))
+        det2 = (a * (dd * g2 - g1 * e) - bb * (bb * g2 - g1 * c)
+                + g0 * (bb * e - dd * c))
+        return [
+            float(_half_up_9(b[0] + det0 / det)),
+            float(_half_up_9(b[1] + det1 / det)),
+            float(_half_up_9(b[2] + det2 / det)),
+        ]
+
+    traj = [[0.0, 0.0, 0.0]]
+    for _ in range(_LGN_T):
+        traj.append(step(traj[-1]))
+
+    rows = agg_logistic_newton(spark, sf_dir).collect()
+    assert len(rows) == _LGN_T + 1
+    for r in rows:
+        b = traj[r["iter"]]
+        for j, col in enumerate(["b0", "b1", "b2"]):
+            assert abs(r[col] - b[j]) < 2e-6, (r["iter"], col)
+        ncorrect = sum(
+            1
+            for y, x1, x2 in users
+            if (1 if b[0] + b[1] * x1 + b[2] * x2 >= 0 else 0) == y
+        )
+        assert r["n_correct"] == ncorrect
+        assert r["n_users"] == len(users)
+    # the fit must actually move off the origin
+    assert any(abs(x) > 1e-6 for x in traj[-1])
+
+
+def test_kcenter_greedy_picks_match_plain_python(spark, sf_dir):
+    """Pick-by-pick recompute of the farthest-first traversal with
+    left-assoc float distance chains and HALF_UP rounding; also pins
+    the covering-radius monotonicity invariant."""
+    import duckdb
+
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        _KCG_K,
+        sample_kcenter_greedy,
+    )
+
+    con = duckdb.connect()
+    vecs = {
+        int(v): list(map(float, e))
+        for v, e in con.execute(
+            "SELECT vec_id, embedding FROM"
+            f" '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def dist(a, b):
+        s = 0.0
+        for i in range(len(a)):
+            s = s + (a[i] - b[i]) * (a[i] - b[i])
+        return s
+
+    picks = [min(vecs)]
+    radii = [0.0]
+    for _ in range(_KCG_K - 1):
+        best = None
+        for v, e in vecs.items():
+            dmin = min(dist(e, vecs[s]) for s in picks)
+            dr = float(_half_up_9(dmin).quantize(
+                __import__("decimal").Decimal("1e-6"),
+                rounding=__import__("decimal").ROUND_HALF_UP,
+            ))
+            cand = (-dr, v)
+            if best is None or cand < best:
+                best = cand
+        picks.append(best[1])
+        radii.append(-best[0])
+
+    rows = sample_kcenter_greedy(spark, sf_dir).collect()
+    assert [int(r["vec_id"]) for r in rows] == picks
+    for r, expect in zip(rows, radii):
+        assert abs(r["d2_covered"] - expect) < 1e-9
+    # covering radius never grows as seeds are added
+    for a, b in zip(rows[2:], rows[1:-1]):
+        assert a["d2_covered"] <= b["d2_covered"] + 1e-12

@@ -850,3 +850,425 @@ def maintenance_zorder_pruning_2d(
         )
         .orderBy("layout", "box_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_logistic_newton
+# ---------------------------------------------------------------------------
+
+_LGN_T = 4  # Fisher-scoring iterations (betas move < 1e-6 by step 4)
+
+# collected per-iteration betas, keyed (appId, sf_dir) — rebuilding the
+# output DataFrame is then pure plan-build (the round-13
+# localCheckpoint-in-op lesson: never redo driver actions per build)
+_LGN_BETAS: dict = {}
+_LGN_USERS: dict = {}
+
+
+def _lgn_user_sql(duck: bool) -> str:
+    """Per-user label/features; identical arithmetic text both
+    engines (x scales are /64 — an exact power-of-two division)."""
+    return """
+      SELECT CASE WHEN np >= 12 THEN 1 ELSE 0 END AS y,
+             CAST(nv AS DOUBLE) / 64 AS x1,
+             CAST(nc AS DOUBLE) / 64 AS x2
+      FROM (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS np,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS nv,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS nc
+        FROM events GROUP BY user_id) g
+    """
+
+
+def _lgn_link_exprs(b0: str, b1: str, b2: str) -> dict:
+    """Shared per-row link expressions given beta SQL references: the
+    ALGEBRAIC sigmoid p = 0.5 + eta/(2(1+|eta|)) and its derivative
+    w = 0.5/(1+|eta|)^2 — division/abs only, so the per-row values
+    are bit-identical on both engines (no exp(), no libm)."""
+    eta = f"({b0} + {b1} * x1 + {b2} * x2)"
+    d = f"(1 + abs({eta}))"
+    return {
+        "eta": eta,
+        "p": f"(0.5 + {eta} / (2 * {d}))",
+        "w": f"(0.5 / ({d} * {d}))",
+    }
+
+
+_LGN_TERMS = [
+    ("g0", "(CAST(y AS DOUBLE) - {p})"),
+    ("g1", "((CAST(y AS DOUBLE) - {p}) * x1)"),
+    ("g2", "((CAST(y AS DOUBLE) - {p}) * x2)"),
+    ("h00", "{w}"),
+    ("h01", "({w} * x1)"),
+    ("h02", "({w} * x2)"),
+    ("h11", "({w} * x1 * x1)"),
+    ("h12", "({w} * x1 * x2)"),
+    ("h22", "({w} * x2 * x2)"),
+]
+
+
+def _lgn_term_selects(b0: str, b1: str, b2: str) -> list:
+    e = _lgn_link_exprs(b0, b1, b2)
+    return [
+        f"CAST(round({tpl.format(**e)}, 9) AS DECIMAL(38,9)) AS t_{nm}"
+        for nm, tpl in _LGN_TERMS
+    ]
+
+
+def _lgn_solve_selects(b0: str, b1: str, b2: str) -> list:
+    """Cramer 3x3 solve over the DOUBLE casts of the decimal sums —
+    one fixed literal expression chain per determinant, identical
+    text both engines; new betas are round(9) decimals."""
+    ref = {nm: f"CAST(s_{nm} AS DOUBLE)" for nm, _ in _LGN_TERMS}
+    a, b, c = ref["h00"], ref["h01"], ref["h02"]
+    d, e, f_ = ref["h11"], ref["h12"], ref["h22"]
+    g0, g1, g2 = ref["g0"], ref["g1"], ref["g2"]
+    det = (
+        f"({a} * ({d} * {f_} - {e} * {e})"
+        f" - {b} * ({b} * {f_} - {e} * {c})"
+        f" + {c} * ({b} * {e} - {d} * {c}))"
+    )
+    det0 = (
+        f"({g0} * ({d} * {f_} - {e} * {e})"
+        f" - {b} * ({g1} * {f_} - {e} * {g2})"
+        f" + {c} * ({g1} * {e} - {d} * {g2}))"
+    )
+    det1 = (
+        f"({a} * ({g1} * {f_} - {e} * {g2})"
+        f" - {g0} * ({b} * {f_} - {e} * {c})"
+        f" + {c} * ({b} * {g2} - {g1} * {c}))"
+    )
+    det2 = (
+        f"({a} * ({d} * {g2} - {g1} * {e})"
+        f" - {b} * ({b} * {g2} - {g1} * {c})"
+        f" + {g0} * ({b} * {e} - {d} * {c}))"
+    )
+    return [
+        f"CAST(round({b0} + {det0} / {det}, 9) AS DECIMAL(38,9)) AS b0",
+        f"CAST(round({b1} + {det1} / {det}, 9) AS DECIMAL(38,9)) AS b1",
+        f"CAST(round({b2} + {det2} / {det}, 9) AS DECIMAL(38,9)) AS b2",
+        f"{det} AS det",
+    ]
+
+
+def _lgn_correct_expr(b0: str, b1: str, b2: str) -> str:
+    e = _lgn_link_exprs(b0, b1, b2)
+    return (
+        "CAST(sum(CASE WHEN (CASE WHEN"
+        f" {e['eta']} >= 0 THEN 1 ELSE 0 END) = y"
+        " THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
+def _lgn_oracle() -> str:
+    zero = "CAST(0.0 AS DOUBLE)"
+    parts = [
+        f"WITH u AS MATERIALIZED ({_lgn_user_sql(duck=True)})",
+        "s0 AS MATERIALIZED (SELECT"
+        " CAST(0 AS DECIMAL(38,9)) AS b0,"
+        " CAST(0 AS DECIMAL(38,9)) AS b1,"
+        " CAST(0 AS DECIMAL(38,9)) AS b2)",
+    ]
+    for i in range(1, _LGN_T + 1):
+        bref = [f"CAST(s{i-1}.b{j} AS DOUBLE)" for j in range(3)]
+        terms = ", ".join(_lgn_term_selects(*bref))
+        sums = ", ".join(
+            f"sum(t_{nm}) AS s_{nm}" for nm, _ in _LGN_TERMS
+        )
+        solve = ", ".join(_lgn_solve_selects(*bref)[:3])
+        parts.append(
+            f"t{i} AS (SELECT {terms} FROM u, s{i-1})"
+        )
+        parts.append(f"a{i} AS (SELECT {sums} FROM t{i})")
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT {solve} FROM a{i}, s{i-1})"
+        )
+    outs = []
+    for i in range(_LGN_T + 1):
+        bref = [f"CAST(s{i}.b{j} AS DOUBLE)" for j in range(3)]
+        cexp = _lgn_correct_expr(*bref)
+        outs.append(
+            f"SELECT CAST({i} AS BIGINT) AS iter,"
+            f" CAST(round(s{i}.b0, 6) AS DOUBLE) AS b0,"
+            f" CAST(round(s{i}.b1, 6) AS DOUBLE) AS b1,"
+            f" CAST(round(s{i}.b2, 6) AS DOUBLE) AS b2,"
+            f" {cexp} AS n_correct,"
+            " CAST(count(*) AS BIGINT) AS n_users"
+            f" FROM u, s{i} GROUP BY s{i}.b0, s{i}.b1, s{i}.b2"
+        )
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(outs)
+        + "\nORDER BY iter"
+    )
+
+
+@query("agg_logistic_newton", oracle=_lgn_oracle())
+def agg_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED GLM TRAINING — Fisher-scoring (Newton/IRLS) fit of
+    a binary adopter model (>= 12 purchases, the round-10 rule that
+    splits fixture users ~68/32 at every sf) on per-user view/click
+    rates, the one model-TRAINING op the engine lacked
+    (vec_knn_classify infers, vec_kmeans_lloyd clusters; nothing
+    fitted supervised coefficients). Each of the 4 unrolled
+    iterations is the textbook distributed GLM step a 100 TB trainer
+    runs: ONE scan computing the 9 sufficient statistics X'(y-p) and
+    X'WX as map-side-combinable sums, a driver-side (here in-plan)
+    3x3 Cramer solve, betas rebroadcast into the next pass — the
+    same shape as agg_ols_regression's one-shot solve, iterated.
+
+    Full cross-engine parity WITHOUT a shared libm: the link is the
+    ALGEBRAIC sigmoid p = 0.5 + eta/(2(1+|eta|)) (the 'fast
+    sigmoid'; division and abs are correctly-rounded IEEE ops, so
+    per-row p and w = 0.5/(1+|eta|)^2 are bit-identical on both
+    engines — the trick that makes an ITERATIVE fit verifiable where
+    exp() would drift per-ulp and compound). Per-user terms quantize
+    round(9) -> DECIMAL(38,9) before the unordered sums (the
+    PageRank recipe); the solve runs on DOUBLE casts of the exact
+    decimal sums in one shared expression text; new betas round(9)
+    back into DECIMAL. Features scale by /64 (exact power-of-two).
+    The oracle steps the identical recursion as chained MATERIALIZED
+    CTEs; accuracy rows use the link's monotonicity (p >= 0.5 iff
+    eta >= 0) so n_correct is pure integer comparison.
+
+    Output: one row per iteration 0..4 with round(6) betas,
+    n_correct at those betas, and n_users — the convergence trace.
+    Signal is weak by fixture construction (counts are random), so
+    accuracy hovers near the base rate; the op demonstrates the
+    distributed fit mechanics, not the fixture's predictability.
+
+    Shape at 100 TB: each iteration is one groupBy-free aggregate
+    over the user grain (itself one shuffled pre-aggregate of
+    events); state between iterations is 3 numbers. The per-user
+    frame is checkpointed once and reused across all 4 iterations +
+    5 accuracy branches (bounded-intermediate rule); collected betas
+    are session-cached so warm rebuilds are pure plan-build."""
+    ev = table(spark, sf_dir, "events")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LGN_USERS:
+        u = (
+            ev.groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN event_type = 'purchase' THEN 1"
+                        " ELSE 0 END"
+                    )
+                ).alias("np"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"
+                    )
+                ).alias("nv"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
+                    )
+                ).alias("nc"),
+            )
+            .selectExpr(
+                "CASE WHEN np >= 12 THEN 1 ELSE 0 END AS y",
+                "CAST(nv AS DOUBLE) / 64 AS x1",
+                "CAST(nc AS DOUBLE) / 64 AS x2",
+            )
+            .localCheckpoint()
+        )
+        _LGN_USERS[key] = u
+    users = _LGN_USERS[key]
+
+    if key not in _LGN_BETAS:
+        betas = [("0.0", "0.0", "0.0")]
+        cur = betas[0]
+        for _ in range(_LGN_T):
+            bref = [f"CAST({b} AS DOUBLE)" for b in cur]
+            terms = users.selectExpr(*_lgn_term_selects(*bref))
+            sums = terms.agg(
+                *[
+                    F.sum(f"t_{nm}").alias(f"s_{nm}")
+                    for nm, _ in _LGN_TERMS
+                ]
+            )
+            row = sums.selectExpr(*_lgn_solve_selects(*bref)).first()
+            if row["det"] == 0.0:
+                raise ValueError(
+                    "logistic_newton: singular information matrix"
+                )
+            cur = tuple(f"{row[c]:.9f}" for c in ("b0", "b1", "b2"))
+            betas.append(cur)
+        _LGN_BETAS[key] = betas
+    betas = _LGN_BETAS[key]
+
+    outs = []
+    for i, (b0, b1, b2) in enumerate(betas):
+        bref = [f"CAST({b} AS DOUBLE)" for b in (b0, b1, b2)]
+        outs.append(
+            users.agg(
+                F.expr(f"CAST({i} AS BIGINT)").alias("iter"),
+                F.expr(
+                    f"CAST(round(CAST({b0} AS DECIMAL(38,9)), 6)"
+                    " AS DOUBLE)"
+                ).alias("b0"),
+                F.expr(
+                    f"CAST(round(CAST({b1} AS DECIMAL(38,9)), 6)"
+                    " AS DOUBLE)"
+                ).alias("b1"),
+                F.expr(
+                    f"CAST(round(CAST({b2} AS DECIMAL(38,9)), 6)"
+                    " AS DOUBLE)"
+                ).alias("b2"),
+                F.expr(_lgn_correct_expr(*bref)).alias("n_correct"),
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_users"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("iter")
+
+
+# ---------------------------------------------------------------------------
+# sample_kcenter_greedy
+# ---------------------------------------------------------------------------
+
+_KCG_K = 8  # seeds
+_KCG_D = 64  # embedding dim
+
+# picked seeds per (appId, sf_dir): (seed_rank, vec_id, d2_covered, emb)
+_KCG_PICKS: dict = {}
+
+
+def _kcg_dist_duck(erow: str, srow: str) -> str:
+    """Unrolled 64-term squared-L2 chain (DuckDB side): per-element
+    CAST to DOUBLE then one left-assoc sum — the identical shape the
+    Spark side renders with seed LITERALS, so every distance is
+    bit-exact across engines."""
+    terms = [
+        f"(CAST(list_extract({erow}, {i + 1}) AS DOUBLE)"
+        f" - CAST(list_extract({srow}, {i + 1}) AS DOUBLE))"
+        f" * (CAST(list_extract({erow}, {i + 1}) AS DOUBLE)"
+        f" - CAST(list_extract({srow}, {i + 1}) AS DOUBLE))"
+        for i in range(_KCG_D)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _kcg_dist_spark(col: str, seed: list) -> str:
+    terms = []
+    for i, x in enumerate(seed):
+        lit = f"{float(x)!r}D"
+        terms.append(
+            f"(CAST(element_at({col}, {i + 1}) AS DOUBLE) - {lit})"
+            f" * (CAST(element_at({col}, {i + 1}) AS DOUBLE) - {lit})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _kcg_oracle() -> str:
+    dist = _kcg_dist_duck("e.embedding", "s.embedding")
+    parts = [
+        "WITH emb AS MATERIALIZED"
+        " (SELECT vec_id, embedding FROM embeddings)",
+        "seeds1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS seed_rank,"
+        " vec_id, embedding, CAST(0.0 AS DOUBLE) AS d2_covered"
+        " FROM emb ORDER BY vec_id LIMIT 1)",
+    ]
+    for t in range(2, _KCG_K + 1):
+        parts.append(
+            f"d{t - 1} AS (SELECT e.vec_id,"
+            f" round(min({dist}), 6) AS dmin"
+            f" FROM emb e, seeds{t - 1} s GROUP BY e.vec_id)"
+        )
+        parts.append(
+            f"pick{t} AS MATERIALIZED (SELECT CAST({t} AS BIGINT)"
+            " AS seed_rank, e.vec_id, e.embedding, d.dmin AS d2_covered"
+            f" FROM emb e JOIN d{t - 1} d ON e.vec_id = d.vec_id"
+            " ORDER BY d.dmin DESC, e.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"seeds{t} AS MATERIALIZED (SELECT * FROM seeds{t - 1}"
+            f" UNION ALL SELECT * FROM pick{t})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT seed_rank, vec_id, d2_covered FROM seeds{_KCG_K}"
+        + "\nORDER BY seed_rank"
+    )
+
+
+@query("sample_kcenter_greedy", oracle=_kcg_oracle())
+def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER GREEDY (farthest-first traversal) CORESET SEEDING —
+    the deterministic 2-approximation to the k-center cover and the
+    standard coreset/active-learning selector, filling the sampling
+    family's diversity gap (sample_* ops draw by hash/weight/strata;
+    nothing selected points to COVER the embedding space, and
+    vec_kmeans_lloyd REFINES pivoted centroids rather than seeding
+    them). Seed 1 is the min vec_id; each of the 7 further rounds
+    picks the point FARTHEST from its nearest chosen seed (squared
+    L2), i.e. argmax_i min_s ||x_i - x_s||^2 — whose selection value
+    is exactly the covering radius the next seed removes.
+
+    Parity is the ANN-family recipe end-to-end: every distance is an
+    unrolled 64-term squared-diff chain in IDENTICAL text (seed
+    vectors embedded as exact float literals on the Spark side,
+    list_extract casts on the DuckDB side — float->double promotion
+    is exact, the chains are left-assoc both engines, so distances
+    are bit-identical); the argmax ranks on round(dmin, 6) with
+    vec_id as tie-break (TakeOrderedAndProject, never a global
+    window); the oracle replays the same 8 rounds as chained
+    MATERIALIZED CTEs, so the driver hash match proves pick-by-pick
+    agreement of the whole traversal.
+
+    Shape at 100 TB: k scans, each a map-only projection (<= k
+    distance columns + least()) feeding a TakeOrdered(1) — no
+    shuffle beyond the k-row reduce; seed vectors broadcast as plan
+    literals (they are k x 64 floats). For k beyond ~32 the
+    per-round plan-literal growth argues for the mini-batch variant
+    (sample a candidate pool per round); documented, not needed at
+    k=8. Picks are session-cached so warm rebuilds are pure
+    plan-build."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KCG_PICKS:
+        first = emb.orderBy("vec_id").limit(1).collect()[0]
+        picks = [
+            (1, int(first["vec_id"]), 0.0,
+             [float(x) for x in first["embedding"]])
+        ]
+        for t in range(2, _KCG_K + 1):
+            dcols = [
+                F.expr(_kcg_dist_spark("embedding", p[3])).alias(
+                    f"d_{j}"
+                )
+                for j, p in enumerate(picks)
+            ]
+            scored = emb.select("vec_id", "embedding", *dcols)
+            dmin = (
+                "least(" + ", ".join(f"d_{j}" for j in range(len(picks)))
+                + ")"
+                if len(picks) > 1
+                else "d_0"
+            )
+            row = (
+                scored.selectExpr(
+                    "vec_id", "embedding", f"round({dmin}, 6) AS dmin"
+                )
+                .orderBy(F.col("dmin").desc(), F.col("vec_id"))
+                .limit(1)
+                .collect()[0]
+            )
+            picks.append(
+                (t, int(row["vec_id"]), float(row["dmin"]),
+                 [float(x) for x in row["embedding"]])
+            )
+        _KCG_PICKS[key] = picks
+    picks = _KCG_PICKS[key]
+    return spark.createDataFrame(
+        [(r, v, d) for r, v, d, _ in picks],
+        schema="seed_rank bigint, vec_id bigint, d2_covered double",
+    ).orderBy("seed_rank")

@@ -811,3 +811,113 @@ def test_parquet_footer_truncation_and_magic_guards(tmp_path):
     rebuilt = head + footer + struct.pack("<I", flen + 10**6) + b"PAR1"
     with pytest.raises(ValueError):
         parse_parquet_footer(rebuilt)
+
+
+# --- Parquet data pages: snappy / RLE / PLAIN ------------------------------
+
+
+def test_snappy_decode_vs_pyarrow_witness():
+    """Decode pyarrow-compressed payloads (independent compressor)
+    including highly repetitive data that exercises overlapping
+    copies and long literals."""
+    import pyarrow as pa
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        snappy_decode,
+    )
+
+    payloads = [
+        b"",
+        b"a",
+        b"hello" * 1000,  # overlapping copy chains
+        bytes(range(256)) * 5,  # long literals + copy2
+        b"ab" * 40000,  # > 64k output, copy offsets wide
+        bytes([7]) * 100000,  # maximal RLE-like run
+    ]
+    import random
+
+    rng = random.Random(14)
+    payloads.append(bytes(rng.randrange(256) for _ in range(5000)))
+    for p in payloads:
+        comp = pa.compress(p, codec="snappy", asbytes=True)
+        assert snappy_decode(comp) == p
+
+
+def test_snappy_truncation_and_corruption_guards():
+    import pyarrow as pa
+    import pytest
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        snappy_decode,
+    )
+
+    comp = pa.compress(b"hello world " * 50, codec="snappy",
+                       asbytes=True)
+    for cut in range(1, len(comp)):
+        trunc = comp[:cut]
+        try:
+            out = snappy_decode(trunc)
+        except ValueError:
+            continue
+        # a prefix that happens to parse must not silently claim
+        # the declared length was satisfied
+        assert False, f"cut {cut} decoded {len(out)} bytes silently"
+    # copy offset pointing before the start of output
+    with pytest.raises(ValueError):
+        snappy_decode(bytes([10, 0b00000101, 50, 0]))
+
+
+def test_rle_bitpacked_hybrid_hand_vectors():
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        rle_bitpacked_hybrid,
+    )
+
+    # RLE run: header 8 -> 4 copies of value 1 (1 byte wide)
+    assert rle_bitpacked_hybrid(bytes([8, 1]), 1, 4) == [1, 1, 1, 1]
+    # bit-packed: header 3 -> one group of 8 single-bit values
+    # 0b10110100 LSB-first -> 0,0,1,0,1,1,0,1
+    assert rle_bitpacked_hybrid(bytes([3, 0b10110100]), 1, 8) == [
+        0, 0, 1, 0, 1, 1, 0, 1]
+    # mixed: RLE 3x0 then bit-packed group, count truncates mid-group
+    assert rle_bitpacked_hybrid(
+        bytes([6, 0, 3, 0b00000111]), 1, 6) == [0, 0, 0, 1, 1, 1]
+    # width 2: RLE value 2 repeated
+    assert rle_bitpacked_hybrid(bytes([4, 2]), 2, 2) == [2, 2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        rle_bitpacked_hybrid(bytes([3]), 1, 8)  # missing group bytes
+
+
+def test_parquet_int64_chunk_decode_vs_pyarrow_writer(tmp_path):
+    """Decode a file written by the INDEPENDENT writer (pyarrow,
+    snappy, no dictionary) including nulls, and cross-check values;
+    dictionary-encoded files must raise the subset error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        decode_parquet_int64_chunk,
+    )
+
+    ids = [i * 7 - 3 for i in range(200)]
+    with_nulls = [None if i % 13 == 0 else v
+                  for i, v in enumerate(ids)]
+    tbl = pa.table({"doc_id": pa.array(with_nulls, type=pa.int64())})
+    path = tmp_path / "plain.parquet"
+    pq.write_table(tbl, path, compression="snappy",
+                   use_dictionary=False, row_group_size=64)
+    vals, nulls = decode_parquet_int64_chunk(
+        path.read_bytes(), "doc_id"
+    )
+    assert vals == [v for v in with_nulls if v is not None]
+    assert nulls == sum(1 for v in with_nulls if v is None)
+
+    dict_path = tmp_path / "dict.parquet"
+    pq.write_table(tbl, dict_path, compression="snappy",
+                   use_dictionary=True)
+    with pytest.raises(NotImplementedError):
+        decode_parquet_int64_chunk(dict_path.read_bytes(), "doc_id")
+    with pytest.raises(ValueError):
+        decode_parquet_int64_chunk(path.read_bytes(), "nope")

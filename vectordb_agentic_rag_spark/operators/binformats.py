@@ -2807,6 +2807,37 @@ _PQF_GROUPS = 8
 _pqf_written: set = set()
 
 
+def _pqf_layout_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once one-file-per-group documents layout (shared by the
+    footer-parse and page-decode ops) and return the binaryFile scan
+    of its files (path, content)."""
+    from ..tables import sf_tag
+
+    base = f"/root/repo/_scratch/sources/pqfooter_{sf_tag(sf_dir)}"
+    key = (id(spark), sf_dir)
+    if key not in _pqf_written:
+        (
+            table(spark, sf_dir, "documents")
+            .selectExpr(
+                "CAST(doc_id AS BIGINT) AS doc_id",
+                "CAST(length(text) AS BIGINT) AS text_len",
+                f"CAST(doc_id % {_PQF_GROUPS} AS BIGINT) AS grp",
+            )
+            .repartition("grp")  # one task -> one file per group
+            .write.mode("overwrite")
+            .partitionBy("grp")
+            .parquet(base)
+        )
+        _pqf_written.add(key)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .select("path", "content")
+    )
+
+
 @query(
     "multimodal_parquet_footer_parse",
     # The footer-stats trick, now against OUR OWN parser: the oracle
@@ -2863,37 +2894,11 @@ def multimodal_parquet_footer_parse(
     per-group reduce is an 8-row aggregate. The one-off partitioned
     write is the same range-shuffle layout job as
     maintenance_zorder_cluster."""
-    import os
     import re
 
     import pandas as pd
 
-    from ..tables import sf_tag
-
-    base = f"/root/repo/_scratch/sources/pqfooter_{sf_tag(sf_dir)}"
-    key = (id(spark), sf_dir)
-    if key not in _pqf_written:
-        (
-            table(spark, sf_dir, "documents")
-            .selectExpr(
-                "CAST(doc_id AS BIGINT) AS doc_id",
-                "CAST(length(text) AS BIGINT) AS text_len",
-                f"CAST(doc_id % {_PQF_GROUPS} AS BIGINT) AS grp",
-            )
-            .repartition("grp")  # one task -> one file per group
-            .write.mode("overwrite")
-            .partitionBy("grp")
-            .parquet(base)
-        )
-        _pqf_written.add(key)
-
-    binf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .load(base)
-        .select("path", "content")
-    )
+    binf = _pqf_layout_files(spark, sf_dir)
 
     def parse(batches):
         for pdf in batches:
@@ -2951,6 +2956,313 @@ def multimodal_parquet_footer_parse(
             F.min("mn_doc_id").alias("mn_doc_id"),
             F.max("mx_doc_id").alias("mx_doc_id"),
             F.sum("n_nulls").alias("n_nulls"),
+        )
+        .orderBy("grp")
+    )
+
+
+# --- Parquet data pages: hand-rolled Snappy + RLE + PLAIN (round 14) -------
+#
+# The footer parser above proves the METADATA decodes; this section
+# decodes the DATA: raw-Snappy block decompression (the big-data
+# codec parquet actually stores), the RLE/bit-packed hybrid that
+# encodes definition levels, thrift PageHeader walking, and PLAIN
+# INT64 value extraction — a from-scratch read path for the engine's
+# own column chunks.
+
+
+def snappy_decode(data: bytes) -> bytes:
+    """Raw (unframed) Snappy block decompression, as stored in
+    parquet pages: varint preamble with the uncompressed length,
+    then 2-bit-tagged elements (literal / copy with 1-, 2- or 4-byte
+    offsets; copies may self-overlap and are replayed byte-wise).
+    ValueError on any truncation or bound violation."""
+    ulen, pos = _tc_varint(data, 0)
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if pos + nb > len(data):
+                    raise ValueError("truncated snappy: literal length")
+                ln = int.from_bytes(data[pos:pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > len(data):
+                raise ValueError("truncated snappy: literal body")
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            if pos >= len(data):
+                raise ValueError("truncated snappy: copy1 offset")
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 2 > len(data):
+                raise ValueError("truncated snappy: copy2 offset")
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 4 > len(data):
+                raise ValueError("truncated snappy: copy4 offset")
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("corrupt snappy: copy offset out of range")
+        for _ in range(ln):  # overlapping copies replay byte-wise
+            out.append(out[-off])
+    if len(out) != ulen:
+        raise ValueError(
+            f"corrupt snappy: declared {ulen} bytes, got {len(out)}"
+        )
+    return bytes(out)
+
+
+def rle_bitpacked_hybrid(
+    buf: bytes, bit_width: int, count: int
+) -> list:
+    """Parquet RLE/bit-packed hybrid decode (<length-prefixed in the
+    caller>): varint run headers — LSB set = bit-packed group of
+    (header >> 1) * 8 values packed LSB-first, clear = RLE run of
+    (header >> 1) copies of a fixed-width little-endian value. Stops
+    after `count` values; ValueError on truncation."""
+    vals = []
+    pos = 0
+    vw = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(vals) < count:
+        header, pos = _tc_varint(buf, pos)
+        if header & 1:  # bit-packed
+            groups = header >> 1
+            nbytes = groups * bit_width
+            if pos + nbytes > len(buf):
+                raise ValueError("truncated RLE: bit-packed group")
+            bits = int.from_bytes(buf[pos:pos + nbytes], "little")
+            pos += nbytes
+            for i in range(groups * 8):
+                if len(vals) >= count:
+                    break
+                vals.append((bits >> (i * bit_width)) & mask)
+        else:  # RLE run
+            run = header >> 1
+            if pos + vw > len(buf):
+                raise ValueError("truncated RLE: run value")
+            v = int.from_bytes(buf[pos:pos + vw], "little") & mask
+            pos += vw
+            vals.extend([v] * min(run, count - len(vals)))
+    return vals
+
+
+def decode_parquet_int64_chunk(content: bytes, column: str) -> tuple:
+    """Decode every value of an INT64 column chunk from raw parquet
+    file bytes using ONLY the hand-rolled readers in this module:
+    footer -> chunk offset/codec -> PageHeader walk -> Snappy ->
+    def-level RLE -> PLAIN int64. Returns (values, n_nulls).
+    Subset contract: flat schemas, v1 data pages, PLAIN encoding,
+    SNAPPY or UNCOMPRESSED codec — anything else raises
+    NotImplementedError; truncation raises ValueError."""
+    fmd = parse_parquet_footer(content)
+    schema = fmd[2]  # list of SchemaElement
+    root_children = schema[0].get(5, 0)
+    if root_children != len(schema) - 1:
+        raise NotImplementedError(
+            "parquet page decoder subset: flat schemas only"
+        )
+    optional = None
+    for el in schema[1:]:
+        if el[4].decode() == column:  # SchemaElement.name (field 4)
+            optional = el.get(3, 0) == 1  # repetition_type OPTIONAL
+    if optional is None:
+        raise ValueError(f"parquet: no column {column!r} in schema")
+    values = []
+    n_nulls = 0
+    found = False
+    for rg in fmd[4]:
+        for col in rg[1]:
+            md = col[3]
+            if [p.decode() for p in md[3]] != [column]:
+                continue
+            found = True
+            codec = md[4]  # 0=UNCOMPRESSED, 1=SNAPPY
+            if codec not in (0, 1):
+                raise NotImplementedError(
+                    f"parquet page decoder subset: codec {codec}"
+                )
+            if 11 in md:
+                raise NotImplementedError(
+                    "parquet page decoder subset: dictionary pages"
+                )
+            off = md[9]  # data_page_offset
+            end = off + md[7]  # + total_compressed_size
+            if end > len(content):
+                raise ValueError("truncated parquet: chunk extent")
+            pos = off
+            n_seen = 0
+            while n_seen < md[5]:  # num_values
+                ph, pos = _tc_read_struct(content, pos)
+                if ph[1] != 0:  # PageHeader.type DATA_PAGE
+                    raise NotImplementedError(
+                        "parquet page decoder subset: page type"
+                        f" {ph[1]}"
+                    )
+                csize = ph[3]
+                if pos + csize > len(content) or pos + csize > end:
+                    raise ValueError("truncated parquet: page body")
+                body = content[pos:pos + csize]
+                pos += csize
+                if codec == 1:
+                    body = snappy_decode(body)
+                if len(body) != ph[2]:  # uncompressed_page_size
+                    raise ValueError(
+                        "corrupt parquet: page size mismatch"
+                    )
+                dph = ph[5]  # data_page_header
+                n_page = dph[1]
+                if dph[2] != 0:  # encoding PLAIN
+                    raise NotImplementedError(
+                        "parquet page decoder subset: encoding"
+                        f" {dph[2]}"
+                    )
+                bpos = 0
+                defs = [1] * n_page
+                if optional:
+                    if bpos + 4 > len(body):
+                        raise ValueError(
+                            "truncated parquet: def-level length"
+                        )
+                    dlen = int.from_bytes(body[:4], "little")
+                    bpos = 4
+                    if bpos + dlen > len(body):
+                        raise ValueError(
+                            "truncated parquet: def-level runs"
+                        )
+                    defs = rle_bitpacked_hybrid(
+                        body[bpos:bpos + dlen], 1, n_page
+                    )
+                    bpos += dlen
+                n_present = sum(defs)
+                need = 8 * n_present
+                if bpos + need > len(body):
+                    raise ValueError("truncated parquet: PLAIN values")
+                for i in range(n_present):
+                    values.append(
+                        int.from_bytes(
+                            body[bpos + 8 * i:bpos + 8 * i + 8],
+                            "little",
+                            signed=True,
+                        )
+                    )
+                n_nulls += n_page - n_present
+                n_seen += n_page
+    if not found:
+        raise ValueError(f"parquet: no chunk for column {column!r}")
+    return values, n_nulls
+
+
+@query(
+    "multimodal_parquet_page_decode",
+    # Oracle recomputes count/sum/min/max per group FROM DATA; the
+    # Spark side computes them from VALUES DECODED BY HAND out of the
+    # pages (sum is the tell: footer statistics don't carry it, so a
+    # match proves real value decode, not stats echo).
+    oracle=f"""
+    SELECT CAST(doc_id % {_PQF_GROUPS} AS BIGINT) AS grp,
+           CAST(count(doc_id) AS BIGINT) AS n_values,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(min(doc_id) AS BIGINT) AS mn_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS mx_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def multimodal_parquet_page_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HAND-ROLLED PARQUET DATA-PAGE DECODE — the companion to
+    multimodal_parquet_footer_parse that reads the VALUES, closing
+    the full from-scratch read path for the engine's own storage
+    format: footer thrift -> column-chunk offsets -> PageHeader
+    thrift walk -> raw-SNAPPY block decompression (hand-rolled LZ77
+    with overlapping-copy replay — the codec 100 TB lakes actually
+    store) -> RLE/bit-packed-hybrid definition levels -> PLAIN INT64
+    values. No pyarrow in the read path anywhere.
+
+    The same one-file-per-group documents layout as the footer op
+    (shared write); each mapInPandas task decodes its file's doc_id
+    chunk completely and emits count/sum/min/max of the DECODED
+    values. The oracle recomputes those from the data — and sum is
+    the honest witness: footer statistics carry min/max but never
+    sum, so a hash match can only come from decoding every page's
+    actual bytes correctly (levels included: a def-level slip would
+    shift every subsequent 8-byte value read).
+
+    Subset contract (loud by the module rule): flat schemas, v1
+    DATA_PAGEs, PLAIN encoding, SNAPPY/UNCOMPRESSED codecs;
+    dictionary pages, v2 pages, nested schemas, other codecs raise
+    NotImplementedError; every truncation raises ValueError
+    (pytests probe snappy/RLE/page cuts, plus an independent
+    pyarrow-compressor witness for the snappy decoder).
+
+    Shape at 100 TB: column-chunk decode is embarrassingly parallel
+    at exactly the granularity Spark schedules scans (one task per
+    chunk, ranged reads in production); everything downstream is an
+    8-row aggregate."""
+    import re
+
+    import pandas as pd
+
+    binf = _pqf_layout_files(spark, sf_dir)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"grp=(\d+)", path)
+                if not m:
+                    raise ValueError(f"no grp partition in {path}")
+                vals, _nulls = decode_parquet_int64_chunk(
+                    bytes(content), "doc_id"
+                )
+                if not vals:
+                    raise ValueError(f"no doc_id values in {path}")
+                rows.append(
+                    (
+                        int(m.group(1)),
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "grp", "n_values", "sum_doc_id", "mn_doc_id",
+                    "mx_doc_id",
+                ],
+            )
+
+    parsed = binf.mapInPandas(
+        parse,
+        schema="grp bigint, n_values bigint, sum_doc_id bigint,"
+        " mn_doc_id bigint, mx_doc_id bigint",
+    )
+    return (
+        parsed.groupBy("grp")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("sum_doc_id").alias("sum_doc_id"),
+            F.min("mn_doc_id").alias("mn_doc_id"),
+            F.max("mx_doc_id").alias("mx_doc_id"),
         )
         .orderBy("grp")
     )

@@ -398,3 +398,59 @@ def test_kcenter_greedy_picks_match_plain_python(spark, sf_dir):
     # covering radius never grows as seeds are added
     for a, b in zip(rows[2:], rows[1:-1]):
         assert a["d2_covered"] <= b["d2_covered"] + 1e-12
+
+
+def test_decision_stump_matches_plain_python(spark, sf_dir):
+    """Exact Fraction-arithmetic recompute of the Gini split search —
+    no float anywhere in the check, so a ranking flip would surface
+    as a hard mismatch."""
+    import duckdb
+    from fractions import Fraction
+
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        agg_decision_stump,
+    )
+
+    con = duckdb.connect()
+    users = con.execute(
+        "SELECT CASE WHEN np >= 12 THEN 1 ELSE 0 END, nv, nc FROM ("
+        " SELECT user_id,"
+        " sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) np,"
+        " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) nv,"
+        " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) nc"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY user_id) g"
+    ).fetchall()
+
+    panel = {}
+    for fname, idx in (("views", 1), ("clicks", 2)):
+        xs = sorted({u[idx] for u in users})
+        for t in xs:
+            nl = sum(1 for u in users if u[idx] <= t)
+            pl = sum(u[0] for u in users if u[idx] <= t)
+            nr = len(users) - nl
+            pr = sum(u[0] for u in users) - pl
+            if nr == 0:
+                continue
+            al = nl * nl - pl * pl - (nl - pl) * (nl - pl)
+            ar = nr * nr - pr * pr - (nr - pr) * (nr - pr)
+            panel[(fname, t)] = (
+                nl, pl, nr, pr, Fraction(al * nr + ar * nl, nl * nr)
+            )
+
+    rows = agg_decision_stump(spark, sf_dir).collect()
+    assert len(rows) == len(panel)
+    order = sorted(
+        panel, key=lambda k: (panel[k][4], k[0], k[1])
+    )
+    for r in rows:
+        key = (r["feature"], r["threshold"])
+        nl, pl, nr, pr, cost = panel[key]
+        assert (r["n_left"], r["pos_left"], r["n_right"],
+                r["pos_right"]) == (nl, pl, nr, pr)
+        assert abs(r["gini_cost"] - float(cost)) < 1e-6
+        assert order[r["sel_rank"] - 1] == key
+    # the best stump must beat the no-split impurity
+    n = len(users)
+    p = sum(u[0] for u in users)
+    root = Fraction(n * n - p * p - (n - p) * (n - p), n)
+    assert min(v[4] for v in panel.values()) <= root

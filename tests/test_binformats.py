@@ -673,10 +673,10 @@ def test_inflate_truncation_and_guards():
     for cut in range(len(blob)):
         with pytest.raises(ValueError):
             inflate_fixed(blob[:cut])
-    # dynamic-Huffman blocks raise the loud subset error (craft the
-    # header directly — zlib's block-type choice is data-dependent)
+    # a bare dynamic-block header is now a TRUNCATION (the decoder
+    # reads the tree grammar), not a subset error
     dyn_hdr = bytes([0b101])  # BFINAL=1, BTYPE=10, LSB-first
-    with pytest.raises(NotImplementedError, match="dynamic"):
+    with pytest.raises(ValueError):
         inflate_fixed(dyn_hdr)
     with pytest.raises(ValueError, match="reserved"):
         inflate_fixed(bytes([0b111]))  # BTYPE=11
@@ -921,3 +921,37 @@ def test_parquet_int64_chunk_decode_vs_pyarrow_writer(tmp_path):
         decode_parquet_int64_chunk(dict_path.read_bytes(), "doc_id")
     with pytest.raises(ValueError):
         decode_parquet_int64_chunk(path.read_bytes(), "nope")
+
+
+def test_inflate_dynamic_huffman_decodes_real_zlib_output():
+    """Dynamic-Huffman completion witness: zlib.compress at every
+    level (and a text corpus slice that forces dynamic trees) must
+    decode bit-exactly; truncation at every cut must raise."""
+    import zlib
+
+    from vectordb_agentic_rag_spark.operators.binformats import inflate
+
+    payloads = [
+        b"the quick brown fox jumps over the lazy dog " * 50,
+        bytes(range(256)) * 20,
+        b"aabbccdd" * 1000,
+        open("/root/repo/README.md", "rb").read()[:8000],
+    ]
+    import random
+
+    rng = random.Random(41)
+    payloads.append(bytes(rng.randrange(64) for _ in range(4000)))
+    saw_dynamic = False
+    for p in payloads:
+        for level in (1, 6, 9):
+            raw = zlib.compress(p, level)[2:-4]  # strip zlib wrapper
+            # detect a dynamic block in the stream (BTYPE bits 2-3
+            # of the first byte, LSB-first)
+            if (raw[0] >> 1) & 3 == 2:
+                saw_dynamic = True
+            assert inflate(raw) == p
+    assert saw_dynamic, "no payload exercised a dynamic block"
+    raw = zlib.compress(payloads[0], 9)[2:-4]
+    for cut in range(len(raw)):
+        with pytest.raises(ValueError):
+            inflate(raw[:cut])

@@ -1272,3 +1272,109 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, v, d) for r, v, d, _ in picks],
         schema="seed_rank bigint, vec_id bigint, d2_covered double",
     ).orderBy("seed_rank")
+
+
+# ---------------------------------------------------------------------------
+# agg_decision_stump
+# ---------------------------------------------------------------------------
+
+
+def _stump_sql(duck: bool) -> str:
+    """Engine-shared stump search; only integer division spelling
+    differs (none needed — all arithmetic is products/sums) and the
+    unpivot syntax (stack vs UNION ALL)."""
+    if duck:
+        unpivot = """
+      SELECT 'views' AS feature, nv AS x, y FROM u
+      UNION ALL
+      SELECT 'clicks' AS feature, nc AS x, y FROM u"""
+    else:
+        unpivot = (
+            "SELECT stack(2, 'views', nv, 'clicks', nc)"
+            " AS (feature, x), y FROM u"
+        )
+    return f"""
+    WITH u AS (
+      SELECT CASE WHEN np >= 12 THEN 1 ELSE 0 END AS y,
+             CAST(nv AS BIGINT) AS nv, CAST(nc AS BIGINT) AS nc
+      FROM (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS np,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS nv,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS nc
+        FROM events GROUP BY user_id) g),
+    fx AS ({unpivot}),
+    vals AS (
+      SELECT feature, x AS threshold,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM fx GROUP BY feature, x),
+    cum AS (
+      SELECT feature, threshold,
+             sum(cnt) OVER w AS n_left,
+             sum(pos) OVER w AS pos_left,
+             sum(cnt) OVER (PARTITION BY feature) AS n_all,
+             sum(pos) OVER (PARTITION BY feature) AS pos_all
+      FROM vals
+      WINDOW w AS (PARTITION BY feature ORDER BY threshold
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    split AS (
+      SELECT feature, threshold,
+             CAST(n_left AS BIGINT) AS n_left,
+             CAST(pos_left AS BIGINT) AS pos_left,
+             CAST(n_all - n_left AS BIGINT) AS n_right,
+             CAST(pos_all - pos_left AS BIGINT) AS pos_right
+      FROM cum WHERE n_all - n_left > 0),
+    scored AS (
+      SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+             (n_left * n_left - pos_left * pos_left
+              - (n_left - pos_left) * (n_left - pos_left)) * n_right
+             + (n_right * n_right - pos_right * pos_right
+                - (n_right - pos_right) * (n_right - pos_right))
+               * n_left AS cost_num,
+             n_left * n_right AS cost_den
+      FROM split)
+    SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+           round(CAST(cost_num AS DOUBLE) / CAST(cost_den AS DOUBLE), 6)
+             AS gini_cost,
+           CAST(row_number() OVER (
+             ORDER BY CAST(cost_num AS DOUBLE) / CAST(cost_den AS DOUBLE),
+                      feature, threshold) AS BIGINT) AS sel_rank
+    FROM scored
+    ORDER BY feature, threshold
+    """
+
+
+@query("agg_decision_stump", oracle=_stump_sql(duck=True))
+def agg_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP TRAINING (exact Gini split search) — the
+    integer-exact counterpart to agg_logistic_newton, completing the
+    supervised-training pair: for each feature (per-user view and
+    click counts) and each threshold in its VALUE DOMAIN (~25
+    distinct counts — the round-7 value-domain collapse, so the
+    search grid is bounded by the domain, not the row count), the
+    weighted Gini impurity of the x <= t split against the >= 12-
+    purchase adopter label.
+
+    Parity needs no quantization argument anywhere: with integer
+    class counts, weighted impurity is the exact rational
+    (aL*nR + aR*nL) / (nL*nR) where aX = nX^2 - posX^2 - negX^2 —
+    every term BIGINT; the only float is the final ranking/display
+    division of two exact integers < 2^53, which is one correctly-
+    rounded IEEE op and therefore identical on both engines
+    (the round-9 dyadic-p-value principle, extended to ratios of
+    exact ints). sel_rank = 1 marks the trained stump; the rank
+    window runs over the bounded threshold panel.
+
+    Shape at 100 TB: one shuffled user-grain pre-aggregate of
+    events, one groupBy per (feature, value) onto the bounded
+    domain, cumulative sums over that domain (partitioned by
+    feature), and a ~50-row scoring panel — the classic distributed
+    split-finder every tree library (XGBoost's exact mode) runs per
+    node."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_stump_sql(duck=False))

@@ -380,11 +380,16 @@ def test_kcenter_greedy_picks_match_plain_python(spark, sf_dir):
     for _ in range(_KCG_K - 1):
         best = None
         for v, e in vecs.items():
+            from decimal import ROUND_HALF_UP, Decimal
+
             dmin = min(dist(e, vecs[s]) for s in picks)
-            dr = float(_half_up_9(dmin).quantize(
-                __import__("decimal").Decimal("1e-6"),
-                rounding=__import__("decimal").ROUND_HALF_UP,
-            ))
+            # single round to 6, mirroring the engines (no 9-then-6
+            # double rounding)
+            dr = float(
+                Decimal(repr(dmin)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            )
             cand = (-dr, v)
             if best is None or cand < best:
                 best = cand

@@ -955,3 +955,68 @@ def test_inflate_dynamic_huffman_decodes_real_zlib_output():
     for cut in range(len(raw)):
         with pytest.raises(ValueError):
             inflate(raw[:cut])
+
+
+def test_thrift_bool_list_elements_consume_one_byte_each():
+    """Review r14: element-context bools are 1 byte (1=true, 2=false)
+    — a list<bool> field must not desync the struct walk."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _tc_read_struct,
+    )
+
+    # struct { 1: list<bool> flags = [true, false, true]; 2: i64 7 }
+    buf = bytes(
+        [
+            0x19,        # field delta 1, type LIST
+            (3 << 4) | 1,  # 3 elements, elem type BOOL_TRUE class
+            1, 2, 1,     # true, false, true
+            0x16,        # field delta 1 (id 2), type I64
+            14,          # zigzag(7)
+            0x00,        # STOP
+        ]
+    )
+    fields, pos = _tc_read_struct(buf, 0)
+    assert fields[1] == [True, False, True]
+    assert fields[2] == 7
+    assert pos == len(buf)
+
+
+def test_inflate_literal_only_dynamic_block_with_zero_dist_codes():
+    """RFC 1951 allows HDIST=1 with a single zero-length distance
+    code; a length symbol in such a block must raise, plain literals
+    must decode. Craft the block by hand (zlib never emits this)."""
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _DeflateBitWriter,
+        inflate,
+    )
+
+    # dynamic block: HLIT=257 (hlit=0), HDIST=1 (hdist=0), code-length
+    # code assigning len 1 to symbols {0, 1}: lit tree over {256:'0'?}
+    # Simplest legal layout: CL lengths: sym0->1, sym18->? ... use:
+    # lit lengths: 'A'(65)=1, 256=1; dist lengths: [0]
+    cl_len = {16: 0, 17: 2, 18: 2, 0: 2, 1: 2}
+    order = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2,
+             14, 1, 15]
+    # lit lengths: 65 zeros, sym 65 len 1, 190 zeros, sym 256 len 1;
+    # then the lone distance code with length 0 (hlit+hdist = 258)
+    w2 = _DeflateBitWriter()
+    w2.put_lsb(1, 1); w2.put_lsb(0b10, 2)
+    w2.put_lsb(0, 5); w2.put_lsb(0, 5); w2.put_lsb(15, 4)
+    for s in order:
+        w2.put_lsb(cl_len.get(s, 0), 3)
+
+    def put_cl2(sym):
+        w2.put_code({0: 0b00, 1: 0b01, 17: 0b10, 18: 0b11}[sym], 2)
+
+    put_cl2(18); w2.put_lsb(65 - 11, 7)
+    put_cl2(1)
+    put_cl2(18); w2.put_lsb(138 - 11, 7)
+    put_cl2(18); w2.put_lsb(52 - 11, 7)
+    put_cl2(1)
+    put_cl2(0)  # the lone distance code: length 0
+    # data: 'A' 'A' 'A' EOB — lit tree has 2 symbols of len 1:
+    # canonical codes 65->0, 256->1
+    for _ in range(3):
+        w2.put_code(0, 1)
+    w2.put_code(1, 1)
+    assert inflate(w2.flush()) == b"AAA"

@@ -666,6 +666,9 @@ def agg_hll_dense_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Z2_BITS = 4  # 4 bits per dimension -> 16x16 = 256 buckets per layout
 
+# ckpt'd 1-row domain frame per (appId, sf_dir)
+_Z2_DOMAIN_CACHE: dict = {}
+
 
 def _z2_morton(bx: str, by: str) -> str:
     """Closed-form Morton interleave of two 4-bit ints — 8 exact
@@ -688,9 +691,19 @@ def _z2_exprs(duck: bool) -> dict:
         else "CAST(o_totalprice * 100 + 0.5 AS BIGINT)"
     )
     x = "CAST(o_custkey AS BIGINT)"
-    bx = f"least({_Z2_BITS * 4 - 1}, (({x}) - mnx) * 16 {div} (mxx - mnx + 1))"
-    by = f"least({_Z2_BITS * 4 - 1}, (({y}) - mny) * 16 {div} (mxy - mny + 1))"
-    lin = f"least(255, (({x}) - mnx) * 256 {div} (mxx - mnx + 1))"
+    side = 1 << _Z2_BITS  # per-dimension buckets; clamp to side - 1
+    bx = (
+        f"least({side - 1},"
+        f" (({x}) - mnx) * {side} {div} (mxx - mnx + 1))"
+    )
+    by = (
+        f"least({side - 1},"
+        f" (({y}) - mny) * {side} {div} (mxy - mny + 1))"
+    )
+    lin = (
+        f"least({side * side - 1},"
+        f" (({x}) - mnx) * {side * side} {div} (mxx - mnx + 1))"
+    )
     return {"x": x, "y": y, "bx": bx, "by": by, "lin": lin}
 
 
@@ -796,17 +809,23 @@ def maintenance_zorder_pruning_2d(
     shuffle as maintenance_rowgroup_pruning_sim's clustered copy."""
     e = _z2_exprs(duck=False)
     o = table(spark, sf_dir, "orders")
-    b = o.agg(
-        F.expr("CAST(min(o_custkey) AS BIGINT)").alias("mnx"),
-        F.expr("CAST(max(o_custkey) AS BIGINT)").alias("mxx"),
-        F.expr(
-            "min(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
-        ).alias("mny"),
-        F.expr(
-            "max(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
-        ).alias("mxy"),
-    ).localCheckpoint()  # 1-row domain frame referenced by both
-    # layouts AND the box panel (bounded-intermediate ckpt rule)
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    if ckey not in _Z2_DOMAIN_CACHE:
+        # 1-row domain frame referenced by both layouts AND the box
+        # panel — ckpt once per session (round-13 lesson: an
+        # uncached in-op localCheckpoint re-derives EAGERLY on every
+        # DataFrame build)
+        _Z2_DOMAIN_CACHE[ckey] = o.agg(
+            F.expr("CAST(min(o_custkey) AS BIGINT)").alias("mnx"),
+            F.expr("CAST(max(o_custkey) AS BIGINT)").alias("mxx"),
+            F.expr(
+                "min(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+            ).alias("mny"),
+            F.expr(
+                "max(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+            ).alias("mxy"),
+        ).localCheckpoint()
+    b = _Z2_DOMAIN_CACHE[ckey]
     b.createOrReplaceTempView("z2_domain")
     base = o.crossJoin(F.broadcast(b))
     assigned = base.selectExpr(

@@ -2177,7 +2177,9 @@ def multimodal_jpeg_baseline_decode(
 
 
 def zigzag_encode(v: int) -> int:
-    return (v << 1) ^ (v >> 63) if v >= -(1 << 62) else 0
+    # arbitrary-precision: (v << 1) ^ (v >> 63) is wrong below
+    # -(1 << 62) in Python (no fixed width), so use the sign branch
+    return (v << 1) if v >= 0 else ((-v) << 1) - 1
 
 
 def zigzag_decode(u: int) -> int:
@@ -2227,10 +2229,8 @@ def rice_decode(data: bytes, k: int, n: int) -> list:
 
     for _ in range(n):
         q = 0
-        while read_bit():
+        while read_bit():  # read_bit raises at exhaustion, bounding q
             q += 1
-            if q > total_bits:  # pathological all-ones guard
-                raise ValueError("unterminated unary quotient")
         r = 0
         for _ in range(k):
             r = (r << 1) | read_bit()
@@ -2559,9 +2559,13 @@ def inflate(payload: bytes) -> bytes:
                 lengths += [0] * (11 + bits_lsb(7))
         if len(lengths) != hlit + hdist:
             raise ValueError("code-length run overflows alphabets")
+        # RFC 1951 allows a literal-only block to transmit a single
+        # zero-length distance code (HDIST=1, all lengths 0): legal
+        # until a length symbol actually needs a distance
+        dist_lengths = lengths[hlit:]
         return (
             _HuffTree(lengths[:hlit]),
-            _HuffTree(lengths[hlit:]),
+            _HuffTree(dist_lengths) if any(dist_lengths) else None,
         )
 
     def block(lit_tree: _HuffTree, dist_tree: _HuffTree) -> None:
@@ -2576,6 +2580,10 @@ def inflate(payload: bytes) -> bytes:
                 raise ValueError("invalid length symbol")
             li = sym - 257
             length = _LEN_BASE[li] + bits_lsb(_LEN_EXTRA[li])
+            if dist_tree is None:
+                raise ValueError(
+                    "length symbol in a block with no distance codes"
+                )
             dcode = dist_tree.decode(bit)
             if dcode > 29:
                 raise ValueError("invalid distance code")
@@ -2794,9 +2802,7 @@ def _tc_read_value(buf: bytes, pos: int, ftype: int):
             size, pos = _tc_varint(buf, pos)
         out = []
         for _ in range(size):
-            # element-context bools are one byte (1/2), handled by
-            # the same type codes
-            v, pos = _tc_read_value(buf, pos, etype)
+            v, pos = _tc_read_element(buf, pos, etype)
             out.append(v)
         return out, pos
     if ftype == _TC_MAP:
@@ -2809,13 +2815,28 @@ def _tc_read_value(buf: bytes, pos: int, ftype: int):
         pos += 1
         out = []
         for _ in range(size):
-            k, pos = _tc_read_value(buf, pos, kt)
-            v, pos = _tc_read_value(buf, pos, vt)
+            k, pos = _tc_read_element(buf, pos, kt)
+            v, pos = _tc_read_element(buf, pos, vt)
             out.append((k, v))
         return out, pos
     if ftype == _TC_STRUCT:
         return _tc_read_struct(buf, pos)
     raise ValueError(f"corrupt parquet footer: unknown type {ftype}")
+
+
+def _tc_read_element(buf: bytes, pos: int, etype: int):
+    """Read one list/set/map ELEMENT. Unlike field context (where
+    bools live in the type nibble), element-context bools occupy one
+    byte (1 = true, 2 = false per the compact-protocol spec); every
+    other type shares the field wire format."""
+    if etype in (_TC_BOOL_TRUE, _TC_BOOL_FALSE):
+        if pos >= len(buf):
+            raise ValueError("truncated parquet footer: bool element")
+        b = buf[pos]
+        if b not in (_TC_BOOL_TRUE, _TC_BOOL_FALSE):
+            raise ValueError("corrupt parquet footer: bool element")
+        return b == _TC_BOOL_TRUE, pos + 1
+    return _tc_read_value(buf, pos, etype)
 
 
 def _tc_read_struct(buf: bytes, pos: int) -> tuple:

@@ -459,3 +459,45 @@ def test_decision_stump_matches_plain_python(spark, sf_dir):
     p = sum(u[0] for u in users)
     root = Fraction(n * n - p * p - (n - p) * (n - p), n)
     assert min(v[4] for v in panel.values()) <= root
+
+
+def test_model_auc_matches_sklearn_free_recompute(spark, sf_dir):
+    """Recompute AUC two independent ways — the midrank U identity
+    on collapsed score groups AND a direct pairwise count — from the
+    op's own fitted betas; all three must agree exactly."""
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        _lgn_fit,
+        agg_model_auc_exact,
+    )
+
+    row = agg_model_auc_exact(spark, sf_dir).collect()[0]
+    _, betas = _lgn_fit(spark, sf_dir)
+    b0, b1, b2 = [float(b) for b in betas[-1]]
+    import duckdb
+
+    con = duckdb.connect()
+    users = con.execute(
+        "SELECT CASE WHEN np >= 12 THEN 1 ELSE 0 END,"
+        " CAST(nv AS DOUBLE) / 64, CAST(nc AS DOUBLE) / 64 FROM ("
+        " SELECT user_id,"
+        " sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) np,"
+        " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) nv,"
+        " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) nc"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY user_id) g"
+    ).fetchall()
+    scored = [(b0 + b1 * x1 + b2 * x2, y) for y, x1, x2 in users]
+    pos = [s for s, y in scored if y == 1]
+    neg = [s for s, y in scored if y == 0]
+    # direct pairwise 2U: win=2, tie=1
+    u2 = sum(
+        2 if p > n else (1 if p == n else 0)
+        for p in pos
+        for n in neg
+    )
+    assert row["n_pos"] == len(pos)
+    assert row["n_neg"] == len(neg)
+    assert row["u2"] == u2
+    assert abs(
+        row["auc"] - u2 / (2 * len(pos) * len(neg))
+    ) < 1e-6
+    assert 0.0 <= row["auc"] <= 1.0

@@ -983,8 +983,70 @@ def _lgn_correct_expr(b0: str, b1: str, b2: str) -> str:
     )
 
 
-def _lgn_oracle() -> str:
-    zero = "CAST(0.0 AS DOUBLE)"
+def _lgn_fit(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-cached (users_ckpt, per-iteration beta strings): the
+    fit machinery shared by agg_logistic_newton and the downstream
+    model-evaluation ops (AUC)."""
+    ev = table(spark, sf_dir, "events")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LGN_USERS:
+        u = (
+            ev.groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN event_type = 'purchase' THEN 1"
+                        " ELSE 0 END"
+                    )
+                ).alias("np"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"
+                    )
+                ).alias("nv"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
+                    )
+                ).alias("nc"),
+            )
+            .selectExpr(
+                "CASE WHEN np >= 12 THEN 1 ELSE 0 END AS y",
+                "CAST(nv AS DOUBLE) / 64 AS x1",
+                "CAST(nc AS DOUBLE) / 64 AS x2",
+            )
+            .localCheckpoint()
+        )
+        _LGN_USERS[key] = u
+    users = _LGN_USERS[key]
+
+    if key not in _LGN_BETAS:
+        betas = [("0.0", "0.0", "0.0")]
+        cur = betas[0]
+        for _ in range(_LGN_T):
+            bref = [f"CAST({b} AS DOUBLE)" for b in cur]
+            terms = users.selectExpr(*_lgn_term_selects(*bref))
+            sums = terms.agg(
+                *[
+                    F.sum(f"t_{nm}").alias(f"s_{nm}")
+                    for nm, _ in _LGN_TERMS
+                ]
+            )
+            row = sums.selectExpr(*_lgn_solve_selects(*bref)).first()
+            if row["det"] == 0.0:
+                raise ValueError(
+                    "logistic_newton: singular information matrix"
+                )
+            cur = tuple(f"{row[c]:.9f}" for c in ("b0", "b1", "b2"))
+            betas.append(cur)
+        _LGN_BETAS[key] = betas
+    return users, _LGN_BETAS[key]
+
+
+def _lgn_cte_chain() -> list:
+    """The oracle-side fit: WITH-parts for u, s0..s{T} (MATERIALIZED)
+    — shared by agg_logistic_newton's oracle and the downstream
+    model-eval oracles so both engines derive the SAME betas."""
     parts = [
         f"WITH u AS MATERIALIZED ({_lgn_user_sql(duck=True)})",
         "s0 AS MATERIALIZED (SELECT"
@@ -999,13 +1061,16 @@ def _lgn_oracle() -> str:
             f"sum(t_{nm}) AS s_{nm}" for nm, _ in _LGN_TERMS
         )
         solve = ", ".join(_lgn_solve_selects(*bref)[:3])
-        parts.append(
-            f"t{i} AS (SELECT {terms} FROM u, s{i-1})"
-        )
+        parts.append(f"t{i} AS (SELECT {terms} FROM u, s{i-1})")
         parts.append(f"a{i} AS (SELECT {sums} FROM t{i})")
         parts.append(
             f"s{i} AS MATERIALIZED (SELECT {solve} FROM a{i}, s{i-1})"
         )
+    return parts
+
+
+def _lgn_oracle() -> str:
+    parts = _lgn_cte_chain()
     outs = []
     for i in range(_LGN_T + 1):
         bref = [f"CAST(s{i}.b{j} AS DOUBLE)" for j in range(3)]
@@ -1067,60 +1132,7 @@ def agg_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is checkpointed once and reused across all 4 iterations +
     5 accuracy branches (bounded-intermediate rule); collected betas
     are session-cached so warm rebuilds are pure plan-build."""
-    ev = table(spark, sf_dir, "events")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LGN_USERS:
-        u = (
-            ev.groupBy("user_id")
-            .agg(
-                F.sum(
-                    F.expr(
-                        "CASE WHEN event_type = 'purchase' THEN 1"
-                        " ELSE 0 END"
-                    )
-                ).alias("np"),
-                F.sum(
-                    F.expr(
-                        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"
-                    )
-                ).alias("nv"),
-                F.sum(
-                    F.expr(
-                        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
-                    )
-                ).alias("nc"),
-            )
-            .selectExpr(
-                "CASE WHEN np >= 12 THEN 1 ELSE 0 END AS y",
-                "CAST(nv AS DOUBLE) / 64 AS x1",
-                "CAST(nc AS DOUBLE) / 64 AS x2",
-            )
-            .localCheckpoint()
-        )
-        _LGN_USERS[key] = u
-    users = _LGN_USERS[key]
-
-    if key not in _LGN_BETAS:
-        betas = [("0.0", "0.0", "0.0")]
-        cur = betas[0]
-        for _ in range(_LGN_T):
-            bref = [f"CAST({b} AS DOUBLE)" for b in cur]
-            terms = users.selectExpr(*_lgn_term_selects(*bref))
-            sums = terms.agg(
-                *[
-                    F.sum(f"t_{nm}").alias(f"s_{nm}")
-                    for nm, _ in _LGN_TERMS
-                ]
-            )
-            row = sums.selectExpr(*_lgn_solve_selects(*bref)).first()
-            if row["det"] == 0.0:
-                raise ValueError(
-                    "logistic_newton: singular information matrix"
-                )
-            cur = tuple(f"{row[c]:.9f}" for c in ("b0", "b1", "b2"))
-            betas.append(cur)
-        _LGN_BETAS[key] = betas
-    betas = _LGN_BETAS[key]
+    users, betas = _lgn_fit(spark, sf_dir)
 
     outs = []
     for i, (b0, b1, b2) in enumerate(betas):
@@ -1397,3 +1409,99 @@ def agg_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     return spark.sql(_stump_sql(duck=False))
+
+
+# ---------------------------------------------------------------------------
+# agg_model_auc_exact
+# ---------------------------------------------------------------------------
+
+
+def _auc_oracle() -> str:
+    bref = [f"CAST(s{_LGN_T}.b{j} AS DOUBLE)" for j in range(3)]
+    score = f"({bref[0]} + {bref[1]} * x1 + {bref[2]} * x2)"
+    parts = _lgn_cte_chain()
+    parts.append(
+        f"sc AS (SELECT {score} AS s, y FROM u, s{_LGN_T})"
+    )
+    parts.append(
+        "g AS (SELECT s, CAST(sum(y) AS BIGINT) AS c1,"
+        " CAST(count(*) - sum(y) AS BIGINT) AS c0"
+        " FROM sc GROUP BY s)"
+    )
+    parts.append(
+        "w AS (SELECT s, c1, c0,"
+        " CAST(coalesce(sum(c0) OVER (ORDER BY s"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS BIGINT) AS cum0 FROM g)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+           CAST(sum(c0) AS BIGINT) AS n_neg,
+           CAST(sum(c1 * (2 * cum0 + c0)) AS BIGINT) AS u2,
+           round(CAST(sum(c1 * (2 * cum0 + c0)) AS DOUBLE)
+                 / CAST(2 * sum(c1) * sum(c0) AS DOUBLE), 6) AS auc
+    FROM w
+    """
+    )
+
+
+@query("agg_model_auc_exact", oracle=_auc_oracle())
+def agg_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC OF THE TRAINED GLM — the evaluation half of the
+    round-14 training pair, composing agg_logistic_newton's fitted
+    betas (shared _lgn_fit cache / oracle CTE chain, the
+    rag_prf-style pass-2-from-pass-1 pattern) with the repo's exact
+    rank machinery: AUC == U/(n1*n0) (the Mann-Whitney identity),
+    computed tie-correctly WITHOUT per-row ranks by collapsing users
+    to distinct SCORE values (bounded by the feature-count support
+    grid, not the row count — the round-7 value-domain rule) and
+    folding 2U = sum c1*(2*cum_less_0 + c0) in exact BIGINTs, the
+    midrank doubling trick from agg_mann_whitney_u applied to model
+    scores.
+
+    Parity: scores eta = b0 + b1*x1 + b2*x2 are bit-identical on
+    both engines (literal-embedded round(9) decimal betas, exact /64
+    features, one shared expression shape); grouping and ordering by
+    a bit-identical double is deterministic; everything after is
+    integer arithmetic with ONE final division of exact ints < 2^53
+    (correctly rounded, identical both engines — the decision-stump
+    principle). u2 is emitted so the driver hash pins the exact
+    integer statistic, not just the rounded ratio.
+
+    Shape at 100 TB: one user-grain pre-aggregate, one groupBy onto
+    the bounded score domain, one cumulative window over that
+    domain, a 1-row reduce. The betas arrive as plan literals from
+    the session-cached fit."""
+    users, betas = _lgn_fit(spark, sf_dir)
+    b0, b1, b2 = betas[-1]
+    bref = [f"CAST({b} AS DOUBLE)" for b in (b0, b1, b2)]
+    score = f"({bref[0]} + {bref[1]} * x1 + {bref[2]} * x2)"
+    g = (
+        users.selectExpr(f"{score} AS s", "y")
+        .groupBy("s")
+        .agg(
+            F.expr("CAST(sum(y) AS BIGINT)").alias("c1"),
+            F.expr("CAST(count(*) - sum(y) AS BIGINT)").alias("c0"),
+        )
+    )
+    w = g.selectExpr(
+        "s",
+        "c1",
+        "c0",
+        "CAST(coalesce(sum(c0) OVER (ORDER BY s"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS BIGINT) AS cum0",
+    )
+    return w.agg(
+        F.expr("CAST(sum(c1) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(sum(c0) AS BIGINT)").alias("n_neg"),
+        F.expr(
+            "CAST(sum(c1 * (2 * cum0 + c0)) AS BIGINT)"
+        ).alias("u2"),
+        F.expr(
+            "round(CAST(sum(c1 * (2 * cum0 + c0)) AS DOUBLE)"
+            " / CAST(2 * sum(c1) * sum(c0) AS DOUBLE), 6)"
+        ).alias("auc"),
+    )

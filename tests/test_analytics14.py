@@ -501,3 +501,45 @@ def test_model_auc_matches_sklearn_free_recompute(spark, sf_dir):
         row["auc"] - u2 / (2 * len(pos) * len(neg))
     ) < 1e-6
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_calibration_bins_matches_plain_python(spark, sf_dir):
+    """Recompute the reliability bins from the op's own betas; also
+    pin the ECE identity sum(n*gap)/N against per-user p values."""
+    import duckdb
+    from decimal import Decimal
+
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        _lgn_fit,
+        agg_calibration_bins,
+    )
+
+    rows = agg_calibration_bins(spark, sf_dir).collect()
+    _, betas = _lgn_fit(spark, sf_dir)
+    b0, b1, b2 = [float(b) for b in betas[-1]]
+    con = duckdb.connect()
+    users = con.execute(
+        "SELECT CASE WHEN np >= 12 THEN 1 ELSE 0 END,"
+        " CAST(nv AS DOUBLE) / 64, CAST(nc AS DOUBLE) / 64 FROM ("
+        " SELECT user_id,"
+        " sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) np,"
+        " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) nv,"
+        " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) nc"
+        f" FROM '{sf_dir}/events.parquet' GROUP BY user_id) g"
+    ).fetchall()
+    bins = {}
+    for y, x1, x2 in users:
+        eta = b0 + b1 * x1 + b2 * x2
+        p = 0.5 + eta / (2 * (1 + abs(eta)))
+        b = int(p * 5)
+        n, pos, psum = bins.get(b, (0, 0, Decimal(0)))
+        bins[b] = (n + 1, pos + y, psum + _half_up_9(p))
+    assert len(rows) == len(bins)
+    for r in rows:
+        n, pos, psum = bins[r["bin"]]
+        assert (r["n_users"], r["n_pos"]) == (n, pos)
+        assert abs(r["rate"] - pos / n) < 1e-6
+        assert abs(r["mean_p"] - float(psum) / n) < 1e-6
+        assert abs(r["gap"] - abs(pos / n - float(psum) / n)) < 2e-6
+    # probabilities stay inside the open unit interval by the link
+    assert all(0 <= r["bin"] <= 4 for r in rows)

@@ -914,13 +914,43 @@ def test_parquet_int64_chunk_decode_vs_pyarrow_writer(tmp_path):
     assert vals == [v for v in with_nulls if v is not None]
     assert nulls == sum(1 for v in with_nulls if v is None)
 
+    # dictionary-encoded files decode too (round-14 second session:
+    # dict page + RLE/bit-packed indices) — same values, same nulls
     dict_path = tmp_path / "dict.parquet"
     pq.write_table(tbl, dict_path, compression="snappy",
                    use_dictionary=True)
-    with pytest.raises(NotImplementedError):
-        decode_parquet_int64_chunk(dict_path.read_bytes(), "doc_id")
+    dvals, dnulls = decode_parquet_int64_chunk(
+        dict_path.read_bytes(), "doc_id"
+    )
+    assert dvals == vals and dnulls == nulls
     with pytest.raises(ValueError):
         decode_parquet_int64_chunk(path.read_bytes(), "nope")
+
+
+def test_parquet_dictionary_chunk_low_cardinality_wide_and_1bit(
+    tmp_path,
+):
+    """Dictionary index decode at different bit widths: cardinality 2
+    (1-bit indices) and 300 (9-bit indices), with nulls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        decode_parquet_int64_chunk,
+    )
+
+    for card in (2, 300):
+        raw = [
+            None if i % 11 == 0 else (i * 17) % card
+            for i in range(1000)
+        ]
+        tbl = pa.table({"v": pa.array(raw, type=pa.int64())})
+        p = tmp_path / f"card{card}.parquet"
+        pq.write_table(tbl, p, compression="snappy",
+                       use_dictionary=True, row_group_size=256)
+        vals, nulls = decode_parquet_int64_chunk(p.read_bytes(), "v")
+        assert vals == [v for v in raw if v is not None]
+        assert nulls == sum(1 for v in raw if v is None)
 
 
 def test_inflate_dynamic_huffman_decodes_real_zlib_output():

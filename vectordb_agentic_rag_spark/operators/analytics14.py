@@ -1505,3 +1505,86 @@ def agg_model_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(2 * sum(c1) * sum(c0) AS DOUBLE), 6)"
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_calibration_bins
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 5
+
+
+def _cal_oracle() -> str:
+    bref = [f"CAST(s{_LGN_T}.b{j} AS DOUBLE)" for j in range(3)]
+    e = _lgn_link_exprs(*bref)
+    parts = _lgn_cte_chain()
+    parts.append(
+        f"sc AS (SELECT {e['p']} AS p, y FROM u, s{_LGN_T})"
+    )
+    parts.append(
+        "b AS (SELECT CAST(floor(p * 5) AS BIGINT) AS bin,"
+        " CAST(round(p, 9) AS DECIMAL(38,9)) AS pq, y FROM sc)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS rate,
+           round(CAST(sum(pq) AS DOUBLE) / count(*), 6) AS mean_p,
+           round(abs(CAST(sum(y) AS DOUBLE) / count(*)
+                     - CAST(sum(pq) AS DOUBLE) / count(*)), 6) AS gap
+    FROM b
+    GROUP BY bin
+    ORDER BY bin
+    """
+    )
+
+
+@query("agg_calibration_bins", oracle=_cal_oracle())
+def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION AUDIT OF THE TRAINED GLM — the third leg of the
+    round-14 model triple (train: agg_logistic_newton, discriminate:
+    agg_model_auc_exact, calibrate: THIS): users bin by their
+    predicted adoption probability (5 equal-width bins of the
+    algebraic-sigmoid p) and each bin reports observed adopter rate
+    vs mean predicted p — the reliability-diagram rows whose
+    n-weighted gap sum is expected calibration error.
+
+    Parity: p is bit-identical on both engines (the _lgn_link_exprs
+    shared shape — division/abs only, betas as round(9) decimal
+    literals), so floor(p*5) binning is deterministic; per-user p
+    quantizes round(9) -> DECIMAL before the unordered bin sum (the
+    module rule); rate/mean/gap are shared-shape divisions of exact
+    quantities with one round(6). The oracle re-derives the SAME
+    betas through the MATERIALIZED fit CTE chain.
+
+    Shape at 100 TB: one user-grain pass, one groupBy onto <= 5
+    bins; betas are plan literals from the session-cached fit."""
+    users, betas = _lgn_fit(spark, sf_dir)
+    bref = [f"CAST({b} AS DOUBLE)" for b in betas[-1]]
+    e = _lgn_link_exprs(*bref)
+    b = users.selectExpr(
+        f"CAST(floor({e['p']} * 5) AS BIGINT) AS bin",
+        f"CAST(round({e['p']}, 9) AS DECIMAL(38,9)) AS pq",
+        "y",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_users"),
+            F.expr("CAST(sum(y) AS BIGINT)").alias("n_pos"),
+            F.expr(
+                "round(CAST(sum(y) AS DOUBLE) / count(*), 6)"
+            ).alias("rate"),
+            F.expr(
+                "round(CAST(sum(pq) AS DOUBLE) / count(*), 6)"
+            ).alias("mean_p"),
+            F.expr(
+                "round(abs(CAST(sum(y) AS DOUBLE) / count(*)"
+                " - CAST(sum(pq) AS DOUBLE) / count(*)), 6)"
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )

@@ -543,3 +543,41 @@ def test_calibration_bins_matches_plain_python(spark, sf_dir):
         assert abs(r["gap"] - abs(pos / n - float(psum) / n)) < 2e-6
     # probabilities stay inside the open unit interval by the link
     assert all(0 <= r["bin"] <= 4 for r in rows)
+
+
+def test_citation_grounding_invariants(spark, sf_dir):
+    """Structural invariants of the attribution algebra: per-doc
+    support bounds, exclusivity vs coverage accounting, and rank
+    monotonicity within each query."""
+    from vectordb_agentic_rag_spark.operators.analytics14 import (
+        rag_citation_grounding,
+    )
+
+    rows = rag_citation_grounding(spark, sf_dir).collect()
+    assert rows, "no grounding rows — retrieval went vacuous"
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["q_id"], []).append(r)
+    for q, rs in byq.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        # rank order follows support (ties by doc_id)
+        for a, b in zip(rs, rs[1:]):
+            assert (
+                a["spans_supported"] > b["spans_supported"]
+                or (
+                    a["spans_supported"] == b["spans_supported"]
+                    and a["doc_id"] < b["doc_id"]
+                )
+            )
+        n_spans = rs[0]["n_spans"]
+        covered = rs[0]["covered_any"]
+        assert all(r["n_spans"] == n_spans for r in rs)
+        assert all(r["covered_any"] == covered for r in rs)
+        assert 0 < covered <= n_spans
+        assert rs[0]["unsupported"] == n_spans - covered
+        for r in rs:
+            assert 0 <= r["spans_exclusive"] <= r["spans_supported"]
+            assert r["spans_supported"] <= n_spans
+        # exclusive spans are disjoint subsets of the covered set
+        assert sum(r["spans_exclusive"] for r in rs) <= covered

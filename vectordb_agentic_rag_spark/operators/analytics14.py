@@ -1588,3 +1588,222 @@ def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_citation_grounding
+# ---------------------------------------------------------------------------
+
+_CGR_K = 3  # retrieved docs per query
+_CGR_MIN_Q_TOKENS = 20
+
+
+def _cgr_gram(arr: str, pos: str, elem: str) -> str:
+    """Positional 3-gram fold over token codes — the dedup shingle
+    combine, kept positional; every intermediate < 2^63 on both
+    engines (codes < 1e6, P ~ 1e9). 5-grams were probed first and
+    are VACUOUS on this corpus (1 of 5 queries has any supporter);
+    trigram sharing is rich (20-68 supporters/query at sf0.01)."""
+    from .dedup import P_HASH
+
+    g = f"{elem}({arr}, {pos})"
+    for j in range(1, 3):
+        g = f"(({g}) * 131 + {elem}({arr}, {pos} + {j})) % {P_HASH}"
+    return g
+
+
+def _cgr_oracle() -> str:
+    from .dedup import P_CODE
+
+    gram_q = _cgr_gram("tc", "pos", "list_extract")
+    gram_c = _cgr_gram("tc", "i", "list_extract")
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(tok, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % {P_CODE})) AS tc
+      FROM documents WHERE length(text) > 0),
+    q AS MATERIALIZED (
+      SELECT doc_id AS q_id, tc FROM toks
+      WHERE doc_id % 97 = 3 AND len(tc) >= {_CGR_MIN_Q_TOKENS}
+      ORDER BY doc_id LIMIT 5),
+    qpos AS (
+      SELECT q_id, unnest(generate_series(1, len(tc) - 2)) AS pos, tc
+      FROM q),
+    qspan AS (SELECT q_id, pos, {gram_q} AS g FROM qpos),
+    nsp AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_spans
+            FROM qspan GROUP BY q_id),
+    cpos AS (
+      SELECT doc_id, unnest(generate_series(1, len(tc) - 2)) AS i, tc
+      FROM toks WHERE len(tc) >= 3),
+    cg AS (SELECT DISTINCT doc_id, {gram_c} AS g FROM cpos),
+    hits AS (
+      SELECT DISTINCT s.q_id, c.doc_id, s.pos
+      FROM qspan s JOIN cg c ON s.g = c.g AND c.doc_id <> s.q_id),
+    cand AS (
+      SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS spans_supported
+      FROM hits GROUP BY q_id, doc_id),
+    ranked AS (
+      SELECT q_id, doc_id, spans_supported,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY spans_supported DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM cand),
+    ret AS (SELECT * FROM ranked WHERE rank <= {_CGR_K}),
+    rhits AS (
+      SELECT h.q_id, h.doc_id, h.pos
+      FROM hits h JOIN ret r ON h.q_id = r.q_id AND h.doc_id = r.doc_id),
+    sup AS (
+      SELECT q_id, pos, CAST(count(*) AS BIGINT) AS n_sup
+      FROM rhits GROUP BY q_id, pos),
+    cov AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS covered_any
+      FROM sup GROUP BY q_id),
+    excl AS (
+      SELECT h.q_id, h.doc_id, CAST(count(*) AS BIGINT) AS spans_exclusive
+      FROM rhits h JOIN sup s
+        ON h.q_id = s.q_id AND h.pos = s.pos AND s.n_sup = 1
+      GROUP BY h.q_id, h.doc_id)
+    SELECT r.q_id, r.rank, r.doc_id, r.spans_supported,
+           CAST(coalesce(e.spans_exclusive, 0) AS BIGINT)
+             AS spans_exclusive,
+           n.n_spans,
+           CAST(coalesce(c.covered_any, 0) AS BIGINT) AS covered_any,
+           n.n_spans - CAST(coalesce(c.covered_any, 0) AS BIGINT)
+             AS unsupported
+    FROM ret r
+    JOIN nsp n ON r.q_id = n.q_id
+    LEFT JOIN cov c ON r.q_id = c.q_id
+    LEFT JOIN excl e ON r.q_id = e.q_id AND r.doc_id = e.doc_id
+    ORDER BY r.q_id, r.rank
+    """
+
+
+@query("rag_citation_grounding", oracle=_cgr_oracle())
+def rag_citation_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL CITATION GROUNDING AUDIT — for each of 5 query
+    documents (the generated-answer proxy), retrieve the top-3
+    supporting docs by shared positional token-trigram count and report how
+    much of the answer each citation actually GROUNDS: spans_supported
+    (answer positions the doc contains), spans_exclusive (positions
+    ONLY that doc supports among the retrieved set — its
+    non-redundant contribution), covered_any, and unsupported (the
+    hallucination-risk residue no citation backs). This is the
+    hallucination/attribution audit of the RAG eval family — NOT
+    text_contamination_check (which audits train/test splits) and
+    NOT dedup_containment_ngram (which scores containment for
+    dedup): the unit here is the answer SPAN and the output is
+    per-citation attribution.
+
+    Parity: token codes and 5-gram folds are the dedup module's
+    exact shared arithmetic (char fold % 1e6+3, gram combine % 1e9+7
+    — collisions mirror identically); everything downstream is
+    integer counting; ranking ties break by doc_id.
+
+    Shape at 100 TB: the 5 queries' span table is tiny and BROADCAST
+    into the corpus-gram join (the plan never shuffles the corpus);
+    per-query top-3 is a partitioned rank over each query's
+    candidates. Reference: the retrieval+answer stage this audits is
+    app.py's stuff-documents chain (/root/reference/app.py:396-417).
+    """
+    from .dedup import P_CODE
+
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        "transform(split(text, ' '), "
+        "tok -> aggregate(split(tok, ''), CAST(0 AS BIGINT), "
+        f"(h, c) -> (h * 31 + ascii(c)) % {P_CODE}))"
+    )
+    toks = d.where(F.expr("length(text) > 0")).select(
+        "doc_id", F.expr(tc).alias("tc")
+    )
+    q = (
+        toks.where(
+            F.expr(f"doc_id % 97 = 3 AND size(tc) >= {_CGR_MIN_Q_TOKENS}")
+        )
+        .orderBy("doc_id")
+        .limit(5)
+        .selectExpr("doc_id AS q_id", "tc")
+    )
+    gram_q = _cgr_gram("tc", "pos", "element_at")
+    qspan = q.select(
+        "q_id",
+        F.expr("explode(sequence(1, size(tc) - 2))").alias("pos"),
+        "tc",
+    ).selectExpr("q_id", "pos", f"{gram_q} AS g")
+    nsp = qspan.groupBy("q_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_spans")
+    )
+    gram_c = _cgr_gram("tc", "i", "element_at")
+    cg = (
+        toks.where(F.expr("size(tc) >= 3"))
+        .select(
+            "doc_id",
+            F.expr("explode(sequence(1, size(tc) - 2))").alias("i"),
+            "tc",
+        )
+        .selectExpr("doc_id", f"{gram_c} AS g")
+        .distinct()
+    )
+    hits = (
+        cg.join(
+            F.broadcast(qspan),
+            (cg["g"] == qspan["g"]) & (cg["doc_id"] != qspan["q_id"]),
+        )
+        .select("q_id", "doc_id", "pos")
+        .distinct()
+    )
+    cand = hits.groupBy("q_id", "doc_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("spans_supported")
+    )
+    from pyspark.sql import Window
+
+    ranked = cand.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("q_id").orderBy(
+                F.col("spans_supported").desc(), F.col("doc_id")
+            )
+        )
+        .cast("bigint"),
+    )
+    ret = ranked.where(F.col("rank") <= _CGR_K)
+    rhits = hits.join(
+        F.broadcast(ret.select("q_id", "doc_id")), ["q_id", "doc_id"]
+    )
+    sup = rhits.groupBy("q_id", "pos").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_sup")
+    )
+    cov = sup.groupBy("q_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("covered_any")
+    )
+    excl = (
+        rhits.join(
+            sup.where(F.col("n_sup") == 1).select("q_id", "pos"),
+            ["q_id", "pos"],
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("spans_exclusive"))
+    )
+    return (
+        ret.join(nsp, "q_id")
+        .join(cov, "q_id", "left")
+        .join(excl, ["q_id", "doc_id"], "left")
+        .selectExpr(
+            "q_id",
+            "rank",
+            "doc_id",
+            "spans_supported",
+            "CAST(coalesce(spans_exclusive, 0) AS BIGINT)"
+            " AS spans_exclusive",
+            "n_spans",
+            "CAST(coalesce(covered_any, 0) AS BIGINT) AS covered_any",
+            "n_spans - CAST(coalesce(covered_any, 0) AS BIGINT)"
+            " AS unsupported",
+        )
+        .orderBy("q_id", "rank")
+    )

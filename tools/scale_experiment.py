@@ -372,6 +372,21 @@ OPS = [
     ("pipeline_dedup_cascade_audit", "documents"),
     ("rag_context_dedup_pack", "documents"),
     ("dedup_band_cap_audit", "documents"),
+    # round-14 second session: the model triple (per-user sufficient
+    # statistics + bounded solve/panel — linear scans), the layout
+    # advisory, the hand-rolled parquet read path (metadata + page
+    # decode over the one-file-per-group scratch layouts), k-center
+    # seeding (k bounded scans), and the span-attribution audit
+    # (broadcast query grams into the corpus-gram join).
+    ("agg_logistic_newton", "events"),
+    ("agg_decision_stump", "events"),
+    ("agg_model_auc_exact", "events"),
+    ("maintenance_zorder_pruning_2d", "orders"),
+    ("multimodal_parquet_footer_parse", "documents"),
+    ("multimodal_parquet_page_decode", "documents"),
+    ("multimodal_parquet_dict_page_decode", "documents"),
+    ("sample_kcenter_greedy", "embeddings"),
+    ("rag_citation_grounding", "documents"),
 ]
 
 

@@ -387,6 +387,7 @@ OPS = [
     ("multimodal_parquet_dict_page_decode", "documents"),
     ("sample_kcenter_greedy", "embeddings"),
     ("rag_citation_grounding", "documents"),
+    ("graph_mst_boruvka", "lineitem"),
 ]
 
 

@@ -1050,3 +1050,105 @@ def test_inflate_literal_only_dynamic_block_with_zero_dist_codes():
         w2.put_code(0, 1)
     w2.put_code(1, 1)
     assert inflate(w2.flush()) == b"AAA"
+
+
+def test_rice_window_decoder_matches_bitwise_reference():
+    """Round-14 optimization pin: rice_decode's 64-bit-window unary
+    scan must agree with the per-bit reference decoder on values AND
+    on the ValueError point at every truncation offset."""
+    import random
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _rice_decode_bitwise,
+        rice_decode,
+        rice_encode,
+    )
+
+    rng = random.Random(41)
+    for _ in range(60):
+        k = rng.randrange(0, 8)
+        n = rng.randrange(0, 50)
+        vals = [rng.randrange(0, 1000) for _ in range(n)]
+        blob = rice_encode(vals, k)
+        assert rice_decode(blob, k, n) == vals
+        assert _rice_decode_bitwise(blob, k, n) == vals
+        for cut in range(len(blob)):
+            try:
+                got = ("ok", rice_decode(blob[:cut], k, n))
+            except ValueError:
+                got = ("raise",)
+            try:
+                ref = ("ok", _rice_decode_bitwise(blob[:cut], k, n))
+            except ValueError:
+                ref = ("raise",)
+            assert got == ref
+
+
+def test_jpeg_lut_huffman_matches_bitwise_walk():
+    """Round-14 optimization pin: the peek-16 LUT decode must return
+    the same symbols (and consume the same bits) as the per-bit
+    prefix-map walk over a real Annex-K scan."""
+    import random
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitReader,
+        _jpeg_canonical_codes,
+        _jpeg_huff_lut,
+        _jpeg_read_huff,
+        _jpeg_read_huff_fast,
+        build_jpeg_gray8,
+    )
+
+    rng = random.Random(43)
+    data = bytes(rng.randrange(256) for _ in range(80))
+    jpg = build_jpeg_gray8(data, 8)
+    scan_at = jpg.index(b"\xff\xda") + 2 + 12  # SOS marker + body
+    for tbl_bits, tbl_vals in (
+        (_JPEG_DC_BITS, _JPEG_DC_VALS),
+        (_JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        codes = _jpeg_canonical_codes(list(tbl_bits), list(tbl_vals))
+        table = {(c, ln): v for v, (c, ln) in codes.items()}
+        lut = _jpeg_huff_lut(table)
+        r1 = _JpegBitReader(jpg, scan_at)
+        r2 = _JpegBitReader(jpg, scan_at)
+        for _ in range(40):
+            assert _jpeg_read_huff(r1, table) == _jpeg_read_huff_fast(
+                r2, lut
+            )
+            assert r1.bitpos == r2.bitpos
+
+
+def test_inflate_fixed_lut_matches_tree_walk_and_zlib():
+    """Round-14 optimization pin: the fixed-Huffman LUT path must
+    roundtrip every payload the per-bit tree walk did, stay
+    zlib-acceptable, and keep the truncation contract at every cut."""
+    import random
+    import zlib
+
+    import pytest
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        deflate_fixed_encode,
+        inflate,
+    )
+
+    rng = random.Random(47)
+    for n in (0, 1, 150, 192):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        blob = deflate_fixed_encode(data)
+        assert inflate(blob) == data
+        assert zlib.decompressobj(-15).decompress(blob) == data
+    blob = deflate_fixed_encode(b"truncation contract fixed huffman")
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            inflate(blob[:cut])
+    # LZ77 back-references through the LUT path: zlib level-9 output
+    # on repetitive data uses fixed OR dynamic blocks; both must agree
+    rep = (b"spark graft " * 40)[:400]
+    raw = zlib.compress(rep, 9)[2:-4]
+    assert inflate(raw) == rep

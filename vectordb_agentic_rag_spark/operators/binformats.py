@@ -804,6 +804,26 @@ _GIF_W = 20
 _GIF_MAX_BYTES = 256
 
 
+_LZW_BASE_ENC: dict = {}  # min_size -> {bytes([i]): i} seed table
+_LZW_BASE_DEC: dict = {}  # min_size -> [bytes([i]), ...] seed list
+
+
+def _lzw_enc_base(min_size: int) -> dict:
+    base = _LZW_BASE_ENC.get(min_size)
+    if base is None:
+        base = {bytes([i]): i for i in range(1 << min_size)}
+        _LZW_BASE_ENC[min_size] = base
+    return base
+
+
+def _lzw_dec_base(min_size: int) -> list:
+    base = _LZW_BASE_DEC.get(min_size)
+    if base is None:
+        base = [bytes([i]) for i in range(1 << min_size)] + [b"", b""]
+        _LZW_BASE_DEC[min_size] = base
+    return base
+
+
 def _lzw_encode_gif(data: bytes, min_size: int = 8) -> bytes:
     """GIF-variant LZW encode (LSB-first variable-width codes, CLEAR/
     EOI, code width grows at 2^cs + 1 table entries, dictionary reset
@@ -824,7 +844,7 @@ def _lzw_encode_gif(data: bytes, min_size: int = 8) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table = {bytes([i]): i for i in range(clear)}
+    table = dict(_lzw_enc_base(min_size))
     next_code = eoi + 1
     code_size = min_size + 1
     put(clear, code_size)
@@ -842,7 +862,7 @@ def _lzw_encode_gif(data: bytes, min_size: int = 8) -> bytes:
                 code_size += 1
         else:
             put(clear, code_size)
-            table = {bytes([i]): i for i in range(clear)}
+            table = dict(_lzw_enc_base(min_size))
             next_code = eoi + 1
             code_size = min_size + 1
         w = bytes([ch])
@@ -864,7 +884,7 @@ def _lzw_decode_gif(data: bytes, min_size: int = 8) -> bytes:
     stream = int.from_bytes(data, "little")
     total = len(data) * 8
     pos = 0
-    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    base = _lzw_dec_base(min_size)
     table = list(base)
     next_code = eoi + 1
     code_size = min_size + 1
@@ -1738,26 +1758,75 @@ def _jpeg_magnitude(v: int) -> tuple:
     return cat, bits
 
 
+_JPEG_ENC_CODES: tuple | None = None
+
+
+def _jpeg_enc_codes() -> tuple:
+    """The fixed Annex-K luminance code tables, built once per process
+    (they were being re-derived per encoded file — guide §4.5's
+    init-once rule applied to a pure-Python hot path)."""
+    global _JPEG_ENC_CODES
+    if _JPEG_ENC_CODES is None:
+        _JPEG_ENC_CODES = (
+            _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+            _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS),
+        )
+    return _JPEG_ENC_CODES
+
+
+_JPEG_DCONLY_MEMO: dict = {}
+
+
+def _jpeg_dconly_bits(diff: int) -> tuple:
+    """(value, nbits) of a DC-only block's full emission — DC category
+    code, magnitude bits, EOB — concatenated MSB-first. Pure function
+    of the DC diff under the fixed Annex-K tables; memoized."""
+    ent = _JPEG_DCONLY_MEMO.get(diff)
+    if ent is None:
+        dc_codes, ac_codes = _jpeg_enc_codes()
+        cat, bits = _jpeg_magnitude(diff)
+        v, n = dc_codes[cat]
+        if cat:
+            v = (v << cat) | bits
+            n += cat
+        ecode, eln = ac_codes[0x00]
+        ent = ((v << eln) | ecode, n + eln)
+        _JPEG_DCONLY_MEMO[diff] = ent
+    return ent
+
+
 def _jpeg_encode_scan(blocks_zz: list) -> bytes:
     """Entropy-code quantized coefficient blocks (zigzag order, 64
     ints each) with the Annex K luminance tables — real run-length /
-    EOB / ZRL coding, real byte stuffing."""
-    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    EOB / ZRL coding, real byte stuffing. DC-only blocks (the
+    constant-block builder's whole output) emit DC + EOB without the
+    63-slot AC walk — bit-identical to the general path with
+    last_nz = 0."""
+    dc_codes, ac_codes = _jpeg_enc_codes()
     w = _JpegBitWriter()
     prev_dc = 0
     for bz in blocks_zz:
-        cat, bits = _jpeg_magnitude(bz[0] - prev_dc)
+        diff = bz[0] - prev_dc
         prev_dc = bz[0]
+        if not any(bz[1:]):
+            # DC-only block: DC category code + magnitude bits + EOB as
+            # ONE writer put — bit-identical to the general path with
+            # last_nz = 0 (memoized per diff; the constant-block
+            # builder hits this for every block)
+            v, n = _jpeg_dconly_bits(diff)
+            w.put(v, n)
+            continue
+        cat, bits = _jpeg_magnitude(diff)
         code, ln = dc_codes[cat]
         w.put(code, ln)
         if cat:
             w.put(bits, cat)
         run = 0
         last_nz = 0
-        for i in range(1, 64):
+        for i in range(63, 0, -1):
             if bz[i]:
                 last_nz = i
+                break
         for i in range(1, last_nz + 1):
             if bz[i] == 0:
                 run += 1
@@ -1812,56 +1881,108 @@ def build_jpeg_gray8(pixels: bytes, width_blocks: int) -> bytes:
 
 class _JpegBitReader:
     """Entropy-segment bit reader: un-stuffs 0xFF00, raises ValueError
-    on truncation, stops (raises) at any non-RST marker."""
+    on truncation, stops (raises) at any non-RST marker.
+
+    Round-14 optimization (guide §4.2 — the whole decode is the
+    per-row hot path of multimodal_jpeg_baseline_decode): the segment
+    is un-stuffed in ONE byte pass up front instead of per read_bit
+    call, and reads pull whole bit-groups via int.from_bytes. The
+    end-of-data condition stays LAZY-equivalent: the truncation /
+    marker / restart exception found at the scan's end is recorded and
+    raised only when a read actually needs bits past the un-stuffed
+    region — a cut or RST after the last consumed bit is still never
+    touched, exactly like the old byte-at-a-time reader."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy data")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(self.data):
-                raise ValueError("truncated JPEG entropy data at 0xFF")
-            nxt = self.data[self.pos + 1]
+        buf = bytearray()
+        stuffs = []  # un-stuffed indices whose source pair was FF 00
+        n = len(data)
+        p = pos
+        while True:
+            f = data.find(0xFF, p)
+            if f == -1:
+                buf += data[p:]
+                end_exc: Exception = ValueError(
+                    "truncated JPEG entropy data"
+                )
+                break
+            buf += data[p:f]
+            if f + 1 >= n:
+                end_exc = ValueError("truncated JPEG entropy data at 0xFF")
+                break
+            nxt = data[f + 1]
             if nxt == 0x00:
-                self.pos += 2
+                stuffs.append(len(buf))
+                buf.append(0xFF)
+                p = f + 2
             elif 0xD0 <= nxt <= 0xD7:
                 # restart markers reset DC prediction and byte-align
                 # (spec F.2.2.5) — silently skipping them would decode
                 # WRONG pixels for any DRI-interval file, violating the
                 # family's never-silent-corruption contract (review
                 # r14); the builder never emits them, so raise loudly
-                raise NotImplementedError(
+                end_exc = NotImplementedError(
                     "decoder subset: restart intervals unsupported"
                 )
+                break
             else:
-                raise ValueError("entropy data ended at marker")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                end_exc = ValueError("entropy data ended at marker")
+                break
+        self.buf = bytes(buf)
+        self._stuffs = stuffs
+        self._end_exc = end_exc
+        self._start = pos
+        self.bitpos = 0
+        self.navail = 8 * len(buf)
+
+    @property
+    def pos(self) -> int:
+        """Source offset after the last CONSUMED byte — what the lazy
+        reader's pos was after the same bit consumption. Consuming k
+        un-stuffed bytes consumes k source bytes plus one stuffed 0x00
+        for every FF00 pair among them."""
+        import bisect
+
+        nbytes = (self.bitpos + 7) >> 3
+        return (
+            self._start + nbytes + bisect.bisect_left(self._stuffs, nbytes)
+        )
 
     def read_bit(self) -> int:
-        if not self.nbits:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bp = self.bitpos
+        if bp >= self.navail:
+            raise self._end_exc
+        self.bitpos = bp + 1
+        return (self.buf[bp >> 3] >> (7 - (bp & 7))) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n <= 0:
+            return 0
+        bp = self.bitpos
+        end = bp + n
+        if end > self.navail:
+            # lazy reader consumed the available bits, then raised on
+            # the fill past the end — observable outcome is identical
+            raise self._end_exc
+        first = bp >> 3
+        last = (end - 1) >> 3
+        chunk = int.from_bytes(self.buf[first : last + 1], "big")
+        self.bitpos = end
+        return (chunk >> (((last + 1) << 3) - end)) & ((1 << n) - 1)
+
+
+_JPEG_DHT_CACHE: dict = {}
 
 
 def _jpeg_decode_tables(body: bytes) -> dict:
     """Parse one DHT segment body into {(class, id): prefix-map
-    {(code, length): value}}."""
+    {(code, length): value}}. Memoized on the raw segment bytes —
+    the corpus repeats the identical Annex-K DHT in every file, and
+    the parse is a pure function of the body. Callers must not mutate
+    the returned maps (decode only reads them)."""
+    hit = _JPEG_DHT_CACHE.get(body)
+    if hit is not None:
+        return hit
     tables = {}
     pos = 0
     while pos < len(body):
@@ -1878,6 +1999,7 @@ def _jpeg_decode_tables(body: bytes) -> dict:
             (code, ln): v for v, (code, ln) in codes.items()
         }
         pos += 17 + nvals
+    _JPEG_DHT_CACHE[bytes(body)] = tables
     return tables
 
 
@@ -1889,6 +2011,62 @@ def _jpeg_read_huff(r: "_JpegBitReader", table: dict) -> int:
         if v is not None:
             return v
     raise ValueError("invalid JPEG Huffman code")
+
+
+_JPEG_CONST_BLOCKS = [bytes([p]) * 64 for p in range(256)]
+
+_JPEG_HUFF_LUT_CACHE: dict = {}
+
+
+def _jpeg_huff_lut(table: dict) -> list:
+    """Compile a {(code, length): value} prefix map into a peek-16
+    lookup list: lut[word] = (value, length) for every 16-bit word
+    whose prefix is a code, else None. Cached per distinct table —
+    JPEG code lengths cap at 16 (B.2.4.2), and the corpus repeats the
+    same Annex-K DHT in every file, so the one-time 65k fill amortizes
+    across all decodes (guide §4.5: heavyweight init once)."""
+    hit = _JPEG_HUFF_LUT_CACHE.get(id(table))
+    if hit is not None and hit[0] is table:
+        return hit[1]
+    lut = [None] * 65536
+    for (code, ln), v in table.items():
+        base = code << (16 - ln)
+        ent = (v, ln)
+        for word in range(base, base + (1 << (16 - ln))):
+            lut[word] = ent
+    # keyed by object identity WITH a strong reference to the table:
+    # the DHT parse memo returns the same dict for the same segment
+    # bytes, and holding the key object makes id-reuse impossible for
+    # live entries (a stale id simply misses and rebuilds)
+    _JPEG_HUFF_LUT_CACHE[id(table)] = (table, lut)
+    return lut
+
+
+def _jpeg_read_huff_fast(r: "_JpegBitReader", lut: list) -> int:
+    """LUT-probe decode, observably identical to _jpeg_read_huff: a
+    match longer than the remaining bits (or no match with the scan
+    exhausted before 16 bits) raises the reader's recorded end
+    exception, exactly where the bit-by-bit walk would have."""
+    bp = r.bitpos
+    avail = r.navail - bp
+    take = 16 if avail >= 16 else avail
+    if take > 0:
+        first = bp >> 3
+        last = (bp + take - 1) >> 3
+        chunk = int.from_bytes(r.buf[first : last + 1], "big")
+        word = (
+            (chunk >> (((last + 1) << 3) - (bp + take)))
+            & ((1 << take) - 1)
+        ) << (16 - take)
+    else:
+        word = 0
+    ent = lut[word]
+    if ent is not None and ent[1] <= avail:
+        r.bitpos = bp + ent[1]
+        return ent[0]
+    if avail >= 16:
+        raise ValueError("invalid JPEG Huffman code")
+    raise r._end_exc
 
 
 def _jpeg_extend(bits: int, cat: int) -> int:
@@ -2018,40 +2196,57 @@ def decode_jpeg_gray8(payload: bytes) -> tuple:
     if dc_tab is None or ac_tab is None:
         raise ValueError("missing Huffman tables")
     q = qt[0]
+    dc_lut = _jpeg_huff_lut(dc_tab)
+    ac_lut = _jpeg_huff_lut(ac_tab)
     w_b, h_b = -(-width // 8), -(-height // 8)
     r = _JpegBitReader(payload, scan_at)
     pixels = bytearray(width * height)
     prev_dc = 0
     for by in range(h_b):
+        base_py = by * 8
+        max_yy = min(8, height - base_py)
         for bx in range(w_b):
-            zz = [0] * 64
-            cat = _jpeg_read_huff(r, dc_tab)
+            cat = _jpeg_read_huff_fast(r, dc_lut)
             prev_dc += _jpeg_extend(r.read_bits(cat), cat)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _jpeg_read_huff(r, ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += rs >> 4
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _jpeg_extend(r.read_bits(rs & 0x0F), rs & 0x0F)
-                i += 1
-            coeffs = [0] * 64
-            for k in range(64):
-                coeffs[_JPEG_ZIGZAG[k]] = zz[k] * q[k]
-            blk = _jpeg_idct_block(coeffs)
-            for yy in range(8):
-                py = by * 8 + yy
-                if py >= height:
-                    break
-                row_off = py * width + bx * 8
-                for xx in range(min(8, width - bx * 8)):
-                    pixels[row_off + xx] = blk[yy * 8 + xx]
+            rs = _jpeg_read_huff_fast(r, ac_lut)
+            if rs == 0x00:
+                # DC-only block (EOB straight after DC — every block of
+                # the constant-block builder): closed-form IDCT, same
+                # expression as _jpeg_idct_block's DC fast path
+                p = int(round((prev_dc * q[0]) / 8.0)) + 128
+                p = 0 if p < 0 else 255 if p > 255 else p
+                blk = _JPEG_CONST_BLOCKS[p]
+            else:
+                zz = [0] * 64
+                zz[0] = prev_dc
+                i = 1
+                while True:
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                    else:
+                        i += rs >> 4
+                        if i > 63:
+                            raise ValueError("AC run past block end")
+                        s = rs & 0x0F
+                        zz[i] = _jpeg_extend(r.read_bits(s), s)
+                        i += 1
+                    if i >= 64:
+                        break
+                    rs = _jpeg_read_huff_fast(r, ac_lut)
+                coeffs = [0] * 64
+                for k in range(64):
+                    coeffs[_JPEG_ZIGZAG[k]] = zz[k] * q[k]
+                blk = bytes(_jpeg_idct_block(coeffs))
+            px0 = bx * 8
+            xlen = 8 if width - px0 >= 8 else width - px0
+            row_off = base_py * width + px0
+            for yy in range(max_yy):
+                pixels[row_off : row_off + xlen] = blk[
+                    yy * 8 : yy * 8 + xlen
+                ]
+                row_off += width
     # the truncation contract (GIF/TIFF): a file cut anywhere must
     # raise — after the last block only pad bits and EOI may remain
     if payload.find(b"\xff\xd9", r.pos) == -1:
@@ -2190,31 +2385,100 @@ def rice_encode(values: list, k: int) -> bytes:
     """Rice-code non-negative ints with parameter k: unary quotient
     (q ones, one zero) + k-bit MSB-first remainder per value; the
     final byte is zero-padded (the decoder reads a declared COUNT, so
-    pad bits are never interpreted)."""
+    pad bits are never interpreted).
+
+    Round-14: the whole stream accumulates in ONE big int and
+    converts with a single to_bytes — the per-value byte-drain loop
+    was the encoder's hot path in multimodal_rice_codec_stats. Each
+    value appends (q ones)(one zero)(k remainder bits), identical
+    bit layout to the drained version."""
     acc = 0
     nbits = 0
-    out = bytearray()
+    mask_k = (1 << k) - 1
     for v in values:
         if v < 0:
             raise ValueError("rice_encode takes non-negative values")
         q = v >> k
-        # q ones then a zero
-        acc = (acc << (q + 1)) | (((1 << q) - 1) << 1)
-        nbits += q + 1
-        acc = (acc << k) | (v & ((1 << k) - 1))
-        nbits += k
-        while nbits >= 8:
-            out.append((acc >> (nbits - 8)) & 0xFF)
-            nbits -= 8
-            acc &= (1 << nbits) - 1
-    if nbits:
-        out.append((acc << (8 - nbits)) & 0xFF)
-    return bytes(out)
+        acc = (
+            (acc << (q + 1 + k))
+            | (((1 << q) - 1) << (k + 1))
+            | (v & mask_k)
+        )
+        nbits += q + 1 + k
+    if not nbits:
+        return b""
+    pad = (-nbits) % 8
+    return (acc << pad).to_bytes((nbits + pad) >> 3, "big")
 
 
 def rice_decode(data: bytes, k: int, n: int) -> list:
     """Decode n Rice-coded values; raises ValueError when the
-    bitstream is truncated (the GIF/TIFF contract)."""
+    bitstream is truncated (the GIF/TIFF contract).
+
+    Round-14 optimization (guide §4.2 — this is the per-row hot loop
+    of multimodal_rice_codec_stats): unary quotients scan whole
+    64-bit windows for the terminating 0 (flip + bit_length finds it
+    in O(1)) and remainders pull k bits in one int.from_bytes, in
+    place of the per-bit closure reader (same truncation points —
+    a read past the last bit raises exactly where the bit loop did)."""
+    out = []
+    pos = 0
+    total_bits = 8 * len(data)
+    mask_k = (1 << k) - 1
+    for _ in range(n):
+        if pos >= total_bits:
+            raise ValueError("truncated Rice bitstream")
+        # fast path: quotient AND remainder inside one 9-byte window
+        b0 = pos >> 3
+        win = data[b0 : b0 + 9]
+        avail = 8 * len(win) - (pos & 7)
+        w = int.from_bytes(win, "big") & ((1 << avail) - 1)
+        flip = w ^ ((1 << avail) - 1)
+        if flip:
+            run = avail - flip.bit_length()
+            rest = avail - run - 1  # bits left after the zero
+            if rest >= k:
+                out.append(
+                    (run << k) | ((w >> (rest - k)) & mask_k)
+                )
+                pos += run + 1 + k
+                continue
+        # slow path: unary run or remainder crosses the window
+        q = 0
+        while True:
+            if pos >= total_bits:
+                raise ValueError("truncated Rice bitstream")
+            b0 = pos >> 3
+            win = data[b0 : b0 + 8]
+            avail = 8 * len(win) - (pos & 7)
+            w = int.from_bytes(win, "big") & ((1 << avail) - 1)
+            flip = w ^ ((1 << avail) - 1)
+            if flip == 0:
+                q += avail
+                pos += avail
+                continue
+            run = avail - flip.bit_length()
+            q += run
+            pos += run + 1  # consume the terminating 0
+            break
+        if k:
+            if pos + k > total_bits:
+                raise ValueError("truncated Rice bitstream")
+            b0 = pos >> 3
+            last = (pos + k - 1) >> 3
+            chunk = int.from_bytes(data[b0 : last + 1], "big")
+            rem = (chunk >> (((last + 1) << 3) - (pos + k))) & mask_k
+            pos += k
+        else:
+            rem = 0
+        out.append((q << k) | rem)
+    return out
+
+
+def _rice_decode_bitwise(data: bytes, k: int, n: int) -> list:
+    """Reference per-bit decoder (the pre-optimization shape) — kept
+    as the equivalence witness for rice_decode's window scan; pinned
+    against it by pytest on random streams and every truncation."""
     out = []
     pos = 0
     total_bits = 8 * len(data)
@@ -2378,6 +2642,9 @@ def multimodal_rice_codec_stats(
 # bitstream is genuine deflate, not a private format.
 
 
+_DEFLATE_REV_MEMO: dict = {}
+
+
 class _DeflateBitWriter:
     """LSB-first bit packer (RFC 1951 §3.1.1)."""
 
@@ -2399,9 +2666,20 @@ class _DeflateBitWriter:
     def put_code(self, code: int, length: int) -> None:
         """Write a Huffman code: MSB of the code first (§3.1.1:
         'Huffman codes are packed starting with the most-significant
-        bit of the code')."""
-        for i in range(length - 1, -1, -1):
-            self.put_lsb((code >> i) & 1, 1)
+        bit of the code'). Emitting the bit-REVERSED code LSB-first
+        produces the identical bitstream in one put (round-14: the
+        per-bit loop was 8-9 put_lsb calls per literal in
+        deflate_fixed_encode's hot path); reversals are memoized —
+        the alphabet is small and fixed."""
+        ent = _DEFLATE_REV_MEMO.get((code, length))
+        if ent is None:
+            rev = 0
+            c = code
+            for _ in range(length):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            _DEFLATE_REV_MEMO[(code, length)] = ent = rev
+        self.put_lsb(ent, length)
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -2500,6 +2778,32 @@ _FIXED_LIT_TREE = _HuffTree(
 )
 _FIXED_DIST_TREE = _HuffTree([5] * 30)
 
+
+def _deflate_lut15(tree: _HuffTree) -> list:
+    """Compile a _HuffTree into a peek-15 lookup list indexed by the
+    next 15 bits in LSB-first READ order: lut[word] = (symbol,
+    length), None where no code matches. Built once per tree and
+    cached on the instance — inflate uses it only for the two module-
+    level FIXED trees (a per-dynamic-block 32k fill would cost more
+    than the walk it replaces). Deflate code lengths cap at 15
+    (RFC 1951 §3.2.7), the same bound _HuffTree.decode walks."""
+    lut = getattr(tree, "_lut15", None)
+    if lut is None:
+        lut = [None] * (1 << 15)
+        for ln, (first, syms) in tree.by_len.items():
+            for idx, sym in enumerate(syms):
+                code = first + idx
+                rev = 0
+                c = code
+                for _ in range(ln):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                ent = (sym, ln)
+                for j in range(rev, 1 << 15, 1 << ln):
+                    lut[j] = ent
+        tree._lut15 = lut
+    return lut
+
 # code-length-code transmission order (RFC 1951 §3.2.7)
 _CLC_ORDER = [
     16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15,
@@ -2531,10 +2835,37 @@ def inflate(payload: bytes) -> bytes:
         return b
 
     def bits_lsb(n: int) -> int:
-        v = 0
-        for i in range(n):
-            v |= bit() << i
-        return v
+        # bulk LSB-first read (round-14): one int.from_bytes window in
+        # place of n bit() calls; raises at the same crossing point
+        nonlocal pos
+        if n == 0:
+            return 0
+        if pos + n > total:
+            raise ValueError("truncated deflate stream")
+        b0 = pos >> 3
+        w = int.from_bytes(
+            payload[b0 : b0 + (((pos & 7) + n + 7) >> 3)], "little"
+        ) >> (pos & 7)
+        pos += n
+        return w & ((1 << n) - 1)
+
+    def read_code_lut(lut: list) -> int:
+        # peek-15 decode against a _deflate_lut15 table; observably
+        # identical to _HuffTree.decode(bit): a match needing more
+        # bits than remain (or no match with <15 bits left) raises
+        # "truncated deflate stream" exactly where the walk would,
+        # and a 15-bit non-match is the walk's "invalid Huffman code"
+        nonlocal pos
+        b0 = pos >> 3
+        w = int.from_bytes(payload[b0 : b0 + 4], "little") >> (pos & 7)
+        ent = lut[w & 0x7FFF]
+        avail = total - pos
+        if ent is not None and ent[1] <= avail:
+            pos += ent[1]
+            return ent[0]
+        if avail >= 15:
+            raise ValueError("invalid Huffman code")
+        raise ValueError("truncated deflate stream")
 
     def read_dynamic_trees() -> tuple:
         hlit = bits_lsb(5) + 257
@@ -2568,9 +2899,18 @@ def inflate(payload: bytes) -> bytes:
             _HuffTree(dist_lengths) if any(dist_lengths) else None,
         )
 
-    def block(lit_tree: _HuffTree, dist_tree: _HuffTree) -> None:
+    def block(
+        lit_tree: _HuffTree,
+        dist_tree: _HuffTree,
+        lit_lut: list | None = None,
+        dist_lut: list | None = None,
+    ) -> None:
         while True:
-            sym = lit_tree.decode(bit)
+            sym = (
+                read_code_lut(lit_lut)
+                if lit_lut is not None
+                else lit_tree.decode(bit)
+            )
             if sym == 256:
                 return
             if sym < 256:
@@ -2584,14 +2924,24 @@ def inflate(payload: bytes) -> bytes:
                 raise ValueError(
                     "length symbol in a block with no distance codes"
                 )
-            dcode = dist_tree.decode(bit)
+            dcode = (
+                read_code_lut(dist_lut)
+                if dist_lut is not None
+                else dist_tree.decode(bit)
+            )
             if dcode > 29:
                 raise ValueError("invalid distance code")
             dist = _DIST_BASE[dcode] + bits_lsb(_DIST_EXTRA[dcode])
             if dist > len(out):
                 raise ValueError("distance before stream start")
-            for _ in range(length):
-                out.append(out[-dist])
+            if dist >= length:
+                # non-overlapping back-reference: one bulk slice copy
+                start = len(out) - dist
+                out.extend(out[start : start + length])
+            else:
+                # overlapping copies replay byte-wise (RFC 1951 §3.2.3)
+                for _ in range(length):
+                    out.append(out[-dist])
 
     while True:
         bfinal = bit()
@@ -2611,7 +2961,12 @@ def inflate(payload: bytes) -> bytes:
             out += payload[start : start + ln]
             pos += 8 * ln
         elif btype == 0b01:
-            block(_FIXED_LIT_TREE, _FIXED_DIST_TREE)
+            block(
+                _FIXED_LIT_TREE,
+                _FIXED_DIST_TREE,
+                _deflate_lut15(_FIXED_LIT_TREE),
+                _deflate_lut15(_FIXED_DIST_TREE),
+            )
         elif btype == 0b10:
             lit_tree, dist_tree = read_dynamic_trees()
             block(lit_tree, dist_tree)

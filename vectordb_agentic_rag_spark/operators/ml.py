@@ -600,12 +600,29 @@ def _ivf16_newdim(i: int) -> str:
     )
 
 
+_IVF16_ASG_CACHE: dict = {}
+
+
 def _ivf16_assignments(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(corpus assignments (vec_id, cl), query probes (query_id, cl))
-    of the SQL-exact IVF quantizer — the Spark twin of
-    _ivf16_oracle_ctes, expression text shared verbatim."""
+    """(corpus assignments (vec_id, cl), query probes (query_id, cl,
+    pr)) of the SQL-exact IVF quantizer — the Spark twin of
+    _ivf16_oracle_ctes, expression text shared verbatim.
+
+    Session-cached as localCheckpointed frames (round-14 optimization,
+    the _cosupply_edges / _IVF_PANEL_CACHE rule): the T+1 unrolled
+    Lloyd rounds are the STORED-INDEX build a serving system pays once
+    — four consumers (vec_ivf_ann, vec_ivfpq_ann,
+    vec_ivf_list_balance_audit, the IVF candidate panel) were each
+    re-deriving the whole 3-pass training DAG per DataFrame build
+    (OPS_BENCH r14 before: 11.0 / 18.8 / 12.4 s per call). Both frames
+    are corpus-bounded: asg = one (vec_id, cl) row per corpus vector,
+    probes = 10 queries x 16 lists."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVF16_ASG_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = table(spark, sf_dir, "embeddings")
     dims = range(1, _IVF16_D + 1)
     K, T = _IVF16_K, _IVF16_T
@@ -680,7 +697,12 @@ def _ivf16_assignments(
     )
     # ALL 16 ranked lists are returned (vec_ann_recall_sweep reads the
     # full frontier); point lookups filter pr <= _IVF16_NPROBE
-    return asg.select("vec_id", "cl"), probes
+    hit = (
+        asg.select("vec_id", "cl").localCheckpoint(),
+        probes.localCheckpoint(),
+    )
+    _IVF16_ASG_CACHE[key] = hit
+    return hit
 
 
 def _ivf16_oracle_ctes() -> list[str]:
@@ -1026,11 +1048,27 @@ def _pq16_lut_expr() -> str:
     return f"CAST(round({dot}, 9) AS DECIMAL(18,9))"
 
 
+_PQ16_FRAMES_CACHE: dict = {}
+
+
 def _pq16_frames(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(codes (vec_id, m, code), lut (query_id, m, code, lutv)) of the
-    SQL-exact PQ — Spark twin of _pq16_oracle_ctes."""
+    SQL-exact PQ — Spark twin of _pq16_oracle_ctes.
+
+    Session-cached as localCheckpointed frames (round-14, same rule as
+    _ivf16_assignments): the codebook refinement is the stored-index
+    build; vec_pq_ann and vec_ivfpq_ann were re-deriving the T-round
+    encode/refine DAG per call (OPS_BENCH r14 before: 8.3 / 18.8 s).
+    codes = M rows per corpus vector, lut = 10 queries x M x K — both
+    corpus-bounded. The LUT expression text is part of the cache key
+    so the recall-collapse pytests (which monkeypatch _pq16_lut_expr
+    to zero) still build — and fail — their own frames."""
+    key = (spark.sparkContext.applicationId, sf_dir, _pq16_lut_expr())
+    hit = _PQ16_FRAMES_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = table(spark, sf_dir, "embeddings")
     D = _PQ16_M * _PQ16_SUB
     dims = range(1, D + 1)
@@ -1104,7 +1142,9 @@ def _pq16_frames(
     lut = qsub.join(F.broadcast(cb), "m").select(
         "query_id", "m", "code", F.expr(_pq16_lut_expr()).alias("lutv")
     )
-    return codes, lut
+    hit = (codes.localCheckpoint(), lut.localCheckpoint())
+    _PQ16_FRAMES_CACHE[key] = hit
+    return hit
 
 
 def _pq16_oracle_ctes() -> list[str]:

@@ -106,13 +106,23 @@ def test_triangles_match_bruteforce(spark):
 
 
 def test_triangle_closure_is_semi_join(spark):
-    plan = plan_of(QUERIES["graph_triangle_cosupply"](spark, SF))
-    assert "LeftSemi" in plan  # wedges close via semi-join, never materialize
-    assert "TakeOrderedAndProject" in plan
-    assert "CartesianProduct" not in plan
+    # round-14: the wedge pass runs once per session (_tri_per_node is
+    # checkpointed, shared with graph_clustering_coefficient); the
+    # closure shape is pinned on the LAZY derivation, the op plan on
+    # its own tail
+    from vectordb_agentic_rag_spark.operators.analytics2 import (
+        _tri_per_node_plan,
+    )
+
+    tri_plan = plan_of(_tri_per_node_plan(spark, SF))
+    assert "LeftSemi" in tri_plan  # wedges close via semi-join
+    assert "CartesianProduct" not in tri_plan
     # degree-oriented: the wedge self-join pivots on the oriented
     # source key s (both join keys named s), never the raw u/v ids
-    assert "Left keys [1]: [s#" in plan, plan[:3000]
+    assert "Left keys [1]: [s#" in tri_plan, tri_plan[:3000]
+    plan = plan_of(QUERIES["graph_triangle_cosupply"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
 
 
 # ------------------------------------------------------------ eval metrics

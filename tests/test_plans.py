@@ -584,10 +584,18 @@ def test_bollinger_single_partitioned_exchange(spark, sf_dir):
 
 
 def test_clustering_coef_composes_triangle_shape(spark, sf_dir):
+    # the wedge-mass pass runs once per session at cache-build time
+    # (round-14: _tri_per_node is checkpointed, shared with
+    # graph_triangle_cosupply); its semi-join closure shape is pinned
+    # on the LAZY derivation
+    from vectordb_agentic_rag_spark.operators.analytics2 import (
+        _tri_per_node_plan,
+    )
+
+    tri_plan = plan_of(_tri_per_node_plan(spark, sf_dir))
+    assert "LeftSemi" in tri_plan
     plan = plan_of(QUERIES["graph_clustering_coefficient"](spark, sf_dir))
-    # triangle closure stays a semi-join; top-20 is TakeOrdered; the
-    # supplier dim joins broadcast
-    assert "LeftSemi" in plan
+    # top-20 is TakeOrdered; the supplier dim joins broadcast
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
 

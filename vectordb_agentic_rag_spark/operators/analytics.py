@@ -932,10 +932,23 @@ def _km_asg_ctes() -> list[str]:
     return parts
 
 
+_KM_ASG_CACHE: dict = {}
+
+
 def _km_assignments(spark: SparkSession, sf_dir: str):
     """Spark twin of _km_asg_ctes: the final Lloyd assignment frame
     (vec_id, e1..eD, d0..d{K-1}, cl) plus the final centroid frame —
-    the exact plan vec_kmeans_lloyd aggregates over."""
+    the exact plan vec_kmeans_lloyd aggregates over.
+
+    Session-cached as localCheckpointed frames (round-14, the
+    _ivf16_assignments rule): two registered ops (vec_kmeans_lloyd,
+    dedup_semantic_cluster_purge) were each re-running the 3-iteration
+    unrolled Lloyd chain per DataFrame build. Both frames are
+    corpus-bounded: asg = one row per embedding, cent = k rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KM_ASG_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = table(spark, sf_dir, "embeddings")
     dims = range(1, _KM_D + 1)
     pts = emb.select(
@@ -970,7 +983,9 @@ def _km_assignments(spark: SparkSession, sf_dir: str):
             cent = asg.groupBy("cl").agg(
                 *[F.expr(_km_newdim(i)).alias(f"c{i}") for i in dims]
             )
-    return asg, cent
+    hit = (asg.localCheckpoint(), cent.localCheckpoint())
+    _KM_ASG_CACHE[key] = hit
+    return hit
 
 
 def _km_oracle() -> str:

@@ -630,6 +630,9 @@ _TRI_PN_CTES = """
 """
 
 
+_TRI_PER_NODE_CACHE: dict = {}
+
+
 def _tri_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (node, tri_count) on the support-3
     co-supply graph — the degree-oriented wedge listing shared by
@@ -638,7 +641,25 @@ def _tri_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oriented edge list comes from the session-cached checkpoint
     (_oriented_cosupply_edges, round 13) — er is referenced three
     times below (two wedge sides + the closure probe), the exact
-    re-derivation fan-out the cache exists for."""
+    re-derivation fan-out the cache exists for. Round 14 extends the
+    same rule one level up: the per-node counts themselves are a
+    node-bounded frame (<= |S| rows) consumed by TWO registered ops,
+    each of which was re-running the full wedge-mass pass (184M wedges
+    at sf0.1 support-3) per DataFrame build — OPS_BENCH r14 before:
+    9.2 s clustering_coefficient + 6.9 s triangle_cosupply per call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TRI_PER_NODE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    hit = _tri_per_node_plan(spark, sf_dir).localCheckpoint()
+    _TRI_PER_NODE_CACHE[key] = hit
+    return hit
+
+
+def _tri_per_node_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY wedge-listing derivation behind _tri_per_node — split
+    out so tests/test_plans.py can pin the semi-join closure shape
+    that now executes at cache-build time."""
     er = _oriented_cosupply_edges(spark, sf_dir)
     x = er.select("s", F.col("t").alias("t1"), F.col("dt").alias("dt1"))
     y = er.select("s", F.col("t").alias("t2"), F.col("dt").alias("dt2"))

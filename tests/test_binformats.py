@@ -1106,7 +1106,9 @@ def test_jpeg_lut_huffman_matches_bitwise_walk():
     rng = random.Random(43)
     data = bytes(rng.randrange(256) for _ in range(80))
     jpg = build_jpeg_gray8(data, 8)
-    scan_at = jpg.index(b"\xff\xda") + 2 + 12  # SOS marker + body
+    # entropy data starts right after SOS: marker (2) + declared
+    # segment length (8 = 2 length bytes + 6 body bytes)
+    scan_at = jpg.index(b"\xff\xda") + 2 + 8
     for tbl_bits, tbl_vals in (
         (_JPEG_DC_BITS, _JPEG_DC_VALS),
         (_JPEG_AC_BITS, _JPEG_AC_VALS),

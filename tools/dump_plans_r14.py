@@ -16,18 +16,13 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-HEADLINE = [
-    "agg_hash_group",
-    "join_shuffle_equi",
-    "vec_cosine_topk",
-    "win_rank_topk_per_group",
-    "text_tokenize_stats",
-]
-
-
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
-    names = sys.argv[2:] or HEADLINE
+    # default = the five headline bench ops, imported from bench.py so
+    # this tool cannot drift from what the bench actually times
+    from bench import HEADLINE
+
+    names = sys.argv[2:] or list(HEADLINE.values())
 
     from vectordb_agentic_rag_spark import QUERIES, load_all_operators
     from vectordb_agentic_rag_spark.session import get_spark

@@ -380,14 +380,24 @@ OPS = [
     # (broadcast query grams into the corpus-gram join).
     ("agg_logistic_newton", "events"),
     ("agg_decision_stump", "events"),
-    ("agg_model_auc_exact", "events"),
+    # agg_model_auc_exact is EXCLUDED: the sf1x blow-up multiplies
+    # per-user purchase counts 10x without shifting user_id, so the
+    # np >= 12 adopter label saturates (probed r14: 1500/1500 users
+    # positive) and AUC is undefined with one class — the Mann-Whitney
+    # denominator 2*n1*n0 is zero and the op correctly raises under
+    # ANSI. Blow-up degeneracy, not an op defect (the
+    # agg_tost_equivalence / agg_unseen_vocab_estimate precedent); it
+    # crashed the r14 audit mid-run before this comment existed.
     ("maintenance_zorder_pruning_2d", "orders"),
     ("multimodal_parquet_footer_parse", "documents"),
     ("multimodal_parquet_page_decode", "documents"),
     ("multimodal_parquet_dict_page_decode", "documents"),
     ("sample_kcenter_greedy", "embeddings"),
     ("rag_citation_grounding", "documents"),
-    ("graph_mst_boruvka", "lineitem"),
+    # graph_mst_boruvka is a SURVEY round-15 QUEUE candidate, not a
+    # registered op — 51d0d3a added it to this list prematurely and it
+    # KeyError'd the r14 audit at the very last entry; re-add when the
+    # op actually registers.
 ]
 
 

@@ -2387,14 +2387,16 @@ def rice_encode(values: list, k: int) -> bytes:
     final byte is zero-padded (the decoder reads a declared COUNT, so
     pad bits are never interpreted).
 
-    Round-14: the whole stream accumulates in ONE big int and
-    converts with a single to_bytes — the per-value byte-drain loop
-    was the encoder's hot path in multimodal_rice_codec_stats. Each
-    value appends (q ones)(one zero)(k remainder bits), identical
-    bit layout to the drained version."""
+    Round-14: the stream accumulates in one big int, drained to bytes
+    in 1 KB chunks (keeps total cost linear in stream bits — a single
+    undrained int would make each append copy the whole accumulator) —
+    the per-VALUE byte-drain loop was the encoder's hot path in
+    multimodal_rice_codec_stats. Each value appends (q ones)(one zero)
+    (k remainder bits), identical bit layout to the old drain."""
     acc = 0
     nbits = 0
     mask_k = (1 << k) - 1
+    out = bytearray()
     for v in values:
         if v < 0:
             raise ValueError("rice_encode takes non-negative values")
@@ -2405,10 +2407,17 @@ def rice_encode(values: list, k: int) -> bytes:
             | (v & mask_k)
         )
         nbits += q + 1 + k
-    if not nbits:
-        return b""
-    pad = (-nbits) % 8
-    return (acc << pad).to_bytes((nbits + pad) >> 3, "big")
+        if nbits >= 8192:
+            # drain the OLDEST (top) whole bytes; the bottom partial
+            # byte stays in acc
+            rem = nbits & 7
+            out += (acc >> rem).to_bytes(nbits >> 3, "big")
+            acc &= (1 << rem) - 1
+            nbits = rem
+    if nbits:
+        pad = (-nbits) % 8
+        out += (acc << pad).to_bytes((nbits + pad) >> 3, "big")
+    return bytes(out)
 
 
 def rice_decode(data: bytes, k: int, n: int) -> list:

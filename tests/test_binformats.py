@@ -227,6 +227,47 @@ def test_bmp_rejects_non_bmp_and_truncation():
         decode_bmp_gray8(full[:-10])
 
 
+def test_lzw_trie_encoder_matches_bytewise_reference():
+    """The int-keyed trie encoder must emit byte-identical streams to
+    the kept bytes-keyed reference over every adversarial shape: empty,
+    KwKwK chains, width-growth boundaries, full-dictionary resets, and
+    random data (the r14 keep-the-reference-and-pin pattern)."""
+    import random
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _lzw_encode_gif,
+        _lzw_encode_gif_bytewise,
+    )
+
+    random.seed(11)
+    cases = [
+        b"",
+        b"x",
+        b"aaaaaaaaaaaaaaaa",
+        b"abababababababab",
+        bytes(range(256)) * 3,
+        bytes([0]) * 6000,
+        bytes(random.randrange(256) for _ in range(25000)),  # resets
+        bytes(random.randrange(3) for _ in range(30000)),
+    ]
+    for c in cases:
+        assert _lzw_encode_gif(c) == _lzw_encode_gif_bytewise(c), len(c)
+    # non-default min_size exercises the seed-table width
+    for ms in (2, 4, 7):
+        data = bytes(random.randrange(1 << ms) for _ in range(4000))
+        assert _lzw_encode_gif(data, ms) == _lzw_encode_gif_bytewise(
+            data, ms
+        ), ms
+    # out-of-alphabet bytes fail LOUDLY on both (the reference has no
+    # seed entry; the trie must not emit a colliding code silently)
+    import pytest
+
+    with pytest.raises(ValueError, match="alphabet"):
+        _lzw_encode_gif(bytes([0, 1, 6]), 2)
+    with pytest.raises(KeyError):
+        _lzw_encode_gif_bytewise(bytes([0, 1, 6]), 2)
+
+
 def test_gif_lzw_adversarial_roundtrips():
     """KwKwK self-reference, code-width growth, and >4096-entry
     dictionary resets all roundtrip; corruption raises."""
@@ -1082,6 +1123,31 @@ def test_rice_window_decoder_matches_bitwise_reference():
             except ValueError:
                 ref = ("raise",)
             assert got == ref
+
+
+def test_jpeg_over_subscribed_dht_rejected():
+    """A crafted DHT whose length counts violate Kraft (three codes of
+    length 1) must raise at parse time: a non-prefix-free table is the
+    one input where the peek-LUT and the bit-walk could legally
+    disagree, so rejecting it makes their equivalence unconditional
+    (r15 ADVICE item)."""
+    import pytest
+
+    from vectordb_agentic_rag_spark.operators.binformats import (
+        _jpeg_canonical_codes,
+        _jpeg_decode_tables,
+    )
+
+    bad_bits = [3] + [0] * 15  # 3 codes of length 1 > 2^1
+    with pytest.raises(ValueError, match="over-subscribed"):
+        _jpeg_canonical_codes(bad_bits, [0, 1, 2])
+    body = bytes([0x00]) + bytes(bad_bits) + bytes([0, 1, 2])
+    with pytest.raises(ValueError, match="over-subscribed"):
+        _jpeg_decode_tables(body)
+    # a saturated-but-valid table (2 codes of length 1) still parses
+    ok_bits = [2] + [0] * 15
+    codes = _jpeg_canonical_codes(ok_bits, [0, 1])
+    assert codes == {0: (0, 1), 1: (1, 1)}
 
 
 def test_jpeg_lut_huffman_matches_bitwise_walk():

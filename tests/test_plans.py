@@ -1144,12 +1144,21 @@ def test_chow_one_conditional_moment_scan(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
 
-def test_column_profile_single_expand_scan(spark, sf_dir):
-    # the six distinct aggregates compile to ONE orders scan through
-    # an Expand (multi-distinct), never one scan per column
+def test_column_profile_two_pass_hash_agg(spark, sf_dir):
+    # r15 split: the six distinct aggregates still compile to ONE
+    # Expand-based multi-distinct pass (never one scan per column),
+    # now HASH-aggregated — the string min/max buffers that used to
+    # force the whole expanded pass through SortAggregate run in
+    # their own ungrouped (sort-free) second pass. Two scans total.
     plan = plan_of(QUERIES["maintenance_column_profile"](spark, sf_dir))
-    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("Location: InMemoryFileIndex") == 2
     assert "Expand" in plan
+    assert "HashAggregate" in plan
+    # the only Sort node left is the final 6-row orderBy(col_name) —
+    # the formatted plan lists every node twice (tree + detail), so
+    # one real Sort = 2 matches; the old combined form sorted the
+    # expanded fact rows twice more (6 matches)
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= 2
     assert "BatchEvalPython" not in plan
 
 

@@ -28,12 +28,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# (applicationId, cache_key) -> checkpointed bucket assignment. The
+# localCheckpoint below is EAGER per DataFrame build (the r13 lesson:
+# a ckpt inside an op body re-derives on every build — for the
+# abc-pareto caller that was a full fact groupBy + range shuffle per
+# call); callers whose input is a pure function of (session, sf_dir)
+# pass cache_key to run it once per session. Swept by
+# tables.clear_session_caches via the _*_CACHE convention.
+_PREFIX_BUCKETS_CACHE: dict = {}
+
 
 def dist_exclusive_prefix(
     df: DataFrame,
     order: list[tuple[str, bool]],
     sums: list[str],
     buckets: int = 16,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """All of ``df``'s columns plus one ``_pre_<c>`` EXCLUSIVE-prefix
     column per ``c`` in ``sums``, under the total order given by
@@ -43,11 +53,23 @@ def dist_exclusive_prefix(
     columns keep their natural Spark sum type (BIGINT -> BIGINT,
     DECIMAL(p,s) -> widened DECIMAL) — cast at the call site."""
     cols = [F.col(c).desc() if d else F.col(c).asc() for c, d in order]
-    dfp = (
-        df.repartitionByRange(buckets, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    if cache_key is not None:
+        spark = df.sparkSession
+        full_key = (spark.sparkContext.applicationId, cache_key)
+        dfp = _PREFIX_BUCKETS_CACHE.get(full_key)
+        if dfp is None:
+            dfp = (
+                df.repartitionByRange(buckets, *cols)
+                .withColumn("_pid", F.spark_partition_id())
+                .localCheckpoint()
+            )
+            _PREFIX_BUCKETS_CACHE[full_key] = dfp
+    else:
+        dfp = (
+            df.repartitionByRange(buckets, *cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = dfp.groupBy("_pid").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in sums]

@@ -343,7 +343,9 @@ def agg_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
     # distributed exclusive prefix sum over the user-grain score
     # domain (functions/domain.py, ascending here: decile 9 = top)
-    cum = dist_exclusive_prefix(dom, [("score", False)], ["c"]).selectExpr(
+    cum = dist_exclusive_prefix(
+        dom, [("score", False)], ["c"], cache_key=f"woe:{sf_dir}"
+    ).selectExpr(
         "score", "CAST(_pre_c AS BIGINT) AS cal"
     )
     binned = (
@@ -1015,7 +1017,9 @@ def agg_cumulative_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # user-grain frame: score domain + join-back
     dom = u.groupBy("score").agg(F.count("*").cast("bigint").alias("c"))
     tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
-    cum = dist_exclusive_prefix(dom, [("score", True)], ["c"]).selectExpr(
+    cum = dist_exclusive_prefix(
+        dom, [("score", True)], ["c"], cache_key=f"gains:{sf_dir}"
+    ).selectExpr(
         "score", "CAST(_pre_c AS BIGINT) AS cal"
     )
     binned = (

@@ -880,8 +880,8 @@ _LGN_T = 4  # Fisher-scoring iterations (betas move < 1e-6 by step 4)
 # collected per-iteration betas, keyed (appId, sf_dir) — rebuilding the
 # output DataFrame is then pure plan-build (the round-13
 # localCheckpoint-in-op lesson: never redo driver actions per build)
-_LGN_BETAS: dict = {}
-_LGN_USERS: dict = {}
+_LGN_BETAS_CACHE: dict = {}
+_LGN_USERS_CACHE: dict = {}
 
 
 def _lgn_user_sql(duck: bool) -> str:
@@ -989,7 +989,7 @@ def _lgn_fit(spark: SparkSession, sf_dir: str) -> tuple:
     model-evaluation ops (AUC)."""
     ev = table(spark, sf_dir, "events")
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LGN_USERS:
+    if key not in _LGN_USERS_CACHE:
         u = (
             ev.groupBy("user_id")
             .agg(
@@ -1017,10 +1017,10 @@ def _lgn_fit(spark: SparkSession, sf_dir: str) -> tuple:
             )
             .localCheckpoint()
         )
-        _LGN_USERS[key] = u
-    users = _LGN_USERS[key]
+        _LGN_USERS_CACHE[key] = u
+    users = _LGN_USERS_CACHE[key]
 
-    if key not in _LGN_BETAS:
+    if key not in _LGN_BETAS_CACHE:
         betas = [("0.0", "0.0", "0.0")]
         cur = betas[0]
         for _ in range(_LGN_T):
@@ -1039,8 +1039,8 @@ def _lgn_fit(spark: SparkSession, sf_dir: str) -> tuple:
                 )
             cur = tuple(f"{row[c]:.9f}" for c in ("b0", "b1", "b2"))
             betas.append(cur)
-        _LGN_BETAS[key] = betas
-    return users, _LGN_BETAS[key]
+        _LGN_BETAS_CACHE[key] = betas
+    return users, _LGN_BETAS_CACHE[key]
 
 
 def _lgn_cte_chain() -> list:
@@ -1170,7 +1170,7 @@ _KCG_K = 8  # seeds
 _KCG_D = 64  # embedding dim
 
 # picked seeds per (appId, sf_dir): (seed_rank, vec_id, d2_covered, emb)
-_KCG_PICKS: dict = {}
+_KCG_PICKS_CACHE: dict = {}
 
 
 def _kcg_dist_duck(erow: str, srow: str) -> str:
@@ -1265,7 +1265,7 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-build."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _KCG_PICKS:
+    if key not in _KCG_PICKS_CACHE:
         first = emb.orderBy("vec_id").limit(1).collect()[0]
         picks = [
             (1, int(first["vec_id"]), 0.0,
@@ -1297,8 +1297,8 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (t, int(row["vec_id"]), float(row["dmin"]),
                  [float(x) for x in row["embedding"]])
             )
-        _KCG_PICKS[key] = picks
-    picks = _KCG_PICKS[key]
+        _KCG_PICKS_CACHE[key] = picks
+    picks = _KCG_PICKS_CACHE[key]
     return spark.createDataFrame(
         [(r, v, d) for r, v, d, _ in picks],
         schema="seed_rank bigint, vec_id bigint, d2_covered double",

@@ -938,48 +938,45 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: inputs round(9)-quantized, moment sums exact DECIMAL
     (order-independent), each covariance assembled from the identical
-    CAST-DOUBLE expression (E[xy] - E[x]E[y]), one round(6) each."""
+    CAST-DOUBLE expression (E[xy] - E[x]E[y]), one round(6) each.
+
+    Build cost: the 45 aggregate + 36 output expressions render as
+    THREE selectExpr string calls (round-15; the per-Column py4j tree
+    made each DataFrame build ~1.1 s in the per-op audit while
+    execution was 76 ms — the round-2 one-expr-string rule)."""
     emb = table(spark, sf_dir, "embeddings")
     dims = range(1, _KM_D + 1)
-    pts = emb.select(
+    pts = emb.selectExpr(
         *[
-            F.expr(
-                f"round(CAST(element_at(embedding, {i}) AS DOUBLE), 9)"
-            ).alias(f"e{i}")
+            f"round(CAST(element_at(embedding, {i}) AS DOUBLE), 9) AS e{i}"
             for i in dims
         ]
     )
-    m = pts.agg(
-        F.count("*").cast("bigint").alias("n"),
-        *[
-            F.sum(F.col(f"e{i}").cast("decimal(28,9)")).alias(f"s{i}")
-            for i in dims
-        ],
+    m = pts.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n",
+        *[f"sum(CAST(e{i} AS DECIMAL(28,9))) AS s{i}" for i in dims],
         *[
             # decimal(18,9): the product is (37,18) — exact; (28,9)
             # squared overflows precision and Spark truncates the scale
             # to 6 (the round-7 CLAUDE.md multiply pitfall)
-            F.sum(
-                F.col(f"e{i}").cast("decimal(18,9)")
-                * F.col(f"e{j}").cast("decimal(18,9)")
-            ).alias(f"s{i}_{j}")
+            f"sum(CAST(e{i} AS DECIMAL(18,9))"
+            f" * CAST(e{j} AS DECIMAL(18,9))) AS s{i}_{j}"
             for i in dims
             for j in dims
             if i <= j
         ],
     )
-    outs = [
-        F.round(
-            F.col(f"s{i}_{j}").cast("double") / F.col("n")
-            - (F.col(f"s{i}").cast("double") / F.col("n"))
-            * (F.col(f"s{j}").cast("double") / F.col("n")),
-            6,
-        ).alias(f"cov_{i}_{j}")
-        for i in dims
-        for j in dims
-        if i <= j
-    ]
-    return m.select("n", *outs)
+    return m.selectExpr(
+        "n",
+        *[
+            f"round(CAST(s{i}_{j} AS DOUBLE) / n"
+            f" - (CAST(s{i} AS DOUBLE) / n)"
+            f" * (CAST(s{j} AS DOUBLE) / n), 6) AS cov_{i}_{j}"
+            for i in dims
+            for j in dims
+            if i <= j
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1286,7 +1283,10 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             # the price domain is part-grain — distributed prefix sum
             # (functions/domain.py; round-10 verdict window rule)
-            cum = dist_exclusive_prefix(cnt, [(col, False)], ["c"])
+            cum = dist_exclusive_prefix(
+                cnt, [(col, False)], ["c"],
+                cache_key=f"spearman:{col}:{sf_dir}",
+            )
         return cum.select(
             F.col(col).alias("v"),
             (2 * F.col("_pre_c") + F.col("c") + 1)
@@ -1788,7 +1788,8 @@ def agg_abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum, never a single-partition sort (functions/domain.py)
     cum = (
         dist_exclusive_prefix(
-            rev, [("r", True), ("l_partkey", False)], ["r"]
+            rev, [("r", True), ("l_partkey", False)], ["r"],
+            cache_key=f"abc_rev:{sf_dir}",
         )
         .select(
             "l_partkey",

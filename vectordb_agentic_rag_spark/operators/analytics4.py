@@ -1692,10 +1692,9 @@ def agg_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     which perturbs beta by ~1e-6 * x / (n * var(x)) ~ 1e-9 at 60+
     checkpoints — three orders below the round(6) quantum (the
     agg_theil_index argument)."""
-    from .dedup import _ngram_code_sets
+    from .dedup import _ngram_sets
 
-    d = table(spark, sf_dir, "documents")
-    sh = _ngram_code_sets(d)
+    sh = _ngram_sets(spark, sf_dir)
     pm = sh.groupBy(
         F.expr(f"doc_id div {_HEAPS_BUCKET}").alias("bkt")
     ).agg(F.sum(F.size("cs")).cast("bigint").alias("m"))

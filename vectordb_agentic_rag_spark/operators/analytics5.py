@@ -1273,11 +1273,10 @@ def dedup_weighted_jaccard_rescore(
     order-independent pair sums; both engines then divide the same
     exact decimals (cast to DOUBLE with identical text) and order by
     that ratio with id tiebreaks."""
-    from .dedup import _ngram_code_sets, dedup_ngram_jaccard
+    from .dedup import _ngram_sets, dedup_ngram_jaccard
 
-    d = table(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir)
-    cs = _ngram_code_sets(d).select("doc_id", "cs")
+    cs = _ngram_sets(spark, sf_dir).select("doc_id", "cs")
     nn = cs.count()  # bounded scalar: one count of the doc dimension
     df = (
         cs.select(F.explode("cs").alias("code"))

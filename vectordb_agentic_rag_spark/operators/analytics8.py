@@ -163,6 +163,41 @@ def agg_median_polish_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     element_at); all arithmetic is integer add/subtract — the oracle
     unrolls the identical 12 steps as MATERIALIZED CTEs.
     """
+    cell, z, re, ce, t = _polish_frames(spark, sf_dir)
+    return (
+        z.join(re, "day")
+        .join(F.broadcast(ce), "typ")
+        .join(
+            cell.select("day", "typ", "tot"),
+            ["day", "typ"],
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            F.col("typ").alias("event_type"),
+            F.col("tot").cast("bigint").alias("total_cents"),
+            F.col("t").cast("bigint").alias("overall_cents"),
+            F.col("re").cast("bigint").alias("row_effect_cents"),
+            F.col("ce").cast("bigint").alias("col_effect_cents"),
+            F.col("v").cast("bigint").alias("residual_cents"),
+        )
+    )
+
+
+# the 3-sweep loop localCheckpoints 12+ domain-bounded frames — every
+# ckpt is an EAGER Spark job at DataFrame-BUILD time, so re-running the
+# loop per build cost ~2.7 s/call in the per-op audit (the r13
+# ckpt-inside-op-body lesson). The polished quadruple is bounded (the
+# ~150-cell day x type grid), so it session-caches like the other
+# stored-artifact frames; swept by tables.clear_session_caches.
+_POLISH_FRAMES_CACHE: dict = {}
+
+
+def _polish_frames(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _POLISH_FRAMES_CACHE.get(key)
+    if hit is not None:
+        return hit
     ev = table(spark, sf_dir, "events")
     cell = ev.groupBy(
         F.col("ts").cast("date").alias("day"),
@@ -228,24 +263,8 @@ def agg_median_polish_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ce = ce.localCheckpoint()
         t = t.localCheckpoint()
 
-    return (
-        z.join(re, "day")
-        .join(F.broadcast(ce), "typ")
-        .join(
-            cell.select("day", "typ", "tot"),
-            ["day", "typ"],
-        )
-        .crossJoin(F.broadcast(t))
-        .select(
-            "day",
-            F.col("typ").alias("event_type"),
-            F.col("tot").cast("bigint").alias("total_cents"),
-            F.col("t").cast("bigint").alias("overall_cents"),
-            F.col("re").cast("bigint").alias("row_effect_cents"),
-            F.col("ce").cast("bigint").alias("col_effect_cents"),
-            F.col("v").cast("bigint").alias("residual_cents"),
-        )
-    )
+    _POLISH_FRAMES_CACHE[key] = (cell, z, re, ce, t)
+    return cell, z, re, ce, t
 
 
 # ---------------------------------------------------------------------------

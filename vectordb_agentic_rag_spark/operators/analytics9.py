@@ -1227,7 +1227,8 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # revenue domain is customer-grain, never a single-partition sort
     # (functions/domain.py; round-10 verdict window rule)
     cum = dist_exclusive_prefix(
-        blk, [("rev", False)], ["f", "tot"]
+        blk, [("rev", False)], ["f", "tot"],
+        cache_key=f"lorenz:{sf_dir}",
     ).selectExpr(
         "rev",
         "f",
@@ -2930,68 +2931,57 @@ def maintenance_column_profile(
     counts exact BIGINT — count(DISTINCT) not approx_count_distinct,
     so the oracle hash-matches.
 
-    Shape at 100 TB: ONE scan — the six distinct aggregates compile
-    to a single Expand-based multi-distinct pass (constant factor 6
-    on the scan, no per-column rescan); the unpivot to rows is a
-    6-row stack of the 1-row aggregate.  A production profiler would
-    swap count(DISTINCT) for HLL sketches per partition; the exact
-    form is what an ORACLE-checkable profile needs (the
+    Shape at 100 TB: TWO scans, each the cheapest plan for its half
+    (round-15 split; values byte-identical to the old single agg,
+    probed before shipping). The null/distinct COUNTS keep the
+    Expand-based multi-distinct pass but now run as HashAggregate —
+    in the combined form the min/max STRING aggregation buffers
+    forced the whole pass to SortAggregate, i.e. a full sort of the
+    7x-expanded fact rows by the 7 distinct keys (guide §2: don't
+    sort what a hash can aggregate). The min/max pass is a plain
+    ungrouped aggregate — no Expand, no sort, one streaming pass —
+    and the two 1-row results crossJoin (broadcast) before the
+    6-row stack() unpivot. Each pass is also built as ONE selectExpr
+    (31 separate F.expr py4j round-trips made the per-call DataFrame
+    build ~4 s in the per-op audit — the round-2 one-expr-string
+    lesson; execution was 60 ms all along). A production profiler
+    would swap count(DISTINCT) for HLL sketches per partition; the
+    exact form is what an ORACLE-checkable profile needs (the
     agg_approx_distinct twin already covers the sketch path)."""
     o = table(spark, sf_dir, "orders")
-    s = o.agg(
-        F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
-        F.expr("CAST(count(*) - count(o_orderkey) AS BIGINT)").alias("nn1"),
-        F.expr("CAST(count(DISTINCT o_orderkey) AS BIGINT)").alias("nd1"),
-        F.expr("CAST(min(o_orderkey) AS STRING)").alias("mn1"),
-        F.expr("CAST(max(o_orderkey) AS STRING)").alias("mx1"),
-        F.expr("CAST(count(*) - count(o_custkey) AS BIGINT)").alias("nn2"),
-        F.expr("CAST(count(DISTINCT o_custkey) AS BIGINT)").alias("nd2"),
-        F.expr("CAST(min(o_custkey) AS STRING)").alias("mn2"),
-        F.expr("CAST(max(o_custkey) AS STRING)").alias("mx2"),
-        F.expr("CAST(count(*) - count(o_orderstatus) AS BIGINT)").alias(
-            "nn3"
-        ),
-        F.expr("CAST(count(DISTINCT o_orderstatus) AS BIGINT)").alias(
-            "nd3"
-        ),
-        F.expr("CAST(min(o_orderstatus) AS STRING)").alias("mn3"),
-        F.expr("CAST(max(o_orderstatus) AS STRING)").alias("mx3"),
-        F.expr("CAST(count(*) - count(o_totalprice) AS BIGINT)").alias(
-            "nn4"
-        ),
-        F.expr(
-            "CAST(count(DISTINCT CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
-            " AS BIGINT)"
-        ).alias("nd4"),
-        F.expr(
-            "CAST(min(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
-            " AS STRING)"
-        ).alias("mn4"),
-        F.expr(
-            "CAST(max(CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
-            " AS STRING)"
-        ).alias("mx4"),
-        F.expr("CAST(count(*) - count(o_orderdate) AS BIGINT)").alias(
-            "nn5"
-        ),
-        F.expr(
-            "CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)"
-        ).alias("nd5"),
-        F.expr("CAST(min(CAST(o_orderdate AS DATE)) AS STRING)").alias(
-            "mn5"
-        ),
-        F.expr("CAST(max(CAST(o_orderdate AS DATE)) AS STRING)").alias(
-            "mx5"
-        ),
-        F.expr("CAST(count(*) - count(o_orderpriority) AS BIGINT)").alias(
-            "nn6"
-        ),
-        F.expr("CAST(count(DISTINCT o_orderpriority) AS BIGINT)").alias(
-            "nd6"
-        ),
-        F.expr("CAST(min(o_orderpriority) AS STRING)").alias("mn6"),
-        F.expr("CAST(max(o_orderpriority) AS STRING)").alias("mx6"),
+    counts = o.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        "CAST(count(*) - count(o_orderkey) AS BIGINT) AS nn1",
+        "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1",
+        "CAST(count(*) - count(o_custkey) AS BIGINT) AS nn2",
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2",
+        "CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nn3",
+        "CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3",
+        "CAST(count(*) - count(o_totalprice) AS BIGINT) AS nn4",
+        "CAST(count(DISTINCT CAST(o_totalprice * 100 + 0.5 AS BIGINT))"
+        " AS BIGINT) AS nd4",
+        "CAST(count(*) - count(o_orderdate) AS BIGINT) AS nn5",
+        "CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS nd5",
+        "CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nn6",
+        "CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6",
     )
+    mm = o.selectExpr(
+        "CAST(min(o_orderkey) AS STRING) AS mn1",
+        "CAST(max(o_orderkey) AS STRING) AS mx1",
+        "CAST(min(o_custkey) AS STRING) AS mn2",
+        "CAST(max(o_custkey) AS STRING) AS mx2",
+        "CAST(min(o_orderstatus) AS STRING) AS mn3",
+        "CAST(max(o_orderstatus) AS STRING) AS mx3",
+        "CAST(min(CAST(o_totalprice * 100 + 0.5 AS BIGINT)) AS STRING)"
+        " AS mn4",
+        "CAST(max(CAST(o_totalprice * 100 + 0.5 AS BIGINT)) AS STRING)"
+        " AS mx4",
+        "CAST(min(CAST(o_orderdate AS DATE)) AS STRING) AS mn5",
+        "CAST(max(CAST(o_orderdate AS DATE)) AS STRING) AS mx5",
+        "CAST(min(o_orderpriority) AS STRING) AS mn6",
+        "CAST(max(o_orderpriority) AS STRING) AS mx6",
+    )
+    s = counts.crossJoin(mm)
     return s.selectExpr(
         "stack(6,"
         " 'o_orderkey', nn1, nd1, mn1, mx1,"
@@ -3580,6 +3570,7 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.groupBy("mon").agg(F.count("*").alias("c")),
         [("mon", False)],
         ["c"],
+        cache_key=f"rfm_mon:{sf_dir}",
     ).selectExpr("mon", "CAST(_pre_c AS BIGINT) AS off_m")
     rk = (
         base.join(off_m, "mon")  # big domain: shuffle join, reused by
@@ -4435,7 +4426,9 @@ def agg_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed exclusive prefix sum over the user-grain score
     # domain (functions/domain.py — the shared two-level machinery;
     # this op carries the plan pin)
-    cum = dist_exclusive_prefix(dom, [("score", True)], ["c"]).selectExpr(
+    cum = dist_exclusive_prefix(
+        dom, [("score", True)], ["c"], cache_key=f"qini:{sf_dir}"
+    ).selectExpr(
         "score", "CAST(_pre_c AS BIGINT) AS cal"
     )
     binned = (

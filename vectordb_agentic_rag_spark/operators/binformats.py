@@ -824,11 +824,14 @@ def _lzw_dec_base(min_size: int) -> list:
     return base
 
 
-def _lzw_encode_gif(data: bytes, min_size: int = 8) -> bytes:
-    """GIF-variant LZW encode (LSB-first variable-width codes, CLEAR/
-    EOI, code width grows at 2^cs + 1 table entries, dictionary reset
-    at 4096). The decoder below grows at 2^cs because it runs one
-    table entry behind — the classic encoder/decoder offset."""
+def _lzw_encode_gif_bytewise(data: bytes, min_size: int = 8) -> bytes:
+    """Reference GIF-variant LZW encode (LSB-first variable-width
+    codes, CLEAR/EOI, code width grows at 2^cs + 1 table entries,
+    dictionary reset at 4096). The decoder below grows at 2^cs because
+    it runs one table entry behind — the classic encoder/decoder
+    offset. Kept as the plain bytes-keyed formulation the trie encoder
+    is pinned byte-identical against
+    (test_lzw_trie_encoder_matches_bytewise_reference)."""
     clear = 1 << min_size
     eoi = clear + 1
     out = bytearray()
@@ -868,6 +871,74 @@ def _lzw_encode_gif(data: bytes, min_size: int = 8) -> bytes:
         w = bytes([ch])
     if w:
         put(table[w], code_size)
+    put(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_encode_gif(data: bytes, min_size: int = 8) -> bytes:
+    """Trie-form GIF LZW encode, byte-identical to the bytewise
+    reference above: the dictionary keys on (prefix_code << 8) | byte
+    instead of the growing prefix STRING, so the per-char hot path is
+    one int shift/or + one dict probe — no bytes([ch]) allocation, no
+    O(len) prefix concatenation, no per-reset rebuild of the 256-entry
+    seed table (single bytes ARE their own codes). Same emission
+    points, widths, CLEAR/EOI placement and reset behaviour — pinned
+    over KwKwK chains, width growth and 4096-entry resets."""
+    clear = 1 << min_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[int, int] = {}  # (prefix_code << 8) | next_byte -> code
+    next_code = eoi + 1
+    code_size = min_size + 1
+    put(clear, code_size)
+    max_seed = clear - 1
+    wcode = -1  # current prefix's code; seed bytes map to themselves
+    for ch in data:
+        if ch > max_seed:
+            # the bytewise reference fails loudly here (no seed entry
+            # for an out-of-alphabet byte); emitting ch as its own
+            # code would COLLIDE with an assigned dictionary code and
+            # decode silently wrong — the one divergence the trie
+            # formulation could have introduced
+            raise ValueError(
+                f"LZW input byte {ch} outside {min_size}-bit alphabet"
+            )
+        if wcode < 0:
+            wcode = ch
+            continue
+        key = (wcode << 8) | ch
+        nc = table.get(key)
+        if nc is not None:
+            wcode = nc
+            continue
+        put(wcode, code_size)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            put(clear, code_size)
+            table = {}
+            next_code = eoi + 1
+            code_size = min_size + 1
+        wcode = ch
+    if wcode >= 0:
+        put(wcode, code_size)
     put(eoi, code_size)
     if nbits:
         out.append(acc & 0xFF)
@@ -1711,11 +1782,19 @@ _JPEG_AC_VALS = [
 
 def _jpeg_canonical_codes(bits: list, vals: list) -> dict:
     """value -> (code, length) canonical Huffman assignment (JPEG
-    C.2: codes of ascending length, counting up within a length)."""
+    C.2: codes of ascending length, counting up within a length).
+
+    Rejects over-subscribed length counts (Kraft violation) loudly: a
+    crafted DHT whose counts overflow a length's code space would make
+    the peek-LUT decoder and the bit-walk reference disagree (the LUT
+    fills last-write-wins, the walk returns the shortest match) — with
+    the check, the LUT/walk equivalence is unconditional."""
     out = {}
     code = 0
     k = 0
     for ln in range(1, 17):
+        if code + bits[ln - 1] > (1 << ln):
+            raise ValueError("over-subscribed DHT length counts")
         for _ in range(bits[ln - 1]):
             out[vals[k]] = (code, ln)
             code += 1
@@ -1999,6 +2078,12 @@ def _jpeg_decode_tables(body: bytes) -> dict:
             (code, ln): v for v, (code, ln) in codes.items()
         }
         pos += 17 + nvals
+    # bound the memo: input-derived keys would otherwise grow worker
+    # memory without limit on a corpus of many-distinct-DHT docs (the
+    # fixture has exactly one); the wholesale clear is fine — a miss
+    # just re-parses one segment
+    if len(_JPEG_DHT_CACHE) >= 64:
+        _JPEG_DHT_CACHE.clear()
     _JPEG_DHT_CACHE[bytes(body)] = tables
     return tables
 
@@ -2037,7 +2122,12 @@ def _jpeg_huff_lut(table: dict) -> list:
     # keyed by object identity WITH a strong reference to the table:
     # the DHT parse memo returns the same dict for the same segment
     # bytes, and holding the key object makes id-reuse impossible for
-    # live entries (a stale id simply misses and rebuilds)
+    # live entries (a stale id simply misses and rebuilds). Bounded:
+    # each LUT is ~0.5 MB, so a crafted many-distinct-DHT corpus would
+    # otherwise inflate reused workers without limit (16 entries covers
+    # any plausible working set; a clear just costs one refill)
+    if len(_JPEG_HUFF_LUT_CACHE) >= 16:
+        _JPEG_HUFF_LUT_CACHE.clear()
     _JPEG_HUFF_LUT_CACHE[id(table)] = (table, lut)
     return lut
 
@@ -2202,20 +2292,82 @@ def decode_jpeg_gray8(payload: bytes) -> tuple:
     r = _JpegBitReader(payload, scan_at)
     pixels = bytearray(width * height)
     prev_dc = 0
+    buf = r.buf
+    q0 = q[0]
+    # per-image memo of the DC-only closed-form pixel (same
+    # round/clamp expression; DC values repeat across blocks)
+    dc_pix: dict = {}
     for by in range(h_b):
         base_py = by * 8
         max_yy = min(8, height - base_py)
+        # strip assembly: per block, either the DC-only pixel INT or
+        # the general block BYTES; an all-constant strip then writes
+        # one joined row max_yy times instead of 8 slices per block
+        strip: list = []
+        any_ac = False
         for bx in range(w_b):
-            cat = _jpeg_read_huff_fast(r, dc_lut)
-            prev_dc += _jpeg_extend(r.read_bits(cat), cat)
-            rs = _jpeg_read_huff_fast(r, ac_lut)
+            bp = r.bitpos
+            if r.navail - bp >= 48:
+                # single-peek fast path: one 7-byte fetch covers the
+                # DC code (<=16 bits), its magnitude bits (<=11) and
+                # the following AC/EOB code (<=16) — 43 bits worst
+                # case — replacing three separate reader fetches per
+                # block. With >=48 bits available every sub-read of
+                # the step-by-step path succeeds too, and both LUT
+                # probes see full 16-bit words, so the outcomes are
+                # identical (tables are Kraft-validated at parse);
+                # under 48 bits falls through to the original
+                # read-by-read path with its exact truncated-vs-
+                # invalid semantics.
+                first = bp >> 3
+                last = (bp + 47) >> 3
+                t48 = (
+                    int.from_bytes(buf[first : last + 1], "big")
+                    >> (((last + 1) << 3) - (bp + 48))
+                ) & 0xFFFFFFFFFFFF
+                ent = dc_lut[t48 >> 32]
+                if ent is None:
+                    raise ValueError("invalid JPEG Huffman code")
+                cat, used = ent
+                used += cat
+                if used <= 32:
+                    if cat:
+                        mag = (t48 >> (48 - used)) & ((1 << cat) - 1)
+                        prev_dc += (
+                            mag
+                            if mag >= (1 << (cat - 1))
+                            else mag - (1 << cat) + 1
+                        )
+                    aent = ac_lut[(t48 >> (32 - used)) & 0xFFFF]
+                    if aent is None:
+                        raise ValueError("invalid JPEG Huffman code")
+                    rs = aent[0]
+                    r.bitpos = bp + used + aent[1]
+                else:
+                    # crafted DC table whose symbol VALUE pushes
+                    # code+magnitude past the 32 bits that leave a
+                    # full 16-bit AC peek in t48 (cat > 16 — outside
+                    # any valid JPEG category, but Kraft validation
+                    # bounds length COUNTS, not symbol values):
+                    # fall through to the read-by-read path so the
+                    # observable behaviour stays identical to it
+                    cat = _jpeg_read_huff_fast(r, dc_lut)
+                    prev_dc += _jpeg_extend(r.read_bits(cat), cat)
+                    rs = _jpeg_read_huff_fast(r, ac_lut)
+            else:
+                cat = _jpeg_read_huff_fast(r, dc_lut)
+                prev_dc += _jpeg_extend(r.read_bits(cat), cat)
+                rs = _jpeg_read_huff_fast(r, ac_lut)
             if rs == 0x00:
                 # DC-only block (EOB straight after DC — every block of
                 # the constant-block builder): closed-form IDCT, same
                 # expression as _jpeg_idct_block's DC fast path
-                p = int(round((prev_dc * q[0]) / 8.0)) + 128
-                p = 0 if p < 0 else 255 if p > 255 else p
-                blk = _JPEG_CONST_BLOCKS[p]
+                p = dc_pix.get(prev_dc)
+                if p is None:
+                    p = int(round((prev_dc * q0) / 8.0)) + 128
+                    p = 0 if p < 0 else 255 if p > 255 else p
+                    dc_pix[prev_dc] = p
+                strip.append(p)
             else:
                 zz = [0] * 64
                 zz[0] = prev_dc
@@ -2238,15 +2390,33 @@ def decode_jpeg_gray8(payload: bytes) -> tuple:
                 coeffs = [0] * 64
                 for k in range(64):
                     coeffs[_JPEG_ZIGZAG[k]] = zz[k] * q[k]
-                blk = bytes(_jpeg_idct_block(coeffs))
-            px0 = bx * 8
-            xlen = 8 if width - px0 >= 8 else width - px0
-            row_off = base_py * width + px0
+                strip.append(bytes(_jpeg_idct_block(coeffs)))
+                any_ac = True
+        if not any_ac:
+            # all-constant strip: every block row yy is the same byte
+            # pattern, so join it once and write it max_yy times
+            row = b"".join(_JPEG_CONST_BLOCKS[p][:8] for p in strip)[
+                :width
+            ]
+            row_off = base_py * width
             for yy in range(max_yy):
-                pixels[row_off : row_off + xlen] = blk[
-                    yy * 8 : yy * 8 + xlen
-                ]
+                pixels[row_off : row_off + width] = row
                 row_off += width
+        else:
+            for bx, item in enumerate(strip):
+                blk = (
+                    _JPEG_CONST_BLOCKS[item]
+                    if type(item) is int
+                    else item
+                )
+                px0 = bx * 8
+                xlen = 8 if width - px0 >= 8 else width - px0
+                row_off = base_py * width + px0
+                for yy in range(max_yy):
+                    pixels[row_off : row_off + xlen] = blk[
+                        yy * 8 : yy * 8 + xlen
+                    ]
+                    row_off += width
     # the truncation contract (GIF/TIFF): a file cut anywhere must
     # raise — after the last block only pad bits and EOI may remain
     if payload.find(b"\xff\xd9", r.pos) == -1:

@@ -786,6 +786,29 @@ def _ngram_code_sets(d: DataFrame) -> DataFrame:
     )
 
 
+# session-cached shingle frame: the _ngram_code_sets derivation (one
+# groupBy-free scan, but ~1-2 s of HOF tokenization per build) is shared
+# by six operators across four modules — re-deriving it per DataFrame
+# build was r14's deferred item 5. Keyed (applicationId, sf_dir) like
+# every cache in this family; swept by tables.clear_session_caches.
+_NGRAM_SETS_CACHE: dict = {}
+
+
+def _ngram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-checkpointed (doc_id, lang, len_bucket, cs) shingle frame
+    — the materialized form of _ngram_code_sets(documents), built once
+    per (applicationId, sf_dir). Bounded: one row per document with a
+    distinct-shingle int64 array (~100s of codes), far below worker
+    memory at any audited sf. Tests that need the lazy derivation keep
+    calling _ngram_code_sets directly."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NGRAM_SETS_CACHE:
+        _NGRAM_SETS_CACHE[key] = _ngram_code_sets(
+            table(spark, sf_dir, "documents")
+        ).localCheckpoint()
+    return _NGRAM_SETS_CACHE[key]
+
+
 def _prefix_filter_candidates(
     sh: DataFrame,
     threshold: float,
@@ -846,21 +869,39 @@ def _prefix_filter_candidates(
     )
     if meta is None:
         a = prefix.select(
-            F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "s"
+            F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "s",
+            F.col("m").alias("m_a"), F.col("rk").alias("rk_a"),
         )
         b = prefix.select(
             F.col("doc_id").alias("doc_b"),
             F.col("lang").alias("lang_b"),
             F.col("len_bucket").alias("len_bucket_b"),
             F.col("s").alias("s_b"),
+            F.col("m").alias("m_b"),
+            F.col("rk").alias("rk_b"),
         )
+        # positional filter (PPJoin): at the pair's globally-minimal
+        # shared shingle s0 every intersection element ranks >= rk(s0)
+        # in BOTH docs, so |A∩B| <= min(m - rk + 1) there, while
+        # |A∪B| >= max(m_a, m_b). A qualifying pair's s0 match always
+        # passes min-remaining >= t*max (exact decimal t, same
+        # binary-float guard as the prefix bound), so keeping a pair
+        # when ANY of its matches passes preserves perfect recall
+        # while pruning the pre-distinct candidate mass map-side.
         return (
             a.join(
                 b,
                 (F.col("s") == F.col("s_b"))
                 & (F.col("lang") == F.col("lang_b"))
                 & (F.col("len_bucket") == F.col("len_bucket_b"))
-                & (F.col("doc_a") < F.col("doc_b")),
+                & (F.col("doc_a") < F.col("doc_b"))
+                & (
+                    F.least(
+                        F.col("m_a") - F.col("rk_a") + 1,
+                        F.col("m_b") - F.col("rk_b") + 1,
+                    )
+                    >= thr * F.greatest(F.col("m_a"), F.col("m_b"))
+                ),
             )
             .select("doc_a", "doc_b")
             .distinct()
@@ -939,8 +980,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared numpy batch kernel (_verify_pairs_jaccard), which replaced
     both the JVM array_intersect hash-set-per-row path and a
     driver-side codes.collect() broadcast."""
-    d = table(spark, sf_dir, "documents")
-    sh = _ngram_code_sets(d)
+    sh = _ngram_sets(spark, sf_dir)
     cand = _prefix_filter_candidates(sh, threshold=0.2)
     return _verify_pairs_jaccard(
         spark,
@@ -991,7 +1031,7 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator (|A| instead of |A∪B|) — still row-linear in
     candidates."""
     d = table(spark, sf_dir, "documents")
-    sh = _ngram_code_sets(d)
+    sh = _ngram_sets(spark, sf_dir)
     cand = _prefix_filter_candidates(
         sh, threshold=0.9, meta=d.select("doc_id", "n_chars")
     )
@@ -1642,7 +1682,30 @@ def _weighted_prefix_candidates(
     Scale: one groupBy(shingle) for df, one join to attach weights,
     two windows per doc_id (total weight + running prefix weight — one
     exchange, doc_id-partitioned), one equi-join on prefix shingles,
-    one distinct. Every stage an equi-shuffle; nothing quadratic."""
+    one distinct. Every stage an equi-shuffle; nothing quadratic.
+
+    The pair join also applies the WEIGHTED positional filter
+    (PPJoin's position bound carried to weights): at the pair's
+    globally-minimal shared shingle s0, every intersection element
+    ranks at or after s0 in both docs, so
+    w(A∩B) <= min(tw_a - cw_a, tw_b - cw_b) evaluated at s0, while
+    w(A∪B) >= max(tw_a, tw_b). A qualifying pair's s0 match therefore
+    always passes min-tail * den >= max-total * num (exact decimals ×
+    integers — no float boundary), so keeping pairs where ANY match
+    passes preserves perfect recall and prunes candidate mass
+    map-side, before the distinct's exchange."""
+    cand, _ranked = _weighted_prefix_frames(sh, num, den)
+    return cand
+
+
+def _weighted_prefix_frames(
+    sh: DataFrame, num: int, den: int
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, ranked) — ranked carries one row per (doc, shingle)
+    with its exact-decimal idf weight wt, the doc's total weight tw and
+    the running prefix weight cw, so the verify stage can reuse the
+    same weighted explode instead of re-deriving it (see
+    _weighted_prefix_candidates for the recall argument)."""
     ex = sh.select(
         "doc_id", "lang", "len_bucket", F.explode("cs").alias("s")
     )
@@ -1666,6 +1729,7 @@ def _weighted_prefix_candidates(
         "lang",
         "len_bucket",
         "s",
+        "wt",
         F.sum("wt").over(wdoc).cast("decimal(28,9)").alias("tw"),
         F.coalesce(
             F.sum("wt").over(wcum), F.expr("CAST(0 AS DECIMAL(28,9))")
@@ -1677,25 +1741,37 @@ def _weighted_prefix_candidates(
         F.col("cw") * den <= F.col("tw") * (den - num)
     )
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "s"
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "s",
+        F.col("tw").alias("tw_a"), F.col("cw").alias("cw_a"),
     )
     b = prefix.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("len_bucket").alias("len_bucket_b"),
         F.col("s").alias("s_b"),
+        F.col("tw").alias("tw_b"),
+        F.col("cw").alias("cw_b"),
     )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("s") == F.col("s_b"))
             & (F.col("lang") == F.col("lang_b"))
             & (F.col("len_bucket") == F.col("len_bucket_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least(
+                    F.col("tw_a") - F.col("cw_a"),
+                    F.col("tw_b") - F.col("cw_b"),
+                )
+                * den
+                >= F.greatest(F.col("tw_a"), F.col("tw_b")) * num
+            ),
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return cand, ranked
 
 
 @query("dedup_weighted_prefix_filter", oracle=_weighted_prefix_oracle())
@@ -1714,72 +1790,63 @@ def dedup_weighted_prefix_filter(
     dominates — the production near-dup semantics.
 
     Candidates come from _weighted_prefix_candidates — the WEIGHTED
-    Chaudhuri prefix bound over the global rarity order (recall is
-    exact by the tail-weight argument in its docstring; the
-    recall+pruning pytest pins both on a clustered synthetic corpus).
-    Verification explodes each candidate's bounded shingle union and
-    joins weights BY CODE KEY (keyed shuffle, not broadcast — corpus
-    vocabulary outgrows executors), sums exact decimals, and applies
-    the threshold as wi*10 >= wu*3 — integer-exact on both engines,
-    no float boundary (wu > 0 guards the all-stopword degenerate doc
-    whose total weight is zero).
+    Chaudhuri prefix bound over the global rarity order plus the
+    weighted positional filter (recall is exact by the tail-weight
+    arguments in its docstring; the recall+pruning pytest pins both on
+    a clustered synthetic corpus). Verification never ships shingle
+    arrays on the candidate shuffle (the round-6 lesson): the weighted
+    explode (doc_id, code, wt) from the candidate stage is reused,
+    equi-joined per side, and the per-pair sum over SHARED codes gives
+    w(A∩B) directly; w(A∪B) = tw_a + tw_b - wi by inclusion-exclusion
+    over exact decimals (cs arrays are distinct, so doc totals add) —
+    the same values the oracle's union-explode computes, with the
+    union-sized shuffle and the per-row array probes removed. The
+    threshold applies as wi*10 >= wu*3 — integer-exact on both
+    engines, no float boundary (wu > 0 guards the all-stopword
+    degenerate pair whose every weight is zero).
 
     Reference parity anchor: the same rarity weighting the reference's
     vector store applies through embedding similarity (app.py:256's
     dense retrieval) expressed as an exact set-similarity operator."""
-    d = table(spark, sf_dir, "documents")
-    sh = _ngram_code_sets(d)
-    cand = _weighted_prefix_candidates(sh, _WPF_NUM, _WPF_DEN)
-    cs = sh.select("doc_id", "cs")
-    nn = cs.count()  # bounded scalar (doc dimension)
-    df = (
-        cs.select(F.explode("cs").alias("code"))
-        .groupBy("code")
-        .agg(F.count("*").alias("d"))
-    )
-    w = df.select(
-        "code",
-        F.expr(
-            f"CAST(round(ln(CAST({nn} AS DOUBLE) / d), 9) AS DECIMAL(28,9))"
-        ).alias("wt"),
-    )
-    pu = (
+    sh = _ngram_sets(spark, sf_dir)
+    cand, ranked = _weighted_prefix_frames(sh, _WPF_NUM, _WPF_DEN)
+    ew = ranked.select("doc_id", "s", "wt", "tw")
+    inter = (
         cand.join(
-            cs.select(F.col("doc_id").alias("doc_a"), F.col("cs").alias("ca")),
+            ew.select(
+                F.col("doc_id").alias("doc_a"),
+                "s",
+                "wt",
+                F.col("tw").alias("tw_a"),
+            ),
             "doc_a",
         )
         .join(
-            cs.select(F.col("doc_id").alias("doc_b"), F.col("cs").alias("cb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.explode(F.array_union("ca", "cb")).alias("code"),
-            F.expr(
-                "CAST(array_contains(ca, code) AND array_contains(cb, code)"
-                " AS INT)"
-            ).alias("shared"),
+            ew.select(
+                F.col("doc_id").alias("db"),
+                F.col("s").alias("s_b"),
+                F.col("tw").alias("tw_b"),
+            ),
+            (F.col("db") == F.col("doc_b"))
+            & (F.col("s_b") == F.col("s")),
         )
     )
-    sc = (
-        pu.join(w, "code")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.when(F.col("shared") == 1, F.col("wt")).otherwise(
-                    F.expr("CAST(0 AS DECIMAL(28,9))")
-                )
-            ).alias("wi"),
-            F.sum("wt").alias("wu"),
-        )
+    sc = inter.groupBy("doc_a", "doc_b").agg(
+        F.sum("wt").cast("decimal(28,9)").alias("wi"),
+        F.min("tw_a").alias("tw_a"),  # constant per pair group
+        F.min("tw_b").alias("tw_b"),
     )
     return (
-        sc.where(
-            (
-                F.col("wi").cast("decimal(28,9)") * _WPF_DEN
-                >= F.col("wu").cast("decimal(28,9)") * _WPF_NUM
-            )
+        sc.select(
+            "doc_a",
+            "doc_b",
+            "wi",
+            (F.col("tw_a") + F.col("tw_b") - F.col("wi"))
+            .cast("decimal(28,9)")
+            .alias("wu"),
+        )
+        .where(
+            (F.col("wi") * _WPF_DEN >= F.col("wu") * _WPF_NUM)
             & (F.col("wu") > 0)
         )
         .select(

@@ -1612,7 +1612,12 @@ def vec_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PARETO_LSH_LEVELS = (1, 2, 4)  # probed-table grid over the 4 LSH tables
-_PARETO_TIMED_RUNS = 3  # median of 3 timed fetches per operating point
+# timed fetches per operating point: 1 warm + median of N timed. Round
+# 15 dropped N from 3 to 1 — at toy scale every reading sits at the
+# per-action floor (the floor itself is the noise witness, see the op
+# docstring), and the pq/ivfpq points re-run their full encode+search
+# pipeline per fetch, so the two extra runs were ~5 s of pure repeat.
+_PARETO_TIMED_RUNS = 1
 
 
 def _pareto_mark(label: str, t0: float) -> float:
@@ -1664,8 +1669,11 @@ def vec_ann_latency_recall_pareto(spark: SparkSession, sf_dir: str) -> DataFrame
       on collapse before this op can emit a row.
 
     Latency methodology: per point, one warm fetch (plan + JIT), then
-    the median of 3 timed Arrow collects — the bench.py protocol
-    (pq/ivfpq reuse their recall collect as the warm fetch).
+    one timed collect (_PARETO_TIMED_RUNS; round 15 cut the
+    median-of-3 to 1 — the readings sit at the per-action floor at toy
+    scale, so the extra runs bought no precision while the pq/ivfpq
+    points re-ran their whole encode+search pipeline per fetch;
+    pq/ivfpq reuse their recall collect as the warm fetch).
     Sub-45 ms readings sit at the per-action floor on this box
     (tools/floor_probe.py), so toy-scale points cluster there; the
     DATA-PROPORTIONAL term is what separates families at scale, and

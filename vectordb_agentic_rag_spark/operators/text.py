@@ -1964,10 +1964,9 @@ def text_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors — keyed shuffle, never a broadcast), one groupBy(doc).
     All integer counting until the final ratio; round(6) on both
     engines."""
-    from .dedup import _ngram_code_sets
+    from .dedup import _ngram_sets
 
-    d = table(spark, sf_dir, "documents")
-    sh = _ngram_code_sets(d).select("doc_id", F.explode("cs").alias("code"))
+    sh = _ngram_sets(spark, sf_dir).select("doc_id", F.explode("cs").alias("code"))
     df = sh.groupBy("code").agg(F.count("*").alias("d"))
     return (
         sh.join(df, "code")

@@ -156,6 +156,13 @@ def cache_hot_tables(spark: SparkSession, sf_dir: str, names=None) -> None:
     _hot_cached.add(key)
 
 
+# non-operator modules that hold _*_CACHE session caches (operator
+# modules are enumerated from the registry lists)
+_EXTRA_CACHE_MODULES = [
+    "vectordb_agentic_rag_spark.functions.domain",
+]
+
+
 def clear_session_caches() -> None:
     """Evict every module-level session cache (checkpointed artifact
     frames keyed by (applicationId, sf_dir) plus the scan memo).
@@ -164,38 +171,30 @@ def clear_session_caches() -> None:
     is one session over one or two sf dirs — but a long-lived session
     sweeping many sf dirs retains every localCheckpoint RDD it ever
     built (ADVICE r10).  Call this between sweeps to release them.
-    Lazy imports: operator modules register caches only when loaded.
+
+    Caches are discovered by convention, not by a hand-maintained
+    list: every module-level dict named ``_*_CACHE`` in an operator
+    module is a session cache (the r14 verdict found five caches the
+    old explicit list had missed).  Only modules already imported are
+    swept — loading one here would run its @query registrations as a
+    side effect.
     """
-    import importlib
+    import re
+    import sys
+
+    from .registry import _DEFERRED_OPERATOR_MODULES, _OPERATOR_MODULES
 
     _scan_cache.clear()
     _hot_cached.clear()
-    for mod_name, attrs in {
-        "vectordb_agentic_rag_spark.operators.ml": (
-            "_SAMPLE_CACHE",
-            "_EXACT3_CACHE", "_IVF_PANEL_CACHE", "_LSH_PAIRS_CACHE",
-        ),
-        "vectordb_agentic_rag_spark.operators.dedup": (
-            "_JAC_CODES_CACHE", "_NGRAM_EDGES_CACHE",
-            "_MINHASH_PAIRS_CACHE",
-        ),
-        "vectordb_agentic_rag_spark.operators.queue_r11": (
-            "_CASCADE_SURVIVORS_CACHE",
-        ),
-        "vectordb_agentic_rag_spark.operators.analytics2": (
-            "_COSUPPLY_EDGES_CACHE",
-        ),
-        "vectordb_agentic_rag_spark.operators.analytics4": (
-            "_COPURCHASE_EDGES_CACHE",
-        ),
-        "vectordb_agentic_rag_spark.operators.analytics9": (
-            "_DAY_TOTALS_CACHE", "_PURCHASE_DAY_TOTALS_CACHE",
-            "_DAY_TYPE_CELLS_CACHE", "_CV_BLOCKS_CACHE",
-        ),
-        "vectordb_agentic_rag_spark.operators.text": (
-            "_BPE_TRAIN_CACHE",
-        ),
-    }.items():
-        mod = importlib.import_module(mod_name)
-        for attr in attrs:
-            getattr(mod, attr).clear()
+    pat = re.compile(r"_[A-Z0-9_]*_CACHE\Z")
+    for mod_name in (
+        list(_OPERATOR_MODULES)
+        + list(_DEFERRED_OPERATOR_MODULES)
+        + list(_EXTRA_CACHE_MODULES)
+    ):
+        mod = sys.modules.get(mod_name)
+        if mod is None:
+            continue
+        for attr, val in vars(mod).items():
+            if pat.fullmatch(attr) and isinstance(val, dict):
+                val.clear()
